@@ -1,0 +1,222 @@
+package graft.dfl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import Node._
+
+/** Executes a DFL pipeline against a DataFrame.
+  *
+  * Two-level evaluation exactly as the reference uses it (SURVEY.md §7.2):
+  * dataset functions (`filter(@,'…')`, `map(@,'…')`, `sort`, `limit`,
+  * `group`, `hist`, `set`, `len`, `bbox`) take the dataset as `@` and a
+  * QUOTED sub-expression evaluated per row (reference: examples/bars.dfl:8-12);
+  * everything else is a row-level transform where `@` is the current record
+  * (reference: examples/geonames.dfl — dict build, `:=`, `+=`, ternary drop).
+  *
+  * Scale design: consecutive row-level stages fuse into ONE Column chain —
+  * a single `select` with no intermediate materialization — so a 6-stage
+  * record pipeline is still one narrow codegen'd projection over the scan.
+  * Dataset stages map to native DataFrame ops, keeping Catalyst free to
+  * push filters below projections and prune parquet columns.
+  */
+object DflFrame {
+
+  /** Evaluate DFL source over `df`. Result column naming: scalar map
+    * results become a column named `value`; dict results flatten to
+    * top-level columns. */
+  def pipeline(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): DataFrame = {
+    val node = Parser.parse(src)
+    val stages = node match {
+      case Pipe(ss) => ss
+      case single   => List(single)
+    }
+    run(df, stages, vars)
+  }
+
+  /** Compile a row-level DFL predicate to a Column against `df`
+    * (the `filter(@, '…')` inner expression form). */
+  def predicate(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): Column =
+    ColumnCompiler.compile(Parser.parse(src), ColumnCompiler.Ctx.forDataFrame(df, vars))
+
+  private val datasetFns =
+    Set("filter", "map", "limit", "sort", "group", "hist", "set", "array", "len", "bbox")
+
+  private final case class RowState(cur: Column, lets: Map[String, Column])
+
+  private def run(df0: DataFrame, stages: List[Node], vars: Map[String, Any]): DataFrame = {
+    var df = df0
+    var row: Option[RowState] = None
+
+    def rowCtx(): ColumnCompiler.Ctx = row match {
+      case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, vars, lets)
+      case None                      => ColumnCompiler.Ctx.forDataFrame(df, vars)
+    }
+
+    /** Materialize pending row-level stages: one narrow projection plus the
+      * dfl.Null drop filter (reference: cli/process.go:184-189 — a null
+      * result removes the record). */
+    def flush(): Unit = row.foreach { st =>
+      df = df.select(st.cur.as("__r")).filter(col("__r").isNotNull)
+      df = df.schema.fields.head.dataType match {
+        case _: StructType => df.select(col("__r.*"))
+        case _             => df.select(col("__r").as("value"))
+      }
+      row = None
+    }
+
+    def lets: Map[String, Column] = row.map(_.lets).getOrElse(Map.empty)
+
+    stages.foreach {
+      case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
+        flush()
+        df = datasetOp(df, name, args, vars)
+
+      case fc @ FunCall("array", List(inner: FunCall)) if datasetFns(inner.name) =>
+        flush()
+        df = datasetOp(df, inner.name, inner.args, vars)
+        val _ = fc // array(set(@)) — set already yields rows; array is a no-op
+
+      case d: DictLit if referencesDataset(d) =>
+        // FeatureCollection-style assembly: one aggregate over the dataset
+        // (reference: named/named.go:20). Driver-safe only at CLI result
+        // sizes; engine paths never do this implicitly.
+        flush()
+        df = assembleDict(df, d, vars)
+
+      case Assign(name, value) =>
+        val ctx = rowCtx()
+        val bound = ColumnCompiler.compile(value, ctx)
+        row = Some(RowState(row.map(_.cur).getOrElse(ctx.whole()), lets + (name -> bound)))
+
+      case stage =>
+        val ctx = rowCtx()
+        val result = ColumnCompiler.compile(stage, ctx)
+        row = Some(RowState(result, lets))
+    }
+    flush()
+    df
+  }
+
+  private def isDatasetArg(n: Option[Node]): Boolean = n match {
+    case Some(Attr("")) => true
+    case _              => false
+  }
+
+  private def referencesDataset(d: DictLit): Boolean =
+    d.entries.exists {
+      case (_, Attr(""))                      => true
+      case (_, FunCall("len", List(Attr("")))) => true
+      case _                                  => false
+    }
+
+  private def datasetOp(df: DataFrame, name: String, args: List[Node],
+                        vars: Map[String, Any]): DataFrame = {
+    def sub(i: Int): Node = args(i) match {
+      case Lit(s: String) => Parser.parse(s) // quoted sub-expression
+      case other          => other
+    }
+    def subCol(i: Int): Column =
+      ColumnCompiler.compile(sub(i), ColumnCompiler.Ctx.forDataFrame(df, vars))
+    def intArg(i: Int): Int = args(i) match {
+      case Lit(v: Long) => v.toInt
+      case Var(n2)      => vars(n2) match {
+        case l: Long => l.toInt; case x: Int => x
+        case other   => other.toString.toInt
+      }
+      case other => throw new DflParseException(s"expected int arg: ${Node.render(other)}")
+    }
+
+    name match {
+      case "filter" => df.filter(subCol(1))
+      case "map" =>
+        sub(1) match {
+          case DictLit(entries) =>
+            val ctx = ColumnCompiler.Ctx.forDataFrame(df, vars)
+            df.select(entries.map { case (k, v) =>
+              ColumnCompiler.compile(v, ctx).as(ColumnCompiler.keyName(k))
+            }: _*)
+          case expr =>
+            val c = ColumnCompiler.compile(expr, ColumnCompiler.Ctx.forDataFrame(df, vars))
+            expr match {
+              // mapping to a modified whole record keeps its columns
+              case _: AugAssign | Attr("") =>
+                val named = c.as("__r")
+                df.select(named).select(col("__r.*"))
+              case _ => df.select(c.as("value"))
+            }
+        }
+      case "limit" => df.limit(intArg(1))
+      case "sort" =>
+        val desc = args.size > 2 && (args(2) match {
+          case Lit(b: Boolean) => b
+          case Lit("true")     => true
+          case _               => false
+        })
+        val key = if (args.size > 1) subCol(1)
+                  else if (df.columns.length == 1) col(df.columns.head)
+                  else struct(df.columns.map(col).toIndexedSeq: _*)
+        df.orderBy(if (desc) key.desc else key.asc)
+      case "group" =>
+        // grouped collect (reference: named/named.go:22). Keys may be a
+        // composite `[k1, k2]`. Output: key cols + `items` array.
+        val ctx = ColumnCompiler.Ctx.forDataFrame(df, vars)
+        val keys = sub(1) match {
+          case ArrayLit(ks) => ks.zipWithIndex.map { case (k, i) =>
+            ColumnCompiler.compile(k, ctx).as(s"key$i") }
+          case k => List(ColumnCompiler.compile(k, ctx).as("key"))
+        }
+        df.groupBy(keys: _*)
+          .agg(collect_list(struct(df.columns.map(col).toIndexedSeq: _*)).as("items"))
+      case "hist" =>
+        // histogram: count per key (reference: examples/osm.sh:124); the
+        // 2-arg nested form explodes the word-set of key2 per key1 value
+        // (reference: examples/osm.sh:130). Partial (map-side) aggregation
+        // is automatic because this stays a DataFrame `groupBy().count()`.
+        val ctx = ColumnCompiler.Ctx.forDataFrame(df, vars)
+        if (args.size <= 2) {
+          df.groupBy(ColumnCompiler.compile(sub(1), ctx).as("key"))
+            .count()
+        } else {
+          df.select(ColumnCompiler.compile(sub(1), ctx).as("key"),
+                    explode(ColumnCompiler.compile(sub(2), ctx)).as("word"))
+            .groupBy(col("key"), col("word")).count()
+        }
+      case "set"   => df.distinct()
+      case "array" => df
+      case "len" =>
+        df.agg(count(lit(1)).as("len"))
+      case "bbox" =>
+        // dataset bbox over single-column coordinate pairs
+        // (reference: examples/osm.sh:106): [w, s, e, n] as 4 columns.
+        val c = col(df.columns.head)
+        df.agg(
+          min(c.getItem(0)).as("w"), min(c.getItem(1)).as("s"),
+          max(c.getItem(0)).as("e"), max(c.getItem(1)).as("n"))
+      case other => throw new DflParseException(s"unknown dataset function $other")
+    }
+  }
+
+  private def assembleDict(df: DataFrame, d: DictLit, vars: Map[String, Any]): DataFrame = {
+    val aggs = scala.collection.mutable.ListBuffer.empty[Column]
+    val outs = d.entries.map { case (k, v) =>
+      val name = ColumnCompiler.keyName(k)
+      v match {
+        case Attr("") =>
+          aggs += collect_list(struct(df.columns.map(col).toIndexedSeq: _*)).as(name)
+          col(name)
+        case FunCall("len", List(Attr(""))) =>
+          aggs += count(lit(1)).as(name)
+          col(name)
+        case other =>
+          ColumnCompiler.compile(other,
+            ColumnCompiler.Ctx(
+              resolveAttr = n2 => throw new DflParseException(s"@$n2 not valid here"),
+              whole = () => throw new DflParseException("@ not valid here"),
+              vars = vars)).as(name)
+      }
+    }
+    df.agg(aggs.head, aggs.tail.toSeq: _*).select(outs: _*)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.dfl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.TestSpark
+
+class CompilerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def features = {
+    // GeoJSON-feature-shaped fixture (reference data model, SURVEY.md §1.2)
+    val rows = Seq(
+      ("""{"type":"Feature","properties":{"amenity":"bar","name":"Zig"},"geometry":{"type":"Point","coordinates":[-77.01,38.9]}}"""),
+      ("""{"type":"Feature","properties":{"amenity":"bar","name":"Alpha"},"geometry":{"type":"Point","coordinates":[-77.02,38.91]}}"""),
+      ("""{"type":"Feature","properties":{"amenity":"bar","name":"Alpha"},"geometry":{"type":"Point","coordinates":[-77.03,38.92]}}"""),
+      ("""{"type":"Feature","properties":{"amenity":"cafe","name":"Beta"},"geometry":{"type":"Point","coordinates":[-77.04,38.93]}}"""),
+      ("""{"type":"Feature","properties":{"amenity":"bar","name":null},"geometry":{"type":"Point","coordinates":[-77.05,38.94]}}""")
+    )
+    spark.read.json(rows.toDS)
+  }
+
+  test("bars.dfl pipeline end-to-end") {
+    // reference: examples/bars.dfl:8-12
+    val src =
+      """filter(@, "(@properties?.amenity == bar) and (@properties?.name != null)") |
+        |map(@, "@properties?.name") |
+        |array(set(@)) |
+        |sort(@) |
+        |limit(@, 5)""".stripMargin
+    val out = DflFrame.pipeline(features, src).as[String].collect().toSeq
+    assert(out == Seq("Alpha", "Zig"))
+  }
+
+  test("predicates: in, iin, like, ilike, between, within") {
+    val df = Seq(
+      ("clinic", "Taco Town", 10.0),
+      ("DOCTORS", "Burrito Bar", 20.0),
+      ("school", "Cafe", 30.0),
+    ).toDF("amenity", "name", "v")
+    def names(src: String) =
+      DflFrame.pipeline(df, s"""filter(@, "$src") | map(@, "@name")""")
+        .as[String].collect().toSet
+    assert(names("@amenity in [clinic, doctors]") == Set("Taco Town"))
+    assert(names("@amenity iin [clinic, doctors]") == Set("Taco Town", "Burrito Bar"))
+    assert(names("@name ilike %taco%") == Set("Taco Town"))
+    assert(names("@name like %Bar%") == Set("Burrito Bar"))
+    assert(names("@v between 10.0 and 20.0") == Set("Taco Town", "Burrito Bar"))
+    assert(names("@v within 15.0 and 35.0") == Set("Burrito Bar", "Cafe"))
+  }
+
+  test("elvis and ternary null drop") {
+    val df = Seq(("a", Some(1L)), ("b", None), ("c", Some(3L))).toDF("k", "v")
+    val out = DflFrame.pipeline(df, "map(@, '@v ?: 0')").as[Long].collect().toSeq
+    assert(out == Seq(1L, 0L, 3L))
+    // `? null : @` drops records (reference: cli/process.go:184-189)
+    val kept = DflFrame.pipeline(df, "(@v == null) ? null : @")
+    assert(kept.select("k").as[String].collect().toSeq == Seq("a", "c"))
+  }
+
+  test("geonames-style transform: dict build, tile stamp, bbox drop") {
+    val df = Seq(
+      ("1", "Spot A", "-77.0", "38.9"),
+      ("2", "Spot B", "", "38.9"),       // len 0 → dropped
+      ("3", "Spot C", "-200.0", "38.9"), // out of bbox → dropped
+    ).toDF("geonameid", "name", "longitude", "latitude")
+    val src =
+      """((@longitude == null) or (len(@longitude) == 0)) ? null :
+        |{
+        |  type: "Feature",
+        |  id: int64(@geonameid),
+        |  properties: (@ + {id: int64(@geonameid)}) - {longitude, latitude},
+        |  geometry: {type: "Point", coordinates: [float64(@longitude), float64(@latitude)]}
+        |} |
+        |($c := @geometry?.coordinates) |
+        |(@properties += {_tile_z: $z, _tile_x: tileX($c[0], $z), _tile_y: tileY($c[1], $z)}) |
+        |(not (($c[0] between -180.0 and 180.0) and ($c[1] between -85.0 and 85.0))) ? null : @
+        |""".stripMargin
+    val out = DflFrame.pipeline(df, src, vars = Map("z" -> 10L))
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id") == 1L)
+    val props = r.getAs[Row]("properties")
+    assert(props.schema.fieldNames.contains("_tile_x"))
+    assert(!props.schema.fieldNames.contains("longitude"))
+    assert(props.getAs[Long]("_tile_x") == graft.geo.TileMath.lonToTile(-77.0, 10))
+    assert(props.getAs[Long]("_tile_y") == graft.geo.TileMath.latToTile(38.9, 10))
+  }
+
+  test("bbox filter with $bbox variable (named GeometryFilter)") {
+    // reference: named/named.go:14
+    val src = "filter(@, '(@geometry?.coordinates != null) and (@geometry.coordinates[0] within $bbox[0] and $bbox[2]) and (@geometry.coordinates[1] within $bbox[1] and $bbox[3])')"
+    val out = DflFrame.pipeline(features, src,
+      vars = Map("bbox" -> Seq(-77.025, 38.0, -77.0, 39.0)))
+    assert(out.count() == 2) // -77.01 and -77.02 are inside
+  }
+
+  test("hist and nested hist") {
+    val df = Seq(
+      ("bar", "cold beer"), ("bar", "warm beer"), ("cafe", "hot tea"),
+    ).toDF("amenity", "tags")
+    val h = DflFrame.pipeline(df, "hist(@, '@amenity')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h == Map("bar" -> 2L, "cafe" -> 1L))
+    val h2 = DflFrame.pipeline(df, "hist(@, '@amenity', 'split(@tags, \\' \\')')")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(h2(("bar", "beer")) == 2L)
+    assert(h2(("cafe", "tea")) == 1L)
+  }
+
+  test("group by composite tile key") {
+    // reference: named/named.go:22 GroupByTile
+    val out = DflFrame.pipeline(features,
+      "group(@, '[tileY(@geometry.coordinates[1], $z), tileX(@geometry.coordinates[0], $z)]')",
+      vars = Map("z" -> 10L))
+    assert(out.columns.toSeq == Seq("key0", "key1", "items"))
+    assert(out.count() >= 1)
+  }
+
+  test("dataset len and FeatureCollection assembly") {
+    val out = DflFrame.pipeline(features, "len(@)")
+    assert(out.as[Long].collect().toSeq == Seq(5L))
+    val fc = DflFrame.pipeline(features,
+      "{type: FeatureCollection, features: @, numberOfFeatures: len(@)}")
+    val row = fc.collect().head
+    assert(row.getAs[String]("type") == "FeatureCollection")
+    assert(row.getAs[Long]("numberOfFeatures") == 5L)
+    assert(row.getSeq[Row](fc.columns.indexOf("features")).size == 5)
+  }
+
+  test("dataset bbox over mapped coordinates") {
+    // reference: examples/osm.sh:106
+    val out = DflFrame.pipeline(features,
+      "map(@, '@geometry.coordinates') | bbox(@)").collect().head
+    assert(out.getAs[Double]("w") == -77.05)
+    assert(out.getAs[Double]("e") == -77.01)
+    assert(out.getAs[Double]("s") == 38.9)
+    assert(out.getAs[Double]("n") == 38.94)
+  }
+
+  test("string concat, casts, arithmetic, split, lookup") {
+    val df = Seq(("5", "a;b;c", 2.0)).toDF("n", "tags", "x")
+    def one(src: String) = DflFrame.pipeline(df, "map(@, \"" + src + "\")").collect().head.get(0)
+    assert(one("'p/' + @n + '.json'") == "p/5.json")
+    assert(one("int64(@n) * 3") == 15L)
+    assert(one("pow(@x, 3.0)") == 8.0)
+    assert(one("len(split(@tags, ';'))") == 3)
+    assert(one("mean([1.0, 2.0, 6.0])") == 3.0)
+  }
+
+  test("set algebra: union, difference, intersects") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("s1", "s2")
+    def one(src: String) = DflFrame.pipeline(df, s"map(@, '$src')").collect().head.getSeq[String](0).toSet
+    assert(one("@s1 + {c}") == Set("a", "b", "c"))
+    assert(DflFrame.pipeline(df, "filter(@, 'intersects(@s1, @s2)')").count() == 1)
+  }
+}
