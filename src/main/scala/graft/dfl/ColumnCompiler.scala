@@ -282,7 +282,7 @@ object Functions {
     "round" -> "(x, d)", "concat" -> "(a, b, ...)",
     "tileX" -> "(lon, z)", "tileY" -> "(lat, z)",
     "tileToLongitude" -> "(x, z)", "tileToLatitude" -> "(y, z)", "flipY" -> "(y, z)",
-    "intersects" -> "(a, b)",
+    "intersects" -> "(a, b)", "jsonGet" -> "(s, key)",
   )
 
   def apply(name: String, args: List[Node], ctx: Ctx): Column = {
@@ -319,6 +319,13 @@ object Functions {
       case "tileToLatitude"  => TileMath.tileToLatitude(a(0), a(1))
       case "flipY"    => TileMath.flipYCol(a(0), a(1))
       case "intersects" => arrays_overlap(a(0), a(1))
+      // extension: JSON field extraction for string-typed dynamic columns
+      // (the reference's schema-less records keep ragged keys; our typed
+      // analogue is a JSON string column, SURVEY.md §1.5)
+      case "jsonGet" => args(1) match {
+        case Lit(key: String) => get_json_object(a(0), "$." + key)
+        case _                => get_json_object(a(0), a(1).toString)
+      }
       // row-level shapes of the dataset functions:
       case "len" =>
         // string length for strings, element count for arrays
