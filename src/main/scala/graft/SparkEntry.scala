@@ -98,6 +98,57 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("n"))),
+    // ---- LLM-pipeline operators (project-brief extensions: dedup,
+    //      similarity search, text analysis, multimodal plumbing) ----
+    "text_fingerprint" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), llm.TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "token_counts" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        llm.TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"))),
+    "lang_id" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), llm.TextAnalysis.langId(col("text")).as("lang_guess"))),
+    "quality_score" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6).as("q"))),
+    "dedup_exact" -> ((s, dir) =>
+      llm.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Dedup.survivors(docs, "doc_id",
+        llm.Dedup.minhashPairs(docs, "doc_id", "text", 0.8))
+        .select("doc_id")
+    }),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      llm.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
+    "embed_cosine_pairs" -> ((s, dir) =>
+      llm.Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // one driver-side row lookup for the query vector (a query parameter,
+      // not data movement)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      llm.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+    "multimodal_meta" -> ((s, dir) =>
+      llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
+        .select(col("id"), col("kind"), col("meta.n_bytes").as("n_bytes"))),
+    "multimodal_decode" -> ((s, dir) =>
+      llm.Multimodal.decodeFeatures(s,
+        llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image"))
+        .toDF().select(col("id"), col("n_bytes"), col("checksum"))),
+
     "q2_join_agg" -> ((s, dir) => {
       // broadcast dim join: nation is tiny, lineitem is the fact table —
       // at 100 TB this must be a broadcast hash join, never a shuffle.
@@ -186,5 +237,77 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         | GROUP BY 1""".stripMargin,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents",
+    "token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |  FROM documents""".stripMargin,
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','a'))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','de','y','que'))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','des'))) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_guess
+        |  FROM s""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, round(
+        |    least(n_chars / 1000.0, 1.0) * 0.4
+        |  + least((len(list_filter(string_split(lower(text), ' '),
+        |       x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that')))
+        |       * 1.0 / greatest(len(string_split(lower(text), ' ')), 1)) * 4.0, 1.0) * 0.3
+        |  + (length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.3
+        |  , 6) AS q
+        |  FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |  FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardPairsSql,
+    "dedup_minhash_pairs" -> jaccardPairsSql,
+    "dedup_survivors" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($jaccardPairsSql))""".stripMargin,
+    "embed_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    "ann_topk" ->
+      """SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
+    "multimodal_meta" ->
+      "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
   )
+
+  /** Exact word-3-gram Jaccard pairs ≥ 0.8 — oracle for both the exact
+    * shingle-join variant and the MinHash-LSH variant (at 64 hashes / 32
+    * bands the LSH recall at j≥0.8 is 1-1e-14: the sets coincide). */
+  private val jaccardPairsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, g FROM (
+      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |   FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+      |   WHERE g IS NOT NULL),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+      |  FROM shared JOIN cnt x ON d1 = x.doc_id JOIN cnt y ON d2 = y.doc_id
+      | WHERE c * 1.0 / (x.n + y.n - c) >= 0.8""".stripMargin
 }

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All operators are pure Catalyst column expressions (no UDFs): language
+  * ID, quality scoring, token counting, and document fingerprinting run
+  * inside whole-stage codegen directly over the parquet scan, so a 100 TB
+  * corpus pass is one embarrassingly-parallel projection — no shuffle at
+  * all until an aggregation is requested.
+  *
+  * Every function here is deliberately expressible in portable SQL so the
+  * DuckDB oracle can check it exactly (see SparkEntry.oracleSql).
+  */
+object TextAnalysis {
+
+  /** Canonical normalization shared by dedup + fingerprinting:
+    * lowercase, collapse whitespace runs, trim. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Stable 128-bit document fingerprint over normalized text. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace tokens (split on single space — matches the corpus format). */
+  def wsTokens(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish subword token estimate: runs of letters/digits count one per
+    * ≤4 chars (a common ~4-chars-per-token heuristic), other glyphs one
+    * each. Deterministic and regex-only. */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Small language marker sets (n-gram/stopword heuristic). Order of the
+    * argmax tie-break is fixed: en > es > de > fr > und. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+  )
+
+  private def markerHits(c: Column, markers: Seq[String]): Column =
+    size(filter(wsTokens(lower(c)), t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Heuristic language ID: the language with the most marker-token hits;
+    * `und` when no marker appears. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(c, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** English stopword ratio — a standard quality-filter signal. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+  )
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = wsTokens(lower(c))
+    (markerCount(toks) / greatest(size(toks), lit(1))).cast(DoubleType)
+  }
+
+  private def markerCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Composite quality score in [0,1]: length saturation + stopword signal
+    * + alpha ratio. Deterministic; rounded by callers for oracle parity. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenScore = least(nChars.cast(DoubleType) / 1000.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val alphaRatio = length(regexp_replace(text, "[^a-z ]", "")).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+    lenScore * 0.4 + stopScore * 0.3 + alphaRatio * 0.3
+  }
+}

@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup collapses planted exact duplicates") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different doc"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2) // normalization folds 1 and 2 together
+    val dup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH pair set equals exact jaccard pair set on real corpus") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).collect().map(key).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 0.8).collect().map(key).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash catches high-jaccard near-dups") {
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty)
+    // simhash(hamming<=3) should recover most >=0.9-jaccard pairs; the
+    // 4x16 banding only guarantees detection at hamming<=3, and token-set
+    // jaccard vs simhash hamming correlate loosely on short docs
+    val recall = jac.count(sim.contains).toDouble / jac.size
+    assert(recall >= 0.7, s"simhash recall $recall too low (found ${sim.size} pairs)")
+  }
+
+  test("survivors removes exactly the dominated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+    val surv = Dedup.survivors(docs, "doc_id", pairs)
+    val dropped = pairs.select("id_b").distinct().count()
+    assert(surv.count() == docs.count() - dropped)
+  }
+
+  test("lsh ANN top-k has high recall vs brute force") {
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall (lsh=$lsh brute=$brute)")
+    assert(lsh.contains(0L)) // the query vector itself is its own 1-NN
+  }
+
+  test("language id and quality score are deterministic and bounded") {
+    val out = docs.select(
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.qualityScore($"text", $"n_chars").as("q")).collect()
+    assert(out.forall(r => Set("en", "es", "de", "fr", "und")(r.getString(0))))
+    assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("multimodal decode keeps distribution and produces stable features") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(spark, media)
+    assert(feats.count() == docs.count())
+    val row = feats.filter(_.id == 0L).head()
+    assert(row.features.length == 8)
+    // deterministic: same input → same checksum on a second run
+    val again = Multimodal.decodeFeatures(spark, media).filter(_.id == 0L).head()
+    assert(row.checksum == again.checksum)
+  }
+
+  test("frame sampling explodes one blob into N frame rows") {
+    val media = Multimodal.asMediaTable(docs.limit(3), "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    assert(frames.count() >= 3)
+    val r = frames.filter($"id" === 0 && $"frame_idx" === 0).head()
+    assert(r.getAs[Array[Byte]]("frame_bytes").length == 16)
+  }
+}
