@@ -1,0 +1,105 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dfl.DflFrame
+import graft.io.{DataStoreIO, FormatInfer}
+import graft.streaming.StreamRunner
+
+/** `process` command: read → DFL pipeline → write. The Spark-native
+  * mirror of the reference CLI (reference: cli/process.go:519-945):
+  * flags → read with inferred format/compression → compiled DFL plan →
+  * sink. `--stream` switches the same plan onto Structured Streaming
+  * (reference: cli/process.go:656; see [[graft.streaming.StreamRunner]]).
+  *
+  * Usage:
+  *   runMain graft.cli.ProcessCli
+  *     --input-uri F [--input-format f] [--input-header a,b,c]
+  *     [--input-comment '#'] [--input-skip N] [--input-limit N]
+  *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]...
+  *     [--output-uri F|-] [--output-format f] [--output-limit N]
+  *     [--stream]
+  */
+object ProcessCli {
+
+  final case class Config(
+      inputUri: String = "",
+      inputFormat: String = "",
+      inputHeader: Option[Seq[String]] = None,
+      inputComment: Option[Char] = None,
+      inputSkip: Int = 0,
+      inputLimit: Option[Int] = None,
+      dfl: String = "",
+      vars: Map[String, Any] = Map.empty,
+      outputUri: String = "-",
+      outputFormat: String = "",
+      outputLimit: Option[Int] = None,
+      stream: Boolean = false,
+  )
+
+  def parseArgs(args: Array[String]): Config = {
+    var c = Config()
+    var i = 0
+    def next(): String = { i += 1; args(i) }
+    while (i < args.length) {
+      args(i) match {
+        case "--input-uri"     => c = c.copy(inputUri = next())
+        case "--input-format"  => c = c.copy(inputFormat = next())
+        case "--input-header"  => c = c.copy(inputHeader = Some(next().split(',').toSeq))
+        case "--input-comment" => c = c.copy(inputComment = Some(next().head))
+        case "--input-skip"    => c = c.copy(inputSkip = next().toInt)
+        case "--input-limit"   => c = c.copy(inputLimit = Some(next().toInt))
+        case "--dfl"           => c = c.copy(dfl = next())
+        case "--dfl-uri"       => c = c.copy(dfl = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(next()))))
+        case "--var" =>
+          val kv = next(); val j = kv.indexOf('=')
+          c = c.copy(vars = c.vars + (kv.take(j) -> graft.io.TextFormats.parseScalar(kv.drop(j + 1))))
+        case "--output-uri"    => c = c.copy(outputUri = next())
+        case "--output-format" => c = c.copy(outputFormat = next())
+        case "--output-limit"  => c = c.copy(outputLimit = Some(next().toInt))
+        case "--stream"        => c = c.copy(stream = true)
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+      i += 1
+    }
+    require(c.inputUri.nonEmpty, "--input-uri is required")
+    c
+  }
+
+  def run(spark: SparkSession, c: Config): DataFrame = {
+    if (c.stream) {
+      val fmt = if (c.inputFormat.nonEmpty) c.inputFormat
+        else FormatInfer.split(c.inputUri).format
+      StreamRunner.runOnce(spark, c.inputUri, fmt, c.dfl, c.vars)
+    } else {
+      val df = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
+        format = c.inputFormat, header = c.inputHeader,
+        comment = c.inputComment, skipLines = c.inputSkip, limit = c.inputLimit))
+      if (c.dfl.trim.nonEmpty) DflFrame.pipeline(df, c.dfl, c.vars) else df
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-process")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val out = run(spark, c)
+      val limited = c.outputLimit.fold(out)(out.limit)
+      if (c.outputUri == "-" || c.outputUri == "stdout") {
+        limited.toJSON.collect().foreach(println)
+      } else {
+        DataStoreIO.write(limited, c.outputUri,
+          DataStoreIO.WriteOptions(format = c.outputFormat))
+      }
+    } finally spark.stop()
+  }
+}

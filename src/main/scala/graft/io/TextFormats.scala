@@ -1,0 +1,228 @@
+package graft.io
+
+/** Driver-side parsers/serializers for the config-ish text formats the
+  * reference accepts (yaml, toml, properties — reference:
+  * cli/process.go:911 via go-simple-serializer). These formats carry
+  * catalog documents and small CLI payloads, never bulk data, so a
+  * driver-side parse feeding `spark.read.json` is the right shape
+  * (SURVEY.md §2.1); bulk paths stay on the native csv/tsv/json/jsonl
+  * readers.
+  *
+  * The parsers cover the practical subset: scalars, flat and nested maps,
+  * lists of scalars/maps — enough for every catalog/example document in
+  * the reference repo. They are hand-rolled (no external deps available
+  * offline) and deliberately strict: unparseable input throws.
+  */
+object TextFormats {
+
+  // ---------- properties ----------
+
+  /** `key=value` / `key: value` lines, `#`/`!` comments. */
+  def parseProperties(src: String): Map[String, String] =
+    src.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!"))
+      .map { l =>
+        val i = l.indexWhere(c => c == '=' || c == ':')
+        if (i < 0) (l, "") else (l.take(i).trim, l.drop(i + 1).trim)
+      }.toMap
+
+  def renderProperties(m: Map[String, Any]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${scalarStr(v)}" }.mkString("\n")
+
+  // ---------- toml (subset: [section], key = value, arrays of scalars) ----------
+
+  def parseToml(src: String): Map[String, Any] = {
+    val root = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    var section: Option[String] = None
+    src.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foreach { l =>
+        if (l.startsWith("[") && l.endsWith("]")) {
+          section = Some(l.substring(1, l.length - 1).trim)
+          root.getOrElseUpdate(section.get,
+            scala.collection.mutable.LinkedHashMap.empty[String, Any])
+        } else {
+          val i = l.indexOf('=')
+          if (i < 0) throw new IllegalArgumentException(s"bad toml line: $l")
+          val k = l.take(i).trim
+          val v = parseScalarOrArray(l.drop(i + 1).trim)
+          section match {
+            case Some(s) =>
+              root(s).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]
+                .put(k, v)
+            case None => root.put(k, v)
+          }
+        }
+      }
+    root.map { case (k, v) => k -> deepImmutable(v) }.toMap
+  }
+
+  def renderToml(m: Map[String, Any]): String = {
+    val (sections, scalars) = m.partition(_._2.isInstanceOf[Map[_, _]])
+    val top = scalars.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k = ${tomlValue(v)}" }
+    val secs = sections.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      s"[$k]" +: v.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k2, v2) => s"$k2 = ${tomlValue(v2)}" }
+    }
+    (top ++ secs).mkString("\n")
+  }
+
+  // ---------- yaml (subset: nested maps by 2-space indent, `- ` lists) ----------
+
+  def parseYaml(src: String): Any = {
+    val lines = src.linesIterator
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .toVector
+    val (value, rest) = parseYamlBlock(lines, 0, 0)
+    require(rest >= lines.size, s"trailing yaml at line $rest: ${lines(rest)}")
+    value
+  }
+
+  private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+
+  private def parseYamlBlock(lines: Vector[String], start: Int, indent: Int): (Any, Int) = {
+    if (start >= lines.size) return (Map.empty[String, Any], start)
+    val first = lines(start)
+    if (indentOf(first) < indent) return (Map.empty[String, Any], start)
+    if (first.trim.startsWith("- ") || first.trim == "-") {
+      // list block
+      val items = scala.collection.mutable.ListBuffer.empty[Any]
+      var i = start
+      while (i < lines.size && indentOf(lines(i)) == indent && lines(i).trim.startsWith("-")) {
+        val after = lines(i).trim.drop(1).trim
+        if (after.isEmpty) {
+          val (v, next) = parseYamlBlock(lines, i + 1, indent + 2)
+          items += v; i = next
+        } else if (after.contains(":") && !after.startsWith("{")) {
+          // inline first key of a nested map item: "- k: v"
+          val synthetic = (" " * (indent + 2)) + after
+          val (v, next) = parseYamlBlock(lines.patch(i, Seq(synthetic), 1), i, indent + 2)
+          items += v; i = next
+        } else {
+          items += parseScalarOrArray(after); i += 1
+        }
+      }
+      (items.toList, i)
+    } else {
+      // map block
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      var i = start
+      while (i < lines.size && indentOf(lines(i)) == indent && lines(i).contains(":")) {
+        val l = lines(i).trim
+        val ci = l.indexOf(':')
+        val k = stripQuotes(l.take(ci).trim)
+        val rest = l.drop(ci + 1).trim
+        if (rest.isEmpty) {
+          val (v, next) = parseYamlBlock(lines, i + 1, indent + 2)
+          m.put(k, v); i = next
+        } else {
+          m.put(k, parseScalarOrArray(rest)); i += 1
+        }
+      }
+      (m.toMap, i)
+    }
+  }
+
+  def renderYaml(v: Any, indent: Int = 0): String = {
+    val pad = " " * indent
+    v match {
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).map {
+          case (k, mv: Map[_, _]) => s"$pad$k:\n${renderYaml(mv, indent + 2)}"
+          case (k, lv: Seq[_])    => s"$pad$k:\n${renderYaml(lv, indent + 2)}"
+          case (k, sv)            => s"$pad$k: ${scalarStr(sv)}"
+        }.mkString("\n")
+      case s: Seq[_] =>
+        s.map {
+          case m: Map[_, _] =>
+            val body = renderYaml(m, indent + 2).dropWhile(_ == ' ')
+            s"$pad- $body"
+          case x => s"$pad- ${scalarStr(x)}"
+        }.mkString("\n")
+      case other => s"$pad${scalarStr(other)}"
+    }
+  }
+
+  // ---------- shared scalar handling ----------
+
+  private[io] def parseScalarOrArray(s0: String): Any = {
+    val s = s0.trim
+    if (s.startsWith("[") && s.endsWith("]")) {
+      val body = s.substring(1, s.length - 1).trim
+      if (body.isEmpty) Nil
+      else splitTopLevel(body).map(x => parseScalar(x.trim))
+    } else parseScalar(s)
+  }
+
+  private def splitTopLevel(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0; var cur = new StringBuilder; var inStr = false; var q = ' '
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == q) inStr = false }
+      else c match {
+        case '\'' | '"' => inStr = true; q = c; cur += c
+        case '[' | '{' => depth += 1; cur += c
+        case ']' | '}' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur = new StringBuilder
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toList
+  }
+
+  def parseScalar(s: String): Any = {
+    val t = s.trim
+    if (t == "true") true
+    else if (t == "false") false
+    else if (t == "null" || t == "~") null
+    else if (t.matches("-?\\d+")) t.toLong
+    else if (t.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?")) t.toDouble
+    else stripQuotes(t)
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+
+  private def scalarStr(v: Any): String = v match {
+    case null      => "null"
+    case s: String => s
+    case other     => other.toString
+  }
+
+  private def tomlValue(v: Any): String = v match {
+    case s: String  => "\"" + s.replace("\"", "\\\"") + "\""
+    case xs: Seq[_] => xs.map(tomlValue).mkString("[", ", ", "]")
+    case other      => String.valueOf(other)
+  }
+
+  private def deepImmutable(v: Any): Any = v match {
+    case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+      m.map { case (k, x) => k.toString -> deepImmutable(x) }.toMap
+    case xs: Seq[_] => xs.map(deepImmutable).toList
+    case other      => other
+  }
+
+  // ---------- JSON (for bridging driver-parsed records into Spark) ----------
+
+  /** Minimal JSON renderer for driver-parsed records → `spark.read.json`. */
+  def toJson(v: Any): String = v match {
+    case null       => "null"
+    case s: String  => "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case b: Boolean => b.toString
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]]
+        .map { case (k, x) => s"${toJson(k)}:${toJson(x)}" }.mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
+    case other      => String.valueOf(other)
+  }
+}
