@@ -1,0 +1,127 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import graft.dfl.{ColumnCompiler, DflFrame, Parser}
+import graft.io.DataStoreIO
+
+/** Service/job/workflow execution with the reference's variable-precedence
+  * and caching semantics.
+  *
+  * Precedence (last write wins, mirroring the reference exactly):
+  *  - service exec: cached service vars ← service.defaults ← request vars
+  *    (reference: handlers/ServiceExecHandler.go:100-130; returned vars
+  *    persist back to the cache, :290)
+  *  - job exec: service.defaults ← job.variables
+  *    (reference: handlers/JobExecHandler.go:72-78)
+  *  - workflow job: service.defaults ← job.variables ← workflow.variables
+  *    (reference: handlers/WorkflowExecHandler.go:90-99)
+  *
+  * DataStore reads cache the loaded DataFrame keyed by resolved URI +
+  * source mtime — a stale file invalidates the entry, like the
+  * mtime/LastModified cache key in the reference
+  * (handlers/ServiceExecHandler.go:159-232, cache/Cache.go:25-75).
+  */
+final class Exec(spark: SparkSession, val catalog: Catalog) {
+
+  // serviceName → persisted exec variables (reference cacheKeyService)
+  private val serviceVarCache = scala.collection.mutable.Map.empty[String, Map[String, Any]]
+
+  // resolvedUri → (mtimeMillis, persisted DataFrame)
+  private val dataFrameCache = scala.collection.mutable.Map.empty[String, (Long, DataFrame)]
+
+  /** Evaluate a DFL URI template with variables bound (a table location is
+    * a function of variables, reference: core/DataStore.go:79-84). */
+  def resolveUri(uriDfl: String, vars: Map[String, Any]): String = {
+    // a bare path (not valid DFL, e.g. "/data/places.jsonl") is itself
+    val node = try Parser.parse(uriDfl) catch {
+      case _: graft.dfl.DflParseException => return uriDfl
+    }
+    node match {
+      case graft.dfl.Node.Lit(s: String) => s // plain path
+      case _ =>
+        val ctx = ColumnCompiler.Ctx(
+          resolveAttr = n => throw new IllegalArgumentException(s"@$n not valid in uri"),
+          whole = () => throw new IllegalArgumentException("@ not valid in uri"),
+          vars = vars)
+        spark.range(1).select(ColumnCompiler.compile(node, ctx).cast("string"))
+          .head().getString(0)
+    }
+  }
+
+  private def mtimeOf(uri: String): Long = {
+    val f = new java.io.File(uri.stripPrefix("file:"))
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(_.lastModified()).foldLeft(0L)(math.max))
+        .getOrElse(0L)
+    else f.lastModified()
+  }
+
+  /** Cached datastore read (persist + mtime invalidation). */
+  def readDataStore(ds: DataStore, vars: Map[String, Any]): DataFrame = {
+    val uri = resolveUri(ds.uri, vars)
+    val mtime = mtimeOf(uri)
+    dataFrameCache.get(uri) match {
+      case Some((t, df)) if t == mtime => df
+      case stale =>
+        stale.foreach(_._2.unpersist())
+        val df = DataStoreIO.read(spark, uri, DataStoreIO.ReadOptions(
+          format = ds.format, compression = ds.compression)).persist()
+        dataFrameCache(uri) = (mtime, df)
+        df
+    }
+  }
+
+  def serviceExec(serviceName: String, requestVars: Map[String, Any] = Map.empty): DataFrame = {
+    val service = catalog.services.getOrElse(serviceName,
+      throw new NoSuchElementException(s"unknown service: $serviceName"))
+    val vars = serviceVarCache.getOrElse(serviceName, Map.empty) ++
+      service.defaults ++ requestVars
+    val ds = catalog.datastores(service.datastore)
+    val process = catalog.processes(service.process)
+    val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression, vars)
+    serviceVarCache(serviceName) = vars // persist merged vars (reference :290)
+    out
+  }
+
+  def jobExec(jobName: String): DataFrame = {
+    val job = catalog.jobs(jobName)
+    val service = catalog.services(job.service)
+    val vars = service.defaults ++ job.variables
+    val ds = catalog.datastores(service.datastore)
+    val process = catalog.processes(service.process)
+    val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression, vars)
+    job.output.foreach { outName =>
+      val outDs = catalog.datastores(outName)
+      DataStoreIO.write(out, resolveUri(outDs.uri, vars),
+        DataStoreIO.WriteOptions(format = outDs.format))
+    }
+    out
+  }
+
+  final case class JobResult(job: String, exitCode: Int, error: Option[String], rows: Long)
+
+  /** Sequential, continue-on-error — per-job exit codes and errors
+    * (reference: handlers/WorkflowExecHandler.go:61-212). */
+  def workflowExec(workflowName: String): Seq[JobResult] = {
+    val wf = catalog.workflows(workflowName)
+    wf.jobs.map { jobName =>
+      try {
+        val job = catalog.jobs(jobName)
+        val service = catalog.services(job.service)
+        val vars = service.defaults ++ job.variables ++ wf.variables
+        val ds = catalog.datastores(service.datastore)
+        val process = catalog.processes(service.process)
+        val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression, vars)
+        job.output.foreach { outName =>
+          val outDs = catalog.datastores(outName)
+          DataStoreIO.write(out, resolveUri(outDs.uri, vars),
+            DataStoreIO.WriteOptions(format = outDs.format))
+        }
+        JobResult(jobName, 0, None, out.count())
+      } catch {
+        case e: Exception => JobResult(jobName, 1, Some(e.getMessage), 0L)
+      }
+    }
+  }
+}

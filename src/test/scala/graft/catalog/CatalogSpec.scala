@@ -1,0 +1,109 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.nio.file.{Files, Paths}
+
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtureCatalog(dir: String): Catalog = {
+    Files.writeString(Paths.get(s"$dir/places.jsonl"),
+      """{"amenity":"bar","name":"A","qty":5}
+        |{"amenity":"bar","name":"B","qty":50}
+        |{"amenity":"cafe","name":"C","qty":7}""".stripMargin)
+    val c = new Catalog
+    c.add(Workspace("ws"))
+    c.add(DataStore("ws", "places", s"'$dir/places.jsonl'"))
+    c.add(DataStore("ws", "outstore", s"'$dir/out.jsonl'"))
+    c.add(Process("filter_amenity",
+      "filter(@, '@amenity == $kind') | map(@, '{name: @name, qty: @qty}')"))
+    c.add(Service("svc", "places", "filter_amenity", defaults = Map("kind" -> "bar")))
+    c.add(Job("job1", "svc", variables = Map("kind" -> "cafe"), output = Some("outstore")))
+    c.add(Workflow("wf", Seq("job1"), variables = Map("kind" -> "bar")))
+    c
+  }
+
+  test("service exec uses cache ← defaults ← request precedence") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val exec = new Exec(spark, fixtureCatalog(dir))
+    // defaults: kind=bar
+    assert(exec.serviceExec("svc").count() == 2)
+    // request overrides defaults
+    assert(exec.serviceExec("svc", Map("kind" -> "cafe")).count() == 1)
+    // merged vars persisted: kind=cafe now cached, but defaults re-apply
+    // on the next exec (defaults win over cache — reference order)
+    assert(exec.serviceExec("svc").count() == 2)
+  }
+
+  test("job exec: job variables beat service defaults; output written") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val exec = new Exec(spark, fixtureCatalog(dir))
+    val out = exec.jobExec("job1") // kind=cafe via job vars
+    assert(out.count() == 1)
+    assert(spark.read.json(s"$dir/out.jsonl").count() == 1)
+  }
+
+  test("workflow exec: workflow vars win; continue on error") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val cat = fixtureCatalog(dir)
+    cat.add(Job("badjob", "svc", variables = Map("kind" -> "bar")))
+    // sabotage: point a datastore at a missing file via a second service
+    cat.add(DataStore("ws", "missing", s"'$dir/nope.jsonl'"))
+    cat.add(Service("svc_missing", "missing", "filter_amenity", defaults = Map("kind" -> "bar")))
+    cat.add(Job("job_missing", "svc_missing"))
+    cat.add(Workflow("wf2", Seq("job_missing", "job1"), variables = Map("kind" -> "bar")))
+    val exec = new Exec(spark, cat)
+    val results = exec.workflowExec("wf2")
+    assert(results.map(_.exitCode) == Seq(1, 0))
+    // workflow var kind=bar overrode job1's cafe → 2 rows
+    assert(results(1).rows == 2L)
+  }
+
+  test("uri templates resolve with variables") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val exec = new Exec(spark, fixtureCatalog(dir))
+    val uri = exec.resolveUri("'/data/tiles/' + $z + '-' + $x + '.jsonl'",
+      Map("z" -> 4L, "x" -> 7L))
+    assert(uri == "/data/tiles/4-7.jsonl")
+  }
+
+  test("datastore cache invalidates on mtime change") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val exec = new Exec(spark, fixtureCatalog(dir))
+    assert(exec.serviceExec("svc").count() == 2)
+    Thread.sleep(1100) // mtime granularity
+    Files.writeString(Paths.get(s"$dir/places.jsonl"),
+      """{"amenity":"bar","name":"A","qty":5}""")
+    assert(exec.serviceExec("svc").count() == 1)
+  }
+
+  test("catalog persists to json and yaml and round-trips") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val c = fixtureCatalog(dir)
+    for (ext <- Seq("json", "yaml")) {
+      val p = s"$dir/catalog.$ext"
+      c.save(p)
+      val back = Catalog.load(p)
+      assert(back.workspaces.keySet == c.workspaces.keySet)
+      assert(back.datastores.keySet == c.datastores.keySet)
+      assert(back.services("svc").defaults == Map("kind" -> "bar"))
+      assert(back.workflows("wf").jobs == Seq("job1"))
+      // loaded catalog still executes
+      val exec = new Exec(spark, back)
+      assert(exec.serviceExec("svc").count() == 2)
+    }
+  }
+
+  test("referential integrity enforced on add") {
+    val c = new Catalog
+    intercept[IllegalArgumentException] {
+      c.add(DataStore("nope", "d", "'x'"))
+    }
+    c.add(Workspace("ws"))
+    c.add(DataStore("ws", "d", "'x'"))
+    intercept[IllegalArgumentException] {
+      c.add(Service("s", "d", "missing_process"))
+    }
+  }
+}
