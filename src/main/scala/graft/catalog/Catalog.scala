@@ -197,7 +197,7 @@ object Catalog {
   }
 
   /** JSON → nested Scala maps via jackson (on the Spark classpath). */
-  private[catalog] def parseJsonDoc(text: String): Map[String, Any] = {
+  def parseJsonDoc(text: String): Map[String, Any] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     fromNode(om.readTree(text)).asInstanceOf[Map[String, Any]]
   }

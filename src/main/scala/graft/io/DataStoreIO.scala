@@ -29,10 +29,20 @@ object DataStoreIO {
       comment: Option[Char] = None,
       skipLines: Int = 0,
       limit: Option[Int] = None,
+      passphrase: String = "",          // non-empty → decrypt .enc input
+      salt: String = "graft",
   )
 
   def read(spark: SparkSession, uri: String,
            opts: ReadOptions = ReadOptions()): DataFrame = {
+    // http(s) endpoint as a table (reference: examples/hostosm.sh:20 —
+    // a DataStore URI may be a REST API returning the dataset)
+    if (uri.startsWith("http://") || uri.startsWith("https://"))
+      return opts.limit.fold(readHttp(spark, uri))(readHttp(spark, uri).limit)
+    // encrypted input: whole-stream decrypt on the driver before parse
+    // (reference: cli/process.go:892; CLI-sized by construction)
+    if (opts.passphrase.nonEmpty)
+      return readEncrypted(spark, uri, opts)
     val inf = FormatInfer.split(uri)
     val format = if (opts.format.nonEmpty) opts.format else inf.format
     val compression = if (opts.compression.nonEmpty) opts.compression else inf.compression
@@ -136,6 +146,61 @@ object DataStoreIO {
       // collect is fine: these are config-sized documents by construction
       spark.read.textFile(uri).collect().mkString("\n")
     }
+  }
+
+  /** GET a JSON endpoint and expose the body as a DataFrame. */
+  def readHttp(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() < 400, s"http $url → ${resp.statusCode()}")
+    spark.read.json(Seq(resp.body()).toDS())
+  }
+
+  private def readEncrypted(spark: SparkSession, uri: String,
+                            opts: ReadOptions): DataFrame = {
+    import spark.implicits._
+    val inf = FormatInfer.split(uri)
+    val format = if (opts.format.nonEmpty) opts.format else inf.format
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(uri.stripPrefix("file:")))
+    var bytes = Crypto.decrypt(raw, opts.passphrase, opts.salt)
+    if (inf.compression == "gzip") {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      bytes = try in.readAllBytes() finally in.close()
+    }
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val lines = text.linesIterator.toSeq.toDS()
+    val df = format match {
+      case "jsonl" | "json" => spark.read.json(lines)
+      case "csv" | "tsv" =>
+        val rd = spark.read.option("sep", if (format == "tsv") "\t" else ",")
+          .option("inferSchema", true)
+        opts.header match {
+          case Some(names) => rd.option("header", false).csv(lines).toDF(names: _*)
+          case None        => rd.option("header", opts.headerFromFirstLine).csv(lines)
+        }
+      case other => throw new UnsupportedOperationException(s"encrypted format: $other")
+    }
+    opts.limit.fold(df)(df.limit)
+  }
+
+  /** Encrypt a small serialized result to `uri` (IV ++ AES-CFB bytes).
+    * Incompatible with streaming, enforced like the reference
+    * (cli/process.go:662-664). */
+  def writeEncrypted(df: DataFrame, uri: String, passphrase: String,
+                     salt: String = "graft", format: String = "jsonl"): Unit = {
+    val text = format match {
+      case "jsonl" => df.toJSON.collect().mkString("\n")
+      case "json"  => df.toJSON.collect().mkString("[", ",", "]")
+      case other   => throw new UnsupportedOperationException(s"encrypted write format: $other")
+    }
+    val path = java.nio.file.Paths.get(uri.stripPrefix("file:"))
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(path,
+      Crypto.encrypt(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), passphrase, salt))
   }
 
   final case class WriteOptions(

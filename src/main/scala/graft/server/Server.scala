@@ -1,0 +1,230 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import graft.catalog._
+import graft.geo.TileService
+import graft.io.TextFormats
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Catalog-driven HTTP query server — the Spark-native mirror of
+  * `railgun serve` (reference: router/RailgunRouter.go:50-135). Pure-JDK
+  * `com.sun.net.httpserver` (no external deps available offline); each
+  * request runs a Spark job in the exchange's thread, like the
+  * reference's request-goroutine model (cli/serve.go:191-366).
+  *
+  * Routes (content negotiated by `.{ext}` — json/yaml, reference:
+  * handlers/BaseHandler.go:146-229):
+  *   GET/POST /{kind}.{ext}            list / add (POST requires JWT)
+  *   GET/DELETE /{kind}/{name}.{ext}   item / delete (DELETE requires JWT)
+  *   POST /services/{name}/exec.{ext}  exec with request variables
+  *   POST /jobs/{name}/exec.{ext}
+  *   POST /workflows/{name}/exec.{ext}
+  *   GET /layers/{name}/tiles/data/{z}/{x}/{y}.{ext}
+  *   GET /layers/{name}/tiles/mask/{z}/{x}/{y}.png
+  *   GET /dfl/functions.{ext}          scalar registry introspection
+  *   GET /gss/formats.{ext}            supported format list
+  *   POST /authenticate.{ext}          {username, password} → JWT
+  *   GET /health.{ext}
+  */
+final class Server(spark: SparkSession, val exec: Exec, port: Int,
+                   rootPassword: String = "secret") {
+
+  private val jwt = Jwt.generate()
+  private val tiles = new TileService(spark, exec)
+  private var http: HttpServer = _
+
+  val formats: Seq[String] =
+    Seq("csv", "tsv", "json", "jsonl", "yaml", "toml", "properties", "parquet")
+
+  def start(): Unit = {
+    http = HttpServer.create(new InetSocketAddress(port), 0)
+    http.createContext("/", (x: HttpExchange) => handle(x))
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    http.start()
+  }
+
+  def stop(): Unit = if (http != null) http.stop(0)
+
+  def boundPort: Int = http.getAddress.getPort
+
+  // ---------- dispatch ----------
+
+  private val kinds = Set("workspaces", "datastores", "layers", "processes",
+    "services", "jobs", "workflows")
+
+  private def handle(x: HttpExchange): Unit = {
+    try route(x)
+    catch {
+      case e: NoSuchElementException => respond(x, 404, errBody(x, e.getMessage))
+      case e: IllegalArgumentException => respond(x, 400, errBody(x, e.getMessage))
+      case e: Exception => respond(x, 500, errBody(x, String.valueOf(e.getMessage)))
+    } finally x.close()
+  }
+
+  private def errBody(x: HttpExchange, msg: String): String =
+    render(extOf(x.getRequestURI.getPath), Map("error" -> msg))
+
+  private def route(x: HttpExchange): Unit = {
+    val path = x.getRequestURI.getPath
+    val ext = extOf(path)
+    val parts = stripExt(path).split('/').filter(_.nonEmpty).toList
+    val method = x.getRequestMethod
+
+    (method, parts) match {
+      case ("GET", "health" :: Nil) =>
+        respond(x, 200, render(ext, Map("status" -> "ok")))
+
+      case ("POST", "authenticate" :: Nil) =>
+        val body = Catalog.parseJsonDoc(readBody(x))
+        val (u, p) = (body.getOrElse("username", ""), body.getOrElse("password", ""))
+        if (u == "root" && p == rootPassword)
+          respond(x, 200, render(ext, Map("token" -> jwt.sign("root"))))
+        else respond(x, 401, errBody(x, "invalid credentials"))
+
+      case ("GET", "dfl" :: "functions" :: Nil) =>
+        respond(x, 200, render(ext, Map("functions" ->
+          graft.dfl.Functions.registry.toSeq.sortBy(_._1)
+            .map { case (n, sig) => Map("name" -> n, "signature" -> sig) }.toList)))
+
+      case ("GET", "gss" :: "formats" :: Nil) =>
+        respond(x, 200, render(ext, Map("formats" -> formats.toList)))
+
+      case ("GET", kind :: Nil) if kinds(kind) =>
+        respond(x, 200, render(ext, Map(kind -> exec.catalog.toMaps(kind))))
+
+      case ("POST", kind :: Nil) if kinds(kind) =>
+        requireAuth(x)
+        val doc = Catalog.parseJsonDoc(readBody(x))
+        val tmp = Catalog.fromMaps(Map(kind -> List(doc)) ++ referenced(kind))
+        val added = tmp.list(kind).head
+        exec.catalog.add(added)
+        respond(x, 200, render(ext, Map("added" -> nameOf(added))))
+
+      case ("GET", kind :: name :: Nil) if kinds(kind) =>
+        exec.catalog.get(kind, name) match {
+          case Some(e) => respond(x, 200, render(ext, entityMap(kind, name)))
+          case None    => respond(x, 404, errBody(x, s"$kind/$name not found"))
+        }
+
+      case ("DELETE", kind :: name :: Nil) if kinds(kind) =>
+        requireAuth(x)
+        if (exec.catalog.delete(kind, name))
+          respond(x, 200, render(ext, Map("deleted" -> name)))
+        else respond(x, 404, errBody(x, s"$kind/$name not found"))
+
+      case ("POST", "services" :: name :: "exec" :: Nil) =>
+        val body = readBody(x)
+        val vars = if (body.trim.isEmpty) Map.empty[String, Any]
+          else Catalog.parseJsonDoc(body)
+            .getOrElse("variables", Map.empty).asInstanceOf[Map[String, Any]]
+        val rows = exec.serviceExec(name, vars).toJSON.collect()
+        respondJsonRows(x, ext, rows)
+
+      case ("POST", "jobs" :: name :: "exec" :: Nil) =>
+        respondJsonRows(x, ext, exec.jobExec(name).toJSON.collect())
+
+      case ("POST", "workflows" :: name :: "exec" :: Nil) =>
+        val results = exec.workflowExec(name).map(r => Map(
+          "job" -> r.job, "exitCode" -> r.exitCode.toLong,
+          "error" -> r.error.orNull, "rows" -> r.rows))
+        respond(x, 200, render(ext, Map("results" -> results.toList)))
+
+      case ("GET", "layers" :: name :: "tiles" :: "data" :: z :: xs :: ys :: Nil) =>
+        val qs = queryParams(x)
+        val gj = tiles.tileQueryGeoJson(name, z.toInt, xs.toLong, ys.toLong,
+          buffer = qs.get("buffer").map(_.toLong).getOrElse(1L),
+          userDfl = qs.get("dfl"),
+          limit = qs.get("limit").map(_.toInt))
+        respond(x, 200, gj, "application/json")
+
+      case ("GET", "layers" :: name :: "tiles" :: "mask" :: z :: xs :: ys :: Nil) =>
+        val qs = queryParams(x)
+        val grid = tiles.maskGrid(name, z.toInt, xs.toLong, ys.toLong,
+          maskZoom = qs.get("zoom").map(_.toInt).getOrElse(8),
+          threshold = qs.get("threshold").map(_.toLong).getOrElse(1L))
+        val png = tiles.maskPng(grid, qs.get("alpha").map(_.toInt).getOrElse(255))
+        respondBytes(x, 200, png, "image/png")
+
+      case _ => respond(x, 404, errBody(x, s"no route: $method $path"))
+    }
+  }
+
+  // include referenced entities so fromMaps integrity checks pass
+  private def referenced(kind: String): Map[String, Any] = {
+    val m = exec.catalog.toMaps
+    kind match {
+      case "datastores" => Map("workspaces" -> m("workspaces"))
+      case "layers"     => Map("workspaces" -> m("workspaces"), "datastores" -> m("datastores"))
+      case "services"   => m - "services" - "jobs" - "workflows"
+      case "jobs"       => m - "jobs" - "workflows"
+      case "workflows"  => m - "workflows"
+      case _            => Map.empty
+    }
+  }
+
+  private def entityMap(kind: String, name: String): Map[String, Any] =
+    exec.catalog.toMaps(kind).asInstanceOf[List[Map[String, Any]]]
+      .find(_.get("name").contains(name))
+      .getOrElse(throw new NoSuchElementException(s"$kind/$name not found"))
+
+  private def nameOf(e: Any): String = e match {
+    case w: Workspace => w.name; case d: DataStore => d.name
+    case l: Layer => l.name; case p: Process => p.name
+    case s: Service => s.name; case j: Job => j.name
+    case w: Workflow => w.name; case _ => ""
+  }
+
+  // ---------- content negotiation ----------
+
+  private def extOf(path: String): String = {
+    val last = path.split('/').lastOption.getOrElse("")
+    val dot = last.lastIndexOf('.')
+    if (dot >= 0) last.substring(dot + 1) else "json"
+  }
+
+  private def stripExt(path: String): String = {
+    val dot = path.lastIndexOf('.')
+    val slash = path.lastIndexOf('/')
+    if (dot > slash) path.substring(0, dot) else path
+  }
+
+  private def render(ext: String, value: Map[String, Any]): String = ext match {
+    case "yaml" | "yml" => TextFormats.renderYaml(value)
+    case _              => TextFormats.toJson(value)
+  }
+
+  private def respondJsonRows(x: HttpExchange, ext: String, rows: Array[String]): Unit =
+    respond(x, 200, rows.mkString("[", ",", "]"), "application/json")
+
+  private def requireAuth(x: HttpExchange): Unit = {
+    val header = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val token = header.stripPrefix("Bearer ").trim
+    if (jwt.verify(token).isEmpty)
+      throw new IllegalArgumentException("authorization required (root JWT)")
+  }
+
+  private def queryParams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).getOrElse("").split('&')
+      .filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) ->
+        java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8") }
+      .toMap
+
+  private def readBody(x: HttpExchange): String =
+    new String(x.getRequestBody.readAllBytes(), UTF_8)
+
+  private def respond(x: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit =
+    respondBytes(x, code, body.getBytes(UTF_8), contentType)
+
+  private def respondBytes(x: HttpExchange, code: Int, body: Array[Byte],
+                           contentType: String): Unit = {
+    x.getResponseHeaders.set("Content-Type", contentType)
+    x.sendResponseHeaders(code, body.length)
+    val os = x.getResponseBody
+    try os.write(body) finally os.close()
+  }
+}

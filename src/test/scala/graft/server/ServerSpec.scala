@@ -1,0 +1,107 @@
+package graft.server
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.catalog._
+import graft.cli.ClientCli.Client
+import graft.geo.TileMath
+import java.nio.file.{Files, Paths}
+
+class ServerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def startServer(): (Server, Client, String) = {
+    val dir = Files.createTempDirectory("graft-srv").toString
+    Files.writeString(Paths.get(s"$dir/features.jsonl"), Seq(
+      """{"type":"Feature","properties":{"name":"dc1","amenity":"bar"},"geometry":{"type":"Point","coordinates":[-77.01,38.9]}}""",
+      """{"type":"Feature","properties":{"name":"dc2","amenity":"cafe"},"geometry":{"type":"Point","coordinates":[-77.02,38.91]}}""",
+    ).mkString("\n"))
+    val c = new Catalog
+    c.add(Workspace("ws"))
+    c.add(DataStore("ws", "feat", s"$dir/features.jsonl",
+      extent = Seq(-180.0, -85.0, 180.0, 85.0)))
+    c.add(Process("by_amenity", "filter(@, '@properties?.amenity == $kind')"))
+    c.add(Service("svc", "feat", "by_amenity", defaults = Map("kind" -> "bar")))
+    c.add(Layer("all", "feat", "", extent = Seq(-180.0, -85.0, 180.0, 85.0)))
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val srv = new Server(spark, new Exec(spark, c), port, rootPassword = "pw")
+    srv.start()
+    (srv, new Client(s"http://localhost:$port"), dir)
+  }
+
+  test("health, introspection, list, get, content negotiation") {
+    val (srv, client, _) = startServer()
+    try {
+      assert(client.list("services")._2.contains("\"svc\""))
+      val (gc, gb) = client.get("processes", "by_amenity")
+      assert(gc == 200 && gb.contains("by_amenity"))
+      // yaml negotiation
+      val http = java.net.http.HttpClient.newHttpClient()
+      val y = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:${srv.boundPort}/services.yaml")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(y.body().contains("name: svc"))
+      val f = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:${srv.boundPort}/dfl/functions.json")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(f.body().contains("tileX"))
+    } finally srv.stop()
+  }
+
+  test("mutations require JWT; authenticate issues one") {
+    val (srv, client, _) = startServer()
+    try {
+      val (c1, _) = client.add("workspaces", """{"name":"ws2"}""")
+      assert(c1 == 400) // no token
+      val (c2, _) = client.authenticate("root", "wrong")
+      assert(c2 == 401)
+      val (c3, body) = client.authenticate("root", "pw")
+      assert(c3 == 200)
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      val (c4, _) = authed.add("workspaces", """{"name":"ws2"}""")
+      assert(c4 == 200)
+      assert(authed.list("workspaces")._2.contains("ws2"))
+      val (c5, _) = authed.delete("workspaces", "ws2")
+      assert(c5 == 200)
+    } finally srv.stop()
+  }
+
+  test("service exec with request variables over HTTP") {
+    val (srv, client, _) = startServer()
+    try {
+      val (c1, b1) = client.exec("services", "svc")
+      assert(c1 == 200 && b1.contains("dc1") && !b1.contains("dc2"))
+      val (c2, b2) = client.exec("services", "svc", """{"variables":{"kind":"cafe"}}""")
+      assert(c2 == 200 && b2.contains("dc2") && !b2.contains("dc1"))
+    } finally srv.stop()
+  }
+
+  test("vector tile and mask endpoints") {
+    val (srv, client, _) = startServer()
+    try {
+      val z = 8
+      val x = TileMath.lonToTile(-77.0, z)
+      val y = TileMath.latToTile(38.9, z)
+      val (c1, gj) = client.tile("all", z, x, y, "?buffer=0")
+      assert(c1 == 200 && gj.contains("\"numberOfFeatures\":2"))
+      val (c2, gj2) = client.tile("all", z, x, y, "?buffer=0&dfl=" +
+        java.net.URLEncoder.encode("filter(@, '@properties?.amenity == bar')", "UTF-8"))
+      assert(c2 == 200 && gj2.contains("\"numberOfFeatures\":1"))
+      val (c3, png) = client.maskBytes("all", 0, 0, 0)
+      assert(c3 == 200)
+      assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    } finally srv.stop()
+  }
+
+  test("unknown routes and entities 404") {
+    val (srv, client, _) = startServer()
+    try {
+      assert(client.get("services", "nope")._1 == 404)
+      assert(client.list("nonsense")._1 == 404)
+    } finally srv.stop()
+  }
+}
