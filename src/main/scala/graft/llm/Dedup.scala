@@ -20,19 +20,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per document: (id, shingles array). */
-  def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.wsTokens(col(textCol))
-    // n-gram i = tokens[i..i+n-1] joined by space; distinct set per doc
-    val grams = array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(size(toks) >= n,
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        g => g.isNotNull))
-    df.select(col(idCol).as("id"), grams.as("shingles"))
-      .filter(size(col("shingles")) > 0)
-  }
+  /** Distinct hashed word n-gram shingles per document: (id, hs
+    * array<long>) via the native [[graft.functions.ShingleHash]]
+    * expression — per-row, no shuffle, codegen-resident. All downstream
+    * joins and signatures work on the 64-bit hashes, never the strings
+    * (a collision between two distinct corpus shingles, p ≈ d²/2⁶⁵, is
+    * the only approximation — negligible even at 10¹² shingles). */
+  def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.ShingleF.shingleHashes(
+          TextAnalysis.wsTokens(col(textCol)), n).as("hs"))
+      .filter(size(col("hs")) > 0)
 
   /** Exact dedup: hash-bucket by normalized-text fingerprint, keep the
     * smallest id per bucket. One shuffle on the hash — the 100 TB shape. */
@@ -41,17 +39,23 @@ object Dedup {
       .groupBy("fp")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** One (id, h) row per distinct hashed shingle — the long-keyed join /
+    * aggregation input. */
+  private def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("id"), explode(col("hs")).as("h"))
+
   /** Exact near-duplicate pairs by word-n-gram Jaccard, via an inverted
     * shingle join (each shared shingle is a join key; skewed/common
     * shingles are the scale hazard — prefer [[minhashPairs]] beyond
-    * moderate scale). Returns (id_a < id_b, jaccard). */
+    * moderate scale). Joins on hashed shingles, so the shuffle carries
+    * longs, not strings. Returns (id_a < id_b, jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingleDf(df, idCol, textCol, n)
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("g"))
-    val counts = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val exploded = hashedShingles(sh)
+    val counts = sh.select(col("id"), size(col("hs")).as("n_sh"))
     val shared = exploded.as("a").join(exploded.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     shared
@@ -72,19 +76,26 @@ object Dedup {
                          math.abs(rnd.nextLong()) % MersenneP))
   }
 
-  /** MinHash signature columns: sig_i = min over shingles of
-    * (a_i * xxhash64(shingle) + b_i) mod p. Pure column expressions. */
-  def minhashSignature(shingles: Column, numHashes: Int): Seq[Column] =
-    hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(shingles, s =>
-        pmod(xxhash64(s) * a + b, lit(MersenneP)))).as(s"sig_$i")
+  /** MinHash signatures as one codegen'd hash aggregation: explode the
+    * hashed shingles → 64 `min(a_i·h+b_i mod p)` aggregate columns.
+    * Map-side partial aggregation means the shuffle carries one 64-long
+    * row per (partition, id) — the 100 TB shape. (The earlier
+    * higher-order-function version was interpreted per element and
+    * re-hashed every shingle string per hash function.) */
+  def minhashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersenneP))).as(s"sig_$i")
     }
+    hashedShingles(sh).groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Near-duplicate pairs via MinHash + LSH banding:
     * signature (numHashes) → bands of `rowsPerBand` → `groupBy`(band id,
     * band hash) buckets → within-bucket candidate pairs → exact Jaccard
     * verify. With 64 hashes / 32 bands of 2 rows, recall at j≥0.8 is
     * 1-(1-j²)³² ≈ 1-1e-14 — the oracle-compared exact pair set matches.
+    * Shingle arrays are joined back only for the (few) candidate pairs,
+    * never carried through the 32× band explode and shuffle.
     * (reference has no dedup; this is the LLM-pipeline extension mandated
     * by the project brief.) */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -92,50 +103,49 @@ object Dedup {
                    numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sh = shingleDf(df, idCol, textCol, n)
-    val sigs = sh.select(col("id") +: col("shingles") +:
-      minhashSignature(col("shingles"), numHashes): _*)
+    val sigs = minhashSigs(sh, numHashes)
     // band hash = xxhash64 over the band's signature slice + band index
     val bandCols = (0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice :+ lit(b): _*).as("bh"))
     }
     val buckets = sigs
-      .select(col("id"), col("shingles"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.bh"))
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val withSh = cands
+      .join(sh.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
-    cands
+    withSh
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens, as pure higher-order column
-    * expressions: per-token xxhash64 votes ±1 on each bit; the sign vector
-    * becomes the signature. */
-  def simhash64(textCol: Column): Column = {
-    val toks = TextAnalysis.wsTokens(TextAnalysis.normText(textCol))
-    // one pass over the tokens: the accumulator carries 64 bit-vote
-    // counters; shift amounts are Scala literals (Spark's shift functions
-    // do not take column shift amounts), so everything stays codegen'd
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        val bitVotes = array((0 until 64).map(i =>
-          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
-        zip_with(acc, bitVotes, (a, b) => a + b)
-      })
-    (0 until 64).map(i =>
-        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+  /** 64-bit SimHash signatures (id, sig) as one codegen'd hash
+    * aggregation: explode tokens → per-token `xxhash64` → 64 conditional
+    * `sum` vote columns (bit i of the hash votes ±1) → sign vector
+    * reassembled into a long. Map-side partial aggregation keeps the
+    * shuffle at one row per (partition, id). */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v_$i"))
+    val sig = (0 until 64)
+      .map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
@@ -144,7 +154,7 @@ object Dedup {
     * with `bit_count(xor) <= maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = simhashSigs(df, idCol, textCol)
     val chunks = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -166,14 +176,12 @@ object Dedup {
     * the 100 TB path is [[Similarity.lshBuckets]] bucketing first. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      transform(col(vecCol), _.cast(DoubleType)).as("v"))
-    val withNorm = v.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    import graft.functions.VectorF
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", VectorF.norm(col("v")))
     withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", dot / (col("a.norm") * col("b.norm")))
+      .withColumn("cos",
+        VectorF.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               round(col("cos"), 4).as("cos"))

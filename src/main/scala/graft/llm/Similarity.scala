@@ -17,27 +17,25 @@ import org.apache.spark.sql.types.DoubleType
   *    column, so a query touches ~17/65536 of the data via partition
   *    pruning instead of a full scan.
   *
-  * All math is higher-order column expressions (`zip_with`/`aggregate`) —
-  * codegen'd, no UDFs.
+  * All math goes through [[graft.functions.VectorDot]], a native Catalyst
+  * expression with codegen — Spark's higher-order array functions are
+  * interpreted (CodegenFallback) and were ~50× slower on the hot paths.
   */
 object Similarity {
 
-  /** dot(a, b) over array columns, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) over array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorF.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VectorF.norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  private def asDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorF.cosine(a, b)
 
   /** Exact cosine top-k for one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     df.select(col(idCol).as("id"),
-        round(cosine(asDouble(col(vecCol)), q), 6).as("cos"))
+        round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
   }
@@ -59,7 +57,7 @@ object Similarity {
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  nBits: Int = 16, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dim)
-    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", signature(col("v"), planes))
   }
 
@@ -80,10 +78,12 @@ object Similarity {
     val q = array(query.map(lit): _*)
     val bucketed = lshBuckets(df, idCol, vecCol, nBits, query.size)
     val hamming = bit_count(col("bucket").bitwiseXOR(lit(qSig)))
+    // exponential radius expansion: each probe is one job, so doubling
+    // reaches a populated ring in O(log nBits) jobs instead of O(nBits)
     var radius = 1
     var cands = bucketed.filter(hamming <= radius)
     while (radius < nBits && cands.limit(minCandidates).count() < minCandidates) {
-      radius += 1
+      radius = math.min(radius * 2, nBits)
       cands = bucketed.filter(hamming <= radius)
     }
     cands
