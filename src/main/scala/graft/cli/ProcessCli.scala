@@ -17,7 +17,7 @@ import graft.streaming.StreamRunner
   *     [--input-comment '#'] [--input-skip N] [--input-limit N]
   *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]...
   *     [--output-uri F|-] [--output-format f] [--output-limit N]
-  *     [--stream]
+  *     [--error-uri F] [--stream]
   */
 object ProcessCli {
 
@@ -33,6 +33,7 @@ object ProcessCli {
       outputUri: String = "-",
       outputFormat: String = "",
       outputLimit: Option[Int] = None,
+      errorUri: String = "",
       stream: Boolean = false,
   )
 
@@ -57,6 +58,7 @@ object ProcessCli {
         case "--output-uri"    => c = c.copy(outputUri = next())
         case "--output-format" => c = c.copy(outputFormat = next())
         case "--output-limit"  => c = c.copy(outputLimit = Some(next().toInt))
+        case "--error-uri"     => c = c.copy(errorUri = next())
         case "--stream"        => c = c.copy(stream = true)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -99,6 +101,13 @@ object ProcessCli {
       } else {
         DataStoreIO.write(limited, c.outputUri,
           DataStoreIO.WriteOptions(format = c.outputFormat))
+      }
+      // per-record error side channel (reference: cli/process.go:167-189)
+      if (c.errorUri.nonEmpty && !c.stream && c.dfl.trim.nonEmpty) {
+        val in = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
+          format = c.inputFormat, header = c.inputHeader,
+          comment = c.inputComment, skipLines = c.inputSkip, limit = c.inputLimit))
+        DataStoreIO.write(DflFrame.droppedRows(in, c.dfl, c.vars), c.errorUri)
       }
     } finally spark.stop()
   }

@@ -40,6 +40,44 @@ object DflFrame {
   def predicate(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): Column =
     ColumnCompiler.compile(Parser.parse(src), ColumnCompiler.Ctx.forDataFrame(df, vars))
 
+  /** The per-record error side channel (reference: cli/process.go:167-189
+    * routes records whose evaluation fails to a separate writer): input
+    * rows that the pipeline's leading row-level stages would DROP because
+    * their fused expression evaluates to null — under lenient (non-ANSI)
+    * evaluation, per-record type/shape failures surface as nulls. Scoped
+    * to the row-level prefix: dataset stages aggregate rather than drop. */
+  def droppedRows(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): DataFrame = {
+    val stages = Parser.parse(src) match {
+      case Pipe(ss) => ss
+      case single   => List(single)
+    }
+    val rowPrefix = stages.takeWhile {
+      case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) => false
+      case FunCall("array", List(inner: FunCall)) if datasetFns(inner.name)         => false
+      case d: DictLit if referencesDataset(d)                                       => false
+      case _                                                                        => true
+    }
+    if (rowPrefix.isEmpty) df.limit(0)
+    else {
+      var st: Option[RowState] = None
+      def ctx(): ColumnCompiler.Ctx = st match {
+        case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, vars, lets)
+        case None                      => ColumnCompiler.Ctx.forDataFrame(df, vars)
+      }
+      rowPrefix.foreach {
+        case Assign(name, value) =>
+          val c = ctx()
+          val bound = ColumnCompiler.compile(value, c)
+          st = Some(RowState(st.map(_.cur).getOrElse(c.whole()),
+            st.map(_.lets).getOrElse(Map.empty) + (name -> bound)))
+        case stage =>
+          val result = ColumnCompiler.compile(stage, ctx())
+          st = Some(RowState(result, st.map(_.lets).getOrElse(Map.empty)))
+      }
+      df.filter(st.get.cur.isNull)
+    }
+  }
+
   private val datasetFns =
     Set("filter", "map", "limit", "sort", "group", "hist", "set", "array", "len", "bbox")
 

@@ -39,6 +39,15 @@ object DataStoreIO {
     // a DataStore URI may be a REST API returning the dataset)
     if (uri.startsWith("http://") || uri.startsWith("https://"))
       return opts.limit.fold(readHttp(spark, uri))(readHttp(spark, uri).limit)
+    // federated query scan: `sql:SELECT …` runs against the session
+    // catalog (registered views / external tables) — the Spark-native
+    // analogue of the reference's Athena query input (cli/process.go:
+    // 423-517, which submits a query string and iterates result pages;
+    // here Catalyst plans the query and pushdown applies end-to-end)
+    if (uri.startsWith("sql:")) {
+      val df = spark.sql(uri.stripPrefix("sql:").trim)
+      return opts.limit.fold(df)(df.limit)
+    }
     // encrypted input: whole-stream decrypt on the driver before parse
     // (reference: cli/process.go:892; CLI-sized by construction)
     if (opts.passphrase.nonEmpty)
@@ -59,7 +68,7 @@ object DataStoreIO {
         // whole-document JSON (array or single object): multiLine reader
         if (compression == "zip") spark.read.option("multiLine", true).json(zipLines(spark, uri))
         else spark.read.option("multiLine", true).json(uri)
-      case "yaml" | "toml" | "properties" =>
+      case "yaml" | "toml" | "properties" | "hcl" =>
         val text = readWholeText(spark, uri, compression)
         val records: Seq[Any] = format match {
           case "yaml" => TextFormats.parseYaml(text) match {
@@ -68,13 +77,21 @@ object DataStoreIO {
           }
           case "toml"       => List(TextFormats.parseToml(text))
           case "properties" => List(parsePropsAsRecord(text))
+          case "hcl"        => List(Hcl.parse(text))
         }
         import spark.implicits._
         spark.read.json(records.map(TextFormats.toJson).toDS())
+      case "bson" =>
+        // concatenated BSON documents, driver-parsed (config/CLI-sized
+        // like the other whole-document formats)
+        import spark.implicits._
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(uri.stripPrefix("file:")))
+        spark.read.json(Bson.parseAll(bytes).map(TextFormats.toJson).toDS())
       case "" => throw new IllegalArgumentException(
         s"cannot infer format from uri: $uri")
       case other => throw new UnsupportedOperationException(
-        s"format not supported: $other (supported: parquet csv tsv json jsonl yaml toml properties)")
+        s"format not supported: $other (supported: parquet csv tsv json jsonl yaml toml properties hcl bson)")
     }
     opts.limit.fold(df)(df.limit)
   }
@@ -232,7 +249,7 @@ object DataStoreIO {
         // only — engine paths use jsonl/parquet)
         val rows = df.toJSON.collect()
         writeDriverFile(uri, rows.mkString("[", ",", "]"), compression)
-      case "yaml" | "toml" | "properties" =>
+      case "yaml" | "toml" | "properties" | "hcl" =>
         val recs = df.toJSON.collect().map(parseJsonToMap)
         val text = format match {
           case "yaml"       => TextFormats.renderYaml(recs.toList)
@@ -243,8 +260,16 @@ object DataStoreIO {
           case "properties" => recs.zipWithIndex.map { case (r, i) =>
             TextFormats.renderProperties(r.map { case (k, v) => s"record_$i.$k" -> v })
           }.mkString("\n")
+          case "hcl" => recs.zipWithIndex.map { case (r, i) =>
+            Hcl.render(Map(s"record_$i" -> r))
+          }.mkString("\n")
         }
         writeDriverFile(uri, text, compression)
+      case "bson" =>
+        val recs = df.toJSON.collect().map(parseJsonToMap)
+        val path = java.nio.file.Paths.get(uri.stripPrefix("file:"))
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path, Bson.renderAll(recs.toIndexedSeq))
       case other => throw new UnsupportedOperationException(s"write format: $other")
     }
   }

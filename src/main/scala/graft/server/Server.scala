@@ -37,7 +37,8 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
   private var http: HttpServer = _
 
   val formats: Seq[String] =
-    Seq("csv", "tsv", "json", "jsonl", "yaml", "toml", "properties", "parquet")
+    Seq("csv", "tsv", "json", "jsonl", "yaml", "toml", "properties", "hcl",
+      "bson", "parquet")
 
   def start(): Unit = {
     http = HttpServer.create(new InetSocketAddress(port), 0)

@@ -155,4 +155,17 @@ class CompilerSpec extends AnyFunSuite {
     assert(one("@s1 + {c}") == Set("a", "b", "c"))
     assert(DflFrame.pipeline(df, "filter(@, 'intersects(@s1, @s2)')").count() == 1)
   }
+
+  test("droppedRows is the complement of the null-drop: good + dropped = input") {
+    val df = Seq(("a", 10L), ("b", -1L), ("c", 5L)).toDF("name", "v")
+    // ternary with null else-branch drops non-matching records
+    val src = "@v > 0 ? {name: @name, v: @v} : null"
+    val good = DflFrame.pipeline(df, src)
+    val dropped = DflFrame.droppedRows(df, src)
+    assert(good.count() == 2)
+    assert(dropped.count() == 1)
+    assert(dropped.select("name").head().getString(0) == "b")
+    // pipelines with a leading dataset stage have no row-level prefix
+    assert(DflFrame.droppedRows(df, "filter(@, '@v > 0')").count() == 0)
+  }
 }

@@ -119,6 +119,74 @@ class IoSpec extends AnyFunSuite {
     assert(parsed == src)
   }
 
+  test("bson write + read round-trips records") {
+    val dir = tmpDir()
+    val recs = List(
+      Map[String, Any]("name" -> "alpha", "qty" -> 3L, "score" -> 1.5, "ok" -> true),
+      Map[String, Any]("name" -> "beta", "qty" -> 7L, "score" -> 2.25, "ok" -> false),
+    )
+    val bytes = Bson.renderAll(recs)
+    assert(Bson.parseAll(bytes) == recs)
+    // nested doc + array + null survive
+    val nested = Map[String, Any]("a" -> Map[String, Any]("b" -> 1L),
+      "xs" -> List(1L, "two", 3.0), "z" -> null)
+    assert(Bson.parseAll(Bson.renderDoc(nested)) == List(nested))
+    // through DataStoreIO: df -> .bson file -> df
+    Files.write(Paths.get(s"$dir/r.bson"), bytes)
+    val df = DataStoreIO.read(spark, s"$dir/r.bson")
+    assert(df.count() == 2)
+    assert(df.filter(col("name") === "alpha").select("qty").head().getLong(0) == 3L)
+    DataStoreIO.write(df, s"$dir/w.bson")
+    assert(DataStoreIO.read(spark, s"$dir/w.bson").count() == 2)
+  }
+
+  test("hcl parses assignments, blocks, labeled blocks, and lists") {
+    val src =
+      """# comment
+        |region = "us-west-2"   // trailing comment
+        |count = 3
+        |ratio = 1.5
+        |tags = ["a", "b"]
+        |server "web" {
+        |  port = 8080
+        |  tls = true
+        |}
+        |server "db" {
+        |  port = 5432
+        |}
+        |limits {
+        |  cpu = 2
+        |}
+        |""".stripMargin
+    val m = Hcl.parse(src)
+    assert(m("region") == "us-west-2")
+    assert(m("count") == 3L)
+    assert(m("ratio") == 1.5)
+    assert(m("tags") == List("a", "b"))
+    val servers = m("server").asInstanceOf[Map[String, Any]]
+    assert(servers("web").asInstanceOf[Map[String, Any]]("port") == 8080L)
+    assert(servers("db").asInstanceOf[Map[String, Any]]("port") == 5432L)
+    assert(m("limits").asInstanceOf[Map[String, Any]]("cpu") == 2L)
+    // render -> parse round-trip
+    assert(Hcl.parse(Hcl.render(m)) == m)
+    // through DataStoreIO
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/conf.hcl"), src)
+    val df = DataStoreIO.read(spark, s"$dir/conf.hcl")
+    assert(df.select("region").head().getString(0) == "us-west-2")
+  }
+
+  test("sql: uri runs a federated query against the session catalog") {
+    val dir = tmpDir()
+    Seq(("a", 1), ("b", 2), ("b", 3)).toDF("k", "v")
+      .write.parquet(s"$dir/t.parquet")
+    spark.read.parquet(s"$dir/t.parquet").createOrReplaceTempView("fed_t")
+    val df = DataStoreIO.read(spark,
+      "sql:SELECT k, sum(v) AS s FROM fed_t GROUP BY k")
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 5L))
+  }
+
   test("dynamic-partition sink fans out by computed path and re-reads equal") {
     val dir = tmpDir()
     val df = Seq(
