@@ -68,6 +68,18 @@ object ProcessCli {
     c
   }
 
+  /** `-` input: spool stdin to a temp file so the regular reader (and its
+    * format/compression options) applies (reference: cli/process.go:617 —
+    * `stdin` is one of the input schemes). `--input-format` is required
+    * since there is no extension to infer from. */
+  private def spoolStdin(c: Config): Config = {
+    require(c.inputFormat.nonEmpty, "--input-format is required with stdin input")
+    val tmp = java.nio.file.Files.createTempFile("graft-stdin", "." + c.inputFormat)
+    java.nio.file.Files.copy(System.in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    c.copy(inputUri = tmp.toString)
+  }
+
   def run(spark: SparkSession, c: Config): DataFrame = {
     if (c.stream) {
       val fmt = if (c.inputFormat.nonEmpty) c.inputFormat
@@ -82,7 +94,8 @@ object ProcessCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val c = parseArgs(args)
+    val c0 = parseArgs(args)
+    val c = if (c0.inputUri == "-" || c0.inputUri == "stdin") spoolStdin(c0) else c0
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-process")

@@ -267,9 +267,30 @@ object ColumnCompiler {
 object Functions {
   import ColumnCompiler.{compile, Ctx}
 
+  /** UDF/extension registry (reference: cli/process.go:918 — the DFL
+    * function map is extensible). Extensions lower straight to Catalyst
+    * `Column`s, so a registered native expression (e.g. graft's
+    * [[graft.functions.VectorDot]]) stays codegen'd inside the DFL plan.
+    * Registration is global and idempotent; extensions shadow nothing —
+    * built-in names win. */
+  private val extensions =
+    scala.collection.concurrent.TrieMap.empty[String, (String, List[Column] => Column)]
+
+  def registerExtension(name: String, signature: String)
+                       (impl: List[Column] => Column): Unit =
+    extensions.put(name, (signature, impl))
+
+  // vector math over embedding columns, backed by the native expression
+  registerExtension("vecDot", "(a, b)") { as => graft.functions.VectorF.dot(as(0), as(1)) }
+  registerExtension("vecNorm", "(a)") { as => graft.functions.VectorF.norm(as(0)) }
+  registerExtension("vecCosine", "(a, b)") { as => graft.functions.VectorF.cosine(as(0), as(1)) }
+
   /** name → (arity description) for the introspection endpoint
     * (reference: /dfl/functions route, router/RailgunRouter.go:60-65). */
-  val registry: Map[String, String] = Map(
+  def registry: Map[String, String] =
+    extensions.map { case (n, (sig, _)) => n -> sig }.toMap ++ builtinRegistry
+
+  private val builtinRegistry: Map[String, String] = Map(
     "filter" -> "(dataset, predicate)", "map" -> "(dataset, expr)",
     "limit" -> "(dataset, n)", "sort" -> "(dataset[, key, desc])",
     "group" -> "(dataset, keyExpr)", "hist" -> "(dataset, key[, key2])",
@@ -348,8 +369,10 @@ object Functions {
           array_min(transform(arr, c => c.getItem(1))),
           array_max(transform(arr, c => c.getItem(0))),
           array_max(transform(arr, c => c.getItem(1))))
-      case other =>
-        throw new DflParseException(s"unknown function $other")
+      case other => extensions.get(other) match {
+        case Some((_, impl)) => impl(args.indices.map(a).toList)
+        case None            => throw new DflParseException(s"unknown function $other")
+      }
     }
   }
 

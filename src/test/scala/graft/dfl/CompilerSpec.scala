@@ -156,6 +156,17 @@ class CompilerSpec extends AnyFunSuite {
     assert(DflFrame.pipeline(df, "filter(@, 'intersects(@s1, @s2)')").count() == 1)
   }
 
+  test("extension registry: custom function lowers into a DFL pipeline") {
+    Functions.registerExtension("plusOne", "(x)") { as => as.head + 1 }
+    val df = Seq(41L).toDF("v")
+    assert(DflFrame.pipeline(df, "map(@, 'plusOne(@v)')").head().getLong(0) == 42L)
+    assert(Functions.registry.contains("plusOne"))
+    // default native-vector extensions are registered and codegen-backed
+    val emb = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val cos = DflFrame.pipeline(emb, "map(@, 'vecCosine(@a, @b)')").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
   test("droppedRows is the complement of the null-drop: good + dropped = input") {
     val df = Seq(("a", 10L), ("b", -1L), ("c", 5L)).toDF("name", "v")
     // ternary with null else-branch drops non-matching records
