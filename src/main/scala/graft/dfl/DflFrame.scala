@@ -116,6 +116,28 @@ object DflFrame {
         df = datasetOp(df, inner.name, inner.args, vars)
         val _ = fc // array(set(@)) — set already yields rows; array is a no-op
 
+      case Binary("-", fc @ FunCall(name, fargs), rhs)
+          if datasetFns(name) && isDatasetArg(fargs.headOption) =>
+        // dataset minus a value set, e.g. `hist(@, '@word') - $stopwords`
+        // (reference: examples/hostosm.sh:46): drop rows whose key column
+        // is in the set. The set is a driver-side literal, so this lowers
+        // to a broadcast-friendly NOT IN — never a shuffle.
+        flush()
+        df = datasetOp(df, name, fargs, vars)
+        val dropVals: Seq[Any] = rhs match {
+          case Var(n) => vars.getOrElse(n,
+            throw new DflParseException(s"unbound $$$n")) match {
+            case xs: Seq[_] => xs
+            case other      => Seq(other)
+          }
+          case SetLit(xs)   => xs.collect { case Lit(v) => v }
+          case ArrayLit(xs) => xs.collect { case Lit(v) => v }
+          case other => throw new DflParseException(
+            s"dataset '-' needs a set/var on the right, got ${Node.render(other)}")
+        }
+        df = df.filter(!col(df.columns.head).isin(dropVals: _*))
+        val _ = fc
+
       case d: DictLit if referencesDataset(d) =>
         // FeatureCollection-style assembly: one aggregate over the dataset
         // (reference: named/named.go:20). Driver-safe only at CLI result

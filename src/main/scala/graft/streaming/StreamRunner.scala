@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import graft.dfl.DflFrame
 
@@ -69,9 +70,61 @@ object StreamRunner {
               dflSrc: String, vars: Map[String, Any] = Map.empty): DataFrame = {
     validateStreamable(format, dflSrc)
     val out = transform(readStream(spark, dir, format), dflSrc, vars)
+    collectStream(out, "append")
+  }
+
+  /** Event-time windowed histogram — the streaming shape of the batch
+    * `hist` dataset stage: a DFL key expression counted per tumbling
+    * window, with a watermark bounding state (late rows beyond the
+    * watermark are dropped and window state is freed — at 100 TB/day the
+    * state store only ever holds the open windows). */
+  def windowedHist(stream: DataFrame, timeCol: String, dflKey: String,
+                   window: String, watermark: String): DataFrame = {
+    val marked = stream.withWatermark(timeCol, watermark)
+    val key = DflFrame.predicate(marked, dflKey)
+    marked
+      .groupBy(org.apache.spark.sql.functions.window(col(timeCol), window), key.as("key"))
+      .count()
+      .select(col("window.start").as("window_start"), col("key"), col("count"))
+  }
+
+  /** Streaming exact dedup: keep the first record per normalized-text
+    * fingerprint within the watermark horizon. `dropDuplicatesWithin
+    * Watermark` frees fingerprint state once the watermark passes — the
+    * unbounded-stream-safe version of [[graft.llm.Dedup.exact]]. */
+  def streamingDedup(stream: DataFrame, textCol: String, timeCol: String,
+                     watermark: String): DataFrame =
+    stream
+      .withColumn("fp", graft.llm.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Custom streaming state via `mapGroupsWithState`: running count per
+    * key across micro-batches (the KeyValueGroupedDataset escape hatch
+    * for semantics windowed aggs can't express). Emits the updated total
+    * for every key touched in the batch. */
+  def runningCounts(stream: DataFrame, keyCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    stream.select(col(keyCol).cast("string").as("key"))
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+      .toDF("key", "total")
+  }
+
+  /** Drain a streaming DataFrame into a memory table and return it. */
+  def collectStream(out: DataFrame, mode: String): DataFrame = {
+    val spark = out.sparkSession
     val name = s"graft_stream_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }

@@ -156,6 +156,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(DflFrame.pipeline(df, "filter(@, 'intersects(@s1, @s2)')").count() == 1)
   }
 
+  test("hist minus a stop-word set drops those keys (dataset set algebra)") {
+    val df = Seq("the", "cafe", "the", "bar", "of").toDF("w")
+    val out = DflFrame.pipeline(df, "hist(@, '@w') - $stop",
+      Map("stop" -> Seq("the", "of")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("cafe" -> 1L, "bar" -> 1L))
+    // inline set literal form
+    val out2 = DflFrame.pipeline(df, "hist(@, '@w') - {the, of, bar}")
+      .collect().map(r => r.getString(0)).toSet
+    assert(out2 == Set("cafe"))
+  }
+
   test("extension registry: custom function lowers into a DFL pipeline") {
     Functions.registerExtension("plusOne", "(x)") { as => as.head + 1 }
     val df = Seq(41L).toDF("v")

@@ -47,6 +47,53 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("windowed hist with watermark counts per event-time window") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ev.jsonl"),
+      """{"ts":"2026-01-01 00:00:05","kind":"a"}
+        |{"ts":"2026-01-01 00:00:20","kind":"a"}
+        |{"ts":"2026-01-01 00:00:25","kind":"b"}
+        |{"ts":"2026-01-01 00:01:10","kind":"a"}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.windowedHist(stream, "ts", "@kind", "1 minute", "10 seconds"),
+      "append")
+    // append mode only emits closed windows; process-all closes everything
+    val rows = out.collect().map(r =>
+      (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows(("2026-01-01 00:00:00.0", "a")) == 2L)
+    assert(rows(("2026-01-01 00:00:00.0", "b")) == 1L)
+  }
+
+  test("streaming dedup keeps first record per fingerprint") {
+    val dir = Files.createTempDirectory("graft-sd").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"ts":"2026-01-01 00:00:01","text":"hello world","id":1}
+        |{"ts":"2026-01-01 00:00:02","text":"Hello   WORLD","id":2}
+        |{"ts":"2026-01-01 00:00:03","text":"different","id":3}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingDedup(stream, "text", "ts", "1 minute"), "append")
+    // normalization makes the first two records the same fingerprint
+    assert(out.count() == 2)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("mapGroupsWithState running counts accumulate across batches") {
+    val dir = Files.createTempDirectory("graft-rc").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      """{"k":"x"}
+        |{"k":"x"}
+        |{"k":"y"}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+    val out = StreamRunner.collectStream(
+      StreamRunner.runningCounts(stream, "k"), "update")
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("ProcessCli batch run: csv in, dfl, collect out") {
     val dir = Files.createTempDirectory("graft-cli").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
