@@ -76,6 +76,18 @@ object SparkEntry {
       "hist(@, '@event_type')")),
     "hist_nested" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
       "hist(@, '@lang', \"split(@text, ' ')\")")),
+    "hist_minus_set" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
+      "hist(@, '@event_type') - {error, purchase}")),
+    "group_collect_ids" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "orders"), "group(@, '@o_orderstatus')")
+        .select(col("key"), concat_ws(",",
+          sort_array(transform(col("items"), i => i.getField("o_orderkey")))).as("ids"))),
+    "time_window_hist" -> ((s, dir) => t(s, dir, "events")
+      // batch twin of StreamRunner.windowedHist: 1-minute event-time
+      // windows over the ns-long ts column
+      .groupBy(floor(col("ts") / lit(60000000000L)).cast("long").as("w"),
+        col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"))),
     "bbox_extent" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
       s"map(@, '[$lonExpr, $latExpr]') | bbox(@)")),
     "centroid_mean" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
@@ -88,6 +100,11 @@ object SparkEntry {
     "tile_hist" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
       s"map(@, '{tx: tileX($lonExpr, 4), ty: tileY($latExpr, 4)}')")
       .groupBy("tx", "ty").agg(count(lit(1)).as("n"))),
+    "tile_bounds" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
+      s"map(@, '{event_id: @event_id, lon_w: round(tileToLongitude(tileX($lonExpr, 8), 8), 6), fy: flipY(tileY($latExpr, 8), 8)}')")),
+    "vec_norms" -> ((s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(graft.functions.VectorF.norm(col("embedding")), 4).as("nrm"))),
 
     // ---- extensions beyond the reference surface: distributed aggregation
     //      (Spark gives partial+final agg for free; SURVEY.md §2.5 note) ----
@@ -224,6 +241,26 @@ object SparkEntry {
         |       CAST(floor((1.0 - ln(tan(radians((value % 170.0) - 85.0)) + 1.0 / cos(radians((value % 170.0) - 85.0))) / pi()) / 2.0 * 16.0) AS BIGINT) AS ty,
         |       count(*) AS n
         |  FROM events GROUP BY 1, 2""".stripMargin,
+    "hist_minus_set" ->
+      """SELECT event_type AS key, count(*) AS count FROM events
+        | WHERE event_type NOT IN ('error', 'purchase') GROUP BY 1""".stripMargin,
+    "group_collect_ids" ->
+      """SELECT o_orderstatus AS key,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS ids
+        |  FROM orders GROUP BY 1""".stripMargin,
+    "time_window_hist" ->
+      """SELECT CAST(floor(epoch_ns(ts) / 60000000000.0) AS BIGINT) AS w,
+        |       event_type AS key, count(*) AS n
+        |  FROM events GROUP BY 1, 2""".stripMargin,
+    "tile_bounds" ->
+      """SELECT event_id,
+        |       round(CAST(floor((((value % 360.0) - 180.0) + 180.0) / 360.0 * 256.0) AS BIGINT) / 256.0 * 360.0 - 180.0, 6) AS lon_w,
+        |       255 - CAST(floor((1.0 - ln(tan(radians((value % 170.0) - 85.0)) + 1.0 / cos(radians((value % 170.0) - 85.0))) / pi()) / 2.0 * 256.0) AS BIGINT) AS fy
+        |  FROM events""".stripMargin,
+    "vec_norms" ->
+      """SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                           CAST(embedding AS DOUBLE[]))), 4) AS nrm
+        |  FROM embeddings""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
