@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-session extension installing graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT vector_dot(a, b) …")` and DFL both run
+  * the same codegen'd expressions.
+  *
+  * Two ways in:
+  *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *  - code:   `GraftExtensions.install(spark)` on a live session
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private[functions] val registrations
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot",
+      info("vector_dot", "vector_dot(a, b) - dot product of two numeric arrays"),
+      { args =>
+        require(args.size == 2, "vector_dot takes 2 arguments")
+        VectorDot(args(0), args(1))
+      }),
+    ("shingle_hash",
+      info("shingle_hash",
+        "shingle_hash(tokens, n) - distinct xxhash64 values of word n-grams"),
+      { args =>
+        require(args.size == 2, "shingle_hash takes 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash: n must be an integer literal, got $other")
+        }
+        ShingleHash(args(0), n)
+      }),
+  )
+
+  /** Register on an already-running session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    registrations.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

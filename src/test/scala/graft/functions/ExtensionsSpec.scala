@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native expressions register as SQL functions") {
+    GraftExtensions.install(spark)
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val dot = spark.sql("SELECT vector_dot(a, b) AS d FROM vecs").head().getDouble(0)
+    assert(dot == 32.0)
+
+    Seq("the quick brown fox the quick brown")
+      .toDF("text").createOrReplaceTempView("docs_ext")
+    val hs = spark.sql(
+      "SELECT shingle_hash(split(text, ' '), 3) AS hs FROM docs_ext")
+      .head().getSeq[Long](0)
+    // 5 trigram positions, 4 distinct ("the quick brown" repeats)
+    assert(hs.size == 4)
+    assert(hs.distinct.size == hs.size)
+  }
+
+  test("sql plan with vector_dot stays in whole-stage codegen") {
+    GraftExtensions.install(spark)
+    // non-foldable source so the projection actually runs (a literal table
+    // constant-folds through the interpreted eval path instead)
+    spark.range(8).selectExpr(
+      "array(cast(id AS double), 1.0d) AS a",
+      "array(2.0d, cast(id AS double)) AS b")
+      .createOrReplaceTempView("vecs2")
+    val q = spark.sql("SELECT vector_dot(a, b) AS d FROM vecs2")
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    assert(q.queryExecution.executedPlan.toString.startsWith("*(1) Project [vector_dot"))
+    // dot([id, 1], [2, id]) = 3·id → Σ over 0..7 = 84
+    assert(q.collect().map(_.getDouble(0)).sum == 84.0)
+  }
+}
