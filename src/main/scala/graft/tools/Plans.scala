@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: print `explain("formatted")` for registered
+  * queries and flag anti-patterns (cartesian products outside the
+  * documented all-pairs baseline, missing broadcast on dim joins).
+  *
+  * Usage: runMain graft.tools.Plans <sfDir> [query ...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q2_join_agg", "dedup_minhash_pairs", "dedup_survivors",
+        "dedup_simhash_pairs", "ann_topk", "filter_eq", "tile_hist")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-plans")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      df.count() // materialize so AQE settles on the final plan
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n======== $n ========")
+      println(formatted)
+      val cartesian = formatted.contains("CartesianProduct") ||
+        formatted.contains("BroadcastNestedLoopJoin")
+      val broadcast = formatted.contains("BroadcastHashJoin")
+      val codegen = "codegen id : (\\d+)".r
+        .findAllMatchIn(formatted).map(_.group(1)).toSet.size
+      println(s"[audit] $n: cartesian=$cartesian broadcastHash=$broadcast " +
+        s"codegenStages=$codegen")
+    }
+    spark.stop()
+  }
+}
