@@ -82,6 +82,22 @@ class LlmSpec extends AnyFunSuite {
     assert(row.checksum == again.checksum)
   }
 
+  test("lsh bucket as partition column: probe reads are partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annshard").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // ingest-time bucketing: signature becomes the partition column
+    Similarity.lshBuckets(emb, "vec_id", "embedding", nBits = 8, dim = 64)
+      .write.partitionBy("bucket").parquet(s"$dir/by_bucket")
+    val back = spark.read.parquet(s"$dir/by_bucket")
+    val someBucket = back.select("bucket").head().getInt(0)
+    val probe = back.filter($"bucket" === someBucket)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(probe.count() > 0)
+    // the bucket predicate must prune partitions at the scan
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("bucket#") || plan.contains("bucket =")), plan.take(2000))
+  }
+
   test("frame sampling explodes one blob into N frame rows") {
     val media = Multimodal.asMediaTable(docs.limit(3), "doc_id", "text", "video")
     val frames = Multimodal.sampleFrames(media, stride = 2)
