@@ -158,6 +158,12 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       llm.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      llm.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
         .select(col("id"), col("kind"), col("meta.n_bytes").as("n_bytes"))),

@@ -68,16 +68,16 @@ object DataStoreIO {
         // whole-document JSON (array or single object): multiLine reader
         if (compression == "zip") spark.read.option("multiLine", true).json(zipLines(spark, uri))
         else spark.read.option("multiLine", true).json(uri)
-      case "yaml" | "toml" | "properties" | "hcl" =>
+      case "yaml" | "toml" | "properties" | "hcl" | "hcl2" =>
         val text = readWholeText(spark, uri, compression)
         val records: Seq[Any] = format match {
           case "yaml" => TextFormats.parseYaml(text) match {
             case l: List[_] => l
             case other      => List(other)
           }
-          case "toml"       => List(TextFormats.parseToml(text))
-          case "properties" => List(parsePropsAsRecord(text))
-          case "hcl"        => List(Hcl.parse(text))
+          case "toml"           => List(TextFormats.parseToml(text))
+          case "properties"     => List(parsePropsAsRecord(text))
+          case "hcl" | "hcl2"   => List(Hcl.parse(text))
         }
         import spark.implicits._
         spark.read.json(records.map(TextFormats.toJson).toDS())

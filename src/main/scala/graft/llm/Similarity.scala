@@ -61,6 +61,88 @@ object Similarity {
       .withColumn("bucket", signature(col("v"), planes))
   }
 
+  // ---------- IVF (inverted-file index) ----------
+
+  /** Deterministic driver-side k-means (fixed seed, kmeans++-less simple
+    * init by striding the sample) for the IVF coarse quantizer. The
+    * sample is CLI-sized; at 100 TB you train once at ingest and persist
+    * the centroids with the dataset. */
+  private[llm] def kmeans(sample: Array[Array[Double]], k: Int,
+                          iters: Int = 8): Array[Array[Double]] = {
+    require(sample.nonEmpty, "ivf: empty training sample")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(math.min(k, sample.length))(i =>
+      sample(i * sample.length / math.min(k, sample.length)).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private[llm] def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign each vector its IVF list (= nearest coarse centroid), as pure
+    * column math: argmin over ‖v−c‖² = argmin(−2·v·c + ‖c‖²) via an
+    * array-of-structs min (struct comparison is lexicographic). At scale
+    * the list id is the partition column, exactly like the LSH bucket. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol)
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      struct((dot(v, cLit) * -2.0 + c.map(x => x * x).sum).as("d"), lit(i).as("i"))
+    }
+    df.select(col(idCol).as("id"), v.as("v"),
+      array_min(array(dists.toIndexedSeq: _*)).getField("i").as("list"))
+  }
+
+  /** IVF ANN top-k: train the coarse quantizer on a driver-side sample,
+    * probe the `nprobe` lists nearest the query, rerank exactly by
+    * cosine. Probing is a partition-pruned read when `list` is the
+    * partition column at ingest. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, kLists: Int = 16,
+              nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
+    val sample = df.select(col(vecCol)).limit(trainSample).collect()
+      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    val centroids = kmeans(sample, kLists)
+    val q = query.toArray
+    val probeLists = centroids.indices
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < q.length) { val x = q(i) - centroids(c)(i); d += x * x; i += 1 }
+        d
+      }
+      .take(nprobe)
+    val qLit = array(query.map(lit): _*)
+    ivfAssign(df, idCol, vecCol, centroids)
+      .filter(col("list").isin(probeLists: _*))
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** ANN top-k via adaptive multi-probe LSH: start at the query's bucket
     * and expand the probe Hamming radius until at least `minCandidates`
     * vectors are in scope, then rerank by exact cosine. Each radius ring

@@ -62,6 +62,24 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh.contains(0L)) // the query vector itself is its own 1-NN
   }
 
+  test("ivf ANN top-k has high recall vs brute force and probes few lists") {
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      kLists = 16, nprobe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall (ivf=$ivf brute=$brute)")
+    assert(ivf.contains(0L)) // the query vector itself is its own 1-NN
+    // assignment covers every vector exactly once across the lists
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+      Similarity.kmeans(Array(q.toArray, q.map(-_).toArray), 2))
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("list").distinct().count() <= 2)
+  }
+
   test("language id and quality score are deterministic and bounded") {
     val out = docs.select(
       TextAnalysis.langId($"text").as("lang"),
