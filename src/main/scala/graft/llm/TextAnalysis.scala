@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.DoubleType
 object TextAnalysis {
 
   /** Canonical normalization shared by dedup + fingerprinting:
-    * lowercase, collapse whitespace runs, trim. */
+    * lowercase, collapse whitespace runs, trim. The collapse is a native
+    * byte-level expression with identical semantics to
+    * `regexp_replace(c, "\\s+", " ")` but without the regex engine in the
+    * corpus-wide hot path. */
   def normText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(graft.functions.CollapseWsF.collapseWs(c)))
 
   /** Stable 128-bit document fingerprint over normalized text. */
   def fingerprint(c: Column): Column = md5(normText(c))

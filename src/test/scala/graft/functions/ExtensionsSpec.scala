@@ -24,6 +24,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hs.distinct.size == hs.size)
   }
 
+  test("collapse_ws matches regexp_replace(\\s+) exactly, incl. unicode") {
+    import org.apache.spark.sql.functions._
+    val inputs = Seq(
+      "a  b\t\tc", " lead", "trail  ", "\r\n\f mix \t", "", "   ",
+      "nowhitespace", "unié  cшde 世  界", "a\nb\r\nc",
+    )
+    val df = inputs.toDF("s")
+    val out = df.select(
+      graft.functions.CollapseWsF.collapseWs(col("s")).as("fast"),
+      regexp_replace(col("s"), "\\s+", " ").as("regex")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"mismatch on ${r.getString(1)}"))
+  }
+
   test("sql plan with vector_dot stays in whole-stage codegen") {
     GraftExtensions.install(spark)
     // non-foldable source so the projection actually runs (a literal table
