@@ -50,7 +50,7 @@ object TextAnalysis {
   )
 
   private def markerHits(c: Column, markers: Seq[String]): Column =
-    size(filter(wsTokens(lower(c)), t => t.isin(markers.map(lit(_)): _*)))
+    graft.functions.CountInSetF.countInSet(wsTokens(lower(c)), markers)
 
   /** Heuristic language ID: the language with the most marker-token hits;
     * `und` when no marker appears. */
@@ -74,7 +74,7 @@ object TextAnalysis {
   }
 
   private def markerCount(toks: Column): Column =
-    size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    graft.functions.CountInSetF.countInSet(toks, stopwords)
 
   /** Composite quality score in [0,1]: length saturation + stopword signal
     * + alpha ratio. Deterministic; rounded by callers for oracle parity. */
