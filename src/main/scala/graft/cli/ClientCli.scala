@@ -28,9 +28,13 @@ object ClientCli {
       (resp.statusCode(), resp.body())
     }
 
+    private def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
     def authenticate(user: String, password: String): (Int, String) =
       send(req("/authenticate.json").POST(HttpRequest.BodyPublishers.ofString(
-        s"""{"username":"$user","password":"$password"}""")).build())
+        s"""{"username":${jsonStr(user)},"password":${jsonStr(password)}}""")).build())
 
     def list(kind: String): (Int, String) = send(req(s"/$kind.json").GET().build())
     def get(kind: String, name: String): (Int, String) =

@@ -51,12 +51,7 @@ object DflFrame {
       case Pipe(ss) => ss
       case single   => List(single)
     }
-    val rowPrefix = stages.takeWhile {
-      case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) => false
-      case FunCall("array", List(inner: FunCall)) if datasetFns(inner.name)         => false
-      case d: DictLit if referencesDataset(d)                                       => false
-      case _                                                                        => true
-    }
+    val rowPrefix = stages.takeWhile(n => !isDatasetStage(n))
     if (rowPrefix.isEmpty) df.limit(0)
     else {
       var st: Option[RowState] = None
@@ -162,6 +157,18 @@ object DflFrame {
   private def isDatasetArg(n: Option[Node]): Boolean = n match {
     case Some(Attr("")) => true
     case _              => false
+  }
+
+  /** One classification shared by [[run]]'s dispatch and
+    * [[droppedRows]]' row-prefix scan — a stage that consumes the
+    * DATASET rather than a single row. */
+  private def isDatasetStage(n: Node): Boolean = n match {
+    case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) => true
+    case FunCall("array", List(inner: FunCall)) if datasetFns(inner.name)         => true
+    case Binary("-", FunCall(name, fargs), _)
+        if datasetFns(name) && isDatasetArg(fargs.headOption)                     => true
+    case d: DictLit if referencesDataset(d)                                       => true
+    case _                                                                        => false
   }
 
   private def referencesDataset(d: DictLit): Boolean =

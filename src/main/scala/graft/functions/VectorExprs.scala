@@ -48,11 +48,17 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     case other       => throw new IllegalStateException(s"vector_dot: $other")
   }
 
+  // dimension mismatch → null (matches the replaced zip_with/aggregate
+  // semantics, where the padded nulls poisoned the sum) rather than a
+  // silently-truncated, plausible-looking dot product
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lt = elemType(left); val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += read(x, i, lt) * read(y, i, rt); i += 1 }
@@ -75,12 +81,16 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val la = accessor(elemType(left))
       val ra = accessor(elemType(right))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.$la($i)) * ((double) $b.$ra($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.$la($i)) * ((double) $b.$ra($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -100,8 +100,15 @@ object Bson {
         out.write(0x03); cstr(name)
         out.write(renderDoc(m.asInstanceOf[Map[String, Any]]))
       case xs: Seq[_] =>
+        // array = doc with "0","1",… keys IN ORDER (a Map would scramble
+        // iteration order past 4 elements)
         out.write(0x04); cstr(name)
-        out.write(renderDoc(xs.zipWithIndex.map { case (x, i) => i.toString -> x }.toMap))
+        val body = new ByteArrayOutputStream()
+        xs.zipWithIndex.foreach { case (x, i) => writeElement(body, i.toString, x) }
+        val total = body.size() + 5
+        val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(total); buf.put(body.toByteArray); buf.put(0.toByte)
+        out.write(buf.array())
       case b: Boolean => out.write(0x08); cstr(name); out.write(if (b) 1 else 0)
       case null       => out.write(0x0A); cstr(name)
       case i: Int     => out.write(0x10); cstr(name); out.write(le32(i))

@@ -37,7 +37,7 @@ object Crypto {
   }
 
   def decrypt(data: Array[Byte], passphrase: String, salt: String): Array[Byte] = {
-    require(data.length > IvLen, "ciphertext too short")
+    require(data.length >= IvLen, "ciphertext too short")
     val iv = new IvParameterSpec(data.take(IvLen))
     val c = Cipher.getInstance("AES/CFB/NoPadding")
     c.init(Cipher.DECRYPT_MODE, deriveKey(passphrase, salt), iv)

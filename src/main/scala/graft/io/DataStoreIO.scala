@@ -37,8 +37,10 @@ object DataStoreIO {
            opts: ReadOptions = ReadOptions()): DataFrame = {
     // http(s) endpoint as a table (reference: examples/hostosm.sh:20 —
     // a DataStore URI may be a REST API returning the dataset)
-    if (uri.startsWith("http://") || uri.startsWith("https://"))
-      return opts.limit.fold(readHttp(spark, uri))(readHttp(spark, uri).limit)
+    if (uri.startsWith("http://") || uri.startsWith("https://")) {
+      val df = readHttp(spark, uri) // bind once: exactly one GET
+      return opts.limit.fold(df)(df.limit)
+    }
     // federated query scan: `sql:SELECT …` runs against the session
     // catalog (registered views / external tables) — the Spark-native
     // analogue of the reference's Athena query input (cli/process.go:
@@ -85,8 +87,12 @@ object DataStoreIO {
         // concatenated BSON documents, driver-parsed (config/CLI-sized
         // like the other whole-document formats)
         import spark.implicits._
-        val bytes = java.nio.file.Files.readAllBytes(
+        var bytes = java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(uri.stripPrefix("file:")))
+        if (compression == "gzip") {
+          val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+          bytes = try in.readAllBytes() finally in.close()
+        }
         spark.read.json(Bson.parseAll(bytes).map(TextFormats.toJson).toDS())
       case "" => throw new IllegalArgumentException(
         s"cannot infer format from uri: $uri")
@@ -249,7 +255,7 @@ object DataStoreIO {
         // only — engine paths use jsonl/parquet)
         val rows = df.toJSON.collect()
         writeDriverFile(uri, rows.mkString("[", ",", "]"), compression)
-      case "yaml" | "toml" | "properties" | "hcl" =>
+      case "yaml" | "toml" | "properties" | "hcl" | "hcl2" =>
         val recs = df.toJSON.collect().map(parseJsonToMap)
         val text = format match {
           case "yaml"       => TextFormats.renderYaml(recs.toList)
@@ -260,7 +266,7 @@ object DataStoreIO {
           case "properties" => recs.zipWithIndex.map { case (r, i) =>
             TextFormats.renderProperties(r.map { case (k, v) => s"record_$i.$k" -> v })
           }.mkString("\n")
-          case "hcl" => recs.zipWithIndex.map { case (r, i) =>
+          case "hcl" | "hcl2" => recs.zipWithIndex.map { case (r, i) =>
             Hcl.render(Map(s"record_$i" -> r))
           }.mkString("\n")
         }

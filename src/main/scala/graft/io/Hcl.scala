@@ -33,8 +33,13 @@ object Hcl {
         val sb = new StringBuilder("\"")
         i += 1
         while (i < n && src(i) != '"') {
-          if (src(i) == '\\' && i + 1 < n) { sb += src(i + 1); i += 2 }
-          else { sb += src(i); i += 1 }
+          if (src(i) == '\\' && i + 1 < n) {
+            sb += (src(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other // \" \\ and unknown escapes keep the char
+            })
+            i += 2
+          } else { sb += src(i); i += 1 }
         }
         i += 1
         out += sb.append('"').toString()
@@ -124,7 +129,8 @@ object Hcl {
   }
 
   private def renderValue(v: Any, indent: Int): String = v match {
-    case s: String    => "\"" + s.replace("\"", "\\\"") + "\""
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
     case null         => "null"
     case xs: Seq[_]   => xs.map(renderValue(_, indent)).mkString("[", ", ", "]")
     case o: Map[_, _] =>

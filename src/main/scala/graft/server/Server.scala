@@ -207,11 +207,14 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
       throw new IllegalArgumentException("authorization required (root JWT)")
   }
 
+  // split the RAW query on '&' then decode each component exactly once
+  // (getQuery pre-decodes, which would corrupt %-escapes and embedded '&')
   private def queryParams(x: HttpExchange): Map[String, String] =
-    Option(x.getRequestURI.getQuery).getOrElse("").split('&')
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
       .filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); kv.take(i) ->
-        java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8") }
+      .map { kv => val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8") }
       .toMap
 
   private def readBody(x: HttpExchange): String =

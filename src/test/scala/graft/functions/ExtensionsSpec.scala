@@ -24,6 +24,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hs.distinct.size == hs.size)
   }
 
+  test("vector_dot is null on dimension mismatch, not truncated") {
+    GraftExtensions.install(spark)
+    spark.range(2).selectExpr(
+      "array(1.0d, 2.0d) AS a",
+      "CASE WHEN id = 0 THEN array(3.0d, 4.0d) ELSE array(5.0d) END AS b")
+      .createOrReplaceTempView("vecs3")
+    val rows = spark.sql("SELECT vector_dot(a, b) AS d FROM vecs3").collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("collapse_ws matches regexp_replace(\\s+) exactly, incl. unicode") {
     import org.apache.spark.sql.functions._
     val inputs = Seq(

@@ -16,6 +16,10 @@ class CryptoHttpSpec extends AnyFunSuite {
     assert(!(Crypto.decrypt(ct, "wrong", "salt") sameElements pt))
     // distinct IVs: same plaintext encrypts differently
     assert(!(Crypto.encrypt(pt, "pw", "salt") sameElements ct))
+    // empty payload round-trips (ciphertext is exactly the 16-byte IV)
+    val emptyCt = Crypto.encrypt(Array.emptyByteArray, "pw", "salt")
+    assert(emptyCt.length == 16)
+    assert(Crypto.decrypt(emptyCt, "pw", "salt").isEmpty)
   }
 
   test("encrypted jsonl write + read through DataStoreIO") {

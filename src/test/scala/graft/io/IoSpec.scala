@@ -131,6 +131,10 @@ class IoSpec extends AnyFunSuite {
     val nested = Map[String, Any]("a" -> Map[String, Any]("b" -> 1L),
       "xs" -> List(1L, "two", 3.0), "z" -> null)
     assert(Bson.parseAll(Bson.renderDoc(nested)) == List(nested))
+    // long arrays keep element ORDER (regression: Map-keyed encode
+    // scrambled >4 elements)
+    val long = Map[String, Any]("xs" -> (1L to 9L).toList)
+    assert(Bson.parseAll(Bson.renderDoc(long)) == List(long))
     // through DataStoreIO: df -> .bson file -> df
     Files.write(Paths.get(s"$dir/r.bson"), bytes)
     val df = DataStoreIO.read(spark, s"$dir/r.bson")
@@ -169,6 +173,10 @@ class IoSpec extends AnyFunSuite {
     assert(m("limits").asInstanceOf[Map[String, Any]]("cpu") == 2L)
     // render -> parse round-trip
     assert(Hcl.parse(Hcl.render(m)) == m)
+    // escapes: backslashes, quotes, newlines survive a round-trip
+    val tricky = Map[String, Any]("path" -> "C:\\new\\dir",
+      "msg" -> "say \"hi\"\nline2\t.")
+    assert(Hcl.parse(Hcl.render(tricky)) == tricky)
     // through DataStoreIO
     val dir = tmpDir()
     Files.writeString(Paths.get(s"$dir/conf.hcl"), src)
