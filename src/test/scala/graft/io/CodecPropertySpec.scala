@@ -1,0 +1,80 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters, Passed}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the hand-rolled codecs and native string ops
+  * (SURVEY.md §5: property-based coverage beyond example round-trips). */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def holds(p: Prop): Unit = {
+    val res = check(Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.status == Passed, res.status.toString)
+  }
+
+  // BSON-encodable scalar values
+  private val scalarGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(identity[Any]),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue).map(identity[Any]),
+    Gen.chooseNum(-1e9, 1e9).map(identity[Any]),
+    Gen.oneOf(true, false).map(identity[Any]),
+    Gen.const(null: Any),
+  )
+
+  private val recordGen: Gen[Map[String, Any]] = for {
+    n <- Gen.chooseNum(0, 8)
+    keys <- Gen.listOfN(n, Gen.identifier.map(_.take(12)))
+    vals <- Gen.listOfN(n, Gen.oneOf(
+      scalarGen,
+      Gen.listOf(scalarGen).map(_.take(9).toList: Any),
+      Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(8)), scalarGen)).map(_.take(5): Any),
+    ))
+  } yield keys.zip(vals).toMap
+
+  test("bson encode/decode is the identity on generated records") {
+    holds(Prop.forAll(Gen.listOf(recordGen).map(_.take(5))) { records =>
+      Bson.parseAll(Bson.renderAll(records)) == records
+    })
+  }
+
+  test("hcl render/parse is the identity on flat string/number records") {
+    val hclScalar: Gen[Any] = Gen.oneOf(
+      // printable strings incl. quotes/backslashes/whitespace escapes
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', '\\', ' ', '\n', '\t')))
+        .map(cs => cs.mkString: Any),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(identity[Any]),
+      Gen.oneOf(true, false).map(identity[Any]),
+    )
+    val rec = for {
+      n <- Gen.chooseNum(1, 6)
+      keys <- Gen.listOfN(n, Gen.identifier.map(_.take(10)))
+      vals <- Gen.listOfN(n, hclScalar)
+    } yield keys.zip(vals).toMap
+    holds(Prop.forAll(rec) { m => Hcl.parse(Hcl.render(m)) == m })
+  }
+
+  test("collapse_ws equals the \\s+ regex on generated strings") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '\r', '\f', ''),
+      Gen.oneOf('é', '世', 'ш'))).map(_.mkString)
+    holds(Prop.forAll(strGen) { s =>
+      graft.functions.CollapseWsOps.collapse(UTF8String.fromString(s)).toString ==
+        s.replaceAll("\\s+", " ")
+    })
+  }
+
+  test("shingle hashes: count and distinctness match a naive implementation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val toksGen = Gen.listOf(Gen.oneOf("a", "b", "cat", "dog", "x y", ""))
+      .map(_.take(30))
+    val nGen = Gen.chooseNum(1, 4)
+    holds(Prop.forAll(toksGen, nGen) { (toks, n) =>
+      val ad = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.ShingleHashOps.compute(ad, n)
+      val expected = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq.distinct
+      got.numElements() == expected.size
+    })
+  }
+}
