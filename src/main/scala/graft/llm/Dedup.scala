@@ -163,11 +163,13 @@ object Dedup {
     chunks.as("a").join(chunks.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      // verify BEFORE deduplicating: the hamming filter is a codegen'd
+      // projection that kills random chunk collisions map-side, so the
+      // dropDuplicates shuffle only carries true near-dup pairs
+      .withColumn("hamming", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
       .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
   }
 
