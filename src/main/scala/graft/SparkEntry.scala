@@ -82,6 +82,12 @@ object SparkEntry {
       DflFrame.pipeline(t(s, dir, "orders"), "group(@, '@o_orderstatus')")
         .select(col("key"), concat_ws(",",
           sort_array(transform(col("items"), i => i.getField("o_orderkey")))).as("ids"))),
+    "approx_distinct_users" -> ((s, dir) => t(s, dir, "events")
+      // HyperLogLog++ sketch per event type — the constant-memory shape
+      // of COUNT(DISTINCT) at 100 TB. No DuckDB oracle (different sketch
+      // implementation); bounded-error asserted in LlmSpec instead.
+      .groupBy(col("event_type").as("key"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
     "time_window_hist" -> ((s, dir) => t(s, dir, "events")
       // batch twin of StreamRunner.windowedHist: 1-minute event-time
       // windows over the ns-long ts column

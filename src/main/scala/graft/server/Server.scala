@@ -93,6 +93,21 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
       case ("GET", "gss" :: "formats" :: Nil) =>
         respond(x, 200, render(ext, Map("formats" -> formats.toList)))
 
+      case ("GET", "swagger" :: Nil) =>
+        // minimal OpenAPI route inventory (reference: SwaggerHandler)
+        respond(x, 200, render(ext, Map(
+          "openapi" -> "3.0.0",
+          "info" -> Map("title" -> "graft", "version" -> "0.1.0"),
+          "paths" -> Seq(
+            "/health.{ext}", "/authenticate.{ext}", "/swagger.{ext}",
+            "/dfl/functions.{ext}", "/gss/formats.{ext}",
+            "/{kind}.{ext}", "/{kind}/{name}.{ext}",
+            "/services/{name}/exec.{ext}", "/jobs/{name}/exec.{ext}",
+            "/workflows/{name}/exec.{ext}",
+            "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}",
+            "/layers/{name}/tiles/mask/{z}/{x}/{y}.png",
+          ).map(p => p -> Map("get" -> Map("summary" -> p))).toMap)))
+
       case ("GET", kind :: Nil) if kinds(kind) =>
         respond(x, 200, render(ext, Map(kind -> exec.catalog.toMaps(kind))))
 

@@ -80,6 +80,19 @@ class LlmSpec extends AnyFunSuite {
     assert(assigned.select("list").distinct().count() <= 2)
   }
 
+  test("approx_count_distinct is within rsd of exact counts") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val approx = graft.SparkEntry.queries("approx_distinct_users")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("language id and quality score are deterministic and bounded") {
     val out = docs.select(
       TextAnalysis.langId($"text").as("lang"),

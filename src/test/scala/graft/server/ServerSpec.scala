@@ -48,6 +48,11 @@ class ServerSpec extends AnyFunSuite {
         java.net.URI.create(s"http://localhost:${srv.boundPort}/dfl/functions.json")).GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(f.body().contains("tileX"))
+      val sw = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:${srv.boundPort}/swagger.json")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(sw.statusCode() == 200 && sw.body().contains("openapi") &&
+        sw.body().contains("/services/{name}/exec.{ext}"))
     } finally srv.stop()
   }
 
