@@ -189,6 +189,46 @@ object Dedup {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding near-dup pairs via banded random-hyperplane LSH — the
+    * 100 TB path [[cosinePairs]]' docs promise: `numBands` independent
+    * `bitsPerBand`-bit sign signatures; a pair is a candidate iff it
+    * collides in ANY band (`groupBy` band join, bounded buckets, never
+    * all-pairs), then exact-cosine verified. Recall for cosine c is
+    * 1-(1-p^bits)^bands with p = 1-arccos(c)/π — at c≥0.9, 16 bands of
+    * 8 bits give >0.998; this is a HIGH-threshold near-duplicate
+    * detector, not a general similarity join. */
+  def cosinePairsBucketed(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, numBands: Int = 16,
+                          bitsPerBand: Int = 8): DataFrame = {
+    import graft.functions.VectorF
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.hyperplanes(numBands * bitsPerBand, dim)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", VectorF.norm(col("v")))
+    val bandCols = (0 until numBands).map { b =>
+      val sig = (0 until bitsPerBand).map { r =>
+        val plane = planes(b * bitsPerBand + r)
+        when(VectorF.dot(col("v"), array(plane.map(lit): _*)) > 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(b).as("band"), sig.as("bh"))
+    }
+    val buckets = v
+      .select(col("id"), col("v"), col("norm"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("v"), col("norm"), col("bk.band"), col("bk.bh"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      // verify before deduplicating, same as simhashPairs: the cosine is
+      // a codegen'd map-side projection killing non-dups pre-shuffle
+      .withColumn("cos",
+        VectorF.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              round(col("cos"), 4).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Survivors after near-dup removal: greedy keep-smallest-id — a doc is
     * dropped iff some smaller-id doc is its near-dup (anti-join against
     * the pair set; no iteration, scale-safe). */

@@ -113,6 +113,26 @@ class LlmSpec extends AnyFunSuite {
     assert(row.checksum == again.checksum)
   }
 
+  test("bucketed cosine pairs: exact precision, high recall on planted near-dups") {
+    import org.apache.spark.sql.functions._
+    // plant near-identical copies: vec_id+10000 is vec_id with one
+    // component nudged (cosine ≈ 0.999)
+    val base = emb.select("vec_id", "embedding").limit(200)
+    val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val all = base.unionByName(planted)
+    val exact = Dedup.cosinePairs(all, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.cosinePairsBucketed(all, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 200) // every planted copy pairs with its source
+    // precision exact by construction; recall from banding ≥ 95%
+    assert(bucketed.subsetOf(exact))
+    val recall = exact.count(bucketed.contains).toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${bucketed.size}/${exact.size})")
+  }
+
   test("lsh bucket as partition column: probe reads are partition-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annshard").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
