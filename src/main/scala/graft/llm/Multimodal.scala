@@ -79,6 +79,38 @@ object Multimodal {
       }
   }
 
+  /** Resize for image-kind payloads. The pixel resample is STUBBED (a
+    * deterministic byte decimation to the target w×h byte budget); the
+    * real deliverable is the operator shape — per-partition batch
+    * transform that rewrites payload AND its typed metadata together, so
+    * schema consumers downstream see consistent (payload, meta.width,
+    * meta.height). */
+  def resize(spark: SparkSession, media: DataFrame,
+             width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    val resized = media.select(col("id"), col("payload"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition image-library context would init here
+        it.map { case (id, payload, kind) =>
+          val target = math.max(1, math.min(payload.length, width * height))
+          val stride = math.max(1, payload.length / target)
+          val out = new Array[Byte]((payload.length + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+          (id, out, kind)
+        }
+      }.toDF("id", "payload", "kind")
+    resized.select(col("id"), col("payload"), col("kind"),
+      struct(
+        col("kind"),
+        lit(width).as("width"),
+        lit(height).as("height"),
+        lit(null).cast(IntegerType).as("sample_rate"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+      ).as("meta"))
+  }
+
   /** Frame-sampling stub for video-kind payloads: emits every `stride`-th
     * 16-byte window as one "frame" row — the explode shape (one blob → N
     * frame rows) that a real frame sampler produces. */

@@ -149,6 +149,18 @@ class LlmSpec extends AnyFunSuite {
       (plan.contains("bucket#") || plan.contains("bucket =")), plan.take(2000))
   }
 
+  test("resize rewrites payload and typed metadata together") {
+    val media = Multimodal.asMediaTable(docs.limit(5), "doc_id", "text", "image")
+    val out = Multimodal.resize(spark, media, 8, 4)
+    assert(out.count() == 5)
+    val r = out.filter($"id" === 0).head()
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 4)
+    val payload = r.getAs[Array[Byte]]("payload")
+    assert(meta.getAs[Long]("n_bytes") == payload.length.toLong)
+    assert(payload.length <= 8 * 4 + 1) // decimated to ~the w*h byte budget
+  }
+
   test("frame sampling explodes one blob into N frame rows") {
     val media = Multimodal.asMediaTable(docs.limit(3), "doc_id", "text", "video")
     val frames = Multimodal.sampleFrames(media, stride = 2)
