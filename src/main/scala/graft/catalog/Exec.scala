@@ -43,7 +43,7 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         val ctx = ColumnCompiler.Ctx(
           resolveAttr = n => throw new IllegalArgumentException(s"@$n not valid in uri"),
           whole = () => throw new IllegalArgumentException("@ not valid in uri"),
-          vars = vars)
+          vars = vars.filterNot(_._2.isInstanceOf[DataFrame]))
         spark.range(1).select(ColumnCompiler.compile(node, ctx).cast("string"))
           .head().getString(0)
     }
@@ -79,8 +79,12 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
       service.defaults ++ requestVars
     val ds = catalog.datastores(service.datastore)
     val process = catalog.processes(service.process)
-    val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression, vars)
-    serviceVarCache(serviceName) = vars // persist merged vars (reference :290)
+    val (out, dsVars) =
+      DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression, vars)
+    // persist merged vars INCLUDING dataset-valued ones (reference :290 —
+    // the evaluated $c is written back to the cache, so the next exec's
+    // `$c ?: filter(@, …)` reuses it instead of re-filtering)
+    serviceVarCache(serviceName) = vars ++ dsVars
     out
   }
 

@@ -50,6 +50,25 @@ object Node {
   /** `a | b | c` pipeline; each stage's result is the next stage's `@`. */
   final case class Pipe(stages: List[Node]) extends Node
 
+  /** Direct child nodes, for generic tree walks. */
+  def childrenOf(n: Node): List[Node] = n match {
+    case Prop(t, _, _)        => List(t)
+    case Index(t, i)          => List(t, i)
+    case ArrayLit(xs)         => xs
+    case SetLit(xs)           => xs
+    case DictLit(es)          => es.flatMap { case (k, v) => List(k, v) }
+    case FunCall(_, args)     => args
+    case Unary(_, x)          => List(x)
+    case Binary(_, l, r)      => List(l, r)
+    case Between(x, lo, hi, _) => List(x, lo, hi)
+    case Ternary(c, t, f)     => List(c, t, f)
+    case Elvis(l, r)          => List(l, r)
+    case Assign(_, v)         => List(v)
+    case AugAssign(t, _, v)   => List(t, v)
+    case Pipe(ss)             => ss
+    case _                    => Nil
+  }
+
   /** Render a node back to canonical DFL source (round-trip support; the
     * catalog stores processes as DFL strings, reference: core/Process.go:38). */
   def render(n: Node): String = n match {

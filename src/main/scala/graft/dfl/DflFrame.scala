@@ -26,7 +26,16 @@ object DflFrame {
   /** Evaluate DFL source over `df`. Result column naming: scalar map
     * results become a column named `value`; dict results flatten to
     * top-level columns. */
-  def pipeline(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): DataFrame = {
+  def pipeline(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): DataFrame =
+    pipelineWithVars(df, src, vars)._1
+
+  /** Like [[pipeline]] but also returns the dataset-valued `$vars` the run
+    * bound (`$c := (…)`), so callers with a variable cache (service exec,
+    * reference: handlers/ServiceExecHandler.go:290) can persist them and
+    * seed the next run — the `$c ?: filter(@, …)` caching idiom of
+    * examples/osm.sh:165. Seed by passing DataFrames in `vars`. */
+  def pipelineWithVars(df: DataFrame, src: String,
+                       vars: Map[String, Any] = Map.empty): (DataFrame, Map[String, DataFrame]) = {
     val node = Parser.parse(src)
     val stages = node match {
       case Pipe(ss) => ss
@@ -51,7 +60,19 @@ object DflFrame {
       case Pipe(ss) => ss
       case single   => List(single)
     }
-    val rowPrefix = stages.takeWhile(n => !isDatasetStage(n))
+    // stop at dataset stages, and conservatively at anything that MIGHT
+    // be one under run()'s dynamic classification (bare $var stages,
+    // binds/ternaries containing dataset calls)
+    def containsDatasetCall(n: Node): Boolean =
+      isDatasetStage(n) || Node.childrenOf(n).exists(containsDatasetCall)
+    val rowPrefix = stages.takeWhile {
+      case n if isDatasetStage(n)                    => false
+      case Var(_)                                    => false
+      case Assign(_, v) if containsDatasetCall(v)    => false
+      case Ternary(_, t, f)
+          if containsDatasetCall(t) || containsDatasetCall(f) => false
+      case _                                         => true
+    }
     if (rowPrefix.isEmpty) df.limit(0)
     else {
       var st: Option[RowState] = None
@@ -78,13 +99,72 @@ object DflFrame {
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
-  private def run(df0: DataFrame, stages: List[Node], vars: Map[String, Any]): DataFrame = {
+  private def run(df0: DataFrame, stages: List[Node],
+                  vars: Map[String, Any]): (DataFrame, Map[String, DataFrame]) = {
     var df = df0
     var row: Option[RowState] = None
+    // dataset-valued $vars, seeded from any DataFrames passed in `vars`
+    // (the service-exec cache hands back previously-bound datasets)
+    var dsVars: Map[String, DataFrame] =
+      vars.collect { case (k, d: DataFrame) => k -> d }
+    val scalarVars = vars.filterNot(_._2.isInstanceOf[DataFrame])
 
     def rowCtx(): ColumnCompiler.Ctx = row match {
-      case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, vars, lets)
-      case None                      => ColumnCompiler.Ctx.forDataFrame(df, vars)
+      case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, scalarVars, lets)
+      case None                      => ColumnCompiler.Ctx.forDataFrame(df, scalarVars)
+    }
+
+    /** Is `n` a dataset-producing expression (for `:=` / ternary / elvis
+      * at the pipeline level)? */
+    def isDatasetExpr(n: Node): Boolean = n match {
+      case Attr("")         => true
+      case Var(name)        => dsVars.contains(name)
+      case Elvis(l, r)      => isDatasetExpr(l) || isDatasetExpr(r)
+      case Ternary(_, t, f) => isDatasetExpr(t) || isDatasetExpr(f)
+      case other            => isDatasetStage(other)
+    }
+
+    /** Does `n` depend on per-row context — any attribute, or a `$var`
+      * bound by a row-level `:=`? A ternary whose condition does is the
+      * ROW null-drop form, never a dataset branch switch. */
+    def refsRow(n: Node): Boolean = n match {
+      case Attr(_)   => true
+      case Var(name) => row.exists(_.lets.contains(name))
+      case other     => Node.childrenOf(other).exists(refsRow)
+    }
+
+    /** Evaluate a variable-only condition on the driver (no row context —
+      * e.g. `$limit > 0` picking between dataset branches). */
+    def driverCond(cond: Node): Boolean = {
+      val ctx = ColumnCompiler.Ctx(
+        resolveAttr = n => throw new DflParseException(s"@$n not valid in a dataset condition"),
+        whole = () => throw new DflParseException("@ not valid in a dataset condition"),
+        vars = scalarVars)
+      df.sparkSession.range(1)
+        .select(ColumnCompiler.compile(cond, ctx).cast("boolean"))
+        .head().getBoolean(0)
+    }
+
+    /** Evaluate a dataset expression: `@` = the current dataset, `$v` a
+      * bound dataset var, elvis falls back when the var is unbound
+      * (the `$c ?: filter(@, …)` caching idiom, examples/osm.sh:165),
+      * ternary picks a branch by a driver-evaluated condition. */
+    def evalDatasetExpr(n: Node): DataFrame = n match {
+      case Attr("")   => df
+      case Var(name)  => dsVars.getOrElse(name,
+        throw new DflParseException(s"unbound dataset $$$name"))
+      case Elvis(Var(name), r) =>
+        dsVars.getOrElse(name, evalDatasetExpr(r))
+      case Elvis(l, _)      => evalDatasetExpr(l)
+      case Ternary(c, t, f) => if (driverCond(c)) evalDatasetExpr(t) else evalDatasetExpr(f)
+      case NullLit          => df.limit(0) // null branch drops every record
+      case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
+        datasetOp(df, name, args, scalarVars)
+      case FunCall("array", List(inner: FunCall)) if datasetFns(inner.name) =>
+        datasetOp(df, inner.name, inner.args, scalarVars)
+      case d: DictLit if referencesDataset(d) => assembleDict(df, d, scalarVars)
+      case other => throw new DflParseException(
+        s"not a dataset expression: ${Node.render(other)}")
     }
 
     /** Materialize pending row-level stages: one narrow projection plus the
@@ -104,11 +184,11 @@ object DflFrame {
     stages.foreach {
       case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
         flush()
-        df = datasetOp(df, name, args, vars)
+        df = datasetOp(df, name, args, scalarVars)
 
       case fc @ FunCall("array", List(inner: FunCall)) if datasetFns(inner.name) =>
         flush()
-        df = datasetOp(df, inner.name, inner.args, vars)
+        df = datasetOp(df, inner.name, inner.args, scalarVars)
         val _ = fc // array(set(@)) — set already yields rows; array is a no-op
 
       case Binary("-", fc @ FunCall(name, fargs), rhs)
@@ -118,9 +198,9 @@ object DflFrame {
         // is in the set. The set is a driver-side literal, so this lowers
         // to a broadcast-friendly NOT IN — never a shuffle.
         flush()
-        df = datasetOp(df, name, fargs, vars)
+        df = datasetOp(df, name, fargs, scalarVars)
         val dropVals: Seq[Any] = rhs match {
-          case Var(n) => vars.getOrElse(n,
+          case Var(n) => scalarVars.getOrElse(n,
             throw new DflParseException(s"unbound $$$n")) match {
             case xs: Seq[_] => xs
             case other      => Seq(other)
@@ -138,7 +218,29 @@ object DflFrame {
         // (reference: named/named.go:20). Driver-safe only at CLI result
         // sizes; engine paths never do this implicitly.
         flush()
-        df = assembleDict(df, d, vars)
+        df = assembleDict(df, d, scalarVars)
+
+      case Assign(name, value) if isDatasetExpr(value) =>
+        // dataset-valued binding: `$c := ($c ?: filter(@, '…'))`
+        // (reference: examples/osm.sh:165) — the bound dataset is returned
+        // to the caller for cross-exec caching
+        flush()
+        df = evalDatasetExpr(value)
+        dsVars += name -> df
+
+      case Var(name) if dsVars.contains(name) =>
+        // dataset var as a pipeline stage: substitute the bound dataset
+        flush()
+        df = dsVars(name)
+
+      case t @ Ternary(c, tb, fb)
+          if !refsRow(c) && (isDatasetExpr(tb) || isDatasetExpr(fb)) =>
+        // conditional dataset stage: `($limit > 0) ? limit(@, $limit) : @`
+        // (reference: examples/osm.sh:165) — condition is VARIABLE-ONLY
+        // (a row-referencing condition is the per-record null-drop form),
+        // decided once on the driver, so only the chosen branch plans
+        flush()
+        df = evalDatasetExpr(t)
 
       case Assign(name, value) =>
         val ctx = rowCtx()
@@ -151,7 +253,7 @@ object DflFrame {
         row = Some(RowState(result, lets))
     }
     flush()
-    df
+    (df, dsVars)
   }
 
   private def isDatasetArg(n: Option[Node]): Boolean = n match {

@@ -46,6 +46,32 @@ class NamedSpec extends AnyFunSuite {
     assert(props.getAs[String]("name") == "dc")
   }
 
+  test("osm.sh gas-stations process: dataset var caching, conditional limit, FC") {
+    // reference: examples/osm.sh:165 — the full service expression with
+    // `$c := ($c ?: filter(...))`, `$c` substitution, driver-side
+    // conditional limit, and FeatureCollection assembly
+    val dir = Files.createTempDirectory("graft-osm").toString
+    Files.writeString(Paths.get(s"$dir/f.jsonl"), Seq(
+      """{"type":"Feature","properties":{"name":"shell","amenity":"fuel"},"geometry":{"type":"Point","coordinates":[-77.0,38.9]}}""",
+      """{"type":"Feature","properties":{"name":"bp","amenity":"fuel"},"geometry":{"type":"Point","coordinates":[-76.9,38.8]}}""",
+      """{"type":"Feature","properties":{"name":"cafe","amenity":"cafe"},"geometry":{"type":"Point","coordinates":[-77.1,38.7]}}""",
+    ).mkString("\n"))
+    val df = spark.read.json(s"$dir/f.jsonl")
+    val src =
+      """($c := ($c ?: filter(@, "(@properties?.amenity != null) and (@properties.amenity in [fuel])"))) |
+        |$c |
+        |(($limit > 0) ? limit(@, $limit) : @) |
+        |{type: FeatureCollection, features: @, numberOfFeatures: len(@)}""".stripMargin
+    // no limit (0) → both stations
+    val (fc0, dsVars) = DflFrame.pipelineWithVars(df, src, Map("limit" -> 0L))
+    assert(fc0.head().getAs[Long]("numberOfFeatures") == 2L)
+    assert(dsVars.contains("c"))
+    // limit 1 with the CACHED $c seeded back in (second exec skips the filter)
+    val (fc1, _) = DflFrame.pipelineWithVars(df, src,
+      Map("limit" -> 1L) ++ dsVars)
+    assert(fc1.head().getAs[Long]("numberOfFeatures") == 1L)
+  }
+
   test("GroupByTile groups by [tileY, tileX] at $z") {
     val df = spark.read.json(fixture).where("geometry.coordinates IS NOT NULL")
     val out = Named(df, Named.groupByTile, Map("z" -> 8L))
