@@ -161,11 +161,18 @@ object ColumnCompiler {
         val whole = ctx.whole()
         (op, value) match {
           case ("+=", DictLit(entries)) =>
-            entries.foldLeft(whole) { case (acc, (k, v)) =>
-              acc.withField(s"$name.${keyName(k)}", compile(v, ctx))
+            // update the inner struct once, then ONE outer withField —
+            // per-entry dotted-path withFields each re-extract and re-wrap
+            // the nested struct, rendering O(fields^depth) expression text
+            // (big enough to push generated code past the JVM 64 KB method
+            // limit on real ingest pipelines)
+            val updatedInner = entries.foldLeft(whole.getField(name)) {
+              case (acc, (k, v)) => acc.withField(keyName(k), compile(v, ctx))
             }
+            whole.withField(name, updatedInner)
           case ("-=", SetLit(items)) =>
-            whole.dropFields(items.map(i => s"$name.${keyName(i)}"): _*)
+            whole.withField(name,
+              whole.getField(name).dropFields(items.map(keyName): _*))
           case _ =>
             throw new DflParseException(s"unsupported augmented assignment: $op ${Node.render(value)}")
         }

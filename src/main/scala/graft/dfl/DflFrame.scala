@@ -181,6 +181,31 @@ object DflFrame {
 
     def lets: Map[String, Column] = row.map(_.lets).getOrElse(Map.empty)
 
+    // size proxy: the rendered SQL length (Spark 4 Columns are lazy
+    // ColumnNode trees — walking catalyst children pre-resolution sees
+    // only a 1-node wrapper, so measure the rendered form instead)
+    def exprSize(c: Column): Int = c.toString.length
+
+    /** When the fused row expression gets large, materialize it (and the
+      * lets) as a real projection. Later stages then reference cheap
+      * column attributes instead of re-expanding the whole tree — without
+      * this, a `$c := …` referenced N times duplicates the expression N
+      * times and the generated code can pass the JVM's 64 KB method limit,
+      * dropping the stage out of codegen. CollapseProject will not merge
+      * it back: the materialized expression is non-cheap and
+      * multiply-referenced. No null filter here — only the final flush
+      * applies the reference's null-drop. */
+    def compactIfLarge(): Unit = row.foreach { st =>
+      val total = exprSize(st.cur) + st.lets.values.map(exprSize).sum
+      if (total > 1000) {
+        val letCols = st.lets.toSeq
+        df = df.select(st.cur.as("__r") +:
+          letCols.map { case (n, c) => c.as(s"__let_$n") }: _*)
+        row = Some(RowState(col("__r"),
+          letCols.map { case (n, _) => n -> col(s"__let_$n") }.toMap))
+      }
+    }
+
     stages.foreach {
       case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
         flush()
@@ -243,11 +268,13 @@ object DflFrame {
         df = evalDatasetExpr(t)
 
       case Assign(name, value) =>
+        compactIfLarge() // materialize first: the let then binds to a cheap attr
         val ctx = rowCtx()
         val bound = ColumnCompiler.compile(value, ctx)
         row = Some(RowState(row.map(_.cur).getOrElse(ctx.whole()), lets + (name -> bound)))
 
       case stage =>
+        compactIfLarge() // materialize first: the stage references cheap attrs
         val ctx = rowCtx()
         val result = ColumnCompiler.compile(stage, ctx)
         row = Some(RowState(result, lets))
