@@ -32,7 +32,10 @@ object SparkEntry {
   private val lonExpr = "float64(@value % 360.0) - 180.0"
   private val latExpr = "float64(@value % 170.0) - 85.0"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ q3Queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3/2.4 filters & predicates (reference: pipeline/Pipeline.go:7,
     //      examples/bars.dfl:8, examples/osm.sh:66-83) ----
     "filter_eq" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "lineitem"),
@@ -192,6 +195,26 @@ object SparkEntry {
     }),
   )
 
+  private val q3Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping" -> ((s, dir) => {
+      // TPC-H Q3 shape: selective dim filter → two shuffle joins (customer
+      // and orders are both fact-sized at scale, so broadcast is wrong
+      // here — AQE picks sort-merge with runtime stats) → partial+final
+      // agg → top-k (TakeOrderedAndProject, never a global sort)
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(li("l_orderkey").as("l_orderkey"),
+          ord("o_orderdate").cast("date").cast("string").as("o_orderdate"))
+        .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+  )
+
   /** DuckDB-equivalent SQL per query (driver runs these over the same
     * parquet tables at the same sf dir). */
   def oracleSql: Map[String, String] = Map(
@@ -286,6 +309,15 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         | GROUP BY 1""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        | GROUP BY 1, 2
+        | ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents",
     "token_counts" ->
