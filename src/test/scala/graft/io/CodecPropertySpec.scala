@@ -57,7 +57,7 @@ class CodecPropertySpec extends AnyFunSuite {
 
   test("collapse_ws equals the \\s+ regex on generated strings") {
     val strGen = Gen.listOf(Gen.oneOf(
-      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '\r', '\f', ''),
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
       Gen.oneOf('é', '世', 'ш'))).map(_.mkString)
     holds(Prop.forAll(strGen) { s =>
       graft.functions.CollapseWsOps.collapse(UTF8String.fromString(s)).toString ==
