@@ -24,8 +24,12 @@ import graft.io.DataStoreIO
   */
 final class Exec(spark: SparkSession, val catalog: Catalog) {
 
-  // serviceName → persisted exec variables (reference cacheKeyService)
-  private val serviceVarCache = scala.collection.mutable.Map.empty[String, Map[String, Any]]
+  // serviceName → (datastore mtime at bind time, persisted exec variables)
+  // (reference cacheKeyService). The mtime guards dataset-valued vars: a
+  // `$c := ($c ?: filter(...))` binding must not outlive the source file
+  // it was planned over.
+  private val serviceVarCache =
+    scala.collection.mutable.Map.empty[String, (Long, Map[String, Any])]
 
   // resolvedUri → (mtimeMillis, persisted DataFrame)
   private val dataFrameCache = scala.collection.mutable.Map.empty[String, (Long, DataFrame)]
@@ -75,16 +79,23 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   def serviceExec(serviceName: String, requestVars: Map[String, Any] = Map.empty): DataFrame = {
     val service = catalog.services.getOrElse(serviceName,
       throw new NoSuchElementException(s"unknown service: $serviceName"))
-    val vars = serviceVarCache.getOrElse(serviceName, Map.empty) ++
-      service.defaults ++ requestVars
     val ds = catalog.datastores(service.datastore)
+    val scalarDefaults = service.defaults ++ requestVars
+    val mtimeNow = mtimeOf(resolveUri(ds.uri, scalarDefaults))
+    val cached = serviceVarCache.get(serviceName) match {
+      case Some((t, m)) if t == mtimeNow => m
+      case Some((_, m)) => // source changed: keep scalars, drop stale datasets
+        m.filterNot(_._2.isInstanceOf[DataFrame])
+      case None => Map.empty[String, Any]
+    }
+    val vars = cached ++ service.defaults ++ requestVars
     val process = catalog.processes(service.process)
     val (out, dsVars) =
       DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression, vars)
     // persist merged vars INCLUDING dataset-valued ones (reference :290 —
     // the evaluated $c is written back to the cache, so the next exec's
     // `$c ?: filter(@, …)` reuses it instead of re-filtering)
-    serviceVarCache(serviceName) = vars ++ dsVars
+    serviceVarCache(serviceName) = (mtimeNow, vars ++ dsVars)
     out
   }
 

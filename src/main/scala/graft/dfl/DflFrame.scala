@@ -115,9 +115,11 @@ object DflFrame {
     }
 
     /** Is `n` a dataset-producing expression (for `:=` / ternary / elvis
-      * at the pipeline level)? */
+      * at the pipeline level)? Bare `@` counts only when there is NO
+      * pending row state — mid-row-chain, `@` is the current row value
+      * and the stage must stay row-level. */
     def isDatasetExpr(n: Node): Boolean = n match {
-      case Attr("")         => true
+      case Attr("")         => row.isEmpty
       case Var(name)        => dsVars.contains(name)
       case Elvis(l, r)      => isDatasetExpr(l) || isDatasetExpr(r)
       case Ternary(_, t, f) => isDatasetExpr(t) || isDatasetExpr(f)
@@ -140,9 +142,10 @@ object DflFrame {
         resolveAttr = n => throw new DflParseException(s"@$n not valid in a dataset condition"),
         whole = () => throw new DflParseException("@ not valid in a dataset condition"),
         vars = scalarVars)
-      df.sparkSession.range(1)
+      val r = df.sparkSession.range(1)
         .select(ColumnCompiler.compile(cond, ctx).cast("boolean"))
-        .head().getBoolean(0)
+        .head()
+      !r.isNullAt(0) && r.getBoolean(0) // null condition → false, like when()
     }
 
     /** Evaluate a dataset expression: `@` = the current dataset, `$v` a
@@ -153,9 +156,15 @@ object DflFrame {
       case Attr("")   => df
       case Var(name)  => dsVars.getOrElse(name,
         throw new DflParseException(s"unbound dataset $$$name"))
-      case Elvis(Var(name), r) =>
-        dsVars.getOrElse(name, evalDatasetExpr(r))
-      case Elvis(l, _)      => evalDatasetExpr(l)
+      case Elvis(l, r) =>
+        // fall back through every unbound/null arm, not just a direct var
+        def tryEval(m: Node): Option[DataFrame] = m match {
+          case Var(name)   => dsVars.get(name)
+          case NullLit     => None
+          case Elvis(a, b) => tryEval(a).orElse(tryEval(b))
+          case other       => Some(evalDatasetExpr(other))
+        }
+        tryEval(l).getOrElse(evalDatasetExpr(r))
       case Ternary(c, t, f) => if (driverCond(c)) evalDatasetExpr(t) else evalDatasetExpr(f)
       case NullLit          => df.limit(0) // null branch drops every record
       case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
@@ -258,12 +267,20 @@ object DflFrame {
         flush()
         df = dsVars(name)
 
+      case e @ Elvis(_, _) if row.isEmpty && isDatasetExpr(e) =>
+        // dataset elvis as a stage: `$cached ?: filter(@, …)`
+        flush()
+        df = evalDatasetExpr(e)
+
       case t @ Ternary(c, tb, fb)
-          if !refsRow(c) && (isDatasetExpr(tb) || isDatasetExpr(fb)) =>
+          if !refsRow(c) && (isDatasetExpr(tb) || isDatasetExpr(fb)) &&
+            Seq(tb, fb).forall(b => isDatasetExpr(b) || b == NullLit) =>
         // conditional dataset stage: `($limit > 0) ? limit(@, $limit) : @`
         // (reference: examples/osm.sh:165) — condition is VARIABLE-ONLY
-        // (a row-referencing condition is the per-record null-drop form),
-        // decided once on the driver, so only the chosen branch plans
+        // (a row-referencing condition is the per-record null-drop form)
+        // and BOTH branches dataset-shaped (a row-valued branch keeps the
+        // whole ternary row-level); decided once on the driver, so only
+        // the chosen branch plans
         flush()
         df = evalDatasetExpr(t)
 

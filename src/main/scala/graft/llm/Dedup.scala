@@ -201,7 +201,15 @@ object Dedup {
                           threshold: Double, numBands: Int = 16,
                           bitsPerBand: Int = 8): DataFrame = {
     import graft.functions.VectorF
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val emptyResult = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cos", DoubleType))))
+    val dimRow = df.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) return emptyResult
+    val dim = dimRow.head.getInt(0)
     val planes = Similarity.hyperplanes(numBands * bitsPerBand, dim)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", VectorF.norm(col("v")))
@@ -213,20 +221,23 @@ object Dedup {
       }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(b).as("band"), sig.as("bh"))
     }
+    // bucket join on ids ONLY — the band explode and shuffle never carry
+    // the embedding vector (same discipline as minhashPairs' shingles);
+    // features come back via candidate joins for the exact-cosine verify
     val buckets = v
-      .select(col("id"), col("v"), col("norm"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("v"), col("norm"), col("bk.band"), col("bk.bh"))
-    buckets.as("a").join(buckets.as("b"),
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      // verify before deduplicating, same as simhashPairs: the cosine is
-      // a codegen'd map-side projection killing non-dups pre-shuffle
-      .withColumn("cos",
-        VectorF.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
-      .filter(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              round(col("cos"), 4).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
+      .withColumn("cos", VectorF.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
   /** Survivors after near-dup removal: greedy keep-smallest-id — a doc is

@@ -94,7 +94,9 @@ object Multimodal {
         // per-partition image-library context would init here
         it.map { case (id, payload, kind) =>
           val target = math.max(1, math.min(payload.length, width * height))
-          val stride = math.max(1, payload.length / target)
+          // ceil division: floor would keep payloads under 2x the budget
+          // entirely unresized and overshoot the target by up to 2x
+          val stride = math.max(1, (payload.length + target - 1) / target)
           val out = new Array[Byte]((payload.length + stride - 1) / stride)
           var i = 0
           while (i < out.length) { out(i) = payload(i * stride); i += 1 }

@@ -94,19 +94,28 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         respond(x, 200, render(ext, Map("formats" -> formats.toList)))
 
       case ("GET", "swagger" :: Nil) =>
-        // minimal OpenAPI route inventory (reference: SwaggerHandler)
+        // minimal OpenAPI route inventory (reference: SwaggerHandler);
+        // methods match the dispatch table
+        val routeMethods: Seq[(String, Seq[String])] = Seq(
+          "/health.{ext}" -> Seq("get"),
+          "/authenticate.{ext}" -> Seq("post"),
+          "/swagger.{ext}" -> Seq("get"),
+          "/dfl/functions.{ext}" -> Seq("get"),
+          "/gss/formats.{ext}" -> Seq("get"),
+          "/{kind}.{ext}" -> Seq("get", "post"),
+          "/{kind}/{name}.{ext}" -> Seq("get", "delete"),
+          "/services/{name}/exec.{ext}" -> Seq("post"),
+          "/jobs/{name}/exec.{ext}" -> Seq("post"),
+          "/workflows/{name}/exec.{ext}" -> Seq("post"),
+          "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}" -> Seq("get"),
+          "/layers/{name}/tiles/mask/{z}/{x}/{y}.png" -> Seq("get"),
+        )
         respond(x, 200, render(ext, Map(
           "openapi" -> "3.0.0",
           "info" -> Map("title" -> "graft", "version" -> "0.1.0"),
-          "paths" -> Seq(
-            "/health.{ext}", "/authenticate.{ext}", "/swagger.{ext}",
-            "/dfl/functions.{ext}", "/gss/formats.{ext}",
-            "/{kind}.{ext}", "/{kind}/{name}.{ext}",
-            "/services/{name}/exec.{ext}", "/jobs/{name}/exec.{ext}",
-            "/workflows/{name}/exec.{ext}",
-            "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}",
-            "/layers/{name}/tiles/mask/{z}/{x}/{y}.png",
-          ).map(p => p -> Map("get" -> Map("summary" -> p))).toMap)))
+          "paths" -> routeMethods.map { case (p, ms) =>
+            p -> ms.map(m => m -> Map("summary" -> p)).toMap
+          }.toMap)))
 
       case ("GET", kind :: Nil) if kinds(kind) =>
         respond(x, 200, render(ext, Map(kind -> exec.catalog.toMaps(kind))))

@@ -179,6 +179,27 @@ class CompilerSpec extends AnyFunSuite {
     assert(math.abs(cos - 1.0) < 1e-9)
   }
 
+  test("variable-only ternary over a row chain stays row-level") {
+    val df = Seq("bob").toDF("name")
+    val out = DflFrame.pipeline(df,
+      "@name | (($flag > 0) ? upper(@) : @)", Map("flag" -> 1L))
+    assert(out.head().getString(0) == "BOB")
+  }
+
+  test("dataset ternary: null condition falls to the else branch") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val out = DflFrame.pipeline(df,
+      "($limit > 0) ? limit(@, $limit) : @", Map("limit" -> null))
+    assert(out.count() == 3)
+  }
+
+  test("dataset elvis chains fall back through every unbound arm") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val out = DflFrame.pipeline(df,
+      "($a ?: ($b ?: filter(@, '@v > 1')))")
+    assert(out.count() == 2)
+  }
+
   test("droppedRows is the complement of the null-drop: good + dropped = input") {
     val df = Seq(("a", 10L), ("b", -1L), ("c", 5L)).toDF("name", "v")
     // ternary with null else-branch drops non-matching records
