@@ -36,9 +36,11 @@ object TextAnalysis {
 
   /** BPE-ish subword token estimate: runs of letters/digits count one per
     * ≤4 chars (a common ~4-chars-per-token heuristic), other glyphs one
-    * each. Deterministic and regex-only. */
+    * each. One native code-point scan; semantics identical to counting
+    * `[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]` matches (pinned by
+    * a property test and the DuckDB oracle). */
   def tokenCountBpe(c: Column): Column =
-    size(regexp_extract_all(c, lit("[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0)))
+    graft.functions.BpeF.bpeTokenCount(c)
 
   /** Small language marker sets (n-gram/stopword heuristic). Order of the
     * argmax tie-break is fixed: en > es > de > fr > und. */

@@ -65,6 +65,21 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpe_token_count equals the regex-match count on generated strings") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '-'),
+      Gen.oneOf('é', '世', 'ш'))).map(_.mkString)
+    val re = "[a-z]{1,4}|[A-Z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]".r
+    holds(Prop.forAll(strGen) { s =>
+      BpeTokenCountOpsAlias.count(UTF8String.fromString(s)) ==
+        re.findAllIn(s).size
+    })
+  }
+
+  private object BpeTokenCountOpsAlias {
+    def count(s: UTF8String): Int = graft.functions.BpeTokenCountOps.count(s)
+  }
+
   test("shingle hashes: count and distinctness match a naive implementation") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val toksGen = Gen.listOf(Gen.oneOf("a", "b", "cat", "dog", "x y", ""))
