@@ -11,6 +11,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   *   runMain graft.cli.ClientCli --base http://host:port [--token T]
   *     list <kind> | get <kind> <name> | delete <kind> <name>
   *     | add <kind> <json> | exec <services|jobs|workflows> <name> [json]
+  *     | tile <layer> <z> <x> <y> | mask <layer> <z> <x> <y> <out.png>
   *     | authenticate <user> <password>
   */
 object ClientCli {
@@ -75,6 +76,12 @@ object ClientCli {
       case "delete" :: kind :: name :: Nil => c.delete(kind, name)
       case "add" :: kind :: json :: Nil    => c.add(kind, json)
       case "exec" :: kind :: name :: tail  => c.exec(kind, name, tail.mkString(" "))
+      case "tile" :: layer :: z :: tx :: ty :: Nil =>
+        c.tile(layer, z.toInt, tx.toLong, ty.toLong)
+      case "mask" :: layer :: z :: tx :: ty :: out :: Nil =>
+        val (code, bytes) = c.maskBytes(layer, z.toInt, tx.toLong, ty.toLong)
+        java.nio.file.Files.write(java.nio.file.Paths.get(out), bytes)
+        (code, s"wrote ${bytes.length} bytes to $out")
       case other => throw new IllegalArgumentException(s"unknown command: $other")
     }
     println(body)

@@ -17,6 +17,7 @@ import graft.streaming.StreamRunner
   *     [--input-comment '#'] [--input-skip N] [--input-limit N]
   *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]...
   *     [--output-uri F|-] [--output-format f] [--output-limit N]
+  *     [--output-compression gzip|bzip2] [--output-mode overwrite|append]
   *     [--error-uri F] [--stream]
   */
 object ProcessCli {
@@ -32,6 +33,8 @@ object ProcessCli {
       vars: Map[String, Any] = Map.empty,
       outputUri: String = "-",
       outputFormat: String = "",
+      outputCompression: String = "",
+      outputMode: String = "overwrite",
       outputLimit: Option[Int] = None,
       errorUri: String = "",
       stream: Boolean = false,
@@ -57,8 +60,10 @@ object ProcessCli {
           c = c.copy(vars = c.vars + (kv.take(j) -> graft.io.TextFormats.parseScalar(kv.drop(j + 1))))
         case "--output-uri"    => c = c.copy(outputUri = next())
         case "--output-format" => c = c.copy(outputFormat = next())
-        case "--output-limit"  => c = c.copy(outputLimit = Some(next().toInt))
-        case "--error-uri"     => c = c.copy(errorUri = next())
+        case "--output-limit"       => c = c.copy(outputLimit = Some(next().toInt))
+        case "--output-compression" => c = c.copy(outputCompression = next())
+        case "--output-mode"        => c = c.copy(outputMode = next())
+        case "--error-uri"          => c = c.copy(errorUri = next())
         case "--stream"        => c = c.copy(stream = true)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -113,7 +118,8 @@ object ProcessCli {
         limited.toJSON.collect().foreach(println)
       } else {
         DataStoreIO.write(limited, c.outputUri,
-          DataStoreIO.WriteOptions(format = c.outputFormat))
+          DataStoreIO.WriteOptions(format = c.outputFormat,
+            compression = c.outputCompression, mode = c.outputMode))
       }
       // per-record error side channel (reference: cli/process.go:167-189)
       if (c.errorUri.nonEmpty && !c.stream && c.dfl.trim.nonEmpty) {
