@@ -27,12 +27,15 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   // serviceName → (datastore mtime at bind time, persisted exec variables)
   // (reference cacheKeyService). The mtime guards dataset-valued vars: a
   // `$c := ($c ?: filter(...))` binding must not outlive the source file
-  // it was planned over.
+  // it was planned over. Concurrent: the HTTP server execs services from
+  // a thread pool.
   private val serviceVarCache =
-    scala.collection.mutable.Map.empty[String, (Long, Map[String, Any])]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Map[String, Any])]
 
-  // resolvedUri → (mtimeMillis, persisted DataFrame)
+  // resolvedUri → (mtimeMillis, persisted DataFrame); guarded by its own
+  // lock so two concurrent requests don't double-read + double-persist
   private val dataFrameCache = scala.collection.mutable.Map.empty[String, (Long, DataFrame)]
+  private val dfCacheLock = new Object
 
   /** Evaluate a DFL URI template with variables bound (a table location is
     * a function of variables, reference: core/DataStore.go:79-84). */
@@ -65,14 +68,16 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   def readDataStore(ds: DataStore, vars: Map[String, Any]): DataFrame = {
     val uri = resolveUri(ds.uri, vars)
     val mtime = mtimeOf(uri)
-    dataFrameCache.get(uri) match {
-      case Some((t, df)) if t == mtime => df
-      case stale =>
-        stale.foreach(_._2.unpersist())
-        val df = DataStoreIO.read(spark, uri, DataStoreIO.ReadOptions(
-          format = ds.format, compression = ds.compression)).persist()
-        dataFrameCache(uri) = (mtime, df)
-        df
+    dfCacheLock.synchronized {
+      dataFrameCache.get(uri) match {
+        case Some((t, df)) if t == mtime => df
+        case stale =>
+          stale.foreach(_._2.unpersist())
+          val df = DataStoreIO.read(spark, uri, DataStoreIO.ReadOptions(
+            format = ds.format, compression = ds.compression)).persist()
+          dataFrameCache(uri) = (mtime, df)
+          df
+      }
     }
   }
 

@@ -102,6 +102,22 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("concurrent service execs are consistent") {
+    val (srv, client, _) = startServer()
+    try {
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futures = (1 to 12).map { i =>
+        Future(client.exec("services", "svc",
+          if (i % 2 == 0) "" else """{"variables":{"kind":"bar"}}"""))
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.forall(_._1 == 200))
+      assert(results.forall(_._2.contains("\"amenity\":\"bar\"")))
+    } finally srv.stop()
+  }
+
   test("unknown routes and entities 404") {
     val (srv, client, _) = startServer()
     try {
