@@ -167,6 +167,19 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       llm.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    "dedup_cosine_bucketed" -> ((s, dir) => {
+      // banded-LSH cosine dedup, oracle-checkable: plant near-identical
+      // copies (vec_id+10000, first component nudged) so every true pair
+      // has cosine ≈ 0.9999 — banding recall there is 1-4e-24, so the
+      // bucketed result equals the exact pair set the oracle computes
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 200)
+      val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      llm.Dedup.cosinePairsBucketed(base.unionByName(planted),
+        "vec_id", "embedding", 0.99)
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -365,6 +378,18 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                              CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    "dedup_cosine_bucketed" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |planted AS (SELECT vec_id + 10000 AS vec_id,
+        |            list_prepend(embedding[1] + 0.01::FLOAT, embedding[2:]) AS embedding
+        |       FROM base),
+        |all_v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])) >= 0.99""".stripMargin,
     "ann_topk" ->
       """SELECT e.vec_id AS id,
         |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
