@@ -116,6 +116,17 @@ object ProcessCli {
       val limited = c.outputLimit.fold(out)(out.limit)
       if (c.outputUri == "-" || c.outputUri == "stdout") {
         limited.toJSON.collect().foreach(println)
+      } else if (c.outputUri.contains("@")) {
+        // record-dependent output URI (reference: cli/process.go:231-235 +
+        // examples/geonames.sh:49): the DFL expression becomes a path
+        // column and the write fans out distributed via partitionBy
+        import org.apache.spark.sql.functions.regexp_replace
+        val pathCol = regexp_replace(
+          DflFrame.predicate(limited, c.outputUri, c.vars).cast("string"),
+          "^/+", "")
+        graft.io.DynamicSink.writeByComputedPath(limited, pathCol, "/",
+          format = if (c.outputFormat.nonEmpty) c.outputFormat else "jsonl",
+          mergeShards = true, compression = c.outputCompression)
       } else {
         DataStoreIO.write(limited, c.outputUri,
           DataStoreIO.WriteOptions(format = c.outputFormat,

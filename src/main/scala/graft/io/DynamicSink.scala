@@ -50,10 +50,14 @@ object DynamicSink {
     * parity at small scale. */
   def writeByComputedPath(df: DataFrame, pathCol: Column, outDir: String,
                           format: String = "jsonl",
-                          mergeShards: Boolean = false): Seq[String] = {
-    val tmp = outDir + "/__staging"
-    val w = df.withColumn("__path", pathCol).write
+                          mergeShards: Boolean = false,
+                          compression: String = ""): Seq[String] = {
+    val tmp = outDir.stripSuffix("/") + "/__staging"
+    val w0 = df.withColumn("__path", pathCol).write
       .mode("overwrite").partitionBy("__path")
+    // concatenated gzip members are a valid gzip stream, so merged shards
+    // stay decompressible
+    val w = if (compression.nonEmpty) w0.option("compression", compression) else w0
     format match {
       case "jsonl"   => w.json(tmp)
       case "csv"     => w.option("header", true).csv(tmp)

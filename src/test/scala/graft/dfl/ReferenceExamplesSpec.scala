@@ -52,6 +52,46 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       .getAs[Long]("population") == 0L)
   }
 
+  test("geonames.sh ingest end-to-end: tsv + header -> verbatim dfl -> dynamic gzip tile shards") {
+    assume(Files.isRegularFile(Paths.get(s"$exampleDir/geonames.dfl")))
+    // the reference run (examples/geonames.sh:21-49): tsv with supplied
+    // header, geonames.dfl with $z, per-record output URI
+    val dir = Files.createTempDirectory("graft-gsh").toString
+    val header = "geonameid\tname\tasciiname\talternatenames\tlatitude\tlongitude\t" +
+      "feature_class\tfeature_code\tcountry_code\tcc2\tadmin1_code\tadmin2_code\t" +
+      "admin3_code\tadmin4_code\tpopulation\televation\tdem\ttimezone\tmodification_date"
+    def row(id: Int, name: String, lat: String, lon: String, fc: String) =
+      s"$id\t$name\t$name\t\t$lat\t$lon\t$fc\tPPL\tUS\t\t\t\t\t\t1000\t10\t10\tUTC\t2020-01-01"
+    Files.writeString(Paths.get(s"$dir/cities.txt"), Seq(
+      row(1, "DC", "38.9", "-77.0", "P"),
+      row(2, "London", "51.5", "-0.1", "P"),
+      row(3, "BadClass", "40.7", "-74.0", "X"), // dropped by feature_class filter
+    ).mkString("\n"))
+    val cfg = graft.cli.ProcessCli.Config(
+      inputUri = s"$dir/cities.txt",
+      inputFormat = "tsv",
+      inputHeader = Some(header.split('\t').toSeq),
+      dfl = example("geonames.dfl"),
+      vars = Map("dir" -> s"$dir/out", "z" -> 6L),
+      outputUri = "$dir + \"/tiles/\" + @properties._tile_z + \"-\" + " +
+        "@properties._tile_x + \"-\" + @properties._tile_y + \".geojsonl.gz\"",
+      outputCompression = "gzip")
+    val out = graft.cli.ProcessCli.run(spark, cfg)
+    // drive the CLI's dynamic-sink branch exactly as main() does
+    import org.apache.spark.sql.functions.regexp_replace
+    val pathCol = regexp_replace(
+      DflFrame.predicate(out, cfg.outputUri, cfg.vars).cast("string"), "^/+", "")
+    val written = graft.io.DynamicSink.writeByComputedPath(out, pathCol, "/",
+      mergeShards = true, compression = "gzip")
+    assert(written.size == 2) // DC and London land in distinct z=6 tiles
+    assert(written.forall(_.matches(s".*/tiles/6-\\d+-\\d+\\.geojsonl\\.gz")))
+    // shards re-read (gzip jsonl) equal the transformed dataset
+    val back = spark.read.json(s"$dir/out/tiles/*.geojsonl.gz")
+    assert(back.count() == 2)
+    assert(back.select("properties.name").collect().map(_.getString(0)).toSet ==
+      Set("DC", "London"))
+  }
+
   test("verbatim athena.dfl transform over GeoJSON-shaped rows") {
     assume(Files.isRegularFile(Paths.get(s"$exampleDir/athena.dfl")))
     val dir = Files.createTempDirectory("graft-ath").toString
