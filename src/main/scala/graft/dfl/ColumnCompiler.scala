@@ -200,8 +200,18 @@ object ColumnCompiler {
   private def minus(l: Node, r: Node, ctx: Ctx): Column = (l, r) match {
     case (_, SetLit(items)) if items.forall(_.isInstanceOf[Lit]) && isStructish(l, ctx) =>
       compile(l, ctx).dropFields(items.map(keyName): _*)
+    // row-level histogram minus a stop-word set: drop those MAP KEYS
+    // (reference: examples/hostosm.sh:46 `hist(split(...)) - $irrelevant`)
+    case (FunCall("hist", _), _) =>
+      map_filter(compile(l, ctx), (k, _) => !array_contains(asArray(r, ctx), k))
     case (_, _: SetLit) => array_except(asArray(l, ctx), asArray(r, ctx))
-    case _              => compile(l, ctx) - compile(r, ctx)
+    // set/array difference with a variable or arrayish operand
+    // (reference: examples/hostosm.sh:40 `set(split(...)) - $irrelevant`)
+    case (_, Var(name)) if ctx.vars.get(name).exists(_.isInstanceOf[Seq[_]]) =>
+      array_except(asArray(l, ctx), asArray(r, ctx))
+    case _ if Functions.isArrayish(l, ctx) =>
+      array_except(asArray(l, ctx), asArray(r, ctx))
+    case _ => compile(l, ctx) - compile(r, ctx)
   }
 
   private def membership(l: Node, r: Node, ctx: Ctx, caseInsensitive: Boolean): Column = {
@@ -364,6 +374,13 @@ object Functions {
         }
       case "set"   => array_distinct(a(0))
       case "array" => a(0) // sets are already ArrayType columns
+      case "hist" =>
+        // row-level histogram of an ARRAY value → map(element → count)
+        // (reference: examples/hostosm.sh:46 `hist(split(@text, ' '))`
+        // over a single API document; the dataset form never reaches here)
+        val arr = a(0)
+        map_from_entries(transform(array_distinct(arr), w =>
+          struct(w, size(filter(arr, x => x === w)))))
       case "mean" =>
         val arr = a(0)
         aggregate(arr, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(arr)
@@ -388,7 +405,7 @@ object Functions {
     case other             => throw new DflParseException(s"expected int literal: ${Node.render(other)}")
   }
 
-  private def isArrayish(n: Node, ctx: Ctx): Boolean = n match {
+  private[dfl] def isArrayish(n: Node, ctx: Ctx): Boolean = n match {
     case _: Node.ArrayLit | _: Node.SetLit => true
     case Node.FunCall("split" | "set" | "array", _) => true
     case Node.Attr(name) => ctx.attrType(name).exists(_.isInstanceOf[ArrayType])

@@ -108,6 +108,25 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     assert(props.getAs[Long]("_tile_z") == 8L)
   }
 
+  test("hostosm.sh expressions: row-level set/hist minus a variable set") {
+    // reference: examples/hostosm.sh:40,46 over a single task-API document
+    val dir = Files.createTempDirectory("graft-hot").toString
+    Files.writeString(Paths.get(s"$dir/p.jsonl"),
+      """{"projectInfo":{"description":"map the water wells and the roads"}}""")
+    val df = spark.read.json(s"$dir/p.jsonl")
+    val vars = Map("irrelevant" -> Seq("the", "and"))
+    val words = DflFrame.pipeline(df,
+      "map(@, '(@projectInfo?.description == null) ? [] : " +
+        "(set(split(@projectInfo.description, ` `)) - $irrelevant)')", vars)
+      .head().getSeq[String](0).toSet
+    assert(words == Set("map", "water", "wells", "roads"))
+    val hist = DflFrame.pipeline(df,
+      "map(@, '(hist(split(@projectInfo.description, ` `)) - $irrelevant)')", vars)
+      .head().getMap[String, Int](0)
+    assert(hist.get("the").isEmpty && hist.get("and").isEmpty)
+    assert(hist("map") == 1 && hist("wells") == 1)
+  }
+
   test("verbatim mexican.dfl pipeline over a feature fixture") {
     assume(Files.isRegularFile(Paths.get(s"$exampleDir/mexican.dfl")))
     val dir = Files.createTempDirectory("graft-mex").toString
