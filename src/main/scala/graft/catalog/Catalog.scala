@@ -117,17 +117,24 @@ final class Catalog {
         "compression" -> d.compression, "extent" -> d.extent.toList)).toList,
       "layers" -> layers.values.map(l => Map(
         "name" -> l.name, "datastore" -> l.datastore, "expression" -> l.expression,
+        "title" -> l.title, "description" -> l.description,
         "defaults" -> l.defaults, "extent" -> l.extent.toList, "tags" -> l.tags.toList)).toList,
       "processes" -> processes.values.map(p => Map(
-        "name" -> p.name, "expression" -> p.expression, "tags" -> p.tags.toList)).toList,
+        "name" -> p.name, "expression" -> p.expression,
+        "title" -> p.title, "description" -> p.description,
+        "tags" -> p.tags.toList)).toList,
       "services" -> services.values.map(s => Map(
         "name" -> s.name, "datastore" -> s.datastore, "process" -> s.process,
+        "title" -> s.title, "description" -> s.description,
         "defaults" -> s.defaults, "tags" -> s.tags.toList)).toList,
       "jobs" -> jobs.values.map(j => Map(
-        "name" -> j.name, "service" -> j.service, "variables" -> j.variables,
-        "output" -> j.output.orNull)).toList,
+        "name" -> j.name, "service" -> j.service,
+        "title" -> j.title, "description" -> j.description,
+        "variables" -> j.variables, "output" -> j.output.orNull)).toList,
       "workflows" -> workflows.values.map(w => Map(
-        "name" -> w.name, "jobs" -> w.jobs.toList, "variables" -> w.variables)).toList,
+        "name" -> w.name, "jobs" -> w.jobs.toList,
+        "title" -> w.title, "description" -> w.description,
+        "variables" -> w.variables)).toList,
     )
   }
 

@@ -40,7 +40,16 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   /** Evaluate a DFL URI template with variables bound (a table location is
     * a function of variables, reference: core/DataStore.go:79-84). */
   def resolveUri(uriDfl: String, vars: Map[String, Any]): String = {
-    // a bare path (not valid DFL, e.g. "/data/places.jsonl") is itself
+    // a URI is a DFL expression only when it references variables —
+    // plain paths (absolute OR relative; "data/places.jsonl" happens to
+    // parse as DFL division) are themselves, modulo literal quoting
+    if (!uriDfl.contains("$")) {
+      val t = uriDfl.trim
+      return if (t.length >= 2 &&
+          ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
+        t.substring(1, t.length - 1)
+      else uriDfl
+    }
     val node = try Parser.parse(uriDfl) catch {
       case _: graft.dfl.DflParseException => return uriDfl
     }

@@ -328,9 +328,11 @@ object Functions {
     name match {
       case "split" => args(1) match {
         // DFL split takes a LITERAL separator (reference: examples/osm.sh:74);
-        // Spark's split takes a regex, so quote it.
+        // Spark's split takes a regex, so quote it. A dynamic separator
+        // column goes through the SQL form with \Q…\E per-row quoting.
         case Lit(sep: String) => split(a(0), java.util.regex.Pattern.quote(sep))
-        case _                => split(a(0), a(1).toString)
+        case _ => call_function("split", a(0),
+          concat(lit("\\Q"), a(1).cast(StringType), lit("\\E")))
       }
       case "lower"    => lower(a(0))
       case "upper"    => upper(a(0))
@@ -362,7 +364,8 @@ object Functions {
       // analogue is a JSON string column, SURVEY.md §1.5)
       case "jsonGet" => args(1) match {
         case Lit(key: String) => get_json_object(a(0), "$." + key)
-        case _                => get_json_object(a(0), a(1).toString)
+        case _ => call_function("get_json_object", a(0),
+          concat(lit("$."), a(1).cast(StringType)))
       }
       // row-level shapes of the dataset functions:
       case "len" =>

@@ -169,7 +169,8 @@ object DflFrame {
       case NullLit          => df.limit(0) // null branch drops every record
       case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
         datasetOp(df, name, args, scalarVars)
-      case FunCall("array", List(inner: FunCall)) if datasetFns(inner.name) =>
+      case FunCall("array", List(inner: FunCall))
+          if datasetFns(inner.name) && isDatasetArg(inner.args.headOption) =>
         datasetOp(df, inner.name, inner.args, scalarVars)
       case d: DictLit if referencesDataset(d) => assembleDict(df, d, scalarVars)
       case other => throw new DflParseException(
@@ -220,7 +221,8 @@ object DflFrame {
         flush()
         df = datasetOp(df, name, args, scalarVars)
 
-      case fc @ FunCall("array", List(inner: FunCall)) if datasetFns(inner.name) =>
+      case fc @ FunCall("array", List(inner: FunCall))
+          if datasetFns(inner.name) && isDatasetArg(inner.args.headOption) =>
         flush()
         df = datasetOp(df, inner.name, inner.args, scalarVars)
         val _ = fc // array(set(@)) — set already yields rows; array is a no-op
@@ -310,7 +312,8 @@ object DflFrame {
     * DATASET rather than a single row. */
   private def isDatasetStage(n: Node): Boolean = n match {
     case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) => true
-    case FunCall("array", List(inner: FunCall)) if datasetFns(inner.name)         => true
+    case FunCall("array", List(inner: FunCall))
+        if datasetFns(inner.name) && isDatasetArg(inner.args.headOption)          => true
     case Binary("-", FunCall(name, fargs), _)
         if datasetFns(name) && isDatasetArg(fargs.headOption)                     => true
     case d: DictLit if referencesDataset(d)                                       => true

@@ -46,6 +46,7 @@ object Lexer {
     val src = stripComments(srcRaw)
     val out = Vector.newBuilder[Token]
     var i = 0
+    var prevWord = "" // last bare word, for like/ilike pattern position
     val n = src.length
     def peek(k: Int): Char = if (i + k < n) src.charAt(i + k) else '\u0000'
     while (i < n) {
@@ -72,10 +73,17 @@ object Lexer {
           out += TFloat(src.substring(start, i).toDouble)
         } else out += TInt(src.substring(start, i).toLong)
       } else if (c.isLetter || c == '_' || c == '%' && peek(1).isLetter) {
-        // bare word: letters, digits, '_' and '%' (ilike patterns like %taco%)
+        // bare word: letters, digits, '_'. '%' joins the word only at the
+        // start or when the word follows like/ilike (pattern position,
+        // e.g. `%taco%`, `ta%co`) — otherwise `@qty%2` must lex as
+        // qty MOD 2, not one attribute name
+        val inPattern = prevWord == "like" || prevWord == "ilike" || c == '%'
         val start = i
-        while (i < n && { val d = src.charAt(i); d.isLetterOrDigit || d == '_' || d == '%' }) i += 1
-        out += TWord(src.substring(start, i))
+        while (i < n && { val d = src.charAt(i)
+          d.isLetterOrDigit || d == '_' || (d == '%' && inPattern) }) i += 1
+        val w = src.substring(start, i)
+        prevWord = w
+        out += TWord(w)
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         if (multiCharOps.contains(two)) { out += TOp(two); i += 2 }

@@ -153,8 +153,12 @@ object DataStoreIO {
       val sb = new StringBuilder
       var entry = zis.getNextEntry
       while (entry != null) {
-        if (!entry.isDirectory)
+        if (!entry.isDirectory) {
+          // newline-separate entries so the last line of one entry never
+          // merges with the first line of the next
+          if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
           sb.append(new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        }
         entry = zis.getNextEntry
       }
       sb.toString.linesIterator.toSeq.toDS()
@@ -287,7 +291,18 @@ object DataStoreIO {
     val out: java.io.OutputStream = compression match {
       case "gzip" => new java.util.zip.GZIPOutputStream(
         java.nio.file.Files.newOutputStream(path))
-      case _ => java.nio.file.Files.newOutputStream(path)
+      case "bzip2" =>
+        // commons-compress ships with Spark
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+          java.nio.file.Files.newOutputStream(path))
+      case "zip" =>
+        val z = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(path))
+        z.putNextEntry(new java.util.zip.ZipEntry(
+          path.getFileName.toString.stripSuffix(".zip")))
+        z
+      case "" | "none" => java.nio.file.Files.newOutputStream(path)
+      case other => throw new UnsupportedOperationException(
+        s"driver-file compression: $other")
     }
     try out.write(bytes) finally out.close()
   }

@@ -97,8 +97,9 @@ object DynamicSink {
       }
     } finally stream.close()
     // drop staging leftovers (merge mode leaves the original dirs behind)
-    if (mergeShards) deleteRecursively(staging.toFile)
-    else Files.deleteIfExists(staging)
+    // Spark leaves _SUCCESS (+ .crc) markers at the staging root, so the
+    // directory is never empty — always delete recursively
+    deleteRecursively(staging.toFile)
     written.toList.sorted
   }
 

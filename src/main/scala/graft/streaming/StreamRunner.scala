@@ -25,14 +25,26 @@ object StreamRunner {
 
   val streamableFormats: Set[String] = Set("csv", "tsv", "jsonl")
 
-  private val unstreamableFns = Seq("sort(", "limit(", "set(", "len(", "bbox(")
+  private val unstreamableFns = Set("sort", "limit", "set", "len", "bbox")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),
       s"format '$format' is not streamable (streamable: ${streamableFormats.mkString(", ")})")
-    unstreamableFns.find(f => dflSrc.contains(f)).foreach { f =>
+    // inspect the parsed stages: only DATASET-level uses of the global
+    // operators are unstreamable — row-level len(@name)/set(@tags) inside
+    // a map expression are fine
+    import graft.dfl.Node
+    val stages = graft.dfl.Parser.parse(dflSrc) match {
+      case Node.Pipe(ss) => ss
+      case single        => List(single)
+    }
+    def datasetUse(n: Node): Option[String] = n match {
+      case Node.FunCall(name, Node.Attr("") :: _) if unstreamableFns(name) => Some(name)
+      case other => Node.childrenOf(other).flatMap(datasetUse).headOption
+    }
+    stages.flatMap(datasetUse).headOption.foreach { f =>
       throw new IllegalArgumentException(
-        s"dataset operator ${f.dropRight(1)} requires whole-dataset context; not valid with --stream")
+        s"dataset operator $f requires whole-dataset context; not valid with --stream")
     }
   }
 

@@ -179,6 +179,30 @@ class CompilerSpec extends AnyFunSuite {
     assert(math.abs(cos - 1.0) < 1e-9)
   }
 
+  test("modulo without spaces lexes as an operator, patterns keep %") {
+    val df = Seq(4L, 5L).toDF("qty")
+    assert(DflFrame.pipeline(df, "filter(@, '@qty%2 == 0')").count() == 1)
+    // ilike patterns still carry % mid-word
+    val names = Seq("taco town").toDF("name")
+    assert(DflFrame.pipeline(names, "filter(@, '@name ilike ta%wn')").count() == 1)
+  }
+
+  test("row-level array(set(@col)) dedupes per row, not the dataset") {
+    val df = Seq((1L, Seq("a", "b", "a")), (2L, Seq("a", "b", "a"))).toDF("id", "tags")
+    val out = DflFrame.pipeline(df, "map(@, '{id: @id, t: array(set(@tags))}')")
+    assert(out.count() == 2) // both rows survive — no dataset distinct
+    assert(out.filter("id = 1").head().getSeq[String](1) == Seq("a", "b"))
+  }
+
+  test("dynamic split separator and json key are evaluated per row") {
+    val df = Seq(("a;b;c", ";", """{"k1":7}""", "k1")).toDF("s", "sep", "j", "key")
+    val out = DflFrame.pipeline(df,
+      "map(@, '{n: len(split(@s, @sep)), v: int64(jsonGet(@j, @key))}')")
+      .head()
+    assert(out.getAs[Int]("n") == 3)
+    assert(out.getAs[Long]("v") == 7L)
+  }
+
   test("variable-only ternary over a row chain stays row-level") {
     val df = Seq("bob").toDF("name")
     val out = DflFrame.pipeline(df,

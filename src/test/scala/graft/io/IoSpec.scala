@@ -86,6 +86,28 @@ class IoSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("multi-entry zip without trailing newlines keeps records separate") {
+    val dir = tmpDir()
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(s"$dir/two.jsonl.zip")))
+    zos.putNextEntry(new java.util.zip.ZipEntry("a.jsonl"))
+    zos.write("""{"v":1}""".getBytes) // no trailing newline
+    zos.putNextEntry(new java.util.zip.ZipEntry("b.jsonl"))
+    zos.write("""{"v":2}""".getBytes)
+    zos.close()
+    val df = DataStoreIO.read(spark, s"$dir/two.jsonl.zip")
+    assert(df.count() == 2)
+    assert(df.select("v").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("driver-side writes honor bzip2 compression") {
+    val dir = tmpDir()
+    val df = Seq((1L, "x")).toDF("id", "v")
+    DataStoreIO.write(df, s"$dir/out.yaml.bz2")
+    val back = DataStoreIO.read(spark, s"$dir/out.yaml.bz2")
+    assert(back.count() == 1)
+  }
+
   test("properties / yaml / toml parse and read") {
     val dir = tmpDir()
     Files.writeString(Paths.get(s"$dir/conf.properties"),
