@@ -78,8 +78,10 @@ object Node {
     case Attr("")             => "@"
     case Attr(name)           => "@" + name
     case Var(name)            => "$" + name
-    case Prop(t, name, ns)    => render(t) + (if (ns) "?." else ".") + name
-    case Index(t, i)          => s"${render(t)}[${render(i)}]"
+    // postfix access binds tightest: compound targets must parenthesize
+    // (`(a and b)[1]`, never `a and b[1]`)
+    case Prop(t, name, ns)    => renderP(t) + (if (ns) "?." else ".") + name
+    case Index(t, i)          => s"${renderP(t)}[${render(i)}]"
     case ArrayLit(items)      => items.map(render).mkString("[", ", ", "]")
     case SetLit(items)        => items.map(render).mkString("{", ", ", "}")
     case DictLit(entries)     =>
