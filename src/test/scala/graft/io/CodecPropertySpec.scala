@@ -65,6 +65,44 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("yaml render/parse is the identity on generated nested documents") {
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.identifier.map(_.take(10): Any),
+      Gen.chooseNum(-100000L, 100000L).map(identity[Any]),
+      Gen.oneOf(true, false).map(identity[Any]),
+    )
+    def docGen(depth: Int): Gen[Map[String, Any]] = for {
+      n <- Gen.chooseNum(1, 5)
+      keys <- Gen.listOfN(n, Gen.identifier.map(_.take(10)))
+      vals <- Gen.listOfN(n,
+        if (depth <= 0) scalar
+        else Gen.frequency[Any](
+          4 -> scalar,
+          1 -> Gen.nonEmptyListOf(scalar).map(_.take(4).toList: Any),
+          1 -> docGen(depth - 1),
+        ))
+    } yield keys.zip(vals).toMap
+    holds(Prop.forAll(docGen(2)) { m =>
+      TextFormats.parseYaml(TextFormats.renderYaml(m)) == m
+    })
+  }
+
+  test("toml render/parse is the identity on flat scalar records") {
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.identifier.map(_.take(10): Any),
+      Gen.chooseNum(-100000L, 100000L).map(identity[Any]),
+      Gen.oneOf(true, false).map(identity[Any]),
+    )
+    val rec = for {
+      n <- Gen.chooseNum(1, 6)
+      keys <- Gen.listOfN(n, Gen.identifier.map(_.take(10)))
+      vals <- Gen.listOfN(n, scalar)
+    } yield keys.zip(vals).toMap
+    holds(Prop.forAll(rec) { m =>
+      TextFormats.parseToml(TextFormats.renderToml(m)) == m
+    })
+  }
+
   test("bpe_token_count equals the regex-match count on generated strings") {
     val strGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '-'),
