@@ -95,8 +95,10 @@ object TextFormats {
         if (after.isEmpty) {
           val (v, next) = parseYamlBlock(lines, i + 1, indent + 2)
           items += v; i = next
-        } else if (after.contains(":") && !after.startsWith("{")) {
-          // inline first key of a nested map item: "- k: v"
+        } else if (after.contains(":") && !after.startsWith("{") &&
+            !after.startsWith("\"") && !after.startsWith("'")) {
+          // inline first key of a nested map item: "- k: v" (a QUOTED
+          // leading token is a scalar, however many colons it contains)
           val synthetic = (" " * (indent + 2)) + after
           val (v, next) = parseYamlBlock(lines.patch(i, Seq(synthetic), 1), i, indent + 2)
           items += v; i = next
@@ -129,10 +131,14 @@ object TextFormats {
     val pad = " " * indent
     v match {
       case m: Map[_, _] =>
+        // keys that would not survive the line split (empty, padded)
+        // are quoted; colon-bearing keys are not representable
+        def keyStr(k: String): String =
+          if (k.isEmpty || k != k.trim) "\"" + k + "\"" else k
         m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).map {
-          case (k, mv: Map[_, _]) => s"$pad$k:\n${renderYaml(mv, indent + 2)}"
-          case (k, lv: Seq[_])    => s"$pad$k:\n${renderYaml(lv, indent + 2)}"
-          case (k, sv)            => s"$pad$k: ${scalarStr(sv)}"
+          case (k, mv: Map[_, _]) => s"$pad${keyStr(k)}:\n${renderYaml(mv, indent + 2)}"
+          case (k, lv: Seq[_])    => s"$pad${keyStr(k)}:\n${renderYaml(lv, indent + 2)}"
+          case (k, sv)            => s"$pad${keyStr(k)}: ${scalarStr(sv)}"
         }.mkString("\n")
       case s: Seq[_] =>
         s.map {
@@ -175,21 +181,57 @@ object TextFormats {
 
   def parseScalar(s: String): Any = {
     val t = s.trim
-    if (t == "true") true
+    if (t.length >= 2 && t.head == '"' && t.last == '"')
+      unescapeDq(t.substring(1, t.length - 1)) // quoted → always a string
+    else if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1)
+    else if (t == "true") true
     else if (t == "false") false
     else if (t == "null" || t == "~") null
     else if (t.matches("-?\\d+")) t.toLong
     else if (t.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?")) t.toDouble
-    else stripQuotes(t)
+    else t
   }
 
-  private def stripQuotes(s: String): String =
+  private[io] def stripQuotes(s: String): String =
     if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
       s.substring(1, s.length - 1)
     else s
 
+  private def unescapeDq(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        sb += (s.charAt(i + 1) match {
+          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+          case other => other
+        })
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Does a string scalar need double-quoting to survive a round trip?
+    * Unquoted YAML re-parses bools/numbers/null by value, trims
+    * whitespace, and cannot carry newlines (catalog Process expressions
+    * are often multi-line DFL — reference: examples/geonames.dfl). */
+  private def needsQuoting(s: String): Boolean =
+    s.isEmpty || s != s.trim ||
+      s.exists(c => c == '\n' || c == '\r' || c == '\t') ||
+      s == "true" || s == "false" || s == "null" || s == "~" ||
+      s.matches("-?\\d+") || s.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?") ||
+      s.head == '"' || s.head == '\'' || s.head == '#' ||
+      s.startsWith("- ") || s == "-" ||
+      s.contains(": ") || s.endsWith(":")
+
   private def scalarStr(v: Any): String = v match {
-    case null      => "null"
+    case null => "null"
+    case s: String if needsQuoting(s) =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
     case s: String => s
     case other     => other.toString
   }

@@ -70,6 +70,11 @@ class CodecPropertySpec extends AnyFunSuite {
       Gen.identifier.map(_.take(10): Any),
       Gen.chooseNum(-100000L, 100000L).map(identity[Any]),
       Gen.oneOf(true, false).map(identity[Any]),
+      // adversarial strings: empty, whitespace-y, multi-line, type-lookalike,
+      // DFL-expression-shaped (the real catalog payload)
+      Gen.oneOf[Any]("", " lead", "trail ", "a\nb", "x\ty", "true", "123",
+        "1.5", "null", "filter(@, '@x == $kind')", "a: b", "'quoted'",
+        "\"dq\"", "# hash", "- dash"),
     )
     def docGen(depth: Int): Gen[Map[String, Any]] = for {
       n <- Gen.chooseNum(1, 5)
