@@ -32,6 +32,9 @@ class AstPropertySpec extends AnyFunSuite {
     Gen.chooseNum(0, 999).map(n => Lit(n + 0.5)),
     Gen.oneOf(true, false).map(Lit(_)),
     Gen.alphaNumStr.map(s => Lit(s.take(10))),
+    // strings whose rendering must escape or quote correctly
+    Gen.oneOf("it's", "back\\slash", "two''quotes", "\"dq\"", "a b",
+      "%pat%", "and", "null", "1.5", ", comma", "(paren").map(Lit(_)),
     Gen.const(NullLit),
   )
 
