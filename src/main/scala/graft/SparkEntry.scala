@@ -247,8 +247,12 @@ object SparkEntry {
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%a%'",
     "filter_ilike" ->
       "SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE lower('%econ%')",
+    // `value IS NULL OR` pins the DFL semantics explicitly: a null ternary
+    // condition falls to the otherwise branch (`@`, non-null), so null-valued
+    // rows are KEPT — the previous `WHERE NOT (value < 50.0)` matched only
+    // because the generated events table happens to contain no nulls
     "ternary_null_drop" ->
-      "SELECT event_id, value FROM events WHERE NOT (value < 50.0)",
+      "SELECT event_id, value FROM events WHERE value IS NULL OR NOT (value < 50.0)",
     "elvis_default" ->
       "SELECT event_id, coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1.0) AS v FROM events",
     "intersects_words" ->

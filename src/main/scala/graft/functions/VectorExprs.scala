@@ -61,7 +61,12 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += read(x, i, lt) * read(y, i, rt); i += 1 }
+    while (i < n) {
+      // a null element poisons the whole product → null result, matching
+      // the zip_with/aggregate semantics this expression replaces
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += read(x, i, lt) * read(y, i, rt); i += 1
+    }
     s
   }
 
@@ -80,6 +85,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val s = ctx.freshName("s")
       val la = accessor(elemType(left))
       val ra = accessor(elemType(right))
+      // null element → null result, mirroring nullSafeEval
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -87,9 +93,10 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += ((double) $a.$la($i)) * ((double) $b.$ra($i));
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

@@ -51,6 +51,9 @@ object FormatInfer {
       case ".properties" | ".props" | ".prop" => "properties"
       case ".tf" | ".hcl"                 => "hcl"
       case ".toml"                        => "toml"
+      // not in the reference's table, but this engine's primary format —
+      // DataStoreIO reads/writes it and Server.formats advertises it
+      case ".parquet"                     => "parquet"
       case _                              => ""
     }
     if (format.isEmpty) Inferred(base, "", compression)

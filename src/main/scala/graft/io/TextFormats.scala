@@ -237,7 +237,14 @@ object TextFormats {
   }
 
   private def tomlValue(v: Any): String = v match {
-    case s: String  => "\"" + s.replace("\"", "\\\"") + "\""
+    // mirror scalarStr's escape set: parseScalar/unescapeDq consumes
+    // \\ \n \t \r on read, so the writer must produce them — otherwise a
+    // backslash-bearing value (DFL \Q...\E, Windows path) loses its
+    // backslash on a round trip, and a raw newline inside the quotes
+    // breaks the line-based parseToml entirely
+    case s: String  =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
     case xs: Seq[_] => xs.map(tomlValue).mkString("[", ", ", "]")
     case other      => String.valueOf(other)
   }

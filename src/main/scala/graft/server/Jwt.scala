@@ -18,7 +18,10 @@ final class Jwt(keys: KeyPair) {
   def sign(subject: String, ttlSeconds: Long = 3600,
            nowSeconds: Long = System.currentTimeMillis() / 1000): String = {
     val header = """{"alg":"RS512","typ":"JWT"}"""
-    val payload = s"""{"sub":"$subject","iat":$nowSeconds,"exp":${nowSeconds + ttlSeconds}}"""
+    // JSON-escape the subject: today's only subject is the constant "root",
+    // but a raw interpolation would let a future caller inject payload claims
+    val sub = graft.io.TextFormats.toJson(subject)
+    val payload = s"""{"sub":$sub,"iat":$nowSeconds,"exp":${nowSeconds + ttlSeconds}}"""
     val signingInput = b64(header.getBytes("UTF-8")) + "." + b64(payload.getBytes("UTF-8"))
     val sig = Signature.getInstance("SHA512withRSA")
     sig.initSign(keys.getPrivate)

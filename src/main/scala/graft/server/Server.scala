@@ -81,7 +81,10 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
       case ("POST", "authenticate" :: Nil) =>
         val body = Catalog.parseJsonDoc(readBody(x))
         val (u, p) = (body.getOrElse("username", ""), body.getOrElse("password", ""))
-        if (u == "root" && p == rootPassword)
+        // constant-time comparison: a == on secrets leaks length/prefix timing
+        def ctEq(a: Any, b: String): Boolean = java.security.MessageDigest.isEqual(
+          String.valueOf(a).getBytes(UTF_8), b.getBytes(UTF_8))
+        if (ctEq(u, "root") && ctEq(p, rootPassword))
           respond(x, 200, render(ext, Map("token" -> jwt.sign("root"))))
         else respond(x, 401, errBody(x, "invalid credentials"))
 

@@ -35,6 +35,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("vector_dot is null on a null element, in both eval paths") {
+    GraftExtensions.install(spark)
+    // non-foldable source → codegen path; literal view → interpreted path
+    spark.range(2).selectExpr(
+      "array(cast(id AS double), 2.0d) AS a",
+      "CASE WHEN id = 0 THEN array(3.0d, NULL) ELSE array(3.0d, 4.0d) END AS b")
+      .createOrReplaceTempView("vecs_null")
+    val gen = spark.sql("SELECT vector_dot(a, b) AS d FROM vecs_null ORDER BY d NULLS FIRST").collect()
+    assert(gen(0).isNullAt(0))        // null element poisons the product
+    assert(gen(1).getDouble(0) == 11.0)
+    val interp = graft.functions.VectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0, null),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)))
+      .eval(null)
+    assert(interp == null)
+  }
+
   test("collapse_ws matches regexp_replace(\\s+) exactly, incl. unicode") {
     import org.apache.spark.sql.functions._
     val inputs = Seq(

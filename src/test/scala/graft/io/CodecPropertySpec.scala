@@ -97,6 +97,14 @@ class CodecPropertySpec extends AnyFunSuite {
       Gen.identifier.map(_.take(10): Any),
       Gen.chooseNum(-100000L, 100000L).map(identity[Any]),
       Gen.oneOf(true, false).map(identity[Any]),
+      // the YAML property's adversarial set, plus backslash payloads
+      // (DFL \Q...\E patterns, Windows paths) that previously lost their
+      // backslash — or failed to reload at all (raw newline) — on a
+      // TOML round trip
+      Gen.oneOf[Any]("", " lead", "trail ", "a\nb", "x\ty", "cr\rlf",
+        "true", "123", "1.5", "null", "filter(@, '@x == $kind')",
+        "a: b", "'quoted'", "\"dq\"", "# hash", "- dash",
+        "\\Qa.b\\E", "C:\\path\\to", "end\\", "k = v"),
     )
     val rec = for {
       n <- Gen.chooseNum(1, 6)

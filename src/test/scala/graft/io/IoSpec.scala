@@ -27,6 +27,8 @@ class IoSpec extends AnyFunSuite {
     assert(split("c.json.gz.enc") == Inferred("c", "json", "gzip"))
     assert(split("noext") == Inferred("noext", "", ""))
     assert(split("d.sz") == Inferred("d", "", "snappy"))
+    // beyond the reference table: the engine's own primary format
+    assert(split("e.parquet") == Inferred("e", "parquet", ""))
   }
 
   test("csv with header, comment, skip, and limit") {
