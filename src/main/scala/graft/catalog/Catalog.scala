@@ -85,6 +85,29 @@ final class Catalog {
     }
   }
 
+  /** Replace an existing entity in place (reference: PUT/POST on the item
+    * route updates it — handlers/ItemHandler.go:173-196, router registration
+    * router/RailgunRouter.go:166,173). Keyed by name; the entity must
+    * already exist, and the same referential-integrity checks as [[add]]
+    * apply. LinkedHashMap keeps the original insertion position, so the
+    * catalog's referential ordering survives an update (unlike
+    * delete+re-add). */
+  def update(e: Any): Unit = lock.synchronized {
+    val (kind, name) = e match {
+      case x: Workspace => ("workspaces", x.name)
+      case x: DataStore => ("datastores", x.name)
+      case x: Layer     => ("layers", x.name)
+      case x: Process   => ("processes", x.name)
+      case x: Service   => ("services", x.name)
+      case x: Job       => ("jobs", x.name)
+      case x: Workflow  => ("workflows", x.name)
+      case other => throw new IllegalArgumentException(s"not a catalog entity: $other")
+    }
+    if (!tableFor(kind).contains(name))
+      throw new NoSuchElementException(s"$kind/$name not found")
+    add(e)
+  }
+
   def delete(kind: String, name: String): Boolean = lock.synchronized {
     tableFor(kind).remove(name).isDefined
   }

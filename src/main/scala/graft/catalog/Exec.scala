@@ -37,6 +37,11 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   private val dataFrameCache = scala.collection.mutable.Map.empty[String, (Long, DataFrame)]
   private val dfCacheLock = new Object
 
+  /** Drop all cached service variables — called after a catalog mutation,
+    * since cached dataset-valued vars may have been planned over an entity
+    * (process expression, datastore URI) that just changed. */
+  def invalidateServiceVars(): Unit = serviceVarCache.clear()
+
   /** Evaluate a DFL URI template with variables bound (a table location is
     * a function of variables, reference: core/DataStore.go:79-84). */
   def resolveUri(uriDfl: String, vars: Map[String, Any]): String = {

@@ -10,7 +10,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * Usage:
   *   runMain graft.cli.ClientCli --base http://host:port [--token T]
   *     list <kind> | get <kind> <name> | delete <kind> <name>
-  *     | add <kind> <json> | exec <services|jobs|workflows> <name> [json]
+  *     | add <kind> <json> | update <kind> <name> <json>
+  *     | exec <services|jobs|workflows> <name> [json]
   *     | tile <layer> <z> <x> <y> | mask <layer> <z> <x> <y> <out.png>
   *     | authenticate <user> <password>
   */
@@ -44,6 +45,9 @@ object ClientCli {
       send(req(s"/$kind/$name.json").DELETE().build())
     def add(kind: String, json: String): (Int, String) =
       send(req(s"/$kind.json").POST(HttpRequest.BodyPublishers.ofString(json)).build())
+    def update(kind: String, name: String, json: String): (Int, String) =
+      send(req(s"/$kind/$name.json")
+        .PUT(HttpRequest.BodyPublishers.ofString(json)).build())
     def exec(kind: String, name: String, body: String = ""): (Int, String) =
       send(req(s"/$kind/$name/exec.json")
         .POST(HttpRequest.BodyPublishers.ofString(body)).build())
@@ -75,6 +79,7 @@ object ClientCli {
       case "get" :: kind :: name :: Nil    => c.get(kind, name)
       case "delete" :: kind :: name :: Nil => c.delete(kind, name)
       case "add" :: kind :: json :: Nil    => c.add(kind, json)
+      case "update" :: kind :: name :: json :: Nil => c.update(kind, name, json)
       case "exec" :: kind :: name :: tail  => c.exec(kind, name, tail.mkString(" "))
       case "tile" :: layer :: z :: tx :: ty :: Nil =>
         c.tile(layer, z.toInt, tx.toLong, ty.toLong)

@@ -35,7 +35,11 @@ object Main {
       if (catalogPath.nonEmpty) Catalog.load(catalogPath)
       else if (demo) demoCatalog()
       else new Catalog
-    val server = new Server(spark, new Exec(spark, catalog), port, rootPassword)
+    // when serving a loaded catalog, persist mutations back to the same uri
+    // (reference: cli/serve.go loads catalog-uri at boot; handlers save it
+    // after every mutation — catalog/Catalog.go:42-146)
+    val server = new Server(spark, new Exec(spark, catalog), port, rootPassword,
+      catalogUri = Option(catalogPath).filter(_.nonEmpty))
     server.start()
     println(s"graft server listening on :${server.boundPort}")
     Thread.currentThread().join()

@@ -30,7 +30,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   GET /health.{ext}
   */
 final class Server(spark: SparkSession, val exec: Exec, port: Int,
-                   rootPassword: String = "secret") {
+                   rootPassword: String = "secret",
+                   catalogUri: Option[String] = None) {
 
   private val jwt = Jwt.generate()
   private val tiles = new TileService(spark, exec)
@@ -106,7 +107,7 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
           "/dfl/functions.{ext}" -> Seq("get"),
           "/gss/formats.{ext}" -> Seq("get"),
           "/{kind}.{ext}" -> Seq("get", "post"),
-          "/{kind}/{name}.{ext}" -> Seq("get", "delete"),
+          "/{kind}/{name}.{ext}" -> Seq("get", "post", "put", "delete"),
           "/services/{name}/exec.{ext}" -> Seq("post"),
           "/jobs/{name}/exec.{ext}" -> Seq("post"),
           "/workflows/{name}/exec.{ext}" -> Seq("post"),
@@ -129,6 +130,7 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val tmp = Catalog.fromMaps(Map(kind -> List(doc)) ++ referenced(kind))
         val added = tmp.list(kind).head
         exec.catalog.add(added)
+        persist()
         respond(x, 200, render(ext, Map("added" -> nameOf(added))))
 
       case ("GET", kind :: name :: Nil) if kinds(kind) =>
@@ -137,11 +139,32 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
           case None    => respond(x, 404, errBody(x, s"$kind/$name not found"))
         }
 
+      // update an existing entity in place — the reference registers both
+      // POST and PUT on the item route (router/RailgunRouter.go:166,173;
+      // handlers/ItemHandler.go:173-196 "updated")
+      case ("PUT" | "POST", kind :: name :: Nil) if kinds(kind) =>
+        requireAuth(x)
+        val doc0 = Catalog.parseJsonDoc(readBody(x))
+        doc0.get("name").foreach { n =>
+          if (n != name) throw new IllegalArgumentException(
+            s"body name '$n' does not match path name '$name'")
+        }
+        val doc = doc0 + ("name" -> name)
+        val tmp = Catalog.fromMaps(Map(kind -> List(doc)) ++ referenced(kind))
+        val updated = tmp.list(kind).head
+        exec.catalog.update(updated)
+        // cached dataset vars may be planned over the old definition
+        exec.invalidateServiceVars()
+        persist()
+        respond(x, 200, render(ext, Map("updated" -> name)))
+
       case ("DELETE", kind :: name :: Nil) if kinds(kind) =>
         requireAuth(x)
-        if (exec.catalog.delete(kind, name))
+        if (exec.catalog.delete(kind, name)) {
+          exec.invalidateServiceVars()
+          persist()
           respond(x, 200, render(ext, Map("deleted" -> name)))
-        else respond(x, 404, errBody(x, s"$kind/$name not found"))
+        } else respond(x, 404, errBody(x, s"$kind/$name not found"))
 
       case ("POST", "services" :: name :: "exec" :: Nil) =>
         val body = readBody(x)
@@ -179,6 +202,11 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
       case _ => respond(x, 404, errBody(x, s"no route: $method $path"))
     }
   }
+
+  /** Save the catalog back to its URI after every successful mutation
+    * (reference: catalog/Catalog.go:42-146 saves on each handler mutation;
+    * without this a server restart silently loses HTTP-made changes). */
+  private def persist(): Unit = catalogUri.foreach(exec.catalog.save)
 
   // include referenced entities so fromMaps integrity checks pass
   private def referenced(kind: String): Map[String, Any] = {

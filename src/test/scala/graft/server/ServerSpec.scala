@@ -10,7 +10,7 @@ import java.nio.file.{Files, Paths}
 class ServerSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def startServer(): (Server, Client, String) = {
+  private def startServer(catalogUri: Option[String] = None): (Server, Client, String) = {
     val dir = Files.createTempDirectory("graft-srv").toString
     Files.writeString(Paths.get(s"$dir/features.jsonl"), Seq(
       """{"type":"Feature","properties":{"name":"dc1","amenity":"bar"},"geometry":{"type":"Point","coordinates":[-77.01,38.9]}}""",
@@ -27,7 +27,8 @@ class ServerSpec extends AnyFunSuite {
       val s = new java.net.ServerSocket(0)
       try s.getLocalPort finally s.close()
     }
-    val srv = new Server(spark, new Exec(spark, c), port, rootPassword = "pw")
+    val srv = new Server(spark, new Exec(spark, c), port, rootPassword = "pw",
+      catalogUri = catalogUri)
     srv.start()
     (srv, new Client(s"http://localhost:$port"), dir)
   }
@@ -116,6 +117,56 @@ class ServerSpec extends AnyFunSuite {
       assert(results.forall(_._1 == 200))
       assert(results.forall(_._2.contains("\"amenity\":\"bar\"")))
     } finally srv.stop()
+  }
+
+  test("update edits an entity in place and takes effect on the next exec") {
+    val (srv, client, _) = startServer()
+    try {
+      val (_, body) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+
+      // unauthenticated update rejected; unknown entity 404s; name mismatch 400s
+      assert(client.update("processes", "by_amenity",
+        """{"expression":"filter(@, '@properties?.amenity == cafe')"}""")._1 == 400)
+      assert(authed.update("processes", "nope", """{"expression":"@"}""")._1 == 404)
+      assert(authed.update("processes", "by_amenity",
+        """{"name":"other","expression":"@"}""")._1 == 400)
+
+      // exec against the original definition (caches a dataset var), then
+      // update the process expression — the cached plan must not survive
+      val (_, before) = client.exec("services", "svc")
+      assert(before.contains("dc1") && !before.contains("dc2"))
+      val (uc, ub) = authed.update("processes", "by_amenity",
+        """{"expression":"filter(@, '@properties?.amenity == cafe')"}""")
+      assert(uc == 200 && ub.contains("updated"))
+      val (_, after) = client.exec("services", "svc")
+      assert(after.contains("dc2") && !after.contains("dc1"))
+      // the stored entity reflects the edit
+      val (_, got) = authed.get("processes", "by_amenity")
+      assert(got.contains("cafe"))
+    } finally srv.stop()
+  }
+
+  test("mutations persist to the catalog uri and survive a restart") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val catPath = s"$dir/catalog.json"
+    val (srv, client, _) = startServer(catalogUri = Some(catPath))
+    try {
+      val (_, body) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      assert(authed.add("workspaces", """{"name":"ws2"}""")._1 == 200)
+      assert(authed.update("processes", "by_amenity",
+        """{"expression":"filter(@, '@properties?.amenity == cafe')"}""")._1 == 200)
+      assert(authed.delete("layers", "all")._1 == 200)
+    } finally srv.stop()
+    // "restart": load the persisted catalog as Main --catalog would
+    val reloaded = Catalog.load(catPath)
+    assert(reloaded.get("workspaces", "ws2").isDefined)
+    assert(reloaded.get("processes", "by_amenity").collect {
+      case p: Process => p.expression }.exists(_.contains("cafe")))
+    assert(reloaded.get("layers", "all").isEmpty)
   }
 
   test("unknown routes and entities 404") {
