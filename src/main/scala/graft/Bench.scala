@@ -22,18 +22,27 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $t failed: ${e.getMessage}") }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    } // stays a name-sorted Seq so the emitted JSON is deterministic
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // two passes per query: the cold pass includes DFL parse + plan
+    // compile + codegen (the methodology of earlier rounds — `value`
+    // stays that number for round-over-round comparability); the warm
+    // pass re-plans the same query with JIT/codegen caches hot, isolating
+    // execution cost from one-time compile overhead
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      } // stays a name-sorted Seq so the emitted JSON is deterministic
+    val cold = pass()
+    val warm = pass()
+    def js(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val coldTotal = cold.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)}}""")
     spark.stop()
   }
 }

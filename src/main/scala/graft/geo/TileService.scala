@@ -32,10 +32,10 @@ final class TileService(spark: SparkSession, exec: Exec) {
       !(extent(2) < bbox._1 || extent(0) > bbox._3 ||
         extent(3) < bbox._2 || extent(1) > bbox._4)
 
-  /** The named bbox-containment filter over feature-shaped rows
-    * (reference: pipeline/Pipeline.go:7). */
-  val geometryFilter: String =
-    "filter(@, '(@geometry?.coordinates != null) and (@geometry.coordinates[0] within $bbox[0] and $bbox[2]) and (@geometry.coordinates[1] within $bbox[1] and $bbox[3])')"
+  /** The named bbox-containment filter over feature-shaped rows — one
+    * audited constant shared with the named-pipeline registry so the two
+    * can't drift (reference: pipeline/Pipeline.go:7, named/named.go:14). */
+  val geometryFilter: String = graft.dfl.Named.geometryFilter
 
   /** Vector-tile query: features of `layer` within tile (z, x, y).
     * Returns None when the extent short-circuit fires (no data read). */

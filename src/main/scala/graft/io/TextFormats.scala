@@ -158,15 +158,53 @@ object TextFormats {
     if (s.startsWith("[") && s.endsWith("]")) {
       val body = s.substring(1, s.length - 1).trim
       if (body.isEmpty) Nil
-      else splitTopLevel(body).map(x => parseScalar(x.trim))
+      else splitTopLevel(body).map(x => parseScalarOrArray(x.trim))
+    } else if (s.startsWith("{") && s.endsWith("}")) {
+      // TOML inline table {k = v, ...} — how nested maps (and arrays of
+      // maps, via [{...}, {...}]) survive the line-based document shape
+      val body = s.substring(1, s.length - 1).trim
+      if (body.isEmpty) Map.empty[String, Any]
+      else splitTopLevel(body).map { kv =>
+        val t = kv.trim
+        val i = eqIndexTopLevel(t)
+        if (i <= 0) throw new IllegalArgumentException(s"bad inline table entry: $t")
+        val rawKey = t.take(i).trim
+        val key = if (rawKey.startsWith("\"") || rawKey.startsWith("'"))
+          String.valueOf(parseScalar(rawKey)) else rawKey
+        key -> parseScalarOrArray(t.drop(i + 1).trim)
+      }.toMap
     } else parseScalar(s)
+  }
+
+  /** First '=' outside any quoted string, or -1. */
+  private def eqIndexTopLevel(s: String): Int = {
+    var i = 0; var inStr = false; var q = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\\' && q == '"') i += 1
+        else if (c == q) inStr = false
+      }
+      else if (c == '"' || c == '\'') { inStr = true; q = c }
+      else if (c == '=') return i
+      i += 1
+    }
+    -1
   }
 
   private def splitTopLevel(s: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var depth = 0; var cur = new StringBuilder; var inStr = false; var q = ' '
-    s.foreach { c =>
-      if (inStr) { cur += c; if (c == q) inStr = false }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        // double-quoted strings carry backslash escapes (\" must not
+        // terminate the string); single-quoted are literal
+        if (c == '\\' && q == '"' && i + 1 < s.length) { cur += s.charAt(i + 1); i += 1 }
+        else if (c == q) inStr = false
+      }
       else c match {
         case '\'' | '"' => inStr = true; q = c; cur += c
         case '[' | '{' => depth += 1; cur += c
@@ -174,6 +212,7 @@ object TextFormats {
         case ',' if depth == 0 => out += cur.toString; cur = new StringBuilder
         case _ => cur += c
       }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.toList
@@ -246,8 +285,16 @@ object TextFormats {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""
     case xs: Seq[_] => xs.map(tomlValue).mkString("[", ", ", "]")
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => s"${tomlKey(k)} = ${tomlValue(x)}" }
+        .mkString("{", ", ", "}")
     case other      => String.valueOf(other)
   }
+
+  private def tomlKey(k: String): String =
+    if (k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' || c == '-')) k
+    else tomlValue(k)
 
   private def deepImmutable(v: Any): Any = v match {
     case m: scala.collection.mutable.LinkedHashMap[_, _] =>
@@ -273,5 +320,20 @@ object TextFormats {
         .map { case (k, x) => s"${toJson(k)}:${toJson(x)}" }.mkString("{", ",", "}")
     case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
     case other      => String.valueOf(other)
+  }
+
+  /** Indented JSON for the server's html preview (the reference
+    * pretty-prints with MarshalIndent, handlers/BaseHandler.go:149). */
+  def toJsonPretty(v: Any, indent: Int = 0): String = v match {
+    case m: Map[_, _] if m.nonEmpty =>
+      val pad2 = "  " * (indent + 1)
+      m.asInstanceOf[Map[String, Any]]
+        .map { case (k, x) => s"$pad2${toJson(k)}: ${toJsonPretty(x, indent + 1)}" }
+        .mkString("{\n", ",\n", "\n" + "  " * indent + "}")
+    case xs: Seq[_] if xs.nonEmpty =>
+      val pad2 = "  " * (indent + 1)
+      xs.map(x => pad2 + toJsonPretty(x, indent + 1))
+        .mkString("[\n", ",\n", "\n" + "  " * indent + "]")
+    case other => toJson(other)
   }
 }

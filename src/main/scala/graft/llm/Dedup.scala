@@ -60,24 +60,63 @@ object Dedup {
     *    shingle exceeds the cap is missed by construction (its overlap
     *    is pure boilerplate — [[exact]]/[[minhashPairs]] cover that).
     *
+    * Candidate generation is PREFIX-FILTERED (Bayardo et al. WWW'07 /
+    * PPJoin, Xiao et al. '08 — the standard exact sim-join technique):
+    * under a global shingle order, any pair with jaccard ≥ t must share
+    * a shingle within each side's first ⌊(1-t)·|hs|⌋+1 shingles, so only
+    * that prefix is inverted. The global order is ascending document
+    * frequency (the canonical choice): each prefix holds the doc's
+    * RAREST shingles, so inverted buckets stay near-dup-clique-sized
+    * instead of common-shingle-sized — candidate pairs grow with the
+    * square of per-bucket df, and rare-first ordering is what keeps that
+    * square on the output scale rather than the corpus scale. Lossless:
+    * recall is the prefix lemma; precision is the exact verify.
+    *
     * Returns (id_a < id_b, jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
                    maxDocFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingleDf(df, idCol, textCol, n)
-    val exploded = hashedShingles(sh)
-    val keep = exploded.groupBy("h").agg(count(lit(1)).as("docfreq"))
-      .filter(col("docfreq") >= 2 && col("docfreq") <= maxDocFreq)
-    val pruned = exploded.join(keep.select("h"), Seq("h"), "left_semi")
-    val cands = pruned.as("a").join(pruned.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val ex = hashedShingles(sh)
+    val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val w = Window.partitionBy("id").orderBy("dfh", "h")
+    val exploded = ex.join(dfh, "h")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      // prefix length |x| - ⌈t·|x|⌉ + 1 (the prefix lemma's bound). The
+      // epsilon only matters when t·|x| sits within 1e-9 of an integer —
+      // where ceil would otherwise overshoot from float error (0.8·10 =
+      // 8.000000000000002) and silently shorten the prefix, losing pairs;
+      // erring low only lengthens the prefix, which is always safe
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select("id", "h")
+    // one hash aggregation replaces a df-count + semi-join + two-sided
+    // self-join: bucket ids per shingle, apply the df window on the bucket
+    // size, then emit within-bucket pairs via a codegen'd double explode
+    // (never an interpreted higher-order lambda — at high dup multiplicity
+    // the d²/2-per-bucket fan-out runs in the generate hot path). The
+    // per-shingle pair duplication (a pair surfaces once per shared
+    // shingle) is absorbed by map-side partial aggregation: the pair
+    // shuffle carries only distinct candidates.
+    val buckets = exploded.groupBy("h").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+    val cands = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .select("id_a", "id_b")
     // exact verify on the full shingle sets, joined back per candidate
     // (the cap affects which pairs surface, never their jaccard value)
     val withSh = cands
       .join(sh.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+      // length filter (PPJoin): jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t,
+      // so a size comparison kills mismatched candidates before the
+      // O(|a|+|b|) intersection runs
+      .filter(greatest(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) * threshold
+        <= least(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) + 1e-9)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
     withSh

@@ -15,8 +15,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * request runs a Spark job in the exchange's thread, like the
   * reference's request-goroutine model (cli/serve.go:191-366).
   *
-  * Routes (content negotiated by `.{ext}` — json/yaml, reference:
-  * handlers/BaseHandler.go:146-229):
+  * Routes (content negotiated by `.{ext}` — json/yaml/toml/bson/html,
+  * reference: handlers/BaseHandler.go:146-229):
+  *   GET /                             home page (layer listing + endpoints)
   *   GET/POST /{kind}.{ext}            list / add (POST requires JWT)
   *   GET/DELETE /{kind}/{name}.{ext}   item / delete (DELETE requires JWT)
   *   POST /services/{name}/exec.{ext}  exec with request variables
@@ -60,14 +61,14 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
   private def handle(x: HttpExchange): Unit = {
     try route(x)
     catch {
-      case e: NoSuchElementException => respond(x, 404, errBody(x, e.getMessage))
-      case e: IllegalArgumentException => respond(x, 400, errBody(x, e.getMessage))
-      case e: Exception => respond(x, 500, errBody(x, String.valueOf(e.getMessage)))
+      case e: NoSuchElementException => respondErr(x, 404, e.getMessage)
+      case e: IllegalArgumentException => respondErr(x, 400, e.getMessage)
+      case e: Exception => respondErr(x, 500, String.valueOf(e.getMessage))
     } finally x.close()
   }
 
-  private def errBody(x: HttpExchange, msg: String): String =
-    render(extOf(x.getRequestURI.getPath), Map("error" -> msg))
+  private def respondErr(x: HttpExchange, code: Int, msg: String): Unit =
+    respondDoc(x, code, extOf(x.getRequestURI.getPath), Map("error" -> msg))
 
   private def route(x: HttpExchange): Unit = {
     val path = x.getRequestURI.getPath
@@ -76,8 +77,38 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
     val method = x.getRequestMethod
 
     (method, parts) match {
+      // home page — the reference's front door (handlers/HomeHandler.go:
+      // 46-238) is an OpenLayers demo map built from CDN assets; this
+      // offline build serves a self-contained catalog/endpoint listing
+      // with a tile-preview link per layer instead
+      case ("GET", Nil) =>
+        val layers = exec.catalog.toMaps("layers")
+          .asInstanceOf[List[Map[String, Any]]]
+        val layerItems = layers.map { l =>
+          val n = htmlEscape(l.getOrElse("name", "").toString)
+          s"""<li><b>$n</b> — <a href="/layers/$n/tiles/data/0/0/0.json">tile data</a>
+             | · <a href="/layers/$n/tiles/mask/0/0/0.png">tile mask</a>
+             | · <a href="/layers/$n.json">definition</a></li>""".stripMargin
+        }.mkString("\n")
+        val kindItems = kinds.toSeq.sorted
+          .map(k => s"""<li><a href="/$k.json">$k</a></li>""").mkString("\n")
+        val page =
+          s"""<html><head><title>graft</title>
+             |<style>body { font-family: sans-serif; margin: 2em; } h2 { border-bottom: 1px solid #000; }</style>
+             |</head><body>
+             |<h1>graft</h1>
+             |<h2>Layers</h2><ul>$layerItems</ul>
+             |<h2>Catalog</h2><ul>$kindItems</ul>
+             |<h2>Introspection</h2><ul>
+             |<li><a href="/dfl/functions.json">DFL functions</a></li>
+             |<li><a href="/gss/formats.json">formats</a></li>
+             |<li><a href="/swagger.json">swagger</a></li>
+             |<li><a href="/health.json">health</a></li>
+             |</ul></body></html>""".stripMargin
+        respondBytes(x, 200, page.getBytes(UTF_8), "text/html")
+
       case ("GET", "health" :: Nil) =>
-        respond(x, 200, render(ext, Map("status" -> "ok")))
+        respondDoc(x, 200, ext, Map("status" -> "ok"))
 
       case ("POST", "authenticate" :: Nil) =>
         val body = Catalog.parseJsonDoc(readBody(x))
@@ -86,16 +117,16 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         def ctEq(a: Any, b: String): Boolean = java.security.MessageDigest.isEqual(
           String.valueOf(a).getBytes(UTF_8), b.getBytes(UTF_8))
         if (ctEq(u, "root") && ctEq(p, rootPassword))
-          respond(x, 200, render(ext, Map("token" -> jwt.sign("root"))))
-        else respond(x, 401, errBody(x, "invalid credentials"))
+          respondDoc(x, 200, ext, Map("token" -> jwt.sign("root")))
+        else respondErr(x, 401, "invalid credentials")
 
       case ("GET", "dfl" :: "functions" :: Nil) =>
-        respond(x, 200, render(ext, Map("functions" ->
+        respondDoc(x, 200, ext, Map("functions" ->
           graft.dfl.Functions.registry.toSeq.sortBy(_._1)
-            .map { case (n, sig) => Map("name" -> n, "signature" -> sig) }.toList)))
+            .map { case (n, sig) => Map("name" -> n, "signature" -> sig) }.toList))
 
       case ("GET", "gss" :: "formats" :: Nil) =>
-        respond(x, 200, render(ext, Map("formats" -> formats.toList)))
+        respondDoc(x, 200, ext, Map("formats" -> formats.toList))
 
       case ("GET", "swagger" :: Nil) =>
         // minimal OpenAPI route inventory (reference: SwaggerHandler);
@@ -114,15 +145,15 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
           "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}" -> Seq("get"),
           "/layers/{name}/tiles/mask/{z}/{x}/{y}.png" -> Seq("get"),
         )
-        respond(x, 200, render(ext, Map(
+        respondDoc(x, 200, ext, Map(
           "openapi" -> "3.0.0",
           "info" -> Map("title" -> "graft", "version" -> "0.1.0"),
           "paths" -> routeMethods.map { case (p, ms) =>
             p -> ms.map(m => m -> Map("summary" -> p)).toMap
-          }.toMap)))
+          }.toMap))
 
       case ("GET", kind :: Nil) if kinds(kind) =>
-        respond(x, 200, render(ext, Map(kind -> exec.catalog.toMaps(kind))))
+        respondDoc(x, 200, ext, Map(kind -> exec.catalog.toMaps(kind)))
 
       case ("POST", kind :: Nil) if kinds(kind) =>
         requireAuth(x)
@@ -131,12 +162,12 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val added = tmp.list(kind).head
         exec.catalog.add(added)
         persist()
-        respond(x, 200, render(ext, Map("added" -> nameOf(added))))
+        respondDoc(x, 200, ext, Map("added" -> nameOf(added)))
 
       case ("GET", kind :: name :: Nil) if kinds(kind) =>
         exec.catalog.get(kind, name) match {
-          case Some(e) => respond(x, 200, render(ext, entityMap(kind, name)))
-          case None    => respond(x, 404, errBody(x, s"$kind/$name not found"))
+          case Some(e) => respondDoc(x, 200, ext, entityMap(kind, name))
+          case None    => respondErr(x, 404, s"$kind/$name not found")
         }
 
       // update an existing entity in place — the reference registers both
@@ -156,15 +187,15 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         // cached dataset vars may be planned over the old definition
         exec.invalidateServiceVars()
         persist()
-        respond(x, 200, render(ext, Map("updated" -> name)))
+        respondDoc(x, 200, ext, Map("updated" -> name))
 
       case ("DELETE", kind :: name :: Nil) if kinds(kind) =>
         requireAuth(x)
         if (exec.catalog.delete(kind, name)) {
           exec.invalidateServiceVars()
           persist()
-          respond(x, 200, render(ext, Map("deleted" -> name)))
-        } else respond(x, 404, errBody(x, s"$kind/$name not found"))
+          respondDoc(x, 200, ext, Map("deleted" -> name))
+        } else respondErr(x, 404, s"$kind/$name not found")
 
       case ("POST", "services" :: name :: "exec" :: Nil) =>
         val body = readBody(x)
@@ -181,7 +212,7 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val results = exec.workflowExec(name).map(r => Map(
           "job" -> r.job, "exitCode" -> r.exitCode.toLong,
           "error" -> r.error.orNull, "rows" -> r.rows))
-        respond(x, 200, render(ext, Map("results" -> results.toList)))
+        respondDoc(x, 200, ext, Map("results" -> results.toList))
 
       case ("GET", "layers" :: name :: "tiles" :: "data" :: z :: xs :: ys :: Nil) =>
         val qs = queryParams(x)
@@ -199,7 +230,7 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val png = tiles.maskPng(grid, qs.get("alpha").map(_.toInt).getOrElse(255))
         respondBytes(x, 200, png, "image/png")
 
-      case _ => respond(x, 404, errBody(x, s"no route: $method $path"))
+      case _ => respondErr(x, 404, s"no route: $method $path")
     }
   }
 
@@ -247,10 +278,35 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
     if (dot > slash) path.substring(0, dot) else path
   }
 
-  private def render(ext: String, value: Map[String, Any]): String = ext match {
-    case "yaml" | "yml" => TextFormats.renderYaml(value)
-    case _              => TextFormats.toJson(value)
+  /** Serialize a response document per the path extension. Content types
+    * match the reference (handlers/BaseHandler.go:208-220, including its
+    * `application/ubjson` for bson); html is the reference's
+    * pretty-printed-JSON preview page (BaseHandler.go:148-203) without the
+    * CDN assets (offline environment). */
+  private def negotiate(ext: String, value: Map[String, Any]): (Array[Byte], String) =
+    ext match {
+      case "yaml" | "yml" => (TextFormats.renderYaml(value).getBytes(UTF_8), "text/yaml")
+      case "toml"         => (TextFormats.renderToml(value).getBytes(UTF_8), "application/toml")
+      case "bson"         => (graft.io.Bson.renderDoc(value), "application/ubjson")
+      case "html"         => (renderHtml(value).getBytes(UTF_8), "text/html")
+      case _              => (TextFormats.toJson(value).getBytes(UTF_8), "application/json")
+    }
+
+  private def respondDoc(x: HttpExchange, code: Int, ext: String,
+                         value: Map[String, Any]): Unit = {
+    val (bytes, ct) = negotiate(ext, value)
+    respondBytes(x, code, bytes, ct)
   }
+
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def renderHtml(value: Map[String, Any]): String =
+    s"""<html><head><title>graft</title>
+       |<style>pre { border: 2px solid black; padding: 20px; font-family: monospace; }</style>
+       |</head><body><h2>Items</h2>
+       |<pre>${htmlEscape(TextFormats.toJsonPretty(value))}</pre>
+       |</body></html>""".stripMargin
 
   private def respondJsonRows(x: HttpExchange, ext: String, rows: Array[String]): Unit =
     respond(x, 200, rows.mkString("[", ",", "]"), "application/json")

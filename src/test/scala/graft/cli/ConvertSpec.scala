@@ -1,0 +1,50 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import java.nio.file.{Files, Paths}
+
+class ConvertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("jsonl -> yaml -> jsonl round-trips byte-equal") {
+    val dir = Files.createTempDirectory("graft-conv").toString
+    // alphabetical keys + stable types: json schema inference orders
+    // fields alphabetically, so a canonical input survives byte-for-byte
+    val lines = Seq(
+      """{"amenity":"bar","id":1,"name":"dc1"}""",
+      """{"amenity":"cafe","id":2,"name":"dc2"}""",
+    )
+    Files.writeString(Paths.get(s"$dir/in.jsonl"), lines.mkString("\n"))
+
+    ConvertCli.convert(spark, ConvertCli.Config(
+      inputUri = s"$dir/in.jsonl", outputUri = s"$dir/mid.yaml",
+      outputFormat = "yaml"))
+    assert(Files.readString(Paths.get(s"$dir/mid.yaml")).contains("amenity: bar"))
+
+    ConvertCli.convert(spark, ConvertCli.Config(
+      inputUri = s"$dir/mid.yaml", outputUri = s"$dir/out", outputFormat = "jsonl"))
+    val out = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => Files.readString(f.toPath).linesIterator)
+      .filter(_.nonEmpty).toSeq.sorted
+    assert(out == lines.sorted)
+  }
+
+  test("csv with header converts to jsonl with typed columns") {
+    val dir = Files.createTempDirectory("graft-conv2").toString
+    Files.writeString(Paths.get(s"$dir/in.csv"), "id,name\n1,ada\n2,linus\n")
+    ConvertCli.convert(spark, ConvertCli.Config(
+      inputUri = s"$dir/in.csv", outputUri = s"$dir/out", outputFormat = "jsonl"))
+    val out = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part-"))
+      .flatMap(f => Files.readString(f.toPath).linesIterator).toSeq.sorted
+    assert(out == Seq("""{"id":1,"name":"ada"}""", """{"id":2,"name":"linus"}"""))
+  }
+
+  test("unknown flag and missing stdout format are rejected") {
+    intercept[IllegalArgumentException](ConvertCli.parseArgs(Array("--nope")))
+    intercept[IllegalArgumentException](
+      ConvertCli.convert(spark, ConvertCli.Config(inputUri = "x.jsonl")))
+  }
+}

@@ -169,6 +169,60 @@ class ServerSpec extends AnyFunSuite {
     assert(reloaded.get("layers", "all").isEmpty)
   }
 
+  test("toml and bson negotiation round-trip a catalog GET; html and home render") {
+    val (srv, _, _) = startServer()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = http.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:${srv.boundPort}$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+
+      // toml: parse the body back with the TOML codec and recover the entity
+      val t = get("/processes/by_amenity.toml")
+      assert(t.statusCode() == 200)
+      assert(t.headers().firstValue("Content-Type").get == "application/toml")
+      val tDoc = graft.io.TextFormats.parseToml(new String(t.body(), "UTF-8"))
+      assert(tDoc("name") == "by_amenity")
+      assert(tDoc("expression").toString.contains("@properties?.amenity"))
+      // toml list response: nested entity maps survive as inline tables
+      val tl = get("/services.toml")
+      val tlDoc = graft.io.TextFormats.parseToml(new String(tl.body(), "UTF-8"))
+      val svc = tlDoc("services").asInstanceOf[List[Any]]
+        .collectFirst { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }.get
+      assert(svc("name") == "svc")
+
+      // bson: parse the binary body back and recover the entity
+      val b = get("/processes/by_amenity.bson")
+      assert(b.statusCode() == 200)
+      assert(b.headers().firstValue("Content-Type").get == "application/ubjson")
+      val bDoc = graft.io.Bson.parseAll(b.body()).head
+      assert(bDoc("name") == "by_amenity")
+      assert(bDoc("expression").toString.contains("@properties?.amenity"))
+
+      // html: pretty-JSON preview page with escaped content
+      val h = get("/processes/by_amenity.html")
+      assert(h.statusCode() == 200)
+      assert(h.headers().firstValue("Content-Type").get == "text/html")
+      val hBody = new String(h.body(), "UTF-8")
+      assert(hBody.contains("<pre>") && hBody.contains("by_amenity"))
+      assert(!hBody.contains("<script"))
+
+      // home page lists layers with tile links
+      val home = get("/")
+      assert(home.statusCode() == 200)
+      assert(home.headers().firstValue("Content-Type").get == "text/html")
+      val homeBody = new String(home.body(), "UTF-8")
+      assert(homeBody.contains("/layers/all/tiles/data/"))
+      assert(homeBody.contains("/workspaces.json"))
+
+      // error bodies honor the extension too
+      val e = get("/processes/nope.toml")
+      assert(e.statusCode() == 404)
+      assert(e.headers().firstValue("Content-Type").get == "application/toml")
+      assert(new String(e.body(), "UTF-8").contains("error"))
+    } finally srv.stop()
+  }
+
   test("unknown routes and entities 404") {
     val (srv, client, _) = startServer()
     try {
