@@ -32,7 +32,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class Server(spark: SparkSession, val exec: Exec, port: Int,
                    rootPassword: String = "secret",
-                   catalogUri: Option[String] = None) {
+                   catalogUri: Option[String] = None,
+                   corsOrigin: String = "*",
+                   gzipResponses: Boolean = true) {
 
   private val jwt = Jwt.generate()
   private val tiles = new TileService(spark, exec)
@@ -75,6 +77,19 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
     val ext = extOf(path)
     val parts = stripExt(path).split('/').filter(_.nonEmpty).toList
     val method = x.getRequestMethod
+
+    // CORS preflight: the reference registers OPTIONS on its entity and
+    // group routes (router/RailgunRouter.go:166,173) with headers set by
+    // CorsMiddleware (router/CorsMiddleware.go:10-11)
+    if (method == "OPTIONS") {
+      x.getResponseHeaders.set("Allow", "GET, POST, PUT, DELETE, OPTIONS")
+      x.getResponseHeaders.set("Access-Control-Allow-Methods",
+        "GET, POST, PUT, DELETE, OPTIONS")
+      x.getResponseHeaders.set("Access-Control-Allow-Headers",
+        "Authorization, Content-Type")
+      respondBytes(x, 200, Array.emptyByteArray, "text/plain")
+      return
+    }
 
     (method, parts) match {
       // home page — the reference's front door (handlers/HomeHandler.go:
@@ -335,11 +350,27 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
                       contentType: String = "application/json"): Unit =
     respondBytes(x, code, body.getBytes(UTF_8), contentType)
 
-  private def respondBytes(x: HttpExchange, code: Int, body: Array[Byte],
+  private def acceptsGzip(x: HttpExchange): Boolean =
+    Option(x.getRequestHeaders.getFirst("Accept-Encoding"))
+      .exists(_.split(',').map(_.trim.takeWhile(_ != ';')).contains("gzip"))
+
+  private def respondBytes(x: HttpExchange, code: Int, body0: Array[Byte],
                            contentType: String): Unit = {
     x.getResponseHeaders.set("Content-Type", contentType)
-    x.sendResponseHeaders(code, body.length)
+    // reference middleware stack: CORS headers on every response
+    // (router/CorsMiddleware.go:10-11) + optional gzip encoding
+    // (router/RailgunRouter.go:44-45)
+    x.getResponseHeaders.set("Access-Control-Allow-Origin", corsOrigin)
+    val body =
+      if (gzipResponses && body0.nonEmpty && acceptsGzip(x)) {
+        x.getResponseHeaders.set("Content-Encoding", "gzip")
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        try gz.write(body0) finally gz.close()
+        bos.toByteArray
+      } else body0
+    x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
     val os = x.getResponseBody
-    try os.write(body) finally os.close()
+    try { if (body.nonEmpty) os.write(body) } finally os.close()
   }
 }

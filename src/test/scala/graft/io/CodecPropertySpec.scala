@@ -114,6 +114,25 @@ class CodecPropertySpec extends AnyFunSuite {
     holds(Prop.forAll(rec) { m =>
       TextFormats.parseToml(TextFormats.renderToml(m)) == m
     })
+
+    // nested documents: server responses carry entity maps and lists of
+    // entity maps, which render as [section] blocks, inline tables, and
+    // arrays of inline tables — all must survive the line-based parser
+    def nestedGen(depth: Int): Gen[Map[String, Any]] = for {
+      n <- Gen.chooseNum(1, 4)
+      keys <- Gen.listOfN(n, Gen.identifier.map(_.take(10)))
+      vals <- Gen.listOfN(n,
+        if (depth <= 0) scalar
+        else Gen.frequency[Any](
+          4 -> scalar,
+          1 -> Gen.listOf(scalar).map(_.take(4).toList: Any),
+          1 -> Gen.listOf(nestedGen(0)).map(_.take(3).toList: Any),
+          1 -> nestedGen(depth - 1),
+        ))
+    } yield keys.zip(vals).toMap
+    holds(Prop.forAll(nestedGen(2)) { m =>
+      TextFormats.parseToml(TextFormats.renderToml(m)) == m
+    })
   }
 
   test("bpe_token_count equals the regex-match count on generated strings") {

@@ -223,6 +223,36 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("CORS headers, OPTIONS preflight, and gzip response encoding") {
+    val (srv, _, _) = startServer()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def req(b: java.net.http.HttpRequest.Builder) =
+        http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      def uri(p: String) = java.net.URI.create(s"http://localhost:${srv.boundPort}$p")
+
+      // every response carries the CORS origin header
+      val g = req(java.net.http.HttpRequest.newBuilder(uri("/health.json")).GET())
+      assert(g.headers().firstValue("Access-Control-Allow-Origin").get == "*")
+      assert(g.headers().firstValue("Content-Encoding").isEmpty) // no Accept-Encoding sent
+
+      // OPTIONS preflight answers 200 with the allowed method set
+      val o = req(java.net.http.HttpRequest.newBuilder(uri("/workspaces.json"))
+        .method("OPTIONS", java.net.http.HttpRequest.BodyPublishers.noBody()))
+      assert(o.statusCode() == 200)
+      assert(o.headers().firstValue("Access-Control-Allow-Methods").get.contains("PUT"))
+
+      // Accept-Encoding: gzip → gzipped body that decodes to the plain one
+      val z = req(java.net.http.HttpRequest.newBuilder(uri("/services.json"))
+        .header("Accept-Encoding", "gzip").GET())
+      assert(z.headers().firstValue("Content-Encoding").get == "gzip")
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(z.body()))
+      val plain = new String(try in.readAllBytes() finally in.close(), "UTF-8")
+      assert(plain.contains("\"svc\""))
+    } finally srv.stop()
+  }
+
   test("unknown routes and entities 404") {
     val (srv, client, _) = startServer()
     try {
