@@ -161,14 +161,27 @@ final class Catalog {
     )
   }
 
-  def save(path: String): Unit = {
+  /** Synchronized (the HTTP server persists after every mutation from a
+    * thread pool — two interleaved truncate+write calls would corrupt the
+    * file) and atomic via temp-file + move, so a crash mid-write never
+    * leaves a half-written catalog behind. */
+  def save(path: String): Unit = synchronized {
     val text =
       if (path.endsWith(".yaml") || path.endsWith(".yml"))
         graft.io.TextFormats.renderYaml(toMaps)
       else graft.io.TextFormats.toJson(toMaps)
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(p, text)
+    val tmp = java.nio.file.Files.createTempFile(
+      Option(p.getParent).getOrElse(java.nio.file.Paths.get(".")), ".catalog", ".tmp")
+    java.nio.file.Files.writeString(tmp, text)
+    try java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }
 

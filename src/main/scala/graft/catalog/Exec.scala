@@ -37,10 +37,28 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   private val dataFrameCache = scala.collection.mutable.Map.empty[String, (Long, DataFrame)]
   private val dfCacheLock = new Object
 
+  // bumped on every invalidation; serviceExec write-backs are fenced on it
+  // so an exec in flight across a catalog mutation cannot re-publish
+  // dataset vars planned over the old definition after the clear
+  private val varEpoch = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Drop all cached service variables — called after a catalog mutation,
     * since cached dataset-valued vars may have been planned over an entity
     * (process expression, datastore URI) that just changed. */
-  def invalidateServiceVars(): Unit = serviceVarCache.clear()
+  def invalidateServiceVars(): Unit = {
+    varEpoch.incrementAndGet()
+    serviceVarCache.clear()
+  }
+
+  /** Drop and unpersist every cached datastore DataFrame. The mtime cache
+    * key cannot see a datastore definition updated in place (same uri and
+    * mtime, different format/header options), and a deleted or re-uri'd
+    * datastore would otherwise leak its persisted DataFrame for the
+    * server's lifetime. */
+  def invalidateDataFrames(): Unit = dfCacheLock.synchronized {
+    dataFrameCache.values.foreach(_._2.unpersist())
+    dataFrameCache.clear()
+  }
 
   /** Evaluate a DFL URI template with variables bound (a table location is
     * a function of variables, reference: core/DataStore.go:79-84). */
@@ -96,6 +114,7 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   }
 
   def serviceExec(serviceName: String, requestVars: Map[String, Any] = Map.empty): DataFrame = {
+    val epoch = varEpoch.get()
     val service = catalog.services.getOrElse(serviceName,
       throw new NoSuchElementException(s"unknown service: $serviceName"))
     val ds = catalog.datastores(service.datastore)
@@ -113,8 +132,14 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
       DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression, vars)
     // persist merged vars INCLUDING dataset-valued ones (reference :290 —
     // the evaluated $c is written back to the cache, so the next exec's
-    // `$c ?: filter(@, …)` reuses it instead of re-filtering)
-    serviceVarCache(serviceName) = (mtimeNow, vars ++ dsVars)
+    // `$c ?: filter(@, …)` reuses it instead of re-filtering). Epoch-fenced:
+    // skip (and undo) the write-back if an invalidation ran while this exec
+    // was planning, else a stale dataset var would survive the clear with
+    // an unchanged mtime and be reused forever.
+    if (varEpoch.get() == epoch) {
+      serviceVarCache(serviceName) = (mtimeNow, vars ++ dsVars)
+      if (varEpoch.get() != epoch) serviceVarCache.remove(serviceName)
+    }
     out
   }
 

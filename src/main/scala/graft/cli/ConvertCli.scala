@@ -60,7 +60,8 @@ object ConvertCli {
     * implementation. Results are CLI-sized by definition here — engine
     * paths use parquet/jsonl sinks directly. */
   def convert(spark: SparkSession, c: Config): Unit = {
-    require(c.outputFormat.nonEmpty || c.outputUri != "-",
+    require(c.outputFormat.nonEmpty ||
+        (c.outputUri != "-" && c.outputUri != "stdout"),
       "--output-format is required with stdout output")
     val df = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
       format = c.inputFormat, header = c.inputHeader,

@@ -39,13 +39,14 @@ object TextFormats {
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .foreach { l =>
         if (l.startsWith("[") && l.endsWith("]")) {
-          section = Some(l.substring(1, l.length - 1).trim)
+          section = Some(unquoteKey(l.substring(1, l.length - 1).trim))
           root.getOrElseUpdate(section.get,
             scala.collection.mutable.LinkedHashMap.empty[String, Any])
         } else {
-          val i = l.indexOf('=')
+          // first '=' OUTSIDE quotes: a quoted key may itself contain '='
+          val i = eqIndexTopLevel(l)
           if (i < 0) throw new IllegalArgumentException(s"bad toml line: $l")
-          val k = l.take(i).trim
+          val k = unquoteKey(l.take(i).trim)
           val v = parseScalarOrArray(l.drop(i + 1).trim)
           section match {
             case Some(s) =>
@@ -58,13 +59,19 @@ object TextFormats {
     root.map { case (k, v) => k -> deepImmutable(v) }.toMap
   }
 
+  /** Keys render bare when identifier-safe, double-quoted otherwise —
+    * this undoes the quoting on read. */
+  private def unquoteKey(raw: String): String =
+    if (raw.startsWith("\"") || raw.startsWith("'")) String.valueOf(parseScalar(raw))
+    else raw
+
   def renderToml(m: Map[String, Any]): String = {
     val (sections, scalars) = m.partition(_._2.isInstanceOf[Map[_, _]])
     val top = scalars.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k = ${tomlValue(v)}" }
+      .map { case (k, v) => s"${tomlKey(k)} = ${tomlValue(v)}" }
     val secs = sections.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-      s"[$k]" +: v.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
-        .map { case (k2, v2) => s"$k2 = ${tomlValue(v2)}" }
+      s"[${tomlKey(k)}]" +: v.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k2, v2) => s"${tomlKey(k2)} = ${tomlValue(v2)}" }
     }
     (top ++ secs).mkString("\n")
   }

@@ -56,9 +56,12 @@ object Dedup {
     *    key, so a single 3-gram in 1% of a 10⁹-doc corpus would be
     *    ~5·10¹³ rows. Capping drops only candidate-generation evidence:
     *    the Jaccard value of every emitted pair is still computed
-    *    exactly from the FULL shingle sets. A pair whose every shared
-    *    shingle exceeds the cap is missed by construction (its overlap
-    *    is pure boilerplate — [[exact]]/[[minhashPairs]] cover that).
+    *    exactly from the FULL shingle sets. Pairs whose overlap is
+    *    dominated by capped shingles may be missed — their jaccard
+    *    restricted to sub-cap shingles falls below the threshold, so
+    *    the prefix lemma no longer guarantees a collision (boilerplate
+    *    overlap is not similarity evidence; [[exact]]/[[minhashPairs]]
+    *    cover full-boilerplate duplicates).
     *
     * Candidate generation is PREFIX-FILTERED (Bayardo et al. WWW'07 /
     * PPJoin, Xiao et al. '08 — the standard exact sim-join technique):
@@ -80,8 +83,16 @@ object Dedup {
     val sh = shingleDf(df, idCol, textCol, n)
     val ex = hashedShingles(sh)
     val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    // the df-cap applies HERE, before any per-key array materializes: a
+    // shingle shared by d >> cap documents (10⁷ copies of one page) would
+    // otherwise build a d-element collect_list buffer in one aggregation
+    // task before a post-hoc size filter could discard it. Dropping capped
+    // shingles up front also shortens every affected doc's set, so the
+    // prefix below is computed over the capped universe — consistent with
+    // the documented semantics (boilerplate-only overlap is not evidence).
+    val capped = ex.join(dfh, "h").filter(col("dfh") <= maxDocFreq)
     val w = Window.partitionBy("id").orderBy("dfh", "h")
-    val exploded = ex.join(dfh, "h")
+    val exploded = capped
       .withColumn("rn", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       // prefix length |x| - ⌈t·|x|⌉ + 1 (the prefix lemma's bound). The
@@ -100,7 +111,7 @@ object Dedup {
     // shingle) is absorbed by map-side partial aggregation: the pair
     // shuffle carries only distinct candidates.
     val buckets = exploded.groupBy("h").agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxDocFreq))
+      .filter(size(col("ids")) >= 2) // bucket width ≤ dfh ≤ cap already
     val cands = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -274,7 +285,8 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs via banded random-hyperplane LSH — the
-    * 100 TB path [[cosinePairs]]' docs promise: `numBands` independent
+    * 100 TB near-dup path ([[cosinePairsBlocked]] is the exact
+    * arbitrary-threshold variant): `numBands` independent
     * `bitsPerBand`-bit sign signatures; a pair is a candidate iff it
     * collides in ANY band (`groupBy` band join, bounded buckets, never
     * all-pairs), then exact-cosine verified. Recall for cosine c is

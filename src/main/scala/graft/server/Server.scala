@@ -100,10 +100,15 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val layers = exec.catalog.toMaps("layers")
           .asInstanceOf[List[Map[String, Any]]]
         val layerItems = layers.map { l =>
-          val n = htmlEscape(l.getOrElse("name", "").toString)
-          s"""<li><b>$n</b> — <a href="/layers/$n/tiles/data/0/0/0.json">tile data</a>
-             | · <a href="/layers/$n/tiles/mask/0/0/0.png">tile mask</a>
-             | · <a href="/layers/$n.json">definition</a></li>""".stripMargin
+          val raw = l.getOrElse("name", "").toString
+          // names are unrestricted strings: escape for the text position,
+          // URL-encode for the href (a quote or slash must neither break
+          // out of the attribute nor produce a dead link)
+          val n = htmlEscape(raw)
+          val u = urlEncode(raw)
+          s"""<li><b>$n</b> — <a href="/layers/$u/tiles/data/0/0/0.json">tile data</a>
+             | · <a href="/layers/$u/tiles/mask/0/0/0.png">tile mask</a>
+             | · <a href="/layers/$u.json">definition</a></li>""".stripMargin
         }.mkString("\n")
         val kindItems = kinds.toSeq.sorted
           .map(k => s"""<li><a href="/$k.json">$k</a></li>""").mkString("\n")
@@ -176,6 +181,10 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val tmp = Catalog.fromMaps(Map(kind -> List(doc)) ++ referenced(kind))
         val added = tmp.list(kind).head
         exec.catalog.add(added)
+        // add overwrites an existing entity of the same name, so the same
+        // staleness rules as update apply
+        exec.invalidateServiceVars()
+        exec.invalidateDataFrames()
         persist()
         respondDoc(x, 200, ext, Map("added" -> nameOf(added)))
 
@@ -199,8 +208,11 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         val tmp = Catalog.fromMaps(Map(kind -> List(doc)) ++ referenced(kind))
         val updated = tmp.list(kind).head
         exec.catalog.update(updated)
-        // cached dataset vars may be planned over the old definition
+        // cached dataset vars may be planned over the old definition, and
+        // the mtime-keyed DataFrame cache cannot see an in-place datastore
+        // redefinition (same uri+mtime, different read options)
         exec.invalidateServiceVars()
+        exec.invalidateDataFrames()
         persist()
         respondDoc(x, 200, ext, Map("updated" -> name))
 
@@ -208,6 +220,7 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         requireAuth(x)
         if (exec.catalog.delete(kind, name)) {
           exec.invalidateServiceVars()
+          exec.invalidateDataFrames()
           persist()
           respondDoc(x, 200, ext, Map("deleted" -> name))
         } else respondErr(x, 404, s"$kind/$name not found")
@@ -315,6 +328,10 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
 
   private def htmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
+
+  private def urlEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
 
   private def renderHtml(value: Map[String, Any]): String =
     s"""<html><head><title>graft</title>

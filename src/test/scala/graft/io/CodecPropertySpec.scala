@@ -117,10 +117,18 @@ class CodecPropertySpec extends AnyFunSuite {
 
     // nested documents: server responses carry entity maps and lists of
     // entity maps, which render as [section] blocks, inline tables, and
-    // arrays of inline tables — all must survive the line-based parser
+    // arrays of inline tables — all must survive the line-based parser.
+    // Keys get the adversarial treatment too: user-chosen defaults-map
+    // keys are unrestricted strings ('=' would split the line, ']' would
+    // close a section header, '#' would comment the line out)
+    val keyGen: Gen[String] = Gen.frequency(
+      4 -> Gen.identifier.map(_.take(10)),
+      1 -> Gen.oneOf("a=b", "# h", "[x]", "a]b", "k =", "\"q\"", "'sq'",
+        "with space", "", "a\nb", "tab\tkey", "end\\", "=", "true", "123"),
+    )
     def nestedGen(depth: Int): Gen[Map[String, Any]] = for {
       n <- Gen.chooseNum(1, 4)
-      keys <- Gen.listOfN(n, Gen.identifier.map(_.take(10)))
+      keys <- Gen.listOfN(n, keyGen)
       vals <- Gen.listOfN(n,
         if (depth <= 0) scalar
         else Gen.frequency[Any](

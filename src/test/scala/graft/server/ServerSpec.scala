@@ -148,6 +148,25 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("re-POST of an existing entity (add-overwrite) invalidates cached exec state") {
+    val (srv, client, _) = startServer()
+    try {
+      val (_, body) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      // prime the service-var cache against the original definition
+      val (_, before) = client.exec("services", "svc")
+      assert(before.contains("dc1") && !before.contains("dc2"))
+      // Catalog.add overwrites in place — the group POST route, not the
+      // item update route — and must invalidate just the same
+      val (ac, _) = authed.add("processes",
+        """{"name":"by_amenity","expression":"filter(@, '@properties?.amenity == cafe')"}""")
+      assert(ac == 200)
+      val (_, after) = client.exec("services", "svc")
+      assert(after.contains("dc2") && !after.contains("dc1"))
+    } finally srv.stop()
+  }
+
   test("mutations persist to the catalog uri and survive a restart") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val catPath = s"$dir/catalog.json"
