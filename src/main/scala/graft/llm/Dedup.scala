@@ -309,20 +309,16 @@ object Dedup {
     val planes = Similarity.hyperplanes(numBands * bitsPerBand, dim)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", VectorF.norm(col("v")))
-    val bandCols = (0 until numBands).map { b =>
-      val sig = (0 until bitsPerBand).map { r =>
-        val plane = planes(b * bitsPerBand + r)
-        when(VectorF.dot(col("v"), array(plane.map(lit): _*)) > 0,
-          lit(1L << r)).otherwise(lit(0L))
-      }.reduce((a, c) => a.bitwiseOR(c))
-      struct(lit(b).as("band"), sig.as("bh"))
-    }
     // bucket join on ids ONLY — the band explode and shuffle never carry
     // the embedding vector (same discipline as minhashPairs' shingles);
-    // features come back via candidate joins for the exact-cosine verify
+    // features come back via candidate joins for the exact-cosine verify.
+    // All 128 sign bits come from ONE native expression — the composed
+    // per-plane form was ~10k expression nodes whose optimize+codegen time
+    // dwarfed the row work (see [[graft.functions.HyperplaneBands]]).
     val buckets = v
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+      .select(col("id"), posexplode(
+        graft.functions.HyperplaneF.bands(col("v"), numBands, bitsPerBand, planes)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

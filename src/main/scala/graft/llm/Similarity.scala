@@ -53,12 +53,15 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Assign each vector its LSH bucket (materialize this at ingest and
-    * `partitionBy` on it for pruned reads at scale). */
+    * `partitionBy` on it for pruned reads at scale). Uses the one-pass
+    * native [[graft.functions.HyperplaneBands]] signature (bit-identical
+    * to [[signature]], without the nBits·dim-literal expression tree). */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  nBits: Int = 16, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dim)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", signature(col("v"), planes))
+      .withColumn("bucket",
+        element_at(graft.functions.HyperplaneF.bands(col("v"), 1, nBits, planes), 1))
   }
 
   // ---------- IVF (inverted-file index) ----------

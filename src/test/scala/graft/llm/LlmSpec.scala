@@ -178,6 +178,40 @@ class LlmSpec extends AnyFunSuite {
     assert(uncapped.contains((100L, 101L)))
   }
 
+  test("hyperplane bands expression is bit-identical to the composed per-plane form") {
+    import org.apache.spark.sql.functions._
+    val planes = Similarity.hyperplanes(16, 64)
+    // codegen path: full-column comparison against the composed signature
+    val both = emb.select(
+      Similarity.signature($"embedding", planes).as("composed"),
+      element_at(graft.functions.HyperplaneF.bands($"embedding", 1, 16, planes), 1)
+        .as("native"),
+      graft.functions.HyperplaneF.bands($"embedding", 2, 8, planes).as("bands"))
+      .collect()
+    both.foreach { r =>
+      val composed = r.getLong(0)
+      assert(r.getLong(1) == composed)
+      // two 8-bit bands must be the low/high byte split of the same bits
+      val bands = r.getSeq[Long](2)
+      assert((bands(0) | (bands(1) << 8)) == composed)
+    }
+    // interpreted path: eval the expression directly on the vec_id-0 row
+    // and compare with the codegen'd column result for the same row
+    val v = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      v.toArray[Float].map(x => x: Any))
+    val expr = graft.functions.HyperplaneBands(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        ad, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      1, 16, planes.flatten.toArray, 64)
+    val interpreted = expr.nullSafeEval(ad)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].getLong(0)
+    val fromDf = emb.filter($"vec_id" === 0).select(
+      element_at(graft.functions.HyperplaneF.bands($"embedding", 1, 16, planes), 1))
+      .head().getLong(0)
+    assert(interpreted == fromDf)
+  }
+
   test("lsh bucket as partition column: probe reads are partition-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annshard").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
