@@ -145,17 +145,18 @@ object Dedup {
                          math.abs(rnd.nextLong()) % MersenneP))
   }
 
-  /** MinHash signatures as one codegen'd hash aggregation: explode the
-    * hashed shingles → 64 `min(a_i·h+b_i mod p)` aggregate columns.
-    * Map-side partial aggregation means the shuffle carries one 64-long
-    * row per (partition, id) — the 100 TB shape. (The earlier
-    * higher-order-function version was interpreted per element and
-    * re-hashed every shingle string per hash function.) */
+  /** MinHash signatures as ONE per-row projection over the shingle-hash
+    * array (`sigs` = array of numHashes longs): the signature is a
+    * row-local function of `hs`, so no explode and NO SHUFFLE — at corpus
+    * scale the explode + 64-column hash aggregation this replaces paid a
+    * full shuffle (one signature row per document) for nothing. Values are
+    * bit-identical to the aggregated form (same affine family, same
+    * non-ANSI wrap-around arithmetic — see
+    * [[graft.functions.MinHashSigs]]). */
   def minhashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MersenneP))).as(s"sig_$i")
-    }
-    hashedShingles(sh).groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val (as, bs) = hashParams(numHashes).unzip
+    sh.select(col("id"),
+      graft.functions.SketchF.minhashSigs(col("hs"), as, bs, MersenneP).as("sigs"))
   }
 
   /** Near-duplicate pairs via MinHash + LSH banding:
@@ -174,8 +175,11 @@ object Dedup {
     val sh = shingleDf(df, idCol, textCol, n)
     val sigs = minhashSigs(sh, numHashes)
     // band hash = xxhash64 over the band's signature slice + band index
+    // (element values identical to the former per-column form, so band
+    // hashes — and the emitted pair set — are unchanged)
     val bandCols = (0 until numBands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      val slice = (0 until rowsPerBand)
+        .map(r => element_at(col("sigs"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slice :+ lit(b): _*).as("bh"))
     }
     val buckets = sigs
@@ -197,25 +201,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash signatures (id, sig) as one codegen'd hash
-    * aggregation: explode tokens → per-token `xxhash64` → 64 conditional
-    * `sum` vote columns (bit i of the hash votes ±1) → sign vector
-    * reassembled into a long. Map-side partial aggregation keeps the
-    * shuffle at one row per (partition, id). */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("id"),
-        explode(TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"v_$i"))
-    val sig = (0 until 64)
-      .map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"), sig.as("sig"))
-  }
+  /** 64-bit SimHash signatures (id, sig) as ONE per-row projection over
+    * the token array — no explode, no shuffle (the explode + 64-`sum`
+    * vote aggregation this replaces shuffled one row per document at
+    * corpus scale). Token hashing stays SQL `xxhash64` (seed 42), so
+    * signatures are bit-identical — see [[graft.functions.SimHashSig]].
+    * Docs whose text is null produce a null signature and are dropped,
+    * matching the explode semantics. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SketchF.simhashSig(
+          TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (any pair within Hamming distance ≤ maxHamming < 4 shares at

@@ -178,6 +178,42 @@ class LlmSpec extends AnyFunSuite {
     assert(uncapped.contains((100L, 101L)))
   }
 
+  test("native minhash/simhash signatures are bit-identical to the aggregated forms") {
+    import org.apache.spark.sql.functions._
+    // the retired explode+aggregate formulations, inlined as the reference
+    val p = (1L << 61) - 1
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(64)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+                               math.abs(rnd.nextLong()) % p))
+    val sh = Dedup.shingleDf(docs, "doc_id", "text", 3)
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"sig_$i")
+    }
+    val oldMin = sh.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong(_)).toSeq).toMap
+    val newMin = Dedup.minhashSigs(sh, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(newMin.keySet == oldMin.keySet)
+    newMin.foreach { case (id, sigs) => assert(sigs == oldMin(id), s"id $id") }
+
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.normText(col("text")))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v_$i"))
+    val sigExpr = (0 until 64)
+      .map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val oldSim = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newSim = Dedup.simhashSigs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newSim == oldSim)
+  }
+
   test("hyperplane bands expression is bit-identical to the composed per-plane form") {
     import org.apache.spark.sql.functions._
     val planes = Similarity.hyperplanes(16, 64)
