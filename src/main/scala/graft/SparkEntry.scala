@@ -149,6 +149,33 @@ object SparkEntry {
         llm.Dedup.minhashPairs(docs, "doc_id", "text", 0.8))
         .select("doc_id")
     }),
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      // the end-to-end training-data shape: quality gate → near-dup
+      // removal (minhash survivors) → per-doc token counts. Composes
+      // three LLM-pipeline operators in one plan: the quality filter is a
+      // codegen'd projection at the scan, dedup pairs come from banding,
+      // and the final projection is one native expression per column.
+      val docs = t(s, dir, "documents")
+      val clean = docs.filter(
+        round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6) >= 0.5)
+      llm.Dedup.survivors(clean, "doc_id",
+          llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
+        .select(col("doc_id"),
+          llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"))
+    }),
+    "dedup_cosine_survivors" -> ((s, dir) => {
+      // survivors composed over the embedding near-dup pair set, on the
+      // same provable planted construction as dedup_cosine_bucketed
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 200)
+      val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+      val all = base.unionByName(planted)
+      llm.Dedup.survivors(all, "vec_id",
+          llm.Dedup.cosinePairsBucketed(all, "vec_id", "embedding", 0.99))
+        .select("vec_id")
+    }),
     "dedup_simhash_pairs" -> ((s, dir) => {
       // oracle-checkable construction (same trick as dedup_cosine_bucketed):
       // prefix every token with its doc_id, so token sets are DISJOINT
@@ -417,6 +444,8 @@ object SparkEntry {
     "dedup_survivors" ->
       s"""SELECT doc_id FROM documents
          | WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($jaccardPairsSql))""".stripMargin,
+    "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
+    "dedup_cosine_survivors" -> cosineSurvivorsSql,
     "embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -471,19 +500,65 @@ object SparkEntry {
       |  FROM all_v a, q
       | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
 
+  /** CTE chain computing exact word-3-gram Jaccard pairs ≥ 0.8 over a
+    * source relation with (doc_id, text) — reused by the pair, survivor,
+    * and pipeline oracles. Defines `jpairs(id_a, id_b, jaccard)`. */
+  private def jaccardCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, g FROM (
+       |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |   FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+       |   WHERE g IS NOT NULL),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+       |    FROM shared JOIN cnt x ON d1 = x.doc_id JOIN cnt y ON d2 = y.doc_id
+       |   WHERE c * 1.0 / (x.n + y.n - c) >= 0.8)""".stripMargin
+
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — oracle for both the exact
     * shingle-join variant and the MinHash-LSH variant (at 64 hashes / 32
     * bands the LSH recall at j≥0.8 is 1-1e-14: the sets coincide). */
   private val jaccardPairsSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, g FROM (
-      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |   FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
-      |   WHERE g IS NOT NULL),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
-      |  FROM shared JOIN cnt x ON d1 = x.doc_id JOIN cnt y ON d2 = y.doc_id
-      | WHERE c * 1.0 / (x.n + y.n - c) >= 0.8""".stripMargin
+    s"WITH ${jaccardCtes("documents")}\nSELECT id_a, id_b, jaccard FROM jpairs"
+
+  /** DuckDB expression matching TextAnalysis.qualityScore (rounded to 6,
+    * as every quality oracle filters/compares on the rounded value). */
+  private val qualitySqlExpr: String =
+    """round(
+      |    least(n_chars / 1000.0, 1.0) * 0.4
+      |  + least((len(list_filter(string_split(lower(text), ' '),
+      |       x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that')))
+      |       * 1.0 / greatest(len(string_split(lower(text), ' ')), 1)) * 4.0, 1.0) * 0.3
+      |  + (length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.3
+      |  , 6)""".stripMargin
+
+  /** quality gate → exact-jaccard survivors → token counts: the oracle
+    * for the end-to-end pipeline_clean_corpus query (minhash pair set =
+    * exact pair set at these parameters, as for dedup_minhash_pairs). */
+  private val pipelineCleanCorpusSql: String =
+    s"""WITH scored AS (SELECT doc_id, text, $qualitySqlExpr AS q FROM documents),
+       |clean AS (SELECT doc_id, text FROM scored WHERE q >= 0.5),
+       |${jaccardCtes("clean")}
+       |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_ws
+       |  FROM clean c
+       | WHERE c.doc_id NOT IN (SELECT DISTINCT id_b FROM jpairs)""".stripMargin
+
+  /** Survivors over the planted-construction cosine pair set (same
+    * construction as dedup_cosine_bucketed, so the approximate pair set
+    * provably equals this exact one). */
+  private val cosineSurvivorsSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |planted AS (SELECT vec_id + 10000 AS vec_id,
+      |            list_prepend(embedding[1] + 0.01::FLOAT, embedding[2:]) AS embedding
+      |       FROM base),
+      |all_v AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |cpairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+      |   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                CAST(b.embedding AS DOUBLE[])) >= 0.99)
+      |SELECT vec_id FROM all_v
+      | WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM cpairs)""".stripMargin
 }
