@@ -427,14 +427,7 @@ object SparkEntry {
         |       ELSE 'und' END AS lang_guess
         |  FROM s""".stripMargin,
     "quality_score" ->
-      """SELECT doc_id, round(
-        |    least(n_chars / 1000.0, 1.0) * 0.4
-        |  + least((len(list_filter(string_split(lower(text), ' '),
-        |       x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','this','that')))
-        |       * 1.0 / greatest(len(string_split(lower(text), ' ')), 1)) * 4.0, 1.0) * 0.3
-        |  + (length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.3
-        |  , 6) AS q
-        |  FROM documents""".stripMargin,
+      s"SELECT doc_id, $qualitySqlExpr AS q FROM documents",
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -55,8 +55,15 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return null
     val t = elemType
+    // copy once: the band loops read every element numBands·bitsPerBand
+    // times, and the ArrayData accessor + type dispatch per read would
+    // dominate this hot path
+    val x = new Array[Double](dim)
     var j = 0
-    while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      x(j) = read(v, j, t); j += 1
+    }
     val out = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {
@@ -66,7 +73,7 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
         var s = 0.0
         val off = (b * bitsPerBand + r) * dim
         var i = 0
-        while (i < dim) { s += planes(off + i) * read(v, i, t); i += 1 }
+        while (i < dim) { s += planes(off + i) * x(i); i += 1 }
         if (s > 0) sig |= (1L << r)
         r += 1
       }
@@ -91,17 +98,22 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
       val sig = ctx.freshName("sig")
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
+      val x = ctx.freshName("x")
       val b = ctx.freshName("b")
       val r = ctx.freshName("r")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val acc = accessor(elemType)
+      // elements copied to a local double[] once — the band loops read
+      // each one numBands·bitsPerBand times
       s"""
          |if ($v.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
+         |  double[] $x = new double[$dim];
          |  for (int $j = 0; $j < $dim; $j++) {
          |    if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    $x[$j] = (double) $v.$acc($j);
          |  }
          |  if (!${ev.isNull}) {
          |    long[] $out = new long[$numBands];
@@ -111,7 +123,7 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
          |        double $s = 0.0;
          |        int $off = ($b * $bitsPerBand + $r) * $dim;
          |        for (int $i = 0; $i < $dim; $i++) {
-         |          $s += $p[$off + $i] * ((double) $v.$acc($i));
+         |          $s += $p[$off + $i] * $x[$i];
          |        }
          |        if ($s > 0) $sig |= (1L << $r);
          |      }

@@ -149,7 +149,10 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
       val sig = ctx.freshName("sig")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
-      val hashFn = XxHash64Function.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // the mirror class's STATIC FORWARDER — `XxHash64Function.MODULE$`
+      // does not exist on the mirror class and fails Janino compilation,
+      // which would silently drop the whole stage to interpreted mode
+      val hashFn = "org.apache.spark.sql.catalyst.expressions.XxHash64Function"
       s"""
          |int $n = $toks.numElements();
          |if ($n == 0) {

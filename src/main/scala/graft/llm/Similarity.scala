@@ -54,8 +54,13 @@ object Similarity {
 
   /** Assign each vector its LSH bucket (materialize this at ingest and
     * `partitionBy` on it for pruned reads at scale). Uses the one-pass
-    * native [[graft.functions.HyperplaneBands]] signature (bit-identical
-    * to [[signature]], without the nBits·dim-literal expression tree). */
+    * native [[graft.functions.HyperplaneBands]] signature — bit-identical
+    * to [[signature]] for well-formed vectors, without the
+    * nBits·dim-literal expression tree. Malformed vectors (dimension
+    * mismatch, null element) get a NULL bucket and fall out of probe
+    * scope, where the composed form lumped them into bucket 0; a vector
+    * that can't be dotted can't be searched, so exclusion is the honest
+    * semantic. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  nBits: Int = 16, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dim)

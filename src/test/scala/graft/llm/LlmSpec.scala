@@ -214,6 +214,36 @@ class LlmSpec extends AnyFunSuite {
     assert(newSim == oldSim)
   }
 
+  test("native sketch expressions compile under CODEGEN_ONLY (no silent fallback)") {
+    import org.apache.spark.sql.functions._
+    // Janino rejects code javac would accept (e.g. Scala object MODULE$
+    // refs); Spark then silently drops to interpreted eval, defeating the
+    // expressions' purpose while every value-level test still passes.
+    // CODEGEN_ONLY turns that fallback into a hard failure.
+    val factory = "spark.sql.codegen.factoryMode"
+    val fallback = "spark.sql.codegen.fallback"
+    val prevFactory = spark.conf.getOption(factory)
+    val prevFallback = spark.conf.getOption(fallback)
+    spark.conf.set(factory, "CODEGEN_ONLY")
+    spark.conf.set(fallback, "false")
+    try {
+      val few = docs.limit(10)
+      assert(Dedup.simhashSigs(few, "doc_id", "text").collect().length == 10)
+      assert(Dedup.minhashSigs(Dedup.shingleDf(few, "doc_id", "text", 3), 64)
+        .collect().nonEmpty)
+      val planes = Similarity.hyperplanes(16, 64)
+      assert(emb.limit(10)
+        .select(graft.functions.HyperplaneF.bands($"embedding", 2, 8, planes))
+        .collect().length == 10)
+      assert(emb.limit(10)
+        .select(graft.functions.VectorF.dot($"embedding", $"embedding"))
+        .collect().length == 10)
+    } finally {
+      prevFactory.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
+      prevFallback.fold(spark.conf.unset(fallback))(spark.conf.set(fallback, _))
+    }
+  }
+
   test("hyperplane bands expression is bit-identical to the composed per-plane form") {
     import org.apache.spark.sql.functions._
     val planes = Similarity.hyperplanes(16, 64)
