@@ -111,6 +111,25 @@ object StreamRunner {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup dedup: keep the first record per 64-bit SimHash
+    * signature within the watermark horizon. Possible only because the
+    * signature is a stateless per-row projection
+    * ([[graft.functions.SimHashSig]] — no explode/aggregation), so it
+    * composes with `dropDuplicatesWithinWatermark` exactly like the
+    * exact-fingerprint version: state stays watermark-bounded. Catches
+    * near-identical spam the exact fingerprint misses (any permutation or
+    * re-spacing of the same token multiset collapses to one signature;
+    * small edits usually do too). Null-text records share a null
+    * signature and collapse to one, matching [[streamingDedup]]'s
+    * null-fingerprint behavior. */
+  def streamingNearDedup(stream: DataFrame, textCol: String, timeCol: String,
+                         watermark: String): DataFrame =
+    stream
+      .withColumn("simhash", graft.functions.SketchF.simhashSig(
+        graft.llm.TextAnalysis.wsTokens(graft.llm.TextAnalysis.normText(col(textCol)))))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Custom streaming state via `mapGroupsWithState`: running count per
     * key across micro-batches (the KeyValueGroupedDataset escape hatch
     * for semantics windowed aggs can't express). Emits the updated total

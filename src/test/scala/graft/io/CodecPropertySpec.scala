@@ -158,6 +158,53 @@ class CodecPropertySpec extends AnyFunSuite {
     def count(s: UTF8String): Int = graft.functions.BpeTokenCountOps.count(s)
   }
 
+  test("minhash signature expression matches a naive per-element implementation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val p = (1L << 61) - 1
+    val paramGen = Gen.listOfN(8, Gen.zip(
+      Gen.chooseNum(1L, p - 1), Gen.chooseNum(0L, p - 1)))
+    val hsGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.take(50))
+    holds(Prop.forAll(hsGen, paramGen) { (hs, params) =>
+      val (as, bs) = params.unzip
+      val expr = graft.functions.MinHashSigs(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), // child unused by nullSafeEval
+        as.toArray, bs.toArray, p)
+      val got = expr.nullSafeEval(new GenericArrayData(hs.toArray[Any]))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      val want = params.map { case (a, b) =>
+        hs.map { h => val x = (h * a + b) % p; if (x < 0) x + p else x }.min
+      }
+      got == want
+    })
+  }
+
+  test("simhash signature expression matches a naive vote implementation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    val toksGen = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "cat", "dog", "", "é世", "the the"))
+      .map(_.take(40))
+    holds(Prop.forAll(toksGen) { toks =>
+      val ad = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.SimHashSig(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+        .nullSafeEval(ad).asInstanceOf[Long]
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      val want = (0 until 64).foldLeft(0L) { (s, b) =>
+        if (votes(b) > 0) s | (1L << b) else s
+      }
+      got == want
+    })
+  }
+
   test("shingle hashes: count and distinctness match a naive implementation") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val toksGen = Gen.listOf(Gen.oneOf("a", "b", "cat", "dog", "x y", ""))

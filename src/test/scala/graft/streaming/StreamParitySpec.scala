@@ -81,6 +81,27 @@ class StreamParitySpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("streaming near-dedup collapses same-token-multiset records by simhash") {
+    val dir = Files.createTempDirectory("graft-snd").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"ts":"2026-01-01 00:00:01","text":"the quick brown fox","id":1}
+        |{"ts":"2026-01-01 00:00:02","text":"Quick  THE fox brown","id":2}
+        |{"ts":"2026-01-01 00:00:03","text":"a completely different document","id":3}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingNearDedup(stream, "text", "ts", "1 minute"), "append")
+    // ids 1 and 2 are the same token multiset (order/case/spacing differ)
+    // → identical simhash; exact fingerprint would keep both
+    assert(out.count() == 2)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // batch parity: survivors equal the batch-side distinct signature count
+    val batch = spark.read.json(s"$dir/d.jsonl")
+    val batchSigs = graft.llm.Dedup.simhashSigs(batch, "id", "text")
+      .select("sig").distinct().count()
+    assert(out.count() == batchSigs)
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
