@@ -294,6 +294,24 @@ class LlmSpec extends AnyFunSuite {
       (plan.contains("bucket#") || plan.contains("bucket =")), plan.take(2000))
   }
 
+  test("ivf list as partition column: probe reads are partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfshard").toString
+    val sample = emb.select($"embedding").limit(256).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = Similarity.kmeans(sample, 8)
+    // ingest-time assignment: the IVF list becomes the partition column —
+    // the same posture the scaladoc promises for 100 TB probe reads
+    Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .write.partitionBy("list").parquet(s"$dir/by_list")
+    val back = spark.read.parquet(s"$dir/by_list")
+    val someList = back.select("list").head().getInt(0)
+    val probe = back.filter($"list" === someList)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(probe.count() > 0)
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("list#") || plan.contains("list =")), plan.take(2000))
+  }
+
   test("resize rewrites payload and typed metadata together") {
     val media = Multimodal.asMediaTable(docs.limit(5), "doc_id", "text", "image")
     val out = Multimodal.resize(spark, media, 8, 4)
