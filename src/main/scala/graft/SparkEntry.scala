@@ -213,6 +213,16 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    "ann_topk_batch" -> ((s, dir) => {
+      // the batched serving shape: 5 query vectors, one corpus pass, a
+      // bounded-heap top-k aggregate per query (never a full per-query
+      // sort). Exact, so the oracle is DuckDB's windowed brute force.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      llm.Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 10)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       // oracle-checkable construction: plant 10 exact copies of the query
       // vector. Identical floats give an identical sign signature (hamming
@@ -476,6 +486,15 @@ object SparkEntry {
         |  FROM documents""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
     "ann_ivf_topk" -> annPlantedTopkSql,
+    "ann_topk_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
+        |    FROM embeddings e, q)
+        |SELECT qid, id, cos FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin,
   )
 
   /** Brute-force top-10 over the planted-clique construction — the

@@ -40,6 +40,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine top-k for a BATCH of query vectors in ONE corpus pass —
+    * the serving shape: each corpus row scores against the whole query
+    * matrix via the native [[graft.functions.MatVecDots]] (one expression,
+    * vector read once), explodes to (qid, id, cos), and a bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate keeps the best k per query.
+    * Map-side partial aggregation means the only shuffle carries at most
+    * partitions × |queries| × k rows — a window `row_number() <= k` would
+    * shuffle and sort all N·Q scored rows instead. Rounding to 6 happens
+    * BEFORE ranking so tie-breaking (cos desc, id asc) matches the SQL
+    * `QUALIFY` oracle formulation exactly.
+    *
+    * Returns (qid, id, cos) with qid = the query's index in `queries`. */
+  def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                          queries: Seq[Seq[Double]], k: Int): DataFrame = {
+    import graft.functions.{MatVecF, TopKF, VectorF}
+    val qNorms = queries.map(q => math.sqrt(q.map(x => x * x).sum))
+    val scored = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vnorm", VectorF.norm(col("v")))
+      .select(col("id"), col("vnorm"), posexplode(MatVecF.dots(col("v"), queries)))
+      .select(col("pos").as("qid"),
+        round(col("col") / (col("vnorm") *
+          element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"),
+        col("id"))
+    scored
+      .groupBy("qid")
+      .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
+      .select(col("qid").cast("long").as("qid"), explode(col("topk")).as("hit"))
+      .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
   // Deterministic hyperplanes (fixed seed): nBits × dim sign projections.
   private[llm] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(1234)

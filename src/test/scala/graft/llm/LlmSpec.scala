@@ -62,6 +62,27 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh.contains(0L)) // the query vector itself is its own 1-NN
   }
 
+  test("batched top-k equals per-query brute force, via the bounded-heap aggregate") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val batch = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.zipWithIndex.foreach { case (q, qid) =>
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid.toLong) == single, s"query $qid")
+    }
+    // the aggregate plan never sorts whole per-query groups: no window
+    // exchange of the full scored set (Sort nodes only inside the top-k
+    // eval are fine; assert no global Sort before the aggregate)
+    val plan = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("ivf ANN top-k has high recall vs brute force and probes few lists") {
     val q = emb.filter($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
