@@ -218,9 +218,11 @@ object SparkEntry {
       // bounded-heap top-k aggregate per query (never a full per-query
       // sort). Exact, so the oracle is DuckDB's windowed brute force.
       val emb = t(s, dir, "embeddings")
+      // qid = the query's own vec_id (not a dense batch index), so the
+      // oracle mapping holds even if some of vec_id 0..4 were absent
       val queries = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").orderBy("vec_id").collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
       llm.Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 10)
     }),
     "ann_lsh_topk" -> ((s, dir) => {

@@ -119,7 +119,15 @@ case class MatVecDots(child: Expression, matrix: Array[Double], dim: Int)
 object MatVecF {
   /** One dot per query row of `queries` against the vector column. */
   def dots(vec: Column, queries: Seq[Seq[Double]]): Column = {
+    require(queries.nonEmpty, "mat_vec_dots: empty query batch")
     val dim = queries.head.size
+    // a ragged batch would flatten into a plausible-looking matrix with
+    // the wrong row boundaries — phantom queries scoring against halves
+    // of real ones, with no error anywhere downstream
+    queries.zipWithIndex.foreach { case (q, i) =>
+      require(q.size == dim,
+        s"mat_vec_dots: query $i has dim ${q.size}, expected $dim")
+    }
     Bridge.column(MatVecDots(Bridge.expression(vec), queries.flatten.toArray, dim))
   }
 }

@@ -105,9 +105,17 @@ final class TopKHeap(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  // a is worse than b under (score DESC, id ASC) ranking
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  // a is worse than b under (score DESC, id ASC) ranking. Double.compare
+  // gives a TOTAL order with NaN above every value — matching Spark's
+  // nanSafeCompareDoubles / descending-sort semantics, where a naive
+  // `<`/`==` pair is incoherent on NaN (never worse, never better: a NaN
+  // entry could lodge in the heap forever and block real candidates).
+  // `+ 0.0` canonicalizes -0.0 to 0.0 for the COMPARISON only (Spark
+  // treats them equal; Double.compare does not) — stored scores stay raw.
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa + 0.0, sb + 0.0)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def offer(s: Double, id: Long): Unit = {
     if (size < k) {
@@ -137,10 +145,11 @@ final class TopKHeap(val k: Int) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
-  /** Retained pairs, best (score desc, id asc) first. */
+  /** Retained pairs, best (score desc, id asc) first — same total order
+    * as [[worse]], so NaN ranks first like a descending Spark sort. */
   def sortedDesc: Seq[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i)))
-      .sortBy { case (s, id) => (-s, id) }
+      .sortWith { case ((sa, ia), (sb, ib)) => worse(sb, ib, sa, ia) }
 }
 
 object TopKF {

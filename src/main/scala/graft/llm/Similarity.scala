@@ -30,12 +30,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = graft.functions.VectorF.cosine(a, b)
 
-  /** Exact cosine top-k for one query vector. */
+  /** Exact cosine top-k for one query vector. Rows that cannot be scored
+    * (zero norm, wrong dimension, null element — cosine null) are
+    * excluded from the candidates, same as [[bruteForceTopKBatch]]. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     df.select(col(idCol).as("id"),
         round(cosine(col(vecCol), q), 6).as("cos"))
+      .filter(col("cos").isNotNull)
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
   }
@@ -49,25 +52,33 @@ object Similarity {
     * partitions × |queries| × k rows — a window `row_number() <= k` would
     * shuffle and sort all N·Q scored rows instead. Rounding to 6 happens
     * BEFORE ranking so tie-breaking (cos desc, id asc) matches the SQL
-    * `QUALIFY` oracle formulation exactly.
+    * `QUALIFY` oracle formulation exactly. Corpus rows that cannot be
+    * scored (zero norm → null division, wrong dimension / null element →
+    * null dots) are excluded from every query's candidates, matching
+    * [[bruteForceTopK]].
     *
-    * Returns (qid, id, cos) with qid = the query's index in `queries`. */
+    * `queries` carries each query's OWN id — results are keyed by it, so
+    * the mapping stays robust however the caller selected the batch.
+    * Returns (qid, id, cos). */
   def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
-                          queries: Seq[Seq[Double]], k: Int): DataFrame = {
+                          queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
     import graft.functions.{MatVecF, TopKF, VectorF}
-    val qNorms = queries.map(q => math.sqrt(q.map(x => x * x).sum))
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val qIds = queries.map(_._1)
     val scored = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vnorm", VectorF.norm(col("v")))
-      .select(col("id"), col("vnorm"), posexplode(MatVecF.dots(col("v"), queries)))
-      .select(col("pos").as("qid"),
+      .select(col("id"), col("vnorm"),
+        posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
+      .select(col("pos"),
         round(col("col") / (col("vnorm") *
           element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"),
         col("id"))
     scored
-      .groupBy("qid")
+      .groupBy("pos")
       .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
-      .select(col("qid").cast("long").as("qid"), explode(col("topk")).as("hit"))
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        explode(col("topk")).as("hit"))
       .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
   }
 

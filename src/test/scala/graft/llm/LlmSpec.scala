@@ -65,15 +65,21 @@ class LlmSpec extends AnyFunSuite {
   test("batched top-k equals per-query brute force, via the bounded-heap aggregate") {
     val queries = emb.filter($"vec_id" < 3)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val batch = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
-    queries.zipWithIndex.foreach { case (q, qid) =>
+    queries.foreach { case (qid, q) =>
       val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 7)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(batch(qid.toLong) == single, s"query $qid")
+      assert(batch(qid) == single, s"query $qid")
     }
+    // ragged or empty batches are rejected up front, not silently rescored
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        Seq(1L -> Seq(1.0, 2.0), 2L -> Seq(1.0, 2.0, 3.0)), 3))
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", Seq.empty, 3))
     // the aggregate plan never sorts whole per-query groups: no window
     // exchange of the full scored set (Sort nodes only inside the top-k
     // eval are fine; assert no global Sort before the aggregate)
@@ -81,6 +87,26 @@ class LlmSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("topk_by_score"), plan.take(1500))
     assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("top-k heap: NaN ranks first like a descending Spark sort, and is evictable") {
+    // a naive <-based comparator is incoherent on NaN: a NaN entry could
+    // lodge in the heap forever, block real candidates, and sort last —
+    // the opposite of Spark/DuckDB descending-sort semantics
+    val h = new graft.functions.TopKHeap(3)
+    h.offer(Double.NaN, 9L)
+    h.offer(0.5, 1L); h.offer(0.7, 2L); h.offer(0.6, 3L)
+    // heap is full: 0.5 must have been evicted, NaN retained as the best
+    assert(h.sortedDesc.map(_._2) == Seq(9L, 2L, 3L))
+    assert(h.sortedDesc.head._1.isNaN)
+    // two NaNs tie-break by id ascending
+    val h2 = new graft.functions.TopKHeap(2)
+    h2.offer(Double.NaN, 5L); h2.offer(Double.NaN, 4L); h2.offer(1.0, 1L)
+    assert(h2.sortedDesc.map(_._2) == Seq(4L, 5L))
+    // -0.0 and 0.0 compare equal (id breaks the tie), matching Spark
+    val h3 = new graft.functions.TopKHeap(1)
+    h3.offer(-0.0, 7L); h3.offer(0.0, 2L)
+    assert(h3.sortedDesc.map(_._2) == Seq(2L))
   }
 
   test("ivf ANN top-k has high recall vs brute force and probes few lists") {
@@ -259,6 +285,15 @@ class LlmSpec extends AnyFunSuite {
       assert(emb.limit(10)
         .select(graft.functions.VectorF.dot($"embedding", $"embedding"))
         .collect().length == 10)
+      assert(emb.limit(10)
+        .select(graft.functions.MatVecF.dots($"embedding",
+          Seq(Seq.fill(64)(0.5), Seq.fill(64)(-1.0))))
+        .collect().length == 10)
+      val qs = emb.filter($"vec_id" < 2)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      assert(Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", qs, 3)
+        .collect().length == 6)
     } finally {
       prevFactory.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
       prevFallback.fold(spark.conf.unset(fallback))(spark.conf.set(fallback, _))
