@@ -25,11 +25,15 @@ object Dedup {
     * expression — per-row, no shuffle, codegen-resident. All downstream
     * joins and signatures work on the 64-bit hashes, never the strings
     * (a collision between two distinct corpus shingles, p ≈ d²/2⁶⁵, is
-    * the only approximation — negligible even at 10¹² shingles). */
+    * the only approximation — negligible even at 10¹² shingles).
+    * `hs` is SORTED ascending: one O(s log s) sort per document here lets
+    * every pairwise verify downstream run as an O(s) merge scan
+    * ([[graft.functions.SortedIntersectCount]]) instead of a per-pair
+    * hash-set build; minhash is order-insensitive (min over elements). */
   def shingleDf(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),
-        graft.functions.ShingleF.shingleHashes(
-          TextAnalysis.wsTokens(col(textCol)), n).as("hs"))
+        array_sort(graft.functions.ShingleF.shingleHashes(
+          TextAnalysis.wsTokens(col(textCol)), n)).as("hs"))
       .filter(size(col("hs")) > 0)
 
   /** Exact dedup: hash-bucket by normalized-text fingerprint, keep the
@@ -128,7 +132,8 @@ object Dedup {
       // O(|a|+|b|) intersection runs
       .filter(greatest(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) * threshold
         <= least(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) + 1e-9)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val inter = graft.functions.SortedIntersectF
+      .count(col("sh_a"), col("sh_b")).cast(DoubleType)
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
     withSh
       .withColumn("jaccard", inter / union)
@@ -193,7 +198,8 @@ object Dedup {
     val withSh = cands
       .join(sh.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val inter = graft.functions.SortedIntersectF
+      .count(col("sh_a"), col("sh_b")).cast(DoubleType)
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
     withSh
       .withColumn("jaccard", inter / union)

@@ -205,6 +205,19 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sorted intersect count matches set intersection on sorted arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arrGen = Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
+    holds(Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val got = graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+        .nullSafeEval(new GenericArrayData(a.toArray[Any]),
+                      new GenericArrayData(b.toArray[Any]))
+      got == a.toSet.intersect(b.toSet).size
+    })
+  }
+
   test("shingle hashes: count and distinctness match a naive implementation") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val toksGen = Gen.listOf(Gen.oneOf("a", "b", "cat", "dog", "x y", ""))
