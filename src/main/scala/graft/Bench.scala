@@ -42,7 +42,16 @@ object Bench {
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)}}""")
+    val line =
+      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)}}"""
+    // stop Spark BEFORE emitting the record so its shutdown logging can't
+    // land after (and a tail capture never truncates) the JSON line; also
+    // persist to a file so the record survives any stdout clipping
     spark.stop()
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] /tmp/bench.json write failed: ${e.getMessage}") }
+    println(line)
   }
 }

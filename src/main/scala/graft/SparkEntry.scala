@@ -87,10 +87,18 @@ object SparkEntry {
           sort_array(transform(col("items"), i => i.getField("o_orderkey")))).as("ids"))),
     "approx_distinct_users" -> ((s, dir) => t(s, dir, "events")
       // HyperLogLog++ sketch per event type — the constant-memory shape
-      // of COUNT(DISTINCT) at 100 TB. No DuckDB oracle (different sketch
-      // implementation); bounded-error asserted in LlmSpec instead.
+      // of COUNT(DISTINCT) at 100 TB. The sketch value itself can't be
+      // replayed by another engine, so the registered output is the
+      // bounded-error CONTRACT: the exact count plus a boolean asserting
+      // the sketch landed within 5× its configured 1% rsd. The exact
+      // count here exists only to make the sketch oracle-checkable —
+      // production callers use the sketch alone.
       .groupBy(col("event_type").as("key"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .select(col("key"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("within_5pct"))),
     "time_window_hist" -> ((s, dir) => t(s, dir, "events")
       // batch twin of StreamRunner.windowedHist: 1-minute event-time
       // windows over the ns-long ts column
@@ -188,8 +196,12 @@ object SparkEntry {
       // expected output is the closed-form set {(i, i+10000, 0)}, which the
       // oracle emits directly; whitespace-only docs get a per-doc sentinel
       // token so every doc_id appears. Natural-corpus simhash behavior is
-      // covered by LlmSpec's recall test.
+      // covered by LlmSpec's recall test. The doc_id < 10000 guard keeps
+      // the construction scale-factor-proof: without it, a corpus whose
+      // ids reach the +10000 offset would collide planted ids with real
+      // rows and silently break the closed form.
       val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 10000L)
       val toks = filter(split(col("text"), "\\s+"), w => length(w) > 0)
       val pref = transform(toks, w =>
         concat(col("doc_id").cast("string"), lit("_"), w))
@@ -232,8 +244,11 @@ object SparkEntry {
       // 1.0, so the 11-vector clique provably IS the global top-10 (max
       // natural cosine vs vec 0 in this corpus is ≈0.37): the approximate
       // query's output equals DuckDB's brute-force top-k by construction.
-      // Natural-data LSH recall is covered by LlmSpec.
+      // Natural-data LSH recall is covered by LlmSpec. vec_id < 100000
+      // keeps the planted ids (100001..100010) collision-free at any
+      // scale factor.
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 100000L)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val planted = emb.filter(col("vec_id") === 0)
@@ -258,8 +273,10 @@ object SparkEntry {
       // same planted-clique construction as ann_lsh_topk: the copies share
       // the query's embedding, hence its IVF list; that list is the coarse
       // quantizer's rank-0 probe for the query, so the clique is always in
-      // scope and the reranked top-10 provably equals brute force.
+      // scope and the reranked top-10 provably equals brute force. Same
+      // vec_id < 100000 collision guard as ann_lsh_topk.
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 100000L)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val planted = emb.filter(col("vec_id") === 0)
@@ -276,12 +293,14 @@ object SparkEntry {
         .toDF().select(col("id"), col("n_bytes"), col("checksum"))),
 
     "q2_join_agg" -> ((s, dir) => {
-      // broadcast dim join: nation is tiny, lineitem is the fact table —
-      // at 100 TB this must be a broadcast hash join, never a shuffle.
+      // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
+      // with SF (~10⁹ rows at 100 TB), so no hint there: AQE broadcasts it
+      // while it fits and falls back to a shuffle join when it doesn't —
+      // a forced broadcast(supp) would OOM the executors at scale.
       val li = t(s, dir, "lineitem")
       val supp = t(s, dir, "supplier")
       val nat = t(s, dir, "nation")
-      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
         .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
         .groupBy("n_name")
         .agg(round(sum("l_extendedprice"), 2).as("revenue"),
@@ -479,13 +498,28 @@ object SparkEntry {
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
+    // the decode operator's checksum is md5 over the payload bytes —
+    // replayable by any engine (payload = UTF-8 bytes of text here, and
+    // DuckDB's md5(varchar) hashes the UTF-8 encoding too)
+    "multimodal_decode" ->
+      """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum
+        |  FROM documents""".stripMargin,
+    // the sketch itself has no cross-engine oracle; the CONTRACT does:
+    // exact per-key counts plus the bounded-error boolean (trivially true
+    // when computed exact-vs-exact, true on the Spark side iff the HLL++
+    // estimate really landed within 5%)
+    "approx_distinct_users" ->
+      """SELECT event_type AS key, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS within_5pct
+        |  FROM events GROUP BY 1""".stripMargin,
     // closed-form expected set of the orthogonalized+planted construction:
     // tokens are doc_id-prefixed (disjoint across docs ⇒ cross-doc hamming
     // ≈ Binomial(64, 1/2), P[≤3] ≈ 2.4e-15) and each doc has one identical
     // copy at +10000 (identical token multiset ⇒ hamming exactly 0)
     "dedup_simhash_pairs" ->
       """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS BIGINT) AS hamming
-        |  FROM documents""".stripMargin,
+        |  FROM documents WHERE doc_id < 10000""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
     "ann_ivf_topk" -> annPlantedTopkSql,
     "ann_topk_batch" ->
@@ -506,7 +540,7 @@ object SparkEntry {
     """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
       |planted AS (SELECT 100000 + r AS vec_id, q.embedding
       |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
-      |all_v AS (SELECT vec_id, embedding FROM embeddings
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
       |          UNION ALL SELECT vec_id, embedding FROM planted)
       |SELECT a.vec_id AS id,
       |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

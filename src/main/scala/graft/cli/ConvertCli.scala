@@ -34,13 +34,21 @@ object ConvertCli {
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
     var i = 0
-    def next(): String = { i += 1; args(i) }
+    def next(): String = {
+      if (i + 1 >= args.length)
+        throw new IllegalArgumentException(s"flag ${args(i)} is missing its value")
+      i += 1; args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "--input-uri"          => c = c.copy(inputUri = next())
         case "--input-format"       => c = c.copy(inputFormat = next())
         case "--input-header"       => c = c.copy(inputHeader = Some(next().split(',').toSeq))
-        case "--input-comment"      => c = c.copy(inputComment = Some(next().head))
+        case "--input-comment"      =>
+          val v = next()
+          if (v.isEmpty)
+            throw new IllegalArgumentException("--input-comment needs a non-empty character")
+          c = c.copy(inputComment = Some(v.head))
         case "--input-skip"         => c = c.copy(inputSkip = next().toInt)
         case "--input-limit"        => c = c.copy(inputLimit = Some(next().toInt))
         case "--output-uri"         => c = c.copy(outputUri = next())

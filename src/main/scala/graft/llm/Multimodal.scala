@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract operators.
   *
-  * The Spark-side plumbing (schema, partition-preserving batch transform,
-  * row shape) is real and tested; the actual codec step is STUBBED with a
-  * deterministic fake (this container ships no image/audio libraries) —
-  * see [[decodeStub]]. Swapping in a real decoder changes only that one
-  * function: the operator shape — `mapPartitions` over an iterator so a
-  * partition's worth of blobs streams through a reusable decoder context
-  * without per-row setup cost — is exactly how a JNI/FFI decoder would be
-  * mounted at 100 TB (decoder init amortized per partition, not per row).
+  * The decode path is REAL for image payloads: `javax.imageio` (pure JDK,
+  * no added dependencies) decodes PNG/BMP/GIF/JPEG bytes into true
+  * width/height and pixel-derived features, and [[resize]] does a real
+  * raster resample + PNG re-encode. Payloads ImageIO cannot decode (and
+  * the audio/video kinds — no JDK codec exists) fall back to a
+  * deterministic byte-level fake, clearly marked in the output by null
+  * width/height. The checksum is md5 over the raw payload bytes, so any
+  * engine can replay it. The operator shape — `mapPartitions` over an
+  * iterator so a partition's worth of blobs streams through a reusable
+  * decoder context without per-row setup cost — is exactly how a JNI/FFI
+  * audio/video decoder would be mounted at 100 TB (decoder init amortized
+  * per partition, not per row).
   */
 object Multimodal {
 
@@ -28,8 +32,10 @@ object Multimodal {
   ))
 
   final case class MediaRecord(id: Long, payload: Array[Byte], kind: String)
+  /** width/height are non-null iff a real image decode succeeded. */
   final case class DecodedFeatures(id: Long, kind: String, n_bytes: Long,
-                                   checksum: Long, features: Array[Float])
+                                   checksum: String, width: Option[Int],
+                                   height: Option[Int], features: Array[Float])
 
   /** Wrap any string column as a media payload table: (id, payload binary,
     * kind, meta struct). Stands in for reading real blobs; the schema and
@@ -48,58 +54,132 @@ object Multimodal {
         length(col(payloadCol).cast(BinaryType)).cast(LongType).as("n_bytes"),
       ).as("meta"))
 
-  /** STUB decode: deterministic fake "decoder" — checksum + an 8-float
-    * feature vector derived from the first bytes. A real implementation
-    * replaces only this function body with the codec call. */
-  private[llm] def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
-    var sum = 0L
+  /** Hex md5 of the payload bytes — the replayable checksum every decode
+    * row carries (DuckDB/Spark/any engine: `md5(payload)`). The digest
+    * instance is created per partition and reused (digest() resets it). */
+  private def md5Hex(md: java.security.MessageDigest, payload: Array[Byte]): String = {
+    val d = md.digest(payload)
+    val sb = new java.lang.StringBuilder(32)
     var i = 0
-    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-    val feats = Array.tabulate(8) { j =>
-      if (j < payload.length) (payload(j) & 0xff) / 255.0f else 0.0f
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
     }
-    (sum, feats)
+    sb.toString
   }
 
+  /** FALLBACK feature stub for payloads with no real decoder (audio/video
+    * kinds, or bytes ImageIO rejects): an 8-float vector derived from the
+    * first bytes — deterministic, clearly not a codec. */
+  private[llm] def stubFeatures(payload: Array[Byte]): Array[Float] =
+    Array.tabulate(8) { j =>
+      if (j < payload.length) (payload(j) & 0xff) / 255.0f else 0.0f
+    }
+
+  /** REAL image decode, pure JDK: ImageIO sniffs the container (PNG, BMP,
+    * GIF, JPEG all ship with the JRE) and returns the raster. Features are
+    * 8 luma samples along the image diagonal — a deterministic
+    * pixel-derived summary standing where a vision embedding would plug
+    * in. Returns None for bytes that aren't a decodable image. */
+  private[llm] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val feats = Array.tabulate(8) { j =>
+          val x = (w - 1) * j / 7
+          val y = (h - 1) * j / 7
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          ((0.299f * r + 0.587f * g + 0.114f * b) / 255.0f)
+        }
+        Some((w, h, feats))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode + feature-extract over a media table. `mapPartitions`, not a
-    * per-row UDF: the iterator shape lets a real decoder hold one native
-    * context per partition (the batch shape Pandas-UDF users get in
+    * per-row UDF: the iterator shape lets the decoder hold one context per
+    * partition (here the reused MessageDigest; a JNI audio/video codec
+    * would init the same way — the batch shape Pandas-UDF users get in
     * PySpark). Stays fully distributed; output keeps the input
-    * partitioning. */
+    * partitioning. Image payloads get a real ImageIO decode (true
+    * width/height, pixel features); everything else falls back to the
+    * byte-level stub with null dimensions. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media.select(col("id"), col("payload"), col("kind"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (amortized)
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition context
         it.map { case (id, payload, kind) =>
-          val (checksum, feats) = decodeStub(payload)
-          DecodedFeatures(id, kind, payload.length.toLong, checksum, feats)
+          val checksum = md5Hex(md, payload)
+          val decoded = if (kind == "image") decodeImage(payload) else None
+          decoded match {
+            case Some((w, h, feats)) =>
+              DecodedFeatures(id, kind, payload.length.toLong, checksum,
+                Some(w), Some(h), feats)
+            case None =>
+              DecodedFeatures(id, kind, payload.length.toLong, checksum,
+                None, None, stubFeatures(payload))
+          }
         }
       }
   }
 
-  /** Resize for image-kind payloads. The pixel resample is STUBBED (a
-    * deterministic byte decimation to the target w×h byte budget); the
-    * real deliverable is the operator shape — per-partition batch
-    * transform that rewrites payload AND its typed metadata together, so
-    * schema consumers downstream see consistent (payload, meta.width,
-    * meta.height). */
+  /** REAL raster resize for decodable images: bilinear resample to the
+    * target w×h on a fresh RGB raster, re-encoded as PNG (pure-JDK
+    * ImageIO write). Returns None when the payload isn't a decodable
+    * image. */
+  private[llm] def resizeImage(payload: Array[Byte], width: Int,
+                               height: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resize for image-kind payloads: a real ImageIO resample + PNG
+    * re-encode when the bytes decode, a deterministic byte decimation to
+    * the target w×h byte budget otherwise. Either way the operator
+    * rewrites payload AND its typed metadata together, so schema consumers
+    * downstream see consistent (payload, meta.width, meta.height). */
   def resize(spark: SparkSession, media: DataFrame,
              width: Int, height: Int): DataFrame = {
     import spark.implicits._
     val resized = media.select(col("id"), col("payload"), col("kind"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // per-partition image-library context would init here
+        // per-partition decoder context is implicit in ImageIO's reader
+        // cache; a JNI codec would init here
         it.map { case (id, payload, kind) =>
-          val target = math.max(1, math.min(payload.length, width * height))
-          // ceil division: floor would keep payloads under 2x the budget
-          // entirely unresized and overshoot the target by up to 2x
-          val stride = math.max(1, (payload.length + target - 1) / target)
-          val out = new Array[Byte]((payload.length + stride - 1) / stride)
-          var i = 0
-          while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+          val real =
+            if (kind == "image") resizeImage(payload, width, height) else None
+          val out = real.getOrElse {
+            val target = math.max(1, math.min(payload.length, width * height))
+            // ceil division: floor would keep payloads under 2x the budget
+            // entirely unresized and overshoot the target by up to 2x
+            val stride = math.max(1, (payload.length + target - 1) / target)
+            val dec = new Array[Byte]((payload.length + stride - 1) / stride)
+            var i = 0
+            while (i < dec.length) { dec(i) = payload(i * stride); i += 1 }
+            dec
+          }
           (id, out, kind)
         }
       }.toDF("id", "payload", "kind")

@@ -31,14 +31,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = graft.functions.VectorF.cosine(a, b)
 
   /** Exact cosine top-k for one query vector. Rows that cannot be scored
-    * (zero norm, wrong dimension, null element — cosine null) are
-    * excluded from the candidates, same as [[bruteForceTopKBatch]]. */
+    * are excluded from the candidates, same as [[bruteForceTopKBatch]]:
+    * wrong dimension / null element give a null cosine, and a zero-norm
+    * vector gives NaN (0.0/0.0 in non-ANSI mode — NOT null, and NaN ranks
+    * ABOVE every real value in Spark's ordering, so without the explicit
+    * isnan guard an all-zero embedding would top every query). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     df.select(col(idCol).as("id"),
         round(cosine(col(vecCol), q), 6).as("cos"))
-      .filter(col("cos").isNotNull)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
   }
@@ -53,9 +56,12 @@ object Similarity {
     * shuffle and sort all N·Q scored rows instead. Rounding to 6 happens
     * BEFORE ranking so tie-breaking (cos desc, id asc) matches the SQL
     * `QUALIFY` oracle formulation exactly. Corpus rows that cannot be
-    * scored (zero norm → null division, wrong dimension / null element →
-    * null dots) are excluded from every query's candidates, matching
-    * [[bruteForceTopK]].
+    * scored are excluded from every query's candidates BEFORE scoring
+    * (the vnorm filter below), matching [[bruteForceTopK]]: wrong
+    * dimension / null element → null norm, zero vector → vnorm 0 (cos
+    * would be NaN, which Spark ranks above every real value), NaN
+    * element → NaN norm (NaN > 0 is TRUE in Spark comparisons, hence the
+    * explicit isnan guard).
     *
     * `queries` carries each query's OWN id — results are keyed by it, so
     * the mapping stays robust however the caller selected the batch.
@@ -68,6 +74,7 @@ object Similarity {
     val scored = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vnorm", VectorF.norm(col("v")))
+      .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
       .select(col("id"), col("vnorm"),
         posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
       .select(col("pos"),
@@ -189,6 +196,8 @@ object Similarity {
     ivfAssign(df, idCol, vecCol, centroids)
       .filter(col("list").isin(probeLists: _*))
       .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      // same unscorable-row exclusion as bruteForceTopK (null or NaN cos)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
   }
@@ -220,6 +229,8 @@ object Similarity {
     }
     cands
       .select(col("id"), round(cosine(col("v"), q), 6).as("cos"))
+      // same unscorable-row exclusion as bruteForceTopK (null or NaN cos)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
   }

@@ -89,6 +89,26 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("zero-norm and NaN embeddings are excluded from brute-force candidates") {
+    // 0.0/0.0 is NaN in non-ANSI mode, and NaN ranks ABOVE every real
+    // value in Spark ordering — without the explicit guards an all-zero
+    // embedding would be the top hit of every query
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = emb.filter($"vec_id" < 20).select($"vec_id", $"embedding")
+    val poison = Seq(
+      (900000L, Array.fill(q.length)(0.0f)),
+      (900001L, Array.fill(q.length)(Float.NaN)),
+    ).toDF("vec_id", "embedding")
+    val all = base.unionByName(poison)
+    val brute = Similarity.bruteForceTopK(all, "vec_id", "embedding", q, 25).collect()
+    assert(brute.length == 20, brute.map(_.getLong(0)).mkString(","))
+    assert(brute.forall(_.getLong(0) < 900000L))
+    val batch = Similarity
+      .bruteForceTopKBatch(all, "vec_id", "embedding", Seq(0L -> q), 25).collect()
+    assert(batch.length == 20 && batch.forall(_.getLong(1) < 900000L))
+  }
+
   test("top-k heap: NaN ranks first like a descending Spark sort, and is evictable") {
     // a naive <-based comparator is incoherent on NaN: a NaN entry could
     // lodge in the heap forever, block real candidates, and sort last —
@@ -127,16 +147,17 @@ class LlmSpec extends AnyFunSuite {
     assert(assigned.select("list").distinct().count() <= 2)
   }
 
-  test("approx_count_distinct is within rsd of exact counts") {
+  test("approx_count_distinct contract row: exact counts plus bounded-error boolean") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val approx = graft.SparkEntry.queries("approx_distinct_users")(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("approx_distinct_users")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = ev.groupBy("event_type")
       .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
-        s"$k: approx ${approx(k)} vs exact $n")
+      val (exactOut, within) = rows(k)
+      assert(exactOut == n, s"$k: exact_users $exactOut vs $n")
+      assert(within, s"$k: HLL++ estimate strayed beyond 5% of $n")
     }
   }
 
@@ -378,6 +399,34 @@ class LlmSpec extends AnyFunSuite {
     val payload = r.getAs[Array[Byte]]("payload")
     assert(meta.getAs[Long]("n_bytes") == payload.length.toLong)
     assert(payload.length <= 8 * 4 + 1) // decimated to ~the w*h byte budget
+  }
+
+  test("real PNG payloads decode to true dimensions; resize really resamples") {
+    // synthesize a genuine 16x9 PNG via ImageIO's WRITE path; the decoder
+    // under test reads it back through its own path
+    val img = new java.awt.image.BufferedImage(
+      16, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 9) img.setRGB(x, y, ((x * 16 + y) * 7) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val junk = "not an image".getBytes("UTF-8")
+    val media = Seq((0L, png, "image"), (1L, junk, "image"))
+      .toDF("id", "payload", "kind")
+    val out = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.id)
+    assert(out(0).width.contains(16) && out(0).height.contains(9))
+    assert(out(0).features.length == 8 &&
+      out(0).features.forall(f => f >= 0.0f && f <= 1.0f))
+    // undecodable bytes fall back to the stub: null dims, md5 still real
+    assert(out(1).width.isEmpty && out(1).height.isEmpty)
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(junk).map("%02x".format(_)).mkString
+    assert(out(1).checksum == expectedMd5)
+    // resize of a real image is a real resample: output decodes at 8x4
+    val resized = Multimodal.resize(spark, media, 8, 4).filter($"id" === 0).head()
+    val rimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]]("payload")))
+    assert(rimg.getWidth == 8 && rimg.getHeight == 4)
   }
 
   test("frame sampling explodes one blob into N frame rows") {
