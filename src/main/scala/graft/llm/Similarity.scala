@@ -120,10 +120,10 @@ object Similarity {
 
   // ---------- IVF (inverted-file index) ----------
 
-  /** Deterministic driver-side k-means (fixed seed, kmeans++-less simple
-    * init by striding the sample) for the IVF coarse quantizer. The
-    * sample is CLI-sized; at 100 TB you train once at ingest and persist
-    * the centroids with the dataset. */
+  /** Deterministic driver-side k-means (kmeans++-less simple init by
+    * striding the sample) — the REFERENCE implementation that
+    * [[kmeansDistributed]] is spec-pinned against; also handy for tests
+    * and tiny corpora. */
   private[llm] def kmeans(sample: Array[Array[Double]], k: Int,
                           iters: Int = 8): Array[Array[Double]] = {
     require(sample.nonEmpty, "ivf: empty training sample")
@@ -145,6 +145,64 @@ object Similarity {
       }.toArray
     }
     centroids
+  }
+
+  /** DISTRIBUTED k-means for the IVF coarse quantizer: per iteration, ONE
+    * `mapPartitions` pass over the (cached) training set computes partial
+    * per-centroid sums/counts; only k×dim doubles per partition come back,
+    * merged on the driver in partition order (deterministic), with the
+    * centroids riding out as a broadcast. The training vectors themselves
+    * NEVER collect to the driver — at 100 TB the sample can be billions of
+    * rows and this is the one-pass-per-iteration shape that trains at
+    * ingest. Init is the same strided selection as [[kmeans]]; the spec
+    * pins the two implementations to matching centroids on one sample
+    * (equal up to float summation order). */
+  private[llm] def kmeansDistributed(sample: org.apache.spark.rdd.RDD[Array[Double]],
+                                     k: Int, iters: Int = 8): Array[Array[Double]] = {
+    sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sample.count()
+      require(n > 0, "ivf: empty training sample")
+      val kk = math.min(k.toLong, n).toInt
+      // same init as kmeans(): element i*n/kk of the sample in order
+      val initIdx = (0 until kk).map(i => i.toLong * n / kk).toSet
+      var centroids = sample.zipWithIndex()
+        .filter { case (_, i) => initIdx(i) }
+        .collect().sortBy(_._2).map(_._1)
+      val dim = centroids.head.length
+      val sc = sample.sparkContext
+      (0 until iters).foreach { _ =>
+        val bc = sc.broadcast(centroids)
+        val partials = sample.mapPartitionsWithIndex { (pid, it) =>
+          val cs = bc.value
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          it.foreach { v =>
+            val c = nearestCentroid(v, cs)
+            counts(c) += 1
+            var d = 0
+            while (d < dim) { sums(c)(d) += v(d); d += 1 }
+          }
+          Iterator.single((pid, sums, counts))
+        }.collect().sortBy(_._1) // merge in partition order: deterministic
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val counts = new Array[Long](centroids.length)
+        partials.foreach { case (_, s, c) =>
+          var ci = 0
+          while (ci < centroids.length) {
+            counts(ci) += c(ci)
+            var d = 0
+            while (d < dim) { sums(ci)(d) += s(ci)(d); d += 1 }
+            ci += 1
+          }
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+        }.toArray
+        bc.destroy()
+      }
+      centroids
+    } finally sample.unpersist(blocking = false)
   }
 
   private[llm] def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
@@ -174,16 +232,17 @@ object Similarity {
       array_min(array(dists.toIndexedSeq: _*)).getField("i").as("list"))
   }
 
-  /** IVF ANN top-k: train the coarse quantizer on a driver-side sample,
-    * probe the `nprobe` lists nearest the query, rerank exactly by
-    * cosine. Probing is a partition-pruned read when `list` is the
-    * partition column at ingest. */
+  /** IVF ANN top-k: train the coarse quantizer DISTRIBUTED over a bounded
+    * sample (vectors never collect to the driver — see
+    * [[kmeansDistributed]]), probe the `nprobe` lists nearest the query,
+    * rerank exactly by cosine. Probing is a partition-pruned read when
+    * `list` is the partition column at ingest. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, kLists: Int = 16,
               nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
-    val sample = df.select(col(vecCol)).limit(trainSample).collect()
+    val sampleRdd = df.select(col(vecCol)).limit(trainSample).rdd
       .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
-    val centroids = kmeans(sample, kLists)
+    val centroids = kmeansDistributed(sampleRdd, kLists)
     val q = query.toArray
     val probeLists = centroids.indices
       .sortBy { c =>

@@ -147,6 +147,23 @@ class LlmSpec extends AnyFunSuite {
     assert(assigned.select("list").distinct().count() <= 2)
   }
 
+  test("distributed kmeans matches the driver-side loop on the same sample") {
+    val sampleDf = emb.select($"embedding").limit(256)
+    val arrs = sampleDf.collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val driver = Similarity.kmeans(arrs, 8)
+    val rdd = sampleDf.rdd
+      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    val dist = Similarity.kmeansDistributed(rdd, 8)
+    assert(dist.length == driver.length)
+    // equal up to float summation order (partial sums merge per partition)
+    driver.zip(dist).zipWithIndex.foreach { case ((a, b), c) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-6, s"centroid $c: $x vs $y")
+      }
+    }
+  }
+
   test("approx_count_distinct contract row: exact counts plus bounded-error boolean") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val rows = graft.SparkEntry.queries("approx_distinct_users")(spark, "/root/testdata/sf0.001")
