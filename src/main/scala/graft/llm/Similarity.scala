@@ -32,10 +32,12 @@ object Similarity {
 
   /** Exact cosine top-k for one query vector. Rows that cannot be scored
     * are excluded from the candidates, same as [[bruteForceTopKBatch]]:
-    * wrong dimension / null element give a null cosine, and a zero-norm
-    * vector gives NaN (0.0/0.0 in non-ANSI mode — NOT null, and NaN ranks
-    * ABOVE every real value in Spark's ordering, so without the explicit
-    * isnan guard an all-zero embedding would top every query). */
+    * wrong dimension / null element / zero norm give a NULL cosine
+    * (Spark's Divide returns NULL for a zero divisor in non-ANSI mode),
+    * caught by isNotNull; a NaN ELEMENT gives a NaN cosine (a NaN divisor
+    * bypasses the zero check), and NaN ranks ABOVE every real value in
+    * Spark's ordering, so without the explicit isnan guard a NaN-element
+    * embedding would top every query. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
@@ -58,8 +60,9 @@ object Similarity {
     * `QUALIFY` oracle formulation exactly. Corpus rows that cannot be
     * scored are excluded from every query's candidates BEFORE scoring
     * (the vnorm filter below), matching [[bruteForceTopK]]: wrong
-    * dimension / null element → null norm, zero vector → vnorm 0 (cos
-    * would be NaN, which Spark ranks above every real value), NaN
+    * dimension / null element → null norm, zero vector → vnorm 0 (its
+    * cosine would be NULL — Divide by zero is NULL in non-ANSI mode —
+    * so the `> 0` filter is what keeps the semantics aligned), NaN
     * element → NaN norm (NaN > 0 is TRUE in Spark comparisons, hence the
     * explicit isnan guard).
     *
@@ -232,33 +235,111 @@ object Similarity {
       array_min(array(dists.toIndexedSeq: _*)).getField("i").as("list"))
   }
 
-  /** IVF ANN top-k: train the coarse quantizer DISTRIBUTED over a bounded
-    * sample (vectors never collect to the driver — see
-    * [[kmeansDistributed]]), probe the `nprobe` lists nearest the query,
-    * rerank exactly by cosine. Probing is a partition-pruned read when
-    * `list` is the partition column at ingest. */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, kLists: Int = 16,
-              nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
-    val sampleRdd = df.select(col(vecCol)).limit(trainSample).rdd
+  /** Train the IVF coarse quantizer over a DETERMINISTIC bounded sample:
+    * `orderBy(id).limit(n)` — a bare `limit` is nondeterministic, and a
+    * recomputed partition mid-training could feed DIFFERENT rows to later
+    * k-means iterations, yielding inconsistent centroids. Training itself
+    * is distributed ([[kmeansDistributed]] — vectors never collect). */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     kLists: Int, trainSample: Int): Array[Array[Double]] = {
+    val sampleRdd = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(trainSample)
+      .select(col(vecCol)).rdd
       .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
-    val centroids = kmeansDistributed(sampleRdd, kLists)
-    val q = query.toArray
-    val probeLists = centroids.indices
+    kmeansDistributed(sampleRdd, kLists)
+  }
+
+  /** The `nprobe` lists whose centroids are nearest the query. */
+  private[llm] def nearestLists(centroids: Array[Array[Double]],
+                                q: Array[Double], nprobe: Int): Seq[Int] =
+    centroids.indices
       .sortBy { c =>
         var d = 0.0; var i = 0
         while (i < q.length) { val x = q(i) - centroids(c)(i); d += x * x; i += 1 }
         d
       }
       .take(nprobe)
+
+  private def rerank(cands: DataFrame, query: Seq[Double], k: Int): DataFrame = {
     val qLit = array(query.map(lit): _*)
-    ivfAssign(df, idCol, vecCol, centroids)
-      .filter(col("list").isin(probeLists: _*))
+    cands
       .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
       // same unscorable-row exclusion as bruteForceTopK (null or NaN cos)
       .filter(col("cos").isNotNull && !isnan(col("cos")))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** BUILD an IVF index once, at ingest: train the coarse quantizer
+    * distributed, write the corpus `partitionBy("list")` so a probe reads
+    * only its lists (partition pruning, spec-pinned), and persist the
+    * centroids as a small sidecar table under the same directory. At
+    * 100 TB this is the one full pass; every [[ivfQuery]] after it touches
+    * `nprobe`/`kLists` of the data. Returns the trained centroids. */
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+               kLists: Int = 16, trainSample: Int = 2048): Array[Array[Double]] = {
+    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    ivfAssign(df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/vectors")
+    val sess = df.sparkSession
+    import sess.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    centroids
+  }
+
+  /** Centroid sidecar read-back: kLists × dim doubles — always tiny. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** QUERY a built IVF index: read the centroid sidecar, pick the `nprobe`
+    * nearest lists, and rerank exactly by cosine over a partition-PRUNED
+    * read of just those list directories. No training, no full scan —
+    * the serving-path counterpart of [[ivfBuild]]. */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = readCentroids(spark, indexDir)
+    val probeLists = nearestLists(centroids, query.toArray, nprobe)
+    rerank(
+      spark.read.parquet(s"$indexDir/vectors").filter(col("list").isin(probeLists: _*)),
+      query, k)
+  }
+
+  /** One-per-process index registry for [[ivfTopKIndexed]]: the first call
+    * for a corpus key pays the [[ivfBuild]]; every later call (warm bench
+    * passes, repeated serving queries) is a pruned [[ivfQuery]] probe.
+    * This is the train-once-at-ingest lifecycle inside one process. */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** IVF ANN top-k against a cached index keyed by `cacheKey` (use the
+    * corpus path + construction name). Builds on first use, probes after. */
+  def ivfTopKIndexed(df: DataFrame, idCol: String, vecCol: String, cacheKey: String,
+                     query: Seq[Double], k: Int, kLists: Int = 16,
+                     nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
+    val dir = indexCache.computeIfAbsent(cacheKey, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample)
+      d
+    })
+    ivfQuery(df.sparkSession, dir, query, k, nprobe)
+  }
+
+  /** Ad-hoc (index-less) IVF ANN top-k: train, assign, and probe in one
+    * plan without materializing an index — for one-shot exploration. A
+    * serving path should [[ivfBuild]] once and [[ivfQuery]] per query
+    * (or use [[ivfTopKIndexed]]), which replaces this full corpus pass
+    * with a partition-pruned read. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, kLists: Int = 16,
+              nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
+    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    val probeLists = nearestLists(centroids, query.toArray, nprobe)
+    rerank(
+      ivfAssign(df, idCol, vecCol, centroids).filter(col("list").isin(probeLists: _*)),
+      query, k)
   }
 
   /** ANN top-k via adaptive multi-probe LSH: start at the query's bucket
