@@ -27,6 +27,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Bounded-error contract boolean for the HLL++ row: relative error ≤ 5%.
+    * A key whose values are all NULL has exact = 0 — the ratio there is a
+    * NULL (or a division by zero under ANSI), while the honest contract is
+    * "the sketch also saw nothing": approx must be exactly 0. */
+  private[graft] def within5pct(approx: org.apache.spark.sql.Column,
+                                exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(exact === 0, approx === 0)
+      .otherwise(abs(approx - exact).cast("double") / exact <= 0.05)
+
   // Derived lon/lat over events (testdata has no geo columns; this mapping
   // is deterministic and shared verbatim by the oracle SQL).
   private val lonExpr = "float64(@value % 360.0) - 180.0"
@@ -97,8 +106,7 @@ object SparkEntry {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
            countDistinct(col("user_id")).as("exact_users"))
       .select(col("key"), col("exact_users"),
-        (abs(col("approx") - col("exact_users")).cast("double")
-          / col("exact_users") <= 0.05).as("within_5pct"))),
+        within5pct(col("approx"), col("exact_users")).as("within_5pct"))),
     "time_window_hist" -> ((s, dir) => t(s, dir, "events")
       // batch twin of StreamRunner.windowedHist: 1-minute event-time
       // windows over the ns-long ts column
@@ -289,8 +297,12 @@ object SparkEntry {
       llm.Similarity.ivfTopKIndexed(emb.unionByName(planted), "vec_id", "embedding",
         s"$dir#ann_ivf_topk", q, 10)
     }),
+    // probeMeta runs the REAL decode path (ImageIO header sniff per row —
+    // text bytes fail the sniff fast and keep null dims); the registered
+    // projection stays engine-replayable (kind + true byte length)
     "multimodal_meta" -> ((s, dir) =>
-      llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image")
+      llm.Multimodal.probeMeta(s,
+        llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image"))
         .select(col("id"), col("kind"), col("meta.n_bytes").as("n_bytes"))),
     "multimodal_decode" -> ((s, dir) =>
       llm.Multimodal.decodeFeatures(s,
@@ -513,7 +525,9 @@ object SparkEntry {
     // the sketch itself has no cross-engine oracle; the CONTRACT does:
     // exact per-key counts plus the bounded-error boolean (trivially true
     // when computed exact-vs-exact, true on the Spark side iff the HLL++
-    // estimate really landed within 5%)
+    // estimate really landed within 5%). A key with zero distinct values
+    // (all-NULL user_id) is TRUE on both sides: the Spark contract demands
+    // approx exactly 0 there — never a divide-by-zero NULL
     "approx_distinct_users" ->
       """SELECT event_type AS key, count(DISTINCT user_id) AS exact_users,
         |       TRUE AS within_5pct

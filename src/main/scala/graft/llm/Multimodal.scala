@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * The decode path is REAL for image payloads: `javax.imageio` (pure JDK,
   * no added dependencies) decodes PNG/BMP/GIF/JPEG bytes into true
   * width/height and pixel-derived features, and [[resize]] does a real
-  * raster resample + PNG re-encode. Payloads ImageIO cannot decode (and
-  * the audio/video kinds — no JDK codec exists) fall back to a
+  * raster resample + PNG re-encode. Audio METADATA is real too:
+  * [[probeMeta]] parses WAV/AIFF/AU headers via `javax.sound.sampled`
+  * (pure JDK) into the true sample rate. Payloads with no JDK codec
+  * (video; mp3/ogg audio; bytes ImageIO rejects) fall back to a
   * deterministic byte-level fake, clearly marked in the output by null
-  * width/height. The checksum is md5 over the raw payload bytes, so any
+  * width/height/sample_rate. The checksum is md5 over the raw payload bytes, so any
   * engine can replay it. The operator shape — `mapPartitions` over an
   * iterator so a partition's worth of blobs streams through a reusable
   * decoder context without per-row setup cost — is exactly how a JNI/FFI
@@ -32,6 +34,10 @@ object Multimodal {
   ))
 
   final case class MediaRecord(id: Long, payload: Array[Byte], kind: String)
+  final case class MediaMeta(kind: String, width: Option[Int], height: Option[Int],
+                             sample_rate: Option[Int], n_bytes: Long)
+  final case class ProbedMedia(id: Long, payload: Array[Byte], kind: String,
+                               meta: MediaMeta)
   /** width/height are non-null iff a real image decode succeeded. */
   final case class DecodedFeatures(id: Long, kind: String, n_bytes: Long,
                                    checksum: String, width: Option[Int],
@@ -101,6 +107,43 @@ object Multimodal {
         Some((w, h, feats))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio metadata decode, pure JDK: `javax.sound.sampled` parses
+    * the container header (the JRE ships WAV/AIFF/AU providers) into the
+    * true (sample rate, channels) — header only, no PCM decode. Returns
+    * None for bytes no provider recognizes (mp3/ogg — no JDK codec; those
+    * stay on the documented fallback). */
+  private[llm] def decodeAudioMeta(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      // ByteArrayInputStream supports mark/reset, which the provider
+      // sniffing loop requires
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload)).getFormat
+      val rate = fmt.getSampleRate
+      if (rate.isNaN || rate <= 0) None else Some((math.round(rate), fmt.getChannels))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Probe TRUE typed metadata out of the payload bytes, rewriting the
+    * meta struct that [[asMediaTable]] stubbed: image kinds get real
+    * ImageIO width/height, audio kinds get the real container sample rate
+    * (WAV/AIFF via the pure-JDK sound stack), and anything undecodable —
+    * video (no JDK codec), corrupt bytes — keeps nulls with n_bytes always
+    * real. Same `mapPartitions` iterator shape as [[decodeFeatures]]: one
+    * decoder context per partition, fully distributed. */
+  def probeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, kind) =>
+          val dims = if (kind == "image") decodeImage(payload) else None
+          val rate = if (kind == "audio") decodeAudioMeta(payload) else None
+          ProbedMedia(id, payload, kind,
+            MediaMeta(kind, dims.map(_._1), dims.map(_._2),
+              rate.map(_._1), payload.length.toLong))
+        }
+      }.toDF()
+  }
 
   /** Decode + feature-extract over a media table. `mapPartitions`, not a
     * per-row UDF: the iterator shape lets the decoder hold one context per

@@ -275,17 +275,37 @@ object Similarity {
     * only its lists (partition pruning, spec-pinned), and persist the
     * centroids as a small sidecar table under the same directory. At
     * 100 TB this is the one full pass; every [[ivfQuery]] after it touches
-    * `nprobe`/`kLists` of the data. Returns the trained centroids. */
+    * `nprobe`/`kLists` of the data. Returns the trained centroids.
+    *
+    * The build COMMITS ATOMICALLY: vectors and centroids are written to a
+    * sibling staging directory, then renamed into place (rename is atomic
+    * on HDFS and local FS). A failure mid-build leaves any previous index
+    * at `indexDir` untouched — never a half-built index where [[ivfQuery]]
+    * would pair new vectors with old centroids. `indexDir` should be a
+    * qualified URI on the cluster's shared filesystem in any non-local
+    * deployment. */
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
                kLists: Int = 16, trainSample: Int = 2048): Array[Array[Double]] = {
     val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
-    ivfAssign(df, idCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/vectors")
     val sess = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(sess.sessionState.newHadoopConf())
+    val target = fs.makeQualified(new org.apache.hadoop.fs.Path(indexDir))
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.staging")
+    fs.delete(staging, true)
+    ivfAssign(df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "vectors").toString)
     import sess.implicits._
     centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "centroids").toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"ivfBuild: commit rename $staging -> $target failed")
     centroids
   }
 
@@ -311,19 +331,84 @@ object Similarity {
   /** One-per-process index registry for [[ivfTopKIndexed]]: the first call
     * for a corpus key pays the [[ivfBuild]]; every later call (warm bench
     * passes, repeated serving queries) is a pruned [[ivfQuery]] probe.
+    * Entries carry a (corpus fingerprint, build params) stamp — a stamp
+    * mismatch on a later call triggers a rebuild, so a corpus regenerated
+    * under the same path/key can never silently serve a stale index.
     * This is the train-once-at-ingest lifecycle inside one process. */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  // Temp-dir indexes created by ivfTopKIndexed, deleted at JVM exit —
+  // without this, one directory leaked per corpus key per process.
+  private val tempIndexDirs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempIndexDirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }))
+  }
+
+  /** Corpus fingerprint from the plan's input files: (path, length, mtime)
+    * per file, hashed — driver-side FS metadata only, O(#files), no data
+    * read. A regenerated file (new name, new size, or new mtime) changes
+    * the fingerprint. A corpus with no file-backed scan (pure in-memory
+    * data) fingerprints empty — callers there must vary `cacheKey` on
+    * data change. */
+  private[llm] def corpusFingerprint(df: DataFrame): String = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      md.update(s"$f:${st.getLen}:${st.getModificationTime};".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Where ivfTopKIndexed materializes an index: under the configured
+    * `graft.ivf.indexBase` (a qualified URI on the shared filesystem —
+    * REQUIRED for any non-local deployment, where a driver-local temp dir
+    * would resolve against a different filesystem than the executors'
+    * parquet IO), else a local temp dir registered for cleanup at exit —
+    * a local-mode convenience only. Serving deployments should prefer
+    * explicit [[ivfBuild]] + [[ivfQuery]] with a durable indexDir. */
+  private def newIndexDir(spark: org.apache.spark.sql.SparkSession,
+                          cacheKey: String): String =
+    spark.conf.getOption("graft.ivf.indexBase") match {
+      case Some(base) =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        s"$base/ivf-$tag"
+      case None =>
+        val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+        tempIndexDirs.add(d)
+        s"$d/index"
+    }
 
   /** IVF ANN top-k against a cached index keyed by `cacheKey` (use the
-    * corpus path + construction name). Builds on first use, probes after. */
+    * corpus path + construction name). Builds on first use; probes after.
+    * Rebuilds — not serves stale — when the corpus input files or the
+    * build parameters (`kLists`, `trainSample`) change under the same key.
+    * `nprobe` is a pure query-time parameter and never forces a rebuild. */
   def ivfTopKIndexed(df: DataFrame, idCol: String, vecCol: String, cacheKey: String,
                      query: Seq[Double], k: Int, kLists: Int = 16,
                      nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
-    val dir = indexCache.computeIfAbsent(cacheKey, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
-      ivfBuild(df, idCol, vecCol, d, kLists, trainSample)
-      d
-    })
+    val stamp = s"${corpusFingerprint(df)}|k=$kLists|t=$trainSample"
+    val dir = indexCache.compute(cacheKey, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else {
+        val d = newIndexDir(df.sparkSession, cacheKey)
+        ivfBuild(df, idCol, vecCol, d, kLists, trainSample)
+        (stamp, d)
+      })._2
     ivfQuery(df.sparkSession, dir, query, k, nprobe)
   }
 

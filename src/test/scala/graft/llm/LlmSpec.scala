@@ -178,6 +178,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("within_5pct contract is TRUE, not NULL, for a key whose user_ids are all NULL") {
+    // a zero exact count must not divide by zero: the contract there is
+    // approx == 0, which DuckDB's exact-vs-exact oracle also renders TRUE
+    val ev = Seq(
+      ("click", Some(1L)), ("click", Some(2L)), ("click", Some(1L)),
+      ("ghost", None), ("ghost", None),
+    ).toDF("event_type", "user_id")
+    val out = ev.groupBy(col("event_type").as("key"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .select(col("key"), col("exact_users"),
+        graft.SparkEntry.within5pct(col("approx"), col("exact_users")).as("within_5pct"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getBoolean(2))))).toMap
+    assert(out("click") == ((2L, Some(true))))
+    assert(out("ghost") == ((0L, Some(true))), "all-NULL key must be TRUE, never NULL")
+  }
+
   test("language id and quality score are deterministic and bounded") {
     val out = docs.select(
       TextAnalysis.langId($"text").as("lang"),
@@ -406,6 +424,59 @@ class LlmSpec extends AnyFunSuite {
       (plan.contains("list#") || plan.contains("list =")), plan.take(2000))
   }
 
+  test("ivf lifecycle: atomic build, pruned probe, centroid round-trip, index equals ad-hoc") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivflife").toString
+    val dir = s"$root/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    val built = Similarity.ivfBuild(base, "vec_id", "embedding", dir,
+      kLists = 8, trainSample = 256)
+    // the staged-commit build leaves no staging residue next to the index
+    assert(!new java.io.File(s"$root/.idx.staging").exists())
+    // centroid sidecar round-trips the trained centroids exactly, in list order
+    val back = Similarity.readCentroids(spark, dir)
+    assert(back.length == built.length)
+    built.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // the REAL ivfQuery read of the built index is partition-pruned on `list`
+    val probe = Similarity.ivfQuery(spark, dir, q, 10, nprobe = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("list#") || plan.contains("list =")), plan.take(2000))
+    // built-index probe ≡ ad-hoc ivfTopK at identical build/query params
+    // (training is deterministic, so both paths pick the same lists)
+    val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adHoc = Similarity.ivfTopK(base, "vec_id", "embedding", q, 10,
+        kLists = 8, nprobe = 3, trainSample = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == adHoc)
+    assert(viaIndex.nonEmpty && viaIndex.head._1 == 0L) // query is its own 1-NN
+  }
+
+  test("ivfTopKIndexed: cache hit is identical; changed corpus under the same key rebuilds") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-ivfcorpus").toString
+    val key = s"llmspec-ivf-cache-$corpusDir" // unique per run, shared across calls
+    emb.filter($"vec_id" < 100).select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def topk() = Similarity.ivfTopKIndexed(
+      spark.read.parquet(corpusDir), "vec_id", "embedding", key, q, 5,
+      kLists = 4, nprobe = 2, trainSample = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r1 = topk()
+    assert(r1.nonEmpty && r1.forall(_._1 < 100L))
+    val r2 = topk() // cache hit: same corpus, same key, same params
+    assert(r2 == r1)
+    // regenerate the corpus UNDER THE SAME PATH with disjoint ids: the
+    // fingerprint stamp changes, so the same key must serve fresh results
+    emb.filter($"vec_id" >= 100 && $"vec_id" < 200).select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val r3 = topk()
+    assert(r3.nonEmpty && r3.forall(id => id._1 >= 100L && id._1 < 200L),
+      s"stale index served: ${r3.map(_._1).mkString(",")}")
+  }
+
   test("resize rewrites payload and typed metadata together") {
     val media = Multimodal.asMediaTable(docs.limit(5), "doc_id", "text", "image")
     val out = Multimodal.resize(spark, media, 8, 4)
@@ -444,6 +515,46 @@ class LlmSpec extends AnyFunSuite {
     val rimg = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]]("payload")))
     assert(rimg.getWidth == 8 && rimg.getHeight == 4)
+  }
+
+  test("probeMeta decodes real WAV/AIFF sample rates; undecodable audio keeps the fallback") {
+    // synthesize genuine containers via the JDK's WRITE path; probeMeta
+    // reads them back through its own header-sniffing path
+    def container(tpe: javax.sound.sampled.AudioFileFormat.Type, rate: Float,
+                  channels: Int, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, bigEndian)
+      val frames = 64
+      val pcm = new Array[Byte](2 * channels * frames)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val wav = container(javax.sound.sampled.AudioFileFormat.Type.WAVE, 22050f, 1, bigEndian = false)
+    val aiff = container(javax.sound.sampled.AudioFileFormat.Type.AIFF, 44100f, 2, bigEndian = true)
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val media = Seq(
+      (0L, wav, "audio"), (1L, aiff, "audio"), (2L, junk, "audio"), (3L, wav, "video"),
+    ).toDF("id", "payload", "kind")
+    val out = Multimodal.probeMeta(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("meta")).toMap
+    def rate(r: org.apache.spark.sql.Row): Option[Int] =
+      if (r.isNullAt(3)) None else Some(r.getInt(3))
+    assert(rate(out(0L)).contains(22050))
+    assert(rate(out(1L)).contains(44100))
+    assert(rate(out(2L)).isEmpty, "junk bytes must keep the null-rate fallback")
+    assert(rate(out(3L)).isEmpty, "video kind is never probed as audio")
+    assert(out(0L).getLong(4) == wav.length.toLong) // n_bytes stays real
+    // image kinds still get true dims through the same operator
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos2)
+    val withImage = Seq((9L, bos2.toByteArray, "image")).toDF("id", "payload", "kind")
+    val m9 = Multimodal.probeMeta(spark, withImage).head()
+      .getAs[org.apache.spark.sql.Row]("meta")
+    assert(m9.getInt(1) == 5 && m9.getInt(2) == 3)
   }
 
   test("frame sampling explodes one blob into N frame rows") {
