@@ -37,13 +37,21 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       } // stays a name-sorted Seq so the emitted JSON is deterministic
     val cold = pass()
-    val warm = pass()
+    // warm = per-query MEDIAN of three back-to-back passes: single-pass
+    // warm numbers swung ±15-25% with machine load, making round-over-
+    // round deltas unattributable; the median is robust to one loaded
+    // pass. Cold stays the single first pass for round comparability.
+    val warmPasses = Seq.fill(3)(pass())
+    val warm = warmPasses.head.map(_._1).map { name =>
+      val ts = warmPasses.map(_.toMap.apply(name)).sorted
+      name -> ts(ts.length / 2)
+    }
     def js(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)}}"""
+      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)},"warm_passes":3}"""
     // stop Spark BEFORE emitting the record so its shutdown logging can't
     // land after (and a tail capture never truncates) the JSON line; also
     // persist to a file so the record survives any stdout clipping

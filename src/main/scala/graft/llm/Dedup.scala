@@ -82,7 +82,27 @@ object Dedup {
     * Returns (id_a < id_b, jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   maxDocFreq: Long = 1000L): DataFrame = {
+                   maxDocFreq: Long = 1000L): DataFrame =
+    jaccardStages(df, idCol, textCol, threshold, n, maxDocFreq).pairs
+
+  /** Every intermediate of the PPJoin pipeline, in execution order — the
+    * diagnostic surface [[graft.tools.JaccardProfile]] times. Exposing the
+    * REAL stages (rather than letting the profiler inline a copy) means
+    * the profile can never silently desynchronize from the operator it
+    * profiles. */
+  private[graft] final case class JaccardStages(
+    sh: DataFrame,       // (id, hs): sorted distinct shingle hashes per doc
+    exploded: DataFrame, // one (id, h) row per shingle
+    dfh: DataFrame,      // (h, dfh): per-shingle document frequency
+    capped: DataFrame,   // (id, h, dfh) surviving the df-cap
+    prefixes: DataFrame, // prefix-filtered (id, h, rn, sz)
+    buckets: DataFrame,  // (h, xs): per-shingle candidate buckets
+    cands: DataFrame,    // distinct candidate (id_a, id_b)
+    pairs: DataFrame)    // verified (id_a, id_b, jaccard)
+
+  private[graft] def jaccardStages(df: DataFrame, idCol: String, textCol: String,
+                                   threshold: Double, n: Int = 3,
+                                   maxDocFreq: Long = 1000L): JaccardStages = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleDf(df, idCol, textCol, n)
     val ex = hashedShingles(sh)
@@ -159,10 +179,11 @@ object Dedup {
     val inter = graft.functions.SortedIntersectF
       .count(col("sh_a"), col("sh_b")).cast(DoubleType)
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
-    withSh
+    val pairs = withSh
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    JaccardStages(sh, ex, dfh, capped, exploded, buckets, cands, pairs)
   }
 
   // Fixed-seed affine hash family over the 61-bit Mersenne prime: the

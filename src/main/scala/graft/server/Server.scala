@@ -149,28 +149,98 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         respondDoc(x, 200, ext, Map("formats" -> formats.toList))
 
       case ("GET", "swagger" :: Nil) =>
-        // minimal OpenAPI route inventory (reference: SwaggerHandler);
-        // methods match the dispatch table
-        val routeMethods: Seq[(String, Seq[String])] = Seq(
-          "/health.{ext}" -> Seq("get"),
-          "/authenticate.{ext}" -> Seq("post"),
-          "/swagger.{ext}" -> Seq("get"),
-          "/dfl/functions.{ext}" -> Seq("get"),
-          "/gss/formats.{ext}" -> Seq("get"),
-          "/{kind}.{ext}" -> Seq("get", "post"),
-          "/{kind}/{name}.{ext}" -> Seq("get", "post", "put", "delete"),
-          "/services/{name}/exec.{ext}" -> Seq("post"),
-          "/jobs/{name}/exec.{ext}" -> Seq("post"),
-          "/workflows/{name}/exec.{ext}" -> Seq("post"),
-          "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}" -> Seq("get"),
-          "/layers/{name}/tiles/mask/{z}/{x}/{y}.png" -> Seq("get"),
+        // OpenAPI 3 document with per-route parameter and response
+        // schemas, so binding generators get real signatures (reference:
+        // handlers/SwaggerHandler.go:226-290 documents the ext/name/z/x/y
+        // path params with types, enums, and zoom bounds; this emits the
+        // OpenAPI-3 equivalent, plus query params and request bodies the
+        // dispatch table actually reads)
+        def param(name: String, typ: String, desc: String,
+                  in: String = "path", required: Boolean = true,
+                  schemaExtra: Map[String, Any] = Map.empty): Map[String, Any] =
+          Map("name" -> name, "in" -> in, "required" -> required,
+            "description" -> desc, "schema" -> (Map[String, Any]("type" -> typ) ++ schemaExtra))
+        val extP = param("ext", "string", "response format",
+          schemaExtra = Map("enum" -> List("json", "yaml", "toml", "bson", "html")))
+        val nameP = param("name", "string", "entity name")
+        val kindP = param("kind", "string", "catalog collection",
+          schemaExtra = Map("enum" -> kinds.toList.sorted))
+        val zP = param("z", "integer", "tile zoom level",
+          schemaExtra = Map("minimum" -> 0, "maximum" -> 18))
+        val xP = param("x", "integer", "tile X column")
+        val yP = param("y", "integer", "tile Y row (XYZ scheme)")
+        val tileQuery = List(
+          param("buffer", "integer", "bbox buffer in tile units (default 1)",
+            in = "query", required = false),
+          param("dfl", "string", "extra DFL pipeline applied to the tile's features",
+            in = "query", required = false),
+          param("limit", "integer", "max features returned",
+            in = "query", required = false))
+        val maskQuery = List(
+          param("zoom", "integer", "mask grid zoom (default 8)",
+            in = "query", required = false),
+          param("threshold", "integer", "min count for an opaque cell (default 1)",
+            in = "query", required = false),
+          param("alpha", "integer", "opaque-cell alpha 0-255 (default 255)",
+            in = "query", required = false))
+        val okJson: Map[String, Any] = Map("200" -> Map(
+          "description" -> "success", "content" -> Map("application/json" ->
+            Map("schema" -> Map("type" -> "object")))))
+        val okRows: Map[String, Any] = Map("200" -> Map(
+          "description" -> "result rows", "content" -> Map("application/json" ->
+            Map("schema" -> Map("type" -> "array", "items" -> Map("type" -> "object"))))))
+        val okPng: Map[String, Any] = Map("200" -> Map(
+          "description" -> "PNG raster mask", "content" -> Map("image/png" ->
+            Map("schema" -> Map("type" -> "string", "format" -> "binary")))))
+        val execBody: Map[String, Any] = Map("required" -> false,
+          "content" -> Map("application/json" -> Map("schema" -> Map(
+            "type" -> "object", "properties" -> Map("variables" -> Map(
+              "type" -> "object",
+              "description" -> "per-request DFL variable overrides"))))))
+        val authBody: Map[String, Any] = Map("required" -> true,
+          "content" -> Map("application/json" -> Map("schema" -> Map(
+            "type" -> "object", "required" -> List("username", "password"),
+            "properties" -> Map("username" -> Map("type" -> "string"),
+              "password" -> Map("type" -> "string"))))))
+        def op(summary: String, params: List[Map[String, Any]],
+               responses: Map[String, Any],
+               body: Option[Map[String, Any]] = None): Map[String, Any] =
+          Map("summary" -> summary, "parameters" -> params,
+            "responses" -> responses) ++ body.map("requestBody" -> _)
+        val paths: Map[String, Any] = Map(
+          "/health.{ext}" -> Map("get" -> op("service health", List(extP), okJson)),
+          "/authenticate.{ext}" -> Map("post" ->
+            op("issue a root JWT", List(extP), okJson, Some(authBody))),
+          "/swagger.{ext}" -> Map("get" -> op("this document", List(extP), okJson)),
+          "/dfl/functions.{ext}" -> Map("get" ->
+            op("DFL function registry", List(extP), okJson)),
+          "/gss/formats.{ext}" -> Map("get" ->
+            op("supported formats", List(extP), okJson)),
+          "/{kind}.{ext}" -> Map(
+            "get" -> op("list a catalog collection", List(kindP, extP), okJson),
+            "post" -> op("add an entity (JWT required)", List(kindP, extP), okJson)),
+          "/{kind}/{name}.{ext}" -> Map(
+            "get" -> op("fetch an entity", List(kindP, nameP, extP), okJson),
+            "post" -> op("update an entity (JWT required)", List(kindP, nameP, extP), okJson),
+            "put" -> op("update an entity (JWT required)", List(kindP, nameP, extP), okJson),
+            "delete" -> op("delete an entity (JWT required)", List(kindP, nameP, extP), okJson)),
+          "/services/{name}/exec.{ext}" -> Map("post" ->
+            op("execute a service with request variables", List(nameP, extP),
+              okRows, Some(execBody))),
+          "/jobs/{name}/exec.{ext}" -> Map("post" ->
+            op("execute a job", List(nameP, extP), okRows)),
+          "/workflows/{name}/exec.{ext}" -> Map("post" ->
+            op("execute a workflow's jobs in order", List(nameP, extP), okJson)),
+          "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}" -> Map("get" ->
+            op("vector tile as GeoJSON FeatureCollection",
+              List(nameP, zP, xP, yP, extP) ++ tileQuery, okJson)),
+          "/layers/{name}/tiles/mask/{z}/{x}/{y}.png" -> Map("get" ->
+            op("raster mask tile", List(nameP, zP, xP, yP) ++ maskQuery, okPng)),
         )
         respondDoc(x, 200, ext, Map(
           "openapi" -> "3.0.0",
           "info" -> Map("title" -> "graft", "version" -> "0.1.0"),
-          "paths" -> routeMethods.map { case (p, ms) =>
-            p -> ms.map(m => m -> Map("summary" -> p)).toMap
-          }.toMap))
+          "paths" -> paths))
 
       case ("GET", kind :: Nil) if kinds(kind) =>
         respondDoc(x, 200, ext, Map(kind -> exec.catalog.toMaps(kind)))

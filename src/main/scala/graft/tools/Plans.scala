@@ -25,7 +25,10 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      df.count() // materialize so AQE settles on the final plan
+      // materialize THIS dataframe's own QueryExecution (df.count() would
+      // plan and run a separate aggregate tree, leaving df's adaptive
+      // plan un-finalized — with no stages and no codegen spans to count)
+      df.queryExecution.toRdd.count()
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n======== $n ========")
@@ -33,11 +36,26 @@ object Plans {
       val cartesian = formatted.contains("CartesianProduct") ||
         formatted.contains("BroadcastNestedLoopJoin")
       val broadcast = formatted.contains("BroadcastHashJoin")
-      val codegen = "codegen id : (\\d+)".r
-        .findAllMatchIn(formatted).map(_.group(1)).toSet.size
+      // count codegen spans on the EXECUTED plan tree: under Spark 4 AQE
+      // the formatted string no longer carries per-span `codegen id`
+      // markers for materialized stages, so the old regex always read 0 —
+      // walk through the adaptive wrapper and stage nodes instead
+      val codegen = countCodegen(df.queryExecution.executedPlan)
       println(s"[audit] $n: cartesian=$cartesian broadcastHash=$broadcast " +
         s"codegenStages=$codegen")
     }
     spark.stop()
+  }
+
+  private def countCodegen(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.{WholeStageCodegenExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(node: SparkPlan): Int = node match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case w: WholeStageCodegenExec => 1 + w.children.map(walk).sum
+      case other                    => other.children.map(walk).sum
+    }
+    walk(p)
   }
 }

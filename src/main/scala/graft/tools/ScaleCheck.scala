@@ -47,6 +47,50 @@ object ScaleCheck {
       time("jaccard_boiler")(graft.llm.Dedup.jaccardPairs(boiler, "doc_id", "text", 0.8).count())
       big.unpersist()
     }
+
+    // ---- embedding family: planted near-dup multiplicity ----
+    // copy c of each vector shifts ids and nudges the first component by
+    // c·0.001, so the mult copies of one base vector form a mutual
+    // near-dup clique (pairwise cosine ≥ 0.999): cosine_bucketed's OUTPUT
+    // must track ~mult²/2 per base vector, while the two ANN probes must
+    // stay flat (a probe touches nprobe lists / one Hamming ball of
+    // buckets, not the corpus).
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nEmb = embBase.count()
+    val q = embBase.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    Seq(1, 4, 20).foreach { mult =>
+      val big = (0 until mult).map { i =>
+        embBase.select((col("vec_id") + lit(i.toLong * nEmb * 10)).as("vec_id"),
+          transform(col("embedding"), (x, idx) =>
+            when(idx === 0, x + lit(0.001f) * i).otherwise(x)).as("embedding"))
+      }.reduce(_ union _)
+      big.persist().count()
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[scale] mult=$mult%-3d $name%-16s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      }
+      // band width is the bucket-size knob and must grow with corpus
+      // size: at 8-bit bands ~2⁻⁸ of ALL pairs collide per band by
+      // chance — quadratic at any real corpus — while 16-bit bands put
+      // random collisions at 8·2⁻¹⁶ of pairs with ≥99% recall at c≥0.99
+      time("cosine_bucketed")(graft.llm.Dedup.cosinePairsBucketed(
+        big, "vec_id", "embedding", 0.99, numBands = 8, bitsPerBand = 16).count())
+      // ad-hoc lshTopK recomputes signatures (one corpus scan); its
+      // ingest posture — bucket as partition column — is spec-pinned
+      // partition-pruned in LlmSpec. Time must grow at most linearly.
+      time("lsh_topk")(graft.llm.Similarity.lshTopK(
+        big, "vec_id", "embedding", q, 10).count())
+      // the true serving shape: ivfBuild is the untimed one-off ingest
+      // pass; the probe reads nprobe/kLists of the data via partition
+      // pruning and must stay ~flat in mult
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-ivf").toString + "/idx"
+      graft.llm.Similarity.ivfBuild(big, "vec_id", "embedding", idxDir)
+      time("ivf_probe")(graft.llm.Similarity.ivfQuery(spark, idxDir, q, 10).count())
+      big.unpersist()
+    }
     spark.stop()
   }
 }

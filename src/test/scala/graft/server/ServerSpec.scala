@@ -54,6 +54,17 @@ class ServerSpec extends AnyFunSuite {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(sw.statusCode() == 200 && sw.body().contains("openapi") &&
         sw.body().contains("/services/{name}/exec.{ext}"))
+      // routes carry real parameter/response schemas, not bare summaries:
+      // the tile route documents its z/x/y path params (z with the
+      // reference's 0-18 zoom bounds) and its buffer/dfl/limit query
+      // params; the exec route documents its variables request body
+      val sb = sw.body()
+      assert(sb.contains("\"name\":\"z\"") && sb.contains("\"maximum\":18"), sb.take(500))
+      assert(sb.contains("\"name\":\"buffer\"") && sb.contains("\"in\":\"query\""))
+      assert(sb.contains("\"name\":\"dfl\"") && sb.contains("\"name\":\"limit\""))
+      assert(sb.contains("\"requestBody\"") && sb.contains("\"variables\""))
+      assert(sb.contains("\"responses\"") && sb.contains("\"image/png\""))
+      assert(sb.contains("\"enum\"")) // ext + kind enumerations
     } finally srv.stop()
   }
 
