@@ -340,7 +340,17 @@ object Dedup {
     * all-pairs), then exact-cosine verified. Recall for cosine c is
     * 1-(1-p^bits)^bands with p = 1-arccos(c)/π — at c≥0.9, 16 bands of
     * 8 bits give >0.998; this is a HIGH-threshold near-duplicate
-    * detector, not a general similarity join. */
+    * detector, not a general similarity join.
+    *
+    * SIZING AT SCALE: `bitsPerBand` is the knob that keeps candidate
+    * generation off the quadratic path. Random (p≈½ per bit) pairs
+    * collide in a band with probability 2^-bits, so expected chance
+    * candidates ≈ numBands·N²/2^(bits+1); keeping that O(N) needs
+    * bits ≳ log₂(N) + log₂(numBands). The 8-bit default fits test-scale
+    * corpora (N ≤ ~10⁵); at N = 10⁹ use ~32-40 bits per band and add
+    * bands to recover recall at the target threshold (ScaleCheck's
+    * embedding section runs the 16-bit variant at 20× multiplicity and
+    * shows output-bound, not corpus-quadratic, growth). */
   def cosinePairsBucketed(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, numBands: Int = 16,
                           bitsPerBand: Int = 8): DataFrame = {

@@ -112,11 +112,34 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         }.mkString("\n")
         val kindItems = kinds.toSeq.sorted
           .map(k => s"""<li><a href="/$k.json">$k</a></li>""").mkString("\n")
+        // interactive demo map, the reference's front door experience
+        // (handlers/HomeHandler.go:46-238: OpenLayers map + a DFL input
+        // driving the mask and vector layers) — rebuilt self-contained
+        // for this offline environment: an inline-JS canvas slippy map
+        // over the SAME two endpoints (mask PNG underlay + GeoJSON data
+        // tile overlay), with per-keystroke-free DFL re-query on Enter
+        val layerOptions = layers.map { l =>
+          val n = htmlEscape(l.getOrElse("name", "").toString)
+          s"""<option value="$n">$n</option>"""
+        }.mkString
+        val mapSection = if (layers.isEmpty) "" else
+          s"""<h2>Map</h2><div>
+             |<select id="layer">$layerOptions</select>
+             |<input id="dfl" type="text" style="width:45%"
+             | placeholder="DFL, e.g. filter(@, '@properties?.amenity == bar')">
+             |<button id="apply">apply</button>
+             |<button id="zin">+</button><button id="zout">&minus;</button>
+             |<button id="west">&larr;</button><button id="east">&rarr;</button>
+             |<button id="north">&uarr;</button><button id="south">&darr;</button>
+             |<span id="info"></span></div>
+             |<canvas id="map" width="512" height="512" style="border:1px solid #000"></canvas>
+             |""".stripMargin + mapScript
         val page =
           s"""<html><head><title>graft</title>
              |<style>body { font-family: sans-serif; margin: 2em; } h2 { border-bottom: 1px solid #000; }</style>
              |</head><body>
              |<h1>graft</h1>
+             |$mapSection
              |<h2>Layers</h2><ul>$layerItems</ul>
              |<h2>Catalog</h2><ul>$kindItems</ul>
              |<h2>Introspection</h2><ul>
@@ -402,6 +425,80 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
 
   private def urlEncode(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  // Inline slippy-map driver for the home page. One tile fills the canvas;
+  // zoom/pan change (z, x, y); every render draws the raster mask tile
+  // under the GeoJSON data tile, both fetched live with the current DFL.
+  // The lon/lat → tile-pixel projection is the same Web-Mercator math as
+  // graft.geo.TileMath. Deliberately dependency-free (offline build).
+  private val mapScript: String =
+    """<script>
+      |var z=0,x=0,y=0,S=512;
+      |var cv=document.getElementById('map'),cx=cv.getContext('2d');
+      |function q(n){return document.getElementById(n);}
+      |function urlFor(kind){
+      |  var name=encodeURIComponent(q('layer').value);
+      |  var dfl=q('dfl').value;
+      |  var u='/layers/'+name+'/tiles/'+(kind==='mask'
+      |    ?'mask/'+z+'/'+x+'/'+y+'.png?alpha=120&zoom='+Math.min(z+4,18)
+      |    :'data/'+z+'/'+x+'/'+y+'.json?buffer=0');
+      |  if(dfl){u+='&dfl='+encodeURIComponent(dfl);}
+      |  return u;
+      |}
+      |function proj(lon,lat){
+      |  var n=Math.pow(2,z);
+      |  var tx=(lon+180)/360*n;
+      |  var lr=lat*Math.PI/180;
+      |  var ty=(1-Math.log(Math.tan(lr)+1/Math.cos(lr))/Math.PI)/2*n;
+      |  return [(tx-x)*S,(ty-y)*S];
+      |}
+      |function dot(c){var p=proj(c[0],c[1]);cx.beginPath();
+      |  cx.arc(p[0],p[1],4,0,2*Math.PI);cx.fillStyle='rgba(200,30,30,0.8)';cx.fill();}
+      |function line(cs){cx.beginPath();cs.forEach(function(c,i){var p=proj(c[0],c[1]);
+      |  if(i){cx.lineTo(p[0],p[1]);}else{cx.moveTo(p[0],p[1]);}});
+      |  cx.strokeStyle='rgba(30,30,200,0.8)';cx.stroke();}
+      |function poly(rings){cx.beginPath();rings.forEach(function(cs){
+      |  cs.forEach(function(c,i){var p=proj(c[0],c[1]);
+      |    if(i){cx.lineTo(p[0],p[1]);}else{cx.moveTo(p[0],p[1]);}});cx.closePath();});
+      |  cx.fillStyle='rgba(30,160,60,0.35)';cx.fill('evenodd');
+      |  cx.strokeStyle='rgba(30,120,40,0.9)';cx.stroke();}
+      |function walk(g){
+      |  if(g.type==='Point'){dot(g.coordinates);}
+      |  else if(g.type==='MultiPoint'){g.coordinates.forEach(dot);}
+      |  else if(g.type==='LineString'){line(g.coordinates);}
+      |  else if(g.type==='MultiLineString'){g.coordinates.forEach(line);}
+      |  else if(g.type==='Polygon'){poly(g.coordinates);}
+      |  else if(g.type==='MultiPolygon'){g.coordinates.forEach(poly);}
+      |  else if(g.type==='GeometryCollection'){g.geometries.forEach(walk);}
+      |}
+      |function drawData(){
+      |  fetch(urlFor('data')).then(function(r){return r.json();}).then(function(fc){
+      |    (fc.features||[]).forEach(function(f){if(f.geometry){walk(f.geometry);}});
+      |    q('info').textContent='z='+z+' x='+x+' y='+y+' features='
+      |      +(fc.numberOfFeatures!=null?fc.numberOfFeatures:(fc.features||[]).length);
+      |  }).catch(function(e){q('info').textContent='error: '+e;});
+      |}
+      |function render(){
+      |  cx.clearRect(0,0,S,S);cx.fillStyle='#eef';cx.fillRect(0,0,S,S);
+      |  var img=new Image();
+      |  img.onload=function(){cx.globalAlpha=0.5;cx.drawImage(img,0,0,S,S);
+      |    cx.globalAlpha=1;drawData();};
+      |  img.onerror=drawData;
+      |  img.src=urlFor('mask');
+      |}
+      |function move(dx,dy){var n=Math.pow(2,z);
+      |  x=Math.min(Math.max(x+dx,0),n-1);y=Math.min(Math.max(y+dy,0),n-1);render();}
+      |q('zin').onclick=function(){if(z<18){z++;x*=2;y*=2;render();}};
+      |q('zout').onclick=function(){if(z>0){z--;x=Math.floor(x/2);y=Math.floor(y/2);render();}};
+      |q('west').onclick=function(){move(-1,0);};
+      |q('east').onclick=function(){move(1,0);};
+      |q('north').onclick=function(){move(0,-1);};
+      |q('south').onclick=function(){move(0,1);};
+      |q('apply').onclick=render;
+      |q('layer').onchange=render;
+      |q('dfl').addEventListener('keyup',function(e){if(e.key==='Enter'){render();}});
+      |render();
+      |</script>""".stripMargin
 
   private def renderHtml(value: Map[String, Any]): String =
     s"""<html><head><title>graft</title>

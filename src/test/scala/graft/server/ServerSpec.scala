@@ -243,6 +243,12 @@ class ServerSpec extends AnyFunSuite {
       assert(home.headers().firstValue("Content-Type").get == "text/html")
       val homeBody = new String(home.body(), "UTF-8")
       assert(homeBody.contains("/layers/all/tiles/data/"))
+      // the self-contained demo map: canvas + DFL input wired to the live
+      // mask and data tile endpoints (no external assets — offline build)
+      assert(homeBody.contains("<canvas id=\"map\"") &&
+        homeBody.contains("id=\"dfl\"") &&
+        homeBody.contains("/tiles/") && homeBody.contains("urlFor"))
+      assert(homeBody.contains("<option value=\"all\">"))
       assert(homeBody.contains("/workspaces.json"))
 
       // error bodies honor the extension too
