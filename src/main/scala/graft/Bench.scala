@@ -46,12 +46,20 @@ object Bench {
       val ts = warmPasses.map(_.toMap.apply(name)).sorted
       name -> ts(ts.length / 2)
     }
+    // per-query MIN across the warm passes too: machine load only ever
+    // ADDS time, so the min is the stable statistic for round-over-round
+    // regression attribution when whole runs land on differently-loaded
+    // machines; the median stays the honest "typical pass" number
+    val warmMin = warmPasses.head.map(_._1).map { name =>
+      name -> warmPasses.map(_.toMap.apply(name)).min
+    }
     def js(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    val warmMinTotal = warmMin.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)},"warm_passes":3}"""
+      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${js(cold)},"sf":"$sfDir","warm_total":$warmTotal,"warm_queries":${js(warm)},"warm_passes":3,"warm_min_total":$warmMinTotal,"warm_min_queries":${js(warmMin)}}"""
     // stop Spark BEFORE emitting the record so its shutdown logging can't
     // land after (and a tail capture never truncates) the JSON line; also
     // persist to a file so the record survives any stdout clipping

@@ -262,7 +262,11 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") === 0)
         .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
         .select((col("r") + 100000L).as("vec_id"), col("embedding"))
-      llm.Similarity.lshTopK(emb.unionByName(planted), "vec_id", "embedding", q, 10)
+      // index lifecycle, same as ann_ivf_topk: first call pays the
+      // one-pass lshBuild (signatures + bucket-partitioned write); later
+      // calls are bucket-pruned lshQuery probes
+      llm.Similarity.lshTopKIndexed(emb.unionByName(planted), "vec_id", "embedding",
+        s"$dir#ann_lsh_topk", q, 10)
     }),
     "dedup_cosine_bucketed" -> ((s, dir) => {
       // banded-LSH cosine dedup, oracle-checkable: plant near-identical

@@ -284,28 +284,37 @@ object Similarity {
     * would pair new vectors with old centroids. `indexDir` should be a
     * qualified URI on the cluster's shared filesystem in any non-local
     * deployment. */
-  def ivfBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
-               kLists: Int = 16, trainSample: Int = 2048): Array[Array[Double]] = {
-    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
-    val sess = df.sparkSession
+  /** Atomic index commit shared by [[ivfBuild]] and [[lshBuild]]: run
+    * `write` against a sibling staging directory, then rename it into
+    * place (atomic on HDFS and local FS). A failure mid-write leaves any
+    * previous index untouched. */
+  private def stagedCommit(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String)(write: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(sess.sessionState.newHadoopConf())
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val target = fs.makeQualified(new org.apache.hadoop.fs.Path(indexDir))
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.staging")
     fs.delete(staging, true)
-    ivfAssign(df, idCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("list")
-      .parquet(new org.apache.hadoop.fs.Path(staging, "vectors").toString)
-    import sess.implicits._
-    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(staging, "centroids").toString)
+    write(staging.toString)
     fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
-        s"ivfBuild: commit rename $staging -> $target failed")
+        s"index commit rename $staging -> $target failed")
+  }
+
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+               kLists: Int = 16, trainSample: Int = 2048): Array[Array[Double]] = {
+    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    val sess = df.sparkSession
+    stagedCommit(sess, indexDir) { staging =>
+      ivfAssign(df, idCol, vecCol, centroids)
+        .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
+      import sess.implicits._
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+    }
     centroids
   }
 
@@ -373,25 +382,42 @@ object Similarity {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Where ivfTopKIndexed materializes an index: under the configured
-    * `graft.ivf.indexBase` (a qualified URI on the shared filesystem —
-    * REQUIRED for any non-local deployment, where a driver-local temp dir
-    * would resolve against a different filesystem than the executors'
-    * parquet IO), else a local temp dir registered for cleanup at exit —
-    * a local-mode convenience only. Serving deployments should prefer
-    * explicit [[ivfBuild]] + [[ivfQuery]] with a durable indexDir. */
+  /** Where the `*TopKIndexed` entry points materialize an index (IVF and
+    * LSH alike): under the configured `graft.ivf.indexBase` (a qualified
+    * URI on the shared filesystem — REQUIRED for any non-local
+    * deployment, where a driver-local temp dir would resolve against a
+    * different filesystem than the executors' parquet IO), else a local
+    * temp dir registered for cleanup at exit — a local-mode convenience
+    * only. Serving deployments should prefer the explicit build + query
+    * pairs with a durable indexDir. */
   private def newIndexDir(spark: org.apache.spark.sql.SparkSession,
                           cacheKey: String): String =
     spark.conf.getOption("graft.ivf.indexBase") match {
       case Some(base) =>
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        s"$base/ivf-$tag"
+        s"$base/idx-$tag"
       case None =>
         val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
         tempIndexDirs.add(d)
         s"$d/index"
     }
+
+  /** Build-once/probe-many resolution against [[indexCache]]: returns the
+    * index dir for `cacheKey`, running `build` only when the key is new or
+    * its (corpus fingerprint | build params) stamp changed. The map-bin
+    * lock serializes concurrent first builds of the same key. */
+  private def cachedIndex(df: DataFrame, cacheKey: String, paramStamp: String)
+                         (build: String => Unit): String = {
+    val stamp = s"${corpusFingerprint(df)}|$paramStamp"
+    indexCache.compute(cacheKey, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else {
+        val d = newIndexDir(df.sparkSession, cacheKey)
+        build(d)
+        (stamp, d)
+      })._2
+  }
 
   /** IVF ANN top-k against a cached index keyed by `cacheKey` (use the
     * corpus path + construction name). Builds on first use; probes after.
@@ -401,14 +427,9 @@ object Similarity {
   def ivfTopKIndexed(df: DataFrame, idCol: String, vecCol: String, cacheKey: String,
                      query: Seq[Double], k: Int, kLists: Int = 16,
                      nprobe: Int = 4, trainSample: Int = 2048): DataFrame = {
-    val stamp = s"${corpusFingerprint(df)}|k=$kLists|t=$trainSample"
-    val dir = indexCache.compute(cacheKey, (_, prev) =>
-      if (prev != null && prev._1 == stamp) prev
-      else {
-        val d = newIndexDir(df.sparkSession, cacheKey)
-        ivfBuild(df, idCol, vecCol, d, kLists, trainSample)
-        (stamp, d)
-      })._2
+    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample") { d =>
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample); ()
+    }
     ivfQuery(df.sparkSession, dir, query, k, nprobe)
   }
 
@@ -427,20 +448,27 @@ object Similarity {
       query, k)
   }
 
+  /** Driver-side signature of one query vector under the same fixed-seed
+    * plane family as [[lshBuckets]]/[[signature]]. */
+  private[llm] def querySignature(query: Seq[Double],
+                                  planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d > 0) 1L << i else 0L
+    }.reduce(_ | _)
+
   /** ANN top-k via adaptive multi-probe LSH: start at the query's bucket
     * and expand the probe Hamming radius until at least `minCandidates`
-    * vectors are in scope, then rerank by exact cosine. Each radius ring
-    * is an enumerable set of bucket ids, so at scale every probe step is
-    * a partition-PRUNED read (bucket = partition column), not a scan —
-    * the radius only grows when the data is genuinely spread out. */
+    * vectors are in scope, then rerank by exact cosine. Ad-hoc form: one
+    * signature pass over the corpus per call; the serving path is
+    * [[lshBuild]] + [[lshQuery]] (or [[lshTopKIndexed]]), where each
+    * radius ring is an enumerable set of bucket ids and every probe step
+    * is a partition-PRUNED read of the built index, not a scan. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nBits: Int = 16,
               minCandidates: Int = 100): DataFrame = {
     val planes = hyperplanes(nBits, query.size)
-    val qSig = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a * b }.sum
-      if (d > 0) 1L << i else 0L
-    }.reduce(_ | _)
+    val qSig = querySignature(query, planes)
     val q = array(query.map(lit): _*)
     val bucketed = lshBuckets(df, idCol, vecCol, nBits, query.size)
     val hamming = bit_count(col("bucket").bitwiseXOR(lit(qSig)))
@@ -458,5 +486,95 @@ object Similarity {
       .filter(col("cos").isNotNull && !isnan(col("cos")))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
+  }
+
+  // ---------- LSH index lifecycle (mirrors the IVF one) ----------
+
+  /** BUILD an LSH bucket index at ingest: ONE signature pass over the
+    * corpus, written `partitionBy("bucket")` so probes are partition-
+    * pruned reads, plus a one-row sidecar recording (n_bits, dim) so a
+    * query can never probe with a mismatched plane family. No training —
+    * the hyperplanes are a fixed seeded function of (nBits, dim). Commits
+    * atomically via the same staged rename as [[ivfBuild]]. */
+  def lshBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
+               nBits: Int = 16, dim: Int = 64): Unit = {
+    val sess = df.sparkSession
+    stagedCommit(sess, indexDir) { staging =>
+      lshBuckets(df, idCol, vecCol, nBits, dim)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/vectors")
+      import sess.implicits._
+      Seq((nBits, dim)).toDF("n_bits", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    }
+  }
+
+  /** All signatures within Hamming distance ≤ `radius` of `sig` — the
+    * bucket ids a radius-r probe must read. Size is Σ_{i≤r} C(nBits, i):
+    * driver-side combinatorics, cheap for the radii real probes use. */
+  private[llm] def hammingBall(sig: Long, nBits: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(r =>
+      (0 until nBits).combinations(r)
+        .map(_.foldLeft(sig)((s, b) => s ^ (1L << b))))
+
+  /** QUERY a built LSH index: start at the query's bucket and expand the
+    * probe Hamming radius until `minCandidates` vectors are in scope, then
+    * rerank by exact cosine — same adaptive semantics as [[lshTopK]], but
+    * each probe step reads ONLY the enumerated buckets' partitions of the
+    * built index (partition pruning) instead of re-signing the corpus.
+    * When the ball enumeration would exceed `maxEnumBuckets` ids (the
+    * corpus is genuinely spread out), the probe falls back to a Hamming-
+    * filtered scan — correctness unchanged, pruning honestly abandoned. */
+  def lshQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               query: Seq[Double], k: Int, minCandidates: Int = 100,
+               maxEnumBuckets: Int = 4096): DataFrame = {
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val (nBits, dim) = (meta.getInt(0), meta.getInt(1))
+    require(query.size == dim,
+      s"lshQuery: query dim ${query.size} != index dim $dim")
+    val qSig = querySignature(query, hyperplanes(nBits, dim))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    // partition-column read-back is type-INFERRED (int when values fit);
+    // probe literals must match that type exactly, or the predicate gains
+    // a cast and the scan loses its PartitionFilters
+    val bucketIsInt = vectors.schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType
+    def choose(n: Int, r: Int): Long =
+      (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    def candsAt(radius: Int): DataFrame = {
+      // early-exit the ball-size sum at the cap: for wide signatures
+      // (nBits up to 64) a full C(n, r) sum overflows Long long before
+      // any radius a pruned probe would actually enumerate
+      val ballSize = (0 to radius).foldLeft(0L)((acc, r) =>
+        if (acc > maxEnumBuckets) acc else acc + choose(nBits, r))
+      if (ballSize <= maxEnumBuckets) {
+        val ids = hammingBall(qSig, nBits, radius)
+        val lits: Seq[Any] = if (bucketIsInt) ids.map(_.toInt) else ids
+        vectors.filter(col("bucket").isin(lits: _*))
+      } else
+        vectors.filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= radius)
+    }
+    var radius = 1
+    var cands = candsAt(radius)
+    // exponential expansion, O(log nBits) probe jobs — as in lshTopK
+    while (radius < nBits && cands.limit(minCandidates).count() < minCandidates) {
+      radius = math.min(radius * 2, nBits)
+      cands = candsAt(radius)
+    }
+    rerank(cands, query, k)
+  }
+
+  /** LSH ANN top-k against a cached index keyed by `cacheKey` — the
+    * train-free counterpart of [[ivfTopKIndexed]]: first call per key
+    * pays the one-pass [[lshBuild]]; every later call is a bucket-pruned
+    * [[lshQuery]] probe. Same fingerprint fencing: a changed corpus or
+    * nBits under the same key rebuilds instead of serving stale. */
+  def lshTopKIndexed(df: DataFrame, idCol: String, vecCol: String, cacheKey: String,
+                     query: Seq[Double], k: Int, nBits: Int = 16,
+                     minCandidates: Int = 100): DataFrame = {
+    val dim = query.size
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim") { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim)
+    }
+    lshQuery(df.sparkSession, dir, query, k, minCandidates)
   }
 }

@@ -453,6 +453,47 @@ class LlmSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty && viaIndex.head._1 == 0L) // query is its own 1-NN
   }
 
+  test("lsh index lifecycle: pruned probe plan, index equals ad-hoc, dim guard") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lshlife").toString
+    val dir = s"$root/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // clique corpus: 10 exact copies of the query vector share its bucket,
+    // so a radius-1 probe already has enough candidates — the enumerated
+    // (partition-pruned) path, not the wide-radius fallback
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val clique = base.unionByName(planted)
+    Similarity.lshBuild(clique, "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    assert(!new java.io.File(s"$root/.idx.staging").exists())
+    val probe = Similarity.lshQuery(spark, dir, q, 10, minCandidates = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("bucket#") || plan.contains("bucket =")), plan.take(2000))
+    val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adHoc = Similarity.lshTopK(clique, "vec_id", "embedding", q, 10,
+        minCandidates = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == adHoc)
+    assert(viaIndex.forall(_._2 == 1.0)) // the 11-clique is the whole top-10
+    // natural corpus at the default minCandidates forces radius expansion
+    // into the enumeration-capped fallback: results must STILL equal the
+    // ad-hoc path (same candidate semantics, pruning honestly abandoned)
+    val dir2 = s"$root/idx2"
+    Similarity.lshBuild(base, "vec_id", "embedding", dir2, nBits = 16, dim = 64)
+    val wide = Similarity.lshQuery(spark, dir2, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wideAdHoc = Similarity.lshTopK(base, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wide == wideAdHoc)
+    // the sidecar pins the plane family: a wrong-dimension query is
+    // rejected up front, never silently probed with mismatched planes
+    intercept[IllegalArgumentException](
+      Similarity.lshQuery(spark, dir2, Seq(1.0, 2.0, 3.0), 5))
+  }
+
   test("ivfTopKIndexed: cache hit is identical; changed corpus under the same key rebuilds") {
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ivfcorpus").toString
     val key = s"llmspec-ivf-cache-$corpusDir" // unique per run, shared across calls
