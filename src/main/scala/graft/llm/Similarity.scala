@@ -495,7 +495,14 @@ object Similarity {
     * pruned reads, plus a one-row sidecar recording (n_bits, dim) so a
     * query can never probe with a mismatched plane family. No training —
     * the hyperplanes are a fixed seeded function of (nBits, dim). Commits
-    * atomically via the same staged rename as [[ivfBuild]]. */
+    * atomically via the same staged rename as [[ivfBuild]].
+    *
+    * `nBits` sizes the PARTITION LAYOUT: the index has up to 2^nBits
+    * bucket directories, so pick nBits ≈ log₂(corpus / desired rows-per-
+    * bucket) — a layout much finer than the corpus wastes the write on
+    * tiny files and every probe on directory listings. The adaptive
+    * [[lshQuery]] radius compensates coarser layouts by pruning less per
+    * step, never by changing the returned top-k contract. */
   def lshBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
                nBits: Int = 16, dim: Int = 64): Unit = {
     val sess = df.sparkSession

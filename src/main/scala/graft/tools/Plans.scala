@@ -13,7 +13,8 @@ object Plans {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q2_join_agg", "dedup_minhash_pairs", "dedup_survivors",
-        "dedup_simhash_pairs", "ann_topk", "filter_eq", "tile_hist")
+        "dedup_simhash_pairs", "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "filter_eq", "tile_hist")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-plans")

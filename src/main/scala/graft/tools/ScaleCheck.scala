@@ -82,6 +82,14 @@ object ScaleCheck {
       // partition-pruned in LlmSpec. Time must grow at most linearly.
       time("lsh_topk")(graft.llm.Similarity.lshTopK(
         big, "vec_id", "embedding", q, 10).count())
+      // the indexed LSH serving shape: untimed one-pass lshBuild, then a
+      // bucket-pruned probe that must stay ~flat in mult. 8-bit layout:
+      // 256 bucket dirs keeps rows-per-bucket high (see lshBuild scaladoc)
+      val lshDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-lsh").toString + "/idx"
+      graft.llm.Similarity.lshBuild(big, "vec_id", "embedding", lshDir, nBits = 8)
+      time("lsh_probe")(graft.llm.Similarity.lshQuery(
+        spark, lshDir, q, 10).count())
       // the true serving shape: ivfBuild is the untimed one-off ingest
       // pass; the probe reads nprobe/kLists of the data via partition
       // pruning and must stay ~flat in mult
