@@ -123,20 +123,40 @@ object Multimodal {
       if (rate.isNaN || rate <= 0) None else Some((math.round(rate), fmt.getChannels))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Header-only image dimension probe: the matched ImageIO reader's
+    * width/height metadata, NO raster decode — a metadata pass over 10⁸
+    * thumbnails must not decompress them. Audio gets the same treatment
+    * in [[decodeAudioMeta]] (container header parse only). */
+  private[llm] def probeImageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
   /** Probe TRUE typed metadata out of the payload bytes, rewriting the
     * meta struct that [[asMediaTable]] stubbed: image kinds get real
-    * ImageIO width/height, audio kinds get the real container sample rate
-    * (WAV/AIFF via the pure-JDK sound stack), and anything undecodable —
-    * video (no JDK codec), corrupt bytes — keeps nulls with n_bytes always
-    * real. Same `mapPartitions` iterator shape as [[decodeFeatures]]: one
-    * decoder context per partition, fully distributed. */
+    * width/height (header-only, via [[probeImageDims]]), audio kinds the
+    * real container sample rate (WAV/AIFF via the pure-JDK sound stack),
+    * and anything undecodable — video (no JDK codec), corrupt bytes —
+    * keeps nulls with n_bytes always real. Same `mapPartitions` iterator
+    * shape as [[decodeFeatures]]: one decoder context per partition,
+    * fully distributed. */
   def probeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("id"), col("payload"), col("kind"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, payload, kind) =>
-          val dims = if (kind == "image") decodeImage(payload) else None
+          val dims = if (kind == "image") probeImageDims(payload) else None
           val rate = if (kind == "audio") decodeAudioMeta(payload) else None
           ProbedMedia(id, payload, kind,
             MediaMeta(kind, dims.map(_._1), dims.map(_._2),
