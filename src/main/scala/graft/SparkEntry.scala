@@ -263,15 +263,14 @@ object SparkEntry {
         .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
         .select((col("r") + 100000L).as("vec_id"), col("embedding"))
       // index lifecycle, same as ann_ivf_topk: first call pays the
-      // one-pass lshBuild (signatures + bucket-partitioned write); later
-      // calls are bucket-pruned lshQuery probes. nBits sizes the PARTITION
-      // LAYOUT (2^nBits directories): 8 bits keeps per-bucket row counts
-      // large enough to amortize a partition dir at this corpus size —
-      // the adaptive probe radius preserves the top-k semantics, and the
-      // planted clique (hamming 0 under ANY plane family) stays the
-      // provable top-10 regardless of band width
-      // minCandidates = 2k: the radius-1 ball already holds ~9/256 of the
-      // corpus, so the warm probe is ONE pruned read (no expansion jobs)
+      // one-pass lshBuild (signatures + prefix-partitioned write); later
+      // calls are partition-pruned lshQuery probes. nBits = 8 keeps the
+      // signature dense enough for this small corpus that the radius-1
+      // ball already holds candidates (the layout is independently sized
+      // by partitionBits, default 8 → 256 dirs); minCandidates = 2k makes
+      // the warm probe ONE pruned read (no expansion jobs). The planted
+      // clique (hamming 0 under ANY plane family) stays the provable
+      // top-10 regardless of signature width.
       llm.Similarity.lshTopKIndexed(emb.unionByName(planted), "vec_id", "embedding",
         s"$dir#ann_lsh_topk", q, 10, nBits = 8, minCandidates = 20)
     }),

@@ -497,20 +497,26 @@ object Similarity {
     * the hyperplanes are a fixed seeded function of (nBits, dim). Commits
     * atomically via the same staged rename as [[ivfBuild]].
     *
-    * `nBits` sizes the PARTITION LAYOUT: the index has up to 2^nBits
-    * bucket directories, so pick nBits ≈ log₂(corpus / desired rows-per-
-    * bucket) — a layout much finer than the corpus wastes the write on
-    * tiny files and every probe on directory listings. The adaptive
-    * [[lshQuery]] radius compensates coarser layouts by pruning less per
-    * step, never by changing the returned top-k contract. */
+    * Signature width and layout granularity are SEPARATE knobs: the
+    * partition column is the top `partitionBits` of the signature (up to
+    * 2^partitionBits directories — pick it ≈ log₂(corpus / desired
+    * rows-per-partition); finer layouts waste the write on tiny files and
+    * every probe on directory listings), while the FULL `nBits` signature
+    * rides along as a data column for exact Hamming candidate filtering.
+    * Prefix pruning is LOSSLESS over the Hamming ball: a signature within
+    * Hamming r of the query has ≤ r flips in its prefix too, so the
+    * prefix ball is a superset of the probe's partitions. */
   def lshBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
-               nBits: Int = 16, dim: Int = 64): Unit = {
+               nBits: Int = 16, dim: Int = 64,
+               partitionBits: Int = 8): Unit = {
+    val pBits = math.min(partitionBits, nBits)
     val sess = df.sparkSession
     stagedCommit(sess, indexDir) { staging =>
       lshBuckets(df, idCol, vecCol, nBits, dim)
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$staging/vectors")
+        .withColumn("pband", shiftrightunsigned(col("bucket"), nBits - pBits))
+        .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/vectors")
       import sess.implicits._
-      Seq((nBits, dim)).toDF("n_bits", "dim")
+      Seq((nBits, dim, pBits)).toDF("n_bits", "dim", "partition_bits")
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
     }
   }
@@ -525,40 +531,45 @@ object Similarity {
 
   /** QUERY a built LSH index: start at the query's bucket and expand the
     * probe Hamming radius until `minCandidates` vectors are in scope, then
-    * rerank by exact cosine — same adaptive semantics as [[lshTopK]], but
-    * each probe step reads ONLY the enumerated buckets' partitions of the
-    * built index (partition pruning) instead of re-signing the corpus.
-    * When the ball enumeration would exceed `maxEnumBuckets` ids (the
-    * corpus is genuinely spread out), the probe falls back to a Hamming-
-    * filtered scan — correctness unchanged, pruning honestly abandoned. */
+    * rerank by exact cosine — same adaptive semantics (and same candidate
+    * sets) as [[lshTopK]], but each probe step reads ONLY the partitions
+    * in the radius ball's PREFIX projection (partition pruning over the
+    * `pband` layout column), with the exact Hamming filter on the full
+    * signature applied inside. When even the prefix ball outgrows
+    * `maxEnumBuckets` ids (the corpus is genuinely spread out), the probe
+    * falls back to a Hamming-filtered scan — correctness unchanged,
+    * pruning honestly abandoned. */
   def lshQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                query: Seq[Double], k: Int, minCandidates: Int = 100,
                maxEnumBuckets: Int = 4096): DataFrame = {
     val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val (nBits, dim) = (meta.getInt(0), meta.getInt(1))
+    val (nBits, dim, pBits) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     require(query.size == dim,
       s"lshQuery: query dim ${query.size} != index dim $dim")
     val qSig = querySignature(query, hyperplanes(nBits, dim))
+    val qPrefix = qSig >>> (nBits - pBits)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     // partition-column read-back is type-INFERRED (int when values fit);
     // probe literals must match that type exactly, or the predicate gains
     // a cast and the scan loses its PartitionFilters
-    val bucketIsInt = vectors.schema("bucket").dataType ==
+    val pbandIsInt = vectors.schema("pband").dataType ==
       org.apache.spark.sql.types.IntegerType
+    val isHamming = bit_count(col("bucket").bitwiseXOR(lit(qSig)))
     def choose(n: Int, r: Int): Long =
       (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
     def candsAt(radius: Int): DataFrame = {
-      // early-exit the ball-size sum at the cap: for wide signatures
-      // (nBits up to 64) a full C(n, r) sum overflows Long long before
-      // any radius a pruned probe would actually enumerate
-      val ballSize = (0 to radius).foldLeft(0L)((acc, r) =>
-        if (acc > maxEnumBuckets) acc else acc + choose(nBits, r))
+      // early-exit the ball-size sum at the cap: for wide prefixes a full
+      // C(n, r) sum overflows Long long before any radius a pruned probe
+      // would actually enumerate
+      val pRadius = math.min(radius, pBits)
+      val ballSize = (0 to pRadius).foldLeft(0L)((acc, r) =>
+        if (acc > maxEnumBuckets) acc else acc + choose(pBits, r))
       if (ballSize <= maxEnumBuckets) {
-        val ids = hammingBall(qSig, nBits, radius)
-        val lits: Seq[Any] = if (bucketIsInt) ids.map(_.toInt) else ids
-        vectors.filter(col("bucket").isin(lits: _*))
+        val ids = hammingBall(qPrefix, pBits, pRadius)
+        val lits: Seq[Any] = if (pbandIsInt) ids.map(_.toInt) else ids
+        vectors.filter(col("pband").isin(lits: _*) && isHamming <= radius)
       } else
-        vectors.filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= radius)
+        vectors.filter(isHamming <= radius)
     }
     var radius = 1
     var cands = candsAt(radius)
@@ -577,10 +588,10 @@ object Similarity {
     * nBits under the same key rebuilds instead of serving stale. */
   def lshTopKIndexed(df: DataFrame, idCol: String, vecCol: String, cacheKey: String,
                      query: Seq[Double], k: Int, nBits: Int = 16,
-                     minCandidates: Int = 100): DataFrame = {
+                     minCandidates: Int = 100, partitionBits: Int = 8): DataFrame = {
     val dim = query.size
-    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim") { d =>
-      lshBuild(df, idCol, vecCol, d, nBits, dim)
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits") { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }
     lshQuery(df.sparkSession, dir, query, k, minCandidates)
   }

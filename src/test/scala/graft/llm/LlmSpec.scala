@@ -470,8 +470,10 @@ class LlmSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/.idx.staging").exists())
     val probe = Similarity.lshQuery(spark, dir, q, 10, minCandidates = 5)
     val plan = probe.queryExecution.executedPlan.toString
+    // the layout column is the signature PREFIX (pband); the full-width
+    // Hamming predicate then runs inside the pruned partitions
     assert(plan.contains("PartitionFilters") &&
-      (plan.contains("bucket#") || plan.contains("bucket =")), plan.take(2000))
+      (plan.contains("pband#") || plan.contains("pband =")), plan.take(2000))
     val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val adHoc = Similarity.lshTopK(clique, "vec_id", "embedding", q, 10,
         minCandidates = 5)
