@@ -310,6 +310,27 @@ object SparkEntry {
     // probeMeta runs the REAL decode path (ImageIO header sniff per row —
     // text bytes fail the sniff fast and keep null dims); the registered
     // projection stays engine-replayable (kind + true byte length)
+    "ann_ivf_batch" -> ((s, dir) => {
+      // batched serving against the built IVF index: per-query planted
+      // cliques (10 copies of EACH query's embedding at ids
+      // 100000 + qid·100 + r) share that query's rank-0 probe list, so
+      // every query's clique is provably in scope and its top-10 equals
+      // brute force (11 candidates at cosine exactly 1.0 vs ≤0.37
+      // natural). One pruned union read scores the whole query matrix;
+      // the same vec_id < 100000 guard keeps planted ids collision-free.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 100000L)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val planted = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q"),
+          explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+        .select((lit(100000L) + col("q") * 100L + col("r")).as("vec_id"),
+          col("embedding"))
+      llm.Similarity.ivfTopKBatchIndexed(emb.unionByName(planted),
+        "vec_id", "embedding", s"$dir#ann_ivf_batch", queries, 10)
+    }),
     "multimodal_meta" -> ((s, dir) =>
       llm.Multimodal.probeMeta(s,
         llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image"))
@@ -551,6 +572,23 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 10000""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
     "ann_ivf_topk" -> annPlantedTopkSql,
+    // brute-force per-query top-10 over the per-query planted-clique
+    // construction — the provable expected output of the batched IVF
+    // probe (each query's 11-vector clique at cosine 1.0 fills its
+    // top-10; all clique members sit in that query's rank-0 probe list)
+    "ann_ivf_batch" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |planted AS (SELECT 100000 + q.qid * 100 + r AS vec_id, q.qv AS embedding
+        |              FROM qs q, (SELECT unnest(generate_series(1, 10)) AS r)),
+        |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+        |          UNION ALL SELECT vec_id, embedding FROM planted),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS id,
+        |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
+        |    FROM all_v v, qs q)
+        |SELECT qid, id, cos FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin,
     "ann_topk_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |scored AS (

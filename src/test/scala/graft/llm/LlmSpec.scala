@@ -496,6 +496,37 @@ class LlmSpec extends AnyFunSuite {
       Similarity.lshQuery(spark, dir2, Seq(1.0, 2.0, 3.0), 5))
   }
 
+  test("ivfQueryBatch equals per-query ivfQuery on the same built index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfbatch").toString + "/idx"
+    Similarity.ivfBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      dir, kLists = 8, trainSample = 256)
+    val queries = emb.filter($"vec_id" < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val batch = Similarity.ivfQueryBatch(spark, dir, queries, 7, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.ivfQuery(spark, dir, q, 7, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // the per-row membership filter keeps each query to ITS probe
+      // lists, so batching changes nothing about any query's answer
+      assert(batch(qid) == single, s"query $qid")
+    }
+    // ragged or empty batches are rejected up front
+    intercept[IllegalArgumentException](
+      Similarity.ivfQueryBatch(spark, dir, Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Similarity.ivfQueryBatch(spark, dir,
+        Seq(1L -> Seq(1.0), 2L -> Seq(1.0, 2.0)), 3))
+    // one pruned union read feeding the bounded-heap aggregate — never a
+    // per-query window sort
+    val plan = Similarity.ivfQueryBatch(spark, dir, queries, 7, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("topk_by_score") &&
+      !plan.contains("Window"), plan.take(2000))
+  }
+
   test("ivfTopKIndexed: cache hit is identical; changed corpus under the same key rebuilds") {
     val corpusDir = java.nio.file.Files.createTempDirectory("graft-ivfcorpus").toString
     val key = s"llmspec-ivf-cache-$corpusDir" // unique per run, shared across calls
