@@ -93,7 +93,8 @@ object Similarity {
   }
 
   // Deterministic hyperplanes (fixed seed): nBits × dim sign projections.
-  private[llm] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+  // private[graft]: the streaming embedding dedup signs with the same family.
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(1234)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -130,6 +130,31 @@ object StreamRunner {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming EMBEDDING near-dedup: keep the first record per `nBits`-bit
+    * random-hyperplane sign signature within the watermark horizon — the
+    * embedding-family member of the streaming dedup set. Possible for the
+    * same reason as [[streamingNearDedup]]: the signature
+    * ([[graft.functions.HyperplaneBands]], same fixed-seed family as the
+    * batch operators) is a stateless per-row projection, so it composes
+    * with `dropDuplicatesWithinWatermark` and state stays
+    * watermark-bounded. Semantically the numBands = 1 streaming analog of
+    * [[graft.llm.Dedup.cosinePairsBucketed]]'s candidate generation:
+    * near-identical embeddings (cosine c) collapse with probability
+    * p^nBits, p = 1 − arccos(c)/π (identical vectors always; at 16 bits
+    * and c = 0.9999 ≈ 93%) — fewer bits dedup more aggressively.
+    * Malformed vectors share a NULL signature and collapse to one,
+    * matching the null handling of the text variants. */
+  def streamingEmbeddingDedup(stream: DataFrame, vecCol: String, timeCol: String,
+                              watermark: String, nBits: Int = 16,
+                              dim: Int = 64): DataFrame = {
+    val planes = graft.llm.Similarity.hyperplanes(nBits, dim)
+    stream
+      .withColumn("vsig", org.apache.spark.sql.functions.element_at(
+        graft.functions.HyperplaneF.bands(col(vecCol), 1, nBits, planes), 1))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("vsig")
+  }
+
   /** Custom streaming state via `mapGroupsWithState`: running count per
     * key across micro-batches (the KeyValueGroupedDataset escape hatch
     * for semantics windowed aggs can't express). Emits the updated total

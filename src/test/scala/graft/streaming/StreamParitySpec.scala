@@ -102,6 +102,35 @@ class StreamParitySpec extends AnyFunSuite {
     assert(out.count() == batchSigs)
   }
 
+  test("streaming embedding dedup collapses same-signature vectors, keeps the negation") {
+    val dir = Files.createTempDirectory("graft-sed").toString
+    // v2 = v1 exactly (identical signature, always collapses); v3 = -v1
+    // (every sign projection flips: a deterministically DIFFERENT
+    // signature, always survives)
+    val v1 = Seq(0.4, -1.2, 0.7, 2.1)
+    val v3 = v1.map(-_)
+    def row(ts: String, v: Seq[Double], id: Int) =
+      s"""{"ts":"$ts","vec":[${v.mkString(",")}],"id":$id}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      Seq(row("2026-01-01 00:00:01", v1, 1),
+          row("2026-01-01 00:00:02", v1, 2),
+          row("2026-01-01 00:00:03", v3, 3)).mkString("\n"))
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingEmbeddingDedup(stream, "vec", "ts", "1 minute",
+        nBits = 8, dim = 4), "append")
+    assert(out.count() == 2)
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // batch parity: survivors equal the batch-side distinct signature count
+    val batch = spark.read.json(s"$dir/d.jsonl")
+    val planes = graft.llm.Similarity.hyperplanes(8, 4)
+    val batchSigs = batch.select(org.apache.spark.sql.functions.element_at(
+        graft.functions.HyperplaneF.bands($"vec", 1, 8, planes), 1).as("s"))
+      .distinct().count()
+    assert(out.count() == batchSigs)
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
