@@ -155,6 +155,20 @@ object SparkEntry {
         round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6).as("q"))),
     "dedup_exact" -> ((s, dir) =>
       llm.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // ---- the LLM dataset operators THROUGH the DFL surface (parser →
+    //      DflFrame dataset-op dispatch → the same llm.* implementations):
+    //      what a catalog Process runs via /services/{name}/exec ----
+    "dfl_dedup" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
+      "dedup(@, '@doc_id', '@text') | map(@, '{doc_id: @doc_id}')")),
+    "dfl_near_dedup" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
+      "nearDedup(@, '@doc_id', '@text', 0.8) | map(@, '{doc_id: @doc_id}')")),
+    "dfl_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      DflFrame.pipeline(emb, "annTopK(@, '@vec_id', '@embedding', $q, 10)",
+        Map("q" -> q))
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -511,6 +525,28 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups
         |  FROM documents GROUP BY 1""".stripMargin,
+    // exact-dedup SURVIVORS (the DFL `dedup` stage keeps the smallest-id
+    // row per normalized-text fingerprint and projects doc_id after)
+    "dfl_dedup" ->
+      """SELECT doc_id FROM documents
+        | WHERE doc_id IN (
+        |   SELECT min(doc_id) FROM documents
+        |   GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    // the DFL nearDedup(minhash, 0.8) survivors = the exact-jaccard
+    // survivor set (same argument as dedup_survivors: LSH recall at
+    // j >= 0.8 with 64 hashes / 32 bands is 1-1e-14)
+    "dfl_near_dedup" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($jaccardPairsSql))""".stripMargin,
+    // the DFL annTopK default method is EXACT brute force — same oracle as
+    // ann_topk
+    "dfl_ann_topk" ->
+      """SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_pairs" -> jaccardPairsSql,
     "dedup_survivors" ->

@@ -311,6 +311,10 @@ object Functions {
     "filter" -> "(dataset, predicate)", "map" -> "(dataset, expr)",
     "limit" -> "(dataset, n)", "sort" -> "(dataset[, key, desc])",
     "group" -> "(dataset, keyExpr)", "hist" -> "(dataset, key[, key2])",
+    "dedup" -> "(dataset, idExpr, textExpr)",
+    "nearDedup" -> "(dataset, idExpr, textExpr[, threshold, method])",
+    "nearDupPairs" -> "(dataset, idExpr, textExpr[, threshold, method])",
+    "annTopK" -> "(dataset, idExpr, vecExpr, $query, k[, method])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

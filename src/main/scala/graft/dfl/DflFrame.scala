@@ -95,7 +95,12 @@ object DflFrame {
   }
 
   private val datasetFns =
-    Set("filter", "map", "limit", "sort", "group", "hist", "set", "array", "len", "bbox")
+    Set("filter", "map", "limit", "sort", "group", "hist", "set", "array", "len", "bbox",
+      // LLM-pipeline dataset stages (project-brief extensions): the same
+      // Dedup/Similarity operators the Scala API exposes, invocable from
+      // the DFL/catalog/server surface — a catalog Process can dedup a
+      // corpus or run ANN via /services/{name}/exec like any other stage
+      "dedup", "nearDedup", "nearDupPairs", "annTopK")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -343,6 +348,35 @@ object DflFrame {
       }
       case other => throw new DflParseException(s"expected int arg: ${Node.render(other)}")
     }
+    def numArg(i: Int): Double = args(i) match {
+      case Lit(v: Double) => v
+      case Lit(v: Long)   => v.toDouble
+      case Var(n2)        => vars(n2) match {
+        case d: Double => d; case l: Long => l.toDouble; case x: Int => x.toDouble
+        case other     => other.toString.toDouble
+      }
+      case other => throw new DflParseException(s"expected numeric arg: ${Node.render(other)}")
+    }
+    def strArg(i: Int): String = args(i) match {
+      case Lit(s: String) => s
+      case Var(n2)        => vars(n2).toString
+      case other => throw new DflParseException(s"expected string arg: ${Node.render(other)}")
+    }
+    // a query vector: a $var bound to a numeric Seq, or an inline array
+    def vecArg(i: Int): Seq[Double] = args(i) match {
+      case Var(n2) => vars.getOrElse(n2,
+        throw new DflParseException(s"unbound $$$n2")) match {
+        case xs: Seq[_] => xs.map { case v: Number => v.doubleValue()
+          case other => other.toString.toDouble }
+        case other => throw new DflParseException(s"$$$n2 is not a vector: $other")
+      }
+      case ArrayLit(xs) => xs.map {
+        case Lit(v: Number) => v.doubleValue()
+        case other => throw new DflParseException(
+          s"expected numeric element: ${Node.render(other)}")
+      }
+      case other => throw new DflParseException(s"expected vector arg: ${Node.render(other)}")
+    }
 
     name match {
       case "filter" => df.filter(subCol(1))
@@ -410,8 +444,81 @@ object DflFrame {
         df.agg(
           min(c.getItem(0)).as("w"), min(c.getItem(1)).as("s"),
           max(c.getItem(0)).as("e"), max(c.getItem(1)).as("n"))
+
+      // ---- LLM-pipeline dataset stages, backed by the library operators
+      //      (graft.llm.Dedup / graft.llm.Similarity) so the DFL surface and
+      //      the Scala API share one implementation and one scale design ----
+
+      case "dedup" =>
+        // exact dedup: `dedup(@, '@id', '@text')` keeps the smallest-id row
+        // per normalized-text fingerprint, returning the surviving ORIGINAL
+        // rows (one hash groupBy + a semi-join — never all-pairs)
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val keep = graft.llm.Dedup.exact(base, "__gid", "__gtext")
+          .select(col("keep_id").as("__gid"))
+        base.join(keep, Seq("__gid"), "left_semi").drop("__gid", "__gtext")
+
+      case "nearDedup" | "nearDupPairs" =>
+        // `nearDedup(@, '@id', '@text'[, threshold[, method]])` — survivors
+        // after near-dup removal; `nearDupPairs` returns the pair set
+        // itself. method: minhash (default) | jaccard | simhash | cosine
+        // (cosine treats arg 2 as the embedding column and threshold as the
+        // cosine floor; simhash reads threshold as the max Hamming
+        // distance, default 3). All candidate generation is banded/
+        // bucketed — the same 100 TB shapes as the Scala API.
+        val threshold = if (args.size > 3) numArg(3) else 0.8
+        val method = if (args.size > 4) strArg(4) else "minhash"
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val pairs = method match {
+          case "minhash" =>
+            graft.llm.Dedup.minhashPairs(base, "__gid", "__gtext", threshold)
+          case "jaccard" =>
+            graft.llm.Dedup.jaccardPairs(base, "__gid", "__gtext", threshold)
+          case "simhash" =>
+            val maxHamming = if (args.size > 3) numArg(3).toInt else 3
+            graft.llm.Dedup.simhashPairs(base, "__gid", "__gtext", maxHamming)
+          case "cosine" =>
+            graft.llm.Dedup.cosinePairsBucketed(base, "__gid", "__gtext", threshold)
+          case other => throw new DflParseException(s"unknown nearDedup method $other")
+        }
+        if (name == "nearDupPairs") pairs
+        else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
+
+      case "annTopK" =>
+        // `annTopK(@, '@id', '@vec', $query, k[, method])` — cosine top-k
+        // for one query vector ($query: a Seq[Double] exec variable or an
+        // inline array). method: exact (default, one scan + bounded top-k),
+        // ivf | lsh (build-once/probe-many cached index lifecycles —
+        // repeated service execs over the same corpus probe a
+        // partition-pruned index instead of rescanning).
+        val q = vecArg(3)
+        val k = intArg(4)
+        val method = if (args.size > 5) strArg(5) else "exact"
+        val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
+        method match {
+          case "exact" => graft.llm.Similarity.bruteForceTopK(base, "id", "v", q, k)
+          case "ivf"   => graft.llm.Similarity.ivfTopKIndexed(
+            base, "id", "v", dflCorpusKey(df, "ivf"), q, k)
+          case "lsh"   => graft.llm.Similarity.lshTopKIndexed(
+            base, "id", "v", dflCorpusKey(df, "lsh"), q, k)
+          case other => throw new DflParseException(s"unknown annTopK method $other")
+        }
+
       case other => throw new DflParseException(s"unknown dataset function $other")
     }
+  }
+
+  /** Stable index-cache key for a DFL-invoked ANN stage: the corpus is
+    * identified by its scan's input files + schema (not a caller-supplied
+    * key — DFL callers don't have one). Content changes under the same
+    * files are caught by the cache's corpus fingerprint fencing; two
+    * DISTINCT corpora hash to distinct keys, so alternating services don't
+    * thrash one cache slot. */
+  private def dflCorpusKey(df: DataFrame, method: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    df.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.update(df.schema.catalogString.getBytes("UTF-8"))
+    s"dfl|$method|" + md.digest().map("%02x".format(_)).mkString
   }
 
   private def assembleDict(df: DataFrame, d: DictLit, vars: Map[String, Any]): DataFrame = {

@@ -25,7 +25,11 @@ object StreamRunner {
 
   val streamableFormats: Set[String] = Set("csv", "tsv", "jsonl")
 
-  private val unstreamableFns = Set("sort", "limit", "set", "len", "bbox")
+  private val unstreamableFns = Set("sort", "limit", "set", "len", "bbox",
+    // the DFL LLM dataset stages need whole-dataset context (self-joins /
+    // index builds); their streaming analogues are the explicit
+    // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
+    "dedup", "nearDedup", "nearDupPairs", "annTopK")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -1,0 +1,116 @@
+package graft.dfl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.llm.{Dedup, Similarity}
+
+/** The LLM dataset operators THROUGH the DFL surface (parser → DflFrame
+  * dataset-op dispatch): each stage must produce exactly what the backing
+  * Scala API produces — one implementation, two entry points.
+  */
+class DflLlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("dedup(@) keeps the smallest-id row per exact fingerprint") {
+    val out = DflFrame.pipeline(docs,
+      "dedup(@, '@doc_id', '@text') | map(@, '{doc_id: @doc_id}')")
+    val expected = ids(Dedup.exact(docs, "doc_id", "text").select("keep_id"))
+    assert(ids(out) == expected)
+    // surviving rows keep their ORIGINAL columns (no temp-column residue)
+    val full = DflFrame.pipeline(docs, "dedup(@, '@doc_id', '@text')")
+    assert(full.columns.toSet == docs.columns.toSet)
+  }
+
+  test("nearDedup/nearDupPairs(@) match the minhash Scala API") {
+    val pairsDfl = DflFrame.pipeline(docs, "nearDupPairs(@, '@doc_id', '@text', 0.8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsApi = Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsApi.nonEmpty && pairsDfl == pairsApi)
+    val survDfl = ids(DflFrame.pipeline(docs,
+      "nearDedup(@, '@doc_id', '@text', 0.8) | map(@, '{doc_id: @doc_id}')"))
+    val survApi = ids(Dedup.survivors(docs, "doc_id",
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.8)).select("doc_id"))
+    assert(survDfl == survApi)
+  }
+
+  test("nearDupPairs method variants dispatch to the right operator") {
+    val jac = DflFrame.pipeline(docs,
+      "nearDupPairs(@, '@doc_id', '@text', 0.8, 'jaccard')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacApi = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == jacApi)
+    val sim = DflFrame.pipeline(docs,
+      "nearDupPairs(@, '@doc_id', '@text', 3, 'simhash')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simApi = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == simApi)
+    val cosDfl = DflFrame.pipeline(emb,
+      "nearDupPairs(@, '@vec_id', '@embedding', 0.99, 'cosine')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cosApi = Dedup.cosinePairsBucketed(emb, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cosDfl == cosApi)
+  }
+
+  test("annTopK(@) exact equals brute force; $query comes from exec vars") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val dfl = DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10)", Map("q" -> q))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val api = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dfl == api)
+    assert(dfl.head._1 == 0L && dfl.head._2 == 1.0) // the query is its own 1-NN
+  }
+
+  test("annTopK(@) ivf and lsh methods run the indexed lifecycles") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    // both approximate paths are deterministic (fixed seeds, deterministic
+    // training), so the DFL indexed probe equals the ad-hoc Scala form
+    val ivfDfl = ids(DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q)))
+    val ivfApi = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10))
+    assert(ivfDfl == ivfApi)
+    val lshDfl = ids(DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'lsh')", Map("q" -> q)))
+    val lshApi = ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 10))
+    assert(lshDfl == lshApi)
+    assert(ivfDfl.contains(0L) && lshDfl.contains(0L))
+  }
+
+  test("LLM stages compose with the rest of the pipeline and with := vars") {
+    // dedup output feeds a filter + hist like any dataset stage
+    val out = DflFrame.pipeline(docs,
+      "dedup(@, '@doc_id', '@text') | hist(@, '@lang')")
+    assert(out.columns.toSeq == Seq("key", "count") && out.count() > 0)
+    // dataset-valued binding of a dedup result
+    val (res, dsVars) = DflFrame.pipelineWithVars(docs,
+      "$clean := nearDedup(@, '@doc_id', '@text', 0.8) | len(@)")
+    assert(dsVars.contains("clean"))
+    assert(res.head().getLong(0) ==
+      Dedup.survivors(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text", 0.8)).count())
+  }
+
+  test("registry lists the LLM stages; stream mode rejects them") {
+    val reg = Functions.registry
+    Seq("dedup", "nearDedup", "nearDupPairs", "annTopK").foreach(n =>
+      assert(reg.contains(n), n))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        "nearDedup(@, '@doc_id', '@text')"))
+  }
+}

@@ -97,6 +97,49 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("LLM dedup and ANN run as catalog services over HTTP") {
+    // the round-7 product-surface contract: a catalog Process can run the
+    // LLM dataset stages (dedup / nearDedup / annTopK) through
+    // /services/{name}/exec exactly like filter/map/hist
+    val (srv, client, dir) = startServer()
+    try {
+      Files.writeString(Paths.get(s"$dir/corpus.jsonl"), Seq(
+        """{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}""",
+        """{"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"}""",
+        """{"doc_id": 3, "text": "totally different content about sparks"}""",
+      ).mkString("\n"))
+      val (_, tb) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      assert(authed.add("datastores",
+        s"""{"workspace":"ws","name":"corpus","uri":"$dir/corpus.jsonl"}""")._1 == 200)
+      assert(authed.add("processes",
+        """{"name":"near_dedup","expression":"nearDedup(@, '@doc_id', '@text', 0.8) | map(@, '{doc_id: @doc_id}')"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"dedup_svc","datastore":"corpus","process":"near_dedup"}""")._1 == 200)
+      val (c1, b1) = client.exec("services", "dedup_svc")
+      // docs 1 and 2 are near-dups (jaccard 1.0): the smaller id survives
+      assert(c1 == 200 && b1.contains("\"doc_id\":1") &&
+        !b1.contains("\"doc_id\":2") && b1.contains("\"doc_id\":3"), b1)
+
+      // ANN through a service: the query vector arrives as a request var
+      Files.writeString(Paths.get(s"$dir/vecs.jsonl"), (0 until 8).map(i =>
+        s"""{"vec_id": $i, "embedding": [${Seq(i * 1.0, 1.0, 0.5 * i).mkString(", ")}]}""")
+        .mkString("\n"))
+      assert(authed.add("datastores",
+        s"""{"workspace":"ws","name":"vecs","uri":"$dir/vecs.jsonl"}""")._1 == 200)
+      assert(authed.add("processes",
+        """{"name":"ann","expression":"annTopK(@, '@vec_id', '@embedding', $q, 3)"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"ann_svc","datastore":"vecs","process":"ann"}""")._1 == 200)
+      val (c2, b2) = client.exec("services", "ann_svc",
+        """{"variables":{"q":[2.0, 1.0, 1.0]}}""")
+      // vec_id 2 IS [2,1,1]: its cosine is exactly 1.0 and ranks first
+      assert(c2 == 200 && b2.contains("\"cos\":1.0"), b2)
+      assert("\"id\":(\\d+)".r.findFirstMatchIn(b2).get.group(1) == "2", b2)
+    } finally srv.stop()
+  }
+
   test("vector tile and mask endpoints") {
     val (srv, client, _) = startServer()
     try {
