@@ -50,9 +50,10 @@ object AnnRecall {
       sums("ivf_adhoc") += recall(ids(Similarity.ivfTopK(emb, "vec_id", "embedding", q, k)))
       sums("lsh_index") += recall(ids(Similarity.lshQuery(spark, lshDir, q, k)))
       sums("ivf_index") += recall(ids(Similarity.ivfQuery(spark, ivfDir, q, k)))
-      // nprobe is the recall/read-fraction knob: double the probed lists,
-      // measure what it buys on this corpus
-      sums("ivf_index_np8") += recall(ids(Similarity.ivfQuery(spark, ivfDir, q, k, nprobe = 8)))
+      // nprobe is the recall/read-fraction knob. The default is 8 (kLists/2,
+      // measured ≈0.8 recall@10 here and gated in LlmSpec); the np4 row
+      // records what halving the probed fraction would give back
+      sums("ivf_index_np4") += recall(ids(Similarity.ivfQuery(spark, ivfDir, q, k, nprobe = 4)))
     }
     sums.toSeq.sortBy(_._1).foreach { case (name, s) =>
       println(f"[recall] $name%-10s recall@$k = ${s / queries.length}%.3f  (n=${queries.length}, $dir)")

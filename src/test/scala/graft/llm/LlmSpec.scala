@@ -638,4 +638,127 @@ class LlmSpec extends AnyFunSuite {
     val r = frames.filter($"id" === 0 && $"frame_idx" === 0).head()
     assert(r.getAs[Array[Byte]]("frame_bytes").length == 16)
   }
+
+  test("ivf recall gate: default nprobe reaches recall@10 >= 0.8 on the natural corpus") {
+    // the approximation-quality CONTRACT for the shipped default (nprobe=8
+    // = kLists/2): measured on natural sf0.01 queries, not planted cliques
+    // — if a future change degrades the default's recall, this gate trips
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-recallgate").toString + "/idx"
+    Similarity.ivfBuild(emb01, "vec_id", "embedding", dir)
+    val queries = emb01.filter($"vec_id" < 10)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    val recalls = queries.map { case (_, q) =>
+      val truth = Similarity.bruteForceTopK(emb01, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfQuery(spark, dir, q, 10) // DEFAULT nprobe
+        .collect().map(_.getLong(0)).toSet
+      truth.count(approx).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"default-nprobe recall@10 $mean < 0.8 (${recalls.mkString(",")})")
+  }
+
+  test("warm lsh probe plans with zero Spark jobs; histogram radius equals counting-loop radius") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lshoccup").toString
+    val dir = s"$root/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    Similarity.lshBuild(base, "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // first probe loads + memoizes the meta/occupancy sidecars
+    val r1 = Similarity.lshQuery(spark, dir, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // a WARM probe picks its radius driver-side from the histogram: the
+    // lshQuery call itself (plan construction) must launch NO Spark job —
+    // the old counting loop ran one limit().count() job per radius step
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val probe =
+      try {
+        val p = Similarity.lshQuery(spark, dir, q, 10)
+        Thread.sleep(1000) // listener bus is async; jobs (if any) already ran
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"warm lshQuery planning launched ${jobs.get()} Spark jobs; expected 0")
+    // and the histogram-chosen radius reproduces the counting loop's
+    // candidate set: results identical to the ad-hoc path
+    val viaIndex = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == r1)
+    val adHoc = Similarity.lshTopK(base, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == adHoc)
+  }
+
+  test("batch chunking: chunked plans return exactly the unchunked results") {
+    val queries = emb.filter($"vec_id" < 7)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // brute force: 7 queries through 3-query chunks ≡ one plan
+    val one = norm(Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, 5).collect())
+    val chunked = norm(Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, 5, chunkSize = 3).collect())
+    assert(chunked == one)
+    // ivf: same equivalence on a built index
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfchunk").toString + "/idx"
+    Similarity.ivfBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      dir, kLists = 8, trainSample = 256)
+    val oneIvf = norm(Similarity.ivfQueryBatch(spark, dir, queries, 5,
+      nprobe = 3).collect())
+    val chunkedIvf = norm(Similarity.ivfQueryBatch(spark, dir, queries, 5,
+      nprobe = 3, chunkSize = 2).collect())
+    assert(chunkedIvf == oneIvf)
+  }
+
+  test("degenerate query vectors in a batch yield no rows, matching the per-query paths") {
+    val goodQ = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val zeroQ = Seq.fill(64)(0.0)            // zero norm → NULL cosines
+    val nanQ = goodQ.updated(0, Double.NaN)  // NaN element → NaN cosines
+    val queries = Seq(0L -> goodQ, 1L -> zeroQ, 2L -> nanQ)
+    val brute = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 5)
+      .collect().map(_.getLong(0)).toSeq
+    // only the good query returns hits; NULL/NaN never reach the heap
+    // (which would otherwise rank NaN above every real score)
+    assert(brute.nonEmpty && brute.forall(_ == 0L), brute.mkString(","))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdegen").toString + "/idx"
+    Similarity.ivfBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      dir, kLists = 8, trainSample = 256)
+    val ivf = Similarity.ivfQueryBatch(spark, dir, queries, 5, nprobe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf.nonEmpty && ivf.forall(_ == 0L), ivf.mkString(","))
+  }
+
+  test("staged commit over a live index: rename-aside swap leaves no residue and serves the new build") {
+    val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val dir = s"$root/idx"
+    val first = emb.filter($"vec_id" < 20).select($"vec_id", $"embedding")
+    Similarity.lshBuild(first, "vec_id", "embedding", dir, nBits = 8, dim = 64)
+    // rebuild IN PLACE over the existing index (the explicit-dir,
+    // single-writer contract): previous index renamed aside during the
+    // swap, deleted after — neither .staging nor .old residue survives
+    val second = emb.filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id", $"embedding")
+    Similarity.lshBuild(second, "vec_id", "embedding", dir, nBits = 8, dim = 64)
+    assert(!new java.io.File(s"$root/.idx.staging").exists())
+    assert(!new java.io.File(s"$root/.idx.old").exists())
+    val q = emb.filter($"vec_id" === 25).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val got = Similarity.lshQuery(spark, dir, q, 5, minCandidates = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got.forall(id => id >= 20 && id < 40),
+      s"swap served stale ids: ${got.mkString(",")}")
+  }
 }
