@@ -346,7 +346,9 @@ object SparkEntry {
         "vec_id", "embedding", s"$dir#ann_ivf_batch", queries, 10)
     }),
     "multimodal_meta" -> ((s, dir) =>
-      llm.Multimodal.probeMeta(s,
+      // the metadata-ONLY funnel: payload bytes feed the header probe but
+      // never re-serialize into the output schema
+      llm.Multimodal.probeMetaOnly(s,
         llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image"))
         .select(col("id"), col("kind"), col("meta.n_bytes").as("n_bytes"))),
     "multimodal_decode" -> ((s, dir) =>

@@ -150,17 +150,44 @@ object Multimodal {
     * keeps nulls with n_bytes always real. Same `mapPartitions` iterator
     * shape as [[decodeFeatures]]: one decoder context per partition,
     * fully distributed. */
+  private def probeOne(payload: Array[Byte], kind: String): MediaMeta = {
+    val dims = if (kind == "image") probeImageDims(payload) else None
+    val rate = if (kind == "audio") decodeAudioMeta(payload) else None
+    MediaMeta(kind, dims.map(_._1), dims.map(_._2),
+      rate.map(_._1), payload.length.toLong)
+  }
+
   def probeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("id"), col("payload"), col("kind"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (id, payload, kind) =>
-          val dims = if (kind == "image") probeImageDims(payload) else None
-          val rate = if (kind == "audio") decodeAudioMeta(payload) else None
-          ProbedMedia(id, payload, kind,
-            MediaMeta(kind, dims.map(_._1), dims.map(_._2),
-              rate.map(_._1), payload.length.toLong))
+          ProbedMedia(id, payload, kind, probeOne(payload, kind))
+        }
+      }.toDF()
+  }
+
+  /** id + kind + probed metadata row, payload-free. */
+  final case class ProbedMeta(id: Long, kind: String, meta: MediaMeta)
+
+  /** Metadata-ONLY probe: same header decode as [[probeMeta]], but the
+    * output schema carries NO payload column. [[probeMeta]]'s typed
+    * funnel re-serializes every blob on output even when the caller
+    * selects only metadata — column pruning cannot cross the
+    * deserialize boundary of `mapPartitions`, so a "metadata pass" was
+    * still shipping the full payload bytes through the output encoder
+    * and any shuffle after it. Reading the payload INTO the probe is
+    * irreducible (the bytes hold the headers); re-emitting it is not.
+    * Use this for metadata sweeps; use [[probeMeta]] when downstream
+    * stages need the blob alongside its probed meta. */
+  def probeMetaOnly(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, kind) =>
+          ProbedMeta(id, kind, probeOne(payload, kind))
         }
       }.toDF()
   }

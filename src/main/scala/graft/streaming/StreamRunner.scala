@@ -159,6 +159,54 @@ object StreamRunner {
       .dropDuplicatesWithinWatermark("vsig")
   }
 
+  /** Streaming MULTI-BAND embedding near-dedup — the OR-of-bands analogue
+    * of the batch [[graft.llm.Dedup.cosinePairsBucketed]] candidate
+    * generation: the concatenated numBands × bitsPerBand hyperplane
+    * signature splits into bands, and a record is dropped iff ANY band
+    * matches a previously-kept record inside the watermark horizon — one
+    * `dropDuplicatesWithinWatermark` per band, chained (multiple
+    * watermark-bounded stateful operators compose in append mode; each
+    * band keeps its own watermark-bounded state store). Collapse
+    * probability at cosine c is 1−(1−p^bitsPerBand)^numBands with
+    * p = 1−arccos(c)/π, vs p^(total bits) for a single band of equal
+    * width: at c = 0.99 the 8×24 default collapses ≈ 96% of dup pairs
+    * where one 192-bit signature collapses ≈ 0.01% and the single-band
+    * 16-bit [[streamingEmbeddingDedup]] ≈ 48% — banding is what extends
+    * streaming dedup from the near-identical regime into cosine ≈ 0.99.
+    *
+    * Unlike the batch path there is NO exact-cosine verify after the
+    * band match, so chance collisions FALSE-DROP: against W kept records
+    * in the watermark window a random record is dropped with probability
+    * ≈ W · numBands / 2^bitsPerBand. Size bitsPerBand ≳ log₂(W) +
+    * log₂(numBands) + 8; the 24-bit default is safe to W ≈ 10⁵ kept
+    * records per window — widen the bands (not the band count) for
+    * bigger windows. (This is also why the batch 16×8 banding must NOT
+    * be copied here: 8-bit bands saturate at W > 256 and drop
+    * everything.)
+    *
+    * Dedup is against previously KEPT records (a record dropped at band
+    * i never registers its remaining bands) — greedy leader clustering,
+    * where the batch `survivors` drops against all prior records; the
+    * two agree whenever dup groups are true cliques (the common case for
+    * near-identical embeddings). Malformed vectors share NULL bands and
+    * collapse to one, like every streaming dedup variant here. */
+  def streamingEmbeddingDedupBanded(stream: DataFrame, vecCol: String,
+                                    timeCol: String, watermark: String,
+                                    numBands: Int = 8, bitsPerBand: Int = 24,
+                                    dim: Int = 64): DataFrame = {
+    val planes = graft.llm.Similarity.hyperplanes(numBands * bitsPerBand, dim)
+    val bandCols = (0 until numBands).map(i => s"__band_$i")
+    val sigs = graft.functions.HyperplaneF.bands(
+      col(vecCol), numBands, bitsPerBand, planes)
+    val withBands = (0 until numBands).foldLeft(
+        stream.withColumn("__bands", sigs)) { (df, i) =>
+      df.withColumn(bandCols(i),
+        org.apache.spark.sql.functions.element_at(col("__bands"), i + 1))
+    }.drop("__bands").withWatermark(timeCol, watermark)
+    bandCols.foldLeft(withBands)((df, c) => df.dropDuplicatesWithinWatermark(c))
+      .drop(bandCols: _*)
+  }
+
   /** Custom streaming state via `mapGroupsWithState`: running count per
     * key across micro-batches (the KeyValueGroupedDataset escape hatch
     * for semantics windowed aggs can't express). Emits the updated total

@@ -631,6 +631,31 @@ class LlmSpec extends AnyFunSuite {
     assert(m9.getInt(1) == 5 && m9.getInt(2) == 3)
   }
 
+  test("probeMetaOnly drops payload from the funnel output but probes identically") {
+    val img = new java.awt.image.BufferedImage(
+      7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (0L, bos.toByteArray, "image"),
+      (1L, "junk".getBytes("UTF-8"), "video"),
+    ).toDF("id", "payload", "kind")
+    val out = Multimodal.probeMetaOnly(spark, media)
+    // the whole point: no payload column anywhere in the output schema —
+    // a metadata sweep must not ship blobs through the output encoder
+    assert(!out.schema.fieldNames.contains("payload"))
+    assert(out.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.sameElements(Multimodal.mediaMetaSchema.fieldNames))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("meta")).toMap
+    assert(rows(0L).getInt(1) == 7 && rows(0L).getInt(2) == 4) // real header dims
+    assert(rows(1L).isNullAt(1) && rows(1L).getLong(4) == 4L)  // fallback + real n_bytes
+    // probe results agree with the payload-carrying variant row for row
+    val full = Multimodal.probeMeta(spark, media).collect().map(r =>
+      r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("meta")).toMap
+    rows.foreach { case (id, m) => assert(m == full(id)) }
+  }
+
   test("frame sampling explodes one blob into N frame rows") {
     val media = Multimodal.asMediaTable(docs.limit(3), "doc_id", "text", "video")
     val frames = Multimodal.sampleFrames(media, stride = 2)

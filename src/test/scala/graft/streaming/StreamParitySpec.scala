@@ -131,6 +131,52 @@ class StreamParitySpec extends AnyFunSuite {
     assert(out.count() == batchSigs)
   }
 
+  test("banded streaming embedding dedup catches partial-signature matches the single band misses") {
+    val numBands = 4; val bits = 8; val dim = 4
+    val planes = graft.llm.Similarity.hyperplanes(numBands * bits, dim)
+    def bandSig(v: Seq[Double], b: Int): Long =
+      (0 until bits).foldLeft(0L) { (sig, r) =>
+        val p = planes(b * bits + r)
+        val d = p.zip(v).map { case (a, x) => a * x }.sum
+        if (d > 0) sig | (1L << r) else sig
+      }
+    def sigs(v: Seq[Double]): Seq[Long] = (0 until numBands).map(bandSig(v, _))
+    val v1 = Seq(0.4, -1.2, 0.7, 2.1)
+    // search a deterministic perturbation grid for a vector that shares
+    // AT LEAST one band with v1 but not all four — the near-dup shape the
+    // banded OR catches and a full-width single signature cannot
+    val v2 = (for {
+      j <- (0 until dim).iterator
+      d <- Iterator(0.3, 0.6, 0.9, 1.2, 1.5, -0.3, -0.6, -0.9, -1.2, -1.5)
+      cand = v1.updated(j, v1(j) + d)
+      shared = sigs(cand).zip(sigs(v1)).count { case (a, b) => a == b }
+      if shared >= 1 && shared < numBands
+    } yield cand).nextOption().getOrElse(fail("no partial-band perturbation found"))
+    val v3 = v1.map(-_) // every sign flips: all bands differ, must survive
+    def row(ts: String, v: Seq[Double], id: Int) =
+      s"""{"ts":"$ts","vec":[${v.mkString(",")}],"id":$id}"""
+    val dir = Files.createTempDirectory("graft-sedb").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      Seq(row("2026-01-01 00:00:01", v1, 1),
+          row("2026-01-01 00:00:02", v2, 2),
+          row("2026-01-01 00:00:03", v3, 3)).mkString("\n"))
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val banded = StreamRunner.collectStream(
+      StreamRunner.streamingEmbeddingDedupBanded(stream, "vec", "ts", "1 minute",
+        numBands = numBands, bitsPerBand = bits, dim = dim), "append")
+    assert(banded.select("id").as[Long].collect().toSet == Set(1L, 3L),
+      "one shared band must dedup id 2; flipped id 3 must survive")
+    // the SINGLE-band variant over the same 32 total bits keeps the
+    // partial match — banding is what extends the dedup regime
+    val single = StreamRunner.collectStream(
+      StreamRunner.streamingEmbeddingDedup(stream, "vec", "ts", "1 minute",
+        nBits = numBands * bits, dim = dim), "append")
+    assert(single.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // the banded output drops its internal band columns
+    assert(!banded.schema.fieldNames.exists(_.startsWith("__band")))
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
