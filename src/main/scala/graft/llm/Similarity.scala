@@ -367,6 +367,34 @@ object Similarity {
     spark.read.parquet(s"$indexDir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
 
+  /** Driver-memoized IVF index state — the exact counterpart of
+    * [[lshMeta]]: the centroid sidecar (whose read is otherwise a Spark
+    * job on EVERY probe) and the resolved vectors DataFrame (whose
+    * re-resolution re-lists partitions and re-reads the footer schema per
+    * probe). Invalidated by the same pure FS-metadata stamp idea, over
+    * the centroids dir (every rebuild rewrites it). Warm [[ivfQuery]] /
+    * [[ivfQueryBatch]] planning after this touches no Spark job at all —
+    * serving latency is the pruned read itself. */
+  private final case class IvfMeta(centroids: Array[Array[Double]],
+                                   vectors: DataFrame)
+
+  private val ivfMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfMeta)]()
+
+  private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): IvfMeta = {
+    val key = s"${System.identityHashCode(spark)}|$indexDir"
+    val stamp = sidecarStamp(spark, indexDir, Seq("centroids"))
+    val cached = ivfMetaCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val m = IvfMeta(readCentroids(spark, indexDir),
+        spark.read.parquet(s"$indexDir/vectors"))
+      ivfMetaCache.put(key, (stamp, m))
+      m
+    }
+  }
+
   /** QUERY a built IVF index: read the centroid sidecar, pick the `nprobe`
     * nearest lists, and rerank exactly by cosine over a partition-PRUNED
     * read of just those list directories. No training, no full scan —
@@ -380,11 +408,9 @@ object Similarity {
     * kLists grown to √N keeps its recall by holding the ratio. */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                query: Seq[Double], k: Int, nprobe: Int = 8): DataFrame = {
-    val centroids = readCentroids(spark, indexDir)
-    val probeLists = nearestLists(centroids, query.toArray, nprobe)
-    rerank(
-      spark.read.parquet(s"$indexDir/vectors").filter(col("list").isin(probeLists: _*)),
-      query, k)
+    val idx = ivfMeta(spark, indexDir)
+    val probeLists = nearestLists(idx.centroids, query.toArray, nprobe)
+    rerank(idx.vectors.filter(col("list").isin(probeLists: _*)), query, k)
   }
 
   /** QUERY a built IVF index with a BATCH of query vectors in ONE pruned
@@ -416,9 +442,9 @@ object Similarity {
       return queries.grouped(chunkSize)
         .map(c => ivfQueryBatch(spark, indexDir, c, k, nprobe, chunkSize))
         .reduce(_ unionByName _)
-    val centroids = readCentroids(spark, indexDir)
+    val idx = ivfMeta(spark, indexDir)
     val probeLists = queries.map { case (_, q) =>
-      nearestLists(centroids, q.toArray, nprobe)
+      nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
@@ -426,7 +452,7 @@ object Similarity {
     // literal (query index → its probe lists): the membership filter is
     // pure column math, no join, no broadcast
     val probeLit = array(probeLists.map(ls => array(ls.map(lit): _*)): _*)
-    val scored = spark.read.parquet(s"$indexDir/vectors")
+    val scored = idx.vectors
       .filter(col("list").isin(allLists: _*)) // partition-pruned union read
       .withColumn("vnorm", VectorF.norm(col("v")))
       .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
@@ -722,10 +748,10 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshMeta)]()
 
   private def sidecarStamp(spark: org.apache.spark.sql.SparkSession,
-                           indexDir: String): String = {
+                           indexDir: String, sides: Seq[String]): String = {
     val hconf = spark.sessionState.newHadoopConf()
     val md = java.security.MessageDigest.getInstance("MD5")
-    Seq("meta", "occupancy").foreach { side =>
+    sides.foreach { side =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
       val fs = p.getFileSystem(hconf)
       try fs.listStatus(p).sortBy(_.getPath.toString).foreach(st =>
@@ -741,7 +767,7 @@ object Similarity {
     // session-scoped key: a resolved DataFrame must not leak across
     // SparkSessions
     val key = s"${System.identityHashCode(spark)}|$indexDir"
-    val stamp = sidecarStamp(spark, indexDir)
+    val stamp = sidecarStamp(spark, indexDir, Seq("meta", "occupancy"))
     val cached = lshMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {

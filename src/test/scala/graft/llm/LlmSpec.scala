@@ -724,6 +724,36 @@ class LlmSpec extends AnyFunSuite {
     assert(viaIndex == adHoc)
   }
 
+  test("warm ivf probe plans with zero Spark jobs (memoized centroids + vectors)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfwarm").toString + "/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    Similarity.ivfBuild(base, "vec_id", "embedding", dir, kLists = 8, trainSample = 256)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val r1 = Similarity.ivfQuery(spark, dir, q, 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // warm probes must not re-read the centroid sidecar (a Spark job per
+    // probe before memoization) nor re-resolve the vectors parquet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val probe =
+      try {
+        val p = Similarity.ivfQuery(spark, dir, q, 10, nprobe = 3)
+        Thread.sleep(1000)
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"warm ivfQuery planning launched ${jobs.get()} Spark jobs; expected 0")
+    val r2 = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r2 == r1)
+  }
+
   test("batch chunking: chunked plans return exactly the unchunked results") {
     val queries = emb.filter($"vec_id" < 7)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
