@@ -651,11 +651,20 @@ object Similarity {
 
   /** ANN top-k via adaptive multi-probe LSH: start at the query's bucket
     * and expand the probe Hamming radius until at least `minCandidates`
-    * vectors are in scope, then rerank by exact cosine. Ad-hoc form: one
-    * signature pass over the corpus per call; the serving path is
-    * [[lshBuild]] + [[lshQuery]] (or [[lshTopKIndexed]]), where each
-    * radius ring is an enumerable set of bucket ids and every probe step
-    * is a partition-PRUNED read of the built index, not a scan. */
+    * vectors are in scope, then rerank by exact cosine.
+    *
+    * Ad-hoc form — radius selection runs against a ONE-JOB bucket
+    * histogram (`groupBy(bucket).count()`, ≤ min(2^nBits, distinct
+    * signatures) rows) replayed driver-side, then ONE final filtered
+    * signature pass reranks: exactly two corpus passes, where the old
+    * expansion loop recomputed the signature pass per radius step (up to
+    * 1 + log₂ nBits passes). Radius choice is identical to the loop's —
+    * histogram mass within Hamming r IS the loop's candidate count — so
+    * results are unchanged. A histogram wider than [[maxHistogramBuckets]]
+    * (nBits ≫ 20 over a huge corpus) falls back to the counting loop.
+    * The serving path is still [[lshBuild]] + [[lshQuery]] (or
+    * [[lshTopKIndexed]]), where probes are partition-PRUNED reads of the
+    * built index, not corpus scans. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nBits: Int = 16,
               minCandidates: Int = 100): DataFrame = {
@@ -664,15 +673,34 @@ object Similarity {
     val q = array(query.map(lit): _*)
     val bucketed = lshBuckets(df, idCol, vecCol, nBits, query.size)
     val hamming = bit_count(col("bucket").bitwiseXOR(lit(qSig)))
-    // exponential radius expansion: each probe is one job, so doubling
-    // reaches a populated ring in O(log nBits) jobs instead of O(nBits)
-    var radius = 1
-    var cands = bucketed.filter(hamming <= radius)
-    while (radius < nBits && cands.limit(minCandidates).count() < minCandidates) {
-      radius = math.min(radius * 2, nBits)
-      cands = bucketed.filter(hamming <= radius)
-    }
-    cands
+    val hist = bucketed.filter(col("bucket").isNotNull)
+      .groupBy("bucket").count()
+      .limit(maxHistogramBuckets + 1).collect()
+    val radius =
+      if (hist.length <= maxHistogramBuckets) {
+        def massWithin(r: Int): Long = {
+          var s = 0L; var i = 0
+          while (i < hist.length) {
+            if (java.lang.Long.bitCount(hist(i).getLong(0) ^ qSig) <= r)
+              s += hist(i).getLong(1)
+            i += 1
+          }
+          s
+        }
+        var r = 1
+        while (r < nBits && massWithin(r) < minCandidates)
+          r = math.min(r * 2, nBits)
+        r
+      } else {
+        // exponential expansion, one counting job (and one signature pass)
+        // per step — O(log nBits) jobs
+        var r = 1
+        while (r < nBits &&
+            bucketed.filter(hamming <= r).limit(minCandidates).count() < minCandidates)
+          r = math.min(r * 2, nBits)
+        r
+      }
+    bucketed.filter(hamming <= radius)
       .select(col("id"), round(cosine(col("v"), q), 6).as("cos"))
       // same unscorable-row exclusion as bruteForceTopK (null or NaN cos)
       .filter(col("cos").isNotNull && !isnan(col("cos")))
