@@ -390,6 +390,7 @@ object Similarity {
     else {
       val m = IvfMeta(readCentroids(spark, indexDir),
         spark.read.parquet(s"$indexDir/vectors"))
+      capCache(ivfMetaCache)
       ivfMetaCache.put(key, (stamp, m))
       m
     }
@@ -772,6 +773,16 @@ object Similarity {
 
   private val maxHistogramBuckets = 1 << 20
 
+  // Meta caches hold histograms and resolved DataFrames per
+  // (session, indexDir). A long-lived process cycling through many
+  // corpora (tests, multi-tenant serving) must not accumulate them
+  // forever: past the cap the cache clears wholesale — crude but
+  // bounded, and re-warming is one sidecar read per live index.
+  private val maxMetaCacheEntries = 128
+
+  private def capCache[V](m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit =
+    if (m.size > maxMetaCacheEntries) m.clear()
+
   private val lshMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshMeta)]()
 
@@ -812,6 +823,7 @@ object Similarity {
         } catch { case scala.util.control.NonFatal(_) => None }
       val m = LshMeta(nBits, dim, pBits, histogram,
         spark.read.parquet(s"$indexDir/vectors"))
+      capCache(lshMetaCache)
       lshMetaCache.put(key, (stamp, m))
       m
     }
