@@ -383,7 +383,7 @@ object Similarity {
 
   private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String): IvfMeta = {
-    val key = s"${System.identityHashCode(spark)}|$indexDir"
+    val key = s"${sessionTag(spark)}|$indexDir"
     val stamp = sidecarStamp(spark, indexDir, Seq("centroids"))
     val cached = ivfMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
@@ -783,6 +783,16 @@ object Similarity {
   private def capCache[V](m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit =
     if (m.size > maxMetaCacheEntries) m.clear()
 
+  // Unique tag per live SparkSession for meta-cache keys (a resolved
+  // DataFrame must never serve a different session). Weak keys: a closed
+  // session's tag — and with it every cache entry keyed by it, once the
+  // cap clears them — can be collected.
+  private val sessionTags = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
+  private def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    sessionTags.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
   private val lshMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshMeta)]()
 
@@ -805,7 +815,7 @@ object Similarity {
                       indexDir: String): LshMeta = {
     // session-scoped key: a resolved DataFrame must not leak across
     // SparkSessions
-    val key = s"${System.identityHashCode(spark)}|$indexDir"
+    val key = s"${sessionTag(spark)}|$indexDir"
     val stamp = sidecarStamp(spark, indexDir, Seq("meta", "occupancy"))
     val cached = lshMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
