@@ -351,6 +351,9 @@ object DflFrame {
     def numArg(i: Int): Double = args(i) match {
       case Lit(v: Double) => v
       case Lit(v: Long)   => v.toDouble
+      // the lexer has no negative literals: '-0.5' parses as Unary("-", 0.5)
+      case Unary("-", Lit(v: Double)) => -v
+      case Unary("-", Lit(v: Long))   => -v.toDouble
       case Var(n2)        => vars(n2) match {
         case d: Double => d; case l: Long => l.toDouble; case x: Int => x.toDouble
         case other     => other.toString.toDouble
@@ -372,6 +375,9 @@ object DflFrame {
       }
       case ArrayLit(xs) => xs.map {
         case Lit(v: Number) => v.doubleValue()
+        // real embeddings have negative components, and the lexer has no
+        // negative literals — '-0.2' arrives as Unary("-", 0.2)
+        case Unary("-", Lit(v: Number)) => -v.doubleValue()
         case other => throw new DflParseException(
           s"expected numeric element: ${Node.render(other)}")
       }
@@ -498,9 +504,9 @@ object DflFrame {
         method match {
           case "exact" => graft.llm.Similarity.bruteForceTopK(base, "id", "v", q, k)
           case "ivf"   => graft.llm.Similarity.ivfTopKIndexed(
-            base, "id", "v", dflCorpusKey(df, "ivf"), q, k)
+            base, "id", "v", dflCorpusKey(base, "ivf"), q, k)
           case "lsh"   => graft.llm.Similarity.lshTopKIndexed(
-            base, "id", "v", dflCorpusKey(df, "lsh"), q, k)
+            base, "id", "v", dflCorpusKey(base, "lsh"), q, k)
           case other => throw new DflParseException(s"unknown annTopK method $other")
         }
 
@@ -508,18 +514,25 @@ object DflFrame {
     }
   }
 
-  /** Stable index-cache key for a DFL-invoked ANN stage: the corpus is
-    * identified by its scan's input files + schema (not a caller-supplied
-    * key — DFL callers don't have one). Content changes under the same
-    * files are caught by the cache's corpus fingerprint fencing; two
-    * DISTINCT corpora hash to distinct keys, so alternating services don't
-    * thrash one cache slot. */
-  private def dflCorpusKey(df: DataFrame, method: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    df.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
-    md.update(df.schema.catalogString.getBytes("UTF-8"))
-    s"dfl|$method|" + md.digest().map("%02x".format(_)).mkString
-  }
+  /** Stable index-cache key for a DFL-invoked ANN stage (DFL callers have
+    * no caller-supplied key): hash the corpus DataFrame's CANONICALIZED
+    * analyzed plan plus its input files and schema. The plan is what
+    * distinguishes two services over the same files — an upstream
+    * `filter(@, …)`, a different embedding column, a different id
+    * expression all produce different plans, so they can never share (and
+    * silently mis-serve) one index; canonicalization normalizes
+    * expression ids so the SAME pipeline re-planned on a later exec still
+    * hits its cache. Content changes under the same files are caught by
+    * the cache's corpus-fingerprint fencing. Residual limit, as for the
+    * Scala API: a purely in-memory corpus (no scan, no input files)
+    * canonicalizes to its schema — distinct in-memory corpora with equal
+    * schemas would collide, so file-backed datastores are the supported
+    * shape for indexed DFL ANN (exactly what catalog services read). */
+  private def dflCorpusKey(base: DataFrame, method: String): String =
+    s"dfl|$method|" + graft.util.Md5.hex(
+      base.queryExecution.analyzed.canonicalized.toString
+        +: base.schema.catalogString
+        +: base.inputFiles.sorted.toSeq)
 
   private def assembleDict(df: DataFrame, d: DictLit, vars: Map[String, Any]): DataFrame = {
     val aggs = scala.collection.mutable.ListBuffer.empty[Column]

@@ -331,6 +331,10 @@ object Similarity {
       target.getParent, s".${target.getName}.staging")
     val aside = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.old")
+    // self-heal first: a crash between the two swap renames of an earlier
+    // commit leaves the only index copy at `aside` and nothing at
+    // `target` — restore it before the delete below could destroy it
+    if (!fs.exists(target) && fs.exists(aside)) fs.rename(aside, target)
     fs.delete(staging, true)
     write(staging.toString)
     fs.delete(aside, true)
@@ -339,9 +343,13 @@ object Similarity {
       throw new java.io.IOException(
         s"index commit rename-aside $target -> $aside failed")
     if (!fs.rename(staging, target)) {
-      if (hadPrevious) fs.rename(aside, target) // restore the previous index
+      // restore the previous index; a failed restore must not pass
+      // silently — the only live copy is then stranded at `aside`
+      val restored = hadPrevious && fs.rename(aside, target)
       throw new java.io.IOException(
-        s"index commit rename $staging -> $target failed")
+        s"index commit rename $staging -> $target failed" +
+          (if (hadPrevious && !restored)
+             s"; previous index stranded at $aside" else ""))
     }
     fs.delete(aside, true)
   }
@@ -532,7 +540,6 @@ object Similarity {
     * change. */
   private[llm] def corpusFingerprint(df: DataFrame): String = {
     val hconf = df.sparkSession.sessionState.newHadoopConf()
-    val md = java.security.MessageDigest.getInstance("MD5")
     val files = df.inputFiles.sorted
     val byParent = files.groupBy(f => new org.apache.hadoop.fs.Path(f).getParent)
     val listed: Map[String, (Long, Long)] = byParent.keysIterator.flatMap { parent =>
@@ -541,15 +548,14 @@ object Similarity {
         st.getPath.toString -> (st.getLen, st.getModificationTime))
       catch { case _: java.io.FileNotFoundException => Iterator.empty }
     }.toMap
-    files.foreach { f =>
+    graft.util.Md5.hex(files.iterator.map { f =>
       val (len, mtime) = listed.getOrElse(f, {
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(hconf).getFileStatus(p)
         (st.getLen, st.getModificationTime)
       })
-      md.update(s"$f:$len:$mtime;".getBytes("UTF-8"))
-    }
-    md.digest().map("%02x".format(_)).mkString
+      s"$f:$len:$mtime;"
+    })
   }
 
   /** Where the `*TopKIndexed` entry points materialize an index (IVF and
@@ -571,8 +577,7 @@ object Similarity {
                           cacheKey: String, stamp: String): String =
     spark.conf.getOption("graft.ivf.indexBase") match {
       case Some(base) =>
-        def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        def h(s: String): String = graft.util.Md5.hex(s).take(16)
         s"$base/idx-${h(cacheKey)}-${h(stamp)}"
       case None =>
         val d = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
@@ -677,30 +682,12 @@ object Similarity {
     val hist = bucketed.filter(col("bucket").isNotNull)
       .groupBy("bucket").count()
       .limit(maxHistogramBuckets + 1).collect()
-    val radius =
-      if (hist.length <= maxHistogramBuckets) {
-        def massWithin(r: Int): Long = {
-          var s = 0L; var i = 0
-          while (i < hist.length) {
-            if (java.lang.Long.bitCount(hist(i).getLong(0) ^ qSig) <= r)
-              s += hist(i).getLong(1)
-            i += 1
-          }
-          s
-        }
-        var r = 1
-        while (r < nBits && massWithin(r) < minCandidates)
-          r = math.min(r * 2, nBits)
-        r
-      } else {
-        // exponential expansion, one counting job (and one signature pass)
-        // per step — O(log nBits) jobs
-        var r = 1
-        while (r < nBits &&
-            bucketed.filter(hamming <= r).limit(minCandidates).count() < minCandidates)
-          r = math.min(r * 2, nBits)
-        r
-      }
+    val histogram =
+      if (hist.length <= maxHistogramBuckets)
+        Some((hist.map(_.getLong(0)), hist.map(_.getLong(1))))
+      else None
+    val radius = chooseRadius(histogram, qSig, nBits, minCandidates)(r =>
+      bucketed.filter(hamming <= r).limit(minCandidates).count())
     bucketed.filter(hamming <= radius)
       .select(col("id"), round(cosine(col("v"), q), 6).as("cos"))
       // same unscorable-row exclusion as bruteForceTopK (null or NaN cos)
@@ -799,16 +786,13 @@ object Similarity {
   private def sidecarStamp(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, sides: Seq[String]): String = {
     val hconf = spark.sessionState.newHadoopConf()
-    val md = java.security.MessageDigest.getInstance("MD5")
-    sides.foreach { side =>
+    graft.util.Md5.hex(sides.iterator.flatMap { side =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$side")
       val fs = p.getFileSystem(hconf)
-      try fs.listStatus(p).sortBy(_.getPath.toString).foreach(st =>
-        md.update(s"${st.getPath}:${st.getLen}:${st.getModificationTime};"
-          .getBytes("UTF-8")))
-      catch { case _: java.io.FileNotFoundException => md.update('-'.toByte) }
-    }
-    md.digest().map("%02x".format(_)).mkString
+      try fs.listStatus(p).sortBy(_.getPath.toString).iterator.map(st =>
+        s"${st.getPath}:${st.getLen}:${st.getModificationTime};")
+      catch { case _: java.io.FileNotFoundException => Iterator.single("-") }
+    })
   }
 
   private def lshMeta(spark: org.apache.spark.sql.SparkSession,
@@ -889,34 +873,44 @@ object Similarity {
       } else
         vectors.filter(isHamming <= radius)
     }
-    // Radius selection. With the occupancy histogram (memoized; every
-    // index built since it exists has one) the expansion loop replays
-    // DRIVER-SIDE — candidate count at radius r is exactly the histogram
-    // mass within Hamming r of qSig, so the chosen radius (and therefore
-    // the candidate set and results) is identical to the counting loop's,
-    // at zero Spark jobs. Without it: exponential expansion, one counting
-    // job per step, O(log nBits) jobs — as in lshTopK.
-    val radius = idx.histogram match {
+    // Radius selection via the shared chooseRadius: with the occupancy
+    // histogram (memoized; every index built since it exists has one) the
+    // expansion replays DRIVER-SIDE at zero Spark jobs; without it, the
+    // counting loop runs one job per step. Either way the decision — and
+    // therefore the candidate set and results — is identical.
+    val radius = chooseRadius(idx.histogram, qSig, nBits, minCandidates)(r =>
+      candsAt(r).limit(minCandidates).count())
+    rerank(candsAt(radius), query, k)
+  }
+
+  /** Shared adaptive radius selection for the LSH probes: replay the
+    * exponential expansion (r = 1, 2, 4, … capped at nBits) until at
+    * least `minCandidates` candidates lie within Hamming r of `qSig` —
+    * against a driver-side occupancy histogram when one is available
+    * (zero Spark jobs: histogram mass within r IS the candidate count at
+    * r, nulls excluded on both sides), else via `countAt` (one counting
+    * job per step, O(log nBits) total). One implementation so the
+    * histogram path can never drift from the counting loop it replaces —
+    * the zero-jobs specs gate their equivalence. */
+  private def chooseRadius(histogram: Option[(Array[Long], Array[Long])],
+                           qSig: Long, nBits: Int, minCandidates: Int)
+                          (countAt: Int => Long): Int = {
+    val count: Int => Long = histogram match {
       case Some((buckets, counts)) =>
-        def massWithin(r: Int): Long = {
-          var s = 0L; var i = 0
+        r => {
+          var s = 0L
+          var i = 0
           while (i < buckets.length) {
             if (java.lang.Long.bitCount(buckets(i) ^ qSig) <= r) s += counts(i)
             i += 1
           }
           s
         }
-        var r = 1
-        while (r < nBits && massWithin(r) < minCandidates)
-          r = math.min(r * 2, nBits)
-        r
-      case None =>
-        var r = 1
-        while (r < nBits && candsAt(r).limit(minCandidates).count() < minCandidates)
-          r = math.min(r * 2, nBits)
-        r
+      case None => countAt
     }
-    rerank(candsAt(radius), query, k)
+    var r = 1
+    while (r < nBits && count(r) < minCandidates) r = math.min(r * 2, nBits)
+    r
   }
 
   /** LSH ANN top-k against a cached index keyed by `cacheKey` — the

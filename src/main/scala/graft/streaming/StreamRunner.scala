@@ -184,12 +184,17 @@ object StreamRunner {
     * be copied here: 8-bit bands saturate at W > 256 and drop
     * everything.)
     *
-    * Dedup is against previously KEPT records (a record dropped at band
-    * i never registers its remaining bands) — greedy leader clustering,
-    * where the batch `survivors` drops against all prior records; the
-    * two agree whenever dup groups are true cliques (the common case for
-    * near-identical embeddings). Malformed vectors share NULL bands and
-    * collapse to one, like every streaming dedup variant here. */
+    * Dedup semantics sit BETWEEN pure leader clustering and the batch
+    * `survivors` (which drops against ALL prior records): a record
+    * dropped at band i never registers its REMAINING bands i+1…, but its
+    * bands 0…i — processed by the upstream operators before the drop —
+    * stay registered, so a later record can be dropped by matching an
+    * early band of a non-kept record (a transitive chain the pure
+    * leader-clustering reading would keep). All three semantics coincide
+    * when dup groups are true cliques — the common case for
+    * near-identical embeddings, and what the spec pins. Malformed
+    * vectors share NULL bands and collapse to one, like every streaming
+    * dedup variant here. */
   def streamingEmbeddingDedupBanded(stream: DataFrame, vecCol: String,
                                     timeCol: String, watermark: String,
                                     numBands: Int = 8, bitsPerBand: Int = 24,

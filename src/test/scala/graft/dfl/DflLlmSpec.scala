@@ -105,6 +105,48 @@ class DflLlmSpec extends AnyFunSuite {
         Dedup.minhashPairs(docs, "doc_id", "text", 0.8)).count())
   }
 
+  test("annTopK inline query vectors accept negative components") {
+    // '-0.5' parses as Unary("-", 0.5) — the lexer has no negative
+    // literals — and real embeddings are full of negative components
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -0.5, 0.25)),
+      (2L, Seq(-1.0, 0.5, -0.25)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+    ).toDF("id", "v")
+    val out = DflFrame.pipeline(df, "annTopK(@, '@id', '@v', [1.0, -0.5, 0.25], 2)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.head == ((1L, 1.0)))  // exact match ranks first
+    assert(out.map(_._1) == Seq(1L, 3L)) // the negation (id 2, cos −1) ranks last
+    // negative numeric scalar args flow through the same fix
+    val surv = DflFrame.pipeline(docs,
+      "nearDupPairs(@, '@doc_id', '@text', -1.0, 'jaccard')")
+    assert(surv.count() >= 0) // threshold −1 admits every verified pair
+  }
+
+  test("a filtered corpus never serves the unfiltered corpus's ANN index") {
+    // same datastore, two services: the cache key must hash the PLAN, not
+    // just the input files — otherwise whichever service runs first
+    // builds the index and the other silently probes the wrong corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-dflkey").toString
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    // service A: unfiltered — builds and probes the full-corpus index
+    val full = ids(DflFrame.pipeline(corpus,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q)))
+    assert(full.contains(0L))
+    // service B: upstream filter excludes the query's own vector and all
+    // small ids; its results must come from the FILTERED corpus only
+    val filtered = ids(DflFrame.pipeline(corpus,
+      "filter(@, '@vec_id >= 20') | annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')",
+      Map("q" -> q)))
+    assert(filtered.nonEmpty && filtered.forall(_ >= 20L),
+      s"filtered ANN served unfiltered ids: ${filtered.mkString(",")}")
+  }
+
   test("registry lists the LLM stages; stream mode rejects them") {
     val reg = Functions.registry
     Seq("dedup", "nearDedup", "nearDupPairs", "annTopK").foreach(n =>
