@@ -169,6 +169,23 @@ object SparkEntry {
       DflFrame.pipeline(emb, "annTopK(@, '@vec_id', '@embedding', $q, 10)",
         Map("q" -> q))
     }),
+    "dfl_ann_ivf" -> ((s, dir) => {
+      // the INDEXED ANN lifecycle through the DFL front door: same
+      // planted-clique construction as ann_ivf_topk (the clique shares the
+      // query's rank-0 probe list, so the reranked top-10 provably equals
+      // brute force), but the topK stage runs via DflFrame's `annTopK(…,
+      // 'ivf')` dispatch — build-once/probe-many keyed by the pipeline's
+      // canonicalized plan, exactly what a catalog service exec does.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 100000L)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val planted = emb.filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+        .select((col("r") + 100000L).as("vec_id"), col("embedding"))
+      DflFrame.pipeline(emb.unionByName(planted),
+        "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q))
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -549,6 +566,9 @@ object SparkEntry {
         |  FROM embeddings e,
         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
+    // the DFL ivf stage runs the same indexed probe as ann_ivf_topk over
+    // the same planted construction — same provable brute-force oracle
+    "dfl_ann_ivf" -> annPlantedTopkSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_pairs" -> jaccardPairsSql,
     "dedup_survivors" ->
