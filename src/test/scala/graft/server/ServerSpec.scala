@@ -137,6 +137,22 @@ class ServerSpec extends AnyFunSuite {
       // vec_id 2 IS [2,1,1]: its cosine is exactly 1.0 and ranks first
       assert(c2 == 200 && b2.contains("\"cos\":1.0"), b2)
       assert("\"id\":(\\d+)".r.findFirstMatchIn(b2).get.group(1) == "2", b2)
+
+      // the INDEXED lifecycle through the same surface: an 'ivf' service
+      // builds on its first exec and probes the cached partition-pruned
+      // index on every later exec (the dflCorpusKey hashes the pipeline's
+      // canonicalized plan, so repeated execs of one service share the
+      // build). Results must be identical across execs.
+      assert(authed.add("processes",
+        """{"name":"ann_ivf","expression":"annTopK(@, '@vec_id', '@embedding', $q, 3, 'ivf')"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"ann_ivf_svc","datastore":"vecs","process":"ann_ivf"}""")._1 == 200)
+      val (c3, b3) = client.exec("services", "ann_ivf_svc",
+        """{"variables":{"q":[2.0, 1.0, 1.0]}}""")
+      assert(c3 == 200 && b3.contains("\"cos\":1.0"), b3)
+      val (c4, b4) = client.exec("services", "ann_ivf_svc",
+        """{"variables":{"q":[2.0, 1.0, 1.0]}}""") // warm: cached index probe
+      assert(c4 == 200 && b4 == b3, s"warm exec diverged: $b4 vs $b3")
     } finally srv.stop()
   }
 
