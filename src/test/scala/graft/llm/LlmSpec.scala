@@ -664,26 +664,31 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]]("frame_bytes").length == 16)
   }
 
-  test("ivf recall gate: default nprobe reaches recall@10 >= 0.8 on the natural corpus") {
-    // the approximation-quality CONTRACT for the shipped default (nprobe=8
-    // = kLists/2): measured on natural sf0.01 queries, not planted cliques
-    // — if a future change degrades the default's recall, this gate trips
+  test("ann recall gates: ivf and lsh defaults reach recall@10 >= 0.8 on the natural corpus") {
+    // the approximation-quality CONTRACT for the shipped defaults (ivf:
+    // nprobe=8 = kLists/2; lsh: 16 bits, minCandidates=100): measured on
+    // natural sf0.01 queries, not planted cliques — if a future change
+    // degrades either default's recall, this gate trips
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select($"vec_id", $"embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-recallgate").toString + "/idx"
-    Similarity.ivfBuild(emb01, "vec_id", "embedding", dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-recallgate").toString
+    Similarity.ivfBuild(emb01, "vec_id", "embedding", s"$root/ivf")
+    Similarity.lshBuild(emb01, "vec_id", "embedding", s"$root/lsh")
     val queries = emb01.filter($"vec_id" < 10)
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-    val recalls = queries.map { case (_, q) =>
-      val truth = Similarity.bruteForceTopK(emb01, "vec_id", "embedding", q, 10)
-        .collect().map(_.getLong(0)).toSet
-      val approx = Similarity.ivfQuery(spark, dir, q, 10) // DEFAULT nprobe
-        .collect().map(_.getLong(0)).toSet
-      truth.count(approx).toDouble / truth.size
+    def gate(name: String)(probe: Seq[Double] => org.apache.spark.sql.DataFrame): Unit = {
+      val recalls = queries.map { case (_, q) =>
+        val truth = Similarity.bruteForceTopK(emb01, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val approx = probe(q).collect().map(_.getLong(0)).toSet
+        truth.count(approx).toDouble / truth.size
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.8, s"$name default recall@10 $mean < 0.8 (${recalls.mkString(",")})")
     }
-    val mean = recalls.sum / recalls.length
-    assert(mean >= 0.8, s"default-nprobe recall@10 $mean < 0.8 (${recalls.mkString(",")})")
+    gate("ivf")(q => Similarity.ivfQuery(spark, s"$root/ivf", q, 10))
+    gate("lsh")(q => Similarity.lshQuery(spark, s"$root/lsh", q, 10))
   }
 
   test("warm lsh probe plans with zero Spark jobs; histogram radius equals counting-loop radius") {
