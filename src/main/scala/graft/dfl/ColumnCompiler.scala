@@ -314,7 +314,7 @@ object Functions {
     "dedup" -> "(dataset, idExpr, textExpr)",
     "nearDedup" -> "(dataset, idExpr, textExpr[, threshold, method])",
     "nearDupPairs" -> "(dataset, idExpr, textExpr[, threshold, method])",
-    "annTopK" -> "(dataset, idExpr, vecExpr, $query, k[, method])",
+    "annTopK" -> "(dataset, idExpr, vecExpr, $query, k[, method[, tuning]])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

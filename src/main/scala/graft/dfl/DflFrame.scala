@@ -491,22 +491,31 @@ object DflFrame {
         else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
 
       case "annTopK" =>
-        // `annTopK(@, '@id', '@vec', $query, k[, method])` — cosine top-k
-        // for one query vector ($query: a Seq[Double] exec variable or an
-        // inline array). method: exact (default, one scan + bounded top-k),
-        // ivf | lsh (build-once/probe-many cached index lifecycles —
-        // repeated service execs over the same corpus probe a
-        // partition-pruned index instead of rescanning).
+        // `annTopK(@, '@id', '@vec', $query, k[, method[, tuning]])` —
+        // cosine top-k for one query vector ($query: a Seq[Double] exec
+        // variable or an inline array). method: exact (default, one scan
+        // + bounded top-k), ivf | lsh (build-once/probe-many cached index
+        // lifecycles — repeated service execs over the same corpus probe
+        // a partition-pruned index instead of rescanning). `tuning` is
+        // the method's query-time knob, same meaning as the Scala API:
+        // ivf → nprobe (probed lists; never forces a rebuild), lsh →
+        // minCandidates (the radius-expansion floor). Defaults match the
+        // recall-gated Scala defaults.
         val q = vecArg(3)
         val k = intArg(4)
         val method = if (args.size > 5) strArg(5) else "exact"
         val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
         method match {
           case "exact" => graft.llm.Similarity.bruteForceTopK(base, "id", "v", q, k)
-          case "ivf"   => graft.llm.Similarity.ivfTopKIndexed(
-            base, "id", "v", dflCorpusKey(base, "ivf"), q, k)
-          case "lsh"   => graft.llm.Similarity.lshTopKIndexed(
-            base, "id", "v", dflCorpusKey(base, "lsh"), q, k)
+          case "ivf"   =>
+            val nprobe = if (args.size > 6) intArg(6) else 8
+            graft.llm.Similarity.ivfTopKIndexed(
+              base, "id", "v", dflCorpusKey(base, "ivf"), q, k, nprobe = nprobe)
+          case "lsh"   =>
+            val minCands = if (args.size > 6) intArg(6) else 100
+            graft.llm.Similarity.lshTopKIndexed(
+              base, "id", "v", dflCorpusKey(base, "lsh"), q, k,
+              minCandidates = minCands)
           case other => throw new DflParseException(s"unknown annTopK method $other")
         }
 

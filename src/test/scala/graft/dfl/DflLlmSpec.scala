@@ -89,6 +89,17 @@ class DflLlmSpec extends AnyFunSuite {
     val lshApi = ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 10))
     assert(lshDfl == lshApi)
     assert(ivfDfl.contains(0L) && lshDfl.contains(0L))
+    // the optional tuning arg is the Scala API's query-time knob: ivf →
+    // nprobe, lsh → minCandidates — passthrough proven by equality at a
+    // NON-default value
+    val ivfT = ids(DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf', 2)", Map("q" -> q)))
+    assert(ivfT == ids(Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nprobe = 2)))
+    val lshT = ids(DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'lsh', 5)", Map("q" -> q)))
+    assert(lshT == ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+      minCandidates = 5)))
   }
 
   test("LLM stages compose with the rest of the pipeline and with := vars") {
