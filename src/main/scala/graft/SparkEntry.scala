@@ -362,6 +362,25 @@ object SparkEntry {
       llm.Similarity.ivfTopKBatchIndexed(emb.unionByName(planted),
         "vec_id", "embedding", s"$dir#ann_ivf_batch", queries, 10)
     }),
+    "dfl_ann_batch" -> ((s, dir) => {
+      // the BATCHED indexed serving shape through the DFL front door:
+      // identical planted construction to ann_ivf_batch, but the probe
+      // runs via DflFrame's `annTopKBatch(…, 'ivf')` dispatch with the
+      // query batch handed over as a [id, vector]-pair variable — the
+      // exact shape an HTTP service exec's JSON request variables yield.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 100000L)
+      val qs: Seq[Seq[Any]] = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val planted = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q"),
+          explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+        .select((lit(100000L) + col("q") * 100L + col("r")).as("vec_id"),
+          col("embedding"))
+      DflFrame.pipeline(emb.unionByName(planted),
+        "annTopKBatch(@, '@vec_id', '@embedding', $qs, 10, 'ivf')", Map("qs" -> qs))
+    }),
     "multimodal_meta" -> ((s, dir) =>
       // the metadata-ONLY funnel: payload bytes feed the header probe but
       // never re-serialize into the output schema
@@ -634,19 +653,10 @@ object SparkEntry {
     // construction — the provable expected output of the batched IVF
     // probe (each query's 11-vector clique at cosine 1.0 fills its
     // top-10; all clique members sit in that query's rank-0 probe list)
-    "ann_ivf_batch" ->
-      """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
-        |planted AS (SELECT 100000 + q.qid * 100 + r AS vec_id, q.qv AS embedding
-        |              FROM qs q, (SELECT unnest(generate_series(1, 10)) AS r)),
-        |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
-        |          UNION ALL SELECT vec_id, embedding FROM planted),
-        |scored AS (
-        |  SELECT q.qid, v.vec_id AS id,
-        |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
-        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
-        |    FROM all_v v, qs q)
-        |SELECT qid, id, cos FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin,
+    "ann_ivf_batch" -> annBatchPlantedSql,
+    // the DFL annTopKBatch 'ivf' stage runs the same indexed batch probe
+    // over the same per-query planted construction — same oracle
+    "dfl_ann_batch" -> annBatchPlantedSql,
     "ann_topk_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |scored AS (
@@ -661,6 +671,25 @@ object SparkEntry {
   /** Brute-force top-10 over the planted-clique construction — the
     * provable expected output of both approximate ANN queries (11 vectors
     * at cosine exactly 1.0; all guaranteed into the candidate set). */
+  /** Brute-force per-query top-10 over the per-query planted-clique
+    * construction — the provable expected output of a batched IVF probe
+    * (each query's 11-vector clique at cosine 1.0 fills its top-10; all
+    * clique members sit in that query's rank-0 probe list). Shared by the
+    * Scala-API and DFL-dispatch batch rows. */
+  private val annBatchPlantedSql: String =
+    """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |planted AS (SELECT 100000 + q.qid * 100 + r AS vec_id, q.qv AS embedding
+      |              FROM qs q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted),
+      |scored AS (
+      |  SELECT q.qid, v.vec_id AS id,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
+      |    FROM all_v v, qs q)
+      |SELECT qid, id, cos FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin
+
   private val annPlantedTopkSql: String =
     """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
       |planted AS (SELECT 100000 + r AS vec_id, q.embedding

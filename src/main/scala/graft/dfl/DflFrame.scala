@@ -100,7 +100,7 @@ object DflFrame {
       // Dedup/Similarity operators the Scala API exposes, invocable from
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
-      "dedup", "nearDedup", "nearDupPairs", "annTopK")
+      "dedup", "nearDedup", "nearDupPairs", "annTopK", "annTopKBatch")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -365,6 +365,35 @@ object DflFrame {
       case Var(n2)        => vars(n2).toString
       case other => throw new DflParseException(s"expected string arg: ${Node.render(other)}")
     }
+    def toDoubleAny(x: Any): Double = x match {
+      case v: Number => v.doubleValue()
+      case other     => other.toString.toDouble
+    }
+    // a query BATCH: a $var bound to a Seq of [id, [v…]] pairs — exactly
+    // the shape a JSON request variable parses to, so an HTTP service
+    // exec can POST `{"variables":{"qs":[[7,[0.1,-0.2]],…]}}`
+    def queryBatchArg(i: Int): Seq[(Long, Seq[Double])] = args(i) match {
+      case Var(n2) => vars.getOrElse(n2,
+        throw new DflParseException(s"unbound $$$n2")) match {
+        case xs: Seq[_] => xs.map {
+          case pair: Seq[_] if pair.size == 2 =>
+            val id = pair.head match {
+              case v: Number => v.longValue()
+              case other     => other.toString.toLong
+            }
+            pair(1) match {
+              case v: Seq[_] => id -> v.map(toDoubleAny)
+              case other => throw new DflParseException(
+                s"query batch entry for id $id is not a vector: $other")
+            }
+          case other => throw new DflParseException(
+            s"expected [id, vector] pair in query batch, got $other")
+        }
+        case other => throw new DflParseException(s"$$$n2 is not a query batch: $other")
+      }
+      case other => throw new DflParseException(
+        s"expected query-batch var arg: ${Node.render(other)}")
+    }
     // a query vector: a $var bound to a numeric Seq, or an inline array
     def vecArg(i: Int): Seq[Double] = args(i) match {
       case Var(n2) => vars.getOrElse(n2,
@@ -517,6 +546,29 @@ object DflFrame {
               base, "id", "v", dflCorpusKey(base, "lsh"), q, k,
               minCandidates = minCands)
           case other => throw new DflParseException(s"unknown annTopK method $other")
+        }
+
+      case "annTopKBatch" =>
+        // `annTopKBatch(@, '@id', '@vec', $queries, k[, method[, nprobe]])`
+        // — the batched serving shape at the product surface: one corpus
+        // pass (exact) or one pruned union read over all queries' probe
+        // lists (ivf, against the same cached index as annTopK 'ivf'),
+        // scored via the plan-literal query matrix with internal chunking.
+        // $queries: a Seq of [id, vector] pairs, the shape a JSON request
+        // variable yields. Returns (qid, id, cos).
+        val queries = queryBatchArg(3)
+        val k = intArg(4)
+        val method = if (args.size > 5) strArg(5) else "exact"
+        val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
+        method match {
+          case "exact" =>
+            graft.llm.Similarity.bruteForceTopKBatch(base, "id", "v", queries, k)
+          case "ivf" =>
+            val nprobe = if (args.size > 6) intArg(6) else 8
+            graft.llm.Similarity.ivfTopKBatchIndexed(
+              base, "id", "v", dflCorpusKey(base, "ivf"), queries, k,
+              nprobe = nprobe)
+          case other => throw new DflParseException(s"unknown annTopKBatch method $other")
         }
 
       case other => throw new DflParseException(s"unknown dataset function $other")

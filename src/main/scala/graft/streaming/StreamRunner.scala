@@ -29,7 +29,7 @@ object StreamRunner {
     // the DFL LLM dataset stages need whole-dataset context (self-joins /
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
-    "dedup", "nearDedup", "nearDupPairs", "annTopK")
+    "dedup", "nearDedup", "nearDupPairs", "annTopK", "annTopKBatch")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -102,6 +102,35 @@ class DflLlmSpec extends AnyFunSuite {
       minCandidates = 5)))
   }
 
+  test("annTopKBatch(@) equals per-query answers; ivf shares annTopK's cached index") {
+    // the batch var carries [id, vector] pairs — the shape a JSON request
+    // variable parses to on the HTTP surface
+    val queries = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qsVar: Seq[Seq[Any]] = queries.map { case (id, v) => Seq(id, v) }
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val batch = grouped(DflFrame.pipeline(emb,
+      "annTopKBatch(@, '@vec_id', '@embedding', $qs, 5)", Map("qs" -> qsVar)))
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"query $qid")
+    }
+    // ivf batch probes the same plan-keyed cached index the single-query
+    // stage builds — per-query equality with the Scala indexed API
+    val batchIvf = grouped(DflFrame.pipeline(emb,
+      "annTopKBatch(@, '@vec_id', '@embedding', $qs, 5, 'ivf')", Map("qs" -> qsVar)))
+    queries.foreach { case (qid, q) =>
+      val single = DflFrame.pipeline(emb,
+        "annTopK(@, '@vec_id', '@embedding', $q, 5, 'ivf')", Map("q" -> q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batchIvf(qid) == single, s"ivf query $qid")
+    }
+  }
+
   test("LLM stages compose with the rest of the pipeline and with := vars") {
     // dedup output feeds a filter + hist like any dataset stage
     val out = DflFrame.pipeline(docs,

@@ -153,6 +153,21 @@ class ServerSpec extends AnyFunSuite {
       val (c4, b4) = client.exec("services", "ann_ivf_svc",
         """{"variables":{"q":[2.0, 1.0, 1.0]}}""") // warm: cached index probe
       assert(c4 == 200 && b4 == b3, s"warm exec diverged: $b4 vs $b3")
+
+      // BATCHED ANN through a service exec: the query batch arrives as a
+      // JSON list of [id, vector] pairs in the request variables — the
+      // one-pass serving shape at the HTTP surface
+      assert(authed.add("processes",
+        """{"name":"ann_batch","expression":"annTopKBatch(@, '@vec_id', '@embedding', $qs, 2)"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"ann_batch_svc","datastore":"vecs","process":"ann_batch"}""")._1 == 200)
+      val (c5, b5) = client.exec("services", "ann_batch_svc",
+        """{"variables":{"qs":[[100, [2.0, 1.0, 1.0]], [200, [7.0, 1.0, 3.5]]]}}""")
+      // qid 100's best hit is vec 2 = [2,1,1] (cos exactly 1.0), qid
+      // 200's is vec 7 = [7,1,3.5] — both queries answered in one exec
+      assert(c5 == 200 && b5.contains("\"qid\":100") && b5.contains("\"qid\":200"), b5)
+      assert("\"qid\":100,\"id\":2,\"cos\":1.0".r.findFirstIn(b5).isDefined, b5)
+      assert("\"qid\":200,\"id\":7,\"cos\":1.0".r.findFirstIn(b5).isDefined, b5)
     } finally srv.stop()
   }
 
