@@ -23,6 +23,44 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Single-query planted-clique ANN corpus shared by the indexed-ANN
+    * oracle rows ([[annPlantedTopkSql]] is its brute-force oracle): 10
+    * exact copies of query-0's embedding at ids 100001…100010 over the
+    * `vec_id < 100000`-guarded natural corpus. Identical floats share
+    * any sign signature / IVF list with the query, so the 11-vector
+    * clique at cosine exactly 1.0 provably IS the global top-10 (max
+    * natural cosine ≈ 0.37). Returns (corpus, query vector). */
+  private def plantedCliqueCorpus(s: SparkSession,
+                                  dir: String): (DataFrame, Seq[Double]) = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100000L)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+      .select((col("r") + 100000L).as("vec_id"), col("embedding"))
+    (emb.unionByName(planted), q)
+  }
+
+  /** Per-query planted-clique ANN corpus for the BATCHED oracle rows
+    * ([[annBatchPlantedSql]] is their oracle): 10 copies of EACH of
+    * queries 0-2's embeddings at ids 100000 + qid·100 + r, same
+    * collision guard. Returns (corpus, (qid, vector) batch). */
+  private def plantedBatchCorpus(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 100000L)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val planted = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q"),
+        explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
+      .select((lit(100000L) + col("q") * 100L + col("r")).as("vec_id"),
+        col("embedding"))
+    (emb.unionByName(planted), queries)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -170,20 +208,13 @@ object SparkEntry {
         Map("q" -> q))
     }),
     "dfl_ann_ivf" -> ((s, dir) => {
-      // the INDEXED ANN lifecycle through the DFL front door: same
-      // planted-clique construction as ann_ivf_topk (the clique shares the
-      // query's rank-0 probe list, so the reranked top-10 provably equals
-      // brute force), but the topK stage runs via DflFrame's `annTopK(…,
-      // 'ivf')` dispatch — build-once/probe-many keyed by the pipeline's
-      // canonicalized plan, exactly what a catalog service exec does.
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 100000L)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val planted = emb.filter(col("vec_id") === 0)
-        .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
-        .select((col("r") + 100000L).as("vec_id"), col("embedding"))
-      DflFrame.pipeline(emb.unionByName(planted),
+      // the INDEXED ANN lifecycle through the DFL front door: the shared
+      // planted clique (plantedCliqueCorpus), but the topK stage runs via
+      // DflFrame's `annTopK(…, 'ivf')` dispatch — build-once/probe-many
+      // keyed by the pipeline's canonicalized plan, exactly what a
+      // catalog service exec does.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      DflFrame.pipeline(corpus,
         "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q))
     }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -277,32 +308,19 @@ object SparkEntry {
       llm.Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 10)
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      // oracle-checkable construction: plant 10 exact copies of the query
-      // vector. Identical floats give an identical sign signature (hamming
-      // 0 — guaranteed candidates at any probe radius) and cosine exactly
-      // 1.0, so the 11-vector clique provably IS the global top-10 (max
-      // natural cosine vs vec 0 in this corpus is ≈0.37): the approximate
-      // query's output equals DuckDB's brute-force top-k by construction.
-      // Natural-data LSH recall is covered by LlmSpec. vec_id < 100000
-      // keeps the planted ids (100001..100010) collision-free at any
-      // scale factor.
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 100000L)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val planted = emb.filter(col("vec_id") === 0)
-        .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
-        .select((col("r") + 100000L).as("vec_id"), col("embedding"))
-      // index lifecycle, same as ann_ivf_topk: first call pays the
+      // oracle-checkable via the shared planted clique (see
+      // plantedCliqueCorpus — hamming 0 under any plane family, so the
+      // clique is a guaranteed candidate at any probe radius; natural-data
+      // LSH recall is covered by LlmSpec's gate).
+      // Index lifecycle, same as ann_ivf_topk: first call pays the
       // one-pass lshBuild (signatures + prefix-partitioned write); later
       // calls are partition-pruned lshQuery probes. nBits = 8 keeps the
       // signature dense enough for this small corpus that the radius-1
       // ball already holds candidates (the layout is independently sized
       // by partitionBits, default 8 → 256 dirs); minCandidates = 2k makes
-      // the warm probe ONE pruned read (no expansion jobs). The planted
-      // clique (hamming 0 under ANY plane family) stays the provable
-      // top-10 regardless of signature width.
-      llm.Similarity.lshTopKIndexed(emb.unionByName(planted), "vec_id", "embedding",
+      // the warm probe ONE pruned read (no expansion jobs).
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.lshTopKIndexed(corpus, "vec_id", "embedding",
         s"$dir#ann_lsh_topk", q, 10, nBits = 8, minCandidates = 20)
     }),
     "dedup_cosine_bucketed" -> ((s, dir) => {
@@ -319,47 +337,28 @@ object SparkEntry {
         "vec_id", "embedding", 0.99)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
-      // same planted-clique construction as ann_lsh_topk: the copies share
-      // the query's embedding, hence its IVF list; that list is the coarse
+      // shared planted clique (plantedCliqueCorpus): the copies share the
+      // query's embedding, hence its IVF list; that list is the coarse
       // quantizer's rank-0 probe for the query, so the clique is always in
-      // scope and the reranked top-10 provably equals brute force. Same
-      // vec_id < 100000 collision guard as ann_lsh_topk.
+      // scope and the reranked top-10 provably equals brute force.
       // Index lifecycle: the FIRST call for this corpus pays ivfBuild
       // (train distributed + list-partitioned write); every later call —
       // warm bench passes, repeated serving — is a partition-pruned
       // ivfQuery probe of nprobe lists. Train-once-at-ingest, concretely.
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 100000L)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val planted = emb.filter(col("vec_id") === 0)
-        .select(explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
-        .select((col("r") + 100000L).as("vec_id"), col("embedding"))
-      llm.Similarity.ivfTopKIndexed(emb.unionByName(planted), "vec_id", "embedding",
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.ivfTopKIndexed(corpus, "vec_id", "embedding",
         s"$dir#ann_ivf_topk", q, 10)
     }),
     // probeMeta runs the REAL decode path (ImageIO header sniff per row —
     // text bytes fail the sniff fast and keep null dims); the registered
     // projection stays engine-replayable (kind + true byte length)
     "ann_ivf_batch" -> ((s, dir) => {
-      // batched serving against the built IVF index: per-query planted
-      // cliques (10 copies of EACH query's embedding at ids
-      // 100000 + qid·100 + r) share that query's rank-0 probe list, so
-      // every query's clique is provably in scope and its top-10 equals
-      // brute force (11 candidates at cosine exactly 1.0 vs ≤0.37
-      // natural). One pruned union read scores the whole query matrix;
-      // the same vec_id < 100000 guard keeps planted ids collision-free.
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 100000L)
-      val queries = emb.filter(col("vec_id") < 3)
-        .select("vec_id", "embedding").orderBy("vec_id").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-      val planted = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q"),
-          explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
-        .select((lit(100000L) + col("q") * 100L + col("r")).as("vec_id"),
-          col("embedding"))
-      llm.Similarity.ivfTopKBatchIndexed(emb.unionByName(planted),
+      // batched serving against the built IVF index: each query's planted
+      // clique (plantedBatchCorpus) shares that query's rank-0 probe
+      // list, so every query's top-10 provably equals brute force. One
+      // pruned union read scores the whole query matrix.
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      llm.Similarity.ivfTopKBatchIndexed(corpus,
         "vec_id", "embedding", s"$dir#ann_ivf_batch", queries, 10)
     }),
     "dfl_ann_batch" -> ((s, dir) => {
@@ -368,17 +367,9 @@ object SparkEntry {
       // runs via DflFrame's `annTopKBatch(…, 'ivf')` dispatch with the
       // query batch handed over as a [id, vector]-pair variable — the
       // exact shape an HTTP service exec's JSON request variables yield.
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 100000L)
-      val qs: Seq[Seq[Any]] = emb.filter(col("vec_id") < 3)
-        .select("vec_id", "embedding").orderBy("vec_id").collect()
-        .map(r => Seq[Any](r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
-      val planted = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q"),
-          explode(sequence(lit(1L), lit(10L))).as("r"), col("embedding"))
-        .select((lit(100000L) + col("q") * 100L + col("r")).as("vec_id"),
-          col("embedding"))
-      DflFrame.pipeline(emb.unionByName(planted),
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      val qs: Seq[Seq[Any]] = queries.map { case (id, v) => Seq[Any](id, v) }
+      DflFrame.pipeline(corpus,
         "annTopKBatch(@, '@vec_id', '@embedding', $qs, 10, 'ivf')", Map("qs" -> qs))
     }),
     "multimodal_meta" -> ((s, dir) =>
@@ -668,9 +659,6 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin,
   )
 
-  /** Brute-force top-10 over the planted-clique construction — the
-    * provable expected output of both approximate ANN queries (11 vectors
-    * at cosine exactly 1.0; all guaranteed into the candidate set). */
   /** Brute-force per-query top-10 over the per-query planted-clique
     * construction — the provable expected output of a batched IVF probe
     * (each query's 11-vector clique at cosine 1.0 fills its top-10; all
@@ -690,6 +678,10 @@ object SparkEntry {
       |SELECT qid, id, cos FROM scored
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin
 
+  /** Brute-force top-10 over the single-query planted-clique construction
+    * — the provable expected output of the single-query approximate ANN
+    * rows (11 vectors at cosine exactly 1.0; all guaranteed into the
+    * candidate set). */
   private val annPlantedTopkSql: String =
     """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
       |planted AS (SELECT 100000 + r AS vec_id, q.embedding

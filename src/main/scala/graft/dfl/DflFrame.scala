@@ -398,8 +398,7 @@ object DflFrame {
     def vecArg(i: Int): Seq[Double] = args(i) match {
       case Var(n2) => vars.getOrElse(n2,
         throw new DflParseException(s"unbound $$$n2")) match {
-        case xs: Seq[_] => xs.map { case v: Number => v.doubleValue()
-          case other => other.toString.toDouble }
+        case xs: Seq[_] => xs.map(toDoubleAny)
         case other => throw new DflParseException(s"$$$n2 is not a vector: $other")
       }
       case ArrayLit(xs) => xs.map {
@@ -534,6 +533,11 @@ object DflFrame {
         val k = intArg(4)
         val method = if (args.size > 5) strArg(5) else "exact"
         val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
+        // a tuning arg the chosen method would IGNORE is a config mistake
+        // (e.g. 'exact' with a stray nprobe): reject loudly, never serve
+        // with silently-discarded tuning
+        if (method == "exact" && args.size > 6)
+          throw new DflParseException("annTopK 'exact' takes no tuning argument")
         method match {
           case "exact" => graft.llm.Similarity.bruteForceTopK(base, "id", "v", q, k)
           case "ivf"   =>
@@ -560,6 +564,8 @@ object DflFrame {
         val k = intArg(4)
         val method = if (args.size > 5) strArg(5) else "exact"
         val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
+        if (method == "exact" && args.size > 6)
+          throw new DflParseException("annTopKBatch 'exact' takes no tuning argument")
         method match {
           case "exact" =>
             graft.llm.Similarity.bruteForceTopKBatch(base, "id", "v", queries, k)

@@ -677,10 +677,14 @@ class LlmSpec extends AnyFunSuite {
     val queries = emb01.filter($"vec_id" < 10)
       .orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    // ground truth is family-independent: compute the 10 brute-force
+    // scans once, not once per gated family
+    val truths = queries.map { case (_, q) =>
+      q -> Similarity.bruteForceTopK(emb01, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+    }
     def gate(name: String)(probe: Seq[Double] => org.apache.spark.sql.DataFrame): Unit = {
-      val recalls = queries.map { case (_, q) =>
-        val truth = Similarity.bruteForceTopK(emb01, "vec_id", "embedding", q, 10)
-          .collect().map(_.getLong(0)).toSet
+      val recalls = truths.map { case (q, truth) =>
         val approx = probe(q).collect().map(_.getLong(0)).toSet
         truth.count(approx).toDouble / truth.size
       }
