@@ -315,7 +315,7 @@ object Functions {
     "nearDedup" -> "(dataset, idExpr, textExpr[, threshold, method])",
     "nearDupPairs" -> "(dataset, idExpr, textExpr[, threshold, method])",
     "annTopK" -> "(dataset, idExpr, vecExpr, $query, k[, method[, tuning]])",
-    "annTopKBatch" -> "(dataset, idExpr, vecExpr, $queries, k[, method[, nprobe]])",
+    "annTopKBatch" -> "(dataset, idExpr, vecExpr, $queries, k[, method[, tuning]])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

@@ -553,13 +553,15 @@ object DflFrame {
         }
 
       case "annTopKBatch" =>
-        // `annTopKBatch(@, '@id', '@vec', $queries, k[, method[, nprobe]])`
+        // `annTopKBatch(@, '@id', '@vec', $queries, k[, method[, tuning]])`
         // — the batched serving shape at the product surface: one corpus
         // pass (exact) or one pruned union read over all queries' probe
-        // lists (ivf, against the same cached index as annTopK 'ivf'),
-        // scored via the plan-literal query matrix with internal chunking.
-        // $queries: a Seq of [id, vector] pairs, the shape a JSON request
-        // variable yields. Returns (qid, id, cos).
+        // lists/buckets (ivf | lsh, against the same cached index as the
+        // single-query annTopK of that method), scored via the
+        // plan-literal query matrix with internal chunking. $queries: a
+        // Seq of [id, vector] pairs, the shape a JSON request variable
+        // yields. `tuning` as in annTopK: ivf → nprobe, lsh →
+        // minCandidates. Returns (qid, id, cos).
         val queries = queryBatchArg(3)
         val k = intArg(4)
         val method = if (args.size > 5) strArg(5) else "exact"
@@ -574,6 +576,11 @@ object DflFrame {
             graft.llm.Similarity.ivfTopKBatchIndexed(
               base, "id", "v", dflCorpusKey(base, "ivf"), queries, k,
               nprobe = nprobe)
+          case "lsh" =>
+            val minCands = if (args.size > 6) intArg(6) else 100
+            graft.llm.Similarity.lshTopKBatchIndexed(
+              base, "id", "v", dflCorpusKey(base, "lsh"), queries, k,
+              minCandidates = minCands)
           case other => throw new DflParseException(s"unknown annTopKBatch method $other")
         }
 

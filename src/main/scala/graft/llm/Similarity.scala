@@ -927,4 +927,110 @@ object Similarity {
     }
     lshQuery(df.sparkSession, dir, query, k, minCandidates)
   }
+
+  /** QUERY a built LSH index with a BATCH of query vectors in ONE pruned
+    * read — the LSH member of the batched serving matrix, mirroring
+    * [[ivfQueryBatch]]: each query's Hamming radius comes from the
+    * memoized occupancy histogram DRIVER-SIDE (zero counting jobs —
+    * identical radii, hence identical per-query candidate sets and
+    * results, to a [[lshQuery]] per query), the read is pruned to the
+    * UNION of all queries' prefix balls (lossless: full-signature Hamming
+    * ≤ r implies prefix Hamming ≤ r, so each query's exact in-scope
+    * filter below is a subset of its enumerated ball), every candidate
+    * row scores against the whole query matrix via the native
+    * [[graft.functions.MatVecDots]], a per-row per-query Hamming
+    * membership filter keeps each query to ITS candidates, and the
+    * bounded-heap [[graft.functions.TopKF]] keeps k per query — the only
+    * shuffle carries ≤ partitions × |queries| × k rows. Falls back to an
+    * unpruned (but still one-pass) read when any query's ball outgrows
+    * `maxEnumBuckets`, and to per-step counting jobs only for a legacy
+    * index with no occupancy sidecar. Same plan-literal `chunkSize`
+    * bound as the other batch entry points. Returns (qid, id, cos). */
+  def lshQueryBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: Seq[(Long, Seq[Double])], k: Int,
+                    minCandidates: Int = 100, maxEnumBuckets: Int = 4096,
+                    chunkSize: Int = 256): DataFrame = {
+    import graft.functions.{MatVecF, TopKF, VectorF}
+    require(queries.nonEmpty, "lshQueryBatch: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshQueryBatch: ragged query dims $dims")
+    require(chunkSize > 0, "lshQueryBatch: chunkSize must be positive")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => lshQueryBatch(spark, indexDir, c, k, minCandidates,
+          maxEnumBuckets, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = lshMeta(spark, indexDir)
+    val (nBits, dim, pBits) = (idx.nBits, idx.dim, idx.pBits)
+    require(dims.head == dim,
+      s"lshQueryBatch: query dim ${dims.head} != index dim $dim")
+    val planes = hyperplanes(nBits, dim)
+    val vectors = idx.vectors
+    val pbandIsInt = vectors.schema("pband").dataType ==
+      org.apache.spark.sql.types.IntegerType
+    val qSigs = queries.map { case (_, q) => querySignature(q, planes) }
+    val radii = qSigs.map(qSig =>
+      chooseRadius(idx.histogram, qSig, nBits, minCandidates)(r =>
+        vectors.filter(
+          bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= r)
+          .limit(minCandidates).count()))
+    // per-query prefix balls; None = this query needs the unpruned read
+    def choose(n: Int, r: Int): Long =
+      (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    val balls: Seq[Option[Seq[Long]]] = qSigs.zip(radii).map { case (qSig, radius) =>
+      val pRadius = math.min(radius, pBits)
+      val ballSize = (0 to pRadius).foldLeft(0L)((acc, r) =>
+        if (acc > maxEnumBuckets) acc else acc + choose(pBits, r))
+      if (ballSize <= maxEnumBuckets)
+        Some(hammingBall(qSig >>> (nBits - pBits), pBits, pRadius))
+      else None
+    }
+    val pruned =
+      if (balls.forall(_.isDefined)) {
+        val ids = balls.flatMap(_.get).distinct
+        val lits: Seq[Any] = if (pbandIsInt) ids.map(_.toInt) else ids
+        vectors.filter(col("pband").isin(lits: _*))
+      } else vectors
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val qIds = queries.map(_._1)
+    val sigLit = array(qSigs.map(lit): _*)
+    val radiusLit = array(radii.map(lit): _*)
+    val scored = pruned
+      .withColumn("vnorm", VectorF.norm(col("v")))
+      .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
+      .select(col("id"), col("bucket"), col("vnorm"),
+        posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
+      // per-query exact Hamming membership: batch ≡ per-query lshQuery
+      // (NULL-bucket rows fail every comparison, as in the single path)
+      .filter(bit_count(col("bucket").bitwiseXOR(
+          element_at(sigLit, col("pos") + 1))) <=
+        element_at(radiusLit, col("pos") + 1))
+      .select(col("pos"),
+        round(col("col") / (col("vnorm") *
+          element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"),
+        col("id"))
+      // degenerate QUERY guard, as in the other batch paths
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+    scored
+      .groupBy("pos")
+      .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        explode(col("topk")).as("hit"))
+      .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
+  /** Batch counterpart of [[lshTopKIndexed]]: resolves the SAME cached
+    * index (single-query and batch calls under one `cacheKey` share one
+    * build), then runs the one-pass pruned [[lshQueryBatch]]. */
+  def lshTopKBatchIndexed(df: DataFrame, idCol: String, vecCol: String,
+                          cacheKey: String, queries: Seq[(Long, Seq[Double])],
+                          k: Int, nBits: Int = 16, minCandidates: Int = 100,
+                          partitionBits: Int = 8): DataFrame = {
+    require(queries.nonEmpty, "lshTopKBatchIndexed: empty query batch")
+    val dim = queries.head._2.size
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits") { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
+    }
+    lshQueryBatch(df.sparkSession, dir, queries, k, minCandidates)
+  }
 }

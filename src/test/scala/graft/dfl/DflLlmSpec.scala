@@ -119,15 +119,18 @@ class DflLlmSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(batch(qid) == single, s"query $qid")
     }
-    // ivf batch probes the same plan-keyed cached index the single-query
-    // stage builds — per-query equality with the Scala indexed API
-    val batchIvf = grouped(DflFrame.pipeline(emb,
-      "annTopKBatch(@, '@vec_id', '@embedding', $qs, 5, 'ivf')", Map("qs" -> qsVar)))
-    queries.foreach { case (qid, q) =>
-      val single = DflFrame.pipeline(emb,
-        "annTopK(@, '@vec_id', '@embedding', $q, 5, 'ivf')", Map("q" -> q))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(batchIvf(qid) == single, s"ivf query $qid")
+    // ivf and lsh batches probe the same plan-keyed cached indexes the
+    // single-query stages build — per-query equality with the single path
+    Seq("ivf", "lsh").foreach { method =>
+      val batchM = grouped(DflFrame.pipeline(emb,
+        s"annTopKBatch(@, '@vec_id', '@embedding', $$qs, 5, '$method')",
+        Map("qs" -> qsVar)))
+      queries.foreach { case (qid, q) =>
+        val single = DflFrame.pipeline(emb,
+          s"annTopK(@, '@vec_id', '@embedding', $$q, 5, '$method')", Map("q" -> q))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(batchM(qid) == single, s"$method query $qid")
+      }
     }
   }
 

@@ -763,6 +763,42 @@ class LlmSpec extends AnyFunSuite {
     assert(r2 == r1)
   }
 
+  test("lshQueryBatch equals per-query lshQuery on the same built index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshbatch").toString + "/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    Similarity.lshBuild(base, "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    val queries = emb.filter($"vec_id" < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val batch = Similarity.lshQueryBatch(spark, dir, queries, 7, minCandidates = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.lshQuery(spark, dir, q, 7, minCandidates = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // same histogram-chosen radius per query, hence same candidates —
+      // batching changes nothing about any query's answer
+      assert(batch(qid) == single, s"query $qid")
+    }
+    // chunked ≡ unchunked, and degenerate batches are rejected up front
+    val chunked = Similarity.lshQueryBatch(spark, dir, queries, 7,
+      minCandidates = 20, chunkSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(chunked == batch)
+    intercept[IllegalArgumentException](
+      Similarity.lshQueryBatch(spark, dir, Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Similarity.lshQueryBatch(spark, dir,
+        Seq(1L -> Seq(1.0), 2L -> Seq(1.0, 2.0)), 3))
+    // one pruned union read feeding the bounded-heap aggregate — never a
+    // per-query window sort
+    val plan = Similarity.lshQueryBatch(spark, dir, queries, 7, minCandidates = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("topk_by_score") &&
+      !plan.contains("Window"), plan.take(2000))
+  }
+
   test("batch chunking: chunked plans return exactly the unchunked results") {
     val queries = emb.filter($"vec_id" < 7)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
