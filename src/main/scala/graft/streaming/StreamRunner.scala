@@ -212,6 +212,38 @@ object StreamRunner {
       .drop(bandCols: _*)
   }
 
+  /** Streaming ANN serving: answer a STREAM of query vectors against a
+    * built, static LSH index — the streaming member of the serving
+    * matrix (single / batch / stream × brute / ivf / lsh). Each
+    * micro-batch becomes ONE [[graft.llm.Similarity.lshQueryBatch]] call:
+    * the query vectors collect to the driver (bounded by the micro-batch,
+    * and they are the SMALL side — a few k×dim doubles; the corpus never
+    * moves), radii come from the memoized occupancy histogram at zero
+    * Spark jobs, and the probe is one pruned union read. `sink` receives
+    * each micro-batch's (qid, id, cos) answer frame — write it to a
+    * topic, table, or memory sink as the deployment needs. The index
+    * must outlive the stream; rebuilds under the stream are the
+    * single-writer contract of the index lifecycle. */
+  def annServe(queries: DataFrame, qidCol: String, vecCol: String,
+               indexDir: String, k: Int, minCandidates: Int = 100)
+              (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val qs = batch.select(col(qidCol), col(vecCol)).collect().map { r =>
+          val id = r.get(0) match {
+            case n: Number => n.longValue()
+            case other     => other.toString.toLong
+          }
+          id -> r.getSeq[Any](1).map {
+            case n: Number => n.doubleValue()
+            case other     => other.toString.toDouble
+          }
+        }.toSeq
+        if (qs.nonEmpty)
+          sink(graft.llm.Similarity.lshQueryBatch(
+            batch.sparkSession, indexDir, qs, k, minCandidates))
+    }.start()
+
   /** Custom streaming state via `mapGroupsWithState`: running count per
     * key across micro-batches (the KeyValueGroupedDataset escape hatch
     * for semantics windowed aggs can't express). Emits the updated total

@@ -177,6 +177,41 @@ class StreamParitySpec extends AnyFunSuite {
     assert(!banded.schema.fieldNames.exists(_.startsWith("__band")))
   }
 
+  test("streaming ANN serving answers a query stream against a static index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val idxDir = Files.createTempDirectory("graft-annserve").toString + "/idx"
+    graft.llm.Similarity.lshBuild(emb, "vec_id", "embedding", idxDir,
+      nBits = 16, dim = 64)
+    // a stream of query vectors (ids 0-2 of the corpus itself)
+    val qdir = Files.createTempDirectory("graft-annserve-q").toString
+    val qrows = emb.filter($"vec_id" < 3).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+    val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+    val answers = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = StreamRunner.annServe(stream, "qid", "vec", idxDir, 5,
+      minCandidates = 20) { out =>
+      answers.synchronized {
+        answers ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val byQid = answers.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // every streamed query answered, identically to a direct index probe
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Similarity.lshQuery(spark, idxDir, vec, 5,
+        minCandidates = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(byQid.get(qid).contains(direct), s"query $qid")
+    }
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
