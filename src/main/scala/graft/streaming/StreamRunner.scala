@@ -213,20 +213,25 @@ object StreamRunner {
   }
 
   /** Streaming ANN serving: answer a STREAM of query vectors against a
-    * built, static LSH index — the streaming member of the serving
-    * matrix (single / batch / stream × brute / ivf / lsh). Each
-    * micro-batch becomes ONE [[graft.llm.Similarity.lshQueryBatch]] call:
-    * the query vectors collect to the driver (bounded by the micro-batch,
-    * and they are the SMALL side — a few k×dim doubles; the corpus never
-    * moves), radii come from the memoized occupancy histogram at zero
-    * Spark jobs, and the probe is one pruned union read. `sink` receives
-    * each micro-batch's (qid, id, cos) answer frame — write it to a
-    * topic, table, or memory sink as the deployment needs. The index
-    * must outlive the stream; rebuilds under the stream are the
-    * single-writer contract of the index lifecycle. */
+    * built, static index (LSH or IVF) — the streaming member of the
+    * serving matrix (single / batch / stream × brute / ivf / lsh). Each
+    * micro-batch becomes ONE [[graft.llm.Similarity.lshQueryBatch]] /
+    * [[graft.llm.Similarity.ivfQueryBatch]] call: the query vectors
+    * collect to the driver (bounded by the micro-batch, and they are the
+    * SMALL side — a few k×dim doubles; the corpus never moves), probe
+    * selection runs at zero Spark jobs against the memoized sidecars
+    * (occupancy histogram / centroids), and the probe is one pruned
+    * union read. `tuning` is the method's query-time knob (lsh →
+    * minCandidates, ivf → nprobe), defaulting to the recall-gated
+    * defaults. `sink` receives each micro-batch's (qid, id, cos) answer
+    * frame — write it to a topic, table, or memory sink as the
+    * deployment needs. The index must outlive the stream; rebuilds under
+    * the stream are the single-writer contract of the index lifecycle. */
   def annServe(queries: DataFrame, qidCol: String, vecCol: String,
-               indexDir: String, k: Int, minCandidates: Int = 100)
-              (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+               indexDir: String, k: Int, method: String = "lsh",
+               tuning: Option[Int] = None)
+              (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val qs = batch.select(col(qidCol), col(vecCol)).collect().map { r =>
@@ -240,9 +245,14 @@ object StreamRunner {
           }
         }.toSeq
         if (qs.nonEmpty)
-          sink(graft.llm.Similarity.lshQueryBatch(
-            batch.sparkSession, indexDir, qs, k, minCandidates))
+          sink(method match {
+            case "lsh" => graft.llm.Similarity.lshQueryBatch(
+              batch.sparkSession, indexDir, qs, k, tuning.getOrElse(100))
+            case _ => graft.llm.Similarity.ivfQueryBatch(
+              batch.sparkSession, indexDir, qs, k, tuning.getOrElse(8))
+          })
     }.start()
+  }
 
   /** Custom streaming state via `mapGroupsWithState`: running count per
     * key across micro-batches (the KeyValueGroupedDataset escape hatch

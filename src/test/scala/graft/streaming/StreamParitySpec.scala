@@ -190,25 +190,37 @@ class StreamParitySpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
       qrows.map { case (id, v) =>
         s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
-    val stream = StreamRunner.readStream(spark, qdir, "jsonl")
-    val answers = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Double)]
-    val q = StreamRunner.annServe(stream, "qid", "vec", idxDir, 5,
-      minCandidates = 20) { out =>
-      answers.synchronized {
-        answers ++= out.collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def serve(method: String, dir: String, tuning: Int): Map[Long, Set[(Long, Double)]] = {
+      val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+      val answers = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      val q = StreamRunner.annServe(stream, "qid", "vec", dir, 5,
+        method = method, tuning = Some(tuning)) { out =>
+        answers.synchronized {
+          answers ++= out.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
       }
+      try q.processAllAvailable() finally q.stop()
+      answers.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
     }
-    try q.processAllAvailable() finally q.stop()
-    val byQid = answers.groupBy(_._1).view
-      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
     // every streamed query answered, identically to a direct index probe
+    val lshAnswers = serve("lsh", idxDir, 20)
     qrows.foreach { case (qid, vec) =>
       val direct = graft.llm.Similarity.lshQuery(spark, idxDir, vec, 5,
         minCandidates = 20)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(byQid.get(qid).contains(direct), s"query $qid")
+      assert(lshAnswers.get(qid).contains(direct), s"lsh query $qid")
+    }
+    // same serving shape over an IVF index
+    val ivfDir = Files.createTempDirectory("graft-annserve-ivf").toString + "/idx"
+    graft.llm.Similarity.ivfBuild(emb, "vec_id", "embedding", ivfDir,
+      kLists = 8, trainSample = 256)
+    val ivfAnswers = serve("ivf", ivfDir, 3)
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Similarity.ivfQuery(spark, ivfDir, vec, 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ivfAnswers.get(qid).contains(direct), s"ivf query $qid")
     }
   }
 
