@@ -849,30 +849,9 @@ object Similarity {
     require(query.size == dim,
       s"lshQuery: query dim ${query.size} != index dim $dim")
     val qSig = querySignature(query, hyperplanes(nBits, dim))
-    val qPrefix = qSig >>> (nBits - pBits)
     val vectors = idx.vectors
-    // partition-column read-back is type-INFERRED (int when values fit);
-    // probe literals must match that type exactly, or the predicate gains
-    // a cast and the scan loses its PartitionFilters
-    val pbandIsInt = vectors.schema("pband").dataType ==
-      org.apache.spark.sql.types.IntegerType
-    val isHamming = bit_count(col("bucket").bitwiseXOR(lit(qSig)))
-    def choose(n: Int, r: Int): Long =
-      (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
-    def candsAt(radius: Int): DataFrame = {
-      // early-exit the ball-size sum at the cap: for wide prefixes a full
-      // C(n, r) sum overflows Long long before any radius a pruned probe
-      // would actually enumerate
-      val pRadius = math.min(radius, pBits)
-      val ballSize = (0 to pRadius).foldLeft(0L)((acc, r) =>
-        if (acc > maxEnumBuckets) acc else acc + choose(pBits, r))
-      if (ballSize <= maxEnumBuckets) {
-        val ids = hammingBall(qPrefix, pBits, pRadius)
-        val lits: Seq[Any] = if (pbandIsInt) ids.map(_.toInt) else ids
-        vectors.filter(col("pband").isin(lits: _*) && isHamming <= radius)
-      } else
-        vectors.filter(isHamming <= radius)
-    }
+    def candsAt(radius: Int): DataFrame =
+      prunedCandidates(vectors, idx, qSig, radius, maxEnumBuckets)
     // Radius selection via the shared chooseRadius: with the occupancy
     // histogram (memoized; every index built since it exists has one) the
     // expansion replays DRIVER-SIDE at zero Spark jobs; without it, the
@@ -881,6 +860,50 @@ object Similarity {
     val radius = chooseRadius(idx.histogram, qSig, nBits, minCandidates)(r =>
       candsAt(r).limit(minCandidates).count())
     rerank(candsAt(radius), query, k)
+  }
+
+  /** The pband ids a radius-`radius` probe of signature `qSig` must read
+    * — the prefix projection of the Hamming ball (lossless: full-sig
+    * Hamming ≤ r implies prefix Hamming ≤ r) — or None when the ball
+    * outgrows `maxEnumBuckets` (probe falls back to an unpruned scan).
+    * The ball-size sum early-exits at the cap: for wide prefixes a full
+    * C(n, r) sum overflows Long long before any enumerable radius. ONE
+    * implementation shared by the single and batch probes — their
+    * batch ≡ per-query contract depends on identical ball decisions. */
+  private def prefixBall(qSig: Long, nBits: Int, pBits: Int, radius: Int,
+                         maxEnumBuckets: Int): Option[Seq[Long]] = {
+    def choose(n: Int, r: Int): Long =
+      (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    val pRadius = math.min(radius, pBits)
+    val ballSize = (0 to pRadius).foldLeft(0L)((acc, r) =>
+      if (acc > maxEnumBuckets) acc else acc + choose(pBits, r))
+    if (ballSize <= maxEnumBuckets)
+      Some(hammingBall(qSig >>> (nBits - pBits), pBits, pRadius))
+    else None
+  }
+
+  /** pband IN (...) literals typed to match the read-back partition
+    * column — the column is type-INFERRED (int when values fit), and a
+    * mistyped literal adds a cast that silently drops PartitionFilters. */
+  private def pbandLiterals(idx: LshMeta, ids: Seq[Long]): Seq[Any] =
+    if (idx.vectors.schema("pband").dataType ==
+        org.apache.spark.sql.types.IntegerType) ids.map(_.toInt)
+    else ids
+
+  /** One query's candidate read at a radius: prefix-ball partition
+    * pruning when enumerable, Hamming-filtered scan otherwise — shared
+    * by the single probe, and by the batch probe's counting fallback so
+    * a legacy no-histogram index never costs the batch path unpruned
+    * full-index counting scans. */
+  private def prunedCandidates(vectors: DataFrame, idx: LshMeta, qSig: Long,
+                               radius: Int, maxEnumBuckets: Int): DataFrame = {
+    val isHamming = bit_count(col("bucket").bitwiseXOR(lit(qSig)))
+    prefixBall(qSig, idx.nBits, idx.pBits, radius, maxEnumBuckets) match {
+      case Some(ids) =>
+        vectors.filter(col("pband").isin(pbandLiterals(idx, ids): _*) &&
+          isHamming <= radius)
+      case None => vectors.filter(isHamming <= radius)
+    }
   }
 
   /** Shared adaptive radius selection for the LSH probes: replay the
@@ -961,35 +984,28 @@ object Similarity {
           maxEnumBuckets, chunkSize))
         .reduce(_ unionByName _)
     val idx = lshMeta(spark, indexDir)
-    val (nBits, dim, pBits) = (idx.nBits, idx.dim, idx.pBits)
-    require(dims.head == dim,
-      s"lshQueryBatch: query dim ${dims.head} != index dim $dim")
-    val planes = hyperplanes(nBits, dim)
+    val nBits = idx.nBits
+    require(dims.head == idx.dim,
+      s"lshQueryBatch: query dim ${dims.head} != index dim ${idx.dim}")
+    val planes = hyperplanes(nBits, idx.dim)
     val vectors = idx.vectors
-    val pbandIsInt = vectors.schema("pband").dataType ==
-      org.apache.spark.sql.types.IntegerType
     val qSigs = queries.map { case (_, q) => querySignature(q, planes) }
+    // the counting fallback (legacy index, no occupancy sidecar) probes
+    // through the same pruned per-query candidate read as lshQuery
     val radii = qSigs.map(qSig =>
       chooseRadius(idx.histogram, qSig, nBits, minCandidates)(r =>
-        vectors.filter(
-          bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= r)
+        prunedCandidates(vectors, idx, qSig, r, maxEnumBuckets)
           .limit(minCandidates).count()))
-    // per-query prefix balls; None = this query needs the unpruned read
-    def choose(n: Int, r: Int): Long =
-      (1 to r).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
-    val balls: Seq[Option[Seq[Long]]] = qSigs.zip(radii).map { case (qSig, radius) =>
-      val pRadius = math.min(radius, pBits)
-      val ballSize = (0 to pRadius).foldLeft(0L)((acc, r) =>
-        if (acc > maxEnumBuckets) acc else acc + choose(pBits, r))
-      if (ballSize <= maxEnumBuckets)
-        Some(hammingBall(qSig >>> (nBits - pBits), pBits, pRadius))
-      else None
+    // per-query prefix balls (shared prefixBall — identical ball
+    // decisions to the single-query path); None = unpruned read
+    val balls: Seq[Option[Seq[Long]]] = qSigs.zip(radii).map {
+      case (qSig, radius) =>
+        prefixBall(qSig, nBits, idx.pBits, radius, maxEnumBuckets)
     }
     val pruned =
       if (balls.forall(_.isDefined)) {
         val ids = balls.flatMap(_.get).distinct
-        val lits: Seq[Any] = if (pbandIsInt) ids.map(_.toInt) else ids
-        vectors.filter(col("pband").isin(lits: _*))
+        vectors.filter(col("pband").isin(pbandLiterals(idx, ids): _*))
       } else vectors
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
     val qIds = queries.map(_._1)
@@ -1026,8 +1042,12 @@ object Similarity {
                           cacheKey: String, queries: Seq[(Long, Seq[Double])],
                           k: Int, nBits: Int = 16, minCandidates: Int = 100,
                           partitionBits: Int = 8): DataFrame = {
+    // validate the batch BEFORE resolving the cache: a ragged batch must
+    // not cost a full index build it could never use
     require(queries.nonEmpty, "lshTopKBatchIndexed: empty query batch")
-    val dim = queries.head._2.size
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshTopKBatchIndexed: ragged query dims $dims")
+    val dim = dims.head
     val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits") { d =>
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }

@@ -229,28 +229,53 @@ object StreamRunner {
     * the stream are the single-writer contract of the index lifecycle. */
   def annServe(queries: DataFrame, qidCol: String, vecCol: String,
                indexDir: String, k: Int, method: String = "lsh",
-               tuning: Option[Int] = None)
+               tuning: Option[Int] = None,
+               options: Map[String, String] = Map.empty,
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
               (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
-    queries.writeStream.foreachBatch {
+    // `options` passes writeStream options through — set
+    // `checkpointLocation` for a recoverable serving stream (without it a
+    // restart re-reads and re-answers every historical query); `trigger`
+    // tunes micro-batch cadence.
+    val writer0 = queries.writeStream.options(options)
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val qs = batch.select(col(qidCol), col(vecCol)).collect().map { r =>
-          val id = r.get(0) match {
-            case n: Number => n.longValue()
-            case other     => other.toString.toLong
-          }
-          id -> r.getSeq[Any](1).map {
-            case n: Number => n.doubleValue()
-            case other     => other.toString.toDouble
-          }
-        }.toSeq
-        if (qs.nonEmpty)
-          sink(method match {
-            case "lsh" => graft.llm.Similarity.lshQueryBatch(
-              batch.sparkSession, indexDir, qs, k, tuning.getOrElse(100))
-            case _ => graft.llm.Similarity.ivfQueryBatch(
-              batch.sparkSession, indexDir, qs, k, tuning.getOrElse(8))
-          })
+        // A SERVING stream must not die on one bad record (every other
+        // streaming operator here tolerates malformed rows too): null or
+        // non-integral qids and null / null-element vectors are SKIPPED.
+        val qs = batch.select(col(qidCol), col(vecCol)).collect().iterator
+          .flatMap { r =>
+            val qid = if (r.isNullAt(0)) None else r.get(0) match {
+              // a fractional id would silently truncate and MERGE two
+              // queries' answers under one qid — skip, never truncate
+              case n: Number if n.doubleValue().isWhole => Some(n.longValue())
+              case n: Number                            => None
+              case other => other.toString.toLongOption
+            }
+            val vec = if (r.isNullAt(1)) None else Option(r.getSeq[Any](1))
+              .filter(!_.contains(null))
+              .map(_.map {
+                case n: Number => n.doubleValue()
+                case other     => other.toString.toDouble
+              })
+            qid.zip(vec)
+          }.toSeq
+        // group by dimension: the batch probes require uniform dims, and
+        // a wrong-dim group is rejected by the probe's own dim guard —
+        // skipped here so it cannot poison the well-formed queries
+        qs.groupBy(_._2.size).valuesIterator.foreach { group =>
+          val answer =
+            try Some(method match {
+              case "lsh" => graft.llm.Similarity.lshQueryBatch(
+                batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
+              case _ => graft.llm.Similarity.ivfQueryBatch(
+                batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+            })
+            catch { case _: IllegalArgumentException => None } // dim mismatch
+          answer.foreach(sink) // sink failures still surface — deliberately
+        }
     }.start()
   }
 

@@ -187,9 +187,16 @@ class StreamParitySpec extends AnyFunSuite {
     val qdir = Files.createTempDirectory("graft-annserve-q").toString
     val qrows = emb.filter($"vec_id" < 3).orderBy("vec_id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // malformed rows ride along: a missing vector, a fractional qid
+    // (truncating would mislabel answers), and a wrong-dim vector — a
+    // serving stream must SKIP them and keep answering, never crash
+    val malformed = Seq(
+      """{"qid":50}""",
+      s"""{"qid":7.5,"vec":[${qrows.head._2.mkString(",")}]}""",
+      """{"qid":60,"vec":[1.0,2.0]}""")
     Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
-      qrows.map { case (id, v) =>
-        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+      (qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" } ++ malformed).mkString("\n"))
     def serve(method: String, dir: String, tuning: Int): Map[Long, Set[(Long, Double)]] = {
       val stream = StreamRunner.readStream(spark, qdir, "jsonl")
       val answers = scala.collection.mutable.ArrayBuffer
@@ -204,8 +211,11 @@ class StreamParitySpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
       answers.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
     }
-    // every streamed query answered, identically to a direct index probe
+    // every WELL-FORMED streamed query answered, identically to a direct
+    // index probe; the malformed rows are skipped, not fatal
     val lshAnswers = serve("lsh", idxDir, 20)
+    assert(lshAnswers.keySet == qrows.map(_._1).toSet,
+      s"answered qids: ${lshAnswers.keySet}")
     qrows.foreach { case (qid, vec) =>
       val direct = graft.llm.Similarity.lshQuery(spark, idxDir, vec, 5,
         minCandidates = 20)
