@@ -533,11 +533,15 @@ object DflFrame {
         val k = intArg(4)
         val method = if (args.size > 5) strArg(5) else "exact"
         val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
-        // a tuning arg the chosen method would IGNORE is a config mistake
-        // (e.g. 'exact' with a stray nprobe): reject loudly, never serve
-        // with silently-discarded tuning
+        // an arg the chosen method would IGNORE is a config mistake
+        // (e.g. 'exact' with a stray nprobe, or ivf/lsh with args past the
+        // tuning slot): reject loudly, never serve with silently-discarded
+        // configuration
         if (method == "exact" && args.size > 6)
           throw new DflParseException("annTopK 'exact' takes no tuning argument")
+        if (args.size > 7)
+          throw new DflParseException(
+            "annTopK takes at most (@, id, vec, query, k, method, tuning)")
         method match {
           case "exact" => graft.llm.Similarity.bruteForceTopK(base, "id", "v", q, k)
           case "ivf"   =>
@@ -568,6 +572,9 @@ object DflFrame {
         val base = df.select(subCol(1).as("id"), subCol(2).as("v"))
         if (method == "exact" && args.size > 6)
           throw new DflParseException("annTopKBatch 'exact' takes no tuning argument")
+        if (args.size > 7)
+          throw new DflParseException(
+            "annTopKBatch takes at most (@, id, vec, queries, k, method, tuning)")
         method match {
           case "exact" =>
             graft.llm.Similarity.bruteForceTopKBatch(base, "id", "v", queries, k)
@@ -604,7 +611,14 @@ object DflFrame {
     * shape for indexed DFL ANN (exactly what catalog services read). */
   private def dflCorpusKey(base: DataFrame, method: String): String =
     s"dfl|$method|" + graft.util.Md5.hex(
-      base.queryExecution.analyzed.canonicalized.toString
+      // render with UNLIMITED fields: the default LogicalPlan.toString
+      // truncates expression lists past spark.sql.debug.maxToStringFields
+      // ('... N more fields'), so two pipelines differing only inside a
+      // truncated region (e.g. wide upstream projections) would collide
+      // on one cache key and silently share an index
+      base.queryExecution.analyzed.canonicalized
+        .treeString(verbose = false, addSuffix = false,
+          maxFields = Int.MaxValue, printOperatorId = false)
         +: base.schema.catalogString
         +: base.inputFiles.sorted.toSeq)
 

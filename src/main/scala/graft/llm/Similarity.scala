@@ -418,6 +418,11 @@ object Similarity {
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                query: Seq[Double], k: Int, nprobe: Int = 8): DataFrame = {
     val idx = ivfMeta(spark, indexDir)
+    // mirror lshQuery's guard: a LONGER query would run nearestLists off
+    // the end of every centroid (AIOOBE), a SHORTER one would silently
+    // truncate the centroid-distance loop and return garbage lists
+    require(query.size == idx.centroids.head.length,
+      s"ivfQuery: query dim ${query.size} != index dim ${idx.centroids.head.length}")
     val probeLists = nearestLists(idx.centroids, query.toArray, nprobe)
     rerank(idx.vectors.filter(col("list").isin(probeLists: _*)), query, k)
   }
@@ -452,6 +457,11 @@ object Similarity {
         .map(c => ivfQueryBatch(spark, indexDir, c, k, nprobe, chunkSize))
         .reduce(_ unionByName _)
     val idx = ivfMeta(spark, indexDir)
+    // same guard as lshQueryBatch: without it a longer query dies with an
+    // AIOOBE in nearestLists (an error class serving streams don't catch)
+    // and a shorter one silently truncates the centroid loop
+    require(dims.head == idx.centroids.head.length,
+      s"ivfQueryBatch: query dim ${dims.head} != index dim ${idx.centroids.head.length}")
     val probeLists = queries.map { case (_, q) =>
       nearestLists(idx.centroids, q.toArray, nprobe)
     }
@@ -1033,6 +1043,17 @@ object Similarity {
       .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
         explode(col("topk")).as("hit"))
       .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
+  /** The embedding dimension a built index expects — from the memoized
+    * sidecar meta (LSH: the (n_bits, dim) row; IVF: the centroid width),
+    * so a serving layer can validate query dims BEFORE probing at zero
+    * Spark jobs on the warm path. */
+  def indexDim(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               method: String): Int = method match {
+    case "lsh" => lshMeta(spark, indexDir).dim
+    case "ivf" => ivfMeta(spark, indexDir).centroids.head.length
+    case other => throw new IllegalArgumentException(s"indexDim: unknown method $other")
   }
 
   /** Batch counterpart of [[lshTopKIndexed]]: resolves the SAME cached

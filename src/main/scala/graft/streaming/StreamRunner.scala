@@ -23,6 +23,8 @@ import graft.dfl.DflFrame
   */
 object StreamRunner {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val streamableFormats: Set[String] = Set("csv", "tsv", "jsonl")
 
   private val unstreamableFns = Set("sort", "limit", "set", "len", "bbox",
@@ -262,19 +264,29 @@ object StreamRunner {
               })
             qid.zip(vec)
           }.toSeq
-        // group by dimension: the batch probes require uniform dims, and
-        // a wrong-dim group is rejected by the probe's own dim guard —
-        // skipped here so it cannot poison the well-formed queries
-        qs.groupBy(_._2.size).valuesIterator.foreach { group =>
-          val answer =
-            try Some(method match {
+        // group by dimension and validate each group against the index's
+        // OWN dim (memoized sidecar meta — zero Spark jobs warm) BEFORE
+        // probing: a wrong-dim group is skipped with a warning so it can
+        // never poison the well-formed queries, while every OTHER probe
+        // failure (missing index, genuine bug) PROPAGATES and fails the
+        // stream — a blanket exception catch here would silently drop
+        // real faults along with the bad dims
+        val expectDim =
+          graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
+        qs.groupBy(_._2.size).foreach { case (dim, group) =>
+          if (dim != expectDim)
+            log.warn(s"annServe: skipping ${group.size} queries with dim " +
+              s"$dim != index dim $expectDim (qids " +
+              s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
+          else {
+            val answer = method match {
               case "lsh" => graft.llm.Similarity.lshQueryBatch(
                 batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
               case _ => graft.llm.Similarity.ivfQueryBatch(
                 batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
-            })
-            catch { case _: IllegalArgumentException => None } // dim mismatch
-          answer.foreach(sink) // sink failures still surface — deliberately
+            }
+            sink(answer) // sink failures still surface — deliberately
+          }
         }
     }.start()
   }

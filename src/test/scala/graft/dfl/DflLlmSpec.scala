@@ -190,6 +190,64 @@ class DflLlmSpec extends AnyFunSuite {
       s"filtered ANN served unfiltered ids: ${filtered.mkString(",")}")
   }
 
+  test("annTopK/annTopKBatch reject args beyond the tuning slot for EVERY method") {
+    // 'exact' with a stray tuning arg was already rejected; ivf/lsh with
+    // args past the tuning slot must be too — silently ignoring a config
+    // arg is the mistake class this guard exists for
+    val q = Seq(1.0, 2.0, 3.0)
+    val qs: Seq[Seq[Any]] = Seq(Seq(1L, q))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'exact', 5)", Map("q" -> q)))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf', 2, 99)", Map("q" -> q)))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annTopK(@, '@vec_id', '@embedding', $q, 10, 'lsh', 5, 99)", Map("q" -> q)))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annTopKBatch(@, '@vec_id', '@embedding', $qs, 5, 'ivf', 2, 99)",
+      Map("qs" -> qs)))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annTopKBatch(@, '@vec_id', '@embedding', $qs, 5, 'lsh', 50, 99)",
+      Map("qs" -> qs)))
+  }
+
+  test("corpus cache keys survive debug-string truncation of the plan") {
+    // LogicalPlan.toString truncates expression lists past
+    // spark.sql.debug.maxToStringFields — with the key derived from the
+    // truncating render, two pipelines whose only difference falls in the
+    // truncated region (here: the projected EMBEDDING column, with the
+    // limit squeezed to 1 so the 2-column Project truncates past 'id')
+    // collided on one key and silently served each other's index
+    val dir = java.nio.file.Files.createTempDirectory("graft-dflkey-trunc").toString
+    emb.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => -x).as("embedding_neg"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val prev = spark.conf.get("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.debug.maxToStringFields", 1)
+    try {
+      // service A indexes the true embeddings: the query is its own 1-NN
+      val a = DflFrame.pipeline(corpus,
+        "annTopK(@, '@vec_id', '@embedding', $q, 1, 'ivf')", Map("q" -> q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == Seq((0L, 1.0)))
+      // service B indexes the NEGATED embeddings — same files, same schema
+      // (array<float>), plan differing only in the truncated slot. Its
+      // answer must equal the ad-hoc Scala ANN over ITS corpus (both
+      // paths are deterministic), never A's answer served from A's index
+      val b = DflFrame.pipeline(corpus,
+        "annTopK(@, '@vec_id', '@embedding_neg', $q, 1, 'ivf')", Map("q" -> q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val bApi = Similarity.ivfTopK(
+        corpus.select(col("vec_id").as("id"), col("embedding_neg").as("v")),
+        "id", "v", q, 1).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(b == bApi && b != a,
+        s"negated-corpus ANN answered from the wrong index: $b vs $bApi")
+    } finally spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+  }
+
   test("registry lists the LLM stages; stream mode rejects them") {
     val reg = Functions.registry
     Seq("dedup", "nearDedup", "nearDupPairs", "annTopK").foreach(n =>

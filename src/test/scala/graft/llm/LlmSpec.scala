@@ -519,6 +519,19 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.ivfQueryBatch(spark, dir,
         Seq(1L -> Seq(1.0), 2L -> Seq(1.0, 2.0)), 3))
+    // wrong-dim queries are rejected against the index's OWN dim,
+    // mirroring lshQueryBatch: a LONGER query would otherwise throw
+    // ArrayIndexOutOfBounds inside centroid selection (an error class
+    // serving layers don't treat as "bad input"), a SHORTER one would
+    // silently truncate the distance loop and return garbage lists
+    intercept[IllegalArgumentException](
+      Similarity.ivfQueryBatch(spark, dir, Seq(1L -> Seq.fill(65)(0.1)), 3))
+    intercept[IllegalArgumentException](
+      Similarity.ivfQueryBatch(spark, dir, Seq(1L -> Seq(1.0, 2.0)), 3))
+    intercept[IllegalArgumentException](
+      Similarity.ivfQuery(spark, dir, Seq(1.0, 2.0), 3))
+    // the serving layers' pre-check reads the same memoized meta
+    assert(Similarity.indexDim(spark, dir, "ivf") == 64)
     // one pruned union read feeding the bounded-heap aggregate — never a
     // per-query window sort
     val plan = Similarity.ivfQueryBatch(spark, dir, queries, 7, nprobe = 3)
@@ -791,6 +804,7 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.lshQueryBatch(spark, dir,
         Seq(1L -> Seq(1.0), 2L -> Seq(1.0, 2.0)), 3))
+    assert(Similarity.indexDim(spark, dir, "lsh") == 64)
     // one pruned union read feeding the bounded-heap aggregate — never a
     // per-query window sort
     val plan = Similarity.lshQueryBatch(spark, dir, queries, 7, minCandidates = 20)

@@ -234,6 +234,21 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("annServe propagates non-dim probe failures instead of swallowing them") {
+    // bad DIMS are skipped (previous test); every OTHER probe failure —
+    // here a missing index directory — must FAIL the stream, not vanish
+    // into a blanket exception catch
+    val qdir = Files.createTempDirectory("graft-annserve-bad").toString
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      """{"qid":1,"vec":[1.0,2.0,3.0]}""")
+    val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+    val q = StreamRunner.annServe(stream, "qid", "vec",
+      s"$qdir/no-such-index", 5, method = "lsh") { _ => () }
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.processAllAvailable())
+    finally q.stop()
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
