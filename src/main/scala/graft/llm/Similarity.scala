@@ -369,6 +369,67 @@ object Similarity {
     centroids
   }
 
+  /** Replace ONE sidecar subdir of a live index (occupancy after an
+    * append): write to a sibling staging dir, then delete + rename into
+    * place. The unrecoverable window (between delete and rename) loses
+    * only the sidecar — [[lshMeta]] falls back to the counting loop when
+    * occupancy is missing, and the next append or rebuild restores it. */
+  private def replaceSidecar(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, name: String)
+                            (write: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexDir/$name"))
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".$name.staging")
+    fs.delete(staging, true)
+    write(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"sidecar replace rename $staging -> $target failed")
+  }
+
+  /** APPEND rows to a built IVF index WITHOUT retraining: assign the new
+    * rows to the EXISTING centroids (standard IVF practice — the coarse
+    * quantizer is fixed at build time) and append them into the list
+    * partitions. Cost is one pass over the NEW data only — no training,
+    * no rewrite of the existing corpus — which is what a daily-ingest
+    * pipeline needs at 100 TB. Readers are safe throughout: append never
+    * removes or rewrites a file an in-flight probe references.
+    *
+    * DRIFT BOUND: probes stay exact over whatever lands in the probed
+    * lists — appended vectors are found exactly as built ones are — but
+    * RECALL tracks how well the frozen centroids quantize the grown
+    * distribution. Appends drawn from the build-time distribution leave
+    * recall unchanged in expectation; drifted appends concentrate in few
+    * lists, shrinking the effective probed fraction. Retrain (full
+    * [[ivfBuild]]) once appended data is a significant fraction of the
+    * corpus — the cached lifecycle does this automatically at
+    * [[appendRebuildFactor]] growth; monitor [[ivfListStats]] for skew
+    * when driving the explicit lifecycle. */
+  def ivfAppend(df: DataFrame, idCol: String, vecCol: String,
+                indexDir: String): Unit = {
+    val sess = df.sparkSession
+    val idx = ivfMeta(sess, indexDir)
+    val assigned = ivfAssign(df, idCol, vecCol, idx.centroids)
+    // schema fence: a mismatched id/vector type would strand the index
+    // with unmergeable parquet footers
+    Seq("id", "v").foreach { c =>
+      require(assigned.schema(c).dataType == idx.vectors.schema(c).dataType,
+        s"ivfAppend: column '$c' type ${assigned.schema(c).dataType} != " +
+          s"index type ${idx.vectors.schema(c).dataType}")
+    }
+    assigned.write.mode("append").partitionBy("list").parquet(s"$indexDir/vectors")
+  }
+
+  /** Rows per IVF list — the skew monitor for the append lifecycle: one
+    * column-pruned aggregation over the list partition column. */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors").groupBy("list").count()
+
   /** Centroid sidecar read-back: kLists × dim doubles — always tiny. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     indexDir: String): Array[Array[Double]] =
@@ -392,7 +453,12 @@ object Similarity {
   private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String): IvfMeta = {
     val key = s"${sessionTag(spark)}|$indexDir"
-    val stamp = sidecarStamp(spark, indexDir, Seq("centroids"))
+    // "vectors" is in the stamp so an APPEND (new part files inside the
+    // list= dirs — their mtimes change, as does the rewritten _SUCCESS)
+    // invalidates the memoized vectors DataFrame, whose file listing is a
+    // snapshot; rebuilds already changed the centroids listing. The dirs'
+    // listStatus is one RPC over ≤ kLists entries.
+    val stamp = sidecarStamp(spark, indexDir, Seq("centroids", "vectors"))
     val cached = ivfMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
@@ -511,7 +577,10 @@ object Similarity {
     * serializes concurrent first probes of the SAME key, and a build that
     * throws is retried on the next access (Scala lazy vals don't cache
     * failures). */
-  private final class IndexSlot(val stamp: String, mk: () => String) {
+  private final class IndexSlot(val stamp: String,
+                                val files: Map[String, (Long, Long)],
+                                val baseFileCount: Int,
+                                mk: () => String) {
     lazy val dir: String = mk()
   }
 
@@ -548,7 +617,7 @@ object Similarity {
     * stat.) A corpus with no file-backed scan (pure in-memory data)
     * fingerprints empty — callers there must vary `cacheKey` on data
     * change. */
-  private[llm] def corpusFingerprint(df: DataFrame): String = {
+  private[llm] def corpusFileMeta(df: DataFrame): Seq[(String, (Long, Long))] = {
     val hconf = df.sparkSession.sessionState.newHadoopConf()
     val files = df.inputFiles.sorted
     val byParent = files.groupBy(f => new org.apache.hadoop.fs.Path(f).getParent)
@@ -558,15 +627,19 @@ object Similarity {
         st.getPath.toString -> (st.getLen, st.getModificationTime))
       catch { case _: java.io.FileNotFoundException => Iterator.empty }
     }.toMap
-    graft.util.Md5.hex(files.iterator.map { f =>
-      val (len, mtime) = listed.getOrElse(f, {
+    files.iterator.map { f =>
+      f -> listed.getOrElse(f, {
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(hconf).getFileStatus(p)
         (st.getLen, st.getModificationTime)
       })
-      s"$f:$len:$mtime;"
-    })
+    }.toSeq
   }
+
+  private[llm] def corpusFingerprint(df: DataFrame): String =
+    graft.util.Md5.hex(corpusFileMeta(df).iterator.map {
+      case (f, (len, mtime)) => s"$f:$len:$mtime;"
+    })
 
   /** Where the `*TopKIndexed` entry points materialize an index (IVF and
     * LSH alike): under the configured `graft.ivf.indexBase` (a qualified
@@ -595,22 +668,96 @@ object Similarity {
         s"$d/index"
     }
 
+  /** An appended corpus may grow this much (in FILES, the granularity the
+    * fingerprint sees) past its last FULL build before the cache retrains
+    * from scratch instead of appending again: for IVF the centroids drift
+    * away from the grown distribution (recall degrades once a large
+    * fraction of the data post-dates training); for LSH appends are exact
+    * forever but each one adds part files, so the rebuild is a compaction.
+    * 1.5 ≈ "retrain once a third of the corpus post-dates the quantizer". */
+  private val appendRebuildFactor = 1.5
+
+  /** True when `df`'s plan is a chain of deterministic Project/Filter over
+    * ONE file-backed relation — the shape where "rows from new input
+    * files" is exactly "new output rows", so an index append over just
+    * those files equals a full rebuild. Joins, aggregates, limits, or
+    * nondeterministic expressions disqualify (appended files could change
+    * or reorder OLD output rows there). */
+  private def appendSafePlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    def ok(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case p: Project       => p.projectList.forall(_.deterministic) && ok(p.child)
+      case f: Filter        => f.condition.deterministic && ok(f.child)
+      case s: SubqueryAlias => ok(s.child)
+      case _                => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
+
+  // input_file_name() renders local paths as file:///p while
+  // FileIndex-derived inputFiles render file:/p — normalize both sides
+  // before comparing (hdfs:// and s3a:// render identically already)
+  private def normFileUri(s: String): String = s.replaceFirst("^file:/+", "file:/")
+
   /** Build-once/probe-many resolution against [[indexCache]]: returns the
     * index dir for `cacheKey`, running `build` only when the key is new or
     * its (corpus fingerprint | build params) stamp changed. The map
     * `compute` only INSTALLS the slot (cheap); the build itself runs via
-    * the slot's lazy dir, outside the map's bin lock. */
-  private def cachedIndex(df: DataFrame, cacheKey: String, paramStamp: String)
+    * the slot's lazy dir, outside the map's bin lock.
+    *
+    * APPEND fencing: when the fingerprint changed because files were ADDED
+    * to the corpus — every previously-indexed file still present with the
+    * same (length, mtime) — and the plan is append-safe
+    * ([[appendSafePlan]]), the slot runs `append` over JUST the new files
+    * against the EXISTING index dir instead of a full retrain + rewrite:
+    * the dominant ingest pattern (daily appends) updates the index in
+    * place. Readers are safe (append never removes a file a resolved
+    * DataFrame references), and the slot's stamp advances to the new
+    * fingerprint, so the next unchanged call is a pure cache hit. Past
+    * [[appendRebuildFactor]] growth since the last FULL build the cache
+    * retrains from scratch (IVF centroid drift / LSH part-file
+    * compaction). Cross-process note: an appended dir keeps its
+    * original stamp-hashed NAME, so a second process computing the new
+    * fingerprint builds its own fresh dir rather than sharing — correct,
+    * just unshared; long-lived serving deployments should prefer the
+    * explicit build/append/query lifecycle on a durable indexDir. */
+  private def cachedIndex(df: DataFrame, cacheKey: String, paramStamp: String,
+                          append: Option[(DataFrame, String) => Unit] = None)
                          (build: String => Unit): String = {
-    val stamp = s"${corpusFingerprint(df)}|$paramStamp"
+    val fileMeta = corpusFileMeta(df)
+    val fileMap = fileMeta.toMap
+    val stamp = graft.util.Md5.hex(fileMeta.iterator.map {
+      case (f, (len, mtime)) => s"$f:$len:$mtime;"
+    }) + s"|$paramStamp"
     val spark = df.sparkSession
     indexCache.compute(cacheKey, (_, prev) =>
       if (prev != null && prev.stamp == stamp) prev
-      else new IndexSlot(stamp, () => {
-        val d = newIndexDir(spark, cacheKey, stamp)
-        build(d)
-        d
-      })).dir
+      else {
+        val canAppend = append.isDefined && prev != null &&
+          prev.stamp.endsWith(s"|$paramStamp") &&
+          prev.files.nonEmpty && fileMap.size > prev.files.size &&
+          fileMap.size <= prev.baseFileCount * appendRebuildFactor &&
+          prev.files.forall { case (f, m) => fileMap.get(f).contains(m) } &&
+          appendSafePlan(df)
+        if (canAppend) {
+          val newFiles = (fileMap.keySet -- prev.files.keySet).toSeq
+            .map(normFileUri)
+          val prevSlot = prev
+          new IndexSlot(stamp, fileMap, prev.baseFileCount, () => {
+            val d = prevSlot.dir // force the previous build first
+            val newRows = df.filter(
+              regexp_replace(input_file_name(), "^file:/+", "file:/")
+                .isin(newFiles: _*))
+            append.get(newRows, d)
+            d
+          })
+        } else new IndexSlot(stamp, fileMap, fileMap.size, () => {
+          val d = newIndexDir(spark, cacheKey, stamp)
+          build(d)
+          d
+        })
+      }).dir
   }
 
   /** IVF ANN top-k against a cached index keyed by `cacheKey` (use the
@@ -621,7 +768,8 @@ object Similarity {
   def ivfTopKIndexed(df: DataFrame, idCol: String, vecCol: String, cacheKey: String,
                      query: Seq[Double], k: Int, kLists: Int = 16,
                      nprobe: Int = 8, trainSample: Int = 2048): DataFrame = {
-    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample") { d =>
+    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
       ivfBuild(df, idCol, vecCol, d, kLists, trainSample); ()
     }
     ivfQuery(df.sparkSession, dir, query, k, nprobe)
@@ -635,7 +783,8 @@ object Similarity {
                           cacheKey: String, queries: Seq[(Long, Seq[Double])],
                           k: Int, kLists: Int = 16, nprobe: Int = 8,
                           trainSample: Int = 2048): DataFrame = {
-    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample") { d =>
+    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
       ivfBuild(df, idCol, vecCol, d, kLists, trainSample); ()
     }
     ivfQueryBatch(df.sparkSession, dir, queries, k, nprobe)
@@ -753,6 +902,51 @@ object Similarity {
     }
   }
 
+  /** APPEND rows to a built LSH index WITHOUT a rebuild — and, unlike the
+    * IVF append, EXACTLY: the hyperplanes are a fixed seeded function of
+    * (nBits, dim) recorded in the meta sidecar, so signing the new rows
+    * with the recorded family and appending into the pband partitions
+    * yields an index bit-identical (as a row multiset) to a full rebuild
+    * over the grown corpus. One signature pass over the NEW data only;
+    * readers are safe throughout (no existing file is touched). The
+    * occupancy sidecar is MERGED (old histogram + the new rows' bucket
+    * counts — the signature is deterministic, so the recomputed delta
+    * matches what was written) and swapped via [[replaceSidecar]]; its
+    * rewrite is also what advances the meta stamp for ZERO-job warm
+    * radius planning over the grown index. A legacy index with no
+    * occupancy sidecar (or one lost to a crash mid-swap) gets a full
+    * recount from the index's bucket column — a column-pruned scan, not
+    * a corpus signature pass. Appends accumulate part files; rebuild to
+    * compact once growth is large (the cached lifecycle does so at
+    * [[appendRebuildFactor]]). */
+  def lshAppend(df: DataFrame, idCol: String, vecCol: String,
+                indexDir: String): Unit = {
+    val sess = df.sparkSession
+    val idx = lshMeta(sess, indexDir)
+    val sigs = lshBuckets(df, idCol, vecCol, idx.nBits, idx.dim)
+      .withColumn("pband",
+        shiftrightunsigned(col("bucket"), idx.nBits - idx.pBits))
+    Seq("id", "v").foreach { c =>
+      require(sigs.schema(c).dataType == idx.vectors.schema(c).dataType,
+        s"lshAppend: column '$c' type ${sigs.schema(c).dataType} != " +
+          s"index type ${idx.vectors.schema(c).dataType}")
+    }
+    sigs.write.mode("append").partitionBy("pband").parquet(s"$indexDir/vectors")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(sess.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/occupancy")))
+        sess.read.parquet(s"$indexDir/occupancy")
+          .unionByName(sigs.filter(col("bucket").isNotNull)
+            .groupBy("bucket").count())
+          .groupBy("bucket").agg(sum("count").as("count"))
+      else // legacy index or a crash between an earlier append's swap
+        sess.read.parquet(s"$indexDir/vectors")
+          .filter(col("bucket").isNotNull).groupBy("bucket").count()
+    replaceSidecar(sess, indexDir, "occupancy")(p =>
+      merged.coalesce(1).write.mode("overwrite").parquet(p))
+  }
+
   /** Driver-memoized LSH index metadata: the (n_bits, dim, partition_bits)
     * sidecar row, the bucket-occupancy histogram, AND the resolved vectors
     * DataFrame (re-resolving `read.parquet` per probe would re-run
@@ -810,7 +1004,10 @@ object Similarity {
     // session-scoped key: a resolved DataFrame must not leak across
     // SparkSessions
     val key = s"${sessionTag(spark)}|$indexDir"
-    val stamp = sidecarStamp(spark, indexDir, Seq("meta", "occupancy"))
+    // "vectors" guards the memoized DataFrame against appends that landed
+    // their files but crashed before the occupancy swap — the normal
+    // append path already advances the stamp by rewriting occupancy
+    val stamp = sidecarStamp(spark, indexDir, Seq("meta", "occupancy", "vectors"))
     val cached = lshMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
@@ -955,7 +1152,8 @@ object Similarity {
                      query: Seq[Double], k: Int, nBits: Int = 16,
                      minCandidates: Int = 100, partitionBits: Int = 8): DataFrame = {
     val dim = query.size
-    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits") { d =>
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }
     lshQuery(df.sparkSession, dir, query, k, minCandidates)
@@ -1069,7 +1267,8 @@ object Similarity {
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"lshTopKBatchIndexed: ragged query dims $dims")
     val dim = dims.head
-    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits") { d =>
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }
     lshQueryBatch(df.sparkSession, dir, queries, k, minCandidates)

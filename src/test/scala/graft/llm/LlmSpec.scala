@@ -875,4 +875,131 @@ class LlmSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(id => id >= 20 && id < 40),
       s"swap served stale ids: ${got.mkString(",")}")
   }
+
+  test("lshAppend: build + append equals a full rebuild, probe-for-probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lshappend").toString
+    val a = emb.filter($"vec_id" < 150).select($"vec_id", $"embedding")
+    val b = emb.filter($"vec_id" >= 150).select($"vec_id", $"embedding")
+    Similarity.lshBuild(a, "vec_id", "embedding", s"$root/inc", nBits = 16, dim = 64)
+    Similarity.lshAppend(b, "vec_id", "embedding", s"$root/inc")
+    Similarity.lshBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      s"$root/full", nBits = 16, dim = 64)
+    // identical occupancy histograms → identical radius decisions;
+    // identical vector multisets → identical candidate sets and reranks
+    def occ(d: String) = spark.read.parquet(s"$d/occupancy")
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("count"))).toSet
+    assert(occ(s"$root/inc") == occ(s"$root/full"))
+    assert(spark.read.parquet(s"$root/inc/vectors").count() == emb.count())
+    // probes row-identical across queries from both the base and the
+    // appended half (appended rows must be FOUND: 200's own vector first)
+    Seq(0L, 42L, 150L, 199L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid).select($"embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val inc = Similarity.lshQuery(spark, s"$root/inc", q, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = Similarity.lshQuery(spark, s"$root/full", q, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(inc == full, s"query $qid diverged after append")
+      assert(inc.head == ((qid, 1.0)), s"query $qid must find itself")
+    }
+    // batch probe agrees too (shared radius decisions from the merged
+    // histogram)
+    val queries = Seq(3L, 160L).map { qid =>
+      qid -> emb.filter($"vec_id" === qid).select($"embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+    }
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(grouped(Similarity.lshQueryBatch(spark, s"$root/inc", queries, 5)) ==
+      grouped(Similarity.lshQueryBatch(spark, s"$root/full", queries, 5)))
+    // appending a mismatched vector type is rejected before any write
+    intercept[IllegalArgumentException](Similarity.lshAppend(
+      emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+      "vec_id", "embedding", s"$root/inc"))
+  }
+
+  test("ivfAppend: appended rows are probed against the frozen centroids") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfappend").toString
+    val dir = s"$root/idx"
+    val base = emb.filter($"vec_id" < 180).select($"vec_id", $"embedding")
+    Similarity.ivfBuild(base, "vec_id", "embedding", dir,
+      kLists = 8, trainSample = 256)
+    val centroidsBefore = Similarity.readCentroids(spark, dir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // append the tail of the corpus plus planted exact copies of the
+    // query vector under fresh ids — the clearest recall oracle: copies
+    // land in the query's OWN nearest list, so any nprobe >= 1 finds them
+    val planted = Seq(9001L, 9002L, 9003L).toDF("vec_id")
+      .withColumn("embedding",
+        typedLit(q.map(_.toFloat)).cast("array<float>"))
+    Similarity.ivfAppend(
+      emb.filter($"vec_id" >= 180).select($"vec_id", $"embedding")
+        .unionByName(planted),
+      "vec_id", "embedding", dir)
+    // the coarse quantizer is untouched
+    assert(Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq ==
+      centroidsBefore.map(_.toSeq).toSeq)
+    val hits = Similarity.ivfQuery(spark, dir, q, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(Set(0L, 9001L, 9002L, 9003L)
+        .subsetOf(hits.filter(_._2 == 1.0).map(_._1).toSet),
+      s"planted appended duplicates not all found: ${hits.mkString(",")}")
+    // batch path sees them through the same pruned read
+    val batchHits = Similarity.ivfQueryBatch(spark, dir, Seq(0L -> q.toSeq), 5,
+      nprobe = 2).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(Set(0L, 9001L, 9002L, 9003L)
+      .subsetOf(batchHits.filter(_._2 == 1.0).map(_._1).toSet))
+    // list stats cover every appended row: counts sum to the grown corpus
+    assert(Similarity.ivfListStats(spark, dir)
+      .agg(sum("count")).head().getLong(0) == emb.count() + 3)
+  }
+
+  test("indexed cache appends in place for a grown corpus instead of retraining") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-growcorpus").toString
+    val idxBase = java.nio.file.Files.createTempDirectory("graft-growbase").toString
+    val key = s"llmspec-append-cache-$corpusDir"
+    // 4 data files at the full build: the append below adds 1 (5 <= 4*1.5,
+    // appendable); the later 8-file append crosses the retrain threshold
+    emb.filter($"vec_id" < 150).select($"vec_id", $"embedding")
+      .repartition(4).write.mode("overwrite").parquet(corpusDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def topk() = Similarity.ivfTopKIndexed(
+      spark.read.parquet(corpusDir), "vec_id", "embedding", key, q, 5,
+      kLists = 4, nprobe = 2, trainSample = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def idxDirs() = new java.io.File(idxBase).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("idx-")).map(_.getName)
+    spark.conf.set("graft.ivf.indexBase", idxBase)
+    try {
+      val r1 = topk()
+      assert(r1.head == ((0L, 1.0)) && idxDirs().length == 1)
+      val firstDir = idxDirs().head
+      // grow the corpus IN PLACE: planted exact copies of q under new ids
+      // arrive as appended parquet files — the daily-ingest shape
+      Seq(9001L, 9002L).toDF("vec_id")
+        .withColumn("embedding", typedLit(q.map(_.toFloat)).cast("array<float>"))
+        .coalesce(1).write.mode("append").parquet(corpusDir)
+      val r2 = topk()
+      // appended rows are served...
+      assert(Set(0L, 9001L, 9002L)
+          .subsetOf(r2.filter(_._2 == 1.0).map(_._1).toSet),
+        s"appended rows not served: $r2")
+      // ...by the SAME index dir, appended in place — a retrain would have
+      // landed a second fingerprint-stamped dir
+      assert(idxDirs().toSeq == Seq(firstDir),
+        s"expected an in-place append, got dirs ${idxDirs().mkString(",")}")
+      // an unchanged corpus stays a pure cache hit
+      assert(topk() == r2 && idxDirs().length == 1)
+      // growth past the retrain threshold (file count > 1.5x the last
+      // full build) forces a fresh training run in a NEW stamped dir
+      emb.filter($"vec_id" >= 150).select($"vec_id", $"embedding")
+        .repartition(8).write.mode("append").parquet(corpusDir)
+      topk()
+      assert(idxDirs().length == 2,
+        s"expected a threshold retrain, got dirs ${idxDirs().mkString(",")}")
+    } finally spark.conf.unset("graft.ivf.indexBase")
+  }
 }
