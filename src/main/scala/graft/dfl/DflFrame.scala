@@ -546,13 +546,20 @@ object DflFrame {
           case "exact" => graft.llm.Similarity.bruteForceTopK(base, "id", "v", q, k)
           case "ivf"   =>
             val nprobe = if (args.size > 6) intArg(6) else 8
-            graft.llm.Similarity.ivfTopKIndexed(
-              base, "id", "v", dflCorpusKey(base, "ivf"), q, k, nprobe = nprobe)
+            if (dflIndexable(base))
+              graft.llm.Similarity.ivfTopKIndexed(
+                base, "id", "v", dflCorpusKey(base, "ivf"), q, k, nprobe = nprobe)
+            else // in-memory corpus: ad-hoc, never a schema-keyed cache
+              graft.llm.Similarity.ivfTopK(base, "id", "v", q, k, nprobe = nprobe)
           case "lsh"   =>
             val minCands = if (args.size > 6) intArg(6) else 100
-            graft.llm.Similarity.lshTopKIndexed(
-              base, "id", "v", dflCorpusKey(base, "lsh"), q, k,
-              minCandidates = minCands)
+            if (dflIndexable(base))
+              graft.llm.Similarity.lshTopKIndexed(
+                base, "id", "v", dflCorpusKey(base, "lsh"), q, k,
+                minCandidates = minCands)
+            else
+              graft.llm.Similarity.lshTopK(base, "id", "v", q, k,
+                minCandidates = minCands)
           case other => throw new DflParseException(s"unknown annTopK method $other")
         }
 
@@ -580,14 +587,22 @@ object DflFrame {
             graft.llm.Similarity.bruteForceTopKBatch(base, "id", "v", queries, k)
           case "ivf" =>
             val nprobe = if (args.size > 6) intArg(6) else 8
-            graft.llm.Similarity.ivfTopKBatchIndexed(
-              base, "id", "v", dflCorpusKey(base, "ivf"), queries, k,
-              nprobe = nprobe)
+            if (dflIndexable(base))
+              graft.llm.Similarity.ivfTopKBatchIndexed(
+                base, "id", "v", dflCorpusKey(base, "ivf"), queries, k,
+                nprobe = nprobe)
+            else // in-memory corpus: ad-hoc, never a schema-keyed cache
+              graft.llm.Similarity.ivfTopKBatch(base, "id", "v", queries, k,
+                nprobe = nprobe)
           case "lsh" =>
             val minCands = if (args.size > 6) intArg(6) else 100
-            graft.llm.Similarity.lshTopKBatchIndexed(
-              base, "id", "v", dflCorpusKey(base, "lsh"), queries, k,
-              minCandidates = minCands)
+            if (dflIndexable(base))
+              graft.llm.Similarity.lshTopKBatchIndexed(
+                base, "id", "v", dflCorpusKey(base, "lsh"), queries, k,
+                minCandidates = minCands)
+            else
+              graft.llm.Similarity.lshTopKBatch(base, "id", "v", queries, k,
+                minCandidates = minCands)
           case other => throw new DflParseException(s"unknown annTopKBatch method $other")
         }
 
@@ -604,11 +619,12 @@ object DflFrame {
     * silently mis-serve) one index; canonicalization normalizes
     * expression ids so the SAME pipeline re-planned on a later exec still
     * hits its cache. Content changes under the same files are caught by
-    * the cache's corpus-fingerprint fencing. Residual limit, as for the
-    * Scala API: a purely in-memory corpus (no scan, no input files)
-    * canonicalizes to its schema — distinct in-memory corpora with equal
-    * schemas would collide, so file-backed datastores are the supported
-    * shape for indexed DFL ANN (exactly what catalog services read). */
+    * the cache's corpus-fingerprint fencing. Only called for
+    * [[dflIndexable]] corpora: an in-memory corpus canonicalizes to its
+    * schema (its ROWS are invisible to the plan string), so two distinct
+    * in-memory corpora with equal schemas would collide on one key and
+    * silently share an index — those run the ad-hoc index-less paths
+    * instead. */
   private def dflCorpusKey(base: DataFrame, method: String): String =
     s"dfl|$method|" + graft.util.Md5.hex(
       // render with UNLIMITED fields: the default LogicalPlan.toString
@@ -621,6 +637,15 @@ object DflFrame {
           maxFields = Int.MaxValue, printOperatorId = false)
         +: base.schema.catalogString
         +: base.inputFiles.sorted.toSeq)
+
+  /** A DFL ANN corpus is cache-indexable only when every plan leaf is a
+    * file-backed scan: the plan string + file fingerprints then identify
+    * the data. Any in-memory leaf (LocalRelation — e.g. a test corpus or
+    * an inline literal dataset) makes the fingerprint blind to the rows,
+    * so those corpora fall back to the ad-hoc index-less paths — correct
+    * answers, no cross-corpus cache collisions, just no build reuse. */
+  private def dflIndexable(base: DataFrame): Boolean =
+    graft.llm.Similarity.fileBackedCorpus(base)
 
   private def assembleDict(df: DataFrame, d: DictLit, vars: Map[String, Any]): DataFrame = {
     val aggs = scala.collection.mutable.ListBuffer.empty[Column]

@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** dot(a, b) over array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column = graft.functions.VectorF.dot(a, b)
 
@@ -391,13 +393,183 @@ object Similarity {
         s"sidecar replace rename $staging -> $target failed")
   }
 
+  /** All leaves of `df`'s plan are file-backed scans — the shape where
+    * the plan string + input-file metadata identify the ROWS. An
+    * in-memory leaf (LocalRelation / LogicalRDD) renders only its schema
+    * in the plan string, so its data is invisible to any plan-derived
+    * fingerprint. */
+  private[graft] def fileBackedCorpus(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileTable]
+      case _ => false
+    }
+  }
+
+  /** Deterministic id for one append batch: the canonicalized plan plus
+    * every input file's (path, length, mtime). Two calls appending the
+    * SAME rows from the SAME file state get the same id — which is what
+    * makes a crashed-then-retried append idempotent ([[stagedAppend]])
+    * — while a new or regenerated file, or a different filter/projection,
+    * changes it. A batch with any non-file leaf (in-memory data, whose
+    * ROWS the plan string cannot see) gets a RANDOM id instead: retry
+    * idempotency honestly surrendered rather than risking two different
+    * in-memory batches colliding on one id and the second silently
+    * skipped. The cached lifecycle's appends are always file-backed
+    * filters, so they always get the deterministic form. */
+  private[llm] def appendBatchId(df: DataFrame): String =
+    if (fileBackedCorpus(df))
+      graft.util.Md5.hex(Iterator.single(
+        df.queryExecution.analyzed.canonicalized.treeString(
+          verbose = false, addSuffix = false,
+          maxFields = Int.MaxValue, printOperatorId = false)) ++
+        corpusFileMeta(df).iterator.map {
+          case (f, (len, mtime)) => s"$f:$len:$mtime;"
+        }).take(16)
+    else java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** Crash/retry-safe append commit shared by [[ivfAppend]] and
+    * [[lshAppend]] — the append-path counterpart of [[stagedCommit]].
+    * A bare `mode("append")` into the live dir was NOT retry-safe: the
+    * cached lifecycle retries a failed append (lazy slot), and a retry
+    * after the vectors write had committed would append every row TWICE
+    * (duplicate ids in the index, duplicate ids in top-k answers). Here
+    * the new rows stage under `.append-<id>`, a `_COMMITTING` flag marks
+    * the staging complete, and the commit phase ([[commitStagedAppend]])
+    * is a sequence of idempotent, resumable steps fenced by a durable
+    * `vectors/_append-<id>` marker:
+    *
+    *  - marker exists → the append is fully applied; a retried append is
+    *    a no-op (stale staging swept)
+    *  - no `_COMMITTING` → staging may be partial; rewrite it from scratch
+    *  - `_COMMITTING`, no marker → resume the commit where the crash
+    *    stopped: part files already moved are gone from staging, and the
+    *    occupancy merge is guarded by its own in-dir applied marker
+    *
+    * Appends remain single-writer operations per index dir (the same
+    * contract as in-place rebuilds); readers stay safe throughout —
+    * no existing file is removed or rewritten. */
+  private def stagedAppend(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, id: String)
+                          (stageWrite: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexDir))
+    val staging = new org.apache.hadoop.fs.Path(root, s".append-$id")
+    val applied = new org.apache.hadoop.fs.Path(root, s"vectors/_append-$id")
+    if (fs.exists(applied)) { fs.delete(staging, true); return }
+    val committing = new org.apache.hadoop.fs.Path(staging, "_COMMITTING")
+    if (!fs.exists(committing)) {
+      fs.delete(staging, true)
+      stageWrite(staging.toString)
+      fs.create(committing, true).close()
+    }
+    commitStagedAppend(spark, indexDir, staging, id)
+  }
+
+  /** The COMMIT phase of a staged append: move the staged part files into
+    * the live partition directories (each rename atomic; files already
+    * moved by an earlier crashed attempt are absent from staging, so the
+    * walk resumes where it stopped), apply the staged occupancy delta if
+    * one exists (guarded by an `_applied-<id>` marker written INSIDE the
+    * swapped occupancy dir, so the merged histogram and its applied
+    * record commit atomically with the sidecar rename and can never
+    * double-apply), then durably mark the whole append done with a
+    * `vectors/_append-<id>` marker. That marker is ALSO the nonce that
+    * changes the vectors dir's top-level path LISTING — the memoized
+    * index snapshots ([[ivfMeta]]/[[lshMeta]]) invalidate on the path
+    * set, not on directory-mtime granularity (two appends inside one
+    * mtime tick are still told apart). */
+  private def commitStagedAppend(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String,
+                                 staging: org.apache.hadoop.fs.Path,
+                                 id: String): Unit = {
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val stagedVec = new org.apache.hadoop.fs.Path(staging, "vectors")
+    if (fs.exists(stagedVec)) {
+      fs.listStatus(stagedVec).foreach { part =>
+        if (part.isDirectory && part.getPath.getName.contains("=")) {
+          val dst = new org.apache.hadoop.fs.Path(live, part.getPath.getName)
+          fs.mkdirs(dst)
+          fs.listStatus(part.getPath).foreach { f =>
+            val n = f.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".") &&
+                !fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dst, n)))
+              throw new java.io.IOException(
+                s"append move ${f.getPath} -> $dst failed")
+          }
+        }
+      }
+    }
+    val delta = new org.apache.hadoop.fs.Path(staging, "delta")
+    if (fs.exists(delta)) {
+      val occ = new org.apache.hadoop.fs.Path(s"$indexDir/occupancy")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(occ, s"_applied-$id"))) {
+        val merged =
+          if (fs.exists(occ))
+            spark.read.parquet(occ.toString)
+              .unionByName(spark.read.parquet(delta.toString))
+              .groupBy("bucket").agg(sum("count").as("count"))
+          else // legacy index, or occupancy lost to a crash mid-swap:
+               // recount from the index's bucket column (the moved rows
+               // are live already, so the recount includes this batch)
+            spark.read.parquet(s"$indexDir/vectors")
+              .filter(col("bucket").isNotNull).groupBy("bucket").count()
+        replaceSidecar(spark, indexDir, "occupancy") { p =>
+          merged.coalesce(1).write.mode("overwrite").parquet(p)
+          fs.create(new org.apache.hadoop.fs.Path(p, s"_applied-$id"), true)
+            .close()
+        }
+      }
+    }
+    fs.create(new org.apache.hadoop.fs.Path(live, s"_append-$id"), true).close()
+    fs.delete(staging, true)
+  }
+
+  /** Finish any earlier append that crashed after its staging committed
+    * (`_COMMITTING` present, `vectors/_append-<id>` marker absent) —
+    * called by both append entry points before their own work, so an
+    * ABANDONED crashed append (its caller never retried) cannot leave
+    * the occupancy permanently missing that batch's delta once later
+    * appends land. A staging without `_COMMITTING` wrote nothing live
+    * and is left alone — its owner either retries (overwriting it) or a
+    * retention sweep collects it with the index dir. */
+  private def healStrandedAppends(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexDir))
+    val entries =
+      try fs.listStatus(root)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".append-")) {
+        val id = n.stripPrefix(".append-")
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, s"vectors/_append-$id")))
+          fs.delete(st.getPath, true) // applied; only the cleanup was lost
+        else if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTING"))) {
+          log.warn(s"healing stranded append $id at $indexDir")
+          commitStagedAppend(spark, indexDir, st.getPath, id)
+        }
+      }
+    }
+  }
+
   /** APPEND rows to a built IVF index WITHOUT retraining: assign the new
     * rows to the EXISTING centroids (standard IVF practice — the coarse
-    * quantizer is fixed at build time) and append them into the list
-    * partitions. Cost is one pass over the NEW data only — no training,
-    * no rewrite of the existing corpus — which is what a daily-ingest
-    * pipeline needs at 100 TB. Readers are safe throughout: append never
-    * removes or rewrites a file an in-flight probe references.
+    * quantizer is fixed at build time) and move them into the list
+    * partitions via the crash/retry-safe [[stagedAppend]] commit (a
+    * retried or replayed append of the same file-backed batch is a
+    * no-op, never a double-append). Cost is one pass over the NEW data
+    * only — no training, no rewrite of the existing corpus — which is
+    * what a daily-ingest pipeline needs at 100 TB. Readers are safe
+    * throughout: append never removes or rewrites a file an in-flight
+    * probe references.
     *
     * DRIFT BOUND: probes stay exact over whatever lands in the probed
     * lists — appended vectors are found exactly as built ones are — but
@@ -421,7 +593,11 @@ object Similarity {
         s"ivfAppend: column '$c' type ${assigned.schema(c).dataType} != " +
           s"index type ${idx.vectors.schema(c).dataType}")
     }
-    assigned.write.mode("append").partitionBy("list").parquet(s"$indexDir/vectors")
+    healStrandedAppends(sess, indexDir)
+    stagedAppend(sess, indexDir, appendBatchId(df)) { staging =>
+      assigned.write.mode("overwrite").partitionBy("list")
+        .parquet(s"$staging/vectors")
+    }
   }
 
   /** Rows per IVF list — the skew monitor for the append lifecycle: one
@@ -453,11 +629,13 @@ object Similarity {
   private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String): IvfMeta = {
     val key = s"${sessionTag(spark)}|$indexDir"
-    // "vectors" is in the stamp so an APPEND (new part files inside the
-    // list= dirs — their mtimes change, as does the rewritten _SUCCESS)
-    // invalidates the memoized vectors DataFrame, whose file listing is a
-    // snapshot; rebuilds already changed the centroids listing. The dirs'
-    // listStatus is one RPC over ≤ kLists entries.
+    // "vectors" is in the stamp so an APPEND invalidates the memoized
+    // vectors DataFrame, whose file listing is a snapshot: every append
+    // adds a `_append-<id>` marker at the vectors dir's TOP level
+    // (commitStagedAppend), so the stamp changes on the path SET — two
+    // appends inside one mtime tick are still told apart. Rebuilds
+    // already changed the centroids listing. The dirs' listStatus is one
+    // RPC over ≤ kLists entries.
     val stamp = sidecarStamp(spark, indexDir, Seq("centroids", "vectors"))
     val cached = ivfMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
@@ -513,7 +691,6 @@ object Similarity {
   def ivfQueryBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                     queries: Seq[(Long, Seq[Double])], k: Int,
                     nprobe: Int = 8, chunkSize: Int = 256): DataFrame = {
-    import graft.functions.{MatVecF, TopKF, VectorF}
     require(queries.nonEmpty, "ivfQueryBatch: empty query batch")
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"ivfQueryBatch: ragged query dims $dims")
@@ -532,27 +709,35 @@ object Similarity {
       nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
+    scoreIvfGroup(
+      idx.vectors.filter(col("list").isin(allLists: _*)), // pruned union read
+      queries, probeLists, k)
+  }
+
+  /** The shared matrix-scoring tail of the batched IVF paths (indexed
+    * [[ivfQueryBatch]] and ad-hoc [[ivfTopKBatch]]): score one group of
+    * queries against a candidate frame carrying (id, v, list) — per-row
+    * [[graft.functions.MatVecDots]] against the group's query matrix, a
+    * per-query probe-list membership filter (pure column math, no join:
+    * batch ≡ per-query [[ivfQuery]]), degenerate-query exclusion exactly
+    * as in [[bruteForceTopKBatch]], and the bounded-heap top-k per
+    * query. Returns (qid, id, cos). */
+  private def scoreIvfGroup(vecs: DataFrame, queries: Seq[(Long, Seq[Double])],
+                            probeLists: Seq[Seq[Int]], k: Int): DataFrame = {
+    import graft.functions.{MatVecF, TopKF, VectorF}
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
     val qIds = queries.map(_._1)
-    // literal (query index → its probe lists): the membership filter is
-    // pure column math, no join, no broadcast
     val probeLit = array(probeLists.map(ls => array(ls.map(lit): _*)): _*)
-    val scored = idx.vectors
-      .filter(col("list").isin(allLists: _*)) // partition-pruned union read
+    val scored = vecs
       .withColumn("vnorm", VectorF.norm(col("v")))
       .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
       .select(col("id"), col("list"), col("vnorm"),
         posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
-      // per-query probe-list membership: batch ≡ per-query ivfQuery
       .filter(array_contains(element_at(probeLit, col("pos") + 1), col("list")))
       .select(col("pos"),
         round(col("col") / (col("vnorm") *
           element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"),
         col("id"))
-      // degenerate QUERY guard, exactly as in bruteForceTopKBatch: a
-      // zero-norm query's NULL cos / NaN-element query's NaN cos must not
-      // reach the heap — ivfQuery's rerank drops them, so the batch path
-      // must too to stay row-for-row identical
       .filter(col("cos").isNotNull && !isnan(col("cos")))
     scored
       .groupBy("pos")
@@ -560,6 +745,36 @@ object Similarity {
       .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
         explode(col("topk")).as("hit"))
       .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
+  /** Ad-hoc (index-less) IVF ANN top-k for a BATCH of queries: train the
+    * coarse quantizer once (deterministic, as [[ivfTopK]]), assign in the
+    * same plan, and score every chunk through the shared
+    * [[scoreIvfGroup]] tail. For one-shot exploration and IN-MEMORY
+    * corpora — no index dir, nothing cached, one full corpus pass per
+    * call; a serving path should [[ivfBuild]] once and [[ivfQueryBatch]]
+    * against the partition-pruned layout instead. Returns (qid, id,
+    * cos), row-identical to an [[ivfTopK]] per query at equal params. */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                   queries: Seq[(Long, Seq[Double])], k: Int,
+                   kLists: Int = 16, nprobe: Int = 8,
+                   trainSample: Int = 2048, chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfTopKBatch: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfTopKBatch: ragged query dims $dims")
+    require(chunkSize > 0, "ivfTopKBatch: chunkSize must be positive")
+    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    require(dims.head == centroids.head.length,
+      s"ivfTopKBatch: query dim ${dims.head} != corpus dim ${centroids.head.length}")
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    queries.grouped(chunkSize).map { chunk =>
+      val probeLists = chunk.map { case (_, q) =>
+        nearestLists(centroids, q.toArray, nprobe)
+      }
+      val allLists = probeLists.flatten.distinct
+      scoreIvfGroup(assigned.filter(col("list").isin(allLists: _*)),
+        chunk, probeLists, k)
+    }.reduce(_ unionByName _)
   }
 
   /** One-per-process index registry for [[ivfTopKIndexed]]: the first call
@@ -687,6 +902,11 @@ object Similarity {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
     def ok(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      // parquet resolves through DSv2 on deployments that exclude it from
+      // spark.sql.sources.useV1SourceList — same file-scan semantics,
+      // same append safety
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileTable]
       case p: Project       => p.projectList.forall(_.deterministic) && ok(p.child)
       case f: Filter        => f.condition.deterministic && ok(f.child)
       case s: SubqueryAlias => ok(s.child)
@@ -734,11 +954,12 @@ object Similarity {
     indexCache.compute(cacheKey, (_, prev) =>
       if (prev != null && prev.stamp == stamp) prev
       else {
-        val canAppend = append.isDefined && prev != null &&
+        val grownInPlace = prev != null && append.isDefined &&
           prev.stamp.endsWith(s"|$paramStamp") &&
           prev.files.nonEmpty && fileMap.size > prev.files.size &&
+          prev.files.forall { case (f, m) => fileMap.get(f).contains(m) }
+        val canAppend = grownInPlace &&
           fileMap.size <= prev.baseFileCount * appendRebuildFactor &&
-          prev.files.forall { case (f, m) => fileMap.get(f).contains(m) } &&
           appendSafePlan(df)
         if (canAppend) {
           val newFiles = (fileMap.keySet -- prev.files.keySet).toSeq
@@ -752,11 +973,34 @@ object Similarity {
             append.get(newRows, d)
             d
           })
-        } else new IndexSlot(stamp, fileMap, fileMap.size, () => {
-          val d = newIndexDir(spark, cacheKey, stamp)
-          build(d)
-          d
-        })
+        } else {
+          // make the append path's ABSENCE diagnosable: a corpus that
+          // grew by pure file addition but still retrains should say why
+          if (grownInPlace)
+            log.debug(s"cachedIndex[$cacheKey]: grown corpus NOT appended (" +
+              (if (fileMap.size > prev.baseFileCount * appendRebuildFactor)
+                 s"file growth ${fileMap.size}/${prev.baseFileCount} past " +
+                   s"rebuild factor $appendRebuildFactor"
+               else "plan not append-safe") + "); retraining from scratch")
+          new IndexSlot(stamp, fileMap, fileMap.size, () => {
+            val d = newIndexDir(spark, cacheKey, stamp)
+            build(d)
+            // optional retention sweep after a successful rebuild: every
+            // corpus/param change — and every threshold retrain — strands
+            // the previous stamp dir otherwise. Scoped to THIS key's hash;
+            // `graft.ivf.gcKeep` generations survive (>= 2 keeps the dir
+            // in-flight readers of the superseded index may still probe).
+            spark.conf.getOption("graft.ivf.gcKeep").foreach { keep =>
+              spark.conf.getOption("graft.ivf.indexBase").foreach { base =>
+                val minAge = spark.conf.getOption("graft.ivf.gcMinAgeMs")
+                  .map(_.toLong).getOrElse(0L)
+                graft.tools.IndexGc.sweep(spark, base, keep.toInt, minAge,
+                  Some(graft.util.Md5.hex(cacheKey).take(16)))
+              }
+            }
+            d
+          })
+        }
       }).dir
   }
 
@@ -908,17 +1152,20 @@ object Similarity {
     * with the recorded family and appending into the pband partitions
     * yields an index bit-identical (as a row multiset) to a full rebuild
     * over the grown corpus. One signature pass over the NEW data only;
-    * readers are safe throughout (no existing file is touched). The
-    * occupancy sidecar is MERGED (old histogram + the new rows' bucket
-    * counts — the signature is deterministic, so the recomputed delta
-    * matches what was written) and swapped via [[replaceSidecar]]; its
-    * rewrite is also what advances the meta stamp for ZERO-job warm
-    * radius planning over the grown index. A legacy index with no
-    * occupancy sidecar (or one lost to a crash mid-swap) gets a full
-    * recount from the index's bucket column — a column-pruned scan, not
-    * a corpus signature pass. Appends accumulate part files; rebuild to
-    * compact once growth is large (the cached lifecycle does so at
-    * [[appendRebuildFactor]]). */
+    * readers are safe throughout (no existing file is touched), and the
+    * whole append goes through the crash/retry-safe [[stagedAppend]]
+    * commit — a retried or replayed append of the same file-backed batch
+    * is a no-op, never a double-append. The occupancy sidecar is MERGED
+    * (old histogram + the batch's STAGED per-bucket delta — durable in
+    * the staging dir, so the merge survives a crash after the part-file
+    * moves) and swapped atomically with its `_applied-<id>` marker via
+    * [[replaceSidecar]]; its rewrite is also what advances the meta
+    * stamp for ZERO-job warm radius planning over the grown index. A
+    * legacy index with no occupancy sidecar (or one lost to a crash
+    * mid-swap) gets a full recount from the index's bucket column — a
+    * column-pruned scan, not a corpus signature pass. Appends accumulate
+    * part files; rebuild to compact once growth is large (the cached
+    * lifecycle does so at [[appendRebuildFactor]]). */
   def lshAppend(df: DataFrame, idCol: String, vecCol: String,
                 indexDir: String): Unit = {
     val sess = df.sparkSession
@@ -931,20 +1178,19 @@ object Similarity {
         s"lshAppend: column '$c' type ${sigs.schema(c).dataType} != " +
           s"index type ${idx.vectors.schema(c).dataType}")
     }
-    sigs.write.mode("append").partitionBy("pband").parquet(s"$indexDir/vectors")
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(sess.sessionState.newHadoopConf())
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/occupancy")))
-        sess.read.parquet(s"$indexDir/occupancy")
-          .unionByName(sigs.filter(col("bucket").isNotNull)
-            .groupBy("bucket").count())
-          .groupBy("bucket").agg(sum("count").as("count"))
-      else // legacy index or a crash between an earlier append's swap
-        sess.read.parquet(s"$indexDir/vectors")
-          .filter(col("bucket").isNotNull).groupBy("bucket").count()
-    replaceSidecar(sess, indexDir, "occupancy")(p =>
-      merged.coalesce(1).write.mode("overwrite").parquet(p))
+    healStrandedAppends(sess, indexDir)
+    stagedAppend(sess, indexDir, appendBatchId(df)) { staging =>
+      sigs.write.mode("overwrite").partitionBy("pband")
+        .parquet(s"$staging/vectors")
+      // the per-bucket DELTA stages alongside the vectors: the occupancy
+      // merge must survive a crash AFTER the part-file moves, when the
+      // staged vectors are gone from staging and nothing is left to
+      // recount cheaply. Read back from the staged write (column-pruned)
+      // rather than recomputing signatures over the corpus.
+      sess.read.parquet(s"$staging/vectors")
+        .filter(col("bucket").isNotNull).groupBy("bucket").count()
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/delta")
+    }
   }
 
   /** Driver-memoized LSH index metadata: the (n_bits, dim, partition_bits)
@@ -1005,8 +1251,10 @@ object Similarity {
     // SparkSessions
     val key = s"${sessionTag(spark)}|$indexDir"
     // "vectors" guards the memoized DataFrame against appends that landed
-    // their files but crashed before the occupancy swap — the normal
-    // append path already advances the stamp by rewriting occupancy
+    // their files but crashed before the occupancy swap; completed
+    // appends advance the stamp doubly — the rewritten occupancy part
+    // file AND the `vectors/_append-<id>` marker, a path-SET change that
+    // doesn't depend on mtime granularity
     val stamp = sidecarStamp(spark, indexDir, Seq("meta", "occupancy", "vectors"))
     val cached = lshMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
@@ -1121,21 +1369,34 @@ object Similarity {
     * r, nulls excluded on both sides), else via `countAt` (one counting
     * job per step, O(log nBits) total). One implementation so the
     * histogram path can never drift from the counting loop it replaces —
-    * the zero-jobs specs gate their equivalence. */
+    * the zero-jobs specs gate their equivalence.
+    *
+    * SCALING BOUND: the histogram path costs exactly ONE O(buckets)
+    * popcount pass per query — the buckets pre-bucket into an
+    * (nBits+1)-cell distance profile, and every radius step is then an
+    * O(1) cumulative lookup. The previous per-step rescan was
+    * O(buckets × steps) and unguarded at the [[maxHistogramBuckets]]
+    * = 2²⁰ cap × a 256-query batch chunk (~10⁹ driver bitCounts); the
+    * pre-bucketed form is bounded by cap × chunk ≈ 2.7×10⁸ popcounts
+    * per chunk (≲0.3 s driver CPU) regardless of how many expansion
+    * steps the queries take. */
   private def chooseRadius(histogram: Option[(Array[Long], Array[Long])],
                            qSig: Long, nBits: Int, minCandidates: Int)
                           (countAt: Int => Long): Int = {
     val count: Int => Long = histogram match {
       case Some((buckets, counts)) =>
-        r => {
-          var s = 0L
-          var i = 0
-          while (i < buckets.length) {
-            if (java.lang.Long.bitCount(buckets(i) ^ qSig) <= r) s += counts(i)
-            i += 1
-          }
-          s
+        val within = new Array[Long](nBits + 1)
+        var i = 0
+        while (i < buckets.length) {
+          val d = java.lang.Long.bitCount(buckets(i) ^ qSig)
+          // a (corrupt) bucket with bits beyond nBits stays excluded at
+          // every radius, exactly as the per-step scan excluded it
+          if (d <= nBits) within(d) += counts(i)
+          i += 1
         }
+        var d = 1
+        while (d <= nBits) { within(d) += within(d - 1); d += 1 }
+        r => within(math.min(r, nBits))
       case None => countAt
     }
     var r = 1
@@ -1172,16 +1433,18 @@ object Similarity {
     * [[graft.functions.MatVecDots]], a per-row per-query Hamming
     * membership filter keeps each query to ITS candidates, and the
     * bounded-heap [[graft.functions.TopKF]] keeps k per query — the only
-    * shuffle carries ≤ partitions × |queries| × k rows. Falls back to an
-    * unpruned (but still one-pass) read when any query's ball outgrows
-    * `maxEnumBuckets`, and to per-step counting jobs only for a legacy
-    * index with no occupancy sidecar. Same plan-literal `chunkSize`
-    * bound as the other batch entry points. Returns (qid, id, cos). */
+    * shuffle carries ≤ partitions × |queries| × k rows. A query whose
+    * ball outgrows `maxEnumBuckets` falls back to an unpruned scan
+    * WITHOUT dragging the rest of the chunk with it (per-group pruning:
+    * enumerable queries keep their one union-pruned read, overflow
+    * queries share one scan, the answers union); per-step counting jobs
+    * happen only for a legacy index with no occupancy sidecar. Same
+    * plan-literal `chunkSize` bound as the other batch entry points.
+    * Returns (qid, id, cos). */
   def lshQueryBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                     queries: Seq[(Long, Seq[Double])], k: Int,
                     minCandidates: Int = 100, maxEnumBuckets: Int = 4096,
                     chunkSize: Int = 256): DataFrame = {
-    import graft.functions.{MatVecF, TopKF, VectorF}
     require(queries.nonEmpty, "lshQueryBatch: empty query batch")
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"lshQueryBatch: ragged query dims $dims")
@@ -1210,22 +1473,51 @@ object Similarity {
       case (qSig, radius) =>
         prefixBall(qSig, nBits, idx.pBits, radius, maxEnumBuckets)
     }
-    val pruned =
-      if (balls.forall(_.isDefined)) {
-        val ids = balls.flatMap(_.get).distinct
-        vectors.filter(col("pband").isin(pbandLiterals(idx, ids): _*))
-      } else vectors
+    // PER-GROUP pruning: one adversarial wide-ball query must not cost
+    // every other query its pruned read. Queries split into the
+    // ball-enumerable group (ONE union-pruned read over their balls) and
+    // the overflow group (one unpruned scan); each query's own Hamming
+    // membership filter defines its candidate set, so the split cannot
+    // change any query's answer — the groups' results simply union.
+    val (enumIdx, scanIdx) = queries.indices.partition(i => balls(i).isDefined)
+    def slice[T](xs: Seq[T], ix: Seq[Int]): Seq[T] = ix.map(xs)
+    val parts = Seq(
+      if (enumIdx.isEmpty) None else Some {
+        val ids = enumIdx.flatMap(i => balls(i).get).distinct
+        scoreLshGroup(
+          vectors.filter(col("pband").isin(pbandLiterals(idx, ids): _*)),
+          slice(queries, enumIdx), slice(qSigs, enumIdx),
+          slice(radii, enumIdx), k)
+      },
+      if (scanIdx.isEmpty) None
+      else Some(scoreLshGroup(vectors, slice(queries, scanIdx),
+        slice(qSigs, scanIdx), slice(radii, scanIdx), k))
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The shared matrix-scoring tail of the batched LSH paths (indexed
+    * pruned group, indexed overflow group, ad-hoc [[lshTopKBatch]]):
+    * score one group of queries against a candidate frame carrying
+    * (id, v, bucket) — per-row [[graft.functions.MatVecDots]] against
+    * the group's query matrix, per-query exact Hamming membership
+    * (batch ≡ per-query [[lshQuery]]; NULL-bucket rows fail every
+    * comparison), degenerate-query exclusion, and the bounded-heap
+    * [[graft.functions.TopKF]] top-k per query — the only shuffle
+    * carries ≤ partitions × |group| × k rows. Returns (qid, id, cos). */
+  private def scoreLshGroup(vecs: DataFrame, queries: Seq[(Long, Seq[Double])],
+                            qSigs: Seq[Long], radii: Seq[Int],
+                            k: Int): DataFrame = {
+    import graft.functions.{MatVecF, TopKF, VectorF}
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
     val qIds = queries.map(_._1)
     val sigLit = array(qSigs.map(lit): _*)
     val radiusLit = array(radii.map(lit): _*)
-    val scored = pruned
+    val scored = vecs
       .withColumn("vnorm", VectorF.norm(col("v")))
       .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
       .select(col("id"), col("bucket"), col("vnorm"),
         posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
-      // per-query exact Hamming membership: batch ≡ per-query lshQuery
-      // (NULL-bucket rows fail every comparison, as in the single path)
       .filter(bit_count(col("bucket").bitwiseXOR(
           element_at(sigLit, col("pos") + 1))) <=
         element_at(radiusLit, col("pos") + 1))
@@ -1241,6 +1533,44 @@ object Similarity {
       .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
         explode(col("topk")).as("hit"))
       .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
+  /** Ad-hoc (index-less) LSH ANN top-k for a BATCH of queries: one
+    * signature pass buckets the corpus, ONE bucket-histogram job feeds
+    * every query's driver-side radius choice (same decisions as
+    * [[lshTopK]] per query), and the shared [[scoreLshGroup]] tail
+    * scores each chunk in one corpus pass. For one-shot exploration and
+    * IN-MEMORY corpora — no index dir, nothing cached, the whole corpus
+    * is scanned per call; a serving path should [[lshBuild]] once and
+    * [[lshQueryBatch]] against the pruned layout instead. Returns
+    * (qid, id, cos), row-identical to a [[lshTopK]] per query. */
+  def lshTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                   queries: Seq[(Long, Seq[Double])], k: Int,
+                   nBits: Int = 16, minCandidates: Int = 100,
+                   chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "lshTopKBatch: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshTopKBatch: ragged query dims $dims")
+    require(chunkSize > 0, "lshTopKBatch: chunkSize must be positive")
+    val dim = dims.head
+    val planes = hyperplanes(nBits, dim)
+    val bucketed = lshBuckets(df, idCol, vecCol, nBits, dim)
+    // same one-job histogram as lshTopK, replayed driver-side per query
+    val hist = bucketed.filter(col("bucket").isNotNull)
+      .groupBy("bucket").count()
+      .limit(maxHistogramBuckets + 1).collect()
+    val histogram =
+      if (hist.length <= maxHistogramBuckets)
+        Some((hist.map(_.getLong(0)), hist.map(_.getLong(1))))
+      else None
+    queries.grouped(chunkSize).map { chunk =>
+      val qSigs = chunk.map { case (_, q) => querySignature(q, planes) }
+      val radii = qSigs.map(qSig =>
+        chooseRadius(histogram, qSig, nBits, minCandidates)(r =>
+          bucketed.filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= r)
+            .limit(minCandidates).count()))
+      scoreLshGroup(bucketed, chunk, qSigs, radii, k)
+    }.reduce(_ unionByName _)
   }
 
   /** The embedding dimension a built index expects — from the memoized

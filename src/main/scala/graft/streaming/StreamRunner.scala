@@ -270,22 +270,27 @@ object StreamRunner {
         // never poison the well-formed queries, while every OTHER probe
         // failure (missing index, genuine bug) PROPAGATES and fails the
         // stream — a blanket exception catch here would silently drop
-        // real faults along with the bad dims
-        val expectDim =
-          graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
-        qs.groupBy(_._2.size).foreach { case (dim, group) =>
-          if (dim != expectDim)
-            log.warn(s"annServe: skipping ${group.size} queries with dim " +
-              s"$dim != index dim $expectDim (qids " +
-              s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
-          else {
-            val answer = method match {
-              case "lsh" => graft.llm.Similarity.lshQueryBatch(
-                batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
-              case _ => graft.llm.Similarity.ivfQueryBatch(
-                batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+        // real faults along with the bad dims. The dim resolves ONLY when
+        // a probe would actually run: a batch with zero valid queries
+        // must not fail the stream while the index is still being built
+        // or a sidecar swap is momentarily in flight.
+        if (qs.nonEmpty) {
+          val expectDim =
+            graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
+          qs.groupBy(_._2.size).foreach { case (dim, group) =>
+            if (dim != expectDim)
+              log.warn(s"annServe: skipping ${group.size} queries with dim " +
+                s"$dim != index dim $expectDim (qids " +
+                s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
+            else {
+              val answer = method match {
+                case "lsh" => graft.llm.Similarity.lshQueryBatch(
+                  batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
+                case _ => graft.llm.Similarity.ivfQueryBatch(
+                  batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+              }
+              sink(answer) // sink failures still surface — deliberately
             }
-            sink(answer) // sink failures still surface — deliberately
           }
         }
     }.start()

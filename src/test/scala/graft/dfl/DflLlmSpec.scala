@@ -134,6 +134,46 @@ class DflLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("in-memory corpora run the ad-hoc ANN paths — no schema-keyed cache collision") {
+    import spark.implicits._
+    // two DISTINCT in-memory corpora with IDENTICAL schemas: before the
+    // ad-hoc fallback these canonicalized to the same cache key (a
+    // LocalRelation's rows are invisible to the plan string) and the
+    // second would silently probe the first's index
+    def mk(ids: Seq[Long], shift: Double) = ids.map { i =>
+      (i, (0 until 8).map(d => shift + i * 0.01 + d * 0.1))
+    }.toDF("id", "v")
+    val c1 = mk(1L to 20L, 0.0)
+    val c2 = mk(101L to 120L, 5.0)
+    val q1 = (0 until 8).map(d => 0.01 + d * 0.1)
+    val q2 = (0 until 8).map(d => 5.0 + 1.01 + d * 0.1)
+    Seq("ivf", "lsh").foreach { m =>
+      val r1 = DflFrame.pipeline(c1,
+        s"annTopK(@, '@id', '@v', $$q, 3, '$m')", Map("q" -> q1))
+        .collect().map(_.getLong(0)).toSet
+      assert(r1.nonEmpty && r1.forall(_ <= 20L), s"$m corpus1: $r1")
+      val r2 = DflFrame.pipeline(c2,
+        s"annTopK(@, '@id', '@v', $$q, 3, '$m')", Map("q" -> q2))
+        .collect().map(_.getLong(0)).toSet
+      assert(r2.nonEmpty && r2.forall(_ >= 101L),
+        s"$m corpus2 served another corpus's rows: $r2")
+    }
+    // the batched stages take the same fallback
+    val qs1: Seq[Seq[Any]] = Seq(Seq(1L, q1))
+    val qs2: Seq[Seq[Any]] = Seq(Seq(1L, q2))
+    Seq("ivf", "lsh").foreach { m =>
+      val b1 = DflFrame.pipeline(c1,
+        s"annTopKBatch(@, '@id', '@v', $$qs, 3, '$m')", Map("qs" -> qs1))
+        .collect().map(_.getLong(1)).toSet
+      assert(b1.nonEmpty && b1.forall(_ <= 20L), s"$m batch corpus1: $b1")
+      val b2 = DflFrame.pipeline(c2,
+        s"annTopKBatch(@, '@id', '@v', $$qs, 3, '$m')", Map("qs" -> qs2))
+        .collect().map(_.getLong(1)).toSet
+      assert(b2.nonEmpty && b2.forall(_ >= 101L),
+        s"$m batch corpus2 served another corpus's rows: $b2")
+    }
+  }
+
   test("LLM stages compose with the rest of the pipeline and with := vars") {
     // dedup output feeds a filter + hist like any dataset stage
     val out = DflFrame.pipeline(docs,

@@ -1002,4 +1002,255 @@ class LlmSpec extends AnyFunSuite {
         s"expected a threshold retrain, got dirs ${idxDirs().mkString(",")}")
     } finally spark.conf.unset("graft.ivf.indexBase")
   }
+
+  // ---------- append crash/retry safety ----------
+
+  private def rmrf(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+    f.delete(); ()
+  }
+
+  private def touch(p: String): Unit = {
+    new java.io.File(p).getParentFile.mkdirs()
+    new java.io.File(p).createNewFile(); ()
+  }
+
+  test("a replayed file-backed append is a no-op (idempotent by batch id)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appidem").toString
+    val dir = s"$root/idx"
+    emb.filter($"vec_id" < 150).select($"vec_id", $"embedding")
+      .write.parquet(s"$root/batchB") // file-backed batch → deterministic id
+    val bDf = spark.read.parquet(s"$root/batchB")
+    Similarity.lshBuild(emb.filter($"vec_id" >= 150).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    Similarity.lshAppend(bDf, "vec_id", "embedding", dir)
+    val count1 = spark.read.parquet(s"$dir/vectors").count()
+    val occ1 = spark.read.parquet(s"$dir/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(count1 == emb.count())
+    // the retry shape: the SAME file-backed batch appended again — the
+    // durable _append-<id> marker makes it a no-op, never a double-append
+    Similarity.lshAppend(bDf, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == count1)
+    assert(spark.read.parquet(s"$dir/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == occ1)
+    // same contract on the IVF side
+    val ivfDir = s"$root/ivf"
+    Similarity.ivfBuild(emb.filter($"vec_id" >= 150).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", ivfDir, kLists = 4, trainSample = 64)
+    Similarity.ivfAppend(bDf, "vec_id", "embedding", ivfDir)
+    Similarity.ivfAppend(bDf, "vec_id", "embedding", ivfDir)
+    assert(spark.read.parquet(s"$ivfDir/vectors").count() == emb.count())
+  }
+
+  test("append crash windows: a retried half-committed append neither double-appends nor double-merges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appcrash").toString
+    val dir = s"$root/idx"
+    emb.filter($"vec_id" >= 150).select($"vec_id", $"embedding")
+      .write.parquet(s"$root/batchB")
+    val bDf = spark.read.parquet(s"$root/batchB")
+    val id = Similarity.appendBatchId(bDf)
+    Similarity.lshBuild(emb.filter($"vec_id" < 150).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    def occSet() = spark.read.parquet(s"$dir/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preOcc = occSet()
+    Similarity.lshAppend(bDf, "vec_id", "embedding", dir)
+    val postOcc = occSet()
+    val postCount = spark.read.parquet(s"$dir/vectors").count()
+    assert(postCount == emb.count())
+    // the batch's per-bucket delta, as the staged append persists it
+    val delta = Similarity.lshBuckets(bDf, "vec_id", "embedding", 16, 64)
+      .filter($"bucket".isNotNull).groupBy("bucket").count()
+
+    // WINDOW 1 — crash AFTER the part-file moves, BEFORE the occupancy
+    // merge: vectors live, occupancy stale, staging holds _COMMITTING +
+    // the delta, no applied marker. (This is exactly the state the old
+    // mode('append') code turned into a double-append on retry.)
+    rmrf(s"$dir/vectors/_append-$id")
+    rmrf(s"$dir/occupancy")
+    import spark.implicits._
+    preOcc.toSeq.toDF("bucket", "count")
+      .coalesce(1).write.parquet(s"$dir/occupancy")
+    delta.coalesce(1).write.parquet(s"$dir/.append-$id/delta")
+    touch(s"$dir/.append-$id/_COMMITTING")
+    Similarity.lshAppend(bDf, "vec_id", "embedding", dir) // the retry
+    assert(spark.read.parquet(s"$dir/vectors").count() == postCount,
+      "retry after the moves must not re-append the batch")
+    assert(occSet() == postOcc,
+      "the staged delta must merge exactly once on retry")
+    assert(new java.io.File(s"$dir/vectors/_append-$id").exists())
+    assert(!new java.io.File(s"$dir/.append-$id").exists())
+
+    // WINDOW 2 — crash AFTER the occupancy merge, BEFORE the applied
+    // marker: the in-occupancy _applied-<id> marker (committed atomically
+    // with the merged histogram) must stop a second merge.
+    rmrf(s"$dir/vectors/_append-$id")
+    delta.coalesce(1).write.parquet(s"$dir/.append-$id/delta")
+    touch(s"$dir/.append-$id/_COMMITTING")
+    assert(new java.io.File(s"$dir/occupancy")
+      .listFiles().exists(_.getName == s"_applied-$id"))
+    Similarity.lshAppend(bDf, "vec_id", "embedding", dir)
+    assert(occSet() == postOcc,
+      "a merged delta must never merge twice (double-counted occupancy)")
+    assert(spark.read.parquet(s"$dir/vectors").count() == postCount)
+    // probes stay duplicate-free end to end
+    val q = emb.filter($"vec_id" === 199).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val hits = Similarity.lshQuery(spark, dir, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.distinct == hits)
+  }
+
+  test("an abandoned committed append is healed by the next append") {
+    val root = java.nio.file.Files.createTempDirectory("graft-appheal").toString
+    val dir = s"$root/idx"
+    emb.filter($"vec_id" >= 150 && $"vec_id" < 300)
+      .select($"vec_id", $"embedding").write.parquet(s"$root/batchB")
+    emb.filter($"vec_id" >= 300).select($"vec_id", $"embedding")
+      .write.parquet(s"$root/batchC")
+    val bDf = spark.read.parquet(s"$root/batchB")
+    val cDf = spark.read.parquet(s"$root/batchC")
+    Similarity.lshBuild(emb.filter($"vec_id" < 150).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    // manufacture batch B's staging exactly as stagedAppend lays it out,
+    // crashed right after _COMMITTING (nothing live yet, never retried)
+    val idB = Similarity.appendBatchId(bDf)
+    val sigsB = Similarity.lshBuckets(bDf, "vec_id", "embedding", 16, 64)
+      .withColumn("pband", shiftrightunsigned($"bucket", 8))
+    sigsB.write.partitionBy("pband").parquet(s"$dir/.append-$idB/vectors")
+    sigsB.filter($"bucket".isNotNull).groupBy("bucket").count()
+      .coalesce(1).write.parquet(s"$dir/.append-$idB/delta")
+    touch(s"$dir/.append-$idB/_COMMITTING")
+    // a LATER append of a different batch heals B before appending C:
+    // B's rows land exactly once and B's delta reaches the occupancy
+    Similarity.lshAppend(cDf, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+    assert(new java.io.File(s"$dir/vectors/_append-$idB").exists())
+    assert(!new java.io.File(s"$dir/.append-$idB").exists())
+    // occupancy equals a from-scratch rebuild's (sidecar never diverges)
+    Similarity.lshBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      s"$root/full", nBits = 16, dim = 64)
+    def occ(d: String) = spark.read.parquet(s"$d/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(occ(dir) == occ(s"$root/full"))
+  }
+
+  // ---------- index retention (IndexGc) ----------
+
+  test("IndexGc: rebuilds and threshold retrains keep the newest N dirs; stranded staging swept, orphan .old restored") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-gccorpus").toString
+    val idxBase = java.nio.file.Files.createTempDirectory("graft-gcbase").toString
+    val key = s"llmspec-gc-$corpusDir"
+    def idxDirs() = new java.io.File(idxBase).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("idx-"))
+      .map(_.getName).toSeq
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def topk() = Similarity.ivfTopKIndexed(
+      spark.read.parquet(corpusDir), "vec_id", "embedding", key, q, 5,
+      kLists = 4, nprobe = 2, trainSample = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.conf.set("graft.ivf.indexBase", idxBase)
+    spark.conf.set("graft.ivf.gcKeep", "1")
+    try {
+      emb.filter($"vec_id" < 100).select($"vec_id", $"embedding")
+        .repartition(4).write.mode("overwrite").parquet(corpusDir)
+      assert(topk().head == ((0L, 1.0)) && idxDirs().size == 1)
+      // REBUILD 1: regenerated corpus (same path, new files) → retrain in
+      // a new stamped dir; the auto-sweep keeps gcKeep=1 generation
+      emb.filter($"vec_id" < 120).select($"vec_id", $"embedding")
+        .repartition(4).write.mode("overwrite").parquet(corpusDir)
+      val afterRebuild = { topk(); idxDirs() }
+      assert(afterRebuild.size == 1,
+        s"expected the superseded dir swept, got $afterRebuild")
+      // THRESHOLD RETRAIN: grow the corpus past appendRebuildFactor —
+      // the new-dir retrain that used to strand one dir per growth
+      emb.filter($"vec_id" >= 120).select($"vec_id", $"embedding")
+        .repartition(8).write.mode("append").parquet(corpusDir)
+      topk()
+      assert(idxDirs().size == 1,
+        s"threshold retrain must not strand dirs under gcKeep=1: ${idxDirs()}")
+      // stranded hidden work dirs: a crashed build's .staging is swept;
+      // an .old whose target is MISSING is the only live copy — restored
+      val strandedStaging = s"$idxBase/.idx-${"a" * 16}-${"b" * 16}.staging"
+      new java.io.File(strandedStaging).mkdirs()
+      val orphanOldName = s"idx-${"c" * 16}-${"d" * 16}"
+      new java.io.File(s"$idxBase/.$orphanOldName.old/vectors").mkdirs()
+      val report = graft.tools.IndexGc.sweep(spark, idxBase, keepPerKey = 1)
+      assert(!new java.io.File(strandedStaging).exists())
+      assert(new java.io.File(s"$idxBase/$orphanOldName/vectors").isDirectory,
+        "an orphan .old must be restored, never deleted")
+      assert(report.restored == Seq(orphanOldName))
+      // the restored dir is now the newest of ITS key and survives; the
+      // live dir of the probed key survives; probes still answer
+      assert(topk().head == ((0L, 1.0)))
+    } finally {
+      spark.conf.unset("graft.ivf.indexBase")
+      spark.conf.unset("graft.ivf.gcKeep")
+    }
+  }
+
+  // ---------- batched probes: per-group pruning + ad-hoc variants ----------
+
+  test("lshQueryBatch per-group pruning: an overflow query doesn't cost the others their pruned read") {
+    val root = java.nio.file.Files.createTempDirectory("graft-grouplsh").toString
+    val dir = s"$root/idx"
+    val base = emb.select($"vec_id", $"embedding")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // a dense planted clique makes query 0 stop at radius 1 (prefix ball
+    // = 1 + pBits = 9 buckets); an orthogonal basis-vector query sees a
+    // sparse region and expands until its ball overflows maxEnumBuckets
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(30L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    Similarity.lshBuild(base.unionByName(planted), "vec_id", "embedding", dir,
+      nBits = 16, dim = 64)
+    val qSparse = (0 until 64).map(i => if (i == 7) 1.0 else 0.0)
+    val queries = Seq(0L -> q0.toSeq, 1L -> qSparse)
+    val batch = Similarity.lshQueryBatch(spark, dir, queries, 5,
+      minCandidates = 12, maxEnumBuckets = 20)
+    val plan = batch.queryExecution.executedPlan.toString
+    // the enumerable group keeps its partition-pruned scan even though
+    // the overflow query forces a full scan for ITS group
+    assert(plan.contains("PartitionFilters: [pband") ||
+      plan.contains("PartitionFilters: [isnotnull(pband") ||
+      (plan.contains("PartitionFilters") && plan.contains("pband")),
+      plan.take(3000))
+    // per-query answers identical to the single probes at equal knobs
+    val grouped = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.lshQuery(spark, dir, q, 5,
+        minCandidates = 12, maxEnumBuckets = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(grouped.getOrElse(qid, Set.empty) == single, s"query $qid diverged")
+    }
+  }
+
+  test("ad-hoc batch ANN equals the per-query ad-hoc paths (in-memory serving shape)") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val ivfBatch = grouped(Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+      queries, 5, kLists = 8, nprobe = 3, trainSample = 256))
+    val lshBatch = grouped(Similarity.lshTopKBatch(emb, "vec_id", "embedding",
+      queries, 5, minCandidates = 20))
+    queries.foreach { case (qid, q) =>
+      val ivfSingle = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+        kLists = 8, nprobe = 3, trainSample = 256)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ivfBatch(qid) == ivfSingle, s"ivf query $qid")
+      val lshSingle = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5,
+        minCandidates = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(lshBatch(qid) == lshSingle, s"lsh query $qid")
+    }
+  }
 }
