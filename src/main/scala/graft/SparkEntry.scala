@@ -323,6 +323,34 @@ object SparkEntry {
       llm.Similarity.lshTopKIndexed(corpus, "vec_id", "embedding",
         s"$dir#ann_lsh_topk", q, 10, nBits = 8, minCandidates = 20)
     }),
+    "ann_lsh_append" -> ((s, dir) => {
+      // the APPEND lifecycle under the hard oracle: build the LSH index
+      // over a corpus PREFIX, lshAppend the remainder (planted clique
+      // included), probe. lshAppend is EXACT by construction — fixed
+      // seeded hyperplanes, vector multiset equals a full rebuild — so
+      // the probe provably returns the same answer as ann_lsh_topk's
+      // full-corpus build, and annPlantedTopkSql (brute force over the
+      // whole grown corpus) is its oracle: the hamming-0 planted clique
+      // is a guaranteed candidate at any radius even though every clique
+      // row arrived by APPEND, which is exactly the property under test.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      // explicit build/append lifecycle on a durable dir (not the cache):
+      // rebuilt from scratch each call so verify and every bench pass
+      // exercise build + append + probe afresh
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-ann-append-" +
+        graft.util.Md5.hex(dir).take(12)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(idxDir))
+      val prefix = corpus.filter(col("vec_id") < 250L)
+      val appended = corpus.filter(col("vec_id") >= 250L)
+      llm.Similarity.lshBuild(prefix, "vec_id", "embedding", idxDir,
+        nBits = 8, dim = 64)
+      llm.Similarity.lshAppend(appended, "vec_id", "embedding", idxDir)
+      llm.Similarity.lshQuery(s, idxDir, q, 10, minCandidates = 20)
+    }),
     "dedup_cosine_bucketed" -> ((s, dir) => {
       // banded-LSH cosine dedup, oracle-checkable: plant near-identical
       // copies (vec_id+10000, first component nudged) so every true pair
@@ -639,6 +667,10 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |  FROM documents WHERE doc_id < 10000""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
+    // build-on-prefix + append-the-rest probes the SAME grown corpus the
+    // full build would (lshAppend ≡ rebuild by construction), so the
+    // full-corpus brute force is its oracle too
+    "ann_lsh_append" -> annPlantedTopkSql,
     "ann_ivf_topk" -> annPlantedTopkSql,
     // brute-force per-query top-10 over the per-query planted-clique
     // construction — the provable expected output of the batched IVF

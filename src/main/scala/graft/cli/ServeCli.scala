@@ -1,0 +1,167 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.StreamRunner
+
+/** `serve-ann` command: drive the streaming ANN serving job from the
+  * command line — a watched directory of query files in, answer files
+  * out, restartable from its checkpoint
+  * ([[graft.streaming.StreamRunner.annServeJob]]).
+  *
+  * Queries and output bind either as explicit URIs or as CATALOG
+  * datastores (`--catalog` + datastore names — the uri/format come from
+  * the catalog entries, so ops configure serving the same way they
+  * configure every other datastore-bound job).
+  *
+  * Usage:
+  *   runMain graft.cli.ServeCli
+  *     --index-dir DIR [--method lsh|ivf] [--k N] [--tuning N]
+  *     [--qid-col qid] [--vec-col vec]
+  *     (--queries-uri DIR [--queries-format jsonl|csv|tsv]
+  *        --output-uri DIR [--output-format jsonl|parquet]
+  *      | --catalog FILE --queries-datastore NAME --output-datastore NAME)
+  *     --checkpoint DIR [--once]
+  *     [--build-from PARQUET_URI [--build-id-col C] [--build-vec-col C]
+  *      [--build-nbits N] [--build-dim N] [--build-klists N]]
+  *
+  * `--build-from` bootstraps the index from a parquet corpus when none
+  * exists at `--index-dir` yet (an existing index is served as-is) — one
+  * relaunch-safe command from corpus to answers on a fresh host.
+  *
+  * `--once` drains the currently-available query files and exits (the
+  * cron shape); without it the job serves until killed. Either way the
+  * checkpoint makes a relaunch resume where the last run stopped —
+  * already-answered query files are never re-answered, and a batch
+  * replayed after a crash overwrites its own `batch-<id>` output
+  * (exactly-once answers). */
+object ServeCli {
+
+  final case class Config(
+      queriesUri: String = "", queriesFormat: String = "jsonl",
+      qidCol: String = "qid", vecCol: String = "vec",
+      indexDir: String = "", method: String = "lsh",
+      k: Int = 10, tuning: Option[Int] = None,
+      outputUri: String = "", outputFormat: String = "jsonl",
+      checkpoint: String = "", once: Boolean = false,
+      catalogPath: String = "", queriesDatastore: String = "",
+      outputDatastore: String = "",
+      buildFrom: String = "", buildIdCol: String = "vec_id",
+      buildVecCol: String = "embedding", buildNBits: Int = 16,
+      buildDim: Int = 64, buildKLists: Int = 16)
+
+  def parseArgs(args: Array[String]): Config = {
+    var c = Config()
+    var i = 0
+    def next(): String = { i += 1; args(i) }
+    while (i < args.length) {
+      args(i) match {
+        case "--queries-uri"       => c = c.copy(queriesUri = next())
+        case "--queries-format"    => c = c.copy(queriesFormat = next())
+        case "--qid-col"           => c = c.copy(qidCol = next())
+        case "--vec-col"           => c = c.copy(vecCol = next())
+        case "--index-dir"         => c = c.copy(indexDir = next())
+        case "--method"            => c = c.copy(method = next())
+        case "--k"                 => c = c.copy(k = next().toInt)
+        case "--tuning"            => c = c.copy(tuning = Some(next().toInt))
+        case "--output-uri"        => c = c.copy(outputUri = next())
+        case "--output-format"     => c = c.copy(outputFormat = next())
+        case "--checkpoint"        => c = c.copy(checkpoint = next())
+        case "--once"              => c = c.copy(once = true)
+        case "--catalog"           => c = c.copy(catalogPath = next())
+        case "--queries-datastore" => c = c.copy(queriesDatastore = next())
+        case "--output-datastore"  => c = c.copy(outputDatastore = next())
+        case "--build-from"        => c = c.copy(buildFrom = next())
+        case "--build-id-col"      => c = c.copy(buildIdCol = next())
+        case "--build-vec-col"     => c = c.copy(buildVecCol = next())
+        case "--build-nbits"       => c = c.copy(buildNBits = next().toInt)
+        case "--build-dim"         => c = c.copy(buildDim = next().toInt)
+        case "--build-klists"      => c = c.copy(buildKLists = next().toInt)
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+      i += 1
+    }
+    require(c.indexDir.nonEmpty, "--index-dir is required")
+    require(c.checkpoint.nonEmpty,
+      "--checkpoint is required (it is what makes the job restartable)")
+    c
+  }
+
+  /** Resolve the query/output bindings, preferring catalog datastores
+    * when a catalog is given. Exposed for the spec. */
+  def resolve(c: Config): Config =
+    if (c.catalogPath.isEmpty) {
+      require(c.queriesUri.nonEmpty && c.outputUri.nonEmpty,
+        "either --catalog + datastore names or --queries-uri/--output-uri")
+      c
+    } else {
+      val cat = graft.catalog.Catalog.load(c.catalogPath)
+      def ds(name: String) = cat.datastores.getOrElse(name,
+        throw new NoSuchElementException(s"unknown datastore: $name"))
+      // catalog URIs are DFL expressions; the serving job binds PLAIN
+      // paths (quoted literals or bare) — variable templating needs an
+      // exec context a long-lived stream doesn't have
+      def plain(uri: String): String = {
+        val t = uri.trim
+        if (t.length >= 2 &&
+            ((t.head == '\'' && t.last == '\'') ||
+             (t.head == '"' && t.last == '"')))
+          t.substring(1, t.length - 1)
+        else uri
+      }
+      val qds = ds(c.queriesDatastore)
+      val ods = ds(c.outputDatastore)
+      c.copy(
+        queriesUri = plain(qds.uri),
+        queriesFormat = if (qds.format.nonEmpty) qds.format else c.queriesFormat,
+        outputUri = plain(ods.uri),
+        outputFormat = if (ods.format.nonEmpty) ods.format else c.outputFormat)
+    }
+
+  /** Bootstrap the index when `--build-from` is given and no index lives
+    * at `--index-dir` yet (the `meta` sidecar is the built marker, and
+    * the build itself commits atomically via stagedCommit) — so one
+    * relaunch-safe command takes a fresh host from "parquet corpus on
+    * disk" to "serving answers". An EXISTING index is never rebuilt here:
+    * refreshing a live index belongs to the ingest pipeline
+    * (lshAppend/ivfAppend or a rebuild), not the serving job. */
+  def bootstrapIndex(spark: SparkSession, c: Config): Unit = {
+    if (c.buildFrom.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(c.indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(c.indexDir, "meta"))) return
+    val corpus = spark.read.parquet(c.buildFrom)
+    if (c.method == "ivf")
+      graft.llm.Similarity.ivfBuild(corpus, c.buildIdCol, c.buildVecCol,
+        c.indexDir, kLists = c.buildKLists)
+    else
+      graft.llm.Similarity.lshBuild(corpus, c.buildIdCol, c.buildVecCol,
+        c.indexDir, nBits = c.buildNBits, dim = c.buildDim)
+    ()
+  }
+
+  def run(spark: SparkSession, c0: Config): org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = resolve(c0)
+    bootstrapIndex(spark, c)
+    StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
+      c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
+      c.outputUri, c.outputFormat, c.checkpoint, c.once)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-serve-ann")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val q = run(spark, c)
+      if (!c.once) q.awaitTermination()
+    } finally spark.stop()
+  }
+}

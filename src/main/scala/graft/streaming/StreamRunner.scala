@@ -234,7 +234,22 @@ object StreamRunner {
                tuning: Option[Int] = None,
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-              (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+              (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    annServeBatches(queries, qidCol, vecCol, indexDir, k, method, tuning,
+      options, trigger)((answer, _) => sink(answer))
+
+  /** [[annServe]] with the micro-batch id handed to the sink — the hook an
+    * idempotent sink needs: a stream restarted from its checkpoint may
+    * REPLAY the last uncommitted batch, and a sink that writes keyed by
+    * batchId (e.g. `mode("overwrite")` into a `batch-<id>` dir, as
+    * [[annServeJob]] does) turns that at-least-once replay into
+    * exactly-once output. */
+  def annServeBatches(queries: DataFrame, qidCol: String, vecCol: String,
+               indexDir: String, k: Int, method: String = "lsh",
+               tuning: Option[Int] = None,
+               options: Map[String, String] = Map.empty,
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+              (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
     // `options` passes writeStream options through — set
     // `checkpointLocation` for a recoverable serving stream (without it a
@@ -243,7 +258,7 @@ object StreamRunner {
     val writer0 = queries.writeStream.options(options)
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // A SERVING stream must not die on one bad record (every other
         // streaming operator here tolerates malformed rows too): null or
         // non-integral qids and null / null-element vectors are SKIPPED.
@@ -289,11 +304,55 @@ object StreamRunner {
                 case _ => graft.llm.Similarity.ivfQueryBatch(
                   batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
               }
-              sink(answer) // sink failures still surface — deliberately
+              sink(answer, batchId) // sink failures still surface — deliberately
             }
           }
         }
     }.start()
+  }
+
+  /** The PRODUCT surface of [[annServe]]: a fully configured ANN serving
+    * JOB — a watched directory of query files in, (qid, id, cos) answer
+    * files out — the shape a catalog datastore pair or the `serve-ann`
+    * CLI verb ([[graft.cli.ServeCli]]) configures.
+    *
+    *  - `queriesUri`: a directory Structured Streaming watches; every new
+    *    jsonl/csv/tsv file of (qidCol, vecCol) rows is a micro-batch of
+    *    queries (schema inferred from the files present at start).
+    *  - `outUri`: each micro-batch's answers land as
+    *    `batch-<id>/part-*` (jsonl or parquet) — read the whole answer
+    *    stream back with `spark.read.json(s"$outUri/batch-*")`. Writes are
+    *    keyed by batch id with `mode("overwrite")`, so a batch REPLAYED
+    *    after a crash overwrites its own output instead of duplicating
+    *    it: exactly-once answers end to end.
+    *  - `checkpoint`: the streaming checkpoint — a RESTARTED job (same
+    *    checkpoint) resumes with the query files that arrived while it
+    *    was down and never re-answers files it already committed.
+    *  - `once = true` drains the currently-available queries and stops
+    *    (the cron / drive-by shape); `false` serves until stopped.
+    *
+    * The index must outlive the stream (single-writer rebuild contract);
+    * malformed query rows and wrong-dim groups are skipped with warnings
+    * exactly as in [[annServe]]. */
+  def annServeJob(spark: SparkSession, queriesUri: String, format: String,
+                  qidCol: String, vecCol: String, indexDir: String,
+                  method: String, k: Int, tuning: Option[Int],
+                  outUri: String, outFormat: String, checkpoint: String,
+                  once: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(outFormat == "jsonl" || outFormat == "parquet",
+      s"annServeJob: output format must be jsonl or parquet, got $outFormat")
+    val queries = readStream(spark, queriesUri, format)
+    val q = annServeBatches(queries, qidCol, vecCol, indexDir, k, method,
+      tuning, options = Map("checkpointLocation" -> checkpoint)) {
+      (answer, batchId) =>
+        val w = answer.write.mode("overwrite")
+        if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
+        else w.json(s"$outUri/batch-$batchId")
+    }
+    if (once) {
+      try q.processAllAvailable() finally q.stop()
+    }
+    q
   }
 
   /** Custom streaming state via `mapGroupsWithState`: running count per

@@ -249,6 +249,85 @@ class StreamParitySpec extends AnyFunSuite {
     finally q.stop()
   }
 
+  test("serve-ann job: catalog-bound serving, exactly-once restart from checkpoint") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-servecli").toString
+    val idxDir = s"$root/idx"
+    graft.llm.Similarity.lshBuild(emb, "vec_id", "embedding", idxDir,
+      nBits = 16, dim = 64)
+    val qdir = s"$root/queries"
+    new java.io.File(qdir).mkdirs()
+    val outDir = s"$root/answers"
+    def qrows(ids: Seq[Long]): Seq[(Long, Seq[Double])] =
+      emb.filter($"vec_id".isin(ids: _*)).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    def writeQueries(file: String, ids: Seq[Long]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$qdir/$file"),
+        qrows(ids).map { case (id, v) =>
+          s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+    writeQueries("q1.jsonl", Seq(0L, 1L))
+    // the serving job binds its query stream and answer sink as CATALOG
+    // datastores — ops configure serving like any other datastore job
+    val cat = new graft.catalog.Catalog
+    cat.add(graft.catalog.Workspace("ws"))
+    cat.add(graft.catalog.DataStore("ws", "qstream", s"'$qdir'", format = "jsonl"))
+    cat.add(graft.catalog.DataStore("ws", "answers", s"'$outDir'", format = "jsonl"))
+    cat.save(s"$root/catalog.json")
+    val cfg = graft.cli.ServeCli.parseArgs(Array(
+      "--index-dir", idxDir, "--method", "lsh", "--k", "5", "--tuning", "20",
+      "--catalog", s"$root/catalog.json",
+      "--queries-datastore", "qstream", "--output-datastore", "answers",
+      "--checkpoint", s"$root/ckpt", "--once"))
+    graft.cli.ServeCli.run(spark, cfg)
+    def answers() = spark.read.json(s"$outDir/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"), r.getAs[Double]("cos")))
+    val first = answers()
+    assert(first.map(_._1).toSet == Set(0L, 1L))
+    // streamed answers equal a direct probe of the same index
+    val direct = graft.llm.Similarity.lshQueryBatch(spark, idxDir,
+        qrows(Seq(0L, 1L)), 5, minCandidates = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(first.toSet == direct)
+    // RESTART: a new query file arrives while the job is down; the same
+    // checkpoint resumes with ONLY the new file — the already-served
+    // queries are not re-read, so no qid is ever answered twice
+    writeQueries("q2.jsonl", Seq(2L))
+    graft.cli.ServeCli.run(spark, cfg)
+    val second = answers()
+    assert(second.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(second.groupBy(_._1).values.forall(_.length == 5),
+      "restart must answer only the new queries, never duplicate old ones")
+  }
+
+  test("serve-ann job: --build-from bootstraps a missing index, never rebuilds a live one") {
+    val root = Files.createTempDirectory("graft-servecli-boot").toString
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q0 = emb.filter($"vec_id" === 7L).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      s"""{"qid":7,"vec":[${q0.mkString(",")}]}""")
+    val cfg = graft.cli.ServeCli.parseArgs(Array(
+      "--index-dir", s"$root/idx", "--method", "lsh", "--k", "3",
+      "--tuning", "10",
+      "--build-from", "/root/testdata/sf0.001/embeddings.parquet",
+      "--queries-uri", qdir, "--output-uri", s"$root/answers",
+      "--checkpoint", s"$root/ckpt", "--once"))
+    graft.cli.ServeCli.run(spark, cfg)
+    val got = spark.read.json(s"$root/answers/batch-*")
+      .orderBy(org.apache.spark.sql.functions.desc("cos")).collect()
+    assert(got.length == 3 && got.head.getAs[Long]("id") == 7L,
+      "bootstrapped index must serve the self-match top-1")
+    // relaunch with the same flags: the live index is reused, not rebuilt
+    val metaBefore = new java.io.File(s"$root/idx/meta").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    graft.cli.ServeCli.run(spark, cfg)
+    val metaAfter = new java.io.File(s"$root/idx/meta").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(metaBefore == metaAfter, "existing index must not be rebuilt")
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
