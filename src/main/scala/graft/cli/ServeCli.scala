@@ -22,7 +22,8 @@ import graft.streaming.StreamRunner
   *      | --catalog FILE --queries-datastore NAME --output-datastore NAME)
   *     --checkpoint DIR [--once]
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-vec-col C]
-  *      [--build-nbits N] [--build-dim N] [--build-klists N]]
+  *      [--build-nbits N] [--build-dim N] [--build-klists N]
+  *      [--build-pbits N]]
   *
   * `--build-from` bootstraps the index from a parquet corpus when none
   * exists at `--index-dir` yet (an existing index is served as-is) — one
@@ -47,7 +48,7 @@ object ServeCli {
       outputDatastore: String = "",
       buildFrom: String = "", buildIdCol: String = "vec_id",
       buildVecCol: String = "embedding", buildNBits: Int = 16,
-      buildDim: Int = 64, buildKLists: Int = 16)
+      buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8)
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
@@ -76,6 +77,7 @@ object ServeCli {
         case "--build-nbits"       => c = c.copy(buildNBits = next().toInt)
         case "--build-dim"         => c = c.copy(buildDim = next().toInt)
         case "--build-klists"      => c = c.copy(buildKLists = next().toInt)
+        case "--build-pbits"       => c = c.copy(buildPBits = next().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
       i += 1
@@ -135,7 +137,11 @@ object ServeCli {
         c.indexDir, kLists = c.buildKLists)
     else
       graft.llm.Similarity.lshBuild(corpus, c.buildIdCol, c.buildVecCol,
-        c.indexDir, nBits = c.buildNBits, dim = c.buildDim)
+        c.indexDir, nBits = c.buildNBits, dim = c.buildDim,
+        // LAYOUT knob: size partition dirs to the corpus (parquet pays a
+        // fixed per-file cost — a small corpus wants few dirs, 100 TB
+        // wants the default 8 bits = 256)
+        partitionBits = c.buildPBits)
     ()
   }
 

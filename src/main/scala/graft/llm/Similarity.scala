@@ -308,6 +308,28 @@ object Similarity {
     * would pair new vectors with old centroids. `indexDir` should be a
     * qualified URI on the cluster's shared filesystem in any non-local
     * deployment. */
+  /** Cluster an index frame on its partition column BEFORE the
+    * `partitionBy` write. Without this, every shuffle task holds a
+    * slice of every partition value and writes its own tiny parquet
+    * file per value — up to `tasks × values` files per build (measured:
+    * thousands of ~10-row files for a 2^8-band LSH index, dominating
+    * build AND probe time with open/footer overhead). Repartitioning on
+    * (value, bounded salt) lands each partition value in as few tasks
+    * as parallelism allows: `salt = shufflePartitions / numValues`
+    * spreads a hot value across enough tasks to keep a large cluster
+    * busy (at 32 local tasks over 256 bands the salt is 1 → exactly one
+    * file per populated band; at 2000 shuffle partitions over 16 IVF
+    * lists it is 125 → 125-way parallel write per list), while file
+    * count stays `≈ max(values, shufflePartitions)` instead of their
+    * product. The salt hashes the stable `id` column, keeping the write
+    * deterministic under task retries. */
+  private def clusteredWrite(df: DataFrame, partCol: String,
+                             numValues: Int): DataFrame = {
+    val tasks = df.sparkSession.sessionState.conf.numShufflePartitions
+    val saltN = math.max(1, tasks / math.max(1, numValues))
+    df.repartition(col(partCol), pmod(hash(col("id")), lit(saltN)))
+  }
+
   /** Atomic index commit shared by [[ivfBuild]] and [[lshBuild]]: run
     * `write` against a sibling staging directory, then swap it into place
     * via renames (atomic on HDFS and local FS). The previous index is
@@ -361,7 +383,7 @@ object Similarity {
     val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
     val sess = df.sparkSession
     stagedCommit(sess, indexDir) { staging =>
-      ivfAssign(df, idCol, vecCol, centroids)
+      clusteredWrite(ivfAssign(df, idCol, vecCol, centroids), "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
       import sess.implicits._
       centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
@@ -595,7 +617,8 @@ object Similarity {
     }
     healStrandedAppends(sess, indexDir)
     stagedAppend(sess, indexDir, appendBatchId(df)) { staging =>
-      assigned.write.mode("overwrite").partitionBy("list")
+      clusteredWrite(assigned, "list", idx.centroids.length)
+        .write.mode("overwrite").partitionBy("list")
         .parquet(s"$staging/vectors")
     }
   }
@@ -1123,8 +1146,10 @@ object Similarity {
     val pBits = math.min(partitionBits, nBits)
     val sess = df.sparkSession
     stagedCommit(sess, indexDir) { staging =>
-      lshBuckets(df, idCol, vecCol, nBits, dim)
-        .withColumn("pband", shiftrightunsigned(col("bucket"), nBits - pBits))
+      clusteredWrite(
+        lshBuckets(df, idCol, vecCol, nBits, dim)
+          .withColumn("pband", shiftrightunsigned(col("bucket"), nBits - pBits)),
+        "pband", 1 << pBits)
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/vectors")
       import sess.implicits._
       Seq((nBits, dim, pBits)).toDF("n_bits", "dim", "partition_bits")
@@ -1180,7 +1205,8 @@ object Similarity {
     }
     healStrandedAppends(sess, indexDir)
     stagedAppend(sess, indexDir, appendBatchId(df)) { staging =>
-      sigs.write.mode("overwrite").partitionBy("pband")
+      clusteredWrite(sigs, "pband", 1 << idx.pBits)
+        .write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/vectors")
       // the per-bucket DELTA stages alongside the vectors: the occupancy
       // merge must survive a crash AFTER the part-file moves, when the
