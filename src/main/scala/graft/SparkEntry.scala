@@ -368,6 +368,40 @@ object SparkEntry {
       }
       llm.Similarity.lshQuery(s, idxDir, q, 10, minCandidates = 20)
     }),
+    "ann_ivf_append" -> ((s, dir) => {
+      // the IVF append lifecycle under the hard oracle. Unlike LSH,
+      // ivfAppend is APPROXIMATE in general (frozen centroids), but the
+      // planted construction makes the answer exact anyway: every
+      // appended clique row is a bit-identical copy of the query vector,
+      // so ivfAssign puts it in the list of the query's own nearest
+      // centroid — the FIRST list any probe visits — and row 0 (the
+      // original, built in the prefix) sits in that same list. The
+      // brute-force top-10 (self + clique, cos 1.0, id-asc tiebreak) is
+      // therefore guaranteed to be fully probed at any nprobe ≥ 1.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      // first-call-pays, fingerprint-fenced, exactly as ann_lsh_append
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-ann-ivf-append-" +
+        graft.util.Md5.hex(dir).take(12)
+      def sig(f: java.io.File): String =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).map(sig).mkString(",")
+        else s"${f.getName}:${f.lastModified}:${f.length}"
+      val fp = graft.util.Md5.hex(sig(new java.io.File(s"$dir/embeddings.parquet")))
+      val marker = new java.io.File(idxDir, s"_lifecycle-$fp")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(idxDir))
+        val prefix = corpus.filter(col("vec_id") < 250L)
+        val appended = corpus.filter(col("vec_id") >= 250L)
+        llm.Similarity.ivfBuild(prefix, "vec_id", "embedding", idxDir)
+        llm.Similarity.ivfAppend(appended, "vec_id", "embedding", idxDir)
+        marker.createNewFile() // written only after a COMPLETE lifecycle
+      }
+      llm.Similarity.ivfQuery(s, idxDir, q, 10, nprobe = 8)
+    }),
     "dedup_cosine_bucketed" -> ((s, dir) => {
       // banded-LSH cosine dedup, oracle-checkable: plant near-identical
       // copies (vec_id+10000, first component nudged) so every true pair
@@ -688,6 +722,10 @@ object SparkEntry {
     // full build would (lshAppend ≡ rebuild by construction), so the
     // full-corpus brute force is its oracle too
     "ann_lsh_append" -> annPlantedTopkSql,
+    // the IVF append's planted copies land in the query's own first-probed
+    // list (bit-identical vectors), so the full-corpus brute force is
+    // exact for it too
+    "ann_ivf_append" -> annPlantedTopkSql,
     "ann_ivf_topk" -> annPlantedTopkSql,
     // brute-force per-query top-10 over the per-query planted-clique
     // construction — the provable expected output of the batched IVF
