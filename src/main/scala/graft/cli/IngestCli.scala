@@ -1,0 +1,97 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.StreamRunner
+
+/** `ingest-ann` command: keep a live ANN index fresh from a stream of
+  * corpus files — the ingest counterpart of [[ServeCli]]'s `serve-ann`
+  * ([[graft.streaming.StreamRunner.annIngestJob]]). Every new file in
+  * the watched corpus directory is appended to the index in one pass
+  * over the new rows (never a corpus rescan); the checkpoint plus
+  * batch-keyed append ids make a crashed-and-replayed batch a no-op, so
+  * relaunching is always safe.
+  *
+  * Usage:
+  *   runMain graft.cli.IngestCli
+  *     --corpus-uri DIR [--corpus-format parquet|jsonl|csv|tsv]
+  *     --index-dir DIR [--method lsh|ivf]
+  *     [--id-col vec_id] [--vec-col embedding]
+  *     --checkpoint DIR [--once]
+  *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
+  *      [--build-klists N] [--build-pbits N]]
+  *
+  * `--build-from` bulk-builds the index first if none exists (the
+  * backfill); the stream then appends increments. The corpus files must
+  * carry the same id/vector column TYPES as the build source — the
+  * append schema fence rejects a mismatch rather than stranding the
+  * index with unmergeable footers. One ingest job per index dir
+  * (appends are single-writer); `--once` drains the currently-available
+  * files and exits (the cron shape). */
+object IngestCli {
+
+  final case class Config(
+      corpusUri: String = "", corpusFormat: String = "parquet",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      indexDir: String = "", method: String = "lsh",
+      checkpoint: String = "", once: Boolean = false,
+      buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
+      buildKLists: Int = 16, buildPBits: Int = 8)
+
+  def parseArgs(args: Array[String]): Config = {
+    var c = Config()
+    var i = 0
+    def next(): String = { i += 1; args(i) }
+    while (i < args.length) {
+      args(i) match {
+        case "--corpus-uri"    => c = c.copy(corpusUri = next())
+        case "--corpus-format" => c = c.copy(corpusFormat = next())
+        case "--id-col"        => c = c.copy(idCol = next())
+        case "--vec-col"       => c = c.copy(vecCol = next())
+        case "--index-dir"     => c = c.copy(indexDir = next())
+        case "--method"        => c = c.copy(method = next())
+        case "--checkpoint"    => c = c.copy(checkpoint = next())
+        case "--once"          => c = c.copy(once = true)
+        case "--build-from"    => c = c.copy(buildFrom = next())
+        case "--build-nbits"   => c = c.copy(buildNBits = next().toInt)
+        case "--build-dim"     => c = c.copy(buildDim = next().toInt)
+        case "--build-klists"  => c = c.copy(buildKLists = next().toInt)
+        case "--build-pbits"   => c = c.copy(buildPBits = next().toInt)
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+      i += 1
+    }
+    require(c.corpusUri.nonEmpty, "--corpus-uri is required")
+    require(c.indexDir.nonEmpty, "--index-dir is required")
+    require(c.checkpoint.nonEmpty,
+      "--checkpoint is required (it is what makes replayed batches no-ops)")
+    c
+  }
+
+  def run(spark: SparkSession, c: Config): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (c.buildFrom.nonEmpty)
+      graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
+        c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
+        dim = c.buildDim, partitionBits = c.buildPBits,
+        kLists = c.buildKLists)
+    StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
+      c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-ingest-ann")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val q = run(spark, c)
+      if (!c.once) q.awaitTermination()
+    } finally spark.stop()
+  }
+}

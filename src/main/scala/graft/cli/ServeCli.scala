@@ -119,35 +119,18 @@ object ServeCli {
         outputFormat = if (ods.format.nonEmpty) ods.format else c.outputFormat)
     }
 
-  /** Bootstrap the index when `--build-from` is given and no index lives
-    * at `--index-dir` yet (the `meta` sidecar is the built marker, and
-    * the build itself commits atomically via stagedCommit) — so one
-    * relaunch-safe command takes a fresh host from "parquet corpus on
-    * disk" to "serving answers". An EXISTING index is never rebuilt here:
-    * refreshing a live index belongs to the ingest pipeline
-    * (lshAppend/ivfAppend or a rebuild), not the serving job. */
-  def bootstrapIndex(spark: SparkSession, c: Config): Unit = {
-    if (c.buildFrom.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(c.indexDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(c.indexDir, "meta"))) return
-    val corpus = spark.read.parquet(c.buildFrom)
-    if (c.method == "ivf")
-      graft.llm.Similarity.ivfBuild(corpus, c.buildIdCol, c.buildVecCol,
-        c.indexDir, kLists = c.buildKLists)
-    else
-      graft.llm.Similarity.lshBuild(corpus, c.buildIdCol, c.buildVecCol,
-        c.indexDir, nBits = c.buildNBits, dim = c.buildDim,
-        // LAYOUT knob: size partition dirs to the corpus (parquet pays a
-        // fixed per-file cost — a small corpus wants few dirs, 100 TB
-        // wants the default 8 bits = 256)
-        partitionBits = c.buildPBits)
-    ()
-  }
-
   def run(spark: SparkSession, c0: Config): org.apache.spark.sql.streaming.StreamingQuery = {
     val c = resolve(c0)
-    bootstrapIndex(spark, c)
+    // `--build-from` bootstrap: build-if-missing, never rebuild a live
+    // index (refreshing belongs to the ingest job / appends). The pbits
+    // LAYOUT knob sizes partition dirs to the corpus — parquet pays a
+    // fixed per-file cost, so a small corpus wants few dirs while 100 TB
+    // wants the default 8 bits = 256.
+    if (c.buildFrom.nonEmpty)
+      graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
+        c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
+        dim = c.buildDim, partitionBits = c.buildPBits,
+        kLists = c.buildKLists)
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
       c.outputUri, c.outputFormat, c.checkpoint, c.once)

@@ -602,21 +602,27 @@ object Similarity {
     * [[ivfBuild]]) once appended data is a significant fraction of the
     * corpus — the cached lifecycle does this automatically at
     * [[appendRebuildFactor]] growth; monitor [[ivfListStats]] for skew
-    * when driving the explicit lifecycle. */
+    * when driving the explicit lifecycle. `appendId` as in
+    * [[lshAppend]]: a stable caller-side batch identity that makes a
+    * replayed append a no-op. */
   def ivfAppend(df: DataFrame, idCol: String, vecCol: String,
-                indexDir: String): Unit = {
+                indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
     val idx = ivfMeta(sess, indexDir)
     val assigned = ivfAssign(df, idCol, vecCol, idx.centroids)
     // schema fence: a mismatched id/vector type would strand the index
     // with unmergeable parquet footers
     Seq("id", "v").foreach { c =>
-      require(assigned.schema(c).dataType == idx.vectors.schema(c).dataType,
-        s"ivfAppend: column '$c' type ${assigned.schema(c).dataType} != " +
-          s"index type ${idx.vectors.schema(c).dataType}")
+      // `.sql` compares modulo nullability: an in-memory batch's
+      // non-null array<float> appends safely into the index's nullable
+      // one — the fence is against TYPE drift (float vs double), which
+      // would strand the index with unmergeable footers
+      require(assigned.schema(c).dataType.sql == idx.vectors.schema(c).dataType.sql,
+        s"ivfAppend: column '$c' type ${assigned.schema(c).dataType.sql} != " +
+          s"index type ${idx.vectors.schema(c).dataType.sql}")
     }
     healStrandedAppends(sess, indexDir)
-    stagedAppend(sess, indexDir, appendBatchId(df)) { staging =>
+    stagedAppend(sess, indexDir, appendId.getOrElse(appendBatchId(df))) { staging =>
       clusteredWrite(assigned, "list", idx.centroids.length)
         .write.mode("overwrite").partitionBy("list")
         .parquet(s"$staging/vectors")
@@ -1190,21 +1196,29 @@ object Similarity {
     * mid-swap) gets a full recount from the index's bucket column — a
     * column-pruned scan, not a corpus signature pass. Appends accumulate
     * part files; rebuild to compact once growth is large (the cached
-    * lifecycle does so at [[appendRebuildFactor]]). */
+    * lifecycle does so at [[appendRebuildFactor]]).
+    *
+    * `appendId` overrides the default batch identity (a fingerprint of
+    * the file-backed batch's plan+files, or a fresh UUID for in-memory
+    * frames). Pass a STABLE caller-side identity — e.g. streaming
+    * `checkpoint#batchId`, as [[graft.streaming.StreamRunner.annIngestJob]]
+    * does — when the frame itself can't prove two calls are the same
+    * logical batch: the applied marker then makes a replay a no-op. */
   def lshAppend(df: DataFrame, idCol: String, vecCol: String,
-                indexDir: String): Unit = {
+                indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
     val idx = lshMeta(sess, indexDir)
     val sigs = lshBuckets(df, idCol, vecCol, idx.nBits, idx.dim)
       .withColumn("pband",
         shiftrightunsigned(col("bucket"), idx.nBits - idx.pBits))
     Seq("id", "v").foreach { c =>
-      require(sigs.schema(c).dataType == idx.vectors.schema(c).dataType,
-        s"lshAppend: column '$c' type ${sigs.schema(c).dataType} != " +
-          s"index type ${idx.vectors.schema(c).dataType}")
+      // modulo nullability, as in ivfAppend's fence
+      require(sigs.schema(c).dataType.sql == idx.vectors.schema(c).dataType.sql,
+        s"lshAppend: column '$c' type ${sigs.schema(c).dataType.sql} != " +
+          s"index type ${idx.vectors.schema(c).dataType.sql}")
     }
     healStrandedAppends(sess, indexDir)
-    stagedAppend(sess, indexDir, appendBatchId(df)) { staging =>
+    stagedAppend(sess, indexDir, appendId.getOrElse(appendBatchId(df))) { staging =>
       clusteredWrite(sigs, "pband", 1 << idx.pBits)
         .write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/vectors")
@@ -1608,6 +1622,31 @@ object Similarity {
     case "lsh" => lshMeta(spark, indexDir).dim
     case "ivf" => ivfMeta(spark, indexDir).centroids.head.length
     case other => throw new IllegalArgumentException(s"indexDim: unknown method $other")
+  }
+
+  /** Bootstrap an index from a parquet corpus when none exists at
+    * `indexDir` yet (the method's always-written sidecar — `meta` for
+    * LSH, `centroids` for IVF — is the built marker; the build itself
+    * commits atomically via [[stagedCommit]]) — the shared
+    * entry the serving ([[graft.cli.ServeCli]]) and ingest
+    * ([[graft.cli.IngestCli]]) jobs use so one relaunch-safe command
+    * takes a fresh host from "corpus on disk" to a live index. An
+    * EXISTING index is never rebuilt here: refreshing belongs to
+    * [[lshAppend]]/[[ivfAppend]] or an explicit rebuild. */
+  def ensureIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                  method: String, corpusUri: String, idCol: String,
+                  vecCol: String, nBits: Int = 16, dim: Int = 64,
+                  partitionBits: Int = 8, kLists: Int = 16): Unit = {
+    require(method == "lsh" || method == "ivf",
+      s"ensureIndex: unknown method $method")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val builtMarker = if (method == "ivf") "centroids" else "meta"
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, builtMarker))) return
+    val corpus = spark.read.parquet(corpusUri)
+    if (method == "ivf") ivfBuild(corpus, idCol, vecCol, indexDir, kLists)
+    else lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits)
+    ()
   }
 
   /** Batch counterpart of [[lshTopKIndexed]]: resolves the SAME cached

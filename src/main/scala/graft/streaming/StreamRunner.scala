@@ -62,13 +62,15 @@ object StreamRunner {
     val sch = schema.getOrElse {
       format match {
         case "jsonl"       => spark.read.json(dir).schema
+        case "parquet"     => spark.read.parquet(dir).schema
         case "csv" | "tsv" => spark.read.option("header", true)
           .option("sep", if (format == "tsv") "\t" else ",")
           .option("inferSchema", true).csv(dir).schema
       }
     }
     format match {
-      case "jsonl" => spark.readStream.schema(sch).json(dir)
+      case "jsonl"   => spark.readStream.schema(sch).json(dir)
+      case "parquet" => spark.readStream.schema(sch).parquet(dir)
       case "csv" | "tsv" => spark.readStream.schema(sch)
         .option("header", true)
         .option("sep", if (format == "tsv") "\t" else ",").csv(dir)
@@ -349,6 +351,56 @@ object StreamRunner {
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
         else w.json(s"$outUri/batch-$batchId")
     }
+    if (once) {
+      try q.processAllAvailable() finally q.stop()
+    }
+    q
+  }
+
+  /** The INGEST counterpart of [[annServeJob]], closing the product
+    * loop "bulk build → streaming appends → streaming serving": a
+    * watched directory of corpus files (parquet/jsonl/csv/tsv rows of
+    * (idCol, vecCol)) whose every new file becomes a micro-batch
+    * appended to a LIVE index via [[graft.llm.Similarity.lshAppend]] /
+    * [[ivfAppend]] — one signature/assignment pass over the NEW rows
+    * only, never a corpus rescan.
+    *
+    * EXACTLY-ONCE appends end to end: the checkpoint stops committed
+    * files from being re-read across restarts, and each batch's append
+    * id is `md5(checkpoint '#' batchId)` — stable across the REPLAY of
+    * the last uncommitted batch after a crash, so the append machinery's
+    * durable applied marker makes the replayed append a no-op (a fresh
+    * checkpoint gets fresh ids and can legitimately re-append). Appends
+    * keep the single-writer-per-index contract: run ONE ingest job per
+    * index dir, and rebuild/retrain only while it is stopped.
+    *
+    * The index must already exist — bootstrap with
+    * [[graft.llm.Similarity.ensureIndex]] (the `ingest-ann` CLI's
+    * `--build-from` does) so the stream appends against the bulk-built
+    * backfill. LSH appends reproduce a full rebuild exactly; IVF appends
+    * assign to frozen centroids (monitor drift via `ivfListStats`,
+    * retrain on growth). */
+  def annIngestJob(spark: SparkSession, corpusUri: String, format: String,
+                   idCol: String, vecCol: String, indexDir: String,
+                   method: String, checkpoint: String,
+                   once: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(method == "lsh" || method == "ivf",
+      s"annIngestJob: unknown method $method")
+    val corpus = readStream(spark, corpusUri, format)
+    val q = corpus.writeStream
+      .options(Map("checkpointLocation" -> checkpoint))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            val id = Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
+            if (method == "ivf")
+              graft.llm.Similarity.ivfAppend(batch.toDF(), idCol, vecCol,
+                indexDir, appendId = id)
+            else
+              graft.llm.Similarity.lshAppend(batch.toDF(), idCol, vecCol,
+                indexDir, appendId = id)
+          }
+      }.start()
     if (once) {
       try q.processAllAvailable() finally q.stop()
     }

@@ -1044,6 +1044,34 @@ class LlmSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$ivfDir/vectors").count() == emb.count())
   }
 
+  test("an explicit appendId makes in-memory appends replay-safe; distinct ids append distinctly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-appid").toString
+    val dir = s"$root/idx"
+    Similarity.lshBuild(emb.filter($"vec_id" < 400).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    // an IN-MEMORY batch (no backing files → the default identity would
+    // be a fresh UUID per call, and a replay would double-append); the
+    // caller-supplied id is the streaming-ingest shape: md5(ckpt#batchId)
+    val rows = emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val inMem = rows.toDF("vec_id", "embedding")
+    Similarity.lshAppend(inMem, "vec_id", "embedding", dir, appendId = Some("batch7"))
+    val count1 = spark.read.parquet(s"$dir/vectors").count()
+    assert(count1 == 450L)
+    // the replay: SAME logical batch, same id → no-op
+    Similarity.lshAppend(inMem, "vec_id", "embedding", dir, appendId = Some("batch7"))
+    assert(spark.read.parquet(s"$dir/vectors").count() == count1)
+    // a genuinely new batch under a new id still lands
+    val rows2 = emb.filter($"vec_id" >= 450 && $"vec_id" < 460)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    Similarity.lshAppend(rows2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, appendId = Some("batch8"))
+    assert(spark.read.parquet(s"$dir/vectors").count() == 460L)
+  }
+
   test("append crash windows: a retried half-committed append neither double-appends nor double-merges") {
     val root = java.nio.file.Files.createTempDirectory("graft-appcrash").toString
     val dir = s"$root/idx"

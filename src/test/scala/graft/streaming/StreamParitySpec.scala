@@ -328,6 +328,60 @@ class StreamParitySpec extends AnyFunSuite {
     assert(metaBefore == metaAfter, "existing index must not be rebuilt")
   }
 
+  test("ingest-ann job: bulk build + streaming appends equal a full rebuild; relaunch is a no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-ingestcli").toString
+    // bulk backfill: rows < 300; stream increments: one parquet file each
+    emb.filter($"vec_id" < 300L).coalesce(1)
+      .write.parquet(s"$root/backfill")
+    val streamDir = s"$root/stream"; new java.io.File(streamDir).mkdirs()
+    def addIncrement(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = s"$root/.inc-$name"
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    addIncrement("f1", 300L, 400L)
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--corpus-format", "parquet",
+      "--index-dir", s"$root/idx", "--method", "lsh",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--build-from", s"$root/backfill",
+      "--build-nbits", "8", "--build-pbits", "4"))
+    graft.cli.IngestCli.run(spark, cfg)
+    // streaming appends are EXACT (lshAppend ≡ rebuild): probes equal a
+    // one-shot full build over the same 400 rows
+    val fullDir = s"$root/idx-full"
+    graft.llm.Similarity.lshBuild(emb.filter($"vec_id" < 400L),
+      "vec_id", "embedding", fullDir, nBits = 8, partitionBits = 4)
+    def probe(idx: String, qid: Long) = {
+      val q = emb.filter($"vec_id" === qid).select($"embedding").head()
+        .getSeq[Float](0).map(_.toDouble)
+      graft.llm.Similarity.lshQuery(spark, idx, q, 5, minCandidates = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(probe(s"$root/idx", 50L) == probe(fullDir, 50L))
+    assert(probe(s"$root/idx", 350L) == probe(fullDir, 350L),
+      "a query landing on APPENDED rows must match the full rebuild")
+    // a second increment arrives while the job is down; the same
+    // checkpoint resumes with only the new file
+    addIncrement("f2", 400L, 500L)
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(probe(s"$root/idx", 450L).head._1 == 450L,
+      "rows from the second increment must be served after relaunch")
+    def indexRows() = spark.read.parquet(s"$root/idx/vectors").count()
+    val n = indexRows()
+    assert(n == 500L, s"index must hold all 500 rows, got $n")
+    // relaunch with nothing new: committed files are not re-appended
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(indexRows() == 500L,
+      "an idle relaunch must not re-append committed batches")
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
