@@ -97,6 +97,22 @@ object ScaleCheck {
         .createTempDirectory("graft-scale-ivf").toString + "/idx"
       graft.llm.Similarity.ivfBuild(big, "vec_id", "embedding", idxDir)
       time("ivf_probe")(graft.llm.Similarity.ivfQuery(spark, idxDir, q, 10).count())
+      // the APPEND posture: a FIXED-SIZE increment appended to the
+      // mult× index must cost ~the same at every mult — appends are one
+      // pass over the NEW rows plus a bounded occupancy/sidecar merge,
+      // never a corpus rescan. This is the streaming-ingest claim
+      // (annIngestJob) made measurable: 20× corpus, same append bill.
+      val inc = embBase.filter(col("vec_id") < 200)
+        .select((col("vec_id") + lit(900000000L)).as("vec_id"),
+          col("embedding"))
+      time("lsh_append")({
+        graft.llm.Similarity.lshAppend(inc, "vec_id", "embedding", lshDir,
+          appendId = Some(s"scale-$mult")); 200L
+      })
+      time("ivf_append")({
+        graft.llm.Similarity.ivfAppend(inc, "vec_id", "embedding", idxDir,
+          appendId = Some(s"scale-$mult")); 200L
+      })
       big.unpersist()
     }
     spark.stop()
