@@ -13,7 +13,8 @@ import graft.streaming.StreamRunner
   *
   * Usage:
   *   runMain graft.cli.IngestCli
-  *     --corpus-uri DIR [--corpus-format parquet|jsonl|csv|tsv]
+  *     (--corpus-uri DIR [--corpus-format parquet|jsonl|csv|tsv]
+  *      | --catalog FILE --corpus-datastore NAME)
   *     --index-dir DIR [--method lsh|ivf]
   *     [--id-col vec_id] [--vec-col embedding]
   *     --checkpoint DIR [--once]
@@ -35,7 +36,8 @@ object IngestCli {
       indexDir: String = "", method: String = "lsh",
       checkpoint: String = "", once: Boolean = false,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
-      buildKLists: Int = 16, buildPBits: Int = 8)
+      buildKLists: Int = 16, buildPBits: Int = 8,
+      catalogPath: String = "", corpusDatastore: String = "")
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
@@ -56,18 +58,34 @@ object IngestCli {
         case "--build-dim"     => c = c.copy(buildDim = next().toInt)
         case "--build-klists"  => c = c.copy(buildKLists = next().toInt)
         case "--build-pbits"   => c = c.copy(buildPBits = next().toInt)
+        case "--catalog"          => c = c.copy(catalogPath = next())
+        case "--corpus-datastore" => c = c.copy(corpusDatastore = next())
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
       i += 1
     }
-    require(c.corpusUri.nonEmpty, "--corpus-uri is required")
+    require(c.corpusUri.nonEmpty || (c.catalogPath.nonEmpty && c.corpusDatastore.nonEmpty),
+      "either --corpus-uri or --catalog + --corpus-datastore is required")
     require(c.indexDir.nonEmpty, "--index-dir is required")
     require(c.checkpoint.nonEmpty,
       "--checkpoint is required (it is what makes replayed batches no-ops)")
     c
   }
 
-  def run(spark: SparkSession, c: Config): org.apache.spark.sql.streaming.StreamingQuery = {
+  /** Resolve the corpus binding, preferring the catalog datastore when a
+    * catalog is given (same contract as ServeCli: plain-path URIs, the
+    * datastore's format wins when set). */
+  def resolve(c: Config): Config =
+    if (c.catalogPath.isEmpty) c
+    else {
+      val ds = ServeCli.datastore(c.catalogPath, c.corpusDatastore)
+      c.copy(
+        corpusUri = ServeCli.plain(ds.uri),
+        corpusFormat = if (ds.format.nonEmpty) ds.format else c.corpusFormat)
+    }
+
+  def run(spark: SparkSession, c0: Config): org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = resolve(c0)
     if (c.buildFrom.nonEmpty)
       graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
         c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,

@@ -96,28 +96,32 @@ object ServeCli {
         "either --catalog + datastore names or --queries-uri/--output-uri")
       c
     } else {
-      val cat = graft.catalog.Catalog.load(c.catalogPath)
-      def ds(name: String) = cat.datastores.getOrElse(name,
-        throw new NoSuchElementException(s"unknown datastore: $name"))
-      // catalog URIs are DFL expressions; the serving job binds PLAIN
-      // paths (quoted literals or bare) — variable templating needs an
-      // exec context a long-lived stream doesn't have
-      def plain(uri: String): String = {
-        val t = uri.trim
-        if (t.length >= 2 &&
-            ((t.head == '\'' && t.last == '\'') ||
-             (t.head == '"' && t.last == '"')))
-          t.substring(1, t.length - 1)
-        else uri
-      }
-      val qds = ds(c.queriesDatastore)
-      val ods = ds(c.outputDatastore)
+      val qds = datastore(c.catalogPath, c.queriesDatastore)
+      val ods = datastore(c.catalogPath, c.outputDatastore)
       c.copy(
         queriesUri = plain(qds.uri),
         queriesFormat = if (qds.format.nonEmpty) qds.format else c.queriesFormat,
         outputUri = plain(ods.uri),
         outputFormat = if (ods.format.nonEmpty) ods.format else c.outputFormat)
     }
+
+  private[cli] def datastore(catalogPath: String, name: String): graft.catalog.DataStore = {
+    val cat = graft.catalog.Catalog.load(catalogPath)
+    cat.datastores.getOrElse(name,
+      throw new NoSuchElementException(s"unknown datastore: $name"))
+  }
+
+  /** Catalog URIs are DFL expressions; the streaming jobs bind PLAIN
+    * paths (quoted literals or bare) — variable templating needs an exec
+    * context a long-lived stream doesn't have. */
+  private[cli] def plain(uri: String): String = {
+    val t = uri.trim
+    if (t.length >= 2 &&
+        ((t.head == '\'' && t.last == '\'') ||
+         (t.head == '"' && t.last == '"')))
+      t.substring(1, t.length - 1)
+    else uri
+  }
 
   def run(spark: SparkSession, c0: Config): org.apache.spark.sql.streaming.StreamingQuery = {
     val c = resolve(c0)

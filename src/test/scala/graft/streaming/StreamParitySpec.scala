@@ -382,6 +382,18 @@ class StreamParitySpec extends AnyFunSuite {
       "an idle relaunch must not re-append committed batches")
   }
 
+  test("ingest-ann binds its corpus as a catalog datastore") {
+    val root = Files.createTempDirectory("graft-ingestcat").toString
+    val cat = new graft.catalog.Catalog
+    cat.add(graft.catalog.Workspace("ws"))
+    cat.add(graft.catalog.DataStore("ws", "corpus", s"'$root/inc'", format = "jsonl"))
+    cat.save(s"$root/catalog.json")
+    val c = graft.cli.IngestCli.resolve(graft.cli.IngestCli.parseArgs(Array(
+      "--catalog", s"$root/catalog.json", "--corpus-datastore", "corpus",
+      "--index-dir", s"$root/idx", "--checkpoint", s"$root/ckpt")))
+    assert(c.corpusUri == s"$root/inc" && c.corpusFormat == "jsonl")
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft-rc").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
