@@ -42,6 +42,39 @@ object SparkEntry {
     (emb.unionByName(planted), q)
   }
 
+  /** Build-on-prefix + append-the-rest index lifecycle shared by the
+    * `ann_*_append` oracle rows: `build` runs over `vec_id < 250`,
+    * `append` over the rest (planted clique included), on a durable
+    * tmp dir — first-call-pays like the other indexed rows. The
+    * lifecycle re-runs once per corpus FINGERPRINT (source file
+    * names+mtimes+lengths), so verify and the cold bench pass exercise
+    * build + append and warm passes are pure pruned probes, while any
+    * testdata change re-runs it from scratch. The `_lifecycle-<fp>`
+    * marker is written only after a COMPLETE lifecycle — a partial
+    * build/append is wiped and redone on the next call. */
+  private def appendLifecycleIndex(dir: String, name: String,
+      corpus: DataFrame)(build: (DataFrame, String) => Unit,
+      append: (DataFrame, String) => Unit): String = {
+    val idxDir = s"${sys.props("java.io.tmpdir")}/graft-$name-" +
+      graft.util.Md5.hex(dir).take(12)
+    def sig(f: java.io.File): String =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(sig).mkString(",")
+      else s"${f.getName}:${f.lastModified}:${f.length}"
+    val fp = graft.util.Md5.hex(sig(new java.io.File(s"$dir/embeddings.parquet")))
+    val marker = new java.io.File(idxDir, s"_lifecycle-$fp")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(idxDir))
+      build(corpus.filter(col("vec_id") < 250L), idxDir)
+      append(corpus.filter(col("vec_id") >= 250L), idxDir)
+      marker.createNewFile()
+    }
+    idxDir
+  }
+
   /** Per-query planted-clique ANN corpus for the BATCHED oracle rows
     * ([[annBatchPlantedSql]] is their oracle): 10 copies of EACH of
     * queries 0-2's embeddings at ids 100000 + qid·100 + r, same
@@ -339,33 +372,10 @@ object SparkEntry {
       // is a guaranteed candidate at any radius even though every clique
       // row arrived by APPEND, which is exactly the property under test.
       val (corpus, q) = plantedCliqueCorpus(s, dir)
-      // explicit build/append lifecycle on a durable dir (not the cache),
-      // same first-call-pays convention as the other indexed rows: the
-      // lifecycle (build on prefix + append the rest) runs once per
-      // corpus FINGERPRINT (source file names+mtimes+lengths), so verify
-      // and the cold bench pass exercise it and warm passes are pure
-      // pruned probes — and any testdata change re-runs it from scratch
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-ann-append-" +
-        graft.util.Md5.hex(dir).take(12)
-      def sig(f: java.io.File): String =
-        if (f.isDirectory)
-          f.listFiles().sortBy(_.getName).map(sig).mkString(",")
-        else s"${f.getName}:${f.lastModified}:${f.length}"
-      val fp = graft.util.Md5.hex(sig(new java.io.File(s"$dir/embeddings.parquet")))
-      val marker = new java.io.File(idxDir, s"_lifecycle-$fp")
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(idxDir))
-        val prefix = corpus.filter(col("vec_id") < 250L)
-        val appended = corpus.filter(col("vec_id") >= 250L)
-        llm.Similarity.lshBuild(prefix, "vec_id", "embedding", idxDir,
-          nBits = 8, dim = 64, partitionBits = 4)
-        llm.Similarity.lshAppend(appended, "vec_id", "embedding", idxDir)
-        marker.createNewFile() // written only after a COMPLETE lifecycle
-      }
+      val idxDir = appendLifecycleIndex(dir, "ann-append", corpus)(
+        (prefix, d) => llm.Similarity.lshBuild(prefix, "vec_id", "embedding",
+          d, nBits = 8, dim = 64, partitionBits = 4),
+        (rest, d) => llm.Similarity.lshAppend(rest, "vec_id", "embedding", d))
       llm.Similarity.lshQuery(s, idxDir, q, 10, minCandidates = 20)
     }),
     "ann_ivf_append" -> ((s, dir) => {
@@ -379,27 +389,10 @@ object SparkEntry {
       // brute-force top-10 (self + clique, cos 1.0, id-asc tiebreak) is
       // therefore guaranteed to be fully probed at any nprobe ≥ 1.
       val (corpus, q) = plantedCliqueCorpus(s, dir)
-      // first-call-pays, fingerprint-fenced, exactly as ann_lsh_append
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft-ann-ivf-append-" +
-        graft.util.Md5.hex(dir).take(12)
-      def sig(f: java.io.File): String =
-        if (f.isDirectory)
-          f.listFiles().sortBy(_.getName).map(sig).mkString(",")
-        else s"${f.getName}:${f.lastModified}:${f.length}"
-      val fp = graft.util.Md5.hex(sig(new java.io.File(s"$dir/embeddings.parquet")))
-      val marker = new java.io.File(idxDir, s"_lifecycle-$fp")
-      if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(idxDir))
-        val prefix = corpus.filter(col("vec_id") < 250L)
-        val appended = corpus.filter(col("vec_id") >= 250L)
-        llm.Similarity.ivfBuild(prefix, "vec_id", "embedding", idxDir)
-        llm.Similarity.ivfAppend(appended, "vec_id", "embedding", idxDir)
-        marker.createNewFile() // written only after a COMPLETE lifecycle
-      }
+      val idxDir = appendLifecycleIndex(dir, "ann-ivf-append", corpus)(
+        (prefix, d) => { llm.Similarity.ivfBuild(prefix, "vec_id",
+          "embedding", d); () },
+        (rest, d) => llm.Similarity.ivfAppend(rest, "vec_id", "embedding", d))
       llm.Similarity.ivfQuery(s, idxDir, q, 10, nprobe = 8)
     }),
     "dedup_cosine_bucketed" -> ((s, dir) => {

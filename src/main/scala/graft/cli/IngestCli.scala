@@ -13,7 +13,7 @@ import graft.streaming.StreamRunner
   *
   * Usage:
   *   runMain graft.cli.IngestCli
-  *     (--corpus-uri DIR [--corpus-format parquet|jsonl|csv|tsv]
+  *     (--corpus-uri DIR [--corpus-format parquet|jsonl]
   *      | --catalog FILE --corpus-datastore NAME)
   *     --index-dir DIR [--method lsh|ivf]
   *     [--id-col vec_id] [--vec-col embedding]
@@ -22,10 +22,12 @@ import graft.streaming.StreamRunner
   *      [--build-klists N] [--build-pbits N]]
   *
   * `--build-from` bulk-builds the index first if none exists (the
-  * backfill); the stream then appends increments. The corpus files must
-  * carry the same id/vector column TYPES as the build source — the
-  * append schema fence rejects a mismatch rather than stranding the
-  * index with unmergeable footers. One ingest job per index dir
+  * backfill); the stream then appends increments. The stream is TYPED
+  * FROM THE INDEX itself (no file inference — the watched dir is
+  * legitimately empty on first launch), and jsonl double vectors are
+  * cast to the index's element type; parquet files whose types genuinely
+  * differ from the index are rejected rather than stranding it with
+  * unmergeable footers. One ingest job per index dir
   * (appends are single-writer); `--once` drains the currently-available
   * files and exits (the cron shape). */
 object IngestCli {
@@ -42,7 +44,12 @@ object IngestCli {
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
     var i = 0
-    def next(): String = { i += 1; args(i) }
+    def next(): String = {
+      i += 1
+      if (i >= args.length) throw new IllegalArgumentException(
+        s"flag ${args(i - 1)} requires a value")
+      args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "--corpus-uri"    => c = c.copy(corpusUri = next())

@@ -17,7 +17,7 @@ import graft.streaming.StreamRunner
   *   runMain graft.cli.ServeCli
   *     --index-dir DIR [--method lsh|ivf] [--k N] [--tuning N]
   *     [--qid-col qid] [--vec-col vec]
-  *     (--queries-uri DIR [--queries-format jsonl|csv|tsv]
+  *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]
   *      | --catalog FILE --queries-datastore NAME --output-datastore NAME)
   *     --checkpoint DIR [--once]
@@ -53,7 +53,12 @@ object ServeCli {
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
     var i = 0
-    def next(): String = { i += 1; args(i) }
+    def next(): String = {
+      i += 1
+      if (i >= args.length) throw new IllegalArgumentException(
+        s"flag ${args(i - 1)} requires a value")
+      args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "--queries-uri"       => c = c.copy(queriesUri = next())

@@ -548,8 +548,25 @@ object Similarity {
       }
     }
     fs.create(new org.apache.hadoop.fs.Path(live, s"_append-$id"), true).close()
+    // bound the marker population: a long-running ingest stream lands one
+    // marker per micro-batch, and an unbounded pile would inflate every
+    // probe's sidecar-stamp listing forever. Only the most RECENT appends
+    // can ever legitimately replay (streaming replays only the last
+    // uncommitted batch; the cached lifecycle retries immediately), so
+    // the newest [[appendMarkerKeep]] markers are ample replay fence —
+    // older ones are spent and deleted here, oldest first.
+    val markers = fs.listStatus(live)
+      .filter(_.getPath.getName.startsWith("_append-"))
+    if (markers.length > appendMarkerKeep)
+      markers.sortBy(m => (m.getModificationTime, m.getPath.getName))
+        .dropRight(appendMarkerKeep)
+        .foreach(m => fs.delete(m.getPath, false))
     fs.delete(staging, true)
   }
+
+  /** How many `_append-<id>` replay-fence markers each index retains —
+    * see the pruning note in [[commitStagedAppend]]. */
+  private val appendMarkerKeep = 16
 
   /** Finish any earlier append that crashed after its staging committed
     * (`_COMMITTING` present, `vectors/_append-<id>` marker absent) —
@@ -1021,8 +1038,11 @@ object Similarity {
             // in-flight readers of the superseded index may still probe).
             spark.conf.getOption("graft.ivf.gcKeep").foreach { keep =>
               spark.conf.getOption("graft.ivf.indexBase").foreach { base =>
+                // default the hidden-dir age guard to the CLI's hour:
+                // a 0 guard would let this sweep race ANOTHER session's
+                // in-flight staged build under the shared indexBase
                 val minAge = spark.conf.getOption("graft.ivf.gcMinAgeMs")
-                  .map(_.toLong).getOrElse(0L)
+                  .map(_.toLong).getOrElse(3600000L)
                 graft.tools.IndexGc.sweep(spark, base, keep.toInt, minAge,
                   Some(graft.util.Md5.hex(cacheKey).take(16)))
               }
@@ -1226,8 +1246,11 @@ object Similarity {
       // merge must survive a crash AFTER the part-file moves, when the
       // staged vectors are gone from staging and nothing is left to
       // recount cheaply. Read back from the staged write (column-pruned)
-      // rather than recomputing signatures over the corpus.
-      sess.read.parquet(s"$staging/vectors")
+      // rather than recomputing signatures over the corpus. The read
+      // carries an EXPLICIT schema: an all-filtered-out (empty) batch
+      // stages zero part files, and a schema-inferring read of a
+      // footerless dir would throw where the append should no-op.
+      sess.read.schema(sigs.schema).parquet(s"$staging/vectors")
         .filter(col("bucket").isNotNull).groupBy("bucket").count()
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/delta")
     }
@@ -1622,6 +1645,24 @@ object Similarity {
     case "lsh" => lshMeta(spark, indexDir).dim
     case "ivf" => ivfMeta(spark, indexDir).centroids.head.length
     case other => throw new IllegalArgumentException(s"indexDim: unknown method $other")
+  }
+
+  /** The (id, vector) column TYPES of a built index — what an appended
+    * batch must carry (modulo nullability). The streaming ingest job uses
+    * this to type its file stream from the index itself, so a watched
+    * directory that is still EMPTY at job start needs no schema
+    * inference, and jsonl's array<double> vectors get cast to the index's
+    * element type before the append fence sees them. */
+  def indexVectorTypes(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, method: String)
+      : (org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType) = {
+    val vectors = method match {
+      case "lsh" => lshMeta(spark, indexDir).vectors
+      case "ivf" => ivfMeta(spark, indexDir).vectors
+      case other =>
+        throw new IllegalArgumentException(s"indexVectorTypes: unknown method $other")
+    }
+    (vectors.schema("id").dataType, vectors.schema("v").dataType)
   }
 
   /** Bootstrap an index from a parquet corpus when none exists at

@@ -343,7 +343,24 @@ object StreamRunner {
                   once: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"annServeJob: output format must be jsonl or parquet, got $outFormat")
-    val queries = readStream(spark, queriesUri, format)
+    // csv/tsv would carry the query vector as a STRING column, which the
+    // probe extraction cannot interpret — only array-typed formats serve
+    require(format == "jsonl" || format == "parquet",
+      s"annServeJob: queries format must be jsonl or parquet, got $format")
+    // jsonl gets the canonical explicit schema (numbers parse as
+    // doubles), so a queries dir that is still EMPTY at job start works —
+    // the cron/fresh-host shape. Parquet keeps file inference (query
+    // files define their own id/vector types, which the probe extraction
+    // normalizes), so it needs at least one file present at start.
+    val schema =
+      if (format == "jsonl") Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(qidCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      else None
+    val queries = readStream(spark, queriesUri, format, schema)
     val q = annServeBatches(queries, qidCol, vecCol, indexDir, k, method,
       tuning, options = Map("checkpointLocation" -> checkpoint)) {
       (answer, batchId) =>
@@ -386,7 +403,27 @@ object StreamRunner {
                    once: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf",
       s"annIngestJob: unknown method $method")
-    val corpus = readStream(spark, corpusUri, format)
+    // csv/tsv carry vectors as strings — there is no lossless cast to an
+    // array column, so only the two formats that really append are offered
+    require(format == "parquet" || format == "jsonl",
+      s"annIngestJob: corpus format must be parquet or jsonl, got $format")
+    // the stream's schema comes from the INDEX, not file inference: the
+    // watched dir is legitimately EMPTY on first launch (the backfill was
+    // --build-from; increments arrive later), and inference over an empty
+    // dir would fail the job before its checkpoint exists. jsonl parses
+    // numbers as array<double>; cast to the index's element type so the
+    // append fence compares true types, not formats.
+    val (idType, vecType) =
+      graft.llm.Similarity.indexVectorTypes(spark, indexDir, method)
+    val streamSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField(vecCol,
+        if (format == "jsonl")
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)
+        else vecType)))
+    val corpus = readStream(spark, corpusUri, format, Some(streamSchema))
+      .withColumn(vecCol, col(vecCol).cast(vecType))
     val q = corpus.writeStream
       .options(Map("checkpointLocation" -> checkpoint))
       .foreachBatch {

@@ -20,10 +20,13 @@ import org.apache.spark.sql.SparkSession
   *    between stagedCommit's two renames), so it is RESTORED, never
   *    deleted
   *
-  * Hidden work dirs are age-guarded by `minAgeMs` so a cron sweep cannot
-  * race an in-flight build in another process — size it above your
-  * longest build. Retention dirs are not age-guarded; `keepPerKey` is
-  * their guard.
+  * EVERY hidden-dir action (restore included) is age-guarded by
+  * `minAgeMs` so a sweep cannot race an in-flight build in another
+  * process — a healthy commit passes through the same target-missing/
+  * fresh-.old signature for milliseconds mid-swap. Size the guard above
+  * your longest build (the CLI and the auto-sweep both default to 1h).
+  * Hidden dirs are also scoped to `onlyKeyHash` when set. Retention dirs
+  * are not age-guarded; `keepPerKey` is their guard.
   *
   * Drive it three ways: this object's [[main]] from an ops shell or
   * cron; [[sweep]] from code; or automatically after each cached-
@@ -50,11 +53,26 @@ object IndexGc {
     val kept = Seq.newBuilder[String]
     val deleted = Seq.newBuilder[String]
     val restored = Seq.newBuilder[String]
+    // matches `.idx-<key16>-<stamp16>.staging/.old`; group(1) = key hash.
+    // Hidden dirs that don't parse (foreign names) are left alone.
+    val HiddenName = "^\\.idx-([0-9a-f]{16})-([0-9a-f]{16})\\.(?:staging|old)$".r
+    def hiddenKeyMatches(n: String): Boolean = n match {
+      case HiddenName(keyH, _) => onlyKeyHash.forall(_ == keyH)
+      case _                   => onlyKeyHash.isEmpty
+    }
     // 1) self-heal BEFORE any deletion: an `.X.old` whose target X is
-    //    missing is the only copy of that index — restore it
+    //    missing is the only copy of that index — restore it. AGE-GUARDED
+    //    like every hidden-dir action: a healthy stagedCommit in another
+    //    process sits between its two swap renames for milliseconds with
+    //    exactly this signature (target missing, fresh .old), and an
+    //    unguarded restore there would steal its aside copy and fail the
+    //    commit. A crashed commit's orphan is restored by the NEXT sweep
+    //    once it ages past the guard (or by stagedCommit's own self-heal
+    //    on the next build of that index).
     entries.foreach { e =>
       val n = e.getPath.getName
-      if (e.isDirectory && n.startsWith(".") && n.endsWith(".old")) {
+      if (e.isDirectory && n.startsWith(".") && n.endsWith(".old") &&
+          hiddenKeyMatches(n) && now - e.getModificationTime >= minAgeMs) {
         val target = new Path(basePath,
           n.stripPrefix(".").stripSuffix(".old"))
         if (!fs.exists(target) && fs.rename(e.getPath, target))
@@ -77,11 +95,15 @@ object IndexGc {
       }
     }
     // 3) stranded hidden work dirs (skipping anything restored above),
-    //    age-guarded against racing an in-flight build elsewhere
+    //    age-guarded against racing an in-flight build elsewhere and
+    //    SCOPED to onlyKeyHash when set — a key-scoped auto-sweep after
+    //    one corpus's retrain must never touch another corpus's
+    //    in-flight staging or aside copy
     entries.foreach { e =>
       val n = e.getPath.getName
       if (e.isDirectory && n.startsWith(".") &&
           (n.endsWith(".staging") || n.endsWith(".old")) &&
+          hiddenKeyMatches(n) &&
           now - e.getModificationTime >= minAgeMs && fs.exists(e.getPath) &&
           fs.delete(e.getPath, true))
         deleted += n

@@ -1072,6 +1072,36 @@ class LlmSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/vectors").count() == 460L)
   }
 
+  test("an empty append batch is a no-op, not a crash") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-appempty").toString
+    val dir = s"$root/idx"
+    Similarity.lshBuild(emb.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    val before = spark.read.parquet(s"$dir/vectors").count()
+    val occBefore = spark.read.parquet(s"$dir/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ingest shape: a micro-batch whose rows were all filtered out
+    // (or an empty source file) still reaches the append — the staged
+    // write emits zero part files, and the delta read-back must not die
+    // trying to infer a schema from a footerless directory
+    val empty = emb.filter($"vec_id" < 0).select($"vec_id", $"embedding")
+    Similarity.lshAppend(empty, "vec_id", "embedding", dir, appendId = Some("e1"))
+    assert(spark.read.parquet(s"$dir/vectors").count() == before)
+    assert(spark.read.parquet(s"$dir/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == occBefore)
+    // and the index still probes
+    val q = emb.filter($"vec_id" === 3).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    assert(Similarity.lshQuery(spark, dir, q, 3).collect().head.getLong(0) == 3L)
+    // same on the IVF side
+    val ivfDir = s"$root/ivf"
+    Similarity.ivfBuild(emb.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", ivfDir, kLists = 4, trainSample = 64)
+    Similarity.ivfAppend(empty, "vec_id", "embedding", ivfDir, appendId = Some("e2"))
+    assert(spark.read.parquet(s"$ivfDir/vectors").count() == before)
+  }
+
   test("append crash windows: a retried half-committed append neither double-appends nor double-merges") {
     val root = java.nio.file.Files.createTempDirectory("graft-appcrash").toString
     val dir = s"$root/idx"
