@@ -17,7 +17,7 @@ import graft.streaming.StreamRunner
   *      | --catalog FILE --corpus-datastore NAME)
   *     --index-dir DIR [--method lsh|ivf]
   *     [--id-col vec_id] [--vec-col embedding]
-  *     --checkpoint DIR [--once]
+  *     --checkpoint DIR [--once] [--compact-every N]
   *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
   *      [--build-klists N] [--build-pbits N]]
   *
@@ -29,14 +29,17 @@ import graft.streaming.StreamRunner
   * differ from the index are rejected rather than stranding it with
   * unmergeable footers. One ingest job per index dir
   * (appends are single-writer); `--once` drains the currently-available
-  * files and exits (the cron shape). */
+  * files and exits (the cron shape). `--compact-every N` rewrites the
+  * index layout back to build shape after every N-th appended batch —
+  * appends land one part file per partition per batch, and compaction is
+  * what bounds probe read amplification over a long-running ingest. */
 object IngestCli {
 
   final case class Config(
       corpusUri: String = "", corpusFormat: String = "parquet",
       idCol: String = "vec_id", vecCol: String = "embedding",
       indexDir: String = "", method: String = "lsh",
-      checkpoint: String = "", once: Boolean = false,
+      checkpoint: String = "", once: Boolean = false, compactEvery: Int = 0,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
       buildKLists: Int = 16, buildPBits: Int = 8,
       catalogPath: String = "", corpusDatastore: String = "")
@@ -60,6 +63,7 @@ object IngestCli {
         case "--method"        => c = c.copy(method = next())
         case "--checkpoint"    => c = c.copy(checkpoint = next())
         case "--once"          => c = c.copy(once = true)
+        case "--compact-every" => c = c.copy(compactEvery = next().toInt)
         case "--build-from"    => c = c.copy(buildFrom = next())
         case "--build-nbits"   => c = c.copy(buildNBits = next().toInt)
         case "--build-dim"     => c = c.copy(buildDim = next().toInt)
@@ -99,7 +103,8 @@ object IngestCli {
         dim = c.buildDim, partitionBits = c.buildPBits,
         kLists = c.buildKLists)
     StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
-      c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once)
+      c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
+      compactEvery = c.compactEvery)
   }
 
   def main(args: Array[String]): Unit = {

@@ -658,6 +658,103 @@ object Similarity {
     spark.read.parquet(s"$indexDir/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
 
+  /** Data-file count and per-partition max of an index's vectors dir —
+    * the read-amplification monitor that decides when [[compactIndex]]
+    * is worth running. Pure FS listing, no Spark job. */
+  def indexFileStats(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): (Long, Long) = {
+    val vec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = vec.getFileSystem(spark.sessionState.newHadoopConf())
+    val perPart = fs.listStatus(vec).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .toLong)
+      .toArray
+    (perPart.sum, if (perPart.isEmpty) 0L else perPart.max)
+  }
+
+  /** File counts before and after a [[compactIndex]] run. */
+  final case class CompactStats(filesBefore: Long, filesAfter: Long)
+
+  /** COMPACT an appended index: rewrite the vectors layout back to the
+    * file shape a fresh build would produce, WITHOUT recomputing anything
+    * — no k-means retrain, no signature pass, one clustered read-rewrite
+    * of the index's own files. Streaming ingest lands one part file per
+    * partition per micro-batch, so after N appends every probe of a
+    * partition reads N small files; compaction bounds that read
+    * amplification, which is what keeps an always-appending index
+    * servable at 100 TB between (much rarer, much costlier) retrains.
+    *
+    * The row MULTISET is preserved exactly, so probe results are
+    * unchanged — for LSH this is trivially true (signatures are stored,
+    * not recomputed); for IVF the centroid sidecar is carried over
+    * verbatim, so list assignments stay frozen exactly as [[ivfAppend]]
+    * left them. Sidecars are rewritten from the index itself (the LSH
+    * occupancy recount is the same column-pruned scan a build does —
+    * also repairing any histogram lost to an earlier crash), and the
+    * `vectors/_append-<id>` replay fences are CARRIED OVER so a
+    * streaming replay of an already-ingested batch stays a no-op across
+    * the compaction. The whole rewrite lands through [[stagedCommit]]:
+    * a crash anywhere leaves the previous index in place.
+    *
+    * Same contract as an explicit in-place rebuild: single-writer,
+    * reader-quiesced (the dir swap races in-flight readers — run it from
+    * the index's owning ingest job, as [[graft.streaming.StreamRunner
+    * .annIngestJob]]'s `compactEvery` does, or in a quiet window).
+    * Memoized probe snapshots ([[lshMeta]]/[[ivfMeta]]) re-resolve on
+    * their next use — every sidecar in their stamps is rewritten. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, method: String): CompactStats = {
+    require(method == "lsh" || method == "ivf",
+      s"compactIndex: unknown method $method")
+    // finish any crashed-but-committed append first: its rows must be
+    // live (and its fence marker durable) before the rewrite snapshots
+    // the vectors dir; un-committed stagings wrote nothing live and are
+    // re-staged from scratch by their owner's retry
+    healStrandedAppends(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fences = fs.listStatus(liveVec).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_append-")).toArray
+    val (filesBefore, _) = indexFileStats(spark, indexDir)
+    val vectors = spark.read.parquet(liveVec.toString)
+    val lsh = if (method == "lsh") Some(lshMeta(spark, indexDir)) else None
+    val centroids =
+      if (method == "ivf") spark.read.parquet(s"$indexDir/centroids").collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val (partCol, numValues) = lsh match {
+      case Some(m) => ("pband", 1 << m.pBits)
+      case None    => ("list", centroids.length)
+    }
+    stagedCommit(spark, indexDir) { staging =>
+      clusteredWrite(vectors, partCol, numValues)
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$staging/vectors")
+      if (method == "ivf") {
+        import spark.implicits._
+        centroids.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+          .toDF("list", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      } else lsh.foreach { m =>
+        import spark.implicits._
+        Seq((m.nBits, m.dim, m.pBits)).toDF("n_bits", "dim", "partition_bits")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+        spark.read.parquet(s"$staging/vectors")
+          .filter(col("bucket").isNotNull)
+          .groupBy("bucket").count()
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/occupancy")
+      }
+      fences.foreach { n =>
+        fs.create(new org.apache.hadoop.fs.Path(s"$staging/vectors/$n"), true)
+          .close()
+      }
+    }
+    CompactStats(filesBefore, indexFileStats(spark, indexDir)._1)
+  }
+
   /** Driver-memoized IVF index state — the exact counterpart of
     * [[lshMeta]]: the centroid sidecar (whose read is otherwise a Spark
     * job on EVERY probe) and the resolved vectors DataFrame (whose

@@ -396,11 +396,20 @@ object StreamRunner {
     * `--build-from` does) so the stream appends against the bulk-built
     * backfill. LSH appends reproduce a full rebuild exactly; IVF appends
     * assign to frozen centroids (monitor drift via `ivfListStats`,
-    * retrain on growth). */
+    * retrain on growth).
+    *
+    * `compactEvery = n > 0` runs [[graft.llm.Similarity.compactIndex]]
+    * after every n-th appended batch: each append lands one part file
+    * per partition, so a long-running ingest otherwise grows probe read
+    * amplification without bound. Compaction inside `foreachBatch` is
+    * serialized with the appends (the job owns the index — exactly the
+    * single-writer window compaction requires); it preserves the row
+    * multiset and the replay fences, so exactly-once holds across it. */
   def annIngestJob(spark: SparkSession, corpusUri: String, format: String,
                    idCol: String, vecCol: String, indexDir: String,
                    method: String, checkpoint: String,
-                   once: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+                   once: Boolean, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf",
       s"annIngestJob: unknown method $method")
     // csv/tsv carry vectors as strings — there is no lossless cast to an
@@ -436,6 +445,14 @@ object StreamRunner {
             else
               graft.llm.Similarity.lshAppend(batch.toDF(), idCol, vecCol,
                 indexDir, appendId = id)
+            // keyed to batchId, not a local counter, so the cadence is
+            // stable across job restarts; a replayed batch may compact
+            // twice — harmless, compaction is idempotent on the row set
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+              val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
+              log.info(s"compacted $indexDir after batch $batchId: " +
+                s"${st.filesBefore} -> ${st.filesAfter} data files")
+            }
           }
       }.start()
     if (once) {

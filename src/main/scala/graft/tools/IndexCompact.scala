@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ops entry point for [[graft.llm.Similarity.compactIndex]]: rewrite an
+  * appended ANN index's vectors layout back to the file shape a fresh
+  * build would produce — no retrain, no signature recompute, one
+  * clustered read-rewrite committed atomically. Run it in the index's
+  * single-writer window (its ingest job stopped, or from the job itself
+  * via `--compact-every`); `--min-files-per-part N` makes a cron
+  * invocation a cheap no-op (one FS listing, no Spark job) while the
+  * worst partition still reads fewer than N data files.
+  *
+  * Usage:
+  *   runMain graft.tools.IndexCompact --index-dir DIR --method lsh|ivf
+  *     [--min-files-per-part N]
+  */
+object IndexCompact {
+
+  def main(args: Array[String]): Unit = {
+    var indexDir = ""; var method = "lsh"; var minFilesPerPart = 0L
+    var i = 0
+    def next(): String = {
+      i += 1
+      if (i >= args.length) throw new IllegalArgumentException(
+        s"flag ${args(i - 1)} requires a value")
+      args(i)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--index-dir"          => indexDir = next()
+        case "--method"             => method = next()
+        case "--min-files-per-part" => minFilesPerPart = next().toLong
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+      i += 1
+    }
+    require(indexDir.nonEmpty, "--index-dir is required")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-index-compact")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (files, maxPerPart) =
+        graft.llm.Similarity.indexFileStats(spark, indexDir)
+      if (maxPerPart < minFilesPerPart)
+        println(s"skip: $files data files, worst partition $maxPerPart < " +
+          s"$minFilesPerPart")
+      else {
+        val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
+        println(s"compacted: ${st.filesBefore} -> ${st.filesAfter} data files")
+      }
+    } finally spark.stop()
+  }
+}

@@ -1195,6 +1195,74 @@ class LlmSpec extends AnyFunSuite {
     assert(occ(dir) == occ(s"$root/full"))
   }
 
+  test("compactIndex (lsh): fewer files, probe-for-probe identical, replay fences survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dir = s"$root/idx"
+    Similarity.lshBuild(emb.filter($"vec_id" < 200).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, nBits = 8, dim = 64, partitionBits = 4)
+    // three appends, each landing its own part files into the pband dirs
+    Seq((200L, 300L, "c1"), (300L, 400L, "c2"), (400L, 500L, "c3")).foreach {
+      case (lo, hi, id) =>
+        Similarity.lshAppend(
+          emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+            .select($"vec_id", $"embedding"),
+          "vec_id", "embedding", dir, appendId = Some(id))
+    }
+    def occ() = spark.read.parquet(s"$dir/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def probe(qid: Long) = {
+      val q = emb.filter($"vec_id" === qid).select($"embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshQuery(spark, dir, q, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val (qids, occBefore) = (Seq(5L, 250L, 499L), occ())
+    val before = qids.map(probe)
+    val st = Similarity.compactIndex(spark, dir, "lsh")
+    // the whole point: strictly fewer data files, same 500-row multiset
+    assert(st.filesAfter < st.filesBefore,
+      s"no compaction happened: ${st.filesBefore} -> ${st.filesAfter}")
+    assert(Similarity.indexFileStats(spark, dir)._1 == st.filesAfter)
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+    assert(occ() == occBefore)
+    assert(qids.map(probe) == before, "probe results changed across compaction")
+    // the replay fences were carried over: a streaming replay of an
+    // already-ingested batch stays a no-op AFTER the rewrite
+    assert(new java.io.File(s"$dir/vectors/_append-c3").exists())
+    Similarity.lshAppend(
+      emb.filter($"vec_id" >= 400).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, appendId = Some("c3"))
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count(),
+      "replayed append double-appended after compaction")
+    // no staged-commit residue
+    assert(!new java.io.File(s"$root/.idx.staging").exists())
+    assert(!new java.io.File(s"$root/.idx.old").exists())
+  }
+
+  test("compactIndex (ivf): centroids carried verbatim, appended rows still probed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compactivf").toString
+    val dir = s"$root/idx"
+    Similarity.ivfBuild(emb.filter($"vec_id" < 300).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir)
+    Similarity.ivfAppend(
+      emb.filter($"vec_id" >= 300).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, appendId = Some("iv1"))
+    val centroidsBefore = Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq
+    val q = emb.filter($"vec_id" === 450).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val before = Similarity.ivfQuery(spark, dir, q, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val st = Similarity.compactIndex(spark, dir, "ivf")
+    assert(st.filesAfter < st.filesBefore)
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+    // frozen centroids stay frozen — compaction must never retrain
+    assert(Similarity.readCentroids(spark, dir).map(_.toSeq).toSeq ==
+      centroidsBefore)
+    assert(Similarity.ivfQuery(spark, dir, q, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+    assert(before.head == ((450L, 1.0)), "appended row must find itself")
+  }
+
   // ---------- index retention (IndexGc) ----------
 
   test("IndexGc: rebuilds and threshold retrains keep the newest N dirs; stranded staging swept, orphan .old restored") {

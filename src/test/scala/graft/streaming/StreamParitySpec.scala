@@ -382,6 +382,49 @@ class StreamParitySpec extends AnyFunSuite {
       "an idle relaunch must not re-append committed batches")
   }
 
+  test("ingest-ann --compact-every: append growth is rewritten back to build shape mid-stream") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-ingestcompact").toString
+    emb.filter($"vec_id" < 300L).coalesce(1).write.parquet(s"$root/backfill")
+    val streamDir = s"$root/stream"; new java.io.File(streamDir).mkdirs()
+    def addIncrement(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = s"$root/.inc-$name"
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--corpus-format", "parquet",
+      "--index-dir", s"$root/idx", "--method", "lsh",
+      "--checkpoint", s"$root/ckpt", "--once", "--compact-every", "1",
+      "--build-from", s"$root/backfill",
+      "--build-nbits", "8", "--build-pbits", "4"))
+    addIncrement("f1", 300L, 400L)
+    graft.cli.IngestCli.run(spark, cfg) // batch 0: append only
+    val (_, maxGrown) = graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
+    assert(maxGrown > 1, "appends should have grown some partition past one file")
+    addIncrement("f2", 400L, 500L)
+    graft.cli.IngestCli.run(spark, cfg) // batch 1: append, then compact
+    // compaction ran: every pband partition is back to a single data
+    // file (the build-shape layout at this corpus size)...
+    val (_, maxPerPart) = graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
+    assert(maxPerPart == 1, s"expected compacted layout, worst partition " +
+      s"still has $maxPerPart files")
+    // ...and neither rows nor answers changed
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 500L)
+    val q = emb.filter($"vec_id" === 450L).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    assert(graft.llm.Similarity.lshQuery(spark, s"$root/idx", q, 5,
+      minCandidates = 20).collect().head.getLong(0) == 450L)
+    // exactly-once holds across the rewrite: idle relaunch re-appends nothing
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 500L)
+  }
+
   test("ingest-ann binds its corpus as a catalog datastore") {
     val root = Files.createTempDirectory("graft-ingestcat").toString
     val cat = new graft.catalog.Catalog
