@@ -17,7 +17,7 @@ import graft.streaming.StreamRunner
   *      | --catalog FILE --corpus-datastore NAME)
   *     --index-dir DIR [--method lsh|ivf]
   *     [--id-col vec_id] [--vec-col embedding]
-  *     --checkpoint DIR [--once] [--compact-every N]
+  *     --checkpoint DIR [--once] [--compact-every N] [--retrain-skew F]
   *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
   *      [--build-klists N] [--build-pbits N]]
   *
@@ -32,7 +32,10 @@ import graft.streaming.StreamRunner
   * files and exits (the cron shape). `--compact-every N` rewrites the
   * index layout back to build shape after every N-th appended batch —
   * appends land one part file per partition per batch, and compaction is
-  * what bounds probe read amplification over a long-running ingest. */
+  * what bounds probe read amplification over a long-running ingest. For
+  * an IVF index, `--retrain-skew F` upgrades that slot to a full retrain
+  * from the index's own rows whenever max/mean list occupancy exceeds F
+  * — the self-healing answer to centroid drift under appended data. */
 object IngestCli {
 
   final case class Config(
@@ -40,6 +43,7 @@ object IngestCli {
       idCol: String = "vec_id", vecCol: String = "embedding",
       indexDir: String = "", method: String = "lsh",
       checkpoint: String = "", once: Boolean = false, compactEvery: Int = 0,
+      retrainSkew: Double = 0.0,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
       buildKLists: Int = 16, buildPBits: Int = 8,
       catalogPath: String = "", corpusDatastore: String = "")
@@ -64,6 +68,7 @@ object IngestCli {
         case "--checkpoint"    => c = c.copy(checkpoint = next())
         case "--once"          => c = c.copy(once = true)
         case "--compact-every" => c = c.copy(compactEvery = next().toInt)
+        case "--retrain-skew"  => c = c.copy(retrainSkew = next().toDouble)
         case "--build-from"    => c = c.copy(buildFrom = next())
         case "--build-nbits"   => c = c.copy(buildNBits = next().toInt)
         case "--build-dim"     => c = c.copy(buildDim = next().toInt)
@@ -104,7 +109,7 @@ object IngestCli {
         kLists = c.buildKLists)
     StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
       c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
-      compactEvery = c.compactEvery)
+      compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)
   }
 
   def main(args: Array[String]): Unit = {

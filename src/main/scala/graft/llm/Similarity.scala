@@ -652,6 +652,70 @@ object Similarity {
                    indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/vectors").groupBy("list").count()
 
+  /** [[ivfListStats]] reduced to one number: max(list rows) / mean(list
+    * rows), the mean over ALL trained lists (an empty list counts — a
+    * drifted corpus that starves lists is exactly what this flags). 1.0
+    * is perfectly balanced; [[graft.streaming.StreamRunner.annIngestJob]]
+    * compares it against `retrainSkewFactor` to decide when the frozen
+    * centroids have drifted enough to be worth retraining. */
+  def ivfSkew(spark: org.apache.spark.sql.SparkSession,
+              indexDir: String): Double = {
+    val counts = ivfListStats(spark, indexDir)
+      .collect().map(_.getAs[Long]("count"))
+    val k = readCentroids(spark, indexDir).length
+    if (counts.isEmpty || k == 0) 1.0
+    else counts.max.toDouble * k / counts.sum.toDouble
+  }
+
+  /** RETRAIN a drifted IVF index FROM ITS OWN ROWS: the index stores
+    * (id, vector), so the full corpus needed for retraining is the index
+    * itself — no access to the original source files, which a
+    * long-running ingest job no longer has (its increments are spread
+    * over an unbounded file history). New centroids are trained on a
+    * deterministic HASH-SPREAD sample — the build's lowest-id sample
+    * ([[trainCentroids]]) would systematically exclude appended rows
+    * (appends usually carry the highest ids), i.e. exactly the drifted
+    * data a retrain exists to absorb — then every row is reassigned and
+    * the whole index rewritten through [[stagedCommit]]. The `_append`
+    * replay fences are carried over, so a streaming replay of a batch
+    * the retrain already absorbed stays a no-op. Cost is one training
+    * pass over the bounded sample plus one assignment rewrite of the
+    * index — same order as [[compactIndex]] plus k-means, still never a
+    * source-corpus rescan. Single-writer, reader-quiesced, like every
+    * in-place rewrite. */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 kLists: Int = 0, trainSample: Int = 2048): Array[Array[Double]] = {
+    healStrandedAppends(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fences = fs.listStatus(liveVec).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_append-")).toArray
+    val k = if (kLists > 0) kLists else readCentroids(spark, indexDir).length
+    val rows = spark.read.parquet(liveVec.toString).select(col("id"), col("v"))
+    // deterministic spread sample: ties under the hash broken by id, so a
+    // recomputed partition mid-training feeds identical rows (the same
+    // property trainCentroids gets from its id ordering)
+    val sampleRdd = rows
+      .orderBy(pmod(hash(col("id")), lit(1 << 30)), col("id"))
+      .limit(trainSample).select(col("v")).rdd
+      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    val centroids = kmeansDistributed(sampleRdd, k)
+    stagedCommit(spark, indexDir) { staging =>
+      clusteredWrite(ivfAssign(rows, "id", "v", centroids), "list", k)
+        .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
+      import spark.implicits._
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      fences.foreach { n =>
+        fs.create(new org.apache.hadoop.fs.Path(s"$staging/vectors/$n"), true)
+          .close()
+      }
+    }
+    centroids
+  }
+
   /** Centroid sidecar read-back: kLists × dim doubles — always tiny. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     indexDir: String): Array[Array[Double]] =

@@ -398,17 +398,25 @@ object StreamRunner {
     * assign to frozen centroids (monitor drift via `ivfListStats`,
     * retrain on growth).
     *
-    * `compactEvery = n > 0` runs [[graft.llm.Similarity.compactIndex]]
-    * after every n-th appended batch: each append lands one part file
-    * per partition, so a long-running ingest otherwise grows probe read
-    * amplification without bound. Compaction inside `foreachBatch` is
-    * serialized with the appends (the job owns the index — exactly the
-    * single-writer window compaction requires); it preserves the row
-    * multiset and the replay fences, so exactly-once holds across it. */
+    * `compactEvery = n > 0` opens a MAINTENANCE SLOT after every n-th
+    * appended batch: each append lands one part file per partition, so a
+    * long-running ingest otherwise grows probe read amplification
+    * without bound. In the slot the job normally runs
+    * [[graft.llm.Similarity.compactIndex]]; for an IVF index with
+    * `retrainSkewFactor > 0` it first checks [[graft.llm.Similarity
+    * .ivfSkew]] and, past the factor, runs [[graft.llm.Similarity
+    * .ivfRetrain]] INSTEAD (a retrain rewrites everything — compacting
+    * the same batch would be redundant) — closing the drift loop the
+    * frozen-centroid append otherwise leaves to ops. Maintenance inside
+    * `foreachBatch` is serialized with the appends (the job owns the
+    * index — exactly the single-writer window in-place rewrites
+    * require); both rewrites preserve the row multiset and the replay
+    * fences, so exactly-once holds across them. */
   def annIngestJob(spark: SparkSession, corpusUri: String, format: String,
                    idCol: String, vecCol: String, indexDir: String,
                    method: String, checkpoint: String,
-                   once: Boolean, compactEvery: Int = 0)
+                   once: Boolean, compactEvery: Int = 0,
+                   retrainSkewFactor: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf",
       s"annIngestJob: unknown method $method")
@@ -446,12 +454,24 @@ object StreamRunner {
               graft.llm.Similarity.lshAppend(batch.toDF(), idCol, vecCol,
                 indexDir, appendId = id)
             // keyed to batchId, not a local counter, so the cadence is
-            // stable across job restarts; a replayed batch may compact
-            // twice — harmless, compaction is idempotent on the row set
+            // stable across job restarts; a replayed batch may run its
+            // maintenance twice — harmless, both rewrites are idempotent
+            // on the row set
             if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-              val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
-              log.info(s"compacted $indexDir after batch $batchId: " +
-                s"${st.filesBefore} -> ${st.filesAfter} data files")
+              val retrained = method == "ivf" && retrainSkewFactor > 0 && {
+                val skew = graft.llm.Similarity.ivfSkew(spark, indexDir)
+                skew > retrainSkewFactor && {
+                  log.warn(s"ivf skew $skew > $retrainSkewFactor at " +
+                    s"$indexDir; retraining from index rows")
+                  graft.llm.Similarity.ivfRetrain(spark, indexDir)
+                  true
+                }
+              }
+              if (!retrained) {
+                val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
+                log.info(s"compacted $indexDir after batch $batchId: " +
+                  s"${st.filesBefore} -> ${st.filesAfter} data files")
+              }
             }
           }
       }.start()

@@ -1263,6 +1263,51 @@ class LlmSpec extends AnyFunSuite {
     assert(before.head == ((450L, 1.0)), "appended row must find itself")
   }
 
+  test("ivfRetrain: drifted appends raise skew; retraining from the index's own rows absorbs them") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retrain").toString
+    val dir = s"$root/idx"
+    Similarity.ivfBuild(emb.filter($"vec_id" < 300).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir)
+    // append a drifted CLUSTER far from the build distribution: 100 rows
+    // near 10·e0 with small deterministic spread, all landing in whichever
+    // single frozen list is nearest that region
+    val drifted = spark.createDataFrame(
+      (0 until 100).map { i =>
+        (1000L + i, Array.tabulate(64)(d =>
+          if (d == 0) 10.0f else (((i * 31 + d) % 7) - 3) * 0.1f).toSeq)
+      }).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    Similarity.ivfAppend(drifted, "vec_id", "embedding", dir,
+      appendId = Some("drift1"))
+    val skewBefore = Similarity.ivfSkew(spark, dir)
+    assert(skewBefore > 2.0,
+      s"drifted appends should concentrate in few lists, skew $skewBefore")
+    Similarity.ivfRetrain(spark, dir)
+    // retraining saw the appended region (hash-spread sample, not
+    // lowest-id) and split it across fresh lists
+    val skewAfter = Similarity.ivfSkew(spark, dir)
+    assert(skewAfter < skewBefore,
+      s"retrain did not reduce skew: $skewBefore -> $skewAfter")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 400L)
+    assert(Similarity.readCentroids(spark, dir).length == 16)
+    // drifted rows are served exactly through the retrained quantizer
+    val q = Array.tabulate(64)(d =>
+      if (d == 0) 10.0 else (((7 * 31 + d) % 7) - 3) * 0.1)
+    // rows 1007, 1000, 1014 are bit-identical to the query (the
+    // perturbation has period 7 in i), so top-3 is that cos-1.0 tie
+    // set in id order
+    val got = Similarity.ivfQuery(spark, dir, q.toSeq, 3, nprobe = 8)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1000L, 1007L, 1014L),
+      s"planted clique must be served exactly, got ${got.toSeq}")
+    // the replay fence survived the rewrite: re-appending the absorbed
+    // batch is still a no-op
+    Similarity.ivfAppend(drifted, "vec_id", "embedding", dir,
+      appendId = Some("drift1"))
+    assert(spark.read.parquet(s"$dir/vectors").count() == 400L,
+      "replayed append double-appended after retrain")
+  }
+
   // ---------- index retention (IndexGc) ----------
 
   test("IndexGc: rebuilds and threshold retrains keep the newest N dirs; stranded staging swept, orphan .old restored") {

@@ -425,6 +425,50 @@ class StreamParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/idx/vectors").count() == 500L)
   }
 
+  test("ingest-ann --retrain-skew: the maintenance slot retrains a drifted ivf index in-stream") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-ingestretrain").toString
+    emb.filter($"vec_id" < 300L).coalesce(1).write.parquet(s"$root/backfill")
+    val streamDir = s"$root/stream"; new java.io.File(streamDir).mkdirs()
+    // two drifted increments, clustered far from the build distribution
+    def addDrifted(name: String, base: Long): Unit = {
+      val tmp = s"$root/.inc-$name"
+      spark.createDataFrame((0 until 50).map { i =>
+        (base + i, Array.tabulate(64)(d =>
+          if (d == 0) 10.0f else ((i * 13 + d) % 5 - 2) * 0.1f).toSeq)
+      }).toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--corpus-format", "parquet",
+      "--index-dir", s"$root/idx", "--method", "ivf",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--compact-every", "1", "--retrain-skew", "2.0",
+      "--build-from", s"$root/backfill"))
+    addDrifted("f1", 1000L)
+    graft.cli.IngestCli.run(spark, cfg) // batch 0: append only (no slot)
+    val centroidsFrozen =
+      graft.llm.Similarity.readCentroids(spark, s"$root/idx").map(_.toSeq).toSeq
+    val skewDrifted = graft.llm.Similarity.ivfSkew(spark, s"$root/idx")
+    assert(skewDrifted > 2.0, s"drifted increment should raise skew, got $skewDrifted")
+    addDrifted("f2", 2000L)
+    graft.cli.IngestCli.run(spark, cfg) // batch 1: append, slot -> retrain
+    assert(graft.llm.Similarity.readCentroids(spark, s"$root/idx")
+      .map(_.toSeq).toSeq != centroidsFrozen,
+      "maintenance slot should have retrained the quantizer")
+    assert(graft.llm.Similarity.ivfSkew(spark, s"$root/idx") < skewDrifted)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+    // exactly-once across the retrain: idle relaunch re-appends nothing
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+  }
+
   test("ingest-ann binds its corpus as a catalog datastore") {
     val root = Files.createTempDirectory("graft-ingestcat").toString
     val cat = new graft.catalog.Catalog
