@@ -113,6 +113,17 @@ object ScaleCheck {
         graft.llm.Similarity.ivfAppend(inc, "vec_id", "embedding", idxDir,
           appendId = Some(s"scale-$mult")); 200L
       })
+      // the COMPACTION posture: rewrite cost is one clustered pass over
+      // the index (so it may grow ~linearly in mult — it is the RARE
+      // maintenance op), but the probe after it must return to the
+      // built-index flat cost, and answers must be unchanged. rows=
+      // data-file delta
+      time("lsh_compact")({
+        val st = graft.llm.Similarity.compactIndex(spark, lshDir, "lsh")
+        st.filesBefore - st.filesAfter
+      })
+      time("lsh_probe_compacted")(graft.llm.Similarity.lshQuery(
+        spark, lshDir, q, 10).count())
       big.unpersist()
     }
     spark.stop()
