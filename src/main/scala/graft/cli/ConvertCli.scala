@@ -33,31 +33,25 @@ object ConvertCli {
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
-    var i = 0
-    def next(): String = {
-      if (i + 1 >= args.length)
-        throw new IllegalArgumentException(s"flag ${args(i)} is missing its value")
-      i += 1; args(i)
-    }
-    while (i < args.length) {
-      args(i) match {
-        case "--input-uri"          => c = c.copy(inputUri = next())
-        case "--input-format"       => c = c.copy(inputFormat = next())
-        case "--input-header"       => c = c.copy(inputHeader = Some(next().split(',').toSeq))
+    val a = new Argv(args)
+    while (a.more) {
+      a.flag() match {
+        case "--input-uri"          => c = c.copy(inputUri = a.value())
+        case "--input-format"       => c = c.copy(inputFormat = a.value())
+        case "--input-header"       => c = c.copy(inputHeader = Some(a.value().split(',').toSeq))
         case "--input-comment"      =>
-          val v = next()
+          val v = a.value()
           if (v.isEmpty)
             throw new IllegalArgumentException("--input-comment needs a non-empty character")
           c = c.copy(inputComment = Some(v.head))
-        case "--input-skip"         => c = c.copy(inputSkip = next().toInt)
-        case "--input-limit"        => c = c.copy(inputLimit = Some(next().toInt))
-        case "--output-uri"         => c = c.copy(outputUri = next())
-        case "--output-format"      => c = c.copy(outputFormat = next())
-        case "--output-compression" => c = c.copy(outputCompression = next())
-        case "--output-limit"       => c = c.copy(outputLimit = Some(next().toInt))
+        case "--input-skip"         => c = c.copy(inputSkip = a.value().toInt)
+        case "--input-limit"        => c = c.copy(inputLimit = Some(a.value().toInt))
+        case "--output-uri"         => c = c.copy(outputUri = a.value())
+        case "--output-format"      => c = c.copy(outputFormat = a.value())
+        case "--output-compression" => c = c.copy(outputCompression = a.value())
+        case "--output-limit"       => c = c.copy(outputLimit = Some(a.value().toInt))
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
-      i += 1
     }
     c
   }

@@ -50,35 +50,28 @@ object IngestCli {
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
-    var i = 0
-    def next(): String = {
-      i += 1
-      if (i >= args.length) throw new IllegalArgumentException(
-        s"flag ${args(i - 1)} requires a value")
-      args(i)
-    }
-    while (i < args.length) {
-      args(i) match {
-        case "--corpus-uri"    => c = c.copy(corpusUri = next())
-        case "--corpus-format" => c = c.copy(corpusFormat = next())
-        case "--id-col"        => c = c.copy(idCol = next())
-        case "--vec-col"       => c = c.copy(vecCol = next())
-        case "--index-dir"     => c = c.copy(indexDir = next())
-        case "--method"        => c = c.copy(method = next())
-        case "--checkpoint"    => c = c.copy(checkpoint = next())
+    val a = new Argv(args)
+    while (a.more) {
+      a.flag() match {
+        case "--corpus-uri"    => c = c.copy(corpusUri = a.value())
+        case "--corpus-format" => c = c.copy(corpusFormat = a.value())
+        case "--id-col"        => c = c.copy(idCol = a.value())
+        case "--vec-col"       => c = c.copy(vecCol = a.value())
+        case "--index-dir"     => c = c.copy(indexDir = a.value())
+        case "--method"        => c = c.copy(method = a.value())
+        case "--checkpoint"    => c = c.copy(checkpoint = a.value())
         case "--once"          => c = c.copy(once = true)
-        case "--compact-every" => c = c.copy(compactEvery = next().toInt)
-        case "--retrain-skew"  => c = c.copy(retrainSkew = next().toDouble)
-        case "--build-from"    => c = c.copy(buildFrom = next())
-        case "--build-nbits"   => c = c.copy(buildNBits = next().toInt)
-        case "--build-dim"     => c = c.copy(buildDim = next().toInt)
-        case "--build-klists"  => c = c.copy(buildKLists = next().toInt)
-        case "--build-pbits"   => c = c.copy(buildPBits = next().toInt)
-        case "--catalog"          => c = c.copy(catalogPath = next())
-        case "--corpus-datastore" => c = c.copy(corpusDatastore = next())
+        case "--compact-every" => c = c.copy(compactEvery = a.value().toInt)
+        case "--retrain-skew"  => c = c.copy(retrainSkew = a.value().toDouble)
+        case "--build-from"    => c = c.copy(buildFrom = a.value())
+        case "--build-nbits"   => c = c.copy(buildNBits = a.value().toInt)
+        case "--build-dim"     => c = c.copy(buildDim = a.value().toInt)
+        case "--build-klists"  => c = c.copy(buildKLists = a.value().toInt)
+        case "--build-pbits"   => c = c.copy(buildPBits = a.value().toInt)
+        case "--catalog"          => c = c.copy(catalogPath = a.value())
+        case "--corpus-datastore" => c = c.copy(corpusDatastore = a.value())
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
-      i += 1
     }
     require(c.corpusUri.nonEmpty || (c.catalogPath.nonEmpty && c.corpusDatastore.nonEmpty),
       "either --corpus-uri or --catalog + --corpus-datastore is required")

@@ -42,32 +42,30 @@ object ProcessCli {
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
-    var i = 0
-    def next(): String = { i += 1; args(i) }
-    while (i < args.length) {
-      args(i) match {
-        case "--input-uri"     => c = c.copy(inputUri = next())
-        case "--input-format"  => c = c.copy(inputFormat = next())
-        case "--input-header"  => c = c.copy(inputHeader = Some(next().split(',').toSeq))
-        case "--input-comment" => c = c.copy(inputComment = Some(next().head))
-        case "--input-skip"    => c = c.copy(inputSkip = next().toInt)
-        case "--input-limit"   => c = c.copy(inputLimit = Some(next().toInt))
-        case "--dfl"           => c = c.copy(dfl = next())
+    val a = new Argv(args)
+    while (a.more) {
+      a.flag() match {
+        case "--input-uri"     => c = c.copy(inputUri = a.value())
+        case "--input-format"  => c = c.copy(inputFormat = a.value())
+        case "--input-header"  => c = c.copy(inputHeader = Some(a.value().split(',').toSeq))
+        case "--input-comment" => c = c.copy(inputComment = Some(a.value().head))
+        case "--input-skip"    => c = c.copy(inputSkip = a.value().toInt)
+        case "--input-limit"   => c = c.copy(inputLimit = Some(a.value().toInt))
+        case "--dfl"           => c = c.copy(dfl = a.value())
         case "--dfl-uri"       => c = c.copy(dfl = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(next()))))
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(a.value()))))
         case "--var" =>
-          val kv = next(); val j = kv.indexOf('=')
+          val kv = a.value(); val j = kv.indexOf('=')
           c = c.copy(vars = c.vars + (kv.take(j) -> graft.io.TextFormats.parseScalar(kv.drop(j + 1))))
-        case "--output-uri"    => c = c.copy(outputUri = next())
-        case "--output-format" => c = c.copy(outputFormat = next())
-        case "--output-limit"       => c = c.copy(outputLimit = Some(next().toInt))
-        case "--output-compression" => c = c.copy(outputCompression = next())
-        case "--output-mode"        => c = c.copy(outputMode = next())
-        case "--error-uri"          => c = c.copy(errorUri = next())
+        case "--output-uri"    => c = c.copy(outputUri = a.value())
+        case "--output-format" => c = c.copy(outputFormat = a.value())
+        case "--output-limit"       => c = c.copy(outputLimit = Some(a.value().toInt))
+        case "--output-compression" => c = c.copy(outputCompression = a.value())
+        case "--output-mode"        => c = c.copy(outputMode = a.value())
+        case "--error-uri"          => c = c.copy(errorUri = a.value())
         case "--stream"        => c = c.copy(stream = true)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
-      i += 1
     }
     require(c.inputUri.nonEmpty, "--input-uri is required")
     c

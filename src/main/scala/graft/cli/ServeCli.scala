@@ -52,40 +52,33 @@ object ServeCli {
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
-    var i = 0
-    def next(): String = {
-      i += 1
-      if (i >= args.length) throw new IllegalArgumentException(
-        s"flag ${args(i - 1)} requires a value")
-      args(i)
-    }
-    while (i < args.length) {
-      args(i) match {
-        case "--queries-uri"       => c = c.copy(queriesUri = next())
-        case "--queries-format"    => c = c.copy(queriesFormat = next())
-        case "--qid-col"           => c = c.copy(qidCol = next())
-        case "--vec-col"           => c = c.copy(vecCol = next())
-        case "--index-dir"         => c = c.copy(indexDir = next())
-        case "--method"            => c = c.copy(method = next())
-        case "--k"                 => c = c.copy(k = next().toInt)
-        case "--tuning"            => c = c.copy(tuning = Some(next().toInt))
-        case "--output-uri"        => c = c.copy(outputUri = next())
-        case "--output-format"     => c = c.copy(outputFormat = next())
-        case "--checkpoint"        => c = c.copy(checkpoint = next())
+    val a = new Argv(args)
+    while (a.more) {
+      a.flag() match {
+        case "--queries-uri"       => c = c.copy(queriesUri = a.value())
+        case "--queries-format"    => c = c.copy(queriesFormat = a.value())
+        case "--qid-col"           => c = c.copy(qidCol = a.value())
+        case "--vec-col"           => c = c.copy(vecCol = a.value())
+        case "--index-dir"         => c = c.copy(indexDir = a.value())
+        case "--method"            => c = c.copy(method = a.value())
+        case "--k"                 => c = c.copy(k = a.value().toInt)
+        case "--tuning"            => c = c.copy(tuning = Some(a.value().toInt))
+        case "--output-uri"        => c = c.copy(outputUri = a.value())
+        case "--output-format"     => c = c.copy(outputFormat = a.value())
+        case "--checkpoint"        => c = c.copy(checkpoint = a.value())
         case "--once"              => c = c.copy(once = true)
-        case "--catalog"           => c = c.copy(catalogPath = next())
-        case "--queries-datastore" => c = c.copy(queriesDatastore = next())
-        case "--output-datastore"  => c = c.copy(outputDatastore = next())
-        case "--build-from"        => c = c.copy(buildFrom = next())
-        case "--build-id-col"      => c = c.copy(buildIdCol = next())
-        case "--build-vec-col"     => c = c.copy(buildVecCol = next())
-        case "--build-nbits"       => c = c.copy(buildNBits = next().toInt)
-        case "--build-dim"         => c = c.copy(buildDim = next().toInt)
-        case "--build-klists"      => c = c.copy(buildKLists = next().toInt)
-        case "--build-pbits"       => c = c.copy(buildPBits = next().toInt)
+        case "--catalog"           => c = c.copy(catalogPath = a.value())
+        case "--queries-datastore" => c = c.copy(queriesDatastore = a.value())
+        case "--output-datastore"  => c = c.copy(outputDatastore = a.value())
+        case "--build-from"        => c = c.copy(buildFrom = a.value())
+        case "--build-id-col"      => c = c.copy(buildIdCol = a.value())
+        case "--build-vec-col"     => c = c.copy(buildVecCol = a.value())
+        case "--build-nbits"       => c = c.copy(buildNBits = a.value().toInt)
+        case "--build-dim"         => c = c.copy(buildDim = a.value().toInt)
+        case "--build-klists"      => c = c.copy(buildKLists = a.value().toInt)
+        case "--build-pbits"       => c = c.copy(buildPBits = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
-      i += 1
     }
     require(c.indexDir.nonEmpty, "--index-dir is required")
     require(c.checkpoint.nonEmpty,

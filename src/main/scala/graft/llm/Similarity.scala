@@ -385,10 +385,7 @@ object Similarity {
     stagedCommit(sess, indexDir) { staging =>
       clusteredWrite(ivfAssign(df, idCol, vecCol, centroids), "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
-      import sess.implicits._
-      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-        .toDF("list", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
+      writeCentroids(sess, s"$staging/centroids", centroids)
     }
     centroids
   }
@@ -550,11 +547,14 @@ object Similarity {
     fs.create(new org.apache.hadoop.fs.Path(live, s"_append-$id"), true).close()
     // bound the marker population: a long-running ingest stream lands one
     // marker per micro-batch, and an unbounded pile would inflate every
-    // probe's sidecar-stamp listing forever. Only the most RECENT appends
-    // can ever legitimately replay (streaming replays only the last
-    // uncommitted batch; the cached lifecycle retries immediately), so
-    // the newest [[appendMarkerKeep]] markers are ample replay fence —
-    // older ones are spent and deleted here, oldest first.
+    // probe's sidecar-stamp listing forever. Normally only the most
+    // RECENT appends can replay (streaming replays the last uncommitted
+    // batch; the cached lifecycle retries immediately) — but an operator
+    // rolling a checkpoint back from backup replays every batch since
+    // that backup, so the bound is sized generously: a rollback deeper
+    // than [[appendMarkerKeep]] committed batches is the one shape whose
+    // replays would re-append (rebuild the index after such a restore).
+    // Older markers are spent and deleted here, oldest first.
     val markers = fs.listStatus(live)
       .filter(_.getPath.getName.startsWith("_append-"))
     if (markers.length > appendMarkerKeep)
@@ -565,8 +565,41 @@ object Similarity {
   }
 
   /** How many `_append-<id>` replay-fence markers each index retains —
-    * see the pruning note in [[commitStagedAppend]]. */
-  private val appendMarkerKeep = 16
+    * see the pruning note in [[commitStagedAppend]]. 512 zero-byte files
+    * cost nothing in the stamp listing while covering checkpoint
+    * rollbacks of up to 512 committed batches. */
+  private val appendMarkerKeep = 512
+
+  /** Snapshot a live vectors dir's `_append-<id>` replay fences and
+    * return the action that recreates them inside a STAGED vectors dir —
+    * shared by the in-place rewrites ([[compactIndex]], [[ivfRetrain]]),
+    * whose rewritten index must keep fencing replays of batches it
+    * already contains. Original mtimes are restored ([[commitStagedAppend]]
+    * prunes oldest-first by mtime; recreating every fence at "now" would
+    * make future pruning order arbitrary). */
+  private def carryAppendFences(fs: org.apache.hadoop.fs.FileSystem,
+                                liveVec: org.apache.hadoop.fs.Path)
+      : String => Unit = {
+    val fences = fs.listStatus(liveVec)
+      .filter(_.getPath.getName.startsWith("_append-"))
+      .map(st => (st.getPath.getName, st.getModificationTime))
+    stagedVec => fences.foreach { case (n, mtime) =>
+      val p = new org.apache.hadoop.fs.Path(s"$stagedVec/$n")
+      fs.create(p, true).close()
+      fs.setTimes(p, mtime, -1)
+    }
+  }
+
+  /** The centroid sidecar write shared by [[ivfBuild]], [[ivfRetrain]],
+    * and [[compactIndex]] — one place to evolve the format. */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
 
   /** Finish any earlier append that crashed after its staging committed
     * (`_COMMITTING` present, `vectors/_append-<id>` marker absent) —
@@ -689,8 +722,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
-    val fences = fs.listStatus(liveVec).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("_append-")).toArray
+    val restoreFences = carryAppendFences(fs, liveVec)
     val k = if (kLists > 0) kLists else readCentroids(spark, indexDir).length
     val rows = spark.read.parquet(liveVec.toString).select(col("id"), col("v"))
     // deterministic spread sample: ties under the hash broken by id, so a
@@ -704,14 +736,8 @@ object Similarity {
     stagedCommit(spark, indexDir) { staging =>
       clusteredWrite(ivfAssign(rows, "id", "v", centroids), "list", k)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
-      import spark.implicits._
-      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-        .toDF("list", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      fences.foreach { n =>
-        fs.create(new org.apache.hadoop.fs.Path(s"$staging/vectors/$n"), true)
-          .close()
-      }
+      writeCentroids(spark, s"$staging/centroids", centroids)
+      restoreFences(s"$staging/vectors")
     }
     centroids
   }
@@ -763,12 +789,15 @@ object Similarity {
     * the compaction. The whole rewrite lands through [[stagedCommit]]:
     * a crash anywhere leaves the previous index in place.
     *
-    * Same contract as an explicit in-place rebuild: single-writer,
-    * reader-quiesced (the dir swap races in-flight readers — run it from
-    * the index's owning ingest job, as [[graft.streaming.StreamRunner
-    * .annIngestJob]]'s `compactEvery` does, or in a quiet window).
-    * Memoized probe snapshots ([[lshMeta]]/[[ivfMeta]]) re-resolve on
-    * their next use — every sidecar in their stamps is rewritten. */
+    * Same contract as an explicit in-place rebuild: single-WRITER (run
+    * it from the index's owning ingest job, as [[graft.streaming
+    * .StreamRunner.annIngestJob]]'s `compactEvery` does). Readers racing
+    * the dir swap can see files vanish mid-scan; memoized probe
+    * snapshots ([[lshMeta]]/[[ivfMeta]]) re-resolve on their next use
+    * (every sidecar in their stamps is rewritten), and the serving
+    * stream ([[graft.streaming.StreamRunner.annServeBatches]]) treats a
+    * mid-rewrite FileNotFound as the self-healing shape it is — one
+    * re-resolve-and-retry — so serving survives a concurrent rewrite. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String, method: String): CompactStats = {
     require(method == "lsh" || method == "ivf",
@@ -781,14 +810,13 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
-    val fences = fs.listStatus(liveVec).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("_append-")).toArray
+    val restoreFences = carryAppendFences(fs, liveVec)
     val (filesBefore, _) = indexFileStats(spark, indexDir)
     val vectors = spark.read.parquet(liveVec.toString)
     val lsh = if (method == "lsh") Some(lshMeta(spark, indexDir)) else None
     val centroids =
-      if (method == "ivf") spark.read.parquet(s"$indexDir/centroids").collect()
-      else Array.empty[org.apache.spark.sql.Row]
+      if (method == "ivf") readCentroids(spark, indexDir)
+      else Array.empty[Array[Double]]
     val (partCol, numValues) = lsh match {
       case Some(m) => ("pband", 1 << m.pBits)
       case None    => ("list", centroids.length)
@@ -797,12 +825,9 @@ object Similarity {
       clusteredWrite(vectors, partCol, numValues)
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$staging/vectors")
-      if (method == "ivf") {
-        import spark.implicits._
-        centroids.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-          .toDF("list", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$staging/centroids")
-      } else lsh.foreach { m =>
+      if (method == "ivf")
+        writeCentroids(spark, s"$staging/centroids", centroids)
+      else lsh.foreach { m =>
         import spark.implicits._
         Seq((m.nBits, m.dim, m.pBits)).toDF("n_bits", "dim", "partition_bits")
           .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
@@ -811,10 +836,7 @@ object Similarity {
           .groupBy("bucket").count()
           .coalesce(1).write.mode("overwrite").parquet(s"$staging/occupancy")
       }
-      fences.foreach { n =>
-        fs.create(new org.apache.hadoop.fs.Path(s"$staging/vectors/$n"), true)
-          .close()
-      }
+      restoreFences(s"$staging/vectors")
     }
     CompactStats(filesBefore, indexFileStats(spark, indexDir)._1)
   }

@@ -292,22 +292,44 @@ object StreamRunner {
         // must not fail the stream while the index is still being built
         // or a sidecar swap is momentarily in flight.
         if (qs.nonEmpty) {
-          val expectDim =
-            graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
-          qs.groupBy(_._2.size).foreach { case (dim, group) =>
-            if (dim != expectDim)
-              log.warn(s"annServe: skipping ${group.size} queries with dim " +
-                s"$dim != index dim $expectDim (qids " +
-                s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
-            else {
-              val answer = method match {
-                case "lsh" => graft.llm.Similarity.lshQueryBatch(
-                  batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
-                case _ => graft.llm.Similarity.ivfQueryBatch(
-                  batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+          def serveBatch(): Unit = {
+            val expectDim =
+              graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
+            qs.groupBy(_._2.size).foreach { case (dim, group) =>
+              if (dim != expectDim)
+                log.warn(s"annServe: skipping ${group.size} queries with dim " +
+                  s"$dim != index dim $expectDim (qids " +
+                  s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
+              else {
+                val answer = method match {
+                  case "lsh" => graft.llm.Similarity.lshQueryBatch(
+                    batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
+                  case _ => graft.llm.Similarity.ivfQueryBatch(
+                    batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+                }
+                sink(answer, batchId) // sink failures still surface — deliberately
               }
-              sink(answer, batchId) // sink failures still surface — deliberately
             }
+          }
+          // a maintenance rewrite (compaction / retrain / in-place
+          // rebuild) atomically swaps the index dir UNDER a running
+          // serving stream: a probe whose memoized snapshot references
+          // the pre-swap files dies mid-scan on FileNotFound. That is
+          // the ONE failure shape that is self-healing — re-resolving
+          // the (stamp-invalidated) snapshot sees the post-swap index —
+          // so it gets exactly one retry; at most one sink call can have
+          // run, and it re-runs under the same batchId (idempotent by
+          // the batch-keyed overwrite contract). Everything else, and a
+          // retry that fails again (index genuinely gone), propagates.
+          def staleRead(e: Throwable): Boolean =
+            e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+              staleRead(e.getCause))
+          try serveBatch()
+          catch {
+            case scala.util.control.NonFatal(e) if staleRead(e) =>
+              log.warn(s"annServe: batch $batchId read a mid-rewrite index " +
+                s"at $indexDir; re-resolving and retrying once", e)
+              serveBatch()
           }
         }
     }.start()
@@ -347,15 +369,19 @@ object StreamRunner {
     // probe extraction cannot interpret — only array-typed formats serve
     require(format == "jsonl" || format == "parquet",
       s"annServeJob: queries format must be jsonl or parquet, got $format")
-    // jsonl gets the canonical explicit schema (numbers parse as
+    // jsonl gets the canonical explicit schema (vector numbers parse as
     // doubles), so a queries dir that is still EMPTY at job start works —
-    // the cron/fresh-host shape. Parquet keeps file inference (query
-    // files define their own id/vector types, which the probe extraction
-    // normalizes), so it needs at least one file present at start.
+    // the cron/fresh-host shape. qid reads as STRING — the JSON reader
+    // renders both `123` and `"123"` into it, and the probe extraction's
+    // toLongOption accepts either (a LongType field would silently
+    // null-skip quoted ids that schema inference previously served).
+    // Parquet keeps file inference (query files define their own
+    // id/vector types, which the probe extraction normalizes), so it
+    // needs at least one file present at start.
     val schema =
       if (format == "jsonl") Some(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(qidCol,
-          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField(vecCol,
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
@@ -424,6 +450,14 @@ object StreamRunner {
     // array column, so only the two formats that really append are offered
     require(format == "parquet" || format == "jsonl",
       s"annIngestJob: corpus format must be parquet or jsonl, got $format")
+    // the skew check lives inside the maintenance slot; accepting the
+    // factor without a cadence would silently never retrain
+    require(retrainSkewFactor <= 0 || compactEvery > 0,
+      "annIngestJob: retrainSkewFactor requires compactEvery > 0 (the " +
+        "maintenance cadence the skew check runs on)")
+    require(retrainSkewFactor <= 0 || method == "ivf",
+      "annIngestJob: retrainSkewFactor applies only to ivf (lsh appends " +
+        "are exact and never drift)")
     // the stream's schema comes from the INDEX, not file inference: the
     // watched dir is legitimately EMPTY on first launch (the backfill was
     // --build-from; increments arrive later), and inference over an empty
@@ -468,9 +502,17 @@ object StreamRunner {
                 }
               }
               if (!retrained) {
-                val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
-                log.info(s"compacted $indexDir after batch $batchId: " +
-                  s"${st.filesBefore} -> ${st.filesAfter} data files")
+                // compaction rewrites the WHOLE index (cost ~ index
+                // size, not batch size) — skip it while every partition
+                // is still at build shape, so an aggressive cadence over
+                // small/empty increments stays listing-only
+                val (_, maxPerPart) =
+                  graft.llm.Similarity.indexFileStats(spark, indexDir)
+                if (maxPerPart > 1) {
+                  val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
+                  log.info(s"compacted $indexDir after batch $batchId: " +
+                    s"${st.filesBefore} -> ${st.filesAfter} data files")
+                }
               }
             }
           }

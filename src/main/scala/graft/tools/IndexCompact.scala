@@ -19,21 +19,14 @@ object IndexCompact {
 
   def main(args: Array[String]): Unit = {
     var indexDir = ""; var method = "lsh"; var minFilesPerPart = 0L
-    var i = 0
-    def next(): String = {
-      i += 1
-      if (i >= args.length) throw new IllegalArgumentException(
-        s"flag ${args(i - 1)} requires a value")
-      args(i)
-    }
-    while (i < args.length) {
-      args(i) match {
-        case "--index-dir"          => indexDir = next()
-        case "--method"             => method = next()
-        case "--min-files-per-part" => minFilesPerPart = next().toLong
+    val a = new graft.cli.Argv(args)
+    while (a.more) {
+      a.flag() match {
+        case "--index-dir"          => indexDir = a.value()
+        case "--method"             => method = a.value()
+        case "--min-files-per-part" => minFilesPerPart = a.value().toLong
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
-      i += 1
     }
     require(indexDir.nonEmpty, "--index-dir is required")
     val spark = SparkSession.builder()

@@ -54,7 +54,11 @@ object IndexGc {
     val deleted = Seq.newBuilder[String]
     val restored = Seq.newBuilder[String]
     // matches `.idx-<key16>-<stamp16>.staging/.old`; group(1) = key hash.
-    // Hidden dirs that don't parse (foreign names) are left alone.
+    // Hidden dirs that DON'T parse (e.g. `.myidx.old` from an explicit-dir
+    // stagedCommit under the same base) are in scope for an UNSCOPED
+    // sweep — restoring such an orphan heals a crashed explicit build too
+    // — but a key-scoped sweep (the auto-sweep after a cached-lifecycle
+    // retrain) touches ONLY dirs that parse to its own key.
     val HiddenName = "^\\.idx-([0-9a-f]{16})-([0-9a-f]{16})\\.(?:staging|old)$".r
     def hiddenKeyMatches(n: String): Boolean = n match {
       case HiddenName(keyH, _) => onlyKeyHash.forall(_ == keyH)

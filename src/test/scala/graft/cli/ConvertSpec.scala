@@ -47,4 +47,20 @@ class ConvertSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ConvertCli.convert(spark, ConvertCli.Config(inputUri = "x.jsonl")))
   }
+
+  test("a trailing flag without its value is rejected across the shared Argv parsers") {
+    Seq[Array[String] => Any](
+      ConvertCli.parseArgs, ProcessCli.parseArgs,
+      IngestCli.parseArgs, ServeCli.parseArgs
+    ).foreach { parse =>
+      val e = intercept[IllegalArgumentException](parse(Array("--input-uri")))
+      assert(e.getMessage.contains("requires a value") ||
+        e.getMessage.contains("unknown flag"))
+    }
+    // the exact shape that used to crash ProcessCli with a raw
+    // ArrayIndexOutOfBounds
+    val e = intercept[IllegalArgumentException](
+      ProcessCli.parseArgs(Array("--input-uri", "x", "--dfl")))
+    assert(e.getMessage.contains("--dfl requires a value"))
+  }
 }

@@ -262,10 +262,12 @@ class StreamParitySpec extends AnyFunSuite {
     def qrows(ids: Seq[Long]): Seq[(Long, Seq[Double])] =
       emb.filter($"vec_id".isin(ids: _*)).orderBy("vec_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    def writeQueries(file: String, ids: Seq[Long]): Unit =
+    def writeQueries(file: String, ids: Seq[Long],
+                     quoteQid: Boolean = false): Unit =
       Files.writeString(java.nio.file.Paths.get(s"$qdir/$file"),
         qrows(ids).map { case (id, v) =>
-          s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+          val q = if (quoteQid) s""""$id"""" else s"$id"
+          s"""{"qid":$q,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
     writeQueries("q1.jsonl", Seq(0L, 1L))
     // the serving job binds its query stream and answer sink as CATALOG
     // datastores — ops configure serving like any other datastore job
@@ -291,8 +293,10 @@ class StreamParitySpec extends AnyFunSuite {
     assert(first.toSet == direct)
     // RESTART: a new query file arrives while the job is down; the same
     // checkpoint resumes with ONLY the new file — the already-served
-    // queries are not re-read, so no qid is ever answered twice
-    writeQueries("q2.jsonl", Seq(2L))
+    // queries are not re-read, so no qid is ever answered twice. The new
+    // file carries its qid as a JSON STRING ("2"): the stream's explicit
+    // schema reads qids as string so quoted and bare ids both serve
+    writeQueries("q2.jsonl", Seq(2L), quoteQid = true)
     graft.cli.ServeCli.run(spark, cfg)
     val second = answers()
     assert(second.map(_._1).toSet == Set(0L, 1L, 2L))
