@@ -254,6 +254,17 @@ object SparkEntry {
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
       llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "dedup_clusters" -> ((s, dir) =>
+      // transitive duplicate components over the MinHash pair set (same
+      // pair set = exact-jaccard set at these parameters); (id, rep)
+      llm.Dedup.duplicateClusters(
+        llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8))),
+    "dedup_cluster_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Dedup.clusterSurvivors(docs, "doc_id",
+        llm.Dedup.minhashPairs(docs, "doc_id", "text", 0.8))
+        .select("doc_id")
+    }),
     "dedup_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       llm.Dedup.survivors(docs, "doc_id",
@@ -653,6 +664,11 @@ object SparkEntry {
     "dfl_ann_ivf" -> annPlantedTopkSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_pairs" -> jaccardPairsSql,
+    "dedup_clusters" -> clusterCcSql,
+    "dedup_cluster_survivors" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE doc_id NOT IN (
+         |   SELECT id FROM ($clusterCcSql) WHERE id <> rep)""".stripMargin,
     "dedup_survivors" ->
       s"""SELECT doc_id FROM documents
          | WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($jaccardPairsSql))""".stripMargin,
@@ -796,6 +812,21 @@ object SparkEntry {
     * bands the LSH recall at j≥0.8 is 1-1e-14: the sets coincide). */
   private val jaccardPairsSql: String =
     s"WITH ${jaccardCtes("documents")}\nSELECT id_a, id_b, jaccard FROM jpairs"
+
+  /** Connected components over the exact-jaccard pair set (recursive
+    * reachability, min id per component) — oracle for the distributed
+    * min-label-propagation dedup_clusters. The minhash pair set equals
+    * the exact set at these parameters (see [[jaccardPairsSql]]), so the
+    * components coincide too. */
+  private val clusterCcSql: String =
+    s"""WITH RECURSIVE ${jaccardCtes("documents")},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+       |          UNION SELECT id_b AS src, id_a AS dst FROM jpairs),
+       |reach(id, anc) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id, min(anc) AS rep FROM reach GROUP BY id""".stripMargin
 
   /** DuckDB expression matching TextAnalysis.qualityScore (rounded to 6,
     * as every quality oracle filters/compares on the rounded value). */

@@ -392,7 +392,73 @@ object Dedup {
 
   /** Survivors after near-dup removal: greedy keep-smallest-id — a doc is
     * dropped iff some smaller-id doc is its near-dup (anti-join against
-    * the pair set; no iteration, scale-safe). */
+    * the pair set; no iteration, scale-safe). NOT transitive: for pairs
+    * {(1,3),(2,3)} both 1 and 2 survive even though they share a dup.
+    * When one-representative-per-CLUSTER semantics matter (template
+    * families, boilerplate chains), use [[clusterSurvivors]]. */
   def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** CONNECTED-COMPONENT duplicate clusters over a near-dup pair set:
+    * one `(id, rep)` row per id appearing in any pair, `rep` = the
+    * smallest id in its component — the transitive closure the greedy
+    * [[survivors]] pass deliberately skips. Distributed min-label
+    * propagation: each round every node takes the min label among itself
+    * and its neighbors (one edges⋈labels join + one min-aggregation per
+    * round, both on the PAIR set — the corpus is never touched), so a
+    * round is Θ(|pairs|) shuffle and the round count is the component
+    * DIAMETER. Near-dup clusters are shallow (a template family is a
+    * near-clique: diameter 1-2), so the default `maxIter` is generous;
+    * for adversarial long chains raise it (the alternating small-star /
+    * large-star reformulation converges in O(log n) rounds but its
+    * per-round cost is higher — not worth it for dedup-shaped graphs).
+    * Convergence is detected by the label SUM going stationary (labels
+    * only ever decrease, so the sum strictly falls until fixpoint — no
+    * extra join to diff against the previous round); a call that hits
+    * `maxIter` un-converged THROWS rather than returning silently
+    * partial clusters. Labels are localCheckpointed each round to
+    * truncate the iterative lineage. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("id"), col("id_b").cast("long").as("nbr"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("id"), col("id_a").cast("long").as("nbr")))
+      .persist()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
+      Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .select(col("id"), col("rep"))
+      val next = labels.union(viaNbr)
+        .groupBy("id").agg(min("rep").as("rep")).localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: not converged after $maxIter rounds — a " +
+          s"component's diameter exceeds maxIter; raise it")
+    labels
+  }
+
+  /** Survivors with one-representative-per-CLUSTER semantics: a doc is
+    * dropped iff it is a non-representative member of a duplicate
+    * component ([[duplicateClusters]]). Differs from the greedy
+    * [[survivors]] exactly on transitive chains: for pairs
+    * {(1,3),(2,3)} greedy keeps {1,2}, cluster keeps only 1. */
+  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame,
+                       maxIter: Int = 20): DataFrame =
+    df.join(
+      duplicateClusters(pairs, maxIter)
+        .filter(col("id") =!= col("rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

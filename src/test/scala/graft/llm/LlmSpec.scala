@@ -50,6 +50,38 @@ class LlmSpec extends AnyFunSuite {
     assert(surv.count() == docs.count() - dropped)
   }
 
+  test("duplicateClusters: transitive components, greedy-vs-cluster divergence, bounded rounds") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-11: components {1,2,3} rep 1,
+    // {10,11} rep 10
+    val chain = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.duplicateClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the shape where greedy and cluster semantics DIFFER: pairs
+    // {(1,3),(2,3)} — greedy drops only id_b's ({3}: keeps 1 AND 2),
+    // cluster keeps one representative of {1,2,3}
+    val vee = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val members = Seq(1L, 2L, 3L).toDF("doc_id")
+    assert(Dedup.survivors(members, "doc_id", vee)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Dedup.clusterSurvivors(members, "doc_id", vee)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // a component whose diameter exceeds maxIter throws instead of
+    // returning silently partial clusters
+    val longChain = (0L until 6L).sliding(2)
+      .map(w => (w.head, w.last)).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException](
+      Dedup.duplicateClusters(longChain, maxIter = 2).collect())
+    // ...and converges fine with the rounds it needs
+    val full = Dedup.duplicateClusters(longChain, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.length == 6 && full.forall(_._2 == 0L))
+    // empty pair set: empty clusters, correct schema, no iteration
+    val none = Dedup.duplicateClusters(chain.filter($"id_a" < 0))
+    assert(none.columns.toSeq == Seq("id", "rep") && none.isEmpty)
+  }
+
   test("lsh ANN top-k has high recall vs brute force") {
     val q = emb.filter($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
