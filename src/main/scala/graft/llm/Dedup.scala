@@ -419,10 +419,14 @@ object Dedup {
     * partial clusters. Labels are localCheckpointed each round to
     * truncate the iterative lineage. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").cast("long").as("id"), col("id_b").cast("long").as("nbr"))
-      .union(pairs
-        .select(col("id_b").cast("long").as("id"), col("id_a").cast("long").as("nbr")))
+    // symmetrize in ONE pass over the pair set (a union of two selects
+    // would evaluate the — possibly expensive — pairs plan twice before
+    // the persist materializes)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").cast("long").as("id"), col("id_b").cast("long").as("nbr")),
+        struct(col("id_b").cast("long").as("id"), col("id_a").cast("long").as("nbr"))))
+        .as("e"))
+      .select(col("e.id"), col("e.nbr"))
       .persist()
     var labels = edges.select(col("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint()
