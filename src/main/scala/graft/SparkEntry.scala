@@ -215,6 +215,16 @@ object SparkEntry {
     //      similarity search, text analysis, multimodal plumbing) ----
     "text_fingerprint" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), llm.TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "pii_scrub" -> ((s, dir) => t(s, dir, "documents")
+      // the synthetic corpus carries no PII, so the query PLANTS a
+      // deterministic email/IP/phone tail per doc (mirrored in the
+      // oracle SQL) — the scrub must redact exactly those and leave the
+      // natural text byte-identical
+      .select(col("doc_id"), llm.TextAnalysis.scrubPii(concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or 555-123-4567 or +14155550"), (col("doc_id") % 100 + 100).cast("string")
+      )).as("scrubbed"))),
     "token_counts" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"),
@@ -611,6 +621,22 @@ object SparkEntry {
         | ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents",
+    // the IDENTICAL patterns TextAnalysis.piiPatterns applies, in the
+    // same order (both engines restrict to shared Java-regex/RE2 syntax)
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' contact user' || doc_id || '@example.com or 10.0.'
+        |               || (doc_id % 256) || '.7 or 555-123-4567 or +14155550'
+        |               || (doc_id % 100 + 100),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\+[0-9]{9,15}\b', '<PHONE>', 'g') AS scrubbed
+        |  FROM documents""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

@@ -87,4 +87,26 @@ object TextAnalysis {
       greatest(length(text), lit(1)).cast(DoubleType)
     lenScore * 0.4 + stopScore * 0.3 + alphaRatio * 0.3
   }
+
+  /** The PII patterns [[scrubPii]] redacts, in application order, with
+    * their placeholders. Deliberately restricted to syntax shared by
+    * Java's regex and RE2 (no lookaround, no backrefs) so the DuckDB
+    * oracle runs the IDENTICAL patterns: emails first (their local parts
+    * contain digit runs the later patterns would chew), then IPv4, then
+    * the two phone shapes (NANP-dashed and a bare international digit
+    * run — long enough that years/quantities never match). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b" -> "<PHONE>",
+    "\\+[0-9]{9,15}\\b" -> "<PHONE>")
+
+  /** Redact common PII shapes (emails, IPv4 addresses, phone numbers)
+    * with typed placeholders — the standard pre-training hygiene pass.
+    * Chained native `regexp_replace` columns: codegen'd, zero shuffle,
+    * one projection over the corpus scan like every operator here. */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
 }

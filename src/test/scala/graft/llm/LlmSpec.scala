@@ -50,6 +50,23 @@ class LlmSpec extends AnyFunSuite {
     assert(surv.count() == docs.count() - dropped)
   }
 
+  test("scrubPii redacts emails, IPv4, and both phone shapes; clean text is untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.smith+x@sub.example.co.uk now",
+      "host 192.168.001.7 responded",
+      "call 555-123-4567 or +441234567890 today",
+      // year lists, versions, short numbers must NOT be scrubbed
+      "in 2020 2021 and 2022 version 1.2.3 cost 12345678").toDF("text")
+    val got = rows.select(TextAnalysis.scrubPii($"text").as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "host <IP> responded",
+      "call <PHONE> or <PHONE> today",
+      "in 2020 2021 and 2022 version 1.2.3 cost 12345678"))
+  }
+
   test("duplicateClusters: transitive components, greedy-vs-cluster divergence, bounded rounds") {
     import spark.implicits._
     // chain 1-2-3 plus isolated pair 10-11: components {1,2,3} rep 1,
