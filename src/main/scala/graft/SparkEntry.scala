@@ -243,6 +243,15 @@ object SparkEntry {
       "dedup(@, '@doc_id', '@text') | map(@, '{doc_id: @doc_id}')")),
     "dfl_near_dedup" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
       "nearDedup(@, '@doc_id', '@text', 0.8) | map(@, '{doc_id: @doc_id}')")),
+    // transitive duplicate components through the DFL dispatch — the
+    // same min-label-propagation CC as dedup_clusters
+    "dfl_near_dup_clusters" -> ((s, dir) => DflFrame.pipeline(
+      t(s, dir, "documents"),
+      "nearDupClusters(@, '@doc_id', '@text', 0.8)")),
+    // the scrubPii FUNCTION through the DFL row surface (planted email
+    // tail, as in pii_scrub)
+    "dfl_pii_scrub" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
+      "map(@, \"{doc_id: @doc_id, scrubbed: scrubPii(@text + ' reach me: ' + string(@doc_id) + '@mail.example.org')}\")")),
     "dfl_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -691,6 +700,18 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_pairs" -> jaccardPairsSql,
     "dedup_clusters" -> clusterCcSql,
+    "dfl_near_dup_clusters" -> clusterCcSql,
+    "dfl_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text || ' reach me: ' || doc_id || '@mail.example.org',
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\+[0-9]{9,15}\b', '<PHONE>', 'g') AS scrubbed
+        |  FROM documents""".stripMargin,
     "dedup_cluster_survivors" ->
       s"""SELECT doc_id FROM documents
          | WHERE doc_id NOT IN (

@@ -301,6 +301,9 @@ object Functions {
   registerExtension("vecDot", "(a, b)") { as => graft.functions.VectorF.dot(as(0), as(1)) }
   registerExtension("vecNorm", "(a)") { as => graft.functions.VectorF.norm(as(0)) }
   registerExtension("vecCosine", "(a, b)") { as => graft.functions.VectorF.cosine(as(0), as(1)) }
+  // training-data hygiene: redact emails / IPv4 / phones with typed
+  // placeholders (llm.TextAnalysis.scrubPii — chained codegen regexes)
+  registerExtension("scrubPii", "(s)") { as => graft.llm.TextAnalysis.scrubPii(as(0)) }
 
   /** name → (arity description) for the introspection endpoint
     * (reference: /dfl/functions route, router/RailgunRouter.go:60-65). */
@@ -314,6 +317,8 @@ object Functions {
     "dedup" -> "(dataset, idExpr, textExpr)",
     "nearDedup" -> "(dataset, idExpr, textExpr[, threshold, method])",
     "nearDupPairs" -> "(dataset, idExpr, textExpr[, threshold, method])",
+    "nearDupClusters" -> "(dataset, idExpr, textExpr[, threshold, method])",
+    "nearDedupClusters" -> "(dataset, idExpr, textExpr[, threshold, method])",
     "annTopK" -> "(dataset, idExpr, vecExpr, $query, k[, method[, tuning]])",
     "annTopKBatch" -> "(dataset, idExpr, vecExpr, $queries, k[, method[, tuning]])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",

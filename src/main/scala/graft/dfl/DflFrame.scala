@@ -100,7 +100,8 @@ object DflFrame {
       // Dedup/Similarity operators the Scala API exposes, invocable from
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
-      "dedup", "nearDedup", "nearDupPairs", "annTopK", "annTopKBatch")
+      "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
+      "nearDedupClusters", "annTopK", "annTopKBatch")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -492,10 +493,13 @@ object DflFrame {
           .select(col("keep_id").as("__gid"))
         base.join(keep, Seq("__gid"), "left_semi").drop("__gid", "__gtext")
 
-      case "nearDedup" | "nearDupPairs" =>
+      case "nearDedup" | "nearDupPairs" | "nearDupClusters" | "nearDedupClusters" =>
         // `nearDedup(@, '@id', '@text'[, threshold[, method]])` — survivors
-        // after near-dup removal; `nearDupPairs` returns the pair set
-        // itself. method: minhash (default) | jaccard | simhash | cosine
+        // after near-dup removal (greedy keep-smallest-id); `nearDupPairs`
+        // returns the pair set itself; `nearDupClusters` the transitive
+        // duplicate components as (id, rep); `nearDedupClusters` the
+        // one-representative-per-component survivors.
+        // method: minhash (default) | jaccard | simhash | cosine
         // (cosine treats arg 2 as the embedding column and threshold as the
         // cosine floor; simhash reads threshold as the max Hamming
         // distance, default 3). All candidate generation is banded/
@@ -516,6 +520,12 @@ object DflFrame {
           case other => throw new DflParseException(s"unknown nearDedup method $other")
         }
         if (name == "nearDupPairs") pairs
+        else if (name == "nearDupClusters")
+          graft.llm.Dedup.duplicateClusters(pairs)
+            .select(col("id"), col("rep"))
+        else if (name == "nearDedupClusters")
+          graft.llm.Dedup.clusterSurvivors(base, "__gid", pairs)
+            .drop("__gid", "__gtext")
         else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
 
       case "annTopK" =>

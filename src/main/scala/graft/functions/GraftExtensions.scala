@@ -47,6 +47,19 @@ object GraftExtensions {
         }
         ShingleHash(args(0), n)
       }),
+    ("scrub_pii",
+      info("scrub_pii",
+        "scrub_pii(s) - redact emails, IPv4 addresses, and phone numbers " +
+          "with typed placeholders (<EMAIL>, <IP>, <PHONE>)"),
+      { args =>
+        require(args.size == 1, "scrub_pii takes 1 argument")
+        graft.llm.TextAnalysis.piiPatterns.foldLeft(args(0)) {
+          case (acc, (pat, repl)) =>
+            org.apache.spark.sql.catalyst.expressions.RegExpReplace(acc,
+              org.apache.spark.sql.catalyst.expressions.Literal(pat),
+              org.apache.spark.sql.catalyst.expressions.Literal(repl))
+        }
+      }),
   )
 
   /** Register on an already-running session (idempotent). */

@@ -42,6 +42,21 @@ class DflLlmSpec extends AnyFunSuite {
     assert(survDfl == survApi)
   }
 
+  test("nearDupClusters/nearDedupClusters(@) match the cluster Scala API") {
+    val ccDfl = DflFrame.pipeline(docs,
+      "nearDupClusters(@, '@doc_id', '@text', 0.8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ccApi = Dedup.duplicateClusters(
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ccApi.nonEmpty && ccDfl == ccApi)
+    val survDfl = ids(DflFrame.pipeline(docs,
+      "nearDedupClusters(@, '@doc_id', '@text', 0.8) | map(@, '{doc_id: @doc_id}')"))
+    val survApi = ids(Dedup.clusterSurvivors(docs, "doc_id",
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.8)).select("doc_id"))
+    assert(survDfl == survApi)
+  }
+
   test("nearDupPairs method variants dispatch to the right operator") {
     val jac = DflFrame.pipeline(docs,
       "nearDupPairs(@, '@doc_id', '@text', 0.8, 'jaccard')")

@@ -24,6 +24,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hs.distinct.size == hs.size)
   }
 
+  test("scrub_pii registers as a SQL function and matches the column form") {
+    GraftExtensions.install(spark)
+    Seq("mail bob@x.io or 10.1.2.3 or 555-123-4567 or +12345678901 end")
+      .toDF("text").createOrReplaceTempView("pii_docs")
+    val viaSql = spark.sql("SELECT scrub_pii(text) AS s FROM pii_docs")
+      .head().getString(0)
+    assert(viaSql == "mail <EMAIL> or <IP> or <PHONE> or <PHONE> end")
+    // the SQL builder folds the same piiPatterns as the Column API
+    val viaCol = spark.table("pii_docs")
+      .select(graft.llm.TextAnalysis.scrubPii($"text")).head().getString(0)
+    assert(viaSql == viaCol)
+  }
+
   test("vector_dot is null on dimension mismatch, not truncated") {
     GraftExtensions.install(spark)
     spark.range(2).selectExpr(
