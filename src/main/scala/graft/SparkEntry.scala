@@ -231,6 +231,13 @@ object SparkEntry {
         llm.TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"))),
     "lang_id" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), llm.TextAnalysis.langId(col("text")).as("lang_guess"))),
+    // context-window chunking: 64-token chunks with 16-token overlap
+    // (stride 48) — map-only, no shuffle
+    "chunk_tokens" -> ((s, dir) =>
+      llm.TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        n = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+          col("chunk"))),
     "quality_score" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6).as("q"))),
@@ -630,6 +637,16 @@ object SparkEntry {
         | ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents",
+    // same chunk-count formula (1 + ceil(max(len-n,0)/stride)) and same
+    // 1-based token slicing; n=64, overlap=16 → stride 48
+    "chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS INT) AS n_chunks
+        |      FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+        |       array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk
+        |  FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g""".stripMargin,
     // the IDENTICAL patterns TextAnalysis.piiPatterns applies, in the
     // same order (both engines restrict to shared Java-regex/RE2 syntax)
     "pii_scrub" ->

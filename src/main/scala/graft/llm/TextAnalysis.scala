@@ -88,6 +88,37 @@ object TextAnalysis {
     lenScore * 0.4 + stopScore * 0.3 + alphaRatio * 0.3
   }
 
+  /** Split documents into fixed-size TOKEN chunks — the context-window
+    * transform every pre-training pipeline runs before packing. One row
+    * per (doc, chunk): `(idCol, chunk_ix, chunk)` where chunk `i` is
+    * whitespace tokens `[i·n, (i+1)·n)` re-joined. Pure native column
+    * work (`sequence` → `transform`/`slice` → `posexplode`): the split,
+    * slicing, and re-join all happen inside one codegen'd projection
+    * with NO shuffle — at 100 TB this is a map-only pass whose output
+    * partitioning follows the scan. Overlap (a common training trick)
+    * via `overlap` > 0: consecutive chunks share that many tokens
+    * (stride = n - overlap). Empty documents yield one empty chunk
+    * (chunk_ix 0) rather than disappearing — corpus accounting stays
+    * row-complete. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, n: Int, overlap: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    require(n > 0, "chunkTokens: n must be positive")
+    require(overlap >= 0 && overlap < n,
+      s"chunkTokens: overlap must be in [0, n), got $overlap")
+    val stride = n - overlap
+    val toks = wsTokens(col(textCol))
+    // number of chunks: 1 + ceil(max(len - n, 0) / stride); integer form
+    val nChunks = lit(1) + floor(
+      (greatest(size(toks) - n, lit(0)) + stride - 1) / lit(stride)).cast("int")
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.functions.transform(
+          sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * stride + 1, lit(n)), " "))))
+      .withColumnRenamed("pos", "chunk_ix")
+      .withColumnRenamed("col", "chunk")
+  }
+
   /** The PII patterns [[scrubPii]] redacts, in application order, with
     * their placeholders. Deliberately restricted to syntax shared by
     * Java's regex and RE2 (no lookaround, no backrefs) so the DuckDB

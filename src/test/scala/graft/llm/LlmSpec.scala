@@ -50,6 +50,33 @@ class LlmSpec extends AnyFunSuite {
     assert(surv.count() == docs.count() - dropped)
   }
 
+  test("chunkTokens: exact boundaries, overlap stride, short and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than n
+      (3L, "")                                         // empty
+    ).toDF("doc_id", "text")
+    // n=4, overlap=1 → stride 3: doc 1 chunks at starts 0,3,6 (and 9?
+    // 1 + ceil((10-4)/3) = 1+2 = 3 chunks → starts 0,3,6; tokens 8-10
+    // covered by [6,10))
+    val got = TextAnalysis.chunkTokens(docs, "doc_id", "text", n = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w4 w5 w6 w7"), (1L, 2, "w7 w8 w9 w10"),
+      (2L, 0, "a b c"),
+      (3L, 0, "")))
+    // every token of every doc appears in some chunk (coverage), and
+    // consecutive chunks share exactly `overlap` tokens
+    val noOverlap = TextAnalysis.chunkTokens(docs, "doc_id", "text", n = 4)
+      .filter($"doc_id" === 1L).orderBy("chunk_ix")
+      .collect().map(_.getString(2))
+    assert(noOverlap.mkString(" ").split(" ").toSeq ==
+      (1 to 10).map(i => s"w$i"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(docs, "doc_id", "text", n = 4, overlap = 4))
+  }
+
   test("scrubPii redacts emails, IPv4, and both phone shapes; clean text is untouched") {
     import spark.implicits._
     val rows = Seq(
