@@ -48,7 +48,12 @@ object ProcessCli {
         case "--input-uri"     => c = c.copy(inputUri = a.value())
         case "--input-format"  => c = c.copy(inputFormat = a.value())
         case "--input-header"  => c = c.copy(inputHeader = Some(a.value().split(',').toSeq))
-        case "--input-comment" => c = c.copy(inputComment = Some(a.value().head))
+        case "--input-comment" =>
+          val v = a.value()
+          if (v.isEmpty)
+            throw new IllegalArgumentException(
+              "--input-comment needs a non-empty character")
+          c = c.copy(inputComment = Some(v.head))
         case "--input-skip"    => c = c.copy(inputSkip = a.value().toInt)
         case "--input-limit"   => c = c.copy(inputLimit = Some(a.value().toInt))
         case "--dfl"           => c = c.copy(dfl = a.value())

@@ -412,27 +412,28 @@ object Dedup {
     * for adversarial long chains raise it (the alternating small-star /
     * large-star reformulation converges in O(log n) rounds but its
     * per-round cost is higher — not worth it for dedup-shaped graphs).
-    * Convergence is detected by the label SUM going stationary (labels
-    * only ever decrease, so the sum strictly falls until fixpoint — no
-    * extra join to diff against the previous round); a call that hits
-    * `maxIter` un-converged THROWS rather than returning silently
-    * partial clusters. Labels are localCheckpointed each round to
-    * truncate the iterative lineage. */
+    * Ids keep their ORIGINAL type (numeric or string — every sibling
+    * dedup operator supports both; `min` is lexicographic on strings,
+    * matching the keep-smallest convention elsewhere). Convergence is
+    * detected by counting labels that changed in the round (one join on
+    * the label set — small next to the edge set — per round; a type-
+    * agnostic check, where a numeric label-sum test would silently
+    * mis-converge on string ids); a call that hits `maxIter`
+    * un-converged THROWS rather than returning silently partial
+    * clusters. Labels are localCheckpointed each round to truncate the
+    * iterative lineage. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetrize in ONE pass over the pair set (a union of two selects
     // would evaluate the — possibly expensive — pairs plan twice before
     // the persist materializes)
     val edges = pairs.select(explode(array(
-        struct(col("id_a").cast("long").as("id"), col("id_b").cast("long").as("nbr")),
-        struct(col("id_b").cast("long").as("id"), col("id_a").cast("long").as("nbr"))))
+        struct(col("id_a").as("id"), col("id_b").as("nbr")),
+        struct(col("id_b").as("id"), col("id_a").as("nbr"))))
         .as("e"))
       .select(col("e.id"), col("e.nbr"))
       .persist()
     var labels = edges.select(col("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint()
-    def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
-      Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -440,9 +441,10 @@ object Dedup {
         .select(col("id"), col("rep"))
       val next = labels.union(viaNbr)
         .groupBy("id").agg(min("rep").as("rep")).localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.rep") =!= col("p.rep"))
+        .isEmpty
       labels = next
       iter += 1
     }

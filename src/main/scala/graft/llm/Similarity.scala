@@ -768,6 +768,27 @@ object Similarity {
   /** File counts before and after a [[compactIndex]] run. */
   final case class CompactStats(filesBefore: Long, filesAfter: Long)
 
+  /** Whether an index has grown past its BUILD-SHAPE layout and a
+    * [[compactIndex]] would actually merge something. Build shape is NOT
+    * one file per partition: [[clusteredWrite]] salts each partition
+    * across up to numShufflePartitions/numValues writer tasks, so a
+    * freshly built (or just-compacted) index legitimately holds that
+    * many files per partition — gating on `> 1` would report a
+    * just-compacted index as perpetually due. One FS listing + one
+    * sidecar read (memoized warm), no Spark job. */
+  def compactionDue(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, method: String): Boolean = {
+    val numValues = method match {
+      case "ivf" => readCentroids(spark, indexDir).length
+      case "lsh" => 1 << lshMeta(spark, indexDir).pBits
+      case other =>
+        throw new IllegalArgumentException(s"compactionDue: unknown method $other")
+    }
+    val saltN = math.max(1,
+      spark.sessionState.conf.numShufflePartitions / math.max(1, numValues))
+    indexFileStats(spark, indexDir)._2 > saltN
+  }
+
   /** COMPACT an appended index: rewrite the vectors layout back to the
     * file shape a fresh build would produce, WITHOUT recomputing anything
     * — no k-means retrain, no signature pass, one clustered read-rewrite

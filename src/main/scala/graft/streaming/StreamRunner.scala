@@ -504,11 +504,10 @@ object StreamRunner {
               if (!retrained) {
                 // compaction rewrites the WHOLE index (cost ~ index
                 // size, not batch size) — skip it while every partition
-                // is still at build shape, so an aggressive cadence over
-                // small/empty increments stays listing-only
-                val (_, maxPerPart) =
-                  graft.llm.Similarity.indexFileStats(spark, indexDir)
-                if (maxPerPart > 1) {
+                // is still at build-shape file count (salt-aware:
+                // Similarity.compactionDue), so an aggressive cadence
+                // over small/empty increments stays listing-only
+                if (graft.llm.Similarity.compactionDue(spark, indexDir, method)) {
                   val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
                   log.info(s"compacted $indexDir after batch $batchId: " +
                     s"${st.filesBefore} -> ${st.filesAfter} data files")

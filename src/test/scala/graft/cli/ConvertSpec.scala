@@ -49,18 +49,25 @@ class ConvertSpec extends AnyFunSuite {
   }
 
   test("a trailing flag without its value is rejected across the shared Argv parsers") {
-    Seq[Array[String] => Any](
-      ConvertCli.parseArgs, ProcessCli.parseArgs,
-      IngestCli.parseArgs, ServeCli.parseArgs
-    ).foreach { parse =>
-      val e = intercept[IllegalArgumentException](parse(Array("--input-uri")))
-      assert(e.getMessage.contains("requires a value") ||
-        e.getMessage.contains("unknown flag"))
+    // each parser gets one of ITS OWN value-taking flags dangling at the
+    // end of the line, so every case exercises Argv.value()'s bounds
+    // check (a foreign flag would fail as 'unknown' before reaching it)
+    val cases = Seq[(Array[String] => Any, String)](
+      (ConvertCli.parseArgs, "--input-uri"),
+      (ProcessCli.parseArgs, "--input-uri"),
+      (IngestCli.parseArgs, "--index-dir"),
+      (ServeCli.parseArgs, "--index-dir"))
+    cases.foreach { case (parse, flag) =>
+      val e = intercept[IllegalArgumentException](parse(Array(flag)))
+      assert(e.getMessage.contains(s"$flag requires a value"), e.getMessage)
     }
     // the exact shape that used to crash ProcessCli with a raw
     // ArrayIndexOutOfBounds
     val e = intercept[IllegalArgumentException](
       ProcessCli.parseArgs(Array("--input-uri", "x", "--dfl")))
     assert(e.getMessage.contains("--dfl requires a value"))
+    // and the empty-value guard ConvertCli already had, now shared
+    intercept[IllegalArgumentException](
+      ProcessCli.parseArgs(Array("--input-uri", "x", "--input-comment", "")))
   }
 }

@@ -124,6 +124,16 @@ class LlmSpec extends AnyFunSuite {
     // empty pair set: empty clusters, correct schema, no iteration
     val none = Dedup.duplicateClusters(chain.filter($"id_a" < 0))
     assert(none.columns.toSeq == Seq("id", "rep") && none.isEmpty)
+    // STRING ids work end to end (every sibling dedup operator supports
+    // them; a numeric cast here would null them all out silently):
+    // components keep lexicographic-min reps
+    val strPairs = Seq(("u-b", "u-c"), ("u-a", "u-c")).toDF("id_a", "id_b")
+    val strCc = Dedup.duplicateClusters(strPairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(strCc == Map("u-a" -> "u-a", "u-b" -> "u-a", "u-c" -> "u-a"))
+    val strDocs = Seq("u-a", "u-b", "u-c", "u-z").toDF("doc_id")
+    assert(Dedup.clusterSurvivors(strDocs, "doc_id", strPairs)
+      .collect().map(_.getString(0)).toSet == Set("u-a", "u-z"))
   }
 
   test("lsh ANN top-k has high recall vs brute force") {
