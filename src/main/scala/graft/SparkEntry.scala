@@ -241,6 +241,28 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6).as("q"))),
+    // Gopher-style repetition signals — row-local column math, map-only
+    "repetition_stats" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(llm.TextAnalysis.dupTokenFrac(col("text")), 6).as("dup_tok_frac"),
+        round(llm.TextAnalysis.topBigramShare(col("text")), 6).as("top_bigram_share"))),
+    // eval-set decontamination: docs with doc_id % 23 == 0 play the
+    // held-out benchmark; the rest are the corpus. 8-gram overlap
+    // (GPT-3-style); hits = distinct shared 8-grams per contaminated doc
+    "decontam_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.TextAnalysis.contaminationHits(
+        docs.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
+        .select(col("doc_id"), col("hits"))
+    }),
+    "decontam_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
+        .select(col("doc_id"))
+    }),
     "dedup_exact" -> ((s, dir) =>
       llm.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     // ---- the LLM dataset operators THROUGH the DFL surface (parser →
@@ -685,6 +707,47 @@ object SparkEntry {
         |  FROM s""".stripMargin,
     "quality_score" ->
       s"SELECT doc_id, $qualitySqlExpr AS q FROM documents",
+    // same raw-token bigrams, same distinct-count / max-frequency forms
+    "repetition_stats" ->
+      """WITH bg AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+        |           list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |                          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+        |         ELSE [] END AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6)
+        |    AS dup_tok_frac,
+        |  round(CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+        |    CAST(list_max(list_transform(list_distinct(grams),
+        |         g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE) / len(grams) END, 6)
+        |    AS top_bigram_share
+        |  FROM bg""".stripMargin,
+    // normText-normalized 8-grams; benchmark = doc_id % 23 == 0
+    "decontam_hits" ->
+      """WITH tok AS (SELECT doc_id,
+        |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |             FROM documents),
+        |ng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS g
+        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+        |       WHERE len(toks) >= 8)
+        |SELECT ng.doc_id, count(DISTINCT ng.g) AS hits
+        |  FROM ng JOIN (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0) bench USING (g)
+        | WHERE ng.doc_id % 23 != 0
+        | GROUP BY 1""".stripMargin,
+    "decontam_clean" ->
+      """WITH tok AS (SELECT doc_id,
+        |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |             FROM documents),
+        |ng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS g
+        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+        |       WHERE len(toks) >= 8)
+        |SELECT doc_id FROM documents
+        | WHERE doc_id % 23 != 0 AND doc_id NOT IN (
+        |   SELECT ng.doc_id FROM ng
+        |   JOIN (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0) bench USING (g)
+        |   WHERE ng.doc_id % 23 != 0)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

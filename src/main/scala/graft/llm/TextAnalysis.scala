@@ -119,6 +119,82 @@ object TextAnalysis {
       .withColumnRenamed("col", "chunk")
   }
 
+  /** Word n-grams over whitespace tokens: element `i` is tokens
+    * `[i, i+n)` space-joined. Documents shorter than `n` tokens yield an
+    * EMPTY array (no padded partial grams — both dedup and
+    * decontamination semantics want only full windows). Pure column work
+    * (`sequence` → `transform`/`slice`), one codegen'd projection. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    require(n > 0, "wordNgrams: n must be positive")
+    val toks = wsTokens(c)
+    when(size(toks) >= n,
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination hits: for every corpus document sharing at
+    * least one word `n`-gram (over [[normText]]) with the benchmark set,
+    * the count of DISTINCT shared n-grams — the standard eval-set
+    * decontamination signal (GPT-3-style n-gram overlap).
+    *
+    * Scale shape: the benchmark side is an eval set — SMALL by
+    * definition — so its distinct n-grams are broadcast. The corpus-side
+    * n-gram explode is a map-local flatMap feeding that broadcast hash
+    * join directly: nothing shuffles except the (rare) matching rows on
+    * their way into the per-document count. A 100 TB corpus pass is one
+    * scan-explode-probe projection. */
+  def contaminationHits(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        benchmark: org.apache.spark.sql.DataFrame,
+                        benchTextCol: String, n: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(normText(col(benchTextCol)), n)).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(wordNgrams(normText(col(textCol)), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram")).as("hits"))
+  }
+
+  /** Remove benchmark-contaminated documents: corpus rows sharing NO word
+    * `n`-gram with the benchmark set. One anti-join against the (small)
+    * contaminated-id set on top of [[contaminationHits]]. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    benchmark: org.apache.spark.sql.DataFrame,
+                    benchTextCol: String, n: Int = 8)
+      : org.apache.spark.sql.DataFrame =
+    corpus.join(
+      contaminationHits(corpus, idCol, textCol, benchmark, benchTextCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Duplicate-token fraction (a Gopher-style repetition signal):
+    * `1 - distinct_tokens / tokens`, 0 for empty text. Row-local. */
+  def dupTokenFrac(c: Column): Column = {
+    val toks = wsTokens(c)
+    lit(1.0) - size(array_distinct(toks)).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Share of the most frequent word bigram among all bigrams (the
+    * Gopher `top-2-gram` repetition signal); 0 when the document has no
+    * bigram. Row-local O(distinct·total) over one document's bigrams —
+    * bounded by document length, stays inside the same codegen'd
+    * projection as every other signal here. */
+  def topBigramShare(c: Column): Column = {
+    val grams = wordNgrams(c, 2)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      array_max(org.apache.spark.sql.functions.transform(
+        array_distinct(grams),
+        g => size(org.apache.spark.sql.functions.filter(grams, x => x === g))))
+        .cast(DoubleType) / size(grams).cast(DoubleType))
+  }
+
   /** The PII patterns [[scrubPii]] redacts, in application order, with
     * their placeholders. Deliberately restricted to syntax shared by
     * Java's regex and RE2 (no lookaround, no backrefs) so the DuckDB

@@ -77,6 +77,48 @@ class LlmSpec extends AnyFunSuite {
       TextAnalysis.chunkTokens(docs, "doc_id", "text", n = 4, overlap = 4))
   }
 
+  test("decontaminate: planted benchmark overlap is caught, clean docs survive") {
+    // benchmark doc with a known 8-token span; corpus doc 10 copies that
+    // span verbatim inside otherwise-fresh text, doc 11 is clean, doc 12
+    // is shorter than n tokens (no grams, can never hit)
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"leading words $span trailing words")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"completely unrelated prefix $span and a different suffix"),
+      (11L, "no overlap here at all just original tokens going on and on"),
+      (12L, "too short"),
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.contaminationHits(corpus, "doc_id", "text", bench, "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(10L) && hits(10L) == 1L)
+    val clean = TextAnalysis.decontaminate(corpus, "doc_id", "text", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(11L, 12L))
+    // the benchmark side must be broadcast (eval sets are small): no
+    // shuffle join on the corpus-side gram stream
+    val plan = TextAnalysis.contaminationHits(
+      docs, "doc_id", "text", docs.filter($"doc_id" % 23 === 0), "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("repetition signals: dup-token fraction and top-bigram share") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // 1 distinct of 4; bigram "spam spam" 3/3
+      (2L, "all tokens here are distinct"),   // no repetition
+      (3L, "one"),                            // no bigram at all
+      (4L, ""),                               // empty text -> split gives [""]
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.dupTokenFrac($"text").as("f"),
+        TextAnalysis.topBigramShare($"text").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (0.75, 1.0))
+    assert(out(2L) == (0.0, 0.25)) // 5 tokens -> 4 distinct bigrams, max freq 1
+    assert(out(3L) == (0.0, 0.0))
+    assert(out(4L) == (0.0, 0.0))
+  }
+
   test("scrubPii redacts emails, IPv4, and both phone shapes; clean text is untouched") {
     import spark.implicits._
     val rows = Seq(
