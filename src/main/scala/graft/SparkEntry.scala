@@ -281,6 +281,15 @@ object SparkEntry {
     // tail, as in pii_scrub)
     "dfl_pii_scrub" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
       "map(@, \"{doc_id: @doc_id, scrubbed: scrubPii(@text + ' reach me: ' + string(@doc_id) + '@mail.example.org')}\")")),
+    // decontamination through the DFL dispatch: the benchmark corpus is a
+    // dataset var (exactly how a catalog service would bind a second
+    // datastore); same %23 split and 8-gram overlap as decontam_clean
+    "dfl_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DflFrame.pipeline(docs.filter(col("doc_id") % 23 =!= 0),
+        "decontam(@, '@doc_id', '@text', $bench, 8) | map(@, '{doc_id: @doc_id}')",
+        Map("bench" -> docs.filter(col("doc_id") % 23 === 0)))
+    }),
     "dfl_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -736,18 +745,7 @@ object SparkEntry {
         |  FROM ng JOIN (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0) bench USING (g)
         | WHERE ng.doc_id % 23 != 0
         | GROUP BY 1""".stripMargin,
-    "decontam_clean" ->
-      """WITH tok AS (SELECT doc_id,
-        |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |             FROM documents),
-        |ng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS g
-        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
-        |       WHERE len(toks) >= 8)
-        |SELECT doc_id FROM documents
-        | WHERE doc_id % 23 != 0 AND doc_id NOT IN (
-        |   SELECT ng.doc_id FROM ng
-        |   JOIN (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0) bench USING (g)
-        |   WHERE ng.doc_id % 23 != 0)""".stripMargin,
+    "decontam_clean" -> decontamCleanSql,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups
@@ -781,6 +779,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> jaccardPairsSql,
     "dedup_clusters" -> clusterCcSql,
     "dfl_near_dup_clusters" -> clusterCcSql,
+    "dfl_decontam" -> decontamCleanSql,
     "dfl_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -933,6 +932,22 @@ object SparkEntry {
        |  SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
        |    FROM shared JOIN cnt x ON d1 = x.doc_id JOIN cnt y ON d2 = y.doc_id
        |   WHERE c * 1.0 / (x.n + y.n - c) >= 0.8)""".stripMargin
+
+  /** Benchmark-decontamination survivors (normText 8-grams, benchmark =
+    * doc_id % 23 == 0) — oracle for both decontam_clean (Scala API) and
+    * dfl_decontam (the same operator through the DFL dispatch). */
+  private val decontamCleanSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |             FROM documents),
+      |ng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS g
+      |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+      |       WHERE len(toks) >= 8)
+      |SELECT doc_id FROM documents
+      | WHERE doc_id % 23 != 0 AND doc_id NOT IN (
+      |   SELECT ng.doc_id FROM ng
+      |   JOIN (SELECT DISTINCT g FROM ng WHERE doc_id % 23 = 0) bench USING (g)
+      |   WHERE ng.doc_id % 23 != 0)""".stripMargin
 
   /** Exact word-3-gram Jaccard pairs ≥ 0.8 — oracle for both the exact
     * shingle-join variant and the MinHash-LSH variant (at 64 hashes / 32

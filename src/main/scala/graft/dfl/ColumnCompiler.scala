@@ -321,6 +321,8 @@ object Functions {
     "nearDedupClusters" -> "(dataset, idExpr, textExpr[, threshold, method])",
     "annTopK" -> "(dataset, idExpr, vecExpr, $query, k[, method[, tuning]])",
     "annTopKBatch" -> "(dataset, idExpr, vecExpr, $queries, k[, method[, tuning]])",
+    "decontam" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
+    "contamHits" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

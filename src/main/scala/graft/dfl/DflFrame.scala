@@ -101,7 +101,7 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "annTopK", "annTopKBatch")
+      "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -174,10 +174,10 @@ object DflFrame {
       case Ternary(c, t, f) => if (driverCond(c)) evalDatasetExpr(t) else evalDatasetExpr(f)
       case NullLit          => df.limit(0) // null branch drops every record
       case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
-        datasetOp(df, name, args, scalarVars)
+        datasetOp(df, name, args, scalarVars, dsVars)
       case FunCall("array", List(inner: FunCall))
           if datasetFns(inner.name) && isDatasetArg(inner.args.headOption) =>
-        datasetOp(df, inner.name, inner.args, scalarVars)
+        datasetOp(df, inner.name, inner.args, scalarVars, dsVars)
       case d: DictLit if referencesDataset(d) => assembleDict(df, d, scalarVars)
       case other => throw new DflParseException(
         s"not a dataset expression: ${Node.render(other)}")
@@ -225,12 +225,12 @@ object DflFrame {
     stages.foreach {
       case FunCall(name, args) if datasetFns(name) && isDatasetArg(args.headOption) =>
         flush()
-        df = datasetOp(df, name, args, scalarVars)
+        df = datasetOp(df, name, args, scalarVars, dsVars)
 
       case fc @ FunCall("array", List(inner: FunCall))
           if datasetFns(inner.name) && isDatasetArg(inner.args.headOption) =>
         flush()
-        df = datasetOp(df, inner.name, inner.args, scalarVars)
+        df = datasetOp(df, inner.name, inner.args, scalarVars, dsVars)
         val _ = fc // array(set(@)) — set already yields rows; array is a no-op
 
       case Binary("-", fc @ FunCall(name, fargs), rhs)
@@ -240,7 +240,7 @@ object DflFrame {
         // is in the set. The set is a driver-side literal, so this lowers
         // to a broadcast-friendly NOT IN — never a shuffle.
         flush()
-        df = datasetOp(df, name, fargs, scalarVars)
+        df = datasetOp(df, name, fargs, scalarVars, dsVars)
         val dropVals: Seq[Any] = rhs match {
           case Var(n) => scalarVars.getOrElse(n,
             throw new DflParseException(s"unbound $$$n")) match {
@@ -334,7 +334,8 @@ object DflFrame {
     }
 
   private def datasetOp(df: DataFrame, name: String, args: List[Node],
-                        vars: Map[String, Any]): DataFrame = {
+                        vars: Map[String, Any],
+                        dsVars: Map[String, DataFrame] = Map.empty): DataFrame = {
     def sub(i: Int): Node = args(i) match {
       case Lit(s: String) => Parser.parse(s) // quoted sub-expression
       case other          => other
@@ -369,6 +370,14 @@ object DflFrame {
     def toDoubleAny(x: Any): Double = x match {
       case v: Number => v.doubleValue()
       case other     => other.toString.toDouble
+    }
+    // a dataset-valued $var arg (seeded by the caller or bound earlier in
+    // the pipeline with `$v := (…)`), e.g. decontam's benchmark corpus
+    def dsArg(i: Int): DataFrame = args(i) match {
+      case Var(n2) => dsVars.getOrElse(n2,
+        throw new DflParseException(s"unbound dataset $$$n2"))
+      case other => throw new DflParseException(
+        s"expected dataset var arg: ${Node.render(other)}")
     }
     // a query BATCH: a $var bound to a Seq of [id, [v…]] pairs — exactly
     // the shape a JSON request variable parses to, so an HTTP service
@@ -527,6 +536,30 @@ object DflFrame {
           graft.llm.Dedup.clusterSurvivors(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
+
+      case "decontam" | "contamHits" =>
+        // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram
+        // decontamination against a benchmark corpus bound as a dataset
+        // var (seeded by the caller, or `$bench := (…)` earlier in the
+        // pipeline). The id/text sub-expressions apply to the PIPED
+        // corpus; the benchmark frame evaluates the same text expression
+        // against its own columns. `decontam` returns the surviving
+        // corpus rows; `contamHits` the (id, hits) contamination report.
+        // Same 100 TB shape as the Scala API: benchmark grams broadcast,
+        // corpus explode map-local, survivors one anti-join.
+        val n = if (args.size > 4) intArg(4) else 8
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val benchSrc = dsArg(3)
+        val bench = benchSrc.withColumn("__gtext", ColumnCompiler.compile(
+          sub(2), ColumnCompiler.Ctx.forDataFrame(benchSrc, vars)))
+        if (name == "contamHits")
+          graft.llm.TextAnalysis.contaminationHits(
+              base, "__gid", "__gtext", bench, "__gtext", n)
+            .select(col("__gid").as("id"), col("hits"))
+        else
+          graft.llm.TextAnalysis.decontaminate(
+              base, "__gid", "__gtext", bench, "__gtext", n)
+            .drop("__gid", "__gtext")
 
       case "annTopK" =>
         // `annTopK(@, '@id', '@vec', $query, k[, method[, tuning]])` —

@@ -31,7 +31,8 @@ object StreamRunner {
     // the DFL LLM dataset stages need whole-dataset context (self-joins /
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
-    "dedup", "nearDedup", "nearDupPairs", "annTopK", "annTopKBatch")
+    "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
+    "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -78,6 +78,41 @@ class DflLlmSpec extends AnyFunSuite {
     assert(cosDfl == cosApi)
   }
 
+  test("decontam/contamHits(@) match the Scala API; $bench binds in-pipeline too") {
+    import spark.implicits._
+    val bench = docs.filter($"doc_id" % 23 === 0)
+    val corpus = docs.filter($"doc_id" % 23 =!= 0)
+    // benchmark seeded as a caller var (the catalog-service shape)
+    val survDfl = ids(DflFrame.pipeline(corpus,
+      "decontam(@, '@doc_id', '@text', $bench, 8) | map(@, '{doc_id: @doc_id}')",
+      Map("bench" -> bench)))
+    val survApi = ids(graft.llm.TextAnalysis.decontaminate(
+      corpus, "doc_id", "text", bench, "text", 8).select("doc_id"))
+    assert(survDfl == survApi && survDfl.size < corpus.count())
+    // survivors keep their original columns (no temp-column residue)
+    val full = DflFrame.pipeline(corpus,
+      "decontam(@, '@doc_id', '@text', $bench, 8)", Map("bench" -> bench))
+    assert(full.columns.toSet == docs.columns.toSet)
+    // hits report matches the API
+    val hitsDfl = DflFrame.pipeline(corpus,
+      "contamHits(@, '@doc_id', '@text', $bench, 8)", Map("bench" -> bench))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hitsApi = graft.llm.TextAnalysis.contaminationHits(
+      corpus, "doc_id", "text", bench, "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hitsDfl.nonEmpty && hitsDfl == hitsApi)
+    // $bench bound by an earlier `:=` stage works the same: the binding
+    // leaves the CURRENT dataset as the bound one, so re-enter via a var
+    // seeded pipeline is the canonical shape; a non-dataset arg errors
+    val e = intercept[DflParseException](DflFrame.pipeline(corpus,
+      "decontam(@, '@doc_id', '@text', 'oops', 8)", Map.empty))
+    assert(e.getMessage.contains("expected dataset var arg"))
+    // unbound benchmark var errors clearly
+    val e2 = intercept[DflParseException](DflFrame.pipeline(corpus,
+      "decontam(@, '@doc_id', '@text', $nosuch, 8)"))
+    assert(e2.getMessage.contains("unbound dataset"))
+  }
+
   test("annTopK(@) exact equals brute force; $query comes from exec vars") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
@@ -305,10 +340,18 @@ class DflLlmSpec extends AnyFunSuite {
 
   test("registry lists the LLM stages; stream mode rejects them") {
     val reg = Functions.registry
-    Seq("dedup", "nearDedup", "nearDupPairs", "annTopK").foreach(n =>
-      assert(reg.contains(n), n))
+    Seq("dedup", "nearDedup", "nearDupPairs", "annTopK", "decontam",
+      "contamHits").foreach(n => assert(reg.contains(n), n))
     intercept[IllegalArgumentException](
       graft.streaming.StreamRunner.validateStreamable("jsonl",
         "nearDedup(@, '@doc_id', '@text')"))
+    // every whole-dataset LLM stage is fenced out of stream mode,
+    // including the cluster variants and decontamination
+    Seq("nearDupClusters(@, '@doc_id', '@text')",
+        "nearDedupClusters(@, '@doc_id', '@text')",
+        "decontam(@, '@doc_id', '@text', $bench, 8)").foreach { src =>
+      intercept[IllegalArgumentException](
+        graft.streaming.StreamRunner.validateStreamable("jsonl", src))
+    }
   }
 }
