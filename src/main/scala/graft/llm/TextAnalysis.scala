@@ -144,20 +144,29 @@ object TextAnalysis {
     * n-gram explode is a map-local flatMap feeding that broadcast hash
     * join directly: nothing shuffles except the (rare) matching rows on
     * their way into the per-document count. A 100 TB corpus pass is one
-    * scan-explode-probe projection. */
+    * scan-explode-probe projection.
+    *
+    * Grams travel as xxhash64 values via the native
+    * [[graft.functions.ShingleHash]] (one codegen'd pass, already
+    * DISTINCT per document — so the post-join agg is a plain count, no
+    * count-distinct expand), not as strings: the broadcast table and the
+    * join keys are longs. Same negligible-collision argument as the
+    * Jaccard shingle join (p ≈ d²/2⁶⁵). */
   def contaminationHits(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String,
                         benchmark: org.apache.spark.sql.DataFrame,
                         benchTextCol: String, n: Int = 8)
       : org.apache.spark.sql.DataFrame = {
+    def grams(c: Column): Column =
+      graft.functions.ShingleF.shingleHashes(wsTokens(normText(c)), n)
     val benchGrams = benchmark
-      .select(explode(wordNgrams(normText(col(benchTextCol)), n)).as("gram"))
+      .select(explode(grams(col(benchTextCol))).as("gram"))
       .distinct()
     corpus
-      .select(col(idCol), explode(wordNgrams(normText(col(textCol)), n)).as("gram"))
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy(idCol)
-      .agg(countDistinct(col("gram")).as("hits"))
+      .agg(count(col("gram")).as("hits"))
   }
 
   /** Remove benchmark-contaminated documents: corpus rows sharing NO word
