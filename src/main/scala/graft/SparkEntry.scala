@@ -263,6 +263,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
         .select(col("doc_id"))
     }),
+    // deterministic hash sampling/splits (reproducible by id, no RNG
+    // state): row-local codegen'd filters, trivially map-only
+    "sample_hash" -> ((s, dir) =>
+      llm.Sampling.sampleByHash(t(s, dir, "documents"), "doc_id", 0.1, seed = 42)
+        .select(col("doc_id"))),
+    "split_hash" -> ((s, dir) =>
+      llm.Sampling.splitByHash(t(s, dir, "documents"), "doc_id",
+        Seq(0.9, 0.05, 0.05), seed = 7)
+        .select(col("doc_id"), col("split").cast("long").as("split"))),
+    "stratified_sample" -> ((s, dir) =>
+      llm.Sampling.stratifiedSampleByHash(t(s, dir, "documents"), "doc_id",
+        "lang", Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.05, seed = 1)
+        .select(col("doc_id"), col("lang"))),
     "dedup_exact" -> ((s, dir) =>
       llm.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     // ---- the LLM dataset operators THROUGH the DFL surface (parser →
@@ -746,6 +759,22 @@ object SparkEntry {
         | WHERE ng.doc_id % 23 != 0
         | GROUP BY 1""".stripMargin,
     "decontam_clean" -> decontamCleanSql,
+    // the IDENTICAL 63-bit-safe multiplicative-hash formula (rendered by
+    // Sampling.hashBucketSql) evaluated by DuckDB
+    "sample_hash" ->
+      s"SELECT doc_id FROM documents WHERE ${llm.Sampling.hashBucketSql("doc_id", 42, 1000000)} < 100000",
+    "split_hash" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN ${llm.Sampling.hashBucketSql("doc_id", 7, 1000000)} < 900000 THEN 0
+         |            WHEN ${llm.Sampling.hashBucketSql("doc_id", 7, 1000000)} < 950000 THEN 1
+         |            ELSE 2 END AS BIGINT) AS split
+         |  FROM documents""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         | WHERE ${llm.Sampling.hashBucketSql("doc_id", 1, 1000000)} <
+         |   CASE WHEN lang = 'en' THEN 500000
+         |        WHEN lang = 'de' THEN 200000
+         |        ELSE 50000 END""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling and splitting for training-data
+  * pipelines: the same (id, seed) always lands in the same bucket, on any
+  * engine, at any parallelism — so a 90/5/5 split computed today over a
+  * growing corpus never reassigns yesterday's rows, and a 10% sample is
+  * re-derivable by auditors from the id alone (no stored RNG state, no
+  * `rand()` nondeterminism across retries/speculative tasks — Spark's
+  * `sample()` is NOT stable under re-execution, which is exactly why
+  * pipelines key splits off the id).
+  *
+  * The hash is a Knuth multiplicative mix kept inside 63-bit signed
+  * arithmetic (`((id + seed) mod 2^31) * 506952113 mod 2^31`,
+  * 506952113 = 2654435761 mod 2^31) so the IDENTICAL expression runs on
+  * Spark (lenient or ANSI) and DuckDB without overflow — the DuckDB
+  * oracle checks these operators value-for-value. Not cryptographic;
+  * adjacent ids decorrelate through the golden-ratio multiplier, which is
+  * all sampling needs.
+  *
+  * Scale shape: every operator here is a row-local codegen'd projection
+  * or filter over the scan — no shuffle, no driver state, trivially
+  * 100 TB-safe. Filters push down to the parquet scan when the id is a
+  * plain column.
+  */
+object Sampling {
+
+  private val M: Long = 2147483648L // 2^31
+  private val A: Long = 506952113L  // 2654435761 (Knuth) mod 2^31
+
+  /** Deterministic bucket in [0, buckets) for an integer id. */
+  def hashBucket(id: Column, seed: Long, buckets: Int): Column = {
+    require(buckets > 0, "hashBucket: buckets must be positive")
+    pmod(pmod(pmod(id + seed, lit(M)) * A, lit(M)), lit(buckets.toLong))
+  }
+
+  /** The SQL rendering of [[hashBucket]] — shared with oracle SQL so both
+    * engines evaluate one formula. */
+  def hashBucketSql(idExpr: String, seed: Long, buckets: Int): String =
+    s"((((($idExpr + $seed) % $M + $M) % $M) * $A) % $M) % $buckets"
+
+  /** Keep a deterministic `fraction` of rows keyed by `idCol`.
+    * Resolution is 1e-6 (fraction maps to a bucket threshold over 1M
+    * buckets). */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   seed: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1,
+      s"sampleByHash: fraction must be in [0,1], got $fraction")
+    val buckets = 1000000
+    df.filter(hashBucket(col(idCol), seed, buckets) <
+      math.round(fraction * buckets))
+  }
+
+  /** Assign each row a split index by cumulative `weights` (e.g.
+    * Seq(0.9, 0.05, 0.05) → 0=train, 1=val, 2=test). Weights must sum to
+    * ~1; the last split absorbs rounding. Adding rows later never moves
+    * existing rows between splits. */
+  def splitByHash(df: DataFrame, idCol: String, weights: Seq[Double],
+                  seed: Long = 0L, splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) &&
+      math.abs(weights.sum - 1.0) < 1e-6,
+      s"splitByHash: weights must be non-negative and sum to 1, got $weights")
+    val buckets = 1000000
+    val b = hashBucket(col(idCol), seed, buckets)
+    val cuts = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * buckets))
+    val expr = cuts.zipWithIndex.init.foldRight(
+      lit(weights.size - 1)) { case ((cut, i), els) =>
+      when(b < cut, lit(i)).otherwise(els)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep fractions (e.g.
+    * per-language or per-source mixing rates for a training blend), with
+    * `defaultFraction` for strata not listed. One row-local filter — the
+    * stratum column is read per row; no per-stratum scans, no shuffle. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double = 0.0,
+                             seed: Long = 0L): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "stratifiedSampleByHash: fractions must be in [0,1]")
+    val buckets = 1000000
+    val thresh = fractions.foldRight(
+      lit(math.round(defaultFraction * buckets))) { case ((k, f), els) =>
+      when(col(stratumCol) === k, lit(math.round(f * buckets))).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol), seed, buckets) < thresh)
+  }
+}

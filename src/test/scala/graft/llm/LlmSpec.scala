@@ -119,6 +119,46 @@ class LlmSpec extends AnyFunSuite {
     assert(out(4L) == (0.0, 0.0))
   }
 
+  test("hash sampling: deterministic, id-stable, stratified, and near-target rates") {
+    import graft.llm.Sampling
+    // determinism + id stability: the sampled id set is a function of
+    // (id, seed) only — rerun identical, and sampling a SUPERSET corpus
+    // keeps every previously sampled id (the append-only-corpus property
+    // that rand()-based sampling lacks)
+    val half = docs.filter($"doc_id" < 250)
+    val s1 = Sampling.sampleByHash(half, "doc_id", 0.2, seed = 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleByHash(docs, "doc_id", 0.2, seed = 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2.filter(_ < 250))
+    assert(Sampling.sampleByHash(docs, "doc_id", 0.2, seed = 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == s2)
+    // rate lands near the target (multiplicative mix spreads sequential ids)
+    val n = docs.count().toDouble
+    assert(math.abs(s2.size / n - 0.2) < 0.08, s"rate ${s2.size / n}")
+    // different seeds give different samples
+    val s3 = Sampling.sampleByHash(docs, "doc_id", 0.2, seed = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 != s3)
+    // splits partition every row, weights respected loosely
+    val splits = Sampling.splitByHash(docs, "doc_id", Seq(0.9, 0.05, 0.05), seed = 7)
+      .groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set(0, 1, 2)) && splits.values.sum == n.toLong)
+    assert(splits(0) > 0.8 * n)
+    // stratified: per-stratum rates apply; unknown strata use the default
+    val strat = Sampling.stratifiedSampleByHash(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0, seed = 1)
+    val langs = strat.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+    assert(strat.count() == docs.filter($"lang" === "en").count())
+    // filter is row-local: the sampling predicate pushes to the scan side
+    // with no exchange in the plan
+    val plan = Sampling.sampleByHash(docs, "doc_id", 0.1).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("scrubPii redacts emails, IPv4, and both phone shapes; clean text is untouched") {
     import spark.implicits._
     val rows = Seq(
