@@ -294,6 +294,10 @@ object SparkEntry {
     // tail, as in pii_scrub)
     "dfl_pii_scrub" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
       "map(@, \"{doc_id: @doc_id, scrubbed: scrubPii(@text + ' reach me: ' + string(@doc_id) + '@mail.example.org')}\")")),
+    // deterministic sampling through the DFL dispatch (same hash as
+    // sample_hash, so it shares that oracle SQL's formula)
+    "dfl_sample" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
+      "sample(@, '@doc_id', 0.1, 42) | map(@, '{doc_id: @doc_id}')")),
     // decontamination through the DFL dispatch: the benchmark corpus is a
     // dataset var (exactly how a catalog service would bind a second
     // datastore); same %23 split and 8-gram overlap as decontam_clean
@@ -762,6 +766,8 @@ object SparkEntry {
     // the IDENTICAL 63-bit-safe multiplicative-hash formula (rendered by
     // Sampling.hashBucketSql) evaluated by DuckDB
     "sample_hash" ->
+      s"SELECT doc_id FROM documents WHERE ${llm.Sampling.hashBucketSql("doc_id", 42, 1000000)} < 100000",
+    "dfl_sample" ->
       s"SELECT doc_id FROM documents WHERE ${llm.Sampling.hashBucketSql("doc_id", 42, 1000000)} < 100000",
     "split_hash" ->
       s"""SELECT doc_id,

@@ -323,6 +323,7 @@ object Functions {
     "annTopKBatch" -> "(dataset, idExpr, vecExpr, $queries, k[, method[, tuning]])",
     "decontam" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
     "contamHits" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
+    "sample" -> "(dataset, idExpr, fraction[, seed])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

@@ -101,7 +101,8 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits")
+      "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits",
+      "sample")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -536,6 +537,16 @@ object DflFrame {
           graft.llm.Dedup.clusterSurvivors(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
+
+      case "sample" =>
+        // `sample(@, '@id', fraction[, seed])` — deterministic id-keyed
+        // sampling (Sampling.sampleByHash). A pure row-local filter, so
+        // unlike the whole-dataset LLM stages it is STREAMABLE and left
+        // out of StreamRunner.unstreamableFns on purpose.
+        val frac = numArg(2)
+        val seed = if (args.size > 3) numArg(3).toLong else 0L
+        val base = df.withColumn("__gid", subCol(1))
+        graft.llm.Sampling.sampleByHash(base, "__gid", frac, seed).drop("__gid")
 
       case "decontam" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram

@@ -113,6 +113,22 @@ class DflLlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unbound dataset"))
   }
 
+  test("sample(@) matches the Scala API and stays streamable") {
+    import spark.implicits._
+    val dfl = ids(DflFrame.pipeline(docs,
+      "sample(@, '@doc_id', 0.2, 9) | map(@, '{doc_id: @doc_id}')"))
+    val api = ids(graft.llm.Sampling.sampleByHash(docs, "doc_id", 0.2, seed = 9)
+      .select("doc_id"))
+    assert(dfl == api && dfl.nonEmpty && dfl.size < docs.count())
+    // survivors keep their original columns
+    assert(DflFrame.pipeline(docs, "sample(@, '@doc_id', 0.2, 9)")
+      .columns.toSet == docs.columns.toSet)
+    // a pure row-local filter: valid in stream mode, unlike the
+    // whole-dataset LLM stages
+    graft.streaming.StreamRunner.validateStreamable("jsonl",
+      "sample(@, '@doc_id', 0.2, 9) | map(@, '{doc_id: @doc_id}')")
+  }
+
   test("annTopK(@) exact equals brute force; $query comes from exec vars") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
