@@ -413,6 +413,24 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    // int8 quantization: (scale, codes) per vector — a 4x storage
+    // compression whose codes feed the SAME native dot loop
+    "embed_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      llm.Quantize.quantizeInt8(emb, "embedding")
+        .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+          col("q_codes"))
+    }),
+    // the quantized corpus dropped straight into the float probe path:
+    // per-vector scale cancels in cosine, so no dequantization happens
+    "ann_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val qz = llm.Quantize.quantizeInt8(emb, "embedding")
+        .select(col("vec_id"), col("q_codes"))
+      llm.Similarity.bruteForceTopK(qz, "vec_id", "q_codes", q, 10)
+    }),
     "ann_topk_batch" -> ((s, dir) => {
       // the batched serving shape: 5 query vectors, one corpus pass, a
       // bounded-heap top-k aggregate per query (never a full per-query
@@ -860,6 +878,28 @@ object SparkEntry {
         |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
         |  FROM embeddings e,
         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
+    // identical double arithmetic: float->double casts are exact, both
+    // engines round() half-away-from-zero on doubles
+    "embed_quantize" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |             coalesce(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0) / 127.0 AS scale
+        |           FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS q_scale,
+        |       CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS TINYINT))
+        |            ELSE list_transform(e, x -> CAST(round(x / scale) AS TINYINT)) END AS q_codes
+        |  FROM s""".stripMargin,
+    "ann_quantized_topk" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |             coalesce(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0) / 127.0 AS scale
+        |           FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+        |              ELSE list_transform(e, x -> CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE)) END AS c
+        |       FROM s)
+        |SELECT qz.vec_id AS id,
+        |       round(list_cosine_similarity(qz.c, q.e), 6) AS cos
+        |  FROM qz, (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0) q
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",

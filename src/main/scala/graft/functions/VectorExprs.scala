@@ -31,12 +31,13 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                     ByteType | ShortType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot needs array<float|double|int|bigint> inputs, " +
+      s"vector_dot needs array<numeric> inputs, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
@@ -45,6 +46,8 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     case DoubleType  => ad.getDouble(i)
     case IntegerType => ad.getInt(i).toDouble
     case LongType    => ad.getLong(i).toDouble
+    case ByteType    => ad.getByte(i).toDouble
+    case ShortType   => ad.getShort(i).toDouble
     case other       => throw new IllegalStateException(s"vector_dot: $other")
   }
 
@@ -75,6 +78,8 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     case DoubleType  => "getDouble"
     case IntegerType => "getInt"
     case LongType    => "getLong"
+    case ByteType    => "getByte"
+    case ShortType   => "getShort"
     case other       => throw new IllegalStateException(s"vector_dot: $other")
   }
 

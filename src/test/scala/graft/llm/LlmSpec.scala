@@ -119,6 +119,41 @@ class LlmSpec extends AnyFunSuite {
     assert(out(4L) == (0.0, 0.0))
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine-compatible probes") {
+    import graft.llm.Quantize
+    val qz = Quantize.quantizeInt8(emb, "embedding")
+    // reconstruction error per element is <= scale/2 + representation slack
+    val bad = qz.select(
+        org.apache.spark.sql.functions.zip_with(
+          col("embedding").cast("array<double>"),
+          Quantize.dequantize(col("q_codes"), col("q_scale")),
+          (v, d) => abs(v - d) > col("q_scale") * 0.5 + lit(1e-9)).as("errs"))
+      .filter(array_contains(col("errs"), true)).count()
+    assert(bad == 0L)
+    // codes are genuine tinyints in [-127, 127]
+    val rng = qz.select(array_max(col("q_codes")).cast("int").as("mx"),
+        array_min(col("q_codes")).cast("int").as("mn"))
+      .agg(max("mx"), min("mn")).head()
+    assert(rng.getInt(0) <= 127 && rng.getInt(1) >= -127)
+    // the quantized corpus drops into the SAME brute-force probe (native
+    // dot now reads array<tinyint>), and its top-10 overlaps the float
+    // top-10 heavily (int8 cosine error is small)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val floatTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val qzTop = Similarity.bruteForceTopK(
+      qz.select($"vec_id", $"q_codes"), "vec_id", "q_codes", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((floatTop & qzTop).size >= 8, s"overlap ${(floatTop & qzTop).size}")
+    // zero vectors: scale 0, all-zero codes, no NaN traps
+    val z = Quantize.quantizeInt8(
+      Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding"), "embedding")
+      .select($"q_scale", $"q_codes").head()
+    assert(z.getDouble(0) == 0.0 &&
+      z.getSeq[Byte](1).forall(_ == 0.toByte))
+  }
+
   test("hash sampling: deterministic, id-stable, stratified, and near-target rates") {
     import graft.llm.Sampling
     // determinism + id stability: the sampled id set is a function of
