@@ -45,6 +45,17 @@ object ScaleCheck {
       val boiler = big.select(col("doc_id"),
         concat(col("text"), lit(" all rights reserved by the original author")).as("text"))
       time("jaccard_boiler")(graft.llm.Dedup.jaccardPairs(boiler, "doc_id", "text", 0.8).count())
+      // decontamination: FIXED benchmark (the base corpus's %23 slice)
+      // against the mult× corpus. One broadcast-join scan — time must
+      // grow ~linearly; hits grow with mult (every copy shares the same
+      // grams with the benchmark).
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      time("decontam_hits")(graft.llm.TextAnalysis.contaminationHits(
+        big, "doc_id", "text", bench, "text", 8).count())
+      // deterministic sampling: a row-local filter, linear by shape;
+      // kept rows must track mult/10 (the hash is id-keyed and the
+      // shifted ids stay well-spread)
+      time("sample_10pct")(graft.llm.Sampling.sampleByHash(big, "doc_id", 0.1).count())
       big.unpersist()
     }
 
@@ -77,6 +88,14 @@ object ScaleCheck {
       // random collisions at 8·2⁻¹⁶ of pairs with ≥99% recall at c≥0.99
       time("cosine_bucketed")(graft.llm.Dedup.cosinePairsBucketed(
         big, "vec_id", "embedding", 0.99, numBands = 8, bitsPerBand = 16).count())
+      // int8-quantized brute force: quantize pass + native byte-array
+      // dot scan, both single corpus passes — time must track lsh_topk's
+      // linear growth (same scan shape, 4x smaller payload at rest)
+      time("quantized_scan")({
+        val qz = graft.llm.Quantize.quantizeInt8(big, "embedding")
+          .select(col("vec_id"), col("q_codes"))
+        graft.llm.Similarity.bruteForceTopK(qz, "vec_id", "q_codes", q, 10).count()
+      })
       // ad-hoc lshTopK recomputes signatures (one corpus scan); its
       // ingest posture — bucket as partition column — is spec-pinned
       // partition-pruned in LlmSpec. Time must grow at most linearly.
