@@ -37,10 +37,11 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
   private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ByteType | ShortType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_bands needs array<float|double|int|bigint>, got ${other.sql}")
+      s"hyperplane_bands needs array<numeric>, got ${other.sql}")
   }
 
   private def read(ad: ArrayData, i: Int, t: DataType): Double = t match {
@@ -88,6 +89,8 @@ case class HyperplaneBands(child: Expression, numBands: Int, bitsPerBand: Int,
     case DoubleType  => "getDouble"
     case IntegerType => "getInt"
     case LongType    => "getLong"
+    case ByteType    => "getByte"
+    case ShortType   => "getShort"
     case other       => throw new IllegalStateException(s"hyperplane_bands: $other")
   }
 

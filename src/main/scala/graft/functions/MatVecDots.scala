@@ -31,10 +31,11 @@ case class MatVecDots(child: Expression, matrix: Array[Double], dim: Int)
   private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ByteType | ShortType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"mat_vec_dots needs array<float|double|int|bigint>, got ${other.sql}")
+      s"mat_vec_dots needs array<numeric>, got ${other.sql}")
   }
 
   private def read(ad: ArrayData, i: Int, t: DataType): Double = t match {
@@ -42,6 +43,8 @@ case class MatVecDots(child: Expression, matrix: Array[Double], dim: Int)
     case DoubleType  => ad.getDouble(i)
     case IntegerType => ad.getInt(i).toDouble
     case LongType    => ad.getLong(i).toDouble
+    case ByteType    => ad.getByte(i).toDouble
+    case ShortType   => ad.getShort(i).toDouble
     case other       => throw new IllegalStateException(s"mat_vec_dots: $other")
   }
 
@@ -73,6 +76,8 @@ case class MatVecDots(child: Expression, matrix: Array[Double], dim: Int)
     case DoubleType  => "getDouble"
     case IntegerType => "getInt"
     case LongType    => "getLong"
+    case ByteType    => "getByte"
+    case ShortType   => "getShort"
     case other       => throw new IllegalStateException(s"mat_vec_dots: $other")
   }
 

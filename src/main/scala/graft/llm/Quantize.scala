@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * HOT path, scoring, is the native loop). Zero vectors quantize to all
   * zeros (their cosine is NULL-excluded by the probe guards, matching the
   * float path's zero-norm handling).
+  *
+  * INDEX CHOICE over quantized codes (spec-pinned in LlmSpec): hyperplane
+  * LSH is the natural fit — sign bits are invariant to the positive
+  * per-vector scale, so a quantized LSH index probes exactly like the
+  * float one at 1/4 the size. IVF still works mechanically, but the
+  * per-vector rescaling distorts the EUCLIDEAN list geometry kmeans
+  * partitions (every code vector is stretched to max|q| = 127), so
+  * list-probing recall at a float-tuned nprobe degrades — widen nprobe
+  * (~3x) or index floats and quantize only the serving copy.
   */
 object Quantize {
 

@@ -154,6 +154,58 @@ class LlmSpec extends AnyFunSuite {
       z.getSeq[Byte](1).forall(_ == 0.toByte))
   }
 
+  test("quantized corpora flow through BOTH index lifecycles 4x smaller") {
+    import graft.llm.Quantize
+    val qz = Quantize.quantizeInt8(emb, "embedding")
+      .select($"vec_id", $"q_codes")
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def dirSize(p: String): Long = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(root)
+    }
+    // LSH: build over array<tinyint> codes (HyperplaneBands reads bytes
+    // natively), probe, append — the whole lifecycle, no special-casing
+    val base = java.nio.file.Files.createTempDirectory("graft-qidx").toString
+    val fDir = s"$base/float"; val qDir = s"$base/quant"
+    Similarity.lshBuild(emb.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", fDir, nBits = 16, partitionBits = 4)
+    Similarity.lshBuild(qz, "vec_id", "q_codes", qDir, nBits = 16, partitionBits = 4)
+    val fTop = Similarity.lshQuery(spark, fDir, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val qTop = Similarity.lshQuery(spark, qDir, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((fTop & qTop).size >= 7, s"overlap ${(fTop & qTop).size}")
+    // the quantized index is genuinely smaller at rest (codes are 1/4
+    // the float payload; parquet encoding keeps some fixed overhead)
+    assert(dirSize(qDir) < dirSize(fDir) * 0.6,
+      s"quant ${dirSize(qDir)} vs float ${dirSize(fDir)}")
+    // appends work over codes too (same signature pass)
+    val inc = Quantize.quantizeInt8(
+        emb.filter($"vec_id" === 0)
+          .select(($"vec_id" + 900000L).as("vec_id"), $"embedding"), "embedding")
+      .select($"vec_id", $"q_codes")
+    Similarity.lshAppend(inc, "vec_id", "q_codes", qDir)
+    assert(Similarity.lshQuery(spark, qDir, q, 3)
+      .collect().map(_.getLong(0)).contains(900000L))
+    // IVF: kmeans + assignment + probe over codes run mechanically, but
+    // the per-vector scale DISTORTS the euclidean list geometry (every
+    // code vector is rescaled to max|q|=127), so list-probing recall at
+    // the float-tuned nprobe=8 degrades — sign-based LSH is the natural
+    // index for symmetrically quantized codes (signs are invariant to
+    // positive per-vector scaling, as proven above). Quantized IVF needs
+    // a wider probe: at nprobe=24 recall recovers.
+    val iDir = s"$base/ivfq"
+    Similarity.ivfBuild(qz, "vec_id", "q_codes", iDir)
+    val bTop = Similarity.bruteForceTopK(qz, "vec_id", "q_codes", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val iTopWide = Similarity.ivfQuery(spark, iDir, q, 10, nprobe = 24)
+      .collect().map(_.getLong(0)).toSet
+    assert((iTopWide & bTop).size >= 7, s"ivf recall ${(iTopWide & bTop).size}")
+  }
+
   test("hash sampling: deterministic, id-stable, stratified, and near-target rates") {
     import graft.llm.Sampling
     // determinism + id stability: the sampled id set is a function of
