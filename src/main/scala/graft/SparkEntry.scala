@@ -359,6 +359,24 @@ object SparkEntry {
         .select(col("doc_id"),
           llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"))
     }),
+    "pipeline_train_corpus" -> ((s, dir) => {
+      // the FULL modern training-data shape, one plan: quality gate →
+      // near-dup survivors → eval-set decontamination → deterministic
+      // 50% sample → token counts. Every stage is the library operator
+      // the standalone rows check; the composition is what a real
+      // pre-training ingest runs.
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val clean = docs
+        .filter(round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6) >= 0.5)
+        .filter(col("doc_id") % 23 =!= 0)
+      val surv = llm.Dedup.survivors(clean, "doc_id",
+        llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
+      val dec = llm.TextAnalysis.decontaminate(surv, "doc_id", "text", bench, "text", 8)
+      llm.Sampling.sampleByHash(dec, "doc_id", 0.5, seed = 11)
+        .select(col("doc_id"),
+          llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"))
+    }),
     "dedup_cosine_survivors" -> ((s, dir) => {
       // survivors composed over the embedding near-dup pair set, on the
       // same provable planted construction as dedup_cosine_bucketed
@@ -852,6 +870,7 @@ object SparkEntry {
       s"""SELECT doc_id FROM documents
          | WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($jaccardPairsSql))""".stripMargin,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
+    "pipeline_train_corpus" -> pipelineTrainCorpusSql,
     "dedup_cosine_survivors" -> cosineSurvivorsSql,
     "embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1066,6 +1085,33 @@ object SparkEntry {
        |SELECT c.doc_id, CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_ws
        |  FROM clean c
        | WHERE c.doc_id NOT IN (SELECT DISTINCT id_b FROM jpairs)""".stripMargin
+
+  /** quality gate → exact-jaccard survivors → decontamination (benchmark
+    * = full-corpus doc_id % 23 == 0) → deterministic 50% hash sample →
+    * token counts: the oracle for pipeline_train_corpus. Each stage's
+    * SQL form is the one its standalone oracle row uses. */
+  private val pipelineTrainCorpusSql: String =
+    s"""WITH scored AS (SELECT doc_id, text, $qualitySqlExpr AS q FROM documents),
+       |clean AS (SELECT doc_id, text FROM scored WHERE q >= 0.5 AND doc_id % 23 != 0),
+       |${jaccardCtes("clean")},
+       |surv AS (SELECT c.doc_id, c.text FROM clean c
+       |          WHERE c.doc_id NOT IN (SELECT DISTINCT id_b FROM jpairs)),
+       |btok AS (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |           FROM documents WHERE doc_id % 23 = 0),
+       |bng AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i+7), ' ') AS g
+       |          FROM btok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+       |         WHERE len(toks) >= 8),
+       |stok AS (SELECT doc_id, text,
+       |                string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |           FROM surv),
+       |sng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS g
+       |          FROM stok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+       |         WHERE len(toks) >= 8),
+       |contaminated AS (SELECT DISTINCT sng.doc_id FROM sng JOIN bng USING (g))
+       |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+       |  FROM surv
+       | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |   AND ${llm.Sampling.hashBucketSql("doc_id", 11, 1000000)} < 500000""".stripMargin
 
   /** Survivors over the planted-construction cosine pair set (same
     * construction as dedup_cosine_bucketed, so the approximate pair set
