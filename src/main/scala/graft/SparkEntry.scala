@@ -276,6 +276,27 @@ object SparkEntry {
       llm.Sampling.stratifiedSampleByHash(t(s, dir, "documents"), "doc_id",
         "lang", Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.05, seed = 1)
         .select(col("doc_id"), col("lang"))),
+    // sequence packing for pretraining: concat-then-split layout over 32
+    // hash buckets, 256-token sequences — per-bucket window arithmetic,
+    // no global sort
+    "pack_sequences" -> ((s, dir) =>
+      llm.Packing.packSequential(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 256)),
+    // boundary-respecting next-fit packing (docs never split): stateful
+    // per-bucket scan, not SQL-expressible → rows-only oracle check; the
+    // capacity/completeness/determinism invariants are spec-checked
+    "pack_greedy" -> ((s, dir) =>
+      llm.Packing.packGreedy(t(s, dir, "documents"), "doc_id", "text",
+        cap = 256)),
+    // corpus-trained add-one unigram LM, per-doc cross-entropy (CCNet-
+    // style quality signal)
+    "lm_xent" -> ((s, dir) =>
+      llm.TextAnalysis.lmUnigramScore(t(s, dir, "documents"), "doc_id", "text")),
+    // substring-level duplication (Lee et al.): 16-token windows repeated
+    // anywhere in the corpus, counted per doc
+    "window_dupes" -> ((s, dir) =>
+      llm.TextAnalysis.windowDupStats(t(s, dir, "documents"), "doc_id", "text",
+        w = 16)),
     "dedup_exact" -> ((s, dir) =>
       llm.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     // ---- the LLM dataset operators THROUGH the DFL surface (parser →
@@ -817,6 +838,36 @@ object SparkEntry {
          |   CASE WHEN lang = 'en' THEN 500000
          |        WHEN lang = 'de' THEN 200000
          |        ELSE 50000 END""".stripMargin,
+    // the formula lives in Packing.packSequentialSql so the Spark window
+    // expression and the oracle SQL can only drift in one file
+    "pack_sequences" ->
+      llm.Packing.packSequentialSql("documents", "doc_id", "text", seqLen = 256),
+    // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
+    // cross-entropy in nats; token = split on single space, both engines
+    "lm_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |v AS (SELECT w, sum(tf) AS c FROM tf GROUP BY 1),
+        |t AS (SELECT sum(c) AS n, count(*) AS v FROM v)
+        |SELECT doc_id, round(-sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 6) AS xent
+        |  FROM tf JOIN v USING (w) CROSS JOIN t GROUP BY 1""".stripMargin,
+    // equality classes, not hash values, drive the counts — DuckDB keeps
+    // the raw 16-token window strings where Spark joins on xxhash64
+    "window_dupes" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 15), ' ') AS g
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 15)) AS i) s
+        |       WHERE len(toks) >= 16),
+        |wc AS (SELECT doc_id, g, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |d AS (SELECT g FROM (SELECT g, sum(cnt) AS tot FROM wc GROUP BY 1) WHERE tot > 1),
+        |nd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup
+        |         FROM wc JOIN d USING (g) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(toks) - 15 AS BIGINT) AS n_win,
+        |       coalesce(nd.n_dup, 0) AS n_dup,
+        |       round(coalesce(nd.n_dup, 0) / CAST(len(toks) - 15 AS DOUBLE), 6) AS dup_frac
+        |  FROM t LEFT JOIN nd ON t.doc_id = nd.doc_id
+        | WHERE len(toks) >= 16""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Fewer than `n` tokens → empty array (callers drop those docs, matching
   * the previous `filter(size > 0)` semantics).
   */
-case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -37,11 +38,13 @@ case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(tokens: Any): Any =
-    ShingleHashOps.compute(tokens.asInstanceOf[ArrayData], n)
+    if (distinct) ShingleHashOps.compute(tokens.asInstanceOf[ArrayData], n)
+    else ShingleHashOps.computeAll(tokens.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashOps.compute($c, $n);")
+      s"${ev.value} = graft.functions.ShingleHashOps." +
+        s"${if (distinct) "compute" else "computeAll"}($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -70,10 +73,34 @@ object ShingleHashOps {
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** Every n-token shingle hash IN POSITION ORDER, duplicates kept —
+    * the multiset the substring-duplication signal needs (a window
+    * repeated inside one document must count every occurrence). */
+  def computeAll(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var k = 0
+      while (k < n) { window(k) = tokens.getUTF8String(i + k); k += 1 }
+      val g = UTF8String.concatWs(Space, window: _*)
+      out(i) = XxHash64Function.hash(g, StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object ShingleF {
   /** Column wrapper: distinct hashed n-gram shingles of a token array. */
   def shingleHashes(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHash(Bridge.expression(tokens), n))
+
+  /** Column wrapper: ALL n-gram shingle hashes, position order,
+    * duplicates kept. */
+  def shingleHashesAll(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHash(Bridge.expression(tokens), n, distinct = false))
 }

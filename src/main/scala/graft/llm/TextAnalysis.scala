@@ -225,4 +225,72 @@ object TextAnalysis {
     piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }
+
+  /** CCNet-style unigram language-model scoring: train an add-one-
+    * smoothed unigram LM on the corpus itself and score every document by
+    * its per-token cross-entropy `-Σ tf(w)·ln p(w) / Σ tf(w)` where
+    * `p(w) = (c(w)+1)/(N+V)`. Documents full of rare/garbled tokens score
+    * high; formulaic boilerplate scores low — both tails are the usual
+    * filter targets.
+    *
+    * Scale shape: tokens pre-aggregate to per-document term frequencies
+    * BEFORE any shuffle (the `(id, w)` groupBy does map-side combine), so
+    * stopword skew shuffles one row per (doc, word), not one per token.
+    * The vocab table and its one-row (N, V) total stay a plan-internal
+    * aggregate — no driver collect — and the tf⋈vocab join is a plain
+    * shuffle join on the word (the only unavoidable wide exchange; AQE
+    * handles residual skew). Output: (id, xent) — one row per document
+    * with at least one token. */
+  def lmUnigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tf.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("tf") *
+          log((col("c") + 1.0) / (col("n") + col("v")))) /
+        sum(col("tf")), 6).as("xent"))
+  }
+
+  /** Repeated-window (substring-level) duplication signal, after Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better": a
+    * `w`-token sliding window occurring more than once ANYWHERE in the
+    * corpus marks every occurrence as duplicated text. Per document with
+    * at least one window: total windows, duplicated windows, and the
+    * duplicated fraction — the input to substring-level filtering or
+    * span removal.
+    *
+    * Scale shape: windows hash natively row-side
+    * ([[graft.functions.ShingleF.shingleHashesAll]] — position-ordered
+    * xxhash64 multiset, one codegen'd pass, no window strings built),
+    * pre-aggregate to (id, hash, count) with map-side combine, and only
+    * hashes repeated globally survive the `tot > 1` filter before the
+    * join back — repeated windows are the rare case, so the second join
+    * input is small. Equality classes (not hash VALUES) determine the
+    * counts, which is what lets the DuckDB oracle check this operator
+    * with plain window strings while Spark joins on 64-bit hashes. */
+  def windowDupStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, w: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    require(w >= 1, s"windowDupStats: window must be >= 1, got $w")
+    val base = df.select(col(idCol),
+        graft.functions.ShingleF.shingleHashesAll(wsTokens(col(textCol)), w)
+          .as("hs"))
+      .filter(size(col("hs")) > 0)
+    val wc = base.select(col(idCol), explode(col("hs")).as("h"))
+      .groupBy(col(idCol), col("h")).agg(count(lit(1)).as("cnt"))
+    val dup = wc.groupBy(col("h")).agg(sum(col("cnt")).as("tot"))
+      .filter(col("tot") > 1).select(col("h"))
+    val nDup = wc.join(dup, "h")
+      .groupBy(col(idCol)).agg(sum(col("cnt")).as("n_dup"))
+    base.select(col(idCol), size(col("hs")).cast("long").as("n_win"))
+      .join(nDup, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col(idCol), col("n_win"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) / col("n_win"), 6).as("dup_frac"))
+  }
 }
