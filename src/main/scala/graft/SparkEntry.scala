@@ -328,6 +328,13 @@ object SparkEntry {
         "decontam(@, '@doc_id', '@text', $bench, 8) | map(@, '{doc_id: @doc_id}')",
         Map("bench" -> docs.filter(col("doc_id") % 23 === 0)))
     }),
+    // sequence packing through the DFL dispatch (same one-file formula
+    // as pack_sequences, id aliased by the stage contract)
+    "dfl_pack" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
+      "pack(@, '@doc_id', '@text', 256)")),
+    // corpus-trained LM scoring through the DFL dispatch
+    "dfl_lm_score" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "documents"),
+      "lmScore(@, '@doc_id', '@text')")),
     "dfl_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -842,16 +849,16 @@ object SparkEntry {
     // expression and the oracle SQL can only drift in one file
     "pack_sequences" ->
       llm.Packing.packSequentialSql("documents", "doc_id", "text", seqLen = 256),
+    // idAs instead of an outer wrapper: bare `offset` in an outer SELECT
+    // would parse as DuckDB's OFFSET clause (reserved word)
+    "dfl_pack" ->
+      llm.Packing.packSequentialSql("documents", "doc_id", "text", seqLen = 256,
+        idAs = "id"),
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
-    "lm_xent" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |v AS (SELECT w, sum(tf) AS c FROM tf GROUP BY 1),
-        |t AS (SELECT sum(c) AS n, count(*) AS v FROM v)
-        |SELECT doc_id, round(-sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 6) AS xent
-        |  FROM tf JOIN v USING (w) CROSS JOIN t GROUP BY 1""".stripMargin,
+    "lm_xent" -> lmXentSql,
+    "dfl_lm_score" ->
+      s"SELECT doc_id AS id, xent FROM ($lmXentSql)",
     // equality classes, not hash values, drive the counts — DuckDB keeps
     // the raw 16-token window strings where Spark joins on xxhash64
     "window_dupes" ->
@@ -1081,6 +1088,17 @@ object SparkEntry {
   /** Benchmark-decontamination survivors (normText 8-grams, benchmark =
     * doc_id % 23 == 0) — oracle for both decontam_clean (Scala API) and
     * dfl_decontam (the same operator through the DFL dispatch). */
+  /** Add-one smoothed unigram LM cross-entropy per doc — oracle for both
+    * lm_xent (Scala API) and dfl_lm_score (the DFL dispatch). */
+  private val lmXentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |v AS (SELECT w, sum(tf) AS c FROM tf GROUP BY 1),
+      |t AS (SELECT sum(c) AS n, count(*) AS v FROM v)
+      |SELECT doc_id, round(-sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 6) AS xent
+      |  FROM tf JOIN v USING (w) CROSS JOIN t GROUP BY 1""".stripMargin
+
   private val decontamCleanSql: String =
     """WITH tok AS (SELECT doc_id,
       |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

@@ -324,6 +324,9 @@ object Functions {
     "decontam" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
     "contamHits" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
     "sample" -> "(dataset, idExpr, fraction[, seed])",
+    "pack" -> "(dataset, idExpr, textExpr, seqLen[, method[, buckets[, seed]]])",
+    "lmScore" -> "(dataset, idExpr, textExpr)",
+    "windowDups" -> "(dataset, idExpr, textExpr[, w])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

@@ -102,7 +102,7 @@ object DflFrame {
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits",
-      "sample")
+      "sample", "pack", "lmScore", "windowDups")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -571,6 +571,52 @@ object DflFrame {
           graft.llm.TextAnalysis.decontaminate(
               base, "__gid", "__gtext", bench, "__gtext", n)
             .drop("__gid", "__gtext")
+
+      case "pack" =>
+        // `pack(@, '@id', '@text', seqLen[, method[, buckets[, seed]]])` —
+        // sequence-packing assignment table (id, bucket, n_tok, seq_ix/
+        // pack_ix, offset). method: sequential (default, concat-then-
+        // split) | greedy (boundary-respecting next-fit; seqLen acts as
+        // the pack capacity). Per-bucket windows/scans — no global sort,
+        // same 100 TB shape as the Scala API.
+        val seqLen = intArg(3)
+        val method = if (args.size > 4) strArg(4) else "sequential"
+        val buckets = if (args.size > 5) intArg(5) else 32
+        val seed = if (args.size > 6) numArg(6).toLong else 9L
+        if (args.size > 7) throw new DflParseException(
+          "pack takes at most (@, id, text, seqLen, method, buckets, seed)")
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val out = method match {
+          case "sequential" => graft.llm.Packing.packSequential(
+            base, "__gid", "__gtext", seqLen, buckets, seed)
+          case "greedy" => graft.llm.Packing.packGreedy(
+            base, "__gid", "__gtext", seqLen, buckets, seed)
+          case other => throw new DflParseException(s"unknown pack method $other")
+        }
+        out.withColumnRenamed("__gid", "id")
+
+      case "lmScore" =>
+        // `lmScore(@, '@id', '@text')` — per-doc cross-entropy under an
+        // add-one unigram LM trained on the piped corpus itself
+        // (TextAnalysis.lmUnigramScore): (id, xent).
+        if (args.size > 3) throw new DflParseException(
+          "lmScore takes exactly (@, id, text)")
+        graft.llm.TextAnalysis.lmUnigramScore(
+            df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
+            "__gid", "__gtext")
+          .withColumnRenamed("__gid", "id")
+
+      case "windowDups" =>
+        // `windowDups(@, '@id', '@text'[, w])` — corpus-wide repeated
+        // w-token-window stats per doc (TextAnalysis.windowDupStats):
+        // (id, n_win, n_dup, dup_frac).
+        val w = if (args.size > 3) intArg(3) else 16
+        if (args.size > 4) throw new DflParseException(
+          "windowDups takes at most (@, id, text, w)")
+        graft.llm.TextAnalysis.windowDupStats(
+            df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
+            "__gid", "__gtext", w)
+          .withColumnRenamed("__gid", "id")
 
       case "annTopK" =>
         // `annTopK(@, '@id', '@vec', $query, k[, method[, tuning]])` —

@@ -62,8 +62,13 @@ object Packing {
     * kept HERE next to the implementation so the two formulas can only
     * drift in one file. */
   def packSequentialSql(table: String, idCol: String, textCol: String,
-                        seqLen: Int, buckets: Int = 32, seed: Long = 9L): String = {
+                        seqLen: Int, buckets: Int = 32, seed: Long = 9L,
+                        idAs: String = ""): String = {
     val bucket = Sampling.hashBucketSql(idCol, seed, buckets)
+    // DuckDB rejects WITH inside a derived table, so callers that need
+    // the id under a different output name (the DFL stage contract
+    // renames it to `id`) alias it HERE rather than wrapping the query
+    val idOut = if (idAs.isEmpty) idCol else s"$idCol AS $idAs"
     s"""WITH b AS (
        |  SELECT $idCol, CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n_tok,
        |         $bucket AS bucket
@@ -73,7 +78,7 @@ object Packing {
        |           PARTITION BY bucket ORDER BY $idCol
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |    FROM b)
-       |SELECT $idCol, bucket, n_tok,
+       |SELECT $idOut, bucket, n_tok,
        |       CAST(floor(cum_before / $seqLen.0) AS BIGINT) AS seq_ix,
        |       cum_before % $seqLen AS offset
        |  FROM c""".stripMargin

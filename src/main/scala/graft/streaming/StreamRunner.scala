@@ -32,7 +32,10 @@ object StreamRunner {
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-    "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits")
+    "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits",
+    // packing needs per-bucket windows over the whole corpus; lmScore and
+    // windowDups train/count over the whole corpus
+    "pack", "lmScore", "windowDups")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -365,9 +365,38 @@ class DflLlmSpec extends AnyFunSuite {
     // including the cluster variants and decontamination
     Seq("nearDupClusters(@, '@doc_id', '@text')",
         "nearDedupClusters(@, '@doc_id', '@text')",
-        "decontam(@, '@doc_id', '@text', $bench, 8)").foreach { src =>
+        "decontam(@, '@doc_id', '@text', $bench, 8)",
+        "pack(@, '@doc_id', '@text', 256)",
+        "lmScore(@, '@doc_id', '@text')",
+        "windowDups(@, '@doc_id', '@text')").foreach { src =>
       intercept[IllegalArgumentException](
         graft.streaming.StreamRunner.validateStreamable("jsonl", src))
     }
+  }
+
+  test("pack/lmScore/windowDups(@) match their Scala APIs") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val packDfl = DflFrame.pipeline(docs, "pack(@, '@doc_id', '@text', 256)")
+    assert(packDfl.columns.head == "id")
+    assert(rows(packDfl) == rows(
+      graft.llm.Packing.packSequential(docs, "doc_id", "text", 256)
+        .withColumnRenamed("doc_id", "id")))
+    val greedyDfl = DflFrame.pipeline(docs,
+      "pack(@, '@doc_id', '@text', 256, 'greedy')")
+    assert(rows(greedyDfl) == rows(
+      graft.llm.Packing.packGreedy(docs, "doc_id", "text", 256)
+        .withColumnRenamed("doc_id", "id")))
+    assert(rows(DflFrame.pipeline(docs, "lmScore(@, '@doc_id', '@text')")) ==
+      rows(graft.llm.TextAnalysis.lmUnigramScore(docs, "doc_id", "text")
+        .withColumnRenamed("doc_id", "id")))
+    assert(rows(DflFrame.pipeline(docs, "windowDups(@, '@doc_id', '@text', 8)")) ==
+      rows(graft.llm.TextAnalysis.windowDupStats(docs, "doc_id", "text", 8)
+        .withColumnRenamed("doc_id", "id")))
+    // config mistakes are rejected loudly, not silently discarded
+    intercept[DflParseException](
+      DflFrame.pipeline(docs, "pack(@, '@doc_id', '@text', 256, 'bogus')"))
+    intercept[DflParseException](
+      DflFrame.pipeline(docs, "lmScore(@, '@doc_id', '@text', 3)"))
   }
 }
