@@ -178,12 +178,20 @@ object SparkEntry {
            countDistinct(col("user_id")).as("exact_users"))
       .select(col("key"), col("exact_users"),
         within5pct(col("approx"), col("exact_users")).as("within_5pct"))),
-    "time_window_hist" -> ((s, dir) => t(s, dir, "events")
+    "time_window_hist" -> ((s, dir) => {
       // batch twin of StreamRunner.windowedHist: 1-minute event-time
-      // windows over the ns-long ts column
-      .groupBy(floor(col("ts") / lit(60000000000L)).cast("long").as("w"),
-        col("event_type").as("key"))
-      .agg(count(lit(1)).as("n"))),
+      // windows. events.ts has shipped as both an epoch-ns LONG and a
+      // parquet timestamp[us] across testdata generations — normalize
+      // to epoch ns (session tz is UTC, matching DuckDB's epoch_ns)
+      val ev = t(s, dir, "events")
+      val ns = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      }
+      ev.groupBy(floor(ns / lit(60000000000L)).cast("long").as("w"),
+          col("event_type").as("key"))
+        .agg(count(lit(1)).as("n"))
+    }),
     "bbox_extent" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
       s"map(@, '[$lonExpr, $latExpr]') | bbox(@)")),
     "centroid_mean" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
@@ -463,9 +471,14 @@ object SparkEntry {
     // compression whose codes feed the SAME native dot loop
     "embed_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // codes emitted as a CSV string, not array<tinyint>: the driver's
+      // compare sorts/hashes column VALUES, and list-typed cells break
+      // its pandas lexsort (r9 red row) — a scalar rendering is the
+      // oracle-comparable shape
       llm.Quantize.quantizeInt8(emb, "embedding")
         .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
-          col("q_codes"))
+          array_join(transform(col("q_codes"), _.cast("string")), ",")
+            .as("q_codes_csv"))
     }),
     // the quantized corpus dropped straight into the float probe path:
     // per-vector scale cancels in cosine, so no dequantization happens
@@ -849,6 +862,10 @@ object SparkEntry {
     // expression and the oracle SQL can only drift in one file
     "pack_sequences" ->
       llm.Packing.packSequentialSql("documents", "doc_id", "text", seqLen = 256),
+    // next-fit is not window-expressible but IS a recursive CTE (depth =
+    // max rows per bucket): the stateful scan now has a value-level oracle
+    "pack_greedy" ->
+      llm.Packing.packGreedySql("documents", "doc_id", "text", cap = 256),
     // idAs instead of an outer wrapper: bare `offset` in an outer SELECT
     // would parse as DuckDB's OFFSET clause (reserved word)
     "dfl_pack" ->
@@ -963,8 +980,8 @@ object SparkEntry {
         |             coalesce(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0) / 127.0 AS scale
         |           FROM embeddings)
         |SELECT vec_id, round(scale, 6) AS q_scale,
-        |       CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS TINYINT))
-        |            ELSE list_transform(e, x -> CAST(round(x / scale) AS TINYINT)) END AS q_codes
+        |       array_to_string(CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS TINYINT))
+        |            ELSE list_transform(e, x -> CAST(round(x / scale) AS TINYINT)) END, ',') AS q_codes_csv
         |  FROM s""".stripMargin,
     "ann_quantized_topk" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -80,8 +80,44 @@ object Packing {
        |    FROM b)
        |SELECT $idOut, bucket, n_tok,
        |       CAST(floor(cum_before / $seqLen.0) AS BIGINT) AS seq_ix,
-       |       cum_before % $seqLen AS offset
+       |       CAST(cum_before % $seqLen AS BIGINT) AS offset
        |  FROM c""".stripMargin
+  }
+  // NB the offset cast above is load-bearing for the oracle compare:
+  // DuckDB's windowed sum(BIGINT) is HUGEINT, which pandas renders as
+  // float64 — an int64 Spark column then hash-mismatches on "30" vs "30.0"
+  // even though every value is equal.
+
+  /** The SQL rendering of [[packGreedy]] for the DuckDB oracle. The
+    * next-fit running state is not window-expressible, but it IS a
+    * recursive CTE: step `rn` of the recursion carries (pack_ix, used)
+    * for every bucket's rn-th document at once, so the recursion depth
+    * is max-rows-per-bucket, not corpus size. */
+  def packGreedySql(table: String, idCol: String, textCol: String,
+                    cap: Int, buckets: Int = 32, seed: Long = 9L): String = {
+    val bucket = Sampling.hashBucketSql(idCol, seed, buckets)
+    s"""WITH RECURSIVE b AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id,
+       |         CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n_tok,
+       |         $bucket AS bucket,
+       |         row_number() OVER (PARTITION BY $bucket ORDER BY $idCol) AS rn
+       |    FROM $table),
+       |r AS (
+       |  SELECT id, bucket, n_tok, rn,
+       |         CAST(0 AS BIGINT) AS pack_ix, CAST(0 AS BIGINT) AS "offset",
+       |         n_tok AS used
+       |    FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.id, b.bucket, b.n_tok, b.rn,
+       |         CASE WHEN r.used + b.n_tok <= $cap THEN r.pack_ix
+       |              ELSE r.pack_ix + 1 END,
+       |         CASE WHEN r.used + b.n_tok <= $cap THEN r.used
+       |              ELSE CAST(0 AS BIGINT) END,
+       |         CASE WHEN r.used + b.n_tok <= $cap THEN r.used + b.n_tok
+       |              ELSE b.n_tok END
+       |    FROM r JOIN b ON b.bucket = r.bucket AND b.rn = r.rn + 1)
+       |SELECT id AS $idCol, bucket, n_tok, pack_ix, "offset" AS offset
+       |  FROM r""".stripMargin
   }
 
   /** Boundary-respecting next-fit packing: within each bucket, documents

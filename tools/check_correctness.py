@@ -32,11 +32,16 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
         try:
-            got = con.execute(
-                f"SELECT * FROM parquet_scan('{qdir}/*.parquet')").fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.description]
+            # fetch through pandas, as the driver does: DuckDB HUGEINT
+            # (e.g. windowed sum of BIGINT) becomes float64 here, which
+            # the raw fetchall() path would mask as a plain Python int
+            gdf = con.execute(
+                f"SELECT * FROM parquet_scan('{qdir}/*.parquet')").df()
+            got = [tuple(r) for r in gdf.itertuples(index=False)]
+            got_cols = list(gdf.columns)
+            wdf = con.execute(sql).df()
+            want = [tuple(r) for r in wdf.itertuples(index=False)]
+            want_cols = list(wdf.columns)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         # driver sorts columns by name before hashing
@@ -52,6 +57,14 @@ def main(sf_dir, out_dir):
         bad = None
         for a, b in zip(g, w):
             for x, y in zip(a, b):
+                # the driver hashes pandas values, where int64 vs float64
+                # (e.g. DuckDB HUGEINT sums) and list cells both diverge
+                # even when values are equal — mirror that strictness
+                if any(not isinstance(v, (str, bytes)) and hasattr(v, "__len__")
+                       for v in (x, y)):
+                    bad = (("list-typed cell breaks driver compare",), (a, b)); break
+                if isinstance(x, float) != isinstance(y, float):
+                    bad = (("int-vs-float dtype drift",), (a, b)); break
                 if isinstance(x, float) and isinstance(y, float):
                     if not (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):
                         bad = (a, b); break
