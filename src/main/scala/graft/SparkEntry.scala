@@ -271,6 +271,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
         .select(col("doc_id"))
     }),
+    // the bloom-prefiltered variant MUST give the identical answer (the
+    // exact verify join removes every bloom false positive) — so it
+    // shares decontam_clean's oracle SQL
+    "decontam_bloom_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.TextAnalysis.decontaminateBloom(
+        docs.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
+        .select(col("doc_id"))
+    }),
     // deterministic hash sampling/splits (reproducible by id, no RNG
     // state): row-local codegen'd filters, trivially map-only
     "sample_hash" -> ((s, dir) =>
@@ -300,6 +310,13 @@ object SparkEntry {
     // style quality signal)
     "lm_xent" -> ((s, dir) =>
       llm.TextAnalysis.lmUnigramScore(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus top-V vocabulary (normalized tokens, deterministic rank)
+    "vocab_top" -> ((s, dir) =>
+      llm.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", topV = 200)),
+    // per-doc top-k TF-IDF keywords (smooth idf, deterministic ties)
+    "tfidf_top" -> ((s, dir) =>
+      llm.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        k = 5)),
     // substring-level duplication (Lee et al.): 16-token windows repeated
     // anywhere in the corpus, counted per doc
     "window_dupes" -> ((s, dir) =>
@@ -840,6 +857,7 @@ object SparkEntry {
         | WHERE ng.doc_id % 23 != 0
         | GROUP BY 1""".stripMargin,
     "decontam_clean" -> decontamCleanSql,
+    "decontam_bloom_clean" -> decontamCleanSql,
     // the IDENTICAL 63-bit-safe multiplicative-hash formula (rendered by
     // Sampling.hashBucketSql) evaluated by DuckDB
     "sample_hash" ->
@@ -874,6 +892,31 @@ object SparkEntry {
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
     "lm_xent" -> lmXentSql,
+    // normalized-token vocabulary; count(*) is BIGINT in DuckDB (no
+    // HUGEINT drift), rank deterministic by (cnt desc, w asc)
+    "vocab_top" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |             FROM documents),
+        |c AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1)
+        |SELECT w, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
+        |  FROM c ORDER BY cnt DESC, w ASC LIMIT 200""".stripMargin,
+    // sklearn-style smooth idf: score = tf * (ln((N+1)/(df+1)) + 1),
+    // ranked per doc on the ROUNDED score so ties break identically
+    "tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |    FROM documents),
+        |tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks WHERE w <> '' GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |             round(tf.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score
+        |        FROM tf JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+        |        FROM s)
+        |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "dfl_lm_score" ->
       s"SELECT doc_id AS id, xent FROM ($lmXentSql)",
     // equality classes, not hash values, drive the counts — DuckDB keeps

@@ -101,8 +101,9 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits",
-      "sample", "pack", "lmScore", "windowDups")
+      "nearDedupClusters", "annTopK", "annTopKBatch", "decontam",
+      "decontamBloom", "contamHits",
+      "sample", "pack", "lmScore", "windowDups", "vocab", "tfidf")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -548,7 +549,7 @@ object DflFrame {
         val base = df.withColumn("__gid", subCol(1))
         graft.llm.Sampling.sampleByHash(base, "__gid", frac, seed).drop("__gid")
 
-      case "decontam" | "contamHits" =>
+      case "decontam" | "decontamBloom" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram
         // decontamination against a benchmark corpus bound as a dataset
         // var (seeded by the caller, or `$bench := (…)` earlier in the
@@ -567,6 +568,12 @@ object DflFrame {
           graft.llm.TextAnalysis.contaminationHits(
               base, "__gid", "__gtext", bench, "__gtext", n)
             .select(col("__gid").as("id"), col("hits"))
+        else if (name == "decontamBloom")
+          // bloom-prefiltered variant: identical answers (exact verify
+          // join), bench side scales past broadcast range
+          graft.llm.TextAnalysis.decontaminateBloom(
+              base, "__gid", "__gtext", bench, "__gtext", n)
+            .drop("__gid", "__gtext")
         else
           graft.llm.TextAnalysis.decontaminate(
               base, "__gid", "__gtext", bench, "__gtext", n)
@@ -604,6 +611,26 @@ object DflFrame {
         graft.llm.TextAnalysis.lmUnigramScore(
             df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
             "__gid", "__gtext")
+          .withColumnRenamed("__gid", "id")
+
+      case "vocab" =>
+        // `vocab(@, '@text'[, topV])` — corpus top-V vocabulary
+        // (TextAnalysis.vocabulary): (w, cnt, rnk).
+        if (args.size > 3) throw new DflParseException(
+          "vocab takes (@, text[, topV])")
+        val topV = if (args.size > 2) intArg(2) else 1000
+        graft.llm.TextAnalysis.vocabulary(
+          df.withColumn("__gtext", subCol(1)), "__gtext", topV)
+
+      case "tfidf" =>
+        // `tfidf(@, '@id', '@text'[, k])` — per-doc top-k TF-IDF terms
+        // (TextAnalysis.tfidfTopTerms): (id, term, tf, score, rnk).
+        if (args.size > 4) throw new DflParseException(
+          "tfidf takes (@, id, text[, k])")
+        val k = if (args.size > 3) intArg(3) else 5
+        graft.llm.TextAnalysis.tfidfTopTerms(
+            df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
+            "__gid", "__gtext", k)
           .withColumnRenamed("__gid", "id")
 
       case "windowDups" =>

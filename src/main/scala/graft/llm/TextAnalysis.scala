@@ -169,6 +169,55 @@ object TextAnalysis {
       .agg(count(col("gram")).as("hits"))
   }
 
+  /** [[contaminationHits]] with a BLOOM prefilter for benchmark sets too
+    * large to broadcast as a hash table: bench grams aggregate into a
+    * serialized bloom filter (numBits/8 bytes — ~1 MB per million grams
+    * at 8 bits/item, vs tens of MB for the broadcast join's hash
+    * relation), the corpus-side gram stream probes it MAP-SIDE inside
+    * the scan projection, and only the surviving candidates (true hits
+    * plus the ~2% false positives) reach the exact verify join. Answers
+    * are IDENTICAL to [[contaminationHits]] — the verify join removes
+    * every false positive; the bloom only shrinks what shuffles.
+    *
+    * Scale shape at 100 TB: the dominant cost of the exact variant is
+    * hashing every corpus gram against a broadcast relation sized by the
+    * bench set; here the per-gram probe is a codegen'd bit test against
+    * a filter that stays cache-resident, and the verify join input drops
+    * from |corpus grams| to |candidates| — contamination is rare by
+    * construction, so the join (and its shuffle, when bench outgrows
+    * broadcast range) is orders of magnitude smaller. `numBits` is
+    * bench-sized, corpus-independent. */
+  def contaminationHitsBloom(corpus: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             benchmark: org.apache.spark.sql.DataFrame,
+                             benchTextCol: String, n: Int = 8,
+                             estBenchGrams: Long = 1L << 20,
+                             bitsPerItem: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(bitsPerItem >= 2, s"bitsPerItem must be >= 2, got $bitsPerItem")
+    def grams(c: Column): Column =
+      graft.functions.ShingleF.shingleHashes(wsTokens(normText(c)), n)
+    val benchGrams = benchmark
+      .select(explode(grams(col(benchTextCol))).as("gram"))
+      .distinct()
+    // one small aggregation job over the bench side builds the filter
+    val bloomBytes = benchGrams
+      .agg(graft.functions.BloomFns.bloomAgg(col("gram"),
+        estBenchGrams, estBenchGrams * bitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    corpus
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
+      .filter(graft.functions.BloomFns.bloomMightContain(bloomBytes,
+        col("gram")))
+      // exact verify: false positives die here; deliberately NOT forced
+      // to broadcast — when the bench set is broadcast-sized Catalyst
+      // broadcasts it anyway, and when it isn't (the bloom variant's
+      // reason to exist) the shuffle carries only candidates
+      .join(benchGrams, "gram")
+      .groupBy(idCol)
+      .agg(count(col("gram")).as("hits"))
+  }
+
   /** Remove benchmark-contaminated documents: corpus rows sharing NO word
     * `n`-gram with the benchmark set. One anti-join against the (small)
     * contaminated-id set on top of [[contaminationHits]]. */
@@ -179,6 +228,21 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame =
     corpus.join(
       contaminationHits(corpus, idCol, textCol, benchmark, benchTextCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** [[decontaminate]] through the bloom-prefiltered hit pass — same
+    * answers, bench-scalable. */
+  def decontaminateBloom(corpus: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         benchmark: org.apache.spark.sql.DataFrame,
+                         benchTextCol: String, n: Int = 8,
+                         estBenchGrams: Long = 1L << 20,
+                         bitsPerItem: Int = 8)
+      : org.apache.spark.sql.DataFrame =
+    corpus.join(
+      contaminationHitsBloom(corpus, idCol, textCol, benchmark,
+        benchTextCol, n, estBenchGrams, bitsPerItem)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
@@ -241,6 +305,64 @@ object TextAnalysis {
     * shuffle join on the word (the only unavoidable wide exchange; AQE
     * handles residual skew). Output: (id, xent) — one row per document
     * with at least one token. */
+  /** Corpus vocabulary: the `topV` most frequent whitespace tokens over
+    * [[normText]], with counts and a deterministic dense rank (count
+    * desc, token asc — ties never reorder between runs or engines).
+    *
+    * Scale shape: explode → map-side-combined count per token → global
+    * top-V via `orderBy(…).limit(V)`, which Spark executes as
+    * TakeOrderedAndProject — a per-partition bounded heap plus one
+    * V-row driver merge, NOT a global sort. The rank window then runs
+    * over V rows only (V is vocab-sized: thousands), so its single
+    * partition is bounded by the limit, never by the corpus. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 topV: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(topV > 0, s"vocabulary: topV must be positive, got $topV")
+    val counts = df
+      .select(explode(wsTokens(normText(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topV)
+    counts.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w").asc)).cast("long"))
+  }
+
+  /** Per-document top-`k` TF-IDF terms — the classic keyword-extraction /
+    * domain-signature op: `score = tf · (ln((N+1)/(df+1)) + 1)` (smooth
+    * idf, sklearn's formula), deterministic tie-break (score desc, term
+    * asc). Output: (id, term, tf, score, rnk), ≤ k rows per doc.
+    *
+    * Scale shape: tokens pre-aggregate to (id, term, tf) map-side; the
+    * document-frequency table aggregates FROM tf (one pass, no second
+    * scan); N is a one-row aggregate crossJoin-broadcast. The tf⋈df join
+    * shuffles on the term; the per-doc top-k window shuffles on the id —
+    * the two unavoidable exchanges, both key-parallel. The rank window
+    * is per-document (bounded by doc vocabulary), never global. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"tfidfTopTerms: k must be positive, got $k")
+    val tf = df
+      .select(col(idCol), explode(wsTokens(normText(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    scored.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rnk"))
+  }
+
   def lmUnigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = df

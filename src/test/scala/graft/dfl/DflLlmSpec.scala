@@ -113,6 +113,38 @@ class DflLlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unbound dataset"))
   }
 
+  test("decontamBloom(@) matches the exact decontam stage") {
+    import spark.implicits._
+    val bench = docs.filter($"doc_id" % 23 === 0)
+    val corpus = docs.filter($"doc_id" % 23 =!= 0)
+    val bloom = ids(DflFrame.pipeline(corpus,
+      "decontamBloom(@, '@doc_id', '@text', $bench, 8) | map(@, '{doc_id: @doc_id}')",
+      Map("bench" -> bench)))
+    val exact = ids(DflFrame.pipeline(corpus,
+      "decontam(@, '@doc_id', '@text', $bench, 8) | map(@, '{doc_id: @doc_id}')",
+      Map("bench" -> bench)))
+    assert(bloom == exact && bloom.nonEmpty)
+  }
+
+  test("vocab(@) and tfidf(@) match the Scala API") {
+    import spark.implicits._
+    val v = DflFrame.pipeline(docs, "vocab(@, '@text', 50)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val vApi = graft.llm.TextAnalysis.vocabulary(docs, "text", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the synthetic corpus has a small closed vocabulary — topV caps, not pads
+    assert(v == vApi && v.nonEmpty && v.size <= 50)
+    val tf = DflFrame.pipeline(docs, "tfidf(@, '@doc_id', '@text', 3)")
+    assert(tf.columns.toSeq == Seq("id", "term", "tf", "score", "rnk"))
+    val tfApi = graft.llm.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+    assert(tf.count() == tfApi.count())
+    val one = tf.filter($"id" === 1L).collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    val oneApi = tfApi.filter($"doc_id" === 1L).collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(one == oneApi)
+  }
+
   test("sample(@) matches the Scala API and stays streamable") {
     import spark.implicits._
     val dfl = ids(DflFrame.pipeline(docs,

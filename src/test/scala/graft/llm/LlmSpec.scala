@@ -102,6 +102,86 @@ class LlmSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("decontaminateBloom: identical answers to exact, probe is map-side") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"leading words $span trailing words")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"completely unrelated prefix $span and a different suffix"),
+      (11L, "no overlap here at all just original tokens going on and on"),
+      (12L, "too short"),
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.contaminationHitsBloom(
+        corpus, "doc_id", "text", bench, "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(10L) && hits(10L) == 1L)
+    val clean = TextAnalysis.decontaminateBloom(
+        corpus, "doc_id", "text", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(11L, 12L))
+    // equivalence on the real corpus: bloom ≡ exact on the %23 split
+    val big = docs
+    val exact = TextAnalysis.decontaminate(big.filter($"doc_id" % 23 =!= 0),
+        "doc_id", "text", big.filter($"doc_id" % 23 === 0), "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = TextAnalysis.decontaminateBloom(big.filter($"doc_id" % 23 =!= 0),
+        "doc_id", "text", big.filter($"doc_id" % 23 === 0), "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // the prefilter must sit in the corpus-side scan projection (a
+    // codegen'd might_contain BEFORE any join), so false candidates die
+    // map-side and never shuffle
+    val plan = TextAnalysis.contaminationHitsBloom(
+        big.filter($"doc_id" % 23 =!= 0), "doc_id", "text",
+        big.filter($"doc_id" % 23 === 0), "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // empty benchmark: nothing can hit, everything survives
+    val emptyBench = bench.filter($"doc_id" < 0L)
+    assert(TextAnalysis.contaminationHitsBloom(
+      corpus, "doc_id", "text", emptyBench, "text", 8).isEmpty)
+    assert(TextAnalysis.decontaminateBloom(
+        corpus, "doc_id", "text", emptyBench, "text", 8).count() == 3L)
+  }
+
+  test("vocabulary: top-V normalized tokens with deterministic rank") {
+    val df = Seq(
+      (1L, "the Cat  sat"),          // normText lowers + collapses ws
+      (2L, "the cat ran"),
+      (3L, "THE dog"),
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "text", topV = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the=3, cat=2, then ties at 1 break alphabetically: dog < ran < sat
+    assert(v.toSeq == Seq(("the", 3L, 1L), ("cat", 2L, 2L), ("dog", 1L, 3L)))
+    // top-V must plan as a bounded TakeOrdered, not a global sort
+    val plan = TextAnalysis.vocabulary(docs, "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("tfidfTopTerms: smooth idf, per-doc top-k, deterministic ties") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: apple tf=2 df=1 → 2*(ln(3/2)+1); banana tf=1 df=2 → ln(1)+1=1
+    val appleScore = BigDecimal(2.0 * (math.log(3.0 / 2.0) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(1L).sortBy(_._5).toSeq == Seq(
+      (1L, "apple", 2L, appleScore, 1L), (1L, "banana", 1L, 1.0, 2L)))
+    // doc 2: banana and cherry tie at ... cherry df=1 → ln(3/2)+1 > banana's 1.0
+    assert(byDoc(2L).map(_._2).toSet == Set("banana", "cherry"))
+    assert(byDoc(2L).minBy(_._5)._2 == "cherry") // higher idf ranks first
+    // every doc emits at most k rows
+    assert(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 3L)
+  }
+
   test("repetition signals: dup-token fraction and top-bigram share") {
     val df = Seq(
       (1L, "spam spam spam spam"),            // 1 distinct of 4; bigram "spam spam" 3/3
