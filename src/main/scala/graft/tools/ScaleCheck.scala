@@ -52,6 +52,19 @@ object ScaleCheck {
       val bench = docs.filter(col("doc_id") % 23 === 0)
       time("decontam_hits")(graft.llm.TextAnalysis.contaminationHits(
         big, "doc_id", "text", bench, "text", 8).count())
+      // bloom-prefiltered variant: same answers (exact verify join), but
+      // the corpus-side join input is candidates only — time must track
+      // decontam_hits' linear growth with a smaller constant at scale
+      time("decontam_bloom")(graft.llm.TextAnalysis.contaminationHitsBloom(
+        big, "doc_id", "text", bench, "text", 8).count())
+      // vocabulary: explode + map-side-combined count + bounded top-V
+      // (TakeOrderedAndProject) — linear scan, flat V-row tail
+      time("vocab_top")(graft.llm.TextAnalysis.vocabulary(
+        big, "text", 1000).count())
+      // tf-idf: tf pre-agg map-side, df from tf, exchanges on term and
+      // id only — must grow ~linearly (output = k rows per doc)
+      time("tfidf_top")(graft.llm.TextAnalysis.tfidfTopTerms(
+        big, "doc_id", "text", 5).count())
       // deterministic sampling: a row-local filter, linear by shape;
       // kept rows must track mult/10 (the hash is id-keyed and the
       // shifted ids stay well-spread)
