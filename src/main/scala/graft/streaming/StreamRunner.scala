@@ -220,6 +220,42 @@ object StreamRunner {
       .drop(bandCols: _*)
   }
 
+  /** Streaming CONSERVATIVE decontamination: drop any streamed document
+    * sharing a word `n`-gram with a STATIC benchmark corpus, via a bloom
+    * filter built once from the benchmark at plan time (one small batch
+    * aggregation before the stream starts) and probed as a stateless
+    * per-row projection — no stream state, no watermark, composes with
+    * any sink/output mode.
+    *
+    * CONSERVATIVE: the bloom has no false negatives, so no contaminated
+    * document ever passes; a false positive (rate set by `bitsPerItem`,
+    * ~2% at 8) may drop a clean document — the safe direction for
+    * eval-set hygiene. The batch operators
+    * ([[graft.llm.TextAnalysis.decontaminateBloom]]) restore exactness
+    * with a verify join; a stream cannot join per-gram without shuffling
+    * every gram into stream state, so streaming trades that sliver of
+    * recall for statelessness. An EMPTY benchmark keeps every document
+    * (the filter lambda's NULL probe is treated as no-match by
+    * `array filter`, giving zero surviving grams). */
+  def streamingContamFilter(stream: DataFrame, textCol: String,
+                            benchmark: DataFrame, benchTextCol: String,
+                            n: Int = 8, estBenchGrams: Long = 1L << 20,
+                            bitsPerItem: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{explode, size, filter => arrFilter}
+    import graft.llm.TextAnalysis.{normText, wsTokens}
+    def grams(c: Column): Column =
+      graft.functions.ShingleF.shingleHashes(wsTokens(normText(c)), n)
+    val bloomBytes = benchmark
+      .select(explode(grams(col(benchTextCol))).as("gram")).distinct()
+      .agg(graft.functions.BloomFns.bloomAgg(col("gram"),
+        estBenchGrams, estBenchGrams.toLong * bitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) stream // empty benchmark: nothing can match
+    else stream.filter(size(arrFilter(grams(col(textCol)),
+      g => graft.functions.BloomFns.bloomMightContain(bloomBytes, g))) === 0)
+  }
+
   /** Streaming ANN serving: answer a STREAM of query vectors against a
     * built, static index (LSH or IVF) — the streaming member of the
     * serving matrix (single / batch / stream × brute / ivf / lsh). Each

@@ -81,6 +81,37 @@ class StreamParitySpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("streaming contamination filter drops benchmark-overlapping docs statelessly") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"leading words $span trailing words"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-scf").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      s"""{"ts":"2026-01-01 00:00:01","text":"unrelated prefix $span different suffix","id":1}
+         |{"ts":"2026-01-01 00:00:02","text":"no overlap here at all just original tokens","id":2}
+         |{"ts":"2026-01-01 00:00:03","text":"too short","id":3}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingContamFilter(stream, "text", bench, "text", 8),
+      "append")
+    // doc 1 carries the planted 8-gram → dropped; 2 clean; 3 gram-free
+    assert(out.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // streaming (conservative) survivors ⊆ batch-exact survivors: the
+    // bloom can over-drop, never under-drop
+    val batch = spark.read.json(s"$dir/d.jsonl")
+    val exact = graft.llm.TextAnalysis.decontaminate(
+      batch, "id", "text", bench, "text", 8)
+      .select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet.subsetOf(exact))
+    // empty benchmark: everything survives (NULL bloom ≡ no-op stage)
+    val all = StreamRunner.collectStream(
+      StreamRunner.streamingContamFilter(stream, "text",
+        bench.filter($"doc_id" < 0L), "text", 8), "append")
+    assert(all.count() == 3L)
+  }
+
   test("streaming near-dedup collapses same-token-multiset records by simhash") {
     val dir = Files.createTempDirectory("graft-snd").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
