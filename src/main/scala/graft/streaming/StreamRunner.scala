@@ -32,10 +32,13 @@ object StreamRunner {
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-    "nearDedupClusters", "annTopK", "annTopKBatch", "decontam", "contamHits",
-    // packing needs per-bucket windows over the whole corpus; lmScore and
-    // windowDups train/count over the whole corpus
-    "pack", "lmScore", "windowDups")
+    "nearDedupClusters", "annTopK", "annTopKBatch", "decontam",
+    "decontamBloom", "contamHits",
+    // packing needs per-bucket windows over the whole corpus; lmScore,
+    // windowDups, vocab, and tfidf train/count over the whole corpus
+    // (streamingContamFilter is decontamBloom's explicit streaming
+    // analogue, like streamingDedup for dedup)
+    "pack", "lmScore", "windowDups", "vocab", "tfidf")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

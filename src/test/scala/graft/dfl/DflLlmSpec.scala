@@ -398,9 +398,12 @@ class DflLlmSpec extends AnyFunSuite {
     Seq("nearDupClusters(@, '@doc_id', '@text')",
         "nearDedupClusters(@, '@doc_id', '@text')",
         "decontam(@, '@doc_id', '@text', $bench, 8)",
+        "decontamBloom(@, '@doc_id', '@text', $bench, 8)",
         "pack(@, '@doc_id', '@text', 256)",
         "lmScore(@, '@doc_id', '@text')",
-        "windowDups(@, '@doc_id', '@text')").foreach { src =>
+        "windowDups(@, '@doc_id', '@text')",
+        "vocab(@, '@text', 100)",
+        "tfidf(@, '@doc_id', '@text', 5)").foreach { src =>
       intercept[IllegalArgumentException](
         graft.streaming.StreamRunner.validateStreamable("jsonl", src))
     }
