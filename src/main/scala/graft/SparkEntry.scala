@@ -294,6 +294,12 @@ object SparkEntry {
       llm.Sampling.stratifiedSampleByHash(t(s, dir, "documents"), "doc_id",
         "lang", Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.05, seed = 1)
         .select(col("doc_id"), col("lang"))),
+    // temperature mixing at alpha=0.5: f_d = sqrt(n_min/n_d) — IEEE-exact
+    // division + sqrt, so DuckDB derives the identical thresholds
+    "temperature_mix" -> ((s, dir) =>
+      llm.Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, seed = 11)
+        .select(col("doc_id"), col("lang"))),
     // sequence packing for pretraining: concat-then-split layout over 32
     // hash buckets, 256-token sequences — per-bucket window arithmetic,
     // no global sort
@@ -876,6 +882,18 @@ object SparkEntry {
          |   CASE WHEN lang = 'en' THEN 500000
          |        WHEN lang = 'de' THEN 200000
          |        ELSE 50000 END""".stripMargin,
+    // thresholds DERIVED from the data with the same closed form the
+    // Spark driver uses: round(1e6 * sqrt(n_min/n_d)) — both engines run
+    // correctly-rounded IEEE division/sqrt on exact integer counts, and
+    // both round() half-away-from-zero, so the thresholds are identical
+    "temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |f AS (SELECT c.lang,
+         |             CAST(round(1000000 * sqrt(CAST(m.nmin AS DOUBLE) / n), 0) AS BIGINT) AS thr
+         |        FROM c, m)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+         | WHERE ${llm.Sampling.hashBucketSql("d.doc_id", 11, 1000000)} < f.thr""".stripMargin,
     // the formula lives in Packing.packSequentialSql so the Spark window
     // expression and the oracle SQL can only drift in one file
     "pack_sequences" ->

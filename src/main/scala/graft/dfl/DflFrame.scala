@@ -103,7 +103,7 @@ object DflFrame {
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "annTopK", "annTopKBatch", "decontam",
       "decontamBloom", "contamHits",
-      "sample", "pack", "lmScore", "windowDups", "vocab", "tfidf")
+      "sample", "mix", "pack", "lmScore", "windowDups", "vocab", "tfidf")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -548,6 +548,19 @@ object DflFrame {
         val seed = if (args.size > 3) numArg(3).toLong else 0L
         val base = df.withColumn("__gid", subCol(1))
         graft.llm.Sampling.sampleByHash(base, "__gid", frac, seed).drop("__gid")
+
+      case "mix" =>
+        // `mix(@, '@id', '@domain', alpha[, seed])` — temperature-based
+        // domain rebalancing (Sampling.temperatureMix): per-domain keep
+        // fraction (n_min/n_d)^(1-alpha), id-keyed deterministic hash.
+        // Needs whole-dataset counts → fenced out of stream mode.
+        if (args.size > 5) throw new DflParseException(
+          "mix takes (@, id, domain, alpha[, seed])")
+        val alpha = numArg(3)
+        val seed = if (args.size > 4) numArg(4).toLong else 0L
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gdom", subCol(2))
+        graft.llm.Sampling.temperatureMix(base, "__gid", "__gdom", alpha, seed)
+          .drop("__gid", "__gdom")
 
       case "decontam" | "decontamBloom" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram

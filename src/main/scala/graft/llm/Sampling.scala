@@ -77,6 +77,48 @@ object Sampling {
     * per-language or per-source mixing rates for a training blend), with
     * `defaultFraction` for strata not listed. One row-local filter — the
     * stratum column is read per row; no per-stratum scans, no shuffle. */
+  /** Temperature-based domain mixing — the standard pretraining data-mix
+    * op (multilingual / multi-source corpora): rebalance domain shares
+    * from the natural `p_d ∝ n_d` toward uniform by sampling domain `d`
+    * at share `∝ n_d^alpha` (`alpha = 1` natural, `alpha → 0` uniform).
+    * Downsampling-only (no replication), so the largest corpus subject
+    * to the target shares keeps the SMALLEST domain whole and keeps
+    * fraction
+    *
+    *   `f_d = (n_min / n_d)^(1-alpha)`
+    *
+    * of every other — the closed form of "maximize kept rows subject to
+    * output shares ∝ n_d^alpha" (the Σ-normalizer cancels, which also
+    * makes the formula ENGINE-EXACT: one division + one pow of exact
+    * integer counts, no float summation order to drift; at `alpha = 0.5`
+    * it is `sqrt(n_min/n_d)` — correctly rounded IEEE ops end to end,
+    * which is what lets the DuckDB oracle check row sets value-for-value).
+    *
+    * Rows keep/drop by the same id-keyed hash as every sampler here, so
+    * the mix is deterministic, id-stable, and a row-local codegen'd
+    * filter: the only jobs are one small per-domain count (driver-side
+    * thresholds — domain cardinality is small by definition) and the
+    * map-only filter scan. NULL domains form their own stratum. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     alpha: Double, seed: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureMix: alpha must be in (0,1], got $alpha")
+    val buckets = 1000000
+    val counts: Array[(Any, Long)] = df.groupBy(col(domainCol)).count()
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.get(0), r.getLong(1)))
+    if (counts.isEmpty) return df
+    val nMin = counts.map(_._2).min
+    val thr = counts.map { case (d, n) =>
+      d -> math.round(buckets * math.pow(nMin.toDouble / n, 1.0 - alpha))
+    }
+    val thresh = thr.foldRight(lit(0L)) { case ((d, t), els) =>
+      when(if (d == null) col(domainCol).isNull else col(domainCol) === d,
+        lit(t)).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol), seed, buckets) < thresh)
+  }
+
   def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
                              fractions: Map[String, Double],
                              defaultFraction: Double = 0.0,

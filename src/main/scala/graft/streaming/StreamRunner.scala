@@ -38,7 +38,8 @@ object StreamRunner {
     // windowDups, vocab, and tfidf train/count over the whole corpus
     // (streamingContamFilter is decontamBloom's explicit streaming
     // analogue, like streamingDedup for dedup)
-    "pack", "lmScore", "windowDups", "vocab", "tfidf")
+    // mix derives per-domain thresholds from whole-dataset counts
+    "pack", "lmScore", "windowDups", "vocab", "tfidf", "mix")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -126,6 +126,15 @@ class DflLlmSpec extends AnyFunSuite {
     assert(bloom == exact && bloom.nonEmpty)
   }
 
+  test("mix(@) matches the Scala API") {
+    import spark.implicits._
+    val dfl = ids(DflFrame.pipeline(docs,
+      "mix(@, '@doc_id', '@lang', 0.5, 11) | map(@, '{doc_id: @doc_id}')"))
+    val api = ids(graft.llm.Sampling.temperatureMix(docs, "doc_id", "lang",
+      0.5, 11).select("doc_id"))
+    assert(dfl == api && dfl.nonEmpty && dfl.size < docs.count())
+  }
+
   test("vocab(@) and tfidf(@) match the Scala API") {
     import spark.implicits._
     val v = DflFrame.pipeline(docs, "vocab(@, '@text', 50)")
@@ -403,7 +412,8 @@ class DflLlmSpec extends AnyFunSuite {
         "lmScore(@, '@doc_id', '@text')",
         "windowDups(@, '@doc_id', '@text')",
         "vocab(@, '@text', 100)",
-        "tfidf(@, '@doc_id', '@text', 5)").foreach { src =>
+        "tfidf(@, '@doc_id', '@text', 5)",
+        "mix(@, '@doc_id', '@lang', 0.5)").foreach { src =>
       intercept[IllegalArgumentException](
         graft.streaming.StreamRunner.validateStreamable("jsonl", src))
     }

@@ -326,6 +326,39 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("temperatureMix: smallest domain kept whole, shares flatten, deterministic") {
+    import graft.llm.Sampling
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val minLang = counts.minBy(_._2)._1
+    // alpha = 1: natural distribution — every row kept
+    assert(Sampling.temperatureMix(docs, "doc_id", "lang", 1.0).count() ==
+      docs.count())
+    // alpha = 0.5: smallest domain kept in full, larger domains at
+    // ~sqrt(n_min/n_d); kept counts land near the closed-form target
+    val mixed = Sampling.temperatureMix(docs, "doc_id", "lang", 0.5, seed = 11)
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept(minLang) == nMin, s"smallest domain must be whole: $kept")
+    counts.foreach { case (lang, nd) =>
+      val target = nd * math.sqrt(nMin.toDouble / nd)
+      assert(math.abs(kept.getOrElse(lang, 0L) - target) <= 0.35 * target + 3,
+        s"$lang kept ${kept.getOrElse(lang, 0L)} vs target $target")
+    }
+    // flattening: the max/min domain ratio strictly shrinks
+    val before = counts.values.max.toDouble / nMin
+    val after = kept.values.max.toDouble / kept.values.min
+    assert(after < before)
+    // deterministic and id-stable (same ids on rerun)
+    val ids1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureMix(docs, "doc_id", "lang", 0.5, seed = 11)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(docs, "doc_id", "lang", 0.0))
+  }
+
   test("scrubPii redacts emails, IPv4, and both phone shapes; clean text is untouched") {
     import spark.implicits._
     val rows = Seq(
