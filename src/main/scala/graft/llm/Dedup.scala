@@ -439,13 +439,21 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNbr = edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
         .select(col("id"), col("rep"))
-      val next = labels.union(viaNbr)
-        .groupBy("id").agg(min("rep").as("rep")).localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.rep") =!= col("p.rep"))
-        .isEmpty
-      labels = next
+      // convergence detection FUSED into the label update: the labels
+      // branch carries its current rep as `prev` (every id occurs in
+      // labels, so max(prev) recovers it through the same groupBy that
+      // computes the new min-label), and "any label changed" becomes a
+      // scan-count over the just-checkpointed result — one join per
+      // round instead of two, same shuffle count, still type-agnostic
+      // (string ids compare by value, not by a numeric sum)
+      val repType = labels.schema("rep").dataType
+      val next = labels.select(col("id"), col("rep"), col("rep").as("prev"))
+        .unionByName(viaNbr.select(col("id"), col("rep"),
+          lit(null).cast(repType).as("prev")))
+        .groupBy("id").agg(min("rep").as("rep"), max("prev").as("prev"))
+        .localCheckpoint()
+      converged = next.filter(!(col("rep") <=> col("prev"))).isEmpty
+      labels = next.select(col("id"), col("rep"))
       iter += 1
     }
     edges.unpersist()
