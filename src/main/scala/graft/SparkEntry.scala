@@ -432,7 +432,12 @@ object SparkEntry {
       val surv = llm.Dedup.survivors(clean, "doc_id",
         llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
       val dec = llm.TextAnalysis.decontaminate(surv, "doc_id", "text", bench, "text", 8)
-      llm.Sampling.sampleByHash(dec, "doc_id", 0.5, seed = 11)
+      // domain rebalance of the decontaminated pool (alpha=0.5), THEN
+      // the deterministic 50% sample — mixing thresholds derive from the
+      // post-decontamination lang counts, as a real ingest would
+      val mixed = llm.Sampling.temperatureMix(dec, "doc_id", "lang",
+        alpha = 0.5, seed = 13)
+      llm.Sampling.sampleByHash(mixed, "doc_id", 0.5, seed = 11)
         .select(col("doc_id"),
           llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"))
     }),
@@ -1238,10 +1243,10 @@ object SparkEntry {
     * token counts: the oracle for pipeline_train_corpus. Each stage's
     * SQL form is the one its standalone oracle row uses. */
   private val pipelineTrainCorpusSql: String =
-    s"""WITH scored AS (SELECT doc_id, text, $qualitySqlExpr AS q FROM documents),
-       |clean AS (SELECT doc_id, text FROM scored WHERE q >= 0.5 AND doc_id % 23 != 0),
+    s"""WITH scored AS (SELECT doc_id, text, lang, $qualitySqlExpr AS q FROM documents),
+       |clean AS (SELECT doc_id, text, lang FROM scored WHERE q >= 0.5 AND doc_id % 23 != 0),
        |${jaccardCtes("clean")},
-       |surv AS (SELECT c.doc_id, c.text FROM clean c
+       |surv AS (SELECT c.doc_id, c.text, c.lang FROM clean c
        |          WHERE c.doc_id NOT IN (SELECT DISTINCT id_b FROM jpairs)),
        |btok AS (SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |           FROM documents WHERE doc_id % 23 = 0),
@@ -1254,11 +1259,18 @@ object SparkEntry {
        |sng AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS g
        |          FROM stok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
        |         WHERE len(toks) >= 8),
-       |contaminated AS (SELECT DISTINCT sng.doc_id FROM sng JOIN bng USING (g))
-       |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
-       |  FROM surv
-       | WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-       |   AND ${llm.Sampling.hashBucketSql("doc_id", 11, 1000000)} < 500000""".stripMargin
+       |contaminated AS (SELECT DISTINCT sng.doc_id FROM sng JOIN bng USING (g)),
+       |dec AS (SELECT doc_id, text, lang FROM surv
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |lc AS (SELECT lang, count(*) AS n FROM dec GROUP BY 1),
+       |lm AS (SELECT min(n) AS nmin FROM lc),
+       |thr AS (SELECT lc.lang,
+       |               CAST(round(1000000 * sqrt(CAST(lm.nmin AS DOUBLE) / n), 0) AS BIGINT) AS t
+       |          FROM lc, lm)
+       |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws
+       |  FROM dec d JOIN thr ON d.lang = thr.lang
+       | WHERE ${llm.Sampling.hashBucketSql("d.doc_id", 13, 1000000)} < thr.t
+       |   AND ${llm.Sampling.hashBucketSql("d.doc_id", 11, 1000000)} < 500000""".stripMargin
 
   /** Survivors over the planted-construction cosine pair set (same
     * construction as dedup_cosine_bucketed, so the approximate pair set
