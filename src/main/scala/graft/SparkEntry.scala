@@ -330,6 +330,18 @@ object SparkEntry {
         w = 16)),
     "dedup_exact" -> ((s, dir) =>
       llm.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // duplicated-SPAN removal over a corpus with planted full copies
+    // (doc_id%7 re-planted at +10000): the planted docs and their
+    // originals scrub to empty, everything else keeps its text minus
+    // naturally repeated 16-token windows
+    "dedup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      llm.TextAnalysis.removeDupSpans(
+        docs.select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text", w = 16)
+    }),
     // ---- the LLM dataset operators THROUGH the DFL surface (parser →
     //      DflFrame dataset-op dispatch → the same llm.* implementations):
     //      what a catalog Process runs via /services/{name}/exec ----
@@ -958,6 +970,25 @@ object SparkEntry {
         |       round(coalesce(nd.n_dup, 0) / CAST(len(toks) - 15 AS DOUBLE), 6) AS dup_frac
         |  FROM t LEFT JOIN nd ON t.doc_id = nd.doc_id
         | WHERE len(toks) >= 16""".stripMargin,
+    // window-hash equality classes ≡ window-string equality classes (the
+    // windowDupStats argument), so DuckDB re-derives the same spans from
+    // strings; nested index lambdas do the coverage test
+    "dedup_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |                UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |w AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 15), ' ') AS g
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 15)) AS i) s
+        |       WHERE len(toks) >= 16),
+        |d AS (SELECT g FROM (SELECT g, count(*) AS c FROM w GROUP BY 1) WHERE c > 1),
+        |st AS (SELECT doc_id, list(i) AS starts FROM w JOIN d USING (g) GROUP BY 1),
+        |r AS (SELECT t.doc_id, toks, st.starts FROM t LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id,
+        |             CASE WHEN starts IS NULL THEN toks
+        |                  ELSE list_filter(toks, (x, ix) -> len(list_filter(starts, s -> ix >= s AND ix < s + 16)) = 0) END AS ktoks
+        |        FROM r)
+        |SELECT doc_id, coalesce(array_to_string(ktoks, ' '), '') AS clean_text,
+        |       CAST(len(ktoks) AS BIGINT) AS n_kept FROM k""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

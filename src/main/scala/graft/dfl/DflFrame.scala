@@ -103,7 +103,8 @@ object DflFrame {
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "annTopK", "annTopKBatch", "decontam",
       "decontamBloom", "contamHits",
-      "sample", "mix", "pack", "lmScore", "windowDups", "vocab", "tfidf")
+      "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
+      "vocab", "tfidf")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -654,6 +655,18 @@ object DflFrame {
         if (args.size > 4) throw new DflParseException(
           "windowDups takes at most (@, id, text, w)")
         graft.llm.TextAnalysis.windowDupStats(
+            df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
+            "__gid", "__gtext", w)
+          .withColumnRenamed("__gid", "id")
+
+      case "dedupSpans" =>
+        // `dedupSpans(@, '@id', '@text'[, w])` — duplicated-span REMOVAL
+        // (TextAnalysis.removeDupSpans): (id, clean_text, n_kept); every
+        // input row survives, repeated w-token windows scrubbed.
+        val w = if (args.size > 3) intArg(3) else 16
+        if (args.size > 4) throw new DflParseException(
+          "dedupSpans takes at most (@, id, text, w)")
+        graft.llm.TextAnalysis.removeDupSpans(
             df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
             "__gid", "__gtext", w)
           .withColumnRenamed("__gid", "id")

@@ -395,6 +395,48 @@ object TextAnalysis {
     * input is small. Equality classes (not hash VALUES) determine the
     * counts, which is what lets the DuckDB oracle check this operator
     * with plain window strings while Spark joins on 64-bit hashes. */
+  /** Duplicated-SPAN REMOVAL (the ExactSubstr treatment of Lee et al.):
+    * delete from every document the tokens covered by any `w`-token
+    * window that occurs more than once in the corpus, keeping the rest
+    * in order. [[windowDupStats]] measures the signal; this operator
+    * applies it. Output: (id, clean_text, n_kept) — every input row
+    * survives (a fully-duplicated doc comes back empty with n_kept 0).
+    *
+    * Scale shape: same as the stats pass — row-local native window
+    * hashes, map-side-combined (id, hash, pos-list) explode, global
+    * `tot > 1` filter so only REPEATED windows (rare) flow into the
+    * start-position join — plus one row-local rebuild: a higher-order
+    * `filter` over the token array testing coverage against the doc's
+    * (small) dup-start list. Nothing quadratic; the corpus text moves
+    * through exactly one shuffle-free projection plus one left join on
+    * the id. All integer/string arithmetic — engine-exact, so the
+    * DuckDB oracle re-derives the same spans from window STRINGS (hash
+    * equality classes ≡ string equality classes, the windowDupStats
+    * argument). */
+  def removeDupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, w: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    require(w >= 1, s"removeDupSpans: window must be >= 1, got $w")
+    val base = df.select(col(idCol), wsTokens(col(textCol)).as("toks"),
+      graft.functions.ShingleF.shingleHashesAll(wsTokens(col(textCol)), w)
+        .as("hs"))
+    // (id, pos, h) for every window occurrence; pos is the 0-based start
+    val wc = base.select(col(idCol), posexplode(col("hs")).as(Seq("pos", "h")))
+    val dup = wc.groupBy(col("h")).agg(count(lit(1)).as("tot"))
+      .filter(col("tot") > 1).select(col("h"))
+    val starts = wc.join(dup, "h")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("starts"))
+    val kept = org.apache.spark.sql.functions.filter(col("toks"),
+      (t, i) => !exists(col("starts"),
+        s => i >= s && i < s + lit(w)))
+    base.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("starts").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("starts").isNull, size(col("toks")))
+          .otherwise(size(kept)).cast("long").as("n_kept"))
+  }
+
   def windowDupStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, w: Int = 16)
       : org.apache.spark.sql.DataFrame = {

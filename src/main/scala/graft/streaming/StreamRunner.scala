@@ -39,7 +39,7 @@ object StreamRunner {
     // (streamingContamFilter is decontamBloom's explicit streaming
     // analogue, like streamingDedup for dedup)
     // mix derives per-domain thresholds from whole-dataset counts
-    "pack", "lmScore", "windowDups", "vocab", "tfidf", "mix")
+    "pack", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -135,6 +135,15 @@ class DflLlmSpec extends AnyFunSuite {
     assert(dfl == api && dfl.nonEmpty && dfl.size < docs.count())
   }
 
+  test("dedupSpans(@) matches the Scala API") {
+    import spark.implicits._
+    val dfl = DflFrame.pipeline(docs, "dedupSpans(@, '@doc_id', '@text', 16)")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val api = graft.llm.TextAnalysis.removeDupSpans(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(dfl == api && dfl.size == docs.count())
+  }
+
   test("vocab(@) and tfidf(@) match the Scala API") {
     import spark.implicits._
     val v = DflFrame.pipeline(docs, "vocab(@, '@text', 50)")
@@ -413,7 +422,8 @@ class DflLlmSpec extends AnyFunSuite {
         "windowDups(@, '@doc_id', '@text')",
         "vocab(@, '@text', 100)",
         "tfidf(@, '@doc_id', '@text', 5)",
-        "mix(@, '@doc_id', '@lang', 0.5)").foreach { src =>
+        "mix(@, '@doc_id', '@lang', 0.5)",
+        "dedupSpans(@, '@doc_id', '@text')").foreach { src =>
       intercept[IllegalArgumentException](
         graft.streaming.StreamRunner.validateStreamable("jsonl", src))
     }

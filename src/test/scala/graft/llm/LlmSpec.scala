@@ -143,6 +143,34 @@ class LlmSpec extends AnyFunSuite {
         corpus, "doc_id", "text", emptyBench, "text", 8).count() == 3L)
   }
 
+  test("removeDupSpans: repeated windows scrubbed, unique text untouched") {
+    val span = (1 to 4).map(i => s"dup$i").mkString(" ")   // 4-token window
+    val df = Seq(
+      (1L, s"unique one two three $span tail1 tail2"),
+      (2L, s"other prefix words here $span end1 end2"),
+      (3L, "totally original text with no repeats at all"),
+      (4L, "tiny"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDupSpans(df, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the shared 4-token span occurs twice → its windows are dup in both
+    // docs; surrounding unique tokens survive IF no dup window covers
+    // them. Windows are w-token COVERS: any token inside a repeated
+    // window goes. Here only the exact span window repeats.
+    assert(!out(1L)._1.contains("dup1") && out(1L)._1.contains("unique"))
+    assert(!out(2L)._1.contains("dup4") && out(2L)._1.contains("other"))
+    assert(out(3L) == ("totally original text with no repeats at all", 8L))
+    assert(out(4L) == ("tiny", 1L)) // shorter than w: no windows, untouched
+    // every input row survives
+    assert(out.size == 4)
+    // a full copy scrubs both copies to empty
+    val copied = df.select($"doc_id" + 100L as "doc_id", $"text")
+    val both = TextAnalysis.removeDupSpans(
+      df.unionByName(copied), "doc_id", "text", w = 4)
+    assert(both.filter($"doc_id".isin(3L, 103L))
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
   test("vocabulary: top-V normalized tokens with deterministic rank") {
     val df = Seq(
       (1L, "the Cat  sat"),          // normText lowers + collapses ws

@@ -50,8 +50,14 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
             n_fail += 1; continue
-        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-        w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        try:
+            g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
+            w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        except TypeError as e:
+            # e.g. None next to str in a sort key — a real compare-side
+            # divergence (the driver's pandas sort dies the same way)
+            print(f"FAIL {name}: unsortable mixed-type column ({e})")
+            n_fail += 1; continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
         bad = None
