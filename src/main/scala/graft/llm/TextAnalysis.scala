@@ -334,12 +334,15 @@ object TextAnalysis {
     * idf, sklearn's formula), deterministic tie-break (score desc, term
     * asc). Output: (id, term, tf, score, rnk), ≤ k rows per doc.
     *
-    * Scale shape: tokens pre-aggregate to (id, term, tf) map-side; the
-    * document-frequency table aggregates FROM tf (one pass, no second
-    * scan); N is a one-row aggregate crossJoin-broadcast. The tf⋈df join
-    * shuffles on the term; the per-doc top-k window shuffles on the id —
-    * the two unavoidable exchanges, both key-parallel. The rank window
-    * is per-document (bounded by doc vocabulary), never global. */
+    * Scale shape: ONE corpus scan — tokens pre-aggregate to (id, term,
+    * tf) map-side, and the document frequency is a COUNT WINDOW over
+    * tf's term exchange (the same exchange a tf⋈df join would need, but
+    * with no second scan, no second aggregation, and no join); N is a
+    * one-row aggregate crossJoin-broadcast (a single-row
+    * BroadcastNestedLoopJoin — the standard scalar-join shape, not a
+    * real cartesian). The per-doc top-k rank window shuffles on the id;
+    * three key-parallel exchanges total, each bounded by (doc, term)
+    * cardinality, never by raw tokens. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int = 5)
       : org.apache.spark.sql.DataFrame = {
@@ -348,10 +351,10 @@ object TextAnalysis {
       .select(col(idCol), explode(wsTokens(normText(col(textCol)))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") *
         (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
