@@ -101,12 +101,28 @@ object Sampling {
     * map-only filter scan. NULL domains form their own stratum. */
   def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
                      alpha: Double, seed: Long = 0L): DataFrame = {
+    // NB `df` is evaluated TWICE — once for the domain counts, once by
+    // the returned filter. For a raw table scan the first pass is a
+    // cheap column-pruned count; when `df` is an expensive upstream
+    // pipeline, persist it first or pass precomputed counts to the
+    // overload below.
+    val counts: Seq[(Any, Long)] = df.groupBy(col(domainCol)).count()
+      .collect().toSeq
+      .map(r => (if (r.isNullAt(0)) null else r.get(0), r.getLong(1)))
+    temperatureMix(df, idCol, domainCol, alpha, seed, counts)
+  }
+
+  /** [[temperatureMix]] with caller-supplied per-domain counts (skips
+    * the counting pass — for expensive upstream plans, or when counts
+    * come from table statistics). */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     alpha: Double, seed: Long,
+                     counts: Seq[(Any, Long)]): DataFrame = {
     require(alpha > 0 && alpha <= 1,
       s"temperatureMix: alpha must be in (0,1], got $alpha")
+    require(counts.forall(_._2 > 0),
+      "temperatureMix: domain counts must be positive")
     val buckets = 1000000
-    val counts: Array[(Any, Long)] = df.groupBy(col(domainCol)).count()
-      .collect()
-      .map(r => (if (r.isNullAt(0)) null else r.get(0), r.getLong(1)))
     if (counts.isEmpty) return df
     val nMin = counts.map(_._2).min
     val thr = counts.map { case (d, n) =>
