@@ -19,6 +19,8 @@ import graft.streaming.StreamRunner
   *     [--output-uri F|-] [--output-format f] [--output-limit N]
   *     [--output-compression gzip|bzip2] [--output-mode overwrite|append]
   *     [--error-uri F] [--stream]
+  *     [--stream-decontam-bench F [--stream-decontam-text col]
+  *      [--stream-decontam-n N]]
   */
 object ProcessCli {
 
@@ -38,6 +40,9 @@ object ProcessCli {
       outputLimit: Option[Int] = None,
       errorUri: String = "",
       stream: Boolean = false,
+      streamDecontamBench: String = "",
+      streamDecontamText: String = "text",
+      streamDecontamN: Int = 8,
   )
 
   def parseArgs(args: Array[String]): Config = {
@@ -69,10 +74,22 @@ object ProcessCli {
         case "--output-mode"        => c = c.copy(outputMode = a.value())
         case "--error-uri"          => c = c.copy(errorUri = a.value())
         case "--stream"        => c = c.copy(stream = true)
+        // streaming decontamination: drop records sharing an n-gram with
+        // the (batch-read) benchmark BEFORE the DFL stages — the
+        // conservative bloom filter, stateless per record
+        case "--stream-decontam-bench" =>
+          c = c.copy(streamDecontamBench = a.value())
+        case "--stream-decontam-text" =>
+          c = c.copy(streamDecontamText = a.value())
+        case "--stream-decontam-n" =>
+          c = c.copy(streamDecontamN = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
     require(c.inputUri.nonEmpty, "--input-uri is required")
+    require(c.streamDecontamBench.isEmpty || c.stream,
+      "--stream-decontam-bench requires --stream (batch pipelines use " +
+        "the exact decontam(@, …) DFL stage instead)")
     c
   }
 
@@ -92,7 +109,15 @@ object ProcessCli {
     if (c.stream) {
       val fmt = if (c.inputFormat.nonEmpty) c.inputFormat
         else FormatInfer.split(c.inputUri).format
-      StreamRunner.runOnce(spark, c.inputUri, fmt, c.dfl, c.vars)
+      val pre: DataFrame => DataFrame =
+        if (c.streamDecontamBench.isEmpty) identity
+        else { s =>
+          val bench = DataStoreIO.read(spark, c.streamDecontamBench,
+            DataStoreIO.ReadOptions())
+          StreamRunner.streamingContamFilter(s, c.streamDecontamText,
+            bench, c.streamDecontamText, c.streamDecontamN)
+        }
+      StreamRunner.runOnce(spark, c.inputUri, fmt, c.dfl, c.vars, pre)
     } else {
       val df = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
         format = c.inputFormat, header = c.inputHeader,

@@ -95,9 +95,10 @@ object StreamRunner {
     * return the collected output (test/CLI helper; long-running jobs use
     * writeStream directly). */
   def runOnce(spark: SparkSession, dir: String, format: String,
-              dflSrc: String, vars: Map[String, Any] = Map.empty): DataFrame = {
+              dflSrc: String, vars: Map[String, Any] = Map.empty,
+              pre: DataFrame => DataFrame = identity): DataFrame = {
     validateStreamable(format, dflSrc)
-    val out = transform(readStream(spark, dir, format), dflSrc, vars)
+    val out = transform(pre(readStream(spark, dir, format)), dflSrc, vars)
     collectStream(out, "append")
   }
 

@@ -112,6 +112,25 @@ class StreamParitySpec extends AnyFunSuite {
     assert(all.count() == 3L)
   }
 
+  test("process --stream --stream-decontam-bench filters before the DFL stages") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchDir = Files.createTempDirectory("graft-pcb").toString
+    Files.writeString(java.nio.file.Paths.get(s"$benchDir/bench.jsonl"),
+      s"""{"doc_id":100,"text":"leading words $span trailing words"}""")
+    val dir = Files.createTempDirectory("graft-pcs").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      s"""{"text":"unrelated prefix $span different suffix","id":1}
+         |{"text":"no overlap here at all just original tokens","id":2}""".stripMargin)
+    val c = graft.cli.ProcessCli.Config(inputUri = dir, inputFormat = "jsonl",
+      dfl = "map(@, '{id: @id}')", stream = true,
+      streamDecontamBench = s"$benchDir/bench.jsonl")
+    val out = graft.cli.ProcessCli.run(spark, c)
+    assert(out.select("id").as[Long].collect().toSet == Set(2L))
+    // flag validation: decontam-bench without --stream is rejected
+    intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
+      Array("--input-uri", dir, "--stream-decontam-bench", benchDir)))
+  }
+
   test("streaming near-dedup collapses same-token-multiset records by simhash") {
     val dir = Files.createTempDirectory("graft-snd").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
