@@ -22,7 +22,10 @@ object BloomFns {
 
   /** Aggregate a LONG column into a serialized bloom filter (binary).
     * `numBits` is the filter size in bits (~8 bits/item ≈ 2% fpp);
-    * returns NULL for an empty input relation. */
+    * returns NULL for an empty input relation. Spark caps the size at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 2²⁶ =
+    * 8 MB) — size requests past it fail analysis, so raise the conf
+    * alongside `estItems` for 100M+-item benchmark sets. */
   def bloomAgg(h: Column, estItems: Long, numBits: Long): Column = {
     require(estItems > 0 && numBits > 0,
       s"bloomAgg: estItems and numBits must be positive, got $estItems/$numBits")

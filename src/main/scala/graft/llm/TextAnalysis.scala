@@ -305,6 +305,21 @@ object TextAnalysis {
     * shuffle join on the word (the only unavoidable wide exchange; AQE
     * handles residual skew). Output: (id, xent) — one row per document
     * with at least one token. */
+  def lmUnigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tf.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("tf") *
+          log((col("c") + 1.0) / (col("n") + col("v")))) /
+        sum(col("tf")), 6).as("xent"))
+  }
+
   /** Corpus vocabulary: the `topV` most frequent whitespace tokens over
     * [[normText]], with counts and a deterministic dense rank (count
     * desc, token asc — ties never reorder between runs or engines).
@@ -364,21 +379,6 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("term").asc)).cast("long"))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rnk"))
-  }
-
-  def lmUnigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String): org.apache.spark.sql.DataFrame = {
-    val tf = df
-      .select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
-    val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    tf.join(vocab, "w")
-      .crossJoin(broadcast(tot))
-      .groupBy(col(idCol))
-      .agg(round(-sum(col("tf") *
-          log((col("c") + 1.0) / (col("n") + col("v")))) /
-        sum(col("tf")), 6).as("xent"))
   }
 
   /** Repeated-window (substring-level) duplication signal, after Lee et
