@@ -507,6 +507,15 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    // exact cosine range search: threshold-bound, map-only (no top-k
+    // heap, no ordering)
+    "ann_range" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      llm.Similarity.bruteForceRange(emb, "vec_id", "embedding", q,
+        minCos = 0.5)
+    }),
     // int8 quantization: (scale, codes) per vector — a 4x storage
     // compression whose codes feed the SAME native dot loop
     "embed_quantize" -> ((s, dir) => {
@@ -1070,6 +1079,15 @@ object SparkEntry {
         |  FROM embeddings e,
         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
+    // range: threshold on the ROUNDED cosine, mirroring the Spark filter
+    "ann_range" ->
+      """SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e,
+        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) >= 0.5""".stripMargin,
     // identical double arithmetic: float->double casts are exact, both
     // engines round() half-away-from-zero on doubles
     "embed_quantize" ->

@@ -101,8 +101,8 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "annTopK", "annTopKBatch", "decontam",
-      "decontamBloom", "contamHits",
+      "nearDedupClusters", "annTopK", "annTopKBatch", "annRange",
+      "decontam", "decontamBloom", "contamHits",
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf")
 
@@ -670,6 +670,18 @@ object DflFrame {
             df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
             "__gid", "__gtext", w)
           .withColumnRenamed("__gid", "id")
+
+      case "annRange" =>
+        // `annRange(@, '@id', '@vec', $query, minCos)` — exact cosine
+        // RANGE search (every id at or above the threshold): one
+        // map-only scoring scan, no ordering, no limit
+        if (args.size > 5) throw new DflParseException(
+          "annRange takes exactly (@, id, vec, query, minCos)")
+        val rq = vecArg(3)
+        val minCos = numArg(4)
+        graft.llm.Similarity.bruteForceRange(
+          df.select(subCol(1).as("id"), subCol(2).as("v")), "id", "v",
+          rq, minCos)
 
       case "annTopK" =>
         // `annTopK(@, '@id', '@vec', $query, k[, method[, tuning]])` —

@@ -50,6 +50,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine RANGE search: every id with `cos(v, query) >= minCos` —
+    * the retrieval-filter sibling of [[bruteForceTopK]] (same native
+    * scoring scan, same null/NaN exclusions), but threshold-bound
+    * instead of count-bound, so the result needs NO ordering, no limit,
+    * and therefore no driver merge at all: one map-only scan whose
+    * output is the (rare) matching rows. The threshold compares against
+    * the ROUNDED cosine, keeping the boundary identical to the SQL
+    * oracle's. */
+  def bruteForceRange(df: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], minCos: Double): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol).as("id"),
+        round(cosine(col(vecCol), q), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   /** Exact cosine top-k for a BATCH of query vectors in ONE corpus pass —
     * the serving shape: each corpus row scores against the whole query
     * matrix via the native [[graft.functions.MatVecDots]] (one expression,

@@ -32,7 +32,7 @@ object StreamRunner {
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-    "nearDedupClusters", "annTopK", "annTopKBatch", "decontam",
+    "nearDedupClusters", "annTopK", "annTopKBatch", "annRange", "decontam",
     "decontamBloom", "contamHits",
     // packing needs per-bucket windows over the whole corpus; lmScore,
     // windowDups, vocab, and tfidf train/count over the whole corpus

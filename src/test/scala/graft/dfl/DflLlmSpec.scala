@@ -126,6 +126,23 @@ class DflLlmSpec extends AnyFunSuite {
     assert(bloom == exact && bloom.nonEmpty)
   }
 
+  test("annRange(@) matches the Scala API and rejects extra args") {
+    import spark.implicits._
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val dfl = DflFrame.pipeline(emb, "annRange(@, '@vec_id', '@embedding', $q, 0.5)",
+        Map("q" -> q))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val api = graft.llm.Similarity.bruteForceRange(emb, "vec_id", "embedding",
+        q, 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(dfl == api && dfl.nonEmpty)
+    // the query vector itself is in range at cos 1.0
+    assert(dfl.exists(_._1 == 0L))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRange(@, '@vec_id', '@embedding', $q, 0.5, 'exact')", Map("q" -> q)))
+  }
+
   test("mix(@) matches the Scala API") {
     import spark.implicits._
     val dfl = ids(DflFrame.pipeline(docs,
