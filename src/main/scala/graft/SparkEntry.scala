@@ -551,6 +551,16 @@ object SparkEntry {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
       llm.Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 10)
     }),
+    // batched RANGE search: same one-pass scoring scan, threshold-bound
+    // (no heap, no aggregation at all after the map-only filter)
+    "ann_range_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      llm.Similarity.bruteForceRangeBatch(emb, "vec_id", "embedding", queries,
+        minCos = 0.5)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       // oracle-checkable via the shared planted clique (see
       // plantedCliqueCorpus — hamming 0 under any plane family, so the
@@ -1163,6 +1173,14 @@ object SparkEntry {
         |    FROM embeddings e, q)
         |SELECT qid, id, cos FROM scored
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin,
+    "ann_range_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5)
+        |SELECT q.qid, e.vec_id AS id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.qv AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q
+        | WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(q.qv AS DOUBLE[])), 6) >= 0.5""".stripMargin,
   )
 
   /** Brute-force per-query top-10 over the per-query planted-clique

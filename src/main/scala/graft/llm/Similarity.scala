@@ -132,6 +132,41 @@ object Similarity {
       .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
   }
 
+  /** Exact cosine RANGE search for a BATCH of queries in ONE corpus
+    * pass: [[bruteForceTopKBatch]]'s scoring scan (native
+    * [[graft.functions.MatVecDots]], vector read once per row, query
+    * matrix as plan literals with the same `chunkSize` compile bound)
+    * but threshold-bound like [[bruteForceRange]] — so after the
+    * map-only filter there is NO aggregation at all: no heap, no
+    * shuffle, the matching (qid, id, cos) rows stream straight out.
+    * Returns (qid, id, cos), thresholded on the ROUNDED cosine. */
+  def bruteForceRangeBatch(df: DataFrame, idCol: String, vecCol: String,
+                           queries: Seq[(Long, Seq[Double])], minCos: Double,
+                           chunkSize: Int = 256): DataFrame = {
+    import graft.functions.{MatVecF, VectorF}
+    require(chunkSize > 0, "bruteForceRangeBatch: chunkSize must be positive")
+    require(queries.nonEmpty, "bruteForceRangeBatch: empty query batch")
+    require(queries.map(_._2.size).distinct.size == 1,
+      s"bruteForceRangeBatch: ragged query dims ${queries.map(_._2.size).distinct}")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => bruteForceRangeBatch(df, idCol, vecCol, c, minCos, chunkSize))
+        .reduce(_ unionByName _)
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val qIds = queries.map(_._1)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vnorm", VectorF.norm(col("v")))
+      .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
+      .select(col("id"), col("vnorm"),
+        posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        col("id"),
+        round(col("col") / (col("vnorm") *
+          element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   // Deterministic hyperplanes (fixed seed): nBits × dim sign projections.
   // private[graft]: the streaming embedding dedup signs with the same family.
   private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {

@@ -485,6 +485,38 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("range search equals filtered brute force, single and batched") {
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // single: exactly the rows whose rounded cosine clears the threshold
+    val viaTopK = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q,
+        k = 100000)
+      .filter($"cos" >= 0.5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val range = Similarity.bruteForceRange(emb, "vec_id", "embedding", q, 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(range == viaTopK && range.exists(_._1 == 0L))
+    // batch ≡ per-query, including across a chunk boundary
+    val queries = emb.filter($"vec_id" < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val batch = Similarity.bruteForceRangeBatch(emb, "vec_id", "embedding",
+        queries, 0.5, chunkSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = Similarity.bruteForceRange(emb, "vec_id", "embedding", qv, 0.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"query $qid")
+    }
+    // no aggregation anywhere: the batched range plan is scan+filter only
+    val plan = Similarity.bruteForceRangeBatch(emb, "vec_id", "embedding",
+        queries, 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      plan.take(1500))
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceRangeBatch(emb, "vec_id", "embedding", Seq.empty, 0.5))
+  }
+
   test("zero-norm and NaN embeddings are excluded from brute-force candidates") {
     // 0.0/0.0 is NaN in non-ANSI mode, and NaN ranks ABOVE every real
     // value in Spark ordering — without the explicit guards an all-zero
