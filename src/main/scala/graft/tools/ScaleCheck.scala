@@ -45,6 +45,13 @@ object ScaleCheck {
       val boiler = big.select(col("doc_id"),
         concat(col("text"), lit(" all rights reserved by the original author")).as("text"))
       time("jaccard_boiler")(graft.llm.Dedup.jaccardPairs(boiler, "doc_id", "text", 0.8).count())
+      // connected components over the (quadratically growing) planted
+      // pair set: each min-label round is one edges⋈labels join + one
+      // fused update/convergence aggregation, so time must track the
+      // PAIR count (printed as rows by minhash_pairs above), with round
+      // count pinned by component diameter (planted cliques: 1-2)
+      time("dup_clusters")(graft.llm.Dedup.duplicateClusters(
+        graft.llm.Dedup.minhashPairs(big, "doc_id", "text", 0.8)).count())
       // decontamination: FIXED benchmark (the base corpus's %23 slice)
       // against the mult× corpus. One broadcast-join scan — time must
       // grow ~linearly; hits grow with mult (every copy shares the same
