@@ -582,6 +582,17 @@ object SparkEntry {
         s"$dir#ann_lsh_topk", q, 10, nBits = 8, minCandidates = 20,
         partitionBits = 4)
     }),
+    // indexed RANGE probe at the 0.99 near-dup threshold over the
+    // planted clique: the clique sits at Hamming 0 (guaranteed recall at
+    // any radius) and the exact verify bounds precision, so the
+    // brute-force range is a deterministic oracle. SHARES ann_lsh_topk's
+    // cache key and params — one build serves top-k and range.
+    "ann_lsh_range" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.lshRangeIndexed(corpus, "vec_id", "embedding",
+        s"$dir#ann_lsh_topk", q, minCos = 0.99, nBits = 8,
+        partitionBits = 4)
+    }),
     "ann_lsh_append" -> ((s, dir) => {
       // the APPEND lifecycle under the hard oracle: build the LSH index
       // over a corpus PREFIX, lshAppend the remainder (planted clique
@@ -1147,6 +1158,18 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |  FROM documents WHERE doc_id < 10000""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
+    "ann_lsh_range" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |planted AS (SELECT 100000 + r AS vec_id, q.embedding
+        |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
+        |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+        |          UNION ALL SELECT vec_id, embedding FROM planted)
+        |SELECT a.vec_id AS id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM all_v a, q
+        | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) >= 0.99""".stripMargin,
     // build-on-prefix + append-the-rest probes the SAME grown corpus the
     // full build would (lshAppend ≡ rebuild by construction), so the
     // full-corpus brute force is its oracle too

@@ -1636,6 +1636,42 @@ object Similarity {
     rerank(candsAt(radius), query, k)
   }
 
+  /** Indexed cosine RANGE search against a built LSH index: every id
+    * with `cos >= minCos`, served by a PRUNED Hamming-ball read instead
+    * of a corpus scan. The probe radius derives from the sign-LSH
+    * collision geometry — a pair at angle θ flips each hyperplane bit
+    * with probability θ/π, so a cosine-`minCos` neighbor sits at
+    * expected Hamming distance `nBits·acos(minCos)/π`; the probe reads
+    * `that + slackBits` (slack buys recall at read-amplification cost)
+    * and then EXACT-verifies `cos >= minCos` on the candidates.
+    *
+    * Semantics: precision is EXACT (the verify filter), recall is
+    * approximate — a true neighbor whose signature landed beyond the
+    * slack radius is missed (tail probability decays binomially in the
+    * slack). `slackBits = nBits` degenerates to the exact full scan.
+    * High thresholds (the retrieval-filter regime this exists for) probe
+    * a small ball of a partition-pruned layout: serving cost tracks the
+    * ball, not the corpus — the [[bruteForceRange]] scan stays the
+    * exact baseline for low thresholds. */
+  def lshRange(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               query: Seq[Double], minCos: Double, slackBits: Int = 4,
+               maxEnumBuckets: Int = 4096): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"lshRange: minCos must be in (-1, 1], got $minCos")
+    require(slackBits >= 0, s"lshRange: slackBits must be >= 0, got $slackBits")
+    val idx = lshMeta(spark, indexDir)
+    require(query.size == idx.dim,
+      s"lshRange: query dim ${query.size} != index dim ${idx.dim}")
+    val qSig = querySignature(query, hyperplanes(idx.nBits, idx.dim))
+    val expected = idx.nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val radius = math.min(idx.nBits, math.ceil(expected).toInt + slackBits)
+    val qLit = array(query.map(lit): _*)
+    prunedCandidates(idx.vectors, idx, qSig, radius, maxEnumBuckets)
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   /** The pband ids a radius-`radius` probe of signature `qSig` must read
     * — the prefix projection of the Hamming ball (lossless: full-sig
     * Hamming ≤ r implies prefix Hamming ≤ r) — or None when the ball
@@ -1737,6 +1773,21 @@ object Similarity {
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }
     lshQuery(df.sparkSession, dir, query, k, minCandidates)
+  }
+
+  /** [[lshRange]] through the same fingerprint-fenced cached-index
+    * lifecycle as [[lshTopKIndexed]] — an identical params string, so a
+    * corpus served for top-k and for range probes shares ONE build. */
+  def lshRangeIndexed(df: DataFrame, idCol: String, vecCol: String,
+                      cacheKey: String, query: Seq[Double], minCos: Double,
+                      nBits: Int = 16, slackBits: Int = 4,
+                      partitionBits: Int = 8): DataFrame = {
+    val dim = query.size
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
+    }
+    lshRange(df.sparkSession, dir, query, minCos, slackBits)
   }
 
   /** QUERY a built LSH index with a BATCH of query vectors in ONE pruned

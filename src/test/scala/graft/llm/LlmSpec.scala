@@ -517,6 +517,38 @@ class LlmSpec extends AnyFunSuite {
       Similarity.bruteForceRangeBatch(emb, "vec_id", "embedding", Seq.empty, 0.5))
   }
 
+  test("lshRange: exact precision, planted clique recalled, pruned probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lshrange").toString
+    val dir = s"$root/idx"
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val clique = emb.select($"vec_id", $"embedding").unionByName(planted)
+    Similarity.lshBuild(clique, "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    val got = Similarity.lshRange(spark, dir, q, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // every planted copy (cos 1.0) and the query itself recalled at the
+    // tight threshold — expected Hamming 0, well inside the slack ball
+    assert((1 to 5).forall(i => got.exists(_._1 == 100000L + i)) &&
+      got.exists(_._1 == 0L))
+    // precision EXACT: results ⊆ the brute-force range at the threshold
+    val brute = Similarity.bruteForceRange(clique, "vec_id", "embedding",
+      q, 0.9).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got.subsetOf(brute))
+    // full slack degenerates to the exact answer
+    val full = Similarity.lshRange(spark, dir, q, minCos = 0.9,
+      slackBits = 16).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(full == brute)
+    // the tight-threshold probe reads a pruned ball, not the corpus
+    val plan = Similarity.lshRange(spark, dir, q, minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pband"), plan.take(2000))
+    intercept[IllegalArgumentException](
+      Similarity.lshRange(spark, dir, Seq(1.0, 2.0), 0.9))
+  }
+
   test("zero-norm and NaN embeddings are excluded from brute-force candidates") {
     // 0.0/0.0 is NaN in non-ANSI mode, and NaN ranks ABOVE every real
     // value in Spark ordering — without the explicit guards an all-zero
