@@ -271,6 +271,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
         .select(col("doc_id"))
     }),
+    // surgical decontamination: contaminated SPANS scrubbed, every doc
+    // survives (the quote-a-leaked-answer case)
+    "decontam_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.TextAnalysis.scrubContamSpans(
+        docs.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 23 === 0), "text", n = 8)
+    }),
     // the bloom-prefiltered variant MUST give the identical answer (the
     // exact verify join removes every bloom false positive) — so it
     // shares decontam_clean's oracle SQL
@@ -911,6 +919,28 @@ object SparkEntry {
         | GROUP BY 1""".stripMargin,
     "decontam_clean" -> decontamCleanSql,
     "decontam_bloom_clean" -> decontamCleanSql,
+    // per-token lowercasing (not normText) keeps span positions mapped
+    // to the raw token array; gram-hash classes ≡ gram-string classes
+    "decontam_scrub" ->
+      """WITH bt AS (SELECT list_transform(string_split(text, ' '), x -> lower(x)) AS toks
+        |             FROM documents WHERE doc_id % 23 = 0),
+        |bg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+        |         FROM bt, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+        |        WHERE len(toks) >= 8),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS rt,
+        |             list_transform(string_split(text, ' '), x -> lower(x)) AS lt
+        |        FROM documents WHERE doc_id % 23 != 0),
+        |w AS (SELECT doc_id, i, array_to_string(list_slice(lt, i, i + 7), ' ') AS g
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(lt) - 7)) AS i) s
+        |       WHERE len(lt) >= 8),
+        |st AS (SELECT doc_id, list(i) AS starts FROM w JOIN bg USING (g) GROUP BY 1),
+        |r AS (SELECT t.doc_id, rt AS toks, st.starts FROM t LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id,
+        |             CASE WHEN starts IS NULL THEN toks
+        |                  ELSE list_filter(toks, (x, ix) -> len(list_filter(starts, s -> ix >= s AND ix < s + 8)) = 0) END AS ktoks
+        |        FROM r)
+        |SELECT doc_id, coalesce(array_to_string(ktoks, ' '), '') AS clean_text,
+        |       CAST(len(ktoks) AS BIGINT) AS n_kept FROM k""".stripMargin,
     // the IDENTICAL 63-bit-safe multiplicative-hash formula (rendered by
     // Sampling.hashBucketSql) evaluated by DuckDB
     "sample_hash" ->

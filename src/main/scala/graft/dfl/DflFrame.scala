@@ -102,7 +102,7 @@ object DflFrame {
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "annTopK", "annTopKBatch", "annRange",
-      "decontam", "decontamBloom", "contamHits",
+      "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf")
 
@@ -563,7 +563,7 @@ object DflFrame {
         graft.llm.Sampling.temperatureMix(base, "__gid", "__gdom", alpha, seed)
           .drop("__gid", "__gdom")
 
-      case "decontam" | "decontamBloom" | "contamHits" =>
+      case "decontam" | "decontamBloom" | "decontamScrub" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram
         // decontamination against a benchmark corpus bound as a dataset
         // var (seeded by the caller, or `$bench := (…)` earlier in the
@@ -588,6 +588,12 @@ object DflFrame {
           graft.llm.TextAnalysis.decontaminateBloom(
               base, "__gid", "__gtext", bench, "__gtext", n)
             .drop("__gid", "__gtext")
+        else if (name == "decontamScrub")
+          // surgical variant: contaminated spans deleted, docs kept —
+          // (id, clean_text, n_kept)
+          graft.llm.TextAnalysis.scrubContamSpans(
+              base, "__gid", "__gtext", bench, "__gtext", n)
+            .withColumnRenamed("__gid", "id")
         else
           graft.llm.TextAnalysis.decontaminate(
               base, "__gid", "__gtext", bench, "__gtext", n)

@@ -246,6 +246,51 @@ object TextAnalysis {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SURGICAL decontamination: instead of dropping a contaminated
+    * document ([[decontaminate]]), delete just the tokens covered by any
+    * `n`-gram shared with the benchmark set and keep the rest — the span
+    * treatment for docs that merely QUOTE an eval item (a leaked answer
+    * inside an otherwise-good document). Every input row survives;
+    * output (id, clean_text, n_kept), like [[removeDupSpans]] with the
+    * benchmark as the dup set.
+    *
+    * Matching is on LOWERCASED whitespace tokens — per-token
+    * normalization, not [[normText]], because span positions must map
+    * back to the RAW token array for reconstruction (whitespace
+    * collapsing would shift them). Scale shape: the bench gram-hash set
+    * broadcasts (eval sets are small), the corpus side is one row-local
+    * hash pass + a map-side broadcast join for start positions + the
+    * same higher-order coverage rebuild as [[removeDupSpans]]; one left
+    * join on the id, nothing quadratic, all integer/string — the DuckDB
+    * oracle re-derives spans from gram strings. */
+  def scrubContamSpans(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       benchmark: org.apache.spark.sql.DataFrame,
+                       benchTextCol: String, n: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"scrubContamSpans: n must be >= 1, got $n")
+    def lowToks(c: Column): Column =
+      org.apache.spark.sql.functions.transform(wsTokens(c), t => lower(t))
+    val benchGrams = benchmark
+      .select(explode(graft.functions.ShingleF.shingleHashes(
+        lowToks(col(benchTextCol)), n)).as("h"))
+      .distinct()
+    val base = corpus.select(col(idCol), wsTokens(col(textCol)).as("toks"),
+      graft.functions.ShingleF.shingleHashesAll(lowToks(col(textCol)), n)
+        .as("hs"))
+    val wc = base.select(col(idCol), posexplode(col("hs")).as(Seq("pos", "h")))
+    val starts = wc.join(broadcast(benchGrams), "h")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("starts"))
+    val kept = org.apache.spark.sql.functions.filter(col("toks"),
+      (t, i) => !exists(col("starts"), s => i >= s && i < s + lit(n)))
+    base.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("starts").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("starts").isNull, size(col("toks")))
+          .otherwise(size(kept)).cast("long").as("n_kept"))
+  }
+
   /** Duplicate-token fraction (a Gopher-style repetition signal):
     * `1 - distinct_tokens / tokens`, 0 for empty text. Row-local. */
   def dupTokenFrac(c: Column): Column = {

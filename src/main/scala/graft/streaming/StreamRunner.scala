@@ -33,7 +33,7 @@ object StreamRunner {
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
     "nearDedupClusters", "annTopK", "annTopKBatch", "annRange", "decontam",
-    "decontamBloom", "contamHits",
+    "decontamBloom", "decontamScrub", "contamHits",
     // packing needs per-bucket windows over the whole corpus; lmScore,
     // windowDups, vocab, and tfidf train/count over the whole corpus
     // (streamingContamFilter is decontamBloom's explicit streaming

@@ -152,6 +152,19 @@ class DflLlmSpec extends AnyFunSuite {
     assert(dfl == api && dfl.nonEmpty && dfl.size < docs.count())
   }
 
+  test("decontamScrub(@) matches the Scala API") {
+    import spark.implicits._
+    val bench = docs.filter($"doc_id" % 23 === 0)
+    val corpus = docs.filter($"doc_id" % 23 =!= 0)
+    val dfl = DflFrame.pipeline(corpus,
+      "decontamScrub(@, '@doc_id', '@text', $bench, 8)", Map("bench" -> bench))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val api = graft.llm.TextAnalysis.scrubContamSpans(corpus, "doc_id", "text",
+        bench, "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(dfl == api && dfl.size == corpus.count())
+  }
+
   test("dedupSpans(@) matches the Scala API") {
     import spark.implicits._
     val dfl = DflFrame.pipeline(docs, "dedupSpans(@, '@doc_id', '@text', 16)")

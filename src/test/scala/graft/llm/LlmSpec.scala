@@ -171,6 +171,34 @@ class LlmSpec extends AnyFunSuite {
       .collect().forall(_.getLong(2) == 0L))
   }
 
+  test("scrubContamSpans: leaked spans deleted, docs survive, case-insensitive") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"leading words $span trailing words")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"good prefix stays ${span.toUpperCase} good suffix stays"),
+      (11L, "no overlap here at all just original tokens going on and on"),
+      (12L, "too short"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubContamSpans(corpus, "doc_id", "text", bench,
+        "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // every doc survives; the quoted span dies (matched case-insensitively
+    // via per-token lowering) but the RAW surrounding text is kept
+    assert(out.size == 3)
+    assert(out(10L)._1 == "good prefix stays good suffix stays" &&
+      out(10L)._2 == 6L)
+    assert(out(11L)._2 == 12L && out(12L)._2 == 2L)
+    // a doc that IS a bench doc scrubs to empty
+    val copy = TextAnalysis.scrubContamSpans(
+      bench.select($"doc_id" + 1L as "doc_id", $"text"), "doc_id", "text",
+      bench, "text", 8).head()
+    assert(copy.getLong(2) == 0L && copy.getString(1) == "")
+    // empty benchmark: untouched
+    assert(TextAnalysis.scrubContamSpans(corpus, "doc_id", "text",
+      bench.filter($"doc_id" < 0), "text", 8)
+      .agg(sum("n_kept")).head().getLong(0) == (14L + 12L + 2L))
+  }
+
   test("vocabulary: top-V normalized tokens with deterministic rank") {
     val df = Seq(
       (1L, "the Cat  sat"),          // normText lowers + collapses ws
