@@ -64,6 +64,10 @@ object ScaleCheck {
       // decontam_hits' linear growth with a smaller constant at scale
       time("decontam_bloom")(graft.llm.TextAnalysis.contaminationHitsBloom(
         big, "doc_id", "text", bench, "text", 8).count())
+      // surgical span scrub: bench gram set broadcast, corpus-side hash
+      // pass + coverage rebuild — linear, output = corpus size
+      time("decontam_scrub")(graft.llm.TextAnalysis.scrubContamSpans(
+        big, "doc_id", "text", bench, "text", 8).count())
       // vocabulary: explode + map-side-combined count + bounded top-V
       // (TakeOrderedAndProject) — linear scan, flat V-row tail
       time("vocab_top")(graft.llm.TextAnalysis.vocabulary(
