@@ -1,10 +1,13 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Column wrappers over Spark's OWN Bloom-filter expressions — the pair
   * Catalyst itself uses for runtime join filters (`BloomFilterAggregate`
@@ -37,8 +40,88 @@ object BloomFns {
     * by [[bloomAgg]]. The filter bytes ride the task binary as a literal
     * (size them accordingly: numBits/8 bytes). A NULL filter (empty
     * build side) yields NULL, which `filter(...)` drops — the correct
-    * "nothing can match" answer. */
+    * "nothing can match" answer.
+    *
+    * SIZE WARNING: prefer the `Broadcast` overload for anything past a
+    * few hundred KB — a plan-literal filter is re-serialized into EVERY
+    * task binary, while a broadcast ships once per executor via torrent
+    * blocks. This literal form stays for tiny filters and tests. */
   def bloomMightContain(bloomBytes: Array[Byte], h: Column): Column =
     Bridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), Bridge.expression(h)))
+
+  /** Membership probe against a BROADCAST serialized filter — the
+    * 100 TB-safe form: the expression tree carries only the (tiny)
+    * broadcast handle, the filter bytes move once per executor over
+    * torrent broadcast, and each executor deserializes the probe
+    * structure exactly once (keyed by broadcast id). A NULL broadcast
+    * value (empty build side) probes to false — under `filter(...)`
+    * identical to the literal form's NULL result. */
+  def bloomMightContain(bf: Broadcast[Array[Byte]], h: Column): Column =
+    Bridge.column(BloomBroadcastProbe(Bridge.expression(h), bf))
+
+  /** Broadcast the filter bytes built by [[bloomAgg]] for use with the
+    * broadcast [[bloomMightContain]] overload. NULL bytes broadcast fine
+    * (probes are then constant-false). */
+  def broadcastBloom(spark: org.apache.spark.sql.SparkSession,
+                     bloomBytes: Array[Byte]): Broadcast[Array[Byte]] =
+    spark.sparkContext.broadcast(bloomBytes)
+}
+
+/** `mightContainLong` over a broadcast serialized bloom filter. Unlike
+  * Spark's own [[BloomFilterMightContain]] — which requires the filter as
+  * a foldable literal and therefore embeds the full byte array in every
+  * serialized task plan — this expression holds only the `Broadcast`
+  * handle. Deserialization happens lazily per executor JVM via
+  * [[BloomProbeOps]] and the generated code is a single static call, so
+  * the probe stays inside WholeStageCodegen exactly like the literal
+  * form. */
+case class BloomBroadcastProbe(child: Expression, bf: Broadcast[Array[Byte]])
+    extends UnaryExpression with Predicate {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_bcast_probe"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bcast_probe needs a bigint probe value, got ${other.sql}")
+  }
+
+  override def nullSafeEval(h: Any): Any =
+    BloomProbeOps.mightContain(bf, h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcast", bf,
+      classOf[Broadcast[Array[Byte]]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomProbeOps.mightContain($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomProbeOps {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, AnyRef]()
+  private val NullFilter: AnyRef = new Object // sentinel: empty build side
+
+  private def filterFor(b: Broadcast[Array[Byte]]): AnyRef =
+    cache.computeIfAbsent(b.id, _ => {
+      val bytes = b.value
+      if (bytes == null) NullFilter
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    })
+
+  /** Probe; false when the broadcast value is NULL (nothing was built, so
+    * nothing can match). Executor-wide memoized deserialization — the
+    * cache is bounded by the number of distinct bloom broadcasts in the
+    * application's lifetime (a handful). */
+  def mightContain(b: Broadcast[Array[Byte]], h: Long): Boolean =
+    filterFor(b) match {
+      case f: org.apache.spark.util.sketch.BloomFilter => f.mightContainLong(h)
+      case _ => false
+    }
 }

@@ -200,14 +200,19 @@ object TextAnalysis {
     val benchGrams = benchmark
       .select(explode(grams(col(benchTextCol))).as("gram"))
       .distinct()
-    // one small aggregation job over the bench side builds the filter
+    // one small aggregation job over the bench side builds the filter;
+    // the bytes travel as a BROADCAST, not a plan literal — at real bench
+    // sizes (10^8 grams -> ~100 MB filter) a literal would ride inside
+    // every serialized task plan, a broadcast ships once per executor
     val bloomBytes = benchGrams
       .agg(graft.functions.BloomFns.bloomAgg(col("gram"),
         estBenchGrams, estBenchGrams * bitsPerItem).as("bf"))
       .head().getAs[Array[Byte]](0)
+    val bloomBcast = graft.functions.BloomFns.broadcastBloom(
+      corpus.sparkSession, bloomBytes)
     corpus
       .select(col(idCol), explode(grams(col(textCol))).as("gram"))
-      .filter(graft.functions.BloomFns.bloomMightContain(bloomBytes,
+      .filter(graft.functions.BloomFns.bloomMightContain(bloomBcast,
         col("gram")))
       // exact verify: false positives die here; deliberately NOT forced
       // to broadcast — when the bench set is broadcast-sized Catalyst

@@ -257,8 +257,14 @@ object StreamRunner {
         estBenchGrams, estBenchGrams.toLong * bitsPerItem).as("bf"))
       .head().getAs[Array[Byte]](0)
     if (bloomBytes == null) stream // empty benchmark: nothing can match
-    else stream.filter(size(arrFilter(grams(col(textCol)),
-      g => graft.functions.BloomFns.bloomMightContain(bloomBytes, g))) === 0)
+    else {
+      // broadcast once before the stream starts; every micro-batch's task
+      // plans carry only the handle, not the filter bytes
+      val bloomBcast = graft.functions.BloomFns.broadcastBloom(
+        stream.sparkSession, bloomBytes)
+      stream.filter(size(arrFilter(grams(col(textCol)),
+        g => graft.functions.BloomFns.bloomMightContain(bloomBcast, g))) === 0)
+    }
   }
 
   /** Streaming ANN serving: answer a STREAM of query vectors against a

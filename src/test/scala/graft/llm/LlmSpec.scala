@@ -128,13 +128,25 @@ class LlmSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloom == exact)
     // the prefilter must sit in the corpus-side scan projection (a
-    // codegen'd might_contain BEFORE any join), so false candidates die
+    // codegen'd probe BEFORE any join), so false candidates die
     // map-side and never shuffle
-    val plan = TextAnalysis.contaminationHitsBloom(
+    val hitsDf = TextAnalysis.contaminationHitsBloom(
         big.filter($"doc_id" % 23 =!= 0), "doc_id", "text",
         big.filter($"doc_id" % 23 === 0), "text", 8)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), plan.take(2000))
+    val plan = hitsDf.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_bcast_probe"), plan.take(2000))
+    // and the filter bytes must travel as a BROADCAST, not a plan
+    // literal: no binary literal past 1 KB anywhere in the analyzed plan
+    // (a 2^20-gram filter is ~1 MB — embedded, it would ship with every
+    // serialized task)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val bigLits = hitsDf.queryExecution.analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case Literal(v: Array[Byte], BinaryType) if v.length > 1024 => v.length
+      })
+    }.flatten
+    assert(bigLits.isEmpty, s"plan embeds binary literal(s) of size $bigLits")
     // empty benchmark: nothing can hit, everything survives
     val emptyBench = bench.filter($"doc_id" < 0L)
     assert(TextAnalysis.contaminationHitsBloom(
