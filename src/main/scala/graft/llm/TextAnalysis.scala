@@ -286,12 +286,16 @@ object TextAnalysis {
     val wc = base.select(col(idCol), posexplode(col("hs")).as(Seq("pos", "h")))
     val starts = wc.join(broadcast(benchGrams), "h")
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("starts"))
-    val kept = org.apache.spark.sql.functions.filter(col("toks"),
-      (t, i) => !exists(col("starts"), s => i >= s && i < s + lit(n)))
+    // native O(tokens + starts) coverage sweep (graft.functions
+    // .CoverageKeep) — a higher-order exists() here rescans the start
+    // list per token, quadratic on a fully-quoted document
+    val kept = graft.functions.CoverageF.coverageKeep(
+      col("toks"), col("starts"), n)
     base.join(starts, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("starts").isNull, array_join(col("toks"), " "))
-          .otherwise(array_join(kept, " ")).as("clean_text"),
+        // coalesce matches the oracle's NULL-text rendering ('' text)
+        coalesce(when(col("starts").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(kept, " ")), lit("")).as("clean_text"),
         when(col("starts").isNull, size(col("toks")))
           .otherwise(size(kept)).cast("long").as("n_kept"))
   }
@@ -479,13 +483,13 @@ object TextAnalysis {
       .filter(col("tot") > 1).select(col("h"))
     val starts = wc.join(dup, "h")
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("starts"))
-    val kept = org.apache.spark.sql.functions.filter(col("toks"),
-      (t, i) => !exists(col("starts"),
-        s => i >= s && i < s + lit(w)))
+    // native O(tokens + starts) coverage sweep — see scrubContamSpans
+    val kept = graft.functions.CoverageF.coverageKeep(
+      col("toks"), col("starts"), w)
     base.join(starts, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("starts").isNull, array_join(col("toks"), " "))
-          .otherwise(array_join(kept, " ")).as("clean_text"),
+        coalesce(when(col("starts").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(kept, " ")), lit("")).as("clean_text"),
         when(col("starts").isNull, size(col("toks")))
           .otherwise(size(kept)).cast("long").as("n_kept"))
   }

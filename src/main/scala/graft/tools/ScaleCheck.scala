@@ -83,6 +83,23 @@ object ScaleCheck {
       big.unpersist()
     }
 
+    // pathological span-scrub probe: fully self-repeated long documents
+    // (starts ≈ tokens ≈ 3·10⁴ per row). The higher-order coverage
+    // rebuild this replaced was O(tokens × starts) ≈ 10⁹ comparisons per
+    // row; the native two-pointer sweep (CoverageKeep) must keep the
+    // whole 64-row frame sub-second. Every window repeats, so every
+    // token is covered: kept must be exactly 0.
+    {
+      import spark.implicits._
+      val longDoc = Seq.fill(30000)("tok").mkString(" ")
+      val patho = (0L until 64L).map(i => (i, longDoc)).toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val kept = graft.llm.TextAnalysis.removeDupSpans(patho, "doc_id", "text", 16)
+        .agg(sum("n_kept")).head().getLong(0)
+      println(f"[scale] patho_span_scrub ${(System.nanoTime() - t0) / 1e9}%8.2f s  kept=$kept")
+      require(kept == 0L, s"pathological scrub must cover every token, kept=$kept")
+    }
+
     // ---- embedding family: planted near-dup multiplicity ----
     // copy c of each vector shifts ids and nudges the first component by
     // c·0.001, so the mult copies of one base vector form a mutual

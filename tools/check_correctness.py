@@ -53,9 +53,11 @@ def main(sf_dir, out_dir):
         try:
             g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
             w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
-        except TypeError as e:
-            # e.g. None next to str in a sort key — a real compare-side
-            # divergence (the driver's pandas sort dies the same way)
+        except (TypeError, ValueError) as e:
+            # TypeError: None next to str in a sort key; ValueError:
+            # numpy-array/list cells with ambiguous truth value during
+            # tuple comparison — both are real compare-side divergences
+            # (the driver's pandas sort dies the same way)
             print(f"FAIL {name}: unsortable mixed-type column ({e})")
             n_fail += 1; continue
         if len(g) != len(w):
