@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args = query names to bench (local iteration); the driver
+    // runs with no args = the full board
+    val only = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +31,9 @@ object Bench {
     // pass re-plans the same query with JIT/codegen caches hot, isolating
     // execution cost from one-time compile overhead
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -68,6 +73,28 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] /tmp/bench.json write failed: ${e.getMessage}") }
+    // the driver's artifact capture keeps only the output TAIL, which has
+    // truncated away cold totals in past rounds — persist the UNTRUNCATED
+    // record into the repo as BENCH_SUMMARY_r{N}.json (N = current round,
+    // inferred from the driver's committed per-round artifacts) so every
+    // round's full board is recoverable. Full-board runs only: a filtered
+    // local iteration must not overwrite the round's artifact.
+    if (only.isEmpty) {
+      try {
+        val repo = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+        val rounds = Option(repo.list()).getOrElse(Array.empty[String])
+          .flatMap { f =>
+            "^(?:BENCH|CORRECTNESS|VERDICT)_r(\\d+)\\.(?:json|md)$".r
+              .findFirstMatchIn(f).map(_.group(1).toInt)
+          }
+        val round = if (rounds.isEmpty) 0 else rounds.max + 1
+        java.nio.file.Files.write(
+          repo.toPath.resolve(s"BENCH_SUMMARY_r$round.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
+    }
     println(line)
   }
 }

@@ -184,12 +184,18 @@ object SparkEntry {
       // parquet timestamp[us] across testdata generations — normalize
       // to epoch ns (session tz is UTC, matching DuckDB's epoch_ns)
       val ev = t(s, dir, "events")
-      val ns = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => col("ts")
-        case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      // all-integer windowing: `div` on the raw epoch count instead of
+      // scale-to-ns -> cast-to-double -> FLOOR -> cast-to-long (that
+      // chain cost ~1 µs/row — the r10 5× warm regression). For the
+      // epochs in play (positive; minute boundaries exactly
+      // representable) truncating `div` ≡ the oracle's floor().
+      val w = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("ts div 60000000000")                        // epoch ns
+        case _ =>
+          expr("unix_micros(cast(ts as timestamp)) div 60000000") // µs
       }
-      ev.groupBy(floor(ns / lit(60000000000L)).cast("long").as("w"),
-          col("event_type").as("key"))
+      ev.groupBy(w.as("w"), col("event_type").as("key"))
         .agg(count(lit(1)).as("n"))
     }),
     "bbox_extent" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
