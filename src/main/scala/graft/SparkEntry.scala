@@ -607,6 +607,24 @@ object SparkEntry {
         s"$dir#ann_lsh_topk", q, minCos = 0.99, nBits = 8,
         partitionBits = 4)
     }),
+    // the IVF range sibling: probes the query's nprobe nearest lists and
+    // exact-verifies the threshold. SHARES ann_ivf_topk's cache key and
+    // params — one build serves top-k and range, completing the
+    // (top-k | range) × (lsh | ivf) indexed serving matrix.
+    "ann_ivf_range" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.ivfRangeIndexed(corpus, "vec_id", "embedding",
+        s"$dir#ann_ivf_topk", q, minCos = 0.99)
+    }),
+    // indexed RANGE serving through the DFL front door: the annRange
+    // stage's 'lsh' method dispatch against the same planted corpus —
+    // build-once/probe-many keyed by the pipeline's canonicalized plan,
+    // exactly like dfl_ann_ivf for top-k.
+    "dfl_ann_range" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      DflFrame.pipeline(corpus,
+        "annRange(@, '@vec_id', '@embedding', $q, 0.99, 'lsh')", Map("q" -> q))
+    }),
     "ann_lsh_append" -> ((s, dir) => {
       // the APPEND lifecycle under the hard oracle: build the LSH index
       // over a corpus PREFIX, lshAppend the remainder (planted clique
@@ -1194,18 +1212,15 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |  FROM documents WHERE doc_id < 10000""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
-    "ann_lsh_range" ->
-      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-        |planted AS (SELECT 100000 + r AS vec_id, q.embedding
-        |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
-        |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
-        |          UNION ALL SELECT vec_id, embedding FROM planted)
-        |SELECT a.vec_id AS id,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM all_v a, q
-        | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                    CAST(q.embedding AS DOUBLE[])), 6) >= 0.99""".stripMargin,
+    "ann_lsh_range" -> annPlantedRangeSql,
+    // the IVF range probe reads the query's nprobe nearest lists — the
+    // planted clique sits in the rank-0 list (bit-identical vectors), so
+    // it is always probed and the exact verify makes the brute-force
+    // range the oracle (no natural vector reaches 0.99)
+    "ann_ivf_range" -> annPlantedRangeSql,
+    // the DFL annRange 'lsh' stage runs the same indexed range probe
+    // over the same planted construction — same oracle
+    "dfl_ann_range" -> annPlantedRangeSql,
     // build-on-prefix + append-the-rest probes the SAME grown corpus the
     // full build would (lshAppend ≡ rebuild by construction), so the
     // full-corpus brute force is its oracle too
@@ -1276,6 +1291,24 @@ object SparkEntry {
       |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
       |  FROM all_v a, q
       | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
+
+  /** Brute-force cosine RANGE (threshold 0.99) over the same planted
+    * construction — the shared oracle of every indexed range probe
+    * (lsh / ivf / DFL): the clique is a guaranteed candidate (Hamming 0
+    * / rank-0 list) and no natural vector reaches 0.99, so the exact
+    * verify makes the probed answer equal the full brute force. */
+  private val annPlantedRangeSql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT 100000 + r AS vec_id, q.embedding
+      |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted)
+      |SELECT a.vec_id AS id,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM all_v a, q
+      | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) >= 0.99""".stripMargin
 
   /** CTE chain computing exact word-3-gram Jaccard pairs ≥ 0.8 over a
     * source relation with (doc_id, text) — reused by the pair, survivor,

@@ -555,7 +555,7 @@ object DflFrame {
         // domain rebalancing (Sampling.temperatureMix): per-domain keep
         // fraction (n_min/n_d)^(1-alpha), id-keyed deterministic hash.
         // Needs whole-dataset counts → fenced out of stream mode.
-        if (args.size > 5) throw new DflParseException(
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
           "mix takes (@, id, domain, alpha[, seed])")
         val alpha = numArg(3)
         val seed = if (args.size > 4) numArg(4).toLong else 0L
@@ -678,16 +678,47 @@ object DflFrame {
           .withColumnRenamed("__gid", "id")
 
       case "annRange" =>
-        // `annRange(@, '@id', '@vec', $query, minCos)` — exact cosine
-        // RANGE search (every id at or above the threshold): one
-        // map-only scoring scan, no ordering, no limit
-        if (args.size > 5) throw new DflParseException(
-          "annRange takes exactly (@, id, vec, query, minCos)")
+        // `annRange(@, '@id', '@vec', $query, minCos[, method[, tuning]])`
+        // — cosine RANGE search (every id at or above the threshold),
+        // mirroring annTopK's method dispatch. method: exact (default,
+        // one map-only scoring scan, no ordering, no limit), ivf | lsh
+        // (the same build-once/probe-many cached-index lifecycles as
+        // annTopK — a corpus served for top-k and range shares ONE
+        // build; precision exact via the verify filter, recall bounded
+        // by probed lists / the Hamming ball). `tuning`: ivf → nprobe,
+        // lsh → slackBits (the range probe's radius slack).
         val rq = vecArg(3)
         val minCos = numArg(4)
-        graft.llm.Similarity.bruteForceRange(
-          df.select(subCol(1).as("id"), subCol(2).as("v")), "id", "v",
-          rq, minCos)
+        val rMethod = if (args.size > 5) strArg(5) else "exact"
+        val rBase = df.select(subCol(1).as("id"), subCol(2).as("v"))
+        if (rMethod == "exact" && args.size > 6)
+          throw new DflParseException("annRange 'exact' takes no tuning argument")
+        if (args.size > 7)
+          throw new DflParseException(
+            "annRange takes at most (@, id, vec, query, minCos, method, tuning)")
+        rMethod match {
+          case "exact" =>
+            graft.llm.Similarity.bruteForceRange(rBase, "id", "v", rq, minCos)
+          case "ivf" =>
+            val nprobe = if (args.size > 6) intArg(6) else 8
+            if (dflIndexable(rBase))
+              graft.llm.Similarity.ivfRangeIndexed(
+                rBase, "id", "v", dflCorpusKey(rBase, "ivf"), rq, minCos,
+                nprobe = nprobe)
+            else // in-memory corpus: ad-hoc, never a schema-keyed cache
+              graft.llm.Similarity.ivfRangeAdhoc(rBase, "id", "v", rq, minCos,
+                nprobe = nprobe)
+          case "lsh" =>
+            val slack = if (args.size > 6) intArg(6) else 4
+            if (dflIndexable(rBase))
+              graft.llm.Similarity.lshRangeIndexed(
+                rBase, "id", "v", dflCorpusKey(rBase, "lsh"), rq, minCos,
+                slackBits = slack)
+            else
+              graft.llm.Similarity.lshRangeAdhoc(rBase, "id", "v", rq, minCos,
+                slackBits = slack)
+          case other => throw new DflParseException(s"unknown annRange method $other")
+        }
 
       case "annTopK" =>
         // `annTopK(@, '@id', '@vec', $query, k[, method[, tuning]])` —

@@ -973,6 +973,54 @@ object Similarity {
     rerank(idx.vectors.filter(col("list").isin(probeLists: _*)), query, k)
   }
 
+  /** Indexed cosine RANGE search against a built IVF index: every id with
+    * `cos >= minCos` among the `nprobe` nearest lists — the IVF sibling
+    * of [[lshRange]], completing the serving matrix (top-k / range ×
+    * brute / ivf / lsh). The probe reads only its lists via partition
+    * pruning and EXACT-verifies the threshold on the candidates, so
+    * precision is exact and recall is bounded by the probed lists (a
+    * neighbor assigned to an unprobed list is missed — the same recall
+    * contract as [[ivfQuery]], tuned by the same `nprobe` knob;
+    * `nprobe = kLists` degenerates to the exact full scan). Unlike the
+    * top-k probe there is no heap and no aggregation: one map-only
+    * filter scan of the pruned read, so serving cost tracks
+    * `nprobe/kLists` of the corpus regardless of how many rows pass. */
+  def ivfRange(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               query: Seq[Double], minCos: Double, nprobe: Int = 8): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfRange: minCos must be in (-1, 1], got $minCos")
+    val idx = ivfMeta(spark, indexDir)
+    require(query.size == idx.centroids.head.length,
+      s"ivfRange: query dim ${query.size} != index dim ${idx.centroids.head.length}")
+    val probeLists = nearestLists(idx.centroids, query.toArray, nprobe)
+    val qLit = array(query.map(lit): _*)
+    idx.vectors.filter(col("list").isin(probeLists: _*))
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
+  /** Ad-hoc (index-less) IVF range search for IN-MEMORY corpora: train
+    * the coarse quantizer (deterministic, as [[ivfTopK]]), assign in the
+    * same plan, keep the `nprobe` nearest lists, exact-verify the
+    * threshold. One full corpus pass per call — a serving path should
+    * [[ivfBuild]] once and [[ivfRange]] against the pruned layout.
+    * Same probed-lists recall contract as [[ivfRange]] at equal params. */
+  def ivfRangeAdhoc(df: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Double], minCos: Double, kLists: Int = 16,
+                    nprobe: Int = 8, trainSample: Int = 2048): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfRangeAdhoc: minCos must be in (-1, 1], got $minCos")
+    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    val probeLists = nearestLists(centroids, query.toArray, nprobe)
+    val qLit = array(query.map(lit): _*)
+    ivfAssign(df, idCol, vecCol, centroids)
+      .filter(col("list").isin(probeLists: _*))
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   /** QUERY a built IVF index with a BATCH of query vectors in ONE pruned
     * corpus pass — the indexed serving shape for query streams: one read
     * over the UNION of all queries' probe lists, each vector scored
@@ -1339,6 +1387,21 @@ object Similarity {
     ivfQueryBatch(df.sparkSession, dir, queries, k, nprobe)
   }
 
+  /** [[ivfRange]] through the same fingerprint-fenced cached-index
+    * lifecycle as [[ivfTopKIndexed]] — identical params string, so a
+    * corpus served for top-k and range probes shares ONE build (the
+    * lsh twin is [[lshRangeIndexed]]). */
+  def ivfRangeIndexed(df: DataFrame, idCol: String, vecCol: String,
+                      cacheKey: String, query: Seq[Double], minCos: Double,
+                      kLists: Int = 16, nprobe: Int = 8,
+                      trainSample: Int = 2048): DataFrame = {
+    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample); ()
+    }
+    ivfRange(df.sparkSession, dir, query, minCos, nprobe)
+  }
+
   /** Ad-hoc (index-less) IVF ANN top-k: train, assign, and probe in one
     * plan without materializing an index — for one-shot exploration. A
     * serving path should [[ivfBuild]] once and [[ivfQuery]] per query
@@ -1667,6 +1730,31 @@ object Similarity {
     val radius = math.min(idx.nBits, math.ceil(expected).toInt + slackBits)
     val qLit = array(query.map(lit): _*)
     prunedCandidates(idx.vectors, idx, qSig, radius, maxEnumBuckets)
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
+  /** Ad-hoc (index-less) LSH range search for IN-MEMORY corpora: one
+    * corpus pass computing signatures in-plan, a Hamming-radius filter
+    * derived by the SAME collision-geometry rule as [[lshRange]]
+    * (`ceil(nBits·acos(minCos)/π) + slackBits`), then the exact verify.
+    * Identical candidate-inclusion semantics to [[lshRange]] at equal
+    * params — just unpruned; a serving path should [[lshBuild]] once
+    * and probe the partition-pruned layout instead. */
+  def lshRangeAdhoc(df: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Double], minCos: Double, nBits: Int = 16,
+                    slackBits: Int = 4): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"lshRangeAdhoc: minCos must be in (-1, 1], got $minCos")
+    require(slackBits >= 0, s"lshRangeAdhoc: slackBits must be >= 0, got $slackBits")
+    val dim = query.size
+    val qSig = querySignature(query, hyperplanes(nBits, dim))
+    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val radius = math.min(nBits, math.ceil(expected).toInt + slackBits)
+    val qLit = array(query.map(lit): _*)
+    lshBuckets(df, idCol, vecCol, nBits, dim)
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= radius)
       .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
       .filter(col("cos").isNotNull && !isnan(col("cos")) &&
         col("cos") >= minCos)

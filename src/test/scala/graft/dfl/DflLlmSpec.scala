@@ -126,7 +126,7 @@ class DflLlmSpec extends AnyFunSuite {
     assert(bloom == exact && bloom.nonEmpty)
   }
 
-  test("annRange(@) matches the Scala API and rejects extra args") {
+  test("annRange(@) matches the Scala API, dispatches methods, rejects bad args") {
     import spark.implicits._
     val q = emb.filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
@@ -139,8 +139,24 @@ class DflLlmSpec extends AnyFunSuite {
     assert(dfl == api && dfl.nonEmpty)
     // the query vector itself is in range at cos 1.0
     assert(dfl.exists(_._1 == 0L))
+    // explicit 'exact' is the same path
+    val dflExplicit = DflFrame.pipeline(emb,
+        "annRange(@, '@vec_id', '@embedding', $q, 0.5, 'exact')", Map("q" -> q))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(dflExplicit == api)
+    // indexed methods: precision is EXACT (results ⊆ brute force) and
+    // the query's own row (Hamming 0 / rank-0 list) is always recalled
+    Seq("lsh", "ivf").foreach { m =>
+      val got = DflFrame.pipeline(emb,
+          s"annRange(@, '@vec_id', '@embedding', $$q, 0.5, '$m')", Map("q" -> q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got.subsetOf(api) && got.exists(_._1 == 0L), s"method $m")
+    }
+    // a tuning arg the exact method would ignore is a loud error
     intercept[DflParseException](DflFrame.pipeline(emb,
-      "annRange(@, '@vec_id', '@embedding', $q, 0.5, 'exact')", Map("q" -> q)))
+      "annRange(@, '@vec_id', '@embedding', $q, 0.5, 'exact', 4)", Map("q" -> q)))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRange(@, '@vec_id', '@embedding', $q, 0.5, 'bogus')", Map("q" -> q)))
   }
 
   test("mix(@) matches the Scala API") {

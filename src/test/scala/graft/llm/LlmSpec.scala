@@ -589,6 +589,49 @@ class LlmSpec extends AnyFunSuite {
       Similarity.lshRange(spark, dir, Seq(1.0, 2.0), 0.9))
   }
 
+  test("ivfRange: exact precision, planted clique recalled, full probe degenerates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfrange").toString
+    val dir = s"$root/idx"
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val clique = emb.select($"vec_id", $"embedding").unionByName(planted)
+    Similarity.ivfBuild(clique, "vec_id", "embedding", dir)
+    val got = Similarity.ivfRange(spark, dir, q, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the clique shares the query's rank-0 list: recalled at any nprobe
+    assert((1 to 5).forall(i => got.exists(_._1 == 100000L + i)) &&
+      got.exists(_._1 == 0L))
+    // precision EXACT: results ⊆ the brute-force range at the threshold
+    val brute = Similarity.bruteForceRange(clique, "vec_id", "embedding",
+      q, 0.9).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got.subsetOf(brute))
+    // probing every list degenerates to the exact answer
+    val full = Similarity.ivfRange(spark, dir, q, minCos = 0.9, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(full == brute)
+    // the probe reads its lists via partition pruning, not a corpus scan
+    val plan = Similarity.ivfRange(spark, dir, q, minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list"), plan.take(2000))
+    intercept[IllegalArgumentException](
+      Similarity.ivfRange(spark, dir, Seq(1.0, 2.0), 0.9))
+    intercept[IllegalArgumentException](
+      Similarity.ivfRange(spark, dir, q, minCos = 1.5))
+    // the ad-hoc (index-less) forms obey the same contracts: exact
+    // precision and guaranteed self/clique recall
+    Seq(
+      Similarity.ivfRangeAdhoc(clique, "vec_id", "embedding", q, 0.9),
+      Similarity.lshRangeAdhoc(clique, "vec_id", "embedding", q, 0.9),
+    ).foreach { df =>
+      val s = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(s.subsetOf(brute) && s.exists(_._1 == 0L) &&
+        (1 to 5).forall(i => s.exists(_._1 == 100000L + i)))
+    }
+  }
+
   test("zero-norm and NaN embeddings are excluded from brute-force candidates") {
     // 0.0/0.0 is NaN in non-ANSI mode, and NaN ranks ABOVE every real
     // value in Spark ordering — without the explicit guards an all-zero
