@@ -300,6 +300,14 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) =>
       llm.Sampling.sampleByHash(t(s, dir, "documents"), "doc_id", 0.1, seed = 42)
         .select(col("doc_id"))),
+    // the same sampler over a STRING-keyed projection: the id-typed
+    // bucket dispatch (md5-based hashBucketStr) keeps the deterministic
+    // contract without minting a numeric id first
+    "sample_hash_str" -> ((s, dir) =>
+      llm.Sampling.sampleByHash(
+        t(s, dir, "documents")
+          .select(concat(lit("doc-"), col("doc_id")).as("sid")),
+        "sid", 0.1, seed = 42)),
     "split_hash" -> ((s, dir) =>
       llm.Sampling.splitByHash(t(s, dir, "documents"), "doc_id",
         Seq(0.9, 0.05, 0.05), seed = 7)
@@ -969,6 +977,11 @@ object SparkEntry {
     // Sampling.hashBucketSql) evaluated by DuckDB
     "sample_hash" ->
       s"SELECT doc_id FROM documents WHERE ${llm.Sampling.hashBucketSql("doc_id", 42, 1000000)} < 100000",
+    // the STRING-id sampler: 60 bits of md5(id || '|' || seed), one
+    // formula rendered by hashBucketStrSql for both engines
+    "sample_hash_str" ->
+      s"""SELECT concat('doc-', doc_id) AS sid FROM documents
+         | WHERE ${llm.Sampling.hashBucketStrSql("concat('doc-', doc_id)", 42, 1000000)} < 100000""".stripMargin,
     "dfl_sample" ->
       s"SELECT doc_id FROM documents WHERE ${llm.Sampling.hashBucketSql("doc_id", 42, 1000000)} < 100000",
     "split_hash" ->
@@ -993,7 +1006,8 @@ object SparkEntry {
          |f AS (SELECT c.lang,
          |             CAST(round(1000000 * sqrt(CAST(m.nmin AS DOUBLE) / n), 0) AS BIGINT) AS thr
          |        FROM c, m)
-         |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+         |SELECT d.doc_id, d.lang FROM documents d
+         |  JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
          | WHERE ${llm.Sampling.hashBucketSql("d.doc_id", 11, 1000000)} < f.thr""".stripMargin,
     // the formula lives in Packing.packSequentialSql so the Spark window
     // expression and the oracle SQL can only drift in one file

@@ -41,6 +41,39 @@ object Sampling {
   def hashBucketSql(idExpr: String, seed: Long, buckets: Int): String =
     s"((((($idExpr + $seed) % $M + $M) % $M) * $A) % $M) % $buckets"
 
+  /** Deterministic bucket in [0, buckets) for a STRING id: the top 60
+    * bits (15 hex chars) of `md5(id || '|' || seed)` mod buckets. md5 is
+    * already uniform, so no multiplicative mix is needed; 60 bits keeps
+    * the value inside signed-64 range on both engines. Chosen for exact
+    * cross-engine replay — Spark's `conv(substring(md5(s),1,15),16,10)`
+    * and DuckDB's `CAST('0x' || substring(md5(s),1,15) AS BIGINT)` parse
+    * the identical lowercase hex — so string-keyed corpora get the same
+    * audit-reproducible sampling contract as integer-keyed ones without
+    * minting a numeric id first. */
+  def hashBucketStr(id: Column, seed: Long, buckets: Int): Column = {
+    require(buckets > 0, "hashBucketStr: buckets must be positive")
+    pmod(conv(substring(md5(concat(id, lit("|" + seed))), 1, 15), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+  }
+
+  /** The DuckDB rendering of [[hashBucketStr]] — one formula, two
+    * engines, as [[hashBucketSql]]. */
+  def hashBucketStrSql(idExpr: String, seed: Long, buckets: Int): String =
+    s"CAST(concat('0x', substring(md5($idExpr || '|$seed'), 1, 15)) " +
+      s"AS BIGINT) % $buckets"
+
+  /** The id-typed bucket dispatch every sampler here shares: string ids
+    * hash through [[hashBucketStr]], numeric ids through [[hashBucket]]
+    * (the dedup/cluster family supports string ids — the samplers do
+    * too, with no API change). */
+  private def bucketFor(df: DataFrame, idCol: String, seed: Long,
+                        buckets: Int): Column =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        hashBucketStr(col(idCol), seed, buckets)
+      case _ => hashBucket(col(idCol), seed, buckets)
+    }
+
   /** Keep a deterministic `fraction` of rows keyed by `idCol`.
     * Resolution is 1e-6 (fraction maps to a bucket threshold over 1M
     * buckets). */
@@ -49,7 +82,7 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1,
       s"sampleByHash: fraction must be in [0,1], got $fraction")
     val buckets = 1000000
-    df.filter(hashBucket(col(idCol), seed, buckets) <
+    df.filter(bucketFor(df, idCol, seed, buckets) <
       math.round(fraction * buckets))
   }
 
@@ -63,7 +96,7 @@ object Sampling {
       math.abs(weights.sum - 1.0) < 1e-6,
       s"splitByHash: weights must be non-negative and sum to 1, got $weights")
     val buckets = 1000000
-    val b = hashBucket(col(idCol), seed, buckets)
+    val b = bucketFor(df, idCol, seed, buckets)
     val cuts = weights.scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * buckets))
     val expr = cuts.zipWithIndex.init.foldRight(
@@ -125,14 +158,22 @@ object Sampling {
     val buckets = 1000000
     if (counts.isEmpty) return df
     val nMin = counts.map(_._2).min
+    // correctly-rounded sqrt at the common alpha = 0.5: JVM Math.pow is
+    // only 1-ulp accurate and not guaranteed equal to sqrt, and the
+    // DuckDB oracle's sqrt() IS correctly rounded — a 1-ulp threshold
+    // difference after round() near a .5 boundary would flip membership
+    val ex = 1.0 - alpha
+    def keepFrac(n: Long): Double =
+      if (ex == 0.5) math.sqrt(nMin.toDouble / n)
+      else math.pow(nMin.toDouble / n, ex)
     val thr = counts.map { case (d, n) =>
-      d -> math.round(buckets * math.pow(nMin.toDouble / n, 1.0 - alpha))
+      d -> math.round(buckets * keepFrac(n))
     }
     val thresh = thr.foldRight(lit(0L)) { case ((d, t), els) =>
       when(if (d == null) col(domainCol).isNull else col(domainCol) === d,
         lit(t)).otherwise(els)
     }
-    df.filter(hashBucket(col(idCol), seed, buckets) < thresh)
+    df.filter(bucketFor(df, idCol, seed, buckets) < thresh)
   }
 
   def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
@@ -146,6 +187,6 @@ object Sampling {
       lit(math.round(defaultFraction * buckets))) { case ((k, f), els) =>
       when(col(stratumCol) === k, lit(math.round(f * buckets))).otherwise(els)
     }
-    df.filter(hashBucket(col(idCol), seed, buckets) < thresh)
+    df.filter(bucketFor(df, idCol, seed, buckets) < thresh)
   }
 }

@@ -394,6 +394,39 @@ class LlmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("string-id sampling: same contracts through the md5 bucket dispatch") {
+    import graft.llm.Sampling
+    val sdocs = docs.select(concat(lit("doc-"), $"doc_id").as("sid"), $"lang")
+    // determinism + superset stability, exactly as the numeric path
+    val half = sdocs.filter(substring($"sid", 5, 10).cast("long") < 250)
+    val s1 = Sampling.sampleByHash(half, "sid", 0.2, seed = 9)
+      .select("sid").collect().map(_.getString(0)).toSet
+    val s2 = Sampling.sampleByHash(sdocs, "sid", 0.2, seed = 9)
+      .select("sid").collect().map(_.getString(0)).toSet
+    assert(s1 == s2.filter(_.drop(4).toLong < 250) && s1.nonEmpty)
+    val n = sdocs.count().toDouble
+    assert(math.abs(s2.size / n - 0.2) < 0.08, s"rate ${s2.size / n}")
+    assert(Sampling.sampleByHash(sdocs, "sid", 0.2, seed = 10)
+      .select("sid").collect().map(_.getString(0)).toSet != s2)
+    // splits partition string-keyed rows too
+    val splits = Sampling.splitByHash(sdocs, "sid", Seq(0.9, 0.05, 0.05), seed = 7)
+      .groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set(0, 1, 2)) && splits.values.sum == n.toLong)
+    assert(splits(0) > 0.8 * n)
+    // temperatureMix over a string-keyed corpus: smallest domain whole
+    val counts = sdocs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy(_._2)._1
+    val mixed = Sampling.temperatureMix(sdocs, "sid", "lang", 0.5, seed = 11)
+    assert(mixed.filter($"lang" === minLang).count() == counts(minLang))
+    assert(mixed.count() < n.toLong)
+    // still a row-local pushed-down filter, no exchange
+    val plan = Sampling.sampleByHash(sdocs, "sid", 0.1).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("temperatureMix: smallest domain kept whole, shares flatten, deterministic") {
     import graft.llm.Sampling
     val counts = docs.groupBy("lang").count().collect()
