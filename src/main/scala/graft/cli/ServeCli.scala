@@ -16,6 +16,9 @@ import graft.streaming.StreamRunner
   * Usage:
   *   runMain graft.cli.ServeCli
   *     --index-dir DIR [--method lsh|ivf] [--k N] [--tuning N]
+  *     [--min-cos T]  (RANGE mode: serve every id at cos >= T instead of
+  *                     top-k; tuning re-keys to lsh → slackBits,
+  *                     ivf → nprobe)
   *     [--qid-col qid] [--vec-col vec]
   *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]
@@ -42,6 +45,7 @@ object ServeCli {
       qidCol: String = "qid", vecCol: String = "vec",
       indexDir: String = "", method: String = "lsh",
       k: Int = 10, tuning: Option[Int] = None,
+      minCos: Option[Double] = None,
       outputUri: String = "", outputFormat: String = "jsonl",
       checkpoint: String = "", once: Boolean = false,
       catalogPath: String = "", queriesDatastore: String = "",
@@ -63,6 +67,7 @@ object ServeCli {
         case "--method"            => c = c.copy(method = a.value())
         case "--k"                 => c = c.copy(k = a.value().toInt)
         case "--tuning"            => c = c.copy(tuning = Some(a.value().toInt))
+        case "--min-cos"           => c = c.copy(minCos = Some(a.value().toDouble))
         case "--output-uri"        => c = c.copy(outputUri = a.value())
         case "--output-format"     => c = c.copy(outputFormat = a.value())
         case "--checkpoint"        => c = c.copy(checkpoint = a.value())
@@ -135,7 +140,7 @@ object ServeCli {
         kLists = c.buildKLists)
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
-      c.outputUri, c.outputFormat, c.checkpoint, c.once)
+      c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos)
   }
 
   def main(args: Array[String]): Unit = {

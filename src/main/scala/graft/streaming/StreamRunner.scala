@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import graft.dfl.DflFrame
 
@@ -286,10 +286,11 @@ object StreamRunner {
                indexDir: String, k: Int, method: String = "lsh",
                tuning: Option[Int] = None,
                options: Map[String, String] = Map.empty,
-               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+               minCos: Option[Double] = None)
               (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     annServeBatches(queries, qidCol, vecCol, indexDir, k, method, tuning,
-      options, trigger)((answer, _) => sink(answer))
+      options, trigger, minCos)((answer, _) => sink(answer))
 
   /** [[annServe]] with the micro-batch id handed to the sink — the hook an
     * idempotent sink needs: a stream restarted from its checkpoint may
@@ -301,9 +302,19 @@ object StreamRunner {
                indexDir: String, k: Int, method: String = "lsh",
                tuning: Option[Int] = None,
                options: Map[String, String] = Map.empty,
-               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+               minCos: Option[Double] = None)
               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
+    // RANGE serving: `minCos = Some(t)` answers every id at `cos >= t`
+    // instead of the top-k (k is ignored). Each query in the micro-batch
+    // becomes its own pruned probe — lshRange's Hamming ball / ivfRange's
+    // nprobe lists — and the per-query frames union into ONE (qid, id,
+    // cos) answer plan per batch: still a single Spark job, each leg
+    // reading only its ball/lists. `tuning` re-keys to the range probes'
+    // knob: lsh → slackBits, ivf → nprobe (as the DFL annRange stage).
+    minCos.foreach(t => require(t > -1.0 && t <= 1.0,
+      s"annServe: minCos must be in (-1, 1], got $t"))
     // `options` passes writeStream options through — set
     // `checkpointLocation` for a recoverable serving stream (without it a
     // restart re-reads and re-answers every historical query); `trigger`
@@ -352,8 +363,18 @@ object StreamRunner {
                   s"$dim != index dim $expectDim (qids " +
                   s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
               else {
-                val answer = method match {
-                  case "lsh" => graft.llm.Similarity.lshQueryBatch(
+                val answer = (method, minCos) match {
+                  case ("lsh", Some(t)) => group.map { case (qid, qv) =>
+                    graft.llm.Similarity.lshRange(batch.sparkSession,
+                        indexDir, qv, t, slackBits = tuning.getOrElse(4))
+                      .select(lit(qid).as("qid"), col("id"), col("cos"))
+                  }.reduce(_ unionByName _)
+                  case (_, Some(t)) => group.map { case (qid, qv) =>
+                    graft.llm.Similarity.ivfRange(batch.sparkSession,
+                        indexDir, qv, t, nprobe = tuning.getOrElse(8))
+                      .select(lit(qid).as("qid"), col("id"), col("cos"))
+                  }.reduce(_ unionByName _)
+                  case ("lsh", None) => graft.llm.Similarity.lshQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
                   case _ => graft.llm.Similarity.ivfQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
@@ -413,7 +434,8 @@ object StreamRunner {
                   qidCol: String, vecCol: String, indexDir: String,
                   method: String, k: Int, tuning: Option[Int],
                   outUri: String, outFormat: String, checkpoint: String,
-                  once: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+                  once: Boolean, minCos: Option[Double] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"annServeJob: output format must be jsonl or parquet, got $outFormat")
     // csv/tsv would carry the query vector as a STRING column, which the
@@ -439,7 +461,8 @@ object StreamRunner {
       else None
     val queries = readStream(spark, queriesUri, format, schema)
     val q = annServeBatches(queries, qidCol, vecCol, indexDir, k, method,
-      tuning, options = Map("checkpointLocation" -> checkpoint)) {
+      tuning, options = Map("checkpointLocation" -> checkpoint),
+      minCos = minCos) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

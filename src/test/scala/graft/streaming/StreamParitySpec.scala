@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.dfl.DflFrame
 import graft.io.DataStoreIO
+import org.apache.spark.sql.functions.{col, explode, lit, sequence}
 import java.nio.file.Files
 
 /** SURVEY.md §5.5: the same DFL pipeline in batch and stream mode must
@@ -282,6 +283,71 @@ class StreamParitySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(ivfAnswers.get(qid).contains(direct), s"ivf query $qid")
     }
+  }
+
+  test("serve-ann RANGE mode: jsonl queries in, threshold answers out") {
+    // planted clique makes the expected range answer closed-form: 5
+    // copies of vec 0 at +100000 sit at Hamming 0 / the rank-0 list, so
+    // the 0.9-threshold probe provably returns them plus vec 0 itself
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val clique = emb.unionByName(planted)
+    val idxDir = Files.createTempDirectory("graft-rangeserve").toString + "/idx"
+    graft.llm.Similarity.lshBuild(clique, "vec_id", "embedding", idxDir,
+      nBits = 16, dim = 64)
+    val qrows = emb.filter($"vec_id" < 2).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qdir = Files.createTempDirectory("graft-rangeserve-q").toString
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+    val outDir = Files.createTempDirectory("graft-rangeserve-o").toString
+    val ckpt = Files.createTempDirectory("graft-rangeserve-c").toString
+    // the full product surface: jsonl in, jsonl batch-keyed answers out
+    StreamRunner.annServeJob(spark, qdir, "jsonl", "qid", "vec", idxDir,
+      "lsh", k = 5, tuning = None, outDir, "jsonl", ckpt, once = true,
+      minCos = Some(0.9))
+    val got = spark.read.json(s"$outDir/batch-*")
+      .select("qid", "id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // answers == a direct lshRange probe per query (k played no part)
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Similarity.lshRange(spark, idxDir, vec, 0.9)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got.getOrElse(qid, Set.empty) == direct, s"lsh range query $qid")
+    }
+    // the planted clique is fully served for its query
+    assert((1 to 5).forall(i => got(0L).exists(_._1 == 100000L + i)))
+    // the ivf leg of the same mode, through the in-process surface
+    val ivfDir = Files.createTempDirectory("graft-rangeserve-ivf").toString + "/idx"
+    graft.llm.Similarity.ivfBuild(clique, "vec_id", "embedding", ivfDir,
+      kLists = 8, trainSample = 256)
+    val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+    val answers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamRunner.annServe(stream, "qid", "vec", ivfDir, 5,
+      method = "ivf", tuning = Some(4), minCos = Some(0.9)) { out =>
+      answers.synchronized {
+        answers ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    val ivfGot = answers.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Similarity.ivfRange(spark, ivfDir, vec, 0.9,
+        nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ivfGot.getOrElse(qid, Set.empty) == direct, s"ivf range query $qid")
+    }
+    // a bad threshold is rejected before any stream starts
+    intercept[IllegalArgumentException](
+      StreamRunner.annServe(stream, "qid", "vec", ivfDir, 5,
+        minCos = Some(1.5)) { _ => () })
   }
 
   test("annServe propagates non-dim probe failures instead of swallowing them") {
