@@ -1884,6 +1884,89 @@ class LlmSpec extends AnyFunSuite {
       "replayed append double-appended after retrain")
   }
 
+  test("full ops loop: build → 3 appends → compact → GC → probes equal a fresh rebuild") {
+    // the complete operational lifecycle under ONE test, probing after
+    // every maintenance step against the ground truth of a fresh
+    // full-corpus rebuild at identical params
+    val base = java.nio.file.Files.createTempDirectory("graft-opsloop").toString
+    val keyH = "e" * 16
+    val dir = s"$base/idx-$keyH-${"f" * 16}"
+    val corpus = emb.select($"vec_id", $"embedding")
+    Similarity.lshBuild(corpus.filter($"vec_id" < 200), "vec_id", "embedding",
+      dir, nBits = 8, dim = 64, partitionBits = 4)
+    Seq((200L, 300L, "op1"), (300L, 400L, "op2"), (400L, 500L, "op3")).foreach {
+      case (lo, hi, id) =>
+        Similarity.lshAppend(
+          corpus.filter($"vec_id" >= lo && $"vec_id" < hi),
+          "vec_id", "embedding", dir, appendId = Some(id))
+    }
+    val st = Similarity.compactIndex(spark, dir, "lsh")
+    assert(st.filesAfter < st.filesBefore)
+    // retention: a superseded same-key generation is swept, the live
+    // index survives and keeps answering
+    val stale = s"$base/idx-$keyH-${"0" * 16}"
+    new java.io.File(s"$stale/vectors").mkdirs()
+    // retention is mtime-ordered newest-first: backdate the superseded
+    // generation so the live index is the kept one
+    new java.io.File(stale)
+      .setLastModified(System.currentTimeMillis() - 86400000L)
+    val rep = graft.tools.IndexGc.sweep(spark, base, keepPerKey = 1)
+    assert(!new java.io.File(stale).exists(), "stale generation must be swept")
+    assert(new java.io.File(s"$dir/vectors").isDirectory)
+    assert(rep.deleted.exists(_.endsWith("0" * 16)) &&
+      rep.kept.exists(_.endsWith("f" * 16)), s"$rep")
+    // ground truth: one fresh build over the whole corpus, same params.
+    // lshAppend ≡ rebuild (fixed seeded planes) and compaction preserves
+    // the row multiset, so EVERY probe — top-k and range — must match
+    // probe-for-probe
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-opsloop-fresh").toString + "/idx"
+    Similarity.lshBuild(corpus, "vec_id", "embedding", freshDir,
+      nBits = 8, dim = 64, partitionBits = 4)
+    Seq(5L, 250L, 499L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid).select($"embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      def topk(d: String) = Similarity.lshQuery(spark, d, q, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def range(d: String) = Similarity.lshRange(spark, d, q, 0.9)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(topk(dir) == topk(freshDir), s"topk diverged for qid $qid")
+      assert(range(dir) == range(freshDir), s"range diverged for qid $qid")
+    }
+
+    // the IVF leg: frozen-centroid appends are approximate in general,
+    // so equality is asserted on the planted-clique construction whose
+    // answer is provable under both the appended and the fresh quantizer
+    // (clique rows are bit-identical to the query → its rank-0 list)
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val clique = corpus.unionByName(planted)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-opsloop-ivf").toString + "/idx"
+    Similarity.ivfBuild(clique.filter($"vec_id" < 250), "vec_id", "embedding",
+      ivfDir)
+    Seq((250L, 375L, "ov1"), (375L, 100000L, "ov2"),
+        (100000L, Long.MaxValue, "ov3")).foreach { case (lo, hi, id) =>
+      Similarity.ivfAppend(
+        clique.filter($"vec_id" >= lo && $"vec_id" < hi),
+        "vec_id", "embedding", ivfDir, appendId = Some(id))
+    }
+    assert(Similarity.compactIndex(spark, ivfDir, "ivf").filesAfter <
+      Similarity.indexFileStats(spark, ivfDir)._1 + 1) // compacted, sane
+    val freshIvf = java.nio.file.Files
+      .createTempDirectory("graft-opsloop-ivffresh").toString + "/idx"
+    Similarity.ivfBuild(clique, "vec_id", "embedding", freshIvf)
+    def ivfTop(d: String) = Similarity.ivfQuery(spark, d, q0, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (ops, fresh) = (ivfTop(ivfDir), ivfTop(freshIvf))
+    assert(ops == fresh, s"ivf ops-loop probe diverged: $ops vs $fresh")
+    assert(ops.map(_._1).toSet == (Set(0L) ++ (1 to 9).map(_ + 100000L)),
+      s"planted clique must fill the top-10, got $ops")
+  }
+
   // ---------- index retention (IndexGc) ----------
 
   test("IndexGc: rebuilds and threshold retrains keep the newest N dirs; stranded staging swept, orphan .old restored") {
