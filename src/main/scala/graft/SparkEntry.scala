@@ -705,6 +705,33 @@ object SparkEntry {
       llm.Similarity.ivfTopKBatchIndexed(corpus,
         "vec_id", "embedding", s"$dir#ann_ivf_batch", queries, 10)
     }),
+    // batched RANGE against the same cached IVF index (shared key and
+    // params with ann_ivf_batch — one build serves top-k and range): one
+    // union-of-nprobe-lists read, per-query membership filter, exact
+    // threshold verify, no aggregation at all
+    "ann_ivf_range_batch" -> ((s, dir) => {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      llm.Similarity.ivfRangeBatchIndexed(corpus,
+        "vec_id", "embedding", s"$dir#ann_ivf_batch", queries, minCos = 0.99)
+    }),
+    // the LSH twin: union-of-Hamming-balls pruned read at the
+    // threshold-derived radius; the bit-identical planted cliques sit at
+    // Hamming 0, so recall is guaranteed and brute force is the oracle
+    "ann_lsh_range_batch" -> ((s, dir) => {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      llm.Similarity.lshRangeBatchIndexed(corpus,
+        "vec_id", "embedding", s"$dir#ann_lsh_range_batch", queries,
+        minCos = 0.99, nBits = 8, partitionBits = 4)
+    }),
+    // batched range serving through the DFL front door ('lsh' dispatch,
+    // ad-hoc-vs-indexed resolution exactly as annTopKBatch)
+    "dfl_ann_range_batch" -> ((s, dir) => {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      val qs: Seq[Seq[Any]] = queries.map { case (id, v) => Seq[Any](id, v) }
+      DflFrame.pipeline(corpus,
+        "annRangeBatch(@, '@vec_id', '@embedding', $qs, 0.99, 'lsh')",
+        Map("qs" -> qs))
+    }),
     "dfl_ann_batch" -> ((s, dir) => {
       // the BATCHED indexed serving shape through the DFL front door:
       // identical planted construction to ann_ivf_batch, but the probe
@@ -1252,6 +1279,11 @@ object SparkEntry {
     // the DFL annTopKBatch 'ivf' stage runs the same indexed batch probe
     // over the same per-query planted construction — same oracle
     "dfl_ann_batch" -> annBatchPlantedSql,
+    // batched indexed range probes: brute-force range over the same
+    // per-query planted construction (guaranteed recall + exact verify)
+    "ann_ivf_range_batch" -> annBatchPlantedRangeSql,
+    "ann_lsh_range_batch" -> annBatchPlantedRangeSql,
+    "dfl_ann_range_batch" -> annBatchPlantedRangeSql,
     "ann_topk_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |scored AS (
@@ -1289,6 +1321,24 @@ object SparkEntry {
       |    FROM all_v v, qs q)
       |SELECT qid, id, cos FROM scored
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin
+
+  /** Brute-force cosine RANGE (threshold 0.99) over the per-query
+    * planted-clique construction — the shared oracle of the batched
+    * indexed range probes (each query's clique at cosine 1.0 is a
+    * guaranteed candidate; no natural pair reaches 0.99, and the exact
+    * verify bounds precision). */
+  private val annBatchPlantedRangeSql: String =
+    """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |planted AS (SELECT 100000 + q.qid * 100 + r AS vec_id, q.qv AS embedding
+      |              FROM qs q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted),
+      |scored AS (
+      |  SELECT q.qid, v.vec_id AS id,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
+      |    FROM all_v v, qs q)
+      |SELECT qid, id, cos FROM scored WHERE cos >= 0.99""".stripMargin
 
   /** Brute-force top-10 over the single-query planted-clique construction
     * — the provable expected output of the single-query approximate ANN

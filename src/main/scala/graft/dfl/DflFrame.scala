@@ -102,6 +102,7 @@ object DflFrame {
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "annTopK", "annTopKBatch", "annRange",
+      "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf")
@@ -763,6 +764,48 @@ object DflFrame {
               graft.llm.Similarity.lshTopK(base, "id", "v", q, k,
                 minCandidates = minCands)
           case other => throw new DflParseException(s"unknown annTopK method $other")
+        }
+
+      case "annRangeBatch" =>
+        // `annRangeBatch(@, '@id', '@vec', $queries, minCos[, method[,
+        // tuning]])` — batched RANGE serving at the product surface:
+        // every (qid, id, cos) at or above the threshold, one corpus
+        // pass (exact) or one pruned union read over all queries' probe
+        // lists / Hamming balls (ivf | lsh, against the same cached
+        // index as the other stages of that method). $queries as in
+        // annTopKBatch; `tuning`: ivf → nprobe, lsh → slackBits.
+        val rbQueries = queryBatchArg(3)
+        val rbMinCos = numArg(4)
+        val rbMethod = if (args.size > 5) strArg(5) else "exact"
+        val rbBase = df.select(subCol(1).as("id"), subCol(2).as("v"))
+        if (rbMethod == "exact" && args.size > 6)
+          throw new DflParseException("annRangeBatch 'exact' takes no tuning argument")
+        if (args.size > 7)
+          throw new DflParseException(
+            "annRangeBatch takes at most (@, id, vec, queries, minCos, method, tuning)")
+        rbMethod match {
+          case "exact" =>
+            graft.llm.Similarity.bruteForceRangeBatch(rbBase, "id", "v",
+              rbQueries, rbMinCos)
+          case "ivf" =>
+            val nprobe = if (args.size > 6) intArg(6) else 8
+            if (dflIndexable(rbBase))
+              graft.llm.Similarity.ivfRangeBatchIndexed(
+                rbBase, "id", "v", dflCorpusKey(rbBase, "ivf"), rbQueries,
+                rbMinCos, nprobe = nprobe)
+            else // in-memory corpus: ad-hoc, never a schema-keyed cache
+              graft.llm.Similarity.ivfRangeAdhocBatch(rbBase, "id", "v",
+                rbQueries, rbMinCos, nprobe = nprobe)
+          case "lsh" =>
+            val slack = if (args.size > 6) intArg(6) else 4
+            if (dflIndexable(rbBase))
+              graft.llm.Similarity.lshRangeBatchIndexed(
+                rbBase, "id", "v", dflCorpusKey(rbBase, "lsh"), rbQueries,
+                rbMinCos, slackBits = slack)
+            else
+              graft.llm.Similarity.lshRangeAdhocBatch(rbBase, "id", "v",
+                rbQueries, rbMinCos, slackBits = slack)
+          case other => throw new DflParseException(s"unknown annRangeBatch method $other")
         }
 
       case "annTopKBatch" =>

@@ -1064,6 +1064,108 @@ object Similarity {
       queries, probeLists, k)
   }
 
+  /** RANGE probe of a built IVF index for a BATCH of queries in ONE
+    * pruned corpus pass — the range member of the batched serving matrix,
+    * mirroring [[ivfQueryBatch]]: one read over the UNION of all queries'
+    * nprobe lists, every vector scored against the whole query matrix
+    * via the native [[graft.functions.MatVecDots]], a per-row membership
+    * filter keeping each query's candidates to ITS OWN lists (batch ≡
+    * per-query [[ivfRange]]), then the exact threshold verify. NO top-k
+    * heap and NO aggregation: the output (qid, id, cos) is map-only
+    * after the pruned read, so the plan has no shuffle at all. Same
+    * `chunkSize` plan-literal bound as every batch entry point. */
+  def ivfRangeBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: Seq[(Long, Seq[Double])], minCos: Double,
+                    nprobe: Int = 8, chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfRangeBatch: empty query batch")
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfRangeBatch: minCos must be in (-1, 1], got $minCos")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfRangeBatch: ragged query dims $dims")
+    require(chunkSize > 0, "ivfRangeBatch: chunkSize must be positive")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => ivfRangeBatch(spark, indexDir, c, minCos, nprobe, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = ivfMeta(spark, indexDir)
+    require(dims.head == idx.centroids.head.length,
+      s"ivfRangeBatch: query dim ${dims.head} != index dim ${idx.centroids.head.length}")
+    val probeLists = queries.map { case (_, q) =>
+      nearestLists(idx.centroids, q.toArray, nprobe)
+    }
+    val allLists = probeLists.flatten.distinct
+    scoreIvfRangeGroup(
+      idx.vectors.filter(col("list").isin(allLists: _*)),
+      queries, probeLists, minCos)
+  }
+
+  /** Ad-hoc (index-less) batched IVF range for IN-MEMORY corpora: train
+    * + assign in-plan (as [[ivfTopKBatch]]), score through the shared
+    * range tail. One full corpus pass per call. */
+  def ivfRangeAdhocBatch(df: DataFrame, idCol: String, vecCol: String,
+                         queries: Seq[(Long, Seq[Double])], minCos: Double,
+                         kLists: Int = 16, nprobe: Int = 8,
+                         trainSample: Int = 2048,
+                         chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfRangeAdhocBatch: empty query batch")
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfRangeAdhocBatch: minCos must be in (-1, 1], got $minCos")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfRangeAdhocBatch: ragged query dims $dims")
+    val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    queries.grouped(chunkSize).map { chunk =>
+      val probeLists = chunk.map { case (_, q) =>
+        nearestLists(centroids, q.toArray, nprobe)
+      }
+      val allLists = probeLists.flatten.distinct
+      scoreIvfRangeGroup(assigned.filter(col("list").isin(allLists: _*)),
+        chunk, probeLists, minCos)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[ivfRangeBatch]] through the fingerprint-fenced cached-index
+    * lifecycle — same params string as every ivf-indexed entry point, so
+    * one build serves single/batch top-k and range alike. */
+  def ivfRangeBatchIndexed(df: DataFrame, idCol: String, vecCol: String,
+                           cacheKey: String, queries: Seq[(Long, Seq[Double])],
+                           minCos: Double, kLists: Int = 16, nprobe: Int = 8,
+                           trainSample: Int = 2048): DataFrame = {
+    val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample); ()
+    }
+    ivfRangeBatch(df.sparkSession, dir, queries, minCos, nprobe)
+  }
+
+  /** The shared scoring tail of the batched IVF RANGE paths: per-row
+    * [[graft.functions.MatVecDots]] against the group's query matrix, a
+    * per-query probe-list membership filter (pure column math — batch ≡
+    * per-query [[ivfRange]]), then the exact `cos >= minCos` verify.
+    * Unlike [[scoreIvfGroup]] there is no heap and no groupBy: the
+    * answer is a map-only projection of the pruned read. */
+  private def scoreIvfRangeGroup(vecs: DataFrame,
+                                 queries: Seq[(Long, Seq[Double])],
+                                 probeLists: Seq[Seq[Int]],
+                                 minCos: Double): DataFrame = {
+    import graft.functions.{MatVecF, VectorF}
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val qIds = queries.map(_._1)
+    val probeLit = array(probeLists.map(ls => array(ls.map(lit): _*)): _*)
+    vecs
+      .withColumn("vnorm", VectorF.norm(col("v")))
+      .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
+      .select(col("id"), col("list"), col("vnorm"),
+        posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
+      .filter(array_contains(element_at(probeLit, col("pos") + 1), col("list")))
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        col("id"),
+        round(col("col") / (col("vnorm") *
+          element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   /** The shared matrix-scoring tail of the batched IVF paths (indexed
     * [[ivfQueryBatch]] and ad-hoc [[ivfTopKBatch]]): score one group of
     * queries against a candidate frame carrying (id, v, list) — per-row
@@ -1952,6 +2054,129 @@ object Similarity {
         slice(qSigs, scanIdx), slice(radii, scanIdx), k))
     ).flatten
     parts.reduce(_ unionByName _)
+  }
+
+  /** RANGE probe of a built LSH index for a BATCH of queries in ONE
+    * pruned read — the range member of the batched LSH serving matrix,
+    * mirroring [[lshQueryBatch]]: the probe radius is THRESHOLD-derived
+    * (the [[lshRange]] collision-geometry rule — one radius for the
+    * whole batch, no occupancy replay needed), the read prunes to the
+    * union of the enumerable queries' prefix balls with the same
+    * per-group overflow split as the top-k batch, each candidate row
+    * scores against the whole query matrix, a per-query Hamming
+    * membership filter keeps batch ≡ per-query [[lshRange]], and the
+    * exact threshold verify bounds precision. No heap, no aggregation —
+    * map-only output (qid, id, cos) after the pruned read. */
+  def lshRangeBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: Seq[(Long, Seq[Double])], minCos: Double,
+                    slackBits: Int = 4, maxEnumBuckets: Int = 4096,
+                    chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "lshRangeBatch: empty query batch")
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"lshRangeBatch: minCos must be in (-1, 1], got $minCos")
+    require(slackBits >= 0, s"lshRangeBatch: slackBits must be >= 0, got $slackBits")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshRangeBatch: ragged query dims $dims")
+    require(chunkSize > 0, "lshRangeBatch: chunkSize must be positive")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => lshRangeBatch(spark, indexDir, c, minCos, slackBits,
+          maxEnumBuckets, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = lshMeta(spark, indexDir)
+    require(dims.head == idx.dim,
+      s"lshRangeBatch: query dim ${dims.head} != index dim ${idx.dim}")
+    val nBits = idx.nBits
+    val planes = hyperplanes(nBits, idx.dim)
+    val qSigs = queries.map { case (_, q) => querySignature(q, planes) }
+    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val radius = math.min(nBits, math.ceil(expected).toInt + slackBits)
+    val balls: Seq[Option[Seq[Long]]] = qSigs.map(qSig =>
+      prefixBall(qSig, nBits, idx.pBits, radius, maxEnumBuckets))
+    val (enumIdx, scanIdx) = queries.indices.partition(i => balls(i).isDefined)
+    def slice[T](xs: Seq[T], ix: Seq[Int]): Seq[T] = ix.map(xs)
+    val parts = Seq(
+      if (enumIdx.isEmpty) None else Some {
+        val ids = enumIdx.flatMap(i => balls(i).get).distinct
+        scoreLshRangeGroup(
+          idx.vectors.filter(col("pband").isin(pbandLiterals(idx, ids): _*)),
+          slice(queries, enumIdx), slice(qSigs, enumIdx), radius, minCos)
+      },
+      if (scanIdx.isEmpty) None
+      else Some(scoreLshRangeGroup(idx.vectors, slice(queries, scanIdx),
+        slice(qSigs, scanIdx), radius, minCos))
+    ).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Ad-hoc (index-less) batched LSH range for IN-MEMORY corpora: one
+    * signature pass buckets the corpus, the shared range tail scores
+    * each chunk — candidate-inclusion identical to [[lshRangeAdhoc]]
+    * per query at equal params. */
+  def lshRangeAdhocBatch(df: DataFrame, idCol: String, vecCol: String,
+                         queries: Seq[(Long, Seq[Double])], minCos: Double,
+                         nBits: Int = 16, slackBits: Int = 4,
+                         chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "lshRangeAdhocBatch: empty query batch")
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"lshRangeAdhocBatch: minCos must be in (-1, 1], got $minCos")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshRangeAdhocBatch: ragged query dims $dims")
+    val dim = dims.head
+    val planes = hyperplanes(nBits, dim)
+    val bucketed = lshBuckets(df, idCol, vecCol, nBits, dim)
+    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val radius = math.min(nBits, math.ceil(expected).toInt + slackBits)
+    queries.grouped(chunkSize).map { chunk =>
+      scoreLshRangeGroup(bucketed, chunk,
+        chunk.map { case (_, q) => querySignature(q, planes) }, radius, minCos)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[lshRangeBatch]] through the fingerprint-fenced cached-index
+    * lifecycle — identical params string to [[lshTopKIndexed]], so one
+    * build serves single/batch top-k and range alike. */
+  def lshRangeBatchIndexed(df: DataFrame, idCol: String, vecCol: String,
+                           cacheKey: String, queries: Seq[(Long, Seq[Double])],
+                           minCos: Double, nBits: Int = 16, slackBits: Int = 4,
+                           partitionBits: Int = 8): DataFrame = {
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshRangeBatchIndexed: ragged query dims $dims")
+    val dim = dims.head
+    val dir = cachedIndex(df, cacheKey, s"lsh|b=$nBits|d=$dim|p=$partitionBits",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
+    }
+    lshRangeBatch(df.sparkSession, dir, queries, minCos, slackBits)
+  }
+
+  /** The shared scoring tail of the batched LSH RANGE paths: per-row
+    * [[graft.functions.MatVecDots]] against the group's query matrix,
+    * per-query exact Hamming membership at the threshold-derived radius
+    * (batch ≡ per-query [[lshRange]]; NULL-bucket rows fail every
+    * comparison), then the exact `cos >= minCos` verify. No heap, no
+    * groupBy — a map-only projection. */
+  private def scoreLshRangeGroup(vecs: DataFrame,
+                                 queries: Seq[(Long, Seq[Double])],
+                                 qSigs: Seq[Long], radius: Int,
+                                 minCos: Double): DataFrame = {
+    import graft.functions.{MatVecF, VectorF}
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val qIds = queries.map(_._1)
+    val sigLit = array(qSigs.map(lit): _*)
+    vecs
+      .withColumn("vnorm", VectorF.norm(col("v")))
+      .filter(col("vnorm").isNotNull && !isnan(col("vnorm")) && col("vnorm") > 0)
+      .select(col("id"), col("bucket"), col("vnorm"),
+        posexplode(MatVecF.dots(col("v"), queries.map(_._2))))
+      .filter(bit_count(col("bucket").bitwiseXOR(
+        element_at(sigLit, col("pos") + 1))) <= radius)
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        col("id"),
+        round(col("col") / (col("vnorm") *
+          element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
   }
 
   /** The shared matrix-scoring tail of the batched LSH paths (indexed

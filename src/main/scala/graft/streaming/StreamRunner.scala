@@ -32,7 +32,8 @@ object StreamRunner {
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-    "nearDedupClusters", "annTopK", "annTopKBatch", "annRange", "decontam",
+    "nearDedupClusters", "annTopK", "annTopKBatch", "annRange",
+    "annRangeBatch", "decontam",
     "decontamBloom", "decontamScrub", "contamHits",
     // packing needs per-bucket windows over the whole corpus; lmScore,
     // windowDups, vocab, and tfidf train/count over the whole corpus
@@ -307,12 +308,12 @@ object StreamRunner {
               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
     // RANGE serving: `minCos = Some(t)` answers every id at `cos >= t`
-    // instead of the top-k (k is ignored). Each query in the micro-batch
-    // becomes its own pruned probe — lshRange's Hamming ball / ivfRange's
-    // nprobe lists — and the per-query frames union into ONE (qid, id,
-    // cos) answer plan per batch: still a single Spark job, each leg
-    // reading only its ball/lists. `tuning` re-keys to the range probes'
-    // knob: lsh → slackBits, ivf → nprobe (as the DFL annRange stage).
+    // instead of the top-k (k is ignored). Each micro-batch is ONE
+    // batched pruned probe — lshRangeBatch's union-of-Hamming-balls /
+    // ivfRangeBatch's union-of-nprobe-lists read, per-query membership
+    // filters keeping batch ≡ per-query lshRange/ivfRange. `tuning`
+    // re-keys to the range probes' knob: lsh → slackBits, ivf → nprobe
+    // (as the DFL annRange stage).
     minCos.foreach(t => require(t > -1.0 && t <= 1.0,
       s"annServe: minCos must be in (-1, 1], got $t"))
     // `options` passes writeStream options through — set
@@ -364,16 +365,12 @@ object StreamRunner {
                   s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
               else {
                 val answer = (method, minCos) match {
-                  case ("lsh", Some(t)) => group.map { case (qid, qv) =>
-                    graft.llm.Similarity.lshRange(batch.sparkSession,
-                        indexDir, qv, t, slackBits = tuning.getOrElse(4))
-                      .select(lit(qid).as("qid"), col("id"), col("cos"))
-                  }.reduce(_ unionByName _)
-                  case (_, Some(t)) => group.map { case (qid, qv) =>
-                    graft.llm.Similarity.ivfRange(batch.sparkSession,
-                        indexDir, qv, t, nprobe = tuning.getOrElse(8))
-                      .select(lit(qid).as("qid"), col("id"), col("cos"))
-                  }.reduce(_ unionByName _)
+                  case ("lsh", Some(t)) => graft.llm.Similarity.lshRangeBatch(
+                    batch.sparkSession, indexDir, group, t,
+                    slackBits = tuning.getOrElse(4))
+                  case (_, Some(t)) => graft.llm.Similarity.ivfRangeBatch(
+                    batch.sparkSession, indexDir, group, t,
+                    nprobe = tuning.getOrElse(8))
                   case ("lsh", None) => graft.llm.Similarity.lshQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
                   case _ => graft.llm.Similarity.ivfQueryBatch(

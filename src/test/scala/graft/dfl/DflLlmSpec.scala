@@ -159,6 +159,38 @@ class DflLlmSpec extends AnyFunSuite {
       "annRange(@, '@vec_id', '@embedding', $q, 0.5, 'bogus')", Map("q" -> q)))
   }
 
+  test("annRangeBatch(@) matches the Scala API and dispatches methods") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 2)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qs: Seq[Seq[Any]] = queries.map { case (id, v) => Seq[Any](id, v) }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val dfl = toMap(DflFrame.pipeline(emb,
+      "annRangeBatch(@, '@vec_id', '@embedding', $qs, 0.5)", Map("qs" -> qs)))
+    val api = toMap(graft.llm.Similarity.bruteForceRangeBatch(
+      emb, "vec_id", "embedding", queries, 0.5))
+    assert(dfl == api && dfl.nonEmpty)
+    // indexed methods: exact precision, guaranteed self-recall per query
+    Seq("lsh", "ivf").foreach { m =>
+      val got = toMap(DflFrame.pipeline(emb,
+        s"annRangeBatch(@, '@vec_id', '@embedding', $$qs, 0.5, '$m')",
+        Map("qs" -> qs)))
+      queries.foreach { case (qid, _) =>
+        val g = got.getOrElse(qid, Set.empty)
+        assert(g.subsetOf(api(qid)) && g.exists(_._1 == qid), s"$m qid $qid")
+      }
+    }
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRangeBatch(@, '@vec_id', '@embedding', $qs, 0.5, 'exact', 4)",
+      Map("qs" -> qs)))
+    intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRangeBatch(@, '@vec_id', '@embedding', $qs, 0.5, 'bogus')",
+      Map("qs" -> qs)))
+  }
+
   test("mix(@) matches the Scala API") {
     import spark.implicits._
     val dfl = ids(DflFrame.pipeline(docs,

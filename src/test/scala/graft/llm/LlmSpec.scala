@@ -2024,6 +2024,70 @@ class LlmSpec extends AnyFunSuite {
 
   // ---------- batched probes: per-group pruning + ad-hoc variants ----------
 
+  test("batched range probes equal per-query range probes, overflow split included") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rangebatch").toString
+    val dir = s"$root/idx"
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val clique = emb.select($"vec_id", $"embedding").unionByName(planted)
+    Similarity.lshBuild(clique, "vec_id", "embedding", dir, nBits = 16, dim = 64)
+    // one enumerable query, one whose threshold-radius ball overflows the
+    // enumeration cap (low threshold → wide ball): per-group split
+    val qSparse = (0 until 64).map(i => if (i == 7) 1.0 else 0.0)
+    val queries = Seq(0L -> q0.toSeq, 1L -> qSparse)
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val batch = grouped(Similarity.lshRangeBatch(spark, dir, queries, 0.5,
+      maxEnumBuckets = 20))
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.lshRange(spark, dir, q, 0.5,
+          maxEnumBuckets = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.getOrElse(qid, Set.empty) == single, s"lsh qid $qid")
+    }
+    assert((1 to 5).forall(i => batch(0L).exists(_._1 == 100000L + i)))
+    // ivf: batch ≡ per-query at equal nprobe
+    val ivfDir = s"$root/ivf"
+    Similarity.ivfBuild(clique, "vec_id", "embedding", ivfDir)
+    val ivfBatch = grouped(Similarity.ivfRangeBatch(spark, ivfDir, queries,
+      0.5, nprobe = 4))
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.ivfRange(spark, ivfDir, q, 0.5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ivfBatch.getOrElse(qid, Set.empty) == single, s"ivf qid $qid")
+    }
+    // ad-hoc (index-less) batch forms ≡ their per-query ad-hoc forms
+    val adhocLsh = grouped(Similarity.lshRangeAdhocBatch(clique, "vec_id",
+      "embedding", queries, 0.5))
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.lshRangeAdhoc(clique, "vec_id", "embedding",
+          q, 0.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(adhocLsh.getOrElse(qid, Set.empty) == single, s"adhoc lsh qid $qid")
+    }
+    val adhocIvf = grouped(Similarity.ivfRangeAdhocBatch(clique, "vec_id",
+      "embedding", queries, 0.5, nprobe = 4))
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.ivfRangeAdhoc(clique, "vec_id", "embedding",
+          q, 0.5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(adhocIvf.getOrElse(qid, Set.empty) == single, s"adhoc ivf qid $qid")
+    }
+    // no aggregation anywhere in the indexed batch range plan: the
+    // answer is map-only after the pruned read
+    val plan = Similarity.lshRangeBatch(spark, dir, queries, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    intercept[IllegalArgumentException](
+      Similarity.lshRangeBatch(spark, dir, Seq.empty, 0.5))
+    intercept[IllegalArgumentException](
+      Similarity.ivfRangeBatch(spark, ivfDir, queries, 1.5))
+  }
+
   test("lshQueryBatch per-group pruning: an overflow query doesn't cost the others their pruned read") {
     val root = java.nio.file.Files.createTempDirectory("graft-grouplsh").toString
     val dir = s"$root/idx"
