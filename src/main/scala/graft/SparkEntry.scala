@@ -23,6 +23,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized ONCE to an epoch-µs long `ts_us` —
+    * the temporal operators all run integer µs arithmetic so Spark and
+    * the DuckDB oracle (`epoch_us(ts)`) evaluate one formula. Handles
+    * both ts generations (epoch-ns LONG / parquet timestamp[us]), like
+    * time_window_hist. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    ev.withColumn("ts_us", us)
+  }
+
   /** Single-query planted-clique ANN corpus shared by the indexed-ANN
     * oracle rows ([[annPlantedTopkSql]] is its brute-force oracle): 10
     * exact copies of query-0's embedding at ids 100001…100010 over the
@@ -754,6 +768,65 @@ object SparkEntry {
         llm.Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "image"))
         .toDF().select(col("id"), col("n_bytes"), col("checksum"))),
 
+    // ---- temporal operators (graft.temporal.Temporal — the join-shaped
+    //      extension surface the reference lacks entirely, SURVEY.md §2.6) ----
+    "asof_join" -> ((s, dir) => {
+      // backward as-of: each click gets its user's latest prior purchase.
+      // Union-window plan: ONE shuffle on user_id, running last() frame —
+      // no range explosion. Spec-pinned parity with DuckDB's native ASOF
+      // JOIN lives in the oracle prototype; the committed oracle is the
+      // fully-deterministic window rendering (equal-ts pick is defined).
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      temporal.Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_ts_us"), lit(-1L)).as("asof_ts_us"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
+    }),
+    "sessionize" -> ((s, dir) =>
+      // gaps-and-islands sessions at a 2 h inactivity gap; the batch twin
+      // of the streaming session_window leg (StreamRunner) — one window +
+      // one same-key aggregation, map-side partials on clustered data
+      temporal.Temporal.sessionStats(
+        eventsUs(s, dir).select("user_id", "ts_us", "value"),
+        "user_id", "ts_us", gapUs = 7200000000L, valueCol = "value")),
+    "range_join_bands" -> ((s, dir) => {
+      // interval join against a 3-band literal dim (overlap at 100-150
+      // exercises multi-match; values > 300 exercise the left-outer NULL
+      // leg). Broadcast nested-loop is the RIGHT plan for a dim-sized
+      // interval table; RangeJoinSpec pins bucketized-path parity.
+      val bands = s.createDataFrame(Seq(
+        (0L, 0.0, 50.0), (1L, 50.0, 150.0), (2L, 100.0, 300.0)))
+        .toDF("band_id", "lo", "hi")
+      temporal.Temporal.rangeJoinBroadcast(
+          eventsUs(s, dir).select("event_id", "value"), "value", bands,
+          "lo", "hi")
+        .select(col("event_id"), coalesce(col("band_id"), lit(-1L)).as("band_id"))
+    }),
+    "budget_cap" -> ((s, dir) =>
+      // per-language token budget (2000 tokens each), kept set ordered by
+      // the engine-exact shared id-hash — finalizes a blend after
+      // temperature_mix sets the shares
+      llm.Sampling.budgetCap(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")),
+        "doc_id", "lang", "n_tok", budget = 2000L, seed = 7L)),
+    "doclen_quantiles" -> ((s, dir) =>
+      // exact grouped quantiles (percentile = sorted linear interpolation,
+      // the same contract as DuckDB quantile_cont); per-group exact is
+      // fine at any scale BECAUSE groups are language-sized — the
+      // approx_percentile sketch is the path for high-cardinality keys
+      t(s, dir, "documents").groupBy("lang")
+        .agg(
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))),
+
     "q2_join_agg" -> ((s, dir) => {
       // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
       // with SF (~10⁹ rows at 100 TB), so no hint there: AQE broadcasts it
@@ -882,6 +955,66 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS n
         |  FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // temporal operators: deterministic window renderings (equal-ts pick
+    // is DEFINED — DuckDB's native ASOF JOIN leaves it unspecified, and
+    // the prototype pinned parity with it on this data)
+    "asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,
+        |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_val,
+        |         event_id
+        |    FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, 0 AS side, epoch_us(ts) AS ts_us,
+        |         event_id AS r_id, value AS r_val, CAST(NULL AS BIGINT) AS event_id
+        |    FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER ord AS m_id,
+        |    last_value(r_val IGNORE NULLS) OVER ord AS m_val,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER ord AS m_ts
+        |  FROM u
+        |  WINDOW ord AS (PARTITION BY user_id ORDER BY ts_us, side, r_id
+        |                 ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       coalesce(m_ts, -1) AS asof_ts_us,
+        |       coalesce(m_val, -1.0) AS asof_value,
+        |       coalesce(m_id, -1) AS asof_event_id
+        |  FROM w WHERE side = 1""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 7200000000
+        |                     THEN ts_us END AS bnd
+        |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT *, max(bnd) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                               ROWS UNBOUNDED PRECEDING) AS session_start_us
+        |        FROM b)
+        |SELECT user_id, session_start_us, max(ts_us) AS session_end_us,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM s GROUP BY 1, 2""".stripMargin,
+    "range_join_bands" ->
+      """SELECT e.event_id, coalesce(b.band_id, -1) AS band_id
+        |  FROM events e
+        |  LEFT JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 150.0),
+        |                    (2, 100.0, 300.0)) AS b(band_id, lo, hi)
+        |    ON e.value >= b.lo AND e.value <= b.hi""".stripMargin,
+    "budget_cap" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |                  ${llm.Sampling.hashBucketSql("doc_id", 7L, 1000000)} AS h
+         |             FROM documents),
+         |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |                                 ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM d)
+         |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin,
+    "doclen_quantiles" ->
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.5), 4)  AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 4)  AS p90,
+        |       round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |  FROM documents GROUP BY 1""".stripMargin,
     "q2_join_agg" ->
       """SELECT n_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
         |  FROM lineitem

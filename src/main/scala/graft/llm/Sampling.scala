@@ -176,6 +176,40 @@ object Sampling {
     df.filter(bucketFor(df, idCol, seed, buckets) < thresh)
   }
 
+  /** Token-budget cap: keep rows per domain, in deterministic id-hash
+    * order, while the running total of `weightCol` (token counts,
+    * byte sizes…) stays within `budget` — the "give me at most N tokens
+    * per source, reproducibly" op that finalizes a training blend after
+    * [[temperatureMix]] sets the shares. The first row of a domain is
+    * kept even if it alone exceeds the budget iff `budget >= its weight`
+    * — i.e. the rule is `cumsum(weight) <= budget`, inclusive of the
+    * current row, NULL domains forming their own stratum as everywhere
+    * in this file.
+    *
+    * Hash order (not ts/id order) makes the kept set a uniform sample of
+    * the domain and — like every sampler here — id-stable: a row's rank
+    * never changes as OTHER domains grow, and within a domain new rows
+    * enter the order without reshuffling survivors' relative ranks.
+    *
+    * Scale: ONE shuffle (window partition by domain), running-frame sum,
+    * then a row-local filter; integer weights make the cumsum
+    * ENGINE-EXACT (no float summation order), which is what the DuckDB
+    * oracle checks. Domain skew: a giant domain serializes its window —
+    * at 100 TB, pre-filter with [[sampleByHash]] at `~budget/n_d` before
+    * capping so the window sees a bounded candidate set. */
+  def budgetCap(df: DataFrame, idCol: String, domainCol: String,
+                weightCol: String, budget: Long, seed: Long = 0L): DataFrame = {
+    require(budget >= 0, s"budgetCap: budget must be non-negative, got $budget")
+    val buckets = 1000000
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(bucketFor(df, idCol, seed, buckets), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(order))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
   def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
                              fractions: Map[String, Double],
                              defaultFraction: Double = 0.0,
