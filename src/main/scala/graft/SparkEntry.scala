@@ -826,6 +826,31 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
           round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))),
+    // the DFL front door of the temporal stages — each shares its Scala
+    // twin's oracle SQL, so stage and API must agree value-for-value
+    "dfl_asof" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      DflFrame.pipeline(clicks, "asof(@, $purchases, '@user_id', '@ts_us')",
+          Map("purchases" -> purchases))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_ts_us"), lit(-1L)).as("asof_ts_us"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
+    }),
+    "dfl_sessionize" -> ((s, dir) =>
+      DflFrame.pipeline(eventsUs(s, dir),
+        "sessionize(@, '@user_id', '@ts_us', 7200000000, '@value')")
+        .withColumnRenamed("key", "user_id")),
+    "dfl_budget_cap" -> ((s, dir) =>
+      DflFrame.pipeline(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok")),
+        "cap(@, '@doc_id', '@lang', '@n_tok', 2000, 7)")
+        .select("doc_id", "lang", "n_tok")),
 
     "q2_join_agg" -> ((s, dir) => {
       // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
@@ -957,8 +982,34 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1, 2""".stripMargin,
     // temporal operators: deterministic window renderings (equal-ts pick
     // is DEFINED — DuckDB's native ASOF JOIN leaves it unspecified, and
-    // the prototype pinned parity with it on this data)
-    "asof_join" ->
+    // the prototype pinned parity with it on this data). The dfl_* rows
+    // share each SQL — the DFL stage must agree with the Scala API.
+    "asof_join" -> asofJoinSql,
+    "dfl_asof" -> asofJoinSql,
+    "sessionize" -> sessionizeSql,
+    "dfl_sessionize" -> sessionizeSql,
+    "budget_cap" -> budgetCapSql,
+    "dfl_budget_cap" -> budgetCapSql,
+    "range_join_bands" ->
+      """SELECT e.event_id, coalesce(b.band_id, -1) AS band_id
+        |  FROM events e
+        |  LEFT JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 150.0),
+        |                    (2, 100.0, 300.0)) AS b(band_id, lo, hi)
+        |    ON e.value >= b.lo AND e.value <= b.hi""".stripMargin,
+    "doclen_quantiles" ->
+      """SELECT lang,
+        |       round(quantile_cont(n_chars, 0.5), 4)  AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 4)  AS p90,
+        |       round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |  FROM documents GROUP BY 1""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1""".stripMargin) ++ oracleSqlRest
+
+  private val asofJoinSql: String =
       """WITH u AS (
         |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,
         |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_val,
@@ -981,8 +1032,9 @@ object SparkEntry {
         |       coalesce(m_ts, -1) AS asof_ts_us,
         |       coalesce(m_val, -1.0) AS asof_value,
         |       coalesce(m_id, -1) AS asof_event_id
-        |  FROM w WHERE side = 1""".stripMargin,
-    "sessionize" ->
+        |  FROM w WHERE side = 1""".stripMargin
+
+  private val sessionizeSql: String =
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
         |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
         |                       OR ts_us - lag(ts_us) OVER w > 7200000000
@@ -993,14 +1045,9 @@ object SparkEntry {
         |        FROM b)
         |SELECT user_id, session_start_us, max(ts_us) AS session_end_us,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |  FROM s GROUP BY 1, 2""".stripMargin,
-    "range_join_bands" ->
-      """SELECT e.event_id, coalesce(b.band_id, -1) AS band_id
-        |  FROM events e
-        |  LEFT JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 150.0),
-        |                    (2, 100.0, 300.0)) AS b(band_id, lo, hi)
-        |    ON e.value >= b.lo AND e.value <= b.hi""".stripMargin,
-    "budget_cap" ->
+        |  FROM s GROUP BY 1, 2""".stripMargin
+
+  private val budgetCapSql: String =
       s"""WITH d AS (SELECT doc_id, lang,
          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          |                  ${llm.Sampling.hashBucketSql("doc_id", 7L, 1000000)} AS h
@@ -1008,19 +1055,11 @@ object SparkEntry {
          |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
          |                                 ROWS UNBOUNDED PRECEDING) AS cum
          |        FROM d)
-         |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin,
-    "doclen_quantiles" ->
-      """SELECT lang,
-        |       round(quantile_cont(n_chars, 0.5), 4)  AS p50,
-        |       round(quantile_cont(n_chars, 0.9), 4)  AS p90,
-        |       round(quantile_cont(n_chars, 0.99), 4) AS p99
-        |  FROM documents GROUP BY 1""".stripMargin,
-    "q2_join_agg" ->
-      """SELECT n_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
-        |  FROM lineitem
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        | GROUP BY 1""".stripMargin,
+         |SELECT doc_id, lang, n_tok FROM c WHERE cum <= 2000""".stripMargin
+
+  // lazy: entries forward-reference shared SQL vals defined further down
+  // (annPlantedRangeSql & co.) — a strict val here would capture nulls
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     "q3_shipping" ->
       """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

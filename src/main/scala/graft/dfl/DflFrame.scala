@@ -105,7 +105,9 @@ object DflFrame {
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
-      "vocab", "tfidf")
+      "vocab", "tfidf",
+      // temporal extension stages (graft.temporal.Temporal)
+      "sessionize", "cap", "asof")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -563,6 +565,67 @@ object DflFrame {
         val base = df.withColumn("__gid", subCol(1)).withColumn("__gdom", subCol(2))
         graft.llm.Sampling.temperatureMix(base, "__gid", "__gdom", alpha, seed)
           .drop("__gid", "__gdom")
+
+      case "sessionize" =>
+        // `sessionize(@, '@key', '@tsUs', gapUs, '@value')` — gaps-and-
+        // islands sessions (Temporal.sessionStats): per-key sessions
+        // breaking after gapUs of inactivity, emitting (key,
+        // session_start_us, session_end_us, n_events, sum_value).
+        // Whole-dataset window → fenced out of stream mode; the explicit
+        // streaming analogue is StreamRunner.streamingSessions.
+        if (args.size != 5) throw new DflParseException(
+          "sessionize takes (@, key, tsUs, gapUs, value)")
+        val gap = numArg(3).toLong
+        val base = df.withColumn("__gkey", subCol(1))
+          .withColumn("__gts", subCol(2)).withColumn("__gval", subCol(4))
+        graft.temporal.Temporal.sessionStats(base, "__gkey", "__gts", gap, "__gval")
+          .withColumnRenamed("__gkey", "key")
+
+      case "cap" =>
+        // `cap(@, '@id', '@domain', '@weight', budget[, seed])` — per-
+        // domain budget cap (Sampling.budgetCap): keep rows in the
+        // engine-exact id-hash order while the running weight total stays
+        // within budget. Whole-domain window → unstreamable.
+        if (args.size < 5 || args.size > 6) throw new DflParseException(
+          "cap takes (@, id, domain, weight, budget[, seed])")
+        val budget = numArg(4).toLong
+        val seed = if (args.size > 5) numArg(5).toLong else 0L
+        val base = df.withColumn("__gid", subCol(1))
+          .withColumn("__gdom", subCol(2)).withColumn("__gw", subCol(3))
+        graft.llm.Sampling.budgetCap(base, "__gid", "__gdom", "__gw",
+          budget, seed).drop("__gid", "__gdom", "__gw")
+
+      case "asof" =>
+        // `asof(@, $right, '@key', '@ts'[, toleranceUs])` — backward
+        // as-of join (Temporal.asofJoin) against a dataset var bound
+        // earlier in the pipeline or by the caller. The key/ts
+        // sub-expressions evaluate against BOTH frames (like decontam's
+        // text expression); matched right columns come back `asof_`-
+        // prefixed, NULL where nothing qualifies.
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
+          "asof takes (@, $right, key, ts[, toleranceUs])")
+        val tol = if (args.size > 4) Some(numArg(4).toLong) else None
+        val rightSrc = dsArg(1)
+        // a plain '@col' reference uses the RAW column on both sides —
+        // exactly the Scala-API call shape, so the right side's own ts/key
+        // columns are excluded from the attached payload instead of
+        // colliding with the generated asof_ts_us
+        def rawOr(i: Int, tmp: String, l: DataFrame,
+                  r: DataFrame): (String, DataFrame, DataFrame) =
+          sub(i) match {
+            case Attr(n) if l.columns.contains(n) && r.columns.contains(n) =>
+              (n, l, r)
+            case _ => (tmp,
+              l.withColumn(tmp, ColumnCompiler.compile(sub(i),
+                ColumnCompiler.Ctx.forDataFrame(l, vars))),
+              r.withColumn(tmp, ColumnCompiler.compile(sub(i),
+                ColumnCompiler.Ctx.forDataFrame(r, vars))))
+          }
+        val (keyName, l1, r1) = rawOr(2, "__gkey", df, rightSrc)
+        val (tsName, l2, r2) = rawOr(3, "__gts", l1, r1)
+        graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
+            tsName, tsName, toleranceUs = tol)
+          .drop("__gkey", "__gts")
 
       case "decontam" | "decontamBloom" | "decontamScrub" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram

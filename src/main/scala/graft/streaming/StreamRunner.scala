@@ -40,7 +40,10 @@ object StreamRunner {
     // (streamingContamFilter is decontamBloom's explicit streaming
     // analogue, like streamingDedup for dedup)
     // mix derives per-domain thresholds from whole-dataset counts
-    "pack", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix")
+    "pack", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
+    // temporal stages need whole-dataset windows (sessionize's explicit
+    // streaming analogue is streamingSessions)
+    "sessionize", "cap", "asof")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),
@@ -116,6 +119,33 @@ object StreamRunner {
       .groupBy(org.apache.spark.sql.functions.window(col(timeCol), window), key.as("key"))
       .count()
       .select(col("window.start").as("window_start"), col("key"), col("count"))
+  }
+
+  /** Event-time SESSION windows — the streaming twin of
+    * [[graft.temporal.Temporal.sessionStats]]: per-key sessions that
+    * break after `gap` of inactivity, emitting the same
+    * `(key, session_start_us, session_end_us, n_events, sum_value)`
+    * shape. Built on Structured Streaming's native `session_window`
+    * (merging-window state store), so state is bounded by the watermark:
+    * a session closes — and frees its store entry — once the watermark
+    * passes its end. One boundary difference vs the batch twin,
+    * inherent to session_window's half-open `[start, last + gap)`
+    * windows: an inter-event gap EXACTLY equal to `gap` merges in batch
+    * (`diff <= gap`) but splits here (`next < last + gap`); every other
+    * gap agrees, which the parity spec pins on boundary-free data. */
+  def streamingSessions(stream: DataFrame, keyCol: String, timeCol: String,
+                        gap: String, watermark: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{session_window, unix_micros,
+      count, max, round, sum}
+    stream.withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(max(unix_micros(col(timeCol))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("session_end_us"), col("n_events"), col("sum_value"))
   }
 
   /** Streaming exact dedup: keep the first record per normalized-text

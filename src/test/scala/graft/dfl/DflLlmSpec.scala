@@ -501,6 +501,9 @@ class DflLlmSpec extends AnyFunSuite {
         "vocab(@, '@text', 100)",
         "tfidf(@, '@doc_id', '@text', 5)",
         "mix(@, '@doc_id', '@lang', 0.5)",
+        "sessionize(@, '@u', '@ts', 1000, '@v')",
+        "cap(@, '@id', '@dom', '@w', 100)",
+        "asof(@, $r, '@k', '@ts')",
         "dedupSpans(@, '@doc_id', '@text')").foreach { src =>
       intercept[IllegalArgumentException](
         graft.streaming.StreamRunner.validateStreamable("jsonl", src))
@@ -531,5 +534,35 @@ class DflLlmSpec extends AnyFunSuite {
       DflFrame.pipeline(docs, "pack(@, '@doc_id', '@text', 256, 'bogus')"))
     intercept[DflParseException](
       DflFrame.pipeline(docs, "lmScore(@, '@doc_id', '@text', 3)"))
+  }
+
+  test("temporal stages: sessionize/cap/asof match their Scala APIs") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val ev = Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 100L, 4.0), (2L, 3L, 8.0))
+      .toDF("u", "ts", "v")
+    assert(rows(DflFrame.pipeline(ev, "sessionize(@, '@u', '@ts', 10, '@v')")) ==
+      rows(graft.temporal.Temporal.sessionStats(ev, "u", "ts", 10L, "v")
+        .withColumnRenamed("u", "key")))
+    val weighted = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L))
+      .toDF("id", "dom", "w")
+    assert(rows(DflFrame.pipeline(weighted, "cap(@, '@id', '@dom', '@w', 20, 3)")) ==
+      rows(graft.llm.Sampling.budgetCap(weighted, "id", "dom", "w", 20L, 3L)))
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "tag")
+    val dfl = DflFrame.pipeline(left, "asof(@, $r, '@k', '@ts')",
+      Map("r" -> right))
+    assert(rows(dfl) == rows(graft.temporal.Temporal.asofJoin(
+      left, right, Seq("k"), "ts", "ts")))
+    // plain '@col' args use raw columns: no asof_k duplicate, no temp leak
+    assert(dfl.columns.toSeq == Seq("k", "ts", "lid", "asof_ts_us", "asof_tag"))
+    // arity/config mistakes are loud
+    intercept[DflParseException](
+      DflFrame.pipeline(ev, "sessionize(@, '@u', '@ts', 10)"))
+    intercept[DflParseException](
+      DflFrame.pipeline(weighted, "cap(@, '@id', '@dom', '@w')"))
+    intercept[DflParseException](
+      DflFrame.pipeline(left, "asof(@, $nope, '@k', '@ts')"))
   }
 }

@@ -67,6 +67,45 @@ class StreamParitySpec extends AnyFunSuite {
     assert(rows(("2026-01-01 00:00:00.0", "b")) == 1L)
   }
 
+  test("streaming session windows agree with the batch sessionizer") {
+    val dir = Files.createTempDirectory("graft-ssw").toString
+    // user 1: two sessions (5 s gaps inside, a 30 s gap between);
+    // user 2: one single-event session. Gap threshold 10 s; no
+    // inter-event gap equals the threshold exactly (the one boundary
+    // where the half-open streaming window and the inclusive batch rule
+    // differ by design — documented on streamingSessions).
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ev.jsonl"),
+      """{"ts":"2026-01-01 00:00:00","u":1,"v":1.5}
+        |{"ts":"2026-01-01 00:00:05","u":1,"v":2.0}
+        |{"ts":"2026-01-01 00:00:40","u":1,"v":4.0}
+        |{"ts":"2026-01-01 00:00:44","u":1,"v":0.5}
+        |{"ts":"2026-01-01 00:00:03","u":2,"v":7.0}
+        |{"ts":"2026-01-01 00:10:00","u":99,"v":0.0}""".stripMargin)
+    // u=99 is a watermark flush: append mode only emits sessions CLOSED
+    // by the watermark, so a far-future event closes the real ones (its
+    // own session stays open and is never emitted)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingSessions(stream, "u", "ts", "10 seconds",
+        "5 seconds", "v"), "append")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = out.select("u", "session_start_us", "session_end_us",
+      "n_events", "sum_value").collect().map(key).toSet
+    // batch twin over the same rows, same gap (µs)
+    val batch = spark.read.json(s"$dir/ev.jsonl")
+      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.to_timestamp($"ts")))
+    val want = graft.temporal.Temporal.sessionStats(
+        batch.filter($"u" =!= 99L), "u", "ts_us",
+        gapUs = 10000000L, valueCol = "v")
+      .select("u", "session_start_us", "session_end_us", "n_events",
+        "sum_value").collect().map(key).toSet
+    assert(got == want)
+    assert(got.size == 3 && got.count(_._1 == 1L) == 2)
+  }
+
   test("streaming dedup keeps first record per fingerprint") {
     val dir = Files.createTempDirectory("graft-sd").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
