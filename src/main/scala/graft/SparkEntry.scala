@@ -826,6 +826,30 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
           round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))),
+    // SemDeDup semantic dedup over the per-query planted cliques: the 30
+    // planted copies are bit-identical to their base vectors, so each
+    // clique provably co-clusters under ANY deterministic nearest-centroid
+    // assignment and sits at cosine exactly 1.0, while the max natural
+    // pairwise cosine is ≤ 0.601 at every sf (measured) — at threshold
+    // 0.9 the within-cluster pair set is EXACTLY the clique pairs and the
+    // survivor set exactly the natural corpus, independent of where the
+    // k-means centroids land.
+    "semdedup_pairs" -> ((s, dir) => {
+      val (corpus, _) = plantedBatchCorpus(s, dir)
+      llm.Dedup.semanticPairs(corpus, "vec_id", "embedding", 0.9,
+        kClusters = 8, trainSample = 256)
+    }),
+    "semantic_dedup" -> ((s, dir) => {
+      val (corpus, _) = plantedBatchCorpus(s, dir)
+      llm.Dedup.semanticDedup(corpus, "vec_id", "embedding", 0.9,
+        kClusters = 8, trainSample = 256).select("vec_id")
+    }),
+    "dfl_semantic_dedup" -> ((s, dir) => {
+      val (corpus, _) = plantedBatchCorpus(s, dir)
+      DflFrame.pipeline(corpus,
+        "nearDedup(@, '@vec_id', '@embedding', 0.9, 'semantic')")
+        .select("vec_id")
+    }),
     // the DFL front door of the temporal stages — each shares its Scala
     // twin's oracle SQL, so stage and API must agree value-for-value
     "dfl_asof" -> ((s, dir) => {
@@ -986,6 +1010,19 @@ object SparkEntry {
     // share each SQL — the DFL stage must agree with the Scala API.
     "asof_join" -> asofJoinSql,
     "dfl_asof" -> asofJoinSql,
+    // SemDeDup rows: closed-form planted-clique oracles (see the query
+    // comments — the pair set is provably the clique pairs at any
+    // clustering, the survivor set provably the natural corpus)
+    "semdedup_pairs" ->
+      """WITH qs AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(q)),
+        |ids AS (SELECT q, CAST(q AS BIGINT) AS id FROM qs
+        |        UNION ALL
+        |        SELECT q, CAST(100000 + q * 100 + r AS BIGINT) AS id
+        |          FROM qs, generate_series(1, 10) AS g(r))
+        |SELECT a.id AS id_a, b.id AS id_b, 1.0 AS cos
+        |  FROM ids a JOIN ids b ON a.q = b.q AND a.id < b.id""".stripMargin,
+    "semantic_dedup" -> semanticDedupSql,
+    "dfl_semantic_dedup" -> semanticDedupSql,
     "sessionize" -> sessionizeSql,
     "dfl_sessionize" -> sessionizeSql,
     "budget_cap" -> budgetCapSql,
@@ -1033,6 +1070,9 @@ object SparkEntry {
         |       coalesce(m_val, -1.0) AS asof_value,
         |       coalesce(m_id, -1) AS asof_event_id
         |  FROM w WHERE side = 1""".stripMargin
+
+  private val semanticDedupSql: String =
+    "SELECT vec_id FROM embeddings WHERE vec_id < 100000"
 
   private val sessionizeSql: String =
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),

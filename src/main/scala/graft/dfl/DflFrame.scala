@@ -514,11 +514,12 @@ object DflFrame {
         // returns the pair set itself; `nearDupClusters` the transitive
         // duplicate components as (id, rep); `nearDedupClusters` the
         // one-representative-per-component survivors.
-        // method: minhash (default) | jaccard | simhash | cosine
-        // (cosine treats arg 2 as the embedding column and threshold as the
-        // cosine floor; simhash reads threshold as the max Hamming
-        // distance, default 3). All candidate generation is banded/
-        // bucketed — the same 100 TB shapes as the Scala API.
+        // method: minhash (default) | jaccard | simhash | cosine | semantic
+        // (cosine/semantic treat arg 2 as the embedding column and
+        // threshold as the cosine floor; simhash reads threshold as the
+        // max Hamming distance, default 3). All candidate generation is
+        // banded/bucketed/clustered — the same 100 TB shapes as the
+        // Scala API.
         val threshold = if (args.size > 3) numArg(3) else 0.8
         val method = if (args.size > 4) strArg(4) else "minhash"
         val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
@@ -532,6 +533,11 @@ object DflFrame {
             graft.llm.Dedup.simhashPairs(base, "__gid", "__gtext", maxHamming)
           case "cosine" =>
             graft.llm.Dedup.cosinePairsBucketed(base, "__gid", "__gtext", threshold)
+          case "semantic" =>
+            // SemDeDup: arg 2 is the embedding column, threshold the
+            // cosine floor; k-means clustering replaces banding as the
+            // candidate generator (Dedup.semanticPairs)
+            graft.llm.Dedup.semanticPairs(base, "__gid", "__gtext", threshold)
           case other => throw new DflParseException(s"unknown nearDedup method $other")
         }
         if (name == "nearDupPairs") pairs

@@ -464,6 +464,57 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embeddings with a deterministic
+    * k-means coarse quantizer ([[Similarity.trainCentroids]] — the SAME
+    * quantizer the IVF index family trains, deterministic sample and
+    * all), then compare pairs ONLY within a cluster. This is the
+    * published recipe's shape: the clustering replaces global candidate
+    * generation, so total compare work drops from N² to Σ|cluster|² ≈
+    * N²/k, and each cluster's pairs are an independent shuffle-join
+    * task — no cartesian, no cross-cluster traffic.
+    *
+    * Trade vs the siblings: [[cosinePairsBucketed]] (banded LSH) has
+    * probabilistic recall at high thresholds; semantic clustering
+    * trades that for a DIFFERENT miss mode — a near-dup pair split
+    * across a cluster boundary is never compared (bit-identical vectors
+    * always co-cluster, so exact duplicates are never missed). That is
+    * the documented SemDeDup design point: duplicates-of-meaning
+    * overwhelmingly share a semantic cluster.
+    *
+    * SIZING AT SCALE: `kClusters` is the knob — per-cluster work is
+    * (N/k)² under balance, so scale k with corpus size (the paper uses
+    * k ≈ √N·c). A pathologically hot cluster degrades toward quadratic;
+    * the mitigation is raising k (or pre-splitting hot lists, exactly
+    * like the IVF skew monitor) — both leave this function's plan
+    * unchanged: one assignment projection (broadcast centroid literals,
+    * codegen'd argmin) + one shuffle join on the cluster key. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, kClusters: Int = 64,
+                    trainSample: Int = 4096): DataFrame = {
+    import graft.functions.VectorF
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol,
+        Similarity.trainCentroids(df, idCol, vecCol, kClusters, trainSample))
+      .withColumn("norm", VectorF.norm(col("v")))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        VectorF.dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** [[semanticPairs]] → greedy keep-smallest-id survivors: the
+    * SemDeDup end-to-end operator (drop every non-representative member
+    * of a within-cluster near-dup pair). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, kClusters: Int = 64,
+                    trainSample: Int = 4096): DataFrame =
+    survivors(df, idCol,
+      semanticPairs(df, idCol, vecCol, threshold, kClusters, trainSample))
+
   /** Survivors with one-representative-per-CLUSTER semantics: a doc is
     * dropped iff it is a non-representative member of a duplicate
     * component ([[duplicateClusters]]). Differs from the greedy

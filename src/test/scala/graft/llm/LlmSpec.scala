@@ -30,6 +30,35 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("semantic dedup: planted cliques co-cluster and prune; k=1 degenerates to exact") {
+    // planted clique corpus: 5 bit-identical copies of vec 0 over the
+    // natural embeddings — identical vectors co-cluster under ANY
+    // deterministic assignment, natural max pairwise cosine < 0.7
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), col("embedding"))
+      .select((col("r") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val pairs = Dedup.semanticPairs(corpus, "vec_id", "embedding", 0.9,
+      kClusters = 8, trainSample = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cliqueIds = 0L +: (1 to 5).map(_ + 100000L)
+    val wantPairs = (for { a <- cliqueIds; b <- cliqueIds if a < b }
+      yield (a, b, 1.0)).toSet
+    assert(pairs.toSet == wantPairs)
+    // survivors = natural corpus exactly (copy cliques pruned to the base)
+    val surv = Dedup.semanticDedup(corpus, "vec_id", "embedding", 0.9,
+      kClusters = 8, trainSample = 256)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // kClusters = 1 is degenerate: one cluster → the within-cluster join
+    // IS the exact all-pairs similarity join (cosinePairsBlocked parity)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Dedup.semanticPairs(emb, "vec_id", "embedding", 0.45,
+        kClusters = 1, trainSample = 64)) ==
+      key(Dedup.cosinePairsBlocked(emb, "vec_id", "embedding", 0.45)))
+  }
+
   test("simhash catches high-jaccard near-dups") {
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
