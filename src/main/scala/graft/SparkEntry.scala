@@ -352,6 +352,15 @@ object SparkEntry {
     // style quality signal)
     "lm_xent" -> ((s, dir) =>
       llm.TextAnalysis.lmUnigramScore(t(s, dir, "documents"), "doc_id", "text")),
+    // interpolated bigram LM (λ = 0.7); the 1-λ literal renders as
+    // (1.0 - 0.7) in BOTH engines so the IEEE subtraction is shared
+    "lm_bigram_xent" -> ((s, dir) =>
+      llm.TextAnalysis.lmBigramScore(t(s, dir, "documents"), "doc_id", "text",
+        lambda = 0.7)),
+    "dfl_lm_bigram" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "lmScore(@, '@doc_id', '@text', 'bigram')")
+        .withColumnRenamed("id", "doc_id")),
     // corpus top-V vocabulary (normalized tokens, deterministic rank)
     "vocab_top" -> ((s, dir) =>
       llm.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", topV = 200)),
@@ -1264,6 +1273,8 @@ object SparkEntry {
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
     "lm_xent" -> lmXentSql,
+    "lm_bigram_xent" -> lmBigramSql,
+    "dfl_lm_bigram" -> lmBigramSql,
     // normalized-token vocabulary; count(*) is BIGINT in DuckDB (no
     // HUGEINT drift), rank deterministic by (cnt desc, w asc)
     "vocab_top" ->
@@ -1616,6 +1627,25 @@ object SparkEntry {
       |t AS (SELECT sum(c) AS n, count(*) AS v FROM v)
       |SELECT doc_id, round(-sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 6) AS xent
       |  FROM tf JOIN v USING (w) CROSS JOIN t GROUP BY 1""".stripMargin
+
+  private val lmBigramSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+      |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+      |       WHERE len(toks) >= 2),
+      |tf2 AS (SELECT doc_id, p, w, count(*) AS tf2 FROM bi GROUP BY 1, 2, 3),
+      |cb AS (SELECT p, w, sum(tf2) AS cb FROM tf2 GROUP BY 1, 2),
+      |uni AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |u AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n, count(*) AS v FROM u)
+      |SELECT doc_id,
+      |       round(-sum(tf2 * ln(0.7 * cb / cp + (1.0 - 0.7) * (cw + 1.0) / (n + v)))
+      |             / sum(tf2), 6) AS xent2
+      |  FROM tf2
+      |  JOIN cb USING (p, w)
+      |  JOIN (SELECT t AS p, c AS cp FROM u) USING (p)
+      |  JOIN (SELECT t AS w, c AS cw FROM u) USING (w)
+      |  CROSS JOIN tot GROUP BY 1""".stripMargin
 
   private val decontamCleanSql: String =
     """WITH tok AS (SELECT doc_id,

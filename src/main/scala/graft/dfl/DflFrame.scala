@@ -693,15 +693,26 @@ object DflFrame {
         out.withColumnRenamed("__gid", "id")
 
       case "lmScore" =>
-        // `lmScore(@, '@id', '@text')` — per-doc cross-entropy under an
-        // add-one unigram LM trained on the piped corpus itself
-        // (TextAnalysis.lmUnigramScore): (id, xent).
-        if (args.size > 3) throw new DflParseException(
-          "lmScore takes exactly (@, id, text)")
-        graft.llm.TextAnalysis.lmUnigramScore(
-            df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2)),
-            "__gid", "__gtext")
-          .withColumnRenamed("__gid", "id")
+        // `lmScore(@, '@id', '@text'[, method[, lambda]])` — per-doc
+        // cross-entropy under an LM trained on the piped corpus itself:
+        // method 'unigram' (default, TextAnalysis.lmUnigramScore → (id,
+        // xent)) or 'bigram' (interpolated, TextAnalysis.lmBigramScore →
+        // (id, xent2), lambda = bigram weight, default 0.7). A numeric
+        // arg 3 is still rejected — method must be a string.
+        if (args.size > 5) throw new DflParseException(
+          "lmScore takes (@, id, text[, method[, lambda]])")
+        val method = if (args.size > 3) strArg(3) else "unigram"
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        (method match {
+          case "unigram" =>
+            if (args.size > 4) throw new DflParseException(
+              "lmScore: lambda applies to the bigram method only")
+            graft.llm.TextAnalysis.lmUnigramScore(base, "__gid", "__gtext")
+          case "bigram" =>
+            val lambda = if (args.size > 4) numArg(4) else 0.7
+            graft.llm.TextAnalysis.lmBigramScore(base, "__gid", "__gtext", lambda)
+          case other => throw new DflParseException(s"unknown lmScore method $other")
+        }).withColumnRenamed("__gid", "id")
 
       case "vocab" =>
         // `vocab(@, '@text'[, topV])` — corpus top-V vocabulary

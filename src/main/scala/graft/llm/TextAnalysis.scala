@@ -374,6 +374,55 @@ object TextAnalysis {
         sum(col("tf")), 6).as("xent"))
   }
 
+  /** Interpolated BIGRAM cross-entropy — the next step up from
+    * [[lmUnigramScore]] on the CCNet-style quality ladder: per-token
+    * probability `λ·P_bi(w|prev) + (1-λ)·P_uni(w)` over the bigram
+    * positions (i ≥ 2), with `P_bi = c(prev,w)/c(prev)` (MLE, zeros
+    * covered by the unigram interpolation) and the same add-one unigram
+    * `P_uni = (c+1)/(N+V)` as the unigram scorer. `c(prev)` is the
+    * corpus UNIGRAM count of the context token — the standard
+    * approximation (prefix counts differ from unigram counts only at
+    * document-final tokens), applied identically in the DuckDB oracle so
+    * both engines evaluate one formula. Docs with fewer than two tokens
+    * have no bigram positions and emit no row.
+    *
+    * Scale shape: bigram tf pre-aggregates map-side per (doc, prev, w);
+    * the corpus bigram table derives FROM that same aggregate (one
+    * corpus scan, like tfidf's df-from-tf); two joins against the
+    * unigram vocab (term-keyed exchanges) and one broadcast totals join.
+    * No collect, no window, no driver state — the LM "model" stays
+    * distributed. */
+  def lmBigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"lmBigramScore: lambda must be in (0,1), got $lambda")
+    val toks = wsTokens(col(textCol))
+    // guard BEFORE sequence(): Spark's sequence(0, -1) descends, so a
+    // single-token doc would index element 0 instead of yielding nothing
+    val bi = df.filter(size(toks) >= 2)
+      .select(col(idCol), explode(org.apache.spark.sql.functions
+        .transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("p"),
+            element_at(toks, i + 2).as("w")))).as("bg"))
+      .select(col(idCol), col("bg.p").as("p"), col("bg.w").as("w"))
+    val tf2 = bi.groupBy(col(idCol), col("p"), col("w"))
+      .agg(count(lit(1)).as("tf2"))
+    val cb = tf2.groupBy(col("p"), col("w")).agg(sum(col("tf2")).as("cb"))
+    val uni = df.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tf2.join(cb, Seq("p", "w"))
+      .join(uni.select(col("t").as("p"), col("c").as("cp")), Seq("p"))
+      .join(uni.select(col("t").as("w"), col("c").as("cw")), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("tf2") *
+          log(lit(lambda) * col("cb") / col("cp") +
+            lit(1.0 - lambda) * (col("cw") + 1.0) / (col("n") + col("v")))) /
+        sum(col("tf2")), 6).as("xent2"))
+  }
+
   /** Corpus vocabulary: the `topV` most frequent whitespace tokens over
     * [[normText]], with counts and a deterministic dense rank (count
     * desc, token asc — ties never reorder between runs or engines).

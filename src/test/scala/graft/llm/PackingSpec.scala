@@ -102,6 +102,30 @@ class PackingSpec extends AnyFunSuite {
     assert(out(3L) > out(1L), "all-rare doc must out-score all-common doc")
   }
 
+  test("lmBigramScore: interpolated formula matches by hand; short docs emit no row") {
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramScore(df, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // unigram counts: a=3 b=2 c=1 x=1; N=7 V=4; bigrams: (a,b)=2 (a,c)=1
+    def round6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lam = 0.7
+    def pInterp(cb: Long, cp: Long, cw: Long) =
+      lam * cb.toDouble / cp + (1.0 - lam) * (cw + 1.0) / (7 + 4)
+    assert(out(1L) == round6(-math.log(pInterp(2, 3, 2))))
+    assert(out(1L) == out(2L))
+    assert(out(3L) == round6(-math.log(pInterp(1, 3, 1))))
+    // a single-token doc has no bigram positions: no output row, but its
+    // token still entered the unigram model above (N=7 includes x)
+    assert(!out.contains(4L))
+    // the rarer continuation scores strictly higher
+    assert(out(3L) > out(1L))
+    // config errors are loud
+    intercept[IllegalArgumentException](
+      TextAnalysis.lmBigramScore(df, "doc_id", "text", lambda = 1.0))
+  }
+
   test("windowDupStats flags exactly the planted repeated window") {
     val shared = (1 to 8).map(i => s"tok$i").mkString(" ")
     val df = Seq(
