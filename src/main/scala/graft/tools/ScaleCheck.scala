@@ -129,6 +129,15 @@ object ScaleCheck {
       // random collisions at 8·2⁻¹⁶ of pairs with ≥99% recall at c≥0.99
       time("cosine_bucketed")(graft.llm.Dedup.cosinePairsBucketed(
         big, "vec_id", "embedding", 0.99, numBands = 8, bitsPerBand = 16).count())
+      // SemDeDup: cluster-blocked pairs. kClusters scales with the
+      // corpus (the paper's posture) so per-cluster work stays bounded;
+      // OUTPUT tracks the planted within-cluster clique growth
+      // (~mult²/2 per base vector, like cosine_bucketed), while the
+      // join itself stays cluster-local — an all-pairs regression would
+      // explode at mult=20
+      time("semantic_pairs")(graft.llm.Dedup.semanticPairs(
+        big, "vec_id", "embedding", 0.99,
+        kClusters = 16 * mult, trainSample = 1024).count())
       // int8-quantized brute force: quantize pass + native byte-array
       // dot scan, both single corpus passes — time must track lsh_topk's
       // linear growth (same scan shape, 4x smaller payload at rest)
@@ -184,6 +193,45 @@ object ScaleCheck {
       })
       time("lsh_probe_compacted")(graft.llm.Similarity.lshQuery(
         spark, lshDir, q, 10).count())
+      big.unpersist()
+    }
+
+    // ---- temporal family: per-user density held CONSTANT ----
+    // copy c of the events table shifts user_id (and event_id), so a
+    // mult× corpus is mult× users at the same per-user event count: the
+    // window-shaped operators (asof, sessionize — one shuffle + a
+    // streaming running frame per key) and the cap window must grow
+    // ~LINEARLY in mult. A per-key quadratic or a global sort would bend
+    // these curves immediately.
+    val evBase = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val us = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => expr("unix_micros(cast(ts as timestamp))")
+      }
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), us.as("ts_us"))
+    }
+    val nEv = evBase.count()
+    Seq(1, 4, 20).foreach { mult =>
+      val big = (0 until mult).map(i =>
+        evBase.select((col("event_id") + lit(i.toLong * nEv * 10)).as("event_id"),
+          (col("user_id") + lit(i.toLong * 1000000)).as("user_id"),
+          col("event_type"), col("value"), col("ts_us"))).reduce(_ union _)
+      big.persist().count()
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[scale] mult=$mult%-3d $name%-16s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      }
+      val clicks = big.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = big.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      time("asof_join")(graft.temporal.Temporal.asofJoin(
+        clicks, purchases, Seq("user_id"), "ts_us", "ts_us").count())
+      time("sessionize")(graft.temporal.Temporal.sessionStats(
+        big.select("user_id", "ts_us", "value"), "user_id", "ts_us",
+        7200000000L, "value").count())
       big.unpersist()
     }
     spark.stop()
