@@ -859,6 +859,55 @@ object SparkEntry {
         "nearDedup(@, '@vec_id', '@embedding', 0.9, 'semantic')")
         .select("vec_id")
     }),
+    // rolling event-time features: a RANGE frame over epoch-µs — per-user
+    // 24 h trailing sum/count. One shuffle on user_id; the frame is a
+    // sliding accumulator, not a self-join (the naive "join events to
+    // events within 24h" shape would be quadratic per user).
+    "rolling_user_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      eventsUs(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        round(sum(col("value")).over(w), 2).as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"))
+    }),
+    // per-group top-k: row_number over (value desc, event_id asc) — the
+    // deterministic-ties convention used repo-wide. Partial top-k cannot
+    // push below the window here (Spark has no grouped-top-k pushdown),
+    // but the single user_id exchange is also the ONLY exchange.
+    "events_topk_per_user" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      eventsUs(s, dir).select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+    }),
+    // composite: sessionize → rolling count → as-of purchase attribution,
+    // all on ONE user_id clustering (the window partitions and the asof
+    // union share the key, so AQE reuses the exchange where possible) —
+    // the feature-table shape an events pipeline feeds to training
+    "pipeline_event_features" -> ((s, dir) => {
+      val sessioned = temporal.Temporal.sessionIds(
+        eventsUs(s, dir).select("event_id", "user_id", "event_type",
+          "value", "ts_us"),
+        "user_id", "ts_us", gapUs = 7200000000L)
+      val roll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      val feat = sessioned.withColumn("roll_n", count(lit(1)).over(roll))
+      val clicks = feat.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us", "session_start_us", "roll_n")
+      val purchases = eventsUs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      temporal.Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("session_start_us"), col("roll_n"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
+    }),
     // the DFL front door of the temporal stages — each shares its Scala
     // twin's oracle SQL, so stage and API must agree value-for-value
     "dfl_asof" -> ((s, dir) => {
@@ -1036,6 +1085,50 @@ object SparkEntry {
     "dfl_sessionize" -> sessionizeSql,
     "budget_cap" -> budgetCapSql,
     "dfl_budget_cap" -> budgetCapSql,
+    "rolling_user_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       round(sum(value) OVER w, 2) AS roll_sum,
+        |       count(*) OVER w AS roll_n
+        |  FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_topk_per_user" ->
+      """SELECT event_id, user_id, value, rn FROM (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id ASC) AS rn
+        |    FROM events) WHERE rn <= 3""".stripMargin,
+    "pipeline_event_features" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                       OR ts_us - lag(ts_us) OVER w > 7200000000
+        |                     THEN ts_us END AS bnd
+        |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT *, max(bnd) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                               ROWS UNBOUNDED PRECEDING) AS session_start_us
+        |        FROM b),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                               RANGE BETWEEN 86400000000 PRECEDING
+        |                               AND CURRENT ROW) AS roll_n
+        |        FROM s),
+        |u AS (
+        |  SELECT user_id, 1 AS side, ts_us, CAST(NULL AS BIGINT) AS r_id,
+        |         CAST(NULL AS DOUBLE) AS r_val,
+        |         event_id, session_start_us, roll_n
+        |    FROM f WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, 0 AS side, ts_us, event_id AS r_id, value AS r_val,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |    FROM e WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT *, last_value(r_val IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, side, r_id
+        |     ROWS UNBOUNDED PRECEDING) AS m_val
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us, session_start_us, roll_n,
+        |       coalesce(m_val, -1.0) AS asof_value
+        |  FROM w WHERE side = 1""".stripMargin,
     "range_join_bands" ->
       """SELECT e.event_id, coalesce(b.band_id, -1) AS band_id
         |  FROM events e
