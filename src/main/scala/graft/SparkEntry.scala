@@ -859,6 +859,28 @@ object SparkEntry {
         "nearDedup(@, '@vec_id', '@embedding', 0.9, 'semantic')")
         .select("vec_id")
     }),
+    // the SKETCH path for quantiles at high-cardinality keys: emit the
+    // exact value + a bounded-error contract boolean, the same shape as
+    // approx_distinct_users (the sketch itself is not cross-engine
+    // reproducible; its CONTRACT is)
+    "doclen_quantiles_approx" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("a50"),
+          percentile(col("n_chars"), lit(0.5)).as("e50raw"))
+        .select(col("lang"), round(col("e50raw"), 4).as("p50"),
+          within5pct(col("a50"), col("e50raw")).as("within_5pct"))),
+    // quantile-THRESHOLD filter — "drop the bottom quartile by length",
+    // the standard quality-gate shape: one exact-percentile scalar
+    // broadcast into a row-local filter (no collect; integer n_chars vs
+    // an interpolated threshold can only disagree across engines if a
+    // sub-ulp difference crossed an integer — impossible)
+    "quantile_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val thr = docs.agg(percentile(col("n_chars"), lit(0.25)).as("thr"))
+      docs.crossJoin(broadcast(thr))
+        .filter(col("n_chars") < col("thr"))
+        .select("doc_id", "n_chars")
+    }),
     // rolling event-time features: a RANGE frame over epoch-µs — per-user
     // 24 h trailing sum/count. One shuffle on user_id; the frame is a
     // sliding accumulator, not a self-join (the naive "join events to
@@ -1085,6 +1107,13 @@ object SparkEntry {
     "dfl_sessionize" -> sessionizeSql,
     "budget_cap" -> budgetCapSql,
     "dfl_budget_cap" -> budgetCapSql,
+    "doclen_quantiles_approx" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |       TRUE AS within_5pct
+        |  FROM documents GROUP BY 1""".stripMargin,
+    "quantile_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        | WHERE n_chars < (SELECT quantile_cont(n_chars, 0.25) FROM documents)""".stripMargin,
     "rolling_user_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       round(sum(value) OVER w, 2) AS roll_sum,

@@ -148,6 +148,41 @@ object StreamRunner {
         col("session_end_us"), col("n_events"), col("sum_value"))
   }
 
+  /** STREAM-STREAM event-time interval join — the streaming sibling of
+    * [[graft.temporal.Temporal.asofJoin]]'s attribution use-case: each
+    * left event joins every right event on the same key whose timestamp
+    * lies in `[left.ts - windowBack, left.ts]` (inclusive; e.g. "clicks
+    * attributed to purchases in the prior 24 h"). A true streaming AS-OF
+    * (latest-only) is not expressible with bounded state — "latest so
+    * far" can be overturned by a late row until the watermark closes, so
+    * the honest streaming contract is the interval SET join; take the
+    * max-ts row downstream once the batch lands if latest-only is needed.
+    *
+    * Built on Spark's stream-stream inner join: BOTH sides carry
+    * watermarks and the join condition bounds right.ts relative to
+    * left.ts in both directions, which is exactly what lets the state
+    * store evict a buffered right row once the watermark passes
+    * `right.ts + windowBack` — state is watermark-bounded, the
+    * requirement for an unbounded run. Left columns pass through;
+    * right's non-key columns come back `prefix`-prefixed. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                            leftTsCol: String, rightTsCol: String,
+                            windowBack: String, watermark: String,
+                            prefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val rPre = right.withWatermark(rightTsCol, watermark)
+    val r = rPre.columns.foldLeft(rPre) { (df, c) =>
+      if (c == keyCol) df else df.withColumnRenamed(c, s"$prefix$c")
+    }
+    val rKey = s"${prefix}__k"
+    val joined = l.join(r.withColumnRenamed(keyCol, rKey),
+      col(keyCol) === col(rKey) &&
+        col(s"$prefix$rightTsCol") <= col(leftTsCol) &&
+        col(s"$prefix$rightTsCol") >= org.apache.spark.sql.functions
+          .expr(s"$leftTsCol - INTERVAL $windowBack"))
+    joined.drop(rKey)
+  }
+
   /** Streaming exact dedup: keep the first record per normalized-text
     * fingerprint within the watermark horizon. `dropDuplicatesWithin
     * Watermark` frees fingerprint state once the watermark passes — the

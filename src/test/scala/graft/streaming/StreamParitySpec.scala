@@ -106,6 +106,43 @@ class StreamParitySpec extends AnyFunSuite {
     assert(got.size == 3 && got.count(_._1 == 1L) == 2)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val lDir = Files.createTempDirectory("graft-ssj-l").toString
+    val rDir = Files.createTempDirectory("graft-ssj-r").toString
+    // clicks at :10 and :40; purchases at :05, :35, :50. Window 20 s back:
+    // click :10 ← purchase :05; click :40 ← purchase :35 (:50 is future,
+    // :05 is stale). Same-key only.
+    Files.writeString(java.nio.file.Paths.get(s"$lDir/c.jsonl"),
+      """{"ts":"2026-01-01 00:00:10","u":1,"cid":100}
+        |{"ts":"2026-01-01 00:00:40","u":1,"cid":101}
+        |{"ts":"2026-01-01 00:00:40","u":2,"cid":102}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$rDir/p.jsonl"),
+      """{"ts":"2026-01-01 00:00:05","u":1,"pid":200}
+        |{"ts":"2026-01-01 00:00:35","u":1,"pid":201}
+        |{"ts":"2026-01-01 00:00:50","u":1,"pid":202}""".stripMargin)
+    import org.apache.spark.sql.functions.to_timestamp
+    def src(dir: String) = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingIntervalJoin(src(lDir), src(rDir), "u",
+        "ts", "ts", "20 seconds", "10 seconds"), "append")
+    val got = out.select("cid", "r_pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 200L), (101L, 201L)))
+    // batch twin: plain inner range join over the same files
+    val lb = spark.read.json(s"$lDir/c.jsonl")
+      .withColumn("ts", to_timestamp($"ts"))
+    val rb = spark.read.json(s"$rDir/p.jsonl")
+      .withColumn("ts", to_timestamp($"ts"))
+    val batch = lb.as("l").join(rb.as("r"),
+        $"l.u" === $"r.u" && $"r.ts" <= $"l.ts" &&
+          $"r.ts" >= org.apache.spark.sql.functions
+            .expr("l.ts - INTERVAL 20 seconds"))
+      .select($"l.cid", $"r.pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+  }
+
   test("streaming dedup keeps first record per fingerprint") {
     val dir = Files.createTempDirectory("graft-sd").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
