@@ -930,6 +930,15 @@ object SparkEntry {
           col("session_start_us"), col("roll_n"),
           coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
     }),
+    "dfl_topk" -> ((s, dir) =>
+      DflFrame.pipeline(
+        eventsUs(s, dir).select("event_id", "user_id", "value"),
+        "topk(@, '@user_id', '@value', 3, '@event_id')")),
+    "dfl_rolling" -> ((s, dir) =>
+      DflFrame.pipeline(
+        eventsUs(s, dir).select("event_id", "user_id", "ts_us", "value"),
+        "rolling(@, '@user_id', '@ts_us', '@value', 86400000000)")
+        .select("event_id", "user_id", "ts_us", "roll_sum", "roll_n")),
     // the DFL front door of the temporal stages — each shares its Scala
     // twin's oracle SQL, so stage and API must agree value-for-value
     "dfl_asof" -> ((s, dir) => {
@@ -1114,19 +1123,10 @@ object SparkEntry {
     "quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
         | WHERE n_chars < (SELECT quantile_cont(n_chars, 0.25) FROM documents)""".stripMargin,
-    "rolling_user_window" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |       round(sum(value) OVER w, 2) AS roll_sum,
-        |       count(*) OVER w AS roll_n
-        |  FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "events_topk_per_user" ->
-      """SELECT event_id, user_id, value, rn FROM (
-        |  SELECT event_id, user_id, value,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY value DESC, event_id ASC) AS rn
-        |    FROM events) WHERE rn <= 3""".stripMargin,
+    "dfl_topk" -> eventsTopkSql,
+    "events_topk_per_user" -> eventsTopkSql,
+    "dfl_rolling" -> rollingUserWindowSql,
+    "rolling_user_window" -> rollingUserWindowSql,
     "pipeline_event_features" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |                  epoch_us(ts) AS ts_us FROM events),
@@ -1201,6 +1201,21 @@ object SparkEntry {
         |       coalesce(m_val, -1.0) AS asof_value,
         |       coalesce(m_id, -1) AS asof_event_id
         |  FROM w WHERE side = 1""".stripMargin
+
+  private val rollingUserWindowSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |       round(sum(value) OVER w, 2) AS roll_sum,
+      |       count(*) OVER w AS roll_n
+      |  FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  private val eventsTopkSql: String =
+    """SELECT event_id, user_id, value, rn FROM (
+      |  SELECT event_id, user_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id ASC) AS rn
+      |    FROM events) WHERE rn <= 3""".stripMargin
 
   private val semanticDedupSql: String =
     "SELECT vec_id FROM embeddings WHERE vec_id < 100000"

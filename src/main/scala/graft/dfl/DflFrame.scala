@@ -107,7 +107,7 @@ object DflFrame {
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf",
       // temporal extension stages (graft.temporal.Temporal)
-      "sessionize", "cap", "asof")
+      "sessionize", "cap", "asof", "topk", "rolling")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -632,6 +632,49 @@ object DflFrame {
         graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
             tsName, tsName, toleranceUs = tol)
           .drop("__gkey", "__gts")
+
+      case "topk" =>
+        // `topk(@, '@key', '@order', k)` — grouped top-k: the k rows per
+        // key with the LARGEST order value, deterministic ties by the
+        // order value then the row's key ordering is caller-defined via
+        // a second order expression: `topk(@, '@key', '@order', k
+        // [, '@tiebreak'])`. Adds `rn` (1-based rank). The reference has
+        // only global sort+limit; per-group top-k is the extension every
+        // leaderboard/feature query needs. One shuffle on the key.
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
+          "topk takes (@, key, order, k[, tiebreak])")
+        val k = intArg(3)
+        if (k <= 0) throw new DflParseException("topk: k must be positive")
+        val base0 = df.withColumn("__gkey", subCol(1)).withColumn("__gord", subCol(2))
+        val (base, tiebreak) =
+          if (args.size > 4)
+            (base0.withColumn("__gtie", subCol(4)), Seq(col("__gtie").asc))
+          else (base0, Nil)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__gkey"))
+          .orderBy(col("__gord").desc +: tiebreak: _*)
+        base.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= k)
+          .drop("__gkey", "__gord", "__gtie")
+
+      case "rolling" =>
+        // `rolling(@, '@key', '@tsUs', '@value', windowUs)` — trailing
+        // event-time RANGE frame per key: adds roll_sum (rounded 2) and
+        // roll_n over [ts - windowUs, ts]. A sliding accumulator, not
+        // the quadratic self-join shape.
+        if (args.size != 5) throw new DflParseException(
+          "rolling takes (@, key, tsUs, value, windowUs)")
+        val win = numArg(4).toLong
+        if (win < 0) throw new DflParseException(
+          "rolling: windowUs must be non-negative")
+        val base = df.withColumn("__gkey", subCol(1))
+          .withColumn("__gts", subCol(2)).withColumn("__gval", subCol(3))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__gkey")).orderBy(col("__gts"))
+          .rangeBetween(-win, 0L)
+        base.withColumn("roll_sum", round(sum(col("__gval")).over(w), 2))
+          .withColumn("roll_n", count(lit(1)).over(w))
+          .drop("__gkey", "__gts", "__gval")
 
       case "decontam" | "decontamBloom" | "decontamScrub" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram

@@ -42,8 +42,9 @@ object StreamRunner {
     // mix derives per-domain thresholds from whole-dataset counts
     "pack", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
     // temporal stages need whole-dataset windows (sessionize's explicit
-    // streaming analogue is streamingSessions)
-    "sessionize", "cap", "asof")
+    // streaming analogue is streamingSessions; asof's interval-set
+    // analogue is streamingIntervalJoin)
+    "sessionize", "cap", "asof", "topk", "rolling")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),

@@ -557,7 +557,23 @@ class DflLlmSpec extends AnyFunSuite {
       left, right, Seq("k"), "ts", "ts")))
     // plain '@col' args use raw columns: no asof_k duplicate, no temp leak
     assert(dfl.columns.toSeq == Seq("k", "ts", "lid", "asof_ts_us", "asof_tag"))
+    // topk: per-key top rows by order value, deterministic tiebreak
+    val topkDfl = DflFrame.pipeline(ev, "topk(@, '@u', '@v', 1, '@ts')")
+      .select("u", "ts", "v", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(topkDfl.toSet == Set((1L, 100L, 4.0, 1L), (2L, 3L, 8.0, 1L)))
+    // rolling: trailing RANGE frame per key
+    val rollDfl = DflFrame.pipeline(ev, "rolling(@, '@u', '@ts', '@v', 5)")
+      .select("u", "ts", "roll_sum", "roll_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(rollDfl == Set((1L, 0L, 1.0, 1L), (1L, 5L, 3.0, 2L),
+      (1L, 100L, 4.0, 1L), (2L, 3L, 8.0, 1L)))
     // arity/config mistakes are loud
+    intercept[DflParseException](
+      DflFrame.pipeline(ev, "topk(@, '@u', '@v', 0)"))
+    intercept[DflParseException](
+      DflFrame.pipeline(ev, "rolling(@, '@u', '@ts', '@v')"))
     intercept[DflParseException](
       DflFrame.pipeline(ev, "sessionize(@, '@u', '@ts', 10)"))
     intercept[DflParseException](
