@@ -97,6 +97,42 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("temporal stages run as catalog services over HTTP") {
+    // the temporal extension surface through /services/{name}/exec:
+    // sessionize + topk behave exactly like any other DFL stage
+    val (srv, client, dir) = startServer()
+    try {
+      Files.writeString(Paths.get(s"$dir/ev.jsonl"), Seq(
+        """{"u": 1, "ts": 1000, "v": 1.5}""",
+        """{"u": 1, "ts": 1005, "v": 2.0}""",
+        """{"u": 1, "ts": 9000, "v": 4.0}""",
+        """{"u": 2, "ts": 1003, "v": 7.0}""",
+      ).mkString("\n"))
+      val (_, tb) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      assert(authed.add("datastores",
+        s"""{"workspace":"ws","name":"ev","uri":"$dir/ev.jsonl"}""")._1 == 200)
+      assert(authed.add("processes",
+        """{"name":"sess","expression":"sessionize(@, '@u', '@ts', 10, '@v')"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"sess_svc","datastore":"ev","process":"sess"}""")._1 == 200)
+      val (c1, b1) = client.exec("services", "sess_svc")
+      // user 1 splits into sessions at ts 1000 and 9000; user 2 has one
+      assert(c1 == 200 && b1.contains("\"session_start_us\":1000") &&
+        b1.contains("\"session_start_us\":9000") &&
+        b1.contains("\"sum_value\":3.5"), b1)
+      assert(authed.add("processes",
+        """{"name":"tk","expression":"topk(@, '@u', '@v', 1)"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"tk_svc","datastore":"ev","process":"tk"}""")._1 == 200)
+      val (c2, b2) = client.exec("services", "tk_svc")
+      // per-user max by v: (1, 9000, 4.0) and (2, 1003, 7.0)
+      assert(c2 == 200 && b2.contains("\"v\":4.0") && b2.contains("\"v\":7.0")
+        && !b2.contains("\"v\":1.5"), b2)
+    } finally srv.stop()
+  }
+
   test("LLM dedup and ANN run as catalog services over HTTP") {
     // the round-7 product-surface contract: a catalog Process can run the
     // LLM dataset stages (dedup / nearDedup / annTopK) through
