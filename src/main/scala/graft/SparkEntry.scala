@@ -797,6 +797,21 @@ object SparkEntry {
           coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
           coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
     }),
+    // the tolerance leg: matches older than 24 h are voided (feature
+    // staleness — the feature-store contract the tolerance exists for)
+    "asof_join_tol" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      temporal.Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us", toleranceUs = Some(86400000000L))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_ts_us"), lit(-1L)).as("asof_ts_us"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
+    }),
     "sessionize" -> ((s, dir) =>
       // gaps-and-islands sessions at a 2 h inactivity gap; the batch twin
       // of the streaming session_window leg (StreamRunner) — one window +
@@ -930,6 +945,12 @@ object SparkEntry {
           col("session_start_us"), col("roll_n"),
           coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
     }),
+    // one-pass dataset profile (nulls / exact distincts / min-max) over
+    // the documents table — long+string columns only, so the min/max
+    // string renderings are engine-exact
+    "corpus_profile" -> ((s, dir) =>
+      util.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "dfl_topk" -> ((s, dir) =>
       DflFrame.pipeline(
         eventsUs(s, dir).select("event_id", "user_id", "value"),
@@ -1112,6 +1133,30 @@ object SparkEntry {
         |  FROM ids a JOIN ids b ON a.q = b.q AND a.id < b.id""".stripMargin,
     "semantic_dedup" -> semanticDedupSql,
     "dfl_semantic_dedup" -> semanticDedupSql,
+    "asof_join_tol" ->
+      """WITH u AS (
+        |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,
+        |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_val,
+        |         event_id
+        |    FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, 0 AS side, epoch_us(ts) AS ts_us,
+        |         event_id AS r_id, value AS r_val, CAST(NULL AS BIGINT) AS event_id
+        |    FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER ord AS m_id,
+        |    last_value(r_val IGNORE NULLS) OVER ord AS m_val,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER ord AS m_ts
+        |  FROM u
+        |  WINDOW ord AS (PARTITION BY user_id ORDER BY ts_us, side, r_id
+        |                 ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       coalesce(CASE WHEN ts_us - m_ts <= 86400000000 THEN m_ts END, -1) AS asof_ts_us,
+        |       coalesce(CASE WHEN ts_us - m_ts <= 86400000000 THEN m_val END, -1.0) AS asof_value,
+        |       coalesce(CASE WHEN ts_us - m_ts <= 86400000000 THEN m_id END, -1) AS asof_event_id
+        |  FROM w WHERE side = 1""".stripMargin,
     "sessionize" -> sessionizeSql,
     "dfl_sessionize" -> sessionizeSql,
     "budget_cap" -> budgetCapSql,
@@ -1123,6 +1168,13 @@ object SparkEntry {
     "quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
         | WHERE n_chars < (SELECT quantile_cont(n_chars, 0.25) FROM documents)""".stripMargin,
+    "corpus_profile" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col, count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_str,
+           |       CAST(max($c) AS VARCHAR) AS max_str FROM documents""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     "dfl_topk" -> eventsTopkSql,
     "events_topk_per_user" -> eventsTopkSql,
     "dfl_rolling" -> rollingUserWindowSql,
