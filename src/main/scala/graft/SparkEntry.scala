@@ -364,6 +364,14 @@ object SparkEntry {
     // corpus top-V vocabulary (normalized tokens, deterministic rank)
     "vocab_top" -> ((s, dir) =>
       llm.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", topV = 200)),
+    // tokenize the corpus against its own top-200 vocabulary (OOV -> 0):
+    // the model-input step after cleaning; both engines derive the vocab
+    // from the data, so the row is fully self-contained
+    "tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.TextAnalysis.tokenizeIds(docs, "doc_id", "text",
+        llm.TextAnalysis.vocabulary(docs, "text", topV = 200))
+    }),
     // per-doc top-k TF-IDF keywords (smooth idf, deterministic ties)
     "tfidf_top" -> ((s, dir) =>
       llm.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
@@ -1462,6 +1470,21 @@ object SparkEntry {
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
     "lm_xent" -> lmXentSql,
+    "tokenize_ids" ->
+      """WITH nrm AS (SELECT doc_id,
+        |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |             FROM documents),
+        |v AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
+        |        FROM (SELECT w, count(*) AS cnt
+        |                FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |                        FROM documents)
+        |               WHERE w <> '' GROUP BY 1)
+        |       ORDER BY cnt DESC, w ASC LIMIT 200),
+        |p AS (SELECT doc_id, i AS pos, toks[i] AS w
+        |        FROM nrm, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s)
+        |SELECT doc_id, count(*) AS n_tok,
+        |       array_to_string(list(coalesce(v.rnk, 0) ORDER BY p.pos), ',') AS ids_str
+        |  FROM p LEFT JOIN v USING (w) GROUP BY 1""".stripMargin,
     "lm_bigram_xent" -> lmBigramSql,
     "dfl_lm_bigram" -> lmBigramSql,
     // normalized-token vocabulary; count(*) is BIGINT in DuckDB (no

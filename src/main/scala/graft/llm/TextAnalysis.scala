@@ -447,6 +447,34 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("w").asc)).cast("long"))
   }
 
+  /** Tokenize to vocabulary ids — the step that turns a cleaned corpus
+    * into model input: each normalized whitespace token maps to its
+    * [[vocabulary]] rank (1-based; OOV → 0), order preserved. Returns
+    * `(id, n_tok, ids_str)` with the id sequence rendered as a
+    * comma-joined string (arrays don't survive the driver's compare —
+    * and a training writer would keep the array column anyway; this is
+    * the audit-friendly rendering).
+    *
+    * Scale shape: posexplode (map-local), one BROADCAST join against the
+    * vocab (top-V is dim-sized by construction), then one groupBy(id)
+    * reassembly whose ordering is `sort_array(struct(pos, tid))` —
+    * engine-exact, no window. The vocab frame is whatever `(w, rnk)`
+    * mapping the caller trains — [[vocabulary]] output works verbatim,
+    * and a frozen production vocab table works the same way. */
+  def tokenizeIds(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(wsTokens(normText(col(textCol)))).as(Seq("pos", "w")))
+    toks.join(broadcast(vocab.select(col("w"), col("rnk"))), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(org.apache.spark.sql.functions.transform(
+          sort_array(collect_list(struct(col("pos"),
+            coalesce(col("rnk"), lit(0L)).as("tid")))),
+          s => s.getField("tid")), ",").as("ids_str"))
+  }
+
   /** Per-document top-`k` TF-IDF terms — the classic keyword-extraction /
     * domain-signature op: `score = tf · (ln((N+1)/(df+1)) + 1)` (smooth
     * idf, sklearn's formula), deterministic tie-break (score desc, term

@@ -30,6 +30,16 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("tokenizeIds maps to vocab ranks in order, OOV to zero") {
+    val df = Seq((1L, "b a zzz b"), (2L, "A  b")).toDF("doc_id", "text")
+    // vocab over the corpus: b=3 > a=2 > zzz=1 → ranks b=1, a=2, zzz=3
+    val vocab = TextAnalysis.vocabulary(df, "text", topV = 2) // zzz CUT
+    val out = TextAnalysis.tokenizeIds(df, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((4L, "1,2,0,1"))) // zzz is OOV after the top-2 cut
+    assert(out(2L) == ((2L, "2,1")))     // normalization folds case/spacing
+  }
+
   test("semantic dedup: planted cliques co-cluster and prune; k=1 degenerates to exact") {
     // planted clique corpus: 5 bit-identical copies of vec 0 over the
     // natural embeddings — identical vectors co-cluster under ANY
