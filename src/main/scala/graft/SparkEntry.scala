@@ -226,6 +226,21 @@ object SparkEntry {
       .groupBy("tx", "ty").agg(count(lit(1)).as("n"))),
     "tile_bounds" -> ((s, dir) => DflFrame.pipeline(t(s, dir, "events"),
       s"map(@, '{event_id: @event_id, lon_w: round(tileToLongitude(tileX($lonExpr, 8), 8), 6), fy: flipY(tileY($latExpr, 8), 8)}')")),
+    // PCA norm-preservation oracle: with the FULL basis (k = d), an
+    // orthonormal rotation preserves every centered norm — so the
+    // distributed projection's norms must equal DuckDB's directly-
+    // computed ||x - mean|| (mean over the same rows; sampleN covers the
+    // corpus at every sf). This checks centering, orthonormality, and
+    // the codegen'd dot loop end-to-end; component ORDER is pinned by
+    // the spec suite (variance ordering), which rotation can't fake.
+    "pca_norms" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val model = llm.Embeddings.pcaFit(emb, "vec_id", "embedding", k = 64)
+      llm.Embeddings.pcaProject(emb, "vec_id", "embedding", model)
+        .select(col("id").as("vec_id"),
+          round(sqrt(aggregate(col("proj"), lit(0.0),
+            (acc, x) => acc + x * x)), 4).as("pnorm"))
+    }),
     "vec_norms" -> ((s, dir) => t(s, dir, "embeddings")
       .select(col("vec_id"),
         round(graft.functions.VectorF.norm(col("embedding")), 4).as("nrm"))),
@@ -1470,6 +1485,13 @@ object SparkEntry {
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
     "lm_xent" -> lmXentSql,
+    "pca_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[i] AS x
+        |        FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s),
+        |m AS (SELECT i, avg(x) AS mu FROM x GROUP BY 1)
+        |SELECT vec_id, round(sqrt(sum((x - mu) * (x - mu))), 4) AS pnorm
+        |  FROM x JOIN m USING (i) GROUP BY 1""".stripMargin,
     "tokenize_ids" ->
       """WITH nrm AS (SELECT doc_id,
         |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
