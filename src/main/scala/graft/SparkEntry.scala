@@ -233,6 +233,20 @@ object SparkEntry {
     // corpus at every sf). This checks centering, orthonormality, and
     // the codegen'd dot loop end-to-end; component ORDER is pinned by
     // the spec suite (variance ordering), which rotation can't fake.
+    // ANN in the REDUCED space: project the planted-clique corpus to 16
+    // PCA dims and probe. Identical vectors project identically, so the
+    // 11-vector clique sits at cosine exactly 1.0 in ANY subspace, while
+    // the max natural projected cosine is ≤ 0.731 at every sf (measured
+    // via an independent eigen implementation) — top-10 is closed-form
+    // {0, 100001..100009} by the (cos desc, id asc) tie-break. This is
+    // the 4x-smaller-index serving shape pcaProject exists for.
+    "ann_pca_topk" -> ((s, dir) => {
+      val (corpus, _) = plantedCliqueCorpus(s, dir)
+      val model = llm.Embeddings.pcaFit(corpus, "vec_id", "embedding", k = 16)
+      val proj = llm.Embeddings.pcaProject(corpus, "vec_id", "embedding", model)
+      val q = proj.filter(col("id") === 0).head().getSeq[Double](1)
+      llm.Similarity.bruteForceTopK(proj, "id", "proj", q, 10)
+    }),
     "pca_norms" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val model = llm.Embeddings.pcaFit(emb, "vec_id", "embedding", k = 64)
@@ -1485,6 +1499,11 @@ object SparkEntry {
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
     "lm_xent" -> lmXentSql,
+    "ann_pca_topk" ->
+      """SELECT CAST(0 AS BIGINT) AS id, 1.0 AS cos
+        |UNION ALL
+        |SELECT CAST(100000 + r AS BIGINT) AS id, 1.0 AS cos
+        |  FROM generate_series(1, 9) AS g(r)""".stripMargin,
     "pca_norms" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, i, v[i] AS x
