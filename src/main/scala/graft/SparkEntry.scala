@@ -988,6 +988,13 @@ object SparkEntry {
     "corpus_profile" -> ((s, dir) =>
       util.Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "dfl_tokenize" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "tokenize(@, '@doc_id', '@text', 200)")
+        .withColumnRenamed("id", "doc_id")),
+    "dfl_profile" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "profile(@, 'doc_id', 'text', 'lang', 'source', 'n_chars')")),
     "dfl_topk" -> ((s, dir) =>
       DflFrame.pipeline(
         eventsUs(s, dir).select("event_id", "user_id", "value"),
@@ -1205,13 +1212,7 @@ object SparkEntry {
     "quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
         | WHERE n_chars < (SELECT quantile_cont(n_chars, 0.25) FROM documents)""".stripMargin,
-    "corpus_profile" ->
-      Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
-        s"""SELECT '$c' AS col, count(*) - count($c) AS n_null,
-           |       count(DISTINCT $c) AS n_distinct,
-           |       CAST(min($c) AS VARCHAR) AS min_str,
-           |       CAST(max($c) AS VARCHAR) AS max_str FROM documents""".stripMargin)
-        .mkString("\nUNION ALL\n"),
+    "corpus_profile" -> corpusProfileSql,
     "dfl_topk" -> eventsTopkSql,
     "events_topk_per_user" -> eventsTopkSql,
     "dfl_rolling" -> rollingUserWindowSql,
@@ -1511,21 +1512,9 @@ object SparkEntry {
         |m AS (SELECT i, avg(x) AS mu FROM x GROUP BY 1)
         |SELECT vec_id, round(sqrt(sum((x - mu) * (x - mu))), 4) AS pnorm
         |  FROM x JOIN m USING (i) GROUP BY 1""".stripMargin,
-    "tokenize_ids" ->
-      """WITH nrm AS (SELECT doc_id,
-        |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |             FROM documents),
-        |v AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
-        |        FROM (SELECT w, count(*) AS cnt
-        |                FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
-        |                        FROM documents)
-        |               WHERE w <> '' GROUP BY 1)
-        |       ORDER BY cnt DESC, w ASC LIMIT 200),
-        |p AS (SELECT doc_id, i AS pos, toks[i] AS w
-        |        FROM nrm, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s)
-        |SELECT doc_id, count(*) AS n_tok,
-        |       array_to_string(list(coalesce(v.rnk, 0) ORDER BY p.pos), ',') AS ids_str
-        |  FROM p LEFT JOIN v USING (w) GROUP BY 1""".stripMargin,
+    "tokenize_ids" -> tokenizeIdsSql,
+    "dfl_tokenize" -> tokenizeIdsSql,
+    "dfl_profile" -> corpusProfileSql,
     "lm_bigram_xent" -> lmBigramSql,
     "dfl_lm_bigram" -> lmBigramSql,
     // normalized-token vocabulary; count(*) is BIGINT in DuckDB (no
@@ -1880,6 +1869,30 @@ object SparkEntry {
       |t AS (SELECT sum(c) AS n, count(*) AS v FROM v)
       |SELECT doc_id, round(-sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 6) AS xent
       |  FROM tf JOIN v USING (w) CROSS JOIN t GROUP BY 1""".stripMargin
+
+  private val tokenizeIdsSql: String =
+    """WITH nrm AS (SELECT doc_id,
+      |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |             FROM documents),
+      |v AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
+      |        FROM (SELECT w, count(*) AS cnt
+      |                FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |                        FROM documents)
+      |               WHERE w <> '' GROUP BY 1)
+      |       ORDER BY cnt DESC, w ASC LIMIT 200),
+      |p AS (SELECT doc_id, i AS pos, toks[i] AS w
+      |        FROM nrm, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s)
+      |SELECT doc_id, count(*) AS n_tok,
+      |       array_to_string(list(coalesce(v.rnk, 0) ORDER BY p.pos), ',') AS ids_str
+      |  FROM p LEFT JOIN v USING (w) GROUP BY 1""".stripMargin
+
+  private val corpusProfileSql: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS col, count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_str,
+         |       CAST(max($c) AS VARCHAR) AS max_str FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n")
 
   private val lmBigramSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

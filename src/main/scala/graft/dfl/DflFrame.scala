@@ -107,7 +107,7 @@ object DflFrame {
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf",
       // temporal extension stages (graft.temporal.Temporal)
-      "sessionize", "cap", "asof", "topk", "rolling")
+      "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
   private final case class RowState(cur: Column, lets: Map[String, Column])
 
@@ -632,6 +632,26 @@ object DflFrame {
         graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
             tsName, tsName, toleranceUs = tol)
           .drop("__gkey", "__gts")
+
+      case "tokenize" =>
+        // `tokenize(@, '@id', '@text'[, topV])` — map the corpus to its
+        // own top-V vocabulary ids (TextAnalysis.tokenizeIds over
+        // vocabulary()): (id, n_tok, ids_str). Whole-corpus vocab →
+        // unstreamable.
+        if (args.size < 3 || args.size > 4) throw new DflParseException(
+          "tokenize takes (@, id, text[, topV])")
+        val topV = if (args.size > 3) intArg(3) else 1000
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        graft.llm.TextAnalysis.tokenizeIds(base, "__gid", "__gtext",
+            graft.llm.TextAnalysis.vocabulary(base, "__gtext", topV))
+          .withColumnRenamed("__gid", "id")
+
+      case "profile" =>
+        // `profile(@, 'col'[, 'col' …])` — one-pass dataset profile
+        // (util.Profile): (col, n_null, n_distinct, min_str, max_str).
+        if (args.size < 2) throw new DflParseException(
+          "profile takes (@, col[, col ...])")
+        graft.util.Profile.profile(df, (1 until args.size).map(strArg))
 
       case "topk" =>
         // `topk(@, '@key', '@order', k)` — grouped top-k: the k rows per

@@ -44,7 +44,7 @@ object StreamRunner {
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)
-    "sessionize", "cap", "asof", "topk", "rolling")
+    "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),
