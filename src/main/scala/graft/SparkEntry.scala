@@ -247,6 +247,20 @@ object SparkEntry {
       val q = proj.filter(col("id") === 0).head().getSeq[Double](1)
       llm.Similarity.bruteForceTopK(proj, "id", "proj", q, 10)
     }),
+    // the INDEXED serving shape over the reduced space: LSH index built
+    // on the 16-dim projections (first call pays the build, warm calls
+    // are pruned probes). The bit-identical projected clique sits at
+    // Hamming 0 under any plane family, so recall is guaranteed and the
+    // closed-form top-10 shares ann_pca_topk's oracle.
+    "ann_pca_lsh" -> ((s, dir) => {
+      val (corpus, _) = plantedCliqueCorpus(s, dir)
+      val model = llm.Embeddings.pcaFit(corpus, "vec_id", "embedding", k = 16)
+      val proj = llm.Embeddings.pcaProject(corpus, "vec_id", "embedding", model)
+      val q = proj.filter(col("id") === 0).head().getSeq[Double](1)
+      llm.Similarity.lshTopKIndexed(proj, "id", "proj",
+        s"$dir#ann_pca_lsh", q, 10, nBits = 8, minCandidates = 20,
+        partitionBits = 4)
+    }),
     "pca_norms" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val model = llm.Embeddings.pcaFit(emb, "vec_id", "embedding", k = 64)
@@ -1500,11 +1514,8 @@ object SparkEntry {
     // same smoothed-unigram formula: p(w) = (c+1)/(N+V), per-token
     // cross-entropy in nats; token = split on single space, both engines
     "lm_xent" -> lmXentSql,
-    "ann_pca_topk" ->
-      """SELECT CAST(0 AS BIGINT) AS id, 1.0 AS cos
-        |UNION ALL
-        |SELECT CAST(100000 + r AS BIGINT) AS id, 1.0 AS cos
-        |  FROM generate_series(1, 9) AS g(r)""".stripMargin,
+    "ann_pca_lsh" -> annPcaTopkSql,
+    "ann_pca_topk" -> annPcaTopkSql,
     "pca_norms" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, i, v[i] AS x
@@ -1869,6 +1880,12 @@ object SparkEntry {
       |t AS (SELECT sum(c) AS n, count(*) AS v FROM v)
       |SELECT doc_id, round(-sum(tf * ln((c + 1.0) / (n + v))) / sum(tf), 6) AS xent
       |  FROM tf JOIN v USING (w) CROSS JOIN t GROUP BY 1""".stripMargin
+
+  private val annPcaTopkSql: String =
+    """SELECT CAST(0 AS BIGINT) AS id, 1.0 AS cos
+      |UNION ALL
+      |SELECT CAST(100000 + r AS BIGINT) AS id, 1.0 AS cos
+      |  FROM generate_series(1, 9) AS g(r)""".stripMargin
 
   private val tokenizeIdsSql: String =
     """WITH nrm AS (SELECT doc_id,
