@@ -549,6 +549,30 @@ object SparkEntry {
         .select(col("doc_id"),
           llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"))
     }),
+    "pipeline_tokenized_corpus" -> ((s, dir) => {
+      // raw documents → MODEL INPUT in one plan: the train-corpus chain
+      // (quality → dedup → decontam → mix → sample) extended with the
+      // per-lang token-budget cap and tokenization against the capped
+      // set's own vocabulary — every stage the standalone rows check,
+      // composed the way an ingest actually runs
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+      val clean = docs
+        .filter(round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6) >= 0.5)
+        .filter(col("doc_id") % 23 =!= 0)
+      val surv = llm.Dedup.survivors(clean, "doc_id",
+        llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
+      val dec = llm.TextAnalysis.decontaminate(surv, "doc_id", "text", bench, "text", 8)
+      val mixed = llm.Sampling.temperatureMix(dec, "doc_id", "lang",
+        alpha = 0.5, seed = 13)
+      val sampled = llm.Sampling.sampleByHash(mixed, "doc_id", 0.5, seed = 11)
+      val capped = llm.Sampling.budgetCap(
+        sampled.withColumn("n_tok",
+          llm.TextAnalysis.tokenCountWs(col("text")).cast("long")),
+        "doc_id", "lang", "n_tok", budget = 2000L, seed = 7L)
+      llm.TextAnalysis.tokenizeIds(capped, "doc_id", "text",
+        llm.TextAnalysis.vocabulary(capped, "text", topV = 100))
+    }),
     "dedup_cosine_survivors" -> ((s, dir) => {
       // survivors composed over the embedding near-dup pair set, on the
       // same provable planted construction as dedup_cosine_bucketed
@@ -1644,6 +1668,7 @@ object SparkEntry {
          | WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ($jaccardPairsSql))""".stripMargin,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "pipeline_train_corpus" -> pipelineTrainCorpusSql,
+    "pipeline_tokenized_corpus" -> pipelineTokenizedCorpusSql,
     "dedup_cosine_survivors" -> cosineSurvivorsSql,
     "embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1990,7 +2015,10 @@ object SparkEntry {
     * = full-corpus doc_id % 23 == 0) → deterministic 50% hash sample →
     * token counts: the oracle for pipeline_train_corpus. Each stage's
     * SQL form is the one its standalone oracle row uses. */
-  private val pipelineTrainCorpusSql: String =
+  /** The shared CTE chain of the train-corpus composites: quality gate →
+    * near-dup survivors → decontamination → temperature-mix thresholds.
+    * Ends at `thr`; composites append their own tail. */
+  private val trainCorpusCtes: String =
     s"""WITH scored AS (SELECT doc_id, text, lang, $qualitySqlExpr AS q FROM documents),
        |clean AS (SELECT doc_id, text, lang FROM scored WHERE q >= 0.5 AND doc_id % 23 != 0),
        |${jaccardCtes("clean")},
@@ -2014,11 +2042,45 @@ object SparkEntry {
        |lm AS (SELECT min(n) AS nmin FROM lc),
        |thr AS (SELECT lc.lang,
        |               CAST(round(1000000 * sqrt(CAST(lm.nmin AS DOUBLE) / n), 0) AS BIGINT) AS t
-       |          FROM lc, lm)
+       |          FROM lc, lm)""".stripMargin
+
+  private val pipelineTrainCorpusSql: String =
+    s"""$trainCorpusCtes
        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws
        |  FROM dec d JOIN thr ON d.lang = thr.lang
        | WHERE ${llm.Sampling.hashBucketSql("d.doc_id", 13, 1000000)} < thr.t
        |   AND ${llm.Sampling.hashBucketSql("d.doc_id", 11, 1000000)} < 500000""".stripMargin
+
+  /** The tokenized tail: the SAME mixed pool, per-lang 2000-token budget
+    * cap over the shared hash order, then tokenize against the capped
+    * set's own top-100 vocabulary — raw documents to model input in one
+    * oracle-checked plan. */
+  private val pipelineTokenizedCorpusSql: String =
+    s"""$trainCorpusCtes,
+       |mixed AS (SELECT d.doc_id, d.text, d.lang FROM dec d JOIN thr ON d.lang = thr.lang
+       |           WHERE ${llm.Sampling.hashBucketSql("d.doc_id", 13, 1000000)} < thr.t
+       |             AND ${llm.Sampling.hashBucketSql("d.doc_id", 11, 1000000)} < 500000),
+       |weighted AS (SELECT doc_id, text, lang,
+       |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |                    ${llm.Sampling.hashBucketSql("doc_id", 7, 1000000)} AS h
+       |               FROM mixed),
+       |capped AS (SELECT doc_id, text FROM (
+       |             SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |                                        ROWS UNBOUNDED PRECEDING) AS cum
+       |               FROM weighted) WHERE cum <= 2000),
+       |cnrm AS (SELECT doc_id,
+       |               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |             FROM capped),
+       |cv AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rnk
+       |        FROM (SELECT w, count(*) AS cnt
+       |                FROM (SELECT unnest(toks) AS w FROM cnrm)
+       |               WHERE w <> '' GROUP BY 1)
+       |       ORDER BY cnt DESC, w ASC LIMIT 100),
+       |cp AS (SELECT doc_id, i AS pos, toks[i] AS w
+       |        FROM cnrm, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s)
+       |SELECT doc_id, count(*) AS n_tok,
+       |       array_to_string(list(coalesce(cv.rnk, 0) ORDER BY cp.pos), ',') AS ids_str
+       |  FROM cp LEFT JOIN cv USING (w) GROUP BY 1""".stripMargin
 
   /** Survivors over the planted-construction cosine pair set (same
     * construction as dedup_cosine_bucketed, so the approximate pair set
