@@ -54,6 +54,11 @@ object Temporal {
     * @param rightTsUs epoch-µs LONG column on `right`
     * @param prefix    prefix for the attached right columns (also used for
     *                  the `<prefix>ts_us` match-timestamp column)
+    *
+    * NULL semantics (spec-pinned): a NULL-ts left row sorts before every
+    * right row in its key partition and therefore never matches; NULL
+    * keys form their own partition (Spark window semantics), so null-key
+    * probes match null-key reference rows.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTsUs: String, rightTsUs: String, prefix: String = "asof_",

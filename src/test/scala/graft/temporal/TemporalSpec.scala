@@ -79,6 +79,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("asofJoin NULL handling: null-ts left rows never match; null keys group together") {
+    val left = Seq((Some(1L), Some(10L), 100L), (Some(1L), None, 101L),
+      (None, Some(10L), 102L)).toDF("k", "ts", "lid")
+    val right = Seq((Some(1L), Some(5L), "a"), (None, Some(5L), "n"))
+      .toDF("k", "ts", "tag")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select("lid", "asof_tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(100L).contains("a"))
+    // a NULL-ts probe sorts before every right row: no match, by design
+    assert(out(101L).isEmpty)
+    // NULL keys form their own group (Spark window partition semantics)
+    assert(out(102L).contains("n"))
+  }
+
   // ---- sessionIds / sessionStats ----
 
   test("sessionIds breaks sessions on gaps strictly greater than gapUs") {
