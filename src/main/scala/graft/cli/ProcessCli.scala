@@ -21,6 +21,7 @@ import graft.streaming.StreamRunner
   *     [--error-uri F] [--stream]
   *     [--stream-decontam-bench F [--stream-decontam-text col]
   *      [--stream-decontam-n N]]
+  *     [--stream-sessions "key=K;ts=T;gap=G;watermark=W;value=V"]
   */
 object ProcessCli {
 
@@ -43,7 +44,23 @@ object ProcessCli {
       streamDecontamBench: String = "",
       streamDecontamText: String = "text",
       streamDecontamN: Int = 8,
+      streamSessions: String = "",
   )
+
+  /** Parse `--stream-sessions "key=u;ts=ts;gap=30 minutes;watermark=10
+    * minutes;value=v"` (order-free `;`-separated pairs; gap/watermark are
+    * Spark interval strings, so they may contain spaces). */
+  private[cli] def parseSessionSpec(s: String): Map[String, String] = {
+    val m = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val j = kv.indexOf('=')
+      require(j > 0, s"--stream-sessions: malformed pair '$kv'")
+      kv.take(j).trim -> kv.drop(j + 1).trim
+    }.toMap
+    val missing = Seq("key", "ts", "gap", "watermark", "value").filterNot(m.contains)
+    require(missing.isEmpty,
+      s"--stream-sessions: missing ${missing.mkString(", ")}")
+    m
+  }
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
@@ -83,6 +100,13 @@ object ProcessCli {
           c = c.copy(streamDecontamText = a.value())
         case "--stream-decontam-n" =>
           c = c.copy(streamDecontamN = a.value().toInt)
+        // streaming sessionization AFTER the DFL stages: event-time
+        // session windows with watermark-bounded state (the streaming
+        // twin of the batch `sessionize(@, …)` stage, which is fenced
+        // out of stream mode)
+        case "--stream-sessions" =>
+          val v = a.value(); parseSessionSpec(v) // validate eagerly
+          c = c.copy(streamSessions = v)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -90,6 +114,9 @@ object ProcessCli {
     require(c.streamDecontamBench.isEmpty || c.stream,
       "--stream-decontam-bench requires --stream (batch pipelines use " +
         "the exact decontam(@, …) DFL stage instead)")
+    require(c.streamSessions.isEmpty || c.stream,
+      "--stream-sessions requires --stream (batch pipelines use the " +
+        "sessionize(@, …) DFL stage instead)")
     c
   }
 
@@ -117,7 +144,17 @@ object ProcessCli {
           StreamRunner.streamingContamFilter(s, c.streamDecontamText,
             bench, c.streamDecontamText, c.streamDecontamN)
         }
-      StreamRunner.runOnce(spark, c.inputUri, fmt, c.dfl, c.vars, pre)
+      val post: DataFrame => DataFrame =
+        if (c.streamSessions.isEmpty) identity
+        else { s =>
+          val spec = parseSessionSpec(c.streamSessions)
+          StreamRunner.streamingSessions(
+            s.withColumn(spec("ts"),
+              org.apache.spark.sql.functions.col(spec("ts")).cast("timestamp")),
+            spec("key"), spec("ts"), spec("gap"), spec("watermark"),
+            spec("value"))
+        }
+      StreamRunner.runOnce(spark, c.inputUri, fmt, c.dfl, c.vars, pre, post)
     } else {
       val df = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
         format = c.inputFormat, header = c.inputHeader,

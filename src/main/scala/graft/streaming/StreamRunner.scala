@@ -49,6 +49,9 @@ object StreamRunner {
   def validateStreamable(format: String, dflSrc: String): Unit = {
     require(streamableFormats(format),
       s"format '$format' is not streamable (streamable: ${streamableFormats.mkString(", ")})")
+    // an empty pipeline is a pure pass-through (e.g. `--stream
+    // --stream-sessions` with no DFL stages): nothing to inspect
+    if (dflSrc.trim.isEmpty) return
     // inspect the parsed stages: only DATASET-level uses of the global
     // operators are unstreamable — row-level len(@name)/set(@tags) inside
     // a map expression are fine
@@ -101,9 +104,12 @@ object StreamRunner {
     * writeStream directly). */
   def runOnce(spark: SparkSession, dir: String, format: String,
               dflSrc: String, vars: Map[String, Any] = Map.empty,
-              pre: DataFrame => DataFrame = identity): DataFrame = {
+              pre: DataFrame => DataFrame = identity,
+              post: DataFrame => DataFrame = identity): DataFrame = {
     validateStreamable(format, dflSrc)
-    val out = transform(pre(readStream(spark, dir, format)), dflSrc, vars)
+    val base = pre(readStream(spark, dir, format))
+    val out = post(
+      if (dflSrc.trim.isEmpty) base else transform(base, dflSrc, vars))
     collectStream(out, "append")
   }
 

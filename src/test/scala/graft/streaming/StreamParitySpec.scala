@@ -106,6 +106,31 @@ class StreamParitySpec extends AnyFunSuite {
     assert(got.size == 3 && got.count(_._1 == 1L) == 2)
   }
 
+  test("process --stream --stream-sessions emits session stats after the DFL stages") {
+    val dir = Files.createTempDirectory("graft-pss").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ev.jsonl"),
+      """{"ts":"2026-01-01 00:00:00","u":1,"v":1.5,"kind":"k"}
+        |{"ts":"2026-01-01 00:00:05","u":1,"v":2.0,"kind":"k"}
+        |{"ts":"2026-01-01 00:00:40","u":1,"v":4.0,"kind":"drop"}
+        |{"ts":"2026-01-01 00:00:03","u":2,"v":7.0,"kind":"k"}
+        |{"ts":"2026-01-01 00:10:00","u":99,"v":0.0,"kind":"k"}""".stripMargin)
+    val c = graft.cli.ProcessCli.parseArgs(Array(
+      "--input-uri", dir, "--input-format", "jsonl",
+      "--dfl", "filter(@, '@kind == k')", "--stream",
+      "--stream-sessions", "key=u;ts=ts;gap=10 seconds;watermark=5 seconds;value=v"))
+    val out = graft.cli.ProcessCli.run(spark, c)
+      .select("u", "n_events", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the DFL filter dropped the 00:00:40 event BEFORE sessionization;
+    // u=99 is the watermark flush (its own session stays open)
+    assert(out == Set((1L, 2L, 3.5), (2L, 1L, 7.0)))
+    // flag validation: sessions without --stream, malformed/missing keys
+    intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
+      Array("--input-uri", dir, "--stream-sessions", "key=u;ts=ts;gap=1 s;watermark=1 s;value=v")))
+    intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
+      Array("--input-uri", dir, "--stream", "--stream-sessions", "key=u;ts=ts")))
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val lDir = Files.createTempDirectory("graft-ssj-l").toString
     val rDir = Files.createTempDirectory("graft-ssj-r").toString
