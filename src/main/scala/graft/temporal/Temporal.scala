@@ -103,6 +103,25 @@ object Temporal {
       (col("__m").getField("__ts").as(s"${prefix}ts_us") +: attached): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the single EARLIEST right row
+    * with `right.ts >= left.ts` on the same key (inclusive;
+    * `toleranceUs` voids matches further than `left.ts + toleranceUs`) —
+    * the "next event after" shape (next fill after an order, next
+    * heartbeat after a probe). Implemented as [[asofJoin]] on NEGATED
+    * timestamps — time reversal turns earliest-after into latest-before,
+    * so the two directions share one engine (and the same determinism
+    * contract); the emitted `<prefix>ts_us` is negated back. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTsUs: String, rightTsUs: String,
+                      prefix: String = "asof_",
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    val l = left.withColumn(leftTsUs, -col(leftTsUs))
+    val r = right.withColumn(rightTsUs, -col(rightTsUs))
+    asofJoin(l, r, keyCols, leftTsUs, rightTsUs, prefix, toleranceUs)
+      .withColumn(leftTsUs, -col(leftTsUs))
+      .withColumn(s"${prefix}ts_us", -col(s"${prefix}ts_us"))
+  }
+
   /** Gaps-and-islands sessionization: adds `session_start_us` — the first
     * timestamp of the session the row belongs to, where a session breaks
     * when the gap to the previous event on the same key exceeds `gapUs`.

@@ -79,6 +79,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("asofJoinForward picks the earliest right row at or after each left ts") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 50L, 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 7L, "d")).toDF("k", "ts", "tag")
+    val out = Temporal.asofJoinForward(left, right, Seq("k"), "ts", "ts")
+      .select("lid", "asof_ts_us", "asof_tag").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (100L, Some(10L), Some("a")),   // exact-ts match is visible
+      (101L, Some(30L), Some("c")),   // earliest >= 25
+      (102L, None, None)))            // right ts 7 < left ts 50 → no match
+    // tolerance: a match further than the window is voided
+    val tol = Temporal.asofJoinForward(left, right, Seq("k"), "ts", "ts",
+        toleranceUs = Some(3L))
+      .select("lid", "asof_tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tol(100L).contains("a")) // distance 0 <= 3
+    assert(tol(101L).isEmpty)       // distance 5 > 3
+  }
+
   test("asofJoin NULL handling: null-ts left rows never match; null keys group together") {
     val left = Seq((Some(1L), Some(10L), 100L), (Some(1L), None, 101L),
       (None, Some(10L), 102L)).toDF("k", "ts", "lid")
@@ -142,6 +164,20 @@ class TemporalSpec extends AnyFunSuite {
 
   private lazy val bands = Seq((0L, 0.0, 50.0), (1L, 50.0, 150.0),
     (2L, 100.0, 300.0)).toDF("band_id", "lo", "hi")
+
+  test("bucketized range join handles negative interval bounds") {
+    val fact = Seq((1L, -30.0), (2L, -5.0), (3L, 10.0)).toDF("id", "v")
+    val negBands = Seq((0L, -50.0, -10.0), (1L, -10.0, 20.0))
+      .toDF("band_id", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = key(Temporal.rangeJoinBroadcast(fact, "v", negBands, "lo", "hi"))
+    assert(bc == Set((1L, 0L), (2L, 1L), (3L, 1L)))
+    // floor-based bucketing is correct for negatives (floor, not truncate)
+    assert(key(Temporal.rangeJoinBucketed(fact, "v", negBands, "lo", "hi",
+      bucketWidth = 7.0)) == bc)
+  }
 
   test("rangeJoinBroadcast: inclusive bounds, multi-match, left-outer") {
     val fact = Seq((1L, 50.0), (2L, 120.0), (3L, 400.0)).toDF("id", "v")
