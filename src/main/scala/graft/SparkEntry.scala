@@ -1072,6 +1072,20 @@ object SparkEntry {
           coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
           coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
     }),
+    "dfl_asof_fwd" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      DflFrame.pipeline(clicks,
+          "asof(@, $purchases, '@user_id', '@ts_us', -1, 'forward')",
+          Map("purchases" -> purchases))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_ts_us"), lit(-1L)).as("asof_ts_us"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
+    }),
     "dfl_sessionize" -> ((s, dir) =>
       DflFrame.pipeline(eventsUs(s, dir),
         "sessionize(@, '@user_id', '@ts_us', 7200000000, '@value')")
@@ -1230,30 +1244,8 @@ object SparkEntry {
         |  FROM ids a JOIN ids b ON a.q = b.q AND a.id < b.id""".stripMargin,
     "semantic_dedup" -> semanticDedupSql,
     "dfl_semantic_dedup" -> semanticDedupSql,
-    "asof_join_fwd" ->
-      """WITH u AS (
-        |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,
-        |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_val,
-        |         event_id
-        |    FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id, 0 AS side, epoch_us(ts) AS ts_us,
-        |         event_id AS r_id, value AS r_val, CAST(NULL AS BIGINT) AS event_id
-        |    FROM events WHERE event_type = 'purchase'
-        |), w AS (
-        |  SELECT *,
-        |    last_value(r_id IGNORE NULLS) OVER ord AS m_id,
-        |    last_value(r_val IGNORE NULLS) OVER ord AS m_val,
-        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER ord AS m_ts
-        |  FROM u
-        |  WINDOW ord AS (PARTITION BY user_id ORDER BY ts_us DESC, side, r_id
-        |                 ROWS UNBOUNDED PRECEDING)
-        |)
-        |SELECT event_id, user_id, ts_us,
-        |       coalesce(m_ts, -1) AS asof_ts_us,
-        |       coalesce(m_val, -1.0) AS asof_value,
-        |       coalesce(m_id, -1) AS asof_event_id
-        |  FROM w WHERE side = 1""".stripMargin,
+    "asof_join_fwd" -> asofJoinFwdSql,
+    "dfl_asof_fwd" -> asofJoinFwdSql,
     "asof_join_tol" ->
       """WITH u AS (
         |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,
@@ -1386,6 +1378,31 @@ object SparkEntry {
 
   private val semanticDedupSql: String =
     "SELECT vec_id FROM embeddings WHERE vec_id < 100000"
+
+  private val asofJoinFwdSql: String =
+      """WITH u AS (
+        |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,
+        |         CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_val,
+        |         event_id
+        |    FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, 0 AS side, epoch_us(ts) AS ts_us,
+        |         event_id AS r_id, value AS r_val, CAST(NULL AS BIGINT) AS event_id
+        |    FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER ord AS m_id,
+        |    last_value(r_val IGNORE NULLS) OVER ord AS m_val,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER ord AS m_ts
+        |  FROM u
+        |  WINDOW ord AS (PARTITION BY user_id ORDER BY ts_us DESC, side, r_id
+        |                 ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       coalesce(m_ts, -1) AS asof_ts_us,
+        |       coalesce(m_val, -1.0) AS asof_value,
+        |       coalesce(m_id, -1) AS asof_event_id
+        |  FROM w WHERE side = 1""".stripMargin
 
   private val sessionizeSql: String =
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -602,15 +602,25 @@ object DflFrame {
           budget, seed).drop("__gid", "__gdom", "__gw")
 
       case "asof" =>
-        // `asof(@, $right, '@key', '@ts'[, toleranceUs])` — backward
-        // as-of join (Temporal.asofJoin) against a dataset var bound
-        // earlier in the pipeline or by the caller. The key/ts
-        // sub-expressions evaluate against BOTH frames (like decontam's
-        // text expression); matched right columns come back `asof_`-
-        // prefixed, NULL where nothing qualifies.
-        if (args.size < 4 || args.size > 5) throw new DflParseException(
-          "asof takes (@, $right, key, ts[, toleranceUs])")
-        val tol = if (args.size > 4) Some(numArg(4).toLong) else None
+        // `asof(@, $right, '@key', '@ts'[, toleranceUs[, direction]])` —
+        // as-of join (Temporal.asofJoin/asofJoinForward) against a
+        // dataset var bound earlier in the pipeline or by the caller.
+        // toleranceUs < 0 means unbounded; direction: 'backward'
+        // (default, latest at-or-before) | 'forward' (earliest
+        // at-or-after). The key/ts sub-expressions evaluate against BOTH
+        // frames (like decontam's text expression); matched right
+        // columns come back `asof_`-prefixed, NULL where nothing
+        // qualifies.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "asof takes (@, $right, key, ts[, toleranceUs[, direction]])")
+        val tol = if (args.size > 4) Some(numArg(4).toLong).filter(_ >= 0)
+          else None
+        val forward = args.size > 5 && (strArg(5) match {
+          case "forward"  => true
+          case "backward" => false
+          case other => throw new DflParseException(
+            s"unknown asof direction $other")
+        })
         val rightSrc = dsArg(1)
         // a plain '@col' reference uses the RAW column on both sides —
         // exactly the Scala-API call shape, so the right side's own ts/key
@@ -629,8 +639,12 @@ object DflFrame {
           }
         val (keyName, l1, r1) = rawOr(2, "__gkey", df, rightSrc)
         val (tsName, l2, r2) = rawOr(3, "__gts", l1, r1)
-        graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
+        (if (forward)
+          graft.temporal.Temporal.asofJoinForward(l2, r2, Seq(keyName),
             tsName, tsName, toleranceUs = tol)
+        else
+          graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
+            tsName, tsName, toleranceUs = tol))
           .drop("__gkey", "__gts")
 
       case "tokenize" =>
