@@ -461,6 +461,14 @@ object SparkEntry {
     // decontamination through the DFL dispatch: the benchmark corpus is a
     // dataset var (exactly how a catalog service would bind a second
     // datastore); same %23 split and 8-gram overlap as decontam_clean
+    "dfl_dedup_against" -> ((s, dir) => {
+      // cross-corpus dedup through the DFL dispatch: same split and
+      // survivors as xdedup_survivors, via dedupAgainst(@,…,$ref)
+      val docs = t(s, dir, "documents")
+      DflFrame.pipeline(docs.filter(col("doc_id") % 3 =!= 0),
+        "dedupAgainst(@, '@doc_id', '@text', $ref) | map(@, '{doc_id: @doc_id}')",
+        Map("ref" -> docs.filter(col("doc_id") % 3 === 0)))
+    }),
     "dfl_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DflFrame.pipeline(docs.filter(col("doc_id") % 23 =!= 0),
@@ -495,6 +503,45 @@ object SparkEntry {
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
       llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    // CROSS-CORPUS dedup: the new-crawl-vs-previous-snapshot shape.
+    // The corpus splits deterministically on doc_id % 3 — "reference"
+    // (retained training set) = multiples of 3, "new crawl" = the rest —
+    // so planted near-dup families in the testdata straddle the split
+    // and the pair set is non-trivial at every sf.
+    "xdedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Dedup.jaccardPairsAgainst(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 0.8)
+    }),
+    "xdedup_minhash_pairs" -> ((s, dir) => {
+      // banded cross variant; same exact-set oracle as the self-join
+      // minhash rows (recall 1-1e-14 at 64/2 banding, exact verify)
+      val docs = t(s, dir, "documents")
+      llm.Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 0.8)
+    }),
+    "xdedup_survivors" -> ((s, dir) => {
+      // new-crawl rows with NO near-dup in the reference snapshot: every
+      // matched left row drops (the reference side is retained by
+      // definition — no keep-smallest arbitration, unlike dedup_survivors)
+      val docs = t(s, dir, "documents")
+      val newDocs = docs.filter(col("doc_id") % 3 =!= 0)
+      val refDocs = docs.filter(col("doc_id") % 3 === 0)
+      llm.Dedup.survivorsAgainst(newDocs, "doc_id",
+          llm.Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text", 0.8))
+        .select("doc_id")
+    }),
+    "xdedup_exact" -> ((s, dir) => {
+      // cheap first pass: drop new-crawl rows whose normalized-text
+      // fingerprint already exists in the reference snapshot
+      val docs = t(s, dir, "documents")
+      llm.Dedup.exactSurvivorsAgainst(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        .select("doc_id")
+    }),
     "dedup_clusters" -> ((s, dir) =>
       // transitive duplicate components over the MinHash pair set (same
       // pair set = exact-jaccard set at these parameters); (id, rep)
@@ -1701,9 +1748,28 @@ object SparkEntry {
     "dfl_ann_ivf" -> annPlantedTopkSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_pairs" -> jaccardPairsSql,
+    "xdedup_jaccard_pairs" -> xJaccardPairsSql,
+    "xdedup_minhash_pairs" -> xJaccardPairsSql,
+    // NOT IN is safe here: id_a is never NULL (it comes from newd rows)
+    "xdedup_survivors" ->
+      s"""WITH $xJaccardCtes
+         |SELECT doc_id FROM newd
+         | WHERE doc_id NOT IN (SELECT DISTINCT id_a FROM xpairs)""".stripMargin,
+    // NOT EXISTS (not NOT IN): a NULL-text fingerprint must SURVIVE, as
+    // Spark's left-anti join never matches NULL keys
+    "xdedup_exact" ->
+      """SELECT d.doc_id FROM documents d
+        | WHERE d.doc_id % 3 <> 0 AND NOT EXISTS (
+        |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
+        |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
+        |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
     "dedup_clusters" -> clusterCcSql,
     "dfl_near_dup_clusters" -> clusterCcSql,
     "dfl_decontam" -> decontamCleanSql,
+    "dfl_dedup_against" ->
+      s"""WITH $xJaccardCtes
+         |SELECT doc_id FROM newd
+         | WHERE doc_id NOT IN (SELECT DISTINCT id_a FROM xpairs)""".stripMargin,
     "dfl_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -2029,6 +2095,38 @@ object SparkEntry {
     * bands the LSH recall at j≥0.8 is 1-1e-14: the sets coincide). */
   private val jaccardPairsSql: String =
     s"WITH ${jaccardCtes("documents")}\nSELECT id_a, id_b, jaccard FROM jpairs"
+
+  /** Cross-corpus exact-jaccard pair CTEs over the doc_id % 3 split
+    * (reference = multiples of 3, new crawl = the rest): `xpairs` =
+    * (id_a ∈ new, id_b ∈ ref, jaccard ≥ 0.8). Same shingle rendering as
+    * [[jaccardCtes]]; the join crosses the two shingle sets instead of
+    * self-joining one. Oracle for xdedup_jaccard_pairs AND
+    * xdedup_minhash_pairs (banded recall 1-1e-14 + exact verify = the
+    * exact set, as for the self-join minhash rows). */
+  private val xJaccardCtes: String =
+    """newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM newd),
+      |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM refd),
+      |nsh AS (SELECT DISTINCT doc_id, g FROM (
+      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |   FROM ntoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+      |   WHERE g IS NOT NULL),
+      |rsh AS (SELECT DISTINCT doc_id, g FROM (
+      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |   FROM rtoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+      |   WHERE g IS NOT NULL),
+      |ncnt AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+      |rcnt AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |xshared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM nsh a JOIN rsh b ON a.g = b.g GROUP BY 1, 2),
+      |xpairs AS (
+      |  SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+      |    FROM xshared JOIN ncnt x ON d1 = x.doc_id JOIN rcnt y ON d2 = y.doc_id
+      |   WHERE c * 1.0 / (x.n + y.n - c) >= 0.8)""".stripMargin
+
+  private val xJaccardPairsSql: String =
+    s"WITH $xJaccardCtes\nSELECT id_a, id_b, jaccard FROM xpairs"
 
   /** Connected components over the exact-jaccard pair set (recursive
     * reachability, min id per component) — oracle for the distributed

@@ -101,7 +101,8 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "annTopK", "annTopKBatch", "annRange",
+      "nearDedupClusters", "dedupAgainst", "dupPairsAgainst",
+      "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
@@ -709,6 +710,44 @@ object DflFrame {
         base.withColumn("roll_sum", round(sum(col("__gval")).over(w), 2))
           .withColumn("roll_n", count(lit(1)).over(w))
           .drop("__gkey", "__gts", "__gval")
+
+      case "dedupAgainst" | "dupPairsAgainst" =>
+        // `dedupAgainst(@, '@id', '@text', $ref[, threshold[, method]])` —
+        // cross-corpus dedup of the piped corpus AGAINST a reference
+        // snapshot bound as a dataset var (the new-crawl-vs-prior-
+        // training-set shape). Every matched left row drops — the
+        // reference side is retained by definition. method: minhash
+        // (default, banded) | jaccard (exact PPJoin) | exact (normalized-
+        // fingerprint anti-join; threshold ignored). `dupPairsAgainst`
+        // returns the (id_a, id_b, jaccard) cross pair set itself.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          s"$name takes (@, idExpr, textExpr, $$ref[, threshold[, method]])")
+        val threshold = if (args.size > 4) numArg(4) else 0.8
+        val method = if (args.size > 5) strArg(5) else "minhash"
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val refSrc = dsArg(3)
+        val refBase = refSrc
+          .withColumn("__gid", ColumnCompiler.compile(
+            sub(1), ColumnCompiler.Ctx.forDataFrame(refSrc, vars)))
+          .withColumn("__gtext", ColumnCompiler.compile(
+            sub(2), ColumnCompiler.Ctx.forDataFrame(refSrc, vars)))
+        if (method == "exact") {
+          if (name == "dupPairsAgainst") throw new DflParseException(
+            "dupPairsAgainst has no 'exact' method (no jaccard to report); use dedupAgainst")
+          graft.llm.Dedup.exactSurvivorsAgainst(base, refBase, "__gid", "__gtext")
+            .drop("__gid", "__gtext")
+        } else {
+          val pairs = method match {
+            case "minhash" =>
+              graft.llm.Dedup.minhashPairsAgainst(base, refBase, "__gid", "__gtext", threshold)
+            case "jaccard" =>
+              graft.llm.Dedup.jaccardPairsAgainst(base, refBase, "__gid", "__gtext", threshold)
+            case other => throw new DflParseException(s"unknown $name method $other")
+          }
+          if (name == "dupPairsAgainst") pairs
+          else graft.llm.Dedup.survivorsAgainst(base, "__gid", pairs)
+            .drop("__gid", "__gtext")
+        }
 
       case "decontam" | "decontamBloom" | "decontamScrub" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram

@@ -252,6 +252,142 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** CROSS-CORPUS exact-Jaccard near-duplicate pairs: every LEFT (new
+    * crawl) document paired with every RIGHT (reference snapshot / prior
+    * training set) document at jaccard ≥ threshold — the
+    * dedup-new-data-against-what-we-already-trained-on shape, which the
+    * self-join family cannot express (running [[jaccardPairs]] on the
+    * union would also pay for within-reference pairs nobody wants).
+    *
+    * Same PPJoin machinery as [[jaccardPairs]] (df-ascending global
+    * shingle order, prefix + length + positional filters, exact verify
+    * on the full shingle sets), run over the side-tagged union so both
+    * sides share ONE document-frequency order — the prefix lemma is
+    * per-pair and holds for R⋈S exactly as for the self-join. The only
+    * structural change is at candidate generation: within-bucket pairs
+    * are emitted ONLY across sides (`a.side = 0 ∧ b.side = 1`), so
+    * within-left and within-right candidates never reach the shuffle or
+    * the verify. The df-cap counts a shingle's frequency over BOTH
+    * corpora (a boilerplate shingle is a skew bomb regardless of which
+    * side it lives on). Ids keep their original per-side types and may
+    * collide across corpora — sides are disambiguated structurally, not
+    * by id.
+    *
+    * Returns (id_a ∈ df, id_b ∈ ref, jaccard). */
+  def jaccardPairsAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+                          textCol: String, threshold: Double, n: Int = 3,
+                          maxDocFreq: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shL = shingleDf(df, idCol, textCol, n)
+    val shR = shingleDf(ref, idCol, textCol, n)
+    val ex = hashedShingles(shL).withColumn("side", lit(0))
+      .unionByName(hashedShingles(shR).withColumn("side", lit(1)))
+    val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val capped = ex.join(dfh, "h").filter(col("dfh") <= maxDocFreq)
+    val w = Window.partitionBy("side", "id").orderBy("dfh", "h")
+    val prefixes = capped
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("side", "id")))
+      // prefix length |x| - ⌈t·|x|⌉ + 1, epsilon as in jaccardStages
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select("side", "id", "h", "rn", "sz")
+    val buckets = prefixes.groupBy("h")
+      .agg(collect_list(struct(col("side"), col("id"), col("rn"), col("sz"))).as("xs"))
+      // a cross pair needs both sides present in the bucket
+      .filter(size(col("xs")) >= 2)
+    val needed = (col("a.sz") + col("b.sz")).cast(DoubleType) *
+      lit(threshold / (1.0 + threshold))
+    val cands = buckets
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      // ONLY across sides — this replaces the self-join's a.id < b.id
+      .filter(col("a.side") === 0 && col("b.side") === 1)
+      // length filter (PPJoin), as in jaccardStages
+      .filter(greatest(col("a.sz"), col("b.sz")).cast(DoubleType) * threshold
+        <= least(col("a.sz"), col("b.sz")).cast(DoubleType) + 1e-9)
+      // positional filter (PPJoin): both sides sorted by the shared
+      // union-df order, so the suffix bound holds verbatim
+      .filter(lit(1.0) +
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")).cast(DoubleType)
+        >= needed - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .select("id_a", "id_b")
+    val withSh = cands
+      .join(shL.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(shR.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+      .filter(greatest(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) * threshold
+        <= least(size(col("sh_a")), size(col("sh_b"))).cast(DoubleType) + 1e-9)
+    val inter = graft.functions.SortedIntersectF
+      .count(col("sh_a"), col("sh_b")).cast(DoubleType)
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
+    withSh
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** CROSS-CORPUS MinHash+LSH near-duplicate pairs — [[jaccardPairsAgainst]]'s
+    * banded sibling, for when the reference snapshot is too large for
+    * exact PPJoin inversion to be worth it: signatures are row-local
+    * per side (fixed seeded hash family, so a reference corpus's
+    * signatures can be computed ONCE and persisted across crawls —
+    * append-only, like the ANN indexes), candidate generation is one
+    * equi-join of band buckets across sides (id-and-band-hash rows only;
+    * at 64/2 banding recall at j≥0.8 is 1-(1-j²)³² ≈ 1-1e-14), and the
+    * exact verify restores precision. Returns (id_a ∈ df, id_b ∈ ref,
+    * jaccard). */
+  def minhashPairsAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+                          textCol: String, threshold: Double, n: Int = 3,
+                          numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val shL = shingleDf(df, idCol, textCol, n)
+    val shR = shingleDf(ref, idCol, textCol, n)
+    def bandBuckets(sh: DataFrame): DataFrame = {
+      val sigs = minhashSigs(sh, numHashes)
+      val bandCols = (0 until numBands).map { b =>
+        val slice = (0 until rowsPerBand)
+          .map(r => element_at(col("sigs"), b * rowsPerBand + r + 1))
+        struct(lit(b).as("band"), xxhash64(slice :+ lit(b): _*).as("bh"))
+      }
+      sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bh"))
+    }
+    val cands = bandBuckets(shL).as("a").join(bandBuckets(shR).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val withSh = cands
+      .join(shL.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(shR.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+    val inter = graft.functions.SortedIntersectF
+      .count(col("sh_a"), col("sh_b")).cast(DoubleType)
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - inter
+    withSh
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** CROSS-CORPUS exact dedup survivors: LEFT rows whose normalized-text
+    * fingerprint does NOT appear in the reference corpus — the cheap
+    * first pass of snapshot-against-snapshot dedup (one left-anti hash
+    * join on the fingerprint; both fingerprints are row-local
+    * projections, so the only exchange is the join itself). */
+  def exactSurvivorsAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    df.join(
+      ref.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct(),
+      TextAnalysis.fingerprint(col(textCol)) === col("__fp"), "left_anti")
+
+  /** LEFT rows with no cross-corpus near-dup match: anti-join on `id_a`
+    * of a [[jaccardPairsAgainst]]/[[minhashPairsAgainst]] pair set.
+    * Unlike the self-join [[survivors]] (which keeps the smallest id of
+    * each dup group), EVERY matched left row drops — the reference side
+    * is the retained corpus by definition. */
+  def survivorsAgainst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** 64-bit SimHash signatures (id, sig) as ONE per-row projection over
     * the token array — no explode, no shuffle (the explode + 64-`sum`
     * vote aggregation this replaces shuffled one row per document at

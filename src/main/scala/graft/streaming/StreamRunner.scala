@@ -32,7 +32,8 @@ object StreamRunner {
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-    "nearDedupClusters", "annTopK", "annTopKBatch", "annRange",
+    "nearDedupClusters", "dedupAgainst", "dupPairsAgainst",
+    "annTopK", "annTopKBatch", "annRange",
     "annRangeBatch", "decontam",
     "decontamBloom", "decontamScrub", "contamHits",
     // packing needs per-bucket windows over the whole corpus; lmScore,

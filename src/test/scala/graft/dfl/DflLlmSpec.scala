@@ -78,6 +78,45 @@ class DflLlmSpec extends AnyFunSuite {
     assert(cosDfl == cosApi)
   }
 
+  test("dedupAgainst/dupPairsAgainst(@) match the cross-corpus Scala API") {
+    val newDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val refDocs = docs.filter(col("doc_id") % 3 === 0)
+    val vars = Map[String, Any]("ref" -> refDocs)
+    val pairsDfl = DflFrame.pipeline(newDocs,
+        "dupPairsAgainst(@, '@doc_id', '@text', $ref, 0.8)", vars)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsApi = Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsApi.nonEmpty && pairsDfl == pairsApi)
+    // jaccard method dispatch reaches the PPJoin variant (same set here)
+    val pairsJac = DflFrame.pipeline(newDocs,
+        "dupPairsAgainst(@, '@doc_id', '@text', $ref, 0.8, 'jaccard')", vars)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsJac == pairsApi)
+    val survDfl = ids(DflFrame.pipeline(newDocs,
+      "dedupAgainst(@, '@doc_id', '@text', $ref) | map(@, '{doc_id: @doc_id}')", vars))
+    val survApi = ids(Dedup.survivorsAgainst(newDocs, "doc_id",
+      Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text", 0.8))
+      .select("doc_id"))
+    assert(survDfl == survApi)
+    // exact method = fingerprint anti-join; original columns preserved
+    val exDfl = DflFrame.pipeline(newDocs,
+      "dedupAgainst(@, '@doc_id', '@text', $ref, 0.8, 'exact')", vars)
+    assert(exDfl.columns.toSet == docs.columns.toSet)
+    assert(ids(exDfl.select("doc_id")) ==
+      ids(Dedup.exactSurvivorsAgainst(newDocs, refDocs, "doc_id", "text")
+        .select("doc_id")))
+    // rejections: arity, unknown method, exact pairs, unbound $var
+    intercept[DflParseException] { DflFrame.pipeline(newDocs,
+      "dedupAgainst(@, '@doc_id', '@text')", vars) }
+    intercept[DflParseException] { DflFrame.pipeline(newDocs,
+      "dedupAgainst(@, '@doc_id', '@text', $ref, 0.8, 'bogus')", vars) }
+    intercept[DflParseException] { DflFrame.pipeline(newDocs,
+      "dupPairsAgainst(@, '@doc_id', '@text', $ref, 0.8, 'exact')", vars) }
+    intercept[DflParseException] { DflFrame.pipeline(newDocs,
+      "dedupAgainst(@, '@doc_id', '@text', $nope)", vars) }
+  }
+
   test("decontam/contamHits(@) match the Scala API; $bench binds in-pipeline too") {
     import spark.implicits._
     val bench = docs.filter($"doc_id" % 23 === 0)

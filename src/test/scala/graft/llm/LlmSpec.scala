@@ -30,6 +30,67 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("cross-corpus pairs: only across sides, values match the union self-join") {
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "unrelated text with no twin anywhere at all")).toDF("doc_id", "text")
+    val right = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"),   // exact twin of 1
+      (12L, "one two three four five six seven"),     // near twin of 2
+      (13L, "completely different reference document body")).toDF("doc_id", "text")
+    val cross = Dedup.jaccardPairsAgainst(left, right, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference: self-join pairs on the (disjoint-id) union,
+    // restricted to cross pairs — values must coincide exactly
+    val union = left.unionByName(right)
+    val unionPairs = Dedup.jaccardPairs(union, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 10 && b >= 10 }.toSet
+    assert(cross == unionPairs)
+    assert(cross.map(p => (p._1, p._2)) == Set((1L, 11L), (2L, 12L)))
+    // no within-side pairs ever surface
+    assert(cross.forall { case (a, b, _) => a < 10 && b >= 10 })
+  }
+
+  test("cross-corpus minhash pairs equal exact cross-jaccard on real corpus split") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val newDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val refDocs = docs.filter(col("doc_id") % 3 === 0)
+    val exact = Dedup.jaccardPairsAgainst(newDocs, refDocs, "doc_id", "text", 0.8)
+      .collect().map(key).toSet
+    val lsh = Dedup.minhashPairsAgainst(newDocs, refDocs, "doc_id", "text", 0.8)
+      .collect().map(key).toSet
+    assert(exact.nonEmpty, "split should straddle planted near-dup families")
+    assert(lsh == exact)
+  }
+
+  test("cross-corpus ids may collide across sides without self-pairing") {
+    // the SAME id on both sides, with identical text: a structural-side
+    // bug (keying on id alone) would dedupe the bucket entry or emit a
+    // degenerate (1,1) self-pair with jaccard 1 twice
+    val left = Seq((1L, "shared identifier text body here today")).toDF("doc_id", "text")
+    val right = Seq((1L, "shared identifier text body here today"),
+                    (2L, "nothing in common with anything else")).toDF("doc_id", "text")
+    val cross = Dedup.minhashPairsAgainst(left, right, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cross.toSeq == Seq((1L, 1L, 1.0)))
+    // and the survivor pass drops the matched left row
+    assert(Dedup.survivorsAgainst(left, "doc_id",
+      Dedup.minhashPairsAgainst(left, right, "doc_id", "text", 0.8)).count() == 0)
+  }
+
+  test("cross-corpus exact survivors: normalization folds, NULL text survives") {
+    val left = Seq((1L, "Hello  World"), (2L, "fresh new content"),
+                   (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val right = Seq((11L, "hello world")).toDF("doc_id", "text")
+    val out = Dedup.exactSurvivorsAgainst(left, right, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 drops (normalized twin in ref); 2 survives; 3 (NULL fingerprint)
+    // survives — anti-join null keys never match
+    assert(out == Set(2L, 3L))
+  }
+
   test("tokenizeIds maps to vocab ranks in order, OOV to zero") {
     val df = Seq((1L, "b a zzz b"), (2L, "A  b")).toDF("doc_id", "text")
     // vocab over the corpus: b=3 > a=2 > zzz=1 → ranks b=1, a=2, zzz=3
