@@ -542,6 +542,40 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
         .select("doc_id")
     }),
+    "snapshot_diff" -> ((s, dir) => {
+      // corpus-versioning diff between two synthesized snapshots of the
+      // documents table: old = all but doc_id%5==1; new = all but
+      // doc_id%5==2, with text edited for doc_id%7==0 — so added rows
+      // are %5==1, removed %5==2, changed the %7==0 of the overlap
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+        .select("doc_id", "text", "lang")
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select("doc_id", "text", "lang")
+      util.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+    }),
+    "snapshot_diff_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+        .select("doc_id", "text", "lang")
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select("doc_id", "text", "lang")
+      util.Snapshot.diffStats(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+    }),
+    "dfl_diff" -> ((s, dir) => {
+      // the same diff through the DFL dispatch (text-only compare)
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      DflFrame.pipeline(newSnap, "diff(@, '@doc_id', '@text', $old)",
+        Map("old" -> oldSnap))
+    }),
     "dedup_clusters" -> ((s, dir) =>
       // transitive duplicate components over the MinHash pair set (same
       // pair set = exact-jaccard set at these parameters); (id, rep)
@@ -1763,6 +1797,23 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "snapshot_diff" ->
+      s"""WITH $snapshotCtes
+         |$snapshotDiffSelect""".stripMargin,
+    "snapshot_diff_stats" ->
+      s"""WITH $snapshotCtes,
+         |d AS ($snapshotDiffSelect)
+         |SELECT change, count(*) AS n FROM d GROUP BY 1""".stripMargin,
+    // the DFL stage compares text only and aliases the id column
+    "dfl_diff" ->
+      s"""WITH $snapshotCtes
+         |SELECT COALESCE(n.doc_id, o.doc_id) AS id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change
+         |FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+         |   OR (o.text IS DISTINCT FROM n.text)""".stripMargin,
     "dedup_clusters" -> clusterCcSql,
     "dfl_near_dup_clusters" -> clusterCcSql,
     "dfl_decontam" -> decontamCleanSql,
@@ -2127,6 +2178,25 @@ object SparkEntry {
 
   private val xJaccardPairsSql: String =
     s"WITH $xJaccardCtes\nSELECT id_a, id_b, jaccard FROM xpairs"
+
+  /** The two synthesized snapshots of the documents table used by the
+    * snapshot_diff family (old = all but %5==1; new = all but %5==2 with
+    * text edited for %7==0) — oracle side of [[graft.util.Snapshot]]. */
+  private val snapshotCtes: String =
+    """oldd AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 1),
+      |newd AS (SELECT doc_id,
+      |           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+      |           lang
+      |         FROM documents WHERE doc_id % 5 <> 2)""".stripMargin
+
+  private val snapshotDiffSelect: String =
+    """SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change
+      |FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+      |   OR (o.text IS DISTINCT FROM n.text) OR (o.lang IS DISTINCT FROM n.lang)""".stripMargin
 
   /** Connected components over the exact-jaccard pair set (recursive
     * reachability, min id per component) — oracle for the distributed

@@ -101,7 +101,7 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "dedupAgainst", "dupPairsAgainst",
+      "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff",
       "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
@@ -748,6 +748,24 @@ object DflFrame {
           else graft.llm.Dedup.survivorsAgainst(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         }
+
+      case "diff" =>
+        // `diff(@, '@id', '@cmpExpr', $old)` — snapshot diff of the
+        // piped (NEW) dataset against an old snapshot bound as a dataset
+        // var: (id, change ∈ added|removed|changed), identical rows
+        // dropped. The compare expression evaluates against each
+        // snapshot's own columns; comparison is null-safe.
+        if (args.size != 4) throw new DflParseException(
+          s"diff takes (@, idExpr, cmpExpr, $$old)")
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gcmp", subCol(2))
+        val oldSrc = dsArg(3)
+        val oldBase = oldSrc
+          .withColumn("__gid", ColumnCompiler.compile(
+            sub(1), ColumnCompiler.Ctx.forDataFrame(oldSrc, vars)))
+          .withColumn("__gcmp", ColumnCompiler.compile(
+            sub(2), ColumnCompiler.Ctx.forDataFrame(oldSrc, vars)))
+        graft.util.Snapshot.diff(oldBase, base, "__gid", Seq("__gcmp"))
+          .withColumnRenamed("__gid", "id")
 
       case "decontam" | "decontamBloom" | "decontamScrub" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram
