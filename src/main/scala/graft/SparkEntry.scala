@@ -542,6 +542,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
         .select("doc_id")
     }),
+    "shard_assign" -> ((s, dir) =>
+      // balanced output-shard assignment over the documents table,
+      // weight = n_chars, ~100k chars per shard — the write-time layout
+      // of a training corpus (feed to a partitionBy("shard") writer)
+      llm.Sampling.shardAssign(t(s, dir, "documents"), "doc_id", "n_chars",
+          100000L)
+        .select("doc_id", "shard")),
+    "dfl_shard" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "shard(@, '@doc_id', '@n_chars', 100000) | map(@, '{doc_id: @doc_id, shard: @shard}')")),
     "snapshot_diff" -> ((s, dir) => {
       // corpus-versioning diff between two synthesized snapshots of the
       // documents table: old = all but doc_id%5==1; new = all but
@@ -1797,6 +1807,14 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "shard_assign" ->
+      s"""SELECT doc_id,
+         |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 100000L, 0L)} AS shard
+         |  FROM documents""".stripMargin,
+    "dfl_shard" ->
+      s"""SELECT doc_id,
+         |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 100000L, 0L)} AS shard
+         |  FROM documents""".stripMargin,
     "snapshot_diff" ->
       s"""WITH $snapshotCtes
          |$snapshotDiffSelect""".stripMargin,

@@ -105,7 +105,7 @@ object DflFrame {
       "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
-      "sample", "mix", "pack", "lmScore", "windowDups", "dedupSpans",
+      "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
@@ -559,6 +559,20 @@ object DflFrame {
         val seed = if (args.size > 3) numArg(3).toLong else 0L
         val base = df.withColumn("__gid", subCol(1))
         graft.llm.Sampling.sampleByHash(base, "__gid", frac, seed).drop("__gid")
+
+      case "shard" =>
+        // `shard(@, '@id', '@weight', shardWeight[, seed])` — balanced
+        // output-shard assignment (Sampling.shardAssign): adds a `shard`
+        // column such that each shard holds ~shardWeight total weight in
+        // the deterministic hash order. Whole-dataset prefix sum →
+        // stream-fenced.
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
+          "shard takes (@, idExpr, weightExpr, shardWeight[, seed])")
+        val shardW = numArg(3).toLong
+        val seed = if (args.size > 4) numArg(4).toLong else 0L
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gw", subCol(2))
+        graft.llm.Sampling.shardAssign(base, "__gid", "__gw", shardW, seed)
+          .drop("__gid", "__gw")
 
       case "mix" =>
         // `mix(@, '@id', '@domain', alpha[, seed])` — temperature-based

@@ -210,6 +210,74 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Balanced output-shard assignment — the WRITE end of a training
+    * pipeline: each row gets a `shard` id such that every shard holds
+    * ~`shardWeight` total weight (tokens, bytes), in the engine-exact
+    * deterministic hash order the samplers and [[budgetCap]] share. Feed
+    * the result to a `partitionBy("shard")` writer and the output files
+    * are the ~equal-sized training shards a loader wants.
+    *
+    * Rule: rows totally ordered by (hash(id), id); `shard = ⌊prefix_excl
+    * / shardWeight⌋` where prefix_excl is the exclusive running weight
+    * sum. Shard k's total is therefore within one max-row-weight of
+    * `shardWeight` — the greedy bin fill, same as sequence packing's
+    * window variant but over documents. Integer weights keep the cumsum
+    * ENGINE-EXACT (no float order sensitivity), which the DuckDB oracle
+    * checks value-for-value.
+    *
+    * Scale shape — a distributed global prefix sum, NOT a global window:
+    * a naive `sum over (order by hash)` serializes the corpus through
+    * one partition. Instead the hash order is cut into `orderBuckets`
+    * contiguous logical ranges (a PREFIX of the total order, so sums
+    * compose): (1) a per-bucket windowed cumsum — a normal shuffled
+    * window, `orderBuckets` is the parallelism knob; (2) bucket totals →
+    * exclusive bucket offsets via one tiny window over `orderBuckets`
+    * rows (driver-scale, the only serial step); (3) a broadcast join
+    * back. Hash order also means shard membership is NOT stable under
+    * corpus growth — shards are a write-time layout, not an identity
+    * (use [[splitByHash]] for stable train/val identity). */
+  def shardAssign(df: DataFrame, idCol: String, weightCol: String,
+                  shardWeight: Long, seed: Long = 0L,
+                  orderBuckets: Int = 1024): DataFrame = {
+    require(shardWeight > 0, s"shardAssign: shardWeight must be positive, got $shardWeight")
+    val buckets = 1000000
+    require(orderBuckets > 0 && orderBuckets <= buckets,
+      s"shardAssign: orderBuckets must be in [1, $buckets]")
+    import org.apache.spark.sql.expressions.Window
+    // coarse bucket = a contiguous range of the fine hash order
+    // (hb * orderBuckets DIV buckets: hb < 10^6, product < 10^13 — safe)
+    val hb = bucketFor(df, idCol, seed, buckets)
+    val keyed = df.withColumn("__ghb", hb)
+      .withColumn("__gb", expr(s"__ghb * $orderBuckets DIV $buckets"))
+    val withinW = Window.partitionBy("__gb").orderBy(col("__ghb"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = keyed.withColumn("__gcum", sum(col(weightCol)).over(withinW))
+    // constant-valued partition key (non-foldable, so the optimizer
+    // keeps it): the input is ≤ orderBuckets bucket-sum rows —
+    // driver-scale by design — and the explicit key documents that in
+    // the plan instead of tripping WindowExec's global-window warning
+    val offW = Window.partitionBy(pmod(col("__gb"), lit(1))).orderBy("__gb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = cum.groupBy("__gb").agg(sum(col(weightCol)).as("__gbsum"))
+      .withColumn("__goff", sum(col("__gbsum")).over(offW) - col("__gbsum"))
+      .select("__gb", "__goff")
+    cum.join(broadcast(offsets), Seq("__gb"))
+      .withColumn("shard",
+        expr(s"(__goff + __gcum - $weightCol) DIV $shardWeight"))
+      .drop("__ghb", "__gb", "__gcum", "__goff")
+  }
+
+  /** The DuckDB rendering of [[shardAssign]]'s rule as a naive global
+    * window (fine at oracle scale; the Spark side composes the same sum
+    * from bucketed pieces): `(cum_excl) // shardWeight` over the shared
+    * hash order. */
+  def shardAssignSql(idExpr: String, weightExpr: String, shardWeight: Long,
+                     seed: Long): String =
+    // outer CAST: DuckDB widens sum(BIGINT) to HUGEINT, which would
+    // drift the column dtype away from Spark's long
+    s"""CAST((sum($weightExpr) OVER (ORDER BY ${hashBucketSql(idExpr, seed, 1000000)}, $idExpr
+       |      ROWS UNBOUNDED PRECEDING) - $weightExpr) // $shardWeight AS BIGINT)""".stripMargin
+
   def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
                              fractions: Map[String, Double],
                              defaultFraction: Double = 0.0,

@@ -41,7 +41,7 @@ object StreamRunner {
     // (streamingContamFilter is decontamBloom's explicit streaming
     // analogue, like streamingDedup for dedup)
     // mix derives per-domain thresholds from whole-dataset counts
-    "pack", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
+    "pack", "shard", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

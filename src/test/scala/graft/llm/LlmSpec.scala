@@ -454,6 +454,47 @@ class LlmSpec extends AnyFunSuite {
     assert((iTopWide & bTop).size >= 7, s"ivf recall ${(iTopWide & bTop).size}")
   }
 
+  test("shardAssign: balanced shards, bucket-count invariant, matches the naive global window") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val B = 20000L
+    val out = Sampling.shardAssign(docs, "doc_id", "n_chars", B)
+      .select("doc_id", "n_chars", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive reference: ONE global window in the same hash order
+    val ord = Window.orderBy(Sampling.hashBucket(col("doc_id"), 0L, 1000000), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("shard", ((sum("n_chars").over(ord) - col("n_chars")) / B)
+        .cast("long"))
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(x => x._1 -> x._3).toMap == naive)
+    // shard ids contiguous from 0; every shard total within one max row
+    // weight of B (the greedy prefix rule's balance bound)
+    val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxW = out.map(_._2).max
+    val last = totals.keys.max
+    assert(totals.keySet == (0L to last).toSet)
+    totals.foreach { case (s, t) =>
+      assert(t < B + maxW, s"shard $s overfull: $t")
+      if (s != last) assert(t > B - maxW, s"shard $s underfull: $t")
+    }
+    // bucketed composition is invariant in the parallelism knob
+    for (ob <- Seq(1, 7, 4096)) {
+      val alt = Sampling.shardAssign(docs, "doc_id", "n_chars", B, orderBuckets = ob)
+        .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt == naive, s"orderBuckets=$ob diverged")
+    }
+    // string-keyed corpora shard through the md5 order
+    val sdocs = docs.select(concat(lit("d"), col("doc_id")).as("sid"), col("n_chars"))
+    val sOut = Sampling.shardAssign(sdocs, "sid", "n_chars", B)
+    assert(sOut.select("shard").distinct().count() == totals.size)
+    intercept[IllegalArgumentException] {
+      Sampling.shardAssign(docs, "doc_id", "n_chars", 0L)
+    }
+  }
+
   test("hash sampling: deterministic, id-stable, stratified, and near-target rates") {
     import graft.llm.Sampling
     // determinism + id stability: the sampled id set is a function of
