@@ -978,6 +978,21 @@ object SparkEntry {
           coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
           coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
     }),
+    // NEAREST direction: each click gets the purchase closest in time on
+    // either side (min |Δts|, ties prefer backward — sensor alignment)
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      temporal.Temporal.asofJoinNearest(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_ts_us"), lit(-1L)).as("asof_ts_us"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"))
+    }),
     // the tolerance leg: matches older than 24 h are voided (feature
     // staleness — the feature-store contract the tolerance exists for)
     "asof_join_tol" -> ((s, dir) => {
@@ -1337,6 +1352,26 @@ object SparkEntry {
     "dfl_semantic_dedup" -> semanticDedupSql,
     "asof_join_fwd" -> asofJoinFwdSql,
     "dfl_asof_fwd" -> asofJoinFwdSql,
+    // nearest = argmin |Δts| per left row; the LATERAL's ORDER BY
+    // mirrors the engine's tie rules: equal distance → earlier ts
+    // (backward), equal ts → max payload struct (event_id, value)
+    "asof_join_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |    FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |    FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       coalesce(m.ts_us, -1) AS asof_ts_us,
+        |       coalesce(m.value, -1.0) AS asof_value,
+        |       coalesce(m.event_id, -1) AS asof_event_id
+        |  FROM clicks c LEFT JOIN LATERAL (
+        |    SELECT p.ts_us, p.event_id, p.value FROM purch p
+        |     WHERE p.user_id = c.user_id
+        |     ORDER BY abs(p.ts_us - c.ts_us), p.ts_us,
+        |              p.event_id DESC, p.value DESC
+        |     LIMIT 1) m ON true""".stripMargin,
     "asof_join_tol" ->
       """WITH u AS (
         |  SELECT user_id, 1 AS side, epoch_us(ts) AS ts_us,

@@ -622,7 +622,8 @@ object DflFrame {
         // dataset var bound earlier in the pipeline or by the caller.
         // toleranceUs < 0 means unbounded; direction: 'backward'
         // (default, latest at-or-before) | 'forward' (earliest
-        // at-or-after). The key/ts sub-expressions evaluate against BOTH
+        // at-or-after) | 'nearest' (min |Δts|, ties prefer backward).
+        // The key/ts sub-expressions evaluate against BOTH
         // frames (like decontam's text expression); matched right
         // columns come back `asof_`-prefixed, NULL where nothing
         // qualifies.
@@ -630,12 +631,11 @@ object DflFrame {
           "asof takes (@, $right, key, ts[, toleranceUs[, direction]])")
         val tol = if (args.size > 4) Some(numArg(4).toLong).filter(_ >= 0)
           else None
-        val forward = args.size > 5 && (strArg(5) match {
-          case "forward"  => true
-          case "backward" => false
+        val direction = if (args.size > 5) strArg(5) match {
+          case d @ ("forward" | "backward" | "nearest") => d
           case other => throw new DflParseException(
             s"unknown asof direction $other")
-        })
+        } else "backward"
         val rightSrc = dsArg(1)
         // a plain '@col' reference uses the RAW column on both sides —
         // exactly the Scala-API call shape, so the right side's own ts/key
@@ -654,13 +654,17 @@ object DflFrame {
           }
         val (keyName, l1, r1) = rawOr(2, "__gkey", df, rightSrc)
         val (tsName, l2, r2) = rawOr(3, "__gts", l1, r1)
-        (if (forward)
-          graft.temporal.Temporal.asofJoinForward(l2, r2, Seq(keyName),
-            tsName, tsName, toleranceUs = tol)
-        else
-          graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
-            tsName, tsName, toleranceUs = tol))
-          .drop("__gkey", "__gts")
+        (direction match {
+          case "forward" =>
+            graft.temporal.Temporal.asofJoinForward(l2, r2, Seq(keyName),
+              tsName, tsName, toleranceUs = tol)
+          case "nearest" =>
+            graft.temporal.Temporal.asofJoinNearest(l2, r2, Seq(keyName),
+              tsName, tsName, toleranceUs = tol)
+          case _ =>
+            graft.temporal.Temporal.asofJoin(l2, r2, Seq(keyName),
+              tsName, tsName, toleranceUs = tol)
+        }).drop("__gkey", "__gts")
 
       case "tokenize" =>
         // `tokenize(@, '@id', '@text'[, topV])` — map the corpus to its

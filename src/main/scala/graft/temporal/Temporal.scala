@@ -122,6 +122,37 @@ object Temporal {
       .withColumn(s"${prefix}ts_us", -col(s"${prefix}ts_us"))
   }
 
+  /** NEAREST as-of join: for each left row, the right row on the same
+    * key MINIMIZING `|right.ts - left.ts|` — the sensor-alignment shape
+    * (closest reading to each sample time), where neither direction
+    * alone is right. Equal distance prefers the BACKWARD (earlier)
+    * match; equal-timestamp right rows resolve by the same payload-
+    * struct total order both directional engines use, so the pick is
+    * deterministic at any parallelism and the two candidate engines
+    * agree on boundary rows. `toleranceUs` bounds the distance on both
+    * sides.
+    *
+    * Runs the backward and forward engines (two key-shuffles, sharing
+    * the one union-window implementation) and selects per row — a
+    * row-local projection over the two candidates; no third pass. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTsUs: String, rightTsUs: String,
+                      prefix: String = "asof_",
+                      toleranceUs: Option[Long] = None): DataFrame = {
+    val payloadCols = right.columns.filterNot(keyCols.contains)
+      .filterNot(_ == rightTsUs).toSeq
+    val b = asofJoin(left, right, keyCols, leftTsUs, rightTsUs, "__nb_", toleranceUs)
+    val bf = asofJoinForward(b, right, keyCols, leftTsUs, rightTsUs, "__nf_", toleranceUs)
+    val lts = col(leftTsUs)
+    val bts = col("__nb_ts_us")
+    val fts = col("__nf_ts_us")
+    val useB = bts.isNotNull && (fts.isNull || (lts - bts) <= (fts - lts))
+    val picked = ("ts_us" +: payloadCols).map { c =>
+      when(useB, col(s"__nb_$c")).otherwise(col(s"__nf_$c")).as(s"$prefix$c")
+    }
+    bf.select(left.columns.toSeq.map(col) ++ picked: _*)
+  }
+
   /** Gaps-and-islands sessionization: adds `session_start_us` — the first
     * timestamp of the session the row belongs to, where a session breaks
     * when the gap to the previous event on the same key exceeds `gapUs`.

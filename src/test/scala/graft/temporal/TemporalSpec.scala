@@ -101,6 +101,40 @@ class TemporalSpec extends AnyFunSuite {
     assert(tol(101L).isEmpty)       // distance 5 > 3
   }
 
+  test("asofJoinNearest picks min |Δts|, ties prefer backward, tolerance bounds both sides") {
+    val left = Seq(
+      (1L, 10L, 100L),   // backward at 8 (d=2) beats forward at 14 (d=4)
+      (1L, 12L, 101L),   // forward at 14 (d=2) beats backward at 8 (d=4)
+      (2L, 50L, 102L),   // forward-only key side
+      (3L, 50L, 103L))   // no right rows at all
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 8L, "b8"), (1L, 14L, "f14"), (1L, 16L, "f16"),
+      (2L, 60L, "f60")).toDF("k", "ts", "tag")
+    val out = Temporal.asofJoinNearest(left, right, Seq("k"), "ts", "ts")
+      .select("lid", "asof_ts_us", "asof_tag")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (100L, Some(8L), Some("b8")),    // 2 back beats 4 forward
+      (101L, Some(14L), Some("f14")),  // 2 forward beats 4 back
+      (102L, Some(60L), Some("f60")),  // backward empty → forward
+      (103L, None, None)))
+    // exact distance tie prefers the backward match
+    val tieL = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
+    val tieR = Seq((1L, 7L, "back"), (1L, 13L, "fwd")).toDF("k", "ts", "tag")
+    assert(Temporal.asofJoinNearest(tieL, tieR, Seq("k"), "ts", "ts")
+      .select("asof_tag").head().getString(0) == "back")
+    // tolerance voids BOTH directions past the bound
+    val tol = Temporal.asofJoinNearest(tieL, tieR, Seq("k"), "ts", "ts",
+      toleranceUs = Some(2L))
+    assert(tol.select("asof_tag").head().get(0) == null)
+    // and through the DFL dispatch
+    val dfl = graft.dfl.DflFrame.pipeline(tieL,
+      "asof(@, $r, '@k', '@ts', -1, 'nearest')", Map("r" -> tieR))
+    assert(dfl.select("asof_tag").head().getString(0) == "back")
+  }
+
   test("asofJoin NULL handling: null-ts left rows never match; null keys group together") {
     val left = Seq((Some(1L), Some(10L), 100L), (Some(1L), None, 101L),
       (None, Some(10L), 102L)).toDF("k", "ts", "lid")
