@@ -557,34 +557,37 @@ object SparkEntry {
       // documents table: old = all but doc_id%5==1; new = all but
       // doc_id%5==2, with text edited for doc_id%7==0 — so added rows
       // are %5==1, removed %5==2, changed the %7==0 of the overlap
-      val docs = t(s, dir, "documents")
-      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
-        .select("doc_id", "text", "lang")
-      val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .select("doc_id", "text", "lang")
+      val (oldSnap, newSnap) = snapshots(s, dir)
       util.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
     }),
     "snapshot_diff_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
-        .select("doc_id", "text", "lang")
-      val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .select("doc_id", "text", "lang")
+      val (oldSnap, newSnap) = snapshots(s, dir)
       util.Snapshot.diffStats(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
     }),
     "dfl_diff" -> ((s, dir) => {
       // the same diff through the DFL dispatch (text-only compare)
-      val docs = t(s, dir, "documents")
-      val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
-      val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val (oldSnap, newSnap) = snapshots(s, dir)
       DflFrame.pipeline(newSnap, "diff(@, '@doc_id', '@text', $old)",
         Map("old" -> oldSnap))
+    }),
+    "pipeline_incremental_ingest" -> ((s, dir) => {
+      // THE INCREMENTAL INGEST: what actually runs when a new crawl
+      // lands next to an existing training corpus, composed from this
+      // round's operators in one plan — (1) snapshot diff finds the rows
+      // worth processing (added + changed; the unchanged 100 TB mass is
+      // never touched past the diff join), (2) cross-corpus near-dedup
+      // drops fresh rows that near-duplicate RETAINED old rows (a
+      // trivially-edited doc is not new data), (3) the survivors get
+      // balanced output shards for the incremental write.
+      val (oldSnap, newSnap) = snapshots(s, dir)
+      val fresh = newSnap.join(
+        util.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
+          .filter(col("change") =!= "removed").select("doc_id"),
+        Seq("doc_id"))
+      val surv = llm.Dedup.survivorsAgainst(fresh, "doc_id",
+        llm.Dedup.minhashPairsAgainst(fresh, oldSnap, "doc_id", "text", 0.8))
+      llm.Sampling.shardAssign(surv, "doc_id", "n_chars", 50000L)
+        .select("doc_id", "shard")
     }),
     "dedup_clusters" -> ((s, dir) =>
       // transitive duplicate components over the MinHash pair set (same
@@ -1857,6 +1860,20 @@ object SparkEntry {
       s"""WITH $snapshotCtes,
          |d AS ($snapshotDiffSelect)
          |SELECT change, count(*) AS n FROM d GROUP BY 1""".stripMargin,
+    // diff (added+changed) → cross-corpus survivors vs the OLD snapshot
+    // → balanced shards; each stage's SQL form is its standalone row's
+    "pipeline_incremental_ingest" ->
+      s"""WITH $snapshotCtes,
+         |d AS ($snapshotDiffSelect),
+         |fresh AS (
+         |  SELECT n.doc_id, n.text, n.n_chars FROM newd n
+         |    JOIN d ON n.doc_id = d.doc_id AND d.change <> 'removed'),
+         |${crossJaccardCtes("fresh", "oldd")},
+         |surv AS (SELECT f.doc_id, f.n_chars FROM fresh f
+         |          WHERE f.doc_id NOT IN (SELECT DISTINCT id_a FROM xpairs))
+         |SELECT doc_id,
+         |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 50000L, 0L)} AS shard
+         |  FROM surv""".stripMargin,
     // the DFL stage compares text only and aliases the id column
     "dfl_diff" ->
       s"""WITH $snapshotCtes
@@ -2207,40 +2224,57 @@ object SparkEntry {
     * self-joining one. Oracle for xdedup_jaccard_pairs AND
     * xdedup_minhash_pairs (banded recall 1-1e-14 + exact verify = the
     * exact set, as for the self-join minhash rows). */
+  private def crossJaccardCtes(leftSrc: String, rightSrc: String): String =
+    s"""ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $leftSrc),
+       |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $rightSrc),
+       |nsh AS (SELECT DISTINCT doc_id, g FROM (
+       |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |   FROM ntoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+       |   WHERE g IS NOT NULL),
+       |rsh AS (SELECT DISTINCT doc_id, g FROM (
+       |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |   FROM rtoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+       |   WHERE g IS NOT NULL),
+       |ncnt AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+       |rcnt AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+       |xshared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM nsh a JOIN rsh b ON a.g = b.g GROUP BY 1, 2),
+       |xpairs AS (
+       |  SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+       |    FROM xshared JOIN ncnt x ON d1 = x.doc_id JOIN rcnt y ON d2 = y.doc_id
+       |   WHERE c * 1.0 / (x.n + y.n - c) >= 0.8)""".stripMargin
+
   private val xJaccardCtes: String =
-    """newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-      |refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-      |ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM newd),
-      |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM refd),
-      |nsh AS (SELECT DISTINCT doc_id, g FROM (
-      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |   FROM ntoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
-      |   WHERE g IS NOT NULL),
-      |rsh AS (SELECT DISTINCT doc_id, g FROM (
-      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      |   FROM rtoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
-      |   WHERE g IS NOT NULL),
-      |ncnt AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
-      |rcnt AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
-      |xshared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-      |  FROM nsh a JOIN rsh b ON a.g = b.g GROUP BY 1, 2),
-      |xpairs AS (
-      |  SELECT d1 AS id_a, d2 AS id_b, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
-      |    FROM xshared JOIN ncnt x ON d1 = x.doc_id JOIN rcnt y ON d2 = y.doc_id
-      |   WHERE c * 1.0 / (x.n + y.n - c) >= 0.8)""".stripMargin
+    s"""newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |${crossJaccardCtes("newd", "refd")}""".stripMargin
 
   private val xJaccardPairsSql: String =
     s"WITH $xJaccardCtes\nSELECT id_a, id_b, jaccard FROM xpairs"
 
   /** The two synthesized snapshots of the documents table used by the
-    * snapshot_diff family (old = all but %5==1; new = all but %5==2 with
-    * text edited for %7==0) — oracle side of [[graft.util.Snapshot]]. */
+    * snapshot_diff family and the incremental-ingest composite (old =
+    * all but %5==1; new = all but %5==2 with text edited for %7==0) —
+    * oracle side of [[graft.util.Snapshot]]. */
   private val snapshotCtes: String =
-    """oldd AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 1),
+    """oldd AS (SELECT doc_id, text, lang, n_chars
+      |           FROM documents WHERE doc_id % 5 <> 1),
       |newd AS (SELECT doc_id,
       |           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
-      |           lang
+      |           lang, n_chars
       |         FROM documents WHERE doc_id % 5 <> 2)""".stripMargin
+
+  /** The Spark side of [[snapshotCtes]] — shared by every snapshot row. */
+  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+      .select("doc_id", "text", "lang", "n_chars")
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 2)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .select("doc_id", "text", "lang", "n_chars")
+    (oldSnap, newSnap)
+  }
 
   private val snapshotDiffSelect: String =
     """SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
