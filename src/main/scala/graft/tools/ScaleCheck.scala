@@ -80,6 +80,24 @@ object ScaleCheck {
       // kept rows must track mult/10 (the hash is id-keyed and the
       // shifted ids stay well-spread)
       time("sample_10pct")(graft.llm.Sampling.sampleByHash(big, "doc_id", 0.1).count())
+      // cross-corpus near-dedup against a FIXED reference (the base
+      // corpus): candidate generation is the cross band-bucket join, so
+      // time must grow ~linearly in the mult× left side while the pair
+      // count tracks the planted multiplicity (every copy pairs with
+      // its base twin)
+      time("xdedup_pairs")(graft.llm.Dedup.minhashPairsAgainst(
+        big, docs, "doc_id", "text", 0.8).count())
+      // snapshot diff: one full-outer join; output is the CHANGE volume
+      // (here: the shifted copies are all 'added', the base overlap is
+      // identical and drops), time linear in the join input
+      time("snap_diff")(graft.util.Snapshot.diff(
+        docs.select("doc_id", "text"), big, "doc_id", Seq("text")).count())
+      // shard assignment: bucketed prefix sum — two shuffles (window by
+      // coarse bucket + tiny offsets join), linear; shard count tracks
+      // total corpus weight
+      time("shard_assign")(graft.llm.Sampling.shardAssign(
+        big.withColumn("w", length(col("text")).cast("long")),
+        "doc_id", "w", 1000000L).select("shard").distinct().count())
       big.unpersist()
     }
 
