@@ -542,6 +542,15 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
         .select("doc_id")
     }),
+    "unicode_norm" -> ((s, dir) =>
+      // byte canonicalization ahead of fingerprint/shingle matching:
+      // NFC + accent strip over text with planted decomposed accents,
+      // precomposed umlauts, and (untouched) compatibility ligatures —
+      // value-for-value vs DuckDB's nfc_normalize + strip_accents
+      t(s, dir, "documents").select(col("doc_id"),
+        functions.UnicodeNormF.unicodeNorm(
+          concat(col("text"), lit(" café naïve mühle ﬁn œuf")),
+          "NFC", stripAccents = true).as("norm_text"))),
     "shard_assign" -> ((s, dir) =>
       // balanced output-shard assignment over the documents table,
       // weight = n_chars, ~100k chars per shard — the write-time layout
@@ -1845,6 +1854,11 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "unicode_norm" ->
+      """SELECT doc_id,
+        |  strip_accents(nfc_normalize(
+        |    text || ' cafe' || chr(769) || ' naïve mühle ﬁn œuf')) AS norm_text
+        |  FROM documents""".stripMargin,
     "shard_assign" ->
       s"""SELECT doc_id,
          |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 100000L, 0L)} AS shard

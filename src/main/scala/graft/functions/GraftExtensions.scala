@@ -60,6 +60,29 @@ object GraftExtensions {
               org.apache.spark.sql.catalyst.expressions.Literal(repl))
         }
       }),
+    ("unicode_norm",
+      info("unicode_norm",
+        "unicode_norm(s[, form[, strip_accents]]) - Unicode-normalize a " +
+          "string (form: NFC default, NFD/NFKC/NFKD; strip_accents " +
+          "removes combining marks)"),
+      { args =>
+        require(args.nonEmpty && args.size <= 3,
+          "unicode_norm takes (s[, form[, strip_accents]])")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.StringType
+        import org.apache.spark.unsafe.types.UTF8String
+        val form = if (args.size > 1) args(1) match {
+          case Literal(v: UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_norm: form must be a string literal, got $other")
+        } else "NFC"
+        val strip = args.size > 2 && (args(2) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"unicode_norm: strip_accents must be a boolean literal, got $other")
+        })
+        UnicodeNorm(args(0), form, strip)
+      }),
   )
 
   /** Register on an already-running session (idempotent). */

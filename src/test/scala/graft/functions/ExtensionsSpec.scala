@@ -37,6 +37,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("unicode_norm: forms, accent strip, ASCII fast path, SQL registration") {
+    GraftExtensions.install(spark)
+    // decomposed é (e + U+0301) composes under NFC; the ligature is a
+    // compatibility char: untouched by NFC, folded by NFKC
+    val decomposed = "café ﬁn"
+    val df = Seq(decomposed).toDF("t")
+    val nfc = df.select(UnicodeNormF.unicodeNorm($"t")).head().getString(0)
+    assert(nfc == "café ﬁn")
+    val nfkc = df.select(UnicodeNormF.unicodeNorm($"t", "NFKC")).head().getString(0)
+    assert(nfkc == "café fin")
+    // accent strip removes combining marks whether pre- or de-composed,
+    // and leaves non-mark letters (œ) alone
+    val strip = Seq("café naïve mühle œuf").toDF("t")
+      .select(UnicodeNormF.unicodeNorm($"t", "NFC", stripAccents = true))
+      .head().getString(0)
+    assert(strip == "cafe naive muhle œuf")
+    // pure-ASCII input is returned verbatim (fast path) under any form
+    val ascii = "plain ascii text 123"
+    assert(Seq(ascii).toDF("t")
+      .select(UnicodeNormF.unicodeNorm($"t", "NFKD", stripAccents = true))
+      .head().getString(0) == ascii)
+    // SQL surface: default form, explicit form, strip flag
+    Seq(decomposed).toDF("t").createOrReplaceTempView("un_docs")
+    assert(spark.sql("SELECT unicode_norm(t) FROM un_docs")
+      .head().getString(0) == "café ﬁn")
+    assert(spark.sql("SELECT unicode_norm(t, 'NFKC', true) FROM un_docs")
+      .head().getString(0) == "cafe fin")
+    // a bad form name fails at analysis, not at execution
+    intercept[Exception] {
+      spark.sql("SELECT unicode_norm(t, 'BOGUS') FROM un_docs").collect()
+    }
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(UnicodeNormF.unicodeNorm($"t")).head().isNullAt(0))
+  }
+
   test("vector_dot is null on dimension mismatch, not truncated") {
     GraftExtensions.install(spark)
     spark.range(2).selectExpr(
