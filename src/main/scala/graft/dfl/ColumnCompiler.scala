@@ -304,6 +304,13 @@ object Functions {
   // training-data hygiene: redact emails / IPv4 / phones with typed
   // placeholders (llm.TextAnalysis.scrubPii — chained codegen regexes)
   registerExtension("scrubPii", "(s)") { as => graft.llm.TextAnalysis.scrubPii(as(0)) }
+  // byte canonicalization (functions.UnicodeNorm): NFC normalization and
+  // the accent-insensitive variant, as fixed-form entry points (DFL args
+  // are columns, so the Normalizer form is baked per name)
+  registerExtension("unicodeNorm", "(s)") { as =>
+    graft.functions.UnicodeNormF.unicodeNorm(as(0)) }
+  registerExtension("stripAccents", "(s)") { as =>
+    graft.functions.UnicodeNormF.unicodeNorm(as(0), "NFC", stripAccents = true) }
 
   /** name → (arity description) for the introspection endpoint
     * (reference: /dfl/functions route, router/RailgunRouter.go:60-65). */

@@ -177,6 +177,12 @@ class CompilerSpec extends AnyFunSuite {
     val emb = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
     val cos = DflFrame.pipeline(emb, "map(@, 'vecCosine(@a, @b)')").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-9)
+    // unicode normalization entry points (functions.UnicodeNorm)
+    val txt = Seq("café naïve").toDF("t") // decomposed accents
+    assert(DflFrame.pipeline(txt, "map(@, 'unicodeNorm(@t)')")
+      .head().getString(0) == "café naïve") // composed
+    assert(DflFrame.pipeline(txt, "map(@, 'stripAccents(@t)')")
+      .head().getString(0) == "cafe naive")
   }
 
   test("modulo without spaces lexes as an operator, patterns keep %") {
