@@ -542,6 +542,29 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
         .select("doc_id")
     }),
+    "embed_mean_pool" -> ((s, dir) => {
+      // chunk→document pooling: vectors sharing vec_id % 50 pool to one
+      // per-dimension mean vector. The oracle row unpivots the pooled
+      // array to scalar (g, pos, v) rows — list cells break the
+      // driver's compare (the embed_quantize precedent), and doubles
+      // must stay typed, not stringified
+      val emb = t(s, dir, "embeddings")
+      llm.Embeddings.meanPool(
+          emb.select((col("vec_id") % 50).as("g"), col("embedding")),
+          "g", "embedding")
+        .select(col("g"), col("n_chunks"),
+          posexplode(col("pooled")).as(Seq("pos", "v")))
+    }),
+    "feature_scaling" -> ((s, dir) => {
+      // robust numeric feature prep over document length: winsorize to
+      // the [5%, 95%] percentiles, z-score, min-max — each one small
+      // stats aggregation broadcast into a row-local projection
+      // (util.Stats; the quantile_filter scalar-broadcast shape)
+      val d = t(s, dir, "documents")
+      util.Stats.minmax(util.Stats.zscore(
+          util.Stats.winsorize(d, "n_chars", 0.05, 0.95), "n_chars"), "n_chars")
+        .select("doc_id", "n_chars_w", "n_chars_z", "n_chars_mm")
+    }),
     "unicode_norm" -> ((s, dir) =>
       // byte canonicalization ahead of fingerprint/shingle matching:
       // NFC + accent strip over text with planted decomposed accents,
@@ -1854,6 +1877,25 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "embed_mean_pool" ->
+      """WITH e AS (SELECT vec_id % 50 AS g, embedding FROM embeddings),
+        |d AS (SELECT g, i - 1 AS pos,
+        |             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v,
+        |             count(*) AS n
+        |        FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+        |       GROUP BY g, i)
+        |SELECT g, n AS n_chunks, pos, v FROM d""".stripMargin,
+    "feature_scaling" ->
+      """WITH s AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |                  quantile_cont(n_chars, 0.95) AS hi,
+        |                  avg(n_chars) AS mu, stddev_pop(n_chars) AS sd,
+        |                  min(n_chars) * 1.0 AS mn, max(n_chars) * 1.0 AS mx
+        |             FROM documents)
+        |SELECT doc_id,
+        |  round(least(greatest(n_chars * 1.0, lo), hi), 6) AS n_chars_w,
+        |  round(CASE WHEN sd > 0 THEN (n_chars - mu) / sd END, 6) AS n_chars_z,
+        |  round(CASE WHEN mx > mn THEN (n_chars - mn) / (mx - mn) END, 6) AS n_chars_mm
+        |  FROM documents CROSS JOIN s""".stripMargin,
     "unicode_norm" ->
       """SELECT doc_id,
         |  strip_accents(nfc_normalize(

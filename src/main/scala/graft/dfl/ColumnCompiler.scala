@@ -334,6 +334,25 @@ object Functions {
     "pack" -> "(dataset, idExpr, textExpr, seqLen[, method[, buckets[, seed]]])",
     "lmScore" -> "(dataset, idExpr, textExpr)",
     "windowDups" -> "(dataset, idExpr, textExpr[, w])",
+    "annRange" -> "(dataset, idExpr, vecExpr, $query, minCos[, method[, tuning]])",
+    "annRangeBatch" -> "(dataset, idExpr, vecExpr, $queries, minCos[, method[, tuning]])",
+    "decontamBloom" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
+    "decontamScrub" -> "(dataset, idExpr, textExpr, $benchmark[, n])",
+    "dedupSpans" -> "(dataset, idExpr, textExpr[, w])",
+    "mix" -> "(dataset, idExpr, domainExpr[, alpha[, seed]])",
+    "vocab" -> "(dataset, textExpr[, topV])",
+    "tfidf" -> "(dataset, idExpr, textExpr[, k])",
+    "sessionize" -> "(dataset, keyExpr, tsExpr[, gapUs])",
+    "cap" -> "(dataset, idExpr, domainExpr, weightExpr, budget[, seed])",
+    "asof" -> "(dataset, $right, keyExpr, tsExpr[, toleranceUs[, direction]])",
+    "topk" -> "(dataset, keyExpr, valueExpr, k)",
+    "rolling" -> "(dataset, keyExpr, tsExpr, valueExpr[, windowUs])",
+    "tokenize" -> "(dataset, idExpr, textExpr[, topV])",
+    "profile" -> "(dataset, col, ...)",
+    "dedupAgainst" -> "(dataset, idExpr, textExpr, $ref[, threshold[, method]])",
+    "dupPairsAgainst" -> "(dataset, idExpr, textExpr, $ref[, threshold[, method]])",
+    "diff" -> "(dataset, idExpr, cmpExpr, $old)",
+    "shard" -> "(dataset, idExpr, weightExpr, shardWeight[, seed])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",
     "trim" -> "(s)", "lookup" -> "(dict, key)", "coalesce" -> "(a, b, ...)",

@@ -21,6 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Mean-pool embeddings per group — the chunk→document step: long
+    * documents embed as chunks ([[TextAnalysis.chunkTokens]]), retrieval
+    * wants one vector per document, and the per-dimension mean is the
+    * standard pooling. One posexplode (map-local, no shuffle) + ONE
+    * hash aggregation on (group, dim) + one reassembly aggregation on
+    * group; the reassembly sorts the ≤d (dim, avg) pairs row-locally
+    * via `sort_array(struct(pos, v))` — the same engine-exact ordering
+    * trick tokenizeIds uses — so the output vector is deterministic at
+    * any parallelism. Components round to 6 for cross-engine compare
+    * (float summation order sits far below that at corpus scale).
+    * Returns (groupCol, pooled array<double>, n_chunks). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val dims = df.select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    dims.groupBy(groupCol, "__pos")
+      .agg(avg(col("__v")).as("__avg"),
+        count(lit(1)).as("__n"))
+      .groupBy(groupCol)
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("__pos"), col("__avg")))),
+          p => round(p.getField("__avg"), 6)).as("pooled"),
+        // every dimension sees every chunk, so any dim's count is the
+        // chunk count; max() keeps it one aggregation
+        max(col("__n")).as("n_chunks"))
+  }
+
   /** PCA model: per-dimension mean, row-major basis (k × d, rows =
     * components, descending eigenvalue), eigenvalues (sample variances
     * along each component). */

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.StructType
 import graft.dfl.DflFrame
 
@@ -339,6 +339,31 @@ object StreamRunner {
       stream.filter(size(arrFilter(grams(col(textCol)),
         g => graft.functions.BloomFns.bloomMightContain(bloomBcast, g))) === 0)
     }
+  }
+
+  /** Streaming CROSS-CORPUS dedup: drop stream rows whose normalized
+    * exact fingerprint — or, with `near = true`, 64-bit SimHash
+    * signature — already exists in a STATIC reference corpus (the
+    * retained training set), the streaming analogue of
+    * [[graft.llm.Dedup.exactSurvivorsAgainst]] and the ingest-side
+    * companion of the batch `dedupAgainst` stage. A STATELESS
+    * stream-static left-anti join: the reference signature set is a
+    * static DataFrame (re-read per micro-batch under the stream-static
+    * contract; at deployment size it plans as a broadcast), so no state
+    * store, no watermark, exactly the semantics of the batch operator.
+    * Unlike [[streamingContamFilter]]'s bloom this is EXACT — the join
+    * side is the true signature set. Within-stream duplicates are NOT
+    * collapsed — compose with [[streamingDedup]] for that. */
+  def streamingDedupAgainst(stream: DataFrame, ref: DataFrame,
+                            textCol: String, refTextCol: String,
+                            near: Boolean = false): DataFrame = {
+    def sig(c: Column): Column =
+      if (near) graft.functions.SketchF.simhashSig(
+        graft.llm.TextAnalysis.wsTokens(graft.llm.TextAnalysis.normText(c)))
+      else graft.llm.TextAnalysis.fingerprint(c).cast("string")
+    val refSigs = ref.select(sig(col(refTextCol)).as("__rsig")).distinct()
+    stream.join(broadcast(refSigs),
+      sig(col(textCol)) === col("__rsig"), "left_anti")
   }
 
   /** Streaming ANN serving: answer a STREAM of query vectors against a

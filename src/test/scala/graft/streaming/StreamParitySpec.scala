@@ -183,6 +183,33 @@ class StreamParitySpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("streaming dedup-against-reference drops retained rows exactly, near mode by simhash") {
+    val ref = Seq((100L, "hello world"), (101L, "retained document body"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-sda").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"ts":"2026-01-01 00:00:01","text":"Hello   WORLD","id":1}
+        |{"ts":"2026-01-01 00:00:02","text":"genuinely new content","id":2}
+        |{"ts":"2026-01-01 00:00:03","text":"body document retained","id":3}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+    // exact: id 1 normalizes onto the retained fingerprint → dropped;
+    // id 3 permutes the tokens — exact mode keeps it
+    val exact = StreamRunner.collectStream(
+      StreamRunner.streamingDedupAgainst(stream, ref, "text", "text"), "append")
+    assert(exact.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // near: the permutation shares the token multiset → same simhash →
+    // dropped too
+    val near = StreamRunner.collectStream(
+      StreamRunner.streamingDedupAgainst(stream, ref, "text", "text",
+        near = true), "append")
+    assert(near.select("id").as[Long].collect().toSet == Set(2L))
+    // parity with the batch operator on the same files
+    val batch = graft.llm.Dedup.exactSurvivorsAgainst(
+      spark.read.json(s"$dir/d.jsonl"), ref, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(exact.select("id").as[Long].collect().toSet == batch)
+  }
+
   test("streaming contamination filter drops benchmark-overlapping docs statelessly") {
     import org.apache.spark.sql.functions.to_timestamp
     val span = "alpha beta gamma delta epsilon zeta eta theta"
