@@ -1102,7 +1102,9 @@ object SparkEntry {
     "dfl_semantic_dedup" -> ((s, dir) => {
       val (corpus, _) = plantedBatchCorpus(s, dir)
       DflFrame.pipeline(corpus,
-        "nearDedup(@, '@vec_id', '@embedding', 0.9, 'semantic')")
+        // tuning args align with the API row's (kClusters=8, sample=256)
+        // — answers are clustering-invariant, so they are cost knobs only
+        "nearDedup(@, '@vec_id', '@embedding', 0.9, 'semantic', 8, 256)")
         .select("vec_id")
     }),
     // the SKETCH path for quantiles at high-cardinality keys: emit the

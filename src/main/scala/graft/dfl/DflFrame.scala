@@ -518,9 +518,10 @@ object DflFrame {
         // method: minhash (default) | jaccard | simhash | cosine | semantic
         // (cosine/semantic treat arg 2 as the embedding column and
         // threshold as the cosine floor; simhash reads threshold as the
-        // max Hamming distance, default 3). All candidate generation is
-        // banded/bucketed/clustered — the same 100 TB shapes as the
-        // Scala API.
+        // max Hamming distance, default 3; semantic takes optional
+        // (kClusters, trainSample) cost knobs as args 5/6). All
+        // candidate generation is banded/bucketed/clustered — the same
+        // 100 TB shapes as the Scala API.
         val threshold = if (args.size > 3) numArg(3) else 0.8
         val method = if (args.size > 4) strArg(4) else "minhash"
         val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
@@ -537,8 +538,14 @@ object DflFrame {
           case "semantic" =>
             // SemDeDup: arg 2 is the embedding column, threshold the
             // cosine floor; k-means clustering replaces banding as the
-            // candidate generator (Dedup.semanticPairs)
-            graft.llm.Dedup.semanticPairs(base, "__gid", "__gtext", threshold)
+            // candidate generator (Dedup.semanticPairs). Optional args
+            // 5/6 tune (kClusters, trainSample) — the answer is
+            // clustering-invariant (bit-identical vectors co-cluster),
+            // so these are purely cost knobs
+            val kC = if (args.size > 5) intArg(5) else 64
+            val tS = if (args.size > 6) intArg(6) else 4096
+            graft.llm.Dedup.semanticPairs(base, "__gid", "__gtext", threshold,
+              kClusters = kC, trainSample = tS)
           case other => throw new DflParseException(s"unknown nearDedup method $other")
         }
         if (name == "nearDupPairs") pairs
