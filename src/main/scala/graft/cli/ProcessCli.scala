@@ -15,7 +15,7 @@ import graft.streaming.StreamRunner
   *   runMain graft.cli.ProcessCli
   *     --input-uri F [--input-format f] [--input-header a,b,c]
   *     [--input-comment '#'] [--input-skip N] [--input-limit N]
-  *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]...
+  *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]... [--dataset-var k=URI]...
   *     [--output-uri F|-] [--output-format f] [--output-limit N]
   *     [--output-compression gzip|bzip2] [--output-mode overwrite|append]
   *     [--error-uri F] [--stream]
@@ -45,6 +45,7 @@ object ProcessCli {
       streamDecontamText: String = "text",
       streamDecontamN: Int = 8,
       streamSessions: String = "",
+      datasetVars: Map[String, String] = Map.empty,
   )
 
   /** Parse `--stream-sessions "key=u;ts=ts;gap=30 minutes;watermark=10
@@ -84,6 +85,14 @@ object ProcessCli {
         case "--var" =>
           val kv = a.value(); val j = kv.indexOf('=')
           c = c.copy(vars = c.vars + (kv.take(j) -> graft.io.TextFormats.parseScalar(kv.drop(j + 1))))
+        // a SECOND table bound as a DFL dataset $var (dedupAgainst's
+        // reference snapshot, decontam's benchmark, diff's old snapshot,
+        // asof's right side): the URI is read with the same
+        // format-inference path as --input-uri
+        case "--dataset-var" =>
+          val kv = a.value(); val j = kv.indexOf('=')
+          require(j > 0, s"--dataset-var: expected k=URI, got '$kv'")
+          c = c.copy(datasetVars = c.datasetVars + (kv.take(j) -> kv.drop(j + 1)))
         case "--output-uri"    => c = c.copy(outputUri = a.value())
         case "--output-format" => c = c.copy(outputFormat = a.value())
         case "--output-limit"       => c = c.copy(outputLimit = Some(a.value().toInt))
@@ -159,7 +168,17 @@ object ProcessCli {
       val df = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
         format = c.inputFormat, header = c.inputHeader,
         comment = c.inputComment, skipLines = c.inputSkip, limit = c.inputLimit))
-      if (c.dfl.trim.nonEmpty) DflFrame.pipeline(df, c.dfl, c.vars) else df
+      // `k=URI[::FORMAT]` — the explicit format covers extension-less
+      // directories (a parquet dir written by a previous run)
+      val dsVars: Map[String, Any] = c.datasetVars.map { case (k, spec) =>
+        val (uri, fmt) = spec.lastIndexOf("::") match {
+          case -1 => (spec, "")
+          case j  => (spec.take(j), spec.drop(j + 2))
+        }
+        k -> DataStoreIO.read(spark, uri, DataStoreIO.ReadOptions(format = fmt))
+      }
+      if (c.dfl.trim.nonEmpty) DflFrame.pipeline(df, c.dfl, c.vars ++ dsVars)
+      else df
     }
   }
 

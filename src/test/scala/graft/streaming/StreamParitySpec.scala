@@ -131,6 +131,31 @@ class StreamParitySpec extends AnyFunSuite {
       Array("--input-uri", dir, "--stream", "--stream-sessions", "key=u;ts=ts")))
   }
 
+  test("process --dataset-var binds a second table for two-dataset DFL stages") {
+    val dir = Files.createTempDirectory("graft-pdv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/new.jsonl"),
+      """{"id":1,"text":"retained body of text"}
+        |{"id":2,"text":"completely new material"}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ref.jsonl"),
+      """{"id":9,"text":"Retained   BODY of text"}""".stripMargin)
+    val c = graft.cli.ProcessCli.parseArgs(Array(
+      "--input-uri", s"$dir/new.jsonl",
+      "--dataset-var", s"ref=$dir/ref.jsonl",
+      "--dfl", "dedupAgainst(@, '@id', '@text', $ref, 0.8, 'exact') | map(@, '@id')"))
+    assert(graft.cli.ProcessCli.run(spark, c).as[Long].collect().toSeq == Seq(2L))
+    // explicit ::format suffix covers extension-less URIs
+    val refDir = Files.createTempDirectory("graft-pdv-ref").toString
+    spark.read.json(s"$dir/ref.jsonl").write.mode("overwrite").parquet(refDir)
+    val c2 = graft.cli.ProcessCli.parseArgs(Array(
+      "--input-uri", s"$dir/new.jsonl",
+      "--dataset-var", s"ref=$refDir::parquet",
+      "--dfl", "dedupAgainst(@, '@id', '@text', $ref, 0.8, 'exact') | map(@, '@id')"))
+    assert(graft.cli.ProcessCli.run(spark, c2).as[Long].collect().toSeq == Seq(2L))
+    // malformed binding rejected at parse
+    intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
+      Array("--input-uri", s"$dir/new.jsonl", "--dataset-var", "nope")))
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val lDir = Files.createTempDirectory("graft-ssj-l").toString
     val rDir = Files.createTempDirectory("graft-ssj-r").toString
