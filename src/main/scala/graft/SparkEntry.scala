@@ -555,6 +555,25 @@ object SparkEntry {
         .select(col("g"), col("n_chunks"),
           posexplode(col("pooled")).as(Seq("pos", "v")))
     }),
+    "freq_items" -> ((s, dir) =>
+      // Misra–Gries heavy hitters over lang, capacity 64 ≥ distinct
+      // langs → the no-decrement regime where the summary is provably
+      // EXACT and order-independent (the skew guarantee at small
+      // capacity is spec-pinned, not oracled — counts there are
+      // arrival-order-dependent lower bounds)
+      t(s, dir, "documents")
+        .agg(functions.FreqF.freqItems(col("lang"), 64).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .select(col("pos"), col("e.item").as("item"), col("e.cnt").as("cnt"))),
+    "dfl_pool" -> ((s, dir) => {
+      // the pool stage through the DFL dispatch; the pooled vector is
+      // checked through its norm (scalar rendering — list cells break
+      // the driver's compare)
+      val emb = t(s, dir, "embeddings")
+      DflFrame.pipeline(
+        emb.select((col("vec_id") % 50).as("g"), col("embedding")),
+        "pool(@, '@g', '@embedding') | map(@, '{g: @g, n_chunks: @n_chunks, pnorm: round(vecNorm(@pooled), 6)}')")
+    }),
     "feature_scaling" -> ((s, dir) => {
       // robust numeric feature prep over document length: winsorize to
       // the [5%, 95%] percentiles, z-score, min-max — each one small
@@ -1879,6 +1898,20 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "freq_items" ->
+      """SELECT row_number() OVER (ORDER BY cnt DESC, lang ASC) - 1 AS pos,
+        |       lang AS item, cnt
+        |  FROM (SELECT lang, count(*) AS cnt FROM documents
+        |         WHERE lang IS NOT NULL GROUP BY 1)""".stripMargin,
+    "dfl_pool" ->
+      """WITH e AS (SELECT vec_id % 50 AS g, embedding FROM embeddings),
+        |d AS (SELECT g, i AS pos,
+        |             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v,
+        |             count(*) AS n
+        |        FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+        |       GROUP BY g, i)
+        |SELECT g, n AS n_chunks, round(sqrt(sum(v * v)), 6) AS pnorm
+        |  FROM d GROUP BY g, n""".stripMargin,
     "embed_mean_pool" ->
       """WITH e AS (SELECT vec_id % 50 AS g, embedding FROM embeddings),
         |d AS (SELECT g, i - 1 AS pos,

@@ -352,6 +352,7 @@ object Functions {
     "dedupAgainst" -> "(dataset, idExpr, textExpr, $ref[, threshold[, method]])",
     "dupPairsAgainst" -> "(dataset, idExpr, textExpr, $ref[, threshold[, method]])",
     "diff" -> "(dataset, idExpr, cmpExpr, $old)",
+    "pool" -> "(dataset, groupExpr, vecExpr)",
     "shard" -> "(dataset, idExpr, weightExpr, shardWeight[, seed])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",

@@ -101,7 +101,7 @@ object DflFrame {
       // the DFL/catalog/server surface — a catalog Process can dedup a
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-      "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff",
+      "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
       "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
@@ -773,6 +773,16 @@ object DflFrame {
           else graft.llm.Dedup.survivorsAgainst(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         }
+
+      case "pool" =>
+        // `pool(@, '@group', '@vec')` — mean-pool embeddings per group
+        // (Embeddings.meanPool): (group, pooled, n_chunks). The chunk→
+        // document step; whole-dataset aggregation → stream-fenced.
+        if (args.size != 3) throw new DflParseException(
+          "pool takes (@, groupExpr, vecExpr)")
+        val base = df.withColumn("__gkey", subCol(1)).withColumn("__gvec", subCol(2))
+        graft.llm.Embeddings.meanPool(base, "__gkey", "__gvec")
+          .withColumnRenamed("__gkey", "g")
 
       case "diff" =>
         // `diff(@, '@id', '@cmpExpr', $old)` — snapshot diff of the

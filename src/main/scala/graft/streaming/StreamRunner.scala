@@ -32,7 +32,7 @@ object StreamRunner {
     // index builds); their streaming analogues are the explicit
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
-    "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff",
+    "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
     "annTopK", "annTopKBatch", "annRange",
     "annRangeBatch", "decontam",
     "decontamBloom", "decontamScrub", "contamHits",
