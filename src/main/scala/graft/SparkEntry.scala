@@ -555,6 +555,9 @@ object SparkEntry {
         .select(col("g"), col("n_chunks"),
           posexplode(col("pooled")).as(Seq("pos", "v")))
     }),
+    "collocations" -> ((s, dir) =>
+      llm.TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 50)),
     "freq_items" -> ((s, dir) =>
       // Misra–Gries heavy hitters over lang, capacity 64 ≥ distinct
       // langs → the no-decrement regime where the summary is provably
@@ -1898,6 +1901,21 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |    FROM documents),
+        |uni AS (SELECT u AS w, count(*) AS c
+        |          FROM toks, LATERAL (SELECT unnest(t) AS u) s GROUP BY 1),
+        |bi AS (SELECT t[i] AS p, t[i+1] AS w, count(*) AS n_pair
+        |         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) s
+        |        GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS nu, (SELECT sum(n_pair) FROM bi) AS nb)
+        |SELECT bi.p, bi.w, n_pair,
+        |       round(ln(n_pair * 1.0 * nu * nu / (nb * 1.0 * x.c * y.c)), 6) AS pmi
+        |  FROM bi JOIN uni x ON bi.p = x.w JOIN uni y ON bi.w = y.w CROSS JOIN tot
+        | WHERE n_pair >= 5
+        | ORDER BY pmi DESC, bi.p, bi.w LIMIT 50""".stripMargin,
     "freq_items" ->
       """SELECT row_number() OVER (ORDER BY cnt DESC, lang ASC) - 1 AS pos,
         |       lang AS item, cnt

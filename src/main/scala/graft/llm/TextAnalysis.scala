@@ -423,6 +423,50 @@ object TextAnalysis {
         sum(col("tf2")), 6).as("xent2"))
   }
 
+  /** Collocations: the top-K adjacent word pairs by pointwise mutual
+    * information — the corpus-analysis lens for multiword terms ("new
+    * york", "machine learning") that unigram statistics miss.
+    * `PMI(a,b) = ln(P(a,b) / (P(a)·P(b)))` with `P(a,b) = n_pair/N_bi`
+    * over bigram events and `P(a) = c_a/N_uni` over unigram events —
+    * the standard estimator; `minCount` drops the unstable low-support
+    * tail PMI notoriously inflates.
+    *
+    * Scale shape: bigram counts pre-aggregate map-side off the same
+    * one-pass token explode the LM family uses; the two unigram joins
+    * exchange on the token; the scalar totals broadcast; and the top-K
+    * plans as TakeOrderedAndProject (per-partition bounded heap, K-row
+    * driver merge — never a global sort). Ordering on the ROUNDED pmi
+    * then (p, w) makes the boundary of the top-K set engine-exact. */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Int = 5, topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    require(topK > 0, s"collocations: topK must be positive, got $topK")
+    val toks = wsTokens(normText(col(textCol)))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val biAll = df.filter(size(toks) >= 2)
+      .select(explode(org.apache.spark.sql.functions
+        .transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("p"),
+            element_at(toks, i + 2).as("w")))).as("bg"))
+      .select(col("bg.p").as("p"), col("bg.w").as("w"))
+      .groupBy("p", "w").agg(count(lit(1)).as("n_pair"))
+    // totals over the UNFILTERED universes (minCount prunes candidates,
+    // not the probability space)
+    val tot = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(biAll.agg(sum(col("n_pair")).as("nb")))
+    biAll.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("p"), col("c").as("cp")), Seq("p"))
+      .join(uni.select(col("w"), col("c").as("cw")), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        col("n_pair").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("cp") * col("cw"))), 6))
+      .select("p", "w", "n_pair", "pmi")
+      .orderBy(col("pmi").desc, col("p"), col("w"))
+      .limit(topK)
+  }
+
   /** Corpus vocabulary: the `topV` most frequent whitespace tokens over
     * [[normText]], with counts and a deterministic dense rank (count
     * desc, token asc — ties never reorder between runs or engines).

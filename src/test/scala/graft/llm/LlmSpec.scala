@@ -454,6 +454,29 @@ class LlmSpec extends AnyFunSuite {
     assert((iTopWide & bTop).size >= 7, s"ivf recall ${(iTopWide & bTop).size}")
   }
 
+  test("collocations: hand-computed PMI, minCount gate, bounded top-K plan") {
+    // corpus: "a b" ×3, "a c" ×1 → unigrams a=4, b=3, c=1 (Nu=8);
+    // bigrams (a,b)=3, (a,c)=1 (Nb=4)
+    val df = (Seq.fill(3)("a b") ++ Seq("a c")).toDF("text")
+    val out = TextAnalysis.collocations(df, "text", minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def pmi(np: Long, cp: Long, cw: Long) =
+      math.rint(math.log(np.toDouble * 8 * 8 / (4.0 * cp * cw)) * 1e6) / 1e6
+    assert(out == Map(
+      ("a", "b") -> ((3L, pmi(3, 4, 3))),
+      ("a", "c") -> ((1L, pmi(1, 4, 1)))))
+    // minCount prunes candidates but NOT the probability space: (a,b)'s
+    // pmi is identical with the (a,c) pair filtered out
+    val gated = TextAnalysis.collocations(df, "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(gated == Map(("a", "b") -> pmi(3, 4, 3)))
+    // top-K plans as a bounded TakeOrderedAndProject, not a global sort
+    val plan = TextAnalysis.collocations(docs, "text", 5, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("shardAssign: balanced shards, bucket-count invariant, matches the naive global window") {
     import graft.llm.Sampling
     import org.apache.spark.sql.expressions.Window
