@@ -555,6 +555,11 @@ object SparkEntry {
         .select(col("g"), col("n_chunks"),
           posexplode(col("pooled")).as(Seq("pos", "v")))
     }),
+    "hash_embed" -> ((s, dir) =>
+      // feature-hashing text embedding, dim 16, unpivoted to scalar
+      // (doc_id, pos, v) rows for the compare (list cells break it)
+      llm.TextAnalysis.hashEmbed(t(s, dir, "documents"), "doc_id", "text", 16)
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("pos", "v")))),
     "collocations" -> ((s, dir) =>
       llm.TextAnalysis.collocations(t(s, dir, "documents"), "text",
         minCount = 5, topK = 50)),
@@ -1901,6 +1906,21 @@ object SparkEntry {
         |   SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
         |     AND md5(lower(trim(regexp_replace(r.text, '\s+', ' ', 'g')))) =
         |         md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))))""".stripMargin,
+    "hash_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |    FROM documents),
+        |bk AS (SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
+        |         FROM toks),
+        |c AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+        |ss AS (SELECT doc_id, sum(c * c) AS ss FROM c GROUP BY 1),
+        |dims AS (SELECT ss.doc_id, ss.ss, d
+        |           FROM ss, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s)
+        |SELECT dims.doc_id, d AS pos,
+        |       round(coalesce(c.c, 0) * 1.0 / sqrt(dims.ss), 6) AS v
+        |  FROM dims LEFT JOIN c ON c.doc_id = dims.doc_id AND c.b = dims.d""".stripMargin,
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

@@ -423,6 +423,43 @@ object TextAnalysis {
         sum(col("tf2")), 6).as("xent2"))
   }
 
+  /** Feature-hashing text embedding (the "hashing trick"): each document
+    * becomes an L2-normalized `dim`-dimensional count vector of its
+    * token hash buckets — a model-free representation that drops
+    * text-only corpora straight into the existing vector machinery
+    * (cosine pairs, semantic dedup, the ANN index lifecycle). Collisions
+    * are the known trade (two tokens sharing a bucket add), standard for
+    * the technique (Weinberger et al., ICML'09).
+    *
+    * ENGINE-EXACT by construction: the bucket is the md5-prefix hash
+    * [[graft.llm.Sampling.hashBucketStr]] renders identically in DuckDB,
+    * counts are integers, and the only float op is the final normalize
+    * (sqrt of an integer sum of squares), rounded to 6. Shape: one
+    * token explode → map-side-combined (id, bucket) count → one per-doc
+    * reassembly aggregation; the dense fill is a row-local `transform`
+    * over a `map_from_entries` lookup — no per-dimension joins, no
+    * UDFs. Docs with no tokens produce no row (no signal, like
+    * [[graft.llm.Dedup.shingleDf]]). Returns (id, vec array<double>). */
+  def hashEmbed(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, dim: Int = 64,
+                seed: Long = 7L): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"hashEmbed: dim must be positive, got $dim")
+    val bucket = pmod(
+      conv(substring(md5(concat(col("__tok"), lit("|" + seed))), 1, 15), 16, 10)
+        .cast("long"), lit(dim.toLong))
+    df.select(col(idCol), explode(wsTokens(normText(col(textCol)))).as("__tok"))
+      .select(col(idCol), bucket.as("__b"))
+      .groupBy(idCol, "__b").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c")))).as("__m"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0L), lit(dim - 1L)),
+          d => round(coalesce(element_at(col("__m"), d), lit(0L))
+            .cast("double") / sqrt(col("__ss").cast("double")), 6)).as("vec"))
+  }
+
   /** Collocations: the top-K adjacent word pairs by pointwise mutual
     * information — the corpus-analysis lens for multiword terms ("new
     * york", "machine learning") that unigram statistics miss.

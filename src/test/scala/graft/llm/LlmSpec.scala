@@ -454,6 +454,30 @@ class LlmSpec extends AnyFunSuite {
     assert((iTopWide & bTop).size >= 7, s"ivf recall ${(iTopWide & bTop).size}")
   }
 
+  test("hashEmbed: unit norm, normalization folds, feeds the vector machinery") {
+    val df = Seq((1L, "a b a"), (2L, "A  B a"), (3L, "z"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbed(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // null/token-free docs produce no row
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // unit L2 norm (up to the 6-decimal rounding)
+    out.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    }
+    // normText folds case/spacing: docs 1 and 2 embed identically
+    assert(out(1L) == out(2L))
+    // a single-token doc is a one-hot
+    assert(out(3L).count(_ != 0.0) == 1 && out(3L).max == 1.0)
+    // the embedding drops into the existing cosine-pair machinery:
+    // identical texts sit at cosine exactly 1
+    val emb = TextAnalysis.hashEmbed(df, "doc_id", "text", 8)
+      .select(col("doc_id"), col("vec").cast("array<float>").as("vec"))
+    val pairs = Dedup.cosinePairsBlocked(emb, "doc_id", "vec", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("collocations: hand-computed PMI, minCount gate, bounded top-K plan") {
     // corpus: "a b" ×3, "a c" ×1 → unigrams a=4, b=3, c=1 (Nu=8);
     // bigrams (a,b)=3, (a,c)=1 (Nb=4)
