@@ -555,6 +555,8 @@ object SparkEntry {
         .select(col("g"), col("n_chunks"),
           posexplode(col("pooled")).as(Seq("pos", "v")))
     }),
+    "dfl_freq_items" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"), "freqItems(@, '@lang', 64)")),
     "hash_embed" -> ((s, dir) =>
       // feature-hashing text embedding, dim 16, unpivoted to scalar
       // (doc_id, pos, v) rows for the compare (list cells break it)
@@ -1937,6 +1939,11 @@ object SparkEntry {
         | WHERE n_pair >= 5
         | ORDER BY pmi DESC, bi.p, bi.w LIMIT 50""".stripMargin,
     "freq_items" ->
+      """SELECT row_number() OVER (ORDER BY cnt DESC, lang ASC) - 1 AS pos,
+        |       lang AS item, cnt
+        |  FROM (SELECT lang, count(*) AS cnt FROM documents
+        |         WHERE lang IS NOT NULL GROUP BY 1)""".stripMargin,
+    "dfl_freq_items" ->
       """SELECT row_number() OVER (ORDER BY cnt DESC, lang ASC) - 1 AS pos,
         |       lang AS item, cnt
         |  FROM (SELECT lang, count(*) AS cnt FROM documents

@@ -353,6 +353,7 @@ object Functions {
     "dupPairsAgainst" -> "(dataset, idExpr, textExpr, $ref[, threshold[, method]])",
     "diff" -> "(dataset, idExpr, cmpExpr, $old)",
     "pool" -> "(dataset, groupExpr, vecExpr)",
+    "freqItems" -> "(dataset, itemExpr[, capacity])",
     "shard" -> "(dataset, idExpr, weightExpr, shardWeight[, seed])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",

@@ -102,6 +102,7 @@ object DflFrame {
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
+      "freqItems",
       "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
@@ -773,6 +774,18 @@ object DflFrame {
           else graft.llm.Dedup.survivorsAgainst(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         }
+
+      case "freqItems" =>
+        // `freqItems(@, '@col'[, capacity])` — Misra–Gries heavy-hitter
+        // summary (functions.FreqItemsAgg) unpivoted to (pos, item, cnt)
+        // rows. Whole-dataset aggregation → stream-fenced.
+        if (args.size < 2 || args.size > 3) throw new DflParseException(
+          "freqItems takes (@, itemExpr[, capacity])")
+        val cap = if (args.size > 2) intArg(2) else 64
+        df.withColumn("__gitem", subCol(1))
+          .agg(graft.functions.FreqF.freqItems(col("__gitem"), cap).as("hh"))
+          .select(posexplode(col("hh")).as(Seq("pos", "e")))
+          .select(col("pos"), col("e.item").as("item"), col("e.cnt").as("cnt"))
 
       case "pool" =>
         // `pool(@, '@group', '@vec')` — mean-pool embeddings per group

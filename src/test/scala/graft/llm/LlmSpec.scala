@@ -478,6 +478,27 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("hashEmbed feeds the indexed ANN lifecycle: planted copy is hit #1") {
+    // text-only corpus → hash embeddings → LSH index → probe: a planted
+    // verbatim copy of doc 0 embeds identically, so it and doc 0 sit at
+    // cosine exactly 1.0 for doc 0's own vector — the top hits by
+    // construction regardless of natural near-ties below them
+    val base = docs.select("doc_id", "text")
+    val copy = base.filter(col("doc_id") === 0)
+      .select(lit(900000L).as("doc_id"), col("text"))
+    val emb = TextAnalysis.hashEmbed(base.unionByName(copy), "doc_id", "text", 32)
+      .select(col("doc_id").as("vec_id"), col("vec").cast("array<float>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-he-ann").toString
+    Similarity.lshBuild(emb, "vec_id", "embedding", dir,
+      nBits = 8, dim = 32, partitionBits = 4)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val hits = Similarity.lshQuery(spark, dir, q, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(hits.map(_._1).toSet == Set(0L, 900000L))
+    assert(hits.forall(_._2 == 1.0))
+  }
+
   test("collocations: hand-computed PMI, minCount gate, bounded top-K plan") {
     // corpus: "a b" ×3, "a c" ×1 → unigrams a=4, b=3, c=1 (Nu=8);
     // bigrams (a,b)=3, (a,c)=1 (Nb=4)
