@@ -555,6 +555,14 @@ object SparkEntry {
         .select(col("g"), col("n_chunks"),
           posexplode(col("pooled")).as(Seq("pos", "v")))
     }),
+    "dfl_join" -> ((s, dir) => {
+      // plain equi-join through the DFL dispatch: orders enriched with
+      // their customer's market segment, then a segment histogram
+      val orders = t(s, dir, "orders")
+      DflFrame.pipeline(orders,
+        "join(@, $cust, '@o_custkey', '@c_custkey') | hist(@, '@c_mktsegment')",
+        Map("cust" -> t(s, dir, "customer")))
+    }),
     "dfl_freq_items" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"), "freqItems(@, '@lang', 64)")),
     "hash_embed" -> ((s, dir) =>
@@ -1943,6 +1951,10 @@ object SparkEntry {
         |       lang AS item, cnt
         |  FROM (SELECT lang, count(*) AS cnt FROM documents
         |         WHERE lang IS NOT NULL GROUP BY 1)""".stripMargin,
+    "dfl_join" ->
+      """SELECT c.c_mktsegment AS key, count(*) AS count
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1""".stripMargin,
     "dfl_freq_items" ->
       """SELECT row_number() OVER (ORDER BY cnt DESC, lang ASC) - 1 AS pos,
         |       lang AS item, cnt

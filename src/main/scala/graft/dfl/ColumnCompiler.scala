@@ -354,6 +354,7 @@ object Functions {
     "diff" -> "(dataset, idExpr, cmpExpr, $old)",
     "pool" -> "(dataset, groupExpr, vecExpr)",
     "freqItems" -> "(dataset, itemExpr[, capacity])",
+    "join" -> "(dataset, $right, leftKeyExpr, rightKeyExpr[, type])",
     "shard" -> "(dataset, idExpr, weightExpr, shardWeight[, seed])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",

@@ -102,7 +102,7 @@ object DflFrame {
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
-      "freqItems",
+      "freqItems", "join",
       "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
@@ -774,6 +774,39 @@ object DflFrame {
           else graft.llm.Dedup.survivorsAgainst(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         }
+
+      case "join" =>
+        // `join(@, $right, '@lkey', '@rkey'[, type])` — plain equi-join
+        // against a dataset var (inner default; left | semi | anti).
+        // The left key evaluates against the piped frame, the right key
+        // against the bound one. Right-side columns colliding with a
+        // left name come back `r_`-prefixed, so the stage never
+        // silently drops or duplicates a column. The reference engine
+        // has no join; this is library surface (Spark's join at zero
+        // cost), kept deliberately minimal — richer shapes (asof, range,
+        // diff, dedupAgainst) have their own stages.
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
+          "join takes (@, $right, leftKeyExpr, rightKeyExpr[, type])")
+        val joinType = if (args.size > 4) strArg(4) match {
+          case "inner" => "inner"
+          case "left"  => "left"
+          case "semi"  => "left_semi"
+          case "anti"  => "left_anti"
+          case other => throw new DflParseException(
+            s"unknown join type $other (inner|left|semi|anti)")
+        } else "inner"
+        val rightSrc2 = dsArg(1)
+        val leftK = df.withColumn("__gjk", subCol(2))
+        val rightK0 = rightSrc2.withColumn("__gjk", ColumnCompiler.compile(
+          sub(3), ColumnCompiler.Ctx.forDataFrame(rightSrc2, vars)))
+        // disambiguate collisions BEFORE the join: every right column
+        // colliding with a left name gets the r_ prefix
+        val rightK = rightK0.columns.filter(_ != "__gjk")
+          .foldLeft(rightK0) { (acc, c) =>
+            if (leftK.columns.contains(c)) acc.withColumnRenamed(c, s"r_$c")
+            else acc
+          }
+        leftK.join(rightK, Seq("__gjk"), joinType).drop("__gjk")
 
       case "freqItems" =>
         // `freqItems(@, '@col'[, capacity])` — Misra–Gries heavy-hitter

@@ -78,6 +78,33 @@ class DflLlmSpec extends AnyFunSuite {
     assert(cosDfl == cosApi)
   }
 
+  test("join(@, $right, lkey, rkey[, type]) joins, prefixes collisions, rejects bad args") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "tag", "v")
+    val right = Seq((10L, "x", 1.5), (20L, "y", 2.5), (40L, "z", 9.9))
+      .toDF("rid", "tag", "w")
+    val vars = Map[String, Any]("r" -> right)
+    val inner = DflFrame.pipeline(left,
+      "join(@, $r, '@v', '@rid')", vars)
+    // collision: right's `tag` comes back r_-prefixed, nothing dropped
+    assert(inner.columns.toSet == Set("id", "tag", "v", "rid", "r_tag", "w"))
+    assert(inner.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val leftJ = DflFrame.pipeline(left,
+      "join(@, $r, '@v', '@rid', 'left')", vars)
+    assert(leftJ.count() == 3 &&
+      leftJ.filter($"id" === 3L).select("w").head().isNullAt(0))
+    val semi = DflFrame.pipeline(left, "join(@, $r, '@v', '@rid', 'semi')", vars)
+    assert(semi.columns.toSet == Set("id", "tag", "v"))
+    assert(semi.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val anti = DflFrame.pipeline(left, "join(@, $r, '@v', '@rid', 'anti')", vars)
+    assert(anti.select("id").as[Long].collect().toSet == Set(3L))
+    intercept[DflParseException] { DflFrame.pipeline(left,
+      "join(@, $r, '@v')", vars) }
+    intercept[DflParseException] { DflFrame.pipeline(left,
+      "join(@, $r, '@v', '@rid', 'outer')", vars) }
+  }
+
   test("dedupAgainst/dupPairsAgainst(@) match the cross-corpus Scala API") {
     val newDocs = docs.filter(col("doc_id") % 3 =!= 0)
     val refDocs = docs.filter(col("doc_id") % 3 === 0)
