@@ -1,0 +1,53 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("clustered layout: disjoint per-file ranges, scans skip non-matching files") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars", "text")
+    val clustered = Files.createTempDirectory("graft-lay-c").toString
+    val shuffled = Files.createTempDirectory("graft-lay-u").toString
+    Layout.clusterBy(docs, Seq("doc_id"), 4).write
+      .mode("overwrite").parquet(clustered)
+    // anti-layout control: hash-partitioned, every file spans ~everything
+    docs.repartition(4, col("text")).write.mode("overwrite").parquet(shuffled)
+
+    // per-file ranges are disjoint under the clustered layout
+    val stats = Layout.fileStats(spark, clustered, "doc_id")
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.length == 4)
+    stats.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"file ranges overlap: $stats")
+    }
+
+    // a point-range scan reads ~1 file of the clustered layout and all
+    // files of the control: compare the scans' output row metric
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("doc_id") < 50)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val cRows = scanRows(clustered)
+    val uRows = scanRows(shuffled)
+    // the scan metric counts rows of SURVIVING row groups: the clustered
+    // scan decodes ~1 of 4 files, the control decodes everything
+    assert(uRows == docs.count(), s"control scan decodes all rows, got $uRows")
+    assert(cRows * 2 < uRows, s"clustered scan should skip most files: $cRows vs $uRows")
+    // the real discriminator: matching FILES. The clustered layout puts
+    // doc_id < 50 in exactly one file's range
+    val matching = Layout.fileStats(spark, clustered, "doc_id")
+      .count(r => r.getLong(1) < 50)
+    assert(matching == 1)
+    val matchingU = Layout.fileStats(spark, shuffled, "doc_id")
+      .count(r => r.getLong(1) < 50)
+    assert(matchingU == 4, "control: every file's range covers the predicate")
+  }
+}
