@@ -168,14 +168,8 @@ object ProcessCli {
       val df = DataStoreIO.read(spark, c.inputUri, DataStoreIO.ReadOptions(
         format = c.inputFormat, header = c.inputHeader,
         comment = c.inputComment, skipLines = c.inputSkip, limit = c.inputLimit))
-      // `k=URI[::FORMAT]` — the explicit format covers extension-less
-      // directories (a parquet dir written by a previous run)
       val dsVars: Map[String, Any] = c.datasetVars.map { case (k, spec) =>
-        val (uri, fmt) = spec.lastIndexOf("::") match {
-          case -1 => (spec, "")
-          case j  => (spec.take(j), spec.drop(j + 2))
-        }
-        k -> DataStoreIO.read(spark, uri, DataStoreIO.ReadOptions(format = fmt))
+        k -> DataStoreIO.readSpec(spark, spec)
       }
       if (c.dfl.trim.nonEmpty) DflFrame.pipeline(df, c.dfl, c.vars ++ dsVars)
       else df

@@ -33,6 +33,16 @@ object DataStoreIO {
       salt: String = "graft",
   )
 
+  /** Read a `URI[::FORMAT]` spec: the explicit suffix covers
+    * extension-less directories (a parquet dir written by a prior run)
+    * for every CLI that binds tables by argument. */
+  def readSpec(spark: SparkSession, spec: String,
+               opts: ReadOptions = ReadOptions()): DataFrame =
+    spec.lastIndexOf("::") match {
+      case -1 => read(spark, spec, opts)
+      case j  => read(spark, spec.take(j), opts.copy(format = spec.drop(j + 2)))
+    }
+
   def read(spark: SparkSession, uri: String,
            opts: ReadOptions = ReadOptions()): DataFrame = {
     // http(s) endpoint as a table (reference: examples/hostosm.sh:20 —
