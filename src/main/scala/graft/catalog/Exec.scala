@@ -127,9 +127,23 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
       case None => Map.empty[String, Any]
     }
     val vars = cached ++ service.defaults ++ requestVars
+    // `datastore:NAME` string vars resolve to that catalog datastore's
+    // (cached, mtime-invalidated) DataFrame — how a service binds a
+    // SECOND table for the two-dataset stages (dedupAgainst, decontam,
+    // diff, asof, join). Resolved fresh each exec and NEVER written back
+    // to the var cache: readDataStore owns the caching, and a persisted
+    // DataFrame would go stale when the referenced store changes.
+    val dsRefVars: Map[String, Any] = vars.collect {
+      case (k, v: String) if v.startsWith("datastore:") =>
+        val name = v.stripPrefix("datastore:")
+        val refDs = catalog.datastores.getOrElse(name,
+          throw new NoSuchElementException(s"unknown datastore in $$$k: $name"))
+        k -> (readDataStore(refDs, vars): Any)
+    }
     val process = catalog.processes(service.process)
     val (out, dsVars) =
-      DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression, vars)
+      DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression,
+        vars ++ dsRefVars)
     // persist merged vars INCLUDING dataset-valued ones (reference :290 —
     // the evaluated $c is written back to the cache, so the next exec's
     // `$c ?: filter(@, …)` reuses it instead of re-filtering). Epoch-fenced:

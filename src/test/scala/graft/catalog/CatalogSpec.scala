@@ -36,6 +36,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(exec.serviceExec("svc").count() == 2)
   }
 
+  test("datastore: var refs bind a second table for two-dataset stages") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val c = fixtureCatalog(dir)
+    Files.writeString(Paths.get(s"$dir/retained.jsonl"),
+      """{"id":90,"text":"same body of text here"}""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/fresh.jsonl"),
+      """{"id":1,"text":"same body of text here"}
+        |{"id":2,"text":"entirely different new content"}""".stripMargin)
+    c.add(DataStore("ws", "fresh", s"'$dir/fresh.jsonl'"))
+    c.add(DataStore("ws", "retained", s"'$dir/retained.jsonl'"))
+    c.add(Process("xdedup",
+      "dedupAgainst(@, '@id', '@text', $ref, 0.8, 'exact') | map(@, '@id')"))
+    c.add(Service("xsvc", "fresh", "xdedup",
+      defaults = Map("ref" -> "datastore:retained")))
+    val exec = new Exec(spark, c)
+    val out = exec.serviceExec("xsvc").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L)) // id 1 matches the retained store's fingerprint
+    // an unknown datastore ref fails loudly, not as an unbound-$var error
+    c.add(Service("xbad", "fresh", "xdedup",
+      defaults = Map("ref" -> "datastore:nope")))
+    val err = intercept[NoSuchElementException] { exec.serviceExec("xbad") }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("job exec: job variables beat service defaults; output written") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val exec = new Exec(spark, fixtureCatalog(dir))
