@@ -17,6 +17,7 @@ import graft.streaming.StreamRunner
   *     [--input-comment '#'] [--input-skip N] [--input-limit N]
   *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]... [--dataset-var k=URI]...
   *     [--output-uri F|-] [--output-format f] [--output-limit N]
+  *     [--output-cluster-by c1,c2 [--output-files N]]
   *     [--output-compression gzip|bzip2] [--output-mode overwrite|append]
   *     [--error-uri F] [--stream]
   *     [--stream-decontam-bench F [--stream-decontam-text col]
@@ -46,6 +47,8 @@ object ProcessCli {
       streamDecontamN: Int = 8,
       streamSessions: String = "",
       datasetVars: Map[String, String] = Map.empty,
+      outputClusterBy: String = "",
+      outputFiles: Int = 8,
   )
 
   /** Parse `--stream-sessions "key=u;ts=ts;gap=30 minutes;watermark=10
@@ -94,6 +97,8 @@ object ProcessCli {
           require(j > 0, s"--dataset-var: expected k=URI, got '$kv'")
           c = c.copy(datasetVars = c.datasetVars + (kv.take(j) -> kv.drop(j + 1)))
         case "--output-uri"    => c = c.copy(outputUri = a.value())
+        case "--output-cluster-by" => c = c.copy(outputClusterBy = a.value())
+        case "--output-files"      => c = c.copy(outputFiles = a.value().toInt)
         case "--output-format" => c = c.copy(outputFormat = a.value())
         case "--output-limit"       => c = c.copy(outputLimit = Some(a.value().toInt))
         case "--output-compression" => c = c.copy(outputCompression = a.value())
@@ -191,7 +196,13 @@ object ProcessCli {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val out = run(spark, c)
-      val limited = c.outputLimit.fold(out)(out.limit)
+      val limited0 = c.outputLimit.fold(out)(out.limit)
+      // data-skipping layout: range-cluster on the hot filter columns
+      // before the sink (io.Layout) so readers prune files by min/max
+      val limited =
+        if (c.outputClusterBy.isEmpty) limited0
+        else graft.io.Layout.clusterBy(limited0,
+          c.outputClusterBy.split(',').map(_.trim).toSeq, c.outputFiles)
       if (c.outputUri == "-" || c.outputUri == "stdout") {
         limited.toJSON.collect().foreach(println)
       } else if (c.outputUri.contains("@")) {

@@ -50,4 +50,11 @@ class LayoutSpec extends AnyFunSuite {
       .count(r => r.getLong(1) < 50)
     assert(matchingU == 4, "control: every file's range covers the predicate")
   }
+
+  test("process CLI exposes the clustered layout via --output-cluster-by") {
+    val c = graft.cli.ProcessCli.parseArgs(Array(
+      "--input-uri", "x.parquet",
+      "--output-cluster-by", "doc_id,lang", "--output-files", "16"))
+    assert(c.outputClusterBy == "doc_id,lang" && c.outputFiles == 16)
+  }
 }
