@@ -130,6 +130,27 @@ object StreamRunner {
       .select(col("window.start").as("window_start"), col("key"), col("count"))
   }
 
+  /** Windowed streaming heavy hitters: per event-time window, the
+    * Misra–Gries summary of `itemCol` ([[graft.functions.FreqItemsAgg]])
+    * unpivoted to (window_start, pos, item, cnt) — the "what's trending
+    * this hour" stream without an unbounded per-item state store. The
+    * aggregate's buffer is the watermark-bounded window state, ≤
+    * capacity counters per open window; partials merge under the
+    * mergeable-summaries rule, so micro-batch order never changes the
+    * guarantee (and in the ≤capacity-distinct regime the counts are
+    * exact, as in batch). Append-mode: a window's summary emits once the
+    * watermark passes its end. */
+  def streamingTopItems(stream: DataFrame, itemCol: String, timeCol: String,
+                        window: String, watermark: String,
+                        capacity: Int = 64): DataFrame =
+    stream.withWatermark(timeCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(timeCol), window))
+      .agg(graft.functions.FreqF.freqItems(col(itemCol), capacity).as("hh"))
+      .select(col("window.start").as("window_start"),
+        org.apache.spark.sql.functions.posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("window_start"), col("pos"),
+        col("e.item").as("item"), col("e.cnt").as("cnt"))
+
   /** Event-time SESSION windows — the streaming twin of
     * [[graft.temporal.Temporal.sessionStats]]: per-key sessions that
     * break after `gap` of inactivity, emitting the same

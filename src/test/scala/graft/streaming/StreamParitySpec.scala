@@ -67,6 +67,32 @@ class StreamParitySpec extends AnyFunSuite {
     assert(rows(("2026-01-01 00:00:00.0", "b")) == 1L)
   }
 
+  test("windowed streaming heavy hitters: exact per window in the small regime") {
+    val dir = Files.createTempDirectory("graft-whh").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ev.jsonl"),
+      """{"ts":"2026-01-01 00:00:05","kind":"a"}
+        |{"ts":"2026-01-01 00:00:10","kind":"a"}
+        |{"ts":"2026-01-01 00:00:20","kind":"b"}
+        |{"ts":"2026-01-01 00:01:10","kind":"b"}
+        |{"ts":"2026-01-01 00:01:15","kind":"b"}
+        |{"ts":"2026-01-01 00:03:00","kind":"z"}""".stripMargin)
+    // the z sentinel only advances the watermark past window 1's end —
+    // its own window stays open and never emits
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingTopItems(stream, "kind", "ts", "1 minute",
+        "10 seconds", capacity = 8), "append")
+    val rows = out.collect().map(r =>
+      (r.getTimestamp(0).toString, r.getInt(1))
+        -> (r.getString(2), r.getLong(3))).toMap
+    // window 0: a=2 (rank 0), b=1 (rank 1); window 1: b=2 (rank 0) —
+    // capacity ≥ distinct, so the counts are exact as in batch
+    assert(rows(("2026-01-01 00:00:00.0", 0)) == (("a", 2L)))
+    assert(rows(("2026-01-01 00:00:00.0", 1)) == (("b", 1L)))
+    assert(rows(("2026-01-01 00:01:00.0", 0)) == (("b", 2L)))
+  }
+
   test("streaming session windows agree with the batch sessionizer") {
     val dir = Files.createTempDirectory("graft-ssw").toString
     // user 1: two sessions (5 s gaps inside, a 30 s gap between);
