@@ -146,7 +146,16 @@ object CorpusIngestCli {
       val written = spark.read.parquet(c.outUri).count()
       val stages = (report :+ ("written" -> written))
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      println(s"""{"ingest":{$stages},"out":"${c.outUri}"}""")
+      val line = s"""{"ingest":{$stages},"out":"${c.outUri}"}"""
+      // the audit trail travels WITH the data: a manifest beside the
+      // shards records what produced them and how much each stage kept
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(c.outUri.stripPrefix("file:"), "_manifest.json"),
+        s"""{"config":{"new":"${c.newUri}","old":"${c.oldUri}",""" +
+          s""""bench":"${c.benchUri}","threshold":${c.threshold},""" +
+          s""""ngram":${c.ngram},"shard_weight":${c.shardWeight},""" +
+          s""""self_dedup":${c.selfDedup}},"stages":{$stages}}""")
+      println(line)
     } finally spark.stop()
   }
 }

@@ -60,6 +60,24 @@ object GraftExtensions {
               org.apache.spark.sql.catalyst.expressions.Literal(repl))
         }
       }),
+    ("freq_items",
+      info("freq_items",
+        "freq_items(item, capacity) - Misra-Gries heavy-hitter summary: " +
+          "array<struct<item,cnt>> (cnt desc), counts are lower bounds, " +
+          "every item with freq > N/(capacity+1) survives"),
+      { args =>
+        require(args.size == 2, "freq_items takes (item, capacity)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val cap = args(1) match {
+          case Literal(v: Int, _)  => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"freq_items: capacity must be an integer literal, got $other")
+        }
+        // an AggregateFunction registers like any expression; the
+        // analyzer wraps it in an AggregateExpression (as for built-ins)
+        FreqItemsAgg(args(0), cap)
+      }),
     ("unicode_norm",
       info("unicode_norm",
         "unicode_norm(s[, form[, strip_accents]]) - Unicode-normalize a " +

@@ -57,6 +57,22 @@ class FreqAggSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("freq_items registers as a SQL aggregate") {
+    GraftExtensions.install(spark)
+    Seq("a", "b", "a").toDF("w").createOrReplaceTempView("fi_docs")
+    val rows = spark.sql(
+      "SELECT inline(freq_items(w, 8)) FROM fi_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows == Seq("a" -> 2L, "b" -> 1L))
+    // grouped form too
+    Seq(("g1", "a"), ("g1", "a"), ("g2", "z")).toDF("g", "w")
+      .createOrReplaceTempView("fi_g")
+    val g = spark.sql(
+      "SELECT g, inline(freq_items(w, 4)) FROM fi_g GROUP BY g")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(g == Set(("g1", "a", 2L), ("g2", "z", 1L)))
+  }
+
   test("nulls ignored; output order is (cnt desc, item asc)") {
     val df = Seq(Some("b"), Some("a"), None, Some("a"), Some("c"), Some("b"))
       .toDF("w")
