@@ -221,7 +221,10 @@ object Sampling {
     * / shardWeight⌋` where prefix_excl is the exclusive running weight
     * sum. Shard k's total is therefore within one max-row-weight of
     * `shardWeight` — the greedy bin fill, same as sequence packing's
-    * window variant but over documents. Integer weights keep the cumsum
+    * window variant but over documents. Shard ids run contiguous from 0
+    * provided no single row outweighs `shardWeight`; a heavier row's
+    * exclusive prefix jumps whole budgets and legitimately skips ids
+    * (the property spec pins both regimes). Integer weights keep the cumsum
     * ENGINE-EXACT (no float order sensitivity), which the DuckDB oracle
     * checks value-for-value.
     *

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters, Passed}
+
+/** Property checks for the round-11 primitives — invariants that hold
+  * for ALL inputs, not just the fixtures: normalization idempotence
+  * (double-cleaning a corpus must be a no-op) and the Misra–Gries
+  * guarantee under arbitrary data and split orders (the merge rule must
+  * keep the bound however partials interleave). */
+class PropertySpec extends AnyFunSuite {
+
+  private def holds(p: Prop, n: Int = 500): Unit = {
+    val res = check(Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.status == Passed, res.status.toString)
+  }
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf("café", "naïve", "mühle", "œuf", "ﬁn", "ｅ", "①", "ＡＢ"),
+    Gen.const(" "))).map(_.mkString(" ")).map(_.take(120))
+
+  test("unicode normalization is idempotent for every form and strip mode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val formGen = Gen.oneOf("NFC", "NFD", "NFKC", "NFKD")
+    holds(Prop.forAll(textGen, formGen, Gen.oneOf(true, false)) { (s, form, strip) =>
+      val once = UnicodeNormOps.norm(UTF8String.fromString(s), form, strip)
+      val twice = UnicodeNormOps.norm(once, form, strip)
+      once == twice
+    })
+  }
+
+  test("strip mode removes every combining mark, for every input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    holds(Prop.forAll(textGen) { s =>
+      val out = UnicodeNormOps.norm(UTF8String.fromString(s), "NFD", true).toString
+      out.forall(c => Character.getType(c) != Character.NON_SPACING_MARK)
+    })
+  }
+
+  test("Misra–Gries bound holds under arbitrary data and arbitrary splits") {
+    val itemsGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "hh"))
+      .map(_.take(300))
+    val capGen = Gen.choose(2, 6)
+    holds(Prop.forAll(itemsGen, capGen, Gen.choose(1, 8)) { (items, cap, parts) =>
+      // split into `parts` chunks, summarize each, merge in order — the
+      // distributed execution shape at an arbitrary partitioning
+      val chunks = items.grouped(math.max(1, (items.size + parts - 1) / parts)).toSeq
+      val merged = chunks.map { ch =>
+        val s = new FreqSummary(cap); ch.foreach(s.offer); s
+      }.reduceOption((a, b) => a.mergeWith(b)).getOrElse(new FreqSummary(cap))
+      val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = items.size.toDouble / (cap + 1)
+      val est = merged.sorted.toMap
+      // every reported count is a lower bound within the error bound
+      val countsOk = est.forall { case (k, c) =>
+        c <= trueCounts.getOrElse(k, 0L) &&
+          trueCounts.getOrElse(k, 0L) - c <= bound + 1e-9
+      }
+      // every true heavy hitter survives
+      val heavyOk = trueCounts.forall { case (k, c) =>
+        c <= bound || est.contains(k)
+      }
+      countsOk && heavyOk && merged.counts.size <= cap
+    }, n = 2000)
+  }
+
+  test("shard assignment conserves weight: shard totals sum to the corpus total") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 100000L), Gen.choose(1L, 500L)))
+      .map(_.distinctBy(_._1))
+    // NoShrink: shrinking walks outside the generators' domain
+    // (negative weights), which is a precondition violation, not a bug
+    holds(Prop.forAllNoShrink(rowsGen, Gen.choose(100L, 2000L)) { (rows, b) =>
+      rows.isEmpty || {
+        val df = rows.toDF("id", "w")
+        val out = graft.llm.Sampling.shardAssign(df, "id", "w", b)
+          .groupBy("shard").agg(org.apache.spark.sql.functions.sum("w").as("t"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val total = rows.map(_._2).sum
+        val maxW = rows.map(_._2).max
+        out.map(_._2).sum == total &&
+          out.forall { case (s, t) => t < b + maxW } &&
+          // a row heavier than the budget legitimately SKIPS shard ids
+          // (its exclusive prefix jumps whole budgets); contiguity is
+          // only promised when no row exceeds the shard weight
+          (maxW > b ||
+            out.map(_._1).sorted.sameElements(0L to out.map(_._1).max))
+      }
+    }, n = 30) // each trial runs Spark jobs — keep the count bounded
+  }
+}
