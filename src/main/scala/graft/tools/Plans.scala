@@ -60,3 +60,57 @@ object Plans {
     walk(p)
   }
 }
+
+/** `runMain graft.tools.PlanLint <sfDir>` — sweep EVERY registered
+  * query's physical plan for scale anti-patterns: any CartesianProduct
+  * fails; BroadcastNestedLoopJoin fails unless the query is on the
+  * documented allowlist (the broadcast interval-join path and the
+  * one-row scalar-stats cross joins — shapes that are nested-loop BY
+  * DESIGN over broadcast-small sides). Plans only — nothing executes
+  * except the eager index builds some ANN query constructors run. Exit
+  * 1 on any violation: the CI-able guard that a new query can't quietly
+  * reintroduce an all-pairs plan. */
+object PlanLint {
+  // BNLJ-by-design: broadcast interval joins (dim-sized right side) and
+  // one-row scalar-stat cross joins (the quantile_filter shape)
+  private val bnljAllowed = Set(
+    "range_join_bands", "pipeline_event_features",
+    "quantile_filter", "feature_scaling", "doclen_quantiles_approx",
+    "lm_xent", "lm_bigram_xent", "dfl_lm_score", "dfl_lm_bigram",
+    "tfidf_top", "collocations", "temperature_mix",
+    "pipeline_train_corpus", "pipeline_tokenized_corpus",
+    "pipeline_clean_corpus", "pipeline_incremental_ingest")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-planlint")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cartesian || bnlj) {
+          bad += 1
+          println(s"[planlint] FAIL $name: cartesian=$cartesian " +
+            s"unallowlisted-bnlj=$bnlj")
+        }
+      } catch { case e: Throwable =>
+        bad += 1
+        println(s"[planlint] ERROR $name: ${e.getMessage}")
+      }
+    }
+    println(s"[planlint] ${if (bad == 0) "CLEAN" else s"$bad violations"} " +
+      s"over ${graft.SparkEntry.queries.size} queries")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
