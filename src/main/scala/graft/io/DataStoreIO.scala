@@ -70,6 +70,7 @@ object DataStoreIO {
 
     val df = format match {
       case "parquet" => spark.read.parquet(uri)
+      case "orc"     => spark.read.orc(uri)
       case "csv" | "tsv" =>
         val sep = if (format == "tsv") "\t" else ","
         readDelimited(spark, uri, sep, compression, opts)
@@ -107,7 +108,7 @@ object DataStoreIO {
       case "" => throw new IllegalArgumentException(
         s"cannot infer format from uri: $uri")
       case other => throw new UnsupportedOperationException(
-        s"format not supported: $other (supported: parquet csv tsv json jsonl yaml toml properties hcl bson)")
+        s"format not supported: $other (supported: parquet orc csv tsv json jsonl yaml toml properties hcl bson)")
     }
     opts.limit.fold(df)(df.limit)
   }
@@ -256,6 +257,7 @@ object DataStoreIO {
     val df = opts.limit.fold(df0)(df0.limit)
     format match {
       case "parquet" => df.write.mode(opts.mode).parquet(uri)
+      case "orc"     => df.write.mode(opts.mode).orc(uri)
       case "csv" | "tsv" =>
         df.write.mode(opts.mode)
           .option("sep", if (format == "tsv") "\t" else ",")

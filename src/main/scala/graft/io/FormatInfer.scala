@@ -54,6 +54,7 @@ object FormatInfer {
       // not in the reference's table, but this engine's primary format —
       // DataStoreIO reads/writes it and Server.formats advertises it
       case ".parquet"                     => "parquet"
+      case ".orc"                         => "orc"
       case _                              => ""
     }
     if (format.isEmpty) Inferred(base, "", compression)

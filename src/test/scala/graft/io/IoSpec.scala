@@ -59,6 +59,21 @@ class IoSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("orc round trip with extension inference and pushdown") {
+    val dir = tmpDir()
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "n")
+    DataStoreIO.write(df, s"$dir/out.orc")
+    val back = DataStoreIO.read(spark, s"$dir/out.orc")
+    assert(back.orderBy("id").select("v").as[String].collect().toSeq ==
+      Seq("a", "b", "c"))
+    // columnar pushdown reaches the ORC scan like the parquet path
+    val plan = back.filter($"n" > 15).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n"), plan)
+    // explicit ::format works for an extension-less dir too
+    spark.read.orc(s"$dir/out.orc").write.orc(s"$dir/plaindir")
+    assert(DataStoreIO.readSpec(spark, s"$dir/plaindir::orc").count() == 3)
+  }
+
   test("jsonl round trip with gzip") {
     val dir = tmpDir()
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
