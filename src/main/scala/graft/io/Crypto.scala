@@ -44,3 +44,36 @@ object Crypto {
     c.doFinal(data.drop(IvLen))
   }
 }
+
+/** COLUMN-level protection via Spark's native `aes_encrypt`/`aes_decrypt`
+  * expressions — the distributed, codegen-resident path for shipping a
+  * dataset with its PII columns sealed while everything else stays
+  * queryable (the whole-stream [[Crypto]] seals the FILE; this seals a
+  * column). Two modes:
+  *  - `GCM` (default): authenticated, random IV per value — the secure
+  *    choice; ciphertexts differ across runs, so protected values are
+  *    NOT joinable or comparable.
+  *  - `ECB`: DETERMINISTIC — equal plaintexts seal to equal tokens, so
+  *    protected columns still group/join (pseudonymization). The classic
+  *    ECB caveat applies (equality leaks); that leak IS the feature
+  *    here, use GCM when it isn't.
+  * Key: 16/24/32-byte string (AES-128/192/256). The protected column is
+  * base64 text, NULL-safe. */
+object ColumnCrypto {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  private def keyOk(key: String): Unit =
+    require(Set(16, 24, 32)(key.getBytes("UTF-8").length),
+      "ColumnCrypto: key must be 16/24/32 bytes")
+
+  def protect(c: Column, key: String, mode: String = "GCM"): Column = {
+    keyOk(key)
+    base64(aes_encrypt(c.cast("string"), lit(key), lit(mode)))
+  }
+
+  def reveal(c: Column, key: String, mode: String = "GCM"): Column = {
+    keyOk(key)
+    aes_decrypt(unbase64(c), lit(key), lit(mode)).cast("string")
+  }
+}

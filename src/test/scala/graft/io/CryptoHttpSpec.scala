@@ -22,6 +22,36 @@ class CryptoHttpSpec extends AnyFunSuite {
     assert(Crypto.decrypt(emptyCt, "pw", "salt").isEmpty)
   }
 
+  test("column protection: GCM round-trips, ECB is deterministic and joinable") {
+    import org.apache.spark.sql.functions._
+    val key = "0123456789abcdef" // 16 bytes → AES-128
+    val df = Seq((1L, "alice@x.io"), (2L, "bob@y.io"), (3L, "alice@x.io"),
+      (4L, null.asInstanceOf[String])).toDF("id", "email")
+    // GCM: round-trip exact, ciphertexts differ per value (random IV)
+    val gcm = df.withColumn("p", ColumnCrypto.protect($"email", key))
+    val back = gcm.withColumn("r", ColumnCrypto.reveal($"p", key))
+      .select("id", "email", "r").collect()
+    back.foreach(r => assert(r.get(1) == r.get(2)))
+    val gTokens = gcm.filter($"email" === "alice@x.io")
+      .select("p").as[String].collect()
+    assert(gTokens.distinct.length == 2, "GCM tokens must not repeat")
+    // ECB: equal plaintexts seal to equal tokens — protected columns
+    // still group (the pseudonymization contract)
+    val ecb = df.withColumn("p", ColumnCrypto.protect($"email", key, "ECB"))
+    val eTokens = ecb.filter($"email" === "alice@x.io")
+      .select("p").as[String].collect()
+    assert(eTokens.distinct.length == 1)
+    val groups = ecb.groupBy("p").count().filter($"p".isNotNull)
+      .select("count").as[Long].collect().sorted.toSeq
+    assert(groups == Seq(1L, 2L))
+    // NULLs stay NULL through both directions
+    assert(gcm.filter($"id" === 4L).select("p").head().isNullAt(0))
+    // wrong key size rejected eagerly
+    intercept[IllegalArgumentException] {
+      ColumnCrypto.protect($"email", "short")
+    }
+  }
+
   test("encrypted jsonl write + read through DataStoreIO") {
     val dir = Files.createTempDirectory("graft-enc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
