@@ -256,8 +256,16 @@ object DataStoreIO {
       else if (inf.compression.nonEmpty) inf.compression else "none"
     val df = opts.limit.fold(df0)(df0.limit)
     format match {
-      case "parquet" => df.write.mode(opts.mode).parquet(uri)
-      case "orc"     => df.write.mode(opts.mode).orc(uri)
+      // columnar codecs ride the writer option (snappy default; zstd is
+      // the modern storage/scan trade, gzip the max-ratio archive one)
+      case "parquet" =>
+        val w = if (opts.compression.nonEmpty)
+          df.write.option("compression", opts.compression) else df.write
+        w.mode(opts.mode).parquet(uri)
+      case "orc" =>
+        val w = if (opts.compression.nonEmpty)
+          df.write.option("compression", opts.compression) else df.write
+        w.mode(opts.mode).orc(uri)
       case "csv" | "tsv" =>
         df.write.mode(opts.mode)
           .option("sep", if (format == "tsv") "\t" else ",")

@@ -72,6 +72,12 @@ class IoSpec extends AnyFunSuite {
     // explicit ::format works for an extension-less dir too
     spark.read.orc(s"$dir/out.orc").write.orc(s"$dir/plaindir")
     assert(DataStoreIO.readSpec(spark, s"$dir/plaindir::orc").count() == 3)
+    // columnar codec option: zstd parquet round-trips and names the codec
+    DataStoreIO.write(df, s"$dir/z.parquet",
+      DataStoreIO.WriteOptions(compression = "zstd"))
+    assert(DataStoreIO.read(spark, s"$dir/z.parquet").count() == 3)
+    assert(new java.io.File(s"$dir/z.parquet").listFiles()
+      .exists(_.getName.contains("zstd")))
   }
 
   test("jsonl round trip with gzip") {
