@@ -46,6 +46,12 @@ object CorpusIngestCli {
       shardWeight: Long = 100000L,
       selfDedup: Boolean = true,
       outUri: String = "",
+      stream: Boolean = false,
+      streamFormat: String = "jsonl",
+      timeCol: String = "ts",
+      watermark: String = "",
+      checkpoint: String = "",
+      once: Boolean = false,
   )
 
   private[cli] def parseArgs(args: Array[String]): Config = {
@@ -63,10 +69,19 @@ object CorpusIngestCli {
       case "--shard-weight"  => c = c.copy(shardWeight = a.value().toLong)
       case "--no-self-dedup" => c = c.copy(selfDedup = false)
       case "--out-uri"       => c = c.copy(outUri = a.value())
+      // streaming mode: --new-uri becomes the WATCHED directory
+      case "--stream"        => c = c.copy(stream = true)
+      case "--stream-format" => c = c.copy(streamFormat = a.value())
+      case "--time-col"      => c = c.copy(timeCol = a.value())
+      case "--watermark"     => c = c.copy(watermark = a.value())
+      case "--checkpoint"    => c = c.copy(checkpoint = a.value())
+      case "--once"          => c = c.copy(once = true)
       case other => throw new IllegalArgumentException(s"unknown flag: $other")
     }
     require(c.newUri.nonEmpty, "--new-uri is required")
     require(c.outUri.nonEmpty, "--out-uri is required")
+    require(!c.stream || c.checkpoint.nonEmpty,
+      "--stream requires --checkpoint")
     c
   }
 
@@ -140,6 +155,20 @@ object CorpusIngestCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (c.stream) {
+      // continuous mode: --new-uri is the watched dir; retained/bench
+      // are static tables; survivors append to --out-uri exactly once
+      val retained = if (c.oldUri.nonEmpty)
+        Some(DataStoreIO.readSpec(spark, c.oldUri)) else None
+      val bench = if (c.benchUri.nonEmpty)
+        Some(DataStoreIO.readSpec(spark, c.benchUri)) else None
+      val q = graft.streaming.StreamRunner.corpusIngestJob(spark, c.newUri,
+        c.streamFormat, c.textCol, c.timeCol, c.watermark,
+        retained, bench, c.outUri, c.checkpoint, c.once)
+      q.awaitTermination()
+      spark.stop()
+      return
+    }
     try {
       val (sharded, report) = run(spark, c)
       sharded.write.mode("overwrite").partitionBy("shard").parquet(c.outUri)

@@ -629,6 +629,54 @@ object StreamRunner {
     * index — exactly the single-writer window in-place rewrites
     * require); both rewrites preserve the row multiset and the replay
     * fences, so exactly-once holds across them. */
+  /** Continuous corpus ingest — the streaming twin of the batch
+    * `ingest-corpus` CLI: watch a directory for incoming corpus files
+    * and, per micro-batch, (1) drop rows whose normalized fingerprint
+    * exists in the STATIC retained corpus ([[streamingDedupAgainst]],
+    * exact), (2) drop rows sharing an n-gram with the benchmark
+    * ([[streamingContamFilter]], conservative bloom — no contaminated
+    * row passes), (3) collapse within-stream exact duplicates across
+    * batches via the watermark-bounded fingerprint store, then append
+    * survivors to `outUri` as parquet. Exactly-once via the checkpoint:
+    * a replayed batch re-derives the same survivors and the file sink's
+    * transaction log dedups the write. Stateless stages + one bounded
+    * dedup store — the 100 TB contract is the watermark horizon, not
+    * corpus size. Empty `benchmark` disables stage (2); `watermark`
+    * empty disables (3). */
+  def corpusIngestJob(spark: SparkSession, corpusUri: String, format: String,
+                      textCol: String, timeCol: String, watermark: String,
+                      retained: Option[DataFrame], benchmark: Option[DataFrame],
+                      outUri: String, checkpoint: String, once: Boolean)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(format == "parquet" || format == "jsonl",
+      s"corpusIngestJob: corpus format must be parquet or jsonl, got $format")
+    val stream0 = readStream(spark, corpusUri, format)
+    val deduped = retained match {
+      case Some(ref) => streamingDedupAgainst(stream0, ref, textCol, textCol)
+      case None      => stream0
+    }
+    val decontaminated = benchmark match {
+      case Some(bench) => streamingContamFilter(deduped, textCol, bench, textCol)
+      case None        => deduped
+    }
+    val unique =
+      if (watermark.isEmpty) decontaminated
+      else decontaminated
+        .withColumn(timeCol, col(timeCol).cast("timestamp"))
+        .withColumn("__fp", graft.llm.TextAnalysis.fingerprint(col(textCol)))
+        .withWatermark(timeCol, watermark)
+        .dropDuplicatesWithinWatermark("__fp")
+        .drop("__fp")
+    val w = unique.writeStream
+      .format("parquet")
+      .option("path", outUri)
+      .option("checkpointLocation", checkpoint)
+    val q = if (once) w.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      else w.start()
+    q
+  }
+
   def annIngestJob(spark: SparkSession, corpusUri: String, format: String,
                    idCol: String, vecCol: String, indexDir: String,
                    method: String, checkpoint: String,

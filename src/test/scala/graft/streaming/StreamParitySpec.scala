@@ -234,6 +234,37 @@ class StreamParitySpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("corpus ingest job: dedup-against + decontam + in-stream dedup, exactly once") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val ref = Seq((100L, "retained body of text")).toDF("doc_id", "text")
+    val bench = Seq((200L, s"bench doc $span tail words")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-cij").toString
+    val out = Files.createTempDirectory("graft-cij-out").toString
+    val ckpt = Files.createTempDirectory("graft-cij-ck").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b1.jsonl"),
+      """{"ts":"2026-01-01 00:00:01","text":"Retained BODY of text","id":1}
+        |{"ts":"2026-01-01 00:00:02","text":"genuinely new survivor content","id":2}""".stripMargin)
+    def runOnce(): Unit = {
+      val q = StreamRunner.corpusIngestJob(spark, dir, "jsonl", "text", "ts",
+        "1 minute", Some(ref), Some(bench), out, ckpt, once = true)
+      q.awaitTermination()
+    }
+    runOnce()
+    // batch 2: a contaminated row, a dup of batch 1's survivor, one keeper
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b2.jsonl"),
+      s"""{"ts":"2026-01-01 00:00:10","text":"prefix $span suffix","id":3}
+         |{"ts":"2026-01-01 00:00:11","text":"genuinely  NEW survivor content","id":4}
+         |{"ts":"2026-01-01 00:00:12","text":"second keeper entirely","id":5}""".stripMargin)
+    runOnce()
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    // 1 drops (retained), 3 drops (benchmark gram), 4 drops (normalized
+    // dup of 2 within the watermark store), 2 and 5 survive
+    assert(ids == Set(2L, 5L))
+    // relaunch with nothing new: exactly-once, no duplicate appends
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("streaming dedup-against-reference drops retained rows exactly, near mode by simhash") {
     val ref = Seq((100L, "hello world"), (101L, "retained document body"))
       .toDF("doc_id", "text")
