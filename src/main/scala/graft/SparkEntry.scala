@@ -621,6 +621,21 @@ object SparkEntry {
     "dfl_shard" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"),
         "shard(@, '@doc_id', '@n_chars', 100000) | map(@, '{doc_id: @doc_id, shard: @shard}')")),
+    "dfl_scale" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "scale(@, '@n_chars', 'zscore') | map(@, '{doc_id: @doc_id, scaled: @scaled}')")),
+    "pipeline_perplexity_filter" -> ((s, dir) => {
+      // the CCNet gate: score every doc against the corpus's own unigram
+      // LM, drop the worst-perplexity quartile. The threshold is one
+      // exact percentile over the ROUNDED scores (engine-exact boundary,
+      // the quantile_filter pattern) broadcast into a row-local filter.
+      val docs = t(s, dir, "documents")
+      val scored = llm.TextAnalysis.lmUnigramScore(docs, "doc_id", "text")
+      val thr = scored.agg(percentile(col("xent"), lit(0.75)).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("xent") <= col("thr"))
+        .select("doc_id", "xent")
+    }),
     "snapshot_diff" -> ((s, dir) => {
       // corpus-versioning diff between two synthesized snapshots of the
       // documents table: old = all but doc_id%5==1; new = all but
@@ -2001,6 +2016,15 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 100000L, 0L)} AS shard
          |  FROM documents""".stripMargin,
+    "dfl_scale" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN sd > 0 THEN (n_chars - mu) / sd END, 6) AS scaled
+        |  FROM documents CROSS JOIN
+        |    (SELECT avg(n_chars) AS mu, stddev_pop(n_chars) AS sd FROM documents)""".stripMargin,
+    "pipeline_perplexity_filter" ->
+      s"""WITH scored AS ($lmXentSql)
+         |SELECT doc_id, xent FROM scored
+         | WHERE xent <= (SELECT quantile_cont(xent, 0.75) FROM scored)""".stripMargin,
     "snapshot_diff" ->
       s"""WITH $snapshotCtes
          |$snapshotDiffSelect""".stripMargin,

@@ -355,6 +355,7 @@ object Functions {
     "pool" -> "(dataset, groupExpr, vecExpr)",
     "freqItems" -> "(dataset, itemExpr[, capacity])",
     "join" -> "(dataset, $right, leftKeyExpr, rightKeyExpr[, type])",
+    "scale" -> "(dataset, expr, method[, pLow, pHigh])",
     "shard" -> "(dataset, idExpr, weightExpr, shardWeight[, seed])",
     "set" -> "(x)", "array" -> "(x)", "len" -> "(x)", "bbox" -> "(coords)",
     "mean" -> "(xs)", "split" -> "(s, sep)", "lower" -> "(s)", "upper" -> "(s)",

@@ -102,7 +102,7 @@ object DflFrame {
       // corpus or run ANN via /services/{name}/exec like any other stage
       "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
       "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
-      "freqItems", "join",
+      "freqItems", "join", "scale",
       "annTopK", "annTopKBatch", "annRange",
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
@@ -819,6 +819,31 @@ object DflFrame {
           .agg(graft.functions.FreqF.freqItems(col("__gitem"), cap).as("hh"))
           .select(posexplode(col("hh")).as(Seq("pos", "e")))
           .select(col("pos"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+
+      case "scale" =>
+        // `scale(@, '@col', method[, pLow, pHigh])` — robust numeric
+        // feature scaling (util.Stats): winsorize | zscore | minmax,
+        // scaled value appended as `scaled`. Whole-dataset stats →
+        // stream-fenced.
+        if (args.size < 3 || args.size > 5) throw new DflParseException(
+          "scale takes (@, expr, method[, pLow, pHigh])")
+        val base = df.withColumn("__gv", subCol(1))
+        val scaled = strArg(2) match {
+          case "winsorize" =>
+            val pLow = if (args.size > 3) numArg(3) else 0.05
+            val pHigh = if (args.size > 4) numArg(4) else 0.95
+            graft.util.Stats.winsorize(base, "__gv", pLow, pHigh)
+              .withColumnRenamed("__gv_w", "scaled")
+          case "zscore" =>
+            graft.util.Stats.zscore(base, "__gv")
+              .withColumnRenamed("__gv_z", "scaled")
+          case "minmax" =>
+            graft.util.Stats.minmax(base, "__gv")
+              .withColumnRenamed("__gv_mm", "scaled")
+          case other => throw new DflParseException(
+            s"unknown scale method $other (winsorize|zscore|minmax)")
+        }
+        scaled.drop("__gv")
 
       case "pool" =>
         // `pool(@, '@group', '@vec')` — mean-pool embeddings per group

@@ -33,7 +33,7 @@ object StreamRunner {
     // streamingDedup/streamingNearDedup/streamingEmbeddingDedup operators
     "dedup", "nearDedup", "nearDupPairs", "nearDupClusters",
     "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
-    "freqItems", "join",
+    "freqItems", "join", "scale",
     "annTopK", "annTopKBatch", "annRange",
     "annRangeBatch", "decontam",
     "decontamBloom", "decontamScrub", "contamHits",
