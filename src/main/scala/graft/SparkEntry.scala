@@ -621,6 +621,30 @@ object SparkEntry {
     "dfl_shard" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"),
         "shard(@, '@doc_id', '@n_chars', 100000) | map(@, '{doc_id: @doc_id, shard: @shard}')")),
+    "ann_pq_topk" -> ((s, dir) => {
+      // product quantization (Jégou PAMI'11): 8 bytes/vector at m=8
+      // (32x), ADC scoring as table lookups. Codes aren't replayable by
+      // another engine (seeded k-means codebooks), so the registered
+      // output is the CONTRACT, as for approx_distinct_users: the
+      // planted clique ties at the ADC top EXACTLY (identical vectors
+      // share codes — closed-form), plus a recall floor vs brute force
+      // on a natural query.
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val model = llm.Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 64)
+      val codes = llm.Pq.pqEncode(corpus, "vec_id", "embedding", model)
+      val top = llm.Pq.pqTopK(codes, model, q, 11)
+        .collect().map(_.getLong(0)).toSet
+      val clique = (Set(0L) ++ (1L to 10L).map(_ + 100000L))
+      val qn = t(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+      val exact = llm.Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qn, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pq = llm.Pq.pqTopK(codes, model, qn, 10)
+        .collect().map(_.getLong(0)).toSet
+      Seq((top == clique, (exact & pq).size >= 3))
+        .toDF("clique_exact", "recall_floor")
+    }),
     "dfl_scale" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"),
         "scale(@, '@n_chars', 'zscore') | map(@, '{doc_id: @doc_id, scaled: @scaled}')")),
@@ -2016,6 +2040,7 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 100000L, 0L)} AS shard
          |  FROM documents""".stripMargin,
+    "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
     "dfl_scale" ->
       """SELECT doc_id,
         |  round(CASE WHEN sd > 0 THEN (n_chars - mu) / sd END, 6) AS scaled

@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  test("identical vectors share codes; planted clique ties at the ADC top") {
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select(($"r" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+    val model = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val codes = Pq.pqEncode(corpus, "vec_id", "embedding", model)
+    val cliqueCodes = codes.filter($"id" === 0L || $"id" > 100000L)
+      .select("codes").collect().map(_.getSeq[Byte](0))
+    assert(cliqueCodes.length == 6)
+    assert(cliqueCodes.distinct.length == 1, "identical vectors must share codes")
+    // every code addresses a real codeword
+    codes.select(explode($"codes")).as[Byte].collect()
+      .foreach(c => assert(c >= 0 && c < 16))
+    // ADC for vec 0's own query: the 6 clique members tie at the top
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Pq.pqTopK(codes, model, q, 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.map(_._1).toSet == (Set(0L) ++ (1 to 5).map(_ + 100000L)))
+    assert(top.map(_._2).distinct.length == 1, "clique ADC scores must tie")
+  }
+
+  test("ADC recall vs exact top-k on natural queries; deterministic at any parallelism") {
+    // k=64 codewords/subspace (6 bits) — the usual accuracy knob; these
+    // synthetic embeddings have weakly-separated neighbors, so recall
+    // here is a conservative floor for real embedding geometry
+    val model = Pq.pqTrain(emb, "vec_id", "embedding", m = 8, k = 64)
+    val codes = Pq.pqEncode(emb, "vec_id", "embedding", model)
+    val recalls = (1 to 5).map { qid =>
+      val q = emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val pq = Pq.pqTopK(codes, model, q, 10).collect().map(_.getLong(0)).toSet
+      (exact & pq).size / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean ADC recall@10 too low: $recalls")
+    // codes and scores are identical at any input partitioning
+    val q0 = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val a = Pq.pqTopK(Pq.pqEncode(emb.repartition(1), "vec_id", "embedding", model),
+      model, q0, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Pq.pqTopK(Pq.pqEncode(emb.repartition(7), "vec_id", "embedding", model),
+      model, q0, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    // memory shape: 8 bytes/vector vs 64 floats = 32x
+    assert(model.compression() == 32.0)
+    // dimension guards
+    intercept[IllegalArgumentException] { Pq.pqTopK(codes, model, q0.take(3), 5) }
+    intercept[IllegalArgumentException] {
+      Pq.pqTrain(emb, "vec_id", "embedding", m = 7, k = 16) // 64 % 7 != 0
+    }
+  }
+
+  test("ADC score equals the hand-computed query·reconstruction dot") {
+    val model = Pq.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
+    val codes = Pq.pqEncode(emb, "vec_id", "embedding", model)
+    val q = emb.filter($"vec_id" === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val row = codes.filter($"id" === 5L).select("codes")
+      .head().getSeq[Byte](0)
+    val recon = row.zipWithIndex.flatMap { case (c, mi) =>
+      model.codebooks(mi)(c.toInt)
+    }
+    val expect = math.rint(q.zip(recon).map { case (a, b) => a * b }.sum * 1e6) / 1e6
+    val got = Pq.pqTopK(codes, model, q, 10000)
+      .filter($"id" === 5L).select("adc").head().getDouble(0)
+    assert(math.abs(got - expect) < 1e-9)
+  }
+}
