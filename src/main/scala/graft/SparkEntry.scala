@@ -645,6 +645,23 @@ object SparkEntry {
       Seq((top == clique, (exact & pq).size >= 3))
         .toDF("clique_exact", "recall_floor")
     }),
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // the compressed+pruned serving shape: IVF lists of PQ codes,
+      // centroid-guided partition-pruned probe, ADC scoring. Contract
+      // registration (codebooks aren't engine-replayable): identical
+      // planted vectors co-assign and share codes, so nprobe=1 serves
+      // the whole clique exactly.
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-row").toString
+      llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", idxDir,
+        kLists = 8, m = 8, k = 16)
+      val top = llm.Pq.ivfPqQuery(s, idxDir, q, 11, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
+      Seq(Tuple1(top == clique)).toDF("clique_exact")
+    }),
     "dfl_scale" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"),
         "scale(@, '@n_chars', 'zscore') | map(@, '{doc_id: @doc_id, scaled: @scaled}')")),
@@ -2041,6 +2058,7 @@ object SparkEntry {
          |  ${llm.Sampling.shardAssignSql("doc_id", "n_chars", 100000L, 0L)} AS shard
          |  FROM documents""".stripMargin,
     "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
+    "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
     "dfl_scale" ->
       """SELECT doc_id,
         |  round(CASE WHEN sd > 0 THEN (n_chars - mu) / sd END, 6) AS scaled

@@ -96,10 +96,9 @@ object Pq {
     centers
   }
 
-  /** (id, codes array<tinyint>): per-subspace nearest codeword. One
-    * row-local projection — m·k native dot loops per row, no shuffle. */
-  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame = {
+  /** The (row-local, codegen'd) PQ-codes expression for `vecCol` — m·k
+    * native dot loops per row, no shuffle. */
+  def codesCol(vecCol: String, model: PqModel): Column = {
     val codeCols: Seq[Column] = (0 until model.m).map { mi =>
       val sub = slice(col(vecCol), mi * model.subDim + 1, model.subDim)
       val cands = array((0 until model.k).map { ki =>
@@ -114,7 +113,67 @@ object Pq {
       }: _*)
       array_min(cands).getField("k").cast("byte")
     }
-    df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
+  }
+
+  /** (id, codes array<tinyint>): per-subspace nearest codeword. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame =
+    df.select(col(idCol).as("id"), codesCol(vecCol, model).as("codes"))
+
+  /** IVF+PQ index build — the compressed, pruned ANN shape (the FAISS
+    * IVFPQ default at corpus scale): vectors assign to their nearest
+    * coarse centroid's LIST ([[Similarity.ivfAssign]], the same coarse
+    * quantizer the float IVF lifecycle uses), each list stores only the
+    * m-byte PQ codes, and a probe reads `nprobe` lists PARTITION-PRUNED
+    * and ADC-scores them — at 10⁹×64-dim that is ~8 GB of codes against
+    * 256 GB of floats, probed at nprobe/kLists read amplification.
+    * Codebooks/centroids persist as parquet sidecars, so the index is
+    * self-describing. This is the read-optimized shape; the
+    * crash/retry-safe append lifecycle lives with the float IVF index —
+    * rebuild this one from it on retrain cadence. */
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
+                 indexDir: String, kLists: Int = 64, m: Int = 8,
+                 k: Int = 64, trainSample: Int = 4096): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.trainCentroids(df, idCol, vecCol, kLists, trainSample)
+    val model = pqTrain(df, idCol, vecCol, m, k, trainSample)
+    Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .select(col("id"), col("list"), codesCol("v", model).as("codes"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/data")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    (for { mi <- 0 until m; ki <- 0 until k }
+      yield (mi, ki, model.codebooks(mi)(ki).toSeq)).toDF("m", "k", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): (Array[Array[Double]], PqModel) = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val k = cb.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
+    (cents, PqModel(m, k, books(0)(0).length, books))
+  }
+
+  /** IVF+PQ probe: nearest `nprobe` lists chosen driver-side against
+    * the centroid sidecar (zero Spark jobs), a partition-pruned read of
+    * those lists, ADC scoring, bounded-heap top-k. */
+  def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 query: Seq[Double], topK: Int, nprobe: Int = 8): DataFrame = {
+    val (centroids, model) = readIvfPqMeta(spark, indexDir)
+    val lists = Similarity.nearestLists(centroids, query.toArray, nprobe)
+    val probe = spark.read.parquet(s"$indexDir/data")
+      .filter(col("list").isin(lists.map(Integer.valueOf): _*))
+    pqTopK(probe.select("id", "codes"), model, query, topK)
   }
 
   /** ADC top-k: score = Σ_m table[m][codes[m]] where table[m][k] =

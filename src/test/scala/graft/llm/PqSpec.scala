@@ -68,6 +68,32 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+PQ: planted clique served from pruned lists; probe prunes partitions") {
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select(($"r" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // identical vectors co-assign (same nearest centroid) and share
+    // codes, so nprobe=1 already covers the whole clique
+    val top = Pq.ivfPqQuery(spark, dir, q, 6, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.map(_._1).toSet == (Set(0L) ++ (1 to 5).map(_ + 100000L)))
+    assert(top.map(_._2).distinct.length == 1)
+    // the probe read is partition-pruned to the probed lists
+    val probe = Pq.ivfPqQuery(spark, dir, q, 6, nprobe = 1)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list"),
+      s"probe must prune list partitions:\n$scan")
+    // a wider probe still serves the clique; results identical
+    val wide = Pq.ivfPqQuery(spark, dir, q, 6, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == top.map(_._1).toSet)
+  }
+
   test("ADC score equals the hand-computed query·reconstruction dot") {
     val model = Pq.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
     val codes = Pq.pqEncode(emb, "vec_id", "embedding", model)
