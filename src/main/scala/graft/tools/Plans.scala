@@ -79,7 +79,8 @@ object PlanLint {
     "lm_xent", "lm_bigram_xent", "dfl_lm_score", "dfl_lm_bigram",
     "tfidf_top", "collocations", "temperature_mix",
     "pipeline_train_corpus", "pipeline_tokenized_corpus",
-    "pipeline_clean_corpus", "pipeline_incremental_ingest")
+    "pipeline_clean_corpus", "pipeline_incremental_ingest",
+    "dfl_scale", "pipeline_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
