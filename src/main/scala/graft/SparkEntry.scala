@@ -645,6 +645,19 @@ object SparkEntry {
       Seq((top == clique, (exact & pq).size >= 3))
         .toDF("clique_exact", "recall_floor")
     }),
+    "dfl_ann_pq" -> ((s, dir) => {
+      // PQ through the DFL dispatch (ad-hoc trained codebooks): same
+      // clique-exactness contract as ann_pq_topk, exercised via
+      // annTopK(@, …, 'pq')
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val top = DflFrame.pipeline(corpus,
+          "annTopK(@, '@vec_id', '@embedding', $q, 11, 'pq', 64)",
+          Map("q" -> q))
+        .collect().map(_.getLong(0)).toSet
+      val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
+      Seq(Tuple1(top == clique)).toDF("clique_exact")
+    }),
     "ann_ivfpq_topk" -> ((s, dir) => {
       // the compressed+pruned serving shape: IVF lists of PQ codes,
       // centroid-guided partition-pruned probe, ADC scoring. Contract
@@ -2059,6 +2072,7 @@ object SparkEntry {
          |  FROM documents""".stripMargin,
     "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
+    "dfl_ann_pq" -> "SELECT true AS clique_exact",
     "dfl_scale" ->
       """SELECT doc_id,
         |  round(CASE WHEN sd > 0 THEN (n_chars - mu) / sd END, 6) AS scaled

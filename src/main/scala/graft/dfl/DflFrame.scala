@@ -1083,6 +1083,16 @@ object DflFrame {
             else
               graft.llm.Similarity.lshTopK(base, "id", "v", q, k,
                 minCandidates = minCands)
+          case "pq" =>
+            // compressed ad-hoc serving: seeded PQ codebooks trained on
+            // a bounded sample per call (driver-side, deterministic),
+            // ADC scoring over m-byte codes. tuning = codewords per
+            // subspace (k). The persisted/pruned variant is the Scala
+            // ivfPqBuild/ivfPqQuery lifecycle.
+            val kw = if (args.size > 6) intArg(6) else 64
+            val model = graft.llm.Pq.pqTrain(base, "id", "v", m = 8, k = kw)
+            graft.llm.Pq.pqTopK(
+              graft.llm.Pq.pqEncode(base, "id", "v", model), model, q, k)
           case other => throw new DflParseException(s"unknown annTopK method $other")
         }
 
