@@ -184,6 +184,17 @@ object ScaleCheck {
         .createTempDirectory("graft-scale-ivf").toString + "/idx"
       graft.llm.Similarity.ivfBuild(big, "vec_id", "embedding", idxDir)
       time("ivf_probe")(graft.llm.Similarity.ivfQuery(spark, idxDir, q, 10).count())
+      // PQ: encoding is a linear row-local scan (m·k native dots per
+      // row); the IVF+PQ probe reads nprobe lists partition-pruned over
+      // m-byte codes — near-flat in mult like the float probes
+      val pqDir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-ivfpq-$mult").toString
+      time("ivfpq_build")({
+        graft.llm.Pq.ivfPqBuild(big, "vec_id", "embedding", pqDir,
+          kLists = 16, m = 8, k = 16)
+        big.count()
+      })
+      time("ivfpq_probe")(graft.llm.Pq.ivfPqQuery(spark, pqDir, q, 10).count())
       // the APPEND posture: a FIXED-SIZE increment appended to the
       // mult× index must cost ~the same at every mult — appends are one
       // pass over the NEW rows plus a bounded occupancy/sidecar merge,
