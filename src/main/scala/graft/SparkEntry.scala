@@ -678,6 +678,12 @@ object SparkEntry {
     "dfl_scale" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"),
         "scale(@, '@n_chars', 'zscore') | map(@, '{doc_id: @doc_id, scaled: @scaled}')")),
+    "weighted_sample" -> ((s, dir) =>
+      // quality-weighted deterministic sampling: keep ∝ n_chars at 30%
+      // expected rate; the normalizing scalar broadcasts and the keep
+      // boundary is rendered identically in the oracle
+      llm.Sampling.sampleByWeight(t(s, dir, "documents"),
+        "doc_id", "n_chars", 0.3).select("doc_id", "n_chars")),
     "pipeline_perplexity_filter" -> ((s, dir) => {
       // the CCNet gate: score every doc against the corpus's own unigram
       // LM, drop the worst-perplexity quartile. The threshold is one
@@ -2078,6 +2084,10 @@ object SparkEntry {
         |  round(CASE WHEN sd > 0 THEN (n_chars - mu) / sd END, 6) AS scaled
         |  FROM documents CROSS JOIN
         |    (SELECT avg(n_chars) AS mu, stddev_pop(n_chars) AS sd FROM documents)""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH s AS (SELECT count(*) AS n, sum(n_chars) AS sw FROM documents)
+         |SELECT doc_id, n_chars FROM documents CROSS JOIN s
+         | WHERE ${llm.Sampling.sampleByWeightSql("doc_id", "n_chars", 0.3, 0L)}""".stripMargin,
     "pipeline_perplexity_filter" ->
       s"""WITH scored AS ($lmXentSql)
          |SELECT doc_id, xent FROM scored

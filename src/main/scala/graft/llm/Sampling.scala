@@ -210,6 +210,43 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Deterministic WEIGHTED sampling: keep each row with probability
+    * ∝ its weight (quality score, token count), hitting `fraction` of
+    * rows in expectation — the "sample more of the good stuff" corpus
+    * op, with the same id-keyed determinism contract as
+    * [[sampleByHash]] (rerun-identical, id-stable under reshuffling;
+    * under corpus GROWTH the global scale shifts, unlike the unweighted
+    * sampler — documented trade of weight normalization). Keep rule:
+    * `hash(id) < min(1, w·fraction·N/Σw)·10⁶` — the normalizing scalar
+    * is one small aggregation broadcast into a row-local filter, and
+    * the threshold arithmetic is rendered IDENTICALLY in the DuckDB
+    * oracle so the boundary is engine-exact. Rows with weight ≥ the
+    * mean·(1/fraction) are always kept (probability capped at 1), NULL
+    * weights never keep. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     fraction: Double, seed: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1,
+      s"sampleByWeight: fraction must be in [0,1], got $fraction")
+    val buckets = 1000000
+    val stats = df.agg(count(lit(1)).as("__n"),
+      sum(col(weightCol)).as("__sw"))
+    // explicit null guard: `least` IGNORES nulls in both engines, so a
+    // bare least(1.0, NULL·…) would keep every null-weight row
+    val thr = least(lit(1.0),
+      col(weightCol) * lit(fraction) * col("__n") / col("__sw")) * buckets
+    df.crossJoin(broadcast(stats))
+      .filter(col(weightCol).isNotNull &&
+        bucketFor(df, idCol, seed, buckets) < thr)
+      .drop("__n", "__sw")
+  }
+
+  /** The DuckDB rendering of [[sampleByWeight]]'s keep rule (numeric
+    * ids) — one formula, two engines. */
+  def sampleByWeightSql(idExpr: String, weightExpr: String,
+                        fraction: Double, seed: Long): String =
+    s"$weightExpr IS NOT NULL AND ${hashBucketSql(idExpr, seed, 1000000)} < " +
+      s"least(1.0, (($weightExpr * $fraction) * n) / sw) * 1000000"
+
   /** Balanced output-shard assignment — the WRITE end of a training
     * pipeline: each row gets a `shard` id such that every shard holds
     * ~`shardWeight` total weight (tokens, bytes), in the engine-exact

@@ -563,6 +563,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling: rate near target, heavy rows always kept, deterministic") {
+    import graft.llm.Sampling
+    val kept = Sampling.sampleByWeight(docs, "doc_id", "n_chars", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count().toDouble
+    assert(kept.size > n * 0.2 && kept.size < n * 0.4,
+      s"expected ~30%, got ${kept.size / n}")
+    // rerun identical
+    assert(Sampling.sampleByWeight(docs, "doc_id", "n_chars", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == kept)
+    // rows whose keep probability caps at 1 are ALWAYS in
+    val sw = docs.agg(sum("n_chars")).head().getLong(0).toDouble
+    val alwaysIn = docs.filter(col("n_chars") >= lit(sw / (n * 0.3)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(alwaysIn.subsetOf(kept))
+    // higher fraction keeps a superset (monotone in fraction)
+    val more = Sampling.sampleByWeight(docs, "doc_id", "n_chars", 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(more))
+    // NULL weights never keep; bad fraction rejected
+    val df = Seq((1L, Some(100L)), (2L, Option.empty[Long])).toDF("doc_id", "w")
+    assert(Sampling.sampleByWeight(df, "doc_id", "w", 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByWeight(docs, "doc_id", "n_chars", 1.5)
+    }
+  }
+
   test("hash sampling: deterministic, id-stable, stratified, and near-target rates") {
     import graft.llm.Sampling
     // determinism + id stability: the sampled id set is a function of
