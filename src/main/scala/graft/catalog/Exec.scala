@@ -151,7 +151,12 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
     // was planning, else a stale dataset var would survive the clear with
     // an unchanged mtime and be reused forever.
     if (varEpoch.get() == epoch) {
-      serviceVarCache(serviceName) = (mtimeNow, vars ++ dsVars)
+      // dsVars seeds from ALL DataFrame-valued inputs, which includes the
+      // datastore: refs resolved above — strip those before persisting, so
+      // a ref re-resolves through readDataStore's mtime-keyed cache on
+      // every exec instead of being served stale from the service cache
+      // (whose key is the PRIMARY store's mtime, blind to the ref's)
+      serviceVarCache(serviceName) = (mtimeNow, vars ++ (dsVars -- dsRefVars.keySet))
       if (varEpoch.get() != epoch) serviceVarCache.remove(serviceName)
     }
     out

@@ -57,14 +57,28 @@ object Pq {
   }
 
   /** Seeded Lloyd k-means on driver-resident subvectors (≤ trainSample ×
-    * subDim doubles — bytes, not gigabytes). Empty clusters re-seed from
-    * the farthest point, so exactly `k` codewords always come back. */
+    * subDim doubles — bytes, not gigabytes). Init strides over VALUE-
+    * distinct points and empty clusters re-seed from successive distinct
+    * farthest points, so codewords stay distinct whenever the data has
+    * ≥ k distinct values — duplicated training data (the common corpus
+    * case) cannot collapse codebook capacity. */
   private def kmeansLocal(xs: Array[Array[Double]], k: Int,
                           seed: Long, iters: Int = 20): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     val n = xs.length
-    var centers = Array.tabulate(k)(i => xs(
-      if (n >= k) (i.toLong * n / k).toInt else rnd.nextInt(n)).clone())
+    // stride over the first occurrence of each distinct value (input
+    // order, deterministic); duplicates in the sample would otherwise
+    // seed identical centers that Lloyd can never separate
+    var centers: Array[Array[Double]] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      xs.foreach(x => seen += x.toSeq)
+      val distinct = seen.toArray
+      val dn = distinct.length
+      Array.tabulate(k)(i =>
+        if (dn >= k) distinct((i.toLong * dn / k).toInt).toArray
+        else if (i < dn) distinct(i).toArray
+        else xs(rnd.nextInt(n)).clone())
+    }
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
@@ -77,20 +91,33 @@ object Pq {
         while (c < k) { val dd = d2(x, centers(c)); if (dd < bd) { bd = dd; best = c }; c += 1 }
         best
       }
-      centers = Array.tabulate(k) { c =>
-        val members = xs.indices.filter(assign(_) == c)
-        if (members.isEmpty) {
-          // re-seed from the point farthest from its center
-          val far = xs.indices.maxBy(i => d2(xs(i), centers(assign(i))))
-          xs(far).clone()
-        } else {
+      val byCluster = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      assign.zipWithIndex.foreach { case (c, i) => byCluster(c) += i }
+      val next = new Array[Array[Double]](k)
+      (0 until k).foreach { c =>
+        val members = byCluster(c)
+        if (members.nonEmpty) {
           val acc = new Array[Double](xs.head.length)
           members.foreach { i =>
             var j = 0; while (j < acc.length) { acc(j) += xs(i)(j); j += 1 }
           }
-          acc.map(_ / members.size)
+          next(c) = acc.map(_ / members.size)
         }
       }
+      val empties = (0 until k).filter(next(_) == null)
+      if (empties.nonEmpty) {
+        // the i-th empty cluster takes the i-th farthest VALUE-distinct
+        // point — re-seeding every empty from the same single farthest
+        // point would just recreate the duplicate-codeword problem
+        val ranked = xs.indices.sortBy(i => -d2(xs(i), centers(assign(i))))
+        val used = scala.collection.mutable.Set.empty[Seq[Double]]
+        val picks = ranked.iterator.filter(i => used.add(xs(i).toSeq))
+        empties.foreach { c =>
+          next(c) = if (picks.hasNext) xs(picks.next()).clone()
+                    else xs(rnd.nextInt(n)).clone()
+        }
+      }
+      centers = next
       it += 1
     }
     centers
@@ -195,8 +222,12 @@ object Pq {
     }
     val table = typedLit(flat)
     val score = (0 until model.m).map { mi =>
+      // codes are stored as signed bytes, so codeword ids >= 128 (legal at
+      // k in 129..256) wrap negative on read — decode unsigned, else the
+      // negative index would silently resolve from the END of the table
       element_at(table,
-        element_at(col("codes"), mi + 1).cast("int") + mi * model.k + 1)
+        pmod(element_at(col("codes"), mi + 1).cast("int"), lit(256))
+          + mi * model.k + 1)
     }.reduce(_ + _)
     codesDf
       .select(graft.functions.TopKF.topKByScore(

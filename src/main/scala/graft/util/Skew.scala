@@ -17,20 +17,31 @@ import org.apache.spark.sql.functions._
   * salt, so the join never produces duplicate or dropped rows under
   * replay — the correctness trap `rand()`-salted joins hit. Inner and
   * left joins supported (the salted-right row multiset is exactly the
-  * original's per key, so results are row-identical to the plain join). */
+  * original's per key, so results are row-identical to the plain join).
+  *
+  * LIMITATION of the whole-row default: fully IDENTICAL duplicate rows
+  * (a common cause of hot keys in raw crawl corpora) hash to the same
+  * salt and still pile onto one task. When the big side carries a
+  * unique id (or any near-unique columns), pass it via `saltOn` — the
+  * salt then hashes only those columns, spreading identical payloads. */
 object Skew {
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salt: Int, joinType: String = "inner"): DataFrame = {
+                 salt: Int, joinType: String = "inner",
+                 saltOn: Seq[String] = Nil): DataFrame = {
     require(salt > 0, s"saltedJoin: salt must be positive, got $salt")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin: inner|left only, got $joinType")
     val bigCols = big.columns
     require(!bigCols.contains("__salt") && !small.columns.contains("__salt"),
       "saltedJoin: __salt column name is reserved")
-    // deterministic per-row salt from every big-side column: uniform
-    // across a hot key's rows, stable under task replay
-    val saltCol: Column = pmod(xxhash64(bigCols.map(col): _*), lit(salt))
+    require(saltOn.forall(bigCols.contains),
+      s"saltedJoin: saltOn columns ${saltOn.filterNot(bigCols.contains)} not in big side")
+    // deterministic per-row salt — from the caller's unique-id columns if
+    // given (spreads identical duplicate rows), else from every big-side
+    // column: uniform across a hot key's rows, stable under task replay
+    val hashCols = if (saltOn.nonEmpty) saltOn else bigCols.toSeq
+    val saltCol: Column = pmod(xxhash64(hashCols.map(col): _*), lit(salt))
     val b = big.withColumn("__salt", saltCol)
     val s = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))

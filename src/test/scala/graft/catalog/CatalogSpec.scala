@@ -60,6 +60,37 @@ class CatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("datastore: refs re-resolve each exec — never served stale from the var cache") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val c = fixtureCatalog(dir)
+    Files.writeString(Paths.get(s"$dir/retained.jsonl"),
+      """{"id":90,"text":"same body of text here"}""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/fresh.jsonl"),
+      """{"id":1,"text":"same body of text here"}
+        |{"id":2,"text":"entirely different new content"}""".stripMargin)
+    c.add(DataStore("ws", "fresh", s"'$dir/fresh.jsonl'"))
+    c.add(DataStore("ws", "retained", s"'$dir/retained.jsonl'"))
+    c.add(Process("xdedup",
+      "dedupAgainst(@, '@id', '@text', $ref, 0.8, 'exact') | map(@, '@id')"))
+    c.add(Service("xsvc", "fresh", "xdedup"))
+    val exec = new Exec(spark, c)
+    // ref bound via REQUEST var: the resolved DataFrame must not persist
+    // into the service var cache (which is keyed on the PRIMARY store's
+    // mtime and cannot see the referenced store change)
+    val refVar = Map[String, Any]("ref" -> "datastore:retained")
+    assert(exec.serviceExec("xsvc", refVar).collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+    Thread.sleep(1100) // mtime granularity
+    Files.writeString(Paths.get(s"$dir/retained.jsonl"),
+      """{"id":91,"text":"entirely different new content"}""".stripMargin)
+    // primary store unchanged, referenced store changed, and this exec
+    // relies on the CACHED var (no request var): the ref must re-resolve
+    // through the mtime-keyed datastore cache — id 2 now matches, id 1 no
+    // longer does. A persisted DataFrame var would answer Set(2L), stale.
+    assert(exec.serviceExec("xsvc").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("job exec: job variables beat service defaults; output written") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val exec = new Exec(spark, fixtureCatalog(dir))

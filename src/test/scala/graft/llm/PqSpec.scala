@@ -94,6 +94,35 @@ class PqSpec extends AnyFunSuite {
     assert(wide == top.map(_._1).toSet)
   }
 
+  test("codeword ids >= 128 store as negative bytes and decode unsigned in ADC") {
+    // synthetic codebook where codeword ki of each 1-dim subspace IS the
+    // value ki — encoding picks the id equal to the (integer) input, so
+    // ids above 127 are forced and wrap negative in the byte storage
+    val books = Array.tabulate(2, 256)((_, ki) => Array(ki.toDouble))
+    val model = Pq.PqModel(m = 2, k = 256, subDim = 1, codebooks = books)
+    val df = Seq((1L, Seq(200.0, 37.0)), (2L, Seq(129.0, 255.0))).toDF("id", "v")
+    val codes = Pq.pqEncode(df, "id", "v", model)
+    val stored = codes.orderBy("id").collect().map(_.getSeq[Byte](1))
+    assert(stored(0) == Seq((-56).toByte, 37.toByte), "200 must wrap negative")
+    assert(stored(1) == Seq((-127).toByte, (-1).toByte), "129/255 must wrap")
+    // ADC must decode the wrapped bytes unsigned: a signed read would
+    // index the table from the END and score silently wrong
+    val got = Pq.pqTopK(codes, model, Seq(2.0, 3.0), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 2.0 * 200 + 3.0 * 37)
+    assert(got(2L) == 2.0 * 129 + 3.0 * 255)
+  }
+
+  test("duplicated training data still yields k distinct codewords") {
+    val base = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(5.0, 5.0))
+    val rows = (0 until 200).map(i => (i.toLong, base(i % 4))).toDF("id", "v")
+    val model = Pq.pqTrain(rows, "id", "v", m = 1, k = 4)
+    val words = model.codebooks(0).map(_.toSeq)
+    assert(words.distinct.length == 4,
+      s"50x-duplicated 4-value data must not collapse codewords: ${words.toSeq}")
+    assert(words.toSet == base.toSet, "perfectly clusterable data recovers the values")
+  }
+
   test("ADC score equals the hand-computed query·reconstruction dot") {
     val model = Pq.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
     val codes = Pq.pqEncode(emb, "vec_id", "embedding", model)

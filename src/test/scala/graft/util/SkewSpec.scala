@@ -37,4 +37,26 @@ class SkewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Skew.saltedJoin(big, small, "k", 0) }
     intercept[IllegalArgumentException] { Skew.saltedJoin(big, small, "k", 2, "full") }
   }
+
+  test("saltOn spreads rows whose payload columns are identical") {
+    // identical (k, payload) repeated 300x — the whole-row default hashes
+    // them all into ONE salt bucket; the caller's unique id spreads them
+    val big = (1 to 300).map(i => (7L, "identical", i.toLong))
+      .toDF("k", "payload", "rid")
+    val small = Seq((7L, "seven"), (1L, "one")).toDF("k", "name")
+    val whole = big.select(pmod(xxhash64(col("k"), col("payload")), lit(8)).as("s"))
+      .distinct().count()
+    assert(whole == 1, "identical payload rows share one whole-payload salt")
+    val idSpread = big.select(pmod(xxhash64(col("rid")), lit(8)).as("s"))
+      .distinct().count()
+    assert(idSpread >= 6, s"id salt must span most buckets, got $idSpread")
+    // results stay row-identical to the plain join under saltOn
+    val plain = big.join(small, Seq("k"), "left").collect().length
+    val salted = Skew.saltedJoin(big, small, "k", 8, "left", saltOn = Seq("rid"))
+      .collect().length
+    assert(salted == plain)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 8, "inner", saltOn = Seq("nope"))
+    }
+  }
 }
