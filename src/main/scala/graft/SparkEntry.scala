@@ -632,18 +632,22 @@ object SparkEntry {
       import s.implicits._
       val (corpus, q) = plantedCliqueCorpus(s, dir)
       val model = llm.Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 64)
-      val codes = llm.Pq.pqEncode(corpus, "vec_id", "embedding", model)
-      val top = llm.Pq.pqTopK(codes, model, q, 11)
-        .collect().map(_.getLong(0)).toSet
-      val clique = (Set(0L) ++ (1L to 10L).map(_ + 100000L))
-      val qn = t(s, dir, "embeddings").filter(col("vec_id") === 3)
-        .select("embedding").head().getSeq[Float](0).map(_.toDouble)
-      val exact = llm.Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qn, 10)
-        .collect().map(_.getLong(0)).toSet
-      val pq = llm.Pq.pqTopK(codes, model, qn, 10)
-        .collect().map(_.getLong(0)).toSet
-      Seq((top == clique, (exact & pq).size >= 3))
-        .toDF("clique_exact", "recall_floor")
+      // two ADC probes + nothing else reads the codes: cache the 8-byte
+      // rows so the encode scan runs once, not per probe
+      val codes = llm.Pq.pqEncode(corpus, "vec_id", "embedding", model).cache()
+      try {
+        val top = llm.Pq.pqTopK(codes, model, q, 11)
+          .collect().map(_.getLong(0)).toSet
+        val clique = (Set(0L) ++ (1L to 10L).map(_ + 100000L))
+        val qn = t(s, dir, "embeddings").filter(col("vec_id") === 3)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        val exact = llm.Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qn, 10)
+          .collect().map(_.getLong(0)).toSet
+        val pq = llm.Pq.pqTopK(codes, model, qn, 10)
+          .collect().map(_.getLong(0)).toSet
+        Seq((top == clique, (exact & pq).size >= 3))
+          .toDF("clique_exact", "recall_floor")
+      } finally codes.unpersist()
     }),
     "dfl_ann_pq" -> ((s, dir) => {
       // PQ through the DFL dispatch (ad-hoc trained codebooks): same

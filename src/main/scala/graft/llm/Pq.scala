@@ -49,10 +49,18 @@ object Pq {
     val dim = sample.head.length
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val subDim = dim / m
-    val books = Array.tabulate(m) { mi =>
-      val subs = sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
-      kmeansLocal(subs, k, seed = 42L + mi)
-    }
+    // subspaces are independent — k-means them concurrently (driver-side
+    // CPU work, ~m × iters × n × k × subDim flops; serial it dominated
+    // pqTrain at the default m=8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val books = Await.result(Future.sequence((0 until m).map { mi =>
+      Future {
+        val subs = sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+        kmeansLocal(subs, k, seed = 42L + mi)
+      }
+    }), Duration.Inf).toArray
     PqModel(m, k, subDim, books)
   }
 
@@ -123,24 +131,19 @@ object Pq {
     centers
   }
 
-  /** The (row-local, codegen'd) PQ-codes expression for `vecCol` — m·k
-    * native dot loops per row, no shuffle. */
+  /** The (row-local, codegen'd) PQ-codes expression for `vecCol`: the
+    * whole m×k argmin runs as ONE native primitive loop per row
+    * ([[graft.functions.PqEncode]]) — the previous composed form
+    * (slice + dot + array_min over (dist, k) structs) allocated m·k
+    * struct rows per vector and was the dominant cost of every PQ
+    * query. Ties still break to the smaller codeword id. */
   def codesCol(vecCol: String, model: PqModel): Column = {
-    val codeCols: Seq[Column] = (0 until model.m).map { mi =>
-      val sub = slice(col(vecCol), mi * model.subDim + 1, model.subDim)
-      val cands = array((0 until model.k).map { ki =>
-        val cw = model.codebooks(mi)(ki)
-        val cwNorm2 = cw.map(x => x * x).sum
-        // argmin ||x - c||² ⇔ argmin (-2·x·c + ||c||²); ties break to
-        // the smaller k through the (dist, k) struct order
-        struct(
-          (lit(-2.0) * graft.functions.VectorF.dot(sub, typedLit(cw.toSeq))
-            + lit(cwNorm2)).as("d"),
-          lit(ki).as("k"))
-      }: _*)
-      array_min(cands).getField("k").cast("byte")
+    val flat = new Array[Double](model.m * model.k * model.subDim)
+    for (mi <- 0 until model.m; ki <- 0 until model.k) {
+      System.arraycopy(model.codebooks(mi)(ki), 0, flat,
+        (mi * model.k + ki) * model.subDim, model.subDim)
     }
-    array(codeCols: _*)
+    graft.functions.PqF.pqEncode(col(vecCol), flat, model.m, model.k, model.subDim)
   }
 
   /** (id, codes array<tinyint>): per-subspace nearest codeword. */
