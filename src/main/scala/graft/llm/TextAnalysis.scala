@@ -400,11 +400,14 @@ object TextAnalysis {
     val toks = wsTokens(col(textCol))
     // guard BEFORE sequence(): Spark's sequence(0, -1) descends, so a
     // single-token doc would index element 0 instead of yielding nothing
+    // adjacent pairs via two slices + arrays_zip — all codegen'd array
+    // copies; the transform(sequence(...)) form this replaces is a
+    // higher-order function, which Spark evaluates interpreted
+    // (CodegenFallback) with a boxed lambda call per token
     val bi = df.filter(size(toks) >= 2)
-      .select(col(idCol), explode(org.apache.spark.sql.functions
-        .transform(sequence(lit(0), size(toks) - 2),
-          i => struct(element_at(toks, i + 1).as("p"),
-            element_at(toks, i + 2).as("w")))).as("bg"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
       .select(col(idCol), col("bg.p").as("p"), col("bg.w").as("w"))
     val tf2 = bi.groupBy(col(idCol), col("p"), col("w"))
       .agg(count(lit(1)).as("tf2"))
@@ -481,11 +484,12 @@ object TextAnalysis {
     val toks = wsTokens(normText(col(textCol)))
     val uni = df.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // codegen'd slices + arrays_zip, not a CodegenFallback transform —
+    // see the same swap in lmBigramScore
     val biAll = df.filter(size(toks) >= 2)
-      .select(explode(org.apache.spark.sql.functions
-        .transform(sequence(lit(0), size(toks) - 2),
-          i => struct(element_at(toks, i + 1).as("p"),
-            element_at(toks, i + 2).as("w")))).as("bg"))
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
       .select(col("bg.p").as("p"), col("bg.w").as("w"))
       .groupBy("p", "w").agg(count(lit(1)).as("n_pair"))
     // totals over the UNFILTERED universes (minCount prunes candidates,
