@@ -36,9 +36,10 @@ case class PqEncode(child: Expression, codebook: Array[Double],
   override def prettyName: String = "pq_encode"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ByteType | ShortType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode needs array<float|double>, got ${other.sql}")
+      s"pq_encode needs array<numeric>, got ${other.sql}")
   }
 
   private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
@@ -46,7 +47,7 @@ case class PqEncode(child: Expression, codebook: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     if (x.numElements() != m * subDim) return null
-    val isFloat = elemType == FloatType
+    val et = elemType
     val codes = new Array[Byte](m)
     var mi = 0
     while (mi < m) {
@@ -57,7 +58,7 @@ case class PqEncode(child: Expression, codebook: Array[Double],
         while (j < subDim) {
           val xi = mi * subDim + j
           if (x.isNullAt(xi)) return null
-          val v = if (isFloat) x.getFloat(xi).toDouble else x.getDouble(xi)
+          val v = PqExprs.read(x, xi, et)
           s += v * codebook(base + j); j += 1
         }
         val d = -2.0 * s + cwNorm2(mi * k + ki)
@@ -73,7 +74,7 @@ case class PqEncode(child: Expression, codebook: Array[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
     val nmRef = ctx.addReferenceObj("pqCwNorm2", cwNorm2, "double[]")
-    val acc = if (elemType == FloatType) "getFloat" else "getDouble"
+    val acc = PqExprs.accessor(elemType)
     nullSafeCodeGen(ctx, ev, a => {
       val codes = ctx.freshName("codes")
       val mi = ctx.freshName("mi"); val ki = ctx.freshName("ki")
@@ -115,7 +116,121 @@ case class PqEncode(child: Expression, codebook: Array[Double],
     copy(child = newChild)
 }
 
+/** `nearest_centroid(vec)` — the index of the nearest of `k` centroids
+  * (argmin ‖x−c‖², ties to the smaller index) as one native codegen'd
+  * loop. Same rationale as [[PqEncode]]: the composed form (array_min
+  * over k (dist, i) structs, each with its own dot product) allocates k
+  * struct rows per input row; this is the IVF list-assignment hot path,
+  * run over every vector of the corpus at index build and inside every
+  * k-means-based operator. */
+case class NearestCentroid(child: Expression, centroids: Array[Double],
+                           cNorm2: Array[Double], k: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ByteType | ShortType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid needs array<numeric>, got ${other.sql}")
+  }
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val et = elemType
+    var best = Double.MaxValue; var bestK = 0; var ki = 0
+    while (ki < k) {
+      var s = 0.0; var j = 0
+      while (j < dim) {
+        if (x.isNullAt(j)) return null
+        val v = PqExprs.read(x, j, et)
+        s += v * centroids(ki * dim + j); j += 1
+      }
+      val d = -2.0 * s + cNorm2(ki)
+      if (d < best) { best = d; bestK = ki }
+      ki += 1
+    }
+    bestK
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val nRef = ctx.addReferenceObj("cNorm2", cNorm2, "double[]")
+    val acc = PqExprs.accessor(elemType)
+    nullSafeCodeGen(ctx, ev, a => {
+      val ki = ctx.freshName("ki"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestK = ctx.freshName("bestK")
+      val bad = ctx.freshName("bad")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = Double.MAX_VALUE; int $bestK = 0;
+         |  boolean $bad = false;
+         |  for (int $ki = 0; $ki < $k && !$bad; $ki++) {
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      if ($a.isNullAt($j)) { $bad = true; break; }
+         |      $s += ((double) $a.$acc($j)) * $cRef[$ki * $dim + $j];
+         |    }
+         |    double $d = -2.0 * $s + $nRef[$ki];
+         |    if (!$bad && $d < $best) { $best = $d; $bestK = $ki; }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $bestK; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+private[functions] object PqExprs {
+  def read(ad: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType   => ad.getFloat(i).toDouble
+    case DoubleType  => ad.getDouble(i)
+    case IntegerType => ad.getInt(i).toDouble
+    case LongType    => ad.getLong(i).toDouble
+    case ByteType    => ad.getByte(i).toDouble
+    case ShortType   => ad.getShort(i).toDouble
+    case other       => throw new IllegalStateException(s"pq exprs: $other")
+  }
+  def accessor(t: DataType): String = t match {
+    case FloatType   => "getFloat"
+    case DoubleType  => "getDouble"
+    case IntegerType => "getInt"
+    case LongType    => "getLong"
+    case ByteType    => "getByte"
+    case ShortType   => "getShort"
+    case other       => throw new IllegalStateException(s"pq exprs: $other")
+  }
+}
+
 object PqF {
+  /** Column form: nearest centroid index over a flat row-major centroid
+    * array (centroid ki at `[ki·dim, (ki+1)·dim)`). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "nearest_centroid: no centroids")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      "nearest_centroid: ragged centroid dims")
+    val flat = new Array[Double](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    val norms = centroids.map(c => c.map(x => x * x).sum)
+    Bridge.column(NearestCentroid(Bridge.expression(vec), flat, norms,
+      centroids.length, dim))
+  }
   /** Column form over a flat row-major codebook: entry (mi, ki, j) at
     * `(mi·k + ki)·subDim + j`. */
   def pqEncode(vec: Column, codebook: Array[Double], m: Int, k: Int,

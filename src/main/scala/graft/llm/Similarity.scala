@@ -302,13 +302,11 @@ object Similarity {
     * the list id is the partition column, exactly like the LSH bucket. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[Array[Double]]): DataFrame = {
-    val v = col(vecCol)
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      struct((dot(v, cLit) * -2.0 + c.map(x => x * x).sum).as("d"), lit(i).as("i"))
-    }
-    df.select(col(idCol).as("id"), v.as("v"),
-      array_min(array(dists.toIndexedSeq: _*)).getField("i").as("list"))
+    // one native argmin loop per row (graft.functions.NearestCentroid) —
+    // the composed array_min-over-structs form allocated k struct rows
+    // per vector; semantics identical (ties to the smaller list id)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.PqF.nearestCentroid(col(vecCol), centroids).as("list"))
   }
 
   /** Train the IVF coarse quantizer over a DETERMINISTIC bounded sample:
