@@ -503,6 +503,61 @@ object SparkEntry {
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
       llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "lr_score" -> ((s, dir) =>
+      // linear-classifier inference (the fastText-style quality-filter
+      // gate) with a FIXED model, so the sigmoid(w·x+b) projection is
+      // exactly SQL-replayable; one codegen'd dot per row, no shuffle
+      llm.Classifier.lrScore(t(s, dir, "embeddings"), "vec_id", "embedding",
+        lrFixedModel)),
+    "lr_train" -> ((s, dir) => {
+      // distributed full-batch GD training contract: labels come from a
+      // FIXED linear direction of the embedding (alternating ±1), so the
+      // task is linearly separable by construction and a correct trainer
+      // must recover the boundary — a balanced task (pos rate ≈ 0.5), so
+      // the floor is far above the majority-class baseline. Weights
+      // aren't engine-replayable (float summation order) — contract row,
+      // as for the PQ/IVF family.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val r = Array.tabulate(64)(d => if (d % 2 == 0) 1.0 else -1.0)
+      val train = emb.withColumn("y",
+        (functions.VectorF.dot(col("embedding"), typedLit(r.toSeq)) > 0)
+          .cast("int"))
+      val model = llm.Classifier.lrTrain(train, "embedding", "y",
+        iters = 50, lr = 5.0)
+      val acc = llm.Classifier.accuracy(train, "vec_id", "embedding", "y", model)
+      Seq(Tuple1(acc >= 0.85)).toDF("learned")
+    }),
+    "dsir_scores" -> ((s, dir) => {
+      // DSIR (Xie et al. NeurIPS'23): log importance weight of every
+      // source doc under target-vs-source hashed-bigram LMs; target =
+      // the doc_id % 23 == 0 slice (the same "benchmark domain" split
+      // the decontam rows use)
+      val docs = t(s, dir, "documents")
+      llm.Dsir.dsirScores(
+        docs.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0), "doc_id", "text")
+    }),
+    "dsir_sample" -> ((s, dir) => {
+      // deterministic Gumbel-top-k resample of the 50 most target-like
+      // source docs
+      val docs = t(s, dir, "documents")
+      llm.Dsir.dsirResample(
+        docs.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", k = 50)
+    }),
+    "dedup_containment_pairs" -> ((s, dir) =>
+      // asymmetric near-SUBSET pairs (|A∩B|/|A| ≥ 0.9): excerpts and
+      // wrapped copies whose Jaccard is diluted by the container's size
+      llm.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)),
+    "dedup_containment_survivors" -> ((s, dir) => {
+      // subsumption dedup: drop documents contained in a strictly larger
+      // (or equal-sized smaller-id) document
+      val docs = t(s, dir, "documents")
+      llm.Dedup.containmentSurvivors(docs, "doc_id",
+          llm.Dedup.containmentPairs(docs, "doc_id", "text", 0.9))
+        .select("doc_id")
+    }),
     // CROSS-CORPUS dedup: the new-crawl-vs-previous-snapshot shape.
     // The corpus splits deterministically on doc_id % 3 — "reference"
     // (retained training set) = multiples of 3, "new crawl" = the rest —
@@ -1980,6 +2035,32 @@ object SparkEntry {
     "dfl_ann_ivf" -> annPlantedTopkSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_minhash_pairs" -> jaccardPairsSql,
+    "lr_score" -> {
+      val ws = lrFixedModel.weights.map(w => f"$w%.1f").mkString(", ")
+      s"""SELECT vec_id AS id,
+         |       round(1.0 / (1.0 + exp(-(list_dot_product(
+         |         CAST(embedding AS DOUBLE[]), [$ws]) + ${lrFixedModel.bias}))), 6)
+         |         AS score
+         |  FROM embeddings""".stripMargin
+    },
+    "lr_train" -> "SELECT true AS learned",
+    "dsir_scores" -> s"WITH $dsirCtes\nSELECT id, dsir FROM dscore",
+    "dsir_sample" ->
+      s"""WITH $dsirCtes
+         |SELECT id, round(dsir + -ln(-ln(
+         |    ((${llm.Sampling.hashBucketStrSql("CAST(id AS VARCHAR)", 11L, 1 << 20)})
+         |      + 0.5) / 1048576.0)), 6) AS key
+         |  FROM dscore
+         | ORDER BY key DESC, id ASC LIMIT 50""".stripMargin,
+    "dedup_containment_pairs" ->
+      s"WITH $containmentCtes\nSELECT id_a, id_b, sz_a, sz_b, containment FROM cpairs",
+    // NOT IN is safe: id_a comes from sh rows (never NULL)
+    "dedup_containment_survivors" ->
+      s"""WITH $containmentCtes
+         |SELECT doc_id FROM documents
+         | WHERE doc_id NOT IN (
+         |   SELECT id_a FROM cpairs
+         |    WHERE sz_b > sz_a OR (sz_b = sz_a AND id_b < id_a))""".stripMargin,
     "xdedup_jaccard_pairs" -> xJaccardPairsSql,
     "xdedup_minhash_pairs" -> xJaccardPairsSql,
     // NOT IN is safe here: id_a is never NULL (it comes from newd rows)
@@ -2459,6 +2540,64 @@ object SparkEntry {
     * bands the LSH recall at j≥0.8 is 1-1e-14: the sets coincide). */
   private val jaccardPairsSql: String =
     s"WITH ${jaccardCtes("documents")}\nSELECT id_a, id_b, jaccard FROM jpairs"
+
+  /** The fixed 64-dim model lr_score runs (one formula feeds both the
+    * Spark column and the oracle's literal array — they cannot drift). */
+  private val lrFixedModel = llm.Classifier.LrModel(
+    Array.tabulate(64)(d => ((d * 37) % 13 - 6) / 10.0), bias = 0.05)
+
+  /** DSIR score CTEs: hashed unigram+bigram features (md5 bucket, the
+    * [[llm.Sampling.hashBucketStrSql]] rendering), add-one-smoothed
+    * target/source LMs over the doc_id % 23 split, per-doc log-ratio
+    * sum — the one formula both engines evaluate. */
+  private val dsirCtes: String = {
+    val bucket = llm.Sampling.hashBucketStrSql("g", 7L, 1024)
+    """stoks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |            FROM documents WHERE doc_id % 23 <> 0),
+      |ttoks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |            FROM documents WHERE doc_id % 23 = 0),
+      |sgrams AS (
+      |  SELECT doc_id, u AS g FROM stoks, LATERAL (SELECT unnest(t) AS u) s
+      |  UNION ALL
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |    FROM stoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) s),
+      |tgrams AS (
+      |  SELECT doc_id, u AS g FROM ttoks, LATERAL (SELECT unnest(t) AS u) s
+      |  UNION ALL
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      |    FROM ttoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) s),
+      |sb AS (SELECT doc_id, BUCKET AS b FROM sgrams),
+      |tb AS (SELECT doc_id, BUCKET AS b FROM tgrams),
+      |cs AS (SELECT b, count(*) AS cs FROM sb GROUP BY 1),
+      |ct AS (SELECT b, count(*) AS ct FROM tb GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM sb) AS ns, (SELECT count(*) FROM tb) AS nt),
+      |ratio AS (SELECT cs.b,
+      |            ln((coalesce(ct.ct, 0) + 1.0) / (tot.nt + 1024)) -
+      |            ln((cs.cs + 1.0) / (tot.ns + 1024)) AS lr
+      |            FROM cs LEFT JOIN ct ON cs.b = ct.b, tot),
+      |tf AS (SELECT doc_id, b, count(*) AS tf FROM sb GROUP BY 1, 2),
+      |dscore AS (SELECT tf.doc_id AS id, round(sum(tf.tf * ratio.lr), 6) AS dsir
+      |             FROM tf JOIN ratio ON tf.b = ratio.b GROUP BY 1)"""
+      .stripMargin.replace("BUCKET", bucket)
+  }
+
+  /** Directed containment pairs (|A∩B|/|A| ≥ 0.9) over the same 3-gram
+    * shingle rendering as [[jaccardCtes]] — oracle for the
+    * dedup_containment family. */
+  private val containmentCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, g FROM (
+      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |   FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+      |   WHERE g IS NOT NULL),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |cshared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+      |cpairs AS (
+      |  SELECT d1 AS id_a, d2 AS id_b, x.n AS sz_a, y.n AS sz_b,
+      |         round(c * 1.0 / x.n, 4) AS containment
+      |    FROM cshared JOIN cnt x ON d1 = x.doc_id JOIN cnt y ON d2 = y.doc_id
+      |   WHERE c * 1.0 / x.n >= 0.9)""".stripMargin
 
   /** Cross-corpus exact-jaccard pair CTEs over the doc_id % 3 split
     * (reference = multiples of 3, new crawl = the rest): `xpairs` =

@@ -252,6 +252,85 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment (near-SUBSET) pairs: `(id_a, id_b)` where at least
+    * `threshold` of a's word-n-gram shingles also appear in b —
+    * `C(A,B) = |A∩B| / |A|` — the asymmetric relation Jaccard
+    * structurally misses: a paragraph quoted inside a much longer page
+    * has tiny Jaccard (union is page-sized) but containment ≈ 1. This is
+    * the dedup lens for subsumed documents (excerpts, quoted snippets,
+    * page-plus-boilerplate wrappers) — drop the contained copy, keep the
+    * superset.
+    *
+    * Same inverted-index machinery as [[jaccardPairs]] (hashed shingles,
+    * document-frequency cap, df-ascending prefix order), with the
+    * asymmetric prefix bound: containment ≥ t forces an overlap of
+    * ⌈t·|A|⌉, so the CONTAINED side probes only its first
+    * |A|−⌈t·|A|⌉+1 rarest shingles (prefix lemma on A alone) — but the
+    * container side has NO length or prefix prune (B may be arbitrarily
+    * larger; any of its postings can witness). Candidate volume is
+    * therefore Σ_h prefix_df(h)·df(h), bounded by the df-cap exactly as
+    * the self-join case; the length and positional filters do NOT apply
+    * (they assume the symmetric Jaccard bound). Verify is exact on the
+    * full shingle sets. As with [[jaccardPairs]], pairs whose overlap
+    * evidence is entirely above the df-cap may be missed (boilerplate
+    * containment is not the target relation).
+    *
+    * Returns directed (id_a CONTAINED-IN id_b, sz_a, sz_b, containment)
+    * with id_a ≠ id_b; identical shingle sets emit both directions —
+    * survivor arbitration (size-then-id) is the caller's policy. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleDf(df, idCol, textCol, n)
+    val ex = hashedShingles(sh)
+    val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val capped = ex.join(dfh, "h").filter(col("dfh") <= maxDocFreq)
+    val w = Window.partitionBy("id").orderBy("dfh", "h")
+    val withPos = capped
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    // contained-side probe: the prefix lemma on A (overlap ≥ ⌈t·|A|⌉ must
+    // touch A's first |A|−⌈t·|A|⌉+1 shingles under the global order);
+    // same ceil-epsilon guard as jaccardStages
+    val probe = withPos
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col("id").as("id_a"), col("h"))
+    val index = withPos.select(col("id").as("id_b"), col("h"))
+    val cands = probe.join(index, "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_wit"))
+      .select("id_a", "id_b")
+    val withSh = cands
+      .join(sh.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+    val inter = graft.functions.SortedIntersectF
+      .count(col("sh_a"), col("sh_b")).cast(DoubleType)
+    withSh
+      .withColumn("containment", inter / size(col("sh_a")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Subsumption survivors over [[containmentPairs]]: drop a document
+    * when it is contained in a STRICTLY larger document, or in an
+    * equal-sized one with a smaller id (the deterministic tie-break that
+    * keeps exactly one of an identical-set clique). Everything else —
+    * including the containers themselves — survives. */
+  def containmentSurvivors(df: DataFrame, idCol: String,
+                           pairs: DataFrame): DataFrame = {
+    val dropped = pairs
+      .filter(col("sz_b") > col("sz_a") ||
+        (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("__drop")).distinct()
+    df.join(dropped, df(idCol) === col("__drop"), "left_anti")
+  }
+
   /** CROSS-CORPUS exact-Jaccard near-duplicate pairs: every LEFT (new
     * crawl) document paired with every RIGHT (reference snapshot / prior
     * training set) document at jaccard ≥ threshold — the

@@ -80,7 +80,10 @@ object PlanLint {
     "tfidf_top", "collocations", "temperature_mix",
     "pipeline_train_corpus", "pipeline_tokenized_corpus",
     "pipeline_clean_corpus", "pipeline_incremental_ingest",
-    "dfl_scale", "pipeline_perplexity_filter", "weighted_sample")
+    "dfl_scale", "pipeline_perplexity_filter", "weighted_sample",
+    // the DSIR totals (ns, nt) are a one-row scalar-stat cross join, the
+    // same shape as the LM family above
+    "dsir_scores", "dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

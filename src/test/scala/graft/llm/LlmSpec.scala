@@ -30,6 +30,88 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("logistic regression separates planted-margin data; predictions parallelism-invariant") {
+    // two well-separated Gaussians-ish clusters along dim 0
+    val rows = (0 until 200).map { i =>
+      val y = i % 2
+      val base = if (y == 1) 2.0 else -2.0
+      val jitter = (i % 7) * 0.05
+      (i.toLong, Seq(base + jitter, 0.3 - jitter, 0.1 * y), y)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val m = Classifier.lrTrain(df, "x", "y", iters = 80, lr = 2.0)
+    assert(Classifier.accuracy(df, "id", "x", "y", m) == 1.0,
+      "separated clusters must classify perfectly")
+    assert(m.weights(0) > 0, "dim-0 weight must carry the separating direction")
+    // scores match the hand-computed sigmoid
+    val s5 = Classifier.lrScore(df, "id", "x", m)
+      .filter(col("id") === 5L).head().getDouble(1)
+    val x5 = rows(5)._2
+    val z = x5.zip(m.weights).map { case (a, b) => a * b }.sum + m.bias
+    assert(math.abs(s5 - math.rint(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6) < 1e-9)
+    // predictions stable at any input partitioning (margins are wide)
+    val p1 = Classifier.lrPredict(df.repartition(1), "id", "x", m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val p7 = Classifier.lrPredict(df.repartition(7), "id", "x", m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(p1 == p7)
+    intercept[IllegalArgumentException] { Classifier.lrTrain(df, "x", "y", iters = 0) }
+  }
+
+  test("DSIR ranks target-like source docs first; resample is deterministic") {
+    val target = Seq(
+      (101L, "clinical trial patient dosage treatment outcome"),
+      (102L, "patient symptoms diagnosis clinical treatment")).toDF("doc_id", "text")
+    val source = Seq(
+      (1L, "clinical patient treatment dosage outcome trial"),   // target-like
+      (2L, "patient diagnosis clinical symptoms treatment"),     // target-like
+      (3L, "football match score goal referee stadium"),
+      (4L, "stock market trading shares dividend portfolio"),
+      (5L, "recipe flour sugar butter oven baking")).toDF("doc_id", "text")
+    val scores = Dsir.dsirScores(source, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 5)
+    val targetLike = Set(1L, 2L).map(scores); val offDomain = Set(3L, 4L, 5L).map(scores)
+    assert(targetLike.min > offDomain.max,
+      s"target-domain docs must outscore off-domain ones: $scores")
+    // resample: top-2 is exactly the target-like pair; replay-stable
+    val pick = Dsir.dsirResample(source, target, "doc_id", "text", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(pick == Set(1L, 2L))
+    val again = Dsir.dsirResample(source.repartition(7), target, "doc_id", "text", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == pick)
+    intercept[IllegalArgumentException] {
+      Dsir.dsirResample(source, target, "doc_id", "text", k = 0)
+    }
+  }
+
+  test("containment finds near-subsets that jaccard misses; survivors drop the contained copy") {
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val page = excerpt + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq(
+      (1L, excerpt),                    // fully contained in 2
+      (2L, page),                       // the container
+      (3L, "unrelated document body with entirely different words"),
+      (4L, excerpt),                    // identical set to 1 → mutual containment
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // excerpt-in-page has jaccard ≈ 4/44 — invisible to the jaccard op
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 0.8)
+      .collect().forall(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 4L)))
+    val dirs = pairs.map(p => (p._1, p._2)).toSet
+    assert(dirs == Set((1L, 2L), (4L, 2L), (1L, 4L), (4L, 1L)),
+      s"expected excerpt→page and the identical-set mutual pair, got $dirs")
+    assert(pairs.forall(_._3 == 1.0))
+    // survivors: 1 contained in larger 2 → dropped; 4 contained in larger
+    // 2 → dropped (the 4↔1 tie alone would only drop 4); containers stay
+    val surv = Dedup.containmentSurvivors(df, "doc_id",
+        Dedup.containmentPairs(df, "doc_id", "text", 0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(2L, 3L))
+  }
+
   test("cross-corpus pairs: only across sides, values match the union self-join") {
     val left = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
