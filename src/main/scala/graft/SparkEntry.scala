@@ -469,6 +469,25 @@ object SparkEntry {
         "dedupAgainst(@, '@doc_id', '@text', $ref) | map(@, '{doc_id: @doc_id}')",
         Map("ref" -> docs.filter(col("doc_id") % 3 === 0)))
     }),
+    "dfl_containment" -> ((s, dir) =>
+      // subsumption dedup through the DFL dispatch: same survivors as
+      // dedup_containment_survivors, via nearDedup(@,…,'containment')
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "nearDedup(@, '@doc_id', '@text', 0.9, 'containment') | map(@, '{doc_id: @doc_id}')")),
+    "dfl_dsir" -> ((s, dir) => {
+      // DSIR resample through the DFL dispatch: same top-50 as
+      // dsir_sample, target bound as a dataset var
+      val docs = t(s, dir, "documents")
+      DflFrame.pipeline(docs.filter(col("doc_id") % 23 =!= 0),
+        "dsir(@, '@doc_id', '@text', $target, 50)",
+        Map("target" -> docs.filter(col("doc_id") % 23 === 0)))
+    }),
+    "dfl_classify" -> ((s, dir) =>
+      // linear-model serving through the DFL dispatch: the lr_score
+      // fixed model, weights bound as a list exec variable
+      DflFrame.pipeline(t(s, dir, "embeddings"),
+        "classify(@, '@vec_id', '@embedding', $w, 0.05)",
+        Map("w" -> lrFixedModel.weights.toSeq))),
     "dfl_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DflFrame.pipeline(docs.filter(col("doc_id") % 23 =!= 0),
@@ -2044,6 +2063,27 @@ object SparkEntry {
          |  FROM embeddings""".stripMargin
     },
     "lr_train" -> "SELECT true AS learned",
+    "dfl_containment" ->
+      s"""WITH $containmentCtes
+         |SELECT doc_id FROM documents
+         | WHERE doc_id NOT IN (
+         |   SELECT id_a FROM cpairs
+         |    WHERE sz_b > sz_a OR (sz_b = sz_a AND id_b < id_a))""".stripMargin,
+    "dfl_dsir" ->
+      s"""WITH $dsirCtes
+         |SELECT id, round(dsir + -ln(-ln(
+         |    ((${llm.Sampling.hashBucketStrSql("CAST(id AS VARCHAR)", 11L, 1 << 20)})
+         |      + 0.5) / 1048576.0)), 6) AS key
+         |  FROM dscore
+         | ORDER BY key DESC, id ASC LIMIT 50""".stripMargin,
+    "dfl_classify" -> {
+      val ws = lrFixedModel.weights.map(w => f"$w%.1f").mkString(", ")
+      s"""SELECT vec_id AS id,
+         |       round(1.0 / (1.0 + exp(-(list_dot_product(
+         |         CAST(embedding AS DOUBLE[]), [$ws]) + ${lrFixedModel.bias}))), 6)
+         |         AS score
+         |  FROM embeddings""".stripMargin
+    },
     "dsir_scores" -> s"WITH $dsirCtes\nSELECT id, dsir FROM dscore",
     "dsir_sample" ->
       s"""WITH $dsirCtes

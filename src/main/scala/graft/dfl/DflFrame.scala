@@ -107,7 +107,7 @@ object DflFrame {
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
-      "vocab", "tfidf",
+      "vocab", "tfidf", "dsir", "classify",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -516,7 +516,9 @@ object DflFrame {
         // returns the pair set itself; `nearDupClusters` the transitive
         // duplicate components as (id, rep); `nearDedupClusters` the
         // one-representative-per-component survivors.
-        // method: minhash (default) | jaccard | simhash | cosine | semantic
+        // method: minhash (default) | jaccard | simhash | cosine |
+        // semantic | containment (directed near-subset pairs; survivors
+        // drop the contained copy — subsumption arbitration)
         // (cosine/semantic treat arg 2 as the embedding column and
         // threshold as the cosine floor; simhash reads threshold as the
         // max Hamming distance, default 3; semantic takes optional
@@ -547,9 +549,20 @@ object DflFrame {
             val tS = if (args.size > 6) intArg(6) else 4096
             graft.llm.Dedup.semanticPairs(base, "__gid", "__gtext", threshold,
               kClusters = kC, trainSample = tS)
+          case "containment" =>
+            // directed (contained, container) pairs — clusters don't
+            // apply (the relation is asymmetric); survivors use the
+            // subsumption arbitration below
+            if (name == "nearDupClusters" || name == "nearDedupClusters")
+              throw new DflParseException(
+                "containment pairs are directed; cluster variants not supported")
+            graft.llm.Dedup.containmentPairs(base, "__gid", "__gtext", threshold)
           case other => throw new DflParseException(s"unknown nearDedup method $other")
         }
-        if (name == "nearDupPairs") pairs
+        if (method == "containment" && name == "nearDedup")
+          graft.llm.Dedup.containmentSurvivors(base, "__gid", pairs)
+            .drop("__gid", "__gtext")
+        else if (name == "nearDupPairs") pairs
         else if (name == "nearDupClusters")
           graft.llm.Dedup.duplicateClusters(pairs)
             .select(col("id"), col("rep"))
@@ -872,6 +885,39 @@ object DflFrame {
             sub(2), ColumnCompiler.Ctx.forDataFrame(oldSrc, vars)))
         graft.util.Snapshot.diff(oldBase, base, "__gid", Seq("__gcmp"))
           .withColumnRenamed("__gid", "id")
+
+      case "dsir" =>
+        // `dsir(@, '@id', '@text', $target[, k[, buckets]])` — DSIR
+        // importance scoring of the piped corpus against a target-domain
+        // corpus bound as a dataset var (Dsir.dsirScores). With `k`,
+        // returns the deterministic Gumbel-top-k resample instead
+        // (Dsir.dsirResample). Same 100 TB shape as the Scala API: the
+        // ratio table broadcasts, scoring is one explode-aggregate.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          s"dsir takes (@, idExpr, textExpr, $$target[, k[, buckets]])")
+        val buckets = if (args.size > 5) intArg(5) else 1024
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val tgtSrc = dsArg(3)
+        val tgt = tgtSrc.withColumn("__gtext", ColumnCompiler.compile(
+          sub(2), ColumnCompiler.Ctx.forDataFrame(tgtSrc, vars)))
+        if (args.size > 4)
+          graft.llm.Dsir.dsirResample(base, tgt, "__gid", "__gtext",
+            k = intArg(4), buckets = buckets)
+        else
+          graft.llm.Dsir.dsirScores(base, tgt, "__gid", "__gtext", buckets)
+
+      case "classify" =>
+        // `classify(@, '@id', '@vec', $weights, bias)` — linear-model
+        // scoring (Classifier.lrScore): σ(w·x + b) per row with the
+        // weight vector bound as a Seq[Double] exec variable or inline
+        // array. A row-local codegen'd projection — streamable, so NOT
+        // in StreamRunner.unstreamableFns (train offline with
+        // Classifier.lrTrain, serve the model here).
+        if (args.size != 5) throw new DflParseException(
+          "classify takes (@, idExpr, vecExpr, $weights, bias)")
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gvec", subCol(2))
+        graft.llm.Classifier.lrScore(base, "__gid", "__gvec",
+          graft.llm.Classifier.LrModel(vecArg(3).toArray, numArg(4)))
 
       case "decontam" | "decontamBloom" | "decontamScrub" | "contamHits" =>
         // `decontam(@, '@id', '@text', $bench[, n])` — eval-set n-gram

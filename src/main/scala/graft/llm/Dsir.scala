@@ -45,6 +45,21 @@ object Dsir {
     gramRows(df, idCol, textCol)
       .select(col("id"), Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
 
+  /** Target-side buckets: the target LM needs gram counts only — no id
+    * column is required of the target corpus. */
+  private def bucketedAnon(df: DataFrame, textCol: String,
+                           buckets: Int, seed: Long): DataFrame = {
+    val toks = TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))
+    val uni = df.select(explode(toks).as("gram"))
+    val bi = df.filter(size(toks) >= 2)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
+      .select(concat(col("bg.p"), lit(" "), col("bg.w")).as("gram"))
+    uni.unionByName(bi)
+      .select(Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
+  }
+
   /** Per-document DSIR log importance weight `(id, dsir)` of every
     * source row, target-vs-source. Higher = more target-like. */
   def dsirScores(source: DataFrame, target: DataFrame, idCol: String,
@@ -52,7 +67,7 @@ object Dsir {
                  seed: Long = 7L): DataFrame = {
     require(buckets > 0, s"dsirScores: buckets must be positive, got $buckets")
     val sb = bucketed(source, idCol, textCol, buckets, seed)
-    val tb = bucketed(target, idCol, textCol, buckets, seed)
+    val tb = bucketedAnon(target, textCol, buckets, seed)
     val cs = sb.groupBy("b").agg(count(lit(1)).as("cs"))
     val ct = tb.groupBy("b").agg(count(lit(1)).as("ct"))
     val tot = cs.agg(sum(col("cs")).as("ns"))

@@ -42,7 +42,9 @@ object StreamRunner {
     // (streamingContamFilter is decontamBloom's explicit streaming
     // analogue, like streamingDedup for dedup)
     // mix derives per-domain thresholds from whole-dataset counts
+    // dsir estimates source-LM bucket counts over the whole corpus
     "pack", "shard", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
+    "dsir",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)
