@@ -297,10 +297,27 @@ object Dedup {
     // same ceil-epsilon guard as jaccardStages
     val probe = withPos
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
-      .select(col("id").as("id_a"), col("h"))
-    val index = withPos.select(col("id").as("id_b"), col("h"))
+      .select(col("id").as("id_a"), col("h"),
+        col("rn").as("rn_a"), col("sz").as("sz_a0"))
+    val index = withPos.select(col("id").as("id_b"), col("h"),
+      col("rn").as("rn_b"), col("sz").as("sz_b0"))
+    // required overlap: O ≥ ⌈t·|A|⌉ (one-sided — B has no upper length
+    // bound, but O ≤ min(|A|,|B|) still forces |B| ≥ t·|A|)
+    val needed = col("sz_a0").cast(DoubleType) * threshold
     val cands = probe.join(index, "h")
       .filter(col("id_a") =!= col("id_b"))
+      // asymmetric length filter AT GENERATION: a container smaller than
+      // t·|A| cannot hold the required overlap
+      .filter(col("sz_b0").cast(DoubleType) >= needed - 1e-9)
+      // asymmetric positional filter (the PPJoin argument, one-sided):
+      // both sets sort by the same global (df, h) order, so overlap from
+      // this shared shingle onward is ≤ 1 + min of the remaining suffix
+      // lengths; a true pair's FIRST shared shingle makes that a genuine
+      // bound on TOTAL overlap, so it passes — lossless per pair
+      .filter(lit(1.0) +
+        least(col("sz_a0") - col("rn_a"), col("sz_b0") - col("rn_b"))
+          .cast(DoubleType) >= needed - 1e-9)
+      .select("id_a", "id_b")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_wit"))
       .select("id_a", "id_b")
     val withSh = cands

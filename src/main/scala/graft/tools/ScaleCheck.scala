@@ -98,6 +98,17 @@ object ScaleCheck {
       time("shard_assign")(graft.llm.Sampling.shardAssign(
         big.withColumn("w", length(col("text")).cast("long")),
         "doc_id", "w", 1000000L).select("shard").distinct().count())
+      // containment pairs: the asymmetric inverted join — candidate
+      // volume is Σ_h prefix_df(h)·df(h), df-capped, so time must track
+      // the (quadratically growing) planted-dup pair count like
+      // jaccard_pairs, NOT the corpus square
+      time("containment_pairs")(graft.llm.Dedup.containmentPairs(
+        big, "doc_id", "text", 0.9).count())
+      // DSIR scoring against a FIXED target (the base corpus's %23
+      // slice): the ratio table stays ≤ buckets rows regardless of mult,
+      // so time must grow ~linearly with the source explode
+      time("dsir_scores")(graft.llm.Dsir.dsirScores(
+        big, bench, "doc_id", "text").count())
       big.unpersist()
     }
 
