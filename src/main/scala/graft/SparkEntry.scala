@@ -522,6 +522,44 @@ object SparkEntry {
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
       llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "bpe_learn" -> ((s, dir) => {
+      // BPE tokenizer induction (Sennrich ACL'16): the planted textbook
+      // vocabulary (low:5 lower:2 newest:6 widest:3) must learn the
+      // hand-computed merge sequence — merge counts are exact integers
+      // with a total tie order, so the table is closed-form; the real
+      // corpus learn exercises the distributed loop (word table never
+      // leaves the cluster)
+      import s.implicits._
+      val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val m = llm.Bpe.learnMerges(planted, "text", numMerges = 4)
+      val exact = m.map(x => (x.left, x.right, x.freq)) == Seq(
+        ("e", "s", 9L), ("es", "t</w>", 9L), ("l", "o", 7L), ("e", "w", 6L))
+      val corpus = llm.Bpe.learnMerges(t(s, dir, "documents"), "text", 8)
+      val corpusOk = corpus.size == 8 &&
+        corpus.map(x => (x.left, x.right)).distinct.size == 8
+      Seq((exact, corpusOk)).toDF("merges_exact", "corpus_ok")
+    }),
+    "bpe_segment" -> ((s, dir) => {
+      // segmentation replays corpus-learned merges per word (chained
+      // native MergeAdjacent passes): every document re-emits with a
+      // positive piece count, and the planted textbook example segments
+      // exactly ("lowest" -> "lo w est</w>")
+      import s.implicits._
+      val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val tm = llm.Bpe.learnMerges(planted, "text", numMerges = 4)
+      val ex = llm.Bpe.segment(Seq((1L, "lowest")).toDF("doc_id", "text"),
+        "doc_id", "text", tm).head().getString(2) == "lo w est</w>"
+      val docs = t(s, dir, "documents")
+      val cm = llm.Bpe.learnMerges(docs, "text", 8)
+      val seg = llm.Bpe.segment(docs, "doc_id", "text", cm)
+      val nDocs = docs.filter(length(trim(col("text"))) > 0).count()
+      val covered = seg.filter(col("n_pieces") > 0).count() == nDocs
+      Seq((ex, covered)).toDF("planted_exact", "corpus_covered")
+    }),
     "lr_score" -> ((s, dir) =>
       // linear-classifier inference (the fastText-style quality-filter
       // gate) with a FIXED model, so the sigmoid(w·x+b) projection is
@@ -2063,6 +2101,8 @@ object SparkEntry {
          |  FROM embeddings""".stripMargin
     },
     "lr_train" -> "SELECT true AS learned",
+    "bpe_learn" -> "SELECT true AS merges_exact, true AS corpus_ok",
+    "bpe_segment" -> "SELECT true AS planted_exact, true AS corpus_covered",
     "dfl_containment" ->
       s"""WITH $containmentCtes
          |SELECT doc_id FROM documents

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer induction (Sennrich et al., ACL'16) — the
+  * learn-the-tokenizer-from-the-corpus step of a pretraining pipeline,
+  * distributed: train on the WORD-FREQUENCY table (vocabulary-sized —
+  * corpus scale only touches the one aggregation that builds it), apply
+  * merges with the native [[graft.functions.MergeAdjacent]] pass.
+  *
+  * Training loop, per merge: adjacent symbol pairs explode off the
+  * word table weighted by word count (two codegen'd slices +
+  * arrays_zip, the bigram shape), one map-side-combined sum per pair,
+  * and the argmax pair is taken deterministically (count desc, then
+  * (left, right) asc — ties never reorder between runs). The chosen
+  * merge applies as one native row-local pass and the state persists
+  * for the next round (previous round unpersisted — bounded lineage).
+  * The classic algorithm is driver-resident over the vocab; here the
+  * vocab never leaves the cluster, so a 100 M-type web vocabulary
+  * trains the same way.
+  *
+  * Word symbols initialize as characters with the `</w>` end-of-word
+  * marker fused onto the final character (the Sennrich variant that
+  * distinguishes "st" in "star" from "st</w>" in "west"). Merges are
+  * exact integer counts + a total tie order → the learned merge table
+  * is deterministic at any parallelism. */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** (word, n) over normalized whitespace tokens — the classic BPE
+    * training input; one corpus aggregation, then everything below is
+    * vocabulary-sized. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.wsTokens(
+        TextAnalysis.normText(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Characters of `word` with `</w>` fused onto the last one. */
+  private def initSyms(word: Column): Column = {
+    val chars = split(word, "")
+    concat(
+      slice(chars, lit(1), greatest(size(chars) - 1, lit(0))),
+      array(concat(element_at(chars, -1), lit("</w>"))))
+  }
+
+  /** Learn `numMerges` merges; stops early when no pair reaches
+    * `minCount`. Returns the ranked merge table. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  minCount: Long = 2L): Seq[Merge] = {
+    require(numMerges > 0, s"learnMerges: numMerges must be positive, got $numMerges")
+    require(minCount >= 1, s"learnMerges: minCount must be >= 1, got $minCount")
+    var state = wordCounts(df, textCol)
+      .select(initSyms(col("word")).as("syms"), col("n")).persist()
+    state.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    try {
+      var rank = 0
+      var done = false
+      while (rank < numMerges && !done) {
+        val top = state.filter(size(col("syms")) >= 2)
+          .select(explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"),
+            col("n"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("freq"))
+          .filter(col("freq") >= minCount)
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val row = top.head
+          val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(rank, l, r, f)
+          val next = state.select(
+            graft.functions.MergeF.mergeAdjacent(col("syms"), l, r).as("syms"),
+            col("n")).persist()
+          next.count()
+          state.unpersist()
+          state = next
+          rank += 1
+        }
+      }
+      merges.toSeq
+    } finally { state.unpersist(); () }
+  }
+
+  /** The merge table as a DataFrame (rank, left, right, freq). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.freq))
+      .toDF("rank", "left", "right", "freq")
+  }
+
+  /** Segment documents with a learned merge list: every word re-splits
+    * to characters and replays the merges IN LEARNED ORDER (the BPE
+    * inference rule), then the document's subword pieces re-join in
+    * position order. One explode + chained native merge passes + one
+    * per-doc reassembly aggregation. Returns (id, n_pieces, pieces) with
+    * pieces space-joined and `</w>` markers kept (the round-trippable
+    * rendering). */
+  def segment(df: DataFrame, idCol: String, textCol: String,
+              merges: Seq[Merge]): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))))
+      .filter(col("col") =!= "")
+    val applied = merges.foldLeft(initSyms(col("col"))) { (acc, m) =>
+      graft.functions.MergeF.mergeAdjacent(acc, m.left, m.right)
+    }
+    words.select(col("id"), col("pos"), applied.as("syms"))
+      .groupBy("id")
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("syms"))))
+        .getField("syms")).as("all_syms"))
+      .select(col("id"), size(col("all_syms")).cast("long").as("n_pieces"),
+        array_join(col("all_syms"), " ").as("pieces"))
+  }
+}

@@ -109,6 +109,11 @@ object ScaleCheck {
       // so time must grow ~linearly with the source explode
       time("dsir_scores")(graft.llm.Dsir.dsirScores(
         big, bench, "doc_id", "text").count())
+      // BPE induction: ONE corpus aggregation builds the word table,
+      // then every merge round is vocabulary-sized — time must be
+      // near-FLAT in mult (the vocab doesn't grow with duplication)
+      time("bpe_learn")(
+        graft.llm.Bpe.learnMerges(big, "text", 8).size.toLong)
       big.unpersist()
     }
 

@@ -58,6 +58,41 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Classifier.lrTrain(df, "x", "y", iters = 0) }
   }
 
+  test("BPE learns the textbook merge sequence and segments by replaying it") {
+    // Sennrich et al.'s example vocabulary: low:5 lower:2 newest:6 widest:3
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 4)
+    // hand-computed: (e,s):9 beats the (s,t</w>):9 tie on left-asc order,
+    // then (es,t</w>):9, (l,o):7, and (e,w):6 wins the 6-way tie
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(
+      ("e", "s", 9L), ("es", "t</w>", 9L), ("l", "o", 7L), ("e", "w", 6L)),
+      s"got $merges")
+    assert(merges.map(_.rank) == Seq(0, 1, 2, 3))
+    // inference replays the merges in order: lowest -> lo w est</w>
+    val seg = Bpe.segment(Seq((1L, "lowest")).toDF("doc_id", "text"),
+      "doc_id", "text", merges).head()
+    assert(seg.getLong(1) == 3L)
+    assert(seg.getString(2) == "lo w est</w>")
+    // leftmost-first greedy: "aaa" under merge (a,a) -> [aa, a</w>]? the
+    // </w> fuses onto the LAST char, so symbols are a a a</w>; merging
+    // (a,a) gives [aa, a</w>] — never [a, aa</w>]
+    val aa = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val segA = Bpe.segment(aa, "doc_id", "text",
+      Seq(Bpe.Merge(0, "a", "a", 1L))).head()
+    assert(segA.getString(2) == "aa a</w>")
+    // determinism at any parallelism
+    val again = Bpe.learnMerges(corpus.repartition(7), "text", numMerges = 4)
+    assert(again == merges)
+    // single-char words carry only the fused end marker
+    val one = Seq((1L, "x y")).toDF("doc_id", "text")
+    assert(Bpe.segment(one, "doc_id", "text", merges).head().getString(2)
+      == "x</w> y</w>")
+    intercept[IllegalArgumentException] { Bpe.learnMerges(corpus, "text", 0) }
+  }
+
   test("DSIR ranks target-like source docs first; resample is deterministic") {
     val target = Seq(
       (101L, "clinical trial patient dosage treatment outcome"),
