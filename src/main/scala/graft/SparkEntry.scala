@@ -522,6 +522,19 @@ object SparkEntry {
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_minhash_pairs" -> ((s, dir) =>
       llm.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "pipeline_curation" -> ((s, dir) => {
+      // round-12 curation chain, composed the way an ingest runs:
+      // subsumption dedup (drop documents contained in a larger one) →
+      // DSIR target-domain resample of the survivors (top-100 most
+      // target-like, deterministic Gumbel keys) — each stage's
+      // standalone row is green; this row pins their COMPOSITION
+      // value-for-value in one DuckDB CTE chain
+      val docs = t(s, dir, "documents")
+      val surv = llm.Dedup.containmentSurvivors(docs, "doc_id",
+        llm.Dedup.containmentPairs(docs, "doc_id", "text", 0.9))
+      llm.Dsir.dsirResample(surv.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", k = 100)
+    }),
     "bpe_learn" -> ((s, dir) => {
       // BPE tokenizer induction (Sennrich ACL'16): the planted textbook
       // vocabulary (low:5 lower:2 newest:6 widest:3) must learn the
@@ -581,7 +594,7 @@ object SparkEntry {
         (functions.VectorF.dot(col("embedding"), typedLit(r.toSeq)) > 0)
           .cast("int"))
       val model = llm.Classifier.lrTrain(train, "embedding", "y",
-        iters = 50, lr = 5.0)
+        iters = 30, lr = 5.0)
       val acc = llm.Classifier.accuracy(train, "vec_id", "embedding", "y", model)
       Seq(Tuple1(acc >= 0.85)).toDF("learned")
     }),
@@ -2102,6 +2115,19 @@ object SparkEntry {
     },
     "lr_train" -> "SELECT true AS learned",
     "bpe_learn" -> "SELECT true AS merges_exact, true AS corpus_ok",
+    "pipeline_curation" ->
+      s"""WITH $containmentCtes,
+         |surv AS (SELECT * FROM documents
+         |          WHERE doc_id NOT IN (
+         |            SELECT id_a FROM cpairs
+         |             WHERE sz_b > sz_a OR (sz_b = sz_a AND id_b < id_a))),
+         |${dsirCtesFor("(SELECT * FROM surv WHERE doc_id % 23 <> 0) s0",
+                        "(SELECT * FROM documents WHERE doc_id % 23 = 0) t0")}
+         |SELECT id, round(dsir + -ln(-ln(
+         |    ((${llm.Sampling.hashBucketStrSql("CAST(id AS VARCHAR)", 11L, 1 << 20)})
+         |      + 0.5) / 1048576.0)), 6) AS key
+         |  FROM dscore
+         | ORDER BY key DESC, id ASC LIMIT 100""".stripMargin,
     "bpe_segment" -> "SELECT true AS planted_exact, true AS corpus_covered",
     "dfl_containment" ->
       s"""WITH $containmentCtes
@@ -2630,12 +2656,12 @@ object SparkEntry {
     * [[llm.Sampling.hashBucketStrSql]] rendering), add-one-smoothed
     * target/source LMs over the doc_id % 23 split, per-doc log-ratio
     * sum — the one formula both engines evaluate. */
-  private val dsirCtes: String = {
+  private def dsirCtesFor(srcRel: String, tgtRel: String): String = {
     val bucket = llm.Sampling.hashBucketStrSql("g", 7L, 1024)
-    """stoks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-      |            FROM documents WHERE doc_id % 23 <> 0),
-      |ttoks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-      |            FROM documents WHERE doc_id % 23 = 0),
+    s"""stoks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      |            FROM $srcRel),
+      |ttoks AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      |            FROM $tgtRel),
       |sgrams AS (
       |  SELECT doc_id, u AS g FROM stoks, LATERAL (SELECT unnest(t) AS u) s
       |  UNION ALL
@@ -2660,6 +2686,10 @@ object SparkEntry {
       |             FROM tf JOIN ratio ON tf.b = ratio.b GROUP BY 1)"""
       .stripMargin.replace("BUCKET", bucket)
   }
+
+  private val dsirCtes: String = dsirCtesFor(
+    "(SELECT * FROM documents WHERE doc_id % 23 <> 0) s0",
+    "(SELECT * FROM documents WHERE doc_id % 23 = 0) t0")
 
   /** Directed containment pairs (|A∩B|/|A| ≥ 0.9) over the same 3-gram
     * shingle rendering as [[jaccardCtes]] — oracle for the

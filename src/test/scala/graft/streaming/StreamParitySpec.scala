@@ -46,6 +46,33 @@ class StreamParitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       StreamRunner.validateStreamable("jsonl", "sort(@) | limit(@, 5)")
     }
+    // dsir needs whole-corpus counts → fenced; classify is row-local →
+    // streamable (model serving over a stream is the point)
+    intercept[IllegalArgumentException] {
+      StreamRunner.validateStreamable("jsonl",
+        "dsir(@, '@id', '@text', $t, 5)")
+    }
+    StreamRunner.validateStreamable("jsonl",
+      "classify(@, '@id', '@vec', $w, 0.0)")
+  }
+
+  test("classify serves a linear model in stream mode, batch-parity") {
+    val dir = Files.createTempDirectory("graft-clf").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/v.jsonl"),
+      """{"id":1,"vec":[1.0,0.0]}
+        |{"id":2,"vec":[0.0,1.0]}
+        |{"id":3,"vec":[-2.0,0.5]}""".stripMargin)
+    val expr = "classify(@, '@id', '@vec', $w, 0.1)"
+    val w = Seq(0.8, -0.4)
+    val batch = DflFrame.pipeline(spark.read.json(dir), expr, Map("w" -> w))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val stream = StreamRunner.runOnce(spark, dir, "jsonl", expr,
+        vars = Map("w" -> w))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(stream == batch)
+    val z1 = 0.8 * 1.0 + 0.1
+    assert(batch.toMap.apply(1L) ==
+      math.rint(1.0 / (1.0 + math.exp(-z1)) * 1e6) / 1e6)
   }
 
   test("windowed hist with watermark counts per event-time window") {
