@@ -639,6 +639,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 0.8)
     }),
+    "xdedup_containment_pairs" -> ((s, dir) => {
+      // new-crawl docs ≥0.9-contained in a retained-snapshot doc — the
+      // asymmetric cross relation the symmetric cross-jaccard misses
+      // when the container is much larger
+      val docs = t(s, dir, "documents")
+      llm.Dedup.containmentPairsAgainst(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 0.9)
+    }),
+    "dfl_xcontainment" -> ((s, dir) => {
+      // the same relation as survivors through the DFL dispatch: any
+      // left row contained in the reference drops
+      val docs = t(s, dir, "documents")
+      DflFrame.pipeline(docs.filter(col("doc_id") % 3 =!= 0),
+        "dedupAgainst(@, '@doc_id', '@text', $ref, 0.9, 'containment') | map(@, '{doc_id: @doc_id}')",
+        Map("ref" -> docs.filter(col("doc_id") % 3 === 0)))
+    }),
     "xdedup_minhash_pairs" -> ((s, dir) => {
       // banded cross variant; same exact-set oracle as the self-join
       // minhash rows (recall 1-1e-14 at 64/2 banding, exact verify)
@@ -2160,6 +2177,14 @@ object SparkEntry {
          | ORDER BY key DESC, id ASC LIMIT 50""".stripMargin,
     "dedup_containment_pairs" ->
       s"WITH $containmentCtes\nSELECT id_a, id_b, sz_a, sz_b, containment FROM cpairs",
+    "xdedup_containment_pairs" ->
+      s"WITH $xContainmentCtes\nSELECT id_a, id_b, sz_a, sz_b, containment FROM xcpairs",
+    // NOT IN safe: id_a comes from nsh rows (never NULL)
+    "dfl_xcontainment" ->
+      s"""WITH $xContainmentCtes
+         |SELECT doc_id FROM documents
+         | WHERE doc_id % 3 <> 0
+         |   AND doc_id NOT IN (SELECT id_a FROM xcpairs)""".stripMargin,
     // NOT IN is safe: id_a comes from sh rows (never NULL)
     "dedup_containment_survivors" ->
       s"""WITH $containmentCtes
@@ -2690,6 +2715,30 @@ object SparkEntry {
   private val dsirCtes: String = dsirCtesFor(
     "(SELECT * FROM documents WHERE doc_id % 23 <> 0) s0",
     "(SELECT * FROM documents WHERE doc_id % 23 = 0) t0")
+
+  /** Cross-corpus containment CTEs over the %3 split (same shingle
+    * rendering as [[crossJaccardCtes]]): `xcpairs` = (id_a ∈ new crawl
+    * ≥0.9-contained in id_b ∈ reference). */
+  private val xContainmentCtes: String =
+    """ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 3 <> 0),
+      |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 3 = 0),
+      |nsh AS (SELECT DISTINCT doc_id, g FROM (
+      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |   FROM ntoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+      |   WHERE g IS NOT NULL),
+      |rsh AS (SELECT DISTINCT doc_id, g FROM (
+      |   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |   FROM rtoks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) s)
+      |   WHERE g IS NOT NULL),
+      |ncnt AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+      |rcnt AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |xcshared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM nsh a JOIN rsh b ON a.g = b.g GROUP BY 1, 2),
+      |xcpairs AS (
+      |  SELECT d1 AS id_a, d2 AS id_b, x.n AS sz_a, y.n AS sz_b,
+      |         round(c * 1.0 / x.n, 4) AS containment
+      |    FROM xcshared JOIN ncnt x ON d1 = x.doc_id JOIN rcnt y ON d2 = y.doc_id
+      |   WHERE c * 1.0 / x.n >= 0.9)""".stripMargin
 
   /** Directed containment pairs (|A∩B|/|A| ≥ 0.9) over the same 3-gram
     * shingle rendering as [[jaccardCtes]] — oracle for the

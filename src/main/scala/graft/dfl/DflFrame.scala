@@ -756,9 +756,10 @@ object DflFrame {
         // snapshot bound as a dataset var (the new-crawl-vs-prior-
         // training-set shape). Every matched left row drops — the
         // reference side is retained by definition. method: minhash
-        // (default, banded) | jaccard (exact PPJoin) | exact (normalized-
-        // fingerprint anti-join; threshold ignored). `dupPairsAgainst`
-        // returns the (id_a, id_b, jaccard) cross pair set itself.
+        // (default, banded) | jaccard (exact PPJoin) | containment
+        // (left rows ≥ t-contained in a reference doc) | exact
+        // (normalized-fingerprint anti-join; threshold ignored).
+        // `dupPairsAgainst` returns the cross pair set itself.
         if (args.size < 4 || args.size > 6) throw new DflParseException(
           s"$name takes (@, idExpr, textExpr, $$ref[, threshold[, method]])")
         val threshold = if (args.size > 4) numArg(4) else 0.8
@@ -781,6 +782,8 @@ object DflFrame {
               graft.llm.Dedup.minhashPairsAgainst(base, refBase, "__gid", "__gtext", threshold)
             case "jaccard" =>
               graft.llm.Dedup.jaccardPairsAgainst(base, refBase, "__gid", "__gtext", threshold)
+            case "containment" =>
+              graft.llm.Dedup.containmentPairsAgainst(base, refBase, "__gid", "__gtext", threshold)
             case other => throw new DflParseException(s"unknown $name method $other")
           }
           if (name == "dupPairsAgainst") pairs

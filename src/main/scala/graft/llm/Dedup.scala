@@ -423,6 +423,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** CROSS-CORPUS containment pairs: LEFT (new crawl) documents whose
+    * shingle set is ≥ `threshold` contained in some RIGHT (reference
+    * snapshot) document — the "this new page is an excerpt of something
+    * we already train on" shape, which the symmetric cross-Jaccard pass
+    * misses whenever the container is much larger. Same side-tagged
+    * union as [[jaccardPairsAgainst]] (ONE shared df order), with
+    * [[containmentPairs]]' one-sided filters: the LEFT side probes only
+    * its prefix window; the RIGHT side keeps all df-capped postings; the
+    * asymmetric length (|B| ≥ t·|A|) and first-shared-shingle positional
+    * bounds prune at generation; exact verify on the full sets.
+    *
+    * Returns (id_a ∈ df CONTAINED-IN id_b ∈ ref, sz_a, sz_b,
+    * containment). */
+  def containmentPairsAgainst(df: DataFrame, ref: DataFrame, idCol: String,
+                              textCol: String, threshold: Double, n: Int = 3,
+                              maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairsAgainst: threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val shL = shingleDf(df, idCol, textCol, n)
+    val shR = shingleDf(ref, idCol, textCol, n)
+    val ex = hashedShingles(shL).withColumn("side", lit(0))
+      .unionByName(hashedShingles(shR).withColumn("side", lit(1)))
+    val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val capped = ex.join(dfh, "h").filter(col("dfh") <= maxDocFreq)
+    val w = Window.partitionBy("side", "id").orderBy("dfh", "h")
+    val withPos = capped
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("side", "id")))
+    val probe = withPos.filter(col("side") === 0)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col("id").as("id_a"), col("h"),
+        col("rn").as("rn_a"), col("sz").as("sz_a0"))
+    val index = withPos.filter(col("side") === 1)
+      .select(col("id").as("id_b"), col("h"),
+        col("rn").as("rn_b"), col("sz").as("sz_b0"))
+    val needed = col("sz_a0").cast(DoubleType) * threshold
+    val cands = probe.join(index, "h")
+      .filter(col("sz_b0").cast(DoubleType) >= needed - 1e-9)
+      .filter(lit(1.0) +
+        least(col("sz_a0") - col("rn_a"), col("sz_b0") - col("rn_b"))
+          .cast(DoubleType) >= needed - 1e-9)
+      .select("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_wit"))
+      .select("id_a", "id_b")
+    val withSh = cands
+      .join(shL.select(col("id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(shR.select(col("id").as("id_b"), col("hs").as("sh_b")), "id_b")
+    val inter = graft.functions.SortedIntersectF
+      .count(col("sh_a"), col("sh_b")).cast(DoubleType)
+    withSh
+      .withColumn("containment", inter / size(col("sh_a")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** CROSS-CORPUS MinHash+LSH near-duplicate pairs — [[jaccardPairsAgainst]]'s
     * banded sibling, for when the reference snapshot is too large for
     * exact PPJoin inversion to be worth it: signatures are row-local

@@ -147,6 +147,31 @@ class LlmSpec extends AnyFunSuite {
     assert(surv == Set(2L, 3L))
   }
 
+  test("cross-corpus containment: left excerpts of reference pages drop, never the reverse") {
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val page = excerpt + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val left = Seq(
+      (1L, excerpt),                                   // contained in ref 11
+      (2L, page),                                      // container lives LEFT — must NOT pair
+      (3L, "unrelated new crawl document text here")).toDF("doc_id", "text")
+    val ref = Seq(
+      (11L, page),
+      (12L, "some retained reference snapshot body")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairsAgainst(left, ref, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // 1 ⊆ 11 (exact), and 2's set EQUALS 11's → containment 1.0 both; but
+    // the direction is always left-contained-in-right
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 11L), (2L, 11L)),
+      s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 == 1.0))
+    // the DFL dispatch drops every matched left row
+    val surv = graft.dfl.DflFrame.pipeline(left,
+        "dedupAgainst(@, '@doc_id', '@text', $ref, 0.9, 'containment') | map(@, '{doc_id: @doc_id}')",
+        Map("ref" -> ref))
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(3L))
+  }
+
   test("cross-corpus pairs: only across sides, values match the union self-join") {
     val left = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
