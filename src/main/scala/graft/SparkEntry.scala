@@ -557,13 +557,13 @@ object SparkEntry {
     "bpe_segment" -> ((s, dir) => {
       // segmentation replays corpus-learned merges per word (chained
       // native MergeAdjacent passes): every document re-emits with a
-      // positive piece count, and the planted textbook example segments
-      // exactly ("lowest" -> "lo w est</w>")
+      // positive piece count, and the textbook merge table (hand-known —
+      // bpe_learn's contract pins that learning reproduces it) segments
+      // "lowest" exactly
       import s.implicits._
-      val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
-        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
-        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
-      val tm = llm.Bpe.learnMerges(planted, "text", numMerges = 4)
+      val tm = Seq(llm.Bpe.Merge(0, "e", "s", 9L),
+        llm.Bpe.Merge(1, "es", "t</w>", 9L), llm.Bpe.Merge(2, "l", "o", 7L),
+        llm.Bpe.Merge(3, "e", "w", 6L))
       val ex = llm.Bpe.segment(Seq((1L, "lowest")).toDF("doc_id", "text"),
         "doc_id", "text", tm).head().getString(2) == "lo w est</w>"
       val docs = t(s, dir, "documents")

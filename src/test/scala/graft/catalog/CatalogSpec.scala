@@ -91,6 +91,27 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("dsir service: target bound via datastore:, resample served over HTTP-exec path") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val c = fixtureCatalog(dir)
+    Files.writeString(Paths.get(s"$dir/target.jsonl"),
+      """{"id":101,"text":"clinical trial patient dosage treatment outcome"}
+        |{"id":102,"text":"patient symptoms diagnosis clinical treatment"}""".stripMargin)
+    Files.writeString(Paths.get(s"$dir/source.jsonl"),
+      """{"id":1,"text":"clinical patient treatment dosage outcome trial"}
+        |{"id":2,"text":"patient diagnosis clinical symptoms treatment"}
+        |{"id":3,"text":"football match score goal referee stadium"}
+        |{"id":4,"text":"stock market trading shares dividend portfolio"}""".stripMargin)
+    c.add(DataStore("ws", "srcstore", s"'$dir/source.jsonl'"))
+    c.add(DataStore("ws", "tgtstore", s"'$dir/target.jsonl'"))
+    c.add(Process("curate", "dsir(@, '@id', '@text', $tgt, 2) | map(@, '@id')"))
+    c.add(Service("cursvc", "srcstore", "curate",
+      defaults = Map("tgt" -> "datastore:tgtstore")))
+    val exec = new Exec(spark, c)
+    val picked = exec.serviceExec("cursvc").collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L, 2L), s"target-like source docs must win: $picked")
+  }
+
   test("job exec: job variables beat service defaults; output written") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val exec = new Exec(spark, fixtureCatalog(dir))
