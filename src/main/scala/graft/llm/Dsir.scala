@@ -60,31 +60,53 @@ object Dsir {
       .select(Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
   }
 
-  /** Per-document DSIR log importance weight `(id, dsir)` of every
-    * source row, target-vs-source. Higher = more target-like. */
-  def dsirScores(source: DataFrame, target: DataFrame, idCol: String,
-                 textCol: String, buckets: Int = 1024,
-                 seed: Long = 7L): DataFrame = {
-    require(buckets > 0, s"dsirScores: buckets must be positive, got $buckets")
-    val sb = bucketed(source, idCol, textCol, buckets, seed)
-    val tb = bucketedAnon(target, textCol, buckets, seed)
-    val cs = sb.groupBy("b").agg(count(lit(1)).as("cs"))
-    val ct = tb.groupBy("b").agg(count(lit(1)).as("ct"))
+  /** Train the DSIR model: the per-bucket log-ratio table `(b, lr)` —
+    * add-one smoothed on both sides, COMPLETE over all `buckets` rows
+    * (unseen-in-source buckets carry the OOV ratio), so the frozen table
+    * scores corpora the training source never saw (the
+    * train-batch/serve-stream split). ≤ `buckets` rows — persist it as
+    * a parquet sidecar, broadcast it at scoring time. */
+  def fit(source: DataFrame, target: DataFrame, textCol: String,
+          buckets: Int = 1024, seed: Long = 7L): DataFrame = {
+    require(buckets > 0, s"Dsir.fit: buckets must be positive, got $buckets")
+    val spark = source.sparkSession
+    val cs = bucketedAnon(source, textCol, buckets, seed)
+      .groupBy("b").agg(count(lit(1)).as("cs"))
+    val ct = bucketedAnon(target, textCol, buckets, seed)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
     val tot = cs.agg(sum(col("cs")).as("ns"))
-      .crossJoin(tb.agg(count(lit(1)).as("nt")))
-    // log-ratio per bucket, add-one smoothed on both sides; only buckets
-    // that occur in the SOURCE matter (a source doc's grams are a subset
-    // of the source universe by construction)
-    val ratio = cs.join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+    spark.range(buckets).select(col("id").as("b"))
+      .join(cs, Seq("b"), "left").na.fill(0L, Seq("cs"))
+      .join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + 1.0) / (col("nt") + buckets.toLong)) -
          log((col("cs") + 1.0) / (col("ns") + buckets.toLong))).as("lr"))
-    sb.groupBy("id", "b").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Score a corpus against a frozen [[fit]] table: one gram explode →
+    * map-side-combined (id, bucket) count → broadcast join → per-doc
+    * sum. Works identically on a static frame or a streaming
+    * micro-batch (row-local + broadcast only — no whole-corpus state). */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+                ratio: DataFrame, buckets: Int = 1024,
+                seed: Long = 7L): DataFrame =
+    bucketed(df, idCol, textCol, buckets, seed)
+      .groupBy("id", "b").agg(count(lit(1)).as("tf"))
       .join(broadcast(ratio), "b")
       .groupBy("id")
       .agg(round(sum(col("tf") * col("lr")), 6).as("dsir"))
-  }
+
+  /** Per-document DSIR log importance weight `(id, dsir)` of every
+    * source row, target-vs-source (trains on the scored corpus itself —
+    * the one-shot shape; use [[fit]]/[[scoreWith]] to train once and
+    * serve many). Higher = more target-like. */
+  def dsirScores(source: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 1024,
+                 seed: Long = 7L): DataFrame =
+    scoreWith(source, idCol, textCol,
+      fit(source, target, textCol, buckets, seed), buckets, seed)
 
   /** The deterministic Gumbel perturbation: `g = −ln(−ln(u))` with
     * `u = (md5bucket(id) + 0.5) / 2²⁰` — uniform enough for resampling,

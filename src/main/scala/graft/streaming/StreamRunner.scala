@@ -365,6 +365,41 @@ object StreamRunner {
     }
   }
 
+  /** Streaming DSIR filter: score each row against a FROZEN
+    * [[graft.llm.Dsir.fit]] ratio table (train batch-side, serve
+    * stream-side — the classify pattern for importance weighting) and
+    * keep rows with `dsir ≥ minScore`. STATELESS by construction: the
+    * fit table is COMPLETE over all buckets, so it flattens into a
+    * dense ≤ buckets-double lookup array and the score is a ROW-LOCAL
+    * sum over the row's own grams — no aggregation, which on a stream
+    * would accumulate per-doc state across micro-batches forever. Same
+    * formula as the batch scorer (Σ over gram OCCURRENCES of the
+    * bucket's log-ratio, rounded to 6). Rows with no grams score 0
+    * (an empty product of evidence) and pass iff `minScore ≤ 0`. */
+  def streamingDsirFilter(stream: DataFrame, idCol: String, textCol: String,
+                          ratio: DataFrame, minScore: Double,
+                          buckets: Int = 1024, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.llm.TextAnalysis.{normText, wsTokens}
+    val lrByBucket = {
+      val arr = new Array[Double](buckets)
+      ratio.select(col("b").cast("int"), col("lr")).collect()
+        .foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+      arr
+    }
+    val toks = wsTokens(normText(col(textCol)))
+    val grams = concat(toks,
+      org.apache.spark.sql.functions.zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (p, w) => concat(p, lit(" "), w)))
+    val lrLit = typedLit(lrByBucket.toSeq)
+    val score = round(aggregate(grams, lit(0.0), (acc, g) =>
+      acc + element_at(lrLit,
+        graft.llm.Sampling.hashBucketStr(g, seed, buckets).cast("int") + 1)), 6)
+    stream.filter(score >= minScore)
+  }
+
   /** Streaming CROSS-CORPUS dedup: drop stream rows whose normalized
     * exact fingerprint — or, with `near = true`, 64-bit SimHash
     * signature — already exists in a STATIC reference corpus (the

@@ -56,6 +56,38 @@ class StreamParitySpec extends AnyFunSuite {
       "classify(@, '@id', '@vec', $w, 0.0)")
   }
 
+  test("streaming DSIR filter serves a frozen batch-trained model, batch-parity") {
+    val target = Seq(
+      (101L, "clinical trial patient dosage treatment outcome"),
+      (102L, "patient symptoms diagnosis clinical treatment")).toDF("id", "text")
+    val source = Seq(
+      (1L, "clinical patient treatment dosage outcome trial"),
+      (2L, "football match score goal referee stadium"),
+      (3L, "patient diagnosis clinical symptoms treatment"),
+      (4L, "stock market trading shares dividend portfolio")).toDF("id", "text")
+    val model = graft.llm.Dsir.fit(source, target, "text")
+    // batch reference: a threshold between the two score groups
+    val scores = graft.llm.Dsir.scoreWith(source, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = (Set(1L, 3L).map(scores).min + Set(2L, 4L).map(scores).max) / 2
+    assert(Set(1L, 3L).map(scores).min > Set(2L, 4L).map(scores).max,
+      s"target-like docs must outscore off-domain: $scores")
+    val batchKeep = scores.filter(_._2 >= cut).keySet
+    assert(batchKeep == Set(1L, 3L))
+    // stream the same rows through the stateless filter
+    val dir = Files.createTempDirectory("graft-dsirstream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"clinical patient treatment dosage outcome trial"}
+        |{"id":2,"text":"football match score goal referee stadium"}
+        |{"id":3,"text":"patient diagnosis clinical symptoms treatment"}
+        |{"id":4,"text":"stock market trading shares dividend portfolio"}""".stripMargin)
+    val kept = StreamRunner.collectStream(
+      StreamRunner.streamingDsirFilter(
+        StreamRunner.readStream(spark, dir, "jsonl"), "id", "text", model, cut),
+      "append").collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == batchKeep)
+  }
+
   test("classify serves a linear model in stream mode, batch-parity") {
     val dir = Files.createTempDirectory("graft-clf").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/v.jsonl"),
