@@ -712,6 +712,14 @@ object SparkEntry {
       // (doc_id, pos, v) rows for the compare (list cells break it)
       llm.TextAnalysis.hashEmbed(t(s, dir, "documents"), "doc_id", "text", 16)
         .select(col("doc_id"), posexplode(col("vec")).as(Seq("pos", "v")))),
+    "lr_text_score" -> ((s, dir) =>
+      // the full text→classifier serving loop with an EXACT oracle:
+      // hashed token-count features (hashEmbed, engine-exact md5
+      // buckets) scored by a fixed 16-dim linear model — what a
+      // fastText-style quality gate does to raw documents
+      llm.Classifier.lrScore(
+        llm.TextAnalysis.hashEmbed(t(s, dir, "documents"), "doc_id", "text", 16),
+        "doc_id", "vec", lrTextModel)),
     "collocations" -> ((s, dir) =>
       llm.TextAnalysis.collocations(t(s, dir, "documents"), "text",
         minCount = 5, topK = 50)),
@@ -2131,6 +2139,27 @@ object SparkEntry {
          |  FROM embeddings""".stripMargin
     },
     "lr_train" -> "SELECT true AS learned",
+    "lr_text_score" -> {
+      val ws = lrTextModel.weights.map(w => f"$w%.1f").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+         |    FROM documents),
+         |bk AS (SELECT doc_id,
+         |         CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
+         |         FROM toks),
+         |c AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+         |ss AS (SELECT doc_id, sum(c * c) AS ss FROM c GROUP BY 1),
+         |dims AS (SELECT ss.doc_id, ss.ss, d
+         |           FROM ss, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s),
+         |vecs AS (SELECT dims.doc_id, d,
+         |           round(coalesce(c.c, 0) * 1.0 / sqrt(dims.ss), 6) AS v
+         |           FROM dims LEFT JOIN c ON c.doc_id = dims.doc_id AND c.b = dims.d),
+         |z AS (SELECT doc_id, sum(v * ([$ws])[d + 1]) AS z FROM vecs GROUP BY 1)
+         |SELECT doc_id AS id,
+         |       round(1.0 / (1.0 + exp(-(z + ${lrTextModel.bias}))), 6) AS score
+         |  FROM z""".stripMargin
+    },
     "bpe_learn" -> "SELECT true AS merges_exact, true AS corpus_ok",
     "pipeline_curation" ->
       s"""WITH $containmentCtes,
@@ -2676,6 +2705,10 @@ object SparkEntry {
     * Spark column and the oracle's literal array — they cannot drift). */
   private val lrFixedModel = llm.Classifier.LrModel(
     Array.tabulate(64)(d => ((d * 37) % 13 - 6) / 10.0), bias = 0.05)
+
+  /** The fixed 16-dim model lr_text_score runs over hashEmbed features. */
+  private val lrTextModel = llm.Classifier.LrModel(
+    Array.tabulate(16)(d => ((d * 29) % 11 - 5) / 10.0), bias = 0.1)
 
   /** DSIR score CTEs: hashed unigram+bigram features (md5 bucket, the
     * [[llm.Sampling.hashBucketStrSql]] rendering), add-one-smoothed
