@@ -616,6 +616,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 23 =!= 0),
         docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", k = 50)
     }),
+    "dfl_dsir_serve" -> ((s, dir) => {
+      // the frozen-model serve path through the DFL dispatch: fit once,
+      // bind the (b, lr) table as a dataset var, score via dsirScore —
+      // values identical to the one-shot dsir_scores row
+      val docs = t(s, dir, "documents")
+      val model = llm.Dsir.fit(
+        docs.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0), "text")
+      DflFrame.pipeline(docs.filter(col("doc_id") % 23 =!= 0),
+        "dsirScore(@, '@doc_id', '@text', $model)",
+        Map("model" -> model))
+    }),
     "dedup_containment_pairs" -> ((s, dir) =>
       // asymmetric near-SUBSET pairs (|A∩B|/|A| ≥ 0.9): excerpts and
       // wrapped copies whose Jaccard is diluted by the container's size
@@ -2197,6 +2209,7 @@ object SparkEntry {
          |  FROM embeddings""".stripMargin
     },
     "dsir_scores" -> s"WITH $dsirCtes\nSELECT id, dsir FROM dscore",
+    "dfl_dsir_serve" -> s"WITH $dsirCtes\nSELECT id, dsir FROM dscore",
     "dsir_sample" ->
       s"""WITH $dsirCtes
          |SELECT id, round(dsir + -ln(-ln(

@@ -23,6 +23,7 @@ import graft.streaming.StreamRunner
   *     [--stream-decontam-bench F [--stream-decontam-text col]
   *      [--stream-decontam-n N]]
   *     [--stream-sessions "key=K;ts=T;gap=G;watermark=W;value=V"]
+  *     [--stream-dsir "model=URI;min=X[;id=COL][;text=COL][;buckets=B][;seed=S]"]
   */
 object ProcessCli {
 
@@ -46,6 +47,7 @@ object ProcessCli {
       streamDecontamText: String = "text",
       streamDecontamN: Int = 8,
       streamSessions: String = "",
+      streamDsir: String = "",
       datasetVars: Map[String, String] = Map.empty,
       outputClusterBy: String = "",
       outputFiles: Int = 8,
@@ -54,6 +56,17 @@ object ProcessCli {
   /** Parse `--stream-sessions "key=u;ts=ts;gap=30 minutes;watermark=10
     * minutes;value=v"` (order-free `;`-separated pairs; gap/watermark are
     * Spark interval strings, so they may contain spaces). */
+  private[cli] def parseDsirSpec(s: String): Map[String, String] = {
+    val m = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val j = kv.indexOf('=')
+      require(j > 0, s"--stream-dsir: malformed pair '$kv'")
+      kv.take(j).trim -> kv.drop(j + 1).trim
+    }.toMap
+    val missing = Seq("model", "min").filterNot(m.contains)
+    require(missing.isEmpty, s"--stream-dsir: missing ${missing.mkString(", ")}")
+    m
+  }
+
   private[cli] def parseSessionSpec(s: String): Map[String, String] = {
     val m = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       val j = kv.indexOf('=')
@@ -121,6 +134,14 @@ object ProcessCli {
         case "--stream-sessions" =>
           val v = a.value(); parseSessionSpec(v) // validate eagerly
           c = c.copy(streamSessions = v)
+        // streaming DSIR filter BEFORE the DFL stages: score each row
+        // against a frozen batch-trained fit table (model=URI of the
+        // (b, lr) parquet/jsonl sidecar) and keep rows >= min — the
+        // serve-side of the batch dsir stage, which is fenced out of
+        // stream mode
+        case "--stream-dsir" =>
+          val v = a.value(); parseDsirSpec(v) // validate eagerly
+          c = c.copy(streamDsir = v)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -131,6 +152,9 @@ object ProcessCli {
     require(c.streamSessions.isEmpty || c.stream,
       "--stream-sessions requires --stream (batch pipelines use the " +
         "sessionize(@, …) DFL stage instead)")
+    require(c.streamDsir.isEmpty || c.stream,
+      "--stream-dsir requires --stream (batch pipelines use the " +
+        "dsir(@, …) / dsirScore(@, …) DFL stages instead)")
     c
   }
 
@@ -150,7 +174,7 @@ object ProcessCli {
     if (c.stream) {
       val fmt = if (c.inputFormat.nonEmpty) c.inputFormat
         else FormatInfer.split(c.inputUri).format
-      val pre: DataFrame => DataFrame =
+      val preDecontam: DataFrame => DataFrame =
         if (c.streamDecontamBench.isEmpty) identity
         else { s =>
           val bench = DataStoreIO.read(spark, c.streamDecontamBench,
@@ -158,6 +182,19 @@ object ProcessCli {
           StreamRunner.streamingContamFilter(s, c.streamDecontamText,
             bench, c.streamDecontamText, c.streamDecontamN)
         }
+      val preDsir: DataFrame => DataFrame =
+        if (c.streamDsir.isEmpty) identity
+        else { s =>
+          val spec = parseDsirSpec(c.streamDsir)
+          val model = DataStoreIO.read(spark, spec("model"),
+            DataStoreIO.ReadOptions())
+          StreamRunner.streamingDsirFilter(s,
+            spec.getOrElse("id", "id"), spec.getOrElse("text", "text"),
+            model, spec("min").toDouble,
+            spec.getOrElse("buckets", "1024").toInt,
+            spec.getOrElse("seed", "7").toLong)
+        }
+      val pre: DataFrame => DataFrame = preDecontam.andThen(preDsir)
       val post: DataFrame => DataFrame =
         if (c.streamSessions.isEmpty) identity
         else { s =>

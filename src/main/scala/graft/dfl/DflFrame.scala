@@ -107,7 +107,7 @@ object DflFrame {
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
-      "vocab", "tfidf", "dsir", "classify",
+      "vocab", "tfidf", "dsir", "dsirScore", "classify",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -908,6 +908,21 @@ object DflFrame {
             k = intArg(4), buckets = buckets)
         else
           graft.llm.Dsir.dsirScores(base, tgt, "__gid", "__gtext", buckets)
+
+      case "dsirScore" =>
+        // `dsirScore(@, '@id', '@text', $model[, buckets[, seed]])` —
+        // score the piped corpus against a FROZEN Dsir.fit ratio table
+        // bound as a dataset var (train once, score many — how a curated
+        // domain model applies across snapshots). Whole-corpus per-doc
+        // aggregation → stream-fenced; the streaming analogue is
+        // StreamRunner.streamingDsirFilter / the --stream-dsir CLI flag.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          s"dsirScore takes (@, idExpr, textExpr, $$model[, buckets[, seed]])")
+        val sBuckets = if (args.size > 4) intArg(4) else 1024
+        val sSeed = if (args.size > 5) numArg(5).toLong else 7L
+        val sBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        graft.llm.Dsir.scoreWith(sBase, "__gid", "__gtext", dsArg(3),
+          sBuckets, sSeed)
 
       case "classify" =>
         // `classify(@, '@id', '@vec', $weights, bias)` — linear-model

@@ -44,7 +44,7 @@ object StreamRunner {
     // mix derives per-domain thresholds from whole-dataset counts
     // dsir estimates source-LM bucket counts over the whole corpus
     "pack", "shard", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
-    "dsir",
+    "dsir", "dsirScore",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -83,7 +83,8 @@ object PlanLint {
     "dfl_scale", "pipeline_perplexity_filter", "weighted_sample",
     // the DSIR totals (ns, nt) are a one-row scalar-stat cross join, the
     // same shape as the LM family above
-    "dsir_scores", "dsir_sample", "dfl_dsir", "pipeline_curation")
+    "dsir_scores", "dsir_sample", "dfl_dsir", "pipeline_curation",
+    "dfl_dsir_serve")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -46,11 +46,29 @@ class StreamParitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       StreamRunner.validateStreamable("jsonl", "sort(@) | limit(@, 5)")
     }
-    // dsir needs whole-corpus counts → fenced; classify is row-local →
-    // streamable (model serving over a stream is the point)
+    // dsir/dsirScore need whole-corpus aggregation → fenced; classify is
+    // row-local → streamable (model serving over a stream is the point)
     intercept[IllegalArgumentException] {
       StreamRunner.validateStreamable("jsonl",
         "dsir(@, '@id', '@text', $t, 5)")
+    }
+    intercept[IllegalArgumentException] {
+      StreamRunner.validateStreamable("jsonl",
+        "dsirScore(@, '@id', '@text', $m)")
+    }
+    // the CLI's streaming DSIR flag: --stream required, malformed spec
+    // and missing keys rejected eagerly
+    intercept[IllegalArgumentException] {
+      graft.cli.ProcessCli.parseArgs(Array("--input-uri", "/tmp/x",
+        "--stream-dsir", "model=/tmp/m;min=0.5"))
+    }
+    intercept[IllegalArgumentException] { // missing min
+      graft.cli.ProcessCli.parseArgs(Array("--input-uri", "/tmp/x", "--stream",
+        "--stream-dsir", "model=/tmp/m"))
+    }
+    intercept[IllegalArgumentException] { // malformed pair
+      graft.cli.ProcessCli.parseArgs(Array("--input-uri", "/tmp/x", "--stream",
+        "--stream-dsir", "garbage"))
     }
     StreamRunner.validateStreamable("jsonl",
       "classify(@, '@id', '@vec', $w, 0.0)")
