@@ -107,7 +107,7 @@ object DflFrame {
       "annRangeBatch",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
-      "vocab", "tfidf", "dsir", "dsirScore", "classify",
+      "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -923,6 +923,24 @@ object DflFrame {
         val sBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
         graft.llm.Dsir.scoreWith(sBase, "__gid", "__gtext", dsArg(3),
           sBuckets, sSeed)
+
+      case "bpeSegment" =>
+        // `bpeSegment(@, '@id', '@text', $merges)` — segment with a
+        // learned BPE merge table bound as a dataset var ((rank, left,
+        // right[, freq]) rows; rank order is the replay order). The
+        // merge table is vocabulary-bounded, so collecting it at plan
+        // time is the broadcast-a-model shape; segmentation itself is
+        // row-local ([[graft.llm.Bpe.segmentCol]]) → STREAMABLE, the
+        // frozen-tokenizer serve path.
+        if (args.size != 4) throw new DflParseException(
+          s"bpeSegment takes (@, idExpr, textExpr, $$merges)")
+        val mergeRows = dsArg(3).select(col("rank").cast("int"),
+            col("left").cast("string"), col("right").cast("string"))
+          .collect().sortBy(_.getInt(0))
+          .map(r => graft.llm.Bpe.Merge(r.getInt(0), r.getString(1),
+            r.getString(2), 0L)).toSeq
+        val bBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
 
       case "classify" =>
         // `classify(@, '@id', '@vec', $weights, bias)` — linear-model

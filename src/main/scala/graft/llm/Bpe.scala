@@ -96,26 +96,33 @@ object Bpe {
       .toDF("rank", "left", "right", "freq")
   }
 
-  /** Segment documents with a learned merge list: every word re-splits
-    * to characters and replays the merges IN LEARNED ORDER (the BPE
-    * inference rule), then the document's subword pieces re-join in
-    * position order. One explode + chained native merge passes + one
-    * per-doc reassembly aggregation. Returns (id, n_pieces, pieces) with
-    * pieces space-joined and `</w>` markers kept (the round-trippable
-    * rendering). */
+  /** ROW-LOCAL segmentation column: every word of the normalized text
+    * re-splits to characters and replays `merges` IN LEARNED ORDER (the
+    * BPE inference rule); the document's subword pieces come back as one
+    * ordered array. Per-word merge application is the native
+    * [[graft.functions.MergeAdjacent]] chain evaluated inside the
+    * word-level `transform` — no explode, no aggregation, no shuffle,
+    * which is what makes frozen-tokenizer serving STREAMABLE (the
+    * classify pattern: train batch-side, apply anywhere). */
+  def segmentCol(textCol: Column, merges: Seq[Merge]): Column = {
+    val toks = org.apache.spark.sql.functions.filter(
+      TextAnalysis.wsTokens(TextAnalysis.normText(textCol)),
+      w => length(w) > 0)
+    flatten(org.apache.spark.sql.functions.transform(toks, w =>
+      merges.foldLeft(initSyms(w)) { (acc, m) =>
+        graft.functions.MergeF.mergeAdjacent(acc, m.left, m.right)
+      }))
+  }
+
+  /** Segment documents with a learned merge list. Returns
+    * (id, n_pieces, pieces) with pieces space-joined and `</w>` markers
+    * kept (the round-trippable rendering); documents with no tokens
+    * emit n_pieces = 0. One map-only projection over [[segmentCol]]. */
   def segment(df: DataFrame, idCol: String, textCol: String,
               merges: Seq[Merge]): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))))
-      .filter(col("col") =!= "")
-    val applied = merges.foldLeft(initSyms(col("col"))) { (acc, m) =>
-      graft.functions.MergeF.mergeAdjacent(acc, m.left, m.right)
-    }
-    words.select(col("id"), col("pos"), applied.as("syms"))
-      .groupBy("id")
-      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("syms"))))
-        .getField("syms")).as("all_syms"))
-      .select(col("id"), size(col("all_syms")).cast("long").as("n_pieces"),
-        array_join(col("all_syms"), " ").as("pieces"))
+    val pieces = segmentCol(col(textCol), merges)
+    df.select(col(idCol).as("id"),
+      size(pieces).cast("long").as("n_pieces"),
+      array_join(pieces, " ").as("pieces"))
   }
 }

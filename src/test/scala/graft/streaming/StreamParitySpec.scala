@@ -106,6 +106,24 @@ class StreamParitySpec extends AnyFunSuite {
     assert(kept == batchKeep)
   }
 
+  test("bpeSegment serves a frozen tokenizer in stream mode, batch-parity") {
+    val dir = Files.createTempDirectory("graft-bpestream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"lowest low"}
+        |{"id":2,"text":"newest"}""".stripMargin)
+    // the textbook merges as a bound dataset var
+    val merges = Seq((0, "e", "s"), (1, "es", "t</w>"), (2, "l", "o"), (3, "e", "w"))
+      .toDF("rank", "left", "right")
+    val expr = "bpeSegment(@, '@id', '@text', $m)"
+    val batch = DflFrame.pipeline(spark.read.json(dir), expr, Map("m" -> merges))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val stream = StreamRunner.runOnce(spark, dir, "jsonl", expr,
+        vars = Map("m" -> merges))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(stream == batch)
+    assert(batch == Set((1L, "lo w est</w> lo w</w>"), (2L, "n ew est</w>")))
+  }
+
   test("classify serves a linear model in stream mode, batch-parity") {
     val dir = Files.createTempDirectory("graft-clf").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/v.jsonl"),
