@@ -530,8 +530,12 @@ object SparkEntry {
       // standalone row is green; this row pins their COMPOSITION
       // value-for-value in one DuckDB CTE chain
       val docs = t(s, dir, "documents")
+      // localCheckpoint: DSIR scans its source three times (source LM
+      // counts, totals, per-doc tf) — without truncation each scan
+      // re-runs the whole containment join
       val surv = llm.Dedup.containmentSurvivors(docs, "doc_id",
-        llm.Dedup.containmentPairs(docs, "doc_id", "text", 0.9))
+          llm.Dedup.containmentPairs(docs, "doc_id", "text", 0.9))
+        .localCheckpoint()
       llm.Dsir.dsirResample(surv.filter(col("doc_id") % 23 =!= 0),
         docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", k = 100)
     }),
@@ -943,7 +947,11 @@ object SparkEntry {
         .filter(col("doc_id") % 23 =!= 0)
       val surv = llm.Dedup.survivors(clean, "doc_id",
         llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
+      // localCheckpoint: temperatureMix scans its input twice (domain
+      // counts + the keep filter) — without truncation each scan re-runs
+      // the dedup + decontamination chain
       val dec = llm.TextAnalysis.decontaminate(surv, "doc_id", "text", bench, "text", 8)
+        .localCheckpoint()
       // domain rebalance of the decontaminated pool (alpha=0.5), THEN
       // the deterministic 50% sample — mixing thresholds derive from the
       // post-decontamination lang counts, as a real ingest would
