@@ -647,4 +647,43 @@ class DflLlmSpec extends AnyFunSuite {
     intercept[DflParseException](
       DflFrame.pipeline(left, "asof(@, $nope, '@k', '@ts')"))
   }
+
+  test("round-12 stages match the Scala API and reject bad arity") {
+    import spark.implicits._
+    val target = docs.filter(col("doc_id") % 23 === 0)
+    val corpus = docs.filter(col("doc_id") % 23 =!= 0)
+    val vars = Map[String, Any]("t" -> target)
+    // dsir through DFL == Dsir.dsirScores
+    val dflScores = DflFrame.pipeline(corpus,
+        "dsir(@, '@doc_id', '@text', $t)", vars)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val apiScores = graft.llm.Dsir.dsirScores(corpus, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(apiScores.nonEmpty && dflScores == apiScores)
+    // dsirScore with a frozen model == scoreWith
+    val model = graft.llm.Dsir.fit(corpus, target, "text")
+    val dflServe = DflFrame.pipeline(corpus,
+        "dsirScore(@, '@doc_id', '@text', $m)", Map[String, Any]("m" -> model))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(dflServe == apiScores)
+    // containment survivors through nearDedup == the API arbitration
+    val dflCont = DflFrame.pipeline(docs,
+        "nearDedup(@, '@doc_id', '@text', 0.9, 'containment') | map(@, '@doc_id')")
+      .collect().map(_.getLong(0)).toSet
+    val apiCont = Dedup.containmentSurvivors(docs, "doc_id",
+        Dedup.containmentPairs(docs, "doc_id", "text", 0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dflCont == apiCont)
+    // rejections: cluster variants on the directed relation; arity
+    intercept[DflParseException](DflFrame.pipeline(docs,
+      "nearDupClusters(@, '@doc_id', '@text', 0.9, 'containment')"))
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      "dsir(@, '@doc_id', '@text')", vars))
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      "dsirScore(@, '@doc_id', '@text')", vars))
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      "classify(@, '@doc_id', '@text', $w)", Map[String, Any]("w" -> Seq(1.0))))
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      "bpeSegment(@, '@doc_id', '@text')"))
+  }
 }
