@@ -632,6 +632,10 @@ object SparkEntry {
         "dsirScore(@, '@doc_id', '@text', $model)",
         Map("model" -> model))
     }),
+    "dedup_soft_weights" -> ((s, dir) =>
+      // soft dedup: inverse-duplicate-group loss weights instead of
+      // removal — a d-times-duplicated doc contributes total weight 1
+      llm.Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_containment_pairs" -> ((s, dir) =>
       // asymmetric near-SUBSET pairs (|A∩B|/|A| ≥ 0.9): excerpts and
       // wrapped copies whose Jaccard is diluted by the container's size
@@ -2225,6 +2229,11 @@ object SparkEntry {
          |      + 0.5) / 1048576.0)), 6) AS key
          |  FROM dscore
          | ORDER BY key DESC, id ASC LIMIT 50""".stripMargin,
+    "dedup_soft_weights" ->
+      """SELECT doc_id AS id, n_dups, round(1.0 / n_dups, 6) AS weight FROM (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dups
+        |    FROM documents)""".stripMargin,
     "dedup_containment_pairs" ->
       s"WITH $containmentCtes\nSELECT id_a, id_b, sz_a, sz_b, containment FROM cpairs",
     "xdedup_containment_pairs" ->

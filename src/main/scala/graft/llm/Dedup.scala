@@ -43,6 +43,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** SOFT dedup: instead of dropping duplicates, weight every row by
+    * the inverse size of its exact-duplicate group (normalized-text
+    * fingerprint) — `w = 1/n_dups` — so a document duplicated d times
+    * contributes total loss weight 1 during training (the
+    * downweighting alternative to removal used when duplication itself
+    * carries signal). One fingerprint window exchange; rounded to 6
+    * for oracle parity. Returns (id, n_dups, weight). */
+  def softDedupWeights(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy("__fp")))
+      .select(col("id"), col("n_dups"),
+        round(lit(1.0) / col("n_dups"), 6).as("weight"))
+  }
+
   /** One (id, h) row per distinct hashed shingle — the long-keyed join /
     * aggregation input. */
   private def hashedShingles(sh: DataFrame): DataFrame =

@@ -22,6 +22,17 @@ class LlmSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("soft dedup weights: 1/n_dups per exact group, total weight 1 per group") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "hello world"),
+      (4L, "different doc")).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w(1L) == (3L, 0.333333) && w(2L) == (3L, 0.333333) &&
+      w(3L) == (3L, 0.333333), s"normalization folds 1-3 together: $w")
+    assert(w(4L) == (1L, 1.0))
+  }
+
   test("minhash LSH pair set equals exact jaccard pair set on real corpus") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).collect().map(key).toSet
