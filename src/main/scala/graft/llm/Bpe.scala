@@ -99,20 +99,19 @@ object Bpe {
   /** ROW-LOCAL segmentation column: every word of the normalized text
     * re-splits to characters and replays `merges` IN LEARNED ORDER (the
     * BPE inference rule); the document's subword pieces come back as one
-    * ordered array. Per-word merge application is the native
-    * [[graft.functions.MergeAdjacent]] chain evaluated inside the
-    * word-level `transform` — no explode, no aggregation, no shuffle,
-    * which is what makes frozen-tokenizer serving STREAMABLE (the
-    * classify pattern: train batch-side, apply anywhere). */
-  def segmentCol(textCol: Column, merges: Seq[Merge]): Column = {
-    val toks = org.apache.spark.sql.functions.filter(
+    * ordered array. The whole replay is ONE native
+    * [[graft.functions.BpeSegmentAll]] expression carrying the frozen
+    * merge table as a codegen reference object — no explode, no
+    * aggregation, no shuffle, and (unlike the pre-r13 per-merge
+    * MergeAdjacent chain inside a `transform`) no expression tree that
+    * grows with tokenizer size, so a production 32 k-merge table serves
+    * the same as the 4-merge textbook one. Row-local is what makes
+    * frozen-tokenizer serving STREAMABLE (the classify pattern: train
+    * batch-side, apply anywhere). */
+  def segmentCol(textCol: Column, merges: Seq[Merge]): Column =
+    graft.functions.MergeF.bpeSegmentAll(
       TextAnalysis.wsTokens(TextAnalysis.normText(textCol)),
-      w => length(w) > 0)
-    flatten(org.apache.spark.sql.functions.transform(toks, w =>
-      merges.foldLeft(initSyms(w)) { (acc, m) =>
-        graft.functions.MergeF.mergeAdjacent(acc, m.left, m.right)
-      }))
-  }
+      merges.map(m => (m.left, m.right)))
 
   /** Segment documents with a learned merge list. Returns
     * (id, n_pieces, pieces) with pieces space-joined and `</w>` markers

@@ -45,9 +45,25 @@ object Classifier {
       concat(col(vecCol).cast("array<double>"), array(lit(1.0))).as("x"),
       col(labelCol).cast("double").as("y")).cache()
     try {
-      val dim = data.select(size(col("x"))).head().getInt(0) - 1
-      val n = data.count().toDouble
-      require(n > 0, "lrTrain: empty training set")
+      // One dimension-audit pass BEFORE anything reads a row: an empty
+      // frame fails with the intended message (not head()'s bare
+      // NoSuchElementException), and a corpus mixing vector lengths (or
+      // carrying null vectors/labels) fails loudly here instead of its
+      // rows silently dropping out of the gradient as null terms.
+      val dims = data
+        .select(size(col("x")).as("d"), col("y"))
+        .groupBy("d").agg(count(lit(1)).as("c"), count(col("y")).as("cy"))
+        .collect()
+      require(dims.nonEmpty, "lrTrain: empty training set")
+      require(dims.length == 1,
+        s"lrTrain: inconsistent vector dimensions: ${
+          dims.map(r => s"size=${r.get(0)}×${r.getLong(1)}").sorted.mkString(", ")}")
+      require(dims.head.get(0) != null && dims.head.getInt(0) >= 2,
+        "lrTrain: null or empty feature vectors in training set")
+      require(dims.head.getLong(1) == dims.head.getLong(2),
+        s"lrTrain: ${dims.head.getLong(1) - dims.head.getLong(2)} rows have null labels")
+      val dim = dims.head.getInt(0) - 1
+      val n = dims.head.getLong(1).toDouble
       var w = new Array[Double](dim + 1)
       var it = 0
       while (it < iters) {

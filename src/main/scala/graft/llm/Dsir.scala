@@ -74,7 +74,10 @@ object Dsir {
       .groupBy("b").agg(count(lit(1)).as("cs"))
     val ct = bucketedAnon(target, textCol, buckets, seed)
       .groupBy("b").agg(count(lit(1)).as("ct"))
-    val tot = cs.agg(sum(col("cs")).as("ns"))
+    // both totals coalesce to 0 — an EMPTY corpus on either side leaves
+    // the add-one smoothing fully defined (lr = uniform-vs-uniform)
+    // instead of a NULL ns silently nulling every bucket's lr
+    val tot = cs.agg(coalesce(sum(col("cs")), lit(0L)).as("ns"))
       .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
     spark.range(buckets).select(col("id").as("b"))
       .join(cs, Seq("b"), "left").na.fill(0L, Seq("cs"))

@@ -67,6 +67,24 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(p1 == p7)
     intercept[IllegalArgumentException] { Classifier.lrTrain(df, "x", "y", iters = 0) }
+    // malformed inputs fail LOUDLY, before any gradient work: empty set,
+    // mixed vector dimensions, null labels (r12 advice: these previously
+    // surfaced as a bare head() NoSuchElementException or silently
+    // dropped rows from the gradient)
+    val empty = spark.emptyDataFrame
+      .select(lit(Array(1.0, 2.0)).as("x"), lit(1).as("y"))
+    assert(intercept[IllegalArgumentException] {
+      Classifier.lrTrain(empty, "x", "y", iters = 1)
+    }.getMessage.contains("empty training set"))
+    val mixed = Seq((Seq(1.0, 2.0), 1), (Seq(1.0), 0)).toDF("x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Classifier.lrTrain(mixed, "x", "y", iters = 1)
+    }.getMessage.contains("inconsistent vector dimensions"))
+    val nullLab = Seq((Seq(1.0, 2.0), Some(1)), (Seq(2.0, 1.0), None))
+      .toDF("x", "y")
+    assert(intercept[IllegalArgumentException] {
+      Classifier.lrTrain(nullLab, "x", "y", iters = 1)
+    }.getMessage.contains("null labels"))
   }
 
   test("BPE learns the textbook merge sequence and segments by replaying it") {
@@ -102,6 +120,101 @@ class LlmSpec extends AnyFunSuite {
     assert(Bpe.segment(one, "doc_id", "text", merges).head().getString(2)
       == "x</w> y</w>")
     intercept[IllegalArgumentException] { Bpe.learnMerges(corpus, "text", 0) }
+  }
+
+  test("native BpeSegmentAll matches the legacy per-merge MergeAdjacent chain") {
+    // the r12 composition segmentCol replaced: filter empties, then per
+    // word fold one MergeAdjacent pass per merge inside a transform
+    def legacy(textCol: org.apache.spark.sql.Column,
+               merges: Seq[Bpe.Merge]): org.apache.spark.sql.Column = {
+      val chars = (w: org.apache.spark.sql.Column) => split(w, "")
+      val init = (w: org.apache.spark.sql.Column) => concat(
+        slice(chars(w), lit(1), greatest(size(chars(w)) - 1, lit(0))),
+        array(concat(element_at(chars(w), -1), lit("</w>"))))
+      val toks = org.apache.spark.sql.functions.filter(
+        TextAnalysis.wsTokens(TextAnalysis.normText(textCol)),
+        w => length(w) > 0)
+      flatten(org.apache.spark.sql.functions.transform(toks, w =>
+        merges.foldLeft(init(w)) { (acc, m) =>
+          graft.functions.MergeF.mergeAdjacent(acc, m.left, m.right)
+        }))
+    }
+    // adversarial corpus: ties, runs, unicode incl. an astral code point,
+    // multi-space (empty-token) text, single chars, the textbook words
+    val texts = Seq("low lower newest widest", "aaa aaaa a", "x  y\tz",
+      "héllo hé llo", "a😀b 😀😀",
+      "st star west st", "abab ab ba", "", "   ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // merge tables: textbook; repeated-pair recreation ((a,b) then (ab,ab));
+    // a DUPLICATE pair at two ranks with an enabler between them
+    val tables = Seq(
+      Seq(Bpe.Merge(0, "e", "s", 9), Bpe.Merge(1, "es", "t</w>", 9),
+        Bpe.Merge(2, "l", "o", 7), Bpe.Merge(3, "e", "w", 6)),
+      Seq(Bpe.Merge(0, "a", "a", 1), Bpe.Merge(1, "a", "b", 1),
+        Bpe.Merge(2, "ab", "ab", 1)),
+      Seq(Bpe.Merge(0, "ab", "a", 1), Bpe.Merge(1, "a", "b", 1),
+        Bpe.Merge(2, "ab", "ab</w>", 1)),
+      Seq(Bpe.Merge(0, "😀", "b</w>", 1),
+        Bpe.Merge(1, "😀", "😀</w>", 1)))
+    for (tm <- tables) {
+      val got = df.select(col("doc_id"),
+        Bpe.segmentCol(col("text"), tm).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("doc_id"), legacy(col("text"), tm).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got == want, s"mismatch under table $tm")
+    }
+    // the case the chain could NOT serve: a production-sized merge table.
+    // Oracle: a plain sequential-pass reference replay (one full
+    // leftmost-greedy pass per rank — the definitionally-correct O(M·n)
+    // loop the expression's rank-jumping must reproduce).
+    def refReplay(word: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      syms = syms.init :+ (syms.last + "</w>")
+      for (m <- merges) {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == m.left && syms(i + 1) == m.right) {
+            out += (m.left + m.right); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val big = (0 until 4000).map { r =>
+      Bpe.Merge(r, if (r == 0) "a" else "a" * (r + 1), "a", 1)
+    }
+    val wordLen = 400
+    val bigSeg = Seq((1L, "a" * wordLen)).toDF("doc_id", "text")
+      .select(Bpe.segmentCol(col("text"), big).as("p"))
+      .head().getSeq[String](0)
+    assert(bigSeg == refReplay("a" * wordLen, big))
+    // and the adversarial tables agree with the reference replay too
+    for (tm <- tables; w <- Seq("abab", "aaaa", "st")) {
+      val got = Seq((1L, w)).toDF("doc_id", "text")
+        .select(Bpe.segmentCol(col("text"), tm).as("p"))
+        .head().getSeq[String](0)
+      assert(got == refReplay(w, tm), s"ref mismatch: $w under $tm")
+    }
+  }
+
+  test("DSIR fit is total on an empty source OR target (no NULL log-ratios)") {
+    // r12 advice: ns was un-coalesced, so an empty SOURCE nulled every
+    // bucket's lr and scoreWith went silently empty; both totals now
+    // coalesce to 0 and the add-one smoothing keeps lr finite
+    val some = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val none = some.filter(lit(false))
+    for ((s0, t0) <- Seq((none, some), (some, none), (none, none))) {
+      val fitTab = Dsir.fit(s0, t0, "text", buckets = 16)
+      val rows = fitTab.collect()
+      assert(rows.length == 16)
+      assert(rows.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
+    }
+    val scored = Dsir.scoreWith(some, "doc_id", "text",
+      Dsir.fit(none, some, "text", buckets = 16), buckets = 16)
+    assert(scored.count() == 1 && !scored.head().isNullAt(1))
   }
 
   test("DSIR ranks target-like source docs first; resample is deterministic") {
