@@ -387,16 +387,11 @@ object StreamRunner {
         .foreach(r => arr(r.getInt(0)) = r.getDouble(1))
       arr
     }
-    val toks = wsTokens(normText(col(textCol)))
-    val grams = concat(toks,
-      org.apache.spark.sql.functions.zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (p, w) => concat(p, lit(" "), w)))
-    val lrLit = typedLit(lrByBucket.toSeq)
-    val score = round(aggregate(grams, lit(0.0), (acc, g) =>
-      acc + element_at(lrLit,
-        graft.llm.Sampling.hashBucketStr(g, seed, buckets).cast("int") + 1)), 6)
+    // the whole unigram+bigram score is ONE native expression (the lr
+    // table rides as a codegen reference object) — the r12 zip_with/
+    // aggregate composition was CodegenFallback on this hot per-row path
+    val score = graft.functions.DsirF.dsirScore(
+      wsTokens(normText(col(textCol))), lrByBucket, seed, buckets)
     stream.filter(score >= minScore)
   }
 

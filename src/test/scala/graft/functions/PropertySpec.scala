@@ -92,4 +92,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }, n = 30) // each trial runs Spark jobs — keep the count bounded
   }
+
+  test("DsirScore bucket bit-math matches the md5 hex-prefix formula for all grams") {
+    // the native scorer extracts hashBucketStr's 60-bit value from the
+    // raw digest bytes (7 bytes + a nibble) instead of formatting hex;
+    // pin bit-for-bit agreement with the definitional hex-string parse.
+    // lr(b) = b makes a single-token score read back its own bucket.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val buckets = 1024
+    val lr = Array.tabulate(buckets)(_.toDouble)
+    holds(Prop.forAll(textGen, Gen.oneOf(0L, 7L, -3L, 987654321L)) { (s, seed) =>
+      val gram = if (s.trim.isEmpty) "x" else s.trim.split("\\s+")(0)
+      val tbl = new DsirScoreTable(lr, seed, buckets)
+      val got = tbl.score(
+        new GenericArrayData(Array[Any](UTF8String.fromString(gram)))).toInt
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((gram + "|" + seed).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      got == (BigInt(hex.take(15), 16) % buckets).toInt
+    })
+  }
 }
