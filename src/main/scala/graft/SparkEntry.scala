@@ -23,6 +23,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The source-curation probe corpus: a planted spam source — 30
+    * copies of one short junk document under source `srcspam` — whose
+    * corpus-wide duplicate rate (1.0) must trip the block threshold
+    * while every organic source stays under it. */
+  private def spamPlanted(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spamText = "buy now best deal click here " * 3
+    val spark = docs.sparkSession
+    val spam = spark.range(1, 31).select(
+      (col("id") + 2000000L).as("doc_id"), lit(spamText).as("text"),
+      lit("xx").as("lang"), lit("srcspam").as("source"),
+      lit(spamText.length.toLong).as("n_chars"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(spam)
+  }
+
+  /** The CDC probe corpus: every document re-planted at +1000000 with a
+    * 3-word prefix — an EDITED near-copy that shares zero fixed-window
+    * hashes with its original but re-aligns under content-defined
+    * chunking. */
+  private def cdcPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zz yy xx "), col("text")).as("text")))
+
   /** events with `ts` normalized ONCE to an epoch-µs long `ts_us` —
     * the temporal operators all run integer µs arithmetic so Spark and
     * the DuckDB oracle (`epoch_us(ts)`) evaluate one formula. Handles
@@ -312,6 +337,52 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6).as("q"))),
+    // compression-ratio quality signal (zlib — not SQL-replayable, so
+    // the oracle is a planted ORDERING contract: repetitive text must
+    // compress far below word-soup prose, prose below high-entropy hex,
+    // and the whole corpus must score non-null in a sane band; exact
+    // values are additionally spec-pinned)
+    "compress_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val rep = ("spark data " * 300).trim
+      val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
+        "lazy", "dog", "table", "scan", "merge", "window", "batch",
+        "stream", "filter", "join", "sort", "group", "query", "row",
+        "value", "column", "vector")
+      val prose = (0 until 300).map(i => vocab((i * 7 + i * i) % vocab.size))
+        .mkString(" ")
+      val rand = Iterator.iterate("graft-entropy-seed") { x =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }.drop(1).take(100).mkString(" ")
+      val planted = Seq((1L, rep), (2L, prose), (3L, rand))
+        .toDF("doc_id", "text")
+      val pr = llm.TextAnalysis.compressionStats(planted, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ordered = pr(1L) < 0.15 && pr(1L) < pr(2L) && pr(2L) < pr(3L) &&
+        pr(3L) > 0.4
+      val corpus = llm.TextAnalysis.compressionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+      val agg = corpus.agg(count(lit(1)), min(col("deflate_ratio")),
+        max(col("deflate_ratio")),
+        sum(when(col("deflate_ratio").isNull, 1).otherwise(0))).head()
+      val corpusOk = agg.getLong(0) == t(s, dir, "documents").count() &&
+        agg.getLong(3) == 0L && agg.getDouble(1) > 0.0 && agg.getDouble(2) <= 2.0
+      Seq((ordered, corpusOk)).toDF("ordered_ok", "corpus_ok")
+    }),
+    // per-SOURCE curation: corpus-derived domain health + blocklist
+    // filtering (the UT1/C4-domain-filter family). The filter row
+    // plants a spam source (30 copies of one low-quality doc) that must
+    // be blocked on its dup-rate while every organic source survives.
+    "source_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Sources.sourceStats(docs, "doc_id", "text", "source",
+        round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6))
+    }),
+    "source_filtered" -> ((s, dir) =>
+      llm.Sources.sourceSurvivors(spamPlanted(t(s, dir, "documents")),
+        "doc_id", "text", "source",
+        round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6))),
     // Gopher-style repetition signals — row-local column math, map-only
     "repetition_stats" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
@@ -438,6 +509,17 @@ object SparkEntry {
         docs.select(col("doc_id"), col("text")).unionByName(planted),
         "doc_id", "text", w = 16)
     }),
+    // content-defined chunking (LBFS-style, token-granular): row-local
+    // boundary rule, md5 chunk fingerprints — the edit-robust dedup
+    // primitive (fixed windows lose every hash under a 3-word prefix)
+    "cdc_chunks" -> ((s, dir) =>
+      llm.Cdc.chunks(t(s, dir, "documents"), "doc_id", "text")),
+    // prefix-edited near-copies planted at +1000000: CDC boundaries
+    // realign one cut past the edit, so the copies still share chunks
+    "cdc_dup_chunks" -> ((s, dir) =>
+      llm.Cdc.dupChunks(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
+    "dedup_cdc_pairs" -> ((s, dir) =>
+      llm.Cdc.sharedPairs(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
     // ---- the LLM dataset operators THROUGH the DFL surface (parser →
     //      DflFrame dataset-op dispatch → the same llm.* implementations):
     //      what a catalog Process runs via /services/{name}/exec ----
@@ -1086,6 +1168,23 @@ object SparkEntry {
         .select("vec_id", "embedding").orderBy("vec_id").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
       llm.Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", queries, 10)
+    }),
+    // hard-negative mining: the batched scoring scan with each query's
+    // labeled positives (self + the next two ids) subtracted by a
+    // broadcast anti-join BEFORE the top-k heap — contrastive-training
+    // data prep. Exact, so the oracle is the windowed brute force with
+    // the same NOT-EXISTS exclusion.
+    "hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val positives = queries.map(_._1)
+        .flatMap(q => Seq(q, q + 1, q + 2).map(p => (q, p)))
+        .toDF("qid", "pos_id")
+      llm.Mining.hardNegatives(emb, "vec_id", "embedding", queries,
+        positives, k = 5)
     }),
     // batched RANGE search: same one-pass scoring scan, threshold-bound
     // (no heap, no aggregation at all after the map-only filter)
@@ -1942,6 +2041,41 @@ object SparkEntry {
         |  FROM s""".stripMargin,
     "quality_score" ->
       s"SELECT doc_id, $qualitySqlExpr AS q FROM documents",
+    // zlib isn't SQL-expressible — planted ordering contract (see the
+    // query's scaladoc); exact ratios are pinned by LlmSpec
+    "compress_ratio" -> "SELECT true AS ordered_ok, true AS corpus_ok",
+    "source_stats" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |             $qualitySqlExpr AS q
+         |           FROM documents),
+         |d AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM r GROUP BY 1) WHERE c > 1)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       round(sum(CASE WHEN d.fp IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS dup_rate,
+         |       round(avg(q), 6) AS mean_quality
+         |  FROM r LEFT JOIN d USING (fp) GROUP BY 1""".stripMargin,
+    "source_filtered" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT 2000000 + i,
+         |         'buy now best deal click here buy now best deal click here buy now best deal click here ',
+         |         'srcspam', 87
+         |    FROM (SELECT unnest(generate_series(1, 30)) AS i)),
+         |r AS (SELECT doc_id, source,
+         |        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |        $qualitySqlExpr AS q
+         |      FROM corpus),
+         |d AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM r GROUP BY 1) WHERE c > 1),
+         |stats AS (SELECT source,
+         |            sum(CASE WHEN d.fp IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*) AS dup_rate,
+         |            avg(q) AS mean_quality
+         |          FROM r LEFT JOIN d USING (fp) GROUP BY 1),
+         |blocked AS (SELECT source FROM stats
+         |             WHERE dup_rate > 0.5 OR mean_quality < 0.2)
+         |SELECT doc_id AS id, source FROM corpus
+         | WHERE source NOT IN (SELECT source FROM blocked)""".stripMargin,
     // same raw-token bigrams, same distinct-count / max-frequency forms
     "repetition_stats" ->
       """WITH bg AS (
@@ -2123,6 +2257,31 @@ object SparkEntry {
         |        FROM r)
         |SELECT doc_id, coalesce(array_to_string(ktoks, ' '), '') AS clean_text,
         |       CAST(len(ktoks) AS BIGINT) AS n_kept FROM k""".stripMargin,
+    // the boundary rule is the hashBucketStr md5-prefix formula over the
+    // rolling 3-gram, so DuckDB replays chunking exactly: positions via
+    // LATERAL generate_series, boundary flags, running-sum chunk ids,
+    // ordered string_agg re-build, md5 fingerprints
+    "cdc_chunks" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$cdcChunkCtes
+         |SELECT doc_id AS id, CAST(chunk_idx AS INT) AS chunk_idx, n_toks, fp
+         |  FROM chunks""".stripMargin,
+    "cdc_dup_chunks" ->
+      s"""WITH $cdcPlantedCorpusSql,
+         |$cdcChunkCtes,
+         |occ AS (SELECT fp, doc_id, count(*) AS occ FROM chunks GROUP BY 1, 2)
+         |SELECT fp, count(*)::BIGINT AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+         |  FROM occ GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "dedup_cdc_pairs" ->
+      s"""WITH $cdcPlantedCorpusSql,
+         |$cdcChunkCtes,
+         |u AS (SELECT DISTINCT doc_id, fp FROM chunks),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM u GROUP BY 1)
+         |          WHERE df BETWEEN 2 AND 64),
+         |k AS (SELECT doc_id, fp FROM u JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups
@@ -2542,6 +2701,22 @@ object SparkEntry {
     "ann_ivf_range_batch" -> annBatchPlantedRangeSql,
     "ann_lsh_range_batch" -> annBatchPlantedRangeSql,
     "dfl_ann_range_batch" -> annBatchPlantedRangeSql,
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |pos AS (SELECT qid, qid + r AS pos_id
+        |          FROM q, (SELECT unnest(generate_series(0, 2)) AS r)),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
+        |    FROM embeddings e, q),
+        |f AS (SELECT s.* FROM scored s
+        |       WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                          WHERE p.qid = s.qid AND p.pos_id = s.id))
+        |SELECT qid, id, cos,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS BIGINT) AS rank
+        |  FROM f
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5""".stripMargin,
     "ann_topk_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |scored AS (
@@ -2692,6 +2867,34 @@ object SparkEntry {
          |       CAST(min($c) AS VARCHAR) AS min_str,
          |       CAST(max($c) AS VARCHAR) AS max_str FROM documents""".stripMargin)
       .mkString("\nUNION ALL\n")
+
+  /** CDC chunk table over a CTE named `corpus(doc_id, text)` — the
+    * DuckDB replay of [[graft.functions.CdcChunks]] (k=3, d=8, seed=7):
+    * boundary after position i ≥ 3 iff the rolling 3-gram's
+    * hashBucketStr-style 60-bit md5 value ≡ 0 (mod 8). */
+  private val cdcChunkCtes: String =
+    """tok AS (SELECT doc_id,
+      |          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |        FROM corpus),
+      |pos AS (SELECT doc_id, i, toks[i] AS w,
+      |          CASE WHEN i >= 3 AND
+      |            (CAST(concat('0x', substring(md5(array_to_string(
+      |               list_slice(toks, greatest(i - 2, 1), i), ' ') || '|7'), 1, 15))
+      |              AS BIGINT) % 8) = 0 THEN 1 ELSE 0 END AS bnd
+      |        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s),
+      |ch AS (SELECT doc_id, i, w,
+      |         COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |       FROM pos),
+      |chunks AS (SELECT doc_id, cid AS chunk_idx, count(*)::BIGINT AS n_toks,
+      |                  md5(string_agg(w, ' ' ORDER BY i)) AS fp
+      |             FROM ch GROUP BY 1, 2)""".stripMargin
+
+  /** The planted CDC probe corpus (mirrors [[cdcPlanted]]). */
+  private val cdcPlantedCorpusSql: String =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, 'zz yy xx ' || text FROM documents)""".stripMargin
 
   private val lmBigramSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

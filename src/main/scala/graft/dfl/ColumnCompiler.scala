@@ -367,6 +367,7 @@ object Functions {
     "tileX" -> "(lon, z)", "tileY" -> "(lat, z)",
     "tileToLongitude" -> "(x, z)", "tileToLatitude" -> "(y, z)", "flipY" -> "(y, z)",
     "intersects" -> "(a, b)", "jsonGet" -> "(s, key)",
+    "deflateRatio" -> "(s)",
   )
 
   def apply(name: String, args: List[Node], ctx: Ctx): Column = {
@@ -405,6 +406,8 @@ object Functions {
       case "tileToLatitude"  => TileMath.tileToLatitude(a(0), a(1))
       case "flipY"    => TileMath.flipYCol(a(0), a(1))
       case "intersects" => arrays_overlap(a(0), a(1))
+      // extension: the compression-ratio quality signal (row-local zlib)
+      case "deflateRatio" => graft.functions.DeflateF.deflateRatio(a(0))
       // extension: JSON field extraction for string-typed dynamic columns
       // (the reference's schema-less records keep ragged keys; our typed
       // analogue is a JSON string column, SURVEY.md §1.5)

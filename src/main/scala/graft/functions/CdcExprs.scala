@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `cdc_chunks(tokens)` — content-defined chunking of a token array
+  * (the storage-dedup technique, token-granular): a boundary falls
+  * AFTER position i (1-based, i ≥ k) whenever the rolling k-token gram
+  * ending at i hashes to `0 mod d` — the same seeded
+  * md5-hex-prefix value as [[graft.llm.Sampling.hashBucketStr]], so the
+  * boundary rule replays in ANSI SQL for the oracle. Each chunk emits
+  * `(fp, n_toks)` where `fp = md5(chunk text)`.
+  *
+  * Why CDC and not fixed windows: a fixed-window fingerprint family
+  * (removeDupSpans / windowDupStats) breaks under INSERTION — a 3-word
+  * prefix shifts every window, so a near-copy shares ~zero window
+  * hashes. CDC boundaries depend only on local content, so chunks
+  * re-align one boundary past any edit; prefix-shifted copies share all
+  * chunks after the first cut (Muthitacharoen et al., LBFS SOSP'01 —
+  * here over tokens, with the repo's one md5 hash family, no Rabin
+  * fingerprints needed since the gram re-hashes whole each step).
+  * Expected chunk length is d tokens; no max-length forced cut (that
+  * would make the boundary stateful and the oracle non-SQL), so a
+  * pathological run without boundary hits stays one chunk — at d = 8
+  * the probability a 100-token doc never cuts is (7/8)^97 ≈ 2e-6.
+  * Row-local: the corpus-scale cost is one projection, no shuffle. */
+case class CdcChunks(child: Expression, k: Int, d: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(k >= 1, s"cdc_chunks: k must be >= 1, got $k")
+  require(d >= 1, s"cdc_chunks: d must be >= 1, got $d")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("fp", StringType, nullable = false),
+      StructField("n_toks", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks needs array<string> tokens, got ${other.sql}")
+  }
+
+  @transient private lazy val chunker = new CdcChunker(k, d, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    chunker.chunk(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("cdcChunker", chunker,
+      classOf[CdcChunker].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $c.chunk($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The per-expression chunking state (one instance, codegen-referenced;
+  * MessageDigest is per-thread). */
+final class CdcChunker(val k: Int, val d: Int, val seed: Long)
+    extends Serializable {
+  private val seedSuffix = "|" + seed
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def digest(s: String): Array[Byte] = {
+    val m = md5.get(); m.reset()
+    m.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** hashBucketStr's 60-bit value: first 15 hex chars of the digest. */
+  private def h60(bytes: Array[Byte]): Long = {
+    var v = 0L; var i = 0
+    while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    (v << 4) | ((bytes(7) & 0xffL) >>> 4)
+  }
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) & 0xf0) >>> 4)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0x0f)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  def chunk(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      toks(i) = tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new java.util.ArrayList[InternalRow](math.max(2 * n / math.max(d, 1), 4))
+    val sb = new java.lang.StringBuilder
+    var chunkStart = 0
+    i = 0
+    while (i < n) {
+      // boundary AFTER token i (0-based here; the 1-based rule i+1 >= k)
+      val isBoundary = i + 1 >= k && {
+        sb.setLength(0)
+        var j = i + 1 - k
+        while (j <= i) {
+          if (j > i + 1 - k) sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        sb.append(seedSuffix)
+        h60(digest(sb.toString)) % d == 0
+      }
+      if (isBoundary || i == n - 1) {
+        sb.setLength(0)
+        var j = chunkStart
+        while (j <= i) {
+          if (j > chunkStart) sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        out.add(new GenericInternalRow(Array[Any](
+          hex(digest(sb.toString)), i - chunkStart + 1)))
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[InternalRow](out.size)))
+  }
+}
+
+object CdcF {
+  /** Content-defined chunks `(fp, n_toks)*` of a token array (see
+    * [[CdcChunks]]). */
+  def cdcChunks(tokens: Column, k: Int, d: Int, seed: Long): Column =
+    Bridge.column(CdcChunks(Bridge.expression(tokens), k, d, seed))
+}

@@ -88,6 +88,19 @@ object TextAnalysis {
     lenScore * 0.4 + stopScore * 0.3 + alphaRatio * 0.3
   }
 
+  /** Per-document DEFLATE compression ratio `(id, deflate_ratio)` — the
+    * Gopher/MassiveText-family quality signal [[qualityScore]] doesn't
+    * see: templated/self-repeating text compresses far below prose (low
+    * ratio), high-entropy garbage above it, so curation keeps a band.
+    * One row-local native pass ([[graft.functions.DeflateRatio]] —
+    * zlib level 6), no shuffle; rounded to 6 for determinism. Not
+    * SQL-replayable (no zlib in the oracle engine) — correctness rides
+    * a planted ordering contract plus spec-pinned exact values. */
+  def compressionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.DeflateF.deflateRatio(col(textCol)).as("deflate_ratio"))
+
   /** Split documents into fixed-size TOKEN chunks — the context-window
     * transform every pre-training pipeline runs before packing. One row
     * per (doc, chunk): `(idCol, chunk_ix, chunk)` where chunk `i` is

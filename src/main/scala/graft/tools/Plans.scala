@@ -84,7 +84,12 @@ object PlanLint {
     // the DSIR totals (ns, nt) are a one-row scalar-stat cross join, the
     // same shape as the LM family above
     "dsir_scores", "dsir_sample", "dfl_dsir", "pipeline_curation",
-    "dfl_dsir_serve")
+    "dfl_dsir_serve",
+    // the planted-spam branch's literal source folds the anti-join
+    // condition into a build-side filter + LocalLimit(1) existence
+    // probe — a ≤1-row broadcast BNLJ by constant-folding, not a scan
+    // pairing (the organic branch keeps its hash anti-join)
+    "source_filtered")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

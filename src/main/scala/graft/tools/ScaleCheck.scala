@@ -52,6 +52,13 @@ object ScaleCheck {
       // count pinned by component diameter (planted cliques: 1-2)
       time("dup_clusters")(graft.llm.Dedup.duplicateClusters(
         graft.llm.Dedup.minhashPairs(big, "doc_id", "text", 0.8)).count())
+      // CDC: chunking is a row-local projection (linear in mult); the
+      // shared-pairs join is df-capped at 64, so the mult× replanting —
+      // which drives every chunk's df toward 2·mult·(natural df) — can
+      // push common chunks OVER the cap but never go quadratic: time
+      // must track output pairs, not candidate pairs
+      time("cdc_chunks")(graft.llm.Cdc.chunks(big, "doc_id", "text").count())
+      time("cdc_pairs")(graft.llm.Cdc.sharedPairs(big, "doc_id", "text").count())
       // decontamination: FIXED benchmark (the base corpus's %23 slice)
       // against the mult× corpus. One broadcast-join scan — time must
       // grow ~linearly; hits grow with mult (every copy shares the same

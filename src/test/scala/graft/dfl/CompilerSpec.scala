@@ -209,6 +209,15 @@ class CompilerSpec extends AnyFunSuite {
     assert(out.getAs[Long]("v") == 7L)
   }
 
+  test("deflateRatio DFL function scores and filters rows") {
+    val df = Seq((1L, "spark data " * 300), (2L, "x y z")).toDF("id", "text")
+    val out = DflFrame.pipeline(df,
+      "map(@, '{id: @id, r: deflateRatio(@text)}') | filter(@, '@r < 0.1')")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // repetitive doc only
+    assert(out.head.getDouble(1) > 0.0 && out.head.getDouble(1) < 0.1)
+  }
+
   test("variable-only ternary over a row chain stays row-level") {
     val df = Seq("bob").toDF("name")
     val out = DflFrame.pipeline(df,

@@ -200,6 +200,156 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunks partition the tokens, realign under a prefix edit, match the md5 boundary rule") {
+    // chunks must tile the document exactly
+    val ch = Cdc.chunks(docs, "doc_id", "text").cache()
+    val tokTotals = docs.select(col("doc_id").as("id"),
+      size(TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))))
+        .cast("long").as("n")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunkTotals = ch.groupBy("id").agg(sum("n_toks").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunkTotals == tokTotals)
+    // chunk_idx is dense from 0 per doc
+    val idx = ch.groupBy("id")
+      .agg(min("chunk_idx").as("lo"), max("chunk_idx").as("hi"),
+        count(lit(1)).as("c")).collect()
+    assert(idx.forall(r => r.getInt(1) == 0 && r.getLong(3) == r.getInt(2) + 1L))
+    // boundary rule parity with the definitional formula: recompute one
+    // doc's boundaries via Sampling.hashBucketStr over sliding 3-grams
+    val one = docs.orderBy("doc_id").limit(1)
+    val toks = one.select(TextAnalysis.wsTokens(
+      TextAnalysis.normText(col("text")))).head().getSeq[String](0)
+    val boundaries = toks.indices.filter { i =>
+      i + 1 >= 3 && {
+        val gram = toks.slice(i - 2, i + 1).mkString(" ")
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((gram + "|7").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (BigInt(hex.take(15), 16) % 8) == 0
+      }
+    }
+    val expectSizes = {
+      val cuts = (boundaries :+ (toks.length - 1)).distinct.sorted
+      cuts.zip(-1 +: cuts.init).map { case (hi, prevHi) => hi - prevHi }
+    }
+    val gotSizes = ch.filter(col("id") === one.head().getLong(0))
+      .orderBy("chunk_idx").collect().map(_.getLong(2).toInt).toSeq
+    assert(gotSizes == expectSizes)
+    // shift robustness: a 3-word prefix keeps most chunks shared — the
+    // exact failure mode of fixed windows (which share ~none)
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("zz yy xx "), col("text")).as("text")))
+    val pairs = Cdc.sharedPairs(planted, "doc_id", "text")
+      .filter(col("id_b") === col("id_a") + 1000000)
+    assert(pairs.count() >= docs.count() * 9 / 10)
+    ch.unpersist(); ()
+  }
+
+  test("deflate ratio: exact values pinned, ordering repetitive < prose < random") {
+    // pin exact values against an independent in-test Deflater run (same
+    // zlib level/nowrap): the expression must keep producing THESE
+    // numbers across refactors — the oracle contract row only checks
+    // ordering, this pins the values
+    def refRatio(s: String): Double = {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](bytes.length + 128)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      math.rint(n.toDouble / math.max(bytes.length, 1) * 1e6) / 1e6
+    }
+    val rep = ("spark data " * 300).trim
+    val rand = Iterator.iterate("graft-entropy-seed") { x =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }.drop(1).take(100).mkString(" ")
+    val vocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "table", "scan", "merge", "window", "batch",
+      "stream", "filter", "join", "sort", "group", "query", "row",
+      "value", "column", "vector")
+    val prose = (0 until 300).map(i => vocab((i * 7 + i * i) % vocab.size))
+      .mkString(" ")
+    val texts = Seq(rep, prose, rand, "", "x",
+      "the quick brown fox jumps over the lazy dog") // short text: ratio > 1
+    val df = texts.zipWithIndex.map { case (t2, i) => (i + 1L, t2) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (id <- 1L to texts.size) {
+      val want = refRatio(texts(id.toInt - 1))
+      assert(math.abs(got(id) - want) < 1e-9, s"doc $id: ${got(id)} vs $want")
+    }
+    assert(got(1L) < 0.1 && got(1L) < got(2L) && got(2L) < got(3L))
+    assert(got(6L) > 1.0) // deflate overhead dominates short inputs
+    // null text -> null ratio
+    val n = TextAnalysis.compressionStats(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(n.isNullAt(1))
+    // corpus-wide: every document scores, all in (0, 2]
+    val corpus = TextAnalysis.compressionStats(docs, "doc_id", "text")
+    assert(corpus.filter(col("deflate_ratio").isNull ||
+      col("deflate_ratio") <= 0.0 || col("deflate_ratio") > 2.0).count() == 0)
+  }
+
+  test("hard negatives: positives never take slots, ranks dense, unexcluded = topk") {
+    val queries = emb.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val positives = queries.map(_._1)
+      .flatMap(q => Seq(q, q + 1, q + 2).map(p => (q, p))).toDF("qid", "pos_id")
+    val negs = Mining.hardNegatives(emb, "vec_id", "embedding", queries,
+      positives, k = 5).collect()
+    assert(negs.length == 10)
+    val byQ = negs.groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      val excluded = Set(q, q + 1, q + 2)
+      assert(rows.forall(r => !excluded.contains(r.getLong(1))))
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L)) // dense ranks
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // with an empty exclusion list the miner IS the batched top-k
+    val none = Seq.empty[(Long, Long)].toDF("qid", "pos_id")
+    val asTopk = Mining.hardNegatives(emb, "vec_id", "embedding", queries,
+      none, k = 5).select("qid", "id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val topk = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asTopk == topk)
+  }
+
+  test("source curation: spam source blocked on dup-rate, cross-source dups count both sides") {
+    val q = lit(0.5) // fixed quality: isolate the dup-rate signal
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "epsilon zeta eta theta", "srcA"),
+      (3L, "same spam text here", "srcB"),
+      (4L, "same spam text here", "srcB"),
+      (5L, "same spam text here", "srcC"),
+      (6L, "unique c doc words", "srcC"),
+      (7L, "another unique c doc", "srcC")).toDF("doc_id", "text", "source")
+    val stats = Sources.sourceStats(corpus, "doc_id", "text", "source", q)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats("srcA") == ((2L, 0L, 0.0)))
+    assert(stats("srcB") == ((2L, 2L, 1.0))) // both copies dup
+    assert(stats("srcC")._2 == 1L) // the cross-source copy counts here too
+    val surv = Sources.sourceSurvivors(corpus, "doc_id", "text", "source", q,
+      maxDupRate = 0.5, minQuality = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 2L, 5L, 6L, 7L)) // srcB blocked; srcC's 1/3 rate survives
+    // quality axis: a low-quality source goes too
+    val lowQ = when(col("source") === "srcA", 0.05).otherwise(0.5)
+    val surv2 = Sources.sourceSurvivors(corpus, "doc_id", "text", "source",
+      lowQ, maxDupRate = 0.5, minQuality = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv2 == Set(5L, 6L, 7L))
+  }
+
   test("DSIR fit is total on an empty source OR target (no NULL log-ratios)") {
     // r12 advice: ns was un-coalesced, so an empty SOURCE nulled every
     // bucket's lr and scoreWith went silently empty; both totals now
