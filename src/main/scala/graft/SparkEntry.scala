@@ -520,6 +520,14 @@ object SparkEntry {
       llm.Cdc.dupChunks(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
     "dedup_cdc_pairs" -> ((s, dir) =>
       llm.Cdc.sharedPairs(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
+    // the same CDC operators THROUGH the DFL surface (and sourceFilter —
+    // quality there is the built-in composite over length(text), which
+    // the oracle mirrors)
+    "dfl_cdc_pairs" -> ((s, dir) => DflFrame.pipeline(
+      cdcPlanted(t(s, dir, "documents")), "cdcPairs(@, '@doc_id', '@text')")),
+    "dfl_source_filter" -> ((s, dir) => DflFrame.pipeline(
+      spamPlanted(t(s, dir, "documents")),
+      "sourceFilter(@, '@doc_id', '@text', '@source')")),
     // ---- the LLM dataset operators THROUGH the DFL surface (parser →
     //      DflFrame dataset-op dispatch → the same llm.* implementations):
     //      what a catalog Process runs via /services/{name}/exec ----
@@ -2282,6 +2290,39 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
          |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          | GROUP BY 1, 2""".stripMargin,
+    "dfl_cdc_pairs" ->
+      s"""WITH $cdcPlantedCorpusSql,
+         |$cdcChunkCtes,
+         |u AS (SELECT DISTINCT doc_id, fp FROM chunks),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM u GROUP BY 1)
+         |          WHERE df BETWEEN 2 AND 64),
+         |k AS (SELECT doc_id, fp FROM u JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2""".stripMargin,
+    // n_chars = length(text) holds corpus-wide (checked), so the DFL
+    // stage's length(text)-based quality is the same qualitySqlExpr
+    "dfl_source_filter" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT 2000000 + i,
+         |         'buy now best deal click here buy now best deal click here buy now best deal click here ',
+         |         'srcspam', 87
+         |    FROM (SELECT unnest(generate_series(1, 30)) AS i)),
+         |r AS (SELECT doc_id, source,
+         |        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |        $qualitySqlExpr AS q
+         |      FROM corpus),
+         |d AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM r GROUP BY 1) WHERE c > 1),
+         |stats AS (SELECT source,
+         |            sum(CASE WHEN d.fp IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*) AS dup_rate,
+         |            avg(q) AS mean_quality
+         |          FROM r LEFT JOIN d USING (fp) GROUP BY 1),
+         |blocked AS (SELECT source FROM stats
+         |             WHERE dup_rate > 0.5 OR mean_quality < 0.2)
+         |SELECT doc_id AS id, source FROM corpus
+         | WHERE source NOT IN (SELECT source FROM blocked)""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

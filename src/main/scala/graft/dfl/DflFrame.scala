@@ -108,6 +108,7 @@ object DflFrame {
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
+      "cdcChunks", "cdcPairs", "sourceFilter",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -570,6 +571,38 @@ object DflFrame {
           graft.llm.Dedup.clusterSurvivors(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
+
+      case "cdcChunks" | "cdcPairs" =>
+        // `cdcChunks(@, '@id', '@text'[, k, d, seed])` — content-defined
+        // chunk rows (id, chunk_idx, n_toks, fp); `cdcPairs(@, '@id',
+        // '@text'[, minShared, maxDf])` — documents sharing chunks
+        // (id_a, id_b, n_shared), df-capped. The edit-robust dedup
+        // primitive (llm.Cdc); chunking itself is row-local.
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        if (name == "cdcChunks") {
+          val k = if (args.size > 3) intArg(3) else 3
+          val d = if (args.size > 4) intArg(4) else 8
+          val seed = if (args.size > 5) numArg(5).toLong else 7L
+          graft.llm.Cdc.chunks(base, "__gid", "__gtext", k, d, seed)
+        } else {
+          val minShared = if (args.size > 3) intArg(3) else 1
+          val maxDf = if (args.size > 4) intArg(4) else 64
+          graft.llm.Cdc.sharedPairs(base, "__gid", "__gtext", minShared, maxDf)
+        }
+
+      case "sourceFilter" =>
+        // `sourceFilter(@, '@id', '@text', '@source'[, maxDupRate,
+        // minQuality])` — drop every document of a source whose
+        // corpus-derived health crosses the block thresholds
+        // (llm.Sources; quality = the built-in composite over the text).
+        val maxDup = if (args.size > 4) numArg(4) else 0.5
+        val minQ = if (args.size > 5) numArg(5) else 0.2
+        val base = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2)).withColumn("__gsrc", subCol(3))
+        val q = round(graft.llm.TextAnalysis.qualityScore(
+          col("__gtext"), length(col("__gtext"))), 6)
+        graft.llm.Sources.sourceSurvivors(base, "__gid", "__gtext", "__gsrc",
+          q, maxDup, minQ)
 
       case "sample" =>
         // `sample(@, '@id', fraction[, seed])` — deterministic id-keyed

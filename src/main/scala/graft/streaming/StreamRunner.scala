@@ -45,6 +45,10 @@ object StreamRunner {
     // dsir estimates source-LM bucket counts over the whole corpus
     "pack", "shard", "lmScore", "windowDups", "dedupSpans", "vocab", "tfidf", "mix",
     "dsir", "dsirScore",
+    // cdcPairs self-joins the corpus' chunk table; sourceFilter derives
+    // its blocklist from whole-corpus per-source stats (cdcChunks is
+    // row-local and therefore deliberately NOT fenced)
+    "cdcPairs", "sourceFilter",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -89,7 +89,7 @@ object PlanLint {
     // condition into a build-side filter + LocalLimit(1) existence
     // probe — a ≤1-row broadcast BNLJ by constant-folding, not a scan
     // pairing (the organic branch keeps its hash anti-join)
-    "source_filtered")
+    "source_filtered", "dfl_source_filter")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

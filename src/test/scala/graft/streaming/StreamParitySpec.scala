@@ -124,6 +124,27 @@ class StreamParitySpec extends AnyFunSuite {
     assert(batch == Set((1L, "lo w est</w> lo w</w>"), (2L, "n ew est</w>")))
   }
 
+  test("cdcChunks is streamable (row-local), batch-parity; cdcPairs/sourceFilter fenced") {
+    val dir = Files.createTempDirectory("graft-cdcstream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"the fast key order sort table scan merge part window small hash"}
+        |{"id":2,"text":"zz yy xx the fast key order sort table scan merge part window small hash"}""".stripMargin)
+    val expr = "cdcChunks(@, '@id', '@text')"
+    val batch = DflFrame.pipeline(spark.read.json(dir), expr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    val stream = StreamRunner.runOnce(spark, dir, "jsonl", expr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    assert(stream == batch && batch.nonEmpty)
+    // the whole-dataset CDC/source stages stay fenced
+    for (bad <- Seq("cdcPairs(@, '@id', '@text')",
+        "sourceFilter(@, '@id', '@text', '@text')")) {
+      val e = intercept[IllegalArgumentException] {
+        StreamRunner.runOnce(spark, dir, "jsonl", bad)
+      }
+      assert(e.getMessage.contains("whole-dataset"))
+    }
+  }
+
   test("classify serves a linear model in stream mode, batch-parity") {
     val dir = Files.createTempDirectory("graft-clf").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/v.jsonl"),
