@@ -509,6 +509,22 @@ object SparkEntry {
         docs.select(col("doc_id"), col("text")).unionByName(planted),
         "doc_id", "text", w = 16)
     }),
+    // bucketed ingest + co-located join: both sides written
+    // `bucketBy(doc_id)` into the session catalog, then equi-joined
+    // WITHOUT any Exchange (spec-asserted on the physical plan) — the
+    // pay-the-shuffle-once-at-ingest pattern that amortizes the common
+    // document-id shuffle across every later pipeline run
+    "bucketed_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      io.Bucketing.writeBucketed(docs.select("doc_id", "lang", "n_chars"),
+        "graft_docs_bkt", "doc_id", 8)
+      io.Bucketing.writeBucketed(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks")),
+        "graft_stats_bkt", "doc_id", 8)
+      io.Bucketing.readTable(s, "graft_docs_bkt").hint("merge")
+        .join(io.Bucketing.readTable(s, "graft_stats_bkt"), "doc_id")
+    }),
     // content-defined chunking (LBFS-style, token-granular): row-local
     // boundary rule, md5 chunk fingerprints — the edit-robust dedup
     // primitive (fixed windows lose every hash under a 3-word prefix)
@@ -2265,6 +2281,12 @@ object SparkEntry {
         |        FROM r)
         |SELECT doc_id, coalesce(array_to_string(ktoks, ' '), '') AS clean_text,
         |       CAST(len(ktoks) AS BIGINT) AS n_kept FROM k""".stripMargin,
+    // the bucketed join re-derives both sides from documents, so the
+    // joined result is one self-consistent projection
+    "bucketed_join" ->
+      """SELECT doc_id, lang, n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents""".stripMargin,
     // the boundary rule is the hashBucketStr md5-prefix formula over the
     // rolling 3-gram, so DuckDB replays chunking exactly: positions via
     // LATERAL generate_series, boundary flags, running-sum chunk ids,
