@@ -54,7 +54,13 @@ object Bpe {
     require(minCount >= 1, s"learnMerges: minCount must be >= 1, got $minCount")
     var state = wordCounts(df, textCol)
       .select(initSyms(col("word")).as("syms"), col("n")).persist()
-    state.count()
+    // the PREVIOUS round's state, unpersisted one round LATE: each
+    // round's argmax job is what first materializes the current state's
+    // cache, and that computation may read the parent's cached blocks —
+    // dropping the parent only after the child has materialized keeps
+    // lineage recompute bounded WITHOUT a per-round count() job (the
+    // eager-materialize-then-unpersist form cost one extra job per merge)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       var rank = 0
@@ -70,6 +76,8 @@ object Bpe {
           .filter(col("freq") >= minCount)
           .orderBy(col("freq").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
+        prev.foreach(_.unpersist()) // state materialized just now — safe
+        prev = None
         if (top.isEmpty) done = true
         else {
           val row = top.head
@@ -78,14 +86,13 @@ object Bpe {
           val next = state.select(
             graft.functions.MergeF.mergeAdjacent(col("syms"), l, r).as("syms"),
             col("n")).persist()
-          next.count()
-          state.unpersist()
+          prev = Some(state)
           state = next
           rank += 1
         }
       }
       merges.toSeq
-    } finally { state.unpersist(); () }
+    } finally { prev.foreach(_.unpersist()); state.unpersist(); () }
   }
 
   /** The merge table as a DataFrame (rank, left, right, freq). */
