@@ -536,6 +536,11 @@ object SparkEntry {
       llm.Cdc.dupChunks(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
     "dedup_cdc_pairs" -> ((s, dir) =>
       llm.Cdc.sharedPairs(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
+    // duplicated-chunk removal over the edited-copy corpus: the decision
+    // shuffle carries (id, chunk_idx) only, the text surgery is a
+    // row-local native rebuild at the scan
+    "dedup_cdc_scrub" -> ((s, dir) =>
+      llm.Cdc.scrubDupChunks(cdcPlanted(t(s, dir, "documents")), "doc_id", "text")),
     // the same CDC operators THROUGH the DFL surface (and sourceFilter —
     // quality there is the built-in composite over length(text), which
     // the oracle mirrors)
@@ -2312,6 +2317,25 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
          |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          | GROUP BY 1, 2""".stripMargin,
+    "dedup_cdc_scrub" ->
+      s"""WITH $cdcPlantedCorpusSql,
+         |$cdcChunkCtes,
+         |dup AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM chunks GROUP BY 1)
+         |         WHERE c > 1),
+         |keptch AS (SELECT c.doc_id, c.chunk_idx
+         |             FROM chunks c WHERE c.fp NOT IN (SELECT fp FROM dup)),
+         |toku AS (SELECT ch.doc_id, ch.i, ch.w, ch.cid FROM ch),
+         |kept AS (SELECT t.doc_id, t.i, t.w
+         |           FROM toku t JOIN keptch k
+         |             ON t.doc_id = k.doc_id AND t.cid = k.chunk_idx)
+         |SELECT c0.doc_id AS id,
+         |       coalesce(kk.clean_text, '') AS clean_text,
+         |       coalesce(kk.n_kept, 0) AS n_kept
+         |  FROM corpus c0
+         |  LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+         |                    count(*)::BIGINT AS n_kept
+         |               FROM kept GROUP BY 1) kk
+         |    ON c0.doc_id = kk.doc_id""".stripMargin,
     "dfl_cdc_pairs" ->
       s"""WITH $cdcPlantedCorpusSql,
          |$cdcChunkCtes,

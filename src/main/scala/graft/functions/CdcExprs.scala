@@ -142,6 +142,104 @@ final class CdcChunker(val k: Int, val d: Int, val seed: Long)
     }
     new GenericArrayData(out.toArray(new Array[InternalRow](out.size)))
   }
+
+  /** Re-chunk and re-join, skipping chunks whose 0-based index is in
+    * `drops`: `struct(clean_text, n_kept)`. Same boundary walk as
+    * [[chunk]]. */
+  def scrub(tokens: ArrayData, drops: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      toks(i) = tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val dropSet = new java.util.HashSet[Long]()
+    i = 0
+    while (i < drops.numElements()) {
+      if (!drops.isNullAt(i)) dropSet.add(drops.getLong(i))
+      i += 1
+    }
+    val kept = new java.lang.StringBuilder
+    var nKept = 0L
+    val sb = new java.lang.StringBuilder
+    var chunkStart = 0
+    var chunkIdx = 0L
+    i = 0
+    while (i < n) {
+      val isBoundary = i + 1 >= k && {
+        sb.setLength(0)
+        var j = i + 1 - k
+        while (j <= i) {
+          if (j > i + 1 - k) sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        sb.append(seedSuffix)
+        h60(digest(sb.toString)) % d == 0
+      }
+      if (isBoundary || i == n - 1) {
+        if (!dropSet.contains(chunkIdx)) {
+          var j = chunkStart
+          while (j <= i) {
+            if (kept.length() > 0) kept.append(' ')
+            kept.append(toks(j)); j += 1
+          }
+          nKept += i - chunkStart + 1
+        }
+        chunkStart = i + 1
+        chunkIdx += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(kept.toString), nKept))
+  }
+}
+
+/** `cdc_scrub(tokens, dropIdx)` — re-chunk the token array with the
+  * SAME boundary rule as [[CdcChunks]] and drop every chunk whose
+  * 0-based index appears in `dropIdx`; returns
+  * `struct(clean_text, n_kept)` (kept chunks re-joined in order, kept
+  * token count). The rebuild stays ROW-LOCAL: the corpus-level shuffle
+  * that decides WHICH chunks drop carries only (id, chunk_idx) pairs —
+  * never chunk text — and this expression does the text surgery at the
+  * scan. Null tokens array or null index list → null. */
+case class CdcScrub(left: Expression, right: Expression, k: Int, d: Int,
+                    seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(k >= 1, s"cdc_scrub: k must be >= 1, got $k")
+  require(d >= 1, s"cdc_scrub: d must be >= 1, got $d")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_scrub"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cdc_scrub needs (array<string>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+
+  @transient private lazy val chunker = new CdcChunker(k, d, seed)
+
+  override def nullSafeEval(toks: Any, drops: Any): Any =
+    chunker.scrub(toks.asInstanceOf[ArrayData], drops.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("cdcChunker", chunker,
+      classOf[CdcChunker].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $c.scrub($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object CdcF {
@@ -149,4 +247,10 @@ object CdcF {
     * [[CdcChunks]]). */
   def cdcChunks(tokens: Column, k: Int, d: Int, seed: Long): Column =
     Bridge.column(CdcChunks(Bridge.expression(tokens), k, d, seed))
+
+  /** Row-local duplicated-chunk removal (see [[CdcScrub]]). */
+  def cdcScrub(tokens: Column, dropIdx: Column, k: Int, d: Int,
+               seed: Long): Column =
+    Bridge.column(CdcScrub(Bridge.expression(tokens),
+      Bridge.expression(dropIdx), k, d, seed))
 }

@@ -47,6 +47,35 @@ object Cdc {
       .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
       .filter(col("n_docs") >= 2)
 
+  /** Remove every CORPUS-DUPLICATED chunk from every document — the
+    * edit-robust sibling of [[TextAnalysis.removeDupSpans]] (whose
+    * fixed windows lose alignment under insertion): a chunk drops when
+    * its fingerprint occurs more than once corpus-wide (within- or
+    * cross-document). Returns `(id, clean_text, n_kept)` with the kept
+    * chunks re-joined in document order.
+    *
+    * Scale shape: the decision shuffle carries only (id, chunk_idx)
+    * pairs — chunk TEXT never moves; the rebuild is the row-local
+    * native [[graft.functions.CdcScrub]] at the final scan. */
+  def scrubDupChunks(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, d: Int = 8, seed: Long = 7L): DataFrame = {
+    val ch = chunks(df, idCol, textCol, k, d, seed)
+    val dup = ch.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+    val drops = ch.join(dup, Seq("fp"), "left_semi")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("chunk_idx").cast("long")))
+        .as("__drops"))
+    val toks = TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"),
+        graft.functions.CdcF.cdcScrub(col("__toks"),
+          coalesce(col("__drops"), array().cast("array<bigint>")),
+          k, d, seed).as("s"))
+      .select(col("id"), col("s.clean_text"), col("s.n_kept"))
+  }
+
   /** Document pairs sharing ≥ `minShared` distinct chunk fingerprints:
     * `(id_a, id_b, n_shared)`, `id_a < id_b`. Fingerprints carried by
     * more than `maxDf` documents are EXCLUDED before the self-join (the

@@ -59,6 +59,10 @@ object ScaleCheck {
       // must track output pairs, not candidate pairs
       time("cdc_chunks")(graft.llm.Cdc.chunks(big, "doc_id", "text").count())
       time("cdc_pairs")(graft.llm.Cdc.sharedPairs(big, "doc_id", "text").count())
+      // scrub's shuffle carries (id, chunk_idx) only; at mult>1 every
+      // chunk is duplicated so the rebuild drops everything — time must
+      // stay linear, never text-shuffle-bound
+      time("cdc_scrub")(graft.llm.Cdc.scrubDupChunks(big, "doc_id", "text").count())
       // decontamination: FIXED benchmark (the base corpus's %23 slice)
       // against the mult× corpus. One broadcast-join scan — time must
       // grow ~linearly; hits grow with mult (every copy shares the same

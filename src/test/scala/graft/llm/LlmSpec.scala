@@ -350,6 +350,32 @@ class LlmSpec extends AnyFunSuite {
     assert(surv2 == Set(5L, 6L, 7L))
   }
 
+  test("CDC scrub removes exactly the corpus-duplicated chunks, row-locally rebuilt") {
+    // unique docs pass through verbatim (normalized); a doc and its
+    // prefix-edited copy lose their shared chunks from BOTH sides
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("zz yy xx "), col("text")).as("text")))
+    val out = Cdc.scrubDupChunks(planted, "doc_id", "text").cache()
+    // reconstruct expectations from the chunk table itself
+    val ch = Cdc.chunks(planted, "doc_id", "text")
+    val dupFps = ch.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+    val expectKept = ch.join(dupFps, Seq("fp"), "left_anti")
+      .groupBy("id").agg(sum("n_toks").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotKept = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotKept.filter(_._2 > 0) == expectKept)
+    assert(gotKept.keySet == planted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet) // row-complete, scrubbed-to-empty included
+    // kept text token count matches n_kept and is a subsequence rebuild
+    val bad = out.filter(size(split(col("clean_text"), " ")) =!=
+        when(col("n_kept") === 0, lit(1)).otherwise(col("n_kept")))
+      .count() // split("") yields [""] — the 0-kept row has size 1
+    assert(bad == 0)
+    out.unpersist(); ()
+  }
+
   test("DSIR fit is total on an empty source OR target (no NULL log-ratios)") {
     // r12 advice: ns was un-coalesced, so an empty SOURCE nulled every
     // bucket's lr and scoreWith went silently empty; both totals now
