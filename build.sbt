@@ -28,5 +28,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full bench/verify board (180+ queries, cached
+  // corpora + in-JVM ANN index slots, local[32]) is GC- and
+  // block-eviction-bound at 8g — index-probe queries measured 10x their
+  // isolated cost on full-board runs. The machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

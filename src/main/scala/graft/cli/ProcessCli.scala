@@ -24,6 +24,7 @@ import graft.streaming.StreamRunner
   *      [--stream-decontam-n N]]
   *     [--stream-sessions "key=K;ts=T;gap=G;watermark=W;value=V"]
   *     [--stream-dsir "model=URI;min=X[;id=COL][;text=COL][;buckets=B][;seed=S]"]
+  *     [--stream-cdc-ref "ref=URI[;text=COL][;refText=COL][;max=N]"]
   */
 object ProcessCli {
 
@@ -48,6 +49,7 @@ object ProcessCli {
       streamDecontamN: Int = 8,
       streamSessions: String = "",
       streamDsir: String = "",
+      streamCdcRef: String = "",
       datasetVars: Map[String, String] = Map.empty,
       outputClusterBy: String = "",
       outputFiles: Int = 8,
@@ -64,6 +66,16 @@ object ProcessCli {
     }.toMap
     val missing = Seq("model", "min").filterNot(m.contains)
     require(missing.isEmpty, s"--stream-dsir: missing ${missing.mkString(", ")}")
+    m
+  }
+
+  private[cli] def parseCdcSpec(s: String): Map[String, String] = {
+    val m = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val j = kv.indexOf('=')
+      require(j > 0, s"--stream-cdc-ref: malformed pair '$kv'")
+      kv.take(j).trim -> kv.drop(j + 1).trim
+    }.toMap
+    require(m.contains("ref"), "--stream-cdc-ref: missing ref")
     m
   }
 
@@ -142,6 +154,12 @@ object ProcessCli {
         case "--stream-dsir" =>
           val v = a.value(); parseDsirSpec(v) // validate eagerly
           c = c.copy(streamDsir = v)
+        // streaming CDC ingest dedup BEFORE the DFL stages: drop rows
+        // sharing content-defined chunks with a (batch-read) retained
+        // corpus — the edit-robust conservative bloom filter
+        case "--stream-cdc-ref" =>
+          val v = a.value(); parseCdcSpec(v) // validate eagerly
+          c = c.copy(streamCdcRef = v)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -155,6 +173,9 @@ object ProcessCli {
     require(c.streamDsir.isEmpty || c.stream,
       "--stream-dsir requires --stream (batch pipelines use the " +
         "dsir(@, …) / dsirScore(@, …) DFL stages instead)")
+    require(c.streamCdcRef.isEmpty || c.stream,
+      "--stream-cdc-ref requires --stream (batch pipelines use the " +
+        "cdcPairs(@, …) DFL stage instead)")
     c
   }
 
@@ -194,7 +215,19 @@ object ProcessCli {
             spec.getOrElse("buckets", "1024").toInt,
             spec.getOrElse("seed", "7").toLong)
         }
-      val pre: DataFrame => DataFrame = preDecontam.andThen(preDsir)
+      val preCdc: DataFrame => DataFrame =
+        if (c.streamCdcRef.isEmpty) identity
+        else { s =>
+          val spec = parseCdcSpec(c.streamCdcRef)
+          val ref = DataStoreIO.read(spark, spec("ref"),
+            DataStoreIO.ReadOptions())
+          StreamRunner.streamingCdcDedupAgainst(s,
+            spec.getOrElse("text", "text"), ref,
+            spec.getOrElse("refText", spec.getOrElse("text", "text")),
+            spec.getOrElse("max", "0").toInt)
+        }
+      val pre: DataFrame => DataFrame =
+        preDecontam.andThen(preCdc).andThen(preDsir)
       val post: DataFrame => DataFrame =
         if (c.streamSessions.isEmpty) identity
         else { s =>

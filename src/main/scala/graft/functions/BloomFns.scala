@@ -60,6 +60,12 @@ object BloomFns {
   def bloomMightContain(bf: Broadcast[Array[Byte]], h: Column): Column =
     Bridge.column(BloomBroadcastProbe(Bridge.expression(h), bf))
 
+  /** Count of a long-array column's elements probing TRUE against a
+    * broadcast filter — one native call, no per-element lambda (see
+    * [[BloomBroadcastProbeCount]]). */
+  def bloomProbeCount(bf: Broadcast[Array[Byte]], hashes: Column): Column =
+    Bridge.column(BloomBroadcastProbeCount(Bridge.expression(hashes), bf))
+
   /** Broadcast the filter bytes built by [[bloomAgg]] for use with the
     * broadcast [[bloomMightContain]] overload. NULL bytes broadcast fine
     * (probes are then constant-false). */
@@ -102,6 +108,45 @@ case class BloomBroadcastProbe(child: Expression, bf: Broadcast[Array[Byte]])
     copy(child = newChild)
 }
 
+/** `bloom_bcast_probe_count(hashes)` — how many elements of a
+  * `array<bigint>` column probe TRUE against a broadcast serialized
+  * bloom filter, in one generated-code call. Replaces the
+  * `size(filter(arr, h -> mightContain(h)))` composition on streaming
+  * hot paths: Spark's array `filter` is CodegenFallback (a boxed lambda
+  * call per element) and materializes the surviving array just to take
+  * its length. NULL array → NULL; NULL elements are skipped; an empty
+  * broadcast (null bytes) counts zero — all matching the composed
+  * form's behavior under `filter(...)`. */
+case class BloomBroadcastProbeCount(child: Expression,
+                                    bf: Broadcast[Array[Byte]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_bcast_probe_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bcast_probe_count needs array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(arr: Any): Any =
+    BloomProbeOps.countContained(bf,
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcast", bf,
+      classOf[Broadcast[Array[Byte]]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomProbeOps.countContained($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BloomProbeOps {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, AnyRef]()
@@ -123,5 +168,20 @@ object BloomProbeOps {
     filterFor(b) match {
       case f: org.apache.spark.util.sketch.BloomFilter => f.mightContainLong(h)
       case _ => false
+    }
+
+  /** Count of array elements probing true; null elements skipped. */
+  def countContained(b: Broadcast[Array[Byte]],
+                     arr: org.apache.spark.sql.catalyst.util.ArrayData): Int =
+    filterFor(b) match {
+      case f: org.apache.spark.util.sketch.BloomFilter =>
+        var c = 0; var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i) && f.mightContainLong(arr.getLong(i))) c += 1
+          i += 1
+        }
+        c
+      case _ => 0
     }
 }

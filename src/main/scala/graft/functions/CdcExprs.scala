@@ -143,6 +143,24 @@ final class CdcChunker(val k: Int, val d: Int, val seed: Long)
     new GenericArrayData(out.toArray(new Array[InternalRow](out.size)))
   }
 
+  /** The 60-bit md5-prefix value of each chunk's text, in document
+    * order — the long-typed chunk identity for bloom probes. Batch-side
+    * equivalent of `conv(substring(fp, 1, 15), 16, 10)` over [[chunk]]'s
+    * string fingerprints (same digest, same prefix bits). */
+  def chunkHashes(tokens: ArrayData): ArrayData = {
+    val full = chunk(tokens)
+    if (full == null) return null
+    val n = full.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val fpHex = full.getStruct(i, 2).getUTF8String(0).toString
+      out(i) = java.lang.Long.parseLong(fpHex.substring(0, 15), 16)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Re-chunk and re-join, skipping chunks whose 0-based index is in
     * `drops`: `struct(clean_text, n_kept)`. Same boundary walk as
     * [[chunk]]. */
@@ -242,11 +260,46 @@ case class CdcScrub(left: Expression, right: Expression, k: Int, d: Int,
     copy(left = newLeft, right = newRight)
 }
 
+/** `cdc_chunk_hashes(tokens)` — the long-typed chunk identities (60-bit
+  * md5-prefix of each chunk's text) as `array<bigint>`, for bloom-probe
+  * filters; see [[CdcChunker.chunkHashes]]. */
+case class CdcChunkHashes(child: Expression, k: Int, d: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunk_hashes needs array<string> tokens, got ${other.sql}")
+  }
+
+  @transient private lazy val chunker = new CdcChunker(k, d, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    chunker.chunkHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("cdcChunker", chunker,
+      classOf[CdcChunker].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $c.chunkHashes($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CdcF {
   /** Content-defined chunks `(fp, n_toks)*` of a token array (see
     * [[CdcChunks]]). */
   def cdcChunks(tokens: Column, k: Int, d: Int, seed: Long): Column =
     Bridge.column(CdcChunks(Bridge.expression(tokens), k, d, seed))
+
+  /** Long chunk identities for bloom probes (see [[CdcChunkHashes]]). */
+  def cdcChunkHashes(tokens: Column, k: Int, d: Int, seed: Long): Column =
+    Bridge.column(CdcChunkHashes(Bridge.expression(tokens), k, d, seed))
 
   /** Row-local duplicated-chunk removal (see [[CdcScrub]]). */
   def cdcScrub(tokens: Column, dropIdx: Column, k: Int, d: Int,

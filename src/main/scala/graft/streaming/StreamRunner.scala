@@ -349,7 +349,7 @@ object StreamRunner {
                             n: Int = 8, estBenchGrams: Long = 1L << 20,
                             bitsPerItem: Int = 8): DataFrame = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{explode, size, filter => arrFilter}
+    import org.apache.spark.sql.functions.explode
     import graft.llm.TextAnalysis.{normText, wsTokens}
     def grams(c: Column): Column =
       graft.functions.ShingleF.shingleHashes(wsTokens(normText(c)), n)
@@ -361,11 +361,57 @@ object StreamRunner {
     if (bloomBytes == null) stream // empty benchmark: nothing can match
     else {
       // broadcast once before the stream starts; every micro-batch's task
-      // plans carry only the handle, not the filter bytes
+      // plans carry only the handle, not the filter bytes. The probe is
+      // one native count call over the gram array — the former
+      // size(filter(...)) composition was CodegenFallback per gram on
+      // this hot per-row path.
       val bloomBcast = graft.functions.BloomFns.broadcastBloom(
         stream.sparkSession, bloomBytes)
-      stream.filter(size(arrFilter(grams(col(textCol)),
-        g => graft.functions.BloomFns.bloomMightContain(bloomBcast, g))) === 0)
+      stream.filter(graft.functions.BloomFns.bloomProbeCount(
+        bloomBcast, grams(col(textCol))) === 0)
+    }
+  }
+
+  /** Streaming CDC ingest filter: drop stream rows sharing more than
+    * `maxShared` content-defined CHUNKS with a STATIC reference corpus
+    * (the retained training set) — the edit-robust member of the
+    * ingest-dedup family: [[streamingDedupAgainst]] catches verbatim and
+    * near-token-multiset copies, this catches prefix/insert-edited
+    * near-copies whose every whole-document signature changed, because
+    * CDC chunk identities re-align one boundary past an edit
+    * ([[graft.llm.Cdc]]).
+    *
+    * STATELESS and CONSERVATIVE, exactly like [[streamingContamFilter]]:
+    * the reference corpus's chunk identities build ONE bloom filter at
+    * plan time (no false negatives — an edited copy sharing chunks never
+    * slips through), probed per row as a single native count over the
+    * row's own chunk hashes; a false positive may over-drop at the
+    * configured rate. The batch operator
+    * ([[graft.llm.Cdc.sharedPairs]]) restores exactness offline. An
+    * empty reference keeps everything. */
+  def streamingCdcDedupAgainst(stream: DataFrame, textCol: String,
+                               ref: DataFrame, refTextCol: String,
+                               maxShared: Int = 0, k: Int = 3, d: Int = 8,
+                               seed: Long = 7L,
+                               estRefChunks: Long = 1L << 20,
+                               bitsPerItem: Int = 8): DataFrame = {
+    require(maxShared >= 0,
+      s"streamingCdcDedupAgainst: maxShared must be >= 0, got $maxShared")
+    import org.apache.spark.sql.functions.explode
+    import graft.llm.TextAnalysis.{normText, wsTokens}
+    def hashes(c: org.apache.spark.sql.Column) =
+      graft.functions.CdcF.cdcChunkHashes(wsTokens(normText(c)), k, d, seed)
+    val bloomBytes = ref
+      .select(explode(hashes(col(refTextCol))).as("h")).distinct()
+      .agg(graft.functions.BloomFns.bloomAgg(col("h"),
+        estRefChunks, estRefChunks * bitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) stream
+    else {
+      val bloomBcast = graft.functions.BloomFns.broadcastBloom(
+        stream.sparkSession, bloomBytes)
+      stream.filter(graft.functions.BloomFns.bloomProbeCount(
+        bloomBcast, hashes(col(textCol))) <= maxShared)
     }
   }
 

@@ -145,6 +145,33 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDC dedup-against drops edited near-copies of retained docs") {
+    val dir = Files.createTempDirectory("graft-cdcagainst").toString
+    val retainedText = "the fast key order sort table scan merge part " +
+      "window small hash scan join order batch batch batch stream"
+    // stream: an edited (prefixed) near-copy, a verbatim copy, a fresh doc
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      s"""{"id":1,"text":"zz yy xx $retainedText"}
+         |{"id":2,"text":"$retainedText"}
+         |{"id":3,"text":"completely different unrelated words with zero overlap at all"}""".stripMargin)
+    val ref = Seq((100L, retainedText)).toDF("doc_id", "text")
+    val stream = spark.readStream.schema("id LONG, text STRING")
+      .json(dir)
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingCdcDedupAgainst(stream, "text", ref, "text"),
+      "append")
+    val kept = out.collect().map(_.getAs[Long]("id")).toSet
+    // both the verbatim copy AND the prefix-edited copy share chunks
+    // with the retained doc (the edit-robustness fixed signatures lack);
+    // the fresh doc passes
+    assert(kept == Set(3L))
+    // empty reference keeps everything
+    val all = StreamRunner.collectStream(
+      StreamRunner.streamingCdcDedupAgainst(stream, "text",
+        ref.filter(lit(false)), "text"), "append")
+    assert(all.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+  }
+
   test("classify serves a linear model in stream mode, batch-parity") {
     val dir = Files.createTempDirectory("graft-clf").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/v.jsonl"),
@@ -456,6 +483,28 @@ class StreamParitySpec extends AnyFunSuite {
     // flag validation: decontam-bench without --stream is rejected
     intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
       Array("--input-uri", dir, "--stream-decontam-bench", benchDir)))
+  }
+
+  test("process --stream --stream-cdc-ref drops chunk-sharing rows before the DFL stages") {
+    val retained = "the fast key order sort table scan merge part " +
+      "window small hash scan join order batch batch batch stream"
+    val refDir = Files.createTempDirectory("graft-pccref").toString
+    Files.writeString(java.nio.file.Paths.get(s"$refDir/ref.jsonl"),
+      s"""{"doc_id":100,"text":"$retained"}""")
+    val dir = Files.createTempDirectory("graft-pccs").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      s"""{"text":"zz yy xx $retained","id":1}
+         |{"text":"completely different unrelated words with zero overlap at all","id":2}""".stripMargin)
+    val c = graft.cli.ProcessCli.Config(inputUri = dir, inputFormat = "jsonl",
+      dfl = "map(@, '{id: @id}')", stream = true,
+      streamCdcRef = s"ref=$refDir/ref.jsonl")
+    val out = graft.cli.ProcessCli.run(spark, c)
+    assert(out.select("id").as[Long].collect().toSet == Set(2L))
+    // flag validation: cdc-ref without --stream is rejected; missing ref too
+    intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
+      Array("--input-uri", dir, "--stream-cdc-ref", s"ref=$refDir/ref.jsonl")))
+    intercept[IllegalArgumentException](graft.cli.ProcessCli.parseArgs(
+      Array("--input-uri", dir, "--stream", "--stream-cdc-ref", "text=t;max=1")))
   }
 
   test("streaming near-dedup collapses same-token-multiset records by simhash") {
