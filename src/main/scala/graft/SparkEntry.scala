@@ -546,6 +546,8 @@ object SparkEntry {
     // the oracle mirrors)
     "dfl_cdc_pairs" -> ((s, dir) => DflFrame.pipeline(
       cdcPlanted(t(s, dir, "documents")), "cdcPairs(@, '@doc_id', '@text')")),
+    "dfl_cdc_scrub" -> ((s, dir) => DflFrame.pipeline(
+      cdcPlanted(t(s, dir, "documents")), "cdcScrub(@, '@doc_id', '@text')")),
     "dfl_source_filter" -> ((s, dir) => DflFrame.pipeline(
       spamPlanted(t(s, dir, "documents")),
       "sourceFilter(@, '@doc_id', '@text', '@source')")),
@@ -1075,6 +1077,28 @@ object SparkEntry {
       llm.Sampling.sampleByHash(mixed, "doc_id", 0.5, seed = 11)
         .select(col("doc_id"),
           llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"))
+    }),
+    // tokenizer round-trip: decode(segment(text, merges)) must equal the
+    // normalized text for EVERY document and ANY merge table (BPE merges
+    // only concatenate) — a hard value oracle with no contract rows
+    "bpe_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = llm.Bpe.learnMerges(docs, "text", 8)
+      llm.Bpe.decode(
+        llm.Bpe.segment(docs, "doc_id", "text", merges), "id", "pieces")
+    }),
+    // Matryoshka-style truncated-dimension serving: exact top-k over the
+    // FIRST 16 of 64 embedding dims — the cheap-first-stage retrieval an
+    // MRL-trained embedding enables; exact, so the oracle is the sliced
+    // brute force
+    "ann_truncated_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+        .map(_.toDouble).take(16)
+      llm.Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16")),
+        "vec_id", "emb16", q, 10)
     }),
     "pipeline_tokenized_corpus" -> ((s, dir) => {
       // raw documents → MODEL INPUT in one plan: the train-corpus chain
@@ -2317,25 +2341,9 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
          |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          | GROUP BY 1, 2""".stripMargin,
-    "dedup_cdc_scrub" ->
-      s"""WITH $cdcPlantedCorpusSql,
-         |$cdcChunkCtes,
-         |dup AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM chunks GROUP BY 1)
-         |         WHERE c > 1),
-         |keptch AS (SELECT c.doc_id, c.chunk_idx
-         |             FROM chunks c WHERE c.fp NOT IN (SELECT fp FROM dup)),
-         |toku AS (SELECT ch.doc_id, ch.i, ch.w, ch.cid FROM ch),
-         |kept AS (SELECT t.doc_id, t.i, t.w
-         |           FROM toku t JOIN keptch k
-         |             ON t.doc_id = k.doc_id AND t.cid = k.chunk_idx)
-         |SELECT c0.doc_id AS id,
-         |       coalesce(kk.clean_text, '') AS clean_text,
-         |       coalesce(kk.n_kept, 0) AS n_kept
-         |  FROM corpus c0
-         |  LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
-         |                    count(*)::BIGINT AS n_kept
-         |               FROM kept GROUP BY 1) kk
-         |    ON c0.doc_id = kk.doc_id""".stripMargin,
+    "dedup_cdc_scrub" -> cdcScrubSql,
+    "dfl_cdc_scrub" -> cdcScrubSql,
+
     "dfl_cdc_pairs" ->
       s"""WITH $cdcPlantedCorpusSql,
          |$cdcChunkCtes,
@@ -2431,6 +2439,20 @@ object SparkEntry {
          |  FROM z""".stripMargin
     },
     "bpe_learn" -> "SELECT true AS merges_exact, true AS corpus_ok",
+    // the round-trip law: decode ∘ segment = normalize, merge-table-free
+    "bpe_decode" ->
+      """SELECT doc_id AS id,
+        |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
+        |  FROM documents""".stripMargin,
+    "ann_truncated_topk" ->
+      """WITH q AS (SELECT list_slice(embedding, 1, 16) AS qv
+        |             FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(
+        |         CAST(list_slice(e.embedding, 1, 16) AS DOUBLE[]),
+        |         CAST(q.qv AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q
+        | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
     "pipeline_curation" ->
       s"""WITH $containmentCtes,
          |surv AS (SELECT * FROM documents
@@ -2954,6 +2976,28 @@ object SparkEntry {
          |       CAST(min($c) AS VARCHAR) AS min_str,
          |       CAST(max($c) AS VARCHAR) AS max_str FROM documents""".stripMargin)
       .mkString("\nUNION ALL\n")
+
+  /** Duplicated-chunk scrub over the planted CDC corpus — shared by the
+    * Scala-API and DFL-dispatch rows. */
+  private lazy val cdcScrubSql: String =
+      s"""WITH $cdcPlantedCorpusSql,
+         |$cdcChunkCtes,
+         |dup AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM chunks GROUP BY 1)
+         |         WHERE c > 1),
+         |keptch AS (SELECT c.doc_id, c.chunk_idx
+         |             FROM chunks c WHERE c.fp NOT IN (SELECT fp FROM dup)),
+         |toku AS (SELECT ch.doc_id, ch.i, ch.w, ch.cid FROM ch),
+         |kept AS (SELECT t.doc_id, t.i, t.w
+         |           FROM toku t JOIN keptch k
+         |             ON t.doc_id = k.doc_id AND t.cid = k.chunk_idx)
+         |SELECT c0.doc_id AS id,
+         |       coalesce(kk.clean_text, '') AS clean_text,
+         |       coalesce(kk.n_kept, 0) AS n_kept
+         |  FROM corpus c0
+         |  LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+         |                    count(*)::BIGINT AS n_kept
+         |               FROM kept GROUP BY 1) kk
+         |    ON c0.doc_id = kk.doc_id""".stripMargin
 
   /** CDC chunk table over a CTE named `corpus(doc_id, text)` — the
     * DuckDB replay of [[graft.functions.CdcChunks]] (k=3, d=8, seed=7):

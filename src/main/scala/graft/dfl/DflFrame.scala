@@ -108,7 +108,7 @@ object DflFrame {
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
-      "cdcChunks", "cdcPairs", "sourceFilter",
+      "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -571,6 +571,17 @@ object DflFrame {
           graft.llm.Dedup.clusterSurvivors(base, "__gid", pairs)
             .drop("__gid", "__gtext")
         else graft.llm.Dedup.survivors(base, "__gid", pairs).drop("__gid", "__gtext")
+
+      case "cdcScrub" =>
+        // `cdcScrub(@, '@id', '@text'[, k, d, seed])` — remove every
+        // corpus-duplicated content-defined chunk and rebuild each
+        // document row-locally (llm.Cdc.scrubDupChunks); whole-dataset
+        // (the dup decision), hence stream-fenced.
+        val base = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
+        val k = if (args.size > 3) intArg(3) else 3
+        val d = if (args.size > 4) intArg(4) else 8
+        val seed = if (args.size > 5) numArg(5).toLong else 7L
+        graft.llm.Cdc.scrubDupChunks(base, "__gid", "__gtext", k, d, seed)
 
       case "cdcChunks" | "cdcPairs" =>
         // `cdcChunks(@, '@id', '@text'[, k, d, seed])` — content-defined

@@ -120,6 +120,31 @@ object Bpe {
       TextAnalysis.wsTokens(TextAnalysis.normText(textCol)),
       merges.map(m => (m.left, m.right)))
 
+  /** Decode a space-joined pieces rendering (the [[segment]] output)
+    * back to text: `</w>` marks a word end, all other piece breaks are
+    * intra-word. MERGE-INDEPENDENT — BPE merges only ever concatenate,
+    * so `decode(segment(text, anyMerges)) == normText(text)` for every
+    * merge table (the round-trip law the oracle row checks corpus-wide).
+    * Caveat: a corpus whose words contain the literal `</w>` marker or
+    * `\u0001` would corrupt (normText keeps both); real tokenizers
+    * escape markers — out of scope here, documented. */
+  def decodeCol(piecesCol: Column): Column = {
+    import org.apache.spark.sql.functions.{replace => strReplace}
+    // word breaks -> \u0001, drop intra-word breaks, restore spaces,
+    // strip the final word's trailing marker
+    strReplace(
+      strReplace(
+        strReplace(
+          strReplace(piecesCol, lit("</w> "), lit("\u0001")),
+          lit(" "), lit("")),
+        lit("\u0001"), lit(" ")),
+      lit("</w>"), lit(""))
+  }
+
+  /** `(id, decoded)` — [[decodeCol]] over a segmented frame. */
+  def decode(df: DataFrame, idCol: String, piecesCol: String): DataFrame =
+    df.select(col(idCol).as("id"), decodeCol(col(piecesCol)).as("decoded"))
+
   /** Segment documents with a learned merge list. Returns
     * (id, n_pieces, pieces) with pieces space-joined and `</w>` markers
     * kept (the round-trippable rendering); documents with no tokens

@@ -48,7 +48,7 @@ object StreamRunner {
     // cdcPairs self-joins the corpus' chunk table; sourceFilter derives
     // its blocklist from whole-corpus per-source stats (cdcChunks is
     // row-local and therefore deliberately NOT fenced)
-    "cdcPairs", "sourceFilter",
+    "cdcPairs", "cdcScrub", "sourceFilter",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -376,6 +376,26 @@ class LlmSpec extends AnyFunSuite {
     out.unpersist(); ()
   }
 
+  test("BPE decode inverts segment for any merge table (round-trip law)") {
+    val texts = Seq("low lower newest widest", "aaa aaaa a", "x  y\tz",
+      "héllo hé llo", "a😀b 😀😀", "single")
+    val df = texts.zipWithIndex.map { case (t2, i) => (i.toLong, t2) }
+      .toDF("doc_id", "text")
+    val tables = Seq(
+      Seq.empty[Bpe.Merge],
+      Seq(Bpe.Merge(0, "a", "a", 1)),
+      Seq(Bpe.Merge(0, "e", "s", 9), Bpe.Merge(1, "es", "t</w>", 9),
+        Bpe.Merge(2, "l", "o", 7), Bpe.Merge(3, "e", "w", 6)))
+    for (tm <- tables) {
+      val rt = Bpe.decode(Bpe.segment(df, "doc_id", "text", tm), "id", "pieces")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = df.select(col("doc_id"),
+        TextAnalysis.normText(col("text"))).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rt == want, s"round-trip broke under $tm")
+    }
+  }
+
   test("DSIR fit is total on an empty source OR target (no NULL log-ratios)") {
     // r12 advice: ns was un-coalesced, so an empty SOURCE nulled every
     // bucket's lr and scoreWith went silently empty; both totals now
