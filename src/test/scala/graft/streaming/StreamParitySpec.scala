@@ -137,6 +137,7 @@ class StreamParitySpec extends AnyFunSuite {
     assert(stream == batch && batch.nonEmpty)
     // the whole-dataset CDC/source stages stay fenced
     for (bad <- Seq("cdcPairs(@, '@id', '@text')",
+        "cdcScrub(@, '@id', '@text')",
         "sourceFilter(@, '@id', '@text', '@text')")) {
       val e = intercept[IllegalArgumentException] {
         StreamRunner.runOnce(spark, dir, "jsonl", bad)
