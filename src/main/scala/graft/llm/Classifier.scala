@@ -69,13 +69,12 @@ object Classifier {
       while (it < iters) {
         val err = sigmoid(graft.functions.VectorF.dot(col("x"),
           typedLit(w.toSeq))) - col("y")
-        val grad = data
-          .select(err.as("e"), posexplode(col("x")))
-          .groupBy("pos").agg(sum(col("e") * col("col")).as("g"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        w = w.zipWithIndex.map { case (wi, d) =>
-          wi - lr / n * grad.getOrElse(d, 0.0)
-        }
+        // the whole gradient as ONE array-buffered aggregation
+        // (VecSumAgg: Σ err·x with map-side partials) — the r12 shape
+        // exploded dim+1 rows per record and shuffled per-dimension keys
+        val grad = data.agg(graft.functions.VecAggF.vecSum(col("x"), err))
+          .head().getSeq[Double](0)
+        w = w.zipWithIndex.map { case (wi, d) => wi - lr / n * grad(d) }
         it += 1
       }
       LrModel(w.init, w.last)

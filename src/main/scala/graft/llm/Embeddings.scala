@@ -24,29 +24,24 @@ object Embeddings {
   /** Mean-pool embeddings per group — the chunk→document step: long
     * documents embed as chunks ([[TextAnalysis.chunkTokens]]), retrieval
     * wants one vector per document, and the per-dimension mean is the
-    * standard pooling. One posexplode (map-local, no shuffle) + ONE
-    * hash aggregation on (group, dim) + one reassembly aggregation on
-    * group; the reassembly sorts the ≤d (dim, avg) pairs row-locally
-    * via `sort_array(struct(pos, v))` — the same engine-exact ordering
-    * trick tokenizeIds uses — so the output vector is deterministic at
-    * any parallelism. Components round to 6 for cross-engine compare
-    * (float summation order sits far below that at corpus scale).
+    * standard pooling. ONE hash aggregation on group via the native
+    * array-buffered [[graft.functions.VecSumAgg]] — no explode, no
+    * dimension-multiplied shuffle, no reassembly pass. Components round
+    * to 6 for cross-engine compare (float summation order sits far
+    * below that at corpus scale).
     * Returns (groupCol, pooled array<double>, n_chunks). */
-  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
-    val dims = df.select(col(groupCol),
-      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-    dims.groupBy(groupCol, "__pos")
-      .agg(avg(col("__v")).as("__avg"),
-        count(lit(1)).as("__n"))
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    // ONE aggregation buffered as a single array per group (the native
+    // VecSumAgg): map-side partials fold each partition to one array, so
+    // the shuffle carries |groups| arrays instead of |groups|·dim rows —
+    // the r13 replacement for the posexplode → (group, dim) → group
+    // two-aggregation chain, value-identical at the rounded-6 rendering.
+    // Empty/null vectors don't contribute (explode parity), and a group
+    // with no contributing rows disappears like its exploded-form self.
+    df.filter(size(col(vecCol)) > 0)
       .groupBy(groupCol)
-      .agg(
-        transform(
-          sort_array(collect_list(struct(col("__pos"), col("__avg")))),
-          p => round(p.getField("__avg"), 6)).as("pooled"),
-        // every dimension sees every chunk, so any dim's count is the
-        // chunk count; max() keeps it one aggregation
-        max(col("__n")).as("n_chunks"))
-  }
+      .agg(graft.functions.VecAggF.vecMean(col(vecCol), 6).as("pooled"),
+        count(lit(1)).as("n_chunks"))
 
   /** PCA model: per-dimension mean, row-major basis (k × d, rows =
     * components, descending eigenvalue), eigenvalues (sample variances
