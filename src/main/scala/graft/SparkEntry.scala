@@ -1121,6 +1121,9 @@ object SparkEntry {
         sampled.withColumn("n_tok",
           llm.TextAnalysis.tokenCountWs(col("text")).cast("long")),
         "doc_id", "lang", "n_tok", budget = 2000L, seed = 7L)
+        // consumed TWICE below (vocab build + tokenization) — truncate
+        // lineage so the dedup/decontam chain runs once, not per branch
+        .localCheckpoint()
       llm.TextAnalysis.tokenizeIds(capped, "doc_id", "text",
         llm.TextAnalysis.vocabulary(capped, "text", topV = 100))
     }),
