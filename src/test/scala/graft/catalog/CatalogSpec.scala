@@ -112,6 +112,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(picked == Set(1L, 2L), s"target-like source docs must win: $picked")
   }
 
+  test("cdc scrub service: duplicated chunks removed through the catalog exec path") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val c = fixtureCatalog(dir)
+    val shared = "the fast key order sort table scan merge part " +
+      "window small hash scan join order batch batch batch stream"
+    Files.writeString(Paths.get(s"$dir/corpus.jsonl"),
+      s"""{"id":1,"text":"$shared"}
+         |{"id":2,"text":"zz yy xx $shared"}
+         |{"id":3,"text":"completely different unrelated words with zero overlap at all"}""".stripMargin)
+    c.add(DataStore("ws", "corpstore", s"'$dir/corpus.jsonl'"))
+    c.add(Process("cdcclean", "cdcScrub(@, '@id', '@text')"))
+    c.add(Service("cdcsvc", "corpstore", "cdcclean"))
+    val exec = new Exec(spark, c)
+    val out = exec.serviceExec("cdcsvc").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // docs 1 and 2 share all realigned chunks -> scrubbed to (almost)
+    // nothing; doc 3 keeps every token
+    assert(out(3L) == 9L, s"unique doc must keep all tokens: $out")
+    assert(out(1L) == 0L && out(2L) <= 3L,
+      s"shared chunks must scrub from both copies: $out")
+  }
+
   test("job exec: job variables beat service defaults; output written") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val exec = new Exec(spark, fixtureCatalog(dir))
