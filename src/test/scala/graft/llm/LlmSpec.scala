@@ -1625,6 +1625,36 @@ class LlmSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
       assert(Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", qs, 3)
         .collect().length == 6)
+      // round-13 expressions: BPE full-table segmenter, DSIR scorer,
+      // CDC chunk/scrub/hash family, deflate ratio, bloom array probe
+      val few13 = docs.limit(10)
+      assert(few13.select(Bpe.segmentCol(col("text"),
+        Seq(Bpe.Merge(0, "t", "h", 1)))).collect().length == 10)
+      assert(few13.select(graft.functions.DsirF.dsirScore(
+        TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
+        Array.fill(16)(0.5), 7L, 16)).collect().length == 10)
+      assert(Cdc.chunks(few13, "doc_id", "text").collect().nonEmpty)
+      assert(Cdc.scrubDupChunks(few13, "doc_id", "text")
+        .collect().length == 10)
+      assert(few13.select(graft.functions.CdcF.cdcChunkHashes(
+        TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
+        3, 8, 7L)).collect().length == 10)
+      assert(TextAnalysis.compressionStats(few13, "doc_id", "text")
+        .collect().length == 10)
+      val bloom = few13
+        .select(explode(graft.functions.CdcF.cdcChunkHashes(
+          TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
+          3, 8, 7L)).as("h"))
+        .agg(graft.functions.BloomFns.bloomAgg(col("h"), 1000, 8000))
+        .head().getAs[Array[Byte]](0)
+      val bc = graft.functions.BloomFns.broadcastBloom(spark, bloom)
+      assert(few13.select(graft.functions.BloomFns.bloomProbeCount(bc,
+        graft.functions.CdcF.cdcChunkHashes(
+          TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
+          3, 8, 7L))).collect().forall(_.getInt(0) > 0))
+      assert(few13.groupBy("lang")
+        .agg(graft.functions.VecAggF.vecMean(
+          array(col("n_chars").cast("double")), 6)).collect().nonEmpty)
     } finally {
       prevFactory.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
       prevFallback.fold(spark.conf.unset(fallback))(spark.conf.set(fallback, _))
