@@ -59,7 +59,15 @@ case class CdcChunks(child: Expression, k: Int, d: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = ctx.addReferenceObj("cdcChunker", chunker,
       classOf[CdcChunker].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $c.chunk($a);")
+    // chunk() returns null on a null token element — mirror BpeSegmentAll:
+    // propagate that as SQL NULL so codegen matches interpreted eval.
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("chunked")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $c.chunk($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -252,7 +260,14 @@ case class CdcScrub(left: Expression, right: Expression, k: Int, d: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = ctx.addReferenceObj("cdcChunker", chunker,
       classOf[CdcChunker].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $c.scrub($a, $b);")
+    // scrub() returns null on a null token element — propagate as SQL NULL.
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("scrubbed")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r = $c.scrub($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -265,6 +280,9 @@ case class CdcScrub(left: Expression, right: Expression, k: Int, d: Int,
   * filters; see [[CdcChunker.chunkHashes]]. */
 case class CdcChunkHashes(child: Expression, k: Int, d: Int, seed: Long)
     extends UnaryExpression {
+
+  require(k >= 1, s"cdc_chunk_hashes: k must be >= 1, got $k")
+  require(d >= 1, s"cdc_chunk_hashes: d must be >= 1, got $d")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -284,7 +302,14 @@ case class CdcChunkHashes(child: Expression, k: Int, d: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = ctx.addReferenceObj("cdcChunker", chunker,
       classOf[CdcChunker].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $c.chunkHashes($a);")
+    // chunkHashes() returns null on a null token element — propagate.
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("hashes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $c.chunkHashes($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -48,6 +48,10 @@ object DeflateRatioOps {
   // Deflater is stateful and allocation-heavy — one per thread, reset
   // per row. Level 6 = zlib default; nowrap (raw deflate) keeps the
   // 2-byte zlib header/4-byte adler out of the short-text numerator.
+  // The instances are deliberately never end()ed: each holds a small
+  // fixed native zlib buffer for the life of its executor thread
+  // (bounded by pool size, ~256 KiB each) — cheaper than a native
+  // alloc/free per row, and finalization reclaims it at thread death.
   @transient private lazy val deflater =
     new ThreadLocal[java.util.zip.Deflater] {
       override def initialValue(): java.util.zip.Deflater =

@@ -159,49 +159,123 @@ object Pq {
     * and ADC-scores them — at 10⁹×64-dim that is ~8 GB of codes against
     * 256 GB of floats, probed at nprobe/kLists read amplification.
     * Codebooks/centroids persist as parquet sidecars, so the index is
-    * self-describing. This is the read-optimized shape; the
-    * crash/retry-safe append lifecycle lives with the float IVF index —
-    * rebuild this one from it on retrain cadence. */
+    * self-describing.
+    *
+    * Same lifecycle contract as the float indexes: the whole layout
+    * (vectors + both sidecars) lands through [[Similarity.stagedCommit]]
+    * — a crash anywhere leaves the previous index untouched, and a
+    * reader never sees a half-written dir — and the list partitions are
+    * salt-clustered ([[Similarity.clusteredWrite]]) so [[Similarity
+    * .compactIndex]] / [[Similarity.compactionDue]] (method "ivfpq")
+    * bound the append-path read amplification. Grow it with
+    * [[ivfPqAppend]]; retrain via a fresh build on drift cadence
+    * (monitor [[Similarity.ivfListStats]]). */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
                  indexDir: String, kLists: Int = 64, m: Int = 8,
                  k: Int = 64, trainSample: Int = 4096): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val centroids = Similarity.trainCentroids(df, idCol, vecCol, kLists, trainSample)
     val model = pqTrain(df, idCol, vecCol, m, k, trainSample)
-    Similarity.ivfAssign(df, idCol, vecCol, centroids)
-      .select(col("id"), col("list"), codesCol("v", model).as("codes"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$indexDir/data")
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("i", "vec").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    (for { mi <- 0 until m; ki <- 0 until k }
-      yield (mi, ki, model.codebooks(mi)(ki).toSeq)).toDF("m", "k", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    Similarity.stagedCommit(spark, indexDir) { staging =>
+      Similarity.clusteredWrite(
+          Similarity.ivfAssign(df, idCol, vecCol, centroids)
+            .select(col("id"), col("list"), codesCol("v", model).as("codes")),
+          "list", kLists)
+        .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
+      Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
+      writeCodebooks(spark, s"$staging/codebooks", model)
+    }
   }
 
-  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
-                            indexDir: String): (Array[Array[Double]], PqModel) = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val cb = spark.read.parquet(s"$indexDir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = cb.map(_._1).max + 1
-    val k = cb.map(_._2).max + 1
-    val books = Array.ofDim[Array[Double]](m, k)
-    cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
-    (cents, PqModel(m, k, books(0)(0).length, books))
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, model: PqModel): Unit = {
+    import spark.implicits._
+    (for { mi <- 0 until model.m; ki <- 0 until model.k }
+      yield (mi, ki, model.codebooks(mi)(ki).toSeq)).toDF("m", "k", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** APPEND rows to a built IVF+PQ index WITHOUT retraining: encode the
+    * new rows with the FROZEN codebooks, assign them to the FROZEN
+    * coarse centroids, and move the m-byte code rows into the list
+    * partitions via the same crash/retry-safe [[Similarity.stagedAppend]]
+    * commit the float indexes use — a retried or replayed append of the
+    * same file-backed batch (or the same explicit `appendId`) is a
+    * no-op, never a double-append, and readers stay safe throughout (no
+    * existing file is removed or rewritten). Cost is one pass over the
+    * NEW rows only.
+    *
+    * DRIFT BOUND, compounded: beyond the frozen-centroid recall drift of
+    * [[Similarity.ivfAppend]], the frozen CODEBOOKS quantize drifted
+    * appends with growing reconstruction error — ADC scores degrade
+    * before list assignment does. Rebuild on retrain cadence; the skew
+    * monitor ([[Similarity.ivfListStats]] / [[Similarity.ivfSkew]])
+    * reads this index's list column the same way. */
+  def ivfPqAppend(df: DataFrame, idCol: String, vecCol: String,
+                  indexDir: String, appendId: Option[String] = None): Unit = {
+    val sess = df.sparkSession
+    val (centroids, model, vectors) = ivfPqMeta(sess, indexDir)
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .select(col("id"), col("list"), codesCol("v", model).as("codes"))
+    // schema fence, as ivfAppend: a drifted id type would strand the
+    // index with unmergeable parquet footers (codes are always
+    // array<tinyint> by construction)
+    require(assigned.schema("id").dataType.sql == vectors.schema("id").dataType.sql,
+      s"ivfPqAppend: column 'id' type ${assigned.schema("id").dataType.sql} != " +
+        s"index type ${vectors.schema("id").dataType.sql}")
+    Similarity.healStrandedAppends(sess, indexDir)
+    Similarity.stagedAppend(sess, indexDir,
+        appendId.getOrElse(Similarity.appendBatchId(df))) { staging =>
+      Similarity.clusteredWrite(assigned, "list", centroids.length)
+        .write.mode("overwrite").partitionBy("list")
+        .parquet(s"$staging/vectors")
+    }
+  }
+
+  /** Driver-memoized IVFPQ index state (centroids + codebooks + resolved
+    * vectors DataFrame) — the [[Similarity]] ivfMeta pattern: warm probe
+    * planning touches no Spark job; the pure FS-metadata stamp over the
+    * sidecars AND the vectors dir's top-level listing invalidates on any
+    * rebuild, append (`_append-<id>` marker changes the path set), or
+    * compaction. */
+  private val ivfPqMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Array[Array[Double]], PqModel, DataFrame))]()
+
+  private def ivfPqMeta(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String)
+      : (Array[Array[Double]], PqModel, DataFrame) = {
+    val key = s"${Similarity.sessionTag(spark)}|$indexDir"
+    val stamp = Similarity.sidecarStamp(spark, indexDir,
+      Seq("centroids", "codebooks", "vectors"))
+    val cached = ivfPqMetaCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val cents = Similarity.readCentroids(spark, indexDir)
+      val cb = spark.read.parquet(s"$indexDir/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val m = cb.map(_._1).max + 1
+      val k = cb.map(_._2).max + 1
+      val books = Array.ofDim[Array[Double]](m, k)
+      cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
+      val meta = (cents, PqModel(m, k, books(0)(0).length, books),
+        spark.read.parquet(s"$indexDir/vectors"))
+      Similarity.capCache(ivfPqMetaCache)
+      ivfPqMetaCache.put(key, (stamp, meta))
+      meta
+    }
   }
 
   /** IVF+PQ probe: nearest `nprobe` lists chosen driver-side against
-    * the centroid sidecar (zero Spark jobs), a partition-pruned read of
-    * those lists, ADC scoring, bounded-heap top-k. */
+    * the centroid sidecar (memoized — zero Spark jobs warm), a
+    * partition-pruned read of those lists, ADC scoring, bounded-heap
+    * top-k. */
   def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  query: Seq[Double], topK: Int, nprobe: Int = 8): DataFrame = {
-    val (centroids, model) = readIvfPqMeta(spark, indexDir)
+    val (centroids, model, vectors) = ivfPqMeta(spark, indexDir)
+    require(query.size == model.m * model.subDim,
+      s"ivfPqQuery: query dim ${query.size} != index dim ${model.m * model.subDim}")
     val lists = Similarity.nearestLists(centroids, query.toArray, nprobe)
-    val probe = spark.read.parquet(s"$indexDir/data")
+    val probe = vectors
       .filter(col("list").isin(lists.map(Integer.valueOf): _*))
     pqTopK(probe.select("id", "codes"), model, query, topK)
   }

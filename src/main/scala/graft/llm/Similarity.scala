@@ -373,7 +373,7 @@ object Similarity {
     * count stays `≈ max(values, shufflePartitions)` instead of their
     * product. The salt hashes the stable `id` column, keeping the write
     * deterministic under task retries. */
-  private def clusteredWrite(df: DataFrame, partCol: String,
+  private[llm] def clusteredWrite(df: DataFrame, partCol: String,
                              numValues: Int): DataFrame = {
     val tasks = df.sparkSession.sessionState.conf.numShufflePartitions
     val saltN = math.max(1, tasks / math.max(1, numValues))
@@ -396,7 +396,7 @@ object Similarity {
     * directory ([[newIndexDir]]) — explicit same-dir rebuilds via
     * [[ivfBuild]]/[[lshBuild]] are single-writer, reader-quiesced
     * operations by contract. */
-  private def stagedCommit(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def stagedCommit(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String)(write: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -520,7 +520,7 @@ object Similarity {
     * Appends remain single-writer operations per index dir (the same
     * contract as in-place rebuilds); readers stay safe throughout —
     * no existing file is removed or rewritten. */
-  private def stagedAppend(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def stagedAppend(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, id: String)
                           (stageWrite: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -642,7 +642,7 @@ object Similarity {
 
   /** The centroid sidecar write shared by [[ivfBuild]], [[ivfRetrain]],
     * and [[compactIndex]] — one place to evolve the format. */
-  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def writeCentroids(spark: org.apache.spark.sql.SparkSession,
                              dir: String,
                              centroids: Array[Array[Double]]): Unit = {
     import spark.implicits._
@@ -659,7 +659,7 @@ object Similarity {
     * appends land. A staging without `_COMMITTING` wrote nothing live
     * and is left alone — its owner either retries (overwriting it) or a
     * retention sweep collects it with the index dir. */
-  private def healStrandedAppends(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def healStrandedAppends(spark: org.apache.spark.sql.SparkSession,
                                   indexDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -829,7 +829,7 @@ object Similarity {
   def compactionDue(spark: org.apache.spark.sql.SparkSession,
                     indexDir: String, method: String): Boolean = {
     val numValues = method match {
-      case "ivf" => readCentroids(spark, indexDir).length
+      case "ivf" | "ivfpq" => readCentroids(spark, indexDir).length
       case "lsh" => 1 << lshMeta(spark, indexDir).pBits
       case other =>
         throw new IllegalArgumentException(s"compactionDue: unknown method $other")
@@ -871,7 +871,7 @@ object Similarity {
     * re-resolve-and-retry — so serving survives a concurrent rewrite. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String, method: String): CompactStats = {
-    require(method == "lsh" || method == "ivf",
+    require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"compactIndex: unknown method $method")
     // finish any crashed-but-committed append first: its rows must be
     // live (and its fence marker durable) before the rewrite snapshots
@@ -886,8 +886,14 @@ object Similarity {
     val vectors = spark.read.parquet(liveVec.toString)
     val lsh = if (method == "lsh") Some(lshMeta(spark, indexDir)) else None
     val centroids =
-      if (method == "ivf") readCentroids(spark, indexDir)
+      if (method == "ivf" || method == "ivfpq") readCentroids(spark, indexDir)
       else Array.empty[Array[Double]]
+    // ivfpq: the codebooks sidecar is frozen data — snapshot it before the
+    // swap so the staged index can carry it over verbatim
+    val codebooks =
+      if (method == "ivfpq")
+        Some(spark.read.parquet(s"$indexDir/codebooks").collect())
+      else None
     val (partCol, numValues) = lsh match {
       case Some(m) => ("pband", 1 << m.pBits)
       case None    => ("list", centroids.length)
@@ -896,8 +902,15 @@ object Similarity {
       clusteredWrite(vectors, partCol, numValues)
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$staging/vectors")
-      if (method == "ivf")
+      if (method == "ivf" || method == "ivfpq") {
         writeCentroids(spark, s"$staging/centroids", centroids)
+        codebooks.foreach { rows =>
+          import spark.implicits._
+          rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+            .toSeq.toDF("m", "k", "vec")
+            .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
+        }
+      }
       else lsh.foreach { m =>
         import spark.implicits._
         Seq((m.nBits, m.dim, m.pBits)).toDF("n_bits", "dim", "partition_bits")
@@ -1699,7 +1712,7 @@ object Similarity {
   // bounded, and re-warming is one sidecar read per live index.
   private val maxMetaCacheEntries = 128
 
-  private def capCache[V](m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit =
+  private[llm] def capCache[V](m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit =
     if (m.size > maxMetaCacheEntries) m.clear()
 
   // Unique tag per live SparkSession for meta-cache keys (a resolved
@@ -1709,13 +1722,13 @@ object Similarity {
   private val sessionTags = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
-  private def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+  private[llm] def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
     sessionTags.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   private val lshMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshMeta)]()
 
-  private def sidecarStamp(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def sidecarStamp(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, sides: Seq[String]): String = {
     val hconf = spark.sessionState.newHadoopConf()
     graft.util.Md5.hex(sides.iterator.flatMap { side =>

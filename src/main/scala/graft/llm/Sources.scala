@@ -27,7 +27,16 @@ object Sources {
     * column over the input (e.g. [[TextAnalysis.qualityScore]]).
     * Rates rounded to 6 for oracle parity. */
   def sourceStats(df: DataFrame, idCol: String, textCol: String,
-                  srcCol: String, quality: Column): DataFrame = {
+                  srcCol: String, quality: Column): DataFrame =
+    rawStats(df, idCol, textCol, srcCol, quality)
+      .withColumn("dup_rate", round(col("dup_rate"), 6))
+      .withColumn("mean_quality", round(col("mean_quality"), 6))
+
+  /** Unrounded per-source stats — thresholds must compare against the
+    * EXACT averages (the oracle SQL thresholds unrounded avg(q); a mean
+    * within 5e-7 of the cut would otherwise classify differently). */
+  private def rawStats(df: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, quality: Column): DataFrame = {
     val rows = df.select(col(idCol).as("id"), col(srcCol).as("source"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"), quality.as("q"))
     val dupFp = rows.groupBy("fp").agg(count(lit(1)).as("c"))
@@ -36,17 +45,18 @@ object Sources {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
-        round(sum(when(col("c").isNotNull, 1.0).otherwise(0.0)) /
-          count(lit(1)), 6).as("dup_rate"),
-        round(avg(col("q")), 6).as("mean_quality"))
+        (sum(when(col("c").isNotNull, 1.0).otherwise(0.0)) /
+          count(lit(1))).as("dup_rate"),
+        avg(col("q")).as("mean_quality"))
   }
 
   /** The blocked-source list: sources whose duplicate rate exceeds
-    * `maxDupRate` OR whose mean quality falls below `minQuality`. */
+    * `maxDupRate` OR whose mean quality falls below `minQuality` —
+    * both compared UNROUNDED (rounding is display-only). */
   def blockedSources(df: DataFrame, idCol: String, textCol: String,
                      srcCol: String, quality: Column, maxDupRate: Double,
                      minQuality: Double): DataFrame =
-    sourceStats(df, idCol, textCol, srcCol, quality)
+    rawStats(df, idCol, textCol, srcCol, quality)
       .filter(col("dup_rate") > maxDupRate ||
         col("mean_quality") < minQuality)
       .select("source")

@@ -258,7 +258,8 @@ class LlmSpec extends AnyFunSuite {
       var n = 0
       while (!d.finished()) n += d.deflate(buf)
       d.end()
-      math.rint(n.toDouble / math.max(bytes.length, 1) * 1e6) / 1e6
+      java.math.BigDecimal.valueOf(n.toDouble / math.max(bytes.length, 1))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     }
     val rep = ("spark data " * 300).trim
     val rand = Iterator.iterate("graft-entropy-seed") { x =>
@@ -2566,6 +2567,123 @@ class LlmSpec extends AnyFunSuite {
     assert(Similarity.ivfQuery(spark, dir, q, 5, nprobe = 8)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
     assert(before.head == ((450L, 1.0)), "appended row must find itself")
+  }
+
+  test("ivfpq lifecycle: staged build, pruned probe, frozen-codebook append equals full build, replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pqlife").toString
+    val dir = s"$root/idx"
+    // planted clique: 10 exact copies of vec 0's embedding — identical
+    // vectors share codes AND list, so the clique is a closed-form probe
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(planted)
+      .localCheckpoint()
+    // file-backed append batch (deterministic batch id → replay fence)
+    corpus.filter($"vec_id" >= 250).write.parquet(s"$root/batchB")
+    val bDf = spark.read.parquet(s"$root/batchB")
+    // full build in one dir: the reference answer
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", s"$root/full",
+      kLists = 8, m = 8, k = 16)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
+    val full = Pq.ivfPqQuery(spark, s"$root/full", q, 11, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == clique, s"full-build probe: $full")
+    // build-on-prefix + append-the-rest: frozen centroids and codebooks
+    Pq.ivfPqBuild(corpus.filter($"vec_id" < 250), "vec_id", "embedding",
+      dir, kLists = 8, m = 8, k = 16)
+    assert(!new java.io.File(s"$root/.idx.staging").exists())
+    Pq.ivfPqAppend(bDf, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == corpus.count())
+    // the bit-identical appended clique encodes to vec 0's codes and
+    // lands in its list: nprobe=1 still serves the whole clique exactly
+    val probe = Pq.ivfPqQuery(spark, dir, q, 11, nprobe = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("list#") || plan.contains("list =")), plan.take(2000))
+    assert(probe.collect().map(_.getLong(0)).toSet == clique)
+    // replayed file-backed append is a no-op (durable _append-<id> fence)
+    val id = Similarity.appendBatchId(bDf)
+    assert(new java.io.File(s"$dir/vectors/_append-$id").exists())
+    Pq.ivfPqAppend(bDf, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == corpus.count(),
+      "replayed append must not double-append")
+    // codebook sidecar frozen across the append
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    assert(cb.count() == 8L * 16L)
+    // dim guard on the probe
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqQuery(spark, dir, q :+ 0.0, 5)
+    }
+  }
+
+  test("ivfpq crash-mid-swap: half-committed append resumes; orphaned rename-aside restored; compaction preserves probes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pqcrash").toString
+    val dir = s"$root/idx"
+    Pq.ivfPqBuild(emb.filter($"vec_id" < 250).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16)
+    emb.filter($"vec_id" >= 250).select($"vec_id", $"embedding")
+      .write.parquet(s"$root/batchB")
+    val bDf = spark.read.parquet(s"$root/batchB")
+    // WINDOW — the append crashed right after its staging committed
+    // (_COMMITTING durable, no part file moved yet, no fence marker):
+    // manufacture the staging exactly as stagedAppend lays it out —
+    // re-encode with the frozen codebooks, partitioned by frozen list.
+    val id = Similarity.appendBatchId(bDf)
+    val cents = Similarity.readCentroids(spark, dir)
+    val cb0 = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val mSub = cb0.map(_._1).max + 1
+    val kCw = cb0.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](mSub, kCw)
+    cb0.foreach { case (mi, ki, v) => books(mi)(ki) = v }
+    val model = Pq.PqModel(mSub, kCw, books(0)(0).length, books)
+    Similarity.ivfAssign(bDf, "vec_id", "embedding", cents)
+      .select($"id", $"list", Pq.codesCol("v", model).as("codes"))
+      .write.partitionBy("list").parquet(s"$dir/.append-$id/vectors")
+    touch(s"$dir/.append-$id/_COMMITTING")
+    // the retry resumes the commit: rows land exactly once, staging swept
+    Pq.ivfPqAppend(bDf, "vec_id", "embedding", dir)
+    val postCount = spark.read.parquet(s"$dir/vectors").count()
+    assert(postCount == emb.count(),
+      "retry of a half-committed ivfpq append must land the batch exactly once")
+    assert(new java.io.File(s"$dir/vectors/_append-$id").exists())
+    assert(!new java.io.File(s"$dir/.append-$id").exists())
+    val q = emb.filter($"vec_id" === 300).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val served = Pq.ivfPqQuery(spark, dir, q, 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served.nonEmpty && served.distinct == served)
+    // a SECOND retry (fence now durable) is a pure no-op
+    Pq.ivfPqAppend(bDf, "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == postCount,
+      "retry after the fence must not double-append")
+    // ORPHANED RENAME-ASIDE — the stagedCommit crash window between the
+    // two swap renames leaves the only copy at .idx.old: IndexGc restores
+    // it (age guard zeroed for the test) and probes serve as before
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$root/.idx.old")))
+    graft.tools.IndexGc.sweep(spark, root, keepPerKey = 2, minAgeMs = 0L)
+    assert(new java.io.File(dir).isDirectory, "orphaned .old must be restored")
+    assert(Pq.ivfPqQuery(spark, dir, q, 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == served)
+    // COMPACTION — method "ivfpq": fewer files, centroids+codebooks
+    // carried verbatim, probe-for-probe identical, replay fence survives
+    val cbBefore = spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+    val st = Similarity.compactIndex(spark, dir, "ivfpq")
+    assert(st.filesAfter <= st.filesBefore)
+    assert(spark.read.parquet(s"$dir/vectors").count() == postCount)
+    assert(spark.read.parquet(s"$dir/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+      == cbBefore, "compaction must never touch the frozen codebooks")
+    assert(new java.io.File(s"$dir/vectors/_append-$id").exists(),
+      "replay fences must survive compaction")
+    assert(Pq.ivfPqQuery(spark, dir, q, 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == served)
+    Pq.ivfPqAppend(bDf, "vec_id", "embedding", dir) // replay across compact
+    assert(spark.read.parquet(s"$dir/vectors").count() == postCount)
   }
 
   test("ivfRetrain: drifted appends raise skew; retraining from the index's own rows absorbs them") {
