@@ -556,6 +556,12 @@ object SparkEntry {
     // the oracle mirrors)
     "dfl_cdc_pairs" -> ((s, dir) => DflFrame.pipeline(
       cdcPlanted(t(s, dir, "documents")), "cdcPairs(@, '@doc_id', '@text')")),
+    // the tuning knobs through the DFL surface: minShared=2 drops
+    // single-chunk overlaps, maxDf=8 tightens the boilerplate guard —
+    // both mirrored verbatim in the oracle's HAVING / df BETWEEN bounds
+    "dfl_cdc_pairs_maxdf" -> ((s, dir) => DflFrame.pipeline(
+      cdcPlanted(t(s, dir, "documents")),
+      "cdcPairs(@, '@doc_id', '@text', 2, 8)")),
     "dfl_cdc_scrub" -> ((s, dir) => DflFrame.pipeline(
       cdcPlanted(t(s, dir, "documents")), "cdcScrub(@, '@doc_id', '@text')")),
     "dfl_source_filter" -> ((s, dir) => DflFrame.pipeline(
@@ -2388,6 +2394,17 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
          |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
          | GROUP BY 1, 2""".stripMargin,
+    "dfl_cdc_pairs_maxdf" ->
+      s"""WITH $cdcPlantedCorpusSql,
+         |$cdcChunkCtes,
+         |u AS (SELECT DISTINCT doc_id, fp FROM chunks),
+         |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM u GROUP BY 1)
+         |          WHERE df BETWEEN 2 AND 8),
+         |k AS (SELECT doc_id, fp FROM u JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
     // n_chars = length(text) holds corpus-wide (checked), so the DFL
     // stage's length(text)-based quality is the same qualitySqlExpr
     "dfl_source_filter" ->

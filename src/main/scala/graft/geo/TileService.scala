@@ -78,10 +78,14 @@ final class TileService(spark: SparkSession, exec: Exec) {
     * handlers/LayerMaskHandler.go:143-216, named/named.go:22 GroupByTile).
     * Returns (gridSize, Set of (row, col) cells that are on). */
   def maskGrid(layerName: String, z: Int, x: Long, y: Long,
-               maskZoom: Int = 8, threshold: Long = 1): (Int, Set[(Int, Int)]) = {
+               maskZoom: Int = 8, threshold: Long = 1,
+               userDfl: Option[String] = None): (Int, Set[(Int, Int)]) = {
     val n = 1 << maskZoom
     val subZ = z + maskZoom
-    tileQuery(layerName, z, x, y, buffer = 0) match {
+    // the user DFL composes between the geometry/layer filters and the
+    // grid aggregation, exactly as the reference appends a filter stage
+    // to the mask pipeline (handlers/LayerMaskHandler.go:120-137)
+    tileQuery(layerName, z, x, y, buffer = 0, userDfl = userDfl) match {
       case None => (n, Set.empty)
       case Some(df) =>
         val lonC = col("geometry").getField("coordinates").getItem(0)
@@ -101,16 +105,33 @@ final class TileService(spark: SparkSession, exec: Exec) {
     }
   }
 
-  /** Render a mask grid as a PNG (pure-JDK javax.imageio; the reference
-    * renders PNG/JPEG/GIF, img/RespondWithGrid.go:19-40). */
-  def maskPng(grid: (Int, Set[(Int, Int)]), alpha: Int = 255): Array[Byte] = {
+  /** Render a mask grid as a PNG — see [[maskImage]]. */
+  def maskPng(grid: (Int, Set[(Int, Int)]), alpha: Int = 255): Array[Byte] =
+    maskImage(grid, alpha, "png")
+
+  /** Render a mask grid as png/gif/jpeg (pure-JDK javax.imageio),
+    * extension-selected like the reference (img/RespondWithGrid.go:32-39):
+    * on-cells navy at `alpha` (reference fg RGBA(0,0,128,alpha),
+    * LayerMaskHandler.go:216), off-cells transparent black. JPEG has no
+    * alpha channel, so it renders on an opaque RGB raster (the same
+    * degradation jpeg.Encode applies to the reference's RGBA image). An
+    * unknown format is an IllegalArgumentException — the reference's
+    * ErrUnknownImageExtension. */
+  def maskImage(grid: (Int, Set[(Int, Int)]), alpha: Int = 255,
+                format: String = "png"): Array[Byte] = {
+    val fmt = if (format == "jpg") "jpeg" else format
+    require(fmt == "png" || fmt == "gif" || fmt == "jpeg",
+      s"unknown image extension: $format")
     val (n, cells) = grid
-    val img = new java.awt.image.BufferedImage(n, n, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val imgType =
+      if (fmt == "jpeg") java.awt.image.BufferedImage.TYPE_INT_RGB
+      else java.awt.image.BufferedImage.TYPE_INT_ARGB
+    val img = new java.awt.image.BufferedImage(n, n, imgType)
     cells.foreach { case (r, c) =>
-      img.setRGB(c, r, (alpha << 24) | 0xFFFFFF)
+      img.setRGB(c, r, (alpha << 24) | 0x000080)
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
   }
 }

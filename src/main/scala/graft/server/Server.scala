@@ -205,6 +205,8 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
           param("threshold", "integer", "min count for an opaque cell (default 1)",
             in = "query", required = false),
           param("alpha", "integer", "opaque-cell alpha 0-255 (default 255)",
+            in = "query", required = false),
+          param("dfl", "string", "extra DFL filter applied before the grid aggregation",
             in = "query", required = false))
         val okJson: Map[String, Any] = Map("200" -> Map(
           "description" -> "success", "content" -> Map("application/json" ->
@@ -330,10 +332,19 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
         respondJsonRows(x, ext, exec.jobExec(name).toJSON.collect())
 
       case ("POST", "workflows" :: name :: "exec" :: Nil) =>
-        val results = exec.workflowExec(name).map(r => Map(
-          "job" -> r.job, "exitCode" -> r.exitCode.toLong,
-          "error" -> r.error.orNull, "rows" -> r.rows))
-        respondDoc(x, 200, ext, Map("results" -> results.toList))
+        // response mirrors the reference's workflow-exec document
+        // (WorkflowExecHandler.go:200-206): top-level success, per-job
+        // exitCodes and stderr maps, plus the per-job results array
+        val results = exec.workflowExec(name)
+        respondDoc(x, 200, ext, Map(
+          "success" -> results.forall(_.exitCode == 0),
+          "message" -> s"workflow with name $name completed.",
+          "exitCodes" -> results.map(r => r.job -> r.exitCode.toLong).toMap,
+          "stderr" -> results.collect {
+            case r if r.error.nonEmpty => r.job -> r.error.get }.toMap,
+          "results" -> results.map(r => Map(
+            "job" -> r.job, "exitCode" -> r.exitCode.toLong,
+            "error" -> r.error.orNull, "rows" -> r.rows)).toList))
 
       case ("GET", "layers" :: name :: "tiles" :: "data" :: z :: xs :: ys :: Nil) =>
         val qs = queryParams(x)
@@ -345,11 +356,23 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
 
       case ("GET", "layers" :: name :: "tiles" :: "mask" :: z :: xs :: ys :: Nil) =>
         val qs = queryParams(x)
+        // extension-selected encoding like the reference
+        // (img/RespondWithGrid.go:32-39); a bare path (ext defaults to
+        // "json") serves png, anything else unknown is a 400
+        val fmt = ext match {
+          case "json" | "png" => "png"
+          case "gif" => "gif"
+          case "jpeg" | "jpg" => "jpeg"
+          case other =>
+            respondErr(x, 400, s"unknown image extension: $other"); return
+        }
         val grid = tiles.maskGrid(name, z.toInt, xs.toLong, ys.toLong,
           maskZoom = qs.get("zoom").map(_.toInt).getOrElse(8),
-          threshold = qs.get("threshold").map(_.toLong).getOrElse(1L))
-        val png = tiles.maskPng(grid, qs.get("alpha").map(_.toInt).getOrElse(255))
-        respondBytes(x, 200, png, "image/png")
+          threshold = qs.get("threshold").map(_.toLong).getOrElse(1L),
+          userDfl = qs.get("dfl"))
+        val img = tiles.maskImage(grid,
+          qs.get("alpha").map(_.toInt).getOrElse(255), fmt)
+        respondBytes(x, 200, img, s"image/$fmt")
 
       case _ => respondErr(x, 404, s"no route: $method $path")
     }

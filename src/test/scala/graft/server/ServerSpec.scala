@@ -23,6 +23,14 @@ class ServerSpec extends AnyFunSuite {
     c.add(Process("by_amenity", "filter(@, '@properties?.amenity == $kind')"))
     c.add(Service("svc", "feat", "by_amenity", defaults = Map("kind" -> "bar")))
     c.add(Layer("all", "feat", "", extent = Seq(-180.0, -85.0, 180.0, 85.0)))
+    // workflow fixture with one sabotaged job (missing datastore file):
+    // exercises the reference's per-job exitCodes/stderr response shape
+    c.add(Job("job_ok", "svc"))
+    c.add(DataStore("ws", "missing", s"'$dir/nope.jsonl'"))
+    c.add(Service("svc_missing", "missing", "by_amenity",
+      defaults = Map("kind" -> "bar")))
+    c.add(Job("job_bad", "svc_missing"))
+    c.add(Workflow("wf", Seq("job_bad", "job_ok")))
     val port = {
       val s = new java.net.ServerSocket(0)
       try s.getLocalPort finally s.close()
@@ -221,6 +229,56 @@ class ServerSpec extends AnyFunSuite {
       val (c3, png) = client.maskBytes("all", 0, 0, 0)
       assert(c3 == 200)
       assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+      // mask parity with the reference (LayerMaskHandler.go:120-137,
+      // RespondWithGrid.go:32-39): a user `dfl` filter narrows the grid,
+      // and gif/jpeg render by path extension
+      val http = java.net.http.HttpClient.newHttpClient()
+      def fetch(path: String) = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:${srv.boundPort}$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        (r.statusCode(), r.body())
+      }
+      val dflQ = java.net.URLEncoder.encode(
+        "filter(@, '@properties?.amenity == bar')", "UTF-8")
+      // at the z=8 tile the mask's sub-grid (z=16) separates the two
+      // features into distinct cells; the bar filter keeps exactly one
+      def onPixels(bytes: Array[Byte]): Int = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (0 until img.getHeight).map(r => (0 until img.getWidth)
+          .count(c => (img.getRGB(c, r) >>> 24) != 0)).sum
+      }
+      val (cb, both) = fetch(s"/layers/all/tiles/mask/8/$x/$y.png")
+      val (cf, filtered) = fetch(s"/layers/all/tiles/mask/8/$x/$y.png?dfl=$dflQ")
+      assert(cb == 200 && cf == 200)
+      assert(!java.util.Arrays.equals(filtered, both),
+        "a dfl-filtered mask must differ from the unfiltered one")
+      assert(onPixels(both) == 2 && onPixels(filtered) == 1)
+      val (cg, gif) = fetch("/layers/all/tiles/mask/0/0/0.gif")
+      assert(cg == 200 && gif.take(3).map(_.toChar).mkString == "GIF")
+      val (cj, jpg) = fetch("/layers/all/tiles/mask/0/0/0.jpeg")
+      assert(cj == 200 &&
+        jpg.take(3).map(_ & 0xff).toSeq == Seq(0xff, 0xd8, 0xff))
+      val (cu, _) = fetch("/layers/all/tiles/mask/0/0/0.bmp")
+      assert(cu == 400, "unknown image extension must 400 like the reference")
+    } finally srv.stop()
+  }
+
+  test("workflow exec response carries per-job exit codes, stderr, and continue-on-error results") {
+    val (srv, client, _) = startServer()
+    try {
+      val (code, body) = client.exec("workflows", "wf")
+      assert(code == 200, body)
+      // reference shape (WorkflowExecHandler.go:200-206): top-level
+      // success plus per-job exitCodes and stderr maps
+      assert(body.contains("\"success\":false"), body)
+      assert("\"exitCodes\":\\{[^}]*\"job_bad\":1".r.findFirstIn(body).isDefined ||
+        "\"exitCodes\":\\{[^}]*\"job_ok\":0".r.findFirstIn(body).isDefined, body)
+      assert("\"stderr\":\\{[^}]*\"job_bad\":\"[^\"]+".r.findFirstIn(body).isDefined, body)
+      // the failing job carries its error detail; the later job still ran
+      assert("\"job\":\"job_bad\",\"exitCode\":1,\"error\":\"[^\"]+".r
+        .findFirstIn(body).isDefined, body)
+      assert("\"job\":\"job_ok\",\"exitCode\":0".r.findFirstIn(body).isDefined, body)
     } finally srv.stop()
   }
 
