@@ -48,6 +48,51 @@ object SparkEntry {
       .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("zz yy xx "), col("text")).as("text")))
 
+  /** Deterministic synthetic image corpus with planted near-duplicates,
+    * for the perceptual-hash dedup oracle rows. One 9×8 PNG per doc_id
+    * < 200, pixels md5-derived and QUANTIZED to multiples of 32 (so the
+    * dHash adjacent-pixel comparisons sit ≥ 32 apart — luma rounding
+    * can never flip a bit). Every doc_id % 10 == 0 plants two copies:
+    * id+1000000 byte-identical, and id+2000000 a brightness-shifted
+    * (+8) re-encode as BMP — different bytes, different container, SAME
+    * dHash by construction (uniform shifts and lossless re-encodes
+    * preserve adjacent-pixel order exactly), so the expected pair set
+    * is closed-form: the three hamming-0 pairs per planted id. Images
+    * synthesize in executors (mapPartitions), never on the driver. */
+  private def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pixels(id: Long): Array[Int] =
+      Array.tabulate(72) { i =>
+        val b = graft.util.Md5.hex(s"img|$id|$i").charAt(0)
+        val v = Integer.parseInt(b.toString, 16) % 7
+        16 + 32 * v
+      }
+    def encode(px: Array[Int], shift: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < 72) {
+        val g = px(i) + shift
+        img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 200)
+      .as[Long].mapPartitions { it =>
+        it.flatMap { id =>
+          val px = pixels(id)
+          val orig = (id, encode(px, 0, "png"))
+          if (id % 10 == 0)
+            Seq(orig, (id + 1000000L, encode(px, 0, "png")),
+              (id + 2000000L, encode(px, 8, "bmp")))
+          else Seq(orig)
+        }
+      }.toDF("id", "payload")
+  }
+
   /** events with `ts` normalized ONCE to an epoch-µs long `ts_us` —
     * the temporal operators all run integer µs arithmetic so Spark and
     * the DuckDB oracle (`epoch_us(ts)`) evaluate one formula. Handles
@@ -1449,6 +1494,15 @@ object SparkEntry {
       DflFrame.pipeline(corpus,
         "annTopKBatch(@, '@vec_id', '@embedding', $qs, 10, 'ivf')", Map("qs" -> qs))
     }),
+    // perceptual-hash image dedup over the planted synthetic corpus
+    // (imageCorpus): byte-identical copies AND a brightness-shifted BMP
+    // re-encode both land at hamming 0 by construction, so the expected
+    // pair set is the closed-form three-pairs-per-planted-id the oracle
+    // enumerates. Banded Hamming candidates, never all-pairs.
+    "dedup_image_pairs" -> ((s, dir) =>
+      llm.Dedup.imagePairs(imageCorpus(s, dir))),
+    "dfl_image_dedup" -> ((s, dir) => DflFrame.pipeline(
+      imageCorpus(s, dir), "imageDedup(@, '@id', '@payload')")),
     "multimodal_meta" -> ((s, dir) =>
       // the metadata-ONLY funnel: payload bytes feed the header probe but
       // never re-serialize into the output schema
@@ -2804,6 +2858,12 @@ object SparkEntry {
         |       round(list_cosine_similarity(qz.c, q.e), 6) AS cos
         |  FROM qz, (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0) q
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
+    // closed-form expected pair set (see imageCorpus): per planted id,
+    // the identical copy, the shifted BMP re-encode, and the copy-copy
+    // pair — all at hamming 0; distinct natural images sit far apart
+    // (64 md5-random bits) so no other pair survives the exact verify
+    "dedup_image_pairs" -> imagePairsSql,
+    "dfl_image_dedup" -> imagePairsSql,
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
     // the decode operator's checksum is md5 over the payload bytes —
@@ -3031,6 +3091,16 @@ object SparkEntry {
 
   /** Duplicated-chunk scrub over the planted CDC corpus — shared by the
     * Scala-API and DFL-dispatch rows. */
+  /** The closed-form expected pair set of the planted image corpus
+    * ([[imageCorpus]]): three hamming-0 pairs per planted id. */
+  private lazy val imagePairsSql: String =
+    """WITH planted AS (SELECT doc_id FROM documents
+      |                  WHERE doc_id < 200 AND doc_id % 10 = 0)
+      |SELECT id_a, id_b, CAST(0 AS BIGINT) AS hamming FROM (
+      |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM planted
+      |  UNION ALL SELECT doc_id, doc_id + 2000000 FROM planted
+      |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000 FROM planted)""".stripMargin
+
   private lazy val cdcScrubSql: String =
       s"""WITH $cdcPlantedCorpusSql,
          |$cdcChunkCtes,

@@ -108,7 +108,7 @@ object DflFrame {
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
-      "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter",
+      "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -600,6 +600,19 @@ object DflFrame {
           val maxDf = if (args.size > 4) intArg(4) else 64
           graft.llm.Cdc.sharedPairs(base, "__gid", "__gtext", minShared, maxDf)
         }
+
+      case "imageDedup" =>
+        // `imageDedup(@, '@id', '@payload'[, maxHamming, method])` —
+        // perceptual-hash image near-dup pairs (id_a, id_b, hamming):
+        // dHash (default) or aHash signatures, banded Hamming candidate
+        // join, exact bit_count verify (llm.Dedup.imagePairs). Whole-
+        // dataset (the self-join), hence stream-fenced.
+        val maxHamming = if (args.size > 3) intArg(3) else 3
+        val method = if (args.size > 4) strArg(4) else "dhash"
+        val base = df.withColumn("__gid", subCol(1))
+          .withColumn("__gpayload", subCol(2))
+        graft.llm.Dedup.imagePairs(base, "__gid", "__gpayload",
+          maxHamming, method)
 
       case "sourceFilter" =>
         // `sourceFilter(@, '@id', '@text', '@source'[, maxDupRate,

@@ -579,8 +579,17 @@ object Dedup {
     * least one exact chunk — pigeonhole), bucket-join on chunks, verify
     * with `bit_count(xor) <= maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSigs(df, idCol, textCol)
+                   maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(simhashSigs(df, idCol, textCol), maxHamming)
+
+  /** The 64-bit Hamming-banding pair machinery shared by [[simhashPairs]]
+    * and [[imagePairs]]: band each `(id, sig)` signature into 4×16-bit
+    * chunks (any pair within Hamming distance ≤ maxHamming < 4 shares at
+    * least one exact chunk — pigeonhole), bucket-join on chunks, verify
+    * with `bit_count(xor) <= maxHamming`. */
+  private def hamming64Pairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"hamming64Pairs: the 4-band pigeonhole covers maxHamming 0..3, got $maxHamming")
     val chunks = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -598,6 +607,23 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
   }
+
+  /** IMAGE near-dup pairs by perceptual hash — the multimodal member of
+    * the dedup family: one row-local [[Multimodal.imageHashes]] pass
+    * (dHash by default — robust to re-encoding and uniform brightness
+    * shifts, since only adjacent-pixel ORDER feeds the bits), then the
+    * same banded Hamming machinery as [[simhashPairs]] — chunk-bucket
+    * join, never all-pairs, exact `bit_count` verify. Byte-identical
+    * copies land at hamming 0; mild requantizations land within the
+    * default radius. Undecodable payloads drop before banding. */
+  def imagePairs(media: DataFrame, idCol: String = "id",
+                 payloadCol: String = "payload", maxHamming: Int = 3,
+                 method: String = "dhash"): DataFrame =
+    hamming64Pairs(
+      Multimodal.imageHashes(media.sparkSession,
+        media.select(col(idCol).as("id"), col(payloadCol).as("payload")),
+        method),
+      maxHamming)
 
   /** Exact embedding pairs by cosine ≥ threshold, as a BLOCKED self-join
     * (the 1-Bucket-Theta shape, Okcan & Riedewald SIGMOD'11): rows hash

@@ -283,6 +283,105 @@ object Multimodal {
       ).as("meta"))
   }
 
+  /** Decode + downscale to a `w`×`h` grayscale raster (the perceptual-
+    * hash preprocessing step): ImageIO decode, bilinear resample, BT.601
+    * luma. None for bytes that aren't a decodable image. */
+  private def grayRaster(payload: Array[Byte], w: Int,
+                         h: Int): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = small.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            out(y * w + x) =
+              math.round(0.299f * r + 0.587f * gg + 0.114f * b)
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit DIFFERENCE hash (dHash, Krawetz's gradient hash — the
+    * standard cheap perceptual image fingerprint): 9×8 grayscale
+    * downscale, bit i = 1 iff pixel(x,y) < pixel(x+1,y). Row-local,
+    * invariant to uniform brightness shifts and to re-encoding
+    * (PNG↔JPEG at mild quality) because only the ORDER of adjacent
+    * pixels matters. None for undecodable bytes. */
+  private[llm] def dHashBits(payload: Array[Byte]): Option[Long] =
+    grayRaster(payload, 9, 8).map { px =>
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          bits <<= 1
+          if (px(y * 9 + x) < px(y * 9 + x + 1)) bits |= 1L
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** 64-bit AVERAGE hash (aHash): 8×8 grayscale downscale, bit i = 1
+    * iff pixel > mean. Coarser than [[dHashBits]] (the mean is a global
+    * statistic, so local edits flip more bits) but likewise row-local
+    * and re-encoding-robust. */
+  private[llm] def aHashBits(payload: Array[Byte]): Option[Long] =
+    grayRaster(payload, 8, 8).map { px =>
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += px(i); i += 1 }
+      // compare against the exact mean via cross-multiplication — no
+      // integer-division truncation bias
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        bits <<= 1
+        if (px(i).toLong * 64 > sum) bits |= 1L
+        i += 1
+      }
+      bits
+    }
+
+  /** Perceptual-hash signatures over a media table: `(id, sig)` with one
+    * 64-bit dHash (`method = "dhash"`, default) or aHash (`"ahash"`) per
+    * DECODABLE image payload — undecodable rows drop (they have no
+    * perceptual identity; byte-exact dedup covers them via checksum).
+    * Same `mapPartitions` decoder shape as [[decodeFeatures]]; one
+    * map-only pass, no shuffle. */
+  def imageHashes(spark: SparkSession, media: DataFrame,
+                  method: String = "dhash"): DataFrame = {
+    require(method == "dhash" || method == "ahash",
+      s"imageHashes: unknown method $method")
+    import spark.implicits._
+    val useD = method == "dhash"
+    media.select(col("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          (if (useD) dHashBits(payload) else aHashBits(payload))
+            .map(sig => (id, sig))
+        }
+      }.toDF("id", "sig")
+  }
+
   /** Frame-sampling stub for video-kind payloads: emits every `stride`-th
     * 16-byte window as one "frame" row — the explode shape (one blob → N
     * frame rows) that a real frame sampler produces. */

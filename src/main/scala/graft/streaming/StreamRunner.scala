@@ -48,7 +48,8 @@ object StreamRunner {
     // cdcPairs self-joins the corpus' chunk table; sourceFilter derives
     // its blocklist from whole-corpus per-source stats (cdcChunks is
     // row-local and therefore deliberately NOT fenced)
-    "cdcPairs", "cdcScrub", "sourceFilter",
+    // imageDedup self-joins the banded perceptual-hash table
+    "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -238,6 +238,13 @@ object ScaleCheck {
         graft.llm.Similarity.ivfAppend(inc, "vec_id", "embedding", idxDir,
           appendId = Some(s"scale-$mult")); 200L
       })
+      // the compressed-index append: frozen codebooks + frozen
+      // centroids, one encode pass over the NEW rows only — same
+      // flat-in-mult contract as the float appends
+      time("ivfpq_append")({
+        graft.llm.Pq.ivfPqAppend(inc, "vec_id", "embedding", pqDir,
+          appendId = Some(s"scale-$mult")); 200L
+      })
       // the COMPACTION posture: rewrite cost is one clustered pass over
       // the index (so it may grow ~linearly in mult — it is the RARE
       // maintenance op), but the probe after it must return to the
@@ -289,6 +296,45 @@ object ScaleCheck {
         big.select("user_id", "ts_us", "value"), "user_id", "ts_us",
         7200000000L, "value").count())
       big.unpersist()
+    }
+
+    // ---- image perceptual-hash dedup: planted copy cliques ----
+    // 500 synthetic 9×8 PNGs per copy; copy c re-renders the SAME base
+    // patterns brightness-shifted by 2c (uniform, and 2·19 + 208 < 255
+    // so no channel clipping — clipping would break hash identity — →
+    // identical dHash), so every base image's clique grows with mult and the pair
+    // OUTPUT is ~500·mult²/2 — growth must track that output bound (the
+    // banded-join contract), never corpus-quadratic candidate work.
+    {
+      import spark.implicits._
+      def pngFor(base: Long, shift: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 72) {
+          val h = graft.util.Md5.hex(s"scaleimg|$base|$i").charAt(0)
+          val g = 16 + 32 * (Integer.parseInt(h.toString, 16) % 7) + shift
+          img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      Seq(1, 4, 20).foreach { mult =>
+        val media = spark.range(500L * mult).select(col("id")).as[Long]
+          .mapPartitions(_.map { i =>
+            val base = i % 500; val c = (i / 500).toInt
+            (c * 1000000L + base, pngFor(base, 2 * c))
+          }).toDF("id", "payload").persist()
+        media.count()
+        val t0 = System.nanoTime()
+        val n = graft.llm.Dedup.imagePairs(media).count()
+        println(f"[scale] mult=$mult%-3d image_pairs     ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+        val want = 500L * mult * (mult - 1) / 2
+        require(n == want, s"image_pairs: expected $want planted pairs, got $n")
+        media.unpersist()
+      }
     }
     spark.stop()
   }

@@ -1910,6 +1910,65 @@ class LlmSpec extends AnyFunSuite {
     assert(rimg.getWidth == 8 && rimg.getHeight == 4)
   }
 
+  test("perceptual image dedup: dHash survives re-encode/brightness/mild-jpeg; imagePairs bands, never all-pairs") {
+    // a smooth gradient image with strong horizontal structure — the
+    // regime dHash is built for (adjacent-pixel ORDER is the signal)
+    def render(w: Int, h: Int, shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = math.min(255, (x * 200) / w + (y * 40) / h + shift)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def bytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val base = bytes(render(64, 48, 0), "png")
+    val sig = Multimodal.dHashBits(base).get
+    // byte-identical copy: same bits trivially
+    assert(Multimodal.dHashBits(base.clone()).contains(sig))
+    // lossless re-encode in a different container: identical bits
+    assert(Multimodal.dHashBits(bytes(render(64, 48, 0), "bmp")).contains(sig))
+    // uniform brightness shift: identical bits (order preserved)
+    assert(Multimodal.dHashBits(bytes(render(64, 48, 8), "png")).contains(sig))
+    // mild JPEG requantization of the smooth gradient: within the
+    // default banding radius (hamming <= 3)
+    val jpeg = bytes(render(64, 48, 0), "jpg")
+    val jSig = Multimodal.dHashBits(jpeg).get
+    assert(java.lang.Long.bitCount(sig ^ jSig) <= 3,
+      s"jpeg drifted ${java.lang.Long.bitCount(sig ^ jSig)} bits")
+    // aHash: same invariances for shift/re-encode
+    val aSig = Multimodal.aHashBits(base).get
+    assert(Multimodal.aHashBits(bytes(render(64, 48, 8), "bmp")).contains(aSig))
+    // undecodable bytes have no perceptual identity
+    assert(Multimodal.dHashBits("junk".getBytes("UTF-8")).isEmpty)
+    // imagePairs end-to-end: png + its jpeg requantization pair up;
+    // a structurally different image (vertical gradient) does not
+    def renderV(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48) {
+        val g = math.min(255, 220 - (y * 200) / 48 + shift)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val media = Seq(
+      (1L, base), (2L, jpeg), (3L, bytes(renderV(0), "png")),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val pairs = Dedup.imagePairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+    // the plan is banded: a chunk-equality join, no cartesian product
+    val plan = Dedup.imagePairs(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("probeMeta decodes real WAV/AIFF sample rates; undecodable audio keeps the fallback") {
     // synthesize genuine containers via the JDK's WRITE path; probeMeta
     // reads them back through its own header-sniffing path
