@@ -1169,6 +1169,47 @@ object SparkEntry {
       llm.Bpe.decode(
         llm.Bpe.segment(docs, "doc_id", "text", merges), "id", "pieces")
     }),
+    // BYTE-level tokenizer round-trip: decodeByte(segmentByte(text))
+    // must equal the RAW text — not a normalization — for EVERY document
+    // and ANY merge table (cover tokens partition the string, byte
+    // mapping is bijective, merges only concatenate). The GPT-2-family
+    // losslessness law as a hard corpus-wide value oracle.
+    "bpe_byte_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = llm.Bpe.learnMerges(docs, "text", 8, byteLevel = true)
+      llm.Bpe.decodeByte(
+        llm.Bpe.segmentByte(docs, "doc_id", "text", merges), "id", "pieces")
+    }),
+    // byte-mode learning contract: the textbook corpus (low:5 lower:2
+    // newest:6 widest:3) over the 256-symbol byte alphabet learns the
+    // hand-computed table (e,s,9)(es,t,9)(l,o,7)(lo,w,7) — NO </w>, so
+    // merge statistics genuinely differ from the char path (which learns
+    // (e,s)(es,t</w>)(l,o)(e,w)) — and "lowest" segments to "low est".
+    "bpe_byte_learn" -> ((s, dir) => {
+      import s.implicits._
+      val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val m = llm.Bpe.learnMerges(planted, "text", 4, byteLevel = true)
+      val exact = m.map(x => (x.left, x.right, x.freq)) == Seq(
+        ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L))
+      val seg = llm.Bpe.segmentByte(
+        Seq((1L, "lowest")).toDF("doc_id", "text"), "doc_id", "text", m)
+        .head().getString(2) == "low est"
+      Seq((exact, seg)).toDF("merges_exact", "planted_segment")
+    }),
+    // the same round-trip law with segmentation routed through the DFL
+    // dispatch ('byte' mode arg) and a FROZEN planted merge table — the
+    // serve path a production tokenizer uses
+    "dfl_bpe_byte_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val merges = Seq((0, "e", "s"), (1, "es", "t"), (2, "l", "o"),
+        (3, "lo", "w")).toDF("rank", "left", "right")
+      val seg = DflFrame.pipeline(t(s, dir, "documents"),
+        "bpeSegment(@, '@doc_id', '@text', $merges, 'byte')",
+        Map("merges" -> merges))
+      llm.Bpe.decodeByte(seg, "id", "pieces")
+    }),
     // Matryoshka-style truncated-dimension serving: exact top-k over the
     // FIRST 16 of 64 embedding dims — the cheap-first-stage retrieval an
     // MRL-trained embedding enables; exact, so the oracle is the sliced
@@ -2549,6 +2590,12 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
         |  FROM documents""".stripMargin,
+    // the BYTE-level law is strictly harder: identity on the raw text
+    "bpe_byte_roundtrip" ->
+      "SELECT doc_id AS id, text AS decoded FROM documents",
+    "dfl_bpe_byte_roundtrip" ->
+      "SELECT doc_id AS id, text AS decoded FROM documents",
+    "bpe_byte_learn" -> "SELECT true AS merges_exact, true AS planted_segment",
     "ann_truncated_topk" ->
       """WITH q AS (SELECT list_slice(embedding, 1, 16) AS qv
         |             FROM embeddings WHERE vec_id = 0)

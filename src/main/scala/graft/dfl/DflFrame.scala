@@ -988,16 +988,24 @@ object DflFrame {
         // merge table is vocabulary-bounded, so collecting it at plan
         // time is the broadcast-a-model shape; segmentation itself is
         // row-local ([[graft.llm.Bpe.segmentCol]]) → STREAMABLE, the
-        // frozen-tokenizer serve path.
-        if (args.size != 4) throw new DflParseException(
-          s"bpeSegment takes (@, idExpr, textExpr, $$merges)")
+        // frozen-tokenizer serve path. Optional 5th arg 'byte' selects
+        // the byte-level alphabet (GPT-2 mapped bytes, lossless decode).
+        if (args.size != 4 && args.size != 5) throw new DflParseException(
+          s"bpeSegment takes (@, idExpr, textExpr, $$merges[, mode])")
+        val byteMode = args.size == 5 && (strArg(4) match {
+          case "byte" => true
+          case "char" => false
+          case other => throw new DflParseException(
+            s"bpeSegment mode must be 'byte' or 'char', got $other")
+        })
         val mergeRows = dsArg(3).select(col("rank").cast("int"),
             col("left").cast("string"), col("right").cast("string"))
           .collect().sortBy(_.getInt(0))
           .map(r => graft.llm.Bpe.Merge(r.getInt(0), r.getString(1),
             r.getString(2), 0L)).toSeq
         val bBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
-        graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
+        if (byteMode) graft.llm.Bpe.segmentByte(bBase, "__gid", "__gtext", mergeRows)
+        else graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
 
       case "classify" =>
         // `classify(@, '@id', '@vec', $weights, bias)` — linear-model

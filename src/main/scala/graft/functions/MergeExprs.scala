@@ -144,9 +144,17 @@ final class BpeMergeTable(val left: Array[String], val right: Array[String])
   * depth — and the replay skips straight from one APPLICABLE rank to
   * the next (pair-presence lookup), so a word of n symbols costs
   * O(n² + n·lookup) regardless of table size instead of O(n·merges).
-  * Empty words are skipped (the old `filter(length > 0)` fold-in). */
+  * Empty words are skipped (the old `filter(length > 0)` fold-in).
+  *
+  * `byteLevel = true` switches to the GPT-2-family alphabet: each
+  * word's initial symbols are its UTF-8 bytes mapped through
+  * [[ByteCodec]] (256 base symbols) and NO `</w>` marker is fused —
+  * byte-level boundaries are implicit in the pre-tokenization cover,
+  * so decode is plain concatenate-and-unmap and is lossless on ANY
+  * input. The replay machinery is identical. */
 case class BpeSegmentAll(child: Expression, leftSyms: Seq[String],
-                         rightSyms: Seq[String]) extends UnaryExpression {
+                         rightSyms: Seq[String],
+                         byteLevel: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -162,7 +170,7 @@ case class BpeSegmentAll(child: Expression, leftSyms: Seq[String],
     new BpeMergeTable(leftSyms.toArray, rightSyms.toArray)
 
   override def nullSafeEval(input: Any): Any =
-    BpeSegmentOps.segment(input.asInstanceOf[ArrayData], table)
+    BpeSegmentOps.segment(input.asInstanceOf[ArrayData], table, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tbl = ctx.addReferenceObj("bpeMergeTable", table,
@@ -171,7 +179,7 @@ case class BpeSegmentAll(child: Expression, leftSyms: Seq[String],
       val r = ctx.freshName("segmented")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $r =
-         |  graft.functions.BpeSegmentOps.segment($a, $tbl);
+         |  graft.functions.BpeSegmentOps.segment($a, $tbl, $byteLevel);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
@@ -184,33 +192,46 @@ case class BpeSegmentAll(child: Expression, leftSyms: Seq[String],
 object BpeSegmentOps {
   /** Segment every word; null in → null out (matching the old
     * flatten-over-transform null contract). */
-  def segment(words: ArrayData, table: BpeMergeTable): ArrayData = {
+  def segment(words: ArrayData, table: BpeMergeTable,
+              byteLevel: Boolean): ArrayData = {
     val nw = words.numElements()
     val out = new java.util.ArrayList[UTF8String](nw * 4)
     var wi = 0
     while (wi < nw) {
       if (words.isNullAt(wi)) return null
       val word = words.getUTF8String(wi).toString
-      if (word.nonEmpty) segmentWord(word, table, out)
+      if (word.nonEmpty) segmentWord(word, table, byteLevel, out)
       wi += 1
     }
     new GenericArrayData(out.toArray)
   }
 
   private def segmentWord(word: String, table: BpeMergeTable,
+                          byteLevel: Boolean,
                           out: java.util.ArrayList[UTF8String]): Unit = {
-    // code-point symbols, `</w>` fused onto the final one (Spark's
-    // split(word, '') semantics: per code point, no trailing empty)
     var syms = new java.util.ArrayList[String](word.length + 1)
-    var i = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      val w = Character.charCount(cp)
-      syms.add(word.substring(i, i + w))
-      i += w
+    if (byteLevel) {
+      // UTF-8 bytes mapped through the GPT-2 table; boundaries are
+      // implicit — no end-of-word marker
+      val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        syms.add(ByteCodec.byteToStr(bytes(i) & 0xff))
+        i += 1
+      }
+    } else {
+      // code-point symbols, `</w>` fused onto the final one (Spark's
+      // split(word, '') semantics: per code point, no trailing empty)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val w = Character.charCount(cp)
+        syms.add(word.substring(i, i + w))
+        i += w
+      }
+      val last = syms.size - 1
+      syms.set(last, syms.get(last) + "</w>")
     }
-    val last = syms.size - 1
-    syms.set(last, syms.get(last) + "</w>")
     // replay: jump to the smallest APPLICABLE rank >= cursor, run that
     // rank's leftmost-first pass, advance the cursor past it
     var k = 0
@@ -247,7 +268,8 @@ object MergeF {
     Bridge.column(MergeAdjacent(Bridge.expression(syms), left, right))
 
   /** Full-table BPE segmentation of a word array (see [[BpeSegmentAll]]). */
-  def bpeSegmentAll(words: Column, merges: Seq[(String, String)]): Column =
+  def bpeSegmentAll(words: Column, merges: Seq[(String, String)],
+                    byteLevel: Boolean = false): Column =
     Bridge.column(BpeSegmentAll(Bridge.expression(words),
-      merges.map(_._1), merges.map(_._2)))
+      merges.map(_._1), merges.map(_._2), byteLevel))
 }

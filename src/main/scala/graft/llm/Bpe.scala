@@ -38,6 +38,24 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
 
+  /** BYTE-LEVEL pre-tokenization: the RAW text partitions into maximal
+    * same-class runs (letters | digits | whitespace | other — every
+    * code point falls in exactly one class, so the matches COVER the
+    * string and concatenating them back reproduces it exactly; the
+    * losslessness [[decodeByte]] relies on). A simplified stand-in for
+    * the GPT-2 release's pre-tokenizer regex — same full-cover
+    * property, same "merges never cross a class boundary" effect. */
+  def coverTokens(text: Column): Column =
+    regexp_extract_all(text,
+      lit("""(\p{L}+|\p{N}+|\s+|[^\p{L}\p{N}\s]+)"""), lit(1))
+
+  /** (word, n) over byte-level cover tokens of the RAW text — no
+    * normalization, whitespace runs are vocabulary words too (they
+    * carry byte content that must survive the round trip). */
+  def wordCountsByte(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(coverTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
   /** Characters of `word` with `</w>` fused onto the last one. */
   private def initSyms(word: Column): Column = {
     val chars = split(word, "")
@@ -47,13 +65,23 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges; stops early when no pair reaches
-    * `minCount`. Returns the ranked merge table. */
+    * `minCount`. Returns the ranked merge table.
+    *
+    * `byteLevel = true` trains over the GPT-2 alphabet instead: words
+    * are [[coverTokens]] of the raw text, initial symbols the mapped
+    * UTF-8 bytes ([[graft.functions.ByteCodec]]), no `</w>` marker.
+    * The distributed loop — vocabulary-sized state, exploded bigram
+    * counts, deterministic argmax, native merge pass — is identical. */
   def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
-                  minCount: Long = 2L): Seq[Merge] = {
+                  minCount: Long = 2L, byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges > 0, s"learnMerges: numMerges must be positive, got $numMerges")
     require(minCount >= 1, s"learnMerges: minCount must be >= 1, got $minCount")
-    var state = wordCounts(df, textCol)
-      .select(initSyms(col("word")).as("syms"), col("n")).persist()
+    var state = (if (byteLevel)
+        wordCountsByte(df, textCol).select(
+          split(graft.functions.ByteBpeF.byteMap(col("word")), "").as("syms"),
+          col("n"))
+      else wordCounts(df, textCol)
+        .select(initSyms(col("word")).as("syms"), col("n"))).persist()
     // the PREVIOUS round's state, unpersisted one round LATE: each
     // round's argmax job is what first materializes the current state's
     // cache, and that computation may read the parent's cached blocks —
@@ -156,4 +184,40 @@ object Bpe {
       size(pieces).cast("long").as("n_pieces"),
       array_join(pieces, " ").as("pieces"))
   }
+
+  /** BYTE-LEVEL segmentation column: [[coverTokens]] of the RAW text,
+    * each run segmented over the mapped-byte alphabet by the same ONE
+    * native [[graft.functions.BpeSegmentAll]] expression (byteLevel
+    * mode). Row-local → streamable, exactly like the character path. */
+  def segmentByteCol(textCol: Column, merges: Seq[Merge]): Column =
+    graft.functions.MergeF.bpeSegmentAll(coverTokens(textCol),
+      merges.map(m => (m.left, m.right)), byteLevel = true)
+
+  /** Byte-level [[segment]]: (id, n_pieces, pieces), pieces
+    * space-joined — unambiguous because the space byte maps AWAY from
+    * ' ' (to 'Ġ'), so no piece ever contains a literal space. */
+  def segmentByte(df: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge]): DataFrame = {
+    val pieces = segmentByteCol(col(textCol), merges)
+    df.select(col(idCol).as("id"),
+      size(pieces).cast("long").as("n_pieces"),
+      array_join(pieces, " ").as("pieces"))
+  }
+
+  /** Byte-level decode of a space-joined [[segmentByte]] rendering:
+    * drop the joiners (never payload — see [[segmentByte]]), unmap the
+    * byte characters, UTF-8-decode. LOSSLESS on any valid-Unicode
+    * input, merge-table-independent: `decodeByte ∘ segmentByte =
+    * identity` (the RAW text, not a normalization — cover tokens
+    * partition the string and merges only concatenate). */
+  def decodeByteCol(piecesCol: Column): Column = {
+    import org.apache.spark.sql.functions.{replace => strReplace}
+    graft.functions.ByteBpeF.byteUnmap(
+      strReplace(piecesCol, lit(" "), lit("")))
+  }
+
+  /** `(id, decoded)` — [[decodeByteCol]] over a segmented frame. */
+  def decodeByte(df: DataFrame, idCol: String, piecesCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      decodeByteCol(col(piecesCol)).as("decoded"))
 }

@@ -125,6 +125,18 @@ object ScaleCheck {
       // near-FLAT in mult (the vocab doesn't grow with duplication)
       time("bpe_learn")(
         graft.llm.Bpe.learnMerges(big, "text", 8).size.toLong)
+      // byte-level variant: same vocabulary-bounded contract (the cover
+      // tokens of duplicated text dedupe into the same word table), and
+      // the segment+decode round trip is row-local → linear in rows
+      time("bpe_byte")({
+        val m = graft.llm.Bpe.learnMerges(big, "text", 8, byteLevel = true)
+        val bad = graft.llm.Bpe.decodeByte(
+          graft.llm.Bpe.segmentByte(big, "doc_id", "text", m), "id", "pieces")
+          .join(big.select(col("doc_id").as("id"), col("text")), "id")
+          .filter(col("decoded") =!= col("text")).count()
+        require(bad == 0L, s"byte round-trip broke on $bad rows")
+        m.size.toLong
+      })
       big.unpersist()
     }
 

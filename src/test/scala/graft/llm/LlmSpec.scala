@@ -397,6 +397,73 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE: ByteCodec bijection, textbook merges, lossless round-trip on ANY input") {
+    // the GPT-2 table is a true bijection over all 256 byte values
+    val codec = graft.functions.ByteCodec
+    assert(codec.byteToStr.toSet.size == 256, "table must be injective")
+    assert(codec.byteToStr.forall(_.length == 1))
+    // printable bytes map to themselves (GPT-2 construction)
+    assert(codec.byteToStr('A'.toInt) == "A" && codec.byteToStr('!'.toInt) == "!")
+    assert(codec.byteToStr(' '.toInt) == "Ġ") // space → Ġ
+    assert(codec.byteToStr(0) == "Ā" && codec.byteToStr('\n'.toInt) == "Ċ")
+    // unmap ∘ map = identity on arbitrary valid-Unicode strings
+    for (s0 <- Seq("hello world", "héllo", "a😀b", "日本語テキスト",
+      " leading and  double  spaces ", "tab\tnl\ncr\r", "</w>",
+      "", "Ġ already-mapped-looking")) {
+      assert(codec.unmap(codec.map(s0)) == s0, s"codec broke on <$s0>")
+      // space maps away from ' ': mapped strings never contain it
+      assert(!codec.map(s0).contains(' ') || !s0.contains(' '))
+      assert(!codec.map(" ").contains(' '))
+    }
+    // a char outside the table is not a map image
+    assert(codec.unmap("日") == null)
+    // byte-mode learning on the textbook corpus: no </w>, so the table
+    // differs from the char path — hand-computed (VERDICT r13 item 4)
+    val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m = Bpe.learnMerges(planted, "text", 4, byteLevel = true)
+    assert(m.map(x => (x.left, x.right, x.freq)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(Bpe.segmentByte(Seq((1L, "lowest")).toDF("doc_id", "text"),
+      "doc_id", "text", m).head().getString(2) == "low est")
+    // the lossless law: decodeByte ∘ segmentByte = RAW identity — for
+    // nasty inputs (markers, multi-space, emoji, CJK, mixed runs) and
+    // ANY merge table, including merges over mapped whitespace bytes
+    val nasty = Seq("low lower newest widest", "a😀b 😀😀", "x  y\tz\n\nw",
+      "</w> literal and  control", "日本語テキスト mixed 123!?",
+      "", "   ", "a", "ĠĊ mapped-chars-as-input")
+      .zipWithIndex.map { case (t2, i) => (i.toLong, t2) }.toDF("doc_id", "text")
+    val spaceSym = codec.map(" ") // 'Ġ'
+    val emojiSyms = codec.map("😀") // 4 mapped bytes
+    for (tm <- Seq(Seq.empty[Bpe.Merge], m,
+      Seq(Bpe.Merge(0, spaceSym, spaceSym, 1),
+        Bpe.Merge(1, emojiSyms.substring(0, 1), emojiSyms.substring(1, 2), 1)))) {
+      val rt = Bpe.decodeByte(
+        Bpe.segmentByte(nasty, "doc_id", "text", tm), "id", "pieces")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rt == want, s"byte round-trip broke under $tm")
+    }
+    // seeded fuzz: 100 random strings over a nasty alphabet round-trip
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab E\t\n😀é日<>/wĠÿΩ"
+    val fuzz = (0 until 100).map { i =>
+      (i.toLong, (0 until rng.nextInt(40)).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val frt = Bpe.decodeByte(
+      Bpe.segmentByte(fuzz, "doc_id", "text", m), "id", "pieces")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fwant = fuzz.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(frt == fwant)
+    // pieces joined with ' ' stay unambiguous: every piece of a nonempty
+    // rendering is itself nonempty (spaces appear ONLY as joiners)
+    val pieces = Bpe.segmentByte(nasty, "doc_id", "text", m)
+      .collect().map(_.getString(2))
+    assert(pieces.forall(p => p.isEmpty || !p.split(" ", -1).contains("")))
+  }
+
   test("DSIR fit is total on an empty source OR target (no NULL log-ratios)") {
     // r12 advice: ns was un-coalesced, so an empty SOURCE nulled every
     // bucket's lr and scoreWith went silently empty; both totals now
@@ -1631,6 +1698,13 @@ class LlmSpec extends AnyFunSuite {
       val few13 = docs.limit(10)
       assert(few13.select(Bpe.segmentCol(col("text"),
         Seq(Bpe.Merge(0, "t", "h", 1)))).collect().length == 10)
+      // round-14 expressions: byte-level BPE codec pair + byte-mode
+      // segmenter
+      assert(few13.select(Bpe.decodeByteCol(array_join(
+        Bpe.segmentByteCol(col("text"), Seq(Bpe.Merge(0, "t", "h", 1))),
+        " "))).collect().length == 10)
+      assert(few13.select(graft.functions.ByteBpeF.byteUnmap(
+        graft.functions.ByteBpeF.byteMap(col("text")))).collect().length == 10)
       assert(few13.select(graft.functions.DsirF.dsirScore(
         TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
         Array.fill(16)(0.5), 7L, 16)).collect().length == 10)
