@@ -1396,6 +1396,29 @@ object SparkEntry {
         s"$dir#ann_lsh_topk", q, 10, nBits = 8, minCandidates = 20,
         partitionBits = 4)
     }),
+    // FILTERED ANN (predicate + top-k), the "nearest k WHERE …" serving
+    // shape: a `flag = vec_id % 2` metadata column rides INTO the index
+    // layout and the predicate flag = 0 pushes into the pruned read.
+    // The predicate excludes the 5 odd planted copies, so the eligible
+    // clique is exactly {0, 100002, 100004, 100006, 100008, 100010} at
+    // cosine 1.0 — six survivors ≥ k = 5, making the expected set the
+    // closed-form brute-force-filtered top-5 at ANY probe width (the
+    // clique shares the query's rank-0 list / Hamming-0 bucket).
+    "ann_filtered_topk" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.ivfTopKFilteredIndexed(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", s"$dir#ann_filtered", q, 5,
+        col("flag") === 0, metaCols = Seq("flag"))
+    }),
+    "ann_lsh_filtered_topk" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.lshTopKFilteredIndexed(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", s"$dir#ann_lsh_filtered", q, 5,
+        col("flag") === 0, metaCols = Seq("flag"), nBits = 8,
+        minCandidates = 20, partitionBits = 4)
+    }),
     // indexed RANGE probe at the 0.99 near-dup threshold over the
     // planted clique: the clique sits at Hamming 0 (guaranteed recall at
     // any radius) and the exact verify bounds precision, so the
@@ -2938,6 +2961,8 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |  FROM documents WHERE doc_id < 10000""".stripMargin,
     "ann_lsh_topk" -> annPlantedTopkSql,
+    "ann_filtered_topk" -> annPlantedFilteredTopkSql,
+    "ann_lsh_filtered_topk" -> annPlantedFilteredTopkSql,
     "ann_lsh_range" -> annPlantedRangeSql,
     // the IVF range probe reads the query's nprobe nearest lists — the
     // planted clique sits in the rank-0 list (bit-identical vectors), so
@@ -3056,6 +3081,23 @@ object SparkEntry {
       |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
       |  FROM all_v a, q
       | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
+
+  /** Brute-force FILTERED top-5 (vec_id % 2 = 0) over the planted
+    * construction — the provable expected output of the filtered ANN
+    * rows: six even-id clique members at cosine 1.0 survive the
+    * predicate, so the top-5 is closed-form at any probe width. */
+  private val annPlantedFilteredTopkSql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT 100000 + r AS vec_id, q.embedding
+      |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted)
+      |SELECT a.vec_id AS id,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM all_v a, q
+      | WHERE a.vec_id % 2 = 0
+      | ORDER BY cos DESC, id ASC LIMIT 5""".stripMargin
 
   /** Brute-force cosine RANGE (threshold 0.99) over the same planted
     * construction — the shared oracle of every indexed range probe

@@ -190,12 +190,27 @@ object Similarity {
     * that can't be dotted can't be searched, so exclusion is the honest
     * semantic. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 nBits: Int = 16, dim: Int = 64): DataFrame = {
+                 nBits: Int = 16, dim: Int = 64,
+                 metaCols: Seq[String] = Nil): DataFrame = {
     val planes = hyperplanes(nBits, dim)
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        metaCols.map(col): _*)
       .withColumn("bucket",
         element_at(graft.functions.HyperplaneF.bands(col("v"), 1, nBits, planes), 1))
   }
+
+  /** Columns an index carries beyond its structural ones — the metadata
+    * a filtered probe predicates on; appends re-derive the set from the
+    * live index so a metadata-carrying index stays append-able without
+    * the caller restating the list. */
+  private def indexMetaCols(vectors: DataFrame,
+                            reserved: Set[String]): Seq[String] =
+    vectors.schema.map(_.name).filterNot(reserved)
+
+  private def requireValidMetaCols(metaCols: Seq[String],
+                                   reserved: Set[String], what: String): Unit =
+    metaCols.foreach(c => require(!reserved(c),
+      s"$what: metadata column '$c' collides with a structural index column"))
 
   // ---------- IVF (inverted-file index) ----------
 
@@ -301,12 +316,16 @@ object Similarity {
     * array-of-structs min (struct comparison is lexicographic). At scale
     * the list id is the partition column, exactly like the LSH bucket. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                centroids: Array[Array[Double]]): DataFrame = {
+                centroids: Array[Array[Double]],
+                metaCols: Seq[String] = Nil): DataFrame = {
     // one native argmin loop per row (graft.functions.NearestCentroid) —
     // the composed array_min-over-structs form allocated k struct rows
-    // per vector; semantics identical (ties to the smaller list id)
-    df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      graft.functions.PqF.nearestCentroid(col(vecCol), centroids).as("list"))
+    // per vector; semantics identical (ties to the smaller list id).
+    // `metaCols` ride along into the index layout so a filtered probe
+    // can push its predicate into the pruned read.
+    df.select(col(idCol).as("id") +: col(vecCol).as("v") +:
+      metaCols.map(col) :+
+      graft.functions.PqF.nearestCentroid(col(vecCol), centroids).as("list"): _*)
   }
 
   /** Train the IVF coarse quantizer over a DETERMINISTIC bounded sample:
@@ -429,11 +448,14 @@ object Similarity {
   }
 
   def ivfBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
-               kLists: Int = 16, trainSample: Int = 2048): Array[Array[Double]] = {
+               kLists: Int = 16, trainSample: Int = 2048,
+               metaCols: Seq[String] = Nil): Array[Array[Double]] = {
+    requireValidMetaCols(metaCols, Set("id", "v", "list"), "ivfBuild")
     val centroids = trainCentroids(df, idCol, vecCol, kLists, trainSample)
     val sess = df.sparkSession
     stagedCommit(sess, indexDir) { staging =>
-      clusteredWrite(ivfAssign(df, idCol, vecCol, centroids), "list", kLists)
+      clusteredWrite(ivfAssign(df, idCol, vecCol, centroids, metaCols),
+          "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
       writeCentroids(sess, s"$staging/centroids", centroids)
     }
@@ -709,10 +731,15 @@ object Similarity {
                 indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
     val idx = ivfMeta(sess, indexDir)
-    val assigned = ivfAssign(df, idCol, vecCol, idx.centroids)
+    // a metadata-carrying index (filtered-ANN builds) appends the same
+    // metadata columns, re-derived from the live layout — a batch
+    // missing one fails the select below loudly, never a silent
+    // null-metadata append
+    val metaCols = indexMetaCols(idx.vectors, Set("id", "v", "list"))
+    val assigned = ivfAssign(df, idCol, vecCol, idx.centroids, metaCols)
     // schema fence: a mismatched id/vector type would strand the index
     // with unmergeable parquet footers
-    Seq("id", "v").foreach { c =>
+    ("id" +: "v" +: metaCols).foreach { c =>
       // `.sql` compares modulo nullability: an in-memory batch's
       // non-null array<float> appends safely into the index's nullable
       // one — the fence is against TYPE drift (float vs double), which
@@ -774,7 +801,11 @@ object Similarity {
     val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
     val restoreFences = carryAppendFences(fs, liveVec)
     val k = if (kLists > 0) kLists else readCentroids(spark, indexDir).length
-    val rows = spark.read.parquet(liveVec.toString).select(col("id"), col("v"))
+    // keep any metadata columns the build carried (filtered-ANN layouts)
+    // — a retrain must not silently strip the columns predicates serve on
+    val all = spark.read.parquet(liveVec.toString)
+    val metaCols = indexMetaCols(all, Set("id", "v", "list"))
+    val rows = all.select("id" +: "v" +: metaCols map col: _*)
     // deterministic spread sample: ties under the hash broken by id, so a
     // recomputed partition mid-training feeds identical rows (the same
     // property trainCentroids gets from its id ordering)
@@ -784,7 +815,7 @@ object Similarity {
       .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
     val centroids = kmeansDistributed(sampleRdd, k)
     stagedCommit(spark, indexDir) { staging =>
-      clusteredWrite(ivfAssign(rows, "id", "v", centroids), "list", k)
+      clusteredWrite(ivfAssign(rows, "id", "v", centroids, metaCols), "list", k)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
       writeCentroids(spark, s"$staging/centroids", centroids)
       restoreFences(s"$staging/vectors")
@@ -982,6 +1013,43 @@ object Similarity {
       s"ivfQuery: query dim ${query.size} != index dim ${idx.centroids.head.length}")
     val probeLists = nearestLists(idx.centroids, query.toArray, nprobe)
     rerank(idx.vectors.filter(col("list").isin(probeLists: _*)), query, k)
+  }
+
+  /** FILTERED top-k against a built IVF index: `pred` (a predicate over
+    * the index's columns — id and any metadata columns the build
+    * carried) applies BEFORE the top-k heap, and PUSHES INTO the pruned
+    * parquet read (a plain column predicate lands in PushedFilters, so
+    * row groups the metadata excludes never decompress). The retrieval
+    * serving shape "nearest k docs WHERE lang = 'en'".
+    *
+    * RECALL CAVEAT, and the widening loop that answers it: filtering
+    * shrinks the candidate set — the `nprobe` nearest lists may hold
+    * fewer than k ELIGIBLE rows even when the unfiltered probe is well
+    * tuned. The probe doubles `nprobe` until k eligible candidates
+    * survive or every list is probed, so a selective predicate degrades
+    * gracefully toward the EXACT filtered scan instead of silently
+    * returning short/far results. Each widening step costs one pruned
+    * read (survivor count); the common case returns in one. */
+  def ivfQueryFiltered(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, query: Seq[Double], k: Int,
+                       pred: Column, nprobe: Int = 8): DataFrame = {
+    val idx = ivfMeta(spark, indexDir)
+    require(query.size == idx.centroids.head.length,
+      s"ivfQueryFiltered: query dim ${query.size} != index dim ${idx.centroids.head.length}")
+    val kLists = idx.centroids.length
+    var probe = math.min(math.max(1, nprobe), kLists)
+    while (true) {
+      val lists = nearestLists(idx.centroids, query.toArray, probe)
+      val res = rerank(
+        idx.vectors.filter(col("list").isin(lists: _*)).filter(pred),
+        query, k)
+      // the survivor check executes the (≤ k-row) probe plan once; the
+      // returned frame re-runs it at consumption — serving cost is two
+      // pruned reads in the satisfied case, bounded by the k rows
+      if (probe >= kLists || res.count() >= k) return res
+      probe = math.min(probe * 2, kLists)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Indexed cosine RANGE search against a built IVF index: every id with
@@ -1485,6 +1553,25 @@ object Similarity {
     ivfQuery(df.sparkSession, dir, query, k, nprobe)
   }
 
+  /** [[ivfQueryFiltered]] through the fingerprint-fenced cached-index
+    * lifecycle: first call per key pays an [[ivfBuild]] that CARRIES
+    * `metaCols` into the layout; later calls are widening pruned probes.
+    * metaCols participate in the param stamp (an index without them
+    * cannot serve the predicate), so filtered and plain serving of one
+    * corpus are distinct cached indexes by construction. */
+  def ivfTopKFilteredIndexed(df: DataFrame, idCol: String, vecCol: String,
+                             cacheKey: String, query: Seq[Double], k: Int,
+                             pred: Column, metaCols: Seq[String],
+                             kLists: Int = 16, nprobe: Int = 8,
+                             trainSample: Int = 2048): DataFrame = {
+    val dir = cachedIndex(df, cacheKey,
+      s"ivf|k=$kLists|t=$trainSample|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample, metaCols); ()
+    }
+    ivfQueryFiltered(df.sparkSession, dir, query, k, pred, nprobe)
+  }
+
   /** Batch counterpart of [[ivfTopKIndexed]]: resolves the SAME cached
     * index (same cache stamp — single-query and batch calls under one
     * `cacheKey` share one build), then runs the one-pass pruned
@@ -1600,12 +1687,13 @@ object Similarity {
     * prefix ball is a superset of the probe's partitions. */
   def lshBuild(df: DataFrame, idCol: String, vecCol: String, indexDir: String,
                nBits: Int = 16, dim: Int = 64,
-               partitionBits: Int = 8): Unit = {
+               partitionBits: Int = 8, metaCols: Seq[String] = Nil): Unit = {
+    requireValidMetaCols(metaCols, Set("id", "v", "bucket", "pband"), "lshBuild")
     val pBits = math.min(partitionBits, nBits)
     val sess = df.sparkSession
     stagedCommit(sess, indexDir) { staging =>
       clusteredWrite(
-        lshBuckets(df, idCol, vecCol, nBits, dim)
+        lshBuckets(df, idCol, vecCol, nBits, dim, metaCols)
           .withColumn("pband", shiftrightunsigned(col("bucket"), nBits - pBits)),
         "pband", 1 << pBits)
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/vectors")
@@ -1660,10 +1748,12 @@ object Similarity {
                 indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
     val idx = lshMeta(sess, indexDir)
-    val sigs = lshBuckets(df, idCol, vecCol, idx.nBits, idx.dim)
+    // carry the index's metadata columns, as ivfAppend does
+    val metaCols = indexMetaCols(idx.vectors, Set("id", "v", "bucket", "pband"))
+    val sigs = lshBuckets(df, idCol, vecCol, idx.nBits, idx.dim, metaCols)
       .withColumn("pband",
         shiftrightunsigned(col("bucket"), idx.nBits - idx.pBits))
-    Seq("id", "v").foreach { c =>
+    ("id" +: "v" +: metaCols).foreach { c =>
       // modulo nullability, as in ivfAppend's fence
       require(sigs.schema(c).dataType.sql == idx.vectors.schema(c).dataType.sql,
         s"lshAppend: column '$c' type ${sigs.schema(c).dataType.sql} != " +
@@ -1810,6 +1900,36 @@ object Similarity {
     val radius = chooseRadius(idx.histogram, qSig, nBits, minCandidates)(r =>
       candsAt(r).limit(minCandidates).count())
     rerank(candsAt(radius), query, k)
+  }
+
+  /** FILTERED top-k against a built LSH index — the LSH sibling of
+    * [[ivfQueryFiltered]]: `pred` applies before the heap and pushes
+    * into the Hamming-ball-pruned parquet read. Same recall caveat,
+    * same answer: the occupancy histogram plans the UNFILTERED radius
+    * (it cannot see predicate selectivity), then the ball WIDENS —
+    * doubling, capped at nBits = the exact filtered full scan — until k
+    * eligible candidates survive. One survivor-count read per widening
+    * step; a predicate loose enough for the planned ball returns in
+    * one. */
+  def lshQueryFiltered(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, query: Seq[Double], k: Int,
+                       pred: Column, minCandidates: Int = 100,
+                       maxEnumBuckets: Int = 4096): DataFrame = {
+    val idx = lshMeta(spark, indexDir)
+    require(query.size == idx.dim,
+      s"lshQueryFiltered: query dim ${query.size} != index dim ${idx.dim}")
+    val qSig = querySignature(query, hyperplanes(idx.nBits, idx.dim))
+    def candsAt(radius: Int): DataFrame =
+      prunedCandidates(idx.vectors, idx, qSig, radius, maxEnumBuckets)
+        .filter(pred)
+    var radius = chooseRadius(idx.histogram, qSig, idx.nBits, minCandidates)(r =>
+      candsAt(r).limit(minCandidates).count())
+    while (true) {
+      val res = rerank(candsAt(radius), query, k)
+      if (radius >= idx.nBits || res.count() >= k) return res
+      radius = math.min(radius * 2, idx.nBits)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Indexed cosine RANGE search against a built LSH index: every id
@@ -1974,6 +2094,23 @@ object Similarity {
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }
     lshQuery(df.sparkSession, dir, query, k, minCandidates)
+  }
+
+  /** [[lshQueryFiltered]] through the cached-index lifecycle — the LSH
+    * sibling of [[ivfTopKFilteredIndexed]], same metaCols-in-stamp
+    * contract. */
+  def lshTopKFilteredIndexed(df: DataFrame, idCol: String, vecCol: String,
+                             cacheKey: String, query: Seq[Double], k: Int,
+                             pred: Column, metaCols: Seq[String],
+                             nBits: Int = 16, minCandidates: Int = 100,
+                             partitionBits: Int = 8): DataFrame = {
+    val dim = query.size
+    val dir = cachedIndex(df, cacheKey,
+      s"lsh|b=$nBits|d=$dim|p=$partitionBits|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits, metaCols)
+    }
+    lshQueryFiltered(df.sparkSession, dir, query, k, pred, minCandidates)
   }
 
   /** [[lshRange]] through the same fingerprint-fenced cached-index

@@ -1876,6 +1876,93 @@ class LlmSpec extends AnyFunSuite {
       Similarity.lshQuery(spark, dir2, Seq(1.0, 2.0, 3.0), 5))
   }
 
+  test("filtered ANN: predicate pushes into the pruned read; probe widens until k eligible survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fann").toString
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // planted clique + a flag metadata column: evens eligible, odds not
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select((col("r") + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(planted)
+      .withColumn("flag", (col("vec_id") % 2).cast("int"))
+
+    // ---- IVF ----
+    val ivfDir = s"$root/ivf"
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", ivfDir,
+      kLists = 8, trainSample = 256, metaCols = Seq("flag"))
+    val probe = Similarity.ivfQueryFiltered(spark, ivfDir, q, 5,
+      col("flag") === 0, nprobe = 3)
+    // the metadata predicate lands in the parquet scan's PushedFilters
+    // AND the probe stays partition-pruned on list
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*"), plan.take(3000))
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("list#") || plan.contains("list =")), plan.take(2000))
+    // expected set is the closed-form filtered brute force: six even-id
+    // clique members at cos 1.0, top-5 by (cos desc, id asc)
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq(0L, 100002L, 100004L, 100006L, 100008L)
+      .map(id => (id, 1.0)), s"got $got")
+
+    // widening: a predicate keeping ONLY far-away rows (one specific
+    // natural vector parity slice, excluding the whole clique) — the
+    // first nprobe lists may hold < k eligible rows, the loop must
+    // widen and still return the exact filtered brute force
+    // (predicates address INDEX columns: id + the carried metadata)
+    val selective = col("id") % 100 === 37L
+    val eligible = corpus.filter(col("vec_id") % 100 === 37L)
+    val want = Similarity.bruteForceTopK(eligible, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotSel = Similarity.ivfQueryFiltered(spark, ivfDir, q, 5,
+      selective, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotSel == want, s"widened probe $gotSel != brute $want")
+
+    // append carries the metadata column automatically (re-derived from
+    // the live index), so appended rows are filterable too
+    val extra = emb.filter($"vec_id" === 0)
+      .select(lit(200002L).as("vec_id"), $"embedding",
+        lit(0).cast("int").as("flag"))
+    Similarity.ivfAppend(extra, "vec_id", "embedding", ivfDir)
+    // all 7 eligible clique members — the appended 200002 included —
+    // now serve at cos 1.0
+    val afterAppend = Similarity.ivfQueryFiltered(spark, ivfDir, q, 7,
+      col("flag") === 0, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterAppend == Seq(0L, 100002L, 100004L, 100006L, 100008L,
+      100010L, 200002L).map(id => (id, 1.0)), s"after append: $afterAppend")
+    // a batch MISSING the metadata column is rejected loudly
+    intercept[org.apache.spark.sql.AnalysisException](
+      Similarity.ivfAppend(
+        emb.filter($"vec_id" === 1).select($"vec_id", $"embedding"),
+        "vec_id", "embedding", ivfDir))
+
+    // ---- LSH ----
+    val lshDir = s"$root/lsh"
+    Similarity.lshBuild(corpus, "vec_id", "embedding", lshDir,
+      nBits = 8, dim = 64, partitionBits = 4, metaCols = Seq("flag"))
+    val lprobe = Similarity.lshQueryFiltered(spark, lshDir, q, 5,
+      col("flag") === 0, minCandidates = 5)
+    val lplan = lprobe.queryExecution.executedPlan.toString
+    assert(lplan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*"), lplan.take(3000))
+    val lgot = lprobe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lgot == Seq(0L, 100002L, 100004L, 100006L, 100008L)
+      .map(id => (id, 1.0)), s"lsh got $lgot")
+    // selective predicate widens the Hamming ball up to the full scan —
+    // exact filtered brute force in the limit
+    val lgotSel = Similarity.lshQueryFiltered(spark, lshDir, q, 5,
+      selective, minCandidates = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lgotSel == want, s"lsh widened probe $lgotSel != brute $want")
+    // reserved-name guard
+    intercept[IllegalArgumentException](
+      Similarity.lshBuild(corpus, "vec_id", "embedding", s"$root/bad",
+        nBits = 8, dim = 64, metaCols = Seq("bucket")))
+  }
+
   test("ivfQueryBatch equals per-query ivfQuery on the same built index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfbatch").toString + "/idx"
     Similarity.ivfBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
