@@ -1419,6 +1419,16 @@ object SparkEntry {
         col("flag") === 0, metaCols = Seq("flag"), nBits = 8,
         minCandidates = 20, partitionBits = 4)
     }),
+    // the same filtered serving shape through the DFL dispatch: the
+    // predicate's attribute set ('@flag') IS the metadata column list
+    // that rides into the index
+    "dfl_ann_filtered" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      DflFrame.pipeline(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "annTopKFiltered(@, '@vec_id', '@embedding', $q, 5, '@flag == 0', 'ivf')",
+        Map("q" -> q))
+    }),
     // indexed RANGE probe at the 0.99 near-dup threshold over the
     // planted clique: the clique sits at Hamming 0 (guaranteed recall at
     // any radius) and the exact verify bounds precision, so the
@@ -1567,6 +1577,11 @@ object SparkEntry {
       llm.Dedup.imagePairs(imageCorpus(s, dir))),
     "dfl_image_dedup" -> ((s, dir) => DflFrame.pipeline(
       imageCorpus(s, dir), "imageDedup(@, '@id', '@payload')")),
+    // the DCT pHash sees the same closed-form pair set: identical bytes
+    // and uniform +8 shifts keep every non-DC DCT coefficient, so all
+    // three planted pairs sit at hamming 0 under pHash too
+    "dfl_image_dedup_phash" -> ((s, dir) => DflFrame.pipeline(
+      imageCorpus(s, dir), "imageDedup(@, '@id', '@payload', 3, 'phash')")),
     "multimodal_meta" -> ((s, dir) =>
       // the metadata-ONLY funnel: payload bytes feed the header probe but
       // never re-serialize into the output schema
@@ -2934,6 +2949,7 @@ object SparkEntry {
     // (64 md5-random bits) so no other pair survives the exact verify
     "dedup_image_pairs" -> imagePairsSql,
     "dfl_image_dedup" -> imagePairsSql,
+    "dfl_image_dedup_phash" -> imagePairsSql,
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
     // the decode operator's checksum is md5 over the payload bytes —
@@ -2963,6 +2979,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annPlantedTopkSql,
     "ann_filtered_topk" -> annPlantedFilteredTopkSql,
     "ann_lsh_filtered_topk" -> annPlantedFilteredTopkSql,
+    "dfl_ann_filtered" -> annPlantedFilteredTopkSql,
     "ann_lsh_range" -> annPlantedRangeSql,
     // the IVF range probe reads the query's nprobe nearest lists — the
     // planted clique sits in the rank-0 list (bit-identical vectors), so

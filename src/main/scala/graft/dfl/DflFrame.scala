@@ -104,7 +104,7 @@ object DflFrame {
       "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
       "freqItems", "join", "scale",
       "annTopK", "annTopKBatch", "annRange",
-      "annRangeBatch",
+      "annRangeBatch", "annTopKFiltered",
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
@@ -604,9 +604,10 @@ object DflFrame {
       case "imageDedup" =>
         // `imageDedup(@, '@id', '@payload'[, maxHamming, method])` —
         // perceptual-hash image near-dup pairs (id_a, id_b, hamming):
-        // dHash (default) or aHash signatures, banded Hamming candidate
-        // join, exact bit_count verify (llm.Dedup.imagePairs). Whole-
-        // dataset (the self-join), hence stream-fenced.
+        // dHash (default), aHash, or DCT pHash signatures, banded
+        // Hamming candidate join, exact bit_count verify
+        // (llm.Dedup.imagePairs). Whole-dataset (the self-join), hence
+        // stream-fenced.
         val maxHamming = if (args.size > 3) intArg(3) else 3
         val method = if (args.size > 4) strArg(4) else "dhash"
         val base = df.withColumn("__gid", subCol(1))
@@ -1243,6 +1244,61 @@ object DflFrame {
           case other => throw new DflParseException(s"unknown annTopK method $other")
         }
 
+      case "annTopKFiltered" =>
+        // `annTopKFiltered(@, '@id', '@vec', $query, k, 'pred'[, method[,
+        // tuning]])` — FILTERED cosine top-k: `pred` is a DFL boolean
+        // over the index row — `@id`, `@v`, plus any metadata columns it
+        // names, which are exactly the columns that ride into the index
+        // layout (the predicate's attribute set IS the metaCols list).
+        // Indexed corpora serve via the widening pruned probes
+        // (Similarity.*TopKFilteredIndexed — predicate in PushedFilters,
+        // nprobe/radius widen until k eligible survive); in-memory
+        // corpora pre-filter and run the exact/ad-hoc paths (equal or
+        // better recall, no cache key to collide). method: ivf (default)
+        // | lsh | exact; tuning as in annTopK.
+        if (args.size < 6 || args.size > 8) throw new DflParseException(
+          "annTopKFiltered takes (@, id, vec, query, k, pred[, method[, tuning]])")
+        val fq = vecArg(3)
+        val fk = intArg(4)
+        val predNode = sub(5)
+        val fMethod = if (args.size > 6) strArg(6) else "ivf"
+        val metaCols = attrNames(predNode).filterNot(Set("id", "v")).toSeq.sorted
+        val fBase = df.select(subCol(1).as("id") +: subCol(2).as("v") +:
+          metaCols.map(col): _*)
+        // the predicate compiles UNBOUND (plain col(name), typed from the
+        // base schema): the filtered probes apply it to the INDEX frame —
+        // a different DataFrame with the same column names — where a
+        // df-bound reference would fail to re-resolve
+        val fSchema = fBase.schema
+        val pred = ColumnCompiler.compile(predNode, ColumnCompiler.Ctx(
+          resolveAttr = name => col(name),
+          whole = () => struct(fBase.columns.map(col).toIndexedSeq: _*),
+          vars = vars,
+          attrType = name => fSchema.fields.find(_.name == name).map(_.dataType)))
+        fMethod match {
+          case "exact" =>
+            graft.llm.Similarity.bruteForceTopK(
+              fBase.filter(pred), "id", "v", fq, fk)
+          case "ivf" =>
+            val nprobe = if (args.size > 7) intArg(7) else 8
+            if (dflIndexable(fBase))
+              graft.llm.Similarity.ivfTopKFilteredIndexed(fBase, "id", "v",
+                dflCorpusKey(fBase, s"ivf-filtered|${metaCols.mkString(",")}"),
+                fq, fk, pred, metaCols, nprobe = nprobe)
+            else graft.llm.Similarity.ivfTopK(
+              fBase.filter(pred), "id", "v", fq, fk, nprobe = nprobe)
+          case "lsh" =>
+            val minCands = if (args.size > 7) intArg(7) else 100
+            if (dflIndexable(fBase))
+              graft.llm.Similarity.lshTopKFilteredIndexed(fBase, "id", "v",
+                dflCorpusKey(fBase, s"lsh-filtered|${metaCols.mkString(",")}"),
+                fq, fk, pred, metaCols, minCandidates = minCands)
+            else graft.llm.Similarity.lshTopK(
+              fBase.filter(pred), "id", "v", fq, fk, minCandidates = minCands)
+          case other => throw new DflParseException(
+            s"unknown annTopKFiltered method $other")
+        }
+
       case "annRangeBatch" =>
         // `annRangeBatch(@, '@id', '@vec', $queries, minCos[, method[,
         // tuning]])` — batched RANGE serving at the product surface:
@@ -1347,6 +1403,31 @@ object DflFrame {
     * in-memory corpora with equal schemas would collide on one key and
     * silently share an index — those run the ad-hoc index-less paths
     * instead. */
+  /** Attribute names a DFL expression references — `annTopKFiltered`
+    * derives its index-metadata column set from its predicate's
+    * references (a name the piped frame lacks fails the select loudly).
+    * `@` itself (the whole record, Attr("")) contributes nothing. */
+  private def attrNames(n: Node): Set[String] = n match {
+    case Attr("")             => Set.empty
+    case Attr(name)           => Set(name)
+    case Prop(t, _, _)        => attrNames(t)
+    case Index(t, i)          => attrNames(t) ++ attrNames(i)
+    case ArrayLit(xs)         => xs.flatMap(attrNames).toSet
+    case SetLit(xs)           => xs.flatMap(attrNames).toSet
+    case DictLit(es)          => es.flatMap { case (k, v) =>
+                                   attrNames(k) ++ attrNames(v) }.toSet
+    case FunCall(_, as)       => as.flatMap(attrNames).toSet
+    case Unary(_, x)          => attrNames(x)
+    case Binary(_, l, r)      => attrNames(l) ++ attrNames(r)
+    case Between(x, lo, hi, _) => attrNames(x) ++ attrNames(lo) ++ attrNames(hi)
+    case Ternary(c, t, f)     => attrNames(c) ++ attrNames(t) ++ attrNames(f)
+    case Elvis(l, r)          => attrNames(l) ++ attrNames(r)
+    case Assign(_, v)         => attrNames(v)
+    case AugAssign(t, _, v)   => attrNames(t) ++ attrNames(v)
+    case Pipe(ss)             => ss.flatMap(attrNames).toSet
+    case _                    => Set.empty
+  }
+
   private def dflCorpusKey(base: DataFrame, method: String): String =
     s"dfl|$method|" + graft.util.Md5.hex(
       // render with UNLIMITED fields: the default LogicalPlan.toString

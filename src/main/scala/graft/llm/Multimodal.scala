@@ -360,24 +360,81 @@ object Multimodal {
       bits
     }
 
+  /** 64-bit DCT hash (pHash, the pHash.org construction): 32×32
+    * grayscale downscale, separable 2-D DCT-II, keep the 8×8
+    * lowest-frequency block, bit = coefficient > mean of the 63 non-DC
+    * kept coefficients. EXACTLY invariant to uniform brightness shifts
+    * (a constant only moves the DC coefficient, which is excluded from
+    * both the bits and the mean) and to lossless re-encodes; the most
+    * requantization-robust of the three hashes (low frequencies survive
+    * JPEG), at ~16× the downscale area of dHash. */
+  private[llm] def pHashBits(payload: Array[Byte]): Option[Long] =
+    grayRaster(payload, 32, 32).map { px =>
+      // DCT-II along rows then columns (separable); cos tables are tiny
+      val n = 32
+      val cosT = Array.tabulate(n, n)((k, i) =>
+        math.cos((2 * i + 1) * k * math.Pi / (2.0 * n)))
+      val rows = Array.ofDim[Double](n, n)
+      var y = 0
+      while (y < n) {
+        var u = 0
+        while (u < 8) { // only the first 8 frequencies are ever read
+          var s = 0.0
+          var x = 0
+          while (x < n) { s += px(y * n + x) * cosT(u)(x); x += 1 }
+          rows(y)(u) = s
+          u += 1
+        }
+        y += 1
+      }
+      val coef = Array.ofDim[Double](8, 8)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var y2 = 0
+          while (y2 < n) { s += rows(y2)(u) * cosT(v)(y2); y2 += 1 }
+          coef(v)(u) = s
+          u += 1
+        }
+        v += 1
+      }
+      var sum = 0.0
+      var i = 0
+      while (i < 64) { if (i != 0) sum += coef(i / 8)(i % 8); i += 1 }
+      val mean = sum / 63.0
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        bits <<= 1
+        if (i != 0 && coef(i / 8)(i % 8) > mean) bits |= 1L
+        i += 1
+      }
+      bits
+    }
+
   /** Perceptual-hash signatures over a media table: `(id, sig)` with one
-    * 64-bit dHash (`method = "dhash"`, default) or aHash (`"ahash"`) per
-    * DECODABLE image payload — undecodable rows drop (they have no
-    * perceptual identity; byte-exact dedup covers them via checksum).
-    * Same `mapPartitions` decoder shape as [[decodeFeatures]]; one
-    * map-only pass, no shuffle. */
+    * 64-bit dHash (`method = "dhash"`, default), aHash (`"ahash"`), or
+    * DCT pHash (`"phash"`) per DECODABLE image payload — undecodable
+    * rows drop (they have no perceptual identity; byte-exact dedup
+    * covers them via checksum). Same `mapPartitions` decoder shape as
+    * [[decodeFeatures]]; one map-only pass, no shuffle. */
   def imageHashes(spark: SparkSession, media: DataFrame,
                   method: String = "dhash"): DataFrame = {
-    require(method == "dhash" || method == "ahash",
+    require(method == "dhash" || method == "ahash" || method == "phash",
       s"imageHashes: unknown method $method")
     import spark.implicits._
-    val useD = method == "dhash"
     media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val hash: Array[Byte] => Option[Long] = method match {
+          case "dhash" => dHashBits
+          case "ahash" => aHashBits
+          case _       => pHashBits
+        }
         it.flatMap { case (id, payload) =>
-          (if (useD) dHashBits(payload) else aHashBits(payload))
-            .map(sig => (id, sig))
+          hash(payload).map(sig => (id, sig))
         }
       }.toDF("id", "sig")
   }

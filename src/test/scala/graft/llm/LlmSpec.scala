@@ -1963,6 +1963,36 @@ class LlmSpec extends AnyFunSuite {
         nBits = 8, dim = 64, metaCols = Seq("bucket")))
   }
 
+  test("DFL annTopKFiltered: predicate attrs become index metadata; methods agree with filtered brute force") {
+    import graft.dfl.{DflFrame, DflParseException}
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val corpus = emb.select($"vec_id", $"embedding")
+      .withColumn("flag", (col("vec_id") % 2).cast("int"))
+    val want = Similarity.bruteForceTopK(
+      corpus.filter(col("flag") === 0), "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // exact method: pre-filter + brute force
+    val gotExact = DflFrame.pipeline(corpus,
+      "annTopKFiltered(@, '@vec_id', '@embedding', $q, 5, '@flag == 0', 'exact')",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotExact == want)
+    // ivf on an in-memory corpus takes the ad-hoc pre-filtered path —
+    // the query vector is its own 1-NN either way
+    val gotIvf = DflFrame.pipeline(corpus,
+      "annTopKFiltered(@, '@vec_id', '@embedding', $q, 5, '@flag == 0', 'ivf')",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotIvf.head == (0L, 1.0) && gotIvf.length == 5)
+    assert(gotIvf.forall { case (id, _) => id % 2 == 0 })
+    // a predicate naming a column the frame lacks fails loudly
+    intercept[org.apache.spark.sql.AnalysisException](DflFrame.pipeline(corpus,
+      "annTopKFiltered(@, '@vec_id', '@embedding', $q, 5, '@nope == 0')",
+      Map("q" -> q)))
+    // arity guard
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      "annTopKFiltered(@, '@vec_id', '@embedding', $q)", Map("q" -> q)))
+  }
+
   test("ivfQueryBatch equals per-query ivfQuery on the same built index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfbatch").toString + "/idx"
     Similarity.ivfBuild(emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
@@ -2105,6 +2135,15 @@ class LlmSpec extends AnyFunSuite {
     // aHash: same invariances for shift/re-encode
     val aSig = Multimodal.aHashBits(base).get
     assert(Multimodal.aHashBits(bytes(render(64, 48, 8), "bmp")).contains(aSig))
+    // pHash: the DC-excluded DCT hash is EXACTLY shift/re-encode
+    // invariant (a constant moves only the excluded DC term) and the
+    // most JPEG-robust of the three
+    val pSig = Multimodal.pHashBits(base).get
+    assert(Multimodal.pHashBits(bytes(render(64, 48, 8), "bmp")).contains(pSig))
+    val pJpeg = Multimodal.pHashBits(jpeg).get
+    assert(java.lang.Long.bitCount(pSig ^ pJpeg) <= 3,
+      s"phash jpeg drifted ${java.lang.Long.bitCount(pSig ^ pJpeg)} bits")
+    assert(Multimodal.pHashBits("junk".getBytes("UTF-8")).isEmpty)
     // undecodable bytes have no perceptual identity
     assert(Multimodal.dHashBits("junk".getBytes("UTF-8")).isEmpty)
     // imagePairs end-to-end: png + its jpeg requantization pair up;
@@ -2118,6 +2157,9 @@ class LlmSpec extends AnyFunSuite {
       }
       img
     }
+    // the vertical gradient is structurally different under pHash too
+    assert(java.lang.Long.bitCount(
+      pSig ^ Multimodal.pHashBits(bytes(renderV(0), "png")).get) > 3)
     val media = Seq(
       (1L, base), (2L, jpeg), (3L, bytes(renderV(0), "png")),
       (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")

@@ -122,6 +122,22 @@ class StreamParitySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(stream == batch)
     assert(batch == Set((1L, "lo w est</w> lo w</w>"), (2L, "n ew est</w>")))
+    // BYTE mode is row-local too → streamable; the byte-alphabet
+    // textbook table serves with batch parity, and the frozen-tokenizer
+    // round trip is lossless on the streamed rows
+    val bm = Seq((0, "e", "s"), (1, "es", "t"), (2, "l", "o"), (3, "lo", "w"))
+      .toDF("rank", "left", "right")
+    val bExpr = "bpeSegment(@, '@id', '@text', $m, 'byte')"
+    val bBatch = DflFrame.pipeline(spark.read.json(dir), bExpr, Map("m" -> bm))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val bStream = StreamRunner.runOnce(spark, dir, "jsonl", bExpr,
+        vars = Map("m" -> bm))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(bStream == bBatch)
+    assert(bBatch == Set((1L, "low est Ġ low"), (2L, "n e w est")))
+    // annTopKFiltered is whole-dataset (index build + self-probe) → fenced
+    intercept[IllegalArgumentException](StreamRunner.validateStreamable(
+      "jsonl", "annTopKFiltered(@, '@id', '@v', [1.0], 5, '@flag == 0')"))
   }
 
   test("cdcChunks is streamable (row-local), batch-parity; cdcPairs/sourceFilter fenced") {
