@@ -1419,6 +1419,26 @@ object SparkEntry {
         col("flag") === 0, metaCols = Seq("flag"), nBits = 8,
         minCandidates = 20, partitionBits = 4)
     }),
+    // BATCH filtered serving: per query the even-id clique slice ties at
+    // cos 1.0 (query 1's own odd-id row is predicate-excluded — its
+    // eligible clique is EXACTLY 5, so the round-robin widening loop's
+    // satisfied-at-first-probe fast path is what's on trial), answers
+    // closed-form per query
+    "ann_filtered_batch" -> ((s, dir) => {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      llm.Similarity.ivfTopKBatchFilteredIndexed(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", s"$dir#ann_filtered_batch", queries, 5,
+        col("flag") === 0, metaCols = Seq("flag"))
+    }),
+    "ann_lsh_filtered_batch" -> ((s, dir) => {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      llm.Similarity.lshTopKBatchFilteredIndexed(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", s"$dir#ann_lsh_filtered_batch", queries, 5,
+        col("flag") === 0, metaCols = Seq("flag"), nBits = 8,
+        minCandidates = 20, partitionBits = 4)
+    }),
     // the same filtered serving shape through the DFL dispatch: the
     // predicate's attribute set ('@flag') IS the metadata column list
     // that rides into the index
@@ -2980,6 +3000,8 @@ object SparkEntry {
     "ann_filtered_topk" -> annPlantedFilteredTopkSql,
     "ann_lsh_filtered_topk" -> annPlantedFilteredTopkSql,
     "dfl_ann_filtered" -> annPlantedFilteredTopkSql,
+    "ann_filtered_batch" -> annBatchPlantedFilteredSql,
+    "ann_lsh_filtered_batch" -> annBatchPlantedFilteredSql,
     "ann_lsh_range" -> annPlantedRangeSql,
     // the IVF range probe reads the query's nprobe nearest lists — the
     // planted clique sits in the rank-0 list (bit-identical vectors), so
@@ -3064,6 +3086,26 @@ object SparkEntry {
       |    FROM all_v v, qs q)
       |SELECT qid, id, cos FROM scored
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 10""".stripMargin
+
+  /** Brute-force FILTERED batch top-5 (vec_id % 2 = 0) over the
+    * per-query planted cliques — the expected output of the BATCH
+    * filtered probes: per query the even-id clique slice (5 copies, plus
+    * the query's own row when its id is even — queries 0 and 2 but NOT
+    * 1, whose odd own-row the predicate excludes) ties at cosine 1.0 and
+    * fills the top-5 closed-form. */
+  private val annBatchPlantedFilteredSql: String =
+    """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |planted AS (SELECT 100000 + q.qid * 100 + r AS vec_id, q.qv AS embedding
+      |              FROM qs q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted),
+      |scored AS (
+      |  SELECT q.qid, v.vec_id AS id,
+      |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                                      CAST(q.qv AS DOUBLE[])), 6) AS cos
+      |    FROM all_v v, qs q WHERE v.vec_id % 2 = 0)
+      |SELECT qid, id, cos FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) <= 5""".stripMargin
 
   /** Brute-force cosine RANGE (threshold 0.99) over the per-query
     * planted-clique construction — the shared oracle of the batched

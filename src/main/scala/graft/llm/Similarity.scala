@@ -1572,6 +1572,69 @@ object Similarity {
     ivfQueryFiltered(df.sparkSession, dir, query, k, pred, nprobe)
   }
 
+  /** BATCH filtered top-k against a built IVF index — [[ivfQueryFiltered]]
+    * for a query stream: each round scores ALL still-unsatisfied queries
+    * in ONE pred-filtered pruned pass (the [[ivfQueryBatch]] machinery:
+    * list-pruned union read, native MatVecDots, per-query membership
+    * filter, bounded-heap top-k), finalizes every query with k eligible
+    * survivors (or a full-width probe), and doubles the probe width for
+    * the rest. Per-query answers equal [[ivfQueryFiltered]] at the same
+    * starting `nprobe` — the widening schedule is identical. Results are
+    * ≤ |queries| × k rows, collected per round (the same driver-size
+    * bound as every batch entry point's output). Returns (qid, id, cos),
+    * qid-then-rank ordered. */
+  def ivfQueryBatchFiltered(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, queries: Seq[(Long, Seq[Double])],
+                            k: Int, pred: Column, nprobe: Int = 8,
+                            chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfQueryBatchFiltered: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfQueryBatchFiltered: ragged query dims $dims")
+    require(chunkSize > 0, "ivfQueryBatchFiltered: chunkSize must be positive")
+    val idx = ivfMeta(spark, indexDir)
+    require(dims.head == idx.centroids.head.length,
+      s"ivfQueryBatchFiltered: query dim ${dims.head} != index dim ${idx.centroids.head.length}")
+    val kLists = idx.centroids.length
+    val eligible = idx.vectors.filter(pred)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var pending = queries
+    var width = math.min(math.max(1, nprobe), kLists)
+    while (pending.nonEmpty) {
+      val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
+        val probeLists = chunk.map(q =>
+          nearestLists(idx.centroids, q._2.toArray, width))
+        scoreIvfGroup(eligible, chunk, probeLists, k).collect()
+      }
+      val byQ = rows.groupBy(_.getLong(0))
+      val (done, todo) = pending.partition(q =>
+        width >= kLists || byQ.getOrElse(q._1, Seq.empty).size >= k)
+      acc ++= done.flatMap(q => byQ.getOrElse(q._1, Seq.empty)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      pending = todo
+      width = math.min(width * 2, kLists)
+    }
+    import spark.implicits._
+    acc.toSeq.sortBy { case (qid, id, cos) => (qid, -cos, id) }
+      .toDF("qid", "id", "cos")
+  }
+
+  /** Batch counterpart of [[ivfTopKFilteredIndexed]] — same cache stamp,
+    * so single and batch filtered serving of one corpus share one
+    * metadata-carrying build. */
+  def ivfTopKBatchFilteredIndexed(df: DataFrame, idCol: String, vecCol: String,
+                                  cacheKey: String,
+                                  queries: Seq[(Long, Seq[Double])], k: Int,
+                                  pred: Column, metaCols: Seq[String],
+                                  kLists: Int = 16, nprobe: Int = 8,
+                                  trainSample: Int = 2048): DataFrame = {
+    val dir = cachedIndex(df, cacheKey,
+      s"ivf|k=$kLists|t=$trainSample|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample, metaCols); ()
+    }
+    ivfQueryBatchFiltered(df.sparkSession, dir, queries, k, pred, nprobe)
+  }
+
   /** Batch counterpart of [[ivfTopKIndexed]]: resolves the SAME cached
     * index (same cache stamp — single-query and batch calls under one
     * `cacheKey` share one build), then runs the one-pass pruned
@@ -2113,6 +2176,24 @@ object Similarity {
     lshQueryFiltered(df.sparkSession, dir, query, k, pred, minCandidates)
   }
 
+  /** Batch counterpart of [[lshTopKFilteredIndexed]] — shared stamp,
+    * one metadata-carrying build for single and batch filtered probes. */
+  def lshTopKBatchFilteredIndexed(df: DataFrame, idCol: String, vecCol: String,
+                                  cacheKey: String,
+                                  queries: Seq[(Long, Seq[Double])], k: Int,
+                                  pred: Column, metaCols: Seq[String],
+                                  nBits: Int = 16, minCandidates: Int = 100,
+                                  partitionBits: Int = 8): DataFrame = {
+    require(queries.nonEmpty, "lshTopKBatchFilteredIndexed: empty query batch")
+    val dim = queries.head._2.size
+    val dir = cachedIndex(df, cacheKey,
+      s"lsh|b=$nBits|d=$dim|p=$partitionBits|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits, metaCols)
+    }
+    lshQueryBatchFiltered(df.sparkSession, dir, queries, k, pred, minCandidates)
+  }
+
   /** [[lshRange]] through the same fingerprint-fenced cached-index
     * lifecycle as [[lshTopKIndexed]] — an identical params string, so a
     * corpus served for top-k and for range probes shares ONE build. */
@@ -2126,6 +2207,67 @@ object Similarity {
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits)
     }
     lshRange(df.sparkSession, dir, query, minCos, slackBits)
+  }
+
+  /** BATCH filtered top-k against a built LSH index — the LSH sibling of
+    * [[ivfQueryBatchFiltered]]: per-query starting radii come from the
+    * shared [[chooseRadius]] planning (histogram-driven when available,
+    * with the pred-filtered counting fallback [[lshQueryFiltered]] uses),
+    * each round reads ONE pruned union of the still-unsatisfied queries'
+    * prefix balls (unpruned only if any pending ball outgrows the
+    * enumeration cap) filtered by `pred`, scores with the batched
+    * machinery, finalizes queries with k eligible survivors, and doubles
+    * the radii of the rest (capped at nBits = the exact filtered scan).
+    * Returns (qid, id, cos), qid-then-rank ordered. */
+  def lshQueryBatchFiltered(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, queries: Seq[(Long, Seq[Double])],
+                            k: Int, pred: Column, minCandidates: Int = 100,
+                            maxEnumBuckets: Int = 4096,
+                            chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "lshQueryBatchFiltered: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"lshQueryBatchFiltered: ragged query dims $dims")
+    require(chunkSize > 0, "lshQueryBatchFiltered: chunkSize must be positive")
+    val idx = lshMeta(spark, indexDir)
+    require(dims.head == idx.dim,
+      s"lshQueryBatchFiltered: query dim ${dims.head} != index dim ${idx.dim}")
+    val planes = hyperplanes(idx.nBits, idx.dim)
+    val eligible = idx.vectors.filter(pred)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var pending = queries.map { case (qid, q) =>
+      val sig = querySignature(q, planes)
+      val r0 = chooseRadius(idx.histogram, sig, idx.nBits, minCandidates)(r =>
+        prunedCandidates(eligible, idx, sig, r, maxEnumBuckets)
+          .limit(minCandidates).count())
+      (qid, q, sig, r0)
+    }
+    while (pending.nonEmpty) {
+      val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
+        // union prefix-ball pruning, lossless under the per-query
+        // full-signature Hamming filter inside scoreLshGroup; any
+        // unenumerable ball in the chunk drops the pruning for the chunk
+        val balls = chunk.map { case (_, _, sig, r) =>
+          prefixBall(sig, idx.nBits, idx.pBits, r, maxEnumBuckets) }
+        val read =
+          if (balls.forall(_.isDefined))
+            eligible.filter(col("pband").isin(
+              pbandLiterals(idx, balls.flatMap(_.get).distinct): _*))
+          else eligible
+        scoreLshGroup(read, chunk.map(c => (c._1, c._2)),
+          chunk.map(_._3), chunk.map(_._4), k).collect()
+      }
+      val byQ = rows.groupBy(_.getLong(0))
+      val (done, todo) = pending.partition { case (qid, _, _, r) =>
+        r >= idx.nBits || byQ.getOrElse(qid, Seq.empty).size >= k }
+      acc ++= done.flatMap { case (qid, _, _, _) =>
+        byQ.getOrElse(qid, Seq.empty)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) }
+      pending = todo.map { case (qid, q, sig, r) =>
+        (qid, q, sig, math.min(r * 2, idx.nBits)) }
+    }
+    import spark.implicits._
+    acc.toSeq.sortBy { case (qid, id, cos) => (qid, -cos, id) }
+      .toDF("qid", "id", "cos")
   }
 
   /** QUERY a built LSH index with a BATCH of query vectors in ONE pruned

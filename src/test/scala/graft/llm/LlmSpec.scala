@@ -1963,6 +1963,64 @@ class LlmSpec extends AnyFunSuite {
         nBits = 8, dim = 64, metaCols = Seq("bucket")))
   }
 
+  test("batch filtered ANN equals per-query filtered probes; widening mixes per query") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fbatch").toString
+    val qs = emb.filter($"vec_id" < 3).select($"vec_id", $"embedding")
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val planted = emb.filter($"vec_id" < 3)
+      .select(col("vec_id").as("q"),
+        explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select((lit(100000L) + col("q") * 100L + col("r")).as("vec_id"),
+        $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(planted)
+      .withColumn("flag", (col("vec_id") % 2).cast("int"))
+    val ivfDir = s"$root/ivf"; val lshDir = s"$root/lsh"
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", ivfDir,
+      kLists = 8, trainSample = 256, metaCols = Seq("flag"))
+    Similarity.lshBuild(corpus, "vec_id", "embedding", lshDir,
+      nBits = 8, dim = 64, partitionBits = 4, metaCols = Seq("flag"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy { case (qid, id, cos) => (qid, -cos, id) }
+    for (pred <- Seq(col("flag") === 0, col("id") % 100 === 37L)) {
+      // IVF: batch == per-query single filtered probe, row for row
+      val ivfBatch = rows(Similarity.ivfQueryBatchFiltered(
+        spark, ivfDir, qs, 5, pred, nprobe = 2))
+      val ivfSingle = qs.flatMap { case (qid, q) =>
+        Similarity.ivfQueryFiltered(spark, ivfDir, q, 5, pred, nprobe = 2)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.sortBy { case (qid, id, cos) => (qid, -cos, id) }
+      assert(ivfBatch == ivfSingle, s"ivf batch/single diverged under $pred")
+      // LSH likewise
+      val lshBatch = rows(Similarity.lshQueryBatchFiltered(
+        spark, lshDir, qs, 5, pred, minCandidates = 5))
+      val lshSingle = qs.flatMap { case (qid, q) =>
+        Similarity.lshQueryFiltered(spark, lshDir, q, 5, pred, minCandidates = 5)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.sortBy { case (qid, id, cos) => (qid, -cos, id) }
+      assert(lshBatch == lshSingle, s"lsh batch/single diverged under $pred")
+    }
+    // the selective predicate widens every query to the exact filtered
+    // scan: batch answers equal filtered brute force per query
+    val selective = col("id") % 100 === 37L
+    val eligible = corpus.filter(col("vec_id") % 100 === 37L)
+    val want = qs.flatMap { case (qid, q) =>
+      Similarity.bruteForceTopK(eligible, "vec_id", "embedding", q, 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.sortBy { case (qid, id, cos) => (qid, -cos, id) }
+    assert(rows(Similarity.ivfQueryBatchFiltered(
+      spark, ivfDir, qs, 5, selective, nprobe = 1)) == want)
+    assert(rows(Similarity.lshQueryBatchFiltered(
+      spark, lshDir, qs, 5, selective, minCandidates = 5)) == want)
+    // the permissive predicate satisfies at the first probe: per query
+    // the even-id clique slice ties at 1.0 (query 1's own odd row is
+    // excluded, so its clique slice is exactly 5)
+    val fast = rows(Similarity.ivfQueryBatchFiltered(
+      spark, ivfDir, qs, 5, col("flag") === 0, nprobe = 2))
+    assert(fast.count(_._3 == 1.0) == 15, s"cliques must fill all 15 slots: $fast")
+  }
+
   test("DFL annTopKFiltered: predicate attrs become index metadata; methods agree with filtered brute force") {
     import graft.dfl.{DflFrame, DflParseException}
     val q = emb.filter($"vec_id" === 0).select($"embedding")
