@@ -1025,6 +1025,25 @@ object SparkEntry {
       val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
       Seq(Tuple1(top == clique)).toDF("clique_exact")
     }),
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      // the compressed FILTERED serving shape: flag metadata rides into
+      // the code lists, the predicate pushes into the pruned ADC read,
+      // nprobe widens until k eligible survive. Contract (as the other
+      // ivfpq rows): the even-id clique slice shares the query's codes
+      // and list, so the filtered top-6 at nprobe=1 is exactly it.
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ivfpq-filtered")(
+        llm.Pq.ivfPqBuild(
+          corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+          "vec_id", "embedding", _, kLists = 8, m = 8, k = 16,
+          metaCols = Seq("flag")))
+      val top = llm.Pq.ivfPqQueryFiltered(s, idxDir, q, 6,
+        col("flag") === 0, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      val evenClique = Set(0L) ++ (1L to 5L).map(r => 100000L + 2 * r)
+      Seq(Tuple1(top == evenClique)).toDF("filtered_clique_exact")
+    }),
     "ann_ivfpq_append" -> ((s, dir) => {
       // the IVFPQ append lifecycle under the clique contract: build over
       // the corpus PREFIX (codebooks + centroids trained there, vec 0 —
@@ -1602,6 +1621,14 @@ object SparkEntry {
     // three planted pairs sit at hamming 0 under pHash too
     "dfl_image_dedup_phash" -> ((s, dir) => DflFrame.pipeline(
       imageCorpus(s, dir), "imageDedup(@, '@id', '@payload', 3, 'phash')")),
+    // keep-smallest-id arbitration over the image pair set: every
+    // planted copy (id ≥ 1e6) pairs with its smaller original, so the
+    // survivors are exactly the 200 originals — closed-form
+    "dedup_image_survivors" -> ((s, dir) => {
+      val media = imageCorpus(s, dir)
+      llm.Dedup.survivors(media, "id", llm.Dedup.imagePairs(media))
+        .select("id")
+    }),
     "multimodal_meta" -> ((s, dir) =>
       // the metadata-ONLY funnel: payload bytes feed the header probe but
       // never re-serialize into the output schema
@@ -2832,6 +2859,7 @@ object SparkEntry {
     "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
     "ann_ivfpq_append" -> "SELECT true AS clique_exact",
+    "ann_ivfpq_filtered" -> "SELECT true AS filtered_clique_exact",
     "dfl_ann_pq" -> "SELECT true AS clique_exact",
     "dfl_scale" ->
       """SELECT doc_id,
@@ -2970,6 +2998,8 @@ object SparkEntry {
     "dedup_image_pairs" -> imagePairsSql,
     "dfl_image_dedup" -> imagePairsSql,
     "dfl_image_dedup_phash" -> imagePairsSql,
+    "dedup_image_survivors" ->
+      "SELECT doc_id AS id FROM documents WHERE doc_id < 200",
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
     // the decode operator's checksum is md5 over the payload bytes —

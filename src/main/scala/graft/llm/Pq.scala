@@ -172,14 +172,18 @@ object Pq {
     * (monitor [[Similarity.ivfListStats]]). */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
                  indexDir: String, kLists: Int = 64, m: Int = 8,
-                 k: Int = 64, trainSample: Int = 4096): Unit = {
+                 k: Int = 64, trainSample: Int = 4096,
+                 metaCols: Seq[String] = Nil): Unit = {
+    metaCols.foreach(c => require(!Set("id", "list", "codes")(c),
+      s"ivfPqBuild: metadata column '$c' collides with a structural index column"))
     val spark = df.sparkSession
     val centroids = Similarity.trainCentroids(df, idCol, vecCol, kLists, trainSample)
     val model = pqTrain(df, idCol, vecCol, m, k, trainSample)
     Similarity.stagedCommit(spark, indexDir) { staging =>
       Similarity.clusteredWrite(
-          Similarity.ivfAssign(df, idCol, vecCol, centroids)
-            .select(col("id"), col("list"), codesCol("v", model).as("codes")),
+          Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
+            .select(col("id") +: col("list") +:
+              codesCol("v", model).as("codes") +: metaCols.map(col): _*),
           "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
@@ -215,8 +219,13 @@ object Pq {
                   indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
     val (centroids, model, vectors) = ivfPqMeta(sess, indexDir)
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
-      .select(col("id"), col("list"), codesCol("v", model).as("codes"))
+    // carry the index's metadata columns (filtered-ANN layouts), as the
+    // float appends do — re-derived from the live index schema
+    val metaCols = vectors.schema.map(_.name)
+      .filterNot(Set("id", "list", "codes"))
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
+      .select(col("id") +: col("list") +:
+        codesCol("v", model).as("codes") +: metaCols.map(col): _*)
     // schema fence, as ivfAppend: a drifted id type would strand the
     // index with unmergeable parquet footers (codes are always
     // array<tinyint> by construction)
@@ -278,6 +287,35 @@ object Pq {
     val probe = vectors
       .filter(col("list").isin(lists.map(Integer.valueOf): _*))
     pqTopK(probe.select("id", "codes"), model, query, topK)
+  }
+
+  /** FILTERED ADC probe — the compressed member of the filtered-ANN
+    * family ([[Similarity.ivfQueryFiltered]]'s shape at 32× smaller
+    * reads): the predicate (over id + the metadata columns the build
+    * carried) pushes into the list-pruned parquet read BEFORE ADC
+    * scoring, and `nprobe` doubles until `topK` eligible candidates
+    * survive or every list is probed — the widening answer to the
+    * filtered-recall caveat, identical to the float probes'. At 100 TB
+    * this is the serving shape: compressed codes, pruned lists, predicate
+    * row groups skipped by parquet stats. */
+  def ivfPqQueryFiltered(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, query: Seq[Double], topK: Int,
+                         pred: Column, nprobe: Int = 8): DataFrame = {
+    val (centroids, model, vectors) = ivfPqMeta(spark, indexDir)
+    require(query.size == model.m * model.subDim,
+      s"ivfPqQueryFiltered: query dim ${query.size} != index dim ${model.m * model.subDim}")
+    val kLists = centroids.length
+    var probe = math.min(math.max(1, nprobe), kLists)
+    while (true) {
+      val lists = Similarity.nearestLists(centroids, query.toArray, probe)
+      val res = pqTopK(
+        vectors.filter(col("list").isin(lists.map(Integer.valueOf): _*))
+          .filter(pred).select("id", "codes"),
+        model, query, topK)
+      if (probe >= kLists || res.count() >= topK) return res
+      probe = math.min(probe * 2, kLists)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** ADC top-k: score = Σ_m table[m][codes[m]] where table[m][k] =

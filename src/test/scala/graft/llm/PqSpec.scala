@@ -94,6 +94,43 @@ class PqSpec extends AnyFunSuite {
     assert(wide == top.map(_._1).toSet)
   }
 
+  test("IVF+PQ filtered: predicate pushes into the pruned ADC read, widens until k eligible, append carries metadata") {
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select(($"r" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+      .withColumn("flag", (col("vec_id") % 2).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqf").toString
+    Pq.ivfPqBuild(corpus.filter($"vec_id" =!= 100010L), "vec_id", "embedding",
+      dir, kLists = 8, m = 8, k = 16, metaCols = Seq("flag"))
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // append the last clique copy WITH its metadata (re-derived from the
+    // live index) — it must serve through the filtered probe
+    Pq.ivfPqAppend(corpus.filter($"vec_id" === 100010L),
+      "vec_id", "embedding", dir)
+    val probe = Pq.ivfPqQueryFiltered(spark, dir, q, 6,
+      col("flag") === 0, nprobe = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*"),
+      plan.take(3000))
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"filtered probe must stay list-pruned:\n$plan")
+    val top = probe.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.map(_._1).toSet ==
+      (Set(0L) ++ (1 to 5).map(r => 100000L + 2L * r)), top.mkString(","))
+    assert(top.map(_._2).distinct.length == 1, "even clique ADC must tie")
+    // a selective predicate widens to the full probe and still answers:
+    // the only eligible rows are served even though list 0's slice is dry
+    val selective = Pq.ivfPqQueryFiltered(spark, dir, q, 3,
+      col("id") % 100 === 37L, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(selective.length == 3 && selective.forall(_ % 100 == 37L))
+    // reserved-name guard
+    intercept[IllegalArgumentException](Pq.ivfPqBuild(corpus, "vec_id",
+      "embedding", s"$dir-bad", metaCols = Seq("codes")))
+  }
+
   test("codeword ids >= 128 store as negative bytes and decode unsigned in ADC") {
     // synthetic codebook where codeword ki of each 1-dim subspace IS the
     // value ki — encoding picks the id equal to the (integer) input, so
