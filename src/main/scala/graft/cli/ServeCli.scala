@@ -19,14 +19,18 @@ import graft.streaming.StreamRunner
   *     [--min-cos T]  (RANGE mode: serve every id at cos >= T instead of
   *                     top-k; tuning re-keys to lsh → slackBits,
   *                     ivf → nprobe)
+  *     [--filter 'DFL'] (FILTERED top-k: a DFL boolean over the index's
+  *                     columns — id plus --build-meta metadata — routed
+  *                     to the widening filtered batch probes; excludes
+  *                     --min-cos)
   *     [--qid-col qid] [--vec-col vec]
   *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]
   *      | --catalog FILE --queries-datastore NAME --output-datastore NAME)
   *     --checkpoint DIR [--once]
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-vec-col C]
-  *      [--build-nbits N] [--build-dim N] [--build-klists N]
-  *      [--build-pbits N]]
+  *      [--build-meta c1,c2] [--build-nbits N] [--build-dim N]
+  *      [--build-klists N] [--build-pbits N]]
   *
   * `--build-from` bootstraps the index from a parquet corpus when none
   * exists at `--index-dir` yet (an existing index is served as-is) — one
@@ -45,13 +49,14 @@ object ServeCli {
       qidCol: String = "qid", vecCol: String = "vec",
       indexDir: String = "", method: String = "lsh",
       k: Int = 10, tuning: Option[Int] = None,
-      minCos: Option[Double] = None,
+      minCos: Option[Double] = None, filterDfl: Option[String] = None,
       outputUri: String = "", outputFormat: String = "jsonl",
       checkpoint: String = "", once: Boolean = false,
       catalogPath: String = "", queriesDatastore: String = "",
       outputDatastore: String = "",
       buildFrom: String = "", buildIdCol: String = "vec_id",
-      buildVecCol: String = "embedding", buildNBits: Int = 16,
+      buildVecCol: String = "embedding", buildMeta: Seq[String] = Nil,
+      buildNBits: Int = 16,
       buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8)
 
   def parseArgs(args: Array[String]): Config = {
@@ -68,6 +73,9 @@ object ServeCli {
         case "--k"                 => c = c.copy(k = a.value().toInt)
         case "--tuning"            => c = c.copy(tuning = Some(a.value().toInt))
         case "--min-cos"           => c = c.copy(minCos = Some(a.value().toDouble))
+        // a DFL boolean over index columns (id + --build-meta metadata):
+        // routes each micro-batch to the FILTERED batch probes
+        case "--filter"            => c = c.copy(filterDfl = Some(plain(a.value())))
         case "--output-uri"        => c = c.copy(outputUri = a.value())
         case "--output-format"     => c = c.copy(outputFormat = a.value())
         case "--checkpoint"        => c = c.copy(checkpoint = a.value())
@@ -78,6 +86,8 @@ object ServeCli {
         case "--build-from"        => c = c.copy(buildFrom = a.value())
         case "--build-id-col"      => c = c.copy(buildIdCol = a.value())
         case "--build-vec-col"     => c = c.copy(buildVecCol = a.value())
+        case "--build-meta"        => c = c.copy(buildMeta =
+          a.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--build-nbits"       => c = c.copy(buildNBits = a.value().toInt)
         case "--build-dim"         => c = c.copy(buildDim = a.value().toInt)
         case "--build-klists"      => c = c.copy(buildKLists = a.value().toInt)
@@ -137,10 +147,11 @@ object ServeCli {
       graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
-        kLists = c.buildKLists)
+        kLists = c.buildKLists, metaCols = c.buildMeta)
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
-      c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos)
+      c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos,
+      c.filterDfl)
   }
 
   def main(args: Array[String]): Unit = {

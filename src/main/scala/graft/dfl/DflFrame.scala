@@ -1403,6 +1403,19 @@ object DflFrame {
     * in-memory corpora with equal schemas would collide on one key and
     * silently share an index — those run the ad-hoc index-less paths
     * instead. */
+  /** Compile a DFL boolean over INDEX columns to an UNBOUND Column — the
+    * predicate shape the filtered ANN probes take; also the `serve-ann`
+    * CLI's `--filter` compiler. Attributes resolve as plain `col(name)`
+    * against whatever frame the probe applies them to (`id` plus the
+    * metadata columns the index build carried); `@` alone has no meaning
+    * here. */
+  def indexPredicate(src: String): Column =
+    ColumnCompiler.compile(Parser.parse(src), ColumnCompiler.Ctx(
+      resolveAttr = name => col(name),
+      whole = () => throw new DflParseException(
+        "'@' (the whole record) has no meaning in an index predicate"),
+      vars = Map.empty))
+
   /** Attribute names a DFL expression references — `annTopKFiltered`
     * derives its index-metadata column set from its predicate's
     * references (a name the piped frame lacks fails the select loudly).

@@ -2587,7 +2587,8 @@ object Similarity {
   def ensureIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                   method: String, corpusUri: String, idCol: String,
                   vecCol: String, nBits: Int = 16, dim: Int = 64,
-                  partitionBits: Int = 8, kLists: Int = 16): Unit = {
+                  partitionBits: Int = 8, kLists: Int = 16,
+                  metaCols: Seq[String] = Nil): Unit = {
     require(method == "lsh" || method == "ivf",
       s"ensureIndex: unknown method $method")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -2595,8 +2596,10 @@ object Similarity {
     val builtMarker = if (method == "ivf") "centroids" else "meta"
     if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, builtMarker))) return
     val corpus = spark.read.parquet(corpusUri)
-    if (method == "ivf") ivfBuild(corpus, idCol, vecCol, indexDir, kLists)
-    else lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits)
+    if (method == "ivf")
+      ivfBuild(corpus, idCol, vecCol, indexDir, kLists, metaCols = metaCols)
+    else lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits,
+      metaCols)
     ()
   }
 

@@ -491,10 +491,11 @@ object StreamRunner {
                tuning: Option[Int] = None,
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-               minCos: Option[Double] = None)
+               minCos: Option[Double] = None,
+               filterDfl: Option[String] = None)
               (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     annServeBatches(queries, qidCol, vecCol, indexDir, k, method, tuning,
-      options, trigger, minCos)((answer, _) => sink(answer))
+      options, trigger, minCos, filterDfl)((answer, _) => sink(answer))
 
   /** [[annServe]] with the micro-batch id handed to the sink — the hook an
     * idempotent sink needs: a stream restarted from its checkpoint may
@@ -507,9 +508,21 @@ object StreamRunner {
                tuning: Option[Int] = None,
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-               minCos: Option[Double] = None)
+               minCos: Option[Double] = None,
+               filterDfl: Option[String] = None)
               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
+    // FILTERED serving: `filterDfl` is a DFL boolean over the index's
+    // columns (id + whatever metadata the build carried) — each
+    // micro-batch routes to the batch FILTERED probes, whose per-query
+    // widening answers the filtered-recall caveat. Range + filter is
+    // not offered: the range probes would need the metadata columns in
+    // their answer shape to compose; reject loudly rather than silently
+    // ignore the filter. Compiled EAGERLY so a malformed expression
+    // fails job construction, not the first micro-batch.
+    require(filterDfl.isEmpty || minCos.isEmpty,
+      "annServe: --filter composes with top-k serving only, not --min-cos range")
+    val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
     // RANGE serving: `minCos = Some(t)` answers every id at `cos >= t`
     // instead of the top-k (k is ignored). Each micro-batch is ONE
     // batched pruned probe — lshRangeBatch's union-of-Hamming-balls /
@@ -567,14 +580,22 @@ object StreamRunner {
                   s"$dim != index dim $expectDim (qids " +
                   s"${group.take(5).map(_._1).mkString(", ")}${if (group.size > 5) ", …" else ""})")
               else {
-                val answer = (method, minCos) match {
-                  case ("lsh", Some(t)) => graft.llm.Similarity.lshRangeBatch(
+                val answer = (method, minCos, pred) match {
+                  case ("lsh", Some(t), _) => graft.llm.Similarity.lshRangeBatch(
                     batch.sparkSession, indexDir, group, t,
                     slackBits = tuning.getOrElse(4))
-                  case (_, Some(t)) => graft.llm.Similarity.ivfRangeBatch(
+                  case (_, Some(t), _) => graft.llm.Similarity.ivfRangeBatch(
                     batch.sparkSession, indexDir, group, t,
                     nprobe = tuning.getOrElse(8))
-                  case ("lsh", None) => graft.llm.Similarity.lshQueryBatch(
+                  case ("lsh", None, Some(p)) =>
+                    graft.llm.Similarity.lshQueryBatchFiltered(
+                      batch.sparkSession, indexDir, group, k, p,
+                      tuning.getOrElse(100))
+                  case (_, None, Some(p)) =>
+                    graft.llm.Similarity.ivfQueryBatchFiltered(
+                      batch.sparkSession, indexDir, group, k, p,
+                      tuning.getOrElse(8))
+                  case ("lsh", None, None) => graft.llm.Similarity.lshQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
                   case _ => graft.llm.Similarity.ivfQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
@@ -634,7 +655,8 @@ object StreamRunner {
                   qidCol: String, vecCol: String, indexDir: String,
                   method: String, k: Int, tuning: Option[Int],
                   outUri: String, outFormat: String, checkpoint: String,
-                  once: Boolean, minCos: Option[Double] = None)
+                  once: Boolean, minCos: Option[Double] = None,
+                  filterDfl: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"annServeJob: output format must be jsonl or parquet, got $outFormat")
@@ -662,7 +684,7 @@ object StreamRunner {
     val queries = readStream(spark, queriesUri, format, schema)
     val q = annServeBatches(queries, qidCol, vecCol, indexDir, k, method,
       tuning, options = Map("checkpointLocation" -> checkpoint),
-      minCos = minCos) {
+      minCos = minCos, filterDfl = filterDfl) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

@@ -677,6 +677,55 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN serving with --filter routes to the filtered batch probes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.withColumn("flag", (col("vec_id") % 2).cast("int"))
+    val idxDir = Files.createTempDirectory("graft-fserve").toString + "/idx"
+    graft.llm.Similarity.lshBuild(corpus, "vec_id", "embedding", idxDir,
+      nBits = 8, dim = 64, partitionBits = 4, metaCols = Seq("flag"))
+    val qrows = emb.filter($"vec_id" < 2).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qdir = Files.createTempDirectory("graft-fserve-q").toString
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+    val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+    val answers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamRunner.annServe(stream, "qid", "vec", idxDir, 5,
+      method = "lsh", tuning = Some(5), filterDfl = Some("@flag == 0")) { out =>
+      answers.synchronized {
+        answers ++= out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    // streamed answers equal the direct filtered probe, per query
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Similarity.lshQueryFiltered(spark, idxDir, vec,
+        5, col("flag") === 0, minCandidates = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val got = answers.filter(_._1 == qid).map(t => (t._2, t._3)).toSet
+      assert(got == direct, s"filtered serve query $qid: $got vs $direct")
+      assert(got.forall(_._1 % 2 == 0), s"odd id served through flag==0: $got")
+    }
+    // filter + range serving is rejected at job construction
+    intercept[IllegalArgumentException](StreamRunner.annServe(
+      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec", idxDir, 5,
+      minCos = Some(0.9), filterDfl = Some("@flag == 0"))(_ => ()))
+    // a malformed filter fails eagerly too
+    intercept[Exception](StreamRunner.annServe(
+      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec", idxDir, 5,
+      filterDfl = Some("@flag =="))(_ => ()))
+    // CLI plumbing: --filter and --build-meta parse
+    val cfg = graft.cli.ServeCli.parseArgs(Array(
+      "--queries-uri", qdir, "--index-dir", idxDir, "--output-uri", "/tmp/x",
+      "--checkpoint", "/tmp/c", "--filter", "@flag == 0",
+      "--build-meta", "flag,lang"))
+    assert(cfg.filterDfl.contains("@flag == 0") &&
+      cfg.buildMeta == Seq("flag", "lang"))
+  }
+
   test("serve-ann RANGE mode: jsonl queries in, threshold answers out") {
     // planted clique makes the expected range answer closed-form: 5
     // copies of vec 0 at +100000 sit at Hamming 0 / the rank-0 list, so
