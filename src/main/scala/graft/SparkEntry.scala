@@ -59,37 +59,55 @@ object SparkEntry {
     * preserve adjacent-pixel order exactly), so the expected pair set
     * is closed-form: the three hamming-0 pairs per planted id. Images
     * synthesize in executors (mapPartitions), never on the driver. */
+  private def imagePixels(id: Long): Array[Int] =
+    Array.tabulate(72) { i =>
+      val b = graft.util.Md5.hex(s"img|$id|$i").charAt(0)
+      val v = Integer.parseInt(b.toString, 16) % 7
+      16 + 32 * v
+    }
+
+  private def imageEncode(px: Array[Int], shift: Int,
+                          format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 72) {
+      val g = px(i) + shift
+      img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
   private def imageCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def pixels(id: Long): Array[Int] =
-      Array.tabulate(72) { i =>
-        val b = graft.util.Md5.hex(s"img|$id|$i").charAt(0)
-        val v = Integer.parseInt(b.toString, 16) % 7
-        16 + 32 * v
-      }
-    def encode(px: Array[Int], shift: Int, format: String): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var i = 0
-      while (i < 72) {
-        val g = px(i) + shift
-        img.setRGB(i % 9, i / 9, (g << 16) | (g << 8) | g)
-        i += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
-      bos.toByteArray
-    }
     t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 200)
       .as[Long].mapPartitions { it =>
         it.flatMap { id =>
-          val px = pixels(id)
-          val orig = (id, encode(px, 0, "png"))
+          val px = imagePixels(id)
+          val orig = (id, imageEncode(px, 0, "png"))
           if (id % 10 == 0)
-            Seq(orig, (id + 1000000L, encode(px, 0, "png")),
-              (id + 2000000L, encode(px, 8, "bmp")))
+            Seq(orig, (id + 1000000L, imageEncode(px, 0, "png")),
+              (id + 2000000L, imageEncode(px, 8, "bmp")))
           else Seq(orig)
         }
+      }.toDF("id", "payload")
+  }
+
+  /** The RETAINED reference corpus for the cross-corpus image-dedup
+    * rows: every doc_id % 20 == 0 base pattern re-rendered at shift +16
+    * (216 + 32·6 would clip; 16 + 32·6 + 16 = 224 < 255 keeps hash
+    * identity) as BMP under id + 5e6 — so each such base's THREE left
+    * members (original, identical copy, +8 BMP) all pair with exactly
+    * one reference image at hamming 0, closed-form. */
+  private def imageRefCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 200 && col("doc_id") % 20 === 0)
+      .as[Long].mapPartitions { it =>
+        it.map(id => (id + 5000000L, imageEncode(imagePixels(id), 16, "bmp")))
       }.toDF("id", "payload")
   }
 
@@ -1629,6 +1647,17 @@ object SparkEntry {
       llm.Dedup.survivors(media, "id", llm.Dedup.imagePairs(media))
         .select("id")
     }),
+    // cross-corpus image dedup (new crawl vs retained): each %20 base's
+    // three left members pair with its one reference re-render at
+    // hamming 0 (see imageRefCorpus) — 30 pairs, closed-form
+    "xdedup_image_pairs" -> ((s, dir) =>
+      llm.Dedup.imagePairsAgainst(imageCorpus(s, dir),
+        imageRefCorpus(s, dir))),
+    // survivors through the DFL dispatch: matched left rows drop
+    "dfl_image_dedup_against" -> ((s, dir) => DflFrame.pipeline(
+      imageCorpus(s, dir),
+      "imageDedupAgainst(@, '@id', '@payload', $ref)",
+      Map("ref" -> imageRefCorpus(s, dir))).select("id")),
     "multimodal_meta" -> ((s, dir) =>
       // the metadata-ONLY funnel: payload bytes feed the header probe but
       // never re-serialize into the output schema
@@ -3000,6 +3029,26 @@ object SparkEntry {
     "dfl_image_dedup_phash" -> imagePairsSql,
     "dedup_image_survivors" ->
       "SELECT doc_id AS id FROM documents WHERE doc_id < 200",
+    // 30 closed-form cross pairs: three left members per %20 base, each
+    // against its single reference re-render (see imageRefCorpus)
+    "xdedup_image_pairs" ->
+      """WITH planted AS (SELECT doc_id FROM documents
+        |                  WHERE doc_id < 200 AND doc_id % 20 = 0)
+        |SELECT id_a, id_b, CAST(0 AS BIGINT) AS hamming FROM (
+        |  SELECT doc_id AS id_a, doc_id + 5000000 AS id_b FROM planted
+        |  UNION ALL SELECT doc_id + 1000000, doc_id + 5000000 FROM planted
+        |  UNION ALL SELECT doc_id + 2000000, doc_id + 5000000 FROM planted)""".stripMargin,
+    // left survivors: originals off the %20 grid plus the planted copies
+    // of %10 bases that are NOT %20 (their reference image doesn't exist)
+    "dfl_image_dedup_against" ->
+      """SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 20 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 10 = 0 AND doc_id % 20 <> 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 10 = 0 AND doc_id % 20 <> 0""".stripMargin,
     "multimodal_meta" ->
       "SELECT doc_id AS id, 'image' AS kind, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents",
     // the decode operator's checksum is md5 over the payload bytes —

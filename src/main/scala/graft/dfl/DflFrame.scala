@@ -109,6 +109,7 @@ object DflFrame {
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
+      "imageDedupAgainst",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -600,6 +601,30 @@ object DflFrame {
           val maxDf = if (args.size > 4) intArg(4) else 64
           graft.llm.Cdc.sharedPairs(base, "__gid", "__gtext", minShared, maxDf)
         }
+
+      case "imageDedupAgainst" =>
+        // `imageDedupAgainst(@, '@id', '@payload', $ref[, maxHamming,
+        // method])` — drop piped images with a perceptual near-dup in a
+        // RETAINED reference corpus bound as a dataset var (the
+        // new-crawl-vs-training-set posture for the image column; the
+        // id/payload sub-expressions evaluate against BOTH frames).
+        // Stream-fenced like its text siblings.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "imageDedupAgainst takes (@, idExpr, payloadExpr, $ref[, maxHamming, method])")
+        val iMaxHamming = if (args.size > 4) intArg(4) else 3
+        val iMethod = if (args.size > 5) strArg(5) else "dhash"
+        val iBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gpayload", subCol(2))
+        val iRefSrc = dsArg(3)
+        val iRef = iRefSrc
+          .withColumn("__gid", ColumnCompiler.compile(
+            sub(1), ColumnCompiler.Ctx.forDataFrame(iRefSrc, vars)))
+          .withColumn("__gpayload", ColumnCompiler.compile(
+            sub(2), ColumnCompiler.Ctx.forDataFrame(iRefSrc, vars)))
+        graft.llm.Dedup.survivorsAgainst(iBase, "__gid",
+          graft.llm.Dedup.imagePairsAgainst(iBase, iRef, "__gid",
+            "__gpayload", iMaxHamming, iMethod))
+          .drop("__gid", "__gpayload")
 
       case "imageDedup" =>
         // `imageDedup(@, '@id', '@payload'[, maxHamming, method])` —

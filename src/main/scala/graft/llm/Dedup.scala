@@ -625,6 +625,39 @@ object Dedup {
         method),
       maxHamming)
 
+  /** CROSS-CORPUS image near-dup pairs (new-crawl LEFT vs retained
+    * RIGHT — the xdedup posture of the text family, for the image
+    * column): both sides hash row-locally ([[Multimodal.imageHashes]]),
+    * the same 4×16-bit Hamming pigeonhole bucket-joins left chunks to
+    * RIGHT chunks only (no left-left or right-right candidate ever
+    * forms), exact `bit_count` verify map-side before the dedup
+    * shuffle. Returns (id_a = left, id_b = right, hamming) — feed to
+    * [[survivorsAgainst]] to drop every matched left row. */
+  def imagePairsAgainst(left: DataFrame, right: DataFrame,
+                        idCol: String = "id", payloadCol: String = "payload",
+                        maxHamming: Int = 3,
+                        method: String = "dhash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"imagePairsAgainst: the 4-band pigeonhole covers maxHamming 0..3, got $maxHamming")
+    def chunksOf(media: DataFrame) = {
+      val sigs = Multimodal.imageHashes(media.sparkSession,
+        media.select(col(idCol).as("id"), col(payloadCol).as("payload")),
+        method)
+      sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("c"))
+        .select(col("id"), col("sig"), col("c.band"), col("c.chunk"))
+    }
+    chunksOf(left).as("a").join(chunksOf(right).as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
+      .withColumn("hamming", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+  }
+
   /** Exact embedding pairs by cosine ≥ threshold, as a BLOCKED self-join
     * (the 1-Bucket-Theta shape, Okcan & Riedewald SIGMOD'11): rows hash
     * into `numBlocks` blocks; the left side replicates each row to every

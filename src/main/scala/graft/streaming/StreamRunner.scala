@@ -49,7 +49,7 @@ object StreamRunner {
     // its blocklist from whole-corpus per-source stats (cdcChunks is
     // row-local and therefore deliberately NOT fenced)
     // imageDedup self-joins the banded perceptual-hash table
-    "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
+    "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup", "imageDedupAgainst",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -223,6 +223,17 @@ object ScaleCheck {
         .createTempDirectory("graft-scale-ivf").toString + "/idx"
       graft.llm.Similarity.ivfBuild(big, "vec_id", "embedding", idxDir)
       time("ivf_probe")(graft.llm.Similarity.ivfQuery(spark, idxDir, q, 10).count())
+      // FILTERED serving: a metadata-carrying build probed with a
+      // half-selective predicate — the probe must stay ~flat like its
+      // unfiltered sibling (the predicate prunes row groups, never adds
+      // passes; the permissive pred satisfies k at the first width)
+      val fDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-fivf").toString + "/idx"
+      graft.llm.Similarity.ivfBuild(
+        big.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", fDir, metaCols = Seq("flag"))
+      time("ivf_probe_filtered")(graft.llm.Similarity.ivfQueryFiltered(
+        spark, fDir, q, 10, col("flag") === 0).count())
       // PQ: encoding is a linear row-local scan (m·k native dots per
       // row); the IVF+PQ probe reads nprobe lists partition-pruned over
       // m-byte codes — near-flat in mult like the float probes

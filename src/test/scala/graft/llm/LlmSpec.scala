@@ -2228,6 +2228,21 @@ class LlmSpec extends AnyFunSuite {
     val plan = Dedup.imagePairs(media).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // CROSS-corpus: left (base png + unrelated vertical) vs right (the
+    // base's jpeg re-render) — only left-right pairs form, never
+    // left-left (1 and its jpeg sit in ONE corpus on the self-join path
+    // but 1,4 here share no right match), and survivorsAgainst drops
+    // exactly the matched left row
+    val left = Seq((1L, base), (3L, bytes(renderV(0), "png")),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val right = Seq((100L, jpeg)).toDF("id", "payload")
+    val xp = Dedup.imagePairsAgainst(left, right)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xp == Set((1L, 100L)), s"cross pairs: $xp")
+    val surv = Dedup.survivorsAgainst(left, "id",
+      Dedup.imagePairsAgainst(left, right))
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(3L, 4L), s"cross survivors: $surv")
   }
 
   test("probeMeta decodes real WAV/AIFF sample rates; undecodable audio keeps the fallback") {
