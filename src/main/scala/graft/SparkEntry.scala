@@ -1476,6 +1476,25 @@ object SparkEntry {
         col("flag") === 0, metaCols = Seq("flag"), nBits = 8,
         minCandidates = 20, partitionBits = 4)
     }),
+    // FILTERED range: the predicate composes with the threshold verify
+    // (no widening — range has no k); SHARES the topk rows' cache keys
+    // and param stamps, so one metadata-carrying build serves all four
+    // filtered probes. Expected: the six even-id clique members at 1.0.
+    "ann_filtered_range" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.ivfRangeFilteredIndexed(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", s"$dir#ann_filtered", q, minCos = 0.99,
+        col("flag") === 0, metaCols = Seq("flag"))
+    }),
+    "ann_lsh_filtered_range" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      llm.Similarity.lshRangeFilteredIndexed(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", s"$dir#ann_lsh_filtered", q, minCos = 0.99,
+        col("flag") === 0, metaCols = Seq("flag"), nBits = 8,
+        partitionBits = 4)
+    }),
     // the same filtered serving shape through the DFL dispatch: the
     // predicate's attribute set ('@flag') IS the metadata column list
     // that rides into the index
@@ -3081,6 +3100,8 @@ object SparkEntry {
     "dfl_ann_filtered" -> annPlantedFilteredTopkSql,
     "ann_filtered_batch" -> annBatchPlantedFilteredSql,
     "ann_lsh_filtered_batch" -> annBatchPlantedFilteredSql,
+    "ann_filtered_range" -> annPlantedFilteredRangeSql,
+    "ann_lsh_filtered_range" -> annPlantedFilteredRangeSql,
     "ann_lsh_range" -> annPlantedRangeSql,
     // the IVF range probe reads the query's nprobe nearest lists — the
     // planted clique sits in the rank-0 list (bit-identical vectors), so
@@ -3219,6 +3240,23 @@ object SparkEntry {
       |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
       |  FROM all_v a, q
       | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
+
+  /** Brute-force FILTERED range (threshold 0.99, vec_id % 2 = 0) over
+    * the planted construction — exactly the six even-id clique members
+    * at cosine 1.0 (no natural vector reaches 0.99). */
+  private val annPlantedFilteredRangeSql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT 100000 + r AS vec_id, q.embedding
+      |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted)
+      |SELECT a.vec_id AS id,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM all_v a, q
+      | WHERE a.vec_id % 2 = 0
+      |   AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) >= 0.99""".stripMargin
 
   /** Brute-force FILTERED top-5 (vec_id % 2 = 0) over the planted
     * construction — the provable expected output of the filtered ANN

@@ -1079,6 +1079,28 @@ object Similarity {
         col("cos") >= minCos)
   }
 
+  /** FILTERED indexed range search: [[ivfRange]] with the predicate
+    * pushed into the pruned read. Unlike the filtered top-k probes there
+    * is NO widening loop to need — a range answer has no k to satisfy,
+    * precision stays exact (the threshold verify), and recall is the
+    * same probed-lists contract as the unfiltered probe (the predicate
+    * only removes rows, never changes which lists hold the survivors). */
+  def ivfRangeFiltered(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, query: Seq[Double], minCos: Double,
+                       pred: Column, nprobe: Int = 8): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfRangeFiltered: minCos must be in (-1, 1], got $minCos")
+    val idx = ivfMeta(spark, indexDir)
+    require(query.size == idx.centroids.head.length,
+      s"ivfRangeFiltered: query dim ${query.size} != index dim ${idx.centroids.head.length}")
+    val probeLists = nearestLists(idx.centroids, query.toArray, nprobe)
+    val qLit = array(query.map(lit): _*)
+    idx.vectors.filter(col("list").isin(probeLists: _*)).filter(pred)
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   /** Ad-hoc (index-less) IVF range search for IN-MEMORY corpora: train
     * the coarse quantizer (deterministic, as [[ivfTopK]]), assign in the
     * same plan, keep the `nprobe` nearest lists, exact-verify the
@@ -1618,6 +1640,23 @@ object Similarity {
       .toDF("qid", "id", "cos")
   }
 
+  /** [[ivfRangeFiltered]] through the cached-index lifecycle — the SAME
+    * stamp as [[ivfTopKFilteredIndexed]], so one metadata-carrying build
+    * serves filtered top-k and filtered range. */
+  def ivfRangeFilteredIndexed(df: DataFrame, idCol: String, vecCol: String,
+                              cacheKey: String, query: Seq[Double],
+                              minCos: Double, pred: Column,
+                              metaCols: Seq[String], kLists: Int = 16,
+                              nprobe: Int = 8,
+                              trainSample: Int = 2048): DataFrame = {
+    val dir = cachedIndex(df, cacheKey,
+      s"ivf|k=$kLists|t=$trainSample|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
+      ivfBuild(df, idCol, vecCol, d, kLists, trainSample, metaCols); ()
+    }
+    ivfRangeFiltered(df.sparkSession, dir, query, minCos, pred, nprobe)
+  }
+
   /** Batch counterpart of [[ivfTopKFilteredIndexed]] — same cache stamp,
     * so single and batch filtered serving of one corpus share one
     * metadata-carrying build. */
@@ -2031,6 +2070,32 @@ object Similarity {
         col("cos") >= minCos)
   }
 
+  /** FILTERED indexed LSH range — the LSH sibling of
+    * [[ivfRangeFiltered]]: the predicate pushes into the Hamming-ball-
+    * pruned read, exact precision, the same geometry-derived-radius
+    * recall contract (the predicate only removes rows). No widening
+    * needed — range has no k to satisfy. */
+  def lshRangeFiltered(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, query: Seq[Double], minCos: Double,
+                       pred: Column, slackBits: Int = 4,
+                       maxEnumBuckets: Int = 4096): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"lshRangeFiltered: minCos must be in (-1, 1], got $minCos")
+    require(slackBits >= 0, s"lshRangeFiltered: slackBits must be >= 0, got $slackBits")
+    val idx = lshMeta(spark, indexDir)
+    require(query.size == idx.dim,
+      s"lshRangeFiltered: query dim ${query.size} != index dim ${idx.dim}")
+    val qSig = querySignature(query, hyperplanes(idx.nBits, idx.dim))
+    val expected = idx.nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    val radius = math.min(idx.nBits, math.ceil(expected).toInt + slackBits)
+    val qLit = array(query.map(lit): _*)
+    prunedCandidates(idx.vectors, idx, qSig, radius, maxEnumBuckets)
+      .filter(pred)
+      .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= minCos)
+  }
+
   /** Ad-hoc (index-less) LSH range search for IN-MEMORY corpora: one
     * corpus pass computing signatures in-plan, a Hamming-radius filter
     * derived by the SAME collision-geometry rule as [[lshRange]]
@@ -2174,6 +2239,23 @@ object Similarity {
       lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits, metaCols)
     }
     lshQueryFiltered(df.sparkSession, dir, query, k, pred, minCandidates)
+  }
+
+  /** [[lshRangeFiltered]] through the cached-index lifecycle — shared
+    * stamp with [[lshTopKFilteredIndexed]], one build for both. */
+  def lshRangeFilteredIndexed(df: DataFrame, idCol: String, vecCol: String,
+                              cacheKey: String, query: Seq[Double],
+                              minCos: Double, pred: Column,
+                              metaCols: Seq[String], nBits: Int = 16,
+                              slackBits: Int = 4,
+                              partitionBits: Int = 8): DataFrame = {
+    val dim = query.size
+    val dir = cachedIndex(df, cacheKey,
+      s"lsh|b=$nBits|d=$dim|p=$partitionBits|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => lshAppend(newRows, idCol, vecCol, d))) { d =>
+      lshBuild(df, idCol, vecCol, d, nBits, dim, partitionBits, metaCols)
+    }
+    lshRangeFiltered(df.sparkSession, dir, query, minCos, pred, slackBits)
   }
 
   /** Batch counterpart of [[lshTopKFilteredIndexed]] — shared stamp,

@@ -1961,6 +1961,23 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.lshBuild(corpus, "vec_id", "embedding", s"$root/bad",
         nBits = 8, dim = 64, metaCols = Seq("bucket")))
+    // FILTERED RANGE (no widening — range has no k): both families
+    // return exactly the filtered brute-force range at 0.99 (the even
+    // clique slice; the clique is a guaranteed candidate, and the
+    // predicate only removes rows)
+    val wantRange = Similarity.bruteForceRange(
+      corpus.filter(col("flag") === 0), "vec_id", "embedding", q, 0.99)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val ivfR = Similarity.ivfRangeFiltered(spark, ivfDir, q, 0.99,
+      col("flag") === 0, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the ivf index additionally holds the row THIS test appended above
+    assert(ivfR == wantRange + ((200002L, 1.0)),
+      s"ivf filtered range: $ivfR vs $wantRange")
+    val lshR = Similarity.lshRangeFiltered(spark, lshDir, q, 0.99,
+      col("flag") === 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(lshR == wantRange, s"lsh filtered range: $lshR vs $wantRange")
   }
 
   test("batch filtered ANN equals per-query filtered probes; widening mixes per query") {
