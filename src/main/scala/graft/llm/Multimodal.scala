@@ -323,7 +323,7 @@ object Multimodal {
     * invariant to uniform brightness shifts and to re-encoding
     * (PNG↔JPEG at mild quality) because only the ORDER of adjacent
     * pixels matters. None for undecodable bytes. */
-  private[llm] def dHashBits(payload: Array[Byte]): Option[Long] =
+  private[graft] def dHashBits(payload: Array[Byte]): Option[Long] =
     grayRaster(payload, 9, 8).map { px =>
       var bits = 0L
       var y = 0
@@ -343,7 +343,7 @@ object Multimodal {
     * iff pixel > mean. Coarser than [[dHashBits]] (the mean is a global
     * statistic, so local edits flip more bits) but likewise row-local
     * and re-encoding-robust. */
-  private[llm] def aHashBits(payload: Array[Byte]): Option[Long] =
+  private[graft] def aHashBits(payload: Array[Byte]): Option[Long] =
     grayRaster(payload, 8, 8).map { px =>
       var sum = 0L
       var i = 0
@@ -368,7 +368,7 @@ object Multimodal {
     * both the bits and the mean) and to lossless re-encodes; the most
     * requantization-robust of the three hashes (low frequencies survive
     * JPEG), at ~16× the downscale area of dHash. */
-  private[llm] def pHashBits(payload: Array[Byte]): Option[Long] =
+  private[graft] def pHashBits(payload: Array[Byte]): Option[Long] =
     grayRaster(payload, 32, 32).map { px =>
       // DCT-II along rows then columns (separable); cos tables are tiny
       val n = 32
@@ -418,26 +418,16 @@ object Multimodal {
     * 64-bit dHash (`method = "dhash"`, default), aHash (`"ahash"`), or
     * DCT pHash (`"phash"`) per DECODABLE image payload — undecodable
     * rows drop (they have no perceptual identity; byte-exact dedup
-    * covers them via checksum). Same `mapPartitions` decoder shape as
-    * [[decodeFeatures]]; one map-only pass, no shuffle. */
+    * covers them via checksum). The hash is the native codegen'd
+    * [[graft.functions.ImageHash64]] expression, so the whole pass is
+    * one fused map-only projection, no shuffle — and the same column
+    * serves the streaming ingest filter. */
   def imageHashes(spark: SparkSession, media: DataFrame,
-                  method: String = "dhash"): DataFrame = {
-    require(method == "dhash" || method == "ahash" || method == "phash",
-      s"imageHashes: unknown method $method")
-    import spark.implicits._
-    media.select(col("id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val hash: Array[Byte] => Option[Long] = method match {
-          case "dhash" => dHashBits
-          case "ahash" => aHashBits
-          case _       => pHashBits
-        }
-        it.flatMap { case (id, payload) =>
-          hash(payload).map(sig => (id, sig))
-        }
-      }.toDF("id", "sig")
-  }
+                  method: String = "dhash"): DataFrame =
+    media.select(col("id"),
+        graft.functions.ImageHashF.imageHash64(
+          col("payload").cast(BinaryType), method).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Frame-sampling stub for video-kind payloads: emits every `stride`-th
     * 16-byte window as one "frame" row — the explode shape (one blob → N

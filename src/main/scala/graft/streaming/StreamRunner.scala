@@ -416,6 +416,47 @@ object StreamRunner {
     }
   }
 
+  /** Streaming IMAGE ingest dedup: drop stream rows whose perceptual
+    * hash ([[graft.functions.ImageHash64]], dHash default) matches a
+    * STATIC reference corpus's — the multimodal member of the ingest
+    * family. STATELESS like its siblings: the reference's signatures
+    * build ONE bloom at plan time, probed per row by a single native
+    * codegen'd hash + bloom call.
+    *
+    * Contract: HAMMING-0 identity only — which dHash makes broad
+    * (byte-identical copies, lossless re-encodes, uniform brightness
+    * shifts all hash IDENTICALLY); a mild-JPEG near-dup at hamming 1–3
+    * passes the stream and is caught offline by the exact banded
+    * operator ([[graft.llm.Dedup.imagePairsAgainst]]). A bloom false
+    * positive over-drops at the configured rate; a true copy never
+    * slips through. Undecodable payloads have no perceptual identity
+    * and PASS (byte-exact dedup covers them); an empty or
+    * all-undecodable reference keeps everything. */
+  def streamingImageDedupAgainst(stream: DataFrame, payloadCol: String,
+                                 ref: DataFrame, refPayloadCol: String,
+                                 method: String = "dhash",
+                                 estRefImages: Long = 1L << 20,
+                                 bitsPerItem: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.array
+    import org.apache.spark.sql.types.BinaryType
+    def sig(c: Column) = graft.functions.ImageHashF.imageHash64(
+      c.cast(BinaryType), method)
+    val bloomBytes = ref
+      .select(sig(col(refPayloadCol)).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .agg(graft.functions.BloomFns.bloomAgg(col("h"),
+        estRefImages, estRefImages * bitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) stream
+    else {
+      val bloomBcast = graft.functions.BloomFns.broadcastBloom(
+        stream.sparkSession, bloomBytes)
+      val s = sig(col(payloadCol))
+      stream.filter(s.isNull ||
+        graft.functions.BloomFns.bloomProbeCount(bloomBcast, array(s)) === 0)
+    }
+  }
+
   /** Streaming DSIR filter: score each row against a FROZEN
     * [[graft.llm.Dsir.fit]] ratio table (train batch-side, serve
     * stream-side — the classify pattern for importance weighting) and

@@ -1705,6 +1705,9 @@ class LlmSpec extends AnyFunSuite {
         " "))).collect().length == 10)
       assert(few13.select(graft.functions.ByteBpeF.byteUnmap(
         graft.functions.ByteBpeF.byteMap(col("text")))).collect().length == 10)
+      // native perceptual image hash (undecodable text bytes → NULL)
+      assert(few13.select(graft.functions.ImageHashF.imageHash64(
+        col("text").cast("binary"))).collect().length == 10)
       assert(few13.select(graft.functions.DsirF.dsirScore(
         TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
         Array.fill(16)(0.5), 7L, 16)).collect().length == 10)

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.dfl.DflFrame
 import graft.io.DataStoreIO
-import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+import org.apache.spark.sql.functions.{col, explode, lit, sequence, unbase64}
 import java.nio.file.Files
 
 /** SURVEY.md §5.5: the same DFL pipeline in batch and stream mode must
@@ -675,6 +675,58 @@ class StreamParitySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(ivfAnswers.get(qid).contains(direct), s"ivf query $qid")
     }
+  }
+
+  test("streaming image dedup drops perceptual copies of a static reference, keeps fresh and undecodable") {
+    def render(seedShift: Int, shift: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 12) {
+        val g = math.min(239, (x * 180) / 16 + (y * 40) / 12 + seedShift) + shift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val refImg = render(0, 0, "png")
+    val ref = Seq(Tuple1(refImg)).toDF("payload")
+    val dir = Files.createTempDirectory("graft-imgstream").toString
+    // stream rows: 1 = byte-identical copy (drop), 2 = brightness-shifted
+    // BMP re-encode (hamming 0 under dHash → drop), 3 = a structurally
+    // different image (keep), 4 = undecodable bytes (keep — no
+    // perceptual identity)
+    val b64 = java.util.Base64.getEncoder
+    def row(id: Int, payload: Array[Byte]) =
+      s"""{"id":$id,"payload":"${b64.encodeToString(payload)}"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dir/imgs.jsonl"),
+      Seq(row(1, refImg), row(2, render(0, 8, "bmp")),
+        row(3, render(100, 0, "png")),
+        row(4, "junk".getBytes("UTF-8"))).mkString("\n"))
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("payload", unbase64(col("payload")))
+    val kept = StreamRunner.collectStream(
+      StreamRunner.streamingImageDedupAgainst(stream, "payload",
+        ref, "payload", estRefImages = 1024), "append")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"kept: $kept")
+    // batch parity: the same decision the banded cross operator makes
+    // at hamming 0 (row 3 shares no signature; row 4 has none)
+    val batchStream = spark.read.json(s"$dir/imgs.jsonl")
+      .withColumn("payload", unbase64(col("payload")))
+    val matched = graft.llm.Dedup.imagePairsAgainst(
+      batchStream.select(col("id"), col("payload")),
+      ref.select(lit(100L).as("id"), col("payload")), maxHamming = 0)
+      .select("id_a").as[Long].collect().toSet
+    assert(matched == Set(1L, 2L))
+    // empty reference keeps everything
+    val all = StreamRunner.collectStream(
+      StreamRunner.streamingImageDedupAgainst(
+        StreamRunner.readStream(spark, dir, "jsonl")
+          .withColumn("payload", unbase64(col("payload"))),
+        "payload", ref.filter(lit(false)), "payload"), "append")
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
   }
 
   test("streaming ANN serving with --filter routes to the filtered batch probes") {
