@@ -111,6 +111,13 @@ object SparkEntry {
       }.toDF("id", "payload")
   }
 
+  /** The BM25 batch probe: three queries over the corpus vocabulary,
+    * shared verbatim by the query and its oracle rendering. */
+  private val bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "window"),
+    2L -> Seq("merge", "sort", "stream"),
+    3L -> Seq("vector", "hash"))
+
   /** events with `ts` normalized ONCE to an epoch-µs long `ts_us` —
     * the temporal operators all run integer µs arithmetic so Spark and
     * the DuckDB oracle (`epoch_us(ts)`) evaluate one formula. Handles
@@ -1950,6 +1957,54 @@ object SparkEntry {
         "cap(@, '@doc_id', '@lang', '@n_tok', 2000, 7)")
         .select("doc_id", "lang", "n_tok")),
 
+    // ---- lexical retrieval (BM25) + hybrid rank fusion ----
+    // BM25 top-10 for a fixed query over the documents corpus: one
+    // corpus scan, term-filtered BEFORE the shuffle, bounded-heap top-k
+    "bm25_topk" -> ((s, dir) =>
+      llm.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "stream", "window"), k = 10)),
+    // three queries in ONE corpus pass; contract: each slice ≡ bm25TopK
+    "bm25_batch" -> ((s, dir) =>
+      llm.Retrieval.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text",
+        bm25BatchQueries, k = 5)),
+    "dfl_bm25" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "bm25(@, '@doc_id', '@text', 'spark stream window', 10)")),
+    // reciprocal-rank fusion of two lexical runs — rank-only, so the
+    // score scales never mix; oracle renders both runs + the fusion
+    "rrf_fuse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Retrieval.rrfFuse(Seq(
+        llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "stream", "window"), k = 20).select("id", "rnk"),
+        llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+          Seq("merge", "vector", "hash"), k = 20).select("id", "rnk")),
+        k = 10)
+    }),
+    // the hybrid retrieval serving shape: BM25 lexical run ⊕ semantic
+    // run (hashEmbed cosine — engine-exact features, so the WHOLE
+    // pipeline has a value oracle) fused by RRF. The query vector is a
+    // driver-side hashEmbed of the query string (16 doubles — the
+    // allowlisted query-vector collect)
+    "pipeline_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qtext = "spark stream window merge"
+      val lex = llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+        qtext.split(" ").toSeq, k = 20).select("id", "rnk")
+      val emb = llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = 7L)
+      import s.implicits._
+      val qvec = llm.TextAnalysis.hashEmbed(
+        Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+        dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("id").asc)
+      val sem = llm.Similarity.bruteForceTopK(emb, "doc_id", "vec", qvec, 20)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select("id", "rnk")
+      llm.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+    }),
+
     "q2_join_agg" -> ((s, dir) => {
       // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
       // with SF (~10⁹ rows at 100 TB), so no hint there: AQE broadcasts it
@@ -2834,6 +2889,55 @@ object SparkEntry {
         |SELECT dims.doc_id, d AS pos,
         |       round(coalesce(c.c, 0) * 1.0 / sqrt(dims.ss), 6) AS v
         |  FROM dims LEFT JOIN c ON c.doc_id = dims.doc_id AND c.b = dims.d""".stripMargin,
+    // BM25: formula + rounding + tie order rendered by Retrieval.bm25Sql
+    // so the expression and its oracle live in one file
+    "bm25_topk" -> llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+      Seq("spark", "stream", "window"), k = 10),
+    "dfl_bm25" -> llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+      Seq("spark", "stream", "window"), k = 10),
+    "bm25_batch" -> llm.Retrieval.bm25BatchSql("documents", "doc_id", "text",
+      bm25BatchQueries, k = 5),
+    "rrf_fuse" -> llm.Retrieval.rrfSql(Seq(
+      llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+        Seq("spark", "stream", "window"), k = 20),
+      llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+        Seq("merge", "vector", "hash"), k = 20)), k = 10),
+    // hybrid: the lexical run is bm25Sql; the semantic run rebuilds the
+    // hashEmbed vectors (dim 16, seed 7 — the hash_embed rendering) for
+    // corpus AND query text in SQL, so the fused ranking is value-checked
+    // end to end
+    "pipeline_hybrid_retrieval" -> llm.Retrieval.rrfSql(Seq(
+      llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+        Seq("spark", "stream", "window", "merge"), k = 20),
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |    FROM documents),
+        |bk AS (SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
+        |         FROM toks),
+        |c AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+        |ss AS (SELECT doc_id, sum(c * c) AS ss FROM c GROUP BY 1),
+        |dims AS (SELECT ss.doc_id, ss.ss, d
+        |           FROM ss, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s),
+        |emb AS (SELECT dims.doc_id AS id,
+        |          list(round(coalesce(c.c, 0) * 1.0 / sqrt(dims.ss), 6) ORDER BY d) AS vec
+        |          FROM dims LEFT JOIN c ON c.doc_id = dims.doc_id AND c.b = dims.d
+        |         GROUP BY 1),
+        |qtok AS (SELECT unnest(string_split('spark stream window merge', ' ')) AS tok),
+        |qb AS (SELECT CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
+        |         FROM qtok),
+        |qc AS (SELECT b, count(*) AS c FROM qb GROUP BY 1),
+        |qagg AS (SELECT sum(c * c) AS ss FROM qc),
+        |qv AS (SELECT list(round(coalesce(qc.c, 0) * 1.0 / sqrt(qagg.ss), 6) ORDER BY d) AS vec
+        |         FROM qagg, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s
+        |         LEFT JOIN qc ON qc.b = d),
+        |cs AS (SELECT e.id, round(list_cosine_similarity(e.vec, q.vec), 6) AS cos
+        |         FROM emb e CROSS JOIN qv q)
+        |SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS rnk
+        |  FROM cs
+        |QUALIFY row_number() OVER (ORDER BY cos DESC, id ASC) <= 20""".stripMargin),
+      k = 10),
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

@@ -109,7 +109,7 @@ object DflFrame {
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst",
+      "imageDedupAgainst", "bm25",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -639,6 +639,24 @@ object DflFrame {
           .withColumn("__gpayload", subCol(2))
         graft.llm.Dedup.imagePairs(base, "__gid", "__gpayload",
           maxHamming, method)
+
+      case "bm25" =>
+        // `bm25(@, '@id', '@text', 'terms', k[, k1, b])` — lexical
+        // ranked retrieval (llm.Retrieval.bm25TopK): corpus-trained
+        // df/avgdl statistics, term-filtered scan, bounded-heap top-k.
+        // Whole-dataset statistics → stream-fenced.
+        if (args.size < 5 || args.size > 7) throw new DflParseException(
+          "bm25 takes (@, idExpr, textExpr, 'terms', k[, k1, b])")
+        val bmTerms = strArg(3).split(" ").toSeq.filter(_.nonEmpty)
+        if (bmTerms.isEmpty)
+          throw new DflParseException("bm25: empty query terms")
+        val bmK = intArg(4)
+        val bmK1 = if (args.size > 5) numArg(5) else 1.2
+        val bmB = if (args.size > 6) numArg(6) else 0.75
+        val bmBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2))
+        graft.llm.Retrieval.bm25TopK(bmBase, "__gid", "__gtext", bmTerms,
+          bmK, bmK1, bmB)
 
       case "sourceFilter" =>
         // `sourceFilter(@, '@id', '@text', '@source'[, maxDupRate,

@@ -1,0 +1,218 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the serving-side complement of the
+  * vector-ANN family: BM25 ranked search (Robertson & Zaragoza 2009, the
+  * Okapi/Lucene formulation) plus reciprocal-rank fusion (Cormack et al.
+  * SIGIR'09) to combine lexical and semantic runs into one hybrid ranking.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - ONE corpus scan: tokens explode and are filtered to the (tiny,
+  *     broadcast-literal) query-term set BEFORE any shuffle, so the
+  *     aggregation exchange carries only (doc, matched-term) rows — a
+  *     vanishing fraction of the corpus for real queries.
+  *   - per-term document frequencies derive FROM that same tf aggregate
+  *     (≤ |terms| rows → broadcast back), and the corpus scalars
+  *     (N, avgdl) are a one-row broadcast — the allowlisted
+  *     scalar-stat cross-join shape every LM operator here uses.
+  *   - the final top-k is the bounded-heap [[graft.functions.TopKByScore]]
+  *     aggregate (map-side partials, shuffle ≤ partitions × k rows), never
+  *     a global sort and never a window over all scored docs.
+  *
+  * Both engines evaluate ONE formula: [[bm25Sql]] renders the exact same
+  * arithmetic (same association, same literals, same rounding) in DuckDB
+  * SQL, so the expression and its oracle can only drift in this file.
+  *
+  * Every score is rounded to 6 BEFORE ranking, making the (score desc,
+  * id asc) tie order engine-identical.
+  */
+object Retrieval {
+
+  /** Per-document normalized tokens + document length. `dl` counts the
+    * whitespace tokens of [[TextAnalysis.normText]] (0 for an empty doc —
+    * `split('', ' ')` yields one empty token which must not count). */
+  private def prepared(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val nt = TextAnalysis.normText(col(textCol))
+    df.select(col(idCol).cast("long").as("id"), nt.as("__nt"))
+      .select(col("id"),
+        when(col("__nt") === "", lit(0L))
+          .otherwise(size(split(col("__nt"), " ")).cast("long")).as("dl"),
+        split(col("__nt"), " ").as("__toks"))
+  }
+
+  /** The per-(doc, term) BM25 contribution — shared by the single and
+    * batch paths, association mirrored literal-for-literal by
+    * [[bm25Sql]]. Inputs: tf/df/n double, dl long, avgdl double. */
+  private def contribution(k1: Double, b: Double)
+      : org.apache.spark.sql.Column = {
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
+  }
+
+  /** BM25 top-k: `(id, score, rnk)` — the k best-scoring documents for
+    * the query `terms` (matched against normalized whitespace tokens),
+    * scored `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N-df+0.5)/(df+0.5))` (the Lucene variant — always
+    * ≥ 0, no negative-idf cliff for terms in >half the corpus). Ranks
+    * are 1-based over (score desc, id asc); only documents matching at
+    * least one term appear (SQL semantics: no zero-score padding). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val scored = scorePerDoc(df, idCol, textCol, terms.distinct, k1, b)
+    import graft.functions.TopKF
+    scored.agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("hit.id").as("id"), col("hit.score").as("score"),
+        (col("r") + 1).cast("long").as("rnk"))
+  }
+
+  /** `(id, score)` for every document matching ≥1 query term. */
+  private def scorePerDoc(df: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String], k1: Double,
+                          b: Double): DataFrame = {
+    val base = prepared(df, idCol, textCol)
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("id"), col("dl"), explode(col("__toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dft), "w").crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(round(sum(contribution(k1, b)), 6).as("score"))
+  }
+
+  /** BM25 top-k for a BATCH of queries in ONE corpus pass:
+    * `(qid, id, score, rnk)`. The tf scan filters to the UNION of all
+    * query term sets; a broadcast (qid, term) join then fans each
+    * matched (doc, term) row out to the queries that asked for it, and
+    * a per-qid bounded heap keeps the best k. Document frequencies are
+    * corpus-global (query-independent), identical to the single path —
+    * each query's answer is exactly [[bm25TopK]]'s. */
+  def bm25TopKBatch(df: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(Long, Seq[String])], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKBatch: empty query batch")
+    require(queries.forall(_._2.nonEmpty), "bm25TopKBatch: a query has no terms")
+    require(k > 0, s"bm25TopKBatch: k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val union = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("qid", "w")
+    val base = prepared(df, idCol, textCol)
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("id"), col("dl"), explode(col("__toks")).as("w"))
+      .filter(col("w").isin(union: _*))
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(qterms), "w")
+      .join(broadcast(dft), "w").crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(contribution(k1, b)), 6).as("score"))
+    import graft.functions.TopKF
+    scored.groupBy(col("qid"))
+      .agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("score"),
+        (col("r") + 1).cast("long").as("rnk"))
+  }
+
+  /** Reciprocal-rank fusion of ranked runs (Cormack et al. SIGIR'09):
+    * each input frame holds one run's `(id, rnk)` (1-based); the fused
+    * score is `Σ_runs 1/(c + rnk)` over the runs where the id appears,
+    * and the k best ids by (score desc, id asc) come back as
+    * `(id, score, rnk)`. Rank-only fusion — score scales never mix, the
+    * standard way to combine a lexical and a semantic run. Each run is
+    * already ≤ its own top-k, so the union is tiny; the heap keeps the
+    * plan shape uniform with every other top-k here. */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: no runs")
+    require(k > 0, s"rrfFuse: k must be positive, got $k")
+    require(c >= 0, s"rrfFuse: c must be >= 0, got $c")
+    val union = runs
+      .map(_.select(col("id").cast("long").as("id"),
+        col("rnk").cast("long").as("rnk")))
+      .reduce(_ unionByName _)
+    val fused = union.groupBy(col("id"))
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("rnk"))), 6).as("score"))
+    import graft.functions.TopKF
+    fused.agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("hit.id").as("id"), col("hit.score").as("score"),
+        (col("r") + 1).cast("long").as("rnk"))
+  }
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB rendering of [[bm25TopK]] — same tokens, same arithmetic
+    * association, same literals, same rounding, same tie order. Renders
+    * as a self-contained SELECT; `idAs` renames the output id column. */
+  def bm25Sql(table: String, idCol: String, textCol: String,
+              terms: Seq[String], k: Int, k1: Double = 1.2,
+              b: Double = 0.75, idAs: String = "id"): String = {
+    val inList = terms.distinct.map(sqlQuote).mkString(", ")
+    s"""WITH nt AS (
+       |  SELECT $idCol AS id,
+       |         lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))) AS nt
+       |    FROM $table),
+       |base AS (
+       |  SELECT id,
+       |         CASE WHEN nt = '' THEN 0
+       |              ELSE len(string_split(nt, ' ')) END AS dl, nt
+       |    FROM nt),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+       |t AS (SELECT id, dl, unnest(string_split(nt, ' ')) AS w FROM base),
+       |tf AS (SELECT id, dl, w, CAST(count(*) AS DOUBLE) AS tf
+       |         FROM t WHERE w IN ($inList) GROUP BY 1, 2, 3),
+       |d AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT id,
+       |         round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |           * (tf * ${k1 + 1.0})
+       |           / (tf + $k1 * (${1.0 - b} + $b * (dl / avgdl)))), 6) AS score
+       |         FROM tf tt JOIN d USING (w) CROSS JOIN s GROUP BY 1)
+       |SELECT id AS $idAs, score,
+       |       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rnk
+       |  FROM sc
+       |QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= $k""".stripMargin
+  }
+
+  /** DuckDB rendering of [[bm25TopKBatch]]: one [[bm25Sql]] block per
+    * query, unioned under its qid literal — value-identical to the
+    * single path by construction, which is exactly the batch contract. */
+  def bm25BatchSql(table: String, idCol: String, textCol: String,
+                   queries: Seq[(Long, Seq[String])], k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): String =
+    queries.map { case (qid, ts) =>
+      s"""SELECT CAST($qid AS BIGINT) AS qid, id, score, rnk
+         |  FROM (${bm25Sql(table, idCol, textCol, ts, k, k1, b)})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** DuckDB rendering of [[rrfFuse]] over named run subqueries: each
+    * element of `runSqls` must select `(id, rnk)`. */
+  def rrfSql(runSqls: Seq[String], k: Int, c: Int = 60): String = {
+    val union = runSqls.map(r => s"SELECT id, rnk FROM ($r)")
+      .mkString("\nUNION ALL\n")
+    s"""WITH runs AS (
+       |$union),
+       |f AS (SELECT id, round(sum(1.0 / (${c.toDouble} + rnk)), 6) AS score
+       |        FROM runs GROUP BY 1)
+       |SELECT id, score,
+       |       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rnk
+       |  FROM f
+       |QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= $k""".stripMargin
+  }
+}

@@ -50,6 +50,8 @@ object StreamRunner {
     // row-local and therefore deliberately NOT fenced)
     // imageDedup self-joins the banded perceptual-hash table
     "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup", "imageDedupAgainst",
+    // bm25 trains corpus df/avgdl statistics
+    "bm25",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

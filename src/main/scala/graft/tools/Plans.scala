@@ -89,7 +89,11 @@ object PlanLint {
     // condition into a build-side filter + LocalLimit(1) existence
     // probe — a ≤1-row broadcast BNLJ by constant-folding, not a scan
     // pairing (the organic branch keeps its hash anti-join)
-    "source_filtered", "dfl_source_filter")
+    "source_filtered", "dfl_source_filter",
+    // BM25's corpus scalars (N, avgdl) are the same one-row broadcast
+    // cross-join shape as the LM family
+    "bm25_topk", "bm25_batch", "dfl_bm25", "rrf_fuse",
+    "pipeline_hybrid_retrieval")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  // 3-doc corpus with hand-computable statistics:
+  //   doc 1: "cat dog cat"   (dl 3)   doc 2: "dog fish" (dl 2)
+  //   doc 3: "bird"          (dl 1)   → N = 3, avgdl = 2.0
+  private def tiny = Seq(
+    (1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"),
+  ).toDF("doc_id", "text")
+
+  private def bm25Contribution(tf: Double, df: Double, n: Double, dl: Double,
+                               avgdl: Double, k1: Double = 1.2,
+                               b: Double = 0.75): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+  }
+
+  test("bm25TopK matches the hand-computed formula exactly") {
+    val got = Retrieval.bm25TopK(tiny, "doc_id", "text", Seq("cat", "dog"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 1: cat tf=2 df=1, dog tf=1 df=2; doc 2: dog tf=1 df=2
+    def s(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = s(bm25Contribution(2, 1, 3, 3, 2.0) + bm25Contribution(1, 2, 3, 3, 2.0))
+    val d2 = s(bm25Contribution(1, 2, 3, 2, 2.0))
+    assert(got.toSeq == Seq((1L, d1, 1L), (2L, d2, 2L)),
+      s"got ${got.toSeq}, want hand-computed ($d1, $d2)")
+  }
+
+  test("bm25TopK: absent terms score nothing; k caps; matches-only rows") {
+    assert(Retrieval.bm25TopK(tiny, "doc_id", "text", Seq("absent"), 5)
+      .collect().isEmpty)
+    val capped = Retrieval.bm25TopK(tiny, "doc_id", "text",
+      Seq("cat", "dog", "fish", "bird"), 2).collect()
+    assert(capped.length == 2)
+    // doc 3 matches only "bird": still present when k allows
+    val all = Retrieval.bm25TopK(tiny, "doc_id", "text",
+      Seq("cat", "dog", "fish", "bird"), 10).collect()
+    assert(all.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("bm25TopK: duplicate query terms do not double-count") {
+    val once = Retrieval.bm25TopK(tiny, "doc_id", "text", Seq("dog"), 3).collect()
+    val twice = Retrieval.bm25TopK(tiny, "doc_id", "text", Seq("dog", "dog"), 3)
+      .collect()
+    assert(once.map(_.getDouble(1)).toSeq == twice.map(_.getDouble(1)).toSeq)
+  }
+
+  test("bm25TopKBatch slices equal the single-query path on the real corpus") {
+    val queries = Seq(1L -> Seq("spark", "window"), 2L -> Seq("merge", "sort"))
+    val batch = Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms) =>
+      val single = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(batch(qid).sortBy(_._4).toSeq == single.toSeq,
+        s"batch slice for qid $qid diverges from single path")
+    }
+  }
+
+  test("rrfFuse matches the hand-computed reciprocal-rank sum") {
+    val runA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val runB = Seq((20L, 1L), (40L, 2L)).toDF("id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(runA, runB), k = 4, c = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def s(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (20L, s(1.0 / 62 + 1.0 / 61), 1L), // in both runs → fused to the top
+      (10L, s(1.0 / 61), 2L),
+      (40L, s(1.0 / 62), 3L),
+      (30L, s(1.0 / 63), 4L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("rrfFuse tie order is (score desc, id asc)") {
+    val runA = Seq((5L, 1L), (3L, 2L)).toDF("id", "rnk")
+    val runB = Seq((9L, 1L), (7L, 2L)).toDF("id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(runA, runB), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((5L, 1L), (9L, 2L), (3L, 3L), (7L, 4L)))
+  }
+
+  test("bm25 plan: bounded-heap aggregate, no window, no cartesian") {
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "window"), 10).queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), "top-k must be the heap aggregate")
+    assert(!plan.contains("Window"), "no window over scored docs")
+    assert(!plan.contains("CartesianProduct"), "scalar stats must broadcast")
+  }
+
+  test("bm25 rejects bad arguments") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(tiny, "doc_id", "text", Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(tiny, "doc_id", "text", Seq("x"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKBatch(tiny, "doc_id", "text", Seq(1L -> Seq.empty), 5)
+    }
+  }
+}
