@@ -555,6 +555,16 @@ object SparkEntry {
       DflFrame.pipeline(t(s, dir, "documents"),
         "lmScore(@, '@doc_id', '@text', 'bigram')")
         .withColumnRenamed("id", "doc_id")),
+    // Kneser-Ney bigram (D = 0.75): the continuation-count smoothing the
+    // CCNet/KenLM ladder ships — distinct-context statistics, not raw
+    // frequency, carry the unigram backoff
+    "lm_kn_xent" -> ((s, dir) =>
+      llm.TextAnalysis.lmKneserNeyScore(t(s, dir, "documents"), "doc_id",
+        "text", discount = 0.75)),
+    "dfl_lm_kn" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "lmScore(@, '@doc_id', '@text', 'kn')")
+        .withColumnRenamed("id", "doc_id")),
     // corpus top-V vocabulary (normalized tokens, deterministic rank)
     "vocab_top" -> ((s, dir) =>
       llm.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", topV = 200)),
@@ -2571,6 +2581,8 @@ object SparkEntry {
     "dfl_profile" -> corpusProfileSql,
     "lm_bigram_xent" -> lmBigramSql,
     "dfl_lm_bigram" -> lmBigramSql,
+    "lm_kn_xent" -> lmKnSql,
+    "dfl_lm_kn" -> lmKnSql,
     // normalized-token vocabulary; count(*) is BIGINT in DuckDB (no
     // HUGEINT drift), rank deterministic by (cnt desc, w asc)
     "vocab_top" ->
@@ -3536,6 +3548,32 @@ object SparkEntry {
       |  JOIN (SELECT t AS p, c AS cp FROM u) USING (p)
       |  JOIN (SELECT t AS w, c AS cw FROM u) USING (w)
       |  CROSS JOIN tot GROUP BY 1""".stripMargin
+
+  /** Kneser-Ney bigram: same bigram/unigram statistics as [[lmBigramSql]]
+    * plus the three TYPE counts off the cb table; formula association,
+    * literals, and rounding mirror TextAnalysis.lmKneserNeyScore. */
+  private val lmKnSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+      |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+      |       WHERE len(toks) >= 2),
+      |tf2 AS (SELECT doc_id, p, w, count(*) AS tf2 FROM bi GROUP BY 1, 2, 3),
+      |cb AS (SELECT p, w, sum(tf2) AS cb FROM tf2 GROUP BY 1, 2),
+      |n1p AS (SELECT p, CAST(count(*) AS DOUBLE) AS n1p FROM cb GROUP BY 1),
+      |n1w AS (SELECT w, CAST(count(*) AS DOUBLE) AS n1w FROM cb GROUP BY 1),
+      |nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM cb),
+      |uni AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |u AS (SELECT t, count(*) AS c FROM uni GROUP BY 1)
+      |SELECT doc_id,
+      |       round(-sum(tf2 * ln(greatest(cb - 0.75, 0.0) / cp
+      |                           + 0.75 * n1p / cp * (n1w / nbt)))
+      |             / sum(tf2), 6) AS xent_kn
+      |  FROM tf2
+      |  JOIN cb USING (p, w)
+      |  JOIN (SELECT t AS p, c AS cp FROM u) USING (p)
+      |  JOIN n1p USING (p)
+      |  JOIN n1w USING (w)
+      |  CROSS JOIN nbt GROUP BY 1""".stripMargin
 
   private val decontamCleanSql: String =
     """WITH tok AS (SELECT doc_id,

@@ -1127,9 +1127,11 @@ object DflFrame {
         // `lmScore(@, '@id', '@text'[, method[, lambda]])` — per-doc
         // cross-entropy under an LM trained on the piped corpus itself:
         // method 'unigram' (default, TextAnalysis.lmUnigramScore → (id,
-        // xent)) or 'bigram' (interpolated, TextAnalysis.lmBigramScore →
-        // (id, xent2), lambda = bigram weight, default 0.7). A numeric
-        // arg 3 is still rejected — method must be a string.
+        // xent)), 'bigram' (interpolated, TextAnalysis.lmBigramScore →
+        // (id, xent2), lambda = bigram weight, default 0.7), or 'kn'
+        // (Kneser-Ney, TextAnalysis.lmKneserNeyScore → (id, xent_kn),
+        // arg 4 = discount, default 0.75). A numeric arg 3 is still
+        // rejected — method must be a string.
         if (args.size > 5) throw new DflParseException(
           "lmScore takes (@, id, text[, method[, lambda]])")
         val method = if (args.size > 3) strArg(3) else "unigram"
@@ -1142,6 +1144,10 @@ object DflFrame {
           case "bigram" =>
             val lambda = if (args.size > 4) numArg(4) else 0.7
             graft.llm.TextAnalysis.lmBigramScore(base, "__gid", "__gtext", lambda)
+          case "kn" =>
+            // Kneser-Ney bigram; arg 4 = absolute discount D
+            val d = if (args.size > 4) numArg(4) else 0.75
+            graft.llm.TextAnalysis.lmKneserNeyScore(base, "__gid", "__gtext", d)
           case other => throw new DflParseException(s"unknown lmScore method $other")
         }).withColumnRenamed("__gid", "id")
 

@@ -439,6 +439,58 @@ object TextAnalysis {
         sum(col("tf2")), 6).as("xent2"))
   }
 
+  /** Interpolated Kneser-Ney bigram cross-entropy — the smoothing the
+    * CCNet/KenLM quality ladder actually ships (Kneser & Ney ICASSP'95;
+    * Chen & Goodman '98 eq. 4.26, bigram order): per bigram position
+    * `P_KN(w|p) = max(c(p,w) - D, 0)/c(p) + D·N1+(p,·)/c(p) · P_cont(w)`
+    * with the CONTINUATION unigram `P_cont(w) = N1+(·,w)/N1+(·,·)` —
+    * the count of distinct contexts w follows, not its raw frequency,
+    * which is what separates KN from the naive interpolation of
+    * [[lmBigramScore]] (a word frequent only inside one collocation
+    * stops soaking up unigram mass). `c(p)` is the corpus unigram count
+    * of the context, the same documented approximation as
+    * [[lmBigramScore]], applied identically in the oracle. Docs with
+    * fewer than two tokens emit no row.
+    *
+    * Scale shape: identical to [[lmBigramScore]] — the two extra
+    * statistics (N1+(p,·), N1+(·,w)) derive FROM the bigram-type table
+    * with one groupBy each and ride the SAME p-/w-keyed exchanges the
+    * cp/continuation joins already make; N1+(·,·) is a one-row
+    * broadcast. No collect, no window, the model stays distributed. */
+  def lmKneserNeyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"lmKneserNeyScore: discount must be in (0,1), got $discount")
+    val toks = wsTokens(col(textCol))
+    val bi = df.filter(size(toks) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
+      .select(col(idCol), col("bg.p").as("p"), col("bg.w").as("w"))
+    val tf2 = bi.groupBy(col(idCol), col("p"), col("w"))
+      .agg(count(lit(1)).as("tf2"))
+    val cb = tf2.groupBy(col("p"), col("w")).agg(sum(col("tf2")).as("cb"))
+    // bigram TYPE counts: distinct continuations per context / distinct
+    // contexts per word / total bigram types — all off the cb table
+    val n1p = cb.groupBy(col("p")).agg(count(lit(1)).cast("double").as("n1p"))
+    val n1w = cb.groupBy(col("w")).agg(count(lit(1)).cast("double").as("n1w"))
+    val nbt = cb.agg(count(lit(1)).cast("double").as("nbt"))
+    val uni = df.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val d = discount
+    tf2.join(cb, Seq("p", "w"))
+      .join(uni.select(col("t").as("p"), col("c").as("cp")), Seq("p"))
+      .join(n1p, Seq("p"))
+      .join(n1w, Seq("w"))
+      .crossJoin(broadcast(nbt))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("tf2") * log(
+          greatest(col("cb") - lit(d), lit(0.0)) / col("cp") +
+            lit(d) * col("n1p") / col("cp") * (col("n1w") / col("nbt")))) /
+        sum(col("tf2")), 6).as("xent_kn"))
+  }
+
   /** Feature-hashing text embedding (the "hashing trick"): each document
     * becomes an L2-normalized `dim`-dimensional count vector of its
     * token hash buckets — a model-free representation that drops

@@ -126,6 +126,44 @@ class PackingSpec extends AnyFunSuite {
       TextAnalysis.lmBigramScore(df, "doc_id", "text", lambda = 1.0))
   }
 
+  test("lmKneserNeyScore: continuation-count formula matches by hand") {
+    val df = Seq(
+      (1L, "a b a b"), (2L, "b a"), (3L, "x"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmKneserNeyScore(df, "doc_id", "text", discount = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // unigrams: a=3 b=3 x=1; bigram tokens: doc1 (a,b)(b,a)(a,b), doc2 (b,a)
+    // cb: (a,b)=2 (b,a)=2; types: n1p(a)=1 n1p(b)=1, n1w(a)=1 n1w(b)=1, nbt=2
+    def round6(x: Double) = math.rint(x * 1e6) / 1e6
+    def pKn(cb: Long, cp: Long, n1p: Double, n1w: Double, nbt: Double) =
+      math.max(cb - 0.75, 0.0) / cp + 0.75 * n1p / cp * (n1w / nbt)
+    val pBA = pKn(2, 3, 1, 1, 2) // P(b|a) — and P(a|b) is symmetric here
+    assert(out(1L) == round6(-(2 * math.log(pBA) + math.log(pBA)) / 3))
+    assert(out(2L) == round6(-math.log(pBA)))
+    // single-token doc: no bigram positions, no row
+    assert(!out.contains(3L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lmKneserNeyScore(df, "doc_id", "text", discount = 1.0))
+  }
+
+  test("lmKneserNeyScore: collocation-locked word soaks less unigram mass than KN's continuation view") {
+    // "francisco" appears 3 times but ONLY after "san": raw-frequency
+    // interpolation inflates P(francisco) anywhere; KN's continuation
+    // count (1 distinct context) keeps its backoff share at the minimum.
+    // "york" appears 3 times across 3 distinct contexts.
+    val df = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "new york old york big york"),
+      (3L, "q francisco"), (4L, "q york"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmKneserNeyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // both probe docs see the unseen bigram (q, ·): only the continuation
+    // term differs — francisco (1 context) must score WORSE than york (4)
+    assert(out(3L) > out(4L),
+      s"one-context word must keep less backoff mass: $out")
+  }
+
   test("windowDupStats flags exactly the planted repeated window") {
     val shared = (1 to 8).map(i => s"tok$i").mkString(" ")
     val df = Seq(
