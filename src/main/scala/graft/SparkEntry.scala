@@ -2015,6 +2015,65 @@ object SparkEntry {
       llm.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
     }),
 
+    // ---- unigram-LM (SentencePiece-family) tokenizer ----
+    // substring candidate seeding: exact integer counts, total tie order
+    "unigram_seed" -> ((s, dir) =>
+      llm.Unigram.seedTop(t(s, dir, "documents"), "text", maxPieceLen = 8,
+        k = 200)),
+    // Viterbi best-segmentation scores under the rank-derived DYADIC
+    // vocab (exact double sums → engine-identical maxima); the oracle
+    // replays by FULL ENUMERATION of every cut of every word
+    "unigram_segment_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      llm.Unigram.wordScores(docs, "text",
+        llm.Unigram.rankVocab(docs, "text", maxPieceLen = 8, topMulti = 64),
+        maxPieceLen = 8, maxWordLen = 12)
+    }),
+    // EM training contract (float summation order is partition-dependent,
+    // so the trained probabilities carry guarantees, not bit values —
+    // the lr_train posture): likelihood non-decreasing across EM steps,
+    // probabilities normalized, trained vocab compresses the corpus
+    // below its character baseline
+    "unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (vocab, lls) = llm.Unigram.train(docs, "text", vocabSize = 128,
+        maxPieceLen = 8, seedSize = 256, iters = 3)
+      val monotone = lls.zip(lls.tail).forall { case (a, b) =>
+        b >= a - 1e-6 * math.abs(a) }
+      val probSum = math.abs(vocab.map(p => math.exp(p.logp)).sum - 1.0) < 1e-9
+      val agg = llm.Bpe.wordCounts(docs, "text").select(
+          size(graft.functions.UnigramF.segmentAll(array(col("word")),
+            vocab.map(_.piece), vocab.map(_.logp), 8)).cast("long").as("np"),
+          length(col("word")).cast("long").as("nc"), col("n"))
+        .agg(sum(col("np") * col("n")).as("np"),
+          sum(col("nc") * col("n")).as("nc")).collect().head
+      val compresses = agg.getLong(0) < agg.getLong(1)
+      Seq((monotone, probSum, compresses))
+        .toDF("em_monotone", "prob_sum_1", "compresses")
+    }),
+    // the round-trip law, tokenizer-family-independent: unigram pieces
+    // partition each word, so decode ∘ segment = normText for ANY vocab
+    // — a hard value oracle over the whole corpus, like bpe_decode
+    "unigram_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, _) = llm.Unigram.train(docs, "text", vocabSize = 96,
+        maxPieceLen = 8, seedSize = 192, iters = 2)
+      llm.Bpe.decode(
+        llm.Unigram.segment(docs, "doc_id", "text", vocab), "id", "pieces")
+    }),
+    // the DFL front door: frozen piece table bound as a dataset var,
+    // served row-locally, decoded back — the same law through the stage
+    "dfl_unigram_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, _) = llm.Unigram.train(docs, "text", vocabSize = 96,
+        maxPieceLen = 8, seedSize = 192, iters = 2)
+      val seg = DflFrame.pipeline(docs,
+        "unigramSegment(@, '@doc_id', '@text', $vocab)",
+        Map("vocab" -> llm.Unigram.vocabDf(s, vocab)))
+      llm.Bpe.decode(seg, "id", "pieces")
+    }),
+
     "q2_join_agg" -> ((s, dir) => {
       // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
       // with SF (~10⁹ rows at 100 TB), so no hint there: AQE broadcasts it
@@ -2785,6 +2844,22 @@ object SparkEntry {
          |  FROM z""".stripMargin
     },
     "bpe_learn" -> "SELECT true AS merges_exact, true AS corpus_ok",
+    // unigram-LM tokenizer family
+    "unigram_seed" ->
+      llm.Unigram.seedSql("documents", "text", maxPieceLen = 8, k = 200),
+    "unigram_segment_scores" ->
+      llm.Unigram.wordScoresSql("documents", "text", maxPieceLen = 8,
+        topMulti = 64, maxWordLen = 12),
+    "unigram_train" ->
+      "SELECT true AS em_monotone, true AS prob_sum_1, true AS compresses",
+    "unigram_roundtrip" ->
+      """SELECT doc_id AS id,
+        |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
+        |  FROM documents""".stripMargin,
+    "dfl_unigram_roundtrip" ->
+      """SELECT doc_id AS id,
+        |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
+        |  FROM documents""".stripMargin,
     // the round-trip law: decode ∘ segment = normalize, merge-table-free
     "bpe_decode" ->
       """SELECT doc_id AS id,

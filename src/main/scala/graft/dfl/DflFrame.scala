@@ -108,6 +108,7 @@ object DflFrame {
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
+      "unigramSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25",
       // temporal extension stages (graft.temporal.Temporal)
@@ -1050,6 +1051,27 @@ object DflFrame {
         val bBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
         if (byteMode) graft.llm.Bpe.segmentByte(bBase, "__gid", "__gtext", mergeRows)
         else graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
+
+      case "unigramSegment" =>
+        // `unigramSegment(@, '@id', '@text', $vocab[, maxPieceLen])` —
+        // Viterbi segmentation with a trained unigram-LM piece table
+        // bound as a dataset var ((piece, logp) rows). Vocabulary-bounded
+        // collect at plan time (the broadcast-a-model shape, like
+        // bpeSegment's merge table); segmentation itself is one row-local
+        // native expression → STREAMABLE frozen-tokenizer serving.
+        if (args.size != 4 && args.size != 5) throw new DflParseException(
+          s"unigramSegment takes (@, idExpr, textExpr, $$vocab[, maxPieceLen])")
+        val uMaxLen = if (args.size > 4) intArg(4) else 8
+        val uVocab = dsArg(3)
+          .select(col("piece").cast("string"), col("logp").cast("double"))
+          .collect()
+          .map(r => graft.llm.Unigram.Piece(r.getString(0), r.getDouble(1)))
+          .toSeq
+        if (uVocab.isEmpty)
+          throw new DflParseException("unigramSegment: empty vocab table")
+        val uBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2))
+        graft.llm.Unigram.segment(uBase, "__gid", "__gtext", uVocab, uMaxLen)
 
       case "classify" =>
         // `classify(@, '@id', '@vec', $weights, bias)` — linear-model

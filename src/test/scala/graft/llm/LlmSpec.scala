@@ -1733,6 +1733,17 @@ class LlmSpec extends AnyFunSuite {
       assert(few13.groupBy("lang")
         .agg(graft.functions.VecAggF.vecMean(
           array(col("n_chars").cast("double")), 6)).collect().nonEmpty)
+      // unigram-LM tokenizer lattice family (segment / score / expected)
+      val uniVocab = Seq("a" -> -4.0, "e" -> -4.0, "th" -> -1.0, "the" -> -1.5)
+      assert(few13.select(graft.functions.UnigramF.segmentAll(
+        TextAnalysis.wsTokens(TextAnalysis.normText(col("text"))),
+        uniVocab.map(_._1), uniVocab.map(_._2), 8)).collect().length == 10)
+      assert(few13.select(graft.functions.UnigramF.score(
+        lit("the"), uniVocab.map(_._1), uniVocab.map(_._2), 8))
+        .collect().length == 10)
+      assert(few13.select(graft.functions.UnigramF.expected(
+        lit("the"), uniVocab.map(_._1), uniVocab.map(_._2), 8))
+        .collect().length == 10)
     } finally {
       prevFactory.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
       prevFallback.fold(spark.conf.unset(fallback))(spark.conf.set(fallback, _))

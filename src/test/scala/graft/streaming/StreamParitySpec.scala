@@ -140,6 +140,26 @@ class StreamParitySpec extends AnyFunSuite {
       "jsonl", "annTopKFiltered(@, '@id', '@v', [1.0], 5, '@flag == 0')"))
   }
 
+  test("unigramSegment serves a frozen piece table in stream mode, batch-parity; bm25 fenced") {
+    val dir = Files.createTempDirectory("graft-unistream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"abab ab"}
+        |{"id":2,"text":"ba"}""".stripMargin)
+    val vocab = Seq(("a", -1.0), ("b", -1.0), ("ab", -0.5))
+      .toDF("piece", "logp")
+    val expr = "unigramSegment(@, '@id', '@text', $v)"
+    val batch = DflFrame.pipeline(spark.read.json(dir), expr, Map("v" -> vocab))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val stream = StreamRunner.runOnce(spark, dir, "jsonl", expr,
+        vars = Map("v" -> vocab))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(stream == batch)
+    assert(batch == Set((1L, "ab ab</w> ab</w>"), (2L, "b a</w>")))
+    // bm25 trains corpus statistics → fenced out of stream mode
+    intercept[IllegalArgumentException](StreamRunner.validateStreamable(
+      "jsonl", "bm25(@, '@id', '@text', 'spark window', 5)"))
+  }
+
   test("cdcChunks is streamable (row-local), batch-parity; cdcPairs/sourceFilter fenced") {
     val dir = Files.createTempDirectory("graft-cdcstream").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
