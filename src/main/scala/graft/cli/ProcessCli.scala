@@ -17,7 +17,7 @@ import graft.streaming.StreamRunner
   *     [--input-comment '#'] [--input-skip N] [--input-limit N]
   *     [--dfl EXPR | --dfl-uri FILE] [--var k=v]... [--dataset-var k=URI]...
   *     [--output-uri F|-] [--output-format f] [--output-limit N]
-  *     [--output-cluster-by c1,c2 [--output-files N]]
+  *     [--output-cluster-by c1,c2 | --output-zorder-by c1,c2 [--output-files N]]
   *     [--output-compression gzip|bzip2] [--output-mode overwrite|append]
   *     [--error-uri F] [--stream]
   *     [--stream-decontam-bench F [--stream-decontam-text col]
@@ -52,6 +52,7 @@ object ProcessCli {
       streamCdcRef: String = "",
       datasetVars: Map[String, String] = Map.empty,
       outputClusterBy: String = "",
+      outputZorderBy: String = "",
       outputFiles: Int = 8,
   )
 
@@ -123,6 +124,7 @@ object ProcessCli {
           c = c.copy(datasetVars = c.datasetVars + (kv.take(j) -> kv.drop(j + 1)))
         case "--output-uri"    => c = c.copy(outputUri = a.value())
         case "--output-cluster-by" => c = c.copy(outputClusterBy = a.value())
+        case "--output-zorder-by"  => c = c.copy(outputZorderBy = a.value())
         case "--output-files"      => c = c.copy(outputFiles = a.value().toInt)
         case "--output-format" => c = c.copy(outputFormat = a.value())
         case "--output-limit"       => c = c.copy(outputLimit = Some(a.value().toInt))
@@ -270,7 +272,9 @@ object ProcessCli {
       // data-skipping layout: range-cluster on the hot filter columns
       // before the sink (io.Layout) so readers prune files by min/max
       val limited =
-        if (c.outputClusterBy.isEmpty) limited0
+        if (c.outputZorderBy.nonEmpty) graft.io.Layout.zOrderBy(limited0,
+          c.outputZorderBy.split(',').map(_.trim).toSeq, c.outputFiles)
+        else if (c.outputClusterBy.isEmpty) limited0
         else graft.io.Layout.clusterBy(limited0,
           c.outputClusterBy.split(',').map(_.trim).toSeq, c.outputFiles)
       if (c.outputUri == "-" || c.outputUri == "stdout") {

@@ -26,6 +26,61 @@ object Layout {
       .sortWithinPartitions(cols.map(col): _*)
   }
 
+  /** TRUE multi-column Z-order layout: interleave the bits of each
+    * column's min/max-normalized `bits`-bit quantization into one
+    * space-filling-curve key, then range-partition + sort on it. Where
+    * [[clusterBy]] (lexicographic) only skips on its LEADING column, a
+    * Z-curve keeps locality in EVERY dimension — a point/range predicate
+    * on any one of the columns overlaps ~files^((d−1)/d) of the files
+    * instead of all of them. The pattern behind Delta/Iceberg OPTIMIZE
+    * ZORDER, built from plain Catalyst bit ops (shiftleft / bitwiseAND /
+    * bitwiseOR — whole-stage codegen, no UDF).
+    *
+    * Column bounds come from ONE stats aggregation collected to the
+    * driver (d scalars — the quantile-threshold shape) and enter the key
+    * expression as literals. Numeric columns only; NULLs quantize to 0
+    * (they co-locate in the low corner — documented, like NULLS FIRST).
+    * At 100 TB this is the same one extra shuffle `clusterBy` already
+    * pays — the curve changes only the SORT KEY, not the plan shape. */
+  def zOrderBy(df: DataFrame, cols: Seq[String], files: Int,
+               bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2,
+      "zOrderBy: needs >= 2 columns (clusterBy covers the 1-column case)")
+    require(files > 0, "zOrderBy: files must be positive")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"zOrderBy: bits*cols must fit a long, got $bits*${cols.size}")
+    cols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zOrderBy: column $c must be numeric, is ${df.schema(c).dataType.sql}")
+    }
+    val aggExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val maxQ = (1L << bits) - 1
+    val qs = cols.zipWithIndex.map { case (c, j) =>
+      val lo = if (stats.isNullAt(2 * j)) 0.0 else stats.getDouble(2 * j)
+      val hi = if (stats.isNullAt(2 * j + 1)) 0.0 else stats.getDouble(2 * j + 1)
+      val scaled =
+        if (hi > lo)
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxQ.toDouble))
+            .cast("long")
+        else lit(0L)
+      coalesce(least(greatest(scaled, lit(0L)), lit(maxQ)), lit(0L))
+    }
+    val d = cols.size
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      qs.zipWithIndex.foldLeft(acc) { case (a, (q, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(q, b).bitwiseAND(lit(1L)),
+          b * d + j))
+      }
+    }
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+
   /** Per-file min/max of `c` in a written parquet directory — the
     * audit view of what the reader's file/row-group skipping will see.
     * One row per file: (file, min, max). */
