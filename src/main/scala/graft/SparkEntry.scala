@@ -118,6 +118,35 @@ object SparkEntry {
     2L -> Seq("merge", "sort", "stream"),
     3L -> Seq("vector", "hash"))
 
+  /** documents re-shaped into LINE-structured text (normalized tokens in
+    * 8-token lines) with a shared boilerplate footer planted on every
+    * doc_id % 5 == 0 — the corpus-wide duplicated line the C4-style
+    * line dedup must scrub everywhere but its first occurrence. The
+    * construction renders identically in the oracle SQL. */
+  private def linedDocs(docs: DataFrame): DataFrame = {
+    val toks = llm.TextAnalysis.wsTokens(llm.TextAnalysis.normText(col("text")))
+    val nLines = greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1))
+    val lined = array_join(
+      transform(sequence(lit(1), nLines),
+        i => array_join(slice(toks, (i - lit(1)) * lit(8) + lit(1), lit(8)), " ")),
+      "\n")
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lined, lit("\nthe shared boilerplate footer line")))
+        .otherwise(lined).as("text"))
+  }
+
+  /** The planted HTML wrapper for the extraction row — script/style
+    * content, a comment, attributes, and the standard entity set around
+    * the document text; the oracle states the CLOSED-FORM expected
+    * extraction. */
+  private val htmlWrapped: org.apache.spark.sql.Column = concat(
+    lit("<html><head><style>p{color:red}</style>" +
+      "<script>var x = 1 < 2;</script></head><body><!-- hidden -->\n" +
+      "<p class=\"main\">"),
+    col("text"),
+    lit(" &amp; tail &lt;ok&gt;</p>\n</body></html>"))
+
   /** events with `ts` normalized ONCE to an epoch-µs long `ts_us` —
     * the temporal operators all run integer µs arithmetic so Spark and
     * the DuckDB oracle (`epoch_us(ts)`) evaluate one formula. Handles
@@ -2074,6 +2103,28 @@ object SparkEntry {
       llm.Bpe.decode(seg, "id", "pieces")
     }),
 
+    // ---- web-corpus ingestion ops ----
+    // HTML → text extraction over a planted wrapper (script/style
+    // content stripped WITH their elements, tags → spaces, entities
+    // decoded &amp;-last); the oracle states the closed-form expectation
+    "html_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        llm.TextAnalysis.extractHtmlText(htmlWrapped).as("clean"))),
+    "dfl_html_extract" -> ((s, dir) =>
+      DflFrame.pipeline(
+        t(s, dir, "documents").select(col("doc_id"), htmlWrapped.as("h")),
+        "map(@, '{doc_id: @doc_id, clean: htmlText(@h)}')")),
+    // C4-style corpus-wide line dedup: first occurrence survives, docs
+    // re-assemble from surviving lines; the planted footer line must
+    // scrub everywhere but one doc, and naturally-repeated 8-token
+    // lines dedup too — full DuckDB replay
+    "line_dedup" -> ((s, dir) =>
+      llm.TextAnalysis.dedupLines(linedDocs(t(s, dir, "documents")),
+        "doc_id", "text").withColumnRenamed("id", "doc_id")),
+    "dfl_line_dedup" -> ((s, dir) =>
+      DflFrame.pipeline(linedDocs(t(s, dir, "documents")),
+        "lineDedup(@, '@doc_id', '@text')")),
+
     "q2_join_agg" -> ((s, dir) => {
       // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
       // with SF (~10⁹ rows at 100 TB), so no hint there: AQE broadcasts it
@@ -2844,6 +2895,18 @@ object SparkEntry {
          |  FROM z""".stripMargin
     },
     "bpe_learn" -> "SELECT true AS merges_exact, true AS corpus_ok",
+    // HTML extraction: the CLOSED-FORM expectation (content recovered,
+    // entities decoded) — stronger than replaying the regex chain
+    "html_extract" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & tail <ok>' AS clean
+        |  FROM documents""".stripMargin,
+    "dfl_html_extract" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & tail <ok>' AS clean
+        |  FROM documents""".stripMargin,
+    "line_dedup" -> lineDedupSql("doc_id"),
+    "dfl_line_dedup" -> lineDedupSql("id"),
     // unigram-LM tokenizer family
     "unigram_seed" ->
       llm.Unigram.seedSql("documents", "text", maxPieceLen = 8, k = 200),
@@ -3649,6 +3712,43 @@ object SparkEntry {
       |  JOIN n1p USING (p)
       |  JOIN n1w USING (w)
       |  CROSS JOIN nbt GROUP BY 1""".stripMargin
+
+  /** The lined-corpus construction + full line-dedup replay (DuckDB):
+    * mirrors [[linedDocs]] + TextAnalysis.dedupLines — same lines, same
+    * normalization, same first-occurrence rule, same reassembly order.
+    * DuckDB keeps the raw normalized strings where Spark keys on md5
+    * (equality classes, not hash values, drive the decision). */
+  private def lineDedupSql(idAs: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |    FROM documents),
+       |lined0 AS (
+       |  SELECT doc_id,
+       |         array_to_string(
+       |           [array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ')
+       |            FOR i IN generate_series(1, CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT))],
+       |           chr(10)) AS t
+       |    FROM base),
+       |src AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN t || chr(10) || 'the shared boilerplate footer line'
+       |              ELSE t END AS text
+       |    FROM lined0),
+       |l AS (SELECT doc_id, i AS idx, ln[i] AS line
+       |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM src) t,
+       |        LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i) s),
+       |n AS (SELECT doc_id, idx, line,
+       |             lower(trim(regexp_replace(line, '\\s+', ' ', 'g'))) AS nrm
+       |        FROM l),
+       |r AS (SELECT *, CASE WHEN nrm = '' THEN true
+       |                     ELSE row_number() OVER (PARTITION BY nrm ORDER BY doc_id, idx) = 1
+       |                END AS kept FROM n)
+       |SELECT doc_id AS $idAs, CAST(count(*) AS BIGINT) AS n_lines,
+       |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       |       coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE kept), '') AS clean_text
+       |  FROM r GROUP BY 1""".stripMargin
 
   private val decontamCleanSql: String =
     """WITH tok AS (SELECT doc_id,

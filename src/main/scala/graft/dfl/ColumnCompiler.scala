@@ -368,6 +368,7 @@ object Functions {
     "tileToLongitude" -> "(x, z)", "tileToLatitude" -> "(y, z)", "flipY" -> "(y, z)",
     "intersects" -> "(a, b)", "jsonGet" -> "(s, key)",
     "deflateRatio" -> "(s)",
+    "htmlText" -> "(s)",
   )
 
   def apply(name: String, args: List[Node], ctx: Ctx): Column = {
@@ -408,6 +409,8 @@ object Functions {
       case "intersects" => arrays_overlap(a(0), a(1))
       // extension: the compression-ratio quality signal (row-local zlib)
       case "deflateRatio" => graft.functions.DeflateF.deflateRatio(a(0))
+      // extension: HTML → text extraction (row-local regex chain)
+      case "htmlText" => graft.llm.TextAnalysis.extractHtmlText(a(0))
       // extension: JSON field extraction for string-typed dynamic columns
       // (the reference's schema-less records keep ragged keys; our typed
       // analogue is a JSON string column, SURVEY.md §1.5)

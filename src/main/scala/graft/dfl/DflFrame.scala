@@ -110,7 +110,7 @@ object DflFrame {
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "unigramSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst", "bm25",
+      "imageDedupAgainst", "bm25", "lineDedup",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -658,6 +658,18 @@ object DflFrame {
           .withColumn("__gtext", subCol(2))
         graft.llm.Retrieval.bm25TopK(bmBase, "__gid", "__gtext", bmTerms,
           bmK, bmK1, bmB)
+
+      case "lineDedup" =>
+        // `lineDedup(@, '@id', '@text'[, sep])` — corpus-wide line-level
+        // exact dedup, first occurrence survives, documents re-assembled
+        // (TextAnalysis.dedupLines — the C4 boilerplate scrub). The keep
+        // decision is whole-corpus → stream-fenced.
+        if (args.size < 3 || args.size > 4) throw new DflParseException(
+          "lineDedup takes (@, idExpr, textExpr[, sep])")
+        val ldSep = if (args.size > 3) strArg(3) else "\n"
+        val ldBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2))
+        graft.llm.TextAnalysis.dedupLines(ldBase, "__gid", "__gtext", ldSep)
 
       case "sourceFilter" =>
         // `sourceFilter(@, '@id', '@text', '@source'[, maxDupRate,

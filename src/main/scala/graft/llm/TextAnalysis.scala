@@ -439,6 +439,77 @@ object TextAnalysis {
         sum(col("tf2")), 6).as("xent2"))
   }
 
+  /** HTML → text extraction (the first step of every web-corpus
+    * pipeline): strip `<script>`/`<style>` elements WITH their content
+    * (markup text is not content), drop comments, replace every
+    * remaining tag with a space, decode the entity set every generator
+    * emits (`&amp;` LAST, so double-encoded entities resolve one level,
+    * the standard rule), collapse whitespace. Pure regexp_replace /
+    * replace chain — row-local, codegen'd, no parser state; a scan-time
+    * projection at any corpus size. Case is preserved (normalization is
+    * a separate, later stage). */
+  def extractHtmlText(c: Column): Column = {
+    import org.apache.spark.sql.functions.{replace => strReplace}
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = strReplace(
+      strReplace(
+        strReplace(
+          strReplace(
+            strReplace(
+              strReplace(noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(graft.functions.CollapseWsF.collapseWs(decoded))
+  }
+
+  /** Corpus-wide LINE-level exact dedup — the C4 move: a line whose
+    * normalized form occurs anywhere else in the corpus survives only at
+    * its FIRST occurrence (min (doc, line index) — deterministic, unlike
+    * C4's random keep), every other copy is dropped and each document is
+    * re-assembled from its surviving lines in order. Catches the
+    * boilerplate (nav bars, cookie banners, footers) that document-level
+    * dedup can never see. Whitespace-only lines are exempt (they carry
+    * layout, not content, and would all collapse to one).
+    *
+    * Returns `(id, n_lines, n_kept, clean_text)`.
+    *
+    * Scale shape: one explode, ONE line-keyed aggregation (keyed on the
+    * md5 of the normalized line — fixed-width shuffle keys, the
+    * window_dupes posture; DuckDB's oracle keeps the raw strings), one
+    * join back, one per-doc reassembly aggregation ordered by
+    * `sort_array` (no window). Line text crosses the wire exactly twice
+    * — the theoretical minimum for a reassembling dedup. */
+  def dedupLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String,
+                 sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(sep.nonEmpty, "dedupLines: separator must be non-empty")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("idx", "line")))
+    val withFp = lines.withColumn("__fp",
+      when(normText(col("line")) === "", lit(null))
+        .otherwise(md5(normText(col("line")))))
+    val firstOcc = withFp.filter(col("__fp").isNotNull)
+      .groupBy(col("__fp"))
+      .agg(min(struct(col("id"), col("idx"))).as("__keep"))
+    withFp.join(firstOcc, Seq("__fp"), "left")
+      .withColumn("__kept", col("__fp").isNull ||
+        (col("__keep.id") === col("id") && col("__keep.idx") === col("idx")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__kept").cast("long")).as("n_kept"),
+        array_join(org.apache.spark.sql.functions.transform(
+          sort_array(collect_list(when(col("__kept"),
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line")), sep).as("clean_text"))
+  }
+
   /** Interpolated Kneser-Ney bigram cross-entropy — the smoothing the
     * CCNet/KenLM quality ladder actually ships (Kneser & Ney ICASSP'95;
     * Chen & Goodman '98 eq. 4.26, bigram order): per bigram position

@@ -50,8 +50,9 @@ object StreamRunner {
     // row-local and therefore deliberately NOT fenced)
     // imageDedup self-joins the banded perceptual-hash table
     "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup", "imageDedupAgainst",
-    // bm25 trains corpus df/avgdl statistics
-    "bm25",
+    // bm25 trains corpus df/avgdl statistics; lineDedup's keep decision
+    // is whole-corpus
+    "bm25", "lineDedup",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class WebTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h"))).head().getString(0)
+
+  test("extractHtmlText strips elements, decodes entities, collapses whitespace") {
+    assert(extract("<p>hello <b>world</b></p>") == "hello world")
+    // script/style content is NOT content — dropped with the element,
+    // even when it contains comparison operators or braces
+    assert(extract("<script>if (a<b) { x(); }</script>text") == "text")
+    assert(extract("<style>p > span { color: red }</style>text") == "text")
+    assert(extract("before<!-- secret -->after") == "before after")
+    // entity set, &amp; decoded LAST: double-encoded resolves ONE level
+    assert(extract("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+      == "a & b <tag> \"q\" 's' end")
+    assert(extract("&amp;lt;") == "&lt;")
+    // multiline documents and attribute-heavy tags
+    assert(extract("<div class=\"a\" data-x='1'>\n  two\n  lines\n</div>")
+      == "two lines")
+    assert(extract("") == "")
+  }
+
+  test("dedupLines: first occurrence survives, docs reassemble in order, empties exempt") {
+    val df = Seq(
+      (1L, "alpha line\nshared footer\nbeta line"),
+      (2L, "gamma line\nshared footer\n\ndelta line"),
+      (3L, "shared footer\nalpha line"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 holds the first occurrence of both duplicated lines
+    assert(out(1L) == ((3L, 3L, "alpha line\nshared footer\nbeta line")))
+    // doc 2 loses the footer copy; its EMPTY line is exempt and survives
+    assert(out(2L) == ((4L, 3L, "gamma line\n\ndelta line")))
+    // doc 3 loses both copies → empty document, not a missing row
+    assert(out(3L) == ((2L, 0L, "")))
+  }
+
+  test("dedupLines normalizes before matching and respects a custom separator") {
+    val df = Seq(
+      (1L, "Shared  Footer|unique a"),
+      (2L, "shared footer|unique b"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(df, "doc_id", "text", sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // case/whitespace variants are ONE equality class; raw text survives
+    assert(out(1L) == "Shared  Footer|unique a")
+    assert(out(2L) == "unique b")
+    intercept[IllegalArgumentException](
+      TextAnalysis.dedupLines(df, "doc_id", "text", sep = ""))
+  }
+
+  test("dedupLines is invariant to input partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " (\\w+ \\w+ \\w+) ", " $1\n").as("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.dedupLines(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    assert(run(lined) == run(lined.repartition(13)))
+  }
+}
