@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *     broadcast-literal) query-term set BEFORE any shuffle, so the
   *     aggregation exchange carries only (doc, matched-term) rows — a
   *     vanishing fraction of the corpus for real queries.
-  *   - per-term document frequencies derive FROM that same tf aggregate
-  *     (≤ |terms| rows → broadcast back), and the corpus scalars
-  *     (N, avgdl) are a one-row broadcast — the allowlisted
-  *     scalar-stat cross-join shape every LM operator here uses.
+  *   - per-term document frequencies ride tf's own term exchange as a
+  *     count window (the tfidfTopTerms posture — no second corpus scan,
+  *     no self-join), and the corpus scalars (N, avgdl) are a one-row
+  *     broadcast — the allowlisted scalar-stat cross-join shape every
+  *     LM operator here uses.
   *   - the final top-k is the bounded-heap [[graft.functions.TopKByScore]]
   *     aggregate (map-side partials, shuffle ≤ partitions × k rows), never
   *     a global sort and never a window over all scored docs.
@@ -74,7 +75,16 @@ object Retrieval {
         (col("r") + 1).cast("long").as("rnk"))
   }
 
-  /** `(id, score)` for every document matching ≥1 query term. */
+  /** `(id, score)` for every document matching ≥1 query term.
+    *
+    * The document frequency is a COUNT WINDOW over tf's term exchange —
+    * the tfidfTopTerms posture: a tf⋈df self-join would make Spark
+    * replay the whole corpus explode a second time (exchange reuse does
+    * NOT fire across those consumers — verified on the executed plan),
+    * while the window derives df on the same partitioning the join
+    * would have needed. The corpus is scanned exactly twice: once for
+    * tf (term-filtered AT the scan, so only matching docs explode into
+    * the exchange), once for the (N, avgdl) scalars. */
   private def scorePerDoc(df: DataFrame, idCol: String, textCol: String,
                           terms: Seq[String], k1: Double,
                           b: Double): DataFrame = {
@@ -86,8 +96,10 @@ object Retrieval {
       .filter(col("w").isin(terms: _*))
       .groupBy(col("id"), col("dl"), col("w"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dft = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dft), "w").crossJoin(broadcast(stats))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("w")))
+      .cast("double"))
+    withDf.crossJoin(broadcast(stats))
       .groupBy(col("id"))
       .agg(round(sum(contribution(k1, b)), 6).as("score"))
   }
@@ -118,9 +130,12 @@ object Retrieval {
       .filter(col("w").isin(union: _*))
       .groupBy(col("id"), col("dl"), col("w"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dft = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
-    val scored = tf.join(broadcast(qterms), "w")
-      .join(broadcast(dft), "w").crossJoin(broadcast(stats))
+    // df via the count window on tf's term exchange — see scorePerDoc
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("w")))
+      .cast("double"))
+    val scored = withDf.join(broadcast(qterms), "w")
+      .crossJoin(broadcast(stats))
       .groupBy(col("qid"), col("id"))
       .agg(round(sum(contribution(k1, b)), 6).as("score"))
     import graft.functions.TopKF

@@ -92,11 +92,13 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((5L, 1L), (9L, 2L), (3L, 3L), (7L, 4L)))
   }
 
-  test("bm25 plan: bounded-heap aggregate, no window, no cartesian") {
+  test("bm25 plan: bounded-heap ranking (no row_number), no cartesian") {
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text",
       Seq("spark", "window"), 10).queryExecution.executedPlan.toString
     assert(plan.contains("topk_by_score"), "top-k must be the heap aggregate")
-    assert(!plan.contains("Window"), "no window over scored docs")
+    // the only window is the df count on tf's term exchange — ranking
+    // itself never goes through a row_number window
+    assert(!plan.contains("row_number"), "ranks come from the heap")
     assert(!plan.contains("CartesianProduct"), "scalar stats must broadcast")
   }
 
