@@ -2091,6 +2091,16 @@ object SparkEntry {
       llm.Bpe.decode(
         llm.Unigram.segment(docs, "doc_id", "text", vocab), "id", "pieces")
     }),
+    // BYTE-level unigram round trip: decodeByte ∘ segmentByte = the RAW
+    // text identity for any vocab — strictly harder than the char
+    // path's normText law, the same bar the byte-BPE row meets
+    "unigram_byte_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, _) = llm.Unigram.trainByte(docs, "text", vocabSize = 96,
+        maxPieceLen = 8, seedSize = 192, iters = 2)
+      llm.Bpe.decodeByte(
+        llm.Unigram.segmentByte(docs, "doc_id", "text", vocab), "id", "pieces")
+    }),
     // the DFL front door: frozen piece table bound as a dataset var,
     // served row-locally, decoded back — the same law through the stage
     "dfl_unigram_roundtrip" -> ((s, dir) => {
@@ -2114,6 +2124,15 @@ object SparkEntry {
       DflFrame.pipeline(
         t(s, dir, "documents").select(col("doc_id"), htmlWrapped.as("h")),
         "map(@, '{doc_id: @doc_id, clean: htmlText(@h)}')")),
+    // per-script letter shares over a planted multi-script suffix (the
+    // ASCII corpus alone would make every share trivially 1.0) — both
+    // engines evaluate one formula over one input
+    "script_shares" -> ((s, dir) =>
+      llm.TextAnalysis.scriptShares(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" привет мир 中文字 مرحبا بكم γλώσσα")).as("text")),
+        "doc_id", "text").withColumnRenamed("id", "doc_id")),
     // C4-style corpus-wide line dedup: first occurrence survives, docs
     // re-assemble from surviving lines; the planted footer line must
     // scrub everywhere but one doc, and naturally-repeated 8-token
@@ -2905,6 +2924,19 @@ object SparkEntry {
       """SELECT doc_id,
         |       trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & tail <ok>' AS clean
         |  FROM documents""".stripMargin,
+    "script_shares" ->
+      """WITH w AS (
+        |  SELECT doc_id, text || ' привет мир 中文字 مرحبا بكم γλώσσα' AS t
+        |    FROM documents),
+        |n AS (SELECT doc_id, t,
+        |             len(regexp_extract_all(t, '\p{L}')) AS nl FROM w)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_letters,
+        |       round(len(regexp_extract_all(t, '[\p{Latin}]')) * 1.0 / greatest(nl, 1), 6) AS latin_share,
+        |       round(len(regexp_extract_all(t, '[\p{Cyrillic}]')) * 1.0 / greatest(nl, 1), 6) AS cyrillic_share,
+        |       round(len(regexp_extract_all(t, '[\p{Han}]')) * 1.0 / greatest(nl, 1), 6) AS han_share,
+        |       round(len(regexp_extract_all(t, '[\p{Arabic}]')) * 1.0 / greatest(nl, 1), 6) AS arabic_share,
+        |       round(len(regexp_extract_all(t, '[\p{Greek}]')) * 1.0 / greatest(nl, 1), 6) AS greek_share
+        |  FROM n""".stripMargin,
     "line_dedup" -> lineDedupSql("doc_id"),
     "dfl_line_dedup" -> lineDedupSql("id"),
     // unigram-LM tokenizer family
@@ -2923,6 +2955,9 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
         |  FROM documents""".stripMargin,
+    // byte-level law: identity on the raw text
+    "unigram_byte_roundtrip" ->
+      "SELECT doc_id AS id, text AS decoded FROM documents",
     // the round-trip law: decode ∘ segment = normalize, merge-table-free
     "bpe_decode" ->
       """SELECT doc_id AS id,

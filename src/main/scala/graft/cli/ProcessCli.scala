@@ -25,6 +25,7 @@ import graft.streaming.StreamRunner
   *     [--stream-sessions "key=K;ts=T;gap=G;watermark=W;value=V"]
   *     [--stream-dsir "model=URI;min=X[;id=COL][;text=COL][;buckets=B][;seed=S]"]
   *     [--stream-cdc-ref "ref=URI[;text=COL][;refText=COL][;max=N]"]
+  *     [--stream-line-ref "ref=URI[;text=COL][;refText=COL][;sep=S]"]
   */
 object ProcessCli {
 
@@ -50,6 +51,7 @@ object ProcessCli {
       streamSessions: String = "",
       streamDsir: String = "",
       streamCdcRef: String = "",
+      streamLineRef: String = "",
       datasetVars: Map[String, String] = Map.empty,
       outputClusterBy: String = "",
       outputZorderBy: String = "",
@@ -77,6 +79,16 @@ object ProcessCli {
       kv.take(j).trim -> kv.drop(j + 1).trim
     }.toMap
     require(m.contains("ref"), "--stream-cdc-ref: missing ref")
+    m
+  }
+
+  private[cli] def parseLineRefSpec(s: String): Map[String, String] = {
+    val m = s.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val j = kv.indexOf('=')
+      require(j > 0, s"--stream-line-ref: malformed pair '$kv'")
+      kv.take(j).trim -> kv.drop(j + 1).trim
+    }.toMap
+    require(m.contains("ref"), "--stream-line-ref: missing ref")
     m
   }
 
@@ -162,6 +174,10 @@ object ProcessCli {
         case "--stream-cdc-ref" =>
           val v = a.value(); parseCdcSpec(v) // validate eagerly
           c = c.copy(streamCdcRef = v)
+        // line-level boilerplate scrub vs a (batch-read) retained corpus
+        case "--stream-line-ref" =>
+          val v = a.value(); parseLineRefSpec(v) // validate eagerly
+          c = c.copy(streamLineRef = v)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -178,6 +194,9 @@ object ProcessCli {
     require(c.streamCdcRef.isEmpty || c.stream,
       "--stream-cdc-ref requires --stream (batch pipelines use the " +
         "cdcPairs(@, …) DFL stage instead)")
+    require(c.streamLineRef.isEmpty || c.stream,
+      "--stream-line-ref requires --stream (batch pipelines use the " +
+        "lineDedup(@, …) DFL stage instead)")
     c
   }
 
@@ -228,8 +247,19 @@ object ProcessCli {
             spec.getOrElse("refText", spec.getOrElse("text", "text")),
             spec.getOrElse("max", "0").toInt)
         }
+      val preLine: DataFrame => DataFrame =
+        if (c.streamLineRef.isEmpty) identity
+        else { s =>
+          val spec = parseLineRefSpec(c.streamLineRef)
+          val ref = DataStoreIO.read(spark, spec("ref"),
+            DataStoreIO.ReadOptions())
+          StreamRunner.streamingLineScrubAgainst(s,
+            spec.getOrElse("text", "text"), ref,
+            spec.getOrElse("refText", spec.getOrElse("text", "text")),
+            spec.getOrElse("sep", "\n"))
+        }
       val pre: DataFrame => DataFrame =
-        preDecontam.andThen(preCdc).andThen(preDsir)
+        preDecontam.andThen(preCdc).andThen(preLine).andThen(preDsir)
       val post: DataFrame => DataFrame =
         if (c.streamSessions.isEmpty) identity
         else { s =>

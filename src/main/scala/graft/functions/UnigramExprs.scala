@@ -100,11 +100,13 @@ final class UnigramLattice(val pieces: Array[String], val logps: Array[Double],
     else best(cp.length)
   }
 
-  /** Append the best segmentation's pieces to `out`, the word-final
-    * piece suffixed with `</w>` (the Bpe.decodeCol rendering, so the two
-    * tokenizer families share one decoder). Total: unknown single code
-    * points pass through at the OOV floor. */
-  def segmentWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
+  /** Append the best segmentation's pieces to `out`; with `marker` the
+    * word-final piece is suffixed `</w>` (the Bpe.decodeCol rendering,
+    * so the two tokenizer families share one decoder — byte-level mode
+    * passes false: boundaries are implicit in the mapped alphabet).
+    * Total: unknown single code points pass through at the OOV floor. */
+  def segmentWord(word: String, out: java.util.ArrayList[UTF8String],
+                  marker: Boolean = true): Unit = {
     if (word.isEmpty) return
     val cp = cps(word)
     val n = cp.length
@@ -121,7 +123,7 @@ final class UnigramLattice(val pieces: Array[String], val logps: Array[Double],
     while (j >= 0) {
       val piece = new String(cp, from, lens(j))
       out.add(UTF8String.fromString(
-        if (j == 0) piece + "</w>" else piece))
+        if (j == 0 && marker) piece + "</w>" else piece))
       from += lens(j)
       j -= 1
     }
@@ -192,14 +194,19 @@ final class UnigramLattice(val pieces: Array[String], val logps: Array[Double],
 
 object UnigramOps {
   /** Segment every word of a token array; null element → null (the
-    * BpeSegmentOps contract). */
-  def segmentAll(words: ArrayData, lat: UnigramLattice): ArrayData = {
+    * BpeSegmentOps contract). `byteLevel` maps each word through the
+    * GPT-2 byte alphabet first and emits no `</w>` marker (the
+    * BpeSegmentAll byte posture — decodeByteCol recovers raw bytes). */
+  def segmentAll(words: ArrayData, lat: UnigramLattice,
+                 byteLevel: Boolean): ArrayData = {
     val nw = words.numElements()
     val out = new java.util.ArrayList[UTF8String](nw * 4)
     var wi = 0
     while (wi < nw) {
       if (words.isNullAt(wi)) return null
-      lat.segmentWord(words.getUTF8String(wi).toString, out)
+      val raw = words.getUTF8String(wi).toString
+      if (byteLevel) lat.segmentWord(ByteCodec.map(raw), out, marker = false)
+      else lat.segmentWord(raw, out)
       wi += 1
     }
     new GenericArrayData(out.toArray)
@@ -229,7 +236,8 @@ object UnigramOps {
   * order, word-final piece `</w>`-suffixed. Row-local → streamable
   * frozen-model serving, the BpeSegmentAll posture. */
 case class UnigramSegmentAll(child: Expression, pieces: Seq[String],
-                             logps: Seq[Double], maxLen: Int)
+                             logps: Seq[Double], maxLen: Int,
+                             byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -246,7 +254,7 @@ case class UnigramSegmentAll(child: Expression, pieces: Seq[String],
     new UnigramLattice(pieces.toArray, logps.toArray, maxLen)
 
   override def nullSafeEval(input: Any): Any =
-    UnigramOps.segmentAll(input.asInstanceOf[ArrayData], lat)
+    UnigramOps.segmentAll(input.asInstanceOf[ArrayData], lat, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = ctx.addReferenceObj("unigramLattice", lat,
@@ -255,7 +263,7 @@ case class UnigramSegmentAll(child: Expression, pieces: Seq[String],
       val r = ctx.freshName("segmented")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $r =
-         |  graft.functions.UnigramOps.segmentAll($a, $l);
+         |  graft.functions.UnigramOps.segmentAll($a, $l, $byteLevel);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
@@ -352,9 +360,9 @@ case class UnigramExpected(child: Expression, pieces: Seq[String],
 
 object UnigramF {
   def segmentAll(tokens: Column, pieces: Seq[String], logps: Seq[Double],
-                 maxLen: Int): Column =
+                 maxLen: Int, byteLevel: Boolean = false): Column =
     Bridge.column(UnigramSegmentAll(Bridge.expression(tokens), pieces, logps,
-      maxLen))
+      maxLen, byteLevel))
 
   def score(word: Column, pieces: Seq[String], logps: Seq[Double],
             maxLen: Int): Column =

@@ -439,6 +439,28 @@ object TextAnalysis {
         sum(col("tf2")), 6).as("xent2"))
   }
 
+  /** Unicode-SCRIPT composition of a document's letters — the signal
+    * behind script-based corpus filtering (keep Latin, route Han to the
+    * zh pipeline, drop mixed-script spam): per-script letter shares over
+    * the total letter count. Row-local regexp counts (codegen'd, one
+    * scan); rounded 6 for oracle parity. Docs with no letters report
+    * zero shares. The script classes render as `\p{IsX}` in Java and
+    * `\p{X}` in RE2 — same character sets for these five majors. */
+  def scriptShares(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    val nLetters = regexp_count(c, lit("\\p{L}"))
+    def share(cls: String): Column =
+      round(regexp_count(c, lit(s"[\\p{Is$cls}]")).cast(DoubleType) /
+        greatest(nLetters, lit(1)).cast(DoubleType), 6)
+    df.select(col(idCol).as("id"), nLetters.cast("long").as("n_letters"),
+      share("Latin").as("latin_share"),
+      share("Cyrillic").as("cyrillic_share"),
+      share("Han").as("han_share"),
+      share("Arabic").as("arabic_share"),
+      share("Greek").as("greek_share"))
+  }
+
   /** HTML → text extraction (the first step of every web-corpus
     * pipeline): strip `<script>`/`<style>` elements WITH their content
     * (markup text is not content), drop comments, replace every

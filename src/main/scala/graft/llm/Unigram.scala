@@ -36,10 +36,16 @@ object Unigram {
     * word frequency. Input is vocabulary-sized; the explode is bounded
     * by len·maxPieceLen per word. Exact integer counts. */
   def seedCounts(df: DataFrame, textCol: String,
-                 maxPieceLen: Int = 8): DataFrame = {
+                 maxPieceLen: Int = 8): DataFrame =
+    seedCountsFromWords(Bpe.wordCounts(df, textCol), maxPieceLen)
+
+  /** [[seedCounts]] over an explicit (word, n) table — the byte-level
+    * path feeds mapped cover tokens through here. */
+  def seedCountsFromWords(words: DataFrame,
+                          maxPieceLen: Int = 8): DataFrame = {
     require(maxPieceLen >= 1,
       s"seedCounts: maxPieceLen must be >= 1, got $maxPieceLen")
-    Bpe.wordCounts(df, textCol)
+    words
       .select(col("word"), col("n"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
       .select(col("word"), col("n"), col("i"),
@@ -124,12 +130,31 @@ object Unigram {
     * guarantee the contract row checks). */
   def train(df: DataFrame, textCol: String, vocabSize: Int,
             maxPieceLen: Int = 8, seedSize: Int = 512,
-            iters: Int = 3): (Seq[Piece], Seq[Double]) = {
+            iters: Int = 3): (Seq[Piece], Seq[Double]) =
+    trainWords(Bpe.wordCounts(df, textCol), vocabSize, maxPieceLen,
+      seedSize, iters)
+
+  /** BYTE-LEVEL training: the word table is [[Bpe.wordCountsByte]]'s
+    * cover tokens mapped through the GPT-2 byte alphabet — pieces are
+    * mapped-byte strings, so segmentation is lossless on ANY input (the
+    * Bpe byteLevel posture; serving via [[segmentByte]]). The seed / EM
+    * / prune machinery is shared verbatim. */
+  def trainByte(df: DataFrame, textCol: String, vocabSize: Int,
+                maxPieceLen: Int = 8, seedSize: Int = 512,
+                iters: Int = 3): (Seq[Piece], Seq[Double]) =
+    trainWords(
+      Bpe.wordCountsByte(df, textCol).select(
+        graft.functions.ByteBpeF.byteMap(col("word")).as("word"), col("n")),
+      vocabSize, maxPieceLen, seedSize, iters)
+
+  private def trainWords(wordsIn: DataFrame, vocabSize: Int,
+                         maxPieceLen: Int, seedSize: Int,
+                         iters: Int): (Seq[Piece], Seq[Double]) = {
     require(vocabSize > 0, s"train: vocabSize must be positive, got $vocabSize")
     require(iters >= 1, s"train: iters must be >= 1, got $iters")
-    val words = Bpe.wordCounts(df, textCol).persist()
+    val words = wordsIn.persist()
     try {
-      val seeds = seedCounts(df, textCol, maxPieceLen)
+      val seeds = seedCountsFromWords(words, maxPieceLen)
       val multi = seeds.filter(length(col("piece")) >= 2)
         .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -166,6 +191,23 @@ object Unigram {
     val pieces = graft.functions.UnigramF.segmentAll(
       TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol))),
       vocab.map(_.piece), vocab.map(_.logp), maxPieceLen)
+    df.select(col(idCol).as("id"),
+      size(pieces).cast("long").as("n_pieces"),
+      array_join(pieces, " ").as("pieces"))
+  }
+
+  /** BYTE-LEVEL [[segment]]: cover tokens of the RAW text, each mapped
+    * to the byte alphabet and Viterbi-segmented (no `</w>` — boundaries
+    * are implicit; the space byte maps to 'Ġ', so the space-joined
+    * rendering is unambiguous and [[Bpe.decodeByteCol]] recovers the
+    * raw text LOSSLESSLY for any vocab — the identity round-trip law,
+    * strictly harder than the char path's normText law). Row-local →
+    * streamable. */
+  def segmentByte(df: DataFrame, idCol: String, textCol: String,
+                  vocab: Seq[Piece], maxPieceLen: Int = 8): DataFrame = {
+    val pieces = graft.functions.UnigramF.segmentAll(
+      Bpe.coverTokens(col(textCol)),
+      vocab.map(_.piece), vocab.map(_.logp), maxPieceLen, byteLevel = true)
     df.select(col(idCol).as("id"),
       size(pieces).cast("long").as("n_pieces"),
       array_join(pieces, " ").as("pieces"))

@@ -419,6 +419,52 @@ object StreamRunner {
     }
   }
 
+  /** Streaming LINE scrub against a RETAINED corpus: remove every line
+    * of a streamed document whose normalized form exists in the
+    * reference's line set — the C4 boilerplate scrub
+    * ([[graft.llm.TextAnalysis.dedupLines]]'s decision) applied to a
+    * live ingest, where the batch operator's whole-corpus first-
+    * occurrence rule cannot run. STATELESS and CONSERVATIVE like its
+    * ingest-filter siblings: the reference's 60-bit line identities
+    * build ONE bloom at plan time; the scrub itself is a single native
+    * row-local [[graft.functions.BloomScrubLines]] pass (no interpreted
+    * HOFs). A known boilerplate line never survives; a bloom false
+    * positive over-drops a line at the configured rate. Whitespace-only
+    * lines pass. An empty reference keeps every line.
+    *
+    * Returns the stream with `textCol` REPLACED by the scrubbed text
+    * plus `(n_lines, n_kept)` audit columns. */
+  def streamingLineScrubAgainst(stream: DataFrame, textCol: String,
+                                ref: DataFrame, refTextCol: String,
+                                sep: String = "\n",
+                                estRefLines: Long = 1L << 20,
+                                bitsPerItem: Int = 8): DataFrame = {
+    require(sep.nonEmpty, "streamingLineScrubAgainst: sep must be non-empty")
+    import org.apache.spark.sql.functions.{conv, explode, md5, split, substring}
+    import graft.llm.TextAnalysis.normText
+    val bloomBytes = ref
+      .select(explode(split(col(refTextCol),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(normText(col("line")).as("nrm"))
+      .filter(col("nrm") =!= "")
+      .select(conv(substring(md5(col("nrm")), 1, 15), 16, 10)
+        .cast("long").as("h")).distinct()
+      .agg(graft.functions.BloomFns.bloomAgg(col("h"),
+        estRefLines, estRefLines * bitsPerItem).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // a null bloom (empty reference) probes constant-false — kept rows
+    // come back verbatim, no special case
+    val bloomBcast = graft.functions.BloomFns.broadcastBloom(
+      stream.sparkSession, bloomBytes)
+    stream
+      .withColumn("__scrub", graft.functions.LineScrubF.bloomScrubLines(
+        col(textCol), sep, bloomBcast))
+      .withColumn(textCol, col("__scrub.clean_text"))
+      .withColumn("n_lines", col("__scrub.n_lines"))
+      .withColumn("n_kept", col("__scrub.n_kept"))
+      .drop("__scrub")
+  }
+
   /** Streaming IMAGE ingest dedup: drop stream rows whose perceptual
     * hash ([[graft.functions.ImageHash64]], dHash default) matches a
     * STATIC reference corpus's — the multimodal member of the ingest

@@ -1744,6 +1744,11 @@ class LlmSpec extends AnyFunSuite {
       assert(few13.select(graft.functions.UnigramF.expected(
         lit("the"), uniVocab.map(_._1), uniVocab.map(_._2), 8))
         .collect().length == 10)
+      // reference-bloom line scrub (native split/normalize/probe/rejoin;
+      // a null bloom probes constant-false — codegen path still compiles)
+      val lineBloom = graft.functions.BloomFns.broadcastBloom(spark, null)
+      assert(few13.select(graft.functions.LineScrubF.bloomScrubLines(
+        col("text"), "\n", lineBloom)).collect().length == 10)
     } finally {
       prevFactory.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
       prevFallback.fold(spark.conf.unset(fallback))(spark.conf.set(fallback, _))

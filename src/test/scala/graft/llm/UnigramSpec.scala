@@ -138,6 +138,32 @@ class UnigramSpec extends AnyFunSuite {
     assert(s == -1.5)
   }
 
+  test("byte-level round trip is the RAW-text identity on nasty inputs, any vocab") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, ""), (3L, "  padded  "),
+      (4L, "café naïve"), (5L, "emoji 😀 tail"), (6L, "tab\tand\nnewline"),
+    ).toDF("doc_id", "text")
+    // arbitrary vocab — the law is vocab-independent (pieces partition
+    // the mapped bytes, decode unmaps the concatenation)
+    val vocab = Seq(Unigram.Piece("He", -1.0), Unigram.Piece("ll", -1.25),
+      Unigram.Piece("Ġ", -0.5))
+    val got = Bpe.decodeByte(
+      Unigram.segmentByte(df, "doc_id", "text", vocab), "id", "pieces")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // and a TRAINED byte vocab serves the same law corpus-wide
+    val (tv, _) = Unigram.trainByte(docs.limit(50), "text", vocabSize = 64,
+      seedSize = 96, iters = 1)
+    val sample = docs.limit(50)
+    val got2 = Bpe.decodeByte(
+      Unigram.segmentByte(sample, "doc_id", "text", tv), "id", "pieces")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want2 = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == want2)
+  }
+
   test("guards are loud") {
     intercept[IllegalArgumentException](Unigram.seedCounts(docs, "text", 0))
     intercept[IllegalArgumentException](

@@ -160,6 +160,49 @@ class StreamParitySpec extends AnyFunSuite {
       "jsonl", "bm25(@, '@id', '@text', 'spark window', 5)"))
   }
 
+  test("streaming line scrub removes retained-corpus boilerplate lines, keeps fresh content") {
+    val ref = Seq(
+      (100L, "cookie banner accept all\nsome old article body"),
+      (101L, "site nav home about contact"),
+    ).toDF("id", "text")
+    val dir = Files.createTempDirectory("graft-linescrub").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"cookie banner  ACCEPT ALL\nfresh reporting here\nsite nav home about contact"}
+        |{"id":2,"text":"all new\n\ncontent"}""".stripMargin)
+    val got = StreamRunner.collectStream(
+      StreamRunner.streamingLineScrubAgainst(
+        StreamRunner.readStream(spark, dir, "jsonl"), "text", ref, "text"),
+      "append").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"))).toMap
+    // boilerplate drops under NORMALIZED matching (case/extra spaces);
+    // fresh lines survive verbatim
+    assert(got(1L) == (("fresh reporting here", 3L, 1L)), s"got $got")
+    // empty lines are exempt; untouched docs come back verbatim
+    assert(got(2L) == (("all new\n\ncontent", 3L, 3L)))
+    // empty reference = pass-through
+    val empty = ref.filter(col("id") < 0)
+    val got2 = StreamRunner.collectStream(
+      StreamRunner.streamingLineScrubAgainst(
+        StreamRunner.readStream(spark, dir, "jsonl"), "text", empty, "text"),
+      "append").collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("n_kept")).toMap
+    assert(got2 == Map(1L -> 3L, 2L -> 3L))
+    // CLI flag: eager validation + --stream requirement
+    intercept[IllegalArgumentException] {
+      graft.cli.ProcessCli.parseArgs(Array("--input-uri", "/tmp/x",
+        "--stream-line-ref", "ref=/tmp/r"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.cli.ProcessCli.parseArgs(Array("--input-uri", "/tmp/x", "--stream",
+        "--stream-line-ref", "garbage"))
+    }
+    val ok = graft.cli.ProcessCli.parseArgs(Array("--input-uri", "/tmp/x",
+      "--stream", "--stream-line-ref", "ref=/tmp/r;sep=|"))
+    assert(ok.streamLineRef == "ref=/tmp/r;sep=|")
+  }
+
   test("cdcChunks is streamable (row-local), batch-parity; cdcPairs/sourceFilter fenced") {
     val dir = Files.createTempDirectory("graft-cdcstream").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
