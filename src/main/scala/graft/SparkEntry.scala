@@ -118,6 +118,23 @@ object SparkEntry {
     2L -> Seq("merge", "sort", "stream"),
     3L -> Seq("vector", "hash"))
 
+  /** Memoized trained unigram vocabularies, keyed by (sfDir, params) —
+    * the plantedCliqueIndexDir convention: the SERVING rows
+    * (unigram_roundtrip / dfl_unigram_roundtrip / unigram_byte_roundtrip)
+    * measure segmentation+decode, not training; unigram_train stays
+    * unmemoized because training IS its measured operation. */
+  private val uniVocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[llm.Unigram.Piece]]()
+  private def memoUnigramVocab(docs: DataFrame, key: String,
+                               byteLevel: Boolean): Seq[llm.Unigram.Piece] =
+    uniVocabMemo.computeIfAbsent(key, _ =>
+      if (byteLevel)
+        llm.Unigram.trainByte(docs, "text", vocabSize = 96, maxPieceLen = 8,
+          seedSize = 192, iters = 2)._1
+      else
+        llm.Unigram.train(docs, "text", vocabSize = 96, maxPieceLen = 8,
+          seedSize = 192, iters = 2)._1)
+
   /** documents re-shaped into LINE-structured text (normalized tokens in
     * 8-token lines) with a shared boilerplate footer planted on every
     * doc_id % 5 == 0 — the corpus-wide duplicated line the C4-style
@@ -146,6 +163,14 @@ object SparkEntry {
       "<p class=\"main\">"),
     col("text"),
     lit(" &amp; tail &lt;ok&gt;</p>\n</body></html>"))
+
+  /** Block-structured HTML wrapper: each document's text as its own
+    * paragraph plus a shared boilerplate block — the construction whose
+    * extractHtmlBlocks result is closed-form AND feeds the line-dedup
+    * web-ingest composite. */
+  private val htmlBlockWrapped: org.apache.spark.sql.Column = concat(
+    lit("<article><p>"), col("text"),
+    lit("</p><aside><p>subscribe to our newsletter today</p></aside></article>"))
 
   /** events with `ts` normalized ONCE to an epoch-µs long `ts_us` —
     * the temporal operators all run integer µs arithmetic so Spark and
@@ -2086,8 +2111,7 @@ object SparkEntry {
     // — a hard value oracle over the whole corpus, like bpe_decode
     "unigram_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (vocab, _) = llm.Unigram.train(docs, "text", vocabSize = 96,
-        maxPieceLen = 8, seedSize = 192, iters = 2)
+      val vocab = memoUnigramVocab(docs, s"char|$dir", byteLevel = false)
       llm.Bpe.decode(
         llm.Unigram.segment(docs, "doc_id", "text", vocab), "id", "pieces")
     }),
@@ -2096,8 +2120,7 @@ object SparkEntry {
     // path's normText law, the same bar the byte-BPE row meets
     "unigram_byte_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (vocab, _) = llm.Unigram.trainByte(docs, "text", vocabSize = 96,
-        maxPieceLen = 8, seedSize = 192, iters = 2)
+      val vocab = memoUnigramVocab(docs, s"byte|$dir", byteLevel = true)
       llm.Bpe.decodeByte(
         llm.Unigram.segmentByte(docs, "doc_id", "text", vocab), "id", "pieces")
     }),
@@ -2105,8 +2128,7 @@ object SparkEntry {
     // served row-locally, decoded back — the same law through the stage
     "dfl_unigram_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (vocab, _) = llm.Unigram.train(docs, "text", vocabSize = 96,
-        maxPieceLen = 8, seedSize = 192, iters = 2)
+      val vocab = memoUnigramVocab(docs, s"char|$dir", byteLevel = false)
       val seg = DflFrame.pipeline(docs,
         "unigramSegment(@, '@doc_id', '@text', $vocab)",
         Map("vocab" -> llm.Unigram.vocabDf(s, vocab)))
@@ -2143,6 +2165,18 @@ object SparkEntry {
     "dfl_line_dedup" -> ((s, dir) =>
       DflFrame.pipeline(linedDocs(t(s, dir, "documents")),
         "lineDedup(@, '@doc_id', '@text')")),
+    // block-aware extraction: paragraph boundaries become newlines, so
+    // per-block boilerplate stays a separable line
+    "html_blocks" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        llm.TextAnalysis.extractHtmlBlocks(htmlBlockWrapped).as("blocks"))),
+    // the WEB-INGEST composite: block extraction → corpus-wide line
+    // dedup; the planted subscribe-block survives in exactly one doc
+    "pipeline_web_ingest" -> ((s, dir) =>
+      llm.TextAnalysis.dedupLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          llm.TextAnalysis.extractHtmlBlocks(htmlBlockWrapped).as("text")),
+        "doc_id", "text").withColumnRenamed("id", "doc_id")),
 
     "q2_join_agg" -> ((s, dir) => {
       // nation is a FIXED 25-row dim → always broadcast. supplier SCALES
@@ -2939,6 +2973,8 @@ object SparkEntry {
         |  FROM n""".stripMargin,
     "line_dedup" -> lineDedupSql("doc_id"),
     "dfl_line_dedup" -> lineDedupSql("id"),
+    "html_blocks" -> s"SELECT doc_id, text AS blocks FROM ($webSrcSql)",
+    "pipeline_web_ingest" -> lineDedupReplaySql(webSrcSql, "doc_id"),
     // unigram-LM tokenizer family
     "unigram_seed" ->
       llm.Unigram.seedSql("documents", "text", maxPieceLen = 8, k = 200),
@@ -3748,29 +3784,14 @@ object SparkEntry {
       |  JOIN n1w USING (w)
       |  CROSS JOIN nbt GROUP BY 1""".stripMargin
 
-  /** The lined-corpus construction + full line-dedup replay (DuckDB):
-    * mirrors [[linedDocs]] + TextAnalysis.dedupLines — same lines, same
+  /** Full line-dedup replay (DuckDB) over any `(doc_id, text)` source
+    * SELECT: mirrors TextAnalysis.dedupLines — same lines, same
     * normalization, same first-occurrence rule, same reassembly order.
     * DuckDB keeps the raw normalized strings where Spark keys on md5
     * (equality classes, not hash values, drive the decision). */
-  private def lineDedupSql(idAs: String): String =
-    s"""WITH base AS (
-       |  SELECT doc_id,
-       |         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
-       |    FROM documents),
-       |lined0 AS (
-       |  SELECT doc_id,
-       |         array_to_string(
-       |           [array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ')
-       |            FOR i IN generate_series(1, CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT))],
-       |           chr(10)) AS t
-       |    FROM base),
-       |src AS (
-       |  SELECT doc_id,
-       |         CASE WHEN doc_id % 5 = 0
-       |              THEN t || chr(10) || 'the shared boilerplate footer line'
-       |              ELSE t END AS text
-       |    FROM lined0),
+  private def lineDedupReplaySql(srcSql: String, idAs: String): String =
+    s"""WITH src AS (
+       |$srcSql),
        |l AS (SELECT doc_id, i AS idx, ln[i] AS line
        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM src) t,
        |        LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i) s),
@@ -3784,6 +3805,38 @@ object SparkEntry {
        |       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
        |       coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE kept), '') AS clean_text
        |  FROM r GROUP BY 1""".stripMargin
+
+  /** The lined-corpus source rendering (mirrors [[linedDocs]]). */
+  private val linedSrcSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 5 = 0
+      |            THEN t || chr(10) || 'the shared boilerplate footer line'
+      |            ELSE t END AS text
+      |  FROM (
+      |    SELECT doc_id,
+      |           array_to_string(
+      |             [array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ')
+      |              FOR i IN generate_series(1, CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT))],
+      |             chr(10)) AS t
+      |      FROM (
+      |        SELECT doc_id,
+      |               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |          FROM documents))""".stripMargin
+
+  private def lineDedupSql(idAs: String): String =
+    lineDedupReplaySql(linedSrcSql, idAs)
+
+  /** The block-extracted web-corpus source rendering: the CLOSED-FORM
+    * result of extractHtmlBlocks over [[htmlBlockWrapped]] — each doc's
+    * own paragraph plus the shared boilerplate block. */
+  private val webSrcSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN nt = '' THEN 'subscribe to our newsletter today'
+      |            ELSE nt || chr(10) || 'subscribe to our newsletter today'
+      |       END AS text
+      |  FROM (SELECT doc_id,
+      |               trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+      |          FROM documents)""".stripMargin
 
   private val decontamCleanSql: String =
     """WITH tok AS (SELECT doc_id,

@@ -490,6 +490,43 @@ object TextAnalysis {
     trim(graft.functions.CollapseWsF.collapseWs(decoded))
   }
 
+  /** BLOCK-aware HTML extraction: like [[extractHtmlText]] but
+    * block-closing tags (`</p> </div> </li> </h1..6> </tr> </article>
+    * </section> </aside> </ul> </ol> </table> </blockquote>` and `<br>`)
+    * become NEWLINES, so the document's paragraph structure survives —
+    * the rendering [[dedupLines]] needs to scrub per-block boilerplate
+    * (nav text, subscribe prompts) that whole-document extraction would
+    * fuse into one line. Inline tags become spaces; horizontal
+    * whitespace collapses per line; blank lines drop. Pure
+    * regexp_replace chain — row-local, codegen'd. */
+  def extractHtmlBlocks(c: Column): Column = {
+    import org.apache.spark.sql.functions.{replace => strReplace}
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</(p|div|li|h[1-6]|tr|article|section|aside|ul|ol|table|blockquote)>|<br\\s*/?>",
+      "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val decoded = strReplace(
+      strReplace(
+        strReplace(
+          strReplace(
+            strReplace(
+              strReplace(noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    // collapse horizontal whitespace per line, strip line-edge spaces,
+    // fold blank lines, trim the document edges — all regex, no HOFs
+    val hCollapsed = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    val edge = regexp_replace(hCollapsed, " ?\\n ?", "\n")
+    val folded = regexp_replace(edge, "\\n+", "\n")
+    trim(folded, " \n")
+  }
+
   /** Corpus-wide LINE-level exact dedup — the C4 move: a line whose
     * normalized form occurs anywhere else in the corpus survives only at
     * its FIRST occurrence (min (doc, line index) — deterministic, unlike

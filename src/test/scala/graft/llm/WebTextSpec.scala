@@ -29,6 +29,22 @@ class WebTextSpec extends AnyFunSuite {
     assert(extract("") == "")
   }
 
+  test("extractHtmlBlocks keeps paragraph boundaries as lines") {
+    def blocks(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextAnalysis.extractHtmlBlocks(col("h"))).head().getString(0)
+    assert(blocks("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(blocks("<div>a<br>b</div><ul><li>x</li><li>y</li></ul>")
+      == "a\nb\nx\ny")
+    // inline tags do NOT break blocks; blank blocks fold away
+    assert(blocks("<p>a <b>bold</b> word</p><p>  </p><p>tail</p>")
+      == "a bold word\ntail")
+    // script/style/comment content never becomes a line
+    assert(blocks("<p>keep</p><script>drop();</script><p>also</p>")
+      == "keep\nalso")
+    assert(blocks("") == "")
+  }
+
   test("dedupLines: first occurrence survives, docs reassemble in order, empties exempt") {
     val df = Seq(
       (1L, "alpha line\nshared footer\nbeta line"),
