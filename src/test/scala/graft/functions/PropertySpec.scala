@@ -113,4 +113,58 @@ class PropertySpec extends AnyFunSuite {
       got == (BigInt(hex.take(15), 16) % buckets).toInt
     })
   }
+
+  test("unigram lattice: segmentation is a PARTITION of the word for every vocab") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val wordGen = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      .flatMap(w => Gen.choose(0, 10).map(w.take))
+    val vocabGen = Gen.nonEmptyListOf(for {
+      p <- Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+      lp <- Gen.choose(-8.0, -0.1)
+    } yield (p, lp)).map(_.distinctBy(_._1))
+    holds(Prop.forAll(wordGen, vocabGen) { (w, vocab) =>
+      val lat = new UnigramLattice(vocab.map(_._1).toArray,
+        vocab.map(_._2).toArray, 4)
+      val out = new java.util.ArrayList[UTF8String]()
+      lat.segmentWord(w, out)
+      val pieces = (0 until out.size).map(out.get(_).toString)
+      // concatenating the pieces (</w> stripped from the last) is the word
+      val joined = pieces.mkString("").replace("</w>", "")
+      joined == w &&
+        (w.isEmpty || pieces.last.endsWith("</w>")) &&
+        (pieces.isEmpty || pieces.init.forall(!_.contains("</w>")))
+    }, n = 300)
+  }
+
+  test("unigram lattice: the Viterbi score is maximal over random alternative segmentations") {
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val vocabGen = Gen.nonEmptyListOf(for {
+      p <- Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+      lp <- Gen.choose(-8.0, -0.1)
+    } yield (p, lp)).map(l => (l ++ Seq(("a", -9.0), ("b", -9.0))).distinctBy(_._1))
+    holds(Prop.forAll(wordGen, vocabGen, Gen.long) { (w, vocab, seed) =>
+      val m = vocab.toMap
+      val lat = new UnigramLattice(vocab.map(_._1).toArray,
+        vocab.map(_._2).toArray, 3)
+      val best = lat.score(w)
+      // a random valid segmentation can never beat the DP
+      val rnd = new scala.util.Random(seed)
+      var i = 0
+      var alt = 0.0
+      var valid = true
+      while (i < w.length && valid) {
+        val lens = (1 to math.min(3, w.length - i))
+          .filter(l => m.contains(w.substring(i, i + l)))
+        if (lens.isEmpty) valid = false
+        else {
+          val l = lens(rnd.nextInt(lens.size))
+          alt += m(w.substring(i, i + l)); i += l
+        }
+      }
+      !valid || best >= alt - 1e-9
+    }, n = 300)
+  }
 }
