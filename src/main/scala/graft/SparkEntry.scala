@@ -2146,6 +2146,33 @@ object SparkEntry {
       DflFrame.pipeline(
         t(s, dir, "documents").select(col("doc_id"), htmlWrapped.as("h")),
         "map(@, '{doc_id: @doc_id, clean: htmlText(@h)}')")),
+    // mergeable HLL sketch table: per-type user sketches built in ONE
+    // raw scan, rolled up to the global distinct WITHOUT re-reading raw
+    // data; contract (the approx_distinct_users posture): every
+    // estimate within the sketch's error band of the exact count, and
+    // the merged global within a band of the directly-built one (exact
+    // equality is impossible by design: direct sketches carry the
+    // order-dependent HIP estimator, which a union must discard)
+    "sketch_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val perType = util.Sketches.hllBuild(ev, "event_type", "user_id")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+      val typeOk = perType.join(exact, "event_type")
+        .select((abs(util.Sketches.hllEstimate(col("sketch")) - col("exact"))
+          <= col("exact") * 0.03).as("ok"))
+        .agg(min(col("ok"))).head().getBoolean(0)
+      val merged = util.Sketches.hllRollup(perType, lit("all"))
+        .select(util.Sketches.hllEstimate(col("sketch"))).head().getLong(0)
+      val direct = util.Sketches.hllBuild(ev.withColumn("one", lit("all")),
+        "one", "user_id")
+        .select(util.Sketches.hllEstimate(col("sketch"))).head().getLong(0)
+      val exactAll = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+      Seq((typeOk, math.abs(merged - direct) <= math.max(2L, direct / 50),
+        math.abs(merged - exactAll) <= exactAll * 0.03))
+        .toDF("per_type_in_band", "merge_within_band", "global_in_band")
+    }),
     // per-script letter shares over a planted multi-script suffix (the
     // ASCII corpus alone would make every share trivially 1.0) — both
     // engines evaluate one formula over one input
@@ -2958,6 +2985,9 @@ object SparkEntry {
       """SELECT doc_id,
         |       trim(regexp_replace(text, '\s+', ' ', 'g')) || ' & tail <ok>' AS clean
         |  FROM documents""".stripMargin,
+    "sketch_rollup" ->
+      ("SELECT true AS per_type_in_band, true AS merge_within_band, " +
+        "true AS global_in_band"),
     "script_shares" ->
       """WITH w AS (
         |  SELECT doc_id, text || ' привет мир 中文字 مرحبا بكم γλώσσα' AS t

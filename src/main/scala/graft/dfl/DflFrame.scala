@@ -915,8 +915,8 @@ object DflFrame {
         // has no join; this is library surface (Spark's join at zero
         // cost), kept deliberately minimal — richer shapes (asof, range,
         // diff, dedupAgainst) have their own stages.
-        if (args.size < 4 || args.size > 5) throw new DflParseException(
-          "join takes (@, $right, leftKeyExpr, rightKeyExpr[, type])")
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "join takes (@, $right, leftKeyExpr, rightKeyExpr[, type[, hint]])")
         val joinType = if (args.size > 4) strArg(4) match {
           case "inner" => "inner"
           case "left"  => "left"
@@ -925,6 +925,16 @@ object DflFrame {
           case other => throw new DflParseException(
             s"unknown join type $other (inner|left|semi|anti)")
         } else "inner"
+        // optional arg 5: 'broadcast' forces the right (dataset-var) side
+        // to broadcast — the explicit dim-table lever when AQE's stats
+        // can't see that the bound table is small (e.g. behind a filter);
+        // 'shuffle' is the explicit no-hint spelling
+        val joinHint = if (args.size > 5) strArg(5) match {
+          case "broadcast" => true
+          case "shuffle" => false
+          case other => throw new DflParseException(
+            s"unknown join hint $other (broadcast|shuffle)")
+        } else false
         val rightSrc2 = dsArg(1)
         val leftK = df.withColumn("__gjk", subCol(2))
         val rightK0 = rightSrc2.withColumn("__gjk", ColumnCompiler.compile(
@@ -936,7 +946,8 @@ object DflFrame {
             if (leftK.columns.contains(c)) acc.withColumnRenamed(c, s"r_$c")
             else acc
           }
-        leftK.join(rightK, Seq("__gjk"), joinType).drop("__gjk")
+        leftK.join(if (joinHint) broadcast(rightK) else rightK,
+          Seq("__gjk"), joinType).drop("__gjk")
 
       case "freqItems" =>
         // `freqItems(@, '@col'[, capacity])` — Misra–Gries heavy-hitter

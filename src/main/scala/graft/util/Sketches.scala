@@ -1,0 +1,42 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count SKETCH TABLES (Spark's built-in Apache
+  * DataSketches HLL functions) — the pre-aggregation pattern that makes
+  * interactive roll-ups possible at 100 TB: scan the raw data ONCE into
+  * per-group sketches (a few KB each), persist that tiny table, and
+  * answer every later roll-up (any union of groups, the global total)
+  * by MERGING sketches — no second look at the raw corpus, ever.
+  * Distinct counts are the one aggregate that cannot roll up from
+  * per-group exact counts (distinct is not additive); the sketch's
+  * max-register merge is exactly what restores additivity.
+  *
+  * Merge is associative, commutative, and idempotent (register-wise
+  * max), so partial tables from different ingest days combine in any
+  * order — the property the spec pins. Estimates carry the standard
+  * HLL error (~1.04/√2^lgK ≈ 1.6% at the default lgK 12). */
+object Sketches {
+
+  /** One sketch per group: `(groupCol, sketch binary)`. One scan, one
+    * map-side-combined aggregation — the shuffle carries sketch
+    * partials, never item values. */
+  def hllBuild(df: DataFrame, groupCol: String, itemCol: String,
+               lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"hllBuild: lgK must be in [4,21], got $lgK")
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(itemCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Roll a sketch table up to coarser groups (or one row for the
+    * global total) WITHOUT touching raw data: `(newGroup, sketch)`. */
+  def hllRollup(sketches: DataFrame, newGroupCol: Column,
+                sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(newGroupCol.as("grp"))
+      .agg(hll_union_agg(col(sketchCol)).as("sketch"))
+
+  /** Distinct-count estimate of a sketch column. */
+  def hllEstimate(sketchCol: Column): Column =
+    hll_sketch_estimate(sketchCol)
+}

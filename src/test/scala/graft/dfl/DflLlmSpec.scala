@@ -103,6 +103,15 @@ class DflLlmSpec extends AnyFunSuite {
       "join(@, $r, '@v')", vars) }
     intercept[DflParseException] { DflFrame.pipeline(left,
       "join(@, $r, '@v', '@rid', 'outer')", vars) }
+    // the broadcast hint forces a BroadcastHashJoin on the bound side
+    // (the explicit dim-table lever when AQE can't see the var is small)
+    val hinted = DflFrame.pipeline(left,
+      "join(@, $r, '@v', '@rid', 'inner', 'broadcast')", vars)
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(hinted.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[DflParseException] { DflFrame.pipeline(left,
+      "join(@, $r, '@v', '@rid', 'inner', 'nested')", vars) }
   }
 
   test("dedupAgainst/dupPairsAgainst(@) match the cross-corpus Scala API") {
