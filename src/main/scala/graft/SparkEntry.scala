@@ -2173,6 +2173,19 @@ object SparkEntry {
         math.abs(merged - exactAll) <= exactAll * 0.03))
         .toDF("per_type_in_band", "merge_within_band", "global_in_band")
     }),
+    // Luhn-validated card scrub: the checksum-passing planted PAN
+    // (spaced 4-4-4-4) redacts, the one-digit-off neighbor survives —
+    // the false-positive regression a regex-only scrubber cannot make
+    "pii_cc_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.ScrubCcF.scrubCc(concat(col("text"),
+          lit(" card 4111 1111 1111 1111 ok 4111111111111112 end")))
+          .as("clean"))),
+    "dfl_pii_cc_scrub" -> ((s, dir) =>
+      DflFrame.pipeline(
+        t(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+          lit(" card 4111 1111 1111 1111 ok 4111111111111112 end")).as("t")),
+        "map(@, '{doc_id: @doc_id, clean: scrubCc(@t)}')")),
     // per-script letter shares over a planted multi-script suffix (the
     // ASCII corpus alone would make every share trivially 1.0) — both
     // engines evaluate one formula over one input
@@ -2988,6 +3001,14 @@ object SparkEntry {
     "sketch_rollup" ->
       ("SELECT true AS per_type_in_band, true AS merge_within_band, " +
         "true AS global_in_band"),
+    // closed form: the Luhn-valid PAN redacts whole, the invalid
+    // neighbor passes through untouched
+    "pii_cc_scrub" ->
+      ("SELECT doc_id, text || ' card <CC> ok 4111111111111112 end' " +
+        "AS clean FROM documents"),
+    "dfl_pii_cc_scrub" ->
+      ("SELECT doc_id, text || ' card <CC> ok 4111111111111112 end' " +
+        "AS clean FROM documents"),
     "script_shares" ->
       """WITH w AS (
         |  SELECT doc_id, text || ' привет мир 中文字 مرحبا بكم γλώσσα' AS t

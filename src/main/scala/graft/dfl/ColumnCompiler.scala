@@ -369,6 +369,7 @@ object Functions {
     "intersects" -> "(a, b)", "jsonGet" -> "(s, key)",
     "deflateRatio" -> "(s)",
     "htmlText" -> "(s)",
+    "scrubCc" -> "(s)",
   )
 
   def apply(name: String, args: List[Node], ctx: Ctx): Column = {
@@ -411,6 +412,9 @@ object Functions {
       case "deflateRatio" => graft.functions.DeflateF.deflateRatio(a(0))
       // extension: HTML → text extraction (row-local regex chain)
       case "htmlText" => graft.llm.TextAnalysis.extractHtmlText(a(0))
+      // extension: Luhn-validated card-number redaction (native — a
+      // checksum is not expressible in the regex PII patterns)
+      case "scrubCc" => graft.functions.ScrubCcF.scrubCc(a(0))
       // extension: JSON field extraction for string-typed dynamic columns
       // (the reference's schema-less records keep ragged keys; our typed
       // analogue is a JSON string column, SURVEY.md §1.5)

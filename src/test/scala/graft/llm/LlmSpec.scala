@@ -1749,6 +1749,9 @@ class LlmSpec extends AnyFunSuite {
       val lineBloom = graft.functions.BloomFns.broadcastBloom(spark, null)
       assert(few13.select(graft.functions.LineScrubF.bloomScrubLines(
         col("text"), "\n", lineBloom)).collect().length == 10)
+      // Luhn card scrub
+      assert(few13.select(graft.functions.ScrubCcF.scrubCc(col("text")))
+        .collect().length == 10)
     } finally {
       prevFactory.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
       prevFallback.fold(spark.conf.unset(fallback))(spark.conf.set(fallback, _))

@@ -76,6 +76,41 @@ class WebTextSpec extends AnyFunSuite {
       TextAnalysis.dedupLines(df, "doc_id", "text", sep = ""))
   }
 
+  test("scrubCc redacts only Luhn-valid card shapes") {
+    def scrub(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.ScrubCcF.scrubCc(col("t"))).head().getString(0)
+    // valid PANs in the common formats
+    assert(scrub("pay 4111111111111111 now") == "pay <CC> now")
+    assert(scrub("pay 4111 1111 1111 1111 now") == "pay <CC> now")
+    assert(scrub("pay 4111-1111-1111-1111 now") == "pay <CC> now")
+    // checksum failure → untouched (the regex-only false positive)
+    assert(scrub("id 4111111111111112 x") == "id 4111111111111112 x")
+    // wrong lengths → untouched
+    assert(scrub("z 411111111111 z") == "z 411111111111 z")          // 12
+    assert(scrub("z 41111111111111111111 z") == "z 41111111111111111111 z") // 20
+    // a double separator breaks the run before it
+    assert(scrub("4111111111111111  2") == "<CC>  2")
+    assert(scrub("4111 1111  1111 1111") == "4111 1111  1111 1111")
+    // trailing separator is not part of the run
+    assert(scrub("4111111111111111-") == "<CC>-")
+    // two cards in one line; text around digits preserved exactly
+    assert(scrub("a 4111111111111111 b 5500005555555559 c")
+      == "a <CC> b <CC> c")
+    // Luhn reference cross-check on random digit strings
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val n = 13 + rnd.nextInt(7)
+      val ds = Array.fill(n)(rnd.nextInt(10))
+      val sum = ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      val s = ds.mkString
+      val expected = if (sum % 10 == 0) "<CC>" else s
+      assert(scrub(s"q $s q") == s"q $expected q", s"n=$n s=$s")
+    }
+  }
+
   test("dedupLines is invariant to input partitioning") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lined = docs.select(col("doc_id"),
