@@ -146,6 +146,81 @@ object Retrieval {
         (col("r") + 1).cast("long").as("rnk"))
   }
 
+  /** Build a persistent BM25 INVERTED INDEX — the lexical twin of the
+    * ANN index lifecycle: pay the corpus scan once at build time, then
+    * serve every query from partition-pruned posting reads with NO
+    * corpus access at all. Layout under `indexDir`:
+    *
+    *   - `postings/` — `(id, dl, w, tf)` parquet partitioned by
+    *     `pband = pmod(xxhash64(w), pbands)`: a query touches only its
+    *     terms' bands (≤ |terms| of `pbands` partitions — the LSH
+    *     pband posture; partitioning by raw term would explode the
+    *     partition count at web vocabulary sizes),
+    *   - `df/` — `(w, df)` under the same banding,
+    *   - `stats/` — one row `(n, avgdl, pbands)` (self-describing).
+    *
+    * Committed through the shared rename-aside [[Similarity.stagedCommit]]
+    * (a crashed build can never leave a half-written dir a reader would
+    * trust). Probe answers are value-identical to [[bm25TopK]] on the
+    * same corpus — the contract the oracle row checks. */
+  def bm25Build(df: DataFrame, idCol: String, textCol: String,
+                indexDir: String, pbands: Int = 64): Unit = {
+    require(pbands > 0, s"bm25Build: pbands must be positive, got $pbands")
+    val spark = df.sparkSession
+    val base = prepared(df, idCol, textCol)
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl")).withColumn("pbands", lit(pbands))
+    val tf = base
+      .select(col("id"), col("dl"), explode(col("__toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("pband",
+        pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
+    Similarity.stagedCommit(spark, indexDir) { staging =>
+      tf.write.mode("overwrite").partitionBy("pband")
+        .parquet(s"$staging/postings")
+      tf.groupBy(col("w"), col("pband"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
+      stats.write.mode("overwrite").parquet(s"$staging/stats")
+    }
+  }
+
+  /** BM25 top-k served FROM a [[bm25Build]] index: `(id, score, rnk)`,
+    * value-identical to [[bm25TopK]] over the indexed corpus. The
+    * postings/df reads prune to the query terms' hash bands (partition
+    * pruning — spec-asserted) and then filter to the exact terms; the
+    * corpus itself is never touched. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, terms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed: empty query")
+    require(k > 0, s"bm25TopKIndexed: k must be positive, got $k")
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val (n, avgdl, pbands) = (st.getDouble(0), st.getDouble(1), st.getInt(2))
+    val termList = terms.distinct
+    import spark.implicits._
+    // the terms' bands via the SAME expression the build used (a tiny
+    // local job — never trust a reimplementation of the hash)
+    val bands = termList.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    def pruned(path: String) = spark.read.parquet(path)
+      .filter(col("pband").isin(bands: _*) && col("w").isin(termList: _*))
+    val dft = pruned(s"$indexDir/df").select(col("w"), col("df"))
+    val scored = pruned(s"$indexDir/postings")
+      .join(broadcast(dft), "w")
+      .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+      .groupBy(col("id"))
+      .agg(round(sum(contribution(k1, b)), 6).as("score"))
+    import graft.functions.TopKF
+    scored.agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("hit.id").as("id"), col("hit.score").as("score"),
+        (col("r") + 1).cast("long").as("rnk"))
+  }
+
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. SIGIR'09):
     * each input frame holds one run's `(id, rnk)` (1-based); the fused
     * score is `Σ_runs 1/(c + rnk)` over the runs where the id appears,

@@ -63,6 +63,26 @@ object ScaleCheck {
       // chunk is duplicated so the rebuild drops everything — time must
       // stay linear, never text-shuffle-bound
       time("cdc_scrub")(graft.llm.Cdc.scrubDupChunks(big, "doc_id", "text").count())
+      // BM25: the term-filtered explode shrinks the aggregation exchange
+      // to matching docs only and df rides that same exchange as a count
+      // window — time must grow ~linearly in mult, output capped at k
+      time("bm25_topk")(graft.llm.Retrieval.bm25TopK(big, "doc_id", "text",
+        Seq("spark", "stream", "window"), 10).count())
+      // line dedup: two lines per doc, the footer duplicated CORPUS-wide
+      // (one group of size 2·mult·base) and every doc line re-planted
+      // mult× — the keep decision is one line-keyed aggregation + join,
+      // so time must track line COUNT (linear), never line pairs
+      val linedBig = big.select(col("doc_id"),
+        concat(col("text"),
+          lit("\nall rights reserved by the original author")).as("text"))
+      time("line_dedup")(graft.llm.TextAnalysis.dedupLines(
+        linedBig, "doc_id", "text").count())
+      // unigram training is vocabulary-bounded: the word TABLE is
+      // mult-invariant (copies add count, not types), so seed + EM time
+      // must stay near-flat while the one corpus aggregation scales
+      time("unigram_train")(graft.llm.Unigram.train(big, "text",
+        vocabSize = 96, maxPieceLen = 8, seedSize = 192,
+        iters = 1)._1.size.toLong)
       // decontamination: FIXED benchmark (the base corpus's %23 slice)
       // against the mult× corpus. One broadcast-join scan — time must
       // grow ~linearly; hits grow with mult (every copy shares the same

@@ -102,6 +102,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "scalar stats must broadcast")
   }
 
+  test("bm25 index: probe equals direct scan; posting reads are partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString + "/idx"
+    Retrieval.bm25Build(docs, "doc_id", "text", dir, pbands = 16)
+    Seq(Seq("spark", "window"), Seq("merge", "sort", "stream")).foreach { terms =>
+      val direct = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val probed = Retrieval.bm25TopKIndexed(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(probed == direct, s"terms $terms: index diverges from scan")
+    }
+    // the postings scan prunes to the query terms' hash bands
+    val plan = Retrieval.bm25TopKIndexed(spark, dir, Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pband"),
+      s"expected pband partition pruning in:\n$plan")
+    // rebuild over a live dir is the staged-commit path: still correct
+    Retrieval.bm25Build(docs.limit(100), "doc_id", "text", dir, pbands = 16)
+    val small = Retrieval.bm25TopKIndexed(spark, dir, Seq("spark"), 5).collect()
+    val smallDirect = Retrieval.bm25TopK(docs.limit(100), "doc_id", "text",
+      Seq("spark"), 5).collect()
+    assert(small.map(_.getLong(0)).toSeq == smallDirect.map(_.getLong(0)).toSeq)
+  }
+
   test("bm25 rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(tiny, "doc_id", "text", Seq.empty, 5)
