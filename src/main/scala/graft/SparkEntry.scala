@@ -1319,6 +1319,59 @@ object SparkEntry {
         Map("merges" -> merges))
       llm.Bpe.decodeByte(seg, "id", "pieces")
     }),
+    // WordPiece (Wu et al. 1609.08144; the BERT tokenizer): merges
+    // ranked by likelihood gain freq(l,r)/(freq(l)·freq(r)) instead of
+    // raw frequency — the planted textbook corpus (low:5 lower:2
+    // newest:6 widest:3) must learn the hand-computed sequence
+    // (##i,##d,3)(w,##id,3)(l,##o,7)(##s,##t,9), which genuinely
+    // DIFFERS from BPE's frequency ranking on the same corpus, and
+    // greedy longest-match with the learned vocab segments the held-out
+    // "lowest" to lo ##w ##e ##st; the corpus learn exercises the
+    // distributed loop (word table never leaves the cluster)
+    "wp_learn" -> ((s, dir) => {
+      import s.implicits._
+      val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val (m, v) = llm.WordPiece.learnVocab(planted, "text", 4)
+      val exact = m.map(x => (x.left, x.right, x.merged, x.freq)) == Seq(
+        ("##i", "##d", "##id", 3L), ("w", "##id", "wid", 3L),
+        ("l", "##o", "lo", 7L), ("##s", "##t", "##st", 9L))
+      val heldOut = llm.WordPiece.segment(
+        Seq((1L, "lowest")).toDF("doc_id", "text"), "doc_id", "text", v)
+        .head().getString(2) == "lo ##w ##e ##st"
+      val (cm, _) = llm.WordPiece.learnVocab(t(s, dir, "documents"), "text", 8)
+      val corpusOk = cm.size == 8 && cm.map(_.merged).distinct.size == 8
+      Seq((exact, heldOut, corpusOk))
+        .toDF("merges_exact", "heldout_greedy", "corpus_ok")
+    }),
+    // the WordPiece round-trip law: decode ∘ segment = normText for any
+    // vocabulary whose base layer covers the corpus (learnVocab's does
+    // by construction — every corpus character ships in both position
+    // classes it occurs in), greedy never UNKs on the training corpus,
+    // and ` ##` gluing restores exactly the normalized words — a hard
+    // corpus-wide VALUE oracle, the bpe_decode posture
+    "wp_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = llm.WordPiece.learnVocab(docs, "text", 8)
+      llm.WordPiece.decode(
+        llm.WordPiece.segment(docs, "doc_id", "text", vocab), "id", "pieces")
+    }),
+    // the same law driven THROUGH the DFL stage (the product front
+    // door), with a FIXED planted vocabulary bound as a dataset var —
+    // base chars of the corpus come from the corpus itself at plan
+    // build, so the stage wiring (vocab collect, unk default, column
+    // naming) is what's under test
+    "dfl_wp_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = llm.WordPiece.learnVocab(docs, "text", 4)
+      val vocabDf = vocab.toDF("piece")
+      val seg = DflFrame.pipeline(docs,
+        "wordpieceSegment(@, '@doc_id', '@text', $vocab)",
+        Map("vocab" -> vocabDf))
+      llm.WordPiece.decode(seg, "id", "pieces")
+    }),
     // Matryoshka-style truncated-dimension serving: exact top-k over the
     // FIRST 16 of 64 embedding dims — the cheap-first-stage retrieval an
     // MRL-trained embedding enables; exact, so the oracle is the sliced
@@ -2184,6 +2237,53 @@ object SparkEntry {
         math.abs(merged - exactAll) <= exactAll * 0.03))
         .toDF("per_type_in_band", "merge_within_band", "global_in_band")
     }),
+    // mergeable QUANTILE sketch table (the HLL pattern for the other
+    // non-additive aggregate): per-language doc-length sketches built
+    // in ONE raw scan, rolled up to the global percentiles WITHOUT
+    // re-reading raw data. k exceeds every group (documents ≤ 5k rows
+    // at sf0.1), so no compaction fires and the sketch IS the sorted
+    // data — quantiles are exactly the ceil(q·n)-th order statistic,
+    // which the oracle replays rank-for-rank, merged 'all' row included
+    "qsketch_doclen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val per = util.Sketches.qsBuild(docs, "lang", "n_chars", k = 8192)
+      def out(df: DataFrame, grp: org.apache.spark.sql.Column) = df.select(
+        grp.as("grp"),
+        util.Sketches.qsCount(col("sketch")).as("n"),
+        util.Sketches.qsQuantile(col("sketch"), 0.25).as("p25"),
+        util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50"),
+        util.Sketches.qsQuantile(col("sketch"), 0.9).as("p90"))
+      out(per, col("lang"))
+        .unionByName(out(util.Sketches.qsRollup(per, lit("all")), col("grp")))
+    }),
+    // compacted-regime contract (the sketch_rollup posture): orders'
+    // totalprice at realistic k=512 — total weight stays EXACT through
+    // every compaction and merge (Σ per-group n == rollup n == row
+    // count), and the rolled-up global p50/p90 land within 2% TRUE
+    // RANK of their targets (the sketch's error currency is rank, not
+    // value)
+    "qsketch_contract" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      val total = ord.count()
+      val per = util.Sketches.qsBuild(ord, "o_orderstatus", "o_totalprice",
+        k = 512)
+      val perSum = per.agg(sum(util.Sketches.qsCount(col("sketch"))))
+        .head().getLong(0)
+      val rolled = util.Sketches.qsRollup(per, lit("all"))
+      val row = rolled.select(
+        util.Sketches.qsCount(col("sketch")),
+        util.Sketches.qsQuantile(col("sketch"), 0.5),
+        util.Sketches.qsQuantile(col("sketch"), 0.9)).head()
+      val (rolledN, p50, p90) = (row.getLong(0), row.getDouble(1),
+        row.getDouble(2))
+      def trueRank(v: Double): Double =
+        ord.filter(col("o_totalprice") <= v).count().toDouble / total
+      Seq((perSum == total && rolledN == total,
+        math.abs(trueRank(p50) - 0.5) <= 0.02,
+        math.abs(trueRank(p90) - 0.9) <= 0.02))
+        .toDF("count_exact", "p50_rank_in_band", "p90_rank_in_band")
+    }),
     // Luhn-validated card scrub: the checksum-passing planted PAN
     // (spaced 4-4-4-4) redacts, the one-digit-off neighbor survives —
     // the false-positive regression a regex-only scrubber cannot make
@@ -3012,6 +3112,32 @@ object SparkEntry {
     "sketch_rollup" ->
       ("SELECT true AS per_type_in_band, true AS merge_within_band, " +
         "true AS global_in_band"),
+    // the uncompacted regime is exact: per-group AND merged-global
+    // quantiles are the ceil(q·n)-th order statistics, replayed
+    // rank-for-rank (percentile-disc lower semantics)
+    "qsketch_doclen" ->
+      """WITH ranked AS (
+        |  SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |    FROM documents),
+        |ranked_all AS (
+        |  SELECT 'all' AS grp, CAST(n_chars AS DOUBLE) AS x,
+        |         row_number() OVER (ORDER BY n_chars) AS rn,
+        |         count(*) OVER () AS n
+        |    FROM documents),
+        |u AS (SELECT * FROM ranked UNION ALL SELECT * FROM ranked_all)
+        |SELECT grp, n,
+        |       max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+        |                THEN x END) AS p25,
+        |       max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+        |                THEN x END) AS p50,
+        |       max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+        |                THEN x END) AS p90
+        |  FROM u GROUP BY grp, n""".stripMargin,
+    "qsketch_contract" ->
+      ("SELECT true AS count_exact, true AS p50_rank_in_band, " +
+        "true AS p90_rank_in_band"),
     // closed form: the Luhn-valid PAN redacts whole, the invalid
     // neighbor passes through untouched
     "pii_cc_scrub" ->
@@ -3064,6 +3190,17 @@ object SparkEntry {
     // the BYTE-level law is strictly harder: identity on the raw text
     "bpe_byte_roundtrip" ->
       "SELECT doc_id AS id, text AS decoded FROM documents",
+    "wp_learn" ->
+      "SELECT true AS merges_exact, true AS heldout_greedy, true AS corpus_ok",
+    // WordPiece round-trip law: decode ∘ segment = normalize
+    "wp_roundtrip" ->
+      """SELECT doc_id AS id,
+        |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
+        |  FROM documents""".stripMargin,
+    "dfl_wp_roundtrip" ->
+      """SELECT doc_id AS id,
+        |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
+        |  FROM documents""".stripMargin,
     "dfl_bpe_byte_roundtrip" ->
       "SELECT doc_id AS id, text AS decoded FROM documents",
     "bpe_byte_learn" -> "SELECT true AS merges_exact, true AS planted_segment",

@@ -108,7 +108,7 @@ object DflFrame {
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
-      "unigramSegment",
+      "unigramSegment", "wordpieceSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "lineDedup",
       // temporal extension stages (graft.temporal.Temporal)
@@ -1074,6 +1074,25 @@ object DflFrame {
         val bBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
         if (byteMode) graft.llm.Bpe.segmentByte(bBase, "__gid", "__gtext", mergeRows)
         else graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
+
+      case "wordpieceSegment" =>
+        // `wordpieceSegment(@, '@id', '@text', $vocab[, unk])` — greedy
+        // longest-match segmentation with a frozen WordPiece vocabulary
+        // bound as a dataset var ((piece) rows, `##` continuations
+        // included). Vocabulary-bounded collect at plan time (the
+        // broadcast-a-model shape, like bpeSegment's merge table);
+        // segmentation is one row-local native expression → STREAMABLE
+        // frozen-tokenizer serving.
+        if (args.size != 4 && args.size != 5) throw new DflParseException(
+          s"wordpieceSegment takes (@, idExpr, textExpr, $$vocab[, unk])")
+        val wpUnk = if (args.size > 4) strArg(4) else "[UNK]"
+        val wpVocab = dsArg(3).select(col("piece").cast("string"))
+          .collect().map(_.getString(0)).toSeq
+        if (wpVocab.isEmpty)
+          throw new DflParseException("wordpieceSegment: empty vocab table")
+        val wpBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2))
+        graft.llm.WordPiece.segment(wpBase, "__gid", "__gtext", wpVocab, wpUnk)
 
       case "unigramSegment" =>
         // `unigramSegment(@, '@id', '@text', $vocab[, maxPieceLen])` —

@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * array functions expresses it, and a UDF would break codegen. Runs
   * over the word-frequency table during training (vocabulary-sized) and
   * over exploded words at segmentation time. */
-case class MergeAdjacent(child: Expression, left: String, right: String)
+case class MergeAdjacent(child: Expression, left: String, right: String,
+                         mergedAs: Option[String] = None)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -35,7 +36,11 @@ case class MergeAdjacent(child: Expression, left: String, right: String)
 
   @transient private lazy val leftU = UTF8String.fromString(left)
   @transient private lazy val rightU = UTF8String.fromString(right)
-  @transient private lazy val mergedU = UTF8String.fromString(left + right)
+  // WordPiece merges replace (l, ##r) with l+r — the continuation
+  // prefix belongs to the POSITION, not the symbol — so the merged
+  // symbol is overridable; BPE's default stays plain concatenation.
+  @transient private lazy val mergedU =
+    UTF8String.fromString(mergedAs.getOrElse(left + right))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -266,6 +271,13 @@ object BpeSegmentOps {
 object MergeF {
   def mergeAdjacent(syms: Column, left: String, right: String): Column =
     Bridge.column(MergeAdjacent(Bridge.expression(syms), left, right))
+
+  /** [[mergeAdjacent]] with an explicit merged symbol — the WordPiece
+    * training pass, where merging (l, ##r) yields l+r. */
+  def mergeAdjacentAs(syms: Column, left: String, right: String,
+                      merged: String): Column =
+    Bridge.column(MergeAdjacent(Bridge.expression(syms), left, right,
+      Some(merged)))
 
   /** Full-table BPE segmentation of a word array (see [[BpeSegmentAll]]). */
   def bpeSegmentAll(words: Column, merges: Seq[(String, String)],

@@ -39,4 +39,37 @@ object Sketches {
   /** Distinct-count estimate of a sketch column. */
   def hllEstimate(sketchCol: Column): Column =
     hll_sketch_estimate(sketchCol)
+
+  // --- quantile sketch tables (graft.functions.QSketch) --------------
+  // The same table pattern for PERCENTILES, the other non-additive
+  // aggregate: per-group quantiles cannot roll up from per-group
+  // quantiles, but per-group quantile SKETCHES merge exactly (weight-
+  // preserving buffer union). One corpus scan → a (group, sketch)
+  // table → any later rollup's p50/p99 without re-reading the corpus.
+
+  /** One quantile sketch per group: `(groupCol, sketch binary)`. One
+    * scan, map-side combined; the shuffle carries ≤ k·levels doubles
+    * per partial, never rows. Exact while a group stays under `k` rows
+    * (the value-oracle regime); bounded rank error past it. */
+  def qsBuild(df: DataFrame, groupCol: String, valueCol: String,
+              k: Int = 512): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.QSketchF.quantileSketch(
+        col(valueCol).cast("double"), k).as("sketch"))
+
+  /** Roll a quantile-sketch table up to coarser groups WITHOUT
+    * touching raw data: `(grp, sketch)`. */
+  def qsRollup(sketches: DataFrame, newGroupCol: Column,
+               sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(newGroupCol.as("grp"))
+      .agg(graft.functions.QSketchF.quantileSketchMerge(col(sketchCol))
+        .as("sketch"))
+
+  /** q-quantile of a sketch column (percentile-disc lower semantics). */
+  def qsQuantile(sketchCol: Column, q: Double): Column =
+    graft.functions.QSketchF.qsketchQuantile(sketchCol, q)
+
+  /** Exact row count a sketch stands for (weight-preserving). */
+  def qsCount(sketchCol: Column): Column =
+    graft.functions.QSketchF.qsketchN(sketchCol)
 }
