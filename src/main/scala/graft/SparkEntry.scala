@@ -118,6 +118,19 @@ object SparkEntry {
     2L -> Seq("merge", "sort", "stream"),
     3L -> Seq("vector", "hash"))
 
+  /** MMR first stage in DuckDB: cosine top-20 for query vec 0 (the
+    * ann_topk rendering), embeddings cast DOUBLE[] for the pairwise
+    * penalty cosines — feeds [[llm.Retrieval.mmrSql]]. */
+  private val mmrCandSql: String =
+    """SELECT e.vec_id AS id,
+      |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6)
+      |         AS score,
+      |       CAST(e.embedding AS DOUBLE[]) AS embedding
+      |  FROM embeddings e,
+      |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= 20""".stripMargin
+
   /** Memoized trained unigram vocabularies, keyed by (sfDir, params) —
     * the plantedCliqueIndexDir convention: the SERVING rows
     * (unigram_roundtrip / dfl_unigram_roundtrip / unigram_byte_roundtrip)
@@ -2132,6 +2145,37 @@ object SparkEntry {
         .select("id", "rnk")
       llm.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
     }),
+    // MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) of a
+    // cosine top-20 first stage: pick 10 greedily by λ·rel −
+    // (1−λ)·max-cos-to-selected. The oracle UNROLLS the greedy pick by
+    // pick in SQL (same rounding, same tie order — Retrieval.mmrSql),
+    // so selection AND marginal scores check value-for-value. The
+    // 20-row candidate set broadcasts into the embedding join; the
+    // greedy runs in one bounded aggregate
+    "mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val cands = llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, 20)
+      val withVec = emb.select(col("vec_id").as("id"), col("embedding"))
+        .join(broadcast(cands), Seq("id"))
+      llm.Retrieval.mmrRerank(withVec, "id", "cos", "embedding",
+        k = 10, lambda = 0.7)
+    }),
+    // the same greedy THROUGH the DFL stage (candidates = the current
+    // dataset, the serving composition `annTopK | mmr`)
+    "dfl_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val cands = llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, 20)
+      val withVec = emb.select(col("vec_id").as("id"), col("embedding"))
+        .join(broadcast(cands), Seq("id"))
+      DflFrame.pipeline(withVec,
+        "mmr(@, '@id', '@cos', '@embedding', 10, 0.7)")
+    }),
 
     // ---- unigram-LM (SentencePiece-family) tokenizer ----
     // substring candidate seeding: exact integer counts, total tie order
@@ -3325,6 +3369,10 @@ object SparkEntry {
         Seq("spark", "stream", "window"), k = 20),
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("merge", "vector", "hash"), k = 20)), k = 10),
+    // MMR: the greedy unrolled pick-by-pick (Retrieval.mmrSql) over the
+    // same cosine-top-20 candidate set the Spark side built
+    "mmr_rerank" -> llm.Retrieval.mmrSql(mmrCandSql, k = 10, lambda = 0.7),
+    "dfl_mmr" -> llm.Retrieval.mmrSql(mmrCandSql, k = 10, lambda = 0.7),
     // hybrid: the lexical run is bm25Sql; the semantic run rebuilds the
     // hashEmbed vectors (dim 16, seed 7 — the hash_embed rendering) for
     // corpus AND query text in SQL, so the fused ranking is value-checked

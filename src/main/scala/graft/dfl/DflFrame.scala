@@ -110,7 +110,7 @@ object DflFrame {
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "unigramSegment", "wordpieceSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst", "bm25", "lineDedup",
+      "imageDedupAgainst", "bm25", "lineDedup", "mmr",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1074,6 +1074,22 @@ object DflFrame {
         val bBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
         if (byteMode) graft.llm.Bpe.segmentByte(bBase, "__gid", "__gtext", mergeRows)
         else graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
+
+      case "mmr" =>
+        // `mmr(@, '@id', '@score', '@vec', k[, lambda])` — MMR
+        // diversified re-ranking of the CURRENT dataset as the
+        // candidate pool (apply after a bm25/annTopK stage): pick k
+        // greedily by λ·score − (1−λ)·max-cosine-to-selected. One
+        // bounded aggregate over an already-top-k pool — see
+        // Retrieval.mmrRerank. Whole-dataset context → unstreamable.
+        if (args.size != 5 && args.size != 6) throw new DflParseException(
+          "mmr takes (@, idExpr, scoreExpr, vecExpr, k[, lambda])")
+        val mmrK = intArg(4)
+        val mmrLambda = if (args.size > 5) numArg(5) else 0.7
+        val mBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gscore", subCol(2)).withColumn("__gvec", subCol(3))
+        graft.llm.Retrieval.mmrRerank(mBase, "__gid", "__gscore", "__gvec",
+          mmrK, mmrLambda)
 
       case "wordpieceSegment" =>
         // `wordpieceSegment(@, '@id', '@text', $vocab[, unk])` — greedy

@@ -246,6 +246,85 @@ object Retrieval {
         (col("r") + 1).cast("long").as("rnk"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) of a
+    * candidate frame `(id, score, vec)` — the post-retrieval pass that
+    * trades relevance against redundancy: pick `k` greedily, each pick
+    * maximizing `λ·score − (1−λ)·max cos(·, selected)`. One bounded
+    * [[graft.functions.MmrSelectAgg]] aggregate — candidates are
+    * already a first-stage top-k, so the aggregate state is
+    * serving-sized; the greedy runs executor-side. Cosines and marginal
+    * scores round to 6 before any comparison, ties break id asc —
+    * engine-identical to [[mmrSql]]'s unrolled greedy. Returns
+    * `(id, score, mmr, rnk)` in pick order. */
+  def mmrRerank(candidates: DataFrame, idCol: String, scoreCol: String,
+                vecCol: String, k: Int, lambda: Double = 0.7,
+                maxCandidates: Int = 1024): DataFrame = {
+    import graft.functions.MmrF
+    candidates
+      .agg(MmrF.mmrSelect(col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(vecCol), k, lambda,
+        maxCandidates).as("picks"))
+      .select(posexplode(col("picks")).as(Seq("r", "p")))
+      .select(col("p.id").as("id"), col("p.score").as("score"),
+        col("p.mmr").as("mmr"), (col("r") + 1).cast("long").as("rnk"))
+  }
+
+  /** [[mmrRerank]] for a BATCH of queries: `(qid, id, score, vec)` in,
+    * `(qid, id, score, mmr, rnk)` out — one groupBy runs every query's
+    * greedy pass in parallel executor-side; the shuffle carries at most
+    * `maxCandidates` candidate rows per query. */
+  def mmrRerankBatch(candidates: DataFrame, qidCol: String, idCol: String,
+                     scoreCol: String, vecCol: String, k: Int,
+                     lambda: Double = 0.7,
+                     maxCandidates: Int = 1024): DataFrame = {
+    import graft.functions.MmrF
+    candidates.groupBy(col(qidCol).as("qid"))
+      .agg(MmrF.mmrSelect(col(idCol).cast("long"),
+        col(scoreCol).cast("double"), col(vecCol), k, lambda,
+        maxCandidates).as("picks"))
+      .select(col("qid"), posexplode(col("picks")).as(Seq("r", "p")))
+      .select(col("qid"), col("p.id").as("id"), col("p.score").as("score"),
+        col("p.mmr").as("mmr"), (col("r") + 1).cast("long").as("rnk"))
+  }
+
+  /** DuckDB rendering of [[mmrRerank]]: the greedy selection unrolled
+    * pick-by-pick over `candSql` (which must select
+    * `(id BIGINT, score DOUBLE, embedding DOUBLE[])`) — each step
+    * excludes the already-selected ids, penalizes by the max ROUNDED
+    * cosine to any selected embedding, rounds the marginal score to 6,
+    * and takes the (mmr desc, id asc) winner; same arithmetic, same tie
+    * order as the aggregate. */
+  def mmrSql(candSql: String, k: Int, lambda: Double = 0.7): String = {
+    require(k > 0, s"mmrSql: k must be positive, got $k")
+    val sb = new StringBuilder
+    sb.append(s"WITH cand AS MATERIALIZED (\n$candSql),\n")
+    sb.append(s"""p1 AS MATERIALIZED (
+       |  SELECT id, score, embedding, round($lambda * score, 6) AS mmr
+       |    FROM cand
+       |  QUALIFY row_number() OVER (ORDER BY round($lambda * score, 6) DESC,
+       |                             id ASC) = 1),
+       |sel1 AS MATERIALIZED (SELECT id, score, embedding, mmr, 1 AS rnk FROM p1)""".stripMargin)
+    for (i <- 2 to k) {
+      val prev = s"sel${i - 1}"
+      sb.append(s""",
+       |p$i AS MATERIALIZED (
+       |  SELECT c.id, c.score, c.embedding,
+       |         round($lambda * c.score - ${1.0 - lambda} *
+       |           (SELECT max(round(list_cosine_similarity(c.embedding,
+       |                                                    s.embedding), 6))
+       |              FROM $prev s), 6) AS mmr
+       |    FROM cand c
+       |   WHERE c.id NOT IN (SELECT id FROM $prev)
+       |  QUALIFY row_number() OVER (ORDER BY mmr DESC, c.id ASC) = 1),
+       |sel$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+       |          SELECT id, score, embedding, mmr, $i AS rnk FROM p$i)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT id, score, mmr, CAST(rnk AS BIGINT) AS rnk
+       |  FROM sel$k ORDER BY rnk""".stripMargin)
+    sb.toString
+  }
+
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB rendering of [[bm25TopK]] — same tokens, same arithmetic

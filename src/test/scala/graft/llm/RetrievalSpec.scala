@@ -139,4 +139,66 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25TopKBatch(tiny, "doc_id", "text", Seq(1L -> Seq.empty), 5)
     }
   }
+
+  // ---- MMR diversified re-ranking ----
+
+  // candidates: 1 and 2 are near-duplicates (same direction), 3 is
+  // orthogonal with lower relevance. cos(1,2)=1.0, cos(1,3)=cos(2,3)=0.
+  private def mmrCands = Seq(
+    (1L, 0.9, Seq(1.0, 0.0)), (2L, 0.8, Seq(2.0, 0.0)),
+    (3L, 0.5, Seq(0.0, 1.0)),
+  ).toDF("id", "score", "vec")
+
+  test("MMR trades relevance for diversity: the orthogonal doc outranks the near-duplicate") {
+    val out = Retrieval.mmrRerank(mmrCands, "id", "score", "vec",
+      k = 3, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    // pick 1: id 1 (mmr 0.7·0.9 = 0.63)
+    // pick 2: id 2 mmr = 0.56 − 0.3·1.0 = 0.26; id 3 mmr = 0.35 − 0 = 0.35 → 3
+    // pick 3: id 2 (penalty max(cos to 1, cos to 3) = 1.0) mmr 0.26
+    assert(out.toSeq == Seq((1L, 0.63, 1L), (3L, 0.35, 2L), (2L, 0.26, 3L)))
+  }
+
+  test("lambda = 1 is pure relevance order; fewer candidates than k returns all") {
+    val out = Retrieval.mmrRerank(mmrCands, "id", "score", "vec",
+      k = 10, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("batch MMR: each qid's greedy pass is independent; null vec rows are skipped") {
+    val cands = Seq(
+      (10L, 1L, 0.9, Seq(1.0, 0.0)), (10L, 2L, 0.8, Seq(1.0, 0.0)),
+      (10L, 3L, 0.5, Seq(0.0, 1.0)),
+      (20L, 7L, 0.4, Seq(1.0, 1.0)), (20L, 8L, 0.3, null),
+    ).toDF("qid", "id", "score", "vec")
+    val out = Retrieval.mmrRerankBatch(cands, "qid", "id", "score", "vec",
+      k = 2, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(out == Set((10L, 1L, 1L), (10L, 3L, 2L), (20L, 7L, 1L)))
+  }
+
+  test("maxCandidates hard-caps the buffer by (score desc, id asc) before the greedy") {
+    val many = (1L to 50L).map(i => (i, 1.0 - i * 0.01,
+      Seq(i.toDouble, 1.0))).toDF("id", "score", "vec")
+    // cap 5 → only ids 1-5 survive the cut; k=5 picks among them
+    val out = Retrieval.mmrRerank(many, "id", "score", "vec",
+      k = 5, lambda = 0.9, maxCandidates = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      graft.functions.MmrSelectAgg(null, null, null, k = 10, lambda = 0.5,
+        maxCandidates = 5)
+    }
+  }
+
+  test("MMR buffer survives serialization mid-aggregation (partials merge)") {
+    val buf = new graft.functions.MmrBuffer(8)
+    buf.offer(1L, 0.9, Array(1.0, 0.0))
+    val back = graft.functions.MmrBuffer.deserialize(buf.serialized)
+    back.offer(3L, 0.5, Array(0.0, 1.0))
+    back.offer(2L, 0.8, Array(2.0, 0.0))
+    val picks = back.select(3, 0.7)
+    assert(picks.map(_._1) == Seq(1L, 3L, 2L))
+  }
 }
