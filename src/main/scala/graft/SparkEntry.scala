@@ -118,6 +118,21 @@ object SparkEntry {
     2L -> Seq("merge", "sort", "stream"),
     3L -> Seq("vector", "hash"))
 
+  /** A messy-but-equivalent URL per document: upper-cased `www.` host,
+    * explicit default port, tracking params, unsorted query, trailing
+    * slash, per-doc fragment. Canonicalization must collapse it to
+    * `https://<source>.example.com/p/<doc_id%50>?a=1&b=2` — which the
+    * oracle builds directly from the same parts. */
+  private def messyUrl: org.apache.spark.sql.Column =
+    concat(lit("HTTPS://WWW."), upper(col("source")),
+      lit(".Example.COM:443/p/"), pmod(col("doc_id"), lit(50)),
+      lit("/?utm_campaign=z&b=2&fbclid=x&a=1#sec"), col("doc_id"))
+
+  /** The oracle's ground-truth canonical rendering of [[messyUrl]]. */
+  private val messyUrlCanonSql: String =
+    "'https://' || lower(source) || '.example.com/p/' || " +
+      "(doc_id % 50) || '?a=1&b=2'"
+
   /** MMR first stage in DuckDB: cosine top-20 for query vec 0 (the
     * ann_topk rendering), embeddings cast DOUBLE[] for the pairwise
     * penalty cosines — feeds [[llm.Retrieval.mmrSql]]. */
@@ -2360,6 +2375,25 @@ object SparkEntry {
     "dfl_line_dedup" -> ((s, dir) =>
       DflFrame.pipeline(linedDocs(t(s, dir, "documents")),
         "lineDedup(@, '@doc_id', '@text')")),
+    // URL canonicalization: the engine PARSES a messy synthesized
+    // rendering (upper-cased www host, default port, tracking params,
+    // unsorted query, per-doc fragment) that the oracle knows the
+    // ground truth of by construction — docs sharing (source,
+    // doc_id%50) must collapse to one canonical key
+    "url_canon" -> ((s, dir) =>
+      llm.Urls.canonicalize(
+        t(s, dir, "documents").withColumn("url", messyUrl),
+        "doc_id", "url").select(col("id"), col("canon"))),
+    "url_dedup" -> ((s, dir) =>
+      llm.Urls.urlDedup(
+        t(s, dir, "documents").withColumn("url", messyUrl),
+        "doc_id", "url")),
+    // the scalar from DFL (canonUrl composes with the generic dedup
+    // stages — URL dedup needs no dedicated stage)
+    "dfl_url_canon" -> ((s, dir) =>
+      DflFrame.pipeline(
+        t(s, dir, "documents").withColumn("url", messyUrl),
+        "map(@, '{id: @doc_id, canon: canonUrl(@url)}')")),
     // block-aware extraction: paragraph boundaries become newlines, so
     // per-block boilerplate stays a separable line
     "html_blocks" -> ((s, dir) =>
@@ -3205,6 +3239,16 @@ object SparkEntry {
         |  FROM n""".stripMargin,
     "line_dedup" -> lineDedupSql("doc_id"),
     "dfl_line_dedup" -> lineDedupSql("id"),
+    // URL canonicalization: the oracle constructs the canonical form
+    // from the parts the messy rendering was synthesized from
+    "url_canon" ->
+      s"SELECT doc_id AS id, $messyUrlCanonSql AS canon FROM documents",
+    "url_dedup" ->
+      s"""SELECT $messyUrlCanonSql AS canon,
+         |       min(doc_id) AS keep_id, count(*) AS n_dups
+         |  FROM documents GROUP BY 1""".stripMargin,
+    "dfl_url_canon" ->
+      s"SELECT doc_id AS id, $messyUrlCanonSql AS canon FROM documents",
     "html_blocks" -> s"SELECT doc_id, text AS blocks FROM ($webSrcSql)",
     "pipeline_web_ingest" -> lineDedupReplaySql(webSrcSql, "doc_id"),
     // unigram-LM tokenizer family

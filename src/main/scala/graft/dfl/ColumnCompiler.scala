@@ -370,6 +370,7 @@ object Functions {
     "deflateRatio" -> "(s)",
     "htmlText" -> "(s)",
     "scrubCc" -> "(s)",
+    "canonUrl" -> "(s)",
   )
 
   def apply(name: String, args: List[Node], ctx: Ctx): Column = {
@@ -415,6 +416,9 @@ object Functions {
       // extension: Luhn-validated card-number redaction (native — a
       // checksum is not expressible in the regex PII patterns)
       case "scrubCc" => graft.functions.ScrubCcF.scrubCc(a(0))
+      // extension: canonical URL dedup key (native string surgery —
+      // param sorting is not expressible in a regex chain)
+      case "canonUrl" => graft.functions.UrlF.canonUrl(a(0))
       // extension: JSON field extraction for string-typed dynamic columns
       // (the reference's schema-less records keep ragged keys; our typed
       // analogue is a JSON string column, SURVEY.md §1.5)
