@@ -140,6 +140,28 @@ class StreamParitySpec extends AnyFunSuite {
       "jsonl", "annTopKFiltered(@, '@id', '@v', [1.0], 5, '@flag == 0')"))
   }
 
+  test("wordpieceSegment serves a frozen vocabulary in stream mode, batch-parity") {
+    val dir = Files.createTempDirectory("graft-wpstream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"lowest low"}
+        |{"id":2,"text":"unknownword"}""".stripMargin)
+    // the hand-computed planted vocab (WordPieceSpec) as a dataset var;
+    // doc 2's word has no matchable pieces → the single [UNK] piece
+    val vocab = Seq("l", "##o", "##w", "##e", "##s", "##t", "lo", "##st",
+      "wid", "##id").toDF("piece")
+    val expr = "wordpieceSegment(@, '@id', '@text', $v)"
+    val batch = DflFrame.pipeline(spark.read.json(dir), expr, Map("v" -> vocab))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val stream = StreamRunner.runOnce(spark, dir, "jsonl", expr,
+        vars = Map("v" -> vocab))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(stream == batch)
+    assert(batch == Set((1L, "lo ##w ##e ##st lo ##w"), (2L, "[UNK]")))
+    // mmr needs the whole candidate pool → fenced
+    intercept[IllegalArgumentException](StreamRunner.validateStreamable(
+      "jsonl", "mmr(@, '@id', '@score', '@vec', 5)"))
+  }
+
   test("unigramSegment serves a frozen piece table in stream mode, batch-parity; bm25 fenced") {
     val dir = Files.createTempDirectory("graft-unistream").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
