@@ -153,6 +153,16 @@ object SparkEntry {
     * unmemoized because training IS its measured operation. */
   private val uniVocabMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[llm.Unigram.Piece]]()
+
+  /** Memoized corpus-trained WordPiece vocab per (sfDir, merges) — the
+    * memoUnigramVocab convention: the roundtrip SERVING rows stop
+    * re-training per bench pass; training stays measured in wp_learn. */
+  private val wpVocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def memoWpVocab(docs: DataFrame, key: String,
+                          numMerges: Int): Seq[String] =
+    wpVocabMemo.computeIfAbsent(key, _ =>
+      llm.WordPiece.learnVocab(docs, "text", numMerges)._2)
   private def memoUnigramVocab(docs: DataFrame, key: String,
                                byteLevel: Boolean): Seq[llm.Unigram.Piece] =
     uniVocabMemo.computeIfAbsent(key, _ =>
@@ -1381,7 +1391,7 @@ object SparkEntry {
     // corpus-wide VALUE oracle, the bpe_decode posture
     "wp_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (_, vocab) = llm.WordPiece.learnVocab(docs, "text", 8)
+      val vocab = memoWpVocab(docs, s"$dir#wp8", numMerges = 8)
       llm.WordPiece.decode(
         llm.WordPiece.segment(docs, "doc_id", "text", vocab), "id", "pieces")
     }),
@@ -1393,7 +1403,7 @@ object SparkEntry {
     "dfl_wp_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val (_, vocab) = llm.WordPiece.learnVocab(docs, "text", 4)
+      val vocab = memoWpVocab(docs, s"$dir#wp4", numMerges = 4)
       val vocabDf = vocab.toDF("piece")
       val seg = DflFrame.pipeline(docs,
         "wordpieceSegment(@, '@doc_id', '@text', $vocab)",
@@ -2315,6 +2325,47 @@ object SparkEntry {
       out(per, col("lang"))
         .unionByName(out(util.Sketches.qsRollup(per, lit("all")), col("grp")))
     }),
+    // the sketch table reached from DFL: per-lang doc-length quantiles
+    // through the `quantiles` stage — exact regime, shares the explicit
+    // order-statistic oracle family
+    "dfl_quantiles" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "quantiles(@, '@lang', '@n_chars')")),
+    // the CORPUS HEALTH REPORT composite — the one table a curation run
+    // starts from: per-source doc counts, corpus-wide-fingerprint dup
+    // rate (cross-source dups count against both sides, the
+    // source_stats semantics), language spread, and the p50 length
+    // served from the quantile-sketch TABLE whose 'all' row is a
+    // ROLLUP of the per-source sketches (no second raw scan — the
+    // 100 TB report shape); every column SQL-replayed
+    "corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rows = docs.select(col("doc_id").as("id"), col("source"),
+        col("lang"), col("n_chars"),
+        llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val dup = rows.groupBy("fp").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("fp"), lit(1).as("__d"))
+      val flagged = rows.join(dup, Seq("fp"), "left")
+      // grp materializes as a REAL column on both join sides (per-source
+      // rows unioned with 'all'-labeled rows) — joining two one-row
+      // constant-grouped frames on a literal key would fold the join
+      // condition away and degrade to a nested-loop join (PlanLint)
+      val u = flagged.select(col("source").as("grp"), col("lang"), col("__d"))
+        .unionByName(
+          flagged.select(lit("all").as("grp"), col("lang"), col("__d")))
+      val st = u.groupBy("grp").agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(when(col("__d").isNotNull, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("dup_rate"),
+        countDistinct(col("lang")).as("n_langs"))
+      val perSketch = util.Sketches.qsBuild(docs, "source", "n_chars",
+        k = 8192)
+      val sketches = perSketch.select(col("source").as("grp"), col("sketch"))
+        .unionByName(util.Sketches.qsRollup(perSketch, lit("all")))
+      st.join(sketches.select(col("grp"),
+        util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50_chars")),
+        Seq("grp"))
+    }),
     // compacted-regime contract (the sketch_rollup posture): orders'
     // totalprice at realistic k=512 — total weight stays EXACT through
     // every compaction and merge (Σ per-group n == rollup n == row
@@ -3216,6 +3267,48 @@ object SparkEntry {
     "qsketch_contract" ->
       ("SELECT true AS count_exact, true AS p50_rank_in_band, " +
         "true AS p90_rank_in_band"),
+    "dfl_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |    FROM documents)
+        |SELECT grp, n,
+        |       max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+        |                THEN x END) AS p25,
+        |       max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+        |                THEN x END) AS p50,
+        |       max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+        |                THEN x END) AS p90
+        |  FROM ranked GROUP BY grp, n""".stripMargin,
+    // every report column replayed: corpus-wide dup flag, per-source
+    // and 'all' stats, p50 as the explicit order statistic
+    "corpus_report" ->
+      """WITH r AS (SELECT doc_id, source, lang, n_chars,
+        |             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |           FROM documents),
+        |d AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM r GROUP BY 1)
+        |       WHERE c > 1),
+        |fl AS (SELECT r.*, (d.fp IS NOT NULL) AS is_dup
+        |         FROM r LEFT JOIN d USING (fp)),
+        |u AS (SELECT source AS grp, lang, n_chars, is_dup FROM fl
+        |      UNION ALL
+        |      SELECT 'all' AS grp, lang, n_chars, is_dup FROM fl),
+        |ranked AS (SELECT grp, CAST(n_chars AS DOUBLE) AS x,
+        |             row_number() OVER (PARTITION BY grp ORDER BY n_chars) AS rn,
+        |             count(*) OVER (PARTITION BY grp) AS n
+        |             FROM u),
+        |p AS (SELECT grp,
+        |        max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+        |                 THEN x END) AS p50_chars
+        |        FROM ranked GROUP BY grp),
+        |st AS (SELECT grp, count(*)::BIGINT AS n_docs,
+        |         round(sum(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END)
+        |           / count(*), 6) AS dup_rate,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |         FROM u GROUP BY 1)
+        |SELECT st.grp, n_docs, dup_rate, n_langs, p50_chars
+        |  FROM st JOIN p USING (grp)""".stripMargin,
     // closed form: the Luhn-valid PAN redacts whole, the invalid
     // neighbor passes through untouched
     "pii_cc_scrub" ->

@@ -110,7 +110,7 @@ object DflFrame {
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "unigramSegment", "wordpieceSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst", "bm25", "lineDedup", "mmr",
+      "imageDedupAgainst", "bm25", "lineDedup", "mmr", "quantiles",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1074,6 +1074,24 @@ object DflFrame {
         val bBase = df.withColumn("__gid", subCol(1)).withColumn("__gtext", subCol(2))
         if (byteMode) graft.llm.Bpe.segmentByte(bBase, "__gid", "__gtext", mergeRows)
         else graft.llm.Bpe.segment(bBase, "__gid", "__gtext", mergeRows)
+
+      case "quantiles" =>
+        // `quantiles(@, '@grp', '@x'[, k])` — per-group (n, p25, p50,
+        // p90) via the mergeable quantile-sketch table
+        // (util.Sketches.qsBuild): one scan, map-side-combined sketch
+        // partials, exact while a group stays under k. Whole-dataset
+        // aggregation → unstreamable.
+        if (args.size != 3 && args.size != 4) throw new DflParseException(
+          "quantiles takes (@, grpExpr, valueExpr[, k])")
+        val qK = if (args.size > 3) intArg(3) else 8192
+        val qBase = df.withColumn("__ggrp", subCol(1))
+          .withColumn("__gx", subCol(2))
+        graft.util.Sketches.qsBuild(qBase, "__ggrp", "__gx", qK)
+          .select(col("__ggrp").as("grp"),
+            graft.util.Sketches.qsCount(col("sketch")).as("n"),
+            graft.util.Sketches.qsQuantile(col("sketch"), 0.25).as("p25"),
+            graft.util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50"),
+            graft.util.Sketches.qsQuantile(col("sketch"), 0.9).as("p90"))
 
       case "mmr" =>
         // `mmr(@, '@id', '@score', '@vec', k[, lambda])` — MMR

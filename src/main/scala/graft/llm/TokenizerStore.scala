@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for trained tokenizer artifacts — the "train once, serve
+  * everywhere" lifecycle the index family already has: a tokenizer is a
+  * MODEL (a BPE merge table, a WordPiece vocabulary, a unigram piece
+  * table) that one batch job learns and every later batch, stream, and
+  * serving job must load bit-identically, so its directory gets the
+  * same crash-safety the ANN indexes get ([[Similarity.stagedCommit]]:
+  * rename-aside atomic swap — a crashed save can never leave a
+  * half-written artifact a reader would trust, and a reader always
+  * sees the previous complete version during a re-save).
+  *
+  * Layout under `dir`: `table/` (the parquet rows) + `meta/` (one row:
+  * kind, row count) — the kind check makes "loaded the wrong
+  * tokenizer's directory" a loud error instead of garbage tokens.
+  * Artifacts are vocabulary-sized, so load cost is a driver-bounded
+  * collect — the same residency the DFL `$vocab`/`$merges` dataset
+  * vars already accept (a catalog datastore can point at `table/`
+  * directly; this store adds atomicity and typed round-trips). */
+object TokenizerStore {
+
+  private def save(spark: SparkSession, dir: String, kind: String,
+                   rows: DataFrame): Unit =
+    Similarity.stagedCommit(spark, dir) { staging =>
+      rows.write.mode("overwrite").parquet(s"$staging/table")
+      val n = rows.count()
+      spark.range(1).select(lit(kind).as("kind"), lit(n).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
+    }
+
+  private def checkKind(spark: SparkSession, dir: String,
+                        want: String): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val kind = meta.getString(0)
+    require(kind == want,
+      s"tokenizer load: $dir holds a '$kind' artifact, expected '$want'")
+  }
+
+  /** Persist a learned BPE merge table (rank order = replay order). */
+  def saveBpe(spark: SparkSession, merges: Seq[Bpe.Merge],
+              dir: String): Unit =
+    save(spark, dir, "bpe", Bpe.mergesDf(spark, merges))
+
+  /** Load a BPE merge table saved by [[saveBpe]]. */
+  def loadBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    checkKind(spark, dir, "bpe")
+    spark.read.parquet(s"$dir/table")
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("freq").cast("long"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+  }
+
+  /** Persist a WordPiece serving vocabulary. */
+  def saveWordPiece(spark: SparkSession, vocab: Seq[String],
+                    dir: String): Unit = {
+    import spark.implicits._
+    save(spark, dir, "wordpiece", vocab.toDF("piece"))
+  }
+
+  /** Load a WordPiece vocabulary saved by [[saveWordPiece]] (sorted —
+    * the set is order-free, sorting makes the round trip canonical). */
+  def loadWordPiece(spark: SparkSession, dir: String): Seq[String] = {
+    checkKind(spark, dir, "wordpiece")
+    spark.read.parquet(s"$dir/table")
+      .select(col("piece").cast("string"))
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Persist a unigram-LM piece table. */
+  def saveUnigram(spark: SparkSession, vocab: Seq[Unigram.Piece],
+                  dir: String): Unit = {
+    import spark.implicits._
+    save(spark, dir, "unigram",
+      vocab.map(p => (p.piece, p.logp)).toDF("piece", "logp"))
+  }
+
+  /** Load a unigram piece table saved by [[saveUnigram]]. */
+  def loadUnigram(spark: SparkSession, dir: String): Seq[Unigram.Piece] = {
+    checkKind(spark, dir, "unigram")
+    spark.read.parquet(s"$dir/table")
+      .select(col("piece").cast("string"), col("logp").cast("double"))
+      .collect().map(r => Unigram.Piece(r.getString(0), r.getDouble(1)))
+      .sortBy(_.piece).toSeq
+  }
+}

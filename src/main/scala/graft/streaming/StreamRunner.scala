@@ -35,7 +35,7 @@ object StreamRunner {
     "nearDedupClusters", "dedupAgainst", "dupPairsAgainst", "diff", "pool",
     "freqItems", "join", "scale",
     "annTopK", "annTopKBatch", "annRange",
-    "annRangeBatch", "annTopKFiltered", "mmr", "decontam",
+    "annRangeBatch", "annTopKFiltered", "mmr", "quantiles", "decontam",
     "decontamBloom", "decontamScrub", "contamHits",
     // packing needs per-bucket windows over the whole corpus; lmScore,
     // windowDups, vocab, and tfidf train/count over the whole corpus

@@ -77,6 +77,17 @@ object ScaleCheck {
           lit("\nall rights reserved by the original author")).as("text"))
       time("line_dedup")(graft.llm.TextAnalysis.dedupLines(
         linedBig, "doc_id", "text").count())
+      // URL dedup: the mult× replication plants mult copies of every
+      // canonical key (the messy rendering varies only by fragment).
+      // Canonicalization is a row-local projection, the dedup one
+      // fixed-width-keyed aggregation — time linear in rows, output
+      // pinned at the base key count regardless of mult
+      val urled = big.select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example.COM:443/p/"),
+          pmod(col("doc_id"), lit(base)),
+          lit("/?utm_campaign=z&b=2&a=1#s"), col("doc_id")).as("url"))
+      time("url_dedup")(graft.llm.Urls.urlDedup(
+        urled, "doc_id", "url").count())
       // unigram training is vocabulary-bounded: the word TABLE is
       // mult-invariant (copies add count, not types), so seed + EM time
       // must stay near-flat while the one corpus aggregation scales

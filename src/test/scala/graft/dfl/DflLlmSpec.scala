@@ -695,4 +695,41 @@ class DflLlmSpec extends AnyFunSuite {
     intercept[DflParseException](DflFrame.pipeline(corpus,
       "bpeSegment(@, '@doc_id', '@text')"))
   }
+
+  test("round-14 stages: quantiles/mmr/wordpieceSegment match their Scala APIs; arity rejected") {
+    import spark.implicits._
+    // quantiles(@) == Sketches.qsBuild projection
+    val dflQ = DflFrame.pipeline(docs, "quantiles(@, '@lang', '@n_chars')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    val per = graft.util.Sketches.qsBuild(docs, "lang", "n_chars", k = 8192)
+    val apiQ = per.select(col("lang"),
+        graft.util.Sketches.qsCount(col("sketch")),
+        graft.util.Sketches.qsQuantile(col("sketch"), 0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(apiQ.nonEmpty && dflQ == apiQ)
+    // mmr(@) == Retrieval.mmrRerank on the same candidate frame
+    val cands = Seq((1L, 0.9, Seq(1.0, 0.0)), (2L, 0.8, Seq(2.0, 0.0)),
+      (3L, 0.5, Seq(0.0, 1.0))).toDF("id", "score", "vec")
+    val dflM = DflFrame.pipeline(cands, "mmr(@, '@id', '@score', '@vec', 3, 0.7)")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val apiM = graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(dflM == apiM && dflM.nonEmpty)
+    // wordpieceSegment(@) == WordPiece.segment with the same vocab
+    val vocab = Seq("l", "##o", "##w", "##e", "##s", "##t", "lo", "##st")
+    val vdf = vocab.toDF("piece")
+    val probe = Seq((1L, "lowest")).toDF("doc_id", "text")
+    val dflW = DflFrame.pipeline(probe,
+        "wordpieceSegment(@, '@doc_id', '@text', $v)", Map[String, Any]("v" -> vdf))
+      .head().getString(2)
+    val apiW = graft.llm.WordPiece.segment(probe, "doc_id", "text", vocab)
+      .head().getString(2)
+    assert(dflW == apiW && dflW == "lo ##w ##e ##st")
+    // arity / empty-vocab rejections
+    intercept[DflParseException](DflFrame.pipeline(docs, "quantiles(@, '@lang')"))
+    intercept[DflParseException](DflFrame.pipeline(cands, "mmr(@, '@id', '@score', '@vec')"))
+    intercept[DflParseException](DflFrame.pipeline(probe,
+      "wordpieceSegment(@, '@doc_id', '@text', $v)",
+      Map[String, Any]("v" -> vdf.filter(col("piece") === "zz"))))
+  }
 }

@@ -53,6 +53,26 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalization is idempotent: canon(canon(u)) == canon(u) over randomized messy URLs") {
+    // a canonical form that re-canonicalizes differently would make the
+    // dedup key depend on how many times a pipeline stage ran
+    val rnd = new scala.util.Random(99)
+    val schemes = Seq("http", "HTTPS", "ftp")
+    val hosts = Seq("WWW.A-b.com", "x.Y.org", "www.site.co.uk", "HOST.io")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b/", "//x//", "/p")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x&z=1&", "?a=1&a=0")
+    val frags = Seq("", "#f", "#a?b=1")
+    for (_ <- 1 to 200) {
+      def pick(xs: Seq[String]) = xs(rnd.nextInt(xs.length))
+      val u = s"${pick(schemes)}://${pick(hosts)}${pick(ports)}" +
+        s"${pick(paths)}${pick(queries)}${pick(frags)}"
+      val c1 = canon(u)
+      assert(c1 != null, s"url: $u")
+      assert(canon(c1) == c1, s"not idempotent: $u -> $c1 -> ${canon(c1)}")
+    }
+  }
+
   test("urlDedup collapses spelling variants to one key; survivors keep unparseable rows") {
     val df = Seq(
       (1L, "https://www.Site.com/a/?utm_source=x"),
