@@ -133,6 +133,44 @@ object SparkEntry {
     "'https://' || lower(source) || '.example.com/p/' || " +
       "(doc_id % 50) || '?a=1&b=2'"
 
+  /** The hashEmbed document-vector CTE chain (dim 16, seed 7 — the
+    * hash_embed rendering): defines `emb(id, vec DOUBLE[])`. Shared by
+    * the hybrid-retrieval and serving-stack oracles. */
+  private val hashEmbedCtesSql: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |    FROM documents),
+      |bk AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
+      |         FROM toks),
+      |c AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+      |ss AS (SELECT doc_id, sum(c * c) AS ss FROM c GROUP BY 1),
+      |dims AS (SELECT ss.doc_id, ss.ss, d
+      |           FROM ss, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s),
+      |emb AS (SELECT dims.doc_id AS id,
+      |          list(round(coalesce(c.c, 0) * 1.0 / sqrt(dims.ss), 6) ORDER BY d) AS vec
+      |          FROM dims LEFT JOIN c ON c.doc_id = dims.doc_id AND c.b = dims.d
+      |         GROUP BY 1)""".stripMargin
+
+  /** The semantic run of the hybrid stack: hashEmbed cosine top-20 for
+    * the query text, `(id, rnk)` — an rrfSql input. */
+  private val hybridSemanticRunSql: String =
+    s"""WITH $hashEmbedCtesSql,
+      |qtok AS (SELECT unnest(string_split('spark stream window merge', ' ')) AS tok),
+      |qb AS (SELECT CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
+      |         FROM qtok),
+      |qc AS (SELECT b, count(*) AS c FROM qb GROUP BY 1),
+      |qagg AS (SELECT sum(c * c) AS ss FROM qc),
+      |qv AS (SELECT list(round(coalesce(qc.c, 0) * 1.0 / sqrt(qagg.ss), 6) ORDER BY d) AS vec
+      |         FROM qagg, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s
+      |         LEFT JOIN qc ON qc.b = d),
+      |cs AS (SELECT e.id, round(list_cosine_similarity(e.vec, q.vec), 6) AS cos
+      |         FROM emb e CROSS JOIN qv q)
+      |SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS rnk
+      |  FROM cs
+      |QUALIFY row_number() OVER (ORDER BY cos DESC, id ASC) <= 20""".stripMargin
+
   /** MMR first stage in DuckDB: cosine top-20 for query vec 0 (the
     * ann_topk rendering), embeddings cast DOUBLE[] for the pairwise
     * penalty cosines — feeds [[llm.Retrieval.mmrSql]]. */
@@ -2136,6 +2174,14 @@ object SparkEntry {
       llm.Retrieval.bm25TopKIndexed(s, idxDir,
         Seq("spark", "stream", "window"), k = 10)
     }),
+    // the batch twin: one pruned posting read for the union of all
+    // query terms, each slice value-identical to the direct batch scan
+    "bm25_indexed_batch" -> ((s, dir) => {
+      val idxDir = memoIndexDir(dir, "bm25idx", table = "documents") { d =>
+        llm.Retrieval.bm25Build(t(s, dir, "documents"), "doc_id", "text", d)
+      }
+      llm.Retrieval.bm25TopKIndexedBatch(s, idxDir, bm25BatchQueries, k = 5)
+    }),
     // reciprocal-rank fusion of two lexical runs — rank-only, so the
     // score scales never mix; oracle renders both runs + the fusion
     "rrf_fuse" -> ((s, dir) => {
@@ -2169,6 +2215,38 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .select("id", "rnk")
       llm.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+    }),
+    // the FULL SERVING STACK end to end, every stage from this repo's
+    // own operators: persistent-index BM25 run ⊕ hashEmbed-cosine
+    // semantic run → reciprocal-rank fusion → MMR diversification —
+    // and every stage's arithmetic value-replayed in one composed SQL
+    // oracle (the engine-exact hashEmbed features are what make the
+    // whole stack checkable)
+    "pipeline_serving_stack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qtext = "spark stream window merge"
+      val idxDir = memoIndexDir(dir, "bm25idx", table = "documents") { d =>
+        llm.Retrieval.bm25Build(docs, "doc_id", "text", d)
+      }
+      val lex = llm.Retrieval.bm25TopKIndexed(s, idxDir,
+        qtext.split(" ").toSeq, k = 20).select("id", "rnk")
+      val emb = llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = 7L)
+      val qvec = llm.TextAnalysis.hashEmbed(
+        Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+        dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("id").asc)
+      val sem = llm.Similarity.bruteForceTopK(emb, "doc_id", "vec", qvec, 20)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select("id", "rnk")
+      val fused = llm.Retrieval.rrfFuse(Seq(lex, sem), k = 20)
+        .select("id", "score")
+      val cands = emb.select(col("doc_id").as("id"), col("vec"))
+        .join(broadcast(fused), Seq("id"))
+      llm.Retrieval.mmrRerank(cands, "id", "score", "vec", k = 10,
+        lambda = 0.7)
     }),
     // MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) of a
     // cosine top-20 first stage: pick 10 greedily by λ·rel −
@@ -3501,6 +3579,8 @@ object SparkEntry {
       "text", Seq("spark", "stream", "window"), k = 10),
     "bm25_batch" -> llm.Retrieval.bm25BatchSql("documents", "doc_id", "text",
       bm25BatchQueries, k = 5),
+    "bm25_indexed_batch" -> llm.Retrieval.bm25BatchSql("documents", "doc_id",
+      "text", bm25BatchQueries, k = 5),
     "rrf_fuse" -> llm.Retrieval.rrfSql(Seq(
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("spark", "stream", "window"), k = 20),
@@ -3517,35 +3597,21 @@ object SparkEntry {
     "pipeline_hybrid_retrieval" -> llm.Retrieval.rrfSql(Seq(
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("spark", "stream", "window", "merge"), k = 20),
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
-        |    FROM documents),
-        |bk AS (SELECT doc_id,
-        |         CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
-        |         FROM toks),
-        |c AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
-        |ss AS (SELECT doc_id, sum(c * c) AS ss FROM c GROUP BY 1),
-        |dims AS (SELECT ss.doc_id, ss.ss, d
-        |           FROM ss, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s),
-        |emb AS (SELECT dims.doc_id AS id,
-        |          list(round(coalesce(c.c, 0) * 1.0 / sqrt(dims.ss), 6) ORDER BY d) AS vec
-        |          FROM dims LEFT JOIN c ON c.doc_id = dims.doc_id AND c.b = dims.d
-        |         GROUP BY 1),
-        |qtok AS (SELECT unnest(string_split('spark stream window merge', ' ')) AS tok),
-        |qb AS (SELECT CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
-        |         FROM qtok),
-        |qc AS (SELECT b, count(*) AS c FROM qb GROUP BY 1),
-        |qagg AS (SELECT sum(c * c) AS ss FROM qc),
-        |qv AS (SELECT list(round(coalesce(qc.c, 0) * 1.0 / sqrt(qagg.ss), 6) ORDER BY d) AS vec
-        |         FROM qagg, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s
-        |         LEFT JOIN qc ON qc.b = d),
-        |cs AS (SELECT e.id, round(list_cosine_similarity(e.vec, q.vec), 6) AS cos
-        |         FROM emb e CROSS JOIN qv q)
-        |SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS rnk
-        |  FROM cs
-        |QUALIFY row_number() OVER (ORDER BY cos DESC, id ASC) <= 20""".stripMargin),
-      k = 10),
+      hybridSemanticRunSql), k = 10),
+    // the full serving stack end to end: indexed BM25 run ⊕ semantic
+    // run → RRF → MMR, every stage's arithmetic replayed in ONE SQL
+    // composition (bm25Sql + the hashEmbed CTEs + rrfSql + the
+    // unrolled mmrSql greedy)
+    "pipeline_serving_stack" -> llm.Retrieval.mmrSql(
+      s"""SELECT f.id, f.score, ev.vec AS embedding
+         |  FROM (
+         |${llm.Retrieval.rrfSql(Seq(
+             llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+               Seq("spark", "stream", "window", "merge"), k = 20),
+             hybridSemanticRunSql), k = 20)}
+         |) f JOIN (WITH $hashEmbedCtesSql SELECT id, vec FROM emb) ev
+         |    ON f.id = ev.id""".stripMargin,
+      k = 10, lambda = 0.7),
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

@@ -221,6 +221,48 @@ object Retrieval {
         (col("r") + 1).cast("long").as("rnk"))
   }
 
+  /** BM25 top-k for a BATCH of queries served FROM a [[bm25Build]]
+    * index: `(qid, id, score, rnk)`, each slice value-identical to
+    * [[bm25TopKIndexed]] (and hence to the direct scan). ONE pruned
+    * posting read for the UNION of all term bands, the broadcast
+    * (qid, term) fan-out of [[bm25TopKBatch]], a per-qid bounded heap —
+    * the corpus is never touched and the read amplification is
+    * ≤ |union terms| bands however many queries share them. */
+  def bm25TopKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String,
+                           queries: Seq[(Long, Seq[String])], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexedBatch: empty query batch")
+    require(queries.forall(_._2.nonEmpty),
+      "bm25TopKIndexedBatch: a query has no terms")
+    require(k > 0, s"bm25TopKIndexedBatch: k must be positive, got $k")
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val (n, avgdl, pbands) = (st.getDouble(0), st.getDouble(1), st.getInt(2))
+    val union = queries.flatMap(_._2).distinct
+    import spark.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("qid", "w")
+    // bands via the SAME expression the build used (bm25TopKIndexed)
+    val bands = union.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    def pruned(path: String) = spark.read.parquet(path)
+      .filter(col("pband").isin(bands: _*) && col("w").isin(union: _*))
+    val dft = pruned(s"$indexDir/df").select(col("w"), col("df"))
+    val scored = pruned(s"$indexDir/postings")
+      .join(broadcast(dft), "w")
+      .join(broadcast(qterms), "w")
+      .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(contribution(k1, b)), 6).as("score"))
+    import graft.functions.TopKF
+    scored.groupBy(col("qid"))
+      .agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("score"),
+        (col("r") + 1).cast("long").as("rnk"))
+  }
+
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. SIGIR'09):
     * each input frame holds one run's `(id, rnk)` (1-based); the fused
     * score is `Σ_runs 1/(c + rnk)` over the runs where the id appears,

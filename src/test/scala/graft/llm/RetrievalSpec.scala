@@ -125,6 +125,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(small.map(_.getLong(0)).toSeq == smallDirect.map(_.getLong(0)).toSeq)
   }
 
+  test("bm25 indexed batch: every slice equals the direct batch scan, one pruned read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idxb").toString + "/idx"
+    Retrieval.bm25Build(docs, "doc_id", "text", dir, pbands = 16)
+    val qs = Seq(1L -> Seq("spark", "window"), 2L -> Seq("merge", "stream"))
+    val direct = Retrieval.bm25TopKBatch(docs, "doc_id", "text", qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val probed = Retrieval.bm25TopKIndexedBatch(spark, dir, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(probed == direct && probed.nonEmpty)
+    // still pruned to the union terms' bands
+    val plan = Retrieval.bm25TopKIndexedBatch(spark, dir, qs, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pband"))
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKIndexedBatch(spark, dir, Seq(1L -> Seq.empty), 5)
+    }
+  }
+
   test("bm25 rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(tiny, "doc_id", "text", Seq.empty, 5)
