@@ -101,6 +101,23 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(rolled.getLong(1) == 900L)
   }
 
+  test("property: quantile is monotone in q and always a retained data value") {
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 10) {
+      val n = 1000 + rnd.nextInt(20000)
+      val xs = Array.fill(n)(rnd.nextGaussian() * rnd.nextInt(100))
+      val sk = new QSketch(64 + rnd.nextInt(512))
+      xs.foreach(sk.update)
+      val values = xs.toSet
+      val qs = Seq(0.0, 0.05, 0.2, 0.5, 0.8, 0.95, 1.0)
+      val ests = qs.map(sk.quantile)
+      ests.zip(ests.tail).foreach { case (a, b) =>
+        assert(a <= b, s"trial $trial: not monotone: $ests") }
+      // a rank sketch can only ever answer with a value it actually saw
+      ests.foreach(e => assert(values.contains(e), s"trial $trial: fabricated $e"))
+    }
+  }
+
   test("qsketch scalar expressions compile under CODEGEN_ONLY (no silent fallback)") {
     val factory = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(factory)

@@ -94,6 +94,27 @@ class WordPieceSpec extends AnyFunSuite {
     assert(joined.filter(col("decoded") =!= col("want")).count() == 0)
   }
 
+  test("property: non-UNK pieces re-concatenate to the word exactly (strip ##, join)") {
+    // the local law behind the corpus round trip: greedy segmentation
+    // never alters content — pieces partition the word
+    val rnd = new scala.util.Random(5)
+    val alpha = "abcde"
+    def randWord(): String =
+      (1 to (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // random vocab with full char coverage (so no UNKs) + random multis
+    val base = alpha.flatMap(c => Seq(c.toString, "##" + c))
+    val multis = (1 to 20).map(_ => randWord()).flatMap(w => Seq(w, "##" + w))
+    val vocab = (base ++ multis).distinct
+    for (_ <- 1 to 100) {
+      val w = randWord()
+      val pieces = seg(w, vocab)
+      assert(pieces.nonEmpty && !pieces.contains("[UNK]"))
+      assert(pieces.head + pieces.tail.map(_.stripPrefix("##")).mkString == w,
+        s"word $w pieces $pieces")
+      assert(pieces.tail.forall(_.startsWith("##")), s"word $w pieces $pieces")
+    }
+  }
+
   test("wordpiece_segment_all compiles under CODEGEN_ONLY (no silent fallback)") {
     val factory = "spark.sql.codegen.factoryMode"
     val prevF = spark.conf.getOption(factory)
