@@ -1448,6 +1448,24 @@ object SparkEntry {
         Map("vocab" -> vocabDf))
       llm.WordPiece.decode(seg, "id", "pieces")
     }),
+    // the COARSE-TO-FINE composite an MRL embedding exists for: the
+    // 16-dim truncated scan pre-filters to 50 candidates (at scale:
+    // 4× less bandwidth per row on the corpus-wide pass), the full
+    // 64-dim cosine re-ranks only those — both stages exact, so the
+    // WHOLE funnel has a value oracle; tie order (cos desc, id asc)
+    // pins the coarse boundary identically in both engines
+    "pipeline_coarse_to_fine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qFull = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val coarse = llm.Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16")),
+        "vec_id", "emb16", qFull.take(16), 50).select(col("id"))
+      val cands = emb.join(broadcast(coarse),
+          emb("vec_id") === coarse("id"))
+        .select(col("vec_id"), col("embedding"))
+      llm.Similarity.bruteForceTopK(cands, "vec_id", "embedding", qFull, 10)
+    }),
     // Matryoshka-style truncated-dimension serving: exact top-k over the
     // FIRST 16 of 64 embedding dims — the cheap-first-stage retrieval an
     // MRL-trained embedding enables; exact, so the oracle is the sliced
@@ -2384,6 +2402,52 @@ object SparkEntry {
         math.abs(merged - exactAll) <= exactAll * 0.03))
         .toDF("per_type_in_band", "merge_within_band", "global_in_band")
     }),
+    // mergeable BLOOM membership table (the fourth sketch family
+    // member: distinct=HLL, quantile=QSketch, heavy-hitters=MG,
+    // membership=bloom): per-type seen-user filters built in the
+    // ingest scan, UNIONED to the global filter (bitwise OR — no
+    // second raw scan). Contract: zero false negatives per type AND
+    // through the rollup (the guarantee unions preserve), absent-key
+    // false-positive rate within 3× the design fpp, incompatible
+    // sizes rejected loudly
+    "bloom_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      val per = util.Sketches.bloomBuild(ev, "event_type", "h",
+        estItems = 20000L, numBits = 1L << 18)
+      val all = util.Sketches.bloomRollup(per, lit("all"))
+      val allBytes = all.select("bloom").head().getAs[Array[Byte]](0)
+      val bf = graft.functions.BloomFns.broadcastBloom(s, allBytes)
+      // zero false negatives: every real user hash probes true globally
+      val misses = ev.filter(!graft.functions.BloomFns
+        .bloomMightContain(bf, col("h"))).count()
+      // per-type too: each type's own bloom sees all its own hashes
+      val perMisses = per.collect().map { r =>
+        val tBf = graft.functions.BloomFns.broadcastBloom(s,
+          r.getAs[Array[Byte]](1))
+        ev.filter(col("event_type") === r.getString(0))
+          .filter(!graft.functions.BloomFns.bloomMightContain(tBf, col("h")))
+          .count()
+      }.sum
+      // fp band: hashes of ids guaranteed absent (offset far past any
+      // user id) — observed fpp ≤ 3× the 20k/2^18-bits design point
+      val absent = s.range(1, 20001)
+        .select(xxhash64(col("id") + lit(1000000000L)).as("h"))
+      val fps = absent.filter(graft.functions.BloomFns
+        .bloomMightContain(bf, col("h"))).count()
+      val designFpp = math.pow(1 - math.exp(-5.0 * 20000 / (1 << 18)),
+        5.0) // k=5 hashes at 13 bits/item (Spark picks optimal k)
+      val fppOk = fps.toDouble / 20000 <= math.max(designFpp * 3, 0.01)
+      // incompatible sizes must throw, not silently OR
+      val bad = util.Sketches.bloomBuild(ev, "event_type", "h",
+        estItems = 100L, numBits = 1L << 10)
+      val clash = scala.util.Try(
+        util.Sketches.bloomRollup(per.unionByName(bad), lit("x")).collect()
+      ).isFailure
+      Seq((misses == 0 && perMisses == 0, fppOk, clash))
+        .toDF("no_false_negatives", "fpp_in_band", "incompatible_rejected")
+    }),
     // mergeable QUANTILE sketch table (the HLL pattern for the other
     // non-additive aggregate): per-language doc-length sketches built
     // in ONE raw scan, rolled up to the global percentiles WITHOUT
@@ -3319,6 +3383,9 @@ object SparkEntry {
     "sketch_rollup" ->
       ("SELECT true AS per_type_in_band, true AS merge_within_band, " +
         "true AS global_in_band"),
+    "bloom_rollup" ->
+      ("SELECT true AS no_false_negatives, true AS fpp_in_band, " +
+        "true AS incompatible_rejected"),
     // the uncompacted regime is exact: per-group AND merged-global
     // quantiles are the ceil(q·n)-th order statistics, replayed
     // rank-for-rank (percentile-disc lower semantics)
@@ -3471,6 +3538,22 @@ object SparkEntry {
         |         CAST(list_slice(e.embedding, 1, 16) AS DOUBLE[]),
         |         CAST(q.qv AS DOUBLE[])), 6) AS cos
         |  FROM embeddings e, q
+        | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
+    // both funnel stages replayed: truncated pre-filter boundary, then
+    // the full-dim re-rank over exactly those candidates
+    "pipeline_coarse_to_fine" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT e.vec_id AS id, e.embedding,
+        |         round(list_cosine_similarity(
+        |           CAST(list_slice(e.embedding, 1, 16) AS DOUBLE[]),
+        |           CAST(list_slice(q.embedding, 1, 16) AS DOUBLE[])), 6) AS c16
+        |    FROM embeddings e, q
+        |  QUALIFY row_number() OVER (ORDER BY c16 DESC, id ASC) <= 50)
+        |SELECT c.id,
+        |       round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM coarse c, q
         | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin,
     "pipeline_curation" ->
       s"""WITH $containmentCtes,

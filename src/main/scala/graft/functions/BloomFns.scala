@@ -66,6 +66,12 @@ object BloomFns {
   def bloomProbeCount(bf: Broadcast[Array[Byte]], hashes: Column): Column =
     Bridge.column(BloomBroadcastProbeCount(Bridge.expression(hashes), bf))
 
+  /** Aggregate column: union serialized blooms (see [[BloomUnionAgg]]) —
+    * the rollup of a per-group bloom TABLE. */
+  def bloomUnion(bloom: Column): Column =
+    Bridge.column(BloomUnionAgg(Bridge.expression(bloom))
+      .toAggregateExpression())
+
   /** Broadcast the filter bytes built by [[bloomAgg]] for use with the
     * broadcast [[bloomMightContain]] overload. NULL bytes broadcast fine
     * (probes are then constant-false). */
@@ -145,6 +151,94 @@ case class BloomBroadcastProbeCount(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `bloom_union_agg(bloom)` — union serialized bloom filters built by
+  * [[BloomFns.bloomAgg]] (bitwise OR of compatible filters — Spark's
+  * own `BloomFilter.mergeInPlace`), making per-group bloom tables ROLL
+  * UP like the HLL and quantile sketches: build per-shard membership
+  * filters in one scan, union them to any coarser grouping with no
+  * second look at the raw data. Union preserves the no-false-negative
+  * guarantee; the fp rate degrades with load factor exactly as a
+  * direct-built filter of the same size would. Filters must share
+  * (numBits, numHashes) — i.e. be built with the same bloomAgg params —
+  * or the merge throws (loudly: silently OR-ing incompatible filters
+  * would fabricate memberships). NULL inputs (empty groups) are
+  * skipped; an all-NULL relation yields NULL. */
+case class BloomUnionAgg(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Option[org.apache.spark.util.sketch.BloomFilter]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bloom_union_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_union_agg needs a serialized bloom (binary), got ${other.sql}")
+  }
+
+  private def read(bytes: Array[Byte]) =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  override def createAggregationBuffer()
+      : Option[org.apache.spark.util.sketch.BloomFilter] = None
+
+  override def update(
+      buf: Option[org.apache.spark.util.sketch.BloomFilter],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val f = read(v.asInstanceOf[Array[Byte]])
+      buf match {
+        case Some(acc) => Some(acc.mergeInPlace(f))
+        case None => Some(f)
+      }
+    }
+  }
+
+  override def merge(
+      buf: Option[org.apache.spark.util.sketch.BloomFilter],
+      other: Option[org.apache.spark.util.sketch.BloomFilter])
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    (buf, other) match {
+      case (Some(a), Some(b)) => Some(a.mergeInPlace(b))
+      case (a, None) => a
+      case (None, b) => b
+    }
+
+  override def eval(
+      buf: Option[org.apache.spark.util.sketch.BloomFilter]): Any =
+    buf.map(serializeFilter).orNull
+
+  private def serializeFilter(
+      f: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    f.writeTo(out)
+    out.toByteArray
+  }
+
+  override def serialize(
+      buf: Option[org.apache.spark.util.sketch.BloomFilter]): Array[Byte] =
+    buf.map(serializeFilter).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte])
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    if (bytes.isEmpty) None else Some(read(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
 }
 
 object BloomProbeOps {

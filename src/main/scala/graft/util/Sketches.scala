@@ -72,4 +72,25 @@ object Sketches {
   /** Exact row count a sketch stands for (weight-preserving). */
   def qsCount(sketchCol: Column): Column =
     graft.functions.QSketchF.qsketchN(sketchCol)
+
+  // --- bloom membership tables (Spark's own BloomFilter sketch) ------
+  // The MEMBERSHIP member of the sketch-table family: per-shard "have
+  // we seen this fingerprint" filters built in the ingest scan, rolled
+  // up (bitwise OR — union preserves no-false-negatives) to whatever
+  // granularity the next incremental-dedup pass probes at. All shards
+  // must share (estItems, numBits) or the union throws.
+
+  /** One bloom per group over a LONG item column (hash fingerprints):
+    * `(groupCol, bloom binary)`. */
+  def bloomBuild(df: DataFrame, groupCol: String, itemCol: String,
+                 estItems: Long, numBits: Long): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.BloomFns.bloomAgg(col(itemCol), estItems,
+        numBits).as("bloom"))
+
+  /** Union a bloom table up to coarser groups: `(grp, bloom)`. */
+  def bloomRollup(blooms: DataFrame, newGroupCol: Column,
+                  bloomCol: String = "bloom"): DataFrame =
+    blooms.groupBy(newGroupCol.as("grp"))
+      .agg(graft.functions.BloomFns.bloomUnion(col(bloomCol)).as("bloom"))
 }

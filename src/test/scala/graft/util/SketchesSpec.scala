@@ -47,4 +47,34 @@ class SketchesSpec extends AnyFunSuite {
   test("guards") {
     intercept[IllegalArgumentException](Sketches.hllBuild(data, "g", "item", lgK = 2))
   }
+
+  test("bloom table: no false negatives per group or through the union; incompatible sizes throw") {
+    val hashed = data.select(col("g"), xxhash64(col("item")).as("h"))
+    val per = Sketches.bloomBuild(hashed, "g", "h",
+      estItems = 2000L, numBits = 1L << 15)
+    // per-group: every real hash probes true against its own bloom
+    per.collect().foreach { r =>
+      val bf = graft.functions.BloomFns.broadcastBloom(spark,
+        r.getAs[Array[Byte]](1))
+      val miss = hashed.filter(col("g") === r.getString(0))
+        .filter(!graft.functions.BloomFns.bloomMightContain(bf, col("h")))
+        .count()
+      assert(miss == 0, s"group ${r.getString(0)}")
+    }
+    // union: the rolled-up bloom still sees every hash of every group
+    val all = Sketches.bloomRollup(per, lit("all"))
+      .select("bloom").head().getAs[Array[Byte]](0)
+    val bfAll = graft.functions.BloomFns.broadcastBloom(spark, all)
+    assert(hashed.filter(!graft.functions.BloomFns
+      .bloomMightContain(bfAll, col("h"))).count() == 0)
+    // a differently-sized shard must be rejected, never silently OR'd
+    val bad = Sketches.bloomBuild(hashed, "g", "h",
+      estItems = 10L, numBits = 1L << 8)
+    assertThrows[Exception] {
+      Sketches.bloomRollup(per.unionByName(bad), lit("x")).collect()
+    }
+    // all-null relation rolls up to NULL, not an empty filter
+    val empty = per.filter(col("g") === "nope")
+    assert(Sketches.bloomRollup(empty, lit("none")).count() == 0)
+  }
 }
