@@ -696,6 +696,16 @@ object SparkEntry {
       DflFrame.pipeline(t(s, dir, "documents"),
         "lmScore(@, '@doc_id', '@text', 'kn')")
         .withColumnRenamed("id", "doc_id")),
+    // TRIGRAM interpolated KN — the full Chen-Goodman backoff chain
+    // (highest order on token counts, middle order on continuation
+    // counts, unigram on bigram types), every statistic replayed
+    "lm_kn3_xent" -> ((s, dir) =>
+      llm.TextAnalysis.lmKneserNey3Score(t(s, dir, "documents"), "doc_id",
+        "text", discount = 0.75)),
+    "dfl_lm_kn3" -> ((s, dir) =>
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "lmScore(@, '@doc_id', '@text', 'kn3')")
+        .withColumnRenamed("id", "doc_id")),
     // corpus top-V vocabulary (normalized tokens, deterministic rank)
     "vocab_top" -> ((s, dir) =>
       llm.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", topV = 200)),
@@ -3168,6 +3178,8 @@ object SparkEntry {
     "dfl_lm_bigram" -> lmBigramSql,
     "lm_kn_xent" -> lmKnSql,
     "dfl_lm_kn" -> lmKnSql,
+    "lm_kn3_xent" -> lmKn3Sql,
+    "dfl_lm_kn3" -> lmKn3Sql,
     // normalized-token vocabulary; count(*) is BIGINT in DuckDB (no
     // HUGEINT drift), rank deterministic by (cnt desc, w asc)
     "vocab_top" ->
@@ -4317,6 +4329,42 @@ object SparkEntry {
       |  JOIN cb USING (p, w)
       |  JOIN (SELECT t AS p, c AS cp FROM u) USING (p)
       |  JOIN n1p USING (p)
+      |  JOIN n1w USING (w)
+      |  CROSS JOIN nbt GROUP BY 1""".stripMargin
+
+  /** Trigram interpolated KN replay — the SAME statistics, association,
+    * literals, and rounding as TextAnalysis.lmKneserNey3Score. */
+  private val lmKn3Sql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tri AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w
+      |        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+      |        WHERE len(toks) >= 3),
+      |tf3 AS (SELECT doc_id, u, v, w, count(*) AS tf3 FROM tri GROUP BY 1, 2, 3, 4),
+      |c3 AS (SELECT u, v, w, sum(tf3) AS c3 FROM tf3 GROUP BY 1, 2, 3),
+      |bi AS (SELECT toks[i] AS p, toks[i + 1] AS q
+      |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+      |       WHERE len(toks) >= 2),
+      |cb AS (SELECT p, q, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |n1p_uv AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS n1p_uv FROM c3 GROUP BY 1, 2),
+      |nmid_vw AS (SELECT v, w, CAST(count(*) AS DOUBLE) AS nmid_vw FROM c3 GROUP BY 1, 2),
+      |nmid_v AS (SELECT v, CAST(count(*) AS DOUBLE) AS nmid_v FROM c3 GROUP BY 1),
+      |n1after AS (SELECT p AS v, CAST(count(*) AS DOUBLE) AS n1after FROM cb GROUP BY 1),
+      |n1w AS (SELECT q AS w, CAST(count(*) AS DOUBLE) AS n1w FROM cb GROUP BY 1),
+      |nbt AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM cb)
+      |SELECT doc_id,
+      |       round(-sum(tf3 * ln(
+      |           greatest(c3 - 0.75, 0.0) / cuv
+      |           + 0.75 * n1p_uv / cuv * (
+      |               greatest(nmid_vw - 0.75, 0.0) / nmid_v
+      |               + 0.75 * n1after / nmid_v * (n1w / nbt))))
+      |             / sum(tf3), 6) AS xent_kn3
+      |  FROM tf3
+      |  JOIN c3 USING (u, v, w)
+      |  JOIN (SELECT p AS u, q AS v, cb AS cuv FROM cb) USING (u, v)
+      |  JOIN n1p_uv USING (u, v)
+      |  JOIN nmid_vw USING (v, w)
+      |  JOIN nmid_v USING (v)
+      |  JOIN n1after USING (v)
       |  JOIN n1w USING (w)
       |  CROSS JOIN nbt GROUP BY 1""".stripMargin
 

@@ -1246,6 +1246,11 @@ object DflFrame {
             // Kneser-Ney bigram; arg 4 = absolute discount D
             val d = if (args.size > 4) numArg(4) else 0.75
             graft.llm.TextAnalysis.lmKneserNeyScore(base, "__gid", "__gtext", d)
+          case "kn3" =>
+            // trigram interpolated Kneser-Ney (the full backoff chain);
+            // arg 4 = absolute discount D → (id, xent_kn3)
+            val d3 = if (args.size > 4) numArg(4) else 0.75
+            graft.llm.TextAnalysis.lmKneserNey3Score(base, "__gid", "__gtext", d3)
           case other => throw new DflParseException(s"unknown lmScore method $other")
         }).withColumnRenamed("__gid", "id")
 

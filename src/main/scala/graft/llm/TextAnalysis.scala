@@ -621,6 +621,84 @@ object TextAnalysis {
         sum(col("tf2")), 6).as("xent_kn"))
   }
 
+  /** TRIGRAM interpolated Kneser–Ney cross-entropy (Chen & Goodman
+    * 1998, the recursion KenLM/CCNet ship at order 5 — order 3 here
+    * exercises the full backoff chain): per-doc
+    * `xent_kn3 = -Σ tf₃·ln P(w|u,v) / Σ tf₃` over trigram positions
+    * with
+    *
+    *   P(w|u,v) = max(c(uvw)−D,0)/c(uv)
+    *              + D·N1+(uv·)/c(uv) · P₂(w|v)
+    *   P₂(w|v)  = max(N1+(·vw)−D,0)/N1+(·v·)
+    *              + D·N1+(v·)/N1+(·v·) · P_cont(w)
+    *   P_cont(w) = N1+(·w)/N_bt
+    *
+    * — the middle order runs on CONTINUATION (type) counts, not token
+    * counts: a word frequent only inside one collocation stops soaking
+    * probability mass at every backoff level, not just the last.
+    *
+    * Every statistic is one aggregation off the trigram-type or
+    * bigram-type table (each built from ONE corpus explode); totals
+    * broadcast; no collect — the LM stays distributed at any corpus
+    * size, the [[lmKneserNeyScore]] shape one order deeper. Docs with
+    * fewer than 3 tokens emit no row. Scoring the training corpus means
+    * every trigram has support — no zero-probability edge. Rounded 6;
+    * the oracle renders the SAME formula literal-for-literal. */
+  def lmKneserNey3Score(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"lmKneserNey3Score: discount must be in (0,1), got $discount")
+    val toks = wsTokens(col(textCol))
+    val tri = df.filter(size(toks) >= 3)
+      .select(col(idCol), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 2).as("u"),
+        slice(toks, lit(2), size(toks) - 2).as("v"),
+        slice(toks, lit(3), size(toks) - 2).as("w"))).as("tg"))
+      .select(col(idCol), col("tg.u").as("u"), col("tg.v").as("v"),
+        col("tg.w").as("w"))
+    val tf3 = tri.groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf3"))
+    val c3 = tf3.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("tf3")).as("c3"))
+    val bi = df.filter(size(toks) >= 2)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("q"))).as("bg"))
+      .select(col("bg.p").as("p"), col("bg.q").as("q"))
+    val cb = bi.groupBy(col("p"), col("q")).agg(count(lit(1)).as("cb"))
+    // type tables: all off the c3 / cb aggregates, never the raw corpus
+    val n1pUv = c3.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("double").as("n1p_uv"))
+    val nmidVw = c3.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).cast("double").as("nmid_vw"))
+    val nmidV = c3.groupBy(col("v"))
+      .agg(count(lit(1)).cast("double").as("nmid_v"))
+    val n1After = cb.groupBy(col("p"))
+      .agg(count(lit(1)).cast("double").as("n1after"))
+    val n1w = cb.groupBy(col("q"))
+      .agg(count(lit(1)).cast("double").as("n1w"))
+    val nbt = cb.agg(count(lit(1)).cast("double").as("nbt"))
+    val d = discount
+    val prob =
+      greatest(col("c3") - lit(d), lit(0.0)) / col("cuv") +
+        lit(d) * col("n1p_uv") / col("cuv") * (
+          greatest(col("nmid_vw") - lit(d), lit(0.0)) / col("nmid_v") +
+            lit(d) * col("n1after") / col("nmid_v") * (col("n1w") / col("nbt")))
+    tf3.join(c3, Seq("u", "v", "w"))
+      .join(cb.select(col("p").as("u"), col("q").as("v"), col("cb").as("cuv")),
+        Seq("u", "v"))
+      .join(n1pUv, Seq("u", "v"))
+      .join(nmidVw, Seq("v", "w"))
+      .join(nmidV, Seq("v"))
+      .join(n1After.select(col("p").as("v"), col("n1after")), Seq("v"))
+      .join(n1w.select(col("q").as("w"), col("n1w")), Seq("w"))
+      .crossJoin(broadcast(nbt))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("tf3") * log(prob)) / sum(col("tf3")), 6)
+        .as("xent_kn3"))
+  }
+
   /** Feature-hashing text embedding (the "hashing trick"): each document
     * becomes an L2-normalized `dim`-dimensional count vector of its
     * token hash buckets — a model-free representation that drops

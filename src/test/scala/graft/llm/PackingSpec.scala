@@ -146,6 +146,35 @@ class PackingSpec extends AnyFunSuite {
       TextAnalysis.lmKneserNeyScore(df, "doc_id", "text", discount = 1.0))
   }
 
+  test("lmKneserNey3Score: trigram backoff chain matches by hand; short docs emit no row") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "a b"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmKneserNey3Score(df, "doc_id", "text",
+      discount = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // trigram counts: c3(a,b,c)=2 c3(a,b,d)=1; bigram tokens:
+    // c(a,b)=4 (doc4 adds one) c(b,c)=2 c(b,d)=1
+    // types: n1p(a,b)=2; nmid(b,c)=1 nmid(b,d)=1 nmid_v(b)=2;
+    // n1after(b)=2; n1w(b)=1 n1w(c)=1 n1w(d)=1; nbt=3
+    def round6(x: Double) = math.rint(x * 1e6) / 1e6
+    def p2(nmidVw: Double, nmidV: Double, n1after: Double, n1w: Double,
+           nbt: Double) =
+      math.max(nmidVw - 0.75, 0.0) / nmidV + 0.75 * n1after / nmidV * (n1w / nbt)
+    def p3(c3: Long, cuv: Long, n1pUv: Double, lower: Double) =
+      math.max(c3 - 0.75, 0.0) / cuv + 0.75 * n1pUv / cuv * lower
+    val pC = p3(2, 4, 2, p2(1, 2, 2, 1, 3))
+    val pD = p3(1, 4, 2, p2(1, 2, 2, 1, 3))
+    assert(out(1L) == round6(-math.log(pC)) && out(2L) == out(1L))
+    assert(out(3L) == round6(-math.log(pD)))
+    // the seen-twice continuation must be cheaper than the seen-once one
+    assert(out(1L) < out(3L))
+    // 2-token doc: no trigram positions, no row
+    assert(!out.contains(4L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.lmKneserNey3Score(df, "doc_id", "text", discount = 0.0))
+  }
+
   test("lmKneserNeyScore: collocation-locked word soaks less unigram mass than KN's continuation view") {
     // "francisco" appears 3 times but ONLY after "san": raw-frequency
     // interpolation inflates P(francisco) anywhere; KN's continuation
