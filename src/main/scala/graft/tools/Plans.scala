@@ -77,7 +77,7 @@ object PlanLint {
     "range_join_bands", "pipeline_event_features",
     "quantile_filter", "feature_scaling", "doclen_quantiles_approx",
     "lm_xent", "lm_bigram_xent", "dfl_lm_score", "dfl_lm_bigram",
-    "lm_kn_xent", "dfl_lm_kn",
+    "lm_kn_xent", "dfl_lm_kn", "lm_kn3_xent", "dfl_lm_kn3",
     "tfidf_top", "collocations", "temperature_mix",
     "pipeline_train_corpus", "pipeline_tokenized_corpus",
     "pipeline_clean_corpus", "pipeline_incremental_ingest",
