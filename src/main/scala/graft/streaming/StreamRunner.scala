@@ -161,6 +161,29 @@ object StreamRunner {
       .select(col("window_start"), col("pos"),
         col("e.item").as("item"), col("e.cnt").as("cnt"))
 
+  /** Windowed streaming QUANTILES: per event-time window, the mergeable
+    * quantile sketch of `valueCol` ([[graft.functions.QuantileSketchAgg]])
+    * answered as `(window_start, n, p25, p50, p90)` — "what does this
+    * hour's latency/length distribution look like" with
+    * watermark-bounded state (≤ k·levels doubles per open window).
+    * Partials merge weight-preservingly, so micro-batch slicing never
+    * changes `n`, and while a window holds under `k` values the
+    * quantiles are EXACT order statistics, as in batch — the same
+    * regime contract as [[streamingTopItems]]' exactness. Append-mode:
+    * a window emits once the watermark passes its end. */
+  def streamingQuantiles(stream: DataFrame, valueCol: String,
+                         timeCol: String, window: String, watermark: String,
+                         k: Int = 512): DataFrame =
+    stream.withWatermark(timeCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(timeCol), window))
+      .agg(graft.functions.QSketchF.quantileSketch(
+        col(valueCol).cast("double"), k).as("sketch"))
+      .select(col("window.start").as("window_start"),
+        graft.util.Sketches.qsCount(col("sketch")).as("n"),
+        graft.util.Sketches.qsQuantile(col("sketch"), 0.25).as("p25"),
+        graft.util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50"),
+        graft.util.Sketches.qsQuantile(col("sketch"), 0.9).as("p90"))
+
   /** Event-time SESSION windows — the streaming twin of
     * [[graft.temporal.Temporal.sessionStats]]: per-key sessions that
     * break after `gap` of inactivity, emitting the same

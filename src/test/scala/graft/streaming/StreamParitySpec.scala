@@ -338,6 +338,31 @@ class StreamParitySpec extends AnyFunSuite {
     assert(rows(("2026-01-01 00:01:00.0", 0)) == (("b", 2L)))
   }
 
+  test("windowed streaming quantiles: exact order statistics per window under k") {
+    val dir = Files.createTempDirectory("graft-wq").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ev.jsonl"),
+      """{"ts":"2026-01-01 00:00:05","x":30}
+        |{"ts":"2026-01-01 00:00:10","x":10}
+        |{"ts":"2026-01-01 00:00:20","x":20}
+        |{"ts":"2026-01-01 00:00:40","x":40}
+        |{"ts":"2026-01-01 00:01:10","x":7}
+        |{"ts":"2026-01-01 00:01:15","x":3}
+        |{"ts":"2026-01-01 00:03:00","x":0}""".stripMargin)
+    val stream = StreamRunner.readStream(spark, dir, "jsonl")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts"))
+    val out = StreamRunner.collectStream(
+      StreamRunner.streamingQuantiles(stream, "x", "ts", "1 minute",
+        "10 seconds", k = 64), "append")
+      .collect().map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // window 0 holds {30,10,20,40}: p25 = ceil(.25*4)=1st = 10,
+    // p50 = 2nd = 20, p90 = ceil(3.6)=4th = 40; window 1 holds {7,3}:
+    // p25 = 1st = 3, p50 = 3, p90 = 7 — exact order statistics, the
+    // under-k regime; the z-time sentinel only advances the watermark
+    assert(out("2026-01-01 00:00:00.0") == ((4L, 10.0, 20.0, 40.0)))
+    assert(out("2026-01-01 00:01:00.0") == ((2L, 3.0, 3.0, 7.0)))
+  }
+
   test("streaming session windows agree with the batch sessionizer") {
     val dir = Files.createTempDirectory("graft-ssw").toString
     // user 1: two sessions (5 s gaps inside, a 30 s gap between);
