@@ -55,6 +55,29 @@ object TokenizerStore {
         r.getLong(3))).toSeq
   }
 
+  /** The artifact kind stored at `dir` — the dispatch key the CLI's
+    * `apply` uses (no --method flag: the artifact knows what it is). */
+  def kindOf(spark: SparkSession, dir: String): String =
+    spark.read.parquet(s"$dir/meta").head().getString(0)
+
+  /** Persist a BYTE-level BPE merge table — a dedicated kind, so a
+    * byte-alphabet table can never serve through the char path (the
+    * alphabets don't mix; a silent mismatch would emit garbage). */
+  def saveByteBpe(spark: SparkSession, merges: Seq[Bpe.Merge],
+                  dir: String): Unit =
+    save(spark, dir, "byte-bpe", Bpe.mergesDf(spark, merges))
+
+  /** Load a byte-level BPE merge table saved by [[saveByteBpe]]. */
+  def loadByteBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    checkKind(spark, dir, "byte-bpe")
+    spark.read.parquet(s"$dir/table")
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("freq").cast("long"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+  }
+
   /** Persist a WordPiece serving vocabulary. */
   def saveWordPiece(spark: SparkSession, vocab: Seq[String],
                     dir: String): Unit = {
