@@ -2441,14 +2441,17 @@ object SparkEntry {
           .count()
       }.sum
       // fp band: hashes of ids guaranteed absent (offset far past any
-      // user id) — observed fpp ≤ 3× the 20k/2^18-bits design point
+      // user id) — observed fpp ≤ 3× the filter's OWN expected fpp
+      // (Spark's BloomFilter.expectedFpp reads the actual bit
+      // saturation and hash count, so the band tracks whatever k the
+      // builder chose instead of a hand-derived formula)
       val absent = s.range(1, 20001)
         .select(xxhash64(col("id") + lit(1000000000L)).as("h"))
       val fps = absent.filter(graft.functions.BloomFns
         .bloomMightContain(bf, col("h"))).count()
-      val designFpp = math.pow(1 - math.exp(-5.0 * 20000 / (1 << 18)),
-        5.0) // k=5 hashes at 13 bits/item (Spark picks optimal k)
-      val fppOk = fps.toDouble / 20000 <= math.max(designFpp * 3, 0.01)
+      val designFpp = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(allBytes)).expectedFpp()
+      val fppOk = fps.toDouble / 20000 <= math.max(designFpp * 3, 0.003)
       // incompatible sizes must throw, not silently OR
       val bad = util.Sketches.bloomBuild(ev, "event_type", "h",
         estItems = 100L, numBits = 1L << 10)
@@ -2468,12 +2471,12 @@ object SparkEntry {
     "qsketch_doclen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val per = util.Sketches.qsBuild(docs, "lang", "n_chars", k = 8192)
+      // ONE sketch decode per row serves all four columns (qsStats)
       def out(df: DataFrame, grp: org.apache.spark.sql.Column) = df.select(
-        grp.as("grp"),
-        util.Sketches.qsCount(col("sketch")).as("n"),
-        util.Sketches.qsQuantile(col("sketch"), 0.25).as("p25"),
-        util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50"),
-        util.Sketches.qsQuantile(col("sketch"), 0.9).as("p90"))
+          grp.as("grp"),
+          util.Sketches.qsStats(col("sketch"), Seq(0.25, 0.5, 0.9)).as("__s"))
+        .select(col("grp"), col("__s.n").as("n"), col("__s.q")(0).as("p25"),
+          col("__s.q")(1).as("p50"), col("__s.q")(2).as("p90"))
       out(per, col("lang"))
         .unionByName(out(util.Sketches.qsRollup(per, lit("all")), col("grp")))
     }),

@@ -85,9 +85,12 @@ object TokenizerCli {
           WordPiece.learnVocab(corpus, c.textCol, c.merges, c.minCount)._2,
           c.tokenizerDir)
       case "unigram" =>
+        // the serving bound travels WITH the artifact — apply reads it
+        // back instead of substituting a default
         TokenizerStore.saveUnigram(spark,
           Unigram.train(corpus, c.textCol, vocabSize = c.vocabSize,
-            maxPieceLen = c.maxPieceLen)._1, c.tokenizerDir)
+            maxPieceLen = c.maxPieceLen)._1, c.tokenizerDir,
+          maxPieceLen = c.maxPieceLen)
       case other => throw new IllegalArgumentException(
         s"unknown --method $other (bpe|byte-bpe|wordpiece|unigram)")
     }
@@ -111,7 +114,8 @@ object TokenizerCli {
       case "unigram" =>
         Unigram.segment(corpus, c.idCol, c.textCol,
           TokenizerStore.loadUnigram(spark, c.tokenizerDir),
-          maxPieceLen = c.maxPieceLen)
+          maxPieceLen =
+            TokenizerStore.unigramMaxPieceLen(spark, c.tokenizerDir))
       case other => throw new IllegalArgumentException(
         s"unknown tokenizer kind '$other' at ${c.tokenizerDir}")
     }

@@ -1088,10 +1088,11 @@ object DflFrame {
           .withColumn("__gx", subCol(2))
         graft.util.Sketches.qsBuild(qBase, "__ggrp", "__gx", qK)
           .select(col("__ggrp").as("grp"),
-            graft.util.Sketches.qsCount(col("sketch")).as("n"),
-            graft.util.Sketches.qsQuantile(col("sketch"), 0.25).as("p25"),
-            graft.util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50"),
-            graft.util.Sketches.qsQuantile(col("sketch"), 0.9).as("p90"))
+            graft.util.Sketches.qsStats(col("sketch"),
+              Seq(0.25, 0.5, 0.9)).as("__s"))
+          .select(col("grp"), col("__s.n").as("n"),
+            col("__s.q")(0).as("p25"), col("__s.q")(1).as("p50"),
+            col("__s.q")(2).as("p90"))
 
       case "mmr" =>
         // `mmr(@, '@id', '@score', '@vec', k[, lambda])` — MMR

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
@@ -162,6 +163,41 @@ object QSketchOps {
     if (java.lang.Double.isNaN(v)) null else java.lang.Double.valueOf(v)
   }
   def count(bytes: Array[Byte]): Long = deserialize(bytes).n
+
+  /** ONE deserialize + ONE sort answering the count and a whole list of
+    * quantiles — the serving projection (n, p25, p50, p90, …) without
+    * re-decoding the sketch per output column. Returns null on an empty
+    * sketch (no quantiles to answer). */
+  def stats(bytes: Array[Byte], qs: Array[Double]): InternalRow = {
+    val sk = deserialize(bytes)
+    val total = sk.n
+    if (total == 0L) return null
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var l = 0
+    while (l < sk.levels.length) {
+      val w = 1L << l
+      sk.levels(l).foreach(v => items += ((v, w)))
+      l += 1
+    }
+    val sorted = items.sortBy(_._1)
+    val out = new Array[Double](qs.length)
+    var qi = 0
+    while (qi < qs.length) {
+      val target = math.max(1L, math.ceil(qs(qi) * total).toLong).min(total)
+      var cum = 0L
+      var i = 0
+      var hit = sorted.last._1
+      var done = false
+      while (i < sorted.length && !done) {
+        cum += sorted(i)._2
+        if (cum >= target) { hit = sorted(i)._1; done = true }
+        i += 1
+      }
+      out(qi) = hit
+      qi += 1
+    }
+    InternalRow(total, new GenericArrayData(out))
+  }
 }
 
 /** `quantile_sketch_agg(x, k)` — build a mergeable quantile sketch of a
@@ -330,6 +366,53 @@ case class QSketchN(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `qsketch_stats(sketch)` — the exact count AND a fixed list of
+  * quantiles in ONE sketch decode (`struct<n bigint, q array<double>>`):
+  * the serving projection `(n, p25, p50, p90)` would otherwise
+  * deserialize and re-sort the sketch once PER output column. NULL on
+  * an empty or null sketch. */
+case class QSketchStats(child: Expression, qs: Seq[Double])
+    extends UnaryExpression {
+
+  require(qs.nonEmpty, "qsketch_stats: need at least one quantile")
+  require(qs.forall(q => q >= 0.0 && q <= 1.0),
+    s"qsketch_stats: quantiles must be in [0,1], got $qs")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("q", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "qsketch_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"qsketch_stats needs a sketch (binary), got ${other.sql}")
+  }
+
+  @transient private lazy val qsArr = qs.toArray
+
+  override def nullSafeEval(sketch: Any): Any =
+    QSketchOps.stats(sketch.asInstanceOf[Array[Byte]], qsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qsketchQs", qsArr,
+      classOf[Array[Double]].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("qstats")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.functions.QSketchOps.stats($a, $ref);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object QSketchF {
   /** Aggregate column: build a mergeable quantile sketch of `x`. */
   def quantileSketch(x: Column, k: Int): Column =
@@ -349,4 +432,8 @@ object QSketchF {
   /** Scalar: exact total row count of a serialized sketch. */
   def qsketchN(sketch: Column): Column =
     Bridge.column(QSketchN(Bridge.expression(sketch)))
+
+  /** Scalar: count + quantile list in one decode (see [[QSketchStats]]). */
+  def qsketchStats(sketch: Column, qs: Seq[Double]): Column =
+    Bridge.column(QSketchStats(Bridge.expression(sketch), qs))
 }

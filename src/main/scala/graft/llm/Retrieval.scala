@@ -192,24 +192,33 @@ object Retrieval {
     * postings/df reads prune to the query terms' hash bands (partition
     * pruning — spec-asserted) and then filter to the exact terms; the
     * corpus itself is never touched. */
-  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
-                      indexDir: String, terms: Seq[String], k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25TopKIndexed: empty query")
-    require(k > 0, s"bm25TopKIndexed: k must be positive, got $k")
+  /** Shared index-probe plumbing for the single and batch indexed
+    * paths: the (n, avgdl) stats, and the pruned `postings`/`df` reads
+    * for a term set — bands computed by the SAME Catalyst expression
+    * the build used (a tiny local job — never trust a reimplementation
+    * of the hash), then the exact-term filter on top. */
+  private def indexProbe(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, termList: Seq[String])
+      : (Double, Double, DataFrame, DataFrame) = {
     val st = spark.read.parquet(s"$indexDir/stats").head()
     val (n, avgdl, pbands) = (st.getDouble(0), st.getDouble(1), st.getInt(2))
-    val termList = terms.distinct
     import spark.implicits._
-    // the terms' bands via the SAME expression the build used (a tiny
-    // local job — never trust a reimplementation of the hash)
     val bands = termList.toDF("w")
       .select(pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
     def pruned(path: String) = spark.read.parquet(path)
       .filter(col("pband").isin(bands: _*) && col("w").isin(termList: _*))
-    val dft = pruned(s"$indexDir/df").select(col("w"), col("df"))
-    val scored = pruned(s"$indexDir/postings")
+    (n, avgdl, pruned(s"$indexDir/postings"),
+      pruned(s"$indexDir/df").select(col("w"), col("df")))
+  }
+
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, terms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed: empty query")
+    require(k > 0, s"bm25TopKIndexed: k must be positive, got $k")
+    val (n, avgdl, postings, dft) = indexProbe(spark, indexDir, terms.distinct)
+    val scored = postings
       .join(broadcast(dft), "w")
       .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
       .groupBy(col("id"))
@@ -236,20 +245,12 @@ object Retrieval {
     require(queries.forall(_._2.nonEmpty),
       "bm25TopKIndexedBatch: a query has no terms")
     require(k > 0, s"bm25TopKIndexedBatch: k must be positive, got $k")
-    val st = spark.read.parquet(s"$indexDir/stats").head()
-    val (n, avgdl, pbands) = (st.getDouble(0), st.getDouble(1), st.getInt(2))
     val union = queries.flatMap(_._2).distinct
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("qid", "w")
-    // bands via the SAME expression the build used (bm25TopKIndexed)
-    val bands = union.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
-      .collect().map(_.getInt(0)).distinct.toSeq
-    def pruned(path: String) = spark.read.parquet(path)
-      .filter(col("pband").isin(bands: _*) && col("w").isin(union: _*))
-    val dft = pruned(s"$indexDir/df").select(col("w"), col("df"))
-    val scored = pruned(s"$indexDir/postings")
+    val (n, avgdl, postings, dft) = indexProbe(spark, indexDir, union)
+    val scored = postings
       .join(broadcast(dft), "w")
       .join(broadcast(qterms), "w")
       .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))

@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
 object TokenizerStore {
 
   private def save(spark: SparkSession, dir: String, kind: String,
-                   rows: DataFrame): Unit =
+                   rows: DataFrame, maxPieceLen: Int = 0): Unit =
     Similarity.stagedCommit(spark, dir) { staging =>
       rows.write.mode("overwrite").parquet(s"$staging/table")
       val n = rows.count()
-      spark.range(1).select(lit(kind).as("kind"), lit(n).as("n"))
+      // max_piece_len is a SERVING hyperparameter for the unigram kind
+      // (Viterbi scan bound — a vocab trained with longer pieces served
+      // with a shorter bound silently never matches them); 0 = not
+      // applicable. Persisted so apply can never substitute a default.
+      spark.range(1).select(lit(kind).as("kind"), lit(n).as("n"),
+          lit(maxPieceLen).as("max_piece_len"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/meta")
     }
 
@@ -44,9 +49,9 @@ object TokenizerStore {
               dir: String): Unit =
     save(spark, dir, "bpe", Bpe.mergesDf(spark, merges))
 
-  /** Load a BPE merge table saved by [[saveBpe]]. */
-  def loadBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
-    checkKind(spark, dir, "bpe")
+  private def loadMerges(spark: SparkSession, dir: String,
+                         kind: String): Seq[Bpe.Merge] = {
+    checkKind(spark, dir, kind)
     spark.read.parquet(s"$dir/table")
       .select(col("rank").cast("int"), col("left"), col("right"),
         col("freq").cast("long"))
@@ -54,6 +59,10 @@ object TokenizerStore {
       .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq
   }
+
+  /** Load a BPE merge table saved by [[saveBpe]]. */
+  def loadBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] =
+    loadMerges(spark, dir, "bpe")
 
   /** The artifact kind stored at `dir` — the dispatch key the CLI's
     * `apply` uses (no --method flag: the artifact knows what it is). */
@@ -68,15 +77,8 @@ object TokenizerStore {
     save(spark, dir, "byte-bpe", Bpe.mergesDf(spark, merges))
 
   /** Load a byte-level BPE merge table saved by [[saveByteBpe]]. */
-  def loadByteBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
-    checkKind(spark, dir, "byte-bpe")
-    spark.read.parquet(s"$dir/table")
-      .select(col("rank").cast("int"), col("left"), col("right"),
-        col("freq").cast("long"))
-      .collect().sortBy(_.getInt(0))
-      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
-        r.getLong(3))).toSeq
-  }
+  def loadByteBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] =
+    loadMerges(spark, dir, "byte-bpe")
 
   /** Persist a WordPiece serving vocabulary. */
   def saveWordPiece(spark: SparkSession, vocab: Seq[String],
@@ -94,12 +96,24 @@ object TokenizerStore {
       .collect().map(_.getString(0)).sorted.toSeq
   }
 
-  /** Persist a unigram-LM piece table. */
+  /** Persist a unigram-LM piece table WITH its serving bound: the
+    * Viterbi `maxPieceLen` the vocab was trained under travels in the
+    * meta sidecar, so serving can never silently scan with a shorter
+    * bound than the longest trained piece. */
   def saveUnigram(spark: SparkSession, vocab: Seq[Unigram.Piece],
-                  dir: String): Unit = {
+                  dir: String, maxPieceLen: Int = 8): Unit = {
     import spark.implicits._
+    require(maxPieceLen >= 1,
+      s"saveUnigram: maxPieceLen must be >= 1, got $maxPieceLen")
     save(spark, dir, "unigram",
-      vocab.map(p => (p.piece, p.logp)).toDF("piece", "logp"))
+      vocab.map(p => (p.piece, p.logp)).toDF("piece", "logp"), maxPieceLen)
+  }
+
+  /** The serving `maxPieceLen` recorded with a unigram artifact. */
+  def unigramMaxPieceLen(spark: SparkSession, dir: String): Int = {
+    checkKind(spark, dir, "unigram")
+    spark.read.parquet(s"$dir/meta").select(col("max_piece_len"))
+      .head().getInt(0)
   }
 
   /** Load a unigram piece table saved by [[saveUnigram]]. */

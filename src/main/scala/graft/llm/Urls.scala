@@ -30,15 +30,19 @@ object Urls {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Survivor rows: the original frame filtered to the kept id per
-    * canonical key (plus rows with unparseable urls, which have no key
-    * to collide on). Broadcast-joins the (tiny relative to corpus)
-    * keep-set only when it actually is small — the join is keyed,
+    * canonical key, with unparseable rows (no key to collide on) kept.
+    * Canonicalization runs ONCE: an unparseable row's key falls back to
+    * a per-row sentinel: NUL + `raw:<id>` — the U+0000 prefix cannot
+    * collide with any canonical URL, whose first byte is a scheme
+    * letter — making it its own singleton group, so one aggregation +
+    * one keyed semi-join covers both cases. The join is keyed —
     * Spark/AQE picks the strategy. */
   def urlSurvivors(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val keep = urlDedup(df, idCol, urlCol)
-      .select(col("keep_id").as("__keep"))
+    val keep = df.select(col(idCol).cast("long").as("id"),
+        coalesce(graft.functions.UrlF.canonUrl(col(urlCol)),
+          concat(lit("\u0000raw:"), col(idCol).cast("string"))).as("key"))
+      .groupBy(col("key")).agg(min(col("id")).as("__keep"))
+      .select(col("__keep"))
     df.join(keep, col(idCol).cast("long") === col("__keep"), "left_semi")
-      .unionByName(
-        df.filter(graft.functions.UrlF.canonUrl(col(urlCol)).isNull))
   }
 }

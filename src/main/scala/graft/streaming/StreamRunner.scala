@@ -179,10 +179,11 @@ object StreamRunner {
       .agg(graft.functions.QSketchF.quantileSketch(
         col(valueCol).cast("double"), k).as("sketch"))
       .select(col("window.start").as("window_start"),
-        graft.util.Sketches.qsCount(col("sketch")).as("n"),
-        graft.util.Sketches.qsQuantile(col("sketch"), 0.25).as("p25"),
-        graft.util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50"),
-        graft.util.Sketches.qsQuantile(col("sketch"), 0.9).as("p90"))
+        graft.util.Sketches.qsStats(col("sketch"),
+          Seq(0.25, 0.5, 0.9)).as("__s"))
+      .select(col("window_start"), col("__s.n").as("n"),
+        col("__s.q")(0).as("p25"), col("__s.q")(1).as("p50"),
+        col("__s.q")(2).as("p90"))
 
   /** Event-time SESSION windows — the streaming twin of
     * [[graft.temporal.Temporal.sessionStats]]: per-key sessions that

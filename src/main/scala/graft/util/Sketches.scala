@@ -73,6 +73,14 @@ object Sketches {
   def qsCount(sketchCol: Column): Column =
     graft.functions.QSketchF.qsketchN(sketchCol)
 
+  /** Count + a quantile LIST in one sketch decode —
+    * `struct<n, q array<double>>`; the serving projection
+    * `(n, p25, p50, p90)` should use this instead of one
+    * [[qsQuantile]] call per column (each call deserializes and
+    * re-sorts the whole sketch). */
+  def qsStats(sketchCol: Column, qs: Seq[Double]): Column =
+    graft.functions.QSketchF.qsketchStats(sketchCol, qs)
+
   // --- bloom membership tables (Spark's own BloomFilter sketch) ------
   // The MEMBERSHIP member of the sketch-table family: per-shard "have
   // we seen this fingerprint" filters built in the ingest scan, rolled
