@@ -203,6 +203,11 @@ final class MmrBuffer(val cap: Int) {
   }
 
   def serialized: Array[Byte] = {
+    // trim before shipping a partial so the shuffle carries ≤ cap
+    // candidates per group, matching the documented hard bound (the
+    // in-memory buffer amortizes to 2*cap between trims, but that slack
+    // never leaves the task)
+    trim()
     var bytes = 4 + 4
     items.foreach { case (_, _, v) => bytes += 8 + 8 + 4 + 8 * v.length }
     val bb = java.nio.ByteBuffer.allocate(bytes)

@@ -397,8 +397,7 @@ case class QSketchStats(child: Expression, qs: Seq[Double])
     QSketchOps.stats(sketch.asInstanceOf[Array[Byte]], qsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("qsketchQs", qsArr,
-      classOf[Array[Double]].getName)
+    val ref = ctx.addReferenceObj("qsketchQs", qsArr, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val r = ctx.freshName("qstats")
       s"""

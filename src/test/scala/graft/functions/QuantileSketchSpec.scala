@@ -128,6 +128,21 @@ class QuantileSketchSpec extends AnyFunSuite {
         .select(Sketches.qsQuantile(col("s"), 0.5),
           Sketches.qsCount(col("s"))).head()
       assert(r.getDouble(0) == 2.0 && r.getLong(1) == 3L)
+      // qsketchStats carries a double[] reference object into codegen —
+      // regression guard for the "[D"-classname Janino failure
+      val qs = Seq(0.25, 0.5, 0.9)
+      val st = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+        .agg(QSketchF.quantileSketch(col("x"), 64).as("s"))
+        .select((QSketchF.qsketchStats(col("s"), qs).as("st") +:
+          qs.zipWithIndex.map { case (q, i) =>
+            Sketches.qsQuantile(col("s"), q).as(s"q$i") }): _*)
+        .select(col("st.n") +: col("st.q") +:
+          qs.indices.map(i => col(s"q$i")): _*)
+        .head()
+      assert(st.getLong(0) == 4L)
+      val fromStats = st.getSeq[Double](1)
+      val fromScalars = (2 until 2 + qs.length).map(st.getDouble)
+      assert(fromStats == fromScalars)
     } finally {
       prev.fold(spark.conf.unset(factory))(spark.conf.set(factory, _))
     }
