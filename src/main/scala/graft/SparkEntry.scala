@@ -2210,6 +2210,21 @@ object SparkEntry {
       }
       llm.Retrieval.bm25TopKIndexedBatch(s, idxDir, bm25BatchQueries, k = 5)
     }),
+    // the index APPEND lifecycle: build on a doc_id prefix, append the
+    // rest (increment-only scans, additive df/stats merge, staged
+    // crash-safe commit) — probe answers must equal the FULL-corpus
+    // direct scan, which is exactly what the oracle pins
+    "bm25_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = memoIndexDir(dir, "bm25app", table = "documents") { d =>
+        llm.Retrieval.bm25Build(docs.filter(col("doc_id") < 300L),
+          "doc_id", "text", d)
+        llm.Retrieval.bm25Append(docs.filter(col("doc_id") >= 300L),
+          "doc_id", "text", d)
+      }
+      llm.Retrieval.bm25TopKIndexed(s, idxDir,
+        Seq("merge", "sort", "stream"), k = 10)
+    }),
     // reciprocal-rank fusion of two lexical runs — rank-only, so the
     // score scales never mix; oracle renders both runs + the fusion
     "rrf_fuse" -> ((s, dir) => {
@@ -3679,6 +3694,9 @@ object SparkEntry {
       bm25BatchQueries, k = 5),
     "bm25_indexed_batch" -> llm.Retrieval.bm25BatchSql("documents", "doc_id",
       "text", bm25BatchQueries, k = 5),
+    // prefix-build + append must serve the full corpus exactly
+    "bm25_append" -> llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+      Seq("merge", "sort", "stream"), k = 10),
     "rrf_fuse" -> llm.Retrieval.rrfSql(Seq(
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("spark", "stream", "window"), k = 20),

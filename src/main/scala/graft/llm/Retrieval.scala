@@ -156,8 +156,11 @@ object Retrieval {
     *     terms' bands (≤ |terms| of `pbands` partitions — the LSH
     *     pband posture; partitioning by raw term would explode the
     *     partition count at web vocabulary sizes),
-    *   - `df/` — `(w, df)` under the same banding,
-    *   - `stats/` — one row `(n, avgdl, pbands)` (self-describing).
+    *   - `df/` — `(w, df)` under the same banding; appends land DELTA
+    *     rows, so probes sum df per term ([[indexProbe]]),
+    *   - `stats/` — one row `(n, avgdl, sum_dl, pbands)`; (n, sum_dl)
+    *     is the additive pair [[bm25Append]] merges, avgdl the derived
+    *     serving value (self-describing).
     *
     * Committed through the shared rename-aside [[Similarity.stagedCommit]]
     * (a crashed build can never leave a half-written dir a reader would
@@ -168,15 +171,14 @@ object Retrieval {
     require(pbands > 0, s"bm25Build: pbands must be positive, got $pbands")
     val spark = df.sparkSession
     val base = prepared(df, idCol, textCol)
+    // stats store the ADDITIVE pair (n, sum_dl) — avgdl is derived
+    // (exact long sum / count, the same arithmetic an append's merged
+    // stats produce), so increments merge without revisiting the corpus
     val stats = base.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl")).withColumn("pbands", lit(pbands))
-    val tf = base
-      .select(col("id"), col("dl"), explode(col("__toks")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("id"), col("dl"), col("w"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("pband",
-        pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
+      (coalesce(sum(col("dl")), lit(0L)) / count(lit(1))).as("avgdl"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .withColumn("pbands", lit(pbands))
+    val tf = bandedTf(base, pbands)
     Similarity.stagedCommit(spark, indexDir) { staging =>
       tf.write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/postings")
@@ -185,6 +187,171 @@ object Retrieval {
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
       stats.write.mode("overwrite").parquet(s"$staging/stats")
     }
+  }
+
+  /** The banded per-(doc, term) tf table both [[bm25Build]] and
+    * [[bm25Append]] write — one place to keep the layouts identical. */
+  private def bandedTf(base: DataFrame, pbands: Int): DataFrame =
+    base.select(col("id"), col("dl"), explode(col("__toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("pband",
+        pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
+
+  /** The partitioned data subdirs a BM25 index appends into — postings
+    * carry the replay-fence markers ([[Similarity.stagedAppend]] fences
+    * on the FIRST entry). */
+  private val bm25DataDirs = Seq("postings", "df")
+
+  /** BM25's sidecar phase for [[Similarity.stagedAppend]]: fold the
+    * staged `(n_delta, sum_dl_delta)` into the live stats sidecar —
+    * additive thanks to the (n, sum_dl) format — guarded against
+    * double-apply by an `_applied-<id>` marker written atomically with
+    * the replaced sidecar (the occupancy-merge pattern). */
+  private val bm25StatsApply: Similarity.SidecarApply =
+    (spark, indexDir, staging, id) => {
+      val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+      val delta = new org.apache.hadoop.fs.Path(staging, "stats_delta")
+      if (fs.exists(delta)) {
+        val statsPath = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+        if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath, s"_applied-$id"))) {
+          val cur = spark.read.parquet(statsPath.toString)
+          val c = cur.head()
+          val fi = cur.schema.fieldIndex _
+          val d = spark.read.parquet(delta.toString).head()
+          val n = c.getDouble(fi("n")) + d.getLong(0).toDouble
+          val sumDl = c.getLong(fi("sum_dl")) + d.getLong(1)
+          val pbands = c.getInt(fi("pbands"))
+          import spark.implicits._
+          val merged = Seq((n, if (n > 0) sumDl.toDouble / n else 0.0,
+            sumDl, pbands)).toDF("n", "avgdl", "sum_dl", "pbands")
+          Similarity.replaceSidecar(spark, indexDir, "stats") { p =>
+            merged.coalesce(1).write.mode("overwrite").parquet(p)
+            fs.create(new org.apache.hadoop.fs.Path(p, s"_applied-$id"), true)
+              .close()
+          }
+        }
+      }
+    }
+
+  /** APPEND new documents to a [[bm25Build]] index WITHOUT re-scanning
+    * the indexed corpus — the lexical twin of [[Similarity.ivfAppend]]:
+    * tokenize ONLY the new rows, land their postings and df deltas into
+    * the existing hash-band partitions, and fold (count, Σdl) into the
+    * additive stats sidecar. Everything in a BM25 index is additive —
+    * postings rows are per-(doc, term), df rows merge by summation at
+    * probe time ([[indexProbe]] aggregates them), and the stats pair
+    * (n, sum_dl) adds — so the append costs one scan OF THE INCREMENT,
+    * never of the corpus. Crash/retry-safe through
+    * [[Similarity.stagedAppend]] (`postings/_append-<id>` replay fence:
+    * a retried or replayed batch is a no-op); same single-writer
+    * contract as the ANN appends. Caller must append each document id
+    * at most once (the ANN contract — re-appending a doc would double
+    * its postings). Probe answers afterwards are value-identical to a
+    * fresh full-corpus build — the contract the `bm25_append` oracle
+    * row pins. `appendId` overrides the batch identity for IN-MEMORY
+    * batches (whose rows a plan-derived fingerprint cannot see) — the
+    * streaming-ingest shape, same as [[Similarity.lshAppend]]. */
+  def bm25Append(df: DataFrame, idCol: String, textCol: String,
+                 indexDir: String, appendId: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    Similarity.healStrandedAppends(spark, indexDir, bm25DataDirs, bm25StatsApply)
+    val statsDf = spark.read.parquet(s"$indexDir/stats")
+    require(statsDf.schema.fieldNames.contains("sum_dl"),
+      s"bm25Append: $indexDir predates the additive stats format " +
+        "(no sum_dl column) — rebuild with bm25Build to enable appends")
+    val pbands = statsDf.head().getInt(statsDf.schema.fieldIndex("pbands"))
+    val batchId = appendId.getOrElse(Similarity.appendBatchId(df))
+    val base = prepared(df, idCol, textCol)
+    val tf = bandedTf(base, pbands)
+    Similarity.stagedAppend(spark, indexDir, batchId, bm25DataDirs,
+        bm25StatsApply) { staging =>
+      tf.write.mode("overwrite").partitionBy("pband")
+        .parquet(s"$staging/postings")
+      tf.groupBy(col("w"), col("pband"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
+      base.agg(count(lit(1)).as("n_delta"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl_delta"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats_delta")
+    }
+  }
+
+  /** COMPACT an appended BM25 index back to build-shape file counts —
+    * the read-amplification bound that keeps an always-appending
+    * postings index servable between full rebuilds: each append lands
+    * one part file per touched band, so after N appends a band probe
+    * reads N small files. Rewrites postings clustered by band
+    * ([[Similarity.clusteredWrite]] — the build's own layout), merges
+    * the per-append df delta rows back to one row per (term, band), and
+    * carries the stats sidecar and the `postings/_append-<id>` replay
+    * fences over verbatim (a streaming replay of an already-ingested
+    * batch stays a no-op across the compaction). The row multiset is
+    * preserved exactly, so probe answers are unchanged. Lands through
+    * [[Similarity.stagedCommit]]; single-writer, like every in-place
+    * rewrite. */
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String): Similarity.CompactStats = {
+    Similarity.healStrandedAppends(spark, indexDir, bm25DataDirs, bm25StatsApply)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val livePostings = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val restoreFences = Similarity.carryAppendFences(fs, livePostings)
+    val (filesBefore, _) =
+      Similarity.indexFileStats(spark, indexDir, "postings")
+    val postings = spark.read.parquet(livePostings.toString)
+    val dfT = spark.read.parquet(s"$indexDir/df")
+    // snapshot the frozen sidecar BEFORE the swap so the staged write
+    // doesn't read through the dir rename
+    val statsRows = spark.read.parquet(s"$indexDir/stats").collect()
+    val statsSchema = spark.read.parquet(s"$indexDir/stats").schema
+    val pbands = statsRows.head.getInt(statsSchema.fieldIndex("pbands"))
+    Similarity.stagedCommit(spark, indexDir) { staging =>
+      Similarity.clusteredWrite(postings, "pband", pbands)
+        .write.mode("overwrite").partitionBy("pband")
+        .parquet(s"$staging/postings")
+      dfT.groupBy(col("w"), col("pband")).agg(sum(col("df")).as("df"))
+        .repartition(col("pband"))
+        .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
+      spark.createDataFrame(
+          java.util.Arrays.asList(statsRows: _*), statsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+      restoreFences(s"$staging/postings")
+    }
+    Similarity.CompactStats(filesBefore,
+      Similarity.indexFileStats(spark, indexDir, "postings")._1)
+  }
+
+  /** Whether a BM25 index has grown past its build-shape postings layout
+    * — the [[Similarity.compactionDue]] gate for the lexical family
+    * (pure FS listing + one stats read, no Spark job over data). */
+  def bm25CompactionDue(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Boolean = {
+    val statsDf = spark.read.parquet(s"$indexDir/stats")
+    val pbands = statsDf.head().getInt(statsDf.schema.fieldIndex("pbands"))
+    val saltN = math.max(1,
+      spark.sessionState.conf.numShufflePartitions / math.max(1, pbands))
+    Similarity.indexFileStats(spark, indexDir, "postings")._2 > saltN
+  }
+
+  /** BM25 top-k through the fingerprint-fenced cached-index lifecycle
+    * ([[Similarity.cachedIndex]] — the ivfTopKIndexed posture): first
+    * call per `cacheKey` pays a [[bm25Build]]; unchanged corpora are
+    * pure cache hits; a corpus grown by FILE ADDITION appends just the
+    * new files via [[bm25Append]]; any other change (or growth past the
+    * rebuild factor) re-lands a fresh stamp-named dir under
+    * `graft.ivf.indexBase` — which is exactly what makes the bm25 dirs
+    * members of the [[graft.tools.IndexGc]] retention family. */
+  def bm25TopKCached(df: DataFrame, idCol: String, textCol: String,
+                     cacheKey: String, terms: Seq[String], k: Int,
+                     pbands: Int = 64, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val dir = Similarity.cachedIndex(df, cacheKey, s"bm25|p=$pbands",
+      Some((newRows, d) => bm25Append(newRows, idCol, textCol, d))) { d =>
+      bm25Build(df, idCol, textCol, d, pbands)
+    }
+    bm25TopKIndexed(df.sparkSession, dir, terms, k, k1, b)
   }
 
   /** BM25 top-k served FROM a [[bm25Build]] index: `(id, score, rnk)`,
@@ -200,16 +367,21 @@ object Retrieval {
   private def indexProbe(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, termList: Seq[String])
       : (Double, Double, DataFrame, DataFrame) = {
-    val st = spark.read.parquet(s"$indexDir/stats").head()
-    val (n, avgdl, pbands) = (st.getDouble(0), st.getDouble(1), st.getInt(2))
+    val statsDf = spark.read.parquet(s"$indexDir/stats")
+    val st = statsDf.head()
+    val fi = statsDf.schema.fieldIndex _
+    val (n, avgdl, pbands) =
+      (st.getDouble(fi("n")), st.getDouble(fi("avgdl")), st.getInt(fi("pbands")))
     import spark.implicits._
     val bands = termList.toDF("w")
       .select(pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
       .collect().map(_.getInt(0)).distinct.toSeq
     def pruned(path: String) = spark.read.parquet(path)
       .filter(col("pband").isin(bands: _*) && col("w").isin(termList: _*))
+    // df rows are append-deltas by design — sum them per term (a no-op
+    // group for a freshly built or compacted index)
     (n, avgdl, pruned(s"$indexDir/postings"),
-      pruned(s"$indexDir/df").select(col("w"), col("df")))
+      pruned(s"$indexDir/df").groupBy(col("w")).agg(sum(col("df")).as("df")))
   }
 
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,

@@ -467,7 +467,7 @@ object Similarity {
     * place. The unrecoverable window (between delete and rename) loses
     * only the sidecar — [[lshMeta]] falls back to the counting loop when
     * occupancy is missing, and the next append or rebuild restores it. */
-  private def replaceSidecar(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def replaceSidecar(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String, name: String)
                             (write: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -521,35 +521,50 @@ object Similarity {
         }).take(16)
     else java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
-  /** Crash/retry-safe append commit shared by [[ivfAppend]] and
-    * [[lshAppend]] — the append-path counterpart of [[stagedCommit]].
-    * A bare `mode("append")` into the live dir was NOT retry-safe: the
-    * cached lifecycle retries a failed append (lazy slot), and a retry
-    * after the vectors write had committed would append every row TWICE
-    * (duplicate ids in the index, duplicate ids in top-k answers). Here
-    * the new rows stage under `.append-<id>`, a `_COMMITTING` flag marks
-    * the staging complete, and the commit phase ([[commitStagedAppend]])
-    * is a sequence of idempotent, resumable steps fenced by a durable
-    * `vectors/_append-<id>` marker:
+  /** The sidecar phase of a staged-append commit: given (spark, indexDir,
+    * stagingPath, id), apply any staged sidecar delta to the live index.
+    * MUST be idempotent across crashes — guard the apply with an
+    * `_applied-<id>` marker written atomically WITH the merged sidecar
+    * (the [[occupancyDeltaApply]] pattern). */
+  private[llm] type SidecarApply =
+    (org.apache.spark.sql.SparkSession, String,
+      org.apache.hadoop.fs.Path, String) => Unit
+
+  /** Crash/retry-safe append commit shared by [[ivfAppend]], [[lshAppend]],
+    * and [[graft.llm.Retrieval.bm25Append]] — the append-path counterpart
+    * of [[stagedCommit]]. A bare `mode("append")` into the live dir was
+    * NOT retry-safe: the cached lifecycle retries a failed append (lazy
+    * slot), and a retry after the vectors write had committed would append
+    * every row TWICE (duplicate ids in the index, duplicate ids in top-k
+    * answers). Here the new rows stage under `.append-<id>`, a
+    * `_COMMITTING` flag marks the staging complete, and the commit phase
+    * ([[commitStagedAppend]]) is a sequence of idempotent, resumable steps
+    * fenced by a durable `<dataDirs.head>/_append-<id>` marker:
     *
     *  - marker exists → the append is fully applied; a retried append is
     *    a no-op (stale staging swept)
     *  - no `_COMMITTING` → staging may be partial; rewrite it from scratch
     *  - `_COMMITTING`, no marker → resume the commit where the crash
     *    stopped: part files already moved are gone from staging, and the
-    *    occupancy merge is guarded by its own in-dir applied marker
+    *    sidecar merge is guarded by its own in-dir applied marker
     *
+    * `dataDirs` names the partitioned data subdirs whose staged part
+    * files move into the live layout (ANN: `vectors`; BM25: `postings`
+    * and `df`); `applySidecar` runs the family's sidecar delta merge.
     * Appends remain single-writer operations per index dir (the same
     * contract as in-place rebuilds); readers stay safe throughout —
     * no existing file is removed or rewritten. */
   private[llm] def stagedAppend(spark: org.apache.spark.sql.SparkSession,
-                           indexDir: String, id: String)
+                           indexDir: String, id: String,
+                           dataDirs: Seq[String] = Seq("vectors"),
+                           applySidecar: SidecarApply = occupancyDeltaApply)
                           (stageWrite: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexDir))
     val staging = new org.apache.hadoop.fs.Path(root, s".append-$id")
-    val applied = new org.apache.hadoop.fs.Path(root, s"vectors/_append-$id")
+    val applied =
+      new org.apache.hadoop.fs.Path(root, s"${dataDirs.head}/_append-$id")
     if (fs.exists(applied)) { fs.delete(staging, true); return }
     val committing = new org.apache.hadoop.fs.Path(staging, "_COMMITTING")
     if (!fs.exists(committing)) {
@@ -557,7 +572,7 @@ object Similarity {
       stageWrite(staging.toString)
       fs.create(committing, true).close()
     }
-    commitStagedAppend(spark, indexDir, staging, id)
+    commitStagedAppend(spark, indexDir, staging, id, dataDirs, applySidecar)
   }
 
   /** The COMMIT phase of a staged append: move the staged part files into
@@ -576,46 +591,32 @@ object Similarity {
   private def commitStagedAppend(spark: org.apache.spark.sql.SparkSession,
                                  indexDir: String,
                                  staging: org.apache.hadoop.fs.Path,
-                                 id: String): Unit = {
+                                 id: String,
+                                 dataDirs: Seq[String] = Seq("vectors"),
+                                 applySidecar: SidecarApply =
+                                   occupancyDeltaApply): Unit = {
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
-    val stagedVec = new org.apache.hadoop.fs.Path(staging, "vectors")
-    if (fs.exists(stagedVec)) {
-      fs.listStatus(stagedVec).foreach { part =>
-        if (part.isDirectory && part.getPath.getName.contains("=")) {
-          val dst = new org.apache.hadoop.fs.Path(live, part.getPath.getName)
-          fs.mkdirs(dst)
-          fs.listStatus(part.getPath).foreach { f =>
-            val n = f.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith(".") &&
-                !fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dst, n)))
-              throw new java.io.IOException(
-                s"append move ${f.getPath} -> $dst failed")
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/${dataDirs.head}")
+    dataDirs.foreach { d =>
+      val liveD = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+      val stagedD = new org.apache.hadoop.fs.Path(staging, d)
+      if (fs.exists(stagedD)) {
+        fs.listStatus(stagedD).foreach { part =>
+          if (part.isDirectory && part.getPath.getName.contains("=")) {
+            val dst = new org.apache.hadoop.fs.Path(liveD, part.getPath.getName)
+            fs.mkdirs(dst)
+            fs.listStatus(part.getPath).foreach { f =>
+              val n = f.getPath.getName
+              if (!n.startsWith("_") && !n.startsWith(".") &&
+                  !fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dst, n)))
+                throw new java.io.IOException(
+                  s"append move ${f.getPath} -> $dst failed")
+            }
           }
         }
       }
     }
-    val delta = new org.apache.hadoop.fs.Path(staging, "delta")
-    if (fs.exists(delta)) {
-      val occ = new org.apache.hadoop.fs.Path(s"$indexDir/occupancy")
-      if (!fs.exists(new org.apache.hadoop.fs.Path(occ, s"_applied-$id"))) {
-        val merged =
-          if (fs.exists(occ))
-            spark.read.parquet(occ.toString)
-              .unionByName(spark.read.parquet(delta.toString))
-              .groupBy("bucket").agg(sum("count").as("count"))
-          else // legacy index, or occupancy lost to a crash mid-swap:
-               // recount from the index's bucket column (the moved rows
-               // are live already, so the recount includes this batch)
-            spark.read.parquet(s"$indexDir/vectors")
-              .filter(col("bucket").isNotNull).groupBy("bucket").count()
-        replaceSidecar(spark, indexDir, "occupancy") { p =>
-          merged.coalesce(1).write.mode("overwrite").parquet(p)
-          fs.create(new org.apache.hadoop.fs.Path(p, s"_applied-$id"), true)
-            .close()
-        }
-      }
-    }
+    applySidecar(spark, indexDir, staging, id)
     fs.create(new org.apache.hadoop.fs.Path(live, s"_append-$id"), true).close()
     // bound the marker population: a long-running ingest stream lands one
     // marker per micro-batch, and an unbounded pile would inflate every
@@ -642,6 +643,37 @@ object Similarity {
     * rollbacks of up to 512 committed batches. */
   private val appendMarkerKeep = 512
 
+  /** The ANN families' sidecar phase: merge a staged occupancy delta
+    * (`staging/delta`, written by [[lshAppend]]) into the live occupancy
+    * histogram, guarded against double-apply by an `_applied-<id>` marker
+    * written atomically with the merged sidecar. The default
+    * [[SidecarApply]] of [[stagedAppend]]/[[healStrandedAppends]]. */
+  private val occupancyDeltaApply: SidecarApply =
+    (spark, indexDir, staging, id) => {
+      val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+      val delta = new org.apache.hadoop.fs.Path(staging, "delta")
+      if (fs.exists(delta)) {
+        val occ = new org.apache.hadoop.fs.Path(s"$indexDir/occupancy")
+        if (!fs.exists(new org.apache.hadoop.fs.Path(occ, s"_applied-$id"))) {
+          val merged =
+            if (fs.exists(occ))
+              spark.read.parquet(occ.toString)
+                .unionByName(spark.read.parquet(delta.toString))
+                .groupBy("bucket").agg(sum("count").as("count"))
+            else // legacy index, or occupancy lost to a crash mid-swap:
+                 // recount from the index's bucket column (the moved rows
+                 // are live already, so the recount includes this batch)
+              spark.read.parquet(s"$indexDir/vectors")
+                .filter(col("bucket").isNotNull).groupBy("bucket").count()
+          replaceSidecar(spark, indexDir, "occupancy") { p =>
+            merged.coalesce(1).write.mode("overwrite").parquet(p)
+            fs.create(new org.apache.hadoop.fs.Path(p, s"_applied-$id"), true)
+              .close()
+          }
+        }
+      }
+    }
+
   /** Snapshot a live vectors dir's `_append-<id>` replay fences and
     * return the action that recreates them inside a STAGED vectors dir —
     * shared by the in-place rewrites ([[compactIndex]], [[ivfRetrain]]),
@@ -649,7 +681,7 @@ object Similarity {
     * already contains. Original mtimes are restored ([[commitStagedAppend]]
     * prunes oldest-first by mtime; recreating every fence at "now" would
     * make future pruning order arbitrary). */
-  private def carryAppendFences(fs: org.apache.hadoop.fs.FileSystem,
+  private[llm] def carryAppendFences(fs: org.apache.hadoop.fs.FileSystem,
                                 liveVec: org.apache.hadoop.fs.Path)
       : String => Unit = {
     val fences = fs.listStatus(liveVec)
@@ -682,7 +714,10 @@ object Similarity {
     * and is left alone — its owner either retries (overwriting it) or a
     * retention sweep collects it with the index dir. */
   private[llm] def healStrandedAppends(spark: org.apache.spark.sql.SparkSession,
-                                  indexDir: String): Unit = {
+                                  indexDir: String,
+                                  dataDirs: Seq[String] = Seq("vectors"),
+                                  applySidecar: SidecarApply =
+                                    occupancyDeltaApply): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(new org.apache.hadoop.fs.Path(indexDir))
@@ -694,11 +729,13 @@ object Similarity {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith(".append-")) {
         val id = n.stripPrefix(".append-")
-        if (fs.exists(new org.apache.hadoop.fs.Path(root, s"vectors/_append-$id")))
+        if (fs.exists(new org.apache.hadoop.fs.Path(root,
+            s"${dataDirs.head}/_append-$id")))
           fs.delete(st.getPath, true) // applied; only the cleanup was lost
         else if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTING"))) {
           log.warn(s"healing stranded append $id at $indexDir")
-          commitStagedAppend(spark, indexDir, st.getPath, id)
+          commitStagedAppend(spark, indexDir, st.getPath, id, dataDirs,
+            applySidecar)
         }
       }
     }
@@ -833,8 +870,9 @@ object Similarity {
     * the read-amplification monitor that decides when [[compactIndex]]
     * is worth running. Pure FS listing, no Spark job. */
   def indexFileStats(spark: org.apache.spark.sql.SparkSession,
-                     indexDir: String): (Long, Long) = {
-    val vec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+                     indexDir: String,
+                     dataDir: String = "vectors"): (Long, Long) = {
+    val vec = new org.apache.hadoop.fs.Path(s"$indexDir/$dataDir")
     val fs = vec.getFileSystem(spark.sessionState.newHadoopConf())
     val perPart = fs.listStatus(vec).iterator
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
@@ -1495,7 +1533,7 @@ object Similarity {
     * fingerprint builds its own fresh dir rather than sharing — correct,
     * just unshared; long-lived serving deployments should prefer the
     * explicit build/append/query lifecycle on a durable indexDir. */
-  private def cachedIndex(df: DataFrame, cacheKey: String, paramStamp: String,
+  private[llm] def cachedIndex(df: DataFrame, cacheKey: String, paramStamp: String,
                           append: Option[(DataFrame, String) => Unit] = None)
                          (build: String => Unit): String = {
     val fileMeta = corpusFileMeta(df)

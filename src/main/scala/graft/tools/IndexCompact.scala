@@ -2,9 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ops entry point for [[graft.llm.Similarity.compactIndex]]: rewrite an
-  * appended ANN index's vectors layout back to the file shape a fresh
-  * build would produce — no retrain, no signature recompute, one
+/** Ops entry point for [[graft.llm.Similarity.compactIndex]] and
+  * [[graft.llm.Retrieval.bm25Compact]]: rewrite an appended index's data
+  * layout (ANN vectors, or BM25 postings + df) back to the file shape a
+  * fresh build would produce — no retrain, no signature recompute, one
   * clustered read-rewrite committed atomically. Run it in the index's
   * single-writer window (its ingest job stopped, or from the job itself
   * via `--compact-every`); `--min-files-per-part N` makes a cron
@@ -12,8 +13,8 @@ import org.apache.spark.sql.SparkSession
   * worst partition still reads fewer than N data files.
   *
   * Usage:
-  *   runMain graft.tools.IndexCompact --index-dir DIR --method lsh|ivf
-  *     [--min-files-per-part N]
+  *   runMain graft.tools.IndexCompact --index-dir DIR
+  *     --method lsh|ivf|ivfpq|bm25 [--min-files-per-part N]
   */
 object IndexCompact {
 
@@ -37,13 +38,16 @@ object IndexCompact {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      val dataDir = if (method == "bm25") "postings" else "vectors"
       val (files, maxPerPart) =
-        graft.llm.Similarity.indexFileStats(spark, indexDir)
+        graft.llm.Similarity.indexFileStats(spark, indexDir, dataDir)
       if (maxPerPart < minFilesPerPart)
         println(s"skip: $files data files, worst partition $maxPerPart < " +
           s"$minFilesPerPart")
       else {
-        val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
+        val st =
+          if (method == "bm25") graft.llm.Retrieval.bm25Compact(spark, indexDir)
+          else graft.llm.Similarity.compactIndex(spark, indexDir, method)
         println(s"compacted: ${st.filesBefore} -> ${st.filesAfter} data files")
       }
     } finally spark.stop()

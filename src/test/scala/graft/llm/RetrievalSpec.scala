@@ -145,6 +145,187 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- BM25 index append / compact / GC lifecycle ----
+
+  private def touch(p: String): Unit = {
+    new java.io.File(p).getParentFile.mkdirs()
+    new java.io.File(p).createNewFile(); ()
+  }
+
+  private def statsTriple(dir: String): (Double, Double, Long) = {
+    val sdf = spark.read.parquet(s"$dir/stats")
+    val r = sdf.head()
+    val fi = sdf.schema.fieldIndex _
+    (r.getDouble(fi("n")), r.getDouble(fi("avgdl")), r.getLong(fi("sum_dl")))
+  }
+
+  test("bm25 append: prefix build + append == full-corpus scan; stats merge additively; replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25app").toString
+    val dir = s"$root/idx"
+    val cut = 300L
+    Retrieval.bm25Build(docs.filter($"doc_id" < cut), "doc_id", "text", dir,
+      pbands = 16)
+    // file-backed increment → deterministic batch id → replay fence
+    docs.filter($"doc_id" >= cut).select($"doc_id", $"text")
+      .write.parquet(s"$root/inc")
+    val inc = spark.read.parquet(s"$root/inc")
+    Retrieval.bm25Append(inc, "doc_id", "text", dir)
+    // stats now describe the FULL corpus (n, sum_dl additive; avgdl derived)
+    val (n, avgdl, sumDl) = statsTriple(dir)
+    assert(n == docs.count().toDouble)
+    assert(avgdl == sumDl.toDouble / n)
+    // probes are value-identical to the full-corpus direct scan
+    Seq(Seq("spark", "window"), Seq("merge", "sort", "stream")).foreach { terms =>
+      val direct = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val probed = Retrieval.bm25TopKIndexed(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(probed == direct, s"terms $terms: appended index diverges")
+    }
+    // the retry shape: the SAME file-backed batch appended again — the
+    // durable postings/_append-<id> fence makes it a no-op
+    val postingsBefore = spark.read.parquet(s"$dir/postings").count()
+    Retrieval.bm25Append(inc, "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() == postingsBefore)
+    assert(statsTriple(dir) == ((n, avgdl, sumDl)))
+  }
+
+  test("bm25 append crash windows: stranded staging is healed once; applied marker stops a double stats-merge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25crash").toString
+    val dir = s"$root/idx"
+    Retrieval.bm25Build(docs.limit(100), "doc_id", "text", dir, pbands = 8)
+    val (n0, _, sum0) = statsTriple(dir)
+    // WINDOW 1 — a crashed append that committed its staging
+    // (_COMMITTING durable, no fence): nothing moved, stats not merged.
+    // The next entry must heal it exactly once.
+    val id = "deadbeef00000001"
+    Seq((5L, 10L)).toDF("n_delta", "sum_dl_delta")
+      .coalesce(1).write.parquet(s"$dir/.append-$id/stats_delta")
+    touch(s"$dir/.append-$id/_COMMITTING")
+    // an unrelated empty append triggers healStrandedAppends
+    val empty = docs.filter($"doc_id" < 0).select($"doc_id", $"text")
+    Retrieval.bm25Append(empty, "doc_id", "text", dir, appendId = Some("e1"))
+    assert(statsTriple(dir)._1 == n0 + 5 && statsTriple(dir)._3 == sum0 + 10,
+      "stranded staged append was not healed")
+    assert(new java.io.File(s"$dir/postings/_append-$id").exists(),
+      "healed append must leave its replay fence")
+    assert(!new java.io.File(s"$dir/.append-$id").exists())
+    // a replay of the healed batch is a no-op (fence)
+    Seq((5L, 10L)).toDF("n_delta", "sum_dl_delta")
+      .coalesce(1).write.parquet(s"$dir/.append-$id/stats_delta")
+    touch(s"$dir/.append-$id/_COMMITTING")
+    Retrieval.bm25Append(empty, "doc_id", "text", dir, appendId = Some("e2"))
+    assert(statsTriple(dir)._1 == n0 + 5, "fenced replay re-merged stats")
+    // WINDOW 2 — crash AFTER the stats merge, BEFORE the fence: the
+    // in-dir _applied-<id> marker must stop a second merge on resume
+    val id2 = "deadbeef00000002"
+    Seq((7L, 14L)).toDF("n_delta", "sum_dl_delta")
+      .coalesce(1).write.parquet(s"$dir/.append-$id2/stats_delta")
+    touch(s"$dir/.append-$id2/_COMMITTING")
+    touch(s"$dir/stats/_applied-$id2") // "merge already happened"
+    Retrieval.bm25Append(empty, "doc_id", "text", dir, appendId = Some("e3"))
+    assert(statsTriple(dir)._1 == n0 + 5,
+      "resume after a completed stats merge must not re-apply the delta")
+    assert(new java.io.File(s"$dir/postings/_append-$id2").exists())
+  }
+
+  test("bm25Compact: fewer df rows, probe-for-probe identical, replay fences survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25cmp").toString
+    val dir = s"$root/idx"
+    Retrieval.bm25Build(docs.filter($"doc_id" < 200), "doc_id", "text", dir,
+      pbands = 8)
+    docs.filter($"doc_id" >= 200 && $"doc_id" < 400).select($"doc_id", $"text")
+      .write.parquet(s"$root/incA")
+    docs.filter($"doc_id" >= 400).select($"doc_id", $"text")
+      .write.parquet(s"$root/incB")
+    val incA = spark.read.parquet(s"$root/incA")
+    Retrieval.bm25Append(incA, "doc_id", "text", dir)
+    Retrieval.bm25Append(spark.read.parquet(s"$root/incB"), "doc_id", "text", dir)
+    assert(Retrieval.bm25CompactionDue(spark, dir))
+    val terms = Seq("spark", "merge", "window")
+    val before = Retrieval.bm25TopKIndexed(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // df carries one delta row per (term, band) per batch before compaction
+    val dfRowsBefore = spark.read.parquet(s"$dir/df").count()
+    val dfTermsBefore = spark.read.parquet(s"$dir/df")
+      .select($"w").distinct().count()
+    assert(dfRowsBefore > dfTermsBefore, "appends should land df delta rows")
+    val st = Retrieval.bm25Compact(spark, dir)
+    assert(st.filesAfter <= st.filesBefore)
+    // df merged back to one row per (term, band)
+    assert(spark.read.parquet(s"$dir/df").count() == dfTermsBefore)
+    val after = Retrieval.bm25TopKIndexed(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "compaction changed probe answers")
+    // fences carried: a replay of an already-ingested batch is a no-op
+    val postingsCount = spark.read.parquet(s"$dir/postings").count()
+    Retrieval.bm25Append(incA, "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/postings").count() == postingsCount,
+      "replayed append double-appended after compaction")
+    // and the full direct scan still agrees
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == direct)
+  }
+
+  test("legacy stats (no sum_dl): probes still serve, appends reject loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25leg").toString
+    val dir = s"$root/idx"
+    Retrieval.bm25Build(docs.limit(200), "doc_id", "text", dir, pbands = 8)
+    // rewrite stats into the r14 (n, avgdl, pbands) shape
+    val legacy = spark.read.parquet(s"$dir/stats")
+      .select($"n", $"avgdl", $"pbands").collect().head
+    spark.createDataFrame(
+        java.util.Arrays.asList(legacy),
+        org.apache.spark.sql.types.StructType(
+          spark.read.parquet(s"$dir/stats")
+            .select($"n", $"avgdl", $"pbands").schema))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/legstats")
+    rmrfLocal(s"$dir/stats")
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/legstats"),
+      java.nio.file.Paths.get(s"$dir/stats"))
+    val probed = Retrieval.bm25TopKIndexed(spark, dir, Seq("spark"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Retrieval.bm25TopK(docs.limit(200), "doc_id", "text",
+      Seq("spark"), 5).collect().map(_.getLong(0)).toSeq
+    assert(probed == direct, "legacy-format index must still serve")
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.bm25Append(docs.limit(10), "doc_id", "text", dir)
+    }
+    assert(ex.getMessage.contains("sum_dl"))
+  }
+
+  private def rmrfLocal(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().foreach(c => rmrfLocal(c.getPath))
+    f.delete(); ()
+  }
+
+  test("bm25TopKCached: build-once lifecycle appends on pure file growth and matches the direct scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25cache").toString
+    docs.filter($"doc_id" < 300).select($"doc_id", $"text")
+      .write.parquet(s"$root/corpus")
+    val key = s"bm25cache-$root"
+    def corpus = spark.read.parquet(s"$root/corpus")
+    val r1 = Retrieval.bm25TopKCached(corpus, "doc_id", "text", key,
+      Seq("spark", "window"), 5, pbands = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val d1 = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "window"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r1 == d1)
+    // grow the corpus by file addition → the cached lifecycle appends
+    docs.filter($"doc_id" >= 300 && $"doc_id" < 330).select($"doc_id", $"text")
+      .write.mode("append").parquet(s"$root/corpus")
+    val r2 = Retrieval.bm25TopKCached(corpus, "doc_id", "text", key,
+      Seq("spark", "window"), 5, pbands = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val d2 = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "window"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r2 == d2, "cached index stale after corpus file growth")
+  }
+
   test("bm25 rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(tiny, "doc_id", "text", Seq.empty, 5)
