@@ -436,6 +436,20 @@ object Retrieval {
         (col("r") + 1).cast("long").as("rnk"))
   }
 
+  /** Build-if-missing bootstrap for the serving job ([[graft.cli
+    * .ServeBm25Cli]] `--build-from`) — the [[Similarity.ensureIndex]]
+    * twin: an existing index (stats sidecar present) is served as-is;
+    * refreshing a live index belongs to [[bm25Append]]/[[bm25Build]]
+    * under the single-writer contract. */
+  def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, corpusUri: String, idCol: String,
+                      textCol: String, pbands: Int = 64): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, "stats"))) return
+    bm25Build(spark.read.parquet(corpusUri), idCol, textCol, indexDir, pbands)
+  }
+
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. SIGIR'09):
     * each input frame holds one run's `(id, rnk)` (1-based); the fused
     * score is `Σ_runs 1/(c + rnk)` over the runs where the id appears,

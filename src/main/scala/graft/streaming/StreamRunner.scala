@@ -810,6 +810,112 @@ object StreamRunner {
     q
   }
 
+  /** Streaming LEXICAL serving — the BM25 twin of [[annServe]]: answer
+    * a STREAM of term queries against a built, static
+    * [[graft.llm.Retrieval.bm25Build]] inverted index. Each micro-batch
+    * becomes ONE [[graft.llm.Retrieval.bm25TopKIndexedBatch]] call: the
+    * queries collect to the driver (bounded by the micro-batch — they
+    * are a few strings), and the probe is one posting read pruned to
+    * the union of the batch's term bands; the corpus is never touched.
+    * `termsCol` may hold a whitespace-separated string or an array of
+    * strings. Malformed rows (null/fractional qid, null/empty terms)
+    * are SKIPPED with a warning — a serving stream must not die on one
+    * bad record — while genuine probe failures propagate. A probe that
+    * dies on FileNotFound mid-scan raced a maintenance rewrite
+    * ([[graft.llm.Retrieval.bm25Compact]]'s atomic dir swap) and gets
+    * exactly one retry, the [[annServeBatches]] self-heal shape. The
+    * index must outlive the stream (single-writer rebuild contract). */
+  def bm25ServeBatches(queries: DataFrame, qidCol: String, termsCol: String,
+               indexDir: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+               options: Map[String, String] = Map.empty,
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k > 0, s"bm25Serve: k must be positive, got $k")
+    val writer0 = queries.writeStream.options(options)
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    writer.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val qs = batch.select(col(qidCol), col(termsCol)).collect().iterator
+          .flatMap { r =>
+            // same qid tolerance as annServe: a fractional id would
+            // silently merge two queries' answers — skip, never truncate
+            val qid = if (r.isNullAt(0)) None else r.get(0) match {
+              case n: Number if n.doubleValue().isWhole => Some(n.longValue())
+              case n: Number                            => None
+              case other => other.toString.toLongOption
+            }
+            val terms = if (r.isNullAt(1)) None else (r.get(1) match {
+              case s: String => Some(s.split("\\s+").toSeq)
+              case a: scala.collection.Seq[_] =>
+                Some(a.iterator.filter(_ != null).map(_.toString).toSeq)
+              case _ => None
+            }).map(_.filter(_.nonEmpty)).filter(_.nonEmpty)
+            if (qid.isEmpty || terms.isEmpty)
+              log.warn(s"bm25Serve: skipping malformed query row $r")
+            qid.zip(terms)
+          }.toSeq
+        if (qs.nonEmpty) {
+          def serveBatch(): Unit =
+            sink(graft.llm.Retrieval.bm25TopKIndexedBatch(
+              batch.sparkSession, indexDir, qs, k, k1, b), batchId)
+          // one retry on a mid-rewrite FileNotFound — see annServeBatches
+          def staleRead(e: Throwable): Boolean =
+            e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+              staleRead(e.getCause))
+          try serveBatch()
+          catch {
+            case scala.util.control.NonFatal(e) if staleRead(e) =>
+              log.warn(s"bm25Serve: batch $batchId read a mid-rewrite index " +
+                s"at $indexDir; retrying once", e)
+              serveBatch()
+          }
+        }
+    }.start()
+  }
+
+  /** The PRODUCT surface of [[bm25ServeBatches]] — the `serve-bm25` CLI
+    * job ([[graft.cli.ServeBm25Cli]]), mirroring [[annServeJob]]: a
+    * watched directory of (qid, terms) query files in, (qid, id, score,
+    * rnk) answer files out, each micro-batch's answers landing as
+    * `batch-<id>/part-*` under `mode("overwrite")` so a replayed batch
+    * overwrites its own output (exactly-once answers end to end), and a
+    * restart from `checkpoint` never re-answers committed files.
+    * jsonl queries read under an explicit (string, string) schema — an
+    * empty queries dir at job start works, and both `123` and `"123"`
+    * qids parse; parquet keeps file inference. `once = true` drains the
+    * available queries and stops (the cron shape). */
+  def bm25ServeJob(spark: SparkSession, queriesUri: String, format: String,
+                   qidCol: String, termsCol: String, indexDir: String,
+                   k: Int, outUri: String, outFormat: String,
+                   checkpoint: String, once: Boolean,
+                   k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(outFormat == "jsonl" || outFormat == "parquet",
+      s"bm25ServeJob: output format must be jsonl or parquet, got $outFormat")
+    require(format == "jsonl" || format == "parquet",
+      s"bm25ServeJob: queries format must be jsonl or parquet, got $format")
+    val schema =
+      if (format == "jsonl") Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(qidCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(termsCol,
+          org.apache.spark.sql.types.StringType))))
+      else None
+    val queries = readStream(spark, queriesUri, format, schema)
+    val q = bm25ServeBatches(queries, qidCol, termsCol, indexDir, k, k1, b,
+      options = Map("checkpointLocation" -> checkpoint)) {
+      (answer, batchId) =>
+        val w = answer.write.mode("overwrite")
+        if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
+        else w.json(s"$outUri/batch-$batchId")
+    }
+    if (once) {
+      try q.processAllAvailable() finally q.stop()
+    }
+    q
+  }
+
   /** The INGEST counterpart of [[annServeJob]], closing the product
     * loop "bulk build → streaming appends → streaming serving": a
     * watched directory of corpus files (parquet/jsonl/csv/tsv rows of

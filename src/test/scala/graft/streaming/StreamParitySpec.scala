@@ -1051,6 +1051,94 @@ class StreamParitySpec extends AnyFunSuite {
     assert(metaBefore == metaAfter, "existing index must not be rebuilt")
   }
 
+  test("serve-bm25 job: catalog-bound serving, exactly-once restart from checkpoint; malformed rows skipped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val root = Files.createTempDirectory("graft-bm25cli").toString
+    val idxDir = s"$root/idx"
+    graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", idxDir, pbands = 16)
+    val qdir = s"$root/queries"
+    new java.io.File(qdir).mkdirs()
+    val outDir = s"$root/answers"
+    // one malformed row of each skip shape rides along: the job must
+    // answer the good queries and never die on the bad rows
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q1.jsonl"),
+      Seq(
+        """{"qid":1,"terms":"spark stream window"}""",
+        """{"qid":2,"terms":"merge sort"}""",
+        """{"qid":null,"terms":"spark"}""",
+        """{"qid":3,"terms":"   "}""",
+        """{"qid":"x","terms":"spark"}""").mkString("\n"))
+    val cat = new graft.catalog.Catalog
+    cat.add(graft.catalog.Workspace("ws"))
+    cat.add(graft.catalog.DataStore("ws", "qstream", s"'$qdir'", format = "jsonl"))
+    cat.add(graft.catalog.DataStore("ws", "answers", s"'$outDir'", format = "jsonl"))
+    cat.save(s"$root/catalog.json")
+    val cfg = graft.cli.ServeBm25Cli.parseArgs(Array(
+      "--index-dir", idxDir, "--k", "5",
+      "--catalog", s"$root/catalog.json",
+      "--queries-datastore", "qstream", "--output-datastore", "answers",
+      "--checkpoint", s"$root/ckpt", "--once"))
+    graft.cli.ServeBm25Cli.run(spark, cfg)
+    def answers() = spark.read.json(s"$outDir/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rnk")))
+    val first = answers()
+    assert(first.map(_._1).toSet == Set(1L, 2L),
+      "good queries answered, malformed rows skipped")
+    // streamed answers equal the direct indexed batch probe AND the
+    // full direct corpus scan
+    val direct = graft.llm.Retrieval.bm25TopKIndexedBatch(spark, idxDir,
+        Seq(1L -> Seq("spark", "stream", "window"), 2L -> Seq("merge", "sort")),
+        5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(first.toSet == direct)
+    val scan = graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "stream", "window"), 5).collect()
+      .map(r => (1L, r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(first.filter(_._1 == 1L).toSet == scan)
+    // RESTART: a new query file (quoted qid) arrives while the job is
+    // down; the checkpoint resumes with ONLY the new file
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q2.jsonl"),
+      """{"qid":"9","terms":"vector hash"}""")
+    graft.cli.ServeBm25Cli.run(spark, cfg)
+    val second = answers()
+    assert(second.map(_._1).toSet == Set(1L, 2L, 9L))
+    assert(second.groupBy(_._1).values.forall(a => a.length == a.map(_._2).distinct.length),
+      "restart must answer only the new queries, never duplicate old ones")
+    assert(second.count(_._1 == 1L) == first.count(_._1 == 1L))
+  }
+
+  test("serve-bm25: array-typed terms serve through the in-process surface; --build-from bootstraps once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val root = Files.createTempDirectory("graft-bm25cli-boot").toString
+    val qdir = s"$root/queries"
+    // parquet queries with terms as array<string> — the non-jsonl shape
+    Seq((5L, Seq("spark", "stream", "window")))
+      .toDF("qid", "terms").coalesce(1).write.parquet(qdir)
+    val cfg = graft.cli.ServeBm25Cli.parseArgs(Array(
+      "--index-dir", s"$root/idx", "--k", "4",
+      "--queries-uri", qdir, "--queries-format", "parquet",
+      "--output-uri", s"$root/answers", "--output-format", "parquet",
+      "--build-from", "/root/testdata/sf0.001/documents.parquet",
+      "--checkpoint", s"$root/ckpt", "--once"))
+    graft.cli.ServeBm25Cli.run(spark, cfg)
+    val got = spark.read.parquet(s"$root/answers/batch-*")
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+    val direct = graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "stream", "window"), 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == direct.toSeq,
+      "bootstrapped index + array terms must equal the direct scan")
+    // relaunch with the same flags: the live index is reused, not rebuilt
+    val statsBefore = new java.io.File(s"$root/idx/stats").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    graft.cli.ServeBm25Cli.run(spark, cfg)
+    val statsAfter = new java.io.File(s"$root/idx/stats").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(statsBefore == statsAfter, "existing index must not be rebuilt")
+  }
+
   test("ingest-ann job: bulk build + streaming appends equal a full rebuild; relaunch is a no-op") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
