@@ -171,6 +171,22 @@ object SparkEntry {
       |  FROM cs
       |QUALIFY row_number() OVER (ORDER BY cos DESC, id ASC) <= 20""".stripMargin
 
+  /** The full serving stack in DuckDB — indexed BM25 run ⊕ semantic
+    * run → RRF → unrolled MMR greedy — shared by the
+    * pipeline_serving_stack row and its DFL product surface
+    * (dfl_hybrid), which compose the identical stack (2k pools,
+    * k=10, λ=0.7). */
+  private lazy val servingStackSql: String = llm.Retrieval.mmrSql(
+    s"""SELECT f.id, f.score, ev.vec AS embedding
+       |  FROM (
+       |${llm.Retrieval.rrfSql(Seq(
+           llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+             Seq("spark", "stream", "window", "merge"), k = 20),
+           hybridSemanticRunSql), k = 20)}
+       |) f JOIN (WITH $hashEmbedCtesSql SELECT id, vec FROM emb) ev
+       |    ON f.id = ev.id""".stripMargin,
+    k = 10, lambda = 0.7)
+
   /** MMR first stage in DuckDB: cosine top-20 for query vec 0 (the
     * ann_topk rendering), embeddings cast DOUBLE[] for the pairwise
     * penalty cosines — feeds [[llm.Retrieval.mmrSql]]. */
@@ -2322,6 +2338,25 @@ object SparkEntry {
       DflFrame.pipeline(withVec,
         "mmr(@, '@id', '@cos', '@embedding', 10, 0.7)")
     }),
+    // the full serving stack as ONE DFL stage (the product surface of
+    // pipeline_serving_stack): indexed BM25 run ⊕ cosine run → RRF →
+    // MMR — same pools (2k per run), same fusion, same greedy, so the
+    // serving-stack oracle replays this row value-for-value
+    "dfl_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qtext = "spark stream window merge"
+      val emb = llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = 7L)
+      val qvec = llm.TextAnalysis.hashEmbed(
+        Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+        dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .join(emb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+      DflFrame.pipeline(corpus,
+        s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 10, 0.7)",
+        Map("q" -> qvec))
+    }),
 
     // ---- unigram-LM (SentencePiece-family) tokenizer ----
     // substring candidate seeding: exact integer counts, total tie order
@@ -3718,16 +3753,10 @@ object SparkEntry {
     // run → RRF → MMR, every stage's arithmetic replayed in ONE SQL
     // composition (bm25Sql + the hashEmbed CTEs + rrfSql + the
     // unrolled mmrSql greedy)
-    "pipeline_serving_stack" -> llm.Retrieval.mmrSql(
-      s"""SELECT f.id, f.score, ev.vec AS embedding
-         |  FROM (
-         |${llm.Retrieval.rrfSql(Seq(
-             llm.Retrieval.bm25Sql("documents", "doc_id", "text",
-               Seq("spark", "stream", "window", "merge"), k = 20),
-             hybridSemanticRunSql), k = 20)}
-         |) f JOIN (WITH $hashEmbedCtesSql SELECT id, vec FROM emb) ev
-         |    ON f.id = ev.id""".stripMargin,
-      k = 10, lambda = 0.7),
+    "pipeline_serving_stack" -> servingStackSql,
+    // the DFL hybrid stage composes the SAME stack (2k pools, RRF,
+    // MMR k=10 λ=0.7) — one oracle pins both surfaces
+    "dfl_hybrid" -> servingStackSql,
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

@@ -110,7 +110,7 @@ object DflFrame {
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "unigramSegment", "wordpieceSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst", "bm25", "lineDedup", "mmr", "quantiles",
+      "imageDedupAgainst", "bm25", "hybrid", "lineDedup", "mmr", "quantiles",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1109,6 +1109,60 @@ object DflFrame {
           .withColumn("__gscore", subCol(2)).withColumn("__gvec", subCol(3))
         graft.llm.Retrieval.mmrRerank(mBase, "__gid", "__gscore", "__gvec",
           mmrK, mmrLambda)
+
+      case "hybrid" =>
+        // `hybrid(@, '@id', '@text', '@vec', 'terms', $qvec, k[, lambda])`
+        // — the full hybrid retrieval stack as ONE stage: a BM25 lexical
+        // run (through the cached inverted-index lifecycle when the
+        // corpus is file-backed — repeated service execs probe
+        // partition-pruned postings instead of rescanning; ad-hoc
+        // in-memory corpora take the direct scan) ⊕ a brute-cosine
+        // semantic run against $qvec, fused by reciprocal-rank fusion.
+        // Each run retrieves a 2k candidate pool; without `lambda` the
+        // result is the RRF top-k (id, score, rnk); WITH `lambda` the
+        // fused 2k pool is re-ranked by MMR diversification to
+        // (id, score, mmr, rnk). Whole-dataset statistics + index
+        // builds → stream-fenced (serve-bm25/serve-ann are the
+        // streaming serving surfaces).
+        if (args.size < 7 || args.size > 8) throw new DflParseException(
+          "hybrid takes (@, idExpr, textExpr, vecExpr, 'terms', $qvec, k[, lambda])")
+        val hyTerms = strArg(4).split(" ").toSeq.filter(_.nonEmpty)
+        if (hyTerms.isEmpty)
+          throw new DflParseException("hybrid: empty query terms")
+        val hyQ = vecArg(5)
+        val hyK = intArg(6)
+        if (hyK <= 0) throw new DflParseException("hybrid: k must be positive")
+        val hyLambda = if (args.size > 7) Some(numArg(7)) else None
+        hyLambda.foreach(l => if (l < 0.0 || l > 1.0)
+          throw new DflParseException(s"hybrid: lambda must be in [0,1], got $l"))
+        val pool = 2 * hyK
+        val hyBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2)).withColumn("__gvec", subCol(3))
+        val lexBase = hyBase.select(col("__gid"), col("__gtext"))
+        val lex = (if (dflIndexable(lexBase))
+            graft.llm.Retrieval.bm25TopKCached(lexBase, "__gid", "__gtext",
+              dflCorpusKey(lexBase, "bm25"), hyTerms, pool)
+          else
+            graft.llm.Retrieval.bm25TopK(lexBase, "__gid", "__gtext",
+              hyTerms, pool)).select("id", "rnk")
+        val semW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("id").asc)
+        val sem = graft.llm.Similarity.bruteForceTopK(
+            hyBase.select(col("__gid"), col("__gvec")), "__gid", "__gvec",
+            hyQ, pool)
+          .withColumn("rnk", row_number().over(semW).cast("long"))
+          .select("id", "rnk")
+        hyLambda match {
+          case None => graft.llm.Retrieval.rrfFuse(Seq(lex, sem), hyK)
+          case Some(l) =>
+            val fused = graft.llm.Retrieval.rrfFuse(Seq(lex, sem), pool)
+              .select("id", "score")
+            val cands = hyBase
+              .select(col("__gid").as("id"), col("__gvec").as("vec"))
+              .join(broadcast(fused), Seq("id"))
+            graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec",
+              hyK, l)
+        }
 
       case "wordpieceSegment" =>
         // `wordpieceSegment(@, '@id', '@text', $vocab[, unk])` — greedy

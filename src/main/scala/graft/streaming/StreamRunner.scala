@@ -50,9 +50,11 @@ object StreamRunner {
     // row-local and therefore deliberately NOT fenced)
     // imageDedup self-joins the banded perceptual-hash table
     "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup", "imageDedupAgainst",
-    // bm25 trains corpus df/avgdl statistics; lineDedup's keep decision
+    // bm25 trains corpus df/avgdl statistics; hybrid builds/probes a
+    // corpus index and fuses whole-corpus runs (serve-bm25/serve-ann
+    // are the streaming serving surfaces); lineDedup's keep decision
     // is whole-corpus
-    "bm25", "lineDedup",
+    "bm25", "hybrid", "lineDedup",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -732,4 +732,65 @@ class DflLlmSpec extends AnyFunSuite {
       "wordpieceSegment(@, '@doc_id', '@text', $v)",
       Map[String, Any]("v" -> vdf.filter(col("piece") === "zz"))))
   }
+
+  test("hybrid(@) composes indexed BM25 ⊕ cosine ⊕ RRF (⊕ MMR) exactly like the API stack; arity/fence rejected") {
+    import spark.implicits._
+    val qtext = "spark stream window merge"
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val qvec = graft.llm.TextAnalysis.hashEmbed(
+      Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+      dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .join(hEmb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+    // API composition at the stage's own pools (2k = 20 per run)
+    def apiStack(k: Int): org.apache.spark.sql.DataFrame = {
+      val lex = graft.llm.Retrieval.bm25TopK(corpus, "doc_id", "text",
+        qtext.split(" ").toSeq, 2 * k).select("id", "rnk")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("id").asc)
+      val sem = Similarity.bruteForceTopK(
+          corpus.select(col("doc_id"), col("vec")), "doc_id", "vec",
+          qvec, 2 * k)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select("id", "rnk")
+      graft.llm.Retrieval.rrfFuse(Seq(lex, sem), 2 * k)
+    }
+    // no-lambda form: RRF top-k
+    val dflF = DflFrame.pipeline(corpus,
+        s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5)",
+        Map[String, Any]("q" -> qvec))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val apiF = apiStack(5).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(dflF == apiF && dflF.nonEmpty,
+      "hybrid without lambda must be the RRF top-k of the two runs")
+    // lambda form: MMR over the fused 2k pool
+    val dflM = DflFrame.pipeline(corpus,
+        s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5, 0.7)",
+        Map[String, Any]("q" -> qvec))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val fused = apiStack(5).select("id", "score")
+    val cands = corpus.select(col("doc_id").as("id"), col("vec"))
+      .join(broadcast(fused), Seq("id"))
+    val apiM = graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec",
+        5, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(dflM == apiM && dflM.nonEmpty,
+      "hybrid with lambda must be the MMR re-rank of the fused pool")
+    // arity / argument rejections
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q)",
+      Map[String, Any]("q" -> qvec)))
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      s"hybrid(@, '@doc_id', '@text', '@vec', '  ', $$q, 5)",
+      Map[String, Any]("q" -> qvec)))
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5, 1.5)",
+      Map[String, Any]("q" -> qvec)))
+    // whole-corpus statistics + index lifecycle → stream-fenced
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        s"hybrid(@, '@doc_id', '@text', '@vec', 'spark', $$q, 5)"))
+  }
 }
