@@ -1474,6 +1474,21 @@ object SparkEntry {
         Map("vocab" -> vocabDf))
       llm.WordPiece.decode(seg, "id", "pieces")
     }),
+    // the artifact-dispatching serving stage: the SAME round-trip law,
+    // but the model arrives as a stored TokenizerStore artifact and
+    // tokSegment dispatches by its recorded kind — the "train once,
+    // serve from the artifact" product path (TokenizerCli.apply as a
+    // pipeline stage)
+    "dfl_tok_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val artDir = memoIndexDir(dir, "wpart", table = "documents") { d =>
+        llm.TokenizerStore.saveWordPiece(s,
+          memoWpVocab(docs, s"$dir#wp4", numMerges = 4), d)
+      }
+      val seg = DflFrame.pipeline(docs,
+        s"tokSegment(@, '@doc_id', '@text', 'artifact:$artDir')")
+      llm.WordPiece.decode(seg, "id", "pieces")
+    }),
     // the COARSE-TO-FINE composite an MRL embedding exists for: the
     // 16-dim truncated scan pre-filters to 50 candidates (at scale:
     // 4× less bandwidth per row on the corpus-wide pass), the full
@@ -3589,6 +3604,12 @@ object SparkEntry {
         |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
         |  FROM documents""".stripMargin,
     "dfl_wp_roundtrip" ->
+      """SELECT doc_id AS id,
+        |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
+        |  FROM documents""".stripMargin,
+    // tokSegment dispatches the stored wordpiece artifact → the same
+    // corpus-wide round-trip law
+    "dfl_tok_segment" ->
       """SELECT doc_id AS id,
         |       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS decoded
         |  FROM documents""".stripMargin,

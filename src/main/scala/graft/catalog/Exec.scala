@@ -113,6 +113,40 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
     }
   }
 
+  private val tokenizerKinds = Set("bpe", "byte-bpe", "wordpiece", "unigram")
+
+  /** Resolve `tokenizer:REF` (and kind-pinned `tokenizer:KIND:REF`)
+    * string vars to the stored artifact's TABLE DataFrame — the
+    * [[graft.llm.TokenizerStore]] layout — so services/jobs/HTTP exec
+    * run the segment stages (`wordpieceSegment`/`unigramSegment`/
+    * `bpeSegment`, or the kind-dispatching `tokSegment`) against a
+    * stored model without shipping the vocab in the request. REF is a
+    * catalog datastore name (its resolved uri) or a literal artifact
+    * dir. The kind-pinned form fails LOUDLY when the artifact's
+    * recorded kind differs — bind `tokenizer:wordpiece:…` and a
+    * unigram artifact can never silently serve as a vocabulary.
+    * Resolved fresh each exec and never written back to the var cache
+    * (artifact dirs are re-saved in place; a persisted table would go
+    * stale, the `datastore:` rule). */
+  private def tokenizerRefVars(vars: Map[String, Any]): Map[String, Any] =
+    vars.collect {
+      case (k, v: String) if v.startsWith("tokenizer:") =>
+        val rest = v.stripPrefix("tokenizer:")
+        val (want, ref) = rest.split(":", 2) match {
+          case Array(kind, r) if tokenizerKinds(kind) => (Some(kind), r)
+          case _                                      => (None, rest)
+        }
+        val uri = catalog.datastores.get(ref)
+          .map(d => resolveUri(d.uri, vars)).getOrElse(ref)
+        val kind =
+          try graft.llm.TokenizerStore.kindOf(spark, uri)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"$$$k: '$uri' is not a tokenizer artifact dir", e) }
+        want.foreach(w => require(w == kind,
+          s"$$$k: $uri holds a '$kind' artifact, expected '$w'"))
+        k -> (spark.read.parquet(s"$uri/table"): Any)
+    }
+
   def serviceExec(serviceName: String, requestVars: Map[String, Any] = Map.empty): DataFrame = {
     val epoch = varEpoch.get()
     val service = catalog.services.getOrElse(serviceName,
@@ -140,10 +174,11 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
           throw new NoSuchElementException(s"unknown datastore in $$$k: $name"))
         k -> (readDataStore(refDs, vars): Any)
     }
+    val tokRefVars = tokenizerRefVars(vars)
     val process = catalog.processes(service.process)
     val (out, dsVars) =
       DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression,
-        vars ++ dsRefVars)
+        vars ++ dsRefVars ++ tokRefVars)
     // persist merged vars INCLUDING dataset-valued ones (reference :290 —
     // the evaluated $c is written back to the cache, so the next exec's
     // `$c ?: filter(@, …)` reuses it instead of re-filtering). Epoch-fenced:
@@ -156,7 +191,8 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
       // a ref re-resolves through readDataStore's mtime-keyed cache on
       // every exec instead of being served stale from the service cache
       // (whose key is the PRIMARY store's mtime, blind to the ref's)
-      serviceVarCache(serviceName) = (mtimeNow, vars ++ (dsVars -- dsRefVars.keySet))
+      serviceVarCache(serviceName) =
+        (mtimeNow, vars ++ (dsVars -- dsRefVars.keySet -- tokRefVars.keySet))
       if (varEpoch.get() != epoch) serviceVarCache.remove(serviceName)
     }
     out
@@ -168,7 +204,8 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
     val vars = service.defaults ++ job.variables
     val ds = catalog.datastores(service.datastore)
     val process = catalog.processes(service.process)
-    val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression, vars)
+    val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression,
+      vars ++ tokenizerRefVars(vars))
     job.output.foreach { outName =>
       val outDs = catalog.datastores(outName)
       DataStoreIO.write(out, resolveUri(outDs.uri, vars),
@@ -190,7 +227,8 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         val vars = service.defaults ++ job.variables ++ wf.variables
         val ds = catalog.datastores(service.datastore)
         val process = catalog.processes(service.process)
-        val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression, vars)
+        val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression,
+          vars ++ tokenizerRefVars(vars))
         job.output.foreach { outName =>
           val outDs = catalog.datastores(outName)
           DataStoreIO.write(out, resolveUri(outDs.uri, vars),

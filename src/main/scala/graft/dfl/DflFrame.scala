@@ -108,7 +108,7 @@ object DflFrame {
       "decontam", "decontamBloom", "decontamScrub", "contamHits",
       "sample", "mix", "pack", "shard", "lmScore", "windowDups", "dedupSpans",
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
-      "unigramSegment", "wordpieceSegment",
+      "unigramSegment", "wordpieceSegment", "tokSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "hybrid", "lineDedup", "mmr", "quantiles",
       // temporal extension stages (graft.temporal.Temporal)
@@ -1203,6 +1203,51 @@ object DflFrame {
         val uBase = df.withColumn("__gid", subCol(1))
           .withColumn("__gtext", subCol(2))
         graft.llm.Unigram.segment(uBase, "__gid", "__gtext", uVocab, uMaxLen)
+
+      case "tokSegment" =>
+        // `tokSegment(@, '@id', '@text', 'artifact:URI'[, unk])` — ONE
+        // serving stage for every stored tokenizer: loads the
+        // [[graft.llm.TokenizerStore]] artifact and dispatches by its
+        // RECORDED kind (bpe → char BPE, byte-bpe → byte BPE,
+        // wordpiece → greedy longest-match, unigram → Viterbi with the
+        // artifact's own max_piece_len — the recorded serving bound can
+        // never be substituted by a default). The TokenizerCli.apply
+        // dispatch, as a pipeline stage. `unk` applies to the wordpiece
+        // kind only and is rejected elsewhere (silently-ignored config
+        // is a mistake). Model loads are vocabulary-bounded at plan
+        // time; segmentation is one row-local native expression →
+        // STREAMABLE frozen-tokenizer serving.
+        if (args.size != 4 && args.size != 5) throw new DflParseException(
+          "tokSegment takes (@, idExpr, textExpr, 'artifact:URI'[, unk])")
+        val tsUri = {
+          val raw = strArg(3)
+          if (raw.startsWith("artifact:")) raw.stripPrefix("artifact:") else raw
+        }
+        val tsSpark = df.sparkSession
+        val tsKind =
+          try graft.llm.TokenizerStore.kindOf(tsSpark, tsUri)
+          catch { case e: Exception => throw new DflParseException(
+            s"tokSegment: '$tsUri' is not a tokenizer artifact dir (${e.getMessage})") }
+        if (args.size == 5 && tsKind != "wordpiece")
+          throw new DflParseException(
+            s"tokSegment: unk argument applies to 'wordpiece' artifacts, not '$tsKind'")
+        val tsBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2))
+        tsKind match {
+          case "bpe" => graft.llm.Bpe.segment(tsBase, "__gid", "__gtext",
+            graft.llm.TokenizerStore.loadBpe(tsSpark, tsUri))
+          case "byte-bpe" => graft.llm.Bpe.segmentByte(tsBase, "__gid",
+            "__gtext", graft.llm.TokenizerStore.loadByteBpe(tsSpark, tsUri))
+          case "wordpiece" =>
+            val unk = if (args.size > 4) strArg(4) else "[UNK]"
+            graft.llm.WordPiece.segment(tsBase, "__gid", "__gtext",
+              graft.llm.TokenizerStore.loadWordPiece(tsSpark, tsUri), unk)
+          case "unigram" => graft.llm.Unigram.segment(tsBase, "__gid",
+            "__gtext", graft.llm.TokenizerStore.loadUnigram(tsSpark, tsUri),
+            graft.llm.TokenizerStore.unigramMaxPieceLen(tsSpark, tsUri))
+          case other => throw new DflParseException(
+            s"tokSegment: unknown artifact kind '$other' at $tsUri")
+        }
 
       case "classify" =>
         // `classify(@, '@id', '@vec', $weights, bias)` — linear-model

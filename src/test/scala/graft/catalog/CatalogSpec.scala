@@ -91,6 +91,57 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("tokenizer: var refs bind stored artifacts — two in one exec; kind pin fails loudly on mismatch") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val c = fixtureCatalog(dir)
+    Files.writeString(Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"lowest low"}""")
+    c.add(DataStore("ws", "docs", s"'$dir/docs.jsonl'"))
+    val wpVocab = Seq("l", "##o", "##w", "##e", "##s", "##t", "lo", "##st")
+    val uniVocab = Seq("lo", "#", "w", "e", "st", "##w", "##e", "##st")
+      .map(p => graft.llm.Unigram.Piece(p, -1.0))
+    val wpDir = s"$dir/wp-art"; val uniDir = s"$dir/uni-art"
+    graft.llm.TokenizerStore.saveWordPiece(spark, wpVocab, wpDir)
+    graft.llm.TokenizerStore.saveUnigram(spark, uniVocab, uniDir)
+    // TWO artifacts in ONE exec: wordpiece-segment the text, then
+    // unigram-segment the rendered pieces — both models arrive as
+    // tokenizer: refs, no vocab ships in the service definition
+    c.add(Process("twotok",
+      "wordpieceSegment(@, '@id', '@text', $wp) | " +
+        "unigramSegment(@, '@id', '@pieces', $uni)"))
+    c.add(Service("toksvc", "docs", "twotok", defaults = Map(
+      "wp" -> s"tokenizer:wordpiece:$wpDir",
+      "uni" -> s"tokenizer:unigram:$uniDir")))
+    val exec = new Exec(spark, c)
+    val got = exec.serviceExec("toksvc").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    // equivalence with the Scala API chain on the same artifacts
+    val docs = spark.read.json(s"$dir/docs.jsonl")
+    val api = graft.llm.Unigram.segment(
+        graft.llm.WordPiece.segment(docs, "id", "text", wpVocab),
+        "id", "pieces", uniVocab, 8)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == api && got.nonEmpty)
+    // datastore-NAME indirection resolves through the catalog entry
+    c.add(DataStore("ws", "wpstore", s"'$wpDir'"))
+    c.add(Process("wponly", "wordpieceSegment(@, '@id', '@text', $wp)"))
+    c.add(Service("wpsvc", "docs", "wponly",
+      defaults = Map("wp" -> "tokenizer:wordpiece:wpstore")))
+    assert(exec.serviceExec("wpsvc").head().getString(2)
+      == "lo ##w ##e ##st lo ##w")
+    // a kind-pinned ref bound to the WRONG artifact fails loudly
+    c.add(Service("wpbad", "docs", "wponly",
+      defaults = Map("wp" -> s"tokenizer:wordpiece:$uniDir")))
+    val mism = intercept[IllegalArgumentException] { exec.serviceExec("wpbad") }
+    assert(mism.getMessage.contains("'unigram'") &&
+      mism.getMessage.contains("'wordpiece'"), mism.getMessage)
+    // a ref to a non-artifact dir fails loudly, not as a read error
+    c.add(Service("wpnone", "docs", "wponly",
+      defaults = Map("wp" -> s"tokenizer:$dir")))
+    val none = intercept[IllegalArgumentException] { exec.serviceExec("wpnone") }
+    assert(none.getMessage.contains("not a tokenizer artifact"))
+  }
+
   test("dsir service: target bound via datastore:, resample served over HTTP-exec path") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val c = fixtureCatalog(dir)

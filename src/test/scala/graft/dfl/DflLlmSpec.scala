@@ -733,6 +733,57 @@ class DflLlmSpec extends AnyFunSuite {
       Map[String, Any]("v" -> vdf.filter(col("piece") === "zz"))))
   }
 
+  test("tokSegment(@) dispatches by the artifact's recorded kind; bad args rejected; streamable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tokseg").toString
+    val probe = Seq((1L, "lowest low")).toDF("doc_id", "text")
+    def dfl(uri: String, extra: String = ""): String =
+      DflFrame.pipeline(probe,
+        s"tokSegment(@, '@doc_id', '@text', 'artifact:$uri'$extra)")
+        .head().getString(2)
+    // wordpiece artifact → greedy longest-match (+ unk arg accepted)
+    val wpVocab = Seq("l", "##o", "##w", "##e", "##s", "##t", "lo", "##st")
+    graft.llm.TokenizerStore.saveWordPiece(spark, wpVocab, s"$root/wp")
+    assert(dfl(s"$root/wp") ==
+      graft.llm.WordPiece.segment(probe, "doc_id", "text", wpVocab)
+        .head().getString(2))
+    assert(dfl(s"$root/wp", ", '<unk>'") ==
+      graft.llm.WordPiece.segment(probe, "doc_id", "text", wpVocab, "<unk>")
+        .head().getString(2))
+    // unigram artifact → Viterbi with the RECORDED max_piece_len
+    val uni = Seq(graft.llm.Unigram.Piece("lowest", -1.0),
+      graft.llm.Unigram.Piece("low", -1.5), graft.llm.Unigram.Piece("l", -3.0),
+      graft.llm.Unigram.Piece("o", -3.0), graft.llm.Unigram.Piece("w", -3.0),
+      graft.llm.Unigram.Piece("e", -3.0), graft.llm.Unigram.Piece("s", -3.0),
+      graft.llm.Unigram.Piece("t", -3.0), graft.llm.Unigram.Piece("</w>", -0.5))
+    graft.llm.TokenizerStore.saveUnigram(spark, uni, s"$root/uni",
+      maxPieceLen = 6)
+    assert(dfl(s"$root/uni") ==
+      graft.llm.Unigram.segment(probe, "doc_id", "text", uni, 6)
+        .head().getString(2))
+    // char and byte BPE artifacts route to their distinct alphabets
+    val docs3 = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val merges = graft.llm.Bpe.learnMerges(docs3, "text", numMerges = 4)
+    graft.llm.TokenizerStore.saveBpe(spark, merges, s"$root/bpe")
+    val byteMerges = graft.llm.Bpe.learnMerges(docs3, "text", numMerges = 4,
+      byteLevel = true)
+    graft.llm.TokenizerStore.saveByteBpe(spark, byteMerges, s"$root/bbpe")
+    assert(dfl(s"$root/bpe") ==
+      graft.llm.Bpe.segment(probe, "doc_id", "text", merges).head().getString(2))
+    assert(dfl(s"$root/bbpe") ==
+      graft.llm.Bpe.segmentByte(probe, "doc_id", "text", byteMerges)
+        .head().getString(2))
+    // unk on a non-wordpiece artifact is rejected (never silently ignored)
+    intercept[DflParseException](DflFrame.pipeline(probe,
+      s"tokSegment(@, '@doc_id', '@text', 'artifact:$root/uni', 'x')"))
+    // a non-artifact dir is rejected loudly at plan time
+    intercept[DflParseException](DflFrame.pipeline(probe,
+      s"tokSegment(@, '@doc_id', '@text', 'artifact:$root/nope')"))
+    // frozen-model row-local serving → NOT stream-fenced
+    graft.streaming.StreamRunner.validateStreamable("jsonl",
+      s"tokSegment(@, '@doc_id', '@text', 'artifact:$root/wp')")
+  }
+
   test("hybrid(@) composes indexed BM25 ⊕ cosine ⊕ RRF (⊕ MMR) exactly like the API stack; arity/fence rejected") {
     import spark.implicits._
     val qtext = "spark stream window merge"

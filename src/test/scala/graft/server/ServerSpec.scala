@@ -141,6 +141,37 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("tokenizer artifacts serve through HTTP exec via tokenizer: refs") {
+    val (srv, client, dir) = startServer()
+    try {
+      Files.writeString(Paths.get(s"$dir/docs.jsonl"),
+        """{"id":1,"text":"lowest low"}""")
+      val wpDir = s"$dir/wp-art"
+      graft.llm.TokenizerStore.saveWordPiece(spark,
+        Seq("l", "##o", "##w", "##e", "##s", "##t", "lo", "##st"), wpDir)
+      val (_, tb) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      assert(authed.add("datastores",
+        s"""{"workspace":"ws","name":"docs","uri":"$dir/docs.jsonl"}""")._1 == 200)
+      assert(authed.add("processes",
+        """{"name":"wpseg","expression":"wordpieceSegment(@, '@id', '@text', $wp)"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"wpseg_svc","datastore":"docs","process":"wpseg"}""")._1 == 200)
+      // the artifact binds as a REQUEST variable — a ref, not the vocab
+      val (c1, b1) = client.exec("services", "wpseg_svc",
+        s"""{"variables":{"wp":"tokenizer:wordpiece:$wpDir"}}""")
+      assert(c1 == 200 && b1.contains("lo ##w ##e ##st"), b1)
+      // a kind-mismatched ref fails the exec loudly over HTTP too
+      val uniDir = s"$dir/uni-art"
+      graft.llm.TokenizerStore.saveUnigram(spark,
+        Seq(graft.llm.Unigram.Piece("lo", -1.0)), uniDir)
+      val (c2, b2) = client.exec("services", "wpseg_svc",
+        s"""{"variables":{"wp":"tokenizer:wordpiece:$uniDir"}}""")
+      assert(c2 != 200 && b2.contains("unigram"), s"$c2 $b2")
+    } finally srv.stop()
+  }
+
   test("LLM dedup and ANN run as catalog services over HTTP") {
     // the round-7 product-surface contract: a catalog Process can run the
     // LLM dataset stages (dedup / nearDedup / annTopK) through
