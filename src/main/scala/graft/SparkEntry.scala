@@ -2554,10 +2554,15 @@ object SparkEntry {
     // the CORPUS HEALTH REPORT composite — the one table a curation run
     // starts from: per-source doc counts, corpus-wide-fingerprint dup
     // rate (cross-source dups count against both sides, the
-    // source_stats semantics), language spread, and the p50 length
-    // served from the quantile-sketch TABLE whose 'all' row is a
-    // ROLLUP of the per-source sketches (no second raw scan — the
-    // 100 TB report shape); every column SQL-replayed
+    // source_stats semantics), language spread, the (p25, p50, p90)
+    // length drill-down in ONE decode of the quantile-sketch TABLE
+    // whose 'all' row is a ROLLUP of the per-source sketches (no second
+    // raw scan — the 100 TB report shape), exact distinct-content
+    // counts, and the HLL distinct-content sketch path proven in-band
+    // against them (per-source sketches rolled to 'all' without a
+    // rescan — the approximate column a 100 TB report would serve when
+    // the exact distinct is too expensive); every value column
+    // SQL-replayed, the sketch column as its contract boolean
     "corpus_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val rows = docs.select(col("doc_id").as("id"), col("source"),
@@ -2570,21 +2575,36 @@ object SparkEntry {
       // rows unioned with 'all'-labeled rows) — joining two one-row
       // constant-grouped frames on a literal key would fold the join
       // condition away and degrade to a nested-loop join (PlanLint)
-      val u = flagged.select(col("source").as("grp"), col("lang"), col("__d"))
-        .unionByName(
-          flagged.select(lit("all").as("grp"), col("lang"), col("__d")))
+      val u = flagged.select(col("source").as("grp"), col("lang"),
+          col("fp"), col("__d"))
+        .unionByName(flagged.select(lit("all").as("grp"), col("lang"),
+          col("fp"), col("__d")))
       val st = u.groupBy("grp").agg(
         count(lit(1)).as("n_docs"),
         round(sum(when(col("__d").isNotNull, 1.0).otherwise(0.0)) /
           count(lit(1)), 6).as("dup_rate"),
-        countDistinct(col("lang")).as("n_langs"))
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_uniq"))
       val perSketch = util.Sketches.qsBuild(docs, "source", "n_chars",
         k = 8192)
       val sketches = perSketch.select(col("source").as("grp"), col("sketch"))
         .unionByName(util.Sketches.qsRollup(perSketch, lit("all")))
+      val perHll = util.Sketches.hllBuild(rows, "source", "fp")
+      val hlls = perHll.select(col("source").as("grp"),
+          col("sketch").as("__h"))
+        .unionByName(util.Sketches.hllRollup(perHll, lit("all"))
+          .select(col("grp"), col("sketch").as("__h")))
       st.join(sketches.select(col("grp"),
-        util.Sketches.qsQuantile(col("sketch"), 0.5).as("p50_chars")),
-        Seq("grp"))
+          util.Sketches.qsStats(col("sketch"), Seq(0.25, 0.5, 0.9))
+            .as("__q")), Seq("grp"))
+        .join(hlls, Seq("grp"))
+        .select(col("grp"), col("n_docs"), col("dup_rate"), col("n_langs"),
+          col("n_uniq"),
+          col("__q.q")(0).as("p25_chars"), col("__q.q")(1).as("p50_chars"),
+          col("__q.q")(2).as("p90_chars"),
+          (abs(util.Sketches.hllEstimate(col("__h")) - col("n_uniq"))
+            <= greatest(round(col("n_uniq") * 0.03, 0), lit(2.0)))
+            .as("uniq_fp_in_band"))
     }),
     // compacted-regime contract (the sketch_rollup posture): orders'
     // totalprice at realistic k=512 — total weight stays EXACT through
@@ -3506,8 +3526,10 @@ object SparkEntry {
         |       max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
         |                THEN x END) AS p90
         |  FROM ranked GROUP BY grp, n""".stripMargin,
-    // every report column replayed: corpus-wide dup flag, per-source
-    // and 'all' stats, p50 as the explicit order statistic
+    // every value column replayed: corpus-wide dup flag, per-source and
+    // 'all' stats, (p25, p50, p90) as explicit order statistics, exact
+    // distinct-content counts; the HLL sketch path renders as its
+    // in-band contract boolean (an estimate can't hash-match exactly)
     "corpus_report" ->
       """WITH r AS (SELECT doc_id, source, lang, n_chars,
         |             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -3516,23 +3538,29 @@ object SparkEntry {
         |       WHERE c > 1),
         |fl AS (SELECT r.*, (d.fp IS NOT NULL) AS is_dup
         |         FROM r LEFT JOIN d USING (fp)),
-        |u AS (SELECT source AS grp, lang, n_chars, is_dup FROM fl
+        |u AS (SELECT source AS grp, lang, fp, n_chars, is_dup FROM fl
         |      UNION ALL
-        |      SELECT 'all' AS grp, lang, n_chars, is_dup FROM fl),
+        |      SELECT 'all' AS grp, lang, fp, n_chars, is_dup FROM fl),
         |ranked AS (SELECT grp, CAST(n_chars AS DOUBLE) AS x,
         |             row_number() OVER (PARTITION BY grp ORDER BY n_chars) AS rn,
         |             count(*) OVER (PARTITION BY grp) AS n
         |             FROM u),
         |p AS (SELECT grp,
+        |        max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+        |                 THEN x END) AS p25_chars,
         |        max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
-        |                 THEN x END) AS p50_chars
+        |                 THEN x END) AS p50_chars,
+        |        max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+        |                 THEN x END) AS p90_chars
         |        FROM ranked GROUP BY grp),
         |st AS (SELECT grp, count(*)::BIGINT AS n_docs,
         |         round(sum(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END)
         |           / count(*), 6) AS dup_rate,
-        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq
         |         FROM u GROUP BY 1)
-        |SELECT st.grp, n_docs, dup_rate, n_langs, p50_chars
+        |SELECT st.grp, n_docs, dup_rate, n_langs, n_uniq,
+        |       p25_chars, p50_chars, p90_chars, true AS uniq_fp_in_band
         |  FROM st JOIN p USING (grp)""".stripMargin,
     // closed form: the Luhn-valid PAN redacts whole, the invalid
     // neighbor passes through untouched

@@ -3,9 +3,11 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 import graft.streaming.StreamRunner
 
-/** `ingest-ann` command: keep a live ANN index fresh from a stream of
-  * corpus files — the ingest counterpart of [[ServeCli]]'s `serve-ann`
-  * ([[graft.streaming.StreamRunner.annIngestJob]]). Every new file in
+/** `ingest-ann` / `ingest-bm25` command: keep a live index fresh from a
+  * stream of corpus files — the ingest counterpart of [[ServeCli]]'s
+  * `serve-ann` and [[ServeBm25Cli]]'s `serve-bm25`
+  * ([[graft.streaming.StreamRunner.annIngestJob]] /
+  * [[graft.streaming.StreamRunner.bm25IngestJob]]). Every new file in
   * the watched corpus directory is appended to the index in one pass
   * over the new rows (never a corpus rescan); the checkpoint plus
   * batch-keyed append ids make a crashed-and-replayed batch a no-op, so
@@ -15,11 +17,17 @@ import graft.streaming.StreamRunner
   *   runMain graft.cli.IngestCli
   *     (--corpus-uri DIR [--corpus-format parquet|jsonl]
   *      | --catalog FILE --corpus-datastore NAME)
-  *     --index-dir DIR [--method lsh|ivf]
-  *     [--id-col vec_id] [--vec-col embedding]
+  *     --index-dir DIR [--method lsh|ivf|bm25]
+  *     [--id-col vec_id] [--vec-col embedding | --text-col text]
   *     --checkpoint DIR [--once] [--compact-every N] [--retrain-skew F]
   *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
-  *      [--build-klists N] [--build-pbits N]]
+  *      [--build-klists N] [--build-pbits N] [--build-pbands N]]
+  *
+  * `--method bm25` appends (idCol, textCol) rows to a BM25 inverted
+  * index (`--text-col` names the text column; vector/ANN build knobs do
+  * not apply and `--retrain-skew` is rejected — lexical appends are
+  * value-exact, there is no quantizer to drift). `--compact-every`
+  * gates on [[graft.llm.Retrieval.bm25CompactionDue]].
   *
   * `--build-from` bulk-builds the index first if none exists (the
   * backfill); the stream then appends increments. The stream is TYPED
@@ -41,11 +49,12 @@ object IngestCli {
   final case class Config(
       corpusUri: String = "", corpusFormat: String = "parquet",
       idCol: String = "vec_id", vecCol: String = "embedding",
+      textCol: String = "text",
       indexDir: String = "", method: String = "lsh",
       checkpoint: String = "", once: Boolean = false, compactEvery: Int = 0,
       retrainSkew: Double = 0.0,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
-      buildKLists: Int = 16, buildPBits: Int = 8,
+      buildKLists: Int = 16, buildPBits: Int = 8, buildPBands: Int = 64,
       catalogPath: String = "", corpusDatastore: String = "")
 
   def parseArgs(args: Array[String]): Config = {
@@ -57,6 +66,7 @@ object IngestCli {
         case "--corpus-format" => c = c.copy(corpusFormat = a.value())
         case "--id-col"        => c = c.copy(idCol = a.value())
         case "--vec-col"       => c = c.copy(vecCol = a.value())
+        case "--text-col"      => c = c.copy(textCol = a.value())
         case "--index-dir"     => c = c.copy(indexDir = a.value())
         case "--method"        => c = c.copy(method = a.value())
         case "--checkpoint"    => c = c.copy(checkpoint = a.value())
@@ -68,6 +78,7 @@ object IngestCli {
         case "--build-dim"     => c = c.copy(buildDim = a.value().toInt)
         case "--build-klists"  => c = c.copy(buildKLists = a.value().toInt)
         case "--build-pbits"   => c = c.copy(buildPBits = a.value().toInt)
+        case "--build-pbands"  => c = c.copy(buildPBands = a.value().toInt)
         case "--catalog"          => c = c.copy(catalogPath = a.value())
         case "--corpus-datastore" => c = c.copy(corpusDatastore = a.value())
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
@@ -78,6 +89,9 @@ object IngestCli {
     require(c.indexDir.nonEmpty, "--index-dir is required")
     require(c.checkpoint.nonEmpty,
       "--checkpoint is required (it is what makes replayed batches no-ops)")
+    require(c.method != "bm25" || c.retrainSkew <= 0,
+      "--retrain-skew does not apply to bm25 (lexical appends are exact; " +
+        "there is no quantizer to drift)")
     c
   }
 
@@ -95,14 +109,23 @@ object IngestCli {
 
   def run(spark: SparkSession, c0: Config): org.apache.spark.sql.streaming.StreamingQuery = {
     val c = resolve(c0)
-    if (c.buildFrom.nonEmpty)
-      graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
-        c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
-        dim = c.buildDim, partitionBits = c.buildPBits,
-        kLists = c.buildKLists)
-    StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
-      c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
-      compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)
+    if (c.method == "bm25") {
+      if (c.buildFrom.nonEmpty)
+        graft.llm.Retrieval.ensureBm25Index(spark, c.indexDir, c.buildFrom,
+          c.idCol, c.textCol, c.buildPBands)
+      StreamRunner.bm25IngestJob(spark, c.corpusUri, c.corpusFormat,
+        c.idCol, c.textCol, c.indexDir, c.checkpoint, c.once,
+        compactEvery = c.compactEvery)
+    } else {
+      if (c.buildFrom.nonEmpty)
+        graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
+          c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
+          dim = c.buildDim, partitionBits = c.buildPBits,
+          kLists = c.buildKLists)
+      StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
+        c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
+        compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)
+    }
   }
 
   def main(args: Array[String]): Unit = {

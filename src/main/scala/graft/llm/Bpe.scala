@@ -82,6 +82,23 @@ object Bpe {
           col("n"))
       else wordCounts(df, textCol)
         .select(initSyms(col("word")).as("syms"), col("n"))).persist()
+    if (!byteLevel) {
+      // reject marker-colliding corpora LOUDLY at train time: a
+      // normalized word containing a literal "</w>" would corrupt
+      // [[decodeCol]] later (its documented caveat). One word-table
+      // pass over the cached state — reconstruct the word (drop the
+      // sentinel appended to the final symbol) and look for the marker.
+      // The byte-level alphabet has no marker and decodes losslessly.
+      val colliding = state
+        .select(concat_ws("", col("syms")).as("w"))
+        .select(col("w").substr(lit(1), length(col("w")) - 4).as("w"))
+        .filter(col("w").contains("</w>")).limit(1).collect()
+      require(colliding.isEmpty,
+        s"learnMerges: corpus word '${colliding.headOption
+          .map(_.getString(0)).getOrElse("")}' contains the reserved " +
+          "'</w>' marker — char-level BPE decode would corrupt; train " +
+          "with byteLevel = true or escape such words")
+    }
     // the PREVIOUS round's state, unpersisted one round LATE: each
     // round's argmax job is what first materializes the current state's
     // cache, and that computation may read the parent's cached blocks —

@@ -64,6 +64,19 @@ object WordPiece {
     // model), same as BPE's merge table
     val base = state.select(explode(col("syms")).as("sym"))
       .distinct().collect().map(_.getString(0))
+    // reject marker-colliding corpora LOUDLY at train time: a
+    // normalized word containing a literal "##" would corrupt
+    // [[decodeCol]] later (its documented caveat — real tokenizers
+    // escape markers). One word-table-sized pass over the
+    // already-cached state: reconstruct each word (strip the "##"
+    // continuation prefix per symbol) and look for the marker.
+    val colliding = state.select(concat_ws("",
+        transform(col("syms"), s => regexp_replace(s, "^##", ""))).as("w"))
+      .filter(col("w").contains("##")).limit(1).collect()
+    require(colliding.isEmpty,
+      s"learnVocab: corpus word '${colliding.headOption.map(_.getString(0))
+        .getOrElse("")}' contains the reserved '##' marker — WordPiece " +
+        "decode would corrupt; escape or filter such words before training")
     // unpersist one round LATE, as in Bpe.learnMerges: each round's
     // argmax job materializes the current state's cache, possibly
     // reading the parent's cached blocks

@@ -1088,6 +1088,69 @@ object StreamRunner {
     q
   }
 
+  /** The LEXICAL ingest job — [[annIngestJob]] for the BM25 inverted
+    * index, closing the same product loop "bulk build → streaming
+    * appends → streaming serving" ([[bm25ServeJob]] being the serving
+    * side): a watched directory of corpus files (parquet/jsonl rows of
+    * (idCol, textCol)) whose every new file becomes a micro-batch
+    * appended to a LIVE index via [[graft.llm.Retrieval.bm25Append]] —
+    * one tokenize pass over the NEW rows plus banded delta landings
+    * and an O(1) additive stats merge, never a corpus rescan.
+    *
+    * Exactly-once appends end to end, the annIngestJob contract: the
+    * checkpoint stops committed files from being re-read, and each
+    * batch's append id is `md5(checkpoint '#' batchId)` — stable across
+    * the replay of the last uncommitted batch, so the durable
+    * `postings/_append-<id>` fence makes the replayed append a no-op.
+    * Single-writer per index dir. The index must already exist —
+    * bootstrap with [[graft.llm.Retrieval.ensureBm25Index]] (the
+    * `ingest-bm25` CLI's `--build-from` does). `compactEvery = n > 0`
+    * opens the maintenance slot after every n-th batch and runs
+    * [[graft.llm.Retrieval.bm25Compact]] when
+    * [[graft.llm.Retrieval.bm25CompactionDue]] says the postings have
+    * grown past build shape (listing-only otherwise). Appends are
+    * value-exact (probe ≡ full rebuild), so there is no retrain arm —
+    * BM25 has no quantizer to drift. */
+  def bm25IngestJob(spark: SparkSession, corpusUri: String, format: String,
+                    idCol: String, textCol: String, indexDir: String,
+                    checkpoint: String, once: Boolean,
+                    compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(format == "parquet" || format == "jsonl",
+      s"bm25IngestJob: corpus format must be parquet or jsonl, got $format")
+    // explicit schema: the watched dir is legitimately EMPTY on first
+    // launch (the backfill was --build-from), and inference would fail
+    // the job before its checkpoint exists
+    val streamSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(textCol,
+        org.apache.spark.sql.types.StringType)))
+    val corpus = readStream(spark, corpusUri, format, Some(streamSchema))
+    val q = corpus.writeStream
+      .options(Map("checkpointLocation" -> checkpoint))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            val id = Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
+            graft.llm.Retrieval.bm25Append(batch.toDF(), idCol, textCol,
+              indexDir, appendId = id)
+            // batchId-keyed cadence, stable across restarts; a replayed
+            // batch may compact twice — harmless, idempotent on the rows
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+                && graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
+              val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
+              log.info(s"compacted $indexDir after batch $batchId: " +
+                s"${st.filesBefore} -> ${st.filesAfter} data files")
+            }
+          }
+      }.start()
+    if (once) {
+      try q.processAllAvailable() finally q.stop()
+    }
+    q
+  }
+
   /** Custom streaming state via `mapGroupsWithState`: running count per
     * key across micro-batches (the KeyValueGroupedDataset escape hatch
     * for semantics windowed aggs can't express). Emits the updated total

@@ -68,6 +68,31 @@ object ScaleCheck {
       // window — time must grow ~linearly in mult, output capped at k
       time("bm25_topk")(graft.llm.Retrieval.bm25TopK(big, "doc_id", "text",
         Seq("spark", "stream", "window"), 10).count())
+      // the BM25 APPEND posture (the lexical twin of lsh_append/
+      // ivf_append): untimed bm25Build over the mult× corpus, then a
+      // FIXED-SIZE increment appended — one tokenize pass over the NEW
+      // rows plus banded delta landings and an O(1) stats merge, never
+      // a corpus rescan: append time must stay ~FLAT in mult. The
+      // indexed probe after it reads pruned postings only (flat), and
+      // compaction (the rare maintenance op — may grow with index size)
+      // returns the layout to build shape with probes unchanged.
+      val bmDir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-bm25-$mult").toString + "/idx"
+      graft.llm.Retrieval.bm25Build(big, "doc_id", "text", bmDir, pbands = 16)
+      val bmInc = docs.limit(200)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      time("bm25_append")({
+        graft.llm.Retrieval.bm25Append(bmInc, "doc_id", "text", bmDir,
+          appendId = Some(s"scale-$mult")); 200L
+      })
+      time("bm25_probe")(graft.llm.Retrieval.bm25TopKIndexed(
+        spark, bmDir, Seq("spark", "stream", "window"), 10).count())
+      time("bm25_compact")({
+        val st = graft.llm.Retrieval.bm25Compact(spark, bmDir)
+        st.filesBefore - st.filesAfter
+      })
+      time("bm25_probe_compacted")(graft.llm.Retrieval.bm25TopKIndexed(
+        spark, bmDir, Seq("spark", "stream", "window"), 10).count())
       // line dedup: two lines per doc, the footer duplicated CORPUS-wide
       // (one group of size 2·mult·base) and every doc line re-planted
       // mult× — the keep decision is one line-keyed aggregation + join,
@@ -168,6 +193,31 @@ object ScaleCheck {
         require(bad == 0L, s"byte round-trip broke on $bad rows")
         m.size.toLong
       })
+      // WordPiece training: like bpe_learn, per-round work is
+      // vocabulary-sized (two vocab aggregations off cached state per
+      // merge) and the word table is mult-invariant — time must stay
+      // near-FLAT in mult
+      time("wp_learn")(
+        graft.llm.WordPiece.learnVocab(big, "text", 8)._1.size.toLong)
+      // mergeable sketch tables: the build is ONE corpus scan into
+      // per-group sketch partials (linear in mult); the ROLLUP merges
+      // the tiny sketch table without re-reading raw data — flat in
+      // mult, which is the whole point of the pattern at 100 TB
+      val grouped = big.select(
+        pmod(col("doc_id"), lit(16L)).cast("string").as("g"),
+        length(col("text")).cast("long").as("len"),
+        xxhash64(col("text")).as("h"))
+      val perQs = graft.util.Sketches.qsBuild(grouped, "g", "len", k = 512)
+        .persist()
+      time("qs_build")(perQs.count())
+      time("qs_rollup")(graft.util.Sketches.qsRollup(perQs, lit("all"))
+        .select(graft.util.Sketches.qsCount(col("sketch"))).head().getLong(0))
+      val perBloom = graft.util.Sketches.bloomBuild(grouped, "g", "h",
+        estItems = 20000L, numBits = 1L << 18).persist()
+      time("bloom_build")(perBloom.count())
+      time("bloom_rollup")(
+        graft.util.Sketches.bloomRollup(perBloom, lit("all")).count())
+      perQs.unpersist(); perBloom.unpersist()
       big.unpersist()
     }
 

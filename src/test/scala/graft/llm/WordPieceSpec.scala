@@ -17,6 +17,33 @@ class WordPieceSpec extends AnyFunSuite {
       .select(WpF.wordPieceSegmentAll(split(col("t"), " "), vocab))
       .head().getSeq[String](0).toSeq
 
+  test("trainers reject marker-colliding corpora loudly; byte level stays lossless") {
+    // a normalized word containing the literal reserved marker would
+    // silently corrupt decode later — the trainer must fail at train
+    // time instead (round-trip laws on clean corpora are pinned by the
+    // existing roundtrip specs)
+    val wpBad = Seq((1L, "contains a lit##eral marker word")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      WordPiece.learnVocab(wpBad, "text", numMerges = 2, minCount = 1))
+    assert(e1.getMessage.contains("##") && e1.getMessage.contains("lit##eral"))
+    val bpeBad = Seq((1L, "contains a lit</w>eral marker word")).toDF("id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.learnMerges(bpeBad, "text", numMerges = 2, minCount = 1))
+    assert(e2.getMessage.contains("</w>"))
+    // the byte-level alphabet has no marker: the same corpus trains and
+    // round-trips losslessly
+    val m = Bpe.learnMerges(bpeBad, "text", numMerges = 2, minCount = 1,
+      byteLevel = true)
+    val rt = Bpe.decodeByte(
+      Bpe.segmentByte(bpeBad, "id", "text", m), "id", "pieces")
+      .head().getString(1)
+    assert(rt == "contains a lit</w>eral marker word")
+    // a clean corpus still trains after the guard
+    val ok = Seq((1L, "plain words train fine")).toDF("id", "text")
+    assert(WordPiece.learnVocab(ok, "text", numMerges = 1, minCount = 1)
+      ._2.nonEmpty)
+  }
+
   test("greedy longest-match-first with ## continuations") {
     val vocab = Seq("un", "##aff", "##able", "##ffa", "##b", "##l", "##e",
       "u", "##n", "##a", "##f")

@@ -1139,6 +1139,50 @@ class StreamParitySpec extends AnyFunSuite {
     assert(statsBefore == statsAfter, "existing index must not be rebuilt")
   }
 
+  test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val root = Files.createTempDirectory("graft-bm25ingest").toString
+    // bulk backfill: doc_id < 300; stream increments: one parquet file each
+    docs.filter($"doc_id" < 300L).coalesce(1)
+      .write.parquet(s"$root/backfill")
+    val incDir = s"$root/inc"
+    docs.filter($"doc_id" >= 300L && $"doc_id" < 400L).coalesce(1)
+      .write.parquet(incDir)
+    val idx = s"$root/idx"
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", incDir, "--index-dir", idx, "--method", "bm25",
+      "--id-col", "doc_id", "--text-col", "text",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--build-from", s"$root/backfill", "--compact-every", "1"))
+    graft.cli.IngestCli.run(spark, cfg)
+    val terms = Seq("spark", "stream", "window")
+    def probe() = graft.llm.Retrieval.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct400 = graft.llm.Retrieval.bm25TopK(
+      docs.filter($"doc_id" < 400L), "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe() == direct400,
+      "backfill + streamed increment must serve exactly the 400-doc corpus")
+    // relaunch with nothing new: committed files are not re-read, the
+    // index is unchanged (a re-append would double postings)
+    val postings = spark.read.parquet(s"$idx/postings").count()
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$idx/postings").count() == postings)
+    // a NEW increment file lands on the next --once drain
+    docs.filter($"doc_id" >= 400L).coalesce(1)
+      .write.mode("append").parquet(incDir)
+    graft.cli.IngestCli.run(spark, cfg)
+    val directAll = graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe() == directAll,
+      "the grown index must equal the full-corpus direct scan")
+    // retrain-skew is an IVF knob: rejected for bm25, never ignored
+    intercept[IllegalArgumentException](graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", incDir, "--index-dir", idx, "--method", "bm25",
+      "--checkpoint", s"$root/ckpt", "--retrain-skew", "2.0")))
+  }
+
   test("ingest-ann job: bulk build + streaming appends equal a full rebuild; relaunch is a no-op") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
