@@ -364,24 +364,68 @@ object Retrieval {
     * for a term set — bands computed by the SAME Catalyst expression
     * the build used (a tiny local job — never trust a reimplementation
     * of the hash), then the exact-term filter on top. */
+  /** Driver-memoized BM25 index state — the [[Similarity.lshMeta]]
+    * posture for the lexical family: the stats scalars (otherwise a
+    * Spark job on EVERY probe) and the resolved postings/df DataFrames
+    * (whose re-resolution re-lists partitions per probe). Invalidated
+    * by the pure FS-metadata [[Similarity.sidecarStamp]] over `stats`
+    * (rewritten by every append's sidecar replace and every
+    * build/compaction swap) and the `postings` TOP-LEVEL listing
+    * (every append lands an `_append-<id>` fence marker there — a
+    * path-SET change that doesn't depend on mtime granularity). Warm
+    * probe planning after this touches no Spark job at all. */
+  private final case class Bm25Meta(n: Double, avgdl: Double, pbands: Int,
+                                    postings: DataFrame, dfTable: DataFrame)
+
+  private val bm25MetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Bm25Meta)]()
+
+  private def bm25Meta(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Bm25Meta = {
+    val key = s"${Similarity.sessionTag(spark)}|$indexDir"
+    val stamp = Similarity.sidecarStamp(spark, indexDir,
+      Seq("stats", "postings"))
+    val cached = bm25MetaCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val statsDf = spark.read.parquet(s"$indexDir/stats")
+      val st = statsDf.head()
+      val fi = statsDf.schema.fieldIndex _
+      val meta = Bm25Meta(st.getDouble(fi("n")), st.getDouble(fi("avgdl")),
+        st.getInt(fi("pbands")),
+        spark.read.parquet(s"$indexDir/postings"),
+        spark.read.parquet(s"$indexDir/df"))
+      Similarity.capCache(bm25MetaCache)
+      bm25MetaCache.put(key, (stamp, meta))
+      meta
+    }
+  }
+
+  /** The band of one term, computed DRIVER-SIDE by evaluating the SAME
+    * Catalyst [[org.apache.spark.sql.catalyst.expressions.XxHash64]]
+    * expression the build's `xxhash64` column used (never a hash
+    * reimplementation — only the trivially-exact positive mod runs in
+    * Scala), so warm probes plan at zero Spark jobs. */
+  private[llm] def termBand(w: String, pbands: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        w, org.apache.spark.sql.types.StringType)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    java.lang.Math.floorMod(h, pbands.toLong).toInt
+  }
+
   private def indexProbe(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, termList: Seq[String])
       : (Double, Double, DataFrame, DataFrame) = {
-    val statsDf = spark.read.parquet(s"$indexDir/stats")
-    val st = statsDf.head()
-    val fi = statsDf.schema.fieldIndex _
-    val (n, avgdl, pbands) =
-      (st.getDouble(fi("n")), st.getDouble(fi("avgdl")), st.getInt(fi("pbands")))
-    import spark.implicits._
-    val bands = termList.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
-      .collect().map(_.getInt(0)).distinct.toSeq
-    def pruned(path: String) = spark.read.parquet(path)
-      .filter(col("pband").isin(bands: _*) && col("w").isin(termList: _*))
+    val meta = bm25Meta(spark, indexDir)
+    val bands = termList.map(termBand(_, meta.pbands)).distinct
+    def pruned(df: DataFrame) =
+      df.filter(col("pband").isin(bands: _*) && col("w").isin(termList: _*))
     // df rows are append-deltas by design — sum them per term (a no-op
     // group for a freshly built or compacted index)
-    (n, avgdl, pruned(s"$indexDir/postings"),
-      pruned(s"$indexDir/df").groupBy(col("w")).agg(sum(col("df")).as("df")))
+    (meta.n, meta.avgdl, pruned(meta.postings),
+      pruned(meta.dfTable).groupBy(col("w")).agg(sum(col("df")).as("df")))
   }
 
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,

@@ -326,6 +326,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r2 == d2, "cached index stale after corpus file growth")
   }
 
+  test("driver-side termBand equals the build's pmod(xxhash64) column for arbitrary terms") {
+    val terms = Seq("spark", "window", "ȿpecial-ünicode", "", "a b",
+      "##marker", "</w>", "x" * 300) ++
+      (1 to 50).map(i => s"term$i")
+    Seq(8, 16, 64).foreach { pbands =>
+      val viaSpark = terms.toDF("w")
+        .select(col("w"),
+          pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int").as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      terms.foreach { w =>
+        assert(Retrieval.termBand(w, pbands) == viaSpark(w),
+          s"termBand('$w', $pbands) diverges from the build hash")
+      }
+    }
+  }
+
   test("bm25 rejects bad arguments") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(tiny, "doc_id", "text", Seq.empty, 5)
