@@ -144,7 +144,15 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
             s"$$$k: '$uri' is not a tokenizer artifact dir", e) }
         want.foreach(w => require(w == kind,
           s"$$$k: $uri holds a '$kind' artifact, expected '$w'"))
-        k -> (spark.read.parquet(s"$uri/table"): Any)
+        val table = spark.read.parquet(s"$uri/table")
+        // a unigram artifact's RECORDED serving bound travels with the
+        // table (a constant column the unigramSegment stage reads), so
+        // binding by ref can never silently substitute the default —
+        // the guarantee saveUnigram's meta exists to provide
+        k -> ((if (kind == "unigram")
+          table.withColumn("max_piece_len",
+            lit(graft.llm.TokenizerStore.unigramMaxPieceLen(spark, uri)))
+        else table): Any)
     }
 
   def serviceExec(serviceName: String, requestVars: Map[String, Any] = Map.empty): DataFrame = {

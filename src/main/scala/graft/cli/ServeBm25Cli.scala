@@ -23,6 +23,11 @@ import graft.streaming.StreamRunner
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-text-col C]
   *      [--build-pbands N]]
   *
+  * jsonl query files carry terms as a whitespace-separated STRING
+  * (`{"qid":1,"terms":"spark stream"}`) — a JSON array parses to null
+  * under the stream's explicit schema and the row is skipped as
+  * malformed; array<string> terms are the parquet format's shape.
+  *
   * `--build-from` bootstraps the inverted index from a parquet corpus
   * when none exists at `--index-dir` yet (an existing index is served
   * as-is — refreshing belongs to bm25Append/bm25Build under the

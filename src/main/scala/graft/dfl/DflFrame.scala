@@ -1192,8 +1192,18 @@ object DflFrame {
         // native expression → STREAMABLE frozen-tokenizer serving.
         if (args.size != 4 && args.size != 5) throw new DflParseException(
           s"unigramSegment takes (@, idExpr, textExpr, $$vocab[, maxPieceLen])")
-        val uMaxLen = if (args.size > 4) intArg(4) else 8
-        val uVocab = dsArg(3)
+        // bound precedence: explicit arg > the table's own
+        // max_piece_len column (a tokenizer: artifact ref carries its
+        // RECORDED serving bound this way — Exec.tokenizerRefVars) >
+        // the default. A vocab trained with longer pieces served under
+        // a shorter bound would silently never match them.
+        val uTable = dsArg(3)
+        val uMaxLen =
+          if (args.size > 4) intArg(4)
+          else if (uTable.columns.contains("max_piece_len"))
+            uTable.select(col("max_piece_len")).head().getInt(0)
+          else 8
+        val uVocab = uTable
           .select(col("piece").cast("string"), col("logp").cast("double"))
           .collect()
           .map(r => graft.llm.Unigram.Piece(r.getString(0), r.getDouble(1)))

@@ -180,10 +180,16 @@ object Retrieval {
       .withColumn("pbands", lit(pbands))
     val tf = bandedTf(base, pbands)
     Similarity.stagedCommit(spark, indexDir) { staging =>
-      tf.write.mode("overwrite").partitionBy("pband")
+      // clusteredWrite, the ANN builds' layout: a bare partitionBy would
+      // land up to tasks×pbands tiny files (the LSH pathology its
+      // scaladoc measures); clustering on (pband, bounded salt) keeps
+      // file count ≈ max(pbands, shufflePartitions)
+      Similarity.clusteredWrite(tf, "pband", pbands)
+        .write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/postings")
       tf.groupBy(col("w"), col("pband"))
         .agg(count(lit(1)).cast("double").as("df"))
+        .repartition(col("pband"))
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
       stats.write.mode("overwrite").parquet(s"$staging/stats")
     }
@@ -204,6 +210,33 @@ object Retrieval {
     * on the FIRST entry). */
   private val bm25DataDirs = Seq("postings", "df")
 
+  /** Self-heal the stats sidecar's ONE loss window:
+    * [[Similarity.replaceSidecar]] deletes the live dir before renaming
+    * the fully-written staging into place, so a crash between the two
+    * leaves the merged sidecar complete at `.stats.staging` and nothing
+    * live — unlike the ANN occupancy (recountable from vectors), a lost
+    * stats sidecar would brick the index. Restore the staged copy
+    * before any read. A staging ALONGSIDE a live stats dir is a
+    * pre-delete crash (the staged content never became authoritative)
+    * and is left for the next replace to sweep. */
+  private def healStatsSidecar(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexDir/stats"))
+    val staging =
+      new org.apache.hadoop.fs.Path(target.getParent, ".stats.staging")
+    if (!fs.exists(target) && fs.exists(staging)) fs.rename(staging, target)
+  }
+
+  /** Every stats read goes through this chokepoint (heal, then read). */
+  private def readStatsDf(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): DataFrame = {
+    healStatsSidecar(spark, indexDir)
+    spark.read.parquet(s"$indexDir/stats")
+  }
+
   /** BM25's sidecar phase for [[Similarity.stagedAppend]]: fold the
     * staged `(n_delta, sum_dl_delta)` into the live stats sidecar —
     * additive thanks to the (n, sum_dl) format — guarded against
@@ -214,6 +247,7 @@ object Retrieval {
       val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
       val delta = new org.apache.hadoop.fs.Path(staging, "stats_delta")
       if (fs.exists(delta)) {
+        healStatsSidecar(spark, indexDir)
         val statsPath = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
         if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath, s"_applied-$id"))) {
           val cur = spark.read.parquet(statsPath.toString)
@@ -257,7 +291,7 @@ object Retrieval {
                  indexDir: String, appendId: Option[String] = None): Unit = {
     val spark = df.sparkSession
     Similarity.healStrandedAppends(spark, indexDir, bm25DataDirs, bm25StatsApply)
-    val statsDf = spark.read.parquet(s"$indexDir/stats")
+    val statsDf = readStatsDf(spark, indexDir)
     require(statsDf.schema.fieldNames.contains("sum_dl"),
       s"bm25Append: $indexDir predates the additive stats format " +
         "(no sum_dl column) — rebuild with bm25Build to enable appends")
@@ -267,10 +301,12 @@ object Retrieval {
     val tf = bandedTf(base, pbands)
     Similarity.stagedAppend(spark, indexDir, batchId, bm25DataDirs,
         bm25StatsApply) { staging =>
-      tf.write.mode("overwrite").partitionBy("pband")
+      Similarity.clusteredWrite(tf, "pband", pbands)
+        .write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/postings")
       tf.groupBy(col("w"), col("pband"))
         .agg(count(lit(1)).cast("double").as("df"))
+        .repartition(col("pband"))
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
       base.agg(count(lit(1)).as("n_delta"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl_delta"))
@@ -304,8 +340,9 @@ object Retrieval {
     val dfT = spark.read.parquet(s"$indexDir/df")
     // snapshot the frozen sidecar BEFORE the swap so the staged write
     // doesn't read through the dir rename
-    val statsRows = spark.read.parquet(s"$indexDir/stats").collect()
-    val statsSchema = spark.read.parquet(s"$indexDir/stats").schema
+    val statsDf0 = readStatsDf(spark, indexDir)
+    val statsRows = statsDf0.collect()
+    val statsSchema = statsDf0.schema
     val pbands = statsRows.head.getInt(statsSchema.fieldIndex("pbands"))
     Similarity.stagedCommit(spark, indexDir) { staging =>
       Similarity.clusteredWrite(postings, "pband", pbands)
@@ -328,7 +365,7 @@ object Retrieval {
     * (pure FS listing + one stats read, no Spark job over data). */
   def bm25CompactionDue(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Boolean = {
-    val statsDf = spark.read.parquet(s"$indexDir/stats")
+    val statsDf = readStatsDf(spark, indexDir)
     val pbands = statsDf.head().getInt(statsDf.schema.fieldIndex("pbands"))
     val saltN = math.max(1,
       spark.sessionState.conf.numShufflePartitions / math.max(1, pbands))
@@ -354,16 +391,6 @@ object Retrieval {
     bm25TopKIndexed(df.sparkSession, dir, terms, k, k1, b)
   }
 
-  /** BM25 top-k served FROM a [[bm25Build]] index: `(id, score, rnk)`,
-    * value-identical to [[bm25TopK]] over the indexed corpus. The
-    * postings/df reads prune to the query terms' hash bands (partition
-    * pruning — spec-asserted) and then filter to the exact terms; the
-    * corpus itself is never touched. */
-  /** Shared index-probe plumbing for the single and batch indexed
-    * paths: the (n, avgdl) stats, and the pruned `postings`/`df` reads
-    * for a term set — bands computed by the SAME Catalyst expression
-    * the build used (a tiny local job — never trust a reimplementation
-    * of the hash), then the exact-term filter on top. */
   /** Driver-memoized BM25 index state — the [[Similarity.lshMeta]]
     * posture for the lexical family: the stats scalars (otherwise a
     * Spark job on EVERY probe) and the resolved postings/df DataFrames
@@ -388,7 +415,7 @@ object Retrieval {
     val cached = bm25MetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
-      val statsDf = spark.read.parquet(s"$indexDir/stats")
+      val statsDf = readStatsDf(spark, indexDir)
       val st = statsDf.head()
       val fi = statsDf.schema.fieldIndex _
       val meta = Bm25Meta(st.getDouble(fi("n")), st.getDouble(fi("avgdl")),
@@ -415,6 +442,9 @@ object Retrieval {
     java.lang.Math.floorMod(h, pbands.toLong).toInt
   }
 
+  /** Shared index-probe plumbing for the single and batch indexed
+    * paths: the memoized (n, avgdl) stats and the band+term-pruned
+    * `postings`/`df` reads for a term set — bands via [[termBand]]. */
   private def indexProbe(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, termList: Seq[String])
       : (Double, Double, DataFrame, DataFrame) = {
@@ -428,6 +458,12 @@ object Retrieval {
       pruned(meta.dfTable).groupBy(col("w")).agg(sum(col("df")).as("df")))
   }
 
+  /** BM25 top-k served FROM a [[bm25Build]] index: `(id, score, rnk)`,
+    * value-identical to [[bm25TopK]] over the indexed corpus. The
+    * postings/df reads prune to the query terms' hash bands (partition
+    * pruning — spec-asserted) and then filter to the exact terms; the
+    * corpus itself is never touched, and warm probes plan at zero
+    * Spark jobs ([[bm25Meta]] + [[termBand]]). */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, terms: Seq[String], k: Int,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -490,6 +526,7 @@ object Retrieval {
                       textCol: String, pbands: Int = 64): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    healStatsSidecar(spark, indexDir)
     if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, "stats"))) return
     bm25Build(spark.read.parquet(corpusUri), idCol, textCol, indexDir, pbands)
   }

@@ -885,8 +885,12 @@ object StreamRunner {
     * restart from `checkpoint` never re-answers committed files.
     * jsonl queries read under an explicit (string, string) schema — an
     * empty queries dir at job start works, and both `123` and `"123"`
-    * qids parse; parquet keeps file inference. `once = true` drains the
-    * available queries and stops (the cron shape). */
+    * qids parse. NOTE the jsonl terms SHAPE contract: terms must be a
+    * whitespace-separated STRING (`{"terms":"spark stream"}`) — a JSON
+    * ARRAY parses to null under the explicit schema and the row is
+    * skipped as malformed (warn-logged, no answer). Array<string>
+    * terms are the parquet path's shape (file inference). `once =
+    * true` drains the available queries and stops (the cron shape). */
   def bm25ServeJob(spark: SparkSession, queriesUri: String, format: String,
                    qidCol: String, termsCol: String, indexDir: String,
                    k: Int, outUri: String, outFormat: String,
@@ -1120,13 +1124,24 @@ object StreamRunner {
       s"bm25IngestJob: corpus format must be parquet or jsonl, got $format")
     // explicit schema: the watched dir is legitimately EMPTY on first
     // launch (the backfill was --build-from), and inference would fail
-    // the job before its checkpoint exists
+    // the job before its checkpoint exists. jsonl ids read as STRING —
+    // the JSON reader renders both `123` and `"123"` into it (a
+    // LongType field would silently null-skip quoted ids, the
+    // annServeJob qid lesson) — then cast to the index's long ids;
+    // rows whose id cannot cast are dropped (a serving-adjacent stream
+    // must not die on one bad record). Parquet keeps the index's own
+    // long id type: increment files whose types genuinely differ are
+    // rejected rather than stranding the index with unmergeable
+    // postings — the annIngestJob posture.
     val streamSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idCol,
-        org.apache.spark.sql.types.LongType),
+        if (format == "jsonl") org.apache.spark.sql.types.StringType
+        else org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField(textCol,
         org.apache.spark.sql.types.StringType)))
     val corpus = readStream(spark, corpusUri, format, Some(streamSchema))
+      .withColumn(idCol, col(idCol).cast("long"))
+      .filter(col(idCol).isNotNull)
     val q = corpus.writeStream
       .options(Map("checkpointLocation" -> checkpoint))
       .foreachBatch {

@@ -140,6 +140,30 @@ class CatalogSpec extends AnyFunSuite {
       defaults = Map("wp" -> s"tokenizer:$dir")))
     val none = intercept[IllegalArgumentException] { exec.serviceExec("wpnone") }
     assert(none.getMessage.contains("not a tokenizer artifact"))
+    // a unigram ref carries its RECORDED max_piece_len: a 9-char piece
+    // trained under bound 12 must match through the ref — the stage
+    // default of 8 would silently never match it
+    Files.writeString(Paths.get(s"$dir/docs2.jsonl"),
+      """{"id":1,"text":"lowestlow"}""")
+    c.add(DataStore("ws", "docs2", s"'$dir/docs2.jsonl'"))
+    val longVocab = Seq(graft.llm.Unigram.Piece("lowestlow", -0.5)) ++
+      "lowest".distinct.map(ch => graft.llm.Unigram.Piece(ch.toString, -4.0))
+    val longDir = s"$dir/uni-long"
+    graft.llm.TokenizerStore.saveUnigram(spark, longVocab, longDir,
+      maxPieceLen = 12)
+    c.add(Process("unionly", "unigramSegment(@, '@id', '@text', $uni)"))
+    c.add(Service("unisvc", "docs2", "unionly",
+      defaults = Map("uni" -> s"tokenizer:unigram:$longDir")))
+    val uniGot = exec.serviceExec("unisvc").head().getString(2)
+    val docs2 = spark.read.json(s"$dir/docs2.jsonl")
+    val want12 = graft.llm.Unigram.segment(docs2, "id", "text", longVocab, 12)
+      .head().getString(2)
+    val want8 = graft.llm.Unigram.segment(docs2, "id", "text", longVocab, 8)
+      .head().getString(2)
+    assert(want12 != want8, "fixture must make the bound observable")
+    assert(uniGot == want12,
+      s"recorded bound must reach serving through the ref: got '$uniGot', " +
+        s"bound-12 want '$want12', default-8 would give '$want8'")
   }
 
   test("dsir service: target bound via datastore:, resample served over HTTP-exec path") {

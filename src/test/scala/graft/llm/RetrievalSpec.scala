@@ -326,6 +326,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r2 == d2, "cached index stale after corpus file growth")
   }
 
+  test("a fresh build is already at build shape (clusteredWrite layout): compaction not due") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25shape")
+      .toString + "/idx"
+    Retrieval.bm25Build(docs, "doc_id", "text", dir, pbands = 16)
+    // shuffle partitions 32 / pbands 16 → saltN 2: the clustered write
+    // must land ≤ 2 files per band, so a never-appended index never
+    // trips the ingest job's maintenance slot
+    assert(!Retrieval.bm25CompactionDue(spark, dir),
+      "fresh build must not be compaction-due (tiny-file explosion?)")
+    val (_, maxPerPart) = Similarity.indexFileStats(spark, dir, "postings")
+    assert(maxPerPart <= 2, s"build shape: worst band has $maxPerPart files")
+  }
+
+  test("stats sidecar crash window self-heals: staged merge restored before any read") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25heal").toString
+    val dir = s"$root/idx"
+    Retrieval.bm25Build(docs.limit(200), "doc_id", "text", dir, pbands = 8)
+    val expect = Retrieval.bm25TopKIndexed(spark, dir, Seq("spark"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    // simulate replaceSidecar's loss window: the fully-written merged
+    // sidecar sits at .stats.staging, the live dir is gone
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/stats"),
+      java.nio.file.Paths.get(s"$dir/.stats.staging"))
+    assert(!new java.io.File(s"$dir/stats").exists())
+    // a probe heals and serves (fresh session-state: bust the memo by
+    // touching the postings listing? — the stamp covers stats, which
+    // just vanished, so the memo invalidates on its own)
+    val healed = Retrieval.bm25TopKIndexed(spark, dir, Seq("spark"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(healed == expect && new java.io.File(s"$dir/stats").exists(),
+      "stats must be restored from the staged copy and serve identically")
+    // appends work after the heal too
+    docs.filter($"doc_id" >= 200 && $"doc_id" < 210)
+      .select($"doc_id", $"text").write.parquet(s"$root/inc")
+    Retrieval.bm25Append(spark.read.parquet(s"$root/inc"), "doc_id", "text", dir)
+    val (n, _, _) = statsTriple(dir)
+    assert(n == 210.0)
+  }
+
   test("driver-side termBand equals the build's pmod(xxhash64) column for arbitrary terms") {
     val terms = Seq("spark", "window", "ȿpecial-ünicode", "", "a b",
       "##marker", "</w>", "x" * 300) ++
