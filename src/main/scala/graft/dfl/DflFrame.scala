@@ -643,9 +643,13 @@ object DflFrame {
 
       case "bm25" =>
         // `bm25(@, '@id', '@text', 'terms', k[, k1, b])` — lexical
-        // ranked retrieval (llm.Retrieval.bm25TopK): corpus-trained
-        // df/avgdl statistics, term-filtered scan, bounded-heap top-k.
-        // Whole-dataset statistics → stream-fenced.
+        // ranked retrieval: for a FILE-BACKED corpus the query runs
+        // through the cached inverted-index lifecycle (bm25TopKCached,
+        // the annTopK posture — build once per fingerprint, every later
+        // service exec is a partition-pruned posting probe instead of a
+        // corpus rescan, value-identical by the index contract);
+        // in-memory corpora take the direct one-scan bm25TopK. Corpus
+        // statistics either way → stream-fenced.
         if (args.size < 5 || args.size > 7) throw new DflParseException(
           "bm25 takes (@, idExpr, textExpr, 'terms', k[, k1, b])")
         val bmTerms = strArg(3).split(" ").toSeq.filter(_.nonEmpty)
@@ -656,8 +660,12 @@ object DflFrame {
         val bmB = if (args.size > 6) numArg(6) else 0.75
         val bmBase = df.withColumn("__gid", subCol(1))
           .withColumn("__gtext", subCol(2))
-        graft.llm.Retrieval.bm25TopK(bmBase, "__gid", "__gtext", bmTerms,
-          bmK, bmK1, bmB)
+        if (dflIndexable(bmBase.select(col("__gid"), col("__gtext"))))
+          graft.llm.Retrieval.bm25TopKCached(bmBase, "__gid", "__gtext",
+            dflCorpusKey(bmBase, "bm25"), bmTerms, bmK, k1 = bmK1, b = bmB)
+        else
+          graft.llm.Retrieval.bm25TopK(bmBase, "__gid", "__gtext", bmTerms,
+            bmK, bmK1, bmB)
 
       case "lineDedup" =>
         // `lineDedup(@, '@id', '@text'[, sep])` — corpus-wide line-level
