@@ -2241,6 +2241,30 @@ object SparkEntry {
       }
       llm.Retrieval.bm25TopKIndexedBatch(s, idxDir, bm25BatchQueries, k = 5)
     }),
+    // FILTERED indexed serving: a metadata-carrying build probed under
+    // a language predicate — corpus-GLOBAL statistics (a surviving
+    // doc's score is bit-identical to its unfiltered score), the
+    // candidate set restricted before ranking. The oracle replays
+    // exactly that: full-corpus scores, then filter, then rank
+    "bm25_filtered_topk" -> ((s, dir) => {
+      val idxDir = memoIndexDir(dir, "bm25flt", table = "documents") { d =>
+        llm.Retrieval.bm25Build(t(s, dir, "documents"), "doc_id", "text", d,
+          metaCols = Seq("lang"))
+      }
+      llm.Retrieval.bm25TopKIndexedFiltered(s, idxDir,
+        Seq("spark", "stream", "window"), k = 10, col("lang") === "en")
+    }),
+    // the filtered BATCH twin (the serve-bm25 --filter shape): one
+    // pruned read for the union terms, every slice ≡ the single
+    // filtered probe
+    "bm25_filtered_batch" -> ((s, dir) => {
+      val idxDir = memoIndexDir(dir, "bm25flt", table = "documents") { d =>
+        llm.Retrieval.bm25Build(t(s, dir, "documents"), "doc_id", "text", d,
+          metaCols = Seq("lang"))
+      }
+      llm.Retrieval.bm25TopKIndexedBatchFiltered(s, idxDir,
+        bm25BatchQueries, k = 5, col("lang") === "en")
+    }),
     // the index APPEND lifecycle: build on a doc_id prefix, append the
     // rest (increment-only scans, additive df/stats merge, staged
     // crash-safe commit) — probe answers must equal the FULL-corpus
@@ -3781,6 +3805,13 @@ object SparkEntry {
     // prefix-build + append must serve the full corpus exactly
     "bm25_append" -> llm.Retrieval.bm25Sql("documents", "doc_id", "text",
       Seq("merge", "sort", "stream"), k = 10),
+    // filtered = full-corpus scores, predicate before ranking
+    "bm25_filtered_topk" -> llm.Retrieval.bm25Sql("documents", "doc_id",
+      "text", Seq("spark", "stream", "window"), k = 10,
+      filterSql = Some("fm.lang = 'en'")),
+    "bm25_filtered_batch" -> llm.Retrieval.bm25BatchSql("documents",
+      "doc_id", "text", bm25BatchQueries, k = 5,
+      filterSql = Some("fm.lang = 'en'")),
     "rrf_fuse" -> llm.Retrieval.rrfSql(Seq(
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("spark", "stream", "window"), k = 20),

@@ -15,13 +15,17 @@ import graft.streaming.StreamRunner
   * Usage:
   *   runMain graft.cli.ServeBm25Cli
   *     --index-dir DIR [--k N] [--k1 X] [--b X]
+  *     [--filter 'DFL'] (FILTERED top-k: a DFL boolean over the index's
+  *                      metadata columns — --build-meta carried them —
+  *                      routed to the filtered batch probes with
+  *                      corpus-global statistics, the serve-ann posture)
   *     [--qid-col qid] [--terms-col terms]
   *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]
   *      | --catalog FILE --queries-datastore NAME --output-datastore NAME)
   *     --checkpoint DIR [--once]
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-text-col C]
-  *      [--build-pbands N]]
+  *      [--build-pbands N] [--build-meta c1,c2]]
   *
   * jsonl query files carry terms as a whitespace-separated STRING
   * (`{"qid":1,"terms":"spark stream"}`) — a JSON array parses to null
@@ -44,12 +48,14 @@ object ServeBm25Cli {
       qidCol: String = "qid", termsCol: String = "terms",
       indexDir: String = "", k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
+      filterDfl: Option[String] = None,
       outputUri: String = "", outputFormat: String = "jsonl",
       checkpoint: String = "", once: Boolean = false,
       catalogPath: String = "", queriesDatastore: String = "",
       outputDatastore: String = "",
       buildFrom: String = "", buildIdCol: String = "doc_id",
-      buildTextCol: String = "text", buildPBands: Int = 64)
+      buildTextCol: String = "text", buildPBands: Int = 64,
+      buildMeta: Seq[String] = Nil)
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
@@ -64,6 +70,8 @@ object ServeBm25Cli {
         case "--k"                 => c = c.copy(k = a.value().toInt)
         case "--k1"                => c = c.copy(k1 = a.value().toDouble)
         case "--b"                 => c = c.copy(b = a.value().toDouble)
+        case "--filter"            =>
+          c = c.copy(filterDfl = Some(ServeCli.plain(a.value())))
         case "--output-uri"        => c = c.copy(outputUri = a.value())
         case "--output-format"     => c = c.copy(outputFormat = a.value())
         case "--checkpoint"        => c = c.copy(checkpoint = a.value())
@@ -75,6 +83,8 @@ object ServeBm25Cli {
         case "--build-id-col"      => c = c.copy(buildIdCol = a.value())
         case "--build-text-col"    => c = c.copy(buildTextCol = a.value())
         case "--build-pbands"      => c = c.copy(buildPBands = a.value().toInt)
+        case "--build-meta"        => c = c.copy(buildMeta =
+          a.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -105,10 +115,10 @@ object ServeBm25Cli {
     val c = resolve(c0)
     if (c.buildFrom.nonEmpty)
       graft.llm.Retrieval.ensureBm25Index(spark, c.indexDir, c.buildFrom,
-        c.buildIdCol, c.buildTextCol, c.buildPBands)
+        c.buildIdCol, c.buildTextCol, c.buildPBands, c.buildMeta)
     StreamRunner.bm25ServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.termsCol, c.indexDir, c.k, c.outputUri, c.outputFormat,
-      c.checkpoint, c.once, c.k1, c.b)
+      c.checkpoint, c.once, c.k1, c.b, c.filterDfl)
   }
 
   def main(args: Array[String]): Unit = {

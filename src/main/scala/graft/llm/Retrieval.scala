@@ -33,15 +33,17 @@ object Retrieval {
 
   /** Per-document normalized tokens + document length. `dl` counts the
     * whitespace tokens of [[TextAnalysis.normText]] (0 for an empty doc —
-    * `split('', ' ')` yields one empty token which must not count). */
-  private def prepared(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+    * `split('', ' ')` yields one empty token which must not count).
+    * `metaCols` ride along unchanged (the filtered-index build). */
+  private def prepared(df: DataFrame, idCol: String, textCol: String,
+                       metaCols: Seq[String] = Nil): DataFrame = {
     val nt = TextAnalysis.normText(col(textCol))
-    df.select(col(idCol).cast("long").as("id"), nt.as("__nt"))
-      .select(col("id"),
+    df.select((col(idCol).cast("long").as("id") +: nt.as("__nt") +:
+        metaCols.map(col)): _*)
+      .select((col("id") +:
         when(col("__nt") === "", lit(0L))
-          .otherwise(size(split(col("__nt"), " ")).cast("long")).as("dl"),
-        split(col("__nt"), " ").as("__toks"))
+          .otherwise(size(split(col("__nt"), " ")).cast("long")).as("dl") +:
+        split(col("__nt"), " ").as("__toks") +: metaCols.map(col)): _*)
   }
 
   /** The per-(doc, term) BM25 contribution — shared by the single and
@@ -151,11 +153,13 @@ object Retrieval {
     * serve every query from partition-pruned posting reads with NO
     * corpus access at all. Layout under `indexDir`:
     *
-    *   - `postings/` — `(id, dl, w, tf)` parquet partitioned by
-    *     `pband = pmod(xxhash64(w), pbands)`: a query touches only its
-    *     terms' bands (≤ |terms| of `pbands` partitions — the LSH
-    *     pband posture; partitioning by raw term would explode the
-    *     partition count at web vocabulary sizes),
+    *   - `postings/` — `(id, dl, w, tf[, metaCols…])` parquet
+    *     partitioned by `pband = pmod(xxhash64(w), pbands)`: a query
+    *     touches only its terms' bands (≤ |terms| of `pbands`
+    *     partitions — the LSH pband posture; partitioning by raw term
+    *     would explode the partition count at web vocabulary sizes);
+    *     `metaCols` carry document metadata the FILTERED probes
+    *     ([[bm25TopKIndexedFiltered]]) prune on,
     *   - `df/` — `(w, df)` under the same banding; appends land DELTA
     *     rows, so probes sum df per term ([[indexProbe]]),
     *   - `stats/` — one row `(n, avgdl, sum_dl, pbands)`; (n, sum_dl)
@@ -167,10 +171,13 @@ object Retrieval {
     * trust). Probe answers are value-identical to [[bm25TopK]] on the
     * same corpus — the contract the oracle row checks. */
   def bm25Build(df: DataFrame, idCol: String, textCol: String,
-                indexDir: String, pbands: Int = 64): Unit = {
+                indexDir: String, pbands: Int = 64,
+                metaCols: Seq[String] = Nil): Unit = {
     require(pbands > 0, s"bm25Build: pbands must be positive, got $pbands")
+    Similarity.requireValidMetaCols(metaCols,
+      Set("id", "dl", "w", "tf", "pband"), "bm25Build")
     val spark = df.sparkSession
-    val base = prepared(df, idCol, textCol)
+    val base = prepared(df, idCol, textCol, metaCols)
     // stats store the ADDITIVE pair (n, sum_dl) — avgdl is derived
     // (exact long sum / count, the same arithmetic an append's merged
     // stats produce), so increments merge without revisiting the corpus
@@ -178,7 +185,7 @@ object Retrieval {
       (coalesce(sum(col("dl")), lit(0L)) / count(lit(1))).as("avgdl"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .withColumn("pbands", lit(pbands))
-    val tf = bandedTf(base, pbands)
+    val tf = bandedTf(base, pbands, metaCols)
     Similarity.stagedCommit(spark, indexDir) { staging =>
       // clusteredWrite, the ANN builds' layout: a bare partitionBy would
       // land up to tasks×pbands tiny files (the LSH pathology its
@@ -196,11 +203,16 @@ object Retrieval {
   }
 
   /** The banded per-(doc, term) tf table both [[bm25Build]] and
-    * [[bm25Append]] write — one place to keep the layouts identical. */
-  private def bandedTf(base: DataFrame, pbands: Int): DataFrame =
-    base.select(col("id"), col("dl"), explode(col("__toks")).as("w"))
+    * [[bm25Append]] write — one place to keep the layouts identical.
+    * `metaCols` (constant per doc) ride the grouping into the postings
+    * rows, where the FILTERED probes prune on them. */
+  private def bandedTf(base: DataFrame, pbands: Int,
+                       metaCols: Seq[String] = Nil): DataFrame =
+    base.select((col("id") +: col("dl") +:
+        explode(col("__toks")).as("w") +: metaCols.map(col)): _*)
       .filter(col("w") =!= "")
-      .groupBy(col("id"), col("dl"), col("w"))
+      .groupBy((col("id") +: col("dl") +: col("w") +:
+        metaCols.map(col)): _*)
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("pband",
         pmod(xxhash64(col("w")), lit(pbands.toLong)).cast("int"))
@@ -297,8 +309,14 @@ object Retrieval {
         "(no sum_dl column) — rebuild with bm25Build to enable appends")
     val pbands = statsDf.head().getInt(statsDf.schema.fieldIndex("pbands"))
     val batchId = appendId.getOrElse(Similarity.appendBatchId(df))
-    val base = prepared(df, idCol, textCol)
-    val tf = bandedTf(base, pbands)
+    // the index is self-describing about its metadata layout: whatever
+    // non-structural columns the postings carry, the increment must
+    // supply (a missing column fails the select loudly — an appended
+    // batch can never silently strand the filtered probes)
+    val metaCols = spark.read.parquet(s"$indexDir/postings").schema.fieldNames
+      .filterNot(Set("id", "dl", "w", "tf", "pband")).toSeq
+    val base = prepared(df, idCol, textCol, metaCols)
+    val tf = bandedTf(base, pbands, metaCols)
     Similarity.stagedAppend(spark, indexDir, batchId, bm25DataDirs,
         bm25StatsApply) { staging =>
       Similarity.clusteredWrite(tf, "pband", pbands)
@@ -469,7 +487,37 @@ object Retrieval {
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopKIndexed: empty query")
     require(k > 0, s"bm25TopKIndexed: k must be positive, got $k")
-    val (n, avgdl, postings, dft) = indexProbe(spark, indexDir, terms.distinct)
+    indexedTopK(spark, indexDir, terms, k, k1, b, None)
+  }
+
+  /** FILTERED indexed BM25 — [[bm25TopKIndexed]] restricted to
+    * documents satisfying `pred` over the index's metadata columns
+    * (carried at build time via [[bm25Build]]'s `metaCols`, preserved
+    * by appends and compaction). Scoring statistics (df, N, avgdl)
+    * stay CORPUS-GLOBAL — the standard filtered-retrieval contract: the
+    * predicate restricts the CANDIDATE SET, and a surviving document's
+    * score is bit-identical to its unfiltered score (which is what
+    * makes the answers exactly checkable as filter∘rank over the full
+    * scored set). Unlike filtered ANN there is no recall widening —
+    * BM25 scoring is exact over the matching docs, so the filtered
+    * top-k is exact by construction. */
+  def bm25TopKIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, terms: Seq[String], k: Int,
+                              pred: org.apache.spark.sql.Column,
+                              k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexedFiltered: empty query")
+    require(k > 0, s"bm25TopKIndexedFiltered: k must be positive, got $k")
+    indexedTopK(spark, indexDir, terms, k, k1, b, Some(pred))
+  }
+
+  private def indexedTopK(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, terms: Seq[String], k: Int,
+                          k1: Double, b: Double,
+                          pred: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val (n, avgdl, postings0, dft) = indexProbe(spark, indexDir, terms.distinct)
+    val postings = pred.fold(postings0)(postings0.filter)
     val scored = postings
       .join(broadcast(dft), "w")
       .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
@@ -492,7 +540,27 @@ object Retrieval {
   def bm25TopKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String,
                            queries: Seq[(Long, Seq[String])], k: Int,
-                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    indexedTopKBatch(spark, indexDir, queries, k, k1, b, None)
+
+  /** FILTERED batch serving — every query in the batch shares one
+    * `pred` over the index metadata (the serve-bm25 `--filter` shape);
+    * each slice ≡ [[bm25TopKIndexedFiltered]], same corpus-global
+    * statistics, same one-pruned-read plan as the unfiltered batch. */
+  def bm25TopKIndexedBatchFiltered(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String,
+                                   queries: Seq[(Long, Seq[String])], k: Int,
+                                   pred: org.apache.spark.sql.Column,
+                                   k1: Double = 1.2,
+                                   b: Double = 0.75): DataFrame =
+    indexedTopKBatch(spark, indexDir, queries, k, k1, b, Some(pred))
+
+  private def indexedTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String,
+                               queries: Seq[(Long, Seq[String])], k: Int,
+                               k1: Double, b: Double,
+                               pred: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     require(queries.nonEmpty, "bm25TopKIndexedBatch: empty query batch")
     require(queries.forall(_._2.nonEmpty),
       "bm25TopKIndexedBatch: a query has no terms")
@@ -501,7 +569,8 @@ object Retrieval {
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("qid", "w")
-    val (n, avgdl, postings, dft) = indexProbe(spark, indexDir, union)
+    val (n, avgdl, postings0, dft) = indexProbe(spark, indexDir, union)
+    val postings = pred.fold(postings0)(postings0.filter)
     val scored = postings
       .join(broadcast(dft), "w")
       .join(broadcast(qterms), "w")
@@ -523,12 +592,14 @@ object Retrieval {
     * under the single-writer contract. */
   def ensureBm25Index(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, corpusUri: String, idCol: String,
-                      textCol: String, pbands: Int = 64): Unit = {
+                      textCol: String, pbands: Int = 64,
+                      metaCols: Seq[String] = Nil): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     healStatsSidecar(spark, indexDir)
     if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, "stats"))) return
-    bm25Build(spark.read.parquet(corpusUri), idCol, textCol, indexDir, pbands)
+    bm25Build(spark.read.parquet(corpusUri), idCol, textCol, indexDir,
+      pbands, metaCols)
   }
 
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. SIGIR'09):
@@ -639,11 +710,29 @@ object Retrieval {
 
   /** DuckDB rendering of [[bm25TopK]] — same tokens, same arithmetic
     * association, same literals, same rounding, same tie order. Renders
-    * as a self-contained SELECT; `idAs` renames the output id column. */
+    * as a self-contained SELECT; `idAs` renames the output id column.
+    * `filterSql` renders the FILTERED contract
+    * ([[bm25TopKIndexedFiltered]]): scores over the FULL corpus
+    * (corpus-global statistics), the predicate — a boolean over
+    * `$table`'s columns — applied before ranking. */
   def bm25Sql(table: String, idCol: String, textCol: String,
               terms: Seq[String], k: Int, k1: Double = 1.2,
-              b: Double = 0.75, idAs: String = "id"): String = {
+              b: Double = 0.75, idAs: String = "id",
+              filterSql: Option[String] = None): String = {
     val inList = terms.distinct.map(sqlQuote).mkString(", ")
+    val ranked = filterSql match {
+      case None =>
+        s"""SELECT id AS $idAs, score,
+           |       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rnk
+           |  FROM sc
+           |QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= $k""".stripMargin
+      case Some(f) =>
+        s"""SELECT sc.id AS $idAs, score,
+           |       CAST(row_number() OVER (ORDER BY score DESC, sc.id ASC) AS BIGINT) AS rnk
+           |  FROM sc JOIN $table fm ON sc.id = fm.$idCol
+           | WHERE $f
+           |QUALIFY row_number() OVER (ORDER BY score DESC, sc.id ASC) <= $k""".stripMargin
+    }
     s"""WITH nt AS (
        |  SELECT $idCol AS id,
        |         lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))) AS nt
@@ -663,10 +752,7 @@ object Retrieval {
        |           * (tf * ${k1 + 1.0})
        |           / (tf + $k1 * (${1.0 - b} + $b * (dl / avgdl)))), 6) AS score
        |         FROM tf tt JOIN d USING (w) CROSS JOIN s GROUP BY 1)
-       |SELECT id AS $idAs, score,
-       |       CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rnk
-       |  FROM sc
-       |QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= $k""".stripMargin
+       |$ranked""".stripMargin
   }
 
   /** DuckDB rendering of [[bm25TopKBatch]]: one [[bm25Sql]] block per
@@ -674,10 +760,12 @@ object Retrieval {
     * single path by construction, which is exactly the batch contract. */
   def bm25BatchSql(table: String, idCol: String, textCol: String,
                    queries: Seq[(Long, Seq[String])], k: Int,
-                   k1: Double = 1.2, b: Double = 0.75): String =
+                   k1: Double = 1.2, b: Double = 0.75,
+                   filterSql: Option[String] = None): String =
     queries.map { case (qid, ts) =>
       s"""SELECT CAST($qid AS BIGINT) AS qid, id, score, rnk
-         |  FROM (${bm25Sql(table, idCol, textCol, ts, k, k1, b)})""".stripMargin
+         |  FROM (${bm25Sql(table, idCol, textCol, ts, k, k1, b,
+                            filterSql = filterSql)})""".stripMargin
     }.mkString("\nUNION ALL\n")
 
   /** DuckDB rendering of [[rrfFuse]] over named run subqueries: each

@@ -207,7 +207,7 @@ object Similarity {
                             reserved: Set[String]): Seq[String] =
     vectors.schema.map(_.name).filterNot(reserved)
 
-  private def requireValidMetaCols(metaCols: Seq[String],
+  private[llm] def requireValidMetaCols(metaCols: Seq[String],
                                    reserved: Set[String], what: String): Unit =
     metaCols.foreach(c => require(!reserved(c),
       s"$what: metadata column '$c' collides with a structural index column"))

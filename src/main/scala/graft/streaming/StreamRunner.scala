@@ -830,10 +830,17 @@ object StreamRunner {
   def bm25ServeBatches(queries: DataFrame, qidCol: String, termsCol: String,
                indexDir: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
                options: Map[String, String] = Map.empty,
-               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+               filterDfl: Option[String] = None)
               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(k > 0, s"bm25Serve: k must be positive, got $k")
+    // FILTERED serving: a DFL boolean over the index's metadata columns
+    // (bm25Build's metaCols), routed to the filtered batch probe —
+    // corpus-global statistics, the annServe --filter posture. Compiled
+    // EAGERLY so a malformed expression fails job construction, not the
+    // first micro-batch.
+    val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
     val writer0 = queries.writeStream.options(options)
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer.foreachBatch {
@@ -859,8 +866,12 @@ object StreamRunner {
           }.toSeq
         if (qs.nonEmpty) {
           def serveBatch(): Unit =
-            sink(graft.llm.Retrieval.bm25TopKIndexedBatch(
-              batch.sparkSession, indexDir, qs, k, k1, b), batchId)
+            sink(pred match {
+              case Some(p) => graft.llm.Retrieval.bm25TopKIndexedBatchFiltered(
+                batch.sparkSession, indexDir, qs, k, p, k1, b)
+              case None => graft.llm.Retrieval.bm25TopKIndexedBatch(
+                batch.sparkSession, indexDir, qs, k, k1, b)
+            }, batchId)
           // one retry on a mid-rewrite FileNotFound — see annServeBatches
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
@@ -895,7 +906,8 @@ object StreamRunner {
                    qidCol: String, termsCol: String, indexDir: String,
                    k: Int, outUri: String, outFormat: String,
                    checkpoint: String, once: Boolean,
-                   k1: Double = 1.2, b: Double = 0.75)
+                   k1: Double = 1.2, b: Double = 0.75,
+                   filterDfl: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"bm25ServeJob: output format must be jsonl or parquet, got $outFormat")
@@ -910,7 +922,8 @@ object StreamRunner {
       else None
     val queries = readStream(spark, queriesUri, format, schema)
     val q = bm25ServeBatches(queries, qidCol, termsCol, indexDir, k, k1, b,
-      options = Map("checkpointLocation" -> checkpoint)) {
+      options = Map("checkpointLocation" -> checkpoint),
+      filterDfl = filterDfl) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

@@ -78,15 +78,24 @@ object ScaleCheck {
       // returns the layout to build shape with probes unchanged.
       val bmDir = java.nio.file.Files
         .createTempDirectory(s"graft-scale-bm25-$mult").toString + "/idx"
-      graft.llm.Retrieval.bm25Build(big, "doc_id", "text", bmDir, pbands = 16)
+      graft.llm.Retrieval.bm25Build(
+        big.withColumn("flag", pmod(col("doc_id"), lit(2L)).cast("int")),
+        "doc_id", "text", bmDir, pbands = 16, metaCols = Seq("flag"))
       val bmInc = docs.limit(200)
         .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+        .withColumn("flag", pmod(col("doc_id"), lit(2L)).cast("int"))
       time("bm25_append")({
         graft.llm.Retrieval.bm25Append(bmInc, "doc_id", "text", bmDir,
           appendId = Some(s"scale-$mult")); 200L
       })
       time("bm25_probe")(graft.llm.Retrieval.bm25TopKIndexed(
         spark, bmDir, Seq("spark", "stream", "window"), 10).count())
+      // filtered serving: the predicate prunes rows inside the SAME
+      // banded read — flat in mult like the unfiltered probe (no
+      // widening loop: BM25 filtered is exact by construction)
+      time("bm25_probe_filtered")(graft.llm.Retrieval.bm25TopKIndexedFiltered(
+        spark, bmDir, Seq("spark", "stream", "window"), 10,
+        col("flag") === 0).count())
       time("bm25_compact")({
         val st = graft.llm.Retrieval.bm25Compact(spark, bmDir)
         st.filesBefore - st.filesAfter

@@ -366,6 +366,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(n == 210.0)
   }
 
+  test("filtered indexed BM25: corpus-global scores, predicate-restricted candidates; meta survives append+compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25flt").toString
+    val dir = s"$root/idx"
+    val terms = Seq("spark", "stream", "window")
+    Retrieval.bm25Build(docs.filter($"doc_id" < 300), "doc_id", "text", dir,
+      pbands = 16, metaCols = Seq("lang"))
+    docs.filter($"doc_id" >= 300).select($"doc_id", $"text", $"lang")
+      .write.parquet(s"$root/inc")
+    // the appended increment carries the index's meta automatically
+    Retrieval.bm25Append(spark.read.parquet(s"$root/inc"), "doc_id", "text", dir)
+    // expectation = filter ∘ rank over the FULL scored set: every
+    // matching doc's unfiltered score, langs joined, 'en' only, top 10
+    val full = Retrieval.bm25TopKIndexed(spark, dir, terms, 100000)
+      .select($"id", $"score")
+      .join(docs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+      .filter($"lang" === "en")
+      .orderBy($"score".desc, $"id".asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def probeF() = Retrieval.bm25TopKIndexedFiltered(spark, dir, terms, 10,
+        col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeF() == full && full.nonEmpty,
+      "filtered probe must equal filter-then-rank over unfiltered scores")
+    // survivors' scores are bit-identical to their unfiltered scores
+    val unfiltered = Retrieval.bm25TopKIndexed(spark, dir, terms, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    probeF().foreach { case (id, s) => assert(unfiltered(id) == s) }
+    // batch slice ≡ single filtered probe
+    val batch = Retrieval.bm25TopKIndexedBatchFiltered(spark, dir,
+        Seq(1L -> terms), 10, col("lang") === "en")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch == probeF())
+    // compaction preserves the metadata columns and the answers
+    Retrieval.bm25Compact(spark, dir)
+    assert(probeF() == full, "filtered answers changed across compaction")
+    // an increment MISSING the index's meta column fails loudly
+    docs.filter($"doc_id" < 5).select($"doc_id", $"text")
+      .write.parquet(s"$root/bad")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Retrieval.bm25Append(spark.read.parquet(s"$root/bad"),
+        "doc_id", "text", dir)
+    }
+    // structural-column collisions rejected at build
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Build(docs, "doc_id", "text", s"$root/x",
+        metaCols = Seq("tf"))
+    }
+  }
+
   test("driver-side termBand equals the build's pmod(xxhash64) column for arbitrary terms") {
     val terms = Seq("spark", "window", "ȿpecial-ünicode", "", "a b",
       "##marker", "</w>", "x" * 300) ++

@@ -1137,6 +1137,28 @@ class StreamParitySpec extends AnyFunSuite {
     val statsAfter = new java.io.File(s"$root/idx/stats").listFiles()
       .map(f => f.getName -> f.lastModified()).toMap
     assert(statsBefore == statsAfter, "existing index must not be rebuilt")
+    // FILTERED serving: a meta-carrying bootstrap probed under a DFL
+    // language predicate — answers equal the filtered batch probe
+    val fcfg = graft.cli.ServeBm25Cli.parseArgs(Array(
+      "--index-dir", s"$root/fidx", "--k", "4",
+      "--filter", "@lang == 'en'",
+      "--queries-uri", qdir, "--queries-format", "parquet",
+      "--output-uri", s"$root/fanswers", "--output-format", "parquet",
+      "--build-from", "/root/testdata/sf0.001/documents.parquet",
+      "--build-meta", "lang",
+      "--checkpoint", s"$root/fckpt", "--once"))
+    assert(fcfg.filterDfl.contains("@lang == 'en'") &&
+      fcfg.buildMeta == Seq("lang"))
+    graft.cli.ServeBm25Cli.run(spark, fcfg)
+    val fgot = spark.read.parquet(s"$root/fanswers/batch-*")
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val fdirect = graft.llm.Retrieval.bm25TopKIndexedFiltered(spark,
+        s"$root/fidx", Seq("spark", "stream", "window"), 4,
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fgot == fdirect && fgot.nonEmpty,
+      "filtered serving must equal the filtered batch probe")
   }
 
   test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
