@@ -118,6 +118,21 @@ object SparkEntry {
     2L -> Seq("merge", "sort", "stream"),
     3L -> Seq("vector", "hash"))
 
+  /** Deterministic graded judgments for the retrieval_eval rows: query
+    * q judges every doc with doc_id % (10+q) == 0 at rel 1 + doc_id%3
+    * — replayed literally by [[retrievalQrelsSql]]. */
+  private def retrievalQrels(docs: DataFrame): DataFrame =
+    bm25BatchQueries.map(_._1).map(q =>
+      docs.filter(pmod(col("doc_id"), lit(10L + q)) === 0)
+        .select(lit(q).as("qid"), col("doc_id").as("id"),
+          (lit(1L) + pmod(col("doc_id"), lit(3L))).cast("int").as("rel")))
+      .reduce(_ unionByName _)
+
+  private val retrievalQrelsSql: String =
+    """SELECT q AS qid, doc_id AS id, CAST(1 + doc_id % 3 AS INT) AS rel
+      |  FROM documents, (VALUES (1), (2), (3)) v(q)
+      | WHERE doc_id % (10 + q) = 0""".stripMargin
+
   /** A messy-but-equivalent URL per document: upper-cased `www.` host,
     * explicit default port, tracking params, unsorted query, trailing
     * slash, per-doc fragment. Canonicalization must collapse it to
@@ -2280,6 +2295,27 @@ object SparkEntry {
       llm.Retrieval.bm25TopKIndexed(s, idxDir,
         Seq("merge", "sort", "stream"), k = 10)
     }),
+    // TREC-style rank-quality evaluation: the batch BM25 run measured
+    // against a deterministic graded judgment set (qid q judges docs
+    // with doc_id % (10+q) == 0 at rel 1 + doc_id % 3) — recall@10,
+    // precision@10, MRR, nDCG@10 per query, every gain and tie order
+    // replayed in SQL
+    "retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val run = llm.Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        bm25BatchQueries, k = 10)
+      llm.Retrieval.evalRun(run, retrievalQrels(docs), k = 10)
+    }),
+    // the same evaluation through the DFL stage (judgments bound as a
+    // dataset var) — shares the oracle
+    "dfl_rank_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val run = llm.Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        bm25BatchQueries, k = 10)
+      DflFrame.pipeline(run,
+        "rankEval(@, '@qid', '@id', '@rnk', $qrels, 10)",
+        Map("qrels" -> retrievalQrels(docs)))
+    }),
     // reciprocal-rank fusion of two lexical runs — rank-only, so the
     // score scales never mix; oracle renders both runs + the fusion
     "rrf_fuse" -> ((s, dir) => {
@@ -3812,6 +3848,15 @@ object SparkEntry {
     "bm25_filtered_batch" -> llm.Retrieval.bm25BatchSql("documents",
       "doc_id", "text", bm25BatchQueries, k = 5,
       filterSql = Some("fm.lang = 'en'")),
+    // run + judgments + every metric's gains and tie order in one SQL
+    "retrieval_eval" -> llm.Retrieval.evalRunSql(
+      llm.Retrieval.bm25BatchSql("documents", "doc_id", "text",
+        bm25BatchQueries, k = 10),
+      retrievalQrelsSql, k = 10),
+    "dfl_rank_eval" -> llm.Retrieval.evalRunSql(
+      llm.Retrieval.bm25BatchSql("documents", "doc_id", "text",
+        bm25BatchQueries, k = 10),
+      retrievalQrelsSql, k = 10),
     "rrf_fuse" -> llm.Retrieval.rrfSql(Seq(
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("spark", "stream", "window"), k = 20),

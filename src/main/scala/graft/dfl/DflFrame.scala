@@ -110,7 +110,8 @@ object DflFrame {
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "unigramSegment", "wordpieceSegment", "tokSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst", "bm25", "hybrid", "lineDedup", "mmr", "quantiles",
+      "imageDedupAgainst", "bm25", "hybrid", "rankEval", "lineDedup", "mmr",
+      "quantiles",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1117,6 +1118,20 @@ object DflFrame {
           .withColumn("__gscore", subCol(2)).withColumn("__gvec", subCol(3))
         graft.llm.Retrieval.mmrRerank(mBase, "__gid", "__gscore", "__gvec",
           mmrK, mmrLambda)
+
+      case "rankEval" =>
+        // `rankEval(@, '@qid', '@id', '@rnk', $qrels, k)` — TREC-style
+        // evaluation of the CURRENT dataset as a retrieval run against
+        // a judgments table bound as a dataset var ((qid, id[, rel])
+        // rows): per judged query (qid, n_rel, n_ret, hits, recall,
+        // precision, rr, ndcg) — llm.Retrieval.evalRun. Whole-dataset
+        // grouping → stream-fenced.
+        if (args.size != 6) throw new DflParseException(
+          "rankEval takes (@, qidExpr, idExpr, rnkExpr, $qrels, k)")
+        val reK = intArg(5)
+        val reBase = df.select(subCol(1).as("qid"), subCol(2).as("id"),
+          subCol(3).as("rnk"))
+        graft.llm.Retrieval.evalRun(reBase, dsArg(4), reK)
 
       case "hybrid" =>
         // `hybrid(@, '@id', '@text', '@vec', 'terms', $qvec, k[, lambda])`

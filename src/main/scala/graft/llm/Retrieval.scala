@@ -602,6 +602,100 @@ object Retrieval {
       pbands, metaCols)
   }
 
+  /** Rank-quality EVALUATION of a retrieval run against relevance
+    * judgments — the measurement loop every serving stack needs
+    * (standard TREC-style metrics, Järvelin & Kekäläinen TOIS'02 for
+    * nDCG): `run` holds `(qid, id, rnk)` (1-based ranks, any k),
+    * `qrels` holds `(qid, id[, rel])` graded judgments (missing `rel`
+    * column → binary 1; rows with rel ≤ 0 are non-relevant and
+    * dropped). Returns ONE ROW PER JUDGED QUERY (qrels is the spine —
+    * a query the run never answered scores zeros; run qids without
+    * judgments are ignored, the trec_eval convention):
+    *
+    *   (qid, n_rel, n_ret, hits, recall, precision, rr, ndcg)
+    *
+    *   - recall@k    = hits / n_rel
+    *   - precision@k = hits / k (fixed-k denominator, the standard)
+    *   - rr          = 1 / rank of the first relevant hit (0 if none)
+    *   - ndcg@k      = Σ_hits (2^rel − 1)/log2(rnk+1) over the ideal
+    *     DCG of the top-k judgments ordered (rel desc, id asc) — the
+    *     deterministic tie order that makes the metric replayable.
+    *
+    * All metrics round to 6. Scale shape: one run⋈qrels equi-join plus
+    * per-qid aggregations — judgment sets are tiny next to any corpus,
+    * and nothing touches the corpus itself. */
+  def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"evalRun: k must be positive, got $k")
+    val r = run.select(col("qid").cast("long").as("qid"),
+      col("id").cast("long").as("id"), col("rnk").cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+    val hasRel = qrels.columns.contains("rel")
+    val q = qrels.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id"),
+        (if (hasRel) col("rel").cast("int") else lit(1)).as("rel"))
+      .filter(col("rel") > 0)
+    val gain = (rel: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =>
+      (pow(lit(2.0), rel) - 1.0) / log(2.0, pos + 1.0)
+    // ideal DCG: the top-k judgments by (rel desc, id asc)
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col("id").asc)
+    val ideal = q.withColumn("pos", row_number().over(iw).cast("long"))
+      .filter(col("pos") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(gain(col("rel"), col("pos"))).as("idcg"))
+    val nrel = q.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val per = r.join(q.select(col("qid"), col("id"), col("rel")),
+        Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel").isNotNull, col("rnk"))).as("first_rel"),
+        sum(when(col("rel").isNotNull, gain(col("rel"), col("rnk")))
+          .otherwise(0.0)).as("dcg"))
+    nrel.join(ideal, Seq("qid"))
+      .join(per, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_rel"), 6).as("recall"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** DuckDB rendering of [[evalRun]] over `(runSql, qrelsSql)`
+    * subqueries (`runSql` selects (qid, id, rnk); `qrelsSql` selects
+    * (qid, id, rel)) — same gains, same tie order, same rounding. */
+  def evalRunSql(runSql: String, qrelsSql: String, k: Int): String =
+    s"""WITH run AS MATERIALIZED (SELECT qid, id, rnk FROM ($runSql) WHERE rnk <= $k),
+       |q AS MATERIALIZED (SELECT qid, id, rel FROM ($qrelsSql) WHERE rel > 0),
+       |ideal AS (
+       |  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
+       |    FROM (SELECT qid, rel,
+       |            row_number() OVER (PARTITION BY qid
+       |                               ORDER BY rel DESC, id ASC) AS pos
+       |            FROM q)
+       |   WHERE pos <= $k GROUP BY 1),
+       |nrel AS (SELECT qid, count(*) AS n_rel FROM q GROUP BY 1),
+       |per AS (
+       |  SELECT run.qid, count(*) AS n_ret,
+       |         sum(CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+       |         min(CASE WHEN q.rel IS NOT NULL THEN run.rnk END) AS first_rel,
+       |         sum(CASE WHEN q.rel IS NOT NULL
+       |                  THEN (pow(2.0, q.rel) - 1.0) / log2(run.rnk + 1.0)
+       |                  ELSE 0.0 END) AS dcg
+       |    FROM run LEFT JOIN q ON run.qid = q.qid AND run.id = q.id
+       |   GROUP BY 1)
+       |SELECT nrel.qid, n_rel,
+       |       CAST(coalesce(n_ret, 0) AS BIGINT) AS n_ret,
+       |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |       round(coalesce(hits, 0) * 1.0 / n_rel, 6) AS recall,
+       |       round(coalesce(hits, 0) * 1.0 / $k, 6) AS precision,
+       |       round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+       |       round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg
+       |  FROM nrel JOIN ideal USING (qid) LEFT JOIN per ON nrel.qid = per.qid""".stripMargin
+
   /** Reciprocal-rank fusion of ranked runs (Cormack et al. SIGIR'09):
     * each input frame holds one run's `(id, rnk)` (1-based); the fused
     * score is `Σ_runs 1/(c + rnk)` over the runs where the id appears,

@@ -54,7 +54,7 @@ object StreamRunner {
     // corpus index and fuses whole-corpus runs (serve-bm25/serve-ann
     // are the streaming serving surfaces); lineDedup's keep decision
     // is whole-corpus
-    "bm25", "hybrid", "lineDedup",
+    "bm25", "hybrid", "rankEval", "lineDedup",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

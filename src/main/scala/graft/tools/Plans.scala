@@ -92,9 +92,10 @@ object PlanLint {
     // pairing (the organic branch keeps its hash anti-join)
     "source_filtered", "dfl_source_filter",
     // BM25's corpus scalars (N, avgdl) are the same one-row broadcast
-    // cross-join shape as the LM family
+    // cross-join shape as the LM family; the eval rows inherit it from
+    // their batch-BM25 run input
     "bm25_topk", "bm25_batch", "dfl_bm25", "rrf_fuse",
-    "pipeline_hybrid_retrieval")
+    "pipeline_hybrid_retrieval", "retrieval_eval", "dfl_rank_eval")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

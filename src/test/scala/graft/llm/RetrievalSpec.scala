@@ -446,6 +446,60 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- TREC-style run evaluation ----
+
+  test("evalRun matches hand-computed recall/precision/MRR/nDCG; edge shapes covered") {
+    def s6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // qid 1: judged {10:rel3, 20:rel1, 30:rel2}; run ranks 20@1, 99@2, 10@3
+    //   hits=2, recall=2/3, precision@4=2/4, rr=1 (first hit at rank 1)
+    //   dcg  = (2^1−1)/log2(2) + (2^3−1)/log2(4) = 1 + 3.5 = 4.5
+    //   idcg = rel order (3,2,1): 7/1 + 3/log2(3) + 1/2
+    // qid 2: judged {40:rel1}; run has only misses → all zeros except n
+    // qid 3: judged {50:rel1}; run NEVER answered it → zeros row
+    // qid 9 in the run has no judgments → ignored entirely
+    val run = Seq(
+      (1L, 20L, 1L), (1L, 99L, 2L), (1L, 10L, 3L),
+      (2L, 77L, 1L),
+      (9L, 10L, 1L)).toDF("qid", "id", "rnk")
+    val qrels = Seq(
+      (1L, 10L, 3), (1L, 20L, 1), (1L, 30L, 2),
+      (1L, 60L, 0), // rel <= 0 is non-relevant: dropped from n_rel/idcg
+      (2L, 40L, 1), (3L, 50L, 1)).toDF("qid", "id", "rel")
+    val got = Retrieval.evalRun(run, qrels, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "judged queries are the spine")
+    val idcg1 = 7.0 + 3.0 / (math.log(3.0) / math.log(2.0)) + 1.0 / 2.0
+    val dcg1 = 1.0 + 3.5
+    assert(got(1L) == ((3L, 3L, 2L, s6(2.0 / 3), 0.5, 1.0, s6(dcg1 / idcg1))))
+    assert(got(2L) == ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // binary default when the rel column is absent
+    val binQ = Seq((1L, 10L), (1L, 30L)).toDF("qid", "id")
+    val bin = Retrieval.evalRun(run, binQ, k = 4).collect().head
+    assert(bin.getDouble(4) == 0.5 && bin.getDouble(6) == s6(1.0 / 3.0),
+      "absent rel column = binary judgments; rr from first binary hit")
+    // k truncates the run BEFORE anything is measured
+    val k1 = Retrieval.evalRun(run, qrels, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(k1(1L) == 1L && k1(2L) == 0L)
+    intercept[IllegalArgumentException](Retrieval.evalRun(run, qrels, 0))
+    // DFL stage == API on the same frames; fenced; arity rejected
+    val dfl = graft.dfl.DflFrame.pipeline(run,
+        "rankEval(@, '@qid', '@id', '@rnk', $qrels, 4)",
+        Map[String, Any]("qrels" -> qrels))
+      .collect().map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    assert(dfl(1L) == s6(dcg1 / idcg1))
+    intercept[graft.dfl.DflParseException](graft.dfl.DflFrame.pipeline(run,
+      "rankEval(@, '@qid', '@id', '@rnk', $qrels)",
+      Map[String, Any]("qrels" -> qrels)))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        "rankEval(@, '@qid', '@id', '@rnk', $q, 4)"))
+  }
+
   // ---- MMR diversified re-ranking ----
 
   // candidates: 1 and 2 are near-duplicates (same direction), 3 is
