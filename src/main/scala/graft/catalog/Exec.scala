@@ -138,10 +138,13 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         }
         val uri = catalog.datastores.get(ref)
           .map(d => resolveUri(d.uri, vars)).getOrElse(ref)
-        val kind =
-          try graft.llm.TokenizerStore.kindOf(spark, uri)
+        // ONE meta read serves the kind check AND the unigram serving
+        // bound — this runs per exec on the HTTP serving path
+        val meta =
+          try spark.read.parquet(s"$uri/meta").head()
           catch { case e: Exception => throw new IllegalArgumentException(
             s"$$$k: '$uri' is not a tokenizer artifact dir", e) }
+        val kind = meta.getString(0)
         want.foreach(w => require(w == kind,
           s"$$$k: $uri holds a '$kind' artifact, expected '$w'"))
         val table = spark.read.parquet(s"$uri/table")
@@ -151,7 +154,7 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         // the guarantee saveUnigram's meta exists to provide
         k -> ((if (kind == "unigram")
           table.withColumn("max_piece_len",
-            lit(graft.llm.TokenizerStore.unigramMaxPieceLen(spark, uri)))
+            lit(meta.getInt(meta.fieldIndex("max_piece_len"))))
         else table): Any)
     }
 

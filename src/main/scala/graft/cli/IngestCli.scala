@@ -55,6 +55,7 @@ object IngestCli {
       retrainSkew: Double = 0.0,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
       buildKLists: Int = 16, buildPBits: Int = 8, buildPBands: Int = 64,
+      buildMeta: Seq[String] = Nil,
       catalogPath: String = "", corpusDatastore: String = "")
 
   def parseArgs(args: Array[String]): Config = {
@@ -79,6 +80,8 @@ object IngestCli {
         case "--build-klists"  => c = c.copy(buildKLists = a.value().toInt)
         case "--build-pbits"   => c = c.copy(buildPBits = a.value().toInt)
         case "--build-pbands"  => c = c.copy(buildPBands = a.value().toInt)
+        case "--build-meta"    => c = c.copy(buildMeta =
+          a.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--catalog"          => c = c.copy(catalogPath = a.value())
         case "--corpus-datastore" => c = c.copy(corpusDatastore = a.value())
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
@@ -112,7 +115,7 @@ object IngestCli {
     if (c.method == "bm25") {
       if (c.buildFrom.nonEmpty)
         graft.llm.Retrieval.ensureBm25Index(spark, c.indexDir, c.buildFrom,
-          c.idCol, c.textCol, c.buildPBands)
+          c.idCol, c.textCol, c.buildPBands, c.buildMeta)
       StreamRunner.bm25IngestJob(spark, c.corpusUri, c.corpusFormat,
         c.idCol, c.textCol, c.indexDir, c.checkpoint, c.once,
         compactEvery = c.compactEvery)
@@ -121,7 +124,7 @@ object IngestCli {
         graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
           c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
           dim = c.buildDim, partitionBits = c.buildPBits,
-          kLists = c.buildKLists)
+          kLists = c.buildKLists, metaCols = c.buildMeta)
       StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
         c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
         compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)

@@ -70,8 +70,10 @@ object ServeBm25Cli {
         case "--k"                 => c = c.copy(k = a.value().toInt)
         case "--k1"                => c = c.copy(k1 = a.value().toDouble)
         case "--b"                 => c = c.copy(b = a.value().toDouble)
-        case "--filter"            =>
-          c = c.copy(filterDfl = Some(ServeCli.plain(a.value())))
+        // verbatim — plain()'s quote-stripping is for catalog URIs and
+        // would corrupt a DFL expression that starts and ends with
+        // quoted literals ("'en' == @lang || @lang == 'de'")
+        case "--filter"            => c = c.copy(filterDfl = Some(a.value()))
         case "--output-uri"        => c = c.copy(outputUri = a.value())
         case "--output-format"     => c = c.copy(outputFormat = a.value())
         case "--checkpoint"        => c = c.copy(checkpoint = a.value())

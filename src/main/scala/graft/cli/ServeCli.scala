@@ -74,8 +74,11 @@ object ServeCli {
         case "--tuning"            => c = c.copy(tuning = Some(a.value().toInt))
         case "--min-cos"           => c = c.copy(minCos = Some(a.value().toDouble))
         // a DFL boolean over index columns (id + --build-meta metadata):
-        // routes each micro-batch to the FILTERED batch probes
-        case "--filter"            => c = c.copy(filterDfl = Some(plain(a.value())))
+        // routes each micro-batch to the FILTERED batch probes. Passed
+        // VERBATIM — plain()'s quote-stripping is for catalog URIs and
+        // would corrupt an expression that starts and ends with quoted
+        // literals ("'en' == @lang || @lang == 'de'")
+        case "--filter"            => c = c.copy(filterDfl = Some(a.value()))
         case "--output-uri"        => c = c.copy(outputUri = a.value())
         case "--output-format"     => c = c.copy(outputFormat = a.value())
         case "--checkpoint"        => c = c.copy(checkpoint = a.value())

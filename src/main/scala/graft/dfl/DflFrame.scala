@@ -1219,20 +1219,26 @@ object DflFrame {
         // max_piece_len column (a tokenizer: artifact ref carries its
         // RECORDED serving bound this way — Exec.tokenizerRefVars) >
         // the default. A vocab trained with longer pieces served under
-        // a shorter bound would silently never match them.
+        // a shorter bound would silently never match them. ONE collect
+        // fetches pieces and bound together (the per-request HTTP-exec
+        // serving path must not pay a second driver job), and the
+        // empty-table check runs before the bound is touched.
         val uTable = dsArg(3)
+        val uHasBound = uTable.columns.contains("max_piece_len")
+        val uRows = uTable
+          .select(col("piece").cast("string"), col("logp").cast("double"),
+            (if (uHasBound) col("max_piece_len") else lit(0))
+              .cast("int").as("__mpl"))
+          .collect()
+        if (uRows.isEmpty)
+          throw new DflParseException("unigramSegment: empty vocab table")
         val uMaxLen =
           if (args.size > 4) intArg(4)
-          else if (uTable.columns.contains("max_piece_len"))
-            uTable.select(col("max_piece_len")).head().getInt(0)
+          else if (uHasBound) uRows.head.getInt(2)
           else 8
-        val uVocab = uTable
-          .select(col("piece").cast("string"), col("logp").cast("double"))
-          .collect()
+        val uVocab = uRows
           .map(r => graft.llm.Unigram.Piece(r.getString(0), r.getDouble(1)))
           .toSeq
-        if (uVocab.isEmpty)
-          throw new DflParseException("unigramSegment: empty vocab table")
         val uBase = df.withColumn("__gid", subCol(1))
           .withColumn("__gtext", subCol(2))
         graft.llm.Unigram.segment(uBase, "__gid", "__gtext", uVocab, uMaxLen)

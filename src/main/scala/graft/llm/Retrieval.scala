@@ -119,6 +119,8 @@ object Retrieval {
     require(queries.nonEmpty, "bm25TopKBatch: empty query batch")
     require(queries.forall(_._2.nonEmpty), "bm25TopKBatch: a query has no terms")
     require(k > 0, s"bm25TopKBatch: k must be positive, got $k")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopKBatch: duplicate qid in batch")
     val spark = df.sparkSession
     import spark.implicits._
     val union = queries.flatMap(_._2).distinct
@@ -174,8 +176,11 @@ object Retrieval {
                 indexDir: String, pbands: Int = 64,
                 metaCols: Seq[String] = Nil): Unit = {
     require(pbands > 0, s"bm25Build: pbands must be positive, got $pbands")
-    Similarity.requireValidMetaCols(metaCols,
-      Set("id", "dl", "w", "tf", "pband"), "bm25Build")
+    // the reserved set covers the PROBE plumbing too, not just the
+    // stored layout: 'df'/'qid' would collide with the probe-time
+    // joins (ambiguous reference — a bricked index), and 'n'/'avgdl'
+    // would be silently clobbered by the scalar withColumns
+    Similarity.requireValidMetaCols(metaCols, bm25Reserved, "bm25Build")
     val spark = df.sparkSession
     val base = prepared(df, idCol, textCol, metaCols)
     // stats store the ADDITIVE pair (n, sum_dl) — avgdl is derived
@@ -221,6 +226,12 @@ object Retrieval {
     * carry the replay-fence markers ([[Similarity.stagedAppend]] fences
     * on the FIRST entry). */
   private val bm25DataDirs = Seq("postings", "df")
+
+  /** Column names metadata may not use: the stored layout (id, dl, w,
+    * tf, pband) plus every name the PROBES introduce — the df and
+    * batch-qid joins, and the (n, avgdl) scalar columns. */
+  private val bm25Reserved =
+    Set("id", "dl", "w", "tf", "pband", "df", "qid", "n", "avgdl")
 
   /** Self-heal the stats sidecar's ONE loss window:
     * [[Similarity.replaceSidecar]] deletes the live dir before renaming
@@ -565,6 +576,10 @@ object Retrieval {
     require(queries.forall(_._2.nonEmpty),
       "bm25TopKIndexedBatch: a query has no terms")
     require(k > 0, s"bm25TopKIndexedBatch: k must be positive, got $k")
+    // a duplicated qid would double-join its terms and silently double
+    // (or merge) its scores — reject, never corrupt
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25TopKIndexedBatch: duplicate qid in batch")
     val union = queries.flatMap(_._2).distinct
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
@@ -626,14 +641,20 @@ object Retrieval {
     * and nothing touches the corpus itself. */
   def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"evalRun: k must be positive, got $k")
+    // duplicates must never inflate metrics past 1.0: a doc retrieved
+    // at two ranks counts once at its BEST rank, and a judgment
+    // repeated (concatenated qrels files) counts once at its highest
+    // grade — the trec_eval posture
     val r = run.select(col("qid").cast("long").as("qid"),
-      col("id").cast("long").as("id"), col("rnk").cast("long").as("rnk"))
+        col("id").cast("long").as("id"), col("rnk").cast("long").as("rnk"))
       .filter(col("rnk") <= k)
+      .groupBy(col("qid"), col("id")).agg(min(col("rnk")).as("rnk"))
     val hasRel = qrels.columns.contains("rel")
     val q = qrels.select(col("qid").cast("long").as("qid"),
         col("id").cast("long").as("id"),
         (if (hasRel) col("rel").cast("int") else lit(1)).as("rel"))
       .filter(col("rel") > 0)
+      .groupBy(col("qid"), col("id")).agg(max(col("rel")).as("rel"))
     val gain = (rel: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =>
       (pow(lit(2.0), rel) - 1.0) / log(2.0, pos + 1.0)
     // ideal DCG: the top-k judgments by (rel desc, id asc)
@@ -668,8 +689,12 @@ object Retrieval {
     * subqueries (`runSql` selects (qid, id, rnk); `qrelsSql` selects
     * (qid, id, rel)) — same gains, same tie order, same rounding. */
   def evalRunSql(runSql: String, qrelsSql: String, k: Int): String =
-    s"""WITH run AS MATERIALIZED (SELECT qid, id, rnk FROM ($runSql) WHERE rnk <= $k),
-       |q AS MATERIALIZED (SELECT qid, id, rel FROM ($qrelsSql) WHERE rel > 0),
+    s"""WITH run AS MATERIALIZED (
+       |  SELECT qid, id, min(rnk) AS rnk FROM ($runSql)
+       |   WHERE rnk <= $k GROUP BY 1, 2),
+       |q AS MATERIALIZED (
+       |  SELECT qid, id, max(rel) AS rel FROM ($qrelsSql)
+       |   WHERE rel > 0 GROUP BY 1, 2),
        |ideal AS (
        |  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
        |    FROM (SELECT qid, rel,

@@ -838,14 +838,17 @@ object StreamRunner {
     // FILTERED serving: a DFL boolean over the index's metadata columns
     // (bm25Build's metaCols), routed to the filtered batch probe —
     // corpus-global statistics, the annServe --filter posture. Compiled
-    // EAGERLY so a malformed expression fails job construction, not the
-    // first micro-batch.
+    // AND resolved against the index's postings schema EAGERLY, so a
+    // malformed expression OR a column the index never carried fails
+    // job construction, not the first non-empty micro-batch hours in.
     val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
+    pred.foreach(p => queries.sparkSession.read
+      .parquet(s"$indexDir/postings").filter(p).queryExecution.analyzed)
     val writer0 = queries.writeStream.options(options)
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val qs = batch.select(col(qidCol), col(termsCol)).collect().iterator
+        val qsAll = batch.select(col(qidCol), col(termsCol)).collect().iterator
           .flatMap { r =>
             // same qid tolerance as annServe: a fractional id would
             // silently merge two queries' answers — skip, never truncate
@@ -864,6 +867,19 @@ object StreamRunner {
               log.warn(s"bm25Serve: skipping malformed query row $r")
             qid.zip(terms)
           }.toSeq
+        // a qid duplicated WITHIN one micro-batch would double-count its
+        // scores in the batch probe (the probe rejects duplicates) —
+        // first occurrence wins, the rest are skipped with a warning,
+        // the malformed-row tolerance
+        val qs = {
+          val seen = scala.collection.mutable.Set.empty[Long]
+          qsAll.filter { case (qid, _) =>
+            val fresh = seen.add(qid)
+            if (!fresh) log.warn(
+              s"bm25Serve: skipping duplicate qid $qid within one batch")
+            fresh
+          }
+        }
         if (qs.nonEmpty) {
           def serveBatch(): Unit =
             sink(pred match {
@@ -1137,41 +1153,59 @@ object StreamRunner {
       s"bm25IngestJob: corpus format must be parquet or jsonl, got $format")
     // explicit schema: the watched dir is legitimately EMPTY on first
     // launch (the backfill was --build-from), and inference would fail
-    // the job before its checkpoint exists. jsonl ids read as STRING —
-    // the JSON reader renders both `123` and `"123"` into it (a
-    // LongType field would silently null-skip quoted ids, the
-    // annServeJob qid lesson) — then cast to the index's long ids;
-    // rows whose id cannot cast are dropped (a serving-adjacent stream
-    // must not die on one bad record). Parquet keeps the index's own
-    // long id type: increment files whose types genuinely differ are
-    // rejected rather than stranding the index with unmergeable
-    // postings — the annIngestJob posture.
-    val streamSchema = org.apache.spark.sql.types.StructType(Seq(
+    // the job before its checkpoint exists. The schema is TYPED FROM
+    // THE INDEX (the annIngestJob posture): whatever metadata columns
+    // the postings carry, the stream must deliver — a filtered index
+    // keeps ingesting incrementally, with the columns at the index's
+    // own types. jsonl ids read as STRING — the JSON reader renders
+    // both `123` and `"123"` into it (a LongType field would silently
+    // null-skip quoted ids, the annServeJob qid lesson) — then cast to
+    // the index's long ids; rows whose id cannot cast are dropped WITH
+    // a warning (a serving-adjacent stream must not die on one bad
+    // record, but it must not drop data silently either). Parquet
+    // keeps the index's own types: increment files whose types
+    // genuinely differ are rejected rather than stranding the index
+    // with unmergeable postings.
+    val postingsSchema =
+      spark.read.parquet(s"$indexDir/postings").schema
+    val metaFields = postingsSchema.fields.toSeq
+      .filterNot(f => Set("id", "dl", "w", "tf", "pband")(f.name))
+    val streamSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(idCol,
         if (format == "jsonl") org.apache.spark.sql.types.StringType
-        else org.apache.spark.sql.types.LongType),
+        else org.apache.spark.sql.types.LongType) +:
       org.apache.spark.sql.types.StructField(textCol,
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType) +: metaFields)
     val corpus = readStream(spark, corpusUri, format, Some(streamSchema))
-      .withColumn(idCol, col(idCol).cast("long"))
-      .filter(col(idCol).isNotNull)
     val q = corpus.writeStream
       .options(Map("checkpointLocation" -> checkpoint))
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty) {
-            val id = Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
-            graft.llm.Retrieval.bm25Append(batch.toDF(), idCol, textCol,
-              indexDir, appendId = id)
-            // batchId-keyed cadence, stable across restarts; a replayed
-            // batch may compact twice — harmless, idempotent on the rows
-            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
-                && graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
-              val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
-              log.info(s"compacted $indexDir after batch $batchId: " +
-                s"${st.filesBefore} -> ${st.filesAfter} data files")
+        (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val batch = batch0.toDF()
+            .withColumn(idCol, col(idCol).cast("long")).persist()
+          try {
+            val dropped = batch.filter(col(idCol).isNull).count()
+            if (dropped > 0)
+              log.warn(s"bm25Ingest: batch $batchId dropped $dropped rows " +
+                s"whose '$idCol' could not cast to long")
+            val rows = batch.filter(col(idCol).isNotNull)
+            if (!rows.isEmpty) {
+              val id =
+                Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
+              graft.llm.Retrieval.bm25Append(rows, idCol, textCol,
+                indexDir, appendId = id)
+              // batchId-keyed cadence, stable across restarts; a
+              // replayed batch may compact twice — harmless, idempotent
+              // on the rows
+              if (compactEvery > 0 && batchId > 0 &&
+                  batchId % compactEvery == 0 &&
+                  graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
+                val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
+                log.info(s"compacted $indexDir after batch $batchId: " +
+                  s"${st.filesBefore} -> ${st.filesAfter} data files")
+              }
             }
-          }
+          } finally batch.unpersist()
       }.start()
     if (once) {
       try q.processAllAvailable() finally q.stop()

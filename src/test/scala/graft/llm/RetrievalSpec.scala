@@ -408,10 +408,22 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25Append(spark.read.parquet(s"$root/bad"),
         "doc_id", "text", dir)
     }
-    // structural-column collisions rejected at build
+    // collisions rejected at build — both the stored layout AND the
+    // probe-time plumbing names ('df'/'qid' joins, 'n'/'avgdl' scalars)
+    Seq("tf", "df", "qid", "avgdl").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Retrieval.bm25Build(docs, "doc_id", "text", s"$root/x-$bad",
+          metaCols = Seq(bad))
+      }
+    }
+    // a duplicated qid would double-count scores: rejected, never served
     intercept[IllegalArgumentException] {
-      Retrieval.bm25Build(docs, "doc_id", "text", s"$root/x",
-        metaCols = Seq("tf"))
+      Retrieval.bm25TopKIndexedBatch(spark, dir,
+        Seq(1L -> Seq("spark"), 1L -> Seq("spark")), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        Seq(1L -> Seq("spark"), 1L -> Seq("merge")), 5)
     }
   }
 
@@ -486,6 +498,18 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(k1(1L) == 1L && k1(2L) == 0L)
     intercept[IllegalArgumentException](Retrieval.evalRun(run, qrels, 0))
+    // duplicates never inflate metrics past 1.0 (the trec_eval posture):
+    // a repeated judgment counts once at its highest grade, a doc
+    // retrieved at two ranks counts once at its best rank
+    val dupRun = run.unionByName(Seq((1L, 10L, 4L)).toDF("qid", "id", "rnk"))
+    val dupQ = qrels.unionByName(Seq((1L, 10L, 1)).toDF("qid", "id", "rel"))
+    val dd = Retrieval.evalRun(dupRun, dupQ, k = 4)
+      .filter($"qid" === 1L).collect().head
+    assert(dd.getLong(1) == 3L && dd.getLong(3) == 2L,
+      s"dedup: n_rel=${dd.getLong(1)}, hits=${dd.getLong(3)}")
+    assert(dd.getDouble(4) <= 1.0 && dd.getDouble(7) <= 1.0)
+    assert(dd.getDouble(7) == got(1L)._7,
+      "dedup'd duplicates must reproduce the clean metrics")
     // DFL stage == API on the same frames; fenced; arity rejected
     val dfl = graft.dfl.DflFrame.pipeline(run,
         "rankEval(@, '@qid', '@id', '@rnk', $qrels, 4)",

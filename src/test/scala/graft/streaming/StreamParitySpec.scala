@@ -1067,7 +1067,10 @@ class StreamParitySpec extends AnyFunSuite {
         """{"qid":2,"terms":"merge sort"}""",
         """{"qid":null,"terms":"spark"}""",
         """{"qid":3,"terms":"   "}""",
-        """{"qid":"x","terms":"spark"}""").mkString("\n"))
+        """{"qid":"x","terms":"spark"}""",
+        // a duplicated qid within one batch: first occurrence wins,
+        // the duplicate is skipped (never double-counted)
+        """{"qid":2,"terms":"window"}""").mkString("\n"))
     val cat = new graft.catalog.Catalog
     cat.add(graft.catalog.Workspace("ws"))
     cat.add(graft.catalog.DataStore("ws", "qstream", s"'$qdir'", format = "jsonl"))
@@ -1159,6 +1162,16 @@ class StreamParitySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fgot == fdirect && fgot.nonEmpty,
       "filtered serving must equal the filtered batch probe")
+    // a filter naming a column the index never carried fails JOB
+    // CONSTRUCTION (eager schema resolution), not the first micro-batch
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.cli.ServeBm25Cli.run(spark, graft.cli.ServeBm25Cli.parseArgs(
+        Array("--index-dir", s"$root/fidx", "--k", "4",
+          "--filter", "@nope == 'en'",
+          "--queries-uri", qdir, "--queries-format", "parquet",
+          "--output-uri", s"$root/fanswers2",
+          "--checkpoint", s"$root/fckpt2", "--once")))
+    }
   }
 
   test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
@@ -1203,6 +1216,32 @@ class StreamParitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](graft.cli.IngestCli.parseArgs(Array(
       "--corpus-uri", incDir, "--index-dir", idx, "--method", "bm25",
       "--checkpoint", s"$root/ckpt", "--retrain-skew", "2.0")))
+    // a META-carrying index keeps ingesting incrementally: the stream
+    // schema is typed from the index's postings, so the lang column
+    // flows through appends and the filtered probe serves the grown
+    // corpus
+    val mdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    mdocs.filter($"doc_id" < 300L).coalesce(1).write.parquet(s"$root/mbf")
+    val mInc = s"$root/minc"
+    mdocs.filter($"doc_id" >= 300L).coalesce(1).write.parquet(mInc)
+    graft.cli.IngestCli.run(spark, graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", mInc, "--index-dir", s"$root/midx", "--method", "bm25",
+      "--id-col", "doc_id", "--text-col", "text",
+      "--checkpoint", s"$root/mckpt", "--once",
+      "--build-from", s"$root/mbf", "--build-meta", "lang")))
+    val mProbe = graft.llm.Retrieval.bm25TopKIndexedFiltered(spark,
+        s"$root/midx", terms, 10,
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mWant = graft.llm.Retrieval.bm25TopKIndexed(spark, s"$root/midx",
+        terms, 100000).select($"id", $"score")
+      .join(mdocs.select($"doc_id".as("id"), $"lang"), Seq("id"))
+      .filter($"lang" === "en")
+      .orderBy($"score".desc, $"id".asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mProbe == mWant && mProbe.nonEmpty,
+      "meta must flow through streaming ingest into the filtered probe")
   }
 
   test("ingest-ann job: bulk build + streaming appends equal a full rebuild; relaunch is a no-op") {
