@@ -324,10 +324,19 @@ object Retrieval {
     // non-structural columns the postings carry, the increment must
     // supply (a missing column fails the select loudly — an appended
     // batch can never silently strand the filtered probes)
-    val metaCols = spark.read.parquet(s"$indexDir/postings").schema.fieldNames
+    val postingsSchema = spark.read.parquet(s"$indexDir/postings").schema
+    val metaCols = postingsSchema.fieldNames
       .filterNot(Set("id", "dl", "w", "tf", "pband")).toSeq
     val base = prepared(df, idCol, textCol, metaCols)
     val tf = bandedTf(base, pbands, metaCols)
+    // schema fence (the ivfAppend posture, modulo nullability): a
+    // meta column whose TYPE drifted from the index's would strand the
+    // postings with unmergeable parquet footers
+    metaCols.foreach { c =>
+      require(tf.schema(c).dataType.sql == postingsSchema(c).dataType.sql,
+        s"bm25Append: column '$c' type ${tf.schema(c).dataType.sql} != " +
+          s"index type ${postingsSchema(c).dataType.sql}")
+    }
     Similarity.stagedAppend(spark, indexDir, batchId, bm25DataDirs,
         bm25StatsApply) { staging =>
       Similarity.clusteredWrite(tf, "pband", pbands)
@@ -627,11 +636,15 @@ object Retrieval {
     * a query the run never answered scores zeros; run qids without
     * judgments are ignored, the trec_eval convention):
     *
-    *   (qid, n_rel, n_ret, hits, recall, precision, rr, ndcg)
+    *   (qid, n_rel, n_ret, hits, recall, precision, rr, ap, ndcg)
     *
     *   - recall@k    = hits / n_rel
     *   - precision@k = hits / k (fixed-k denominator, the standard)
     *   - rr          = 1 / rank of the first relevant hit (0 if none)
+    *   - ap@k        = Σ_hits P@rnk / n_rel (trec_eval's AP: the
+    *     precision at each hit's rank, averaged over ALL judged
+    *     relevants — unretrieved relevants count as zeros; mean over
+    *     queries = MAP)
     *   - ndcg@k      = Σ_hits (2^rel − 1)/log2(rnk+1) over the ideal
     *     DCG of the top-k judgments ordered (rel desc, id asc) — the
     *     deterministic tie order that makes the metric replayable.
@@ -665,12 +678,24 @@ object Retrieval {
       .groupBy(col("qid"))
       .agg(sum(gain(col("rel"), col("pos"))).as("idcg"))
     val nrel = q.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    // running hit count over the retrieved list (rank order): at a hit
+    // row it IS that hit's index, so P@rnk = runningHits / rnk — the AP
+    // numerator summed per query. Window state is run-sized (≤ k rows
+    // per query), never corpus-sized.
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rnk").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val per = r.join(q.select(col("qid"), col("id"), col("rel")),
         Seq("qid", "id"), "left")
+      .withColumn("__run_hits",
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).over(rw))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_ret"),
         sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("hits"),
         min(when(col("rel").isNotNull, col("rnk"))).as("first_rel"),
+        sum(when(col("rel").isNotNull, col("__run_hits") / col("rnk"))
+          .otherwise(0.0)).as("ap_num"),
         sum(when(col("rel").isNotNull, gain(col("rel"), col("rnk")))
           .otherwise(0.0)).as("dcg"))
     nrel.join(ideal, Seq("qid"))
@@ -682,6 +707,7 @@ object Retrieval {
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6)
           .as("precision"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"),
+        round(coalesce(col("ap_num"), lit(0.0)) / col("n_rel"), 6).as("ap"),
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
   }
 
@@ -703,21 +729,29 @@ object Retrieval {
        |            FROM q)
        |   WHERE pos <= $k GROUP BY 1),
        |nrel AS (SELECT qid, count(*) AS n_rel FROM q GROUP BY 1),
+       |joined AS (
+       |  SELECT run.qid, run.rnk, q.rel,
+       |         sum(CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY run.qid ORDER BY run.rnk
+       |                 ROWS UNBOUNDED PRECEDING) AS run_hits
+       |    FROM run LEFT JOIN q ON run.qid = q.qid AND run.id = q.id),
        |per AS (
-       |  SELECT run.qid, count(*) AS n_ret,
-       |         sum(CASE WHEN q.rel IS NOT NULL THEN 1 ELSE 0 END) AS hits,
-       |         min(CASE WHEN q.rel IS NOT NULL THEN run.rnk END) AS first_rel,
-       |         sum(CASE WHEN q.rel IS NOT NULL
-       |                  THEN (pow(2.0, q.rel) - 1.0) / log2(run.rnk + 1.0)
+       |  SELECT qid, count(*) AS n_ret,
+       |         sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+       |         min(CASE WHEN rel IS NOT NULL THEN rnk END) AS first_rel,
+       |         sum(CASE WHEN rel IS NOT NULL
+       |                  THEN run_hits * 1.0 / rnk ELSE 0.0 END) AS ap_num,
+       |         sum(CASE WHEN rel IS NOT NULL
+       |                  THEN (pow(2.0, rel) - 1.0) / log2(rnk + 1.0)
        |                  ELSE 0.0 END) AS dcg
-       |    FROM run LEFT JOIN q ON run.qid = q.qid AND run.id = q.id
-       |   GROUP BY 1)
+       |    FROM joined GROUP BY 1)
        |SELECT nrel.qid, n_rel,
        |       CAST(coalesce(n_ret, 0) AS BIGINT) AS n_ret,
        |       CAST(coalesce(hits, 0) AS BIGINT) AS hits,
        |       round(coalesce(hits, 0) * 1.0 / n_rel, 6) AS recall,
        |       round(coalesce(hits, 0) * 1.0 / $k, 6) AS precision,
        |       round(coalesce(1.0 / first_rel, 0.0), 6) AS rr,
+       |       round(coalesce(ap_num, 0.0) / n_rel, 6) AS ap,
        |       round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg
        |  FROM nrel JOIN ideal USING (qid) LEFT JOIN per ON nrel.qid = per.qid""".stripMargin
 

@@ -676,6 +676,17 @@ object StreamRunner {
               })
             qid.zip(vec)
           }.toSeq
+          // a qid duplicated WITHIN one micro-batch would duplicate (or,
+          // with different vectors, silently merge) its answer rows —
+          // first occurrence wins, the rest are skipped with a warning
+          // (the bm25Serve posture)
+          .foldLeft((scala.collection.mutable.Set.empty[Long],
+            Seq.newBuilder[(Long, Seq[Double])])) { case ((seen, acc), q) =>
+            if (seen.add(q._1)) acc += q
+            else log.warn(s"annServe: skipping duplicate qid ${q._1} " +
+              "within one batch")
+            (seen, acc)
+          }._2.result()
         // group by dimension and validate each group against the index's
         // OWN dim (memoized sidecar meta — zero Spark jobs warm) BEFORE
         // probing: a wrong-dim group is skipped with a warning so it can

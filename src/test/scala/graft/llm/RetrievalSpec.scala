@@ -481,18 +481,24 @@ class RetrievalSpec extends AnyFunSuite {
     val got = Retrieval.evalRun(run, qrels, k = 4)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
-          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+          r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8))).toMap
     assert(got.keySet == Set(1L, 2L, 3L), "judged queries are the spine")
     val idcg1 = 7.0 + 3.0 / (math.log(3.0) / math.log(2.0)) + 1.0 / 2.0
     val dcg1 = 1.0 + 3.5
-    assert(got(1L) == ((3L, 3L, 2L, s6(2.0 / 3), 0.5, 1.0, s6(dcg1 / idcg1))))
-    assert(got(2L) == ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
-    assert(got(3L) == ((1L, 0L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // AP: hits at ranks 1 and 3 → (P@1 + P@3)/n_rel = (1 + 2/3)/3
+    val ap1 = s6((1.0 + 2.0 / 3.0) / 3.0)
+    assert(got(1L) ==
+      ((3L, 3L, 2L, s6(2.0 / 3), 0.5, 1.0, ap1, s6(dcg1 / idcg1))))
+    assert(got(2L) == ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
     // binary default when the rel column is absent
     val binQ = Seq((1L, 10L), (1L, 30L)).toDF("qid", "id")
     val bin = Retrieval.evalRun(run, binQ, k = 4).collect().head
     assert(bin.getDouble(4) == 0.5 && bin.getDouble(6) == s6(1.0 / 3.0),
       "absent rel column = binary judgments; rr from first binary hit")
+    // its AP: one hit at rank 3 → (1/3)/2
+    assert(bin.getDouble(7) == s6(1.0 / 6.0))
     // k truncates the run BEFORE anything is measured
     val k1 = Retrieval.evalRun(run, qrels, k = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
@@ -507,14 +513,14 @@ class RetrievalSpec extends AnyFunSuite {
       .filter($"qid" === 1L).collect().head
     assert(dd.getLong(1) == 3L && dd.getLong(3) == 2L,
       s"dedup: n_rel=${dd.getLong(1)}, hits=${dd.getLong(3)}")
-    assert(dd.getDouble(4) <= 1.0 && dd.getDouble(7) <= 1.0)
-    assert(dd.getDouble(7) == got(1L)._7,
+    assert(dd.getDouble(4) <= 1.0 && dd.getDouble(8) <= 1.0)
+    assert(dd.getDouble(8) == got(1L)._8 && dd.getDouble(7) == got(1L)._7,
       "dedup'd duplicates must reproduce the clean metrics")
     // DFL stage == API on the same frames; fenced; arity rejected
     val dfl = graft.dfl.DflFrame.pipeline(run,
         "rankEval(@, '@qid', '@id', '@rnk', $qrels, 4)",
         Map[String, Any]("qrels" -> qrels))
-      .collect().map(r => r.getLong(0) -> r.getDouble(7)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(8)).toMap
     assert(dfl(1L) == s6(dcg1 / idcg1))
     intercept[graft.dfl.DflParseException](graft.dfl.DflFrame.pipeline(run,
       "rankEval(@, '@qid', '@id', '@rnk', $qrels)",
