@@ -2306,6 +2306,14 @@ object SparkEntry {
         bm25BatchQueries, k = 10)
       llm.Retrieval.evalRun(run, retrievalQrels(docs), k = 10)
     }),
+    // the leaderboard row: query-averaged MAP / MRR / mean-nDCG over
+    // the same run and judgments — ONE number set per corpus
+    "retrieval_eval_macro" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val run = llm.Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        bm25BatchQueries, k = 10)
+      llm.Retrieval.evalRunMacro(run, retrievalQrels(docs), k = 10)
+    }),
     // the same evaluation through the DFL stage (judgments bound as a
     // dataset var) — shares the oracle
     "dfl_rank_eval" -> ((s, dir) => {
@@ -3854,6 +3862,10 @@ object SparkEntry {
         bm25BatchQueries, k = 10),
       retrievalQrelsSql, k = 10),
     "dfl_rank_eval" -> llm.Retrieval.evalRunSql(
+      llm.Retrieval.bm25BatchSql("documents", "doc_id", "text",
+        bm25BatchQueries, k = 10),
+      retrievalQrelsSql, k = 10),
+    "retrieval_eval_macro" -> llm.Retrieval.evalRunMacroSql(
       llm.Retrieval.bm25BatchSql("documents", "doc_id", "text",
         bm25BatchQueries, k = 10),
       retrievalQrelsSql, k = 10),

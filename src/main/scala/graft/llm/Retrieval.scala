@@ -711,6 +711,32 @@ object Retrieval {
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
   }
 
+  /** The MACRO summary of [[evalRun]] — one row of query-averaged
+    * metrics, the numbers a leaderboard quotes: `(n_queries,
+    * mean_recall, mean_precision, mrr, map, mean_ndcg)`. Means are over
+    * ALL judged queries (zeros included — a query the run never
+    * answered drags the mean, as it should). Averages the per-query
+    * metrics (already rounded to 6) and rounds the mean — the oracle
+    * replays the identical chain, so the two engines can only agree. */
+  def evalRunMacro(run: DataFrame, qrels: DataFrame, k: Int): DataFrame =
+    evalRun(run, qrels, k).agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), 6).as("mean_recall"),
+      round(avg(col("precision")), 6).as("mean_precision"),
+      round(avg(col("rr")), 6).as("mrr"),
+      round(avg(col("ap")), 6).as("map"),
+      round(avg(col("ndcg")), 6).as("mean_ndcg"))
+
+  /** DuckDB rendering of [[evalRunMacro]]. */
+  def evalRunMacroSql(runSql: String, qrelsSql: String, k: Int): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       round(avg(recall), 6) AS mean_recall,
+       |       round(avg(precision), 6) AS mean_precision,
+       |       round(avg(rr), 6) AS mrr,
+       |       round(avg(ap), 6) AS map,
+       |       round(avg(ndcg), 6) AS mean_ndcg
+       |  FROM (${evalRunSql(runSql, qrelsSql, k)})""".stripMargin
+
   /** DuckDB rendering of [[evalRun]] over `(runSql, qrelsSql)`
     * subqueries (`runSql` selects (qid, id, rnk); `qrelsSql` selects
     * (qid, id, rel)) — same gains, same tie order, same rounding. */

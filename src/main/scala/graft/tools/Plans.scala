@@ -95,7 +95,8 @@ object PlanLint {
     // cross-join shape as the LM family; the eval rows inherit it from
     // their batch-BM25 run input
     "bm25_topk", "bm25_batch", "dfl_bm25", "rrf_fuse",
-    "pipeline_hybrid_retrieval", "retrieval_eval", "dfl_rank_eval")
+    "pipeline_hybrid_retrieval", "retrieval_eval", "dfl_rank_eval",
+    "retrieval_eval_macro")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -504,6 +504,13 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(k1(1L) == 1L && k1(2L) == 0L)
     intercept[IllegalArgumentException](Retrieval.evalRun(run, qrels, 0))
+    // the macro row is the mean of the per-query metrics, zeros included
+    val macroRow = Retrieval.evalRunMacro(run, qrels, k = 4).collect().head
+    assert(macroRow.getLong(0) == 3L)
+    assert(macroRow.getDouble(3) == s6(1.0 / 3.0), "MRR = mean of rr")
+    assert(macroRow.getDouble(4) == s6(ap1 / 3.0), "MAP = mean of ap")
+    assert(macroRow.getDouble(5) == s6(s6(dcg1 / idcg1) / 3.0),
+      "mean nDCG averages the per-query (rounded) values")
     // duplicates never inflate metrics past 1.0 (the trec_eval posture):
     // a repeated judgment counts once at its highest grade, a doc
     // retrieved at two ranks counts once at its best rank
