@@ -1270,6 +1270,99 @@ object SparkEntry {
       val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
       Seq(Tuple1(top == clique)).toDF("clique_exact")
     }),
+    "ann_ivfpq_batch" -> ((s, dir) => {
+      // BATCHED compressed serving: one pruned union read over all
+      // queries' nprobe lists, every code row ADC-scored against the
+      // whole query matrix in one native PqAdcDots loop, per-query
+      // membership filters (batch ≡ per-query ivfPqQuery). Contract (as
+      // the other ivfpq rows — codebooks aren't engine-replayable): each
+      // query's planted clique shares its codes AND rank-0 list, so each
+      // per-qid top-11 at nprobe=1 is exactly that query's clique.
+      import s.implicits._
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ivfpq-batch")(
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
+          kLists = 8, m = 8, k = 16))
+      val got = llm.Pq.ivfPqQueryBatch(s, idxDir, queries, 11, nprobe = 1)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val ok = queries.forall { case (qid, _) =>
+        got.getOrElse(qid, Set.empty) ==
+          (Set(qid) ++ (1L to 10L).map(100000L + qid * 100L + _))
+      }
+      Seq(Tuple1(ok)).toDF("batch_clique_exact")
+    }),
+    "ann_ivfpq_range" -> ((s, dir) => {
+      // the compressed RANGE probe: every id in the probed lists whose
+      // RECONSTRUCTED cosine clears the threshold (the documented
+      // approximate contract — cos(q, v̂), computed exactly from codes
+      // via ADC table algebra). Two independent verifications, both
+      // engine-side: (1) set equality against a full DECODE of the
+      // probed lists (transform/element_at reconstruction + exact
+      // VectorF cosine — different algebra, same definition), (2) the
+      // planted clique is in range at a threshold derived from the
+      // query's own reconstruction cosine (clique rows share v̂).
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      // SHARES ann_ivfpq_topk's memo dir and params — one build serves
+      // top-k and range, the ivf/lsh convention
+      val idxDir = memoIndexDir(dir, "ivfpq")(
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
+          kLists = 8, m = 8, k = 16))
+      val idx = llm.Pq.ivfPqMeta(s, idxDir)
+      val nprobe = 4
+      // threshold from the query's own reconstruction: read vec 0's
+      // STORED (list, codes) — the clique shares them bit-for-bit — and
+      // decode driver-side (one row)
+      val qArr = q.toArray
+      val row0 = idx.vectors.filter(col("id") === 0L)
+        .select("list", "codes").head()
+      val qList = row0.getInt(0)
+      val qRecon = {
+        val m = idx.model.m; val sub = idx.model.subDim
+        val codes0 = row0.getSeq[Byte](1)
+        val r = new Array[Double](m * sub)
+        for (mi <- 0 until m) {
+          val cw = idx.model.codebooks(mi)(codes0(mi) & 0xFF)
+          for (j <- 0 until sub) r(mi * sub + j) = cw(j) +
+            (if (idx.residual) idx.centroids(qList)(mi * sub + j) else 0.0)
+        }
+        r
+      }
+      val qn = math.sqrt(qArr.map(x => x * x).sum)
+      val rn = math.sqrt(qRecon.map(x => x * x).sum)
+      val cliqueCos = qArr.zip(qRecon).map { case (a, b) => a * b }.sum / (qn * rn)
+      val minCos = math.max(-0.99, cliqueCos - 0.05)
+      val got = llm.Pq.ivfPqRange(s, idxDir, q, minCos, nprobe)
+      // independent engine-side verify: full decode of the probed lists
+      val lists = llm.Similarity.nearestLists(idx.centroids, qArr, nprobe)
+      val cbLit = typedLit(idx.model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val centsLit = typedLit(idx.centroids.map(_.toSeq).toSeq)
+      val recon0 = flatten(transform(col("codes"), (c, i) =>
+        element_at(element_at(cbLit, i + 1),
+          pmod(c.cast("int"), lit(256)) + 1)))
+      val recon =
+        if (idx.residual)
+          zip_with(recon0, element_at(centsLit, col("list") + 1), (a, b) => a + b)
+        else recon0
+      val qLit = typedLit(q)
+      val expect = idx.vectors
+        .filter(col("list").isin(lists.map(Integer.valueOf): _*))
+        .select(col("id"), recon.as("recon"))
+        .withColumn("rn", functions.VectorF.norm(col("recon")))
+        .filter(col("rn") > 0)
+        .select(col("id"),
+          round(functions.VectorF.dot(col("recon"), qLit) / (col("rn") * qn), 6)
+            .as("cos"))
+        .filter(col("cos") >= minCos)
+      val setExact =
+        got.select("id").exceptAll(expect.select("id")).isEmpty &&
+        expect.select("id").exceptAll(got.select("id")).isEmpty
+      val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
+      val cliqueIn = clique.subsetOf(
+        got.select("id").collect().map(_.getLong(0)).toSet)
+      Seq((setExact, cliqueIn)).toDF("range_set_exact", "clique_in_range")
+    }),
     "dfl_scale" -> ((s, dir) =>
       DflFrame.pipeline(t(s, dir, "documents"),
         "scale(@, '@n_chars', 'zscore') | map(@, '{doc_id: @doc_id, scaled: @scaled}')")),
@@ -3968,6 +4061,9 @@ object SparkEntry {
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
     "ann_ivfpq_append" -> "SELECT true AS clique_exact",
     "ann_ivfpq_filtered" -> "SELECT true AS filtered_clique_exact",
+    "ann_ivfpq_batch" -> "SELECT true AS batch_clique_exact",
+    "ann_ivfpq_range" ->
+      "SELECT true AS range_set_exact, true AS clique_in_range",
     "dfl_ann_pq" -> "SELECT true AS clique_exact",
     "dfl_scale" ->
       """SELECT doc_id,

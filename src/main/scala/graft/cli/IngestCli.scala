@@ -17,11 +17,12 @@ import graft.streaming.StreamRunner
   *   runMain graft.cli.IngestCli
   *     (--corpus-uri DIR [--corpus-format parquet|jsonl]
   *      | --catalog FILE --corpus-datastore NAME)
-  *     --index-dir DIR [--method lsh|ivf|bm25]
+  *     --index-dir DIR [--method lsh|ivf|ivfpq|bm25]
   *     [--id-col vec_id] [--vec-col embedding | --text-col text]
   *     --checkpoint DIR [--once] [--compact-every N] [--retrain-skew F]
   *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
-  *      [--build-klists N] [--build-pbits N] [--build-pbands N]]
+  *      [--build-klists N] [--build-pbits N] [--build-pbands N]
+  *      [--build-pq-m N] [--build-pq-k N]]  (pq knobs: ivfpq only)
   *
   * `--method bm25` appends (idCol, textCol) rows to a BM25 inverted
   * index (`--text-col` names the text column; vector/ANN build knobs do
@@ -55,6 +56,7 @@ object IngestCli {
       retrainSkew: Double = 0.0,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
       buildKLists: Int = 16, buildPBits: Int = 8, buildPBands: Int = 64,
+      buildPqM: Int = 8, buildPqK: Int = 64,
       buildMeta: Seq[String] = Nil,
       catalogPath: String = "", corpusDatastore: String = "")
 
@@ -80,6 +82,8 @@ object IngestCli {
         case "--build-klists"  => c = c.copy(buildKLists = a.value().toInt)
         case "--build-pbits"   => c = c.copy(buildPBits = a.value().toInt)
         case "--build-pbands"  => c = c.copy(buildPBands = a.value().toInt)
+        case "--build-pq-m"    => c = c.copy(buildPqM = a.value().toInt)
+        case "--build-pq-k"    => c = c.copy(buildPqK = a.value().toInt)
         case "--build-meta"    => c = c.copy(buildMeta =
           a.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case "--catalog"          => c = c.copy(catalogPath = a.value())
@@ -92,9 +96,10 @@ object IngestCli {
     require(c.indexDir.nonEmpty, "--index-dir is required")
     require(c.checkpoint.nonEmpty,
       "--checkpoint is required (it is what makes replayed batches no-ops)")
-    require(c.method != "bm25" || c.retrainSkew <= 0,
-      "--retrain-skew does not apply to bm25 (lexical appends are exact; " +
-        "there is no quantizer to drift)")
+    require(c.method == "ivf" || c.retrainSkew <= 0,
+      "--retrain-skew applies only to ivf (lsh/bm25 appends are exact; " +
+        "an ivfpq retrain needs the original float vectors the codes no " +
+        "longer carry)")
     c
   }
 
@@ -124,7 +129,8 @@ object IngestCli {
         graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
           c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
           dim = c.buildDim, partitionBits = c.buildPBits,
-          kLists = c.buildKLists, metaCols = c.buildMeta)
+          kLists = c.buildKLists, metaCols = c.buildMeta,
+          pqM = c.buildPqM, pqK = c.buildPqK)
       StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
         c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
         compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)

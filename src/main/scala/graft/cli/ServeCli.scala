@@ -15,10 +15,14 @@ import graft.streaming.StreamRunner
   *
   * Usage:
   *   runMain graft.cli.ServeCli
-  *     --index-dir DIR [--method lsh|ivf] [--k N] [--tuning N]
+  *     --index-dir DIR [--method lsh|ivf|ivfpq] [--k N] [--tuning N]
   *     [--min-cos T]  (RANGE mode: serve every id at cos >= T instead of
   *                     top-k; tuning re-keys to lsh → slackBits,
-  *                     ivf → nprobe)
+  *                     ivf/ivfpq → nprobe; ivfpq thresholds the
+  *                     RECONSTRUCTED cosine — the compressed index's
+  *                     documented approximation)
+  *     [--max-batch-queries N] (per-micro-batch query budget — an
+  *                     unbounded query file fails loudly, never collects)
   *     [--filter 'DFL'] (FILTERED top-k: a DFL boolean over the index's
   *                     columns — id plus --build-meta metadata — routed
   *                     to the widening filtered batch probes; excludes
@@ -30,7 +34,8 @@ import graft.streaming.StreamRunner
   *     --checkpoint DIR [--once]
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-vec-col C]
   *      [--build-meta c1,c2] [--build-nbits N] [--build-dim N]
-  *      [--build-klists N] [--build-pbits N]]
+  *      [--build-klists N] [--build-pbits N]
+  *      [--build-pq-m N] [--build-pq-k N]]  (pq knobs: ivfpq only)
   *
   * `--build-from` bootstraps the index from a parquet corpus when none
   * exists at `--index-dir` yet (an existing index is served as-is) — one
@@ -57,7 +62,9 @@ object ServeCli {
       buildFrom: String = "", buildIdCol: String = "vec_id",
       buildVecCol: String = "embedding", buildMeta: Seq[String] = Nil,
       buildNBits: Int = 16,
-      buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8)
+      buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8,
+      buildPqM: Int = 8, buildPqK: Int = 64,
+      maxBatchQueries: Int = graft.streaming.StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
     var c = Config()
@@ -95,6 +102,11 @@ object ServeCli {
         case "--build-dim"         => c = c.copy(buildDim = a.value().toInt)
         case "--build-klists"      => c = c.copy(buildKLists = a.value().toInt)
         case "--build-pbits"       => c = c.copy(buildPBits = a.value().toInt)
+        case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
+        case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
+        // per-micro-batch query budget: queries collect to the driver,
+        // so an unbounded file fails loudly instead of OOMing it
+        case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -150,11 +162,12 @@ object ServeCli {
       graft.llm.Similarity.ensureIndex(spark, c.indexDir, c.method,
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
-        kLists = c.buildKLists, metaCols = c.buildMeta)
+        kLists = c.buildKLists, metaCols = c.buildMeta,
+        pqM = c.buildPqM, pqK = c.buildPqK)
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
       c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos,
-      c.filterDfl)
+      c.filterDfl, maxQueriesPerBatch = c.maxBatchQueries)
   }
 
   def main(args: Array[String]): Unit = {

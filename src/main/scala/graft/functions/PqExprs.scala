@@ -194,6 +194,84 @@ case class NearestCentroid(child: Expression, centroids: Array[Double],
     copy(child = newChild)
 }
 
+/** `pq_adc_dots(codes)` — ADC table-lookup sums for `g` groups in ONE
+  * native loop: out[gi] = Σ_mi tables[(gi·m + mi)·k + code_mi], codes
+  * decoded UNSIGNED (ids ≥ 128 store as negative bytes). The batched
+  * ADC analogue of [[MatVecDots]]: one expression scores a PQ code row
+  * against EVERY query of a micro-batch (tables = per-query ADC
+  * tables), or against per-list reconstruction-norm tables (tables =
+  * per-list codeword cross terms) — the flat table array ships once per
+  * task via `addReferenceObj` (Q·m·k doubles ≈ 1 MB at a 256-query
+  * chunk), never per row.
+  *
+  * Null on a code-length mismatch or an unsigned code ≥ k (a corrupted
+  * index must not silently read a neighboring group's table). */
+case class PqAdcDots(child: Expression, tables: Array[Double],
+                     g: Int, m: Int, k: Int)
+    extends UnaryExpression {
+
+  require(tables.length == g * m * k,
+    s"pq_adc_dots: tables length ${tables.length} != g*m*k ${g * m * k}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dots needs array<tinyint> codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != m) return null
+    val out = new Array[Double](g)
+    var mi = 0
+    while (mi < m) {
+      if (codes.isNullAt(mi)) return null
+      val c = codes.getByte(mi) & 0xFF
+      if (c >= k) return null
+      var gi = 0
+      while (gi < g) { out(gi) += tables((gi * m + mi) * k + c); gi += 1 }
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcTables", tables, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi"); val gi = ctx.freshName("gi")
+      val c = ctx.freshName("c"); val bad = ctx.freshName("bad")
+      s"""
+         |if ($a.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$g];
+         |  boolean $bad = false;
+         |  for (int $mi = 0; $mi < $m && !$bad; $mi++) {
+         |    if ($a.isNullAt($mi)) { $bad = true; break; }
+         |    int $c = $a.getByte($mi) & 0xFF;
+         |    if ($c >= $k) { $bad = true; break; }
+         |    for (int $gi = 0; $gi < $g; $gi++) {
+         |      $out[$gi] += $tRef[($gi * $m + $mi) * $k + $c];
+         |    }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($out); }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 private[functions] object PqExprs {
   def read(ad: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType   => ad.getFloat(i).toDouble
@@ -244,4 +322,10 @@ object PqF {
     }
     Bridge.column(PqEncode(Bridge.expression(vec), codebook, norms, m, k, subDim))
   }
+  /** Column form: per-group ADC table-lookup sums over a flat row-major
+    * table array (entry (gi, mi, ki) at `(gi·m + mi)·k + ki`) — returns
+    * array<double> of length g. */
+  def adcDots(codes: Column, tables: Array[Double], g: Int, m: Int,
+              k: Int): Column =
+    Bridge.column(PqAdcDots(Bridge.expression(codes), tables, g, m, k))
 }

@@ -12,20 +12,24 @@ import org.apache.spark.sql.functions._
   * (an m×k table, driver-side, microseconds) and scores a row as `m`
   * table lookups.
   *
-  * Everything is built from the existing primitives — no new
-  * expression: encoding is per-subspace `argmin` over codeword
-  * distances (`slice` + native [[graft.functions.VectorF.dot]] against
-  * codeword literals, `array_min` over (dist, k) structs — all
-  * codegen'd), and ADC scoring is a sum of `element_at` lookups into
-  * the flattened table literal. Training mirrors the
-  * [[Embeddings.pcaFit]] posture: deterministic bounded sample,
-  * seeded driver k-means per subspace, so the codebook is reproducible
-  * at any parallelism.
+  * The hot paths are two native codegen'd loops: encoding is the whole
+  * m×k argmin as one primitive pass per row
+  * ([[graft.functions.PqEncode]]), and probe scoring is one
+  * [[graft.functions.PqAdcDots]] pass that resolves a code row against
+  * EVERY query of a batch (and the reconstruction-norm tables) in a
+  * single loop. Training mirrors the [[Embeddings.pcaFit]] posture:
+  * deterministic bounded sample, seeded driver k-means per subspace, so
+  * the codebook is reproducible at any parallelism. IVFPQ indexes
+  * default to RESIDUAL encoding ([[pqTrainResidual]] — Jégou §III-C),
+  * recorded in the self-describing `enc` sidecar column.
   *
   * Accuracy contract: ADC is an approximation (quantization error per
-  * subspace); the spec pins recall vs exact top-k on natural queries
-  * and exactness on planted duplicate cliques (identical vectors share
-  * codes, so their ADC scores tie at the top by construction). */
+  * subspace); probes rank by the EXACT cosine of the query against the
+  * PQ reconstruction (closed-form from the codes — see adcCosScored),
+  * the spec pins recall vs exact top-k on natural queries, residual-vs-
+  * raw fidelity, and exactness on planted duplicate cliques (identical
+  * vectors share codes, so their scores tie at the top by
+  * construction). */
 object Pq {
 
   /** codebooks(m)(k) = the k-th codeword of subspace m (subDim doubles). */
@@ -35,16 +39,23 @@ object Pq {
       (subDim.toLong * m * bytesPerFloat).toDouble / m
   }
 
-  /** Train an (m × k) codebook on a deterministic bounded sample. */
-  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
-              m: Int, k: Int, trainSample: Int = 4096): PqModel = {
-    require(m > 0 && k > 1 && k <= 256, "pqTrain: need m > 0, 1 < k <= 256")
-    val sample = df.select(col(idCol), col(vecCol))
+  /** Deterministic bounded training sample: the first `trainSample` rows
+    * by id, as double arrays (the [[Embeddings.pcaFit]] posture — same
+    * sample at any parallelism). */
+  private def sampleVecs(df: DataFrame, idCol: String, vecCol: String,
+                         trainSample: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(trainSample)
       .collect().map(_.getSeq[Any](1).map {
         case f: Float => f.toDouble; case d: Double => d
         case n: Number => n.doubleValue()
       }.toArray)
+
+  /** Train an (m × k) codebook on a deterministic bounded sample. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, trainSample: Int = 4096): PqModel = {
+    require(m > 0 && k > 1 && k <= 256, "pqTrain: need m > 0, 1 < k <= 256")
+    val sample = sampleVecs(df, idCol, vecCol, trainSample)
     require(sample.nonEmpty, "pqTrain: empty training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
@@ -62,6 +73,60 @@ object Pq {
       }
     }), Duration.Inf).toArray
     PqModel(m, k, subDim, books)
+  }
+
+  /** Train an (m × k) codebook on RESIDUALS `v − centroid[list]` — the
+    * standard IVFPQ formulation (Jégou et al. PAMI'11 §III-C, the FAISS
+    * IVFADC default): subtracting each vector's coarse centroid
+    * concentrates the quantizer's input range around the origin, so the
+    * same k codewords spend their capacity on the WITHIN-list geometry
+    * instead of re-describing the between-list offsets the IVF lists
+    * already encode — materially better ADC fidelity on clustered data,
+    * which IVF lists create by construction. Same deterministic sample
+    * and seeded per-subspace k-means as [[pqTrain]]; list assignment of
+    * the sample replays [[Similarity.ivfAssign]]'s argmin driver-side. */
+  def pqTrainResidual(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]], m: Int, k: Int,
+                      trainSample: Int = 4096): PqModel = {
+    require(m > 0 && k > 1 && k <= 256,
+      "pqTrainResidual: need m > 0, 1 < k <= 256")
+    val sample = sampleVecs(df, idCol, vecCol, trainSample)
+    require(sample.nonEmpty, "pqTrainResidual: empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrainResidual: dim $dim not divisible by m=$m")
+    require(centroids.nonEmpty && centroids.head.length == dim,
+      s"pqTrainResidual: centroid dim ${centroids.headOption.map(_.length)} != $dim")
+    val residuals = sample.map { v =>
+      val c = centroids(nearestIdx(centroids, v))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    val subDim = dim / m
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val books = Await.result(Future.sequence((0 until m).map { mi =>
+      Future {
+        val subs = residuals.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+        kmeansLocal(subs, k, seed = 42L + mi)
+      }
+    }), Duration.Inf).toArray
+    PqModel(m, k, subDim, books)
+  }
+
+  /** argmin ‖x − c‖² over centroids, ties to the smaller index — the
+    * driver-side replay of [[graft.functions.NearestCentroid]]'s
+    * assignment (same tie-break), used to residualize the training
+    * sample consistently with the in-plan list assignment. */
+  private def nearestIdx(centroids: Array[Array[Double]],
+                         x: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      var s = 0.0; var j = 0
+      while (j < x.length) { val t = x(j) - centroids(c)(j); s += t * t; j += 1 }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Seeded Lloyd k-means on driver-resident subvectors (≤ trainSample ×
@@ -151,6 +216,28 @@ object Pq {
                model: PqModel): DataFrame =
     df.select(col(idCol).as("id"), codesCol(vecCol, model).as("codes"))
 
+  /** RESIDUAL PQ-codes expression: encode `v − centroid[list]` with a
+    * residual-trained codebook ([[pqTrainResidual]]). The subtraction is
+    * a codegen'd `zip_with` against the centroid-matrix literal (one
+    * nested-array literal in the plan, kLists×dim doubles — shipped
+    * once, not per row); the m×k argmin stays the native
+    * [[graft.functions.PqEncode]] loop. Runs only at build/append time —
+    * probes never decode. */
+  def codesColRes(vecCol: String, listCol: String, model: PqModel,
+                  centroids: Array[Array[Double]]): Column = {
+    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val residual = zip_with(
+      col(vecCol).cast("array<double>"),
+      element_at(centsLit, col(listCol) + 1),
+      (x, c) => x - c)
+    val flat = new Array[Double](model.m * model.k * model.subDim)
+    for (mi <- 0 until model.m; ki <- 0 until model.k) {
+      System.arraycopy(model.codebooks(mi)(ki), 0, flat,
+        (mi * model.k + ki) * model.subDim, model.subDim)
+    }
+    graft.functions.PqF.pqEncode(residual, flat, model.m, model.k, model.subDim)
+  }
+
   /** IVF+PQ index build — the compressed, pruned ANN shape (the FAISS
     * IVFPQ default at corpus scale): vectors assign to their nearest
     * coarse centroid's LIST ([[Similarity.ivfAssign]], the same coarse
@@ -173,29 +260,46 @@ object Pq {
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
                  indexDir: String, kLists: Int = 64, m: Int = 8,
                  k: Int = 64, trainSample: Int = 4096,
-                 metaCols: Seq[String] = Nil): Unit = {
+                 metaCols: Seq[String] = Nil,
+                 residual: Boolean = true): Unit = {
     metaCols.foreach(c => require(!Set("id", "list", "codes")(c),
       s"ivfPqBuild: metadata column '$c' collides with a structural index column"))
     val spark = df.sparkSession
     val centroids = Similarity.trainCentroids(df, idCol, vecCol, kLists, trainSample)
-    val model = pqTrain(df, idCol, vecCol, m, k, trainSample)
+    // residual (default): codebooks trained on v − centroid[list] — the
+    // Jégou §III-C / FAISS-default formulation (see pqTrainResidual);
+    // `residual = false` keeps the plain global-codebook encoding for
+    // A/B comparison and as the documented shape of pre-residual indexes
+    val model =
+      if (residual) pqTrainResidual(df, idCol, vecCol, centroids, m, k, trainSample)
+      else pqTrain(df, idCol, vecCol, m, k, trainSample)
     Similarity.stagedCommit(spark, indexDir) { staging =>
+      val codes =
+        if (residual) codesColRes("v", "list", model, centroids)
+        else codesCol("v", model)
       Similarity.clusteredWrite(
           Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
             .select(col("id") +: col("list") +:
-              codesCol("v", model).as("codes") +: metaCols.map(col): _*),
+              codes.as("codes") +: metaCols.map(col): _*),
           "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
-      writeCodebooks(spark, s"$staging/codebooks", model)
+      writeCodebooks(spark, s"$staging/codebooks", model,
+        if (residual) "res" else "raw")
     }
   }
 
+  /** The codebook sidecar, self-describing: `enc` records whether codes
+    * quantize residuals ("res") or raw vectors ("raw") — a reader never
+    * guesses, and an index built before the residual formulation landed
+    * (no `enc` column) reads as "raw". */
   private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, model: PqModel): Unit = {
+                             dir: String, model: PqModel,
+                             enc: String): Unit = {
     import spark.implicits._
     (for { mi <- 0 until model.m; ki <- 0 until model.k }
-      yield (mi, ki, model.codebooks(mi)(ki).toSeq)).toDF("m", "k", "vec")
+      yield (mi, ki, model.codebooks(mi)(ki).toSeq, enc))
+      .toDF("m", "k", "vec", "enc")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
@@ -218,14 +322,21 @@ object Pq {
   def ivfPqAppend(df: DataFrame, idCol: String, vecCol: String,
                   indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
-    val (centroids, model, vectors) = ivfPqMeta(sess, indexDir)
+    val idx = ivfPqMeta(sess, indexDir)
+    val (centroids, model, vectors) = (idx.centroids, idx.model, idx.vectors)
     // carry the index's metadata columns (filtered-ANN layouts), as the
     // float appends do — re-derived from the live index schema
     val metaCols = vectors.schema.map(_.name)
       .filterNot(Set("id", "list", "codes"))
+    // encode to MATCH the index's own formulation (the enc sidecar
+    // column): appending raw codes into a residual index would score
+    // garbage under the residual ADC tables
+    val codes =
+      if (idx.residual) codesColRes("v", "list", model, centroids)
+      else codesCol("v", model)
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
       .select(col("id") +: col("list") +:
-        codesCol("v", model).as("codes") +: metaCols.map(col): _*)
+        codes.as("codes") +: metaCols.map(col): _*)
     // schema fence, as ivfAppend: a drifted id type would strand the
     // index with unmergeable parquet footers (codes are always
     // array<tinyint> by construction)
@@ -247,12 +358,17 @@ object Pq {
     * sidecars AND the vectors dir's top-level listing invalidates on any
     * rebuild, append (`_append-<id>` marker changes the path set), or
     * compaction. */
-  private val ivfPqMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, (Array[Array[Double]], PqModel, DataFrame))]()
+  /** A resolved IVFPQ index snapshot: coarse centroids, PQ codebooks,
+    * the vectors frame, and whether the codes quantize residuals. */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+                              model: PqModel, vectors: DataFrame,
+                              residual: Boolean)
 
-  private def ivfPqMeta(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String)
-      : (Array[Array[Double]], PqModel, DataFrame) = {
+  private val ivfPqMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, IvfPqIndex)]()
+
+  private[graft] def ivfPqMeta(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String): IvfPqIndex = {
     val key = s"${Similarity.sessionTag(spark)}|$indexDir"
     val stamp = Similarity.sidecarStamp(spark, indexDir,
       Seq("centroids", "codebooks", "vectors"))
@@ -260,33 +376,169 @@ object Pq {
     if (cached != null && cached._1 == stamp) cached._2
     else {
       val cents = Similarity.readCentroids(spark, indexDir)
-      val cb = spark.read.parquet(s"$indexDir/codebooks")
+      val cbDf = spark.read.parquet(s"$indexDir/codebooks")
+      // indexes written before the residual formulation carry no `enc`
+      // column — their codes quantize raw vectors
+      val residual = cbDf.schema.fieldNames.contains("enc") &&
+        cbDf.select("enc").head().getString(0) == "res"
+      val cb = cbDf.select("m", "k", "vec")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       val m = cb.map(_._1).max + 1
       val k = cb.map(_._2).max + 1
       val books = Array.ofDim[Array[Double]](m, k)
       cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
-      val meta = (cents, PqModel(m, k, books(0)(0).length, books),
-        spark.read.parquet(s"$indexDir/vectors"))
+      val meta = IvfPqIndex(cents, PqModel(m, k, books(0)(0).length, books),
+        spark.read.parquet(s"$indexDir/vectors"), residual)
       Similarity.capCache(ivfPqMetaCache)
       ivfPqMetaCache.put(key, (stamp, meta))
       meta
     }
   }
 
+  /** The embedding dimension a built IVFPQ index expects — memoized
+    * sidecar meta, zero Spark jobs warm (the serving layer's dim fence). */
+  def ivfPqDim(spark: org.apache.spark.sql.SparkSession,
+               indexDir: String): Int = {
+    val idx = ivfPqMeta(spark, indexDir)
+    idx.model.m * idx.model.subDim
+  }
+
+  /** Per-query ADC tables, flat (queries × m × k): entry (qi, mi, ki) =
+    * query_qi's mi-th subvector · codeword (mi, ki). With RESIDUAL codes
+    * the same tables apply — dot(q, ĉ+r̂) = dot(q, c_list) + dot(q, r̂),
+    * so the list-dependent part is one additive constant per (query,
+    * list), not a per-list table (the dot-metric privilege; L2 would
+    * need per-list tables). */
+  private def adcTables(model: PqModel,
+                        queries: Seq[Seq[Double]]): Array[Double] = {
+    val out = new Array[Double](queries.size * model.m * model.k)
+    queries.zipWithIndex.foreach { case (q, qi) =>
+      val qa = q.toArray
+      for (mi <- 0 until model.m; ki <- 0 until model.k) {
+        val cw = model.codebooks(mi)(ki)
+        var s = 0.0; var j = 0
+        while (j < model.subDim) { s += qa(mi * model.subDim + j) * cw(j); j += 1 }
+        out((qi * model.m + mi) * model.k + ki) = s
+      }
+    }
+    out
+  }
+
+  /** query · centroid matrix as a nested literal (queries × kLists) —
+    * the residual ADC's per-(query, list) additive constant. */
+  private def qcMatrix(centroids: Array[Array[Double]],
+                       queries: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    queries.map { q =>
+      val qa = q.toArray
+      centroids.toSeq.map { c =>
+        var s = 0.0; var j = 0
+        while (j < qa.length) { s += qa(j) * c(j); j += 1 }
+        s
+      }
+    }
+
+  /** The shared per-(row, query) ADC COSINE scoring of every IVFPQ
+    * probe: per-row [[graft.functions.PqAdcDots]] against the group's
+    * ADC tables (ONE native loop scores a code row for every query), the
+    * per-query probe-list membership filter (pure column math, the
+    * [[Similarity]] scoreIvfGroup posture), the residual additive
+    * constant when the index quantizes residuals, and the closed-form
+    * reconstructed norm as denominator. The score is the EXACT cosine of
+    * the query against the PQ reconstruction v̂ — the metric every other
+    * graft ANN family ranks by (cos(q, v̂) → cos(q, v) as quantization
+    * error → 0; a raw ADC dot would rank large-norm reconstructions
+    * above true cosine neighbors). Returns (pos, id, cos) rows. */
+  private def adcCosScored(vecs: DataFrame, idx: IvfPqIndex,
+                           queries: Seq[(Long, Seq[Double])],
+                           probeLists: Seq[Seq[Int]]): DataFrame = {
+    import graft.functions.PqF
+    val model = idx.model
+    val tables = adcTables(model, queries.map(_._2))
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val probeLit = array(probeLists.map(ls => array(ls.map(lit): _*)): _*)
+    val qcTerm =
+      if (idx.residual)
+        element_at(element_at(
+          typedLit(qcMatrix(idx.centroids, queries.map(_._2))),
+          col("pos") + 1), col("list") + 1)
+      else lit(0.0)
+    vecs
+      .withColumn("rnorm", reconNormCol(idx))
+      .filter(col("rnorm").isNotNull && !isnan(col("rnorm")) && col("rnorm") > 0)
+      .select(col("id"), col("list"), col("rnorm"),
+        posexplode(PqF.adcDots(col("codes"), tables,
+          queries.size, model.m, model.k)))
+      .filter(array_contains(element_at(probeLit, col("pos") + 1), col("list")))
+      .select(col("pos"), col("id"),
+        round((qcTerm + col("col")) / (col("rnorm") *
+          element_at(array(qNorms.map(lit): _*), col("pos") + 1)), 6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+  }
+
+  /** The shared top-k tail: [[adcCosScored]] + bounded-heap top-k per
+    * query (batch ≡ per-query by construction). Returns (qid, id, cos). */
+  private def scoreAdcGroup(vecs: DataFrame, idx: IvfPqIndex,
+                            queries: Seq[(Long, Seq[Double])],
+                            probeLists: Seq[Seq[Int]], k: Int): DataFrame = {
+    import graft.functions.TopKF
+    val qIds = queries.map(_._1)
+    adcCosScored(vecs, idx, queries, probeLists)
+      .groupBy("pos")
+      .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        explode(col("topk")).as("hit"))
+      .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
   /** IVF+PQ probe: nearest `nprobe` lists chosen driver-side against
     * the centroid sidecar (memoized — zero Spark jobs warm), a
-    * partition-pruned read of those lists, ADC scoring, bounded-heap
-    * top-k. */
+    * partition-pruned read of those lists, ADC cosine scoring
+    * (residual-aware, reconstructed-norm denominator — see
+    * [[adcCosScored]]), bounded-heap top-k. Returns (id, cos). */
   def ivfPqQuery(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  query: Seq[Double], topK: Int, nprobe: Int = 8): DataFrame = {
-    val (centroids, model, vectors) = ivfPqMeta(spark, indexDir)
-    require(query.size == model.m * model.subDim,
-      s"ivfPqQuery: query dim ${query.size} != index dim ${model.m * model.subDim}")
-    val lists = Similarity.nearestLists(centroids, query.toArray, nprobe)
-    val probe = vectors
+    val idx = ivfPqMeta(spark, indexDir)
+    require(query.size == idx.model.m * idx.model.subDim,
+      s"ivfPqQuery: query dim ${query.size} != index dim ${idx.model.m * idx.model.subDim}")
+    val lists = Similarity.nearestLists(idx.centroids, query.toArray, nprobe)
+    val probe = idx.vectors
       .filter(col("list").isin(lists.map(Integer.valueOf): _*))
-    pqTopK(probe.select("id", "codes"), model, query, topK)
+    scoreAdcGroup(probe, idx, Seq((0L, query)), Seq(lists), topK)
+      .select("id", "cos")
+  }
+
+  /** QUERY a built IVFPQ index with a BATCH of query vectors in ONE
+    * pruned code pass — the compressed member of the batched serving
+    * matrix ([[Similarity.ivfQueryBatch]]'s shape at 32× smaller reads):
+    * one read over the UNION of all queries' nprobe lists, each code row
+    * ADC-scored against the whole batch via ONE native
+    * [[graft.functions.PqAdcDots]] loop, a per-row membership filter
+    * keeping each query's candidates to ITS OWN lists (batch ≡ per-query
+    * [[ivfPqQuery]]), bounded-heap top-k per query. Returns (qid, id,
+    * cos). Same `chunkSize` plan-literal bound as every batch entry
+    * point (the ADC-table reference object is chunk × m × k doubles). */
+  def ivfPqQueryBatch(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, queries: Seq[(Long, Seq[Double])],
+                      k: Int, nprobe: Int = 8,
+                      chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfPqQueryBatch: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfPqQueryBatch: ragged query dims $dims")
+    require(chunkSize > 0, "ivfPqQueryBatch: chunkSize must be positive")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => ivfPqQueryBatch(spark, indexDir, c, k, nprobe, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = ivfPqMeta(spark, indexDir)
+    require(dims.head == idx.model.m * idx.model.subDim,
+      s"ivfPqQueryBatch: query dim ${dims.head} != index dim ${idx.model.m * idx.model.subDim}")
+    val probeLists = queries.map { case (_, q) =>
+      Similarity.nearestLists(idx.centroids, q.toArray, nprobe)
+    }
+    val allLists = probeLists.flatten.distinct
+    scoreAdcGroup(
+      idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
+      idx, queries, probeLists, k)
   }
 
   /** FILTERED ADC probe — the compressed member of the filtered-ANN
@@ -301,21 +553,177 @@ object Pq {
   def ivfPqQueryFiltered(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, query: Seq[Double], topK: Int,
                          pred: Column, nprobe: Int = 8): DataFrame = {
-    val (centroids, model, vectors) = ivfPqMeta(spark, indexDir)
-    require(query.size == model.m * model.subDim,
-      s"ivfPqQueryFiltered: query dim ${query.size} != index dim ${model.m * model.subDim}")
-    val kLists = centroids.length
+    val idx = ivfPqMeta(spark, indexDir)
+    require(query.size == idx.model.m * idx.model.subDim,
+      s"ivfPqQueryFiltered: query dim ${query.size} != index dim ${idx.model.m * idx.model.subDim}")
+    val kLists = idx.centroids.length
     var probe = math.min(math.max(1, nprobe), kLists)
     while (true) {
-      val lists = Similarity.nearestLists(centroids, query.toArray, probe)
-      val res = pqTopK(
-        vectors.filter(col("list").isin(lists.map(Integer.valueOf): _*))
-          .filter(pred).select("id", "codes"),
-        model, query, topK)
+      val lists = Similarity.nearestLists(idx.centroids, query.toArray, probe)
+      val res = scoreAdcGroup(
+        idx.vectors.filter(col("list").isin(lists.map(Integer.valueOf): _*))
+          .filter(pred),
+        idx, Seq((0L, query)), Seq(lists), topK)
+        .select("id", "cos")
       if (probe >= kLists || res.count() >= topK) return res
       probe = math.min(probe * 2, kLists)
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** BATCH filtered top-k against a built IVFPQ index —
+    * [[ivfPqQueryFiltered]] for a query stream, the
+    * [[Similarity.ivfQueryBatchFiltered]] machinery over codes: each
+    * round scores ALL still-unsatisfied queries in ONE pred-filtered
+    * pruned ADC pass, finalizes every query with k eligible survivors
+    * (or a full-width probe), and doubles the probe width for the rest —
+    * per-query answers equal [[ivfPqQueryFiltered]] at the same starting
+    * `nprobe`. Returns (qid, id, cos), qid-then-rank ordered. */
+  def ivfPqQueryBatchFiltered(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              queries: Seq[(Long, Seq[Double])], k: Int,
+                              pred: Column, nprobe: Int = 8,
+                              chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfPqQueryBatchFiltered: empty query batch")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfPqQueryBatchFiltered: ragged query dims $dims")
+    require(chunkSize > 0, "ivfPqQueryBatchFiltered: chunkSize must be positive")
+    val idx = ivfPqMeta(spark, indexDir)
+    require(dims.head == idx.model.m * idx.model.subDim,
+      s"ivfPqQueryBatchFiltered: query dim ${dims.head} != index dim ${idx.model.m * idx.model.subDim}")
+    val kLists = idx.centroids.length
+    val eligible = idx.vectors.filter(pred)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var pending = queries
+    var width = math.min(math.max(1, nprobe), kLists)
+    while (pending.nonEmpty) {
+      val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
+        val probeLists = chunk.map(q =>
+          Similarity.nearestLists(idx.centroids, q._2.toArray, width))
+        val allLists = probeLists.flatten.distinct
+        scoreAdcGroup(
+          eligible.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
+          idx, chunk, probeLists, k).collect()
+      }
+      val byQ = rows.groupBy(_.getLong(0))
+      val (done, todo) = pending.partition(q =>
+        width >= kLists || byQ.getOrElse(q._1, Seq.empty).size >= k)
+      acc ++= done.flatMap(q => byQ.getOrElse(q._1, Seq.empty)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      pending = todo
+      width = math.min(width * 2, kLists)
+    }
+    import spark.implicits._
+    acc.toSeq.sortBy { case (qid, id, c) => (qid, -c, id) }
+      .toDF("qid", "id", "cos")
+  }
+
+  /** Per-row reconstructed-norm column ‖v̂‖ from codes alone — the range
+    * probes' denominator. For residual codes, ‖ĉ+r̂‖² = ‖c_L‖² +
+    * 2·Σ_m c_{L,m}·cw_{m,code} + Σ_m ‖cw_{m,code}‖²: the middle term is
+    * a per-LIST ADC table (kLists groups, query-independent), the last a
+    * 1-group table; both resolve through the same native
+    * [[graft.functions.PqAdcDots]] loop. Raw codes keep only the last
+    * term (subspaces are orthogonal in concatenation). */
+  private def reconNormCol(idx: IvfPqIndex): Column = {
+    import graft.functions.PqF
+    val model = idx.model
+    val cwNorm2 = new Array[Double](model.m * model.k)
+    for (mi <- 0 until model.m; ki <- 0 until model.k) {
+      val cw = model.codebooks(mi)(ki)
+      var s = 0.0; var j = 0
+      while (j < model.subDim) { s += cw(j) * cw(j); j += 1 }
+      cwNorm2(mi * model.k + ki) = s
+    }
+    val rNorm2 = element_at(
+      PqF.adcDots(col("codes"), cwNorm2, 1, model.m, model.k), 1)
+    if (!idx.residual) sqrt(rNorm2)
+    else {
+      val kLists = idx.centroids.length
+      val cross = new Array[Double](kLists * model.m * model.k)
+      for (li <- 0 until kLists; mi <- 0 until model.m; ki <- 0 until model.k) {
+        val c = idx.centroids(li); val cw = model.codebooks(mi)(ki)
+        var s = 0.0; var j = 0
+        while (j < model.subDim) { s += c(mi * model.subDim + j) * cw(j); j += 1 }
+        cross((li * model.m + mi) * model.k + ki) = 2.0 * s
+      }
+      val cNorm2 = idx.centroids.toSeq.map(c => c.map(x => x * x).sum)
+      sqrt(element_at(typedLit(cNorm2), col("list") + 1) +
+        element_at(PqF.adcDots(col("codes"), cross, kLists, model.m, model.k),
+          col("list") + 1) +
+        rNorm2)
+    }
+  }
+
+  /** The shared map-only tail of the IVFPQ RANGE probes: the SAME
+    * [[adcCosScored]] reconstructed cosine the top-k probes rank by,
+    * thresholded instead of heaped — no aggregation at all (the
+    * [[Similarity]] scoreIvfRangeGroup posture over codes). */
+  private def scoreAdcRangeGroup(vecs: DataFrame, idx: IvfPqIndex,
+                                 queries: Seq[(Long, Seq[Double])],
+                                 probeLists: Seq[Seq[Int]],
+                                 minCos: Double): DataFrame = {
+    val qIds = queries.map(_._1)
+    adcCosScored(vecs, idx, queries, probeLists)
+      .filter(col("cos") >= minCos)
+      .select(element_at(array(qIds.map(lit): _*), col("pos") + 1).as("qid"),
+        col("id"), col("cos"))
+  }
+
+  /** RANGE probe of a built IVFPQ index: every id in the query's
+    * `nprobe` nearest lists whose RECONSTRUCTED-vector cosine clears
+    * `minCos` — the documented approximate contract: cos(q, v̂) where
+    * v̂ = centroid[list] + codeword-concat (residual) or the codeword
+    * concat alone (raw), computed EXACTLY from the codes via ADC table
+    * algebra (numerator = dot tables + residual constant; denominator =
+    * the closed-form reconstructed norm, [[reconNormCol]]). v̂ → v as
+    * quantization error → 0; identical vectors share v̂ exactly. The
+    * plan is a partition-pruned map-only scan — no shuffle at all.
+    * Returns (id, cos). */
+  def ivfPqRange(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 query: Seq[Double], minCos: Double,
+                 nprobe: Int = 8): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfPqRange: minCos must be in (-1, 1], got $minCos")
+    val idx = ivfPqMeta(spark, indexDir)
+    require(query.size == idx.model.m * idx.model.subDim,
+      s"ivfPqRange: query dim ${query.size} != index dim ${idx.model.m * idx.model.subDim}")
+    val lists = Similarity.nearestLists(idx.centroids, query.toArray, nprobe)
+    scoreAdcRangeGroup(
+      idx.vectors.filter(col("list").isin(lists.map(Integer.valueOf): _*)),
+      idx, Seq((0L, query)), Seq(lists), minCos)
+      .select("id", "cos")
+  }
+
+  /** RANGE probe for a BATCH of queries in ONE pruned code pass —
+    * [[ivfPqRange]]'s contract (reconstructed cosine ≥ minCos) through
+    * [[Similarity.ivfRangeBatch]]'s shape: union-of-lists pruned read,
+    * per-query membership filter (batch ≡ per-query), map-only. Returns
+    * (qid, id, cos). */
+  def ivfPqRangeBatch(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, queries: Seq[(Long, Seq[Double])],
+                      minCos: Double, nprobe: Int = 8,
+                      chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfPqRangeBatch: empty query batch")
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfPqRangeBatch: minCos must be in (-1, 1], got $minCos")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfPqRangeBatch: ragged query dims $dims")
+    require(chunkSize > 0, "ivfPqRangeBatch: chunkSize must be positive")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => ivfPqRangeBatch(spark, indexDir, c, minCos, nprobe, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = ivfPqMeta(spark, indexDir)
+    require(dims.head == idx.model.m * idx.model.subDim,
+      s"ivfPqRangeBatch: query dim ${dims.head} != index dim ${idx.model.m * idx.model.subDim}")
+    val probeLists = queries.map { case (_, q) =>
+      Similarity.nearestLists(idx.centroids, q.toArray, nprobe)
+    }
+    val allLists = probeLists.flatten.distinct
+    scoreAdcRangeGroup(
+      idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
+      idx, queries, probeLists, minCos)
   }
 
   /** ADC top-k: score = Σ_m table[m][codes[m]] where table[m][k] =

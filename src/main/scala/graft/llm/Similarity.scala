@@ -343,7 +343,7 @@ object Similarity {
   }
 
   /** The `nprobe` lists whose centroids are nearest the query. */
-  private[llm] def nearestLists(centroids: Array[Array[Double]],
+  private[graft] def nearestLists(centroids: Array[Array[Double]],
                                 q: Array[Double], nprobe: Int): Seq[Int] =
     centroids.indices
       .sortBy { c =>
@@ -957,12 +957,15 @@ object Similarity {
     val centroids =
       if (method == "ivf" || method == "ivfpq") readCentroids(spark, indexDir)
       else Array.empty[Array[Double]]
-    // ivfpq: the codebooks sidecar is frozen data — snapshot it before the
-    // swap so the staged index can carry it over verbatim
+    // ivfpq: the codebooks sidecar is frozen data — snapshot it (rows AND
+    // schema: the `enc` encoding marker must survive, or a residual index
+    // would silently re-read as raw after compaction) before the swap so
+    // the staged index carries it over verbatim
     val codebooks =
-      if (method == "ivfpq")
-        Some(spark.read.parquet(s"$indexDir/codebooks").collect())
-      else None
+      if (method == "ivfpq") {
+        val df = spark.read.parquet(s"$indexDir/codebooks")
+        Some((df.collect(), df.schema))
+      } else None
     val (partCol, numValues) = lsh match {
       case Some(m) => ("pband", 1 << m.pBits)
       case None    => ("list", centroids.length)
@@ -973,10 +976,9 @@ object Similarity {
         .parquet(s"$staging/vectors")
       if (method == "ivf" || method == "ivfpq") {
         writeCentroids(spark, s"$staging/centroids", centroids)
-        codebooks.foreach { rows =>
-          import spark.implicits._
-          rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-            .toSeq.toDF("m", "k", "vec")
+        codebooks.foreach { case (rows, schema) =>
+          spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), schema)
             .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebooks")
         }
       }
@@ -2672,8 +2674,9 @@ object Similarity {
     * Spark jobs on the warm path. */
   def indexDim(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                method: String): Int = method match {
-    case "lsh" => lshMeta(spark, indexDir).dim
-    case "ivf" => ivfMeta(spark, indexDir).centroids.head.length
+    case "lsh"   => lshMeta(spark, indexDir).dim
+    case "ivf"   => ivfMeta(spark, indexDir).centroids.head.length
+    case "ivfpq" => Pq.ivfPqDim(spark, indexDir)
     case other => throw new IllegalArgumentException(s"indexDim: unknown method $other")
   }
 
@@ -2686,6 +2689,16 @@ object Similarity {
   def indexVectorTypes(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, method: String)
       : (org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType) = {
+    // ivfpq stores CODES, not vectors — appended increments still arrive
+    // as float/double arrays (ivfPqAppend encodes them), so the stream
+    // types its vector column array<double> (jsonl's natural shape;
+    // Spark 4's parquet type widening accepts narrower float files)
+    if (method == "ivfpq") {
+      val vectors = Pq.ivfPqMeta(spark, indexDir).vectors
+      return (vectors.schema("id").dataType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+    }
     val vectors = method match {
       case "lsh" => lshMeta(spark, indexDir).vectors
       case "ivf" => ivfMeta(spark, indexDir).vectors
@@ -2708,19 +2721,27 @@ object Similarity {
                   method: String, corpusUri: String, idCol: String,
                   vecCol: String, nBits: Int = 16, dim: Int = 64,
                   partitionBits: Int = 8, kLists: Int = 16,
-                  metaCols: Seq[String] = Nil): Unit = {
-    require(method == "lsh" || method == "ivf",
+                  metaCols: Seq[String] = Nil,
+                  pqM: Int = 8, pqK: Int = 64): Unit = {
+    require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"ensureIndex: unknown method $method")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val builtMarker = if (method == "ivf") "centroids" else "meta"
+    val builtMarker = if (method == "lsh") "meta" else "centroids"
     if (fs.exists(new org.apache.hadoop.fs.Path(indexDir, builtMarker))) return
     val corpus = spark.read.parquet(corpusUri)
-    if (method == "ivf")
-      ivfBuild(corpus, idCol, vecCol, indexDir, kLists, metaCols = metaCols)
-    else lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits,
-      metaCols)
-    ()
+    method match {
+      case "ivf" =>
+        ivfBuild(corpus, idCol, vecCol, indexDir, kLists, metaCols = metaCols)
+        ()
+      case "ivfpq" =>
+        Pq.ivfPqBuild(corpus, idCol, vecCol, indexDir, kLists, pqM, pqK,
+          metaCols = metaCols)
+      case _ =>
+        lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits,
+          metaCols)
+        ()
+    }
   }
 
   /** Batch counterpart of [[lshTopKIndexed]]: resolves the SAME cached

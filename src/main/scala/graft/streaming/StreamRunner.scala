@@ -587,8 +587,25 @@ object StreamRunner {
       sig(col(textCol)) === col("__rsig"), "left_anti")
   }
 
+  /** The serving jobs' per-micro-batch query budget: each batch's
+    * queries collect to the driver (the small side by design), so a
+    * misdelivered FILE — a corpus dropped into the queries dir — must
+    * fail loudly before the collect, not OOM the driver. 65 536 queries
+    * × a 1 KB vector row ≈ 64 MB: generous for any real query stream,
+    * far under driver heap. Override per job when a deployment
+    * legitimately batches bigger. */
+  val defaultMaxQueriesPerBatch: Int = 65536
+
+  private def guardBatchSize(n: Long, batchId: Long, max: Int,
+                             job: String): Unit =
+    if (n > max) throw new IllegalStateException(
+      s"$job: micro-batch $batchId carries $n query rows > " +
+        s"max-queries-per-batch $max — a query batch collects to the " +
+        "driver, so an unbounded file must be rejected, not collected; " +
+        "split the input files or raise the limit if intended")
+
   /** Streaming ANN serving: answer a STREAM of query vectors against a
-    * built, static index (LSH or IVF) — the streaming member of the
+    * built, static index (LSH, IVF, or IVFPQ) — the streaming member of the
     * serving matrix (single / batch / stream × brute / ivf / lsh). Each
     * micro-batch becomes ONE [[graft.llm.Similarity.lshQueryBatch]] /
     * [[graft.llm.Similarity.ivfQueryBatch]] call: the query vectors
@@ -608,10 +625,12 @@ object StreamRunner {
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                minCos: Option[Double] = None,
-               filterDfl: Option[String] = None)
+               filterDfl: Option[String] = None,
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
               (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     annServeBatches(queries, qidCol, vecCol, indexDir, k, method, tuning,
-      options, trigger, minCos, filterDfl)((answer, _) => sink(answer))
+      options, trigger, minCos, filterDfl,
+      maxQueriesPerBatch)((answer, _) => sink(answer))
 
   /** [[annServe]] with the micro-batch id handed to the sink — the hook an
     * idempotent sink needs: a stream restarted from its checkpoint may
@@ -625,9 +644,13 @@ object StreamRunner {
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                minCos: Option[Double] = None,
-               filterDfl: Option[String] = None)
+               filterDfl: Option[String] = None,
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(method == "lsh" || method == "ivf", s"annServe: unknown method $method")
+    require(method == "lsh" || method == "ivf" || method == "ivfpq",
+      s"annServe: unknown method $method")
+    require(maxQueriesPerBatch > 0,
+      s"annServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
     // FILTERED serving: `filterDfl` is a DFL boolean over the index's
     // columns (id + whatever metadata the build carried) — each
     // micro-batch routes to the batch FILTERED probes, whose per-query
@@ -656,6 +679,11 @@ object StreamRunner {
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the queries of a micro-batch COLLECT to the driver (they are
+        // the small side — the corpus never moves), so an unbounded
+        // query file must fail LOUDLY before the collect, not OOM the
+        // driver: the guard is one distributed count over the batch
+        guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "annServe")
         // A SERVING stream must not die on one bad record (every other
         // streaming operator here tolerates malformed rows too): null or
         // non-integral qids and null / null-element vectors are SKIPPED.
@@ -711,6 +739,12 @@ object StreamRunner {
                   case ("lsh", Some(t), _) => graft.llm.Similarity.lshRangeBatch(
                     batch.sparkSession, indexDir, group, t,
                     slackBits = tuning.getOrElse(4))
+                  // the compressed index's range contract thresholds the
+                  // RECONSTRUCTED cosine (Pq.ivfPqRange's documented
+                  // approximation) — the only cosine codes can produce
+                  case ("ivfpq", Some(t), _) => graft.llm.Pq.ivfPqRangeBatch(
+                    batch.sparkSession, indexDir, group, t,
+                    nprobe = tuning.getOrElse(8))
                   case (_, Some(t), _) => graft.llm.Similarity.ivfRangeBatch(
                     batch.sparkSession, indexDir, group, t,
                     nprobe = tuning.getOrElse(8))
@@ -718,12 +752,18 @@ object StreamRunner {
                     graft.llm.Similarity.lshQueryBatchFiltered(
                       batch.sparkSession, indexDir, group, k, p,
                       tuning.getOrElse(100))
+                  case ("ivfpq", None, Some(p)) =>
+                    graft.llm.Pq.ivfPqQueryBatchFiltered(
+                      batch.sparkSession, indexDir, group, k, p,
+                      tuning.getOrElse(8))
                   case (_, None, Some(p)) =>
                     graft.llm.Similarity.ivfQueryBatchFiltered(
                       batch.sparkSession, indexDir, group, k, p,
                       tuning.getOrElse(8))
                   case ("lsh", None, None) => graft.llm.Similarity.lshQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
+                  case ("ivfpq", None, None) => graft.llm.Pq.ivfPqQueryBatch(
+                    batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
                   case _ => graft.llm.Similarity.ivfQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
                 }
@@ -783,7 +823,8 @@ object StreamRunner {
                   method: String, k: Int, tuning: Option[Int],
                   outUri: String, outFormat: String, checkpoint: String,
                   once: Boolean, minCos: Option[Double] = None,
-                  filterDfl: Option[String] = None)
+                  filterDfl: Option[String] = None,
+                  maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"annServeJob: output format must be jsonl or parquet, got $outFormat")
@@ -811,7 +852,8 @@ object StreamRunner {
     val queries = readStream(spark, queriesUri, format, schema)
     val q = annServeBatches(queries, qidCol, vecCol, indexDir, k, method,
       tuning, options = Map("checkpointLocation" -> checkpoint),
-      minCos = minCos, filterDfl = filterDfl) {
+      minCos = minCos, filterDfl = filterDfl,
+      maxQueriesPerBatch = maxQueriesPerBatch) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
@@ -842,10 +884,13 @@ object StreamRunner {
                indexDir: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-               filterDfl: Option[String] = None)
+               filterDfl: Option[String] = None,
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(k > 0, s"bm25Serve: k must be positive, got $k")
+    require(maxQueriesPerBatch > 0,
+      s"bm25Serve: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
     // FILTERED serving: a DFL boolean over the index's metadata columns
     // (bm25Build's metaCols), routed to the filtered batch probe —
     // corpus-global statistics, the annServe --filter posture. Compiled
@@ -859,6 +904,8 @@ object StreamRunner {
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // bounded-collect guard — see annServeBatches
+        guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "bm25Serve")
         val qsAll = batch.select(col(qidCol), col(termsCol)).collect().iterator
           .flatMap { r =>
             // same qid tolerance as annServe: a fractional id would
@@ -1054,7 +1101,7 @@ object StreamRunner {
                    once: Boolean, compactEvery: Int = 0,
                    retrainSkewFactor: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(method == "lsh" || method == "ivf",
+    require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"annIngestJob: unknown method $method")
     // csv/tsv carry vectors as strings — there is no lossless cast to an
     // array column, so only the two formats that really append are offered
@@ -1067,7 +1114,9 @@ object StreamRunner {
         "maintenance cadence the skew check runs on)")
     require(retrainSkewFactor <= 0 || method == "ivf",
       "annIngestJob: retrainSkewFactor applies only to ivf (lsh appends " +
-        "are exact and never drift)")
+        "are exact and never drift; an ivfpq retrain needs the original " +
+        "float vectors the codes no longer carry — rebuild from the " +
+        "corpus on drift cadence instead)")
     // the stream's schema comes from the INDEX, not file inference: the
     // watched dir is legitimately EMPTY on first launch (the backfill was
     // --build-from; increments arrive later), and inference over an empty
@@ -1091,12 +1140,17 @@ object StreamRunner {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!batch.isEmpty) {
             val id = Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
-            if (method == "ivf")
-              graft.llm.Similarity.ivfAppend(batch.toDF(), idCol, vecCol,
-                indexDir, appendId = id)
-            else
-              graft.llm.Similarity.lshAppend(batch.toDF(), idCol, vecCol,
-                indexDir, appendId = id)
+            method match {
+              case "ivf" => graft.llm.Similarity.ivfAppend(batch.toDF(),
+                idCol, vecCol, indexDir, appendId = id)
+              // frozen coarse centroids AND frozen codebooks — the
+              // compounded drift bound ivfPqAppend documents; the
+              // compact/GC maintenance below already speaks "ivfpq"
+              case "ivfpq" => graft.llm.Pq.ivfPqAppend(batch.toDF(),
+                idCol, vecCol, indexDir, appendId = id)
+              case _ => graft.llm.Similarity.lshAppend(batch.toDF(),
+                idCol, vecCol, indexDir, appendId = id)
+            }
             // keyed to batchId, not a local counter, so the cadence is
             // stable across job restarts; a replayed batch may run its
             // maintenance twice — harmless, both rewrites are idempotent

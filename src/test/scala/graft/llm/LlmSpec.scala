@@ -3014,8 +3014,10 @@ class LlmSpec extends AnyFunSuite {
     val books = Array.ofDim[Array[Double]](mSub, kCw)
     cb0.foreach { case (mi, ki, v) => books(mi)(ki) = v }
     val model = Pq.PqModel(mSub, kCw, books(0)(0).length, books)
+    // encode the staging the way ivfPqAppend lays it out TODAY — residual
+    // codes against the frozen centroids (the index is residual-built)
     Similarity.ivfAssign(bDf, "vec_id", "embedding", cents)
-      .select($"id", $"list", Pq.codesCol("v", model).as("codes"))
+      .select($"id", $"list", Pq.codesColRes("v", "list", model, cents).as("codes"))
       .write.partitionBy("list").parquet(s"$dir/.append-$id/vectors")
     touch(s"$dir/.append-$id/_COMMITTING")
     // the retry resumes the commit: rows land exactly once, staging swept
@@ -3044,14 +3046,17 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == served)
     // COMPACTION — method "ivfpq": fewer files, centroids+codebooks
     // carried verbatim, probe-for-probe identical, replay fence survives
+    // full-row snapshot: the `enc` encoding marker must survive the
+    // rewrite too, or a residual index silently re-reads as raw
     val cbBefore = spark.read.parquet(s"$dir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+      .collect().map(_.toSeq).toSet
     val st = Similarity.compactIndex(spark, dir, "ivfpq")
     assert(st.filesAfter <= st.filesBefore)
     assert(spark.read.parquet(s"$dir/vectors").count() == postCount)
     assert(spark.read.parquet(s"$dir/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
-      == cbBefore, "compaction must never touch the frozen codebooks")
+      .collect().map(_.toSeq).toSet
+      == cbBefore, "compaction must carry the frozen codebooks verbatim " +
+        "(values AND the enc marker)")
     assert(new java.io.File(s"$dir/vectors/_append-$id").exists(),
       "replay fences must survive compaction")
     assert(Pq.ivfPqQuery(spark, dir, q, 5, nprobe = 8)

@@ -160,6 +160,231 @@ class PqSpec extends AnyFunSuite {
     assert(words.toSet == base.toSet, "perfectly clusterable data recovers the values")
   }
 
+  // ---- residual encoding (Jégou PAMI'11 §III-C) ----
+
+  /** Read an index's sidecars + decode every stored code row driver-side:
+    * (id → (reconstructed vector, list)). The independent decode path the
+    * range/fidelity tests verify ADC table algebra against. */
+  private def decodeAll(dir: String): (Map[Long, (Array[Double], Int)], Boolean) = {
+    val cents = Similarity.readCentroids(spark, dir)
+    val cbDf = spark.read.parquet(s"$dir/codebooks")
+    val res = cbDf.schema.fieldNames.contains("enc") &&
+      cbDf.select("enc").head().getString(0) == "res"
+    val cb = cbDf.select("m", "k", "vec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1; val k = cb.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
+    val rows = spark.read.parquet(s"$dir/vectors")
+      .select("id", "list", "codes").collect()
+      .map { r =>
+        val list = r.getInt(1)
+        val codes = r.getSeq[Byte](2)
+        val recon = codes.zipWithIndex.flatMap { case (c, mi) =>
+          books(mi)(c & 0xFF)
+        }.toArray
+        if (res) (0 until recon.length).foreach(j => recon(j) += cents(list)(j))
+        r.getLong(0) -> (recon, list)
+      }.toMap
+    (rows, res)
+  }
+
+  test("residual IVFPQ reconstructs tighter than raw and recall@10 does not regress") {
+    val dirRes = java.nio.file.Files.createTempDirectory("graft-pqres").toString
+    val dirRaw = java.nio.file.Files.createTempDirectory("graft-pqraw").toString
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", dirRes, kLists = 8, m = 8, k = 16)
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", dirRaw, kLists = 8, m = 8, k = 16,
+      residual = false)
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def mse(dir: String): Double = {
+      val (recon, _) = decodeAll(dir)
+      val errs = orig.toSeq.map { case (id, v) =>
+        val r = recon(id)._1
+        v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.size
+    }
+    val (mseRes, mseRaw) = (mse(dirRes), mse(dirRaw))
+    assert(mseRes < mseRaw,
+      s"residual reconstruction must be tighter: res=$mseRes raw=$mseRaw")
+    // the enc marker self-describes each index
+    assert(decodeAll(dirRes)._2 && !decodeAll(dirRaw)._2)
+
+    // recall@10 in the regime residual encoding TARGETS (Jégou §III-C:
+    // "clustered data — the regime IVF lists create by construction"):
+    // 8 well-separated clusters, deterministically derived by offsetting
+    // component (id % 8) far beyond the natural scale. A raw global
+    // codebook must spend its k codewords re-describing the between-
+    // cluster offsets; the residual codebook models only the within-
+    // cluster geometry the lists already factored out.
+    val clustered = emb.select($"vec_id",
+      transform($"embedding", (x, j) =>
+        x.cast("double") + when(j === ($"vec_id" % 8).cast("int"), 25.0)
+          .otherwise(0.0)).as("embedding"))
+      .localCheckpoint()
+    val cRes = java.nio.file.Files.createTempDirectory("graft-pqcres").toString
+    val cRaw = java.nio.file.Files.createTempDirectory("graft-pqcraw").toString
+    Pq.ivfPqBuild(clustered, "vec_id", "embedding", cRes, kLists = 8, m = 8, k = 16)
+    Pq.ivfPqBuild(clustered, "vec_id", "embedding", cRaw, kLists = 8, m = 8, k = 16,
+      residual = false)
+    def recall(dir: String): Double = {
+      val rs = (1 to 10).map { qid =>
+        val q = clustered.filter($"vec_id" === qid).select("embedding")
+          .head().getSeq[Double](0)
+        val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Pq.ivfPqQuery(spark, dir, q, 10, nprobe = 8)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val (recRes, recRaw) = (recall(cRes), recall(cRaw))
+    assert(recRes >= recRaw,
+      s"residual recall@10 must not regress on clustered data: " +
+        s"res=$recRes raw=$recRaw")
+  }
+
+  test("a raw-encoded index (no enc marker) still probes correctly — backward compat") {
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select(($"r" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcompat").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16,
+      residual = false)
+    // simulate a pre-residual index: strip the enc column in place (the
+    // old sidecar format) — the reader must default to raw scoring
+    val legacy = spark.read.parquet(s"$dir/codebooks")
+      .select("m", "k", "vec").collect()
+    import spark.implicits._
+    legacy.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq.toDF("m", "k", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Pq.ivfPqQuery(spark, dir, q, 6, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (Set(0L) ++ (1 to 5).map(_ + 100000L)))
+  }
+
+  // ---- the batched / range probe matrix ----
+
+  private def plantedDir(): (String, Seq[(Long, Seq[Double])]) = {
+    // per-query planted cliques: 5 copies of each of vec 0-2's embeddings
+    val planted = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("s"),
+        explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select((lit(100000L) + $"s" * 100L + $"r").as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqbatch").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16)
+    val queries = emb.filter($"vec_id" < 3).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    (dir, queries)
+  }
+
+  test("ivfPqQueryBatch: one pruned pass, per-query ≡ single probes, chunking preserves answers") {
+    val (dir, queries) = plantedDir()
+    val batch = Pq.ivfPqQueryBatch(spark, dir, queries, 6, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    assert(batch.keySet == queries.map(_._1).toSet)
+    queries.foreach { case (qid, q) =>
+      val single = Pq.ivfPqQuery(spark, dir, q, 6, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"batch ≡ single for qid $qid")
+      // each query's clique (query row + 5 identical copies) is served
+      val clique = Set(qid) ++ (1L to 5L).map(100000L + qid * 100L + _)
+      assert(batch(qid).map(_._1) == clique, s"clique for qid $qid: ${batch(qid)}")
+    }
+    // chunked plans answer identically
+    val chunked = Pq.ivfPqQueryBatch(spark, dir, queries, 6, nprobe = 2,
+        chunkSize = 1)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    assert(chunked == batch)
+    // guards
+    intercept[IllegalArgumentException](
+      Pq.ivfPqQueryBatch(spark, dir, Nil, 5))
+    intercept[IllegalArgumentException](
+      Pq.ivfPqQueryBatch(spark, dir, Seq((0L, Seq(1.0, 2.0))), 5))
+  }
+
+  test("ivfPqQueryBatchFiltered: pred-filtered widening, per-query ≡ single filtered probes") {
+    val planted = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("s"),
+        explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select((lit(100000L) + $"s" * 100L + $"r").as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+      .withColumn("flag", ($"vec_id" % 2).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqbatchf").toString
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16,
+      metaCols = Seq("flag"))
+    val queries = emb.filter($"vec_id" < 2).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val batch = Pq.ivfPqQueryBatchFiltered(spark, dir, queries, 5,
+        col("flag") === 0, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Pq.ivfPqQueryFiltered(spark, dir, q, 5,
+          col("flag") === 0, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"filtered batch ≡ single for qid $qid")
+      assert(batch(qid).forall(_._1 % 2 == 0), s"flag==0 violated: ${batch(qid)}")
+    }
+  }
+
+  test("ivfPqRange: exactly the ids whose RECONSTRUCTED cosine clears the threshold; map-only pruned plan") {
+    val (dir, queries) = plantedDir()
+    val (recon, _) = decodeAll(dir)
+    val (qid0, q) = queries.head
+    val nprobe = 4
+    val lists = Similarity.nearestLists(
+      Similarity.readCentroids(spark, dir), q.toArray, nprobe).toSet
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    // independent verify: true cosine of q against every probed-list
+    // reconstruction (full decode + dot — not the ADC table algebra)
+    def expect(t: Double): Map[Long, Double] = recon.collect {
+      case (id, (v, list)) if lists(list) =>
+        val vn = math.sqrt(v.map(x => x * x).sum)
+        val cos = if (vn == 0) Double.NaN
+          else q.zip(v).map { case (a, b) => a * b }.sum / (qn * vn)
+        id -> math.rint(cos * 1e6) / 1e6
+    }.filter { case (_, c) => !c.isNaN && c >= t }.toMap
+    val t = 0.5
+    val probe = Pq.ivfPqRange(spark, dir, q, t, nprobe)
+    val got = probe.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = expect(t)
+    assert(got.keySet == exp.keySet,
+      s"range set mismatch: extra=${got.keySet -- exp.keySet} " +
+        s"missing=${exp.keySet -- got.keySet}")
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - exp(id)) <= 1e-6, s"cos mismatch at $id: $c vs ${exp(id)}")
+    }
+    // the clique reconstructs to the query's own v̂ — always in range at
+    // a threshold below the quantization cosine
+    val clique = Set(qid0) ++ (1L to 5L).map(100000L + qid0 * 100L + _)
+    assert(clique.subsetOf(got.keySet), s"clique missing from range: $got")
+    // plan shape: partition-pruned scan, NO shuffle at all (map-only)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(!plan.contains("Exchange"), s"range probe must be map-only:\n$plan")
+    // batch ≡ per-query
+    val batch = Pq.ivfPqRangeBatch(spark, dir, queries, t, nprobe)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = Pq.ivfPqRange(spark, dir, qv, t, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.getOrElse(qid, Set.empty) == single, s"range batch qid $qid")
+    }
+    // threshold guard
+    intercept[IllegalArgumentException](Pq.ivfPqRange(spark, dir, q, -1.5))
+  }
+
   test("ADC score equals the hand-computed query·reconstruction dot") {
     val model = Pq.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
     val codes = Pq.pqEncode(emb, "vec_id", "embedding", model)

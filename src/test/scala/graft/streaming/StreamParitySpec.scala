@@ -787,6 +787,105 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN serving over a compressed IVFPQ index: top-k, filtered, and range batch-parity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.withColumn("flag", (col("vec_id") % 2).cast("int"))
+    val idxDir = Files.createTempDirectory("graft-pqserve").toString + "/idx"
+    graft.llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", idxDir,
+      kLists = 8, m = 8, k = 16, metaCols = Seq("flag"))
+    val qrows = emb.filter($"vec_id" < 3).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qdir = Files.createTempDirectory("graft-pqserve-q").toString
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+    def serve(minCos: Option[Double], filterDfl: Option[String])
+        : Map[Long, Set[(Long, Double)]] = {
+      val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+      val answers = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      val q = StreamRunner.annServe(stream, "qid", "vec", idxDir, 5,
+        method = "ivfpq", tuning = Some(2), minCos = minCos,
+        filterDfl = filterDfl) { out =>
+        answers.synchronized {
+          answers ++= out.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      answers.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    }
+    // plain top-k: served ≡ direct compressed probe, per query
+    val topk = serve(None, None)
+    assert(topk.keySet == qrows.map(_._1).toSet)
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Pq.ivfPqQuery(spark, idxDir, vec, 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(topk(qid) == direct, s"ivfpq serve query $qid")
+    }
+    // filtered: routed to the widening filtered batch probe
+    val filtered = serve(None, Some("@flag == 0"))
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Pq.ivfPqQueryFiltered(spark, idxDir, vec, 5,
+          col("flag") === 0, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(filtered(qid) == direct, s"ivfpq filtered serve query $qid")
+      assert(filtered(qid).forall(_._1 % 2 == 0))
+    }
+    // range: thresholds the reconstructed cosine (the compressed
+    // contract), served ≡ direct ivfPqRange
+    val range = serve(Some(0.5), None)
+    qrows.foreach { case (qid, vec) =>
+      val direct = graft.llm.Pq.ivfPqRange(spark, idxDir, vec, 0.5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(range.getOrElse(qid, Set.empty) == direct,
+        s"ivfpq range serve query $qid")
+    }
+  }
+
+  test("serve-ann rejects an oversized query micro-batch loudly instead of collecting it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val idxDir = Files.createTempDirectory("graft-guard").toString + "/idx"
+    graft.llm.Similarity.lshBuild(emb, "vec_id", "embedding", idxDir,
+      nBits = 8, dim = 64, partitionBits = 4)
+    val qdir = Files.createTempDirectory("graft-guard-q").toString
+    val q0 = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      (0 until 5).map(i =>
+        s"""{"qid":$i,"vec":[${q0.mkString(",")}]}""").mkString("\n"))
+    val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+    val q = StreamRunner.annServe(stream, "qid", "vec", idxDir, 5,
+      method = "lsh", maxQueriesPerBatch = 3)(_ => ())
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rootMsg(e: Throwable): String =
+      if (e.getCause == null) String.valueOf(e.getMessage)
+      else rootMsg(e.getCause)
+    assert(rootMsg(err).contains("max-queries-per-batch"),
+      s"expected the batch-size guard, got: ${rootMsg(err)}")
+    // the guard is configurable: the same file serves under a higher cap
+    val answers = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ok = StreamRunner.annServe(
+      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec", idxDir, 5,
+      method = "lsh", maxQueriesPerBatch = 5) { out =>
+      answers.synchronized { answers ++= out.collect().map(_.getLong(0)) }
+    }
+    try ok.processAllAvailable() finally ok.stop()
+    assert(answers.toSet == (0L until 5L).toSet)
+    // CLI plumbing
+    val cfg = graft.cli.ServeCli.parseArgs(Array(
+      "--queries-uri", qdir, "--index-dir", idxDir, "--output-uri", "/tmp/x",
+      "--checkpoint", "/tmp/c", "--max-batch-queries", "123"))
+    assert(cfg.maxBatchQueries == 123)
+    intercept[IllegalArgumentException](StreamRunner.annServe(
+      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec", idxDir, 5,
+      maxQueriesPerBatch = 0)(_ => ()))
+  }
+
   test("streaming image dedup drops perceptual copies of a static reference, keeps fresh and undecodable") {
     def render(seedShift: Int, shift: Int, fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
@@ -1339,6 +1438,65 @@ class StreamParitySpec extends AnyFunSuite {
     // exactly-once holds across the rewrite: idle relaunch re-appends nothing
     graft.cli.IngestCli.run(spark, cfg)
     assert(spark.read.parquet(s"$root/idx/vectors").count() == 500L)
+  }
+
+  test("ingest-ann --method ivfpq: frozen-codebook streaming appends serve the planted clique; relaunch is a no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-ingestpq").toString
+    // bulk backfill: rows < 300 (vec 0 — the query's original — included,
+    // so centroids AND codebooks know its region)
+    emb.filter($"vec_id" < 300L).coalesce(1).write.parquet(s"$root/backfill")
+    val streamDir = s"$root/stream"; new java.io.File(streamDir).mkdirs()
+    def addIncrement(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$root/.inc-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    // increment 1: natural rows; increment 2 (after a relaunch): the
+    // planted clique — 10 bit-identical copies of vec 0's embedding,
+    // which the FROZEN codebooks encode to vec 0's exact codes
+    addIncrement("f1", emb.filter($"vec_id" >= 300L && $"vec_id" < 400L))
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--corpus-format", "parquet",
+      "--index-dir", s"$root/idx", "--method", "ivfpq",
+      "--checkpoint", s"$root/ckpt", "--once", "--compact-every", "1",
+      "--build-from", s"$root/backfill",
+      "--build-klists", "8", "--build-pq-m", "8", "--build-pq-k", "16"))
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+    val planted = emb.filter($"vec_id" === 0L)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select(($"r" + 100000L).as("vec_id"), $"embedding")
+    addIncrement("f2", planted)
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 410L)
+    // every appended clique row encodes to vec 0's codes and assigns to
+    // its list: the rank-0 probe serves the whole clique exactly
+    val q = emb.filter($"vec_id" === 0L).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = graft.llm.Pq.ivfPqQuery(spark, s"$root/idx", q, 11, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (Set(0L) ++ (1L to 10L).map(_ + 100000L)), s"clique: $top")
+    // idle relaunch: committed files are not re-appended
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 410L)
+    // the maintenance slot spoke "ivfpq": layout is back at build shape
+    val (_, maxPerPart) =
+      graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
+    assert(maxPerPart == 1,
+      s"expected compacted ivfpq layout, worst partition has $maxPerPart files")
+    // ...and the codebook sidecar still says residual after compaction
+    assert(spark.read.parquet(s"$root/idx/codebooks")
+      .select("enc").head().getString(0) == "res")
+    // --retrain-skew stays ivf-only: codes can't retrain themselves
+    intercept[IllegalArgumentException](graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--index-dir", s"$root/idx",
+      "--method", "ivfpq", "--checkpoint", s"$root/ckpt",
+      "--compact-every", "1", "--retrain-skew", "2.0")))
   }
 
   test("ingest-ann --retrain-skew: the maintenance slot retrains a drifted ivf index in-stream") {
