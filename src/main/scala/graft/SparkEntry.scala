@@ -128,10 +128,15 @@ object SparkEntry {
           (lit(1L) + pmod(col("doc_id"), lit(3L))).cast("int").as("rel")))
       .reduce(_ unionByName _)
 
-  private val retrievalQrelsSql: String =
-    """SELECT q AS qid, doc_id AS id, CAST(1 + doc_id % 3 AS INT) AS rel
-      |  FROM documents, (VALUES (1), (2), (3)) v(q)
-      | WHERE doc_id % (10 + q) = 0""".stripMargin
+  private val retrievalQrelsSql: String = {
+    // the qid VALUES list renders from bm25BatchQueries — the single
+    // source of truth — so editing the batch can never desynchronize
+    // the Scala and oracle sides of the retrieval_eval rows
+    val values = bm25BatchQueries.map { case (q, _) => s"($q)" }.mkString(", ")
+    s"""SELECT q AS qid, doc_id AS id, CAST(1 + doc_id % 3 AS INT) AS rel
+       |  FROM documents, (VALUES $values) v(q)
+       | WHERE doc_id % (10 + q) = 0""".stripMargin
+  }
 
   /** A messy-but-equivalent URL per document: upper-cased `www.` host,
     * explicit default port, tracking params, unsorted query, trailing

@@ -144,7 +144,9 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
           try spark.read.parquet(s"$uri/meta").head()
           catch { case e: Exception => throw new IllegalArgumentException(
             s"$$$k: '$uri' is not a tokenizer artifact dir", e) }
-        val kind = meta.getString(0)
+        // read by FIELD NAME — saveBpe et al. could legally reorder the
+        // meta columns and an ordinal read would silently misread kind
+        val kind = meta.getString(meta.fieldIndex("kind"))
         want.foreach(w => require(w == kind,
           s"$$$k: $uri holds a '$kind' artifact, expected '$w'"))
         val table = spark.read.parquet(s"$uri/table")

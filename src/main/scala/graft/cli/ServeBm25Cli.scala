@@ -28,9 +28,9 @@ import graft.streaming.StreamRunner
   *      [--build-pbands N] [--build-meta c1,c2]]
   *
   * jsonl query files carry terms as a whitespace-separated STRING
-  * (`{"qid":1,"terms":"spark stream"}`) — a JSON array parses to null
-  * under the stream's explicit schema and the row is skipped as
-  * malformed; array<string> terms are the parquet format's shape.
+  * (`{"qid":1,"terms":"spark stream"}`) OR a JSON array
+  * (`{"qid":1,"terms":["spark","stream"]}`) — both shapes answer;
+  * array<string> terms are also the parquet format's shape.
   *
   * `--build-from` bootstraps the inverted index from a parquet corpus
   * when none exists at `--index-dir` yet (an existing index is served

@@ -1751,8 +1751,25 @@ object DflFrame {
     * an inline literal dataset) makes the fingerprint blind to the rows,
     * so those corpora fall back to the ad-hoc index-less paths — correct
     * answers, no cross-corpus cache collisions, just no build reuse. */
+  /** Route this stage's FILE-BACKED corpus through the cached index
+    * lifecycle? Building an index is a SIDE EFFECT — a full build pass
+    * plus a stamp dir under `graft.ivf.indexBase` that only IndexGc
+    * reclaims — which a one-off pipeline should not pay, so the
+    * lifecycle engages only once the corpus's input bytes reach
+    * `graft.dfl.index.minBytes` (default 32 MiB: below that a direct
+    * scan beats the build even across repeated service execs, whose
+    * datastore DataFrame is memory-cached anyway). Set 0 to force
+    * index-always, or a larger bound to defer it. Results are
+    * value-identical on either path (the index contract); at corpus
+    * scale the threshold is always crossed and repeated execs get the
+    * partition-pruned probes. */
   private def dflIndexable(base: DataFrame): Boolean =
-    graft.llm.Similarity.fileBackedCorpus(base)
+    graft.llm.Similarity.fileBackedCorpus(base) && {
+      val min = base.sparkSession.conf
+        .getOption("graft.dfl.index.minBytes").map(_.toLong)
+        .getOrElse(32L * 1024 * 1024)
+      min <= 0 || graft.llm.Similarity.corpusInputBytes(base) >= min
+    }
 
   private def assembleDict(df: DataFrame, d: DictLit, vars: Map[String, Any]): DataFrame = {
     val aggs = scala.collection.mutable.ListBuffer.empty[Column]

@@ -1444,6 +1444,12 @@ object Similarity {
     }.toSeq
   }
 
+  /** Total bytes of the file-backed corpus's input files — the size a
+    * caller gates an index-build side effect on (one listing per input
+    * dir, no data read). */
+  private[graft] def corpusInputBytes(df: DataFrame): Long =
+    corpusFileMeta(df).iterator.map(_._2._1).sum
+
   private[llm] def corpusFingerprint(df: DataFrame): String =
     graft.util.Md5.hex(corpusFileMeta(df).iterator.map {
       case (f, (len, mtime)) => s"$f:$len:$mtime;"

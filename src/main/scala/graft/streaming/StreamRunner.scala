@@ -596,6 +596,50 @@ object StreamRunner {
     * legitimately batches bigger. */
   val defaultMaxQueriesPerBatch: Int = 65536
 
+  /** The ingest jobs' maintenance cadence counter — APPENDS since the
+    * last maintenance slot, persisted as a tiny marker file under the
+    * job's checkpoint dir so the cadence survives restarts AND the
+    * `--once` cron shape (a fresh job instance per run): an in-closure
+    * counter would reset every run and a one-append-per-run deployment
+    * would never compact, while the old absolute `batchId % n` never
+    * fired before batch n and let EMPTY batches advance the cadence. A
+    * replayed batch may increment twice — harmless overcount for a
+    * cadence whose slot is itself idempotent. */
+  private def readSlotCount(spark: SparkSession, checkpoint: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft-appends-since-slot")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption.getOrElse(0)
+      finally in.close()
+    }
+  }
+
+  private def writeSlotCount(spark: SparkSession, checkpoint: String,
+                             n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft-appends-since-slot")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Bump the counter after one committed append; true when the cadence
+    * reached `compactEvery` (the counter resets — the caller runs its
+    * maintenance slot). */
+  private def appendOpensSlot(spark: SparkSession, checkpoint: String,
+                              compactEvery: Int): Boolean = {
+    if (compactEvery <= 0) false
+    else {
+      val n = readSlotCount(spark, checkpoint) + 1
+      val fire = n >= compactEvery
+      writeSlotCount(spark, checkpoint, if (fire) 0 else n)
+      fire
+    }
+  }
+
   private def guardBatchSize(n: Long, batchId: Long, max: Int,
                              job: String): Unit =
     if (n > max) throw new IllegalStateException(
@@ -916,6 +960,21 @@ object StreamRunner {
               case other => other.toString.toLongOption
             }
             val terms = if (r.isNullAt(1)) None else (r.get(1) match {
+              // a jsonl query whose terms field is a JSON ARRAY arrives
+              // as its RAW TEXT under the stream's explicit string
+              // schema — accept it as the array it is (the parquet
+              // path's shape) instead of whitespace-splitting the raw
+              // JSON into garbage tokens like `["spark","stream"]`
+              case s: String if s.trim.startsWith("[") =>
+                (try {
+                  val n = new com.fasterxml.jackson.databind.ObjectMapper()
+                    .readTree(s)
+                  if (n.isArray)
+                    Some(Iterator.range(0, n.size)
+                      .map(i => n.get(i).asText).toSeq)
+                  else None
+                } catch { case _: Exception => None })
+                  .orElse(Some(s.split("\\s+").toSeq))
               case s: String => Some(s.split("\\s+").toSeq)
               case a: scala.collection.Seq[_] =>
                 Some(a.iterator.filter(_ != null).map(_.toString).toSeq)
@@ -970,12 +1029,12 @@ object StreamRunner {
     * restart from `checkpoint` never re-answers committed files.
     * jsonl queries read under an explicit (string, string) schema — an
     * empty queries dir at job start works, and both `123` and `"123"`
-    * qids parse. NOTE the jsonl terms SHAPE contract: terms must be a
-    * whitespace-separated STRING (`{"terms":"spark stream"}`) — a JSON
-    * ARRAY parses to null under the explicit schema and the row is
-    * skipped as malformed (warn-logged, no answer). Array<string>
-    * terms are the parquet path's shape (file inference). `once =
-    * true` drains the available queries and stops (the cron shape). */
+    * qids parse. jsonl terms take EITHER shape: a whitespace-separated
+    * string (`{"terms":"spark stream"}`) or a JSON array
+    * (`{"terms":["spark","stream"]}`) — the array arrives as its raw
+    * text under the string schema and is parsed back, matching the
+    * parquet path's array<string> shape. `once = true` drains the
+    * available queries and stops (the cron shape). */
   def bm25ServeJob(spark: SparkSession, queriesUri: String, format: String,
                    qidCol: String, termsCol: String, indexDir: String,
                    k: Int, outUri: String, outFormat: String,
@@ -1033,8 +1092,11 @@ object StreamRunner {
     * assign to frozen centroids (monitor drift via `ivfListStats`,
     * retrain on growth).
     *
-    * `compactEvery = n > 0` opens a MAINTENANCE SLOT after every n-th
-    * appended batch: each append lands one part file per partition, so a
+    * `compactEvery = n > 0` opens a MAINTENANCE SLOT after every n
+    * APPENDS since the last slot (empty batches don't count — the
+    * cadence is appends, not batch ids — and the count is durable
+    * under the checkpoint, so restarts and `--once` cron runs keep it):
+    * each append lands one part file per partition, so a
     * long-running ingest otherwise grows probe read amplification
     * without bound. In the slot the job normally runs
     * [[graft.llm.Similarity.compactIndex]]; for an IVF index with
@@ -1151,11 +1213,10 @@ object StreamRunner {
               case _ => graft.llm.Similarity.lshAppend(batch.toDF(),
                 idCol, vecCol, indexDir, appendId = id)
             }
-            // keyed to batchId, not a local counter, so the cadence is
-            // stable across job restarts; a replayed batch may run its
-            // maintenance twice — harmless, both rewrites are idempotent
-            // on the row set
-            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            // appends-since-last-slot cadence (durable under the
+            // checkpoint — see appendOpensSlot): empty batches never
+            // advance it and the n-th append fires it, batch ids aside
+            if (appendOpensSlot(spark, checkpoint, compactEvery)) {
               val retrained = method == "ivf" && retrainSkewFactor > 0 && {
                 val skew = graft.llm.Similarity.ivfSkew(spark, indexDir)
                 skew > retrainSkewFactor && {
@@ -1203,7 +1264,8 @@ object StreamRunner {
     * Single-writer per index dir. The index must already exist —
     * bootstrap with [[graft.llm.Retrieval.ensureBm25Index]] (the
     * `ingest-bm25` CLI's `--build-from` does). `compactEvery = n > 0`
-    * opens the maintenance slot after every n-th batch and runs
+    * opens the maintenance slot after every n APPENDS since the last
+    * slot (empty/all-dropped batches don't count) and runs
     * [[graft.llm.Retrieval.bm25Compact]] when
     * [[graft.llm.Retrieval.bm25CompactionDue]] says the postings have
     * grown past build shape (listing-only otherwise). Appends are
@@ -1259,15 +1321,15 @@ object StreamRunner {
                 Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
               graft.llm.Retrieval.bm25Append(rows, idCol, textCol,
                 indexDir, appendId = id)
-              // batchId-keyed cadence, stable across restarts; a
-              // replayed batch may compact twice — harmless, idempotent
-              // on the rows
-              if (compactEvery > 0 && batchId > 0 &&
-                  batchId % compactEvery == 0 &&
-                  graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
-                val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
-                log.info(s"compacted $indexDir after batch $batchId: " +
-                  s"${st.filesBefore} -> ${st.filesAfter} data files")
+              // appends-since-last-slot cadence, durable under the
+              // checkpoint (appendOpensSlot): empty/all-dropped batches
+              // never advance it, the n-th append always fires it
+              if (appendOpensSlot(spark, checkpoint, compactEvery)) {
+                if (graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
+                  val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
+                  log.info(s"compacted $indexDir after batch $batchId: " +
+                    s"${st.filesBefore} -> ${st.filesAfter} data files")
+                }
               }
             }
           } finally batch.unpersist()

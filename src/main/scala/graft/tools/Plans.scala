@@ -63,40 +63,103 @@ object Plans {
 
 /** `runMain graft.tools.PlanLint <sfDir>` — sweep EVERY registered
   * query's physical plan for scale anti-patterns: any CartesianProduct
-  * fails; BroadcastNestedLoopJoin fails unless the query is on the
-  * documented allowlist (the broadcast interval-join path and the
-  * one-row scalar-stats cross joins — shapes that are nested-loop BY
-  * DESIGN over broadcast-small sides). Plans only — nothing executes
-  * except the eager index builds some ANN query constructors run. Exit
-  * 1 on any violation: the CI-able guard that a new query can't quietly
-  * reintroduce an all-pairs plan. */
+  * fails; every BroadcastNestedLoopJoin must PROVE its build side is
+  * ≤1 row STRUCTURALLY (a grouping-free final aggregate, a limit ≤1,
+  * or a ≤1-row local relation — the scalar-stat cross-join shape that
+  * is nested-loop BY DESIGN). The only named exception is the broadcast
+  * interval-join family, whose dim-sized build side can't be proven
+  * small from plan structure — and even those must carry a join
+  * CONDITION (a named query degrading to a pure cross product still
+  * fails). Plans only — nothing executes except the eager index builds
+  * some ANN query constructors run. Exit 1 on any violation: the
+  * CI-able guard that a new query can't quietly reintroduce an
+  * all-pairs plan. */
 object PlanLint {
-  // BNLJ-by-design: broadcast interval joins (dim-sized right side) and
-  // one-row scalar-stat cross joins (the quantile_filter shape)
-  private val bnljAllowed = Set(
-    "range_join_bands", "pipeline_event_features",
-    "quantile_filter", "feature_scaling", "doclen_quantiles_approx",
-    "lm_xent", "lm_bigram_xent", "dfl_lm_score", "dfl_lm_bigram",
-    "lm_kn_xent", "dfl_lm_kn", "lm_kn3_xent", "dfl_lm_kn3",
-    "tfidf_top", "collocations", "temperature_mix",
-    "pipeline_train_corpus", "pipeline_tokenized_corpus",
-    "pipeline_clean_corpus", "pipeline_incremental_ingest",
-    "dfl_scale", "pipeline_perplexity_filter", "weighted_sample",
-    // the DSIR totals (ns, nt) are a one-row scalar-stat cross join, the
-    // same shape as the LM family above
-    "dsir_scores", "dsir_sample", "dfl_dsir", "pipeline_curation",
-    "dfl_dsir_serve",
-    // the planted-spam branch's literal source folds the anti-join
-    // condition into a build-side filter + LocalLimit(1) existence
-    // probe — a ≤1-row broadcast BNLJ by constant-folding, not a scan
-    // pairing (the organic branch keeps its hash anti-join)
-    "source_filtered", "dfl_source_filter",
-    // BM25's corpus scalars (N, avgdl) are the same one-row broadcast
-    // cross-join shape as the LM family; the eval rows inherit it from
-    // their batch-BM25 run input
-    "bm25_topk", "bm25_batch", "dfl_bm25", "rrf_fuse",
-    "pipeline_hybrid_retrieval", "retrieval_eval", "dfl_rank_eval",
-    "retrieval_eval_macro")
+  import org.apache.spark.sql.execution.SparkPlan
+
+  // Broadcast interval joins: BNLJ over a DIM-SIZED broadcast side with
+  // a range condition — correct by design, but not structurally ≤1 row,
+  // so these two stay named. The condition requirement below still
+  // applies to them.
+  private val intervalJoinQueries = Set(
+    "range_join_bands", "pipeline_event_features")
+
+  /** Can this physical subtree be PROVEN to produce at most one row?
+    * Conservative: anything unrecognized is "no". Pass-through nodes
+    * (project/filter/sort/exchange/codegen wrappers) can't grow a row
+    * count, so they recurse; the proofs are a grouping-free FINAL/
+    * COMPLETE aggregate (exactly one row globally), a limit ≤1, a ≤1-row
+    * LocalTableScan, or a ≤1-element Range. */
+  private[tools] def atMostOneRow(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Complete}
+    p match {
+      case a: AdaptiveSparkPlanExec => atMostOneRow(a.executedPlan)
+      case q: QueryStageExec        => atMostOneRow(q.plan)
+      case e: Exchange              => atMostOneRow(e.child)
+      case r: ReusedExchangeExec    => atMostOneRow(r.child)
+      case w: WholeStageCodegenExec => atMostOneRow(w.child)
+      case i: InputAdapter          => atMostOneRow(i.child)
+      case agg: BaseAggregateExec =>
+        agg.groupingExpressions.isEmpty &&
+          agg.aggregateExpressions.forall(e =>
+            e.mode == Final || e.mode == Complete)
+      case l: LocalLimitExec  => l.limit <= 1 || atMostOneRow(l.child)
+      case g: GlobalLimitExec => g.limit <= 1 || atMostOneRow(g.child)
+      case t: LocalTableScanExec => t.rows.lengthCompare(1) <= 0
+      case r: RangeExec => r.numElements <= BigInt(1)
+      case pr: ProjectExec => atMostOneRow(pr.child)
+      case f: FilterExec   => atMostOneRow(f.child)
+      case s: SortExec     => atMostOneRow(s.child)
+      case c: CoalesceExec => atMostOneRow(c.child)
+      case a: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+        atMostOneRow(a.child)
+      // an INNER/CROSS join of two ≤1-row sides is itself ≤1 row — the
+      // nested scalar-stat shape (stat ⨯ stat) the DSIR family plans
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+             j.joinType == org.apache.spark.sql.catalyst.plans.Cross =>
+        atMostOneRow(j.left) && atMostOneRow(j.right)
+      case _ => false
+    }
+  }
+
+  /** Lint ONE query's physical plan. Returns violation strings (empty =
+    * clean). `interval = true` marks the named broadcast interval-join
+    * queries: their BNLJs may carry a dim-sized build side but MUST
+    * have a join condition. */
+  private[tools] def lintPlan(plan: SparkPlan,
+                              interval: Boolean): Seq[String] = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(node: SparkPlan): Unit = {
+      node match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: QueryStageExec        => walk(q.plan); return
+        case _: CartesianProductExec  => out += "cartesian product"
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          }
+          if (interval) {
+            if (j.condition.isEmpty && !atMostOneRow(build))
+              out += "interval-join BNLJ degraded to an unconditioned " +
+                "cross product over a multi-row build side"
+          } else if (!atMostOneRow(build))
+            out += "BNLJ build side not provably <=1 row " +
+              s"(${build.getClass.getSimpleName})"
+        case _ =>
+      }
+      node.children.foreach(walk)
+    }
+    walk(plan)
+    out.toList.distinct
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -112,13 +175,11 @@ object PlanLint {
     var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val cartesian = plan.contains("CartesianProduct")
-        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-        if (cartesian || bnlj) {
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val violations = lintPlan(plan, intervalJoinQueries(name))
+        if (violations.nonEmpty) {
           bad += 1
-          println(s"[planlint] FAIL $name: cartesian=$cartesian " +
-            s"unallowlisted-bnlj=$bnlj")
+          println(s"[planlint] FAIL $name: ${violations.mkString("; ")}")
         }
       } catch { case e: Throwable =>
         bad += 1

@@ -166,6 +166,38 @@ class CatalogSpec extends AnyFunSuite {
         s"bound-12 want '$want12', default-8 would give '$want8'")
   }
 
+  test("tokenizer: refs read artifact meta by FIELD NAME — a reordered meta sidecar still resolves") {
+    val dir = Files.createTempDirectory("graft-cat-meta").toString
+    val c = fixtureCatalog(dir)
+    Files.writeString(Paths.get(s"$dir/docs.jsonl"),
+      """{"id":1,"text":"lowest low"}""")
+    c.add(DataStore("ws", "docs", s"'$dir/docs.jsonl'"))
+    val wpVocab = Seq("l", "##o", "##w", "##e", "##s", "##t", "lo", "##st")
+    val wpDir = s"$dir/wp-art"
+    graft.llm.TokenizerStore.saveWordPiece(spark, wpVocab, wpDir)
+    // rewrite the meta sidecar with its columns REVERSED — a legal
+    // producer-side change an ordinal getString(0) would silently
+    // misread as the artifact kind
+    val meta = spark.read.parquet(s"$wpDir/meta")
+    assert(meta.columns.length > 1 && meta.columns.head == "kind",
+      "fixture must make the reorder observable")
+    val reordered = meta.select(meta.columns.reverse
+      .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val tmp = s"$dir/meta-reordered"
+    reordered.coalesce(1).write.parquet(tmp)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$wpDir/meta"))
+    Files.move(Paths.get(tmp), Paths.get(s"$wpDir/meta"))
+    c.add(Process("wponly", "wordpieceSegment(@, '@id', '@text', $wp)"))
+    c.add(Service("wpsvc", "docs", "wponly",
+      defaults = Map("wp" -> s"tokenizer:wordpiece:$wpDir")))
+    assert(new Exec(spark, c).serviceExec("wpsvc").head().getString(2)
+      == "lo ##w ##e ##st lo ##w")
+  }
+
   test("dsir service: target bound via datastore:, resample served over HTTP-exec path") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val c = fixtureCatalog(dir)

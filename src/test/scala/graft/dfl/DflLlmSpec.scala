@@ -403,6 +403,38 @@ class DflLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("DFL llm stages pay the index-build side effect only past graft.dfl.index.minBytes") {
+    val idxBase = java.nio.file.Files.createTempDirectory("graft-dflmin").toString
+    def idxDirs() = Option(new java.io.File(idxBase).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("idx-"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    spark.conf.set("graft.ivf.indexBase", idxBase)
+    try {
+      // under the DEFAULT threshold (32 MiB) a sub-MB file-backed corpus
+      // takes the direct path: a one-off pipeline pays no build and
+      // leaves no stamp dir for IndexGc to reclaim
+      val direct = ids(DflFrame.pipeline(emb,
+        "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q)))
+      DflFrame.pipeline(docs,
+        "bm25(@, '@doc_id', '@text', 'spark stream', 5)").collect()
+      assert(idxDirs() == 0,
+        "below graft.dfl.index.minBytes no index side effect is allowed")
+      // forcing index-always (minBytes=0) engages the cached lifecycle —
+      // stamp dir lands, answers value-identical (the index contract)
+      spark.conf.set("graft.dfl.index.minBytes", "0")
+      val indexed = ids(DflFrame.pipeline(emb,
+        "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q)))
+      assert(idxDirs() >= 1, "minBytes=0 must restore index-always")
+      assert(indexed == direct,
+        "direct and indexed paths must be value-identical")
+    } finally {
+      spark.conf.unset("graft.ivf.indexBase")
+      spark.conf.unset("graft.dfl.index.minBytes")
+    }
+  }
+
   test("in-memory corpora run the ad-hoc ANN paths — no schema-keyed cache collision") {
     import spark.implicits._
     // two DISTINCT in-memory corpora with IDENTICAL schemas: before the

@@ -1164,6 +1164,11 @@ class StreamParitySpec extends AnyFunSuite {
       Seq(
         """{"qid":1,"terms":"spark stream window"}""",
         """{"qid":2,"terms":"merge sort"}""",
+        // ARRAY-shaped jsonl terms: arrives as its raw JSON text under
+        // the stream's string schema and must parse back to the same
+        // terms as qid 2's string shape — not whitespace-split into
+        // garbage tokens, not skipped
+        """{"qid":4,"terms":["merge","sort"]}""",
         """{"qid":null,"terms":"spark"}""",
         """{"qid":3,"terms":"   "}""",
         """{"qid":"x","terms":"spark"}""",
@@ -1185,12 +1190,17 @@ class StreamParitySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
         r.getAs[Double]("score"), r.getAs[Long]("rnk")))
     val first = answers()
-    assert(first.map(_._1).toSet == Set(1L, 2L),
-      "good queries answered, malformed rows skipped")
+    assert(first.map(_._1).toSet == Set(1L, 2L, 4L),
+      "good queries answered (both terms shapes), malformed rows skipped")
+    // the array shape answers exactly as its string-shape twin
+    assert(first.filter(_._1 == 4L).map(t => (t._2, t._3, t._4)).toSet ==
+      first.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).toSet,
+      "array-shaped terms must answer identically to the string shape")
     // streamed answers equal the direct indexed batch probe AND the
     // full direct corpus scan
     val direct = graft.llm.Retrieval.bm25TopKIndexedBatch(spark, idxDir,
-        Seq(1L -> Seq("spark", "stream", "window"), 2L -> Seq("merge", "sort")),
+        Seq(1L -> Seq("spark", "stream", "window"), 2L -> Seq("merge", "sort"),
+          4L -> Seq("merge", "sort")),
         5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(first.toSet == direct)
@@ -1204,7 +1214,7 @@ class StreamParitySpec extends AnyFunSuite {
       """{"qid":"9","terms":"vector hash"}""")
     graft.cli.ServeBm25Cli.run(spark, cfg)
     val second = answers()
-    assert(second.map(_._1).toSet == Set(1L, 2L, 9L))
+    assert(second.map(_._1).toSet == Set(1L, 2L, 4L, 9L))
     assert(second.groupBy(_._1).values.forall(a => a.length == a.map(_._2).distinct.length),
       "restart must answer only the new queries, never duplicate old ones")
     assert(second.count(_._1 == 1L) == first.count(_._1 == 1L))
@@ -1419,9 +1429,13 @@ class StreamParitySpec extends AnyFunSuite {
       "--build-from", s"$root/backfill",
       "--build-nbits", "8", "--build-pbits", "4"))
     addIncrement("f1", 300L, 400L)
-    graft.cli.IngestCli.run(spark, cfg) // batch 0: append only
+    // compact-every 1: EVERY append opens the maintenance slot — batch 0
+    // included (the appends-since-slot cadence; the old batchId % n form
+    // skipped the whole multiple-free prefix)
+    graft.cli.IngestCli.run(spark, cfg) // batch 0: append, then compact
     val (_, maxGrown) = graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
-    assert(maxGrown > 1, "appends should have grown some partition past one file")
+    assert(maxGrown == 1, s"n=1 must compact the very first append; " +
+      s"worst partition has $maxGrown files")
     addIncrement("f2", 400L, 500L)
     graft.cli.IngestCli.run(spark, cfg) // batch 1: append, then compact
     // compaction ran: every pband partition is back to a single data
@@ -1438,6 +1452,60 @@ class StreamParitySpec extends AnyFunSuite {
     // exactly-once holds across the rewrite: idle relaunch re-appends nothing
     graft.cli.IngestCli.run(spark, cfg)
     assert(spark.read.parquet(s"$root/idx/vectors").count() == 500L)
+  }
+
+  test("ingest-ann --compact-every counts APPENDS, durably across --once runs: the n-th append opens the slot") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-ingestcadence").toString
+    emb.filter($"vec_id" < 200L).coalesce(1).write.parquet(s"$root/backfill")
+    val streamDir = s"$root/stream"; new java.io.File(streamDir).mkdirs()
+    def addIncrement(name: String, lo: Long, hi: Long): Unit = {
+      val tmp = s"$root/.inc-$name"
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--corpus-format", "parquet",
+      "--index-dir", s"$root/idx", "--method", "lsh",
+      "--checkpoint", s"$root/ckpt", "--once", "--compact-every", "2",
+      "--build-from", s"$root/backfill",
+      "--build-nbits", "8", "--build-pbits", "4"))
+    // the cron shape: ONE append per --once run. The cadence must be
+    // durable across runs (a per-job counter would reset to zero every
+    // run and never compact) and fire on the SECOND append — the old
+    // absolute batchId % 2 cadence only fired at batch 2, i.e. the third
+    addIncrement("f1", 200L, 300L)
+    graft.cli.IngestCli.run(spark, cfg) // append 1: no slot yet
+    val (_, grownAfter1) =
+      graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
+    assert(grownAfter1 > 1,
+      "append 1 should have grown some partition past one file")
+    addIncrement("f2", 300L, 400L)
+    graft.cli.IngestCli.run(spark, cfg) // append 2: slot opens, compacts
+    val (_, maxPerPart) =
+      graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
+    assert(maxPerPart == 1, s"the 2nd append must open the maintenance " +
+      s"slot across --once runs; worst partition still has $maxPerPart files")
+    // rows and answers survive the rewrite
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+    val q = emb.filter($"vec_id" === 350L).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    assert(graft.llm.Similarity.lshQuery(spark, s"$root/idx", q, 5,
+      minCandidates = 20).collect().head.getLong(0) == 350L)
+    // an idle relaunch (EMPTY batch set) must not advance the cadence:
+    // the durable counter is back at zero, so the NEXT append is 1-of-2
+    graft.cli.IngestCli.run(spark, cfg)
+    addIncrement("f3", 400L, 500L)
+    graft.cli.IngestCli.run(spark, cfg) // append 1 of the next window
+    val (_, grownAgain) =
+      graft.llm.Similarity.indexFileStats(spark, s"$root/idx")
+    assert(grownAgain > 1,
+      "one append after a compaction must NOT open the slot under n=2")
   }
 
   test("ingest-ann --method ivfpq: frozen-codebook streaming appends serve the planted clique; relaunch is a no-op") {
