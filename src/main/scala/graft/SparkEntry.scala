@@ -174,8 +174,16 @@ object SparkEntry {
       |         GROUP BY 1)""".stripMargin
 
   /** The semantic run of the hybrid stack: hashEmbed cosine top-20 for
-    * the query text, `(id, rnk)` — an rrfSql input. */
-  private val hybridSemanticRunSql: String =
+    * the query text, `(id, rnk)` — an rrfSql input. `filterSql`
+    * restricts the CANDIDATES (cosine has no corpus statistics, so
+    * pre-filtering is the whole filtered contract for this leg); the
+    * alias in scope is `fm` over documents, the bm25Sql convention. */
+  private def hybridSemanticRunSql(filterSql: Option[String] = None): String = {
+    val candSrc = filterSql match {
+      case None => "emb e"
+      case Some(f) =>
+        s"emb e JOIN documents fm ON fm.doc_id = e.id AND ($f)"
+    }
     s"""WITH $hashEmbedCtesSql,
       |qtok AS (SELECT unnest(string_split('spark stream window merge', ' ')) AS tok),
       |qb AS (SELECT CAST(concat('0x', substring(md5(tok || '|7'), 1, 15)) AS BIGINT) % 16 AS b
@@ -186,10 +194,11 @@ object SparkEntry {
       |         FROM qagg, LATERAL (SELECT unnest(generate_series(0, 15)) AS d) s
       |         LEFT JOIN qc ON qc.b = d),
       |cs AS (SELECT e.id, round(list_cosine_similarity(e.vec, q.vec), 6) AS cos
-      |         FROM emb e CROSS JOIN qv q)
+      |         FROM $candSrc CROSS JOIN qv q)
       |SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS rnk
       |  FROM cs
       |QUALIFY row_number() OVER (ORDER BY cos DESC, id ASC) <= 20""".stripMargin
+  }
 
   /** The full serving stack in DuckDB — indexed BM25 run ⊕ semantic
     * run → RRF → unrolled MMR greedy — shared by the
@@ -202,7 +211,24 @@ object SparkEntry {
        |${llm.Retrieval.rrfSql(Seq(
            llm.Retrieval.bm25Sql("documents", "doc_id", "text",
              Seq("spark", "stream", "window", "merge"), k = 20),
-           hybridSemanticRunSql), k = 20)}
+           hybridSemanticRunSql()), k = 20)}
+       |) f JOIN (WITH $hashEmbedCtesSql SELECT id, vec FROM emb) ev
+       |    ON f.id = ev.id""".stripMargin,
+    k = 10, lambda = 0.7)
+
+  /** The FILTERED serving stack: both legs restricted to `lang = 'en'`
+    * with corpus-global lexical statistics (bm25Sql's filterSql joins
+    * the predicate before ranking; the semantic run pre-filters its
+    * candidates), fused and MMR-re-ranked exactly as
+    * [[servingStackSql]] — the dfl_hybrid_filtered oracle. */
+  private lazy val hybridFilteredStackSql: String = llm.Retrieval.mmrSql(
+    s"""SELECT f.id, f.score, ev.vec AS embedding
+       |  FROM (
+       |${llm.Retrieval.rrfSql(Seq(
+           llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+             Seq("spark", "stream", "window", "merge"), k = 20,
+             filterSql = Some("fm.lang = 'en'")),
+           hybridSemanticRunSql(Some("fm.lang = 'en'"))), k = 20)}
        |) f JOIN (WITH $hashEmbedCtesSql SELECT id, vec FROM emb) ev
        |    ON f.id = ev.id""".stripMargin,
     k = 10, lambda = 0.7)
@@ -2538,6 +2564,25 @@ object SparkEntry {
         s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 10, 0.7)",
         Map("q" -> qvec))
     }),
+    // the FILTERED hybrid stack: both legs restricted to lang='en' with
+    // corpus-global BM25 statistics (predicate before ranking — the
+    // bm25_filtered contract), RRF-fused, MMR-re-ranked; the predicate
+    // arrives as a DFL boolean over the corpus row
+    "dfl_hybrid_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qtext = "spark stream window merge"
+      val emb = llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = 7L)
+      val qvec = llm.TextAnalysis.hashEmbed(
+        Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+        dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+        .join(emb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+      DflFrame.pipeline(corpus,
+        s"""hybridFiltered(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 10, "@lang == 'en'", 0.7)""",
+        Map("q" -> qvec))
+    }),
 
     // ---- unigram-LM (SentencePiece-family) tokenizer ----
     // substring candidate seeding: exact integer counts, total tie order
@@ -3983,7 +4028,7 @@ object SparkEntry {
     "pipeline_hybrid_retrieval" -> llm.Retrieval.rrfSql(Seq(
       llm.Retrieval.bm25Sql("documents", "doc_id", "text",
         Seq("spark", "stream", "window", "merge"), k = 20),
-      hybridSemanticRunSql), k = 10),
+      hybridSemanticRunSql()), k = 10),
     // the full serving stack end to end: indexed BM25 run ⊕ semantic
     // run → RRF → MMR, every stage's arithmetic replayed in ONE SQL
     // composition (bm25Sql + the hashEmbed CTEs + rrfSql + the
@@ -3992,6 +4037,9 @@ object SparkEntry {
     // the DFL hybrid stage composes the SAME stack (2k pools, RRF,
     // MMR k=10 λ=0.7) — one oracle pins both surfaces
     "dfl_hybrid" -> servingStackSql,
+    // the filtered stack: bm25Sql(filterSql) lexical leg, pre-filtered
+    // semantic leg, same fusion + greedy
+    "dfl_hybrid_filtered" -> hybridFilteredStackSql,
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

@@ -110,8 +110,8 @@ object DflFrame {
       "vocab", "tfidf", "dsir", "dsirScore", "classify", "bpeSegment",
       "unigramSegment", "wordpieceSegment", "tokSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
-      "imageDedupAgainst", "bm25", "hybrid", "rankEval", "lineDedup", "mmr",
-      "quantiles",
+      "imageDedupAgainst", "bm25", "hybrid", "hybridFiltered", "rankEval",
+      "lineDedup", "mmr", "quantiles",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1185,6 +1185,78 @@ object DflFrame {
               .join(broadcast(fused), Seq("id"))
             graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec",
               hyK, l)
+        }
+
+      case "hybridFiltered" =>
+        // `hybridFiltered(@, '@id', '@text', '@vec', 'terms', $qvec, k,
+        // 'pred'[, lambda])` — the hybrid stack restricted to the
+        // predicate-satisfying slice of the corpus with CORPUS-GLOBAL
+        // lexical statistics (the bm25_filtered contract): the BM25 leg
+        // scores over the full corpus and ranks only pred rows (indexed
+        // corpora through the cached FILTERED lifecycle — the
+        // predicate's attribute set rides into the postings as
+        // metaCols, the annTopKFiltered convention; below-threshold
+        // corpora through the direct filtered scan), the cosine leg
+        // brute-ranks the pred rows, RRF fuses the 2k pools, and
+        // `lambda` optionally MMR-re-ranks. Whole-dataset statistics +
+        // index builds → stream-fenced (serve-hybrid is the streaming
+        // serving surface).
+        if (args.size < 8 || args.size > 9) throw new DflParseException(
+          "hybridFiltered takes (@, idExpr, textExpr, vecExpr, 'terms', $qvec, k, 'pred'[, lambda])")
+        val hfTerms = strArg(4).split(" ").toSeq.filter(_.nonEmpty)
+        if (hfTerms.isEmpty)
+          throw new DflParseException("hybridFiltered: empty query terms")
+        val hfQ = vecArg(5)
+        val hfK = intArg(6)
+        if (hfK <= 0)
+          throw new DflParseException("hybridFiltered: k must be positive")
+        val hfPredNode = sub(7)
+        val hfLambda = if (args.size > 8) Some(numArg(8)) else None
+        hfLambda.foreach(l => if (l < 0.0 || l > 1.0)
+          throw new DflParseException(
+            s"hybridFiltered: lambda must be in [0,1], got $l"))
+        val hfPool = 2 * hfK
+        val hfBase = df.withColumn("__gid", subCol(1))
+          .withColumn("__gtext", subCol(2)).withColumn("__gvec", subCol(3))
+        // the predicate compiles UNBOUND (plain col(name), the
+        // annTopKFiltered posture): the filtered index probes apply it
+        // to the INDEX frame, where a df-bound reference would fail to
+        // re-resolve; its attribute set IS the metadata column list
+        val hfMeta = attrNames(hfPredNode)
+          .filterNot(Set("__gid", "__gtext", "__gvec")).toSeq.sorted
+        val hfSchema = hfBase.schema
+        val hfPred = ColumnCompiler.compile(hfPredNode, ColumnCompiler.Ctx(
+          resolveAttr = nm => col(nm),
+          whole = () => struct(hfBase.columns.map(col).toIndexedSeq: _*),
+          vars = vars,
+          attrType = nm => hfSchema.fields.find(_.name == nm).map(_.dataType)))
+        val hfLexBase = hfBase.select(
+          col("__gid") +: col("__gtext") +: hfMeta.map(col): _*)
+        val hfLex = (if (dflIndexable(hfLexBase))
+            graft.llm.Retrieval.bm25TopKCachedFiltered(hfLexBase, "__gid",
+              "__gtext",
+              dflCorpusKey(hfLexBase, s"bm25-filtered|${hfMeta.mkString(",")}"),
+              hfTerms, hfPool, hfPred, hfMeta)
+          else
+            graft.llm.Retrieval.bm25TopKFiltered(hfLexBase, "__gid",
+              "__gtext", hfTerms, hfPool, hfPred)).select("id", "rnk")
+        val hfSemW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("id").asc)
+        val hfSem = graft.llm.Similarity.bruteForceTopK(
+            hfBase.filter(hfPred).select(col("__gid"), col("__gvec")),
+            "__gid", "__gvec", hfQ, hfPool)
+          .withColumn("rnk", row_number().over(hfSemW).cast("long"))
+          .select("id", "rnk")
+        hfLambda match {
+          case None => graft.llm.Retrieval.rrfFuse(Seq(hfLex, hfSem), hfK)
+          case Some(l) =>
+            val fused = graft.llm.Retrieval.rrfFuse(Seq(hfLex, hfSem), hfPool)
+              .select("id", "score")
+            val cands = hfBase
+              .select(col("__gid").as("id"), col("__gvec").as("vec"))
+              .join(broadcast(fused), Seq("id"))
+            graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec",
+              hfK, l)
         }
 
       case "wordpieceSegment" =>

@@ -77,6 +77,32 @@ object Retrieval {
         (col("r") + 1).cast("long").as("rnk"))
   }
 
+  /** FILTERED [[bm25TopK]] over a direct corpus scan: corpus-GLOBAL
+    * statistics (N, avgdl, df all from the full corpus — the
+    * [[bm25TopKIndexedFiltered]] / `bm25Sql(filterSql)` contract),
+    * predicate before ranking. `pred` is a boolean over `df`'s own
+    * columns; the candidate restriction is an id-level LEFT SEMI join
+    * AFTER scoring, which commutes with the per-id score sum and can
+    * never leak into the df window (a window is a pushdown barrier).
+    * This is the below-index-threshold leg of the filtered hybrid
+    * stage; repeated filtered probing at scale belongs to the indexed
+    * variants. */
+  def bm25TopKFiltered(df: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], k: Int,
+                       pred: org.apache.spark.sql.Column,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFiltered: empty query")
+    require(k > 0, s"bm25TopKFiltered: k must be positive, got $k")
+    val scored = scorePerDoc(df, idCol, textCol, terms.distinct, k1, b)
+    val keep = df.filter(pred).select(col(idCol).cast("long").as("id"))
+    import graft.functions.TopKF
+    scored.join(keep, Seq("id"), "left_semi")
+      .agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("hit.id").as("id"), col("hit.score").as("score"),
+        (col("r") + 1).cast("long").as("rnk"))
+  }
+
   /** `(id, score)` for every document matching ≥1 query term.
     *
     * The document frequency is a COUNT WINDOW over tf's term exchange —
@@ -427,6 +453,25 @@ object Retrieval {
       bm25Build(df, idCol, textCol, d, pbands)
     }
     bm25TopKIndexed(df.sparkSession, dir, terms, k, k1, b)
+  }
+
+  /** FILTERED [[bm25TopKCached]]: the same fingerprint-fenced lifecycle
+    * with `metaCols` riding into the postings (they are the predicate's
+    * attribute set — the annTopKFiltered convention) and the probe
+    * routed to [[bm25TopKIndexedFiltered]]. The cache stamp carries the
+    * metaCols list, so a filtered and an unfiltered probe of the same
+    * corpus never collide on one index layout. */
+  def bm25TopKCachedFiltered(df: DataFrame, idCol: String, textCol: String,
+                             cacheKey: String, terms: Seq[String], k: Int,
+                             pred: org.apache.spark.sql.Column,
+                             metaCols: Seq[String], pbands: Int = 64,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dir = Similarity.cachedIndex(df,
+      cacheKey, s"bm25|p=$pbands|m=${metaCols.mkString(",")}",
+      Some((newRows, d) => bm25Append(newRows, idCol, textCol, d))) { d =>
+      bm25Build(df, idCol, textCol, d, pbands, metaCols)
+    }
+    bm25TopKIndexedFiltered(df.sparkSession, dir, terms, k, pred, k1, b)
   }
 
   /** Driver-memoized BM25 index state — the [[Similarity.lshMeta]]
@@ -804,6 +849,30 @@ object Retrieval {
       .select(posexplode(col("topk")).as(Seq("r", "hit")))
       .select(col("hit.id").as("id"), col("hit.score").as("score"),
         (col("r") + 1).cast("long").as("rnk"))
+  }
+
+  /** [[rrfFuse]] for a BATCH of queries: each run holds `(qid, id, rnk)`
+    * and every qid's slice fuses exactly as the single path — one
+    * grouped aggregation + one per-qid bounded heap, never a per-query
+    * job. The serving-side fusion of [[graft.streaming.StreamRunner]]'s
+    * hybrid job. */
+  def rrfFuseBatch(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuseBatch: no runs")
+    require(k > 0, s"rrfFuseBatch: k must be positive, got $k")
+    require(c >= 0, s"rrfFuseBatch: c must be >= 0, got $c")
+    val union = runs
+      .map(_.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id"),
+        col("rnk").cast("long").as("rnk")))
+      .reduce(_ unionByName _)
+    val fused = union.groupBy(col("qid"), col("id"))
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("rnk"))), 6).as("score"))
+    import graft.functions.TopKF
+    fused.groupBy(col("qid"))
+      .agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("r", "hit")))
+      .select(col("qid"), col("hit.id").as("id"),
+        col("hit.score").as("score"), (col("r") + 1).cast("long").as("rnk"))
   }
 
   /** MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98) of a

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
 import org.apache.spark.sql.types.StructType
 import graft.dfl.DflFrame
 
@@ -54,7 +54,7 @@ object StreamRunner {
     // corpus index and fuses whole-corpus runs (serve-bm25/serve-ann
     // are the streaming serving surfaces); lineDedup's keep decision
     // is whole-corpus
-    "bm25", "hybrid", "rankEval", "lineDedup",
+    "bm25", "hybrid", "hybridFiltered", "rankEval", "lineDedup",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)
@@ -640,6 +640,42 @@ object StreamRunner {
     }
   }
 
+  /** Query-row field coercions shared by the serving jobs' collect
+    * loops — the malformed-row tolerance in one place. */
+  private def coerceQidValue(x: Any): Option[Long] = x match {
+    // a fractional id would silently merge two queries' answers — skip
+    case n: Number if n.doubleValue().isWhole => Some(n.longValue())
+    case n: Number                            => None
+    case other                                => other.toString.toLongOption
+  }
+
+  private def coerceTermsValue(x: Any): Option[Seq[String]] = (x match {
+    // a jsonl terms field that was a JSON ARRAY arrives as its RAW TEXT
+    // under the stream's explicit string schema — parse it back instead
+    // of whitespace-splitting raw JSON into garbage tokens
+    case s: String if s.trim.startsWith("[") =>
+      (try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        if (n.isArray)
+          Some(Iterator.range(0, n.size).map(i => n.get(i).asText).toSeq)
+        else None
+      } catch { case _: Exception => None })
+        .orElse(Some(s.split("\\s+").toSeq))
+    case s: String => Some(s.split("\\s+").toSeq)
+    case a: scala.collection.Seq[_] =>
+      Some(a.iterator.filter(_ != null).map(_.toString).toSeq)
+    case _ => None
+  }).map(_.filter(_.nonEmpty)).filter(_.nonEmpty)
+
+  private def coerceVecValue(x: Any): Option[Seq[Double]] = x match {
+    case a: scala.collection.Seq[_] if !a.contains(null) =>
+      Some(a.iterator.map {
+        case n: Number => n.doubleValue()
+        case other     => other.toString.toDouble
+      }.toSeq)
+    case _ => None
+  }
+
   private def guardBatchSize(n: Long, batchId: Long, max: Int,
                              job: String): Unit =
     if (n > max) throw new IllegalStateException(
@@ -952,34 +988,13 @@ object StreamRunner {
         guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "bm25Serve")
         val qsAll = batch.select(col(qidCol), col(termsCol)).collect().iterator
           .flatMap { r =>
-            // same qid tolerance as annServe: a fractional id would
-            // silently merge two queries' answers — skip, never truncate
-            val qid = if (r.isNullAt(0)) None else r.get(0) match {
-              case n: Number if n.doubleValue().isWhole => Some(n.longValue())
-              case n: Number                            => None
-              case other => other.toString.toLongOption
-            }
-            val terms = if (r.isNullAt(1)) None else (r.get(1) match {
-              // a jsonl query whose terms field is a JSON ARRAY arrives
-              // as its RAW TEXT under the stream's explicit string
-              // schema — accept it as the array it is (the parquet
-              // path's shape) instead of whitespace-splitting the raw
-              // JSON into garbage tokens like `["spark","stream"]`
-              case s: String if s.trim.startsWith("[") =>
-                (try {
-                  val n = new com.fasterxml.jackson.databind.ObjectMapper()
-                    .readTree(s)
-                  if (n.isArray)
-                    Some(Iterator.range(0, n.size)
-                      .map(i => n.get(i).asText).toSeq)
-                  else None
-                } catch { case _: Exception => None })
-                  .orElse(Some(s.split("\\s+").toSeq))
-              case s: String => Some(s.split("\\s+").toSeq)
-              case a: scala.collection.Seq[_] =>
-                Some(a.iterator.filter(_ != null).map(_.toString).toSeq)
-              case _ => None
-            }).map(_.filter(_.nonEmpty)).filter(_.nonEmpty)
+            // the shared malformed-row tolerance: fractional qids skip
+            // (never merge two queries), string-or-array terms both
+            // parse (a jsonl JSON array arrives as raw text)
+            val qid =
+              if (r.isNullAt(0)) None else coerceQidValue(r.get(0))
+            val terms =
+              if (r.isNullAt(1)) None else coerceTermsValue(r.get(1))
             if (qid.isEmpty || terms.isEmpty)
               log.warn(s"bm25Serve: skipping malformed query row $r")
             qid.zip(terms)
@@ -1057,6 +1072,212 @@ object StreamRunner {
     val q = bm25ServeBatches(queries, qidCol, termsCol, indexDir, k, k1, b,
       options = Map("checkpointLocation" -> checkpoint),
       filterDfl = filterDfl) {
+      (answer, batchId) =>
+        val w = answer.write.mode("overwrite")
+        if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
+        else w.json(s"$outUri/batch-$batchId")
+    }
+    if (once) {
+      try q.processAllAvailable() finally q.stop()
+    }
+    q
+  }
+
+  /** HYBRID streaming serving — the fused twin of [[annServeBatches]]
+    * and [[bm25ServeBatches]], closing the composite a deployment
+    * actually runs (lexical ⊕ semantic ⊕ RRF [⊕ MMR]) as ONE query
+    * stream: each micro-batch of `(qid, terms, qvec)` queries probes a
+    * BUILT BM25 inverted index AND a BUILT float ANN index (lsh | ivf —
+    * the vector-carrying layouts; an ivfpq index has no floats for the
+    * MMR penalty cosines), derives `(qid, id, rnk)` runs of `pool`
+    * candidates per leg, fuses per qid by reciprocal-rank fusion
+    * ([[graft.llm.Retrieval.rrfFuseBatch]] — every qid's slice ≡ the
+    * batch DFL `hybrid` stage's single-query fusion), and with `lambda`
+    * MMR-re-ranks each qid's fused pool using vectors fetched from the
+    * ANN index itself ([[graft.llm.Retrieval.mmrRerankBatch]] — one
+    * grouped bounded aggregate, never a per-query job).
+    *
+    * `filterDfl` routes BOTH legs to their FILTERED batch probes
+    * (corpus-global statistics; both indexes must carry the
+    * predicate's metadata columns — resolved EAGERLY against both
+    * layouts so a bad filter fails job construction). The query-side
+    * postures are [[annServeBatches]]'s verbatim: malformed rows skip
+    * with warnings, duplicate qids within a batch keep first, a
+    * wrong-dim group skips without poisoning the rest, the batch size
+    * guard fails loudly before the driver collect, and a mid-rewrite
+    * FileNotFound gets exactly one re-resolve retry. Exactly-once via
+    * batch-keyed sinks. Single-reader contract as the other serving
+    * jobs: rebuilds of either index belong to their owning writers. */
+  def hybridServeBatches(queries: DataFrame, qidCol: String,
+               termsCol: String, vecCol: String,
+               bm25IndexDir: String, annIndexDir: String,
+               annMethod: String, k: Int, pool: Int,
+               lambda: Option[Double] = None,
+               k1: Double = 1.2, b: Double = 0.75,
+               tuning: Option[Int] = None,
+               options: Map[String, String] = Map.empty,
+               trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+               filterDfl: Option[String] = None,
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(annMethod == "lsh" || annMethod == "ivf",
+      s"hybridServe: ann method must be lsh or ivf (the float-carrying " +
+        s"layouts), got $annMethod")
+    require(k > 0, s"hybridServe: k must be positive, got $k")
+    require(pool >= k, s"hybridServe: pool ($pool) must be >= k ($k)")
+    lambda.foreach(l => require(l >= 0.0 && l <= 1.0,
+      s"hybridServe: lambda must be in [0,1], got $l"))
+    require(maxQueriesPerBatch > 0,
+      s"hybridServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
+    val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
+    // eager resolution against BOTH index layouts — a predicate column
+    // either index never carried fails here, not hours into the stream
+    pred.foreach { p =>
+      queries.sparkSession.read
+        .parquet(s"$bm25IndexDir/postings").filter(p).queryExecution.analyzed
+      queries.sparkSession.read
+        .parquet(s"$annIndexDir/vectors").filter(p).queryExecution.analyzed
+    }
+    val writer0 = queries.writeStream.options(options)
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    writer.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "hybridServe")
+        val qsAll = batch.select(col(qidCol), col(termsCol), col(vecCol))
+          .collect().iterator
+          .flatMap { r =>
+            val qid = if (r.isNullAt(0)) None else coerceQidValue(r.get(0))
+            val terms = if (r.isNullAt(1)) None else coerceTermsValue(r.get(1))
+            val vec = if (r.isNullAt(2)) None else coerceVecValue(r.get(2))
+            val q = for (i <- qid; t <- terms; v <- vec) yield (i, t, v)
+            if (q.isEmpty)
+              log.warn(s"hybridServe: skipping malformed query row $r")
+            q
+          }.toSeq
+        val qs = {
+          val seen = scala.collection.mutable.Set.empty[Long]
+          qsAll.filter { q =>
+            val fresh = seen.add(q._1)
+            if (!fresh) log.warn(
+              s"hybridServe: skipping duplicate qid ${q._1} within one batch")
+            fresh
+          }
+        }
+        if (qs.nonEmpty) {
+          val spark = batch.sparkSession
+          def serveBatch(): Unit = {
+            val expectDim =
+              graft.llm.Similarity.indexDim(spark, annIndexDir, annMethod)
+            val (good, badDim) = qs.partition(_._3.size == expectDim)
+            if (badDim.nonEmpty)
+              log.warn(s"hybridServe: skipping ${badDim.size} queries with " +
+                s"dim != index dim $expectDim (qids " +
+                s"${badDim.take(5).map(_._1).mkString(", ")}${if (badDim.size > 5) ", …" else ""})")
+            if (good.isEmpty) return
+            val lex = (pred match {
+              case Some(p) => graft.llm.Retrieval.bm25TopKIndexedBatchFiltered(
+                spark, bm25IndexDir, good.map(q => q._1 -> q._2), pool, p,
+                k1, b)
+              case None => graft.llm.Retrieval.bm25TopKIndexedBatch(
+                spark, bm25IndexDir, good.map(q => q._1 -> q._2), pool,
+                k1, b)
+            }).select("qid", "id", "rnk")
+            val semCos = (annMethod, pred) match {
+              case ("lsh", Some(p)) => graft.llm.Similarity.lshQueryBatchFiltered(
+                spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
+                tuning.getOrElse(100))
+              case ("lsh", None) => graft.llm.Similarity.lshQueryBatch(
+                spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
+                tuning.getOrElse(100))
+              case (_, Some(p)) => graft.llm.Similarity.ivfQueryBatchFiltered(
+                spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
+                tuning.getOrElse(8))
+              case _ => graft.llm.Similarity.ivfQueryBatch(
+                spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
+                tuning.getOrElse(8))
+            }
+            val semW = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+            val sem = semCos
+              .withColumn("rnk", row_number().over(semW).cast("long"))
+              .select("qid", "id", "rnk")
+            val fused = graft.llm.Retrieval.rrfFuseBatch(Seq(lex, sem),
+              if (lambda.isDefined) pool else k)
+            val answer = lambda match {
+              case None => fused
+              case Some(l) =>
+                // the MMR penalty cosines need float vectors: fetch the
+                // fused candidates' rows from the ANN index itself — one
+                // scan joined against the broadcast serving-sized pool
+                val vecs = spark.read.parquet(s"$annIndexDir/vectors")
+                  .select(col("id"), col("v"))
+                val cands = vecs.join(
+                  broadcast(fused.select("qid", "id", "score")), Seq("id"))
+                graft.llm.Retrieval.mmrRerankBatch(cands, "qid", "id",
+                  "score", "v", k, l)
+            }
+            sink(answer, batchId)
+          }
+          def staleRead(e: Throwable): Boolean =
+            e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
+              staleRead(e.getCause))
+          try serveBatch()
+          catch {
+            case scala.util.control.NonFatal(e) if staleRead(e) =>
+              log.warn(s"hybridServe: batch $batchId read a mid-rewrite " +
+                s"index ($bm25IndexDir | $annIndexDir); retrying once", e)
+              serveBatch()
+          }
+        }
+    }.start()
+  }
+
+  /** The PRODUCT surface of [[hybridServeBatches]] — the `serve-hybrid`
+    * CLI job ([[graft.cli.ServeHybridCli]]), mirroring [[annServeJob]] /
+    * [[bm25ServeJob]]: a watched directory of `(qid, terms, qvec)`
+    * query files in, fused `(qid, id, score[, mmr], rnk)` answer files
+    * out as `batch-<id>/part-*` under `mode("overwrite")` (exactly-once
+    * answers across crash replays), restartable from `checkpoint`.
+    * jsonl queries read under an explicit schema (qid string — both
+    * `123` and `"123"` parse; terms string — whitespace-separated OR a
+    * JSON array; vec array<double>), so an empty queries dir at job
+    * start works. Both indexes must already exist — bootstrap with
+    * [[graft.llm.Retrieval.ensureBm25Index]] +
+    * [[graft.llm.Similarity.ensureIndex]] (the CLI's `--build-from`
+    * does). `once = true` drains the available queries and stops. */
+  def hybridServeJob(spark: SparkSession, queriesUri: String, format: String,
+                     qidCol: String, termsCol: String, vecCol: String,
+                     bm25IndexDir: String, annIndexDir: String,
+                     annMethod: String, k: Int, pool: Int,
+                     outUri: String, outFormat: String,
+                     checkpoint: String, once: Boolean,
+                     lambda: Option[Double] = None,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     tuning: Option[Int] = None,
+                     filterDfl: Option[String] = None,
+                     maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(outFormat == "jsonl" || outFormat == "parquet",
+      s"hybridServeJob: output format must be jsonl or parquet, got $outFormat")
+    require(format == "jsonl" || format == "parquet",
+      s"hybridServeJob: queries format must be jsonl or parquet, got $format")
+    val schema =
+      if (format == "jsonl") Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(qidCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(termsCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      else None
+    val queries = readStream(spark, queriesUri, format, schema)
+    val q = hybridServeBatches(queries, qidCol, termsCol, vecCol,
+      bm25IndexDir, annIndexDir, annMethod, k, pool, lambda, k1, b, tuning,
+      options = Map("checkpointLocation" -> checkpoint),
+      filterDfl = filterDfl,
+      maxQueriesPerBatch = maxQueriesPerBatch) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

@@ -876,4 +876,69 @@ class DflLlmSpec extends AnyFunSuite {
       graft.streaming.StreamRunner.validateStreamable("jsonl",
         s"hybrid(@, '@doc_id', '@text', '@vec', 'spark', $$q, 5)"))
   }
+
+  test("hybridFiltered(@) restricts both legs to the predicate with corpus-global BM25 stats") {
+    import spark.implicits._
+    val qtext = "spark stream window merge"
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val qvec = graft.llm.TextAnalysis.hashEmbed(
+      Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+      dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+    val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+      .join(hEmb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+    val pred = col("lang") === "en"
+    // API composition: filtered lexical leg (corpus-global stats,
+    // predicate before ranking), pre-filtered semantic leg, RRF, MMR
+    def apiStack(k: Int): org.apache.spark.sql.DataFrame = {
+      val lex = graft.llm.Retrieval.bm25TopKFiltered(corpus, "doc_id",
+        "text", qtext.split(" ").toSeq, 2 * k, pred).select("id", "rnk")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("id").asc)
+      val sem = Similarity.bruteForceTopK(
+          corpus.filter(pred).select(col("doc_id"), col("vec")),
+          "doc_id", "vec", qvec, 2 * k)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select("id", "rnk")
+      graft.llm.Retrieval.rrfFuse(Seq(lex, sem), 2 * k)
+    }
+    val dflF = DflFrame.pipeline(corpus,
+        s"""hybridFiltered(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5, "@lang == 'en'")""",
+        Map[String, Any]("q" -> qvec))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val apiF = apiStack(5).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(dflF == apiF && dflF.nonEmpty,
+      "hybridFiltered without lambda must be the filtered RRF top-k")
+    // every served id satisfies the predicate
+    val enIds = corpus.filter(pred).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(dflF.map(_._1).forall(enIds), "a non-en id leaked through the filter")
+    // the filter changes the answer vs the unfiltered stage (observable fixture)
+    val unf = DflFrame.pipeline(corpus,
+        s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5)",
+        Map[String, Any]("q" -> qvec))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(unf != dflF, "fixture must make the filter observable")
+    // lambda form: MMR over the fused filtered pool
+    val dflM = DflFrame.pipeline(corpus,
+        s"""hybridFiltered(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5, "@lang == 'en'", 0.7)""",
+        Map[String, Any]("q" -> qvec))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val fused = apiStack(5).select("id", "score")
+    val cands = corpus.select(col("doc_id").as("id"), col("vec"))
+      .join(broadcast(fused), Seq("id"))
+    val apiM = graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec",
+        5, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(dflM == apiM && dflM.nonEmpty,
+      "hybridFiltered with lambda must be the MMR re-rank of the filtered pool")
+    // arity rejection + stream fence
+    intercept[DflParseException](DflFrame.pipeline(corpus,
+      s"hybridFiltered(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 5)",
+      Map[String, Any]("q" -> qvec)))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        s"""hybridFiltered(@, '@doc_id', '@text', '@vec', 'spark', $$q, 5, "@lang == 'en'")"""))
+  }
 }

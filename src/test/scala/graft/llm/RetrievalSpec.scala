@@ -427,6 +427,59 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopKFiltered (direct scan): corpus-global stats, predicate before ranking — equals the filtered index probe") {
+    val terms = Seq("spark", "stream", "window")
+    val pred = col("lang") === "en"
+    val direct = Retrieval.bm25TopKFiltered(docs, "doc_id", "text",
+        terms, 10, pred)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // the filtered INDEX probe is the already-oracle-checked semantics
+    // (corpus-global scores, predicate-restricted candidates) — the
+    // direct scan must agree row for row
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25fdir").toString + "/idx"
+    Retrieval.bm25Build(docs, "doc_id", "text", idxDir, pbands = 16,
+      metaCols = Seq("lang"))
+    val indexed = Retrieval.bm25TopKIndexedFiltered(spark, idxDir, terms,
+        10, pred)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(direct == indexed && direct.nonEmpty)
+    // scores are the UNFILTERED corpus's (global df/N/avgdl): every
+    // served (id, score) appears in the unfiltered ranking's scores
+    val unfScores = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(direct.forall { case (id, s, _) => unfScores(id) == s },
+      "filtered candidates must keep their corpus-global scores")
+    // and only pred rows rank
+    val enIds = docs.filter(pred).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(direct.map(_._1).forall(enIds))
+  }
+
+  test("rrfFuseBatch: every qid's slice equals the single-query rrfFuse") {
+    val runs1 = Seq(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      Seq((2L, 1L), (4L, 2L)))
+    val runs2 = Seq(
+      Seq((9L, 1L), (2L, 2L)),
+      Seq((9L, 1L), (3L, 2L), (1L, 3L)))
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "rnk")
+    def bdf(qid: Long, rows: Seq[(Long, Long)]) =
+      rows.map { case (id, r) => (qid, id, r) }.toDF("qid", "id", "rnk")
+    val batch = Retrieval.rrfFuseBatch(
+        Seq(bdf(1L, runs1(0)).unionByName(bdf(2L, runs2(0))),
+          bdf(1L, runs1(1)).unionByName(bdf(2L, runs2(1)))), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    val single1 = Retrieval.rrfFuse(Seq(df(runs1(0)), df(runs1(1))), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val single2 = Retrieval.rrfFuse(Seq(df(runs2(0)), df(runs2(1))), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(batch(1L) == single1 && batch(2L) == single2)
+  }
+
   test("driver-side termBand equals the build's pmod(xxhash64) column for arbitrary terms") {
     val terms = Seq("spark", "window", "ȿpecial-ünicode", "", "a b",
       "##marker", "</w>", "x" * 300) ++

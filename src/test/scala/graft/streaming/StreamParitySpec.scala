@@ -1283,6 +1283,160 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("serve-hybrid job: fused lexical+semantic answers equal the direct batch composition; MMR and restart") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+      .join(hEmb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+    val root = Files.createTempDirectory("graft-hybridserve").toString
+    corpus.write.parquet(s"$root/corpus")
+    def qvec(text: String): Seq[Double] =
+      graft.llm.TextAnalysis.hashEmbed(
+        Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+    val q1 = qvec("spark stream window")
+    val q2 = qvec("merge sort vector")
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    def js(v: Seq[Double]): String = v.mkString("[", ",", "]")
+    // one string-shape and one ARRAY-shape terms row, plus a malformed
+    // row the job must skip without dying
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q1.jsonl"),
+      Seq(
+        s"""{"qid":1,"terms":"spark stream window","vec":${js(q1)}}""",
+        s"""{"qid":2,"terms":["merge","sort","vector"],"vec":${js(q2)}}""",
+        s"""{"qid":null,"terms":"spark","vec":${js(q1)}}""").mkString("\n"))
+    val cfg = graft.cli.ServeHybridCli.parseArgs(Array(
+      "--bm25-index-dir", s"$root/bidx", "--ann-index-dir", s"$root/aidx",
+      "--ann-method", "lsh", "--k", "5",
+      "--queries-uri", qdir, "--output-uri", s"$root/answers",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--build-from", s"$root/corpus", "--build-id-col", "doc_id",
+      "--build-text-col", "text", "--build-vec-col", "vec",
+      "--build-meta", "lang", "--build-nbits", "8", "--build-pbits", "4",
+      "--build-dim", "16"))
+    graft.cli.ServeHybridCli.run(spark, cfg)
+    def answers(dir: String) = spark.read.json(s"$dir/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rnk"))).toSet
+    val got = answers(s"$root/answers")
+    assert(got.map(_._1) == Set(1L, 2L),
+      "both terms shapes answered, the malformed row skipped")
+    // direct composition at the job's own pool (2k = 10 per leg)
+    val qs = Seq((1L, Seq("spark", "stream", "window"), q1),
+      (2L, Seq("merge", "sort", "vector"), q2))
+    def direct(k: Int) = {
+      val lex = graft.llm.Retrieval.bm25TopKIndexedBatch(spark,
+        s"$root/bidx", qs.map(q => q._1 -> q._2), 2 * k)
+        .select("qid", "id", "rnk")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id").asc)
+      val sem = graft.llm.Similarity.lshQueryBatch(spark, s"$root/aidx",
+          qs.map(q => q._1 -> q._3), 2 * k, minCandidates = 100)
+        .withColumn("rnk",
+          org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+        .select("qid", "id", "rnk")
+      graft.llm.Retrieval.rrfFuseBatch(Seq(lex, sem), 2 * k)
+    }
+    val want = direct(5).filter(col("rnk") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want, "served fusion must equal the direct composition")
+    // (the DFL hybrid stage's semantic leg is brute-force by design;
+    // serve-hybrid's is the ANN index probe — the serving contract is
+    // equality with the direct INDEXED composition above)
+    // RESTART: only a NEW query file is answered
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q2.jsonl"),
+      s"""{"qid":9,"terms":"vector hash","vec":${js(q2)}}""")
+    graft.cli.ServeHybridCli.run(spark, cfg)
+    val second = answers(s"$root/answers")
+    assert(second.map(_._1) == Set(1L, 2L, 9L))
+    assert(second.count(_._1 == 1L) == got.count(_._1 == 1L),
+      "restart must not re-answer committed queries")
+    // MMR form: --lambda re-ranks each qid's fused pool with vectors
+    // fetched from the ANN index — equals the direct mmrRerankBatch
+    val mcfg = graft.cli.ServeHybridCli.parseArgs(Array(
+      "--bm25-index-dir", s"$root/bidx", "--ann-index-dir", s"$root/aidx",
+      "--ann-method", "lsh", "--k", "5", "--lambda", "0.7",
+      "--queries-uri", qdir, "--output-uri", s"$root/manswers",
+      "--checkpoint", s"$root/mckpt", "--once"))
+    graft.cli.ServeHybridCli.run(spark, mcfg)
+    val mgot = spark.read.json(s"$root/manswers/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).toSet
+    val fused = direct(5)
+    val vecs = spark.read.parquet(s"$root/aidx/vectors").select("id", "v")
+    val cands = vecs.join(
+      org.apache.spark.sql.functions.broadcast(
+        fused.select("qid", "id", "score")), Seq("id"))
+    val mwantQ12 = graft.llm.Retrieval.mmrRerankBatch(cands, "qid", "id",
+        "score", "v", 5, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(mgot.filter(t => t._1 == 1L || t._1 == 2L) == mwantQ12,
+      "served MMR must equal the direct batch re-rank")
+  }
+
+  test("serve-hybrid --filter routes both legs to the filtered batch probes; bad filter fails construction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+      .join(hEmb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+    val root = Files.createTempDirectory("graft-hybridfserve").toString
+    corpus.write.parquet(s"$root/corpus")
+    val q1 = graft.llm.TextAnalysis.hashEmbed(
+      Seq((0L, "spark stream window")).toDF("doc_id", "text"),
+      "doc_id", "text", dim = 16, seed = 7L)
+      .select("vec").as[Seq[Double]].head()
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      s"""{"qid":1,"terms":"spark stream window","vec":${q1.mkString("[", ",", "]")}}""")
+    val cfg = graft.cli.ServeHybridCli.parseArgs(Array(
+      "--bm25-index-dir", s"$root/bidx", "--ann-index-dir", s"$root/aidx",
+      "--ann-method", "ivf", "--k", "5", "--filter", "@lang == 'en'",
+      "--queries-uri", qdir, "--output-uri", s"$root/answers",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--build-from", s"$root/corpus", "--build-id-col", "doc_id",
+      "--build-text-col", "text", "--build-vec-col", "vec",
+      "--build-meta", "lang"))
+    graft.cli.ServeHybridCli.run(spark, cfg)
+    val got = spark.read.json(s"$root/answers/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rnk"))).toSet
+    // direct filtered composition
+    val pred = col("lang") === "en"
+    val lex = graft.llm.Retrieval.bm25TopKIndexedBatchFiltered(spark,
+        s"$root/bidx", Seq(1L -> Seq("spark", "stream", "window")), 10, pred)
+      .select("qid", "id", "rnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    val sem = graft.llm.Similarity.ivfQueryBatchFiltered(spark,
+        s"$root/aidx", Seq(1L -> q1), 10, pred, 8)
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .select("qid", "id", "rnk")
+    val want = graft.llm.Retrieval.rrfFuseBatch(Seq(lex, sem), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want && got.nonEmpty,
+      "filtered serving must equal the filtered direct composition")
+    // every answer satisfies the predicate
+    val enIds = corpus.filter(pred).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._2).forall(enIds), "a non-en id leaked through")
+    // a filter naming a column neither index carries fails JOB
+    // CONSTRUCTION (eager schema resolution on both layouts)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
+        Array("--bm25-index-dir", s"$root/bidx",
+          "--ann-index-dir", s"$root/aidx", "--ann-method", "ivf",
+          "--k", "5", "--filter", "@nope == 'en'",
+          "--queries-uri", qdir, "--output-uri", s"$root/answers2",
+          "--checkpoint", s"$root/ckpt2", "--once")))
+    }
+  }
+
   test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
