@@ -2568,6 +2568,27 @@ object SparkEntry {
     // corpus-global BM25 statistics (predicate before ranking — the
     // bm25_filtered contract), RRF-fused, MMR-re-ranked; the predicate
     // arrives as a DFL boolean over the corpus row
+    // the persistent-index PROBE stages (the catalog `index:REF` shape):
+    // a PREBUILT dir bound as an $idx var, no corpus scan, no
+    // fingerprint-cache build — answers equal the indexed families
+    // already proven above (same planted-clique / bm25Sql oracles)
+    "dfl_ann_probe" -> ((s, dir) => {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "dflannprobe") { d =>
+        llm.Similarity.ivfBuild(corpus, "vec_id", "embedding", d); ()
+      }
+      DflFrame.pipeline(corpus, "annProbe(@, $idx, $q, 10)",
+        Map("idx" -> idxDir, "q" -> q))
+    }),
+    "dfl_bm25_probe" -> ((s, dir) => {
+      val idxDir = memoIndexDir(dir, "dflbmprobe", table = "documents") { d =>
+        llm.Retrieval.bm25Build(t(s, dir, "documents"), "doc_id", "text",
+          d, pbands = 16)
+      }
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "bm25Probe(@, $idx, 'spark stream window', 10)",
+        Map("idx" -> idxDir))
+    }),
     "dfl_hybrid_filtered" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -4040,6 +4061,10 @@ object SparkEntry {
     // the filtered stack: bm25Sql(filterSql) lexical leg, pre-filtered
     // semantic leg, same fusion + greedy
     "dfl_hybrid_filtered" -> hybridFilteredStackSql,
+    // the probe stages answer exactly as the indexed families they wrap
+    "dfl_ann_probe" -> annPlantedTopkSql,
+    "dfl_bm25_probe" -> llm.Retrieval.bm25Sql("documents", "doc_id",
+      "text", Seq("spark", "stream", "window"), k = 10),
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

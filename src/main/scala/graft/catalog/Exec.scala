@@ -160,6 +160,40 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         else table): Any)
     }
 
+  private val indexKinds = Set("lsh", "ivf", "ivfpq", "bm25")
+
+  /** Resolve `index:REF` (and kind-pinned `index:KIND:REF`) string vars
+    * to a REGISTERED, ALREADY-BUILT index dir — the tokenizerRefVars
+    * pattern for the retrieval indexes: a catalog service/job/HTTP exec
+    * probing ANN or BM25 (the DFL `annProbe`/`bm25Probe` stages) targets
+    * a persistent index built by ingest-ann/ingest-bm25/ensureIndex
+    * instead of paying the fingerprint-cache build on first exec. REF is
+    * a catalog datastore name (its resolved uri) or a literal dir. The
+    * var binds to the VALIDATED dir string: resolution fails LOUDLY when
+    * the dir is not a built index, and the kind-pinned form fails when
+    * the layout's self-described kind ([[graft.llm.Similarity
+    * .indexKind]]) differs — `index:bm25:…` can never silently hand an
+    * LSH layout to a lexical probe. Re-validated each exec (an index
+    * swapped for another kind between execs is caught); never written
+    * back to the var cache. */
+  private def indexRefVars(vars: Map[String, Any]): Map[String, Any] =
+    vars.collect {
+      case (k, v: String) if v.startsWith("index:") =>
+        val rest = v.stripPrefix("index:")
+        val (want, ref) = rest.split(":", 2) match {
+          case Array(kind, r) if indexKinds(kind) => (Some(kind), r)
+          case _                                  => (None, rest)
+        }
+        val uri = catalog.datastores.get(ref)
+          .map(d => resolveUri(d.uri, vars)).getOrElse(ref)
+        val kind = graft.llm.Similarity.indexKind(spark, uri)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$$$k: '$uri' is not a built index dir"))
+        want.foreach(w => require(w == kind,
+          s"$$$k: $uri holds a '$kind' index, expected '$w'"))
+        k -> (uri: Any)
+    }
+
   def serviceExec(serviceName: String, requestVars: Map[String, Any] = Map.empty): DataFrame = {
     val epoch = varEpoch.get()
     val service = catalog.services.getOrElse(serviceName,
@@ -188,10 +222,11 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         k -> (readDataStore(refDs, vars): Any)
     }
     val tokRefVars = tokenizerRefVars(vars)
+    val idxRefVars = indexRefVars(vars)
     val process = catalog.processes(service.process)
     val (out, dsVars) =
       DflFrame.pipelineWithVars(readDataStore(ds, vars), process.expression,
-        vars ++ dsRefVars ++ tokRefVars)
+        vars ++ dsRefVars ++ tokRefVars ++ idxRefVars)
     // persist merged vars INCLUDING dataset-valued ones (reference :290 —
     // the evaluated $c is written back to the cache, so the next exec's
     // `$c ?: filter(@, …)` reuses it instead of re-filtering). Epoch-fenced:

@@ -111,7 +111,7 @@ object DflFrame {
       "unigramSegment", "wordpieceSegment", "tokSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "hybrid", "hybridFiltered", "rankEval",
-      "lineDedup", "mmr", "quantiles",
+      "lineDedup", "mmr", "quantiles", "annProbe", "bm25Probe",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1168,6 +1168,10 @@ object DflFrame {
           else
             graft.llm.Retrieval.bm25TopK(lexBase, "__gid", "__gtext",
               hyTerms, pool)).select("id", "rnk")
+        // a GLOBAL (partition-free) window is normally a scale defect —
+        // here it ranks ONLY bruteForceTopK's already-bounded ≤2k pool
+        // (the heap ran distributed; this numbers its tiny output), so
+        // the single-partition move is serving-sized by construction
         val semW = org.apache.spark.sql.expressions.Window
           .orderBy(col("cos").desc, col("id").asc)
         val sem = graft.llm.Similarity.bruteForceTopK(
@@ -1257,6 +1261,65 @@ object DflFrame {
               .join(broadcast(fused), Seq("id"))
             graft.llm.Retrieval.mmrRerank(cands, "id", "score", "vec",
               hfK, l)
+        }
+
+      case "annProbe" =>
+        // `annProbe(@, $idx, $q, k[, tuning])` — top-k cosine probe of a
+        // PREBUILT, PERSISTENT ANN index: `$idx` is an `index:REF`
+        // catalog var (catalog/Exec resolves + validates it) or a
+        // literal built dir; the method dispatches on the index's OWN
+        // layout (Similarity.indexKind — lsh | ivf | ivfpq). The piped
+        // dataset is NOT scanned: the index already is the corpus
+        // (built by ingest-ann / ensureIndex / serve-ann --build-from),
+        // so a catalog service probes at zero build cost — no
+        // fingerprint-cache rebuild, the partition-pruned warm probe
+        // directly. `tuning`: lsh → minCandidates, ivf/ivfpq → nprobe.
+        // One frozen query → stream-fenced (serve-ann answers query
+        // STREAMS).
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
+          "annProbe takes (@, $indexDir, $query, k[, tuning])")
+        val apDir = strArg(1)
+        val apQ = vecArg(2)
+        val apK = intArg(3)
+        if (apK <= 0) throw new DflParseException("annProbe: k must be positive")
+        val apSpark = df.sparkSession
+        graft.llm.Similarity.indexKind(apSpark, apDir) match {
+          case Some("lsh") => graft.llm.Similarity.lshQuery(apSpark, apDir,
+            apQ, apK, minCandidates = if (args.size > 4) intArg(4) else 100)
+          case Some("ivf") => graft.llm.Similarity.ivfQuery(apSpark, apDir,
+            apQ, apK, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("ivfpq") => graft.llm.Pq.ivfPqQuery(apSpark, apDir,
+            apQ, apK, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("bm25") => throw new DflParseException(
+            s"annProbe: '$apDir' is a bm25 index — use bm25Probe")
+          case _ => throw new DflParseException(
+            s"annProbe: '$apDir' is not a built index dir")
+        }
+
+      case "bm25Probe" =>
+        // `bm25Probe(@, $idx, 'terms', k[, k1, b])` — BM25 top-k probe
+        // of a PREBUILT, PERSISTENT inverted index (`index:REF` var or
+        // literal dir): band-pruned posting reads, zero-job warm
+        // planning, never a corpus scan or a cache build — the lexical
+        // twin of annProbe. One frozen query → stream-fenced.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "bm25Probe takes (@, $indexDir, 'terms', k[, k1, b])")
+        val bpDir = strArg(1)
+        val bpTerms = strArg(2).split(" ").toSeq.filter(_.nonEmpty)
+        if (bpTerms.isEmpty)
+          throw new DflParseException("bm25Probe: empty query terms")
+        val bpK = intArg(3)
+        if (bpK <= 0) throw new DflParseException("bm25Probe: k must be positive")
+        val bpK1 = if (args.size > 4) numArg(4) else 1.2
+        val bpB = if (args.size > 5) numArg(5) else 0.75
+        val bpSpark = df.sparkSession
+        graft.llm.Similarity.indexKind(bpSpark, bpDir) match {
+          case Some("bm25") => graft.llm.Retrieval.bm25TopKIndexed(bpSpark,
+            bpDir, bpTerms, bpK, bpK1, bpB)
+          case Some(other) => throw new DflParseException(
+            s"bm25Probe: '$bpDir' is a '$other' index — use annProbe")
+          case None => throw new DflParseException(
+            s"bm25Probe: '$bpDir' is not a built index dir")
         }
 
       case "wordpieceSegment" =>

@@ -2723,6 +2723,25 @@ object Similarity {
     * takes a fresh host from "corpus on disk" to a live index. An
     * EXISTING index is never rebuilt here: refreshing belongs to
     * [[lshAppend]]/[[ivfAppend]] or an explicit rebuild. */
+  /** Detect a BUILT index dir's kind from its layout sidecars — the
+    * self-describing dispatch the `index:REF` catalog vars and the DFL
+    * probe stages use (an index dir always knows what it is; callers
+    * should not have to): bm25 = stats+postings, ivfpq =
+    * codebooks+centroids, ivf = centroids, lsh = meta+vectors. None =
+    * not a built index. */
+  def indexKind(spark: org.apache.spark.sql.SparkSession,
+                indexDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def has(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(root, sub))
+    if (has("stats") && has("postings")) Some("bm25")
+    else if (has("codebooks") && has("centroids")) Some("ivfpq")
+    else if (has("centroids") && has("vectors")) Some("ivf")
+    else if (has("meta") && has("vectors")) Some("lsh")
+    else None
+  }
+
   def ensureIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                   method: String, corpusUri: String, idCol: String,
                   vecCol: String, nBits: Int = 16, dim: Int = 64,

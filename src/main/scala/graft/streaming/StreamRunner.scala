@@ -55,6 +55,10 @@ object StreamRunner {
     // are the streaming serving surfaces); lineDedup's keep decision
     // is whole-corpus
     "bm25", "hybrid", "hybridFiltered", "rankEval", "lineDedup",
+    // the index-probe stages answer one frozen query against a
+    // persistent index — the streaming analogue is the serve-ann /
+    // serve-bm25 / serve-hybrid query-stream jobs
+    "annProbe", "bm25Probe",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

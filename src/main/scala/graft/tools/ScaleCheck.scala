@@ -372,6 +372,86 @@ object ScaleCheck {
       big.unpersist()
     }
 
+    // ---- retrieval serving + evaluation ----
+    // copy c shifts doc_id. The bm25 + ivf indexes are built UNTIMED per
+    // mult (the ingest posture). Timed claims:
+    //  - hybrid_warm_probe (batch lexical probe ⊕ batch ANN probe ⊕ RRF)
+    //    must stay ~FLAT in mult: band/list-pruned index reads +
+    //    serving-sized fusion, never a corpus pass;
+    //  - hybrid_mmr is the probe plus the MMR candidate-vector fetch —
+    //    ONE column-pruned pass over the vectors dir joined against the
+    //    broadcast serving-sized pool, so it may grow ~linearly with a
+    //    small constant (the documented cost of diversification at
+    //    serving time), never superlinearly;
+    //  - retrieval_eval is judgment-set-bound: its joins touch the run
+    //    (serving-sized) and the qrels (linear in mult here, printed as
+    //    rows) — time must track the qrels count, never the corpus.
+    {
+      val qset = Seq(1L -> Seq("spark", "stream", "window"),
+        2L -> Seq("merge", "sort"), 3L -> Seq("vector", "hash"))
+      val qv = graft.llm.TextAnalysis.hashEmbed(
+        spark.range(1).select(lit(0L).as("doc_id"),
+          lit("spark stream window").as("text")),
+        "doc_id", "text", dim = 16, seed = 7L)
+        .select("vec").head().getSeq[Double](0).toSeq
+      Seq(1, 4, 20).foreach { mult =>
+        val big = (0 until mult).map(i =>
+          docs.select((col("doc_id") + lit(i.toLong * base * 10)).as("doc_id"),
+            col("text"))).reduce(_ union _)
+        val corpus = big.join(
+          graft.llm.TextAnalysis.hashEmbed(big, "doc_id", "text",
+            dim = 16, seed = 7L).select(col("doc_id"), col("vec")),
+          Seq("doc_id")).persist()
+        corpus.count()
+        def time(name: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime(); val n = f
+          println(f"[scale] mult=$mult%-3d $name%-16s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+        }
+        val bmDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-bm25").toString + "/idx"
+        graft.llm.Retrieval.bm25Build(corpus, "doc_id", "text", bmDir,
+          pbands = 16)
+        val annDir = java.nio.file.Files
+          .createTempDirectory("graft-scale-hann").toString + "/idx"
+        graft.llm.Similarity.ivfBuild(corpus, "doc_id", "vec", annDir)
+        def fusedRun(pool: Int) = {
+          val lex = graft.llm.Retrieval.bm25TopKIndexedBatch(
+            spark, bmDir, qset, pool).select("qid", "id", "rnk")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+          val sem = graft.llm.Similarity.ivfQueryBatch(spark, annDir,
+              qset.map(q => q._1 -> qv), pool)
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .select("qid", "id", "rnk")
+          graft.llm.Retrieval.rrfFuseBatch(Seq(lex, sem), pool)
+        }
+        time("hybrid_warm_probe")(fusedRun(20).count())
+        time("hybrid_mmr")({
+          val fused = fusedRun(20)
+          val vecs = spark.read.parquet(s"$annDir/vectors")
+            .select(col("id"), col("v"))
+          graft.llm.Retrieval.mmrRerankBatch(
+            vecs.join(broadcast(fused.select("qid", "id", "score")),
+              Seq("id")),
+            "qid", "id", "score", "v", 10, 0.7).count()
+        })
+        val qrels = qset.map(_._1).map(q =>
+          big.filter(pmod(col("doc_id"), lit(10L + q)) === 0)
+            .select(lit(q).as("qid"), col("doc_id").as("id"),
+              (lit(1L) + pmod(col("doc_id"), lit(3L))).cast("int").as("rel")))
+          .reduce(_ unionByName _).persist()
+        qrels.count()
+        val run = graft.llm.Retrieval.bm25TopKIndexedBatch(
+          spark, bmDir, qset, 10).select("qid", "id", "rnk").persist()
+        run.count()
+        time("retrieval_eval")({
+          graft.llm.Retrieval.evalRun(run, qrels, 10).count()
+          qrels.count() // rows= the judgment-set size the time must track
+        })
+        qrels.unpersist(); run.unpersist(); corpus.unpersist()
+      }
+    }
+
     // ---- temporal family: per-user density held CONSTANT ----
     // copy c of the events table shifts user_id (and event_id), so a
     // mult× corpus is mult× users at the same per-user event count: the

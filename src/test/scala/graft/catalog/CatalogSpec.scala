@@ -198,6 +198,68 @@ class CatalogSpec extends AnyFunSuite {
       == "lo ##w ##e ##st lo ##w")
   }
 
+  test("index: var refs bind prebuilt index dirs — service exec probes at zero build cost; kind pin fails loudly") {
+    val dir = Files.createTempDirectory("graft-cat-idx").toString
+    val c = fixtureCatalog(dir)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // build the persistent indexes OUT OF BAND (the ingest-ann /
+    // ingest-bm25 shape) — the exec must only probe them
+    val annDir = s"$dir/ann-idx"
+    graft.llm.Similarity.ivfBuild(emb, "vec_id", "embedding", annDir,
+      kLists = 4, trainSample = 64)
+    val bmDir = s"$dir/bm25-idx"
+    graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", bmDir, pbands = 16)
+    // the service's datastore is vestigial for a probe (the index IS
+    // the corpus) — any registered table carries the pipeline
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    c.add(Process("annprobe", "annProbe(@, $idx, $q, 5)"))
+    c.add(Service("annsvc", "places", "annprobe",
+      defaults = Map("idx" -> s"index:ivf:$annDir")))
+    val exec = new Exec(spark, c)
+    val got = exec.serviceExec("annsvc", Map("q" -> q)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.llm.Similarity.ivfQuery(spark, annDir, q, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.head._1 == 0L)
+    // bm25 probe through a datastore-NAME indirection
+    c.add(DataStore("ws", "bmstore", s"'$bmDir'"))
+    c.add(Process("bmprobe", "bm25Probe(@, $idx, 'spark stream window', 5)"))
+    c.add(Service("bmsvc", "places", "bmprobe",
+      defaults = Map("idx" -> "index:bm25:bmstore")))
+    val bmGot = exec.serviceExec("bmsvc").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val bmWant = graft.llm.Retrieval.bm25TopKIndexed(spark, bmDir,
+        Seq("spark", "stream", "window"), 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(bmGot == bmWant && bmGot.nonEmpty)
+    // kind-pinned ref bound to the WRONG index kind fails loudly
+    c.add(Service("annbad", "places", "annprobe",
+      defaults = Map("idx" -> s"index:lsh:$annDir")))
+    val mism = intercept[IllegalArgumentException] {
+      exec.serviceExec("annbad", Map("q" -> q)) }
+    assert(mism.getMessage.contains("'ivf'") &&
+      mism.getMessage.contains("'lsh'"), mism.getMessage)
+    // a ref to a non-index dir fails loudly at resolution
+    c.add(Service("annnone", "places", "annprobe",
+      defaults = Map("idx" -> s"index:$dir")))
+    val none = intercept[IllegalArgumentException] {
+      exec.serviceExec("annnone", Map("q" -> q)) }
+    assert(none.getMessage.contains("not a built index dir"))
+    // unpinned form self-detects the kind; a bm25 dir handed to
+    // annProbe is rejected BY THE STAGE (self-describing layouts)
+    c.add(Service("annauto", "places", "annprobe",
+      defaults = Map("idx" -> s"index:$annDir")))
+    assert(exec.serviceExec("annauto", Map("q" -> q)).collect()
+      .map(_.getLong(0)).toSeq == want.map(_._1))
+    c.add(Service("annwrong", "places", "annprobe",
+      defaults = Map("idx" -> s"index:$bmDir")))
+    val wrong = intercept[graft.dfl.DflParseException] {
+      exec.serviceExec("annwrong", Map("q" -> q)) }
+    assert(wrong.getMessage.contains("use bm25Probe"))
+  }
+
   test("dsir service: target bound via datastore:, resample served over HTTP-exec path") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val c = fixtureCatalog(dir)

@@ -172,6 +172,37 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("prebuilt indexes serve through HTTP exec via index: refs") {
+    val (srv, client, dir) = startServer()
+    try {
+      Files.writeString(Paths.get(s"$dir/one.jsonl"), """{"id":1}""")
+      // a PERSISTENT index built out of band (the ingest-ann shape)
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val annDir = s"$dir/ann-idx"
+      graft.llm.Similarity.ivfBuild(emb, "vec_id", "embedding", annDir,
+        kLists = 4, trainSample = 64)
+      val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      val (_, tb) = client.authenticate("root", "pw")
+      val token = """"token":"([^"]+)"""".r.findFirstMatchIn(tb).get.group(1)
+      val authed = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      assert(authed.add("datastores",
+        s"""{"workspace":"ws","name":"one","uri":"$dir/one.jsonl"}""")._1 == 200)
+      assert(authed.add("processes",
+        """{"name":"probe","expression":"annProbe(@, $idx, $q, 3)"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"probe_svc","datastore":"one","process":"probe"}""")._1 == 200)
+      val (c1, b1) = client.exec("services", "probe_svc",
+        s"""{"variables":{"idx":"index:ivf:$annDir","q":[${q.mkString(",")}]}}""")
+      assert(c1 == 200 && b1.contains("\"cos\":1.0"), s"$c1 $b1")
+      assert("\"id\":(\\d+)".r.findFirstMatchIn(b1).get.group(1) == "0", b1)
+      // a kind-pinned mismatch fails the exec loudly over HTTP too
+      val (c2, b2) = client.exec("services", "probe_svc",
+        s"""{"variables":{"idx":"index:lsh:$annDir","q":[${q.mkString(",")}]}}""")
+      assert(c2 != 200 && b2.contains("ivf"), s"$c2 $b2")
+    } finally srv.stop()
+  }
+
   test("LLM dedup and ANN run as catalog services over HTTP") {
     // the round-7 product-surface contract: a catalog Process can run the
     // LLM dataset stages (dedup / nearDedup / annTopK) through
