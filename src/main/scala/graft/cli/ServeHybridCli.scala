@@ -18,7 +18,9 @@ import graft.streaming.StreamRunner
   *
   * Usage:
   *   runMain graft.cli.ServeHybridCli
-  *     --bm25-index-dir DIR --ann-index-dir DIR [--ann-method lsh|ivf]
+  *     --bm25-index-dir DIR --ann-index-dir DIR
+  *     [--ann-method lsh|ivf|ivfpq (ivfpq serves the RRF form only —
+  *                                  --lambda needs float vectors)]
   *     [--k N] [--pool N (per-leg run size; default 2k)]
   *     [--lambda X (MMR re-rank the fused pool)] [--k1 X] [--b X]
   *     [--tuning N (lsh → minCandidates, ivf → nprobe)]

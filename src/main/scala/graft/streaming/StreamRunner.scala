@@ -1091,9 +1091,11 @@ object StreamRunner {
     * and [[bm25ServeBatches]], closing the composite a deployment
     * actually runs (lexical ⊕ semantic ⊕ RRF [⊕ MMR]) as ONE query
     * stream: each micro-batch of `(qid, terms, qvec)` queries probes a
-    * BUILT BM25 inverted index AND a BUILT float ANN index (lsh | ivf —
-    * the vector-carrying layouts; an ivfpq index has no floats for the
-    * MMR penalty cosines), derives `(qid, id, rnk)` runs of `pool`
+    * BUILT BM25 inverted index AND a BUILT ANN index (lsh | ivf |
+    * ivfpq — the compressed layout serves the RRF-fused form, the
+    * 10⁹-vector deployment shape, but `lambda` needs the float-carrying
+    * lsh|ivf layouts for the MMR penalty cosines and rejects ivfpq
+    * loudly), derives `(qid, id, rnk)` runs of `pool`
     * candidates per leg, fuses per qid by reciprocal-rank fusion
     * ([[graft.llm.Retrieval.rrfFuseBatch]] — every qid's slice ≡ the
     * batch DFL `hybrid` stage's single-query fusion), and with `lambda`
@@ -1125,13 +1127,19 @@ object StreamRunner {
                maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(annMethod == "lsh" || annMethod == "ivf",
-      s"hybridServe: ann method must be lsh or ivf (the float-carrying " +
-        s"layouts), got $annMethod")
+    require(annMethod == "lsh" || annMethod == "ivf" || annMethod == "ivfpq",
+      s"hybridServe: unknown ann method $annMethod")
     require(k > 0, s"hybridServe: k must be positive, got $k")
     require(pool >= k, s"hybridServe: pool ($pool) must be >= k ($k)")
     lambda.foreach(l => require(l >= 0.0 && l <= 1.0,
       s"hybridServe: lambda must be in [0,1], got $l"))
+    // the MMR penalty cosines need FLOAT vectors — an ivfpq layout
+    // stores m-byte codes only, so the compressed index serves the
+    // RRF-fused form (the 10⁹-vector deployment shape) but rejects the
+    // diversified form loudly instead of silently reconstructing
+    require(lambda.isEmpty || annMethod != "ivfpq",
+      "hybridServe: --lambda (MMR) needs a float-carrying ANN layout " +
+        "(lsh | ivf); an ivfpq index stores codes only")
     require(maxQueriesPerBatch > 0,
       s"hybridServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
     val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
@@ -1194,6 +1202,12 @@ object StreamRunner {
               case ("lsh", None) => graft.llm.Similarity.lshQueryBatch(
                 spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
                 tuning.getOrElse(100))
+              case ("ivfpq", Some(p)) => graft.llm.Pq.ivfPqQueryBatchFiltered(
+                spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
+                tuning.getOrElse(8))
+              case ("ivfpq", None) => graft.llm.Pq.ivfPqQueryBatch(
+                spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
+                tuning.getOrElse(8))
               case (_, Some(p)) => graft.llm.Similarity.ivfQueryBatchFiltered(
                 spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
                 tuning.getOrElse(8))

@@ -1437,6 +1437,60 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("serve-hybrid over a compressed IVFPQ index: RRF form batch-parity; MMR rejected loudly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .join(hEmb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+    val root = Files.createTempDirectory("graft-hybridpq").toString
+    corpus.write.parquet(s"$root/corpus")
+    val q1 = graft.llm.TextAnalysis.hashEmbed(
+      Seq((0L, "spark stream window")).toDF("doc_id", "text"),
+      "doc_id", "text", dim = 16, seed = 7L)
+      .select("vec").as[Seq[Double]].head()
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      s"""{"qid":1,"terms":"spark stream window","vec":${q1.mkString("[", ",", "]")}}""")
+    val cfg = graft.cli.ServeHybridCli.parseArgs(Array(
+      "--bm25-index-dir", s"$root/bidx", "--ann-index-dir", s"$root/aidx",
+      "--ann-method", "ivfpq", "--k", "5",
+      "--queries-uri", qdir, "--output-uri", s"$root/answers",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--build-from", s"$root/corpus", "--build-id-col", "doc_id",
+      "--build-text-col", "text", "--build-vec-col", "vec"))
+    graft.cli.ServeHybridCli.run(spark, cfg)
+    val got = spark.read.json(s"$root/answers/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rnk"))).toSet
+    val lex = graft.llm.Retrieval.bm25TopKIndexedBatch(spark, s"$root/bidx",
+        Seq(1L -> Seq("spark", "stream", "window")), 10)
+      .select("qid", "id", "rnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    val sem = graft.llm.Pq.ivfPqQueryBatch(spark, s"$root/aidx",
+        Seq(1L -> q1), 10)
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .select("qid", "id", "rnk")
+    val want = graft.llm.Retrieval.rrfFuseBatch(Seq(lex, sem), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want && got.nonEmpty,
+      "compressed-index hybrid serving must equal the direct composition")
+    // --lambda over ivfpq: codes carry no float vectors for the MMR
+    // penalty — rejected at job construction, never silently served
+    val err = intercept[IllegalArgumentException] {
+      graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
+        Array("--bm25-index-dir", s"$root/bidx",
+          "--ann-index-dir", s"$root/aidx", "--ann-method", "ivfpq",
+          "--k", "5", "--lambda", "0.7",
+          "--queries-uri", qdir, "--output-uri", s"$root/answers2",
+          "--checkpoint", s"$root/ckpt2", "--once")))
+    }
+    assert(err.getMessage.contains("float-carrying"), err.getMessage)
+  }
+
   test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
