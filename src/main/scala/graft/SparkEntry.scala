@@ -2589,6 +2589,32 @@ object SparkEntry {
         "bm25Probe(@, $idx, 'spark stream window', 10)",
         Map("idx" -> idxDir))
     }),
+    // the full hybrid stack from two PERSISTENT indexes (the catalog
+    // index:REF serving shape): indexed BM25 leg + indexed ANN leg +
+    // RRF + MMR at pure probe cost. The ANN index builds with ONE list,
+    // so its probe provably equals the exact cosine ranking and the
+    // servingStack SQL stays a value oracle for the whole fused stack.
+    "dfl_hybrid_probe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qtext = "spark stream window merge"
+      val emb = llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = 7L)
+      val qvec = llm.TextAnalysis.hashEmbed(
+        Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+        dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      val bmDir = memoIndexDir(dir, "hpbm25", table = "documents") { d =>
+        llm.Retrieval.bm25Build(docs, "doc_id", "text", d, pbands = 16)
+      }
+      val annDir = memoIndexDir(dir, "hpann", table = "documents") { d =>
+        llm.Similarity.ivfBuild(
+          emb.select(col("doc_id"), col("vec")), "doc_id", "vec", d,
+          kLists = 1); ()
+      }
+      DflFrame.pipeline(docs,
+        s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 10, 0.7)",
+        Map("bm" -> bmDir, "ann" -> annDir, "q" -> qvec))
+    }),
     "dfl_hybrid_filtered" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -4062,6 +4088,7 @@ object SparkEntry {
     // semantic leg, same fusion + greedy
     "dfl_hybrid_filtered" -> hybridFilteredStackSql,
     // the probe stages answer exactly as the indexed families they wrap
+    "dfl_hybrid_probe" -> servingStackSql,
     "dfl_ann_probe" -> annPlantedTopkSql,
     "dfl_bm25_probe" -> llm.Retrieval.bm25Sql("documents", "doc_id",
       "text", Seq("spark", "stream", "window"), k = 10),

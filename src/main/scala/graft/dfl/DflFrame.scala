@@ -111,7 +111,7 @@ object DflFrame {
       "unigramSegment", "wordpieceSegment", "tokSegment",
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "hybrid", "hybridFiltered", "rankEval",
-      "lineDedup", "mmr", "quantiles", "annProbe", "bm25Probe",
+      "lineDedup", "mmr", "quantiles", "annProbe", "bm25Probe", "hybridProbe",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1320,6 +1320,73 @@ object DflFrame {
             s"bm25Probe: '$bpDir' is a '$other' index — use annProbe")
           case None => throw new DflParseException(
             s"bm25Probe: '$bpDir' is not a built index dir")
+        }
+
+      case "hybridProbe" =>
+        // `hybridProbe(@, $bmIdx, $annIdx, 'terms', $qvec, k[, lambda])`
+        // — the FULL hybrid stack served from two PREBUILT persistent
+        // indexes (`index:REF` catalog vars or literal dirs): an indexed
+        // BM25 lexical run ⊕ an indexed ANN semantic run (method from
+        // the ANN dir's own layout — lsh | ivf | ivfpq), 2k pools,
+        // RRF-fused; `lambda` MMR-re-ranks using vectors fetched from
+        // the ANN index itself (float layouts only — ivfpq codes carry
+        // no vectors for the penalty cosines and reject loudly). The
+        // piped dataset is never scanned: a catalog service serves
+        // hybrid retrieval at pure probe cost. One frozen query →
+        // stream-fenced (serve-hybrid answers query streams).
+        if (args.size < 6 || args.size > 7) throw new DflParseException(
+          "hybridProbe takes (@, $bm25IndexDir, $annIndexDir, 'terms', $qvec, k[, lambda])")
+        val hpBmDir = strArg(1)
+        val hpAnnDir = strArg(2)
+        val hpTerms = strArg(3).split(" ").toSeq.filter(_.nonEmpty)
+        if (hpTerms.isEmpty)
+          throw new DflParseException("hybridProbe: empty query terms")
+        val hpQ = vecArg(4)
+        val hpK = intArg(5)
+        if (hpK <= 0)
+          throw new DflParseException("hybridProbe: k must be positive")
+        val hpLambda = if (args.size > 6) Some(numArg(6)) else None
+        hpLambda.foreach(l => if (l < 0.0 || l > 1.0)
+          throw new DflParseException(
+            s"hybridProbe: lambda must be in [0,1], got $l"))
+        val hpPool = 2 * hpK
+        val hpSpark = df.sparkSession
+        graft.llm.Similarity.indexKind(hpSpark, hpBmDir) match {
+          case Some("bm25") =>
+          case other => throw new DflParseException(
+            s"hybridProbe: '$hpBmDir' is not a bm25 index (got $other)")
+        }
+        val hpAnnKind = graft.llm.Similarity.indexKind(hpSpark, hpAnnDir)
+        val hpSemCos = hpAnnKind match {
+          case Some("lsh") => graft.llm.Similarity.lshQuery(hpSpark,
+            hpAnnDir, hpQ, hpPool)
+          case Some("ivf") => graft.llm.Similarity.ivfQuery(hpSpark,
+            hpAnnDir, hpQ, hpPool)
+          case Some("ivfpq") =>
+            if (hpLambda.isDefined) throw new DflParseException(
+              "hybridProbe: lambda (MMR) needs a float-carrying ANN " +
+                "layout (lsh | ivf); an ivfpq index stores codes only")
+            graft.llm.Pq.ivfPqQuery(hpSpark, hpAnnDir, hpQ, hpPool)
+          case other => throw new DflParseException(
+            s"hybridProbe: '$hpAnnDir' is not an ANN index (got $other)")
+        }
+        val hpLex = graft.llm.Retrieval.bm25TopKIndexed(hpSpark, hpBmDir,
+          hpTerms, hpPool).select("id", "rnk")
+        // bounded-pool global window — see the hybrid stage's note
+        val hpW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("id").asc)
+        val hpSem = hpSemCos
+          .withColumn("rnk", row_number().over(hpW).cast("long"))
+          .select("id", "rnk")
+        hpLambda match {
+          case None => graft.llm.Retrieval.rrfFuse(Seq(hpLex, hpSem), hpK)
+          case Some(l) =>
+            val fused = graft.llm.Retrieval.rrfFuse(Seq(hpLex, hpSem), hpPool)
+              .select("id", "score")
+            val cands = hpSpark.read.parquet(s"$hpAnnDir/vectors")
+              .select(col("id"), col("v"))
+              .join(broadcast(fused), Seq("id"))
+            graft.llm.Retrieval.mmrRerank(cands, "id", "score", "v", hpK, l)
         }
 
       case "wordpieceSegment" =>

@@ -403,6 +403,65 @@ class DflLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("hybridProbe(@) fuses two persistent indexes; layout dispatch, ivfpq RRF-only, bad dirs loud") {
+    import spark.implicits._
+    val qtext = "spark stream window merge"
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val qvec = graft.llm.TextAnalysis.hashEmbed(
+      Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
+      dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+    val root = java.nio.file.Files.createTempDirectory("graft-hprobe").toString
+    val bmDir = s"$root/bm"
+    graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", bmDir, pbands = 16)
+    val vecs = hEmb.select(col("doc_id"), col("vec"))
+    val ivfDir = s"$root/ivf"
+    graft.llm.Similarity.ivfBuild(vecs, "doc_id", "vec", ivfDir, kLists = 4,
+      trainSample = 64)
+    val vars = Map[String, Any]("bm" -> bmDir, "ann" -> ivfDir, "q" -> qvec)
+    // RRF form ≡ the API composition over the SAME indexes
+    val got = DflFrame.pipeline(docs,
+        s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5)", vars)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val lex = graft.llm.Retrieval.bm25TopKIndexed(spark, bmDir,
+      qtext.split(" ").toSeq, 10).select("id", "rnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("id").asc)
+    val sem = graft.llm.Similarity.ivfQuery(spark, ivfDir, qvec, 10)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("id", "rnk")
+    val want = graft.llm.Retrieval.rrfFuse(Seq(lex, sem), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    // MMR form runs over the float layout
+    val gotM = DflFrame.pipeline(docs,
+        s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5, 0.7)", vars)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(gotM.nonEmpty && gotM.map(_._2) == (1L to gotM.size.toLong))
+    // ivfpq leg: RRF form serves, MMR rejected (codes carry no floats)
+    val pqDir = s"$root/pq"
+    graft.llm.Pq.ivfPqBuild(vecs, "doc_id", "vec", pqDir, kLists = 4,
+      m = 8, k = 16)
+    val pqVars = vars + ("ann" -> pqDir)
+    assert(DflFrame.pipeline(docs,
+      s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5)", pqVars)
+      .count() == 5)
+    val pqErr = intercept[DflParseException](DflFrame.pipeline(docs,
+      s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5, 0.7)", pqVars))
+    assert(pqErr.getMessage.contains("float-carrying"))
+    // wrong-family dirs fail with self-describing errors
+    assert(intercept[DflParseException](DflFrame.pipeline(docs,
+      s"hybridProbe(@, $$ann, $$ann, '$qtext', $$q, 5)",
+      vars)).getMessage.contains("not a bm25 index"))
+    assert(intercept[DflParseException](DflFrame.pipeline(docs,
+      s"hybridProbe(@, $$bm, $$bm, '$qtext', $$q, 5)",
+      vars)).getMessage.contains("not an ANN index"))
+    // stream fence
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        s"hybridProbe(@, $$bm, $$ann, 'spark', $$q, 5)"))
+  }
+
   test("DFL llm stages pay the index-build side effect only past graft.dfl.index.minBytes") {
     val idxBase = java.nio.file.Files.createTempDirectory("graft-dflmin").toString
     def idxDirs() = Option(new java.io.File(idxBase).listFiles())

@@ -200,6 +200,23 @@ class ServerSpec extends AnyFunSuite {
       val (c2, b2) = client.exec("services", "probe_svc",
         s"""{"variables":{"idx":"index:lsh:$annDir","q":[${q.mkString(",")}]}}""")
       assert(c2 != 200 && b2.contains("ivf"), s"$c2 $b2")
+      // the FULL hybrid stack from two persistent indexes over HTTP:
+      // bm25 leg + ANN leg + RRF, both dirs bound as index: refs
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val bmDir = s"$dir/bm-idx"
+      graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", bmDir, pbands = 16)
+      assert(authed.add("processes",
+        """{"name":"hyb","expression":"hybridProbe(@, $bm, $ann, 'spark stream window', $q, 5)"}""")._1 == 200)
+      assert(authed.add("services",
+        """{"name":"hyb_svc","datastore":"one","process":"hyb"}""")._1 == 200)
+      val (c3, b3) = client.exec("services", "hyb_svc",
+        s"""{"variables":{"bm":"index:bm25:$bmDir","ann":"index:ivf:$annDir","q":[${q.mkString(",")}]}}""")
+      assert(c3 == 200 && b3.contains("\"rnk\":1"), s"$c3 $b3")
+      // handing the ANN dir to the bm25 slot fails with the stage's
+      // self-describing-layout error
+      val (c4, b4) = client.exec("services", "hyb_svc",
+        s"""{"variables":{"bm":"index:$annDir","ann":"index:ivf:$annDir","q":[${q.mkString(",")}]}}""")
+      assert(c4 != 200 && b4.contains("not a bm25 index"), s"$c4 $b4")
     } finally srv.stop()
   }
 
