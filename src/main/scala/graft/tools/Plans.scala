@@ -34,16 +34,20 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n======== $n ========")
       println(formatted)
-      val cartesian = formatted.contains("CartesianProduct") ||
-        formatted.contains("BroadcastNestedLoopJoin")
+      // the same STRUCTURAL verdict PlanLint enforces (a string match
+      // on BroadcastNestedLoopJoin used to flag the proven ≤1-row
+      // scalar-stat cross joins as "cartesian" here)
+      val violations = PlanLint.lintPlan(df.queryExecution.executedPlan,
+        interval = false)
       val broadcast = formatted.contains("BroadcastHashJoin")
       // count codegen spans on the EXECUTED plan tree: under Spark 4 AQE
       // the formatted string no longer carries per-span `codegen id`
       // markers for materialized stages, so the old regex always read 0 —
       // walk through the adaptive wrapper and stage nodes instead
       val codegen = countCodegen(df.queryExecution.executedPlan)
-      println(s"[audit] $n: cartesian=$cartesian broadcastHash=$broadcast " +
-        s"codegenStages=$codegen")
+      println(s"[audit] $n: lintViolations=${violations.size}" +
+        s"${if (violations.nonEmpty) violations.mkString(" [", "; ", "]") else ""} " +
+        s"broadcastHash=$broadcast codegenStages=$codegen")
     }
     spark.stop()
   }
