@@ -253,7 +253,7 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
     val ds = catalog.datastores(service.datastore)
     val process = catalog.processes(service.process)
     val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression,
-      vars ++ tokenizerRefVars(vars))
+      vars ++ tokenizerRefVars(vars) ++ indexRefVars(vars))
     job.output.foreach { outName =>
       val outDs = catalog.datastores(outName)
       DataStoreIO.write(out, resolveUri(outDs.uri, vars),
@@ -276,7 +276,7 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
         val ds = catalog.datastores(service.datastore)
         val process = catalog.processes(service.process)
         val out = DflFrame.pipeline(readDataStore(ds, vars), process.expression,
-          vars ++ tokenizerRefVars(vars))
+          vars ++ tokenizerRefVars(vars) ++ indexRefVars(vars))
         job.output.foreach { outName =>
           val outDs = catalog.datastores(outName)
           DataStoreIO.write(out, resolveUri(outDs.uri, vars),

@@ -258,6 +258,14 @@ class CatalogSpec extends AnyFunSuite {
     val wrong = intercept[graft.dfl.DflParseException] {
       exec.serviceExec("annwrong", Map("q" -> q)) }
     assert(wrong.getMessage.contains("use bm25Probe"))
+    // index: refs resolve on the JOB exec path too (job vars can even
+    // re-point the service's default to another index)
+    c.add(Service("bmsvc2", "places", "bmprobe",
+      defaults = Map("idx" -> s"index:$dir")))
+    c.add(Job("bmjob", "bmsvc2",
+      variables = Map("idx" -> s"index:bm25:$bmDir")))
+    assert(exec.jobExec("bmjob").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq == bmWant)
   }
 
   test("dsir service: target bound via datastore:, resample served over HTTP-exec path") {
