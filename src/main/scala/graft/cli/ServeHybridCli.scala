@@ -36,7 +36,7 @@ import graft.streaming.StreamRunner
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-text-col C]
   *      [--build-vec-col C] [--build-meta c1,c2] [--build-pbands N]
   *      [--build-nbits N] [--build-dim N] [--build-klists N]
-  *      [--build-pbits N]]
+  *      [--build-pbits N] [--build-pq-m N] [--build-pq-k N]]
   *
   * jsonl query rows carry terms as a whitespace-separated string OR a
   * JSON array, and the query vector as a JSON array
@@ -67,7 +67,7 @@ object ServeHybridCli {
       buildTextCol: String = "text", buildVecCol: String = "vec",
       buildMeta: Seq[String] = Nil, buildPBands: Int = 64,
       buildNBits: Int = 16, buildDim: Int = 64, buildKLists: Int = 16,
-      buildPBits: Int = 8,
+      buildPBits: Int = 8, buildPqM: Int = 8, buildPqK: Int = 64,
       maxBatchQueries: Int = StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
@@ -111,6 +111,8 @@ object ServeHybridCli {
         case "--build-dim"         => c = c.copy(buildDim = a.value().toInt)
         case "--build-klists"      => c = c.copy(buildKLists = a.value().toInt)
         case "--build-pbits"       => c = c.copy(buildPBits = a.value().toInt)
+        case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
+        case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
         case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -147,7 +149,8 @@ object ServeHybridCli {
       graft.llm.Similarity.ensureIndex(spark, c.annIndexDir, c.annMethod,
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
-        kLists = c.buildKLists, metaCols = c.buildMeta)
+        kLists = c.buildKLists, metaCols = c.buildMeta,
+        pqM = c.buildPqM, pqK = c.buildPqK)
     }
     StreamRunner.hybridServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.termsCol, c.vecCol, c.bm25IndexDir, c.annIndexDir,

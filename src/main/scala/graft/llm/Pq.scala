@@ -53,16 +53,32 @@ object Pq {
 
   /** Train an (m × k) codebook on a deterministic bounded sample. */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
-              m: Int, k: Int, trainSample: Int = 4096): PqModel = {
-    require(m > 0 && k > 1 && k <= 256, "pqTrain: need m > 0, 1 < k <= 256")
+              m: Int, k: Int, trainSample: Int = 4096): PqModel =
+    trainBooks("pqTrain",
+      sampleAndValidate("pqTrain", df, idCol, vecCol, m, k, trainSample),
+      m, k)
+
+  /** The shared trainer body: deterministic sample + dim/param guards
+    * (ONE implementation, so the raw and residual trainers can never
+    * diverge on sampling, seeding, or validation). */
+  private def sampleAndValidate(who: String, df: DataFrame, idCol: String,
+                                vecCol: String, m: Int, k: Int,
+                                trainSample: Int): Array[Array[Double]] = {
+    require(m > 0 && k > 1 && k <= 256, s"$who: need m > 0, 1 < k <= 256")
     val sample = sampleVecs(df, idCol, vecCol, trainSample)
-    require(sample.nonEmpty, "pqTrain: empty training sample")
+    require(sample.nonEmpty, s"$who: empty training sample")
     val dim = sample.head.length
-    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
-    val subDim = dim / m
-    // subspaces are independent — k-means them concurrently (driver-side
-    // CPU work, ~m × iters × n × k × subDim flops; serial it dominated
-    // pqTrain at the default m=8)
+    require(dim % m == 0, s"$who: dim $dim not divisible by m=$m")
+    sample
+  }
+
+  /** Per-subspace seeded k-means over an already-validated sample.
+    * Subspaces are independent — k-means them concurrently (driver-side
+    * CPU work, ~m × iters × n × k × subDim flops; serial it dominated
+    * at the default m=8). Seeds are 42+mi in BOTH trainers. */
+  private def trainBooks(who: String, sample: Array[Array[Double]],
+                         m: Int, k: Int): PqModel = {
+    val subDim = sample.head.length / m
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -88,29 +104,16 @@ object Pq {
   def pqTrainResidual(df: DataFrame, idCol: String, vecCol: String,
                       centroids: Array[Array[Double]], m: Int, k: Int,
                       trainSample: Int = 4096): PqModel = {
-    require(m > 0 && k > 1 && k <= 256,
-      "pqTrainResidual: need m > 0, 1 < k <= 256")
-    val sample = sampleVecs(df, idCol, vecCol, trainSample)
-    require(sample.nonEmpty, "pqTrainResidual: empty training sample")
+    val sample = sampleAndValidate("pqTrainResidual", df, idCol, vecCol,
+      m, k, trainSample)
     val dim = sample.head.length
-    require(dim % m == 0, s"pqTrainResidual: dim $dim not divisible by m=$m")
     require(centroids.nonEmpty && centroids.head.length == dim,
       s"pqTrainResidual: centroid dim ${centroids.headOption.map(_.length)} != $dim")
     val residuals = sample.map { v =>
       val c = centroids(nearestIdx(centroids, v))
       Array.tabulate(dim)(j => v(j) - c(j))
     }
-    val subDim = dim / m
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val books = Await.result(Future.sequence((0 until m).map { mi =>
-      Future {
-        val subs = residuals.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
-        kmeansLocal(subs, k, seed = 42L + mi)
-      }
-    }), Duration.Inf).toArray
-    PqModel(m, k, subDim, books)
+    trainBooks("pqTrainResidual", residuals, m, k)
   }
 
   /** argmin ‖x − c‖² over centroids, ties to the smaller index — the

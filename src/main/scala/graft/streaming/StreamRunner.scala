@@ -653,13 +653,23 @@ object StreamRunner {
     case other                                => other.toString.toLongOption
   }
 
+  // shared (readTree is thread-safe); FAIL_ON_TRAILING_TOKENS so a terms
+  // string that merely STARTS with a JSON value ("[1] weird query") falls
+  // back to the whitespace split instead of silently dropping its tail
+  private val termsJson = com.fasterxml.jackson.databind.json.JsonMapper
+    .builder()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    .build()
+
   private def coerceTermsValue(x: Any): Option[Seq[String]] = (x match {
     // a jsonl terms field that was a JSON ARRAY arrives as its RAW TEXT
     // under the stream's explicit string schema — parse it back instead
-    // of whitespace-splitting raw JSON into garbage tokens
-    case s: String if s.trim.startsWith("[") =>
+    // of whitespace-splitting raw JSON into garbage tokens. Only a
+    // COMPLETE array ('[' … ']', no trailing tokens) takes this path.
+    case s: String if s.trim.startsWith("[") && s.trim.endsWith("]") =>
       (try {
-        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        val n = termsJson.readTree(s)
         if (n.isArray)
           Some(Iterator.range(0, n.size).map(i => n.get(i).asText).toSeq)
         else None
@@ -680,13 +690,17 @@ object StreamRunner {
     case _ => None
   }
 
-  private def guardBatchSize(n: Long, batchId: Long, max: Int,
-                             job: String): Unit =
-    if (n > max) throw new IllegalStateException(
-      s"$job: micro-batch $batchId carries $n query rows > " +
-        s"max-queries-per-batch $max — a query batch collects to the " +
-        "driver, so an unbounded file must be rejected, not collected; " +
-        "split the input files or raise the limit if intended")
+  /** Reject an oversized query micro-batch BEFORE the driver collect.
+    * The count is LIMIT-BOUNDED (max+1): a multi-GB file dropped in the
+    * queries dir is rejected after reading at most max+1 rows, never
+    * scanned end-to-end just to count it. */
+  private def guardBatchSize(batch: org.apache.spark.sql.Dataset[_],
+                             batchId: Long, max: Int, job: String): Unit =
+    if (batch.limit(max + 1).count() > max) throw new IllegalStateException(
+      s"$job: micro-batch $batchId carries more than " +
+        s"max-queries-per-batch $max query rows — a query batch collects " +
+        "to the driver, so an unbounded file must be rejected, not " +
+        "collected; split the input files or raise the limit if intended")
 
   /** Streaming ANN serving: answer a STREAM of query vectors against a
     * built, static index (LSH, IVF, or IVFPQ) — the streaming member of the
@@ -766,8 +780,8 @@ object StreamRunner {
         // the queries of a micro-batch COLLECT to the driver (they are
         // the small side — the corpus never moves), so an unbounded
         // query file must fail LOUDLY before the collect, not OOM the
-        // driver: the guard is one distributed count over the batch
-        guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "annServe")
+        // driver: the guard is one LIMIT-BOUNDED count (≤ max+1 rows read)
+        guardBatchSize(batch, batchId, maxQueriesPerBatch, "annServe")
         // A SERVING stream must not die on one bad record (every other
         // streaming operator here tolerates malformed rows too): null or
         // non-integral qids and null / null-element vectors are SKIPPED.
@@ -989,7 +1003,7 @@ object StreamRunner {
     writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // bounded-collect guard — see annServeBatches
-        guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "bm25Serve")
+        guardBatchSize(batch, batchId, maxQueriesPerBatch, "bm25Serve")
         val qsAll = batch.select(col(qidCol), col(termsCol)).collect().iterator
           .flatMap { r =>
             // the shared malformed-row tolerance: fractional qids skip
@@ -1155,7 +1169,7 @@ object StreamRunner {
     val writer = trigger.fold(writer0)(writer0.trigger)
     writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        guardBatchSize(batch.count(), batchId, maxQueriesPerBatch, "hybridServe")
+        guardBatchSize(batch, batchId, maxQueriesPerBatch, "hybridServe")
         val qsAll = batch.select(col(qidCol), col(termsCol), col(vecCol))
           .collect().iterator
           .flatMap { r =>

@@ -36,9 +36,10 @@ object Plans {
       println(formatted)
       // the same STRUCTURAL verdict PlanLint enforces (a string match
       // on BroadcastNestedLoopJoin used to flag the proven ≤1-row
-      // scalar-stat cross joins as "cartesian" here)
+      // scalar-stat cross joins as "cartesian" here), interval
+      // exemption included so the audit never contradicts the CI lint
       val violations = PlanLint.lintPlan(df.queryExecution.executedPlan,
-        interval = false)
+        interval = PlanLint.intervalJoinQueries(n))
       val broadcast = formatted.contains("BroadcastHashJoin")
       // count codegen spans on the EXECUTED plan tree: under Spark 4 AQE
       // the formatted string no longer carries per-span `codegen id`
@@ -85,7 +86,7 @@ object PlanLint {
   // a range condition — correct by design, but not structurally ≤1 row,
   // so these two stay named. The condition requirement below still
   // applies to them.
-  private val intervalJoinQueries = Set(
+  private[tools] val intervalJoinQueries = Set(
     "range_join_bands", "pipeline_event_features")
 
   /** Can this physical subtree be PROVEN to produce at most one row?
@@ -111,7 +112,12 @@ object PlanLint {
         agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.forall(e =>
             e.mode == Final || e.mode == Complete)
-      case l: LocalLimitExec  => l.limit <= 1 || atMostOneRow(l.child)
+      // LocalLimit bounds each PARTITION, not the global row count — a
+      // LocalLimit(1) over a multi-partition scan emits one row PER
+      // PARTITION, so it proves nothing on its own (only the
+      // single-partition child cases below, or a GlobalLimit, do)
+      case l: LocalLimitExec  =>
+        (l.limit <= 1 && singlePartition(l.child)) || atMostOneRow(l.child)
       case g: GlobalLimitExec => g.limit <= 1 || atMostOneRow(g.child)
       case t: LocalTableScanExec => t.rows.lengthCompare(1) <= 0
       case r: RangeExec => r.numElements <= BigInt(1)
@@ -127,6 +133,43 @@ object PlanLint {
           if j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
              j.joinType == org.apache.spark.sql.catalyst.plans.Cross =>
         atMostOneRow(j.left) && atMostOneRow(j.right)
+      case _ => false
+    }
+  }
+
+  /** Is this subtree PROVABLY single-partition? Used to upgrade a
+    * LocalLimit(1) to a global ≤1-row proof. Conservative: only shapes
+    * whose partition count is structurally fixed at one. */
+  private def singlePartition(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case t: LocalTableScanExec => true
+      case c: CoalesceExec => c.numPartitions <= 1
+      case pr: ProjectExec => singlePartition(pr.child)
+      case f: FilterExec   => singlePartition(f.child)
+      case w: WholeStageCodegenExec => singlePartition(w.child)
+      case i: InputAdapter => singlePartition(i.child)
+      case _ => false
+    }
+  }
+
+  /** ≤1 row PER PARTITION — the bound a bare LocalLimit(1) gives. Not a
+    * global proof (numPartitions rows total), but numPartitions is a
+    * CONFIG constant, not a function of data size, so a semi/anti
+    * existence probe built on it can never become an all-pairs plan. */
+  private def atMostOnePerPartition(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => atMostOnePerPartition(a.executedPlan)
+      case q: QueryStageExec        => atMostOnePerPartition(q.plan)
+      case e: Exchange              => atMostOnePerPartition(e.child)
+      case r: ReusedExchangeExec    => atMostOnePerPartition(r.child)
+      case w: WholeStageCodegenExec => atMostOnePerPartition(w.child)
+      case i: InputAdapter          => atMostOnePerPartition(i.child)
+      case l: LocalLimitExec        => l.limit <= 1
       case _ => false
     }
   }
@@ -150,11 +193,20 @@ object PlanLint {
             case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
             case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
           }
+          // Catalyst's EXISTS-probe shape: a semi/anti BNLJ whose build
+          // side is LocalLimit(1)-capped (≤1 row per partition — a
+          // config-constant total, data-independent). Output ≤ probe
+          // rows by the join type; not an all-pairs risk.
+          import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi, ExistenceJoin}
+          val existenceProbe = (j.joinType == LeftAnti ||
+            j.joinType == LeftSemi ||
+            j.joinType.isInstanceOf[ExistenceJoin]) &&
+            atMostOnePerPartition(build)
           if (interval) {
             if (j.condition.isEmpty && !atMostOneRow(build))
               out += "interval-join BNLJ degraded to an unconditioned " +
                 "cross product over a multi-row build side"
-          } else if (!atMostOneRow(build))
+          } else if (!atMostOneRow(build) && !existenceProbe)
             out += "BNLJ build side not provably <=1 row " +
               s"(${build.getClass.getSimpleName})"
         case _ =>

@@ -53,6 +53,25 @@ class PlanLintSpec extends AnyFunSuite {
     assert(lint(ij, interval = false).nonEmpty)
   }
 
+  test("a bare LocalLimit(1) is NOT a global proof; the semi/anti existence-probe shape still passes") {
+    // limit(1) via the API plans GlobalLimit+LocalLimit — proven ≤1 and
+    // accepted (covered above). The per-partition nuance: lintPlan must
+    // accept Catalyst's EXISTS-probe rewriting (LeftAnti BNLJ over a
+    // LocalLimit(1)-capped broadcast — ≤1 row per partition, a config
+    // constant total) — the shape the source_filtered query plans
+    val df = graft.SparkEntry.queries("source_filtered")(
+      spark, "/root/testdata/sf0.001")
+    assert(PlanLint.lintPlan(df.queryExecution.executedPlan,
+      interval = false).isEmpty,
+      "the planted-spam existence probe must lint clean")
+    // but an INNER/CROSS nested loop over the same per-partition bound
+    // is still a violation: its output multiplies, an anti's cannot
+    val data = Seq(1, 2, 3, 4).toDF("a")
+    val multi = Seq(9, 8, 7).toDF("b").repartition(3)
+    val bad = data.crossJoin(broadcast(multi))
+    assert(lint(bad).nonEmpty)
+  }
+
   test("cartesian products always fail") {
     val l = Seq(1, 2, 3).toDF("a")
     val r = Seq(4, 5).toDF("b")
