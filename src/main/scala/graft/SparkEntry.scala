@@ -2589,6 +2589,29 @@ object SparkEntry {
         "bm25Probe(@, $idx, 'spark stream window', 10)",
         Map("idx" -> idxDir))
     }),
+    // the BATCH probe twins: [qid, vector] / [qid, 'terms'] pair lists
+    // (the HTTP request shapes) against the same persistent dirs —
+    // every slice ≡ the single probe, the family contract
+    "dfl_ann_probe_batch" -> ((s, dir) => {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "dflannprobeb") { d =>
+        llm.Similarity.ivfBuild(corpus, "vec_id", "embedding", d); ()
+      }
+      val qsVar: Seq[Seq[Any]] = queries.map { case (id, v) => Seq(id, v) }
+      DflFrame.pipeline(corpus, "annProbeBatch(@, $idx, $qs, 10)",
+        Map("idx" -> idxDir, "qs" -> qsVar))
+    }),
+    "dfl_bm25_probe_batch" -> ((s, dir) => {
+      val idxDir = memoIndexDir(dir, "dflbmprobe", table = "documents") { d =>
+        llm.Retrieval.bm25Build(t(s, dir, "documents"), "doc_id", "text",
+          d, pbands = 16)
+      }
+      val qsVar: Seq[Seq[Any]] = bm25BatchQueries.map { case (q, ts) =>
+        Seq(q, ts.mkString(" ")) }
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "bm25ProbeBatch(@, $idx, $qs, 5)",
+        Map("idx" -> idxDir, "qs" -> qsVar))
+    }),
     // the full hybrid stack from two PERSISTENT indexes (the catalog
     // index:REF serving shape): indexed BM25 leg + indexed ANN leg +
     // RRF + MMR at pure probe cost. The ANN index builds with ONE list,
@@ -4092,6 +4115,9 @@ object SparkEntry {
     "dfl_ann_probe" -> annPlantedTopkSql,
     "dfl_bm25_probe" -> llm.Retrieval.bm25Sql("documents", "doc_id",
       "text", Seq("spark", "stream", "window"), k = 10),
+    "dfl_ann_probe_batch" -> annBatchPlantedSql,
+    "dfl_bm25_probe_batch" -> llm.Retrieval.bm25BatchSql("documents",
+      "doc_id", "text", bm25BatchQueries, k = 5),
     "collocations" ->
       """WITH toks AS (
         |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t

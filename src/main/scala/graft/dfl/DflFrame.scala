@@ -112,6 +112,7 @@ object DflFrame {
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "hybrid", "hybridFiltered", "rankEval",
       "lineDedup", "mmr", "quantiles", "annProbe", "bm25Probe", "hybridProbe",
+      "annProbeBatch", "bm25ProbeBatch",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -412,6 +413,36 @@ object DflFrame {
             s"expected [id, vector] pair in query batch, got $other")
         }
         case other => throw new DflParseException(s"$$$n2 is not a query batch: $other")
+      }
+      case other => throw new DflParseException(
+        s"expected query-batch var arg: ${Node.render(other)}")
+    }
+    // a LEXICAL query batch: a $var bound to a Seq of [qid, 'terms str']
+    // pairs — the HTTP request shape for batched bm25 probes, the
+    // queryBatchArg convention with a terms string in the vector slot
+    def termsBatchArg(i: Int): Seq[(Long, Seq[String])] = args(i) match {
+      case Var(n2) => vars.getOrElse(n2,
+        throw new DflParseException(s"unbound $$$n2")) match {
+        case xs: Seq[_] => xs.map {
+          case pair: Seq[_] if pair.size == 2 =>
+            val id = pair.head match {
+              case v: Number => v.longValue()
+              case other     => other.toString.toLong
+            }
+            pair(1) match {
+              case s: String =>
+                val ts = s.split("\\s+").toSeq.filter(_.nonEmpty)
+                if (ts.isEmpty) throw new DflParseException(
+                  s"empty terms for qid $id in query batch")
+                id -> ts
+              case other => throw new DflParseException(
+                s"terms for qid $id is not a string: $other")
+            }
+          case other => throw new DflParseException(
+            s"expected [qid, terms] pair in query batch, got $other")
+        }
+        case other => throw new DflParseException(
+          s"$$$n2 is not a query batch: $other")
       }
       case other => throw new DflParseException(
         s"expected query-batch var arg: ${Node.render(other)}")
@@ -1320,6 +1351,60 @@ object DflFrame {
             s"bm25Probe: '$bpDir' is a '$other' index — use annProbe")
           case None => throw new DflParseException(
             s"bm25Probe: '$bpDir' is not a built index dir")
+        }
+
+      case "annProbeBatch" =>
+        // `annProbeBatch(@, $idx, $qs, k[, tuning])` — the BATCH twin of
+        // annProbe: every (qid, vector) of `$qs` (the annTopKBatch
+        // [id, vector]-pair request shape) probes the PREBUILT index in
+        // ONE pruned union read, method from the layout (lsh | ivf |
+        // ivfpq), batch ≡ per-query by the family contract. The piped
+        // dataset is never scanned. Stream-fenced (serve-ann answers
+        // query STREAMS).
+        if (args.size < 4 || args.size > 5) throw new DflParseException(
+          "annProbeBatch takes (@, $indexDir, $queries, k[, tuning])")
+        val abDir = strArg(1)
+        val abQs = queryBatchArg(2)
+        val abK = intArg(3)
+        if (abK <= 0)
+          throw new DflParseException("annProbeBatch: k must be positive")
+        val abSpark = df.sparkSession
+        graft.llm.Similarity.indexKind(abSpark, abDir) match {
+          case Some("lsh") => graft.llm.Similarity.lshQueryBatch(abSpark,
+            abDir, abQs, abK,
+            minCandidates = if (args.size > 4) intArg(4) else 100)
+          case Some("ivf") => graft.llm.Similarity.ivfQueryBatch(abSpark,
+            abDir, abQs, abK, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("ivfpq") => graft.llm.Pq.ivfPqQueryBatch(abSpark,
+            abDir, abQs, abK, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("bm25") => throw new DflParseException(
+            s"annProbeBatch: '$abDir' is a bm25 index — use bm25ProbeBatch")
+          case _ => throw new DflParseException(
+            s"annProbeBatch: '$abDir' is not a built index dir")
+        }
+
+      case "bm25ProbeBatch" =>
+        // `bm25ProbeBatch(@, $idx, $queries, k[, k1, b])` — batched BM25
+        // probes of a PREBUILT inverted index: `$queries` holds
+        // [qid, 'terms string'] pairs; ONE pruned posting read for the
+        // union of all term bands, each slice ≡ bm25Probe. Stream-fenced.
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "bm25ProbeBatch takes (@, $indexDir, $queries, k[, k1, b])")
+        val bbDir = strArg(1)
+        val bbQs = termsBatchArg(2)
+        val bbK = intArg(3)
+        if (bbK <= 0)
+          throw new DflParseException("bm25ProbeBatch: k must be positive")
+        val bbK1 = if (args.size > 4) numArg(4) else 1.2
+        val bbB = if (args.size > 5) numArg(5) else 0.75
+        val bbSpark = df.sparkSession
+        graft.llm.Similarity.indexKind(bbSpark, bbDir) match {
+          case Some("bm25") => graft.llm.Retrieval.bm25TopKIndexedBatch(
+            bbSpark, bbDir, bbQs, bbK, bbK1, bbB)
+          case Some(other) => throw new DflParseException(
+            s"bm25ProbeBatch: '$bbDir' is a '$other' index — use annProbeBatch")
+          case None => throw new DflParseException(
+            s"bm25ProbeBatch: '$bbDir' is not a built index dir")
         }
 
       case "hybridProbe" =>

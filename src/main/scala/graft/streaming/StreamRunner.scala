@@ -58,7 +58,8 @@ object StreamRunner {
     // the index-probe stages answer one frozen query against a
     // persistent index — the streaming analogue is the serve-ann /
     // serve-bm25 / serve-hybrid query-stream jobs
-    "annProbe", "bm25Probe", "hybridProbe",
+    "annProbe", "bm25Probe", "hybridProbe", "annProbeBatch",
+    "bm25ProbeBatch",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -462,6 +462,61 @@ class DflLlmSpec extends AnyFunSuite {
         s"hybridProbe(@, $$bm, $$ann, 'spark', $$q, 5)"))
   }
 
+  test("annProbeBatch/bm25ProbeBatch: every slice equals the single probe; pair shapes and families enforced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-probeb").toString
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val ivfDir = s"$root/ivf"
+    graft.llm.Similarity.ivfBuild(vecs, "vec_id", "embedding", ivfDir,
+      kLists = 4, trainSample = 64)
+    val bmDir = s"$root/bm"
+    graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", bmDir, pbands = 16)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qsVar: Seq[Seq[Any]] = queries.map { case (id, v) => Seq(id, v) }
+    val batch = DflFrame.pipeline(emb, "annProbeBatch(@, $idx, $qs, 5)",
+        Map[String, Any]("idx" -> ivfDir, "qs" -> qsVar))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = DflFrame.pipeline(emb, "annProbe(@, $idx, $q, 5)",
+          Map[String, Any]("idx" -> ivfDir, "q" -> q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"ann qid $qid")
+    }
+    val tQs: Seq[Seq[Any]] = Seq(Seq(1L, "spark stream window"),
+      Seq(2L, "merge sort"))
+    val bmBatch = DflFrame.pipeline(docs, "bm25ProbeBatch(@, $idx, $qs, 5)",
+        Map[String, Any]("idx" -> bmDir, "qs" -> tQs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    Seq(1L -> "spark stream window", 2L -> "merge sort").foreach {
+      case (qid, terms) =>
+        val single = DflFrame.pipeline(docs,
+            s"bm25Probe(@, $$idx, '$terms', 5)",
+            Map[String, Any]("idx" -> bmDir))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        assert(bmBatch(qid) == single, s"bm25 qid $qid")
+    }
+    // wrong families, malformed pairs, and the fence all fail loudly
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeBatch(@, $idx, $qs, 5)",
+      Map[String, Any]("idx" -> bmDir, "qs" -> qsVar)))
+      .getMessage.contains("use bm25ProbeBatch"))
+    assert(intercept[DflParseException](DflFrame.pipeline(docs,
+      "bm25ProbeBatch(@, $idx, $qs, 5)",
+      Map[String, Any]("idx" -> ivfDir, "qs" -> tQs)))
+      .getMessage.contains("use annProbeBatch"))
+    intercept[DflParseException](DflFrame.pipeline(docs,
+      "bm25ProbeBatch(@, $idx, $qs, 5)",
+      Map[String, Any]("idx" -> bmDir,
+        "qs" -> (Seq(Seq(1L, "  ")): Any))))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        "annProbeBatch(@, $idx, $qs, 5)"))
+  }
+
   test("DFL llm stages pay the index-build side effect only past graft.dfl.index.minBytes") {
     val idxBase = java.nio.file.Files.createTempDirectory("graft-dflmin").toString
     def idxDirs() = Option(new java.io.File(idxBase).listFiles())
