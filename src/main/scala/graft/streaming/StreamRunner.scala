@@ -81,6 +81,14 @@ object StreamRunner {
     }
     def datasetUse(n: Node): Option[String] = n match {
       case Node.FunCall(name, Node.Attr("") :: _) if unstreamableFns(name) => Some(name)
+      // the DICT-ASSEMBLY stage ({rows: @} / {n: len(@)}) compiles to a
+      // whole-dataset collect_list aggregation (DflFrame.assembleDict) —
+      // unbounded state on a stream, fenced like the named operators
+      case d: Node.DictLit if d.entries.exists {
+          case (_, Node.Attr(""))                            => true
+          case (_, Node.FunCall("len", List(Node.Attr("")))) => true
+          case _                                             => false
+        } => Some("dataset-assembly dict literal")
       case other => Node.childrenOf(other).flatMap(datasetUse).headOption
     }
     stages.flatMap(datasetUse).headOption.foreach { f =>
@@ -129,7 +137,17 @@ object StreamRunner {
     val base = pre(readStream(spark, dir, format))
     val out = post(
       if (dflSrc.trim.isEmpty) base else transform(base, dflSrc, vars))
-    collectStream(out, "append")
+    // output mode from the PLAN: hist/group are deliberately streamable
+    // (they aggregate), but an un-watermarked streaming aggregation is
+    // illegal in append mode — run those in complete mode (the whole
+    // result per trigger, the batch-parity shape) instead of dying with
+    // an AnalysisException after validation passed
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark}
+    val analyzed = out.queryExecution.analyzed
+    val aggNoWm =
+      analyzed.collectFirst { case a: Aggregate => a }.isDefined &&
+        analyzed.collectFirst { case w: EventTimeWatermark => w }.isEmpty
+    collectStream(out, if (aggNoWm) "complete" else "append")
   }
 
   /** Event-time windowed histogram — the streaming shape of the batch
@@ -303,10 +321,11 @@ object StreamRunner {
                               dim: Int = 64): DataFrame = {
     val planes = graft.llm.Similarity.hyperplanes(nBits, dim)
     stream
-      .withColumn("vsig", org.apache.spark.sql.functions.element_at(
+      .withColumn("__vsig", org.apache.spark.sql.functions.element_at(
         graft.functions.HyperplaneF.bands(col(vecCol), 1, nBits, planes), 1))
       .withWatermark(timeCol, watermark)
-      .dropDuplicatesWithinWatermark("vsig")
+      .dropDuplicatesWithinWatermark("__vsig")
+      .drop("__vsig")
   }
 
   /** Streaming MULTI-BAND embedding near-dedup — the OR-of-bands analogue
@@ -554,9 +573,21 @@ object StreamRunner {
     import org.apache.spark.sql.functions._
     import graft.llm.TextAnalysis.{normText, wsTokens}
     val lrByBucket = {
+      // the fit table IS the bucket space (Dsir.fit emits one row per
+      // bucket off a range spine): serving with a different `buckets`
+      // would either crash on out-of-range ids (fit larger) or hash
+      // grams into zero-filled slots and SILENTLY mis-score every row
+      // (fit smaller) — both fail loudly here instead
+      val rows = ratio.select(col("b").cast("int"), col("lr")).collect()
+      require(rows.nonEmpty && rows.forall(r =>
+        !r.isNullAt(0) && !r.isNullAt(1)),
+        "streamingDsirFilter: ratio table has null b/lr cells")
+      require(rows.length == buckets,
+        s"streamingDsirFilter: the model was fit with ${rows.length} " +
+          s"buckets but serving is configured with $buckets — they must " +
+          "match (scores hash into the fit's bucket space)")
       val arr = new Array[Double](buckets)
-      ratio.select(col("b").cast("int"), col("lr")).collect()
-        .foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+      rows.foreach(r => arr(r.getInt(0)) = r.getDouble(1))
       arr
     }
     // the whole unigram+bigram score is ONE native expression (the lr
@@ -575,8 +606,9 @@ object StreamRunner {
     * companion of the batch `dedupAgainst` stage. A STATELESS
     * stream-static left-anti join: the reference signature set is a
     * static DataFrame (re-read per micro-batch under the stream-static
-    * contract; at deployment size it plans as a broadcast), so no state
-    * store, no watermark, exactly the semantics of the batch operator.
+    * contract; the planner picks broadcast under the threshold and a
+    * shuffled join for a data-sized reference), so no state store, no
+    * watermark, exactly the semantics of the batch operator.
     * Unlike [[streamingContamFilter]]'s bloom this is EXACT — the join
     * side is the true signature set. Within-stream duplicates are NOT
     * collapsed — compose with [[streamingDedup]] for that. */
@@ -588,7 +620,13 @@ object StreamRunner {
         graft.llm.TextAnalysis.wsTokens(graft.llm.TextAnalysis.normText(c)))
       else graft.llm.TextAnalysis.fingerprint(c).cast("string")
     val refSigs = ref.select(sig(col(refTextCol)).as("__rsig")).distinct()
-    stream.join(broadcast(refSigs),
+    // NO broadcast hint: a retained corpus's distinct signature set is
+    // data-sized — at the 100 TB contract it is tens of GB and a forced
+    // broadcast would OOM the driver / hit the broadcast hard limit on
+    // every micro-batch. Leave the strategy to the planner: a small
+    // reference auto-broadcasts under the threshold, a large one plans
+    // the shuffled stream-static equi-join this anti-join supports.
+    stream.join(refSigs,
       sig(col(textCol)) === col("__rsig"), "left_anti")
   }
 
@@ -672,7 +710,10 @@ object StreamRunner {
       (try {
         val n = termsJson.readTree(s)
         if (n.isArray)
-          Some(Iterator.range(0, n.size).map(i => n.get(i).asText).toSeq)
+          // null elements DROP (the parquet path's filter(_ != null)
+          // parity) — NullNode.asText would become the bogus term "null"
+          Some(Iterator.range(0, n.size).map(n.get)
+            .filterNot(_.isNull).map(_.asText).toSeq)
         else None
       } catch { case _: Exception => None })
         .orElse(Some(s.split("\\s+").toSeq))
@@ -684,10 +725,14 @@ object StreamRunner {
 
   private def coerceVecValue(x: Any): Option[Seq[Double]] = x match {
     case a: scala.collection.Seq[_] if !a.contains(null) =>
-      Some(a.iterator.map {
-        case n: Number => n.doubleValue()
-        case other     => other.toString.toDouble
-      }.toSeq)
+      // TOTAL coercion: a non-numeric element makes the ROW malformed
+      // (skipped with the usual warning) — other.toString.toDouble
+      // would throw and kill the serving stream on one bad record
+      val parsed = a.iterator.map {
+        case n: Number => Some(n.doubleValue())
+        case other     => other.toString.toDoubleOption
+      }.toSeq
+      if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
     case _ => None
   }
 
@@ -697,7 +742,10 @@ object StreamRunner {
     * scanned end-to-end just to count it. */
   private def guardBatchSize(batch: org.apache.spark.sql.Dataset[_],
                              batchId: Long, max: Int, job: String): Unit =
-    if (batch.limit(max + 1).count() > max) throw new IllegalStateException(
+    // max+1 would overflow at Int.MaxValue — the natural "disable the
+    // guard" override — and a negative limit fails every batch
+    if (max != Int.MaxValue &&
+        batch.limit(max + 1).count() > max) throw new IllegalStateException(
       s"$job: micro-batch $batchId carries more than " +
         s"max-queries-per-batch $max query rows — a query batch collects " +
         "to the driver, so an unbounded file must be rejected, not " +
@@ -761,6 +809,11 @@ object StreamRunner {
     require(filterDfl.isEmpty || minCos.isEmpty,
       "annServe: --filter composes with top-k serving only, not --min-cos range")
     val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
+    // ...and RESOLVED eagerly against the index layout (the bm25/hybrid
+    // posture): a filter naming a column the index never carried fails
+    // here, not at the first non-empty micro-batch hours in
+    pred.foreach(p => queries.sparkSession.read
+      .parquet(s"$indexDir/vectors").filter(p).queryExecution.analyzed)
     // RANGE serving: `minCos = Some(t)` answers every id at `cos >= t`
     // instead of the top-k (k is ignored). Each micro-batch is ONE
     // batched pruned probe — lshRangeBatch's union-of-Hamming-balls /
@@ -788,20 +841,15 @@ object StreamRunner {
         // non-integral qids and null / null-element vectors are SKIPPED.
         val qs = batch.select(col(qidCol), col(vecCol)).collect().iterator
           .flatMap { r =>
-            val qid = if (r.isNullAt(0)) None else r.get(0) match {
-              // a fractional id would silently truncate and MERGE two
-              // queries' answers under one qid — skip, never truncate
-              case n: Number if n.doubleValue().isWhole => Some(n.longValue())
-              case n: Number                            => None
-              case other => other.toString.toLongOption
-            }
-            val vec = if (r.isNullAt(1)) None else Option(r.getSeq[Any](1))
-              .filter(!_.contains(null))
-              .map(_.map {
-                case n: Number => n.doubleValue()
-                case other     => other.toString.toDouble
-              })
-            qid.zip(vec)
+            // the shared malformed-row tolerance (coerceQidValue/
+            // coerceVecValue — fractional qids and non-numeric vector
+            // elements SKIP with a warning, never kill the stream)
+            val qid = if (r.isNullAt(0)) None else coerceQidValue(r.get(0))
+            val vec = if (r.isNullAt(1)) None else coerceVecValue(r.get(1))
+            val q = qid.zip(vec)
+            if (q.isEmpty)
+              log.warn(s"annServe: skipping malformed query row $r")
+            q
           }.toSeq
           // a qid duplicated WITHIN one micro-batch would duplicate (or,
           // with different vectors, silently merge) its answer rows —
@@ -1395,12 +1443,9 @@ object StreamRunner {
     }
     val unique =
       if (watermark.isEmpty) decontaminated
-      else decontaminated
-        .withColumn(timeCol, col(timeCol).cast("timestamp"))
-        .withColumn("__fp", graft.llm.TextAnalysis.fingerprint(col(textCol)))
-        .withWatermark(timeCol, watermark)
-        .dropDuplicatesWithinWatermark("__fp")
-        .drop("__fp")
+      else streamingDedup(
+        decontaminated.withColumn(timeCol, col(timeCol).cast("timestamp")),
+        textCol, timeCol, watermark)
     val w = unique.writeStream
       .format("parquet")
       .option("path", outUri)

@@ -72,6 +72,48 @@ class StreamParitySpec extends AnyFunSuite {
     }
     StreamRunner.validateStreamable("jsonl",
       "classify(@, '@id', '@vec', $w, 0.0)")
+    // the dict-assembly stage compiles to a whole-dataset collect_list
+    // aggregation — fenced like the named dataset operators
+    intercept[IllegalArgumentException] {
+      StreamRunner.validateStreamable("jsonl",
+        "filter(@, '@a == 1') | {rows: @, n: len(@)}")
+    }
+  }
+
+  test("hist through --stream runs in complete mode and matches the batch histogram") {
+    val dir = Files.createTempDirectory("graft-streamhist").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      Seq("{\"amenity\":\"bar\"}", "{\"amenity\":\"bar\"}",
+        "{\"amenity\":\"cafe\"}").mkString("\n"))
+    // an un-watermarked streaming aggregation is illegal in APPEND mode:
+    // runOnce must pick COMPLETE from the plan instead of dying with an
+    // AnalysisException after validateStreamable passed
+    val got = StreamRunner.runOnce(spark, dir, "jsonl",
+        "hist(@, '@amenity')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.dfl.DflFrame.pipeline(
+        spark.read.json(s"$dir/a.jsonl"), "hist(@, '@amenity')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got == Set(("bar", 2L), ("cafe", 1L)))
+  }
+
+  test("streaming DSIR filter rejects a bucket-count mismatch loudly") {
+    val target = Seq((1L, "clinical trial")).toDF("id", "text")
+    val source = Seq((2L, "football match")).toDF("id", "text")
+    val model = graft.llm.Dsir.fit(source, target, "text", buckets = 512)
+    val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      .json(Files.createTempDirectory("graft-dsirmm").toString)
+    // fit at 512, served at the 1024 default: scores would hash into the
+    // wrong bucket space (crash or silent mis-scoring) — fail construction
+    val err = intercept[IllegalArgumentException] {
+      StreamRunner.streamingDsirFilter(stream, "id", "text", model, 0.0)
+    }
+    assert(err.getMessage.contains("512") && err.getMessage.contains("1024"))
   }
 
   test("streaming DSIR filter serves a frozen batch-trained model, batch-parity") {
