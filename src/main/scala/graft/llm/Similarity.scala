@@ -333,12 +333,38 @@ object Similarity {
     * recomputed partition mid-training could feed DIFFERENT rows to later
     * k-means iterations, yielding inconsistent centroids. Training itself
     * is distributed ([[kmeansDistributed]] — vectors never collect). */
+  /** The collision-geometry probe radius of the LSH RANGE family: two
+    * vectors at cosine c disagree on each hyperplane bit with
+    * probability acos(c)/π, so the expected Hamming distance at the
+    * threshold is nBits·acos(minCos)/π; `slackBits` widens past the
+    * expectation and the radius caps at nBits. ONE implementation — the
+    * rule used to be copy-pasted at five probe sites. */
+  private def rangeRadius(nBits: Int, minCos: Double, slackBits: Int): Int = {
+    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
+    math.min(nBits, math.ceil(expected).toInt + slackBits)
+  }
+
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      kLists: Int, trainSample: Int): Array[Array[Double]] = {
+    // EXCLUDE malformed rows from training exactly as the assign/probe
+    // paths exclude them from serving (null vectors, null elements,
+    // ragged dims): one bad row in the sample otherwise kills the whole
+    // build with an opaque executor NPE/AIOOBE
     val sampleRdd = df.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(trainSample)
       .select(col(vecCol)).rdd
-      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+      .flatMap { r =>
+        val xs = r.getSeq[Any](0)
+        if (xs == null || xs.contains(null)) None
+        else Some(xs.map(_.asInstanceOf[Number].doubleValue()).toArray)
+      }
+    val dims = sampleRdd.map(_.length).distinct().collect()
+    require(dims.nonEmpty,
+      "trainCentroids: no well-formed vectors in the training sample")
+    require(dims.length == 1,
+      s"trainCentroids: ragged vector dims ${dims.toSeq.sorted} in the " +
+        "training sample")
     kmeansDistributed(sampleRdd, kLists)
   }
 
@@ -1272,6 +1298,9 @@ object Similarity {
                            cacheKey: String, queries: Seq[(Long, Seq[Double])],
                            minCos: Double, kLists: Int = 16, nprobe: Int = 8,
                            trainSample: Int = 2048): DataFrame = {
+    require(queries.nonEmpty, "ivfRangeBatchIndexed: empty query batch")
+    require(queries.map(_._2.size).distinct.size == 1,
+      s"ivfRangeBatchIndexed: ragged query dims ${queries.map(_._2.size).distinct}")
     val dir = cachedIndex(df, cacheKey, s"ivf|k=$kLists|t=$trainSample",
       Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
       ivfBuild(df, idCol, vecCol, d, kLists, trainSample); ()
@@ -1388,8 +1417,19 @@ object Similarity {
   private final class IndexSlot(val stamp: String,
                                 val files: Map[String, (Long, Long)],
                                 val baseFileCount: Int,
-                                mk: () => String) {
-    lazy val dir: String = mk()
+                                mk0: () => String) {
+    // once-memo that RELEASES the thunk after forcing: a plain
+    // `lazy val dir = mk()` keeps `mk` as a field forever, and each
+    // append-path slot's thunk captures the PREVIOUS slot plus the
+    // call's DataFrame — a long-running serving process appending daily
+    // would otherwise retain an unbounded slot/plan chain per cacheKey
+    // until the rebuild-factor retrain
+    private[this] var thunk: () => String = mk0
+    private[this] var computed: String = _
+    def dir: String = synchronized {
+      if (thunk != null) { computed = thunk(); thunk = null }
+      computed
+    }
   }
 
   private val indexCache =
@@ -1659,6 +1699,13 @@ object Similarity {
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"ivfQueryBatchFiltered: ragged query dims $dims")
     require(chunkSize > 0, "ivfQueryBatchFiltered: chunkSize must be positive")
+    // results are keyed by QID here (the widening loop tracks per-query
+    // satisfaction) — a duplicated qid would conflate two queries'
+    // candidate pools and double-emit rows; reject loudly (the serving
+    // jobs already drop in-batch duplicates, the pos-keyed unfiltered
+    // path tolerates them)
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfQueryBatchFiltered: duplicate qids in one batch")
     val idx = ivfMeta(spark, indexDir)
     require(dims.head == idx.centroids.head.length,
       s"ivfQueryBatchFiltered: query dim ${dims.head} != index dim ${idx.centroids.head.length}")
@@ -1671,7 +1718,16 @@ object Similarity {
       val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
         val probeLists = chunk.map(q =>
           nearestLists(idx.centroids, q._2.toArray, width))
-        scoreIvfGroup(eligible, chunk, probeLists, k).collect()
+        // prune the read to THIS round's union of probe lists (the
+        // ivfQueryBatch posture) — scoreIvfGroup's per-query membership
+        // filter keeps answers identical, but without the partition
+        // pruning every widening round re-scanned ALL kLists partitions
+        // and the index bought nothing on the filtered path
+        val allLists = probeLists.flatten.distinct
+        val pruned =
+          if (allLists.size >= kLists) eligible
+          else eligible.filter(col("list").isin(allLists: _*))
+        scoreIvfGroup(pruned, chunk, probeLists, k).collect()
       }
       val byQ = rows.groupBy(_.getLong(0))
       val (done, todo) = pending.partition(q =>
@@ -1712,6 +1768,9 @@ object Similarity {
                                   pred: Column, metaCols: Seq[String],
                                   kLists: Int = 16, nprobe: Int = 8,
                                   trainSample: Int = 2048): DataFrame = {
+    require(queries.nonEmpty, "ivfTopKBatchFilteredIndexed: empty query batch")
+    require(queries.map(_._2.size).distinct.size == 1,
+      s"ivfTopKBatchFilteredIndexed: ragged query dims ${queries.map(_._2.size).distinct}")
     val dir = cachedIndex(df, cacheKey,
       s"ivf|k=$kLists|t=$trainSample|m=${metaCols.mkString(",")}",
       Some((newRows, d) => ivfAppend(newRows, idCol, vecCol, d))) { d =>
@@ -1837,6 +1896,25 @@ object Similarity {
                nBits: Int = 16, dim: Int = 64,
                partitionBits: Int = 8, metaCols: Seq[String] = Nil): Unit = {
     requireValidMetaCols(metaCols, Set("id", "v", "bucket", "pband"), "lshBuild")
+    // the hyperplane family is a function of (nBits, dim): a `dim` that
+    // doesn't match the corpus would sign EVERY vector as malformed
+    // (NULL bucket) and commit a silently-useless index whose probes
+    // return zero rows forever — fail the build loudly instead (one
+    // first-non-null-row peek; the IVF family's centroid-dim require)
+    val sample = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .head(1)
+    // an empty corpus would commit an index whose vectors dir has no
+    // files — every later read dies on parquet schema inference with an
+    // unrelated-looking error (the lshAppend explicit-schema lesson);
+    // fail the build with the real reason
+    require(sample.nonEmpty,
+      "lshBuild: corpus has no non-null vectors — refusing to commit an " +
+        "empty index (bootstrap from a non-empty backfill)")
+    val got = sample.head.getSeq[Any](0).size
+    require(got == dim,
+      s"lshBuild: corpus vector dim $got != configured dim $dim — " +
+        "probes over a mismatched hyperplane family would silently " +
+        "return nothing")
     val pBits = math.min(partitionBits, nBits)
     val sess = df.sparkSession
     stagedCommit(sess, indexDir) { staging =>
@@ -2107,8 +2185,7 @@ object Similarity {
     require(query.size == idx.dim,
       s"lshRange: query dim ${query.size} != index dim ${idx.dim}")
     val qSig = querySignature(query, hyperplanes(idx.nBits, idx.dim))
-    val expected = idx.nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
-    val radius = math.min(idx.nBits, math.ceil(expected).toInt + slackBits)
+    val radius = rangeRadius(idx.nBits, minCos, slackBits)
     val qLit = array(query.map(lit): _*)
     prunedCandidates(idx.vectors, idx, qSig, radius, maxEnumBuckets)
       .select(col("id"), round(cosine(col("v"), qLit), 6).as("cos"))
@@ -2132,8 +2209,7 @@ object Similarity {
     require(query.size == idx.dim,
       s"lshRangeFiltered: query dim ${query.size} != index dim ${idx.dim}")
     val qSig = querySignature(query, hyperplanes(idx.nBits, idx.dim))
-    val expected = idx.nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
-    val radius = math.min(idx.nBits, math.ceil(expected).toInt + slackBits)
+    val radius = rangeRadius(idx.nBits, minCos, slackBits)
     val qLit = array(query.map(lit): _*)
     prunedCandidates(idx.vectors, idx, qSig, radius, maxEnumBuckets)
       .filter(pred)
@@ -2157,8 +2233,7 @@ object Similarity {
     require(slackBits >= 0, s"lshRangeAdhoc: slackBits must be >= 0, got $slackBits")
     val dim = query.size
     val qSig = querySignature(query, hyperplanes(nBits, dim))
-    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
-    val radius = math.min(nBits, math.ceil(expected).toInt + slackBits)
+    val radius = rangeRadius(nBits, minCos, slackBits)
     val qLit = array(query.map(lit): _*)
     lshBuckets(df, idCol, vecCol, nBits, dim)
       .filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= radius)
@@ -2312,7 +2387,12 @@ object Similarity {
                                   pred: Column, metaCols: Seq[String],
                                   nBits: Int = 16, minCandidates: Int = 100,
                                   partitionBits: Int = 8): DataFrame = {
+    // validate the batch BEFORE resolving the cache (the
+    // lshTopKBatchIndexed rule): a ragged batch must not cost a full
+    // index build it could never use
     require(queries.nonEmpty, "lshTopKBatchFilteredIndexed: empty query batch")
+    require(queries.map(_._2.size).distinct.size == 1,
+      s"lshTopKBatchFilteredIndexed: ragged query dims ${queries.map(_._2.size).distinct}")
     val dim = queries.head._2.size
     val dir = cachedIndex(df, cacheKey,
       s"lsh|b=$nBits|d=$dim|p=$partitionBits|m=${metaCols.mkString(",")}",
@@ -2356,6 +2436,10 @@ object Similarity {
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"lshQueryBatchFiltered: ragged query dims $dims")
     require(chunkSize > 0, "lshQueryBatchFiltered: chunkSize must be positive")
+    // qid-keyed widening loop — duplicates would conflate two queries'
+    // pools (the ivfQueryBatchFiltered note); reject loudly
+    require(queries.map(_._1).distinct.size == queries.size,
+      "lshQueryBatchFiltered: duplicate qids in one batch")
     val idx = lshMeta(spark, indexDir)
     require(dims.head == idx.dim,
       s"lshQueryBatchFiltered: query dim ${dims.head} != index dim ${idx.dim}")
@@ -2372,17 +2456,27 @@ object Similarity {
     while (pending.nonEmpty) {
       val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
         // union prefix-ball pruning, lossless under the per-query
-        // full-signature Hamming filter inside scoreLshGroup; any
-        // unenumerable ball in the chunk drops the pruning for the chunk
+        // full-signature Hamming filter inside scoreLshGroup. PER-GROUP
+        // split (the lshQueryBatch posture): one adversarial wide-ball
+        // query must not cost every other query its pruned read —
+        // enumerable queries share one union-pruned read, overflow
+        // queries share one unpruned scan, the answers union
         val balls = chunk.map { case (_, _, sig, r) =>
           prefixBall(sig, idx.nBits, idx.pBits, r, maxEnumBuckets) }
-        val read =
-          if (balls.forall(_.isDefined))
-            eligible.filter(col("pband").isin(
-              pbandLiterals(idx, balls.flatMap(_.get).distinct): _*))
-          else eligible
-        scoreLshGroup(read, chunk.map(c => (c._1, c._2)),
-          chunk.map(_._3), chunk.map(_._4), k).collect()
+        val (enumC, scanC) = chunk.zip(balls).partition(_._2.isDefined)
+        val parts = Seq(
+          if (enumC.isEmpty) None else Some {
+            val ids = enumC.flatMap(_._2.get).distinct
+            scoreLshGroup(
+              eligible.filter(col("pband").isin(pbandLiterals(idx, ids): _*)),
+              enumC.map(c => (c._1._1, c._1._2)), enumC.map(_._1._3),
+              enumC.map(_._1._4), k)
+          },
+          if (scanC.isEmpty) None else Some(
+            scoreLshGroup(eligible, scanC.map(c => (c._1._1, c._1._2)),
+              scanC.map(_._1._3), scanC.map(_._1._4), k))
+        ).flatten
+        parts.flatMap(_.collect())
       }
       val byQ = rows.groupBy(_.getLong(0))
       val (done, todo) = pending.partition { case (qid, _, _, r) =>
@@ -2507,8 +2601,7 @@ object Similarity {
     val nBits = idx.nBits
     val planes = hyperplanes(nBits, idx.dim)
     val qSigs = queries.map { case (_, q) => querySignature(q, planes) }
-    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
-    val radius = math.min(nBits, math.ceil(expected).toInt + slackBits)
+    val radius = rangeRadius(nBits, minCos, slackBits)
     val balls: Seq[Option[Seq[Long]]] = qSigs.map(qSig =>
       prefixBall(qSig, nBits, idx.pBits, radius, maxEnumBuckets))
     val (enumIdx, scanIdx) = queries.indices.partition(i => balls(i).isDefined)
@@ -2543,8 +2636,7 @@ object Similarity {
     val dim = dims.head
     val planes = hyperplanes(nBits, dim)
     val bucketed = lshBuckets(df, idCol, vecCol, nBits, dim)
-    val expected = nBits * math.acos(math.max(-1.0, math.min(1.0, minCos))) / math.Pi
-    val radius = math.min(nBits, math.ceil(expected).toInt + slackBits)
+    val radius = rangeRadius(nBits, minCos, slackBits)
     queries.grouped(chunkSize).map { chunk =>
       scoreLshRangeGroup(bucketed, chunk,
         chunk.map { case (_, q) => querySignature(q, planes) }, radius, minCos)
