@@ -69,7 +69,23 @@ object Retrieval {
                b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty query")
     require(k > 0, s"bm25TopK: k must be positive, got $k")
-    val scored = scorePerDoc(df, idCol, textCol, terms.distinct, k1, b)
+    directTopK(df, idCol, textCol, terms, k, k1, b, None)
+  }
+
+  /** The shared direct-scan tail (the [[indexedTopK]] pattern for the
+    * scan family): score, optionally restrict to `pred` rows (an
+    * id-level LEFT SEMI after scoring — commutes with the per-id sum
+    * and can never leak into the df window), bounded heap, 1-based
+    * ranks. ONE copy of the engine-identical tie-order/rounding tail. */
+  private def directTopK(df: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String], k: Int, k1: Double, b: Double,
+                         pred: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val scored0 = scorePerDoc(df, idCol, textCol, terms.distinct, k1, b)
+    val scored = pred.fold(scored0) { p =>
+      scored0.join(df.filter(p).select(col(idCol).cast("long").as("id")),
+        Seq("id"), "left_semi")
+    }
     import graft.functions.TopKF
     scored.agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
       .select(posexplode(col("topk")).as(Seq("r", "hit")))
@@ -93,14 +109,7 @@ object Retrieval {
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopKFiltered: empty query")
     require(k > 0, s"bm25TopKFiltered: k must be positive, got $k")
-    val scored = scorePerDoc(df, idCol, textCol, terms.distinct, k1, b)
-    val keep = df.filter(pred).select(col(idCol).cast("long").as("id"))
-    import graft.functions.TopKF
-    scored.join(keep, Seq("id"), "left_semi")
-      .agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
-      .select(posexplode(col("topk")).as(Seq("r", "hit")))
-      .select(col("hit.id").as("id"), col("hit.score").as("score"),
-        (col("r") + 1).cast("long").as("rnk"))
+    directTopK(df, idCol, textCol, terms, k, k1, b, Some(pred))
   }
 
   /** `(id, score)` for every document matching ≥1 query term.
@@ -459,13 +468,30 @@ object Retrieval {
     * with `metaCols` riding into the postings (they are the predicate's
     * attribute set — the annTopKFiltered convention) and the probe
     * routed to [[bm25TopKIndexedFiltered]]. The cache stamp carries the
-    * metaCols list, so a filtered and an unfiltered probe of the same
-    * corpus never collide on one index layout. */
+    * metaCols list, so a filtered probe can never be served from a
+    * layout missing its metadata columns — but the cache holds ONE slot
+    * per cacheKey, so INTERLEAVING filtered and unfiltered probes under
+    * the same key flips the stamp and pays a rebuild each time: give
+    * the filtered lifecycle its own cacheKey (the DFL stage bakes the
+    * metaCols into its key for exactly this reason). */
   def bm25TopKCachedFiltered(df: DataFrame, idCol: String, textCol: String,
                              cacheKey: String, terms: Seq[String], k: Int,
                              pred: org.apache.spark.sql.Column,
                              metaCols: Seq[String], pbands: Int = 64,
                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // validate BEFORE resolving the cache (the lshTopKBatchFilteredIndexed
+    // rule): bad arguments — or a predicate naming a column that will
+    // never ride into the postings — must not pay a full index build
+    // they could never use
+    require(terms.nonEmpty, "bm25TopKCachedFiltered: empty query")
+    require(k > 0, s"bm25TopKCachedFiltered: k must be positive, got $k")
+    val predRefs = org.apache.spark.sql.graftbridge.Bridge
+      .expression(pred).references.map(_.name).toSet
+    val carried = metaCols.toSet ++ Set("id", "dl", "w", "tf", "pband")
+    require(predRefs.subsetOf(carried),
+      s"bm25TopKCachedFiltered: predicate references " +
+        s"${(predRefs -- carried).mkString(", ")} which metaCols " +
+        s"(${metaCols.mkString(", ")}) would not carry into the postings")
     val dir = Similarity.cachedIndex(df,
       cacheKey, s"bm25|p=$pbands|m=${metaCols.mkString(",")}",
       Some((newRows, d) => bm25Append(newRows, idCol, textCol, d))) { d =>
@@ -838,17 +864,11 @@ object Retrieval {
     require(runs.nonEmpty, "rrfFuse: no runs")
     require(k > 0, s"rrfFuse: k must be positive, got $k")
     require(c >= 0, s"rrfFuse: c must be >= 0, got $c")
-    val union = runs
-      .map(_.select(col("id").cast("long").as("id"),
-        col("rnk").cast("long").as("rnk")))
-      .reduce(_ unionByName _)
-    val fused = union.groupBy(col("id"))
-      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("rnk"))), 6).as("score"))
-    import graft.functions.TopKF
-    fused.agg(TopKF.topKByScore(col("score"), col("id"), k).as("topk"))
-      .select(posexplode(col("topk")).as(Seq("r", "hit")))
-      .select(col("hit.id").as("id"), col("hit.score").as("score"),
-        (col("r") + 1).cast("long").as("rnk"))
+    // the single-query path IS the batch path under one constant qid —
+    // the "every qid's slice fuses exactly as the single path" contract
+    // holds by construction instead of by a spec racing two copies of
+    // the fusion arithmetic
+    rrfFuseBatch(runs.map(_.withColumn("qid", lit(0L))), k, c).drop("qid")
   }
 
   /** [[rrfFuse]] for a BATCH of queries: each run holds `(qid, id, rnk)`

@@ -1289,14 +1289,40 @@ object StreamRunner {
               case None => fused
               case Some(l) =>
                 // the MMR penalty cosines need float vectors: fetch the
-                // fused candidates' rows from the ANN index itself — one
-                // scan joined against the broadcast serving-sized pool
+                // fused candidates' rows from the ANN index itself. The
+                // pool is serving-sized BY CONSTRUCTION (≤ pool×queries
+                // rows), so it COLLECTS once — re-deriving it lazily
+                // would re-run both index probes for every consumer —
+                // and re-materializes as a local frame for the ONE
+                // vectors-scan join.
+                import spark.implicits._
+                val poolRows = fused.select("qid", "id", "score").collect()
+                  .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+                  .toSeq
+                val poolDf = poolRows.toDF("qid", "id", "score")
                 val vecs = spark.read.parquet(s"$annIndexDir/vectors")
                   .select(col("id"), col("v"))
-                val cands = vecs.join(
-                  broadcast(fused.select("qid", "id", "score")), Seq("id"))
-                graft.llm.Retrieval.mmrRerankBatch(cands, "qid", "id",
-                  "score", "v", k, l)
+                val candsDf = vecs.join(broadcast(poolDf), Seq("id"))
+                // serving-sized (pool rows that HAVE vectors): collect
+                // ONCE so the missing-count and the MMR input share one
+                // vectors scan
+                val candRows = candsDf.collect()
+                // the two indexes are separately-appendable artifacts: a
+                // candidate the BM25 index ranked but the ANN index does
+                // not yet carry has no vector and cannot be diversified.
+                // That coverage change must be OBSERVABLE (every other
+                // degraded input here warns), never silent.
+                val missing = poolRows.size - candRows.length
+                if (missing > 0)
+                  log.warn(s"hybridServe: batch $batchId dropped " +
+                    s"$missing fused candidate(s) with no vector in " +
+                    s"$annIndexDir (BM25/ANN index contents diverge — " +
+                    "run the ANN ingest to catch up)")
+                graft.llm.Retrieval.mmrRerankBatch(
+                  spark.createDataFrame(
+                    java.util.Arrays.asList(candRows.toIndexedSeq: _*),
+                    candsDf.schema),
+                  "qid", "id", "score", "v", k, l)
             }
             sink(answer, batchId)
           }
