@@ -47,7 +47,8 @@ object DflFrame {
   /** Compile a row-level DFL predicate to a Column against `df`
     * (the `filter(@, '…')` inner expression form). */
   def predicate(df: DataFrame, src: String, vars: Map[String, Any] = Map.empty): Column =
-    ColumnCompiler.compile(Parser.parse(src), ColumnCompiler.Ctx.forDataFrame(df, vars))
+    ColumnCompiler.compile(Parser.parse(src), ColumnCompiler.Ctx.forDataFrame(df,
+      vars.filterNot(_._2.isInstanceOf[DataFrame])))
 
   /** The per-record error side channel (reference: cli/process.go:167-189
     * routes records whose evaluation fails to a separate writer): input
@@ -68,17 +69,28 @@ object DflFrame {
     val rowPrefix = stages.takeWhile {
       case n if isDatasetStage(n)                    => false
       case Var(_)                                    => false
-      case Assign(_, v) if containsDatasetCall(v)    => false
+      // a bind of a dataset call OR of a bare $var (which may be a
+      // caller-seeded dataset), and an elvis/ternary containing a
+      // dataset call, are all potentially dataset-valued under run()'s
+      // dynamic classification — stop conservatively, never compile
+      // them row-level here
+      case Assign(_, v)
+          if containsDatasetCall(v) || v.isInstanceOf[Var]    => false
+      case e @ Elvis(_, _) if containsDatasetCall(e)          => false
       case Ternary(_, t, f)
           if containsDatasetCall(t) || containsDatasetCall(f) => false
       case _                                         => true
     }
     if (rowPrefix.isEmpty) df.limit(0)
     else {
+      // scalars only, exactly as run() filters them — a caller-seeded
+      // DataFrame var in a scalar position must fail the same clean way
+      // on both entry points, not die in litAny
+      val scalars = vars.filterNot(_._2.isInstanceOf[DataFrame])
       var st: Option[RowState] = None
       def ctx(): ColumnCompiler.Ctx = st match {
-        case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, vars, lets)
-        case None                      => ColumnCompiler.Ctx.forDataFrame(df, vars)
+        case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, scalars, lets)
+        case None                      => ColumnCompiler.Ctx.forDataFrame(df, scalars)
       }
       rowPrefix.foreach {
         case Assign(name, value) =>
@@ -127,6 +139,34 @@ object DflFrame {
     var dsVars: Map[String, DataFrame] =
       vars.collect { case (k, d: DataFrame) => k -> d }
     val scalarVars = vars.filterNot(_._2.isInstanceOf[DataFrame])
+
+    /** The value set of a dataset `-` RHS: literals, NEGATIVE literals
+      * (the lexer has no negative literals — `-1` arrives as
+      * Unary("-", 1)), and scalar $vars. Anything else is a loud error —
+      * `collect {{ case Lit(v) => v }}` used to silently DROP negative
+      * and var elements from the set, leaving their rows in the result. */
+    def minusDropVals(rhs: Node): Seq[Any] = {
+      def elem(e: Node): Any = e match {
+        case Lit(v)                     => v
+        case Unary("-", Lit(v: Long))   => -v
+        case Unary("-", Lit(v: Double)) => -v
+        case Var(n2) => scalarVars.getOrElse(n2,
+          throw new DflParseException(s"unbound $$$n2"))
+        case other => throw new DflParseException(
+          s"dataset '-' set element must be a literal or $$var: ${Node.render(other)}")
+      }
+      rhs match {
+        case Var(n2) => scalarVars.getOrElse(n2,
+          throw new DflParseException(s"unbound $$$n2")) match {
+          case xs: Seq[_] => xs
+          case other      => Seq(other)
+        }
+        case SetLit(xs)   => xs.map(elem)
+        case ArrayLit(xs) => xs.map(elem)
+        case other => throw new DflParseException(
+          s"dataset '-' needs a set/var on the right, got ${Node.render(other)}")
+      }
+    }
 
     def rowCtx(): ColumnCompiler.Ctx = row match {
       case Some(RowState(cur, lets)) => ColumnCompiler.Ctx.forValue(cur, scalarVars, lets)
@@ -191,6 +231,13 @@ object DflFrame {
       case FunCall("array", List(inner: FunCall))
           if datasetFns(inner.name) && isDatasetArg(inner.args.headOption) =>
         datasetOp(df, inner.name, inner.args, scalarVars, dsVars)
+      // the dataset-minus form is a dataset expression everywhere the
+      // classifier says it is — `$top := (hist(@, '@w') - $stop)` used
+      // to fall through to the catch-all despite working as a bare stage
+      case Binary("-", FunCall(name, fargs), rhs)
+          if datasetFns(name) && isDatasetArg(fargs.headOption) =>
+        val base = datasetOp(df, name, fargs, scalarVars, dsVars)
+        base.filter(!col(base.columns.head).isin(minusDropVals(rhs): _*))
       case d: DictLit if referencesDataset(d) => assembleDict(df, d, scalarVars)
       case other => throw new DflParseException(
         s"not a dataset expression: ${Node.render(other)}")
@@ -254,18 +301,7 @@ object DflFrame {
         // to a broadcast-friendly NOT IN — never a shuffle.
         flush()
         df = datasetOp(df, name, fargs, scalarVars, dsVars)
-        val dropVals: Seq[Any] = rhs match {
-          case Var(n) => scalarVars.getOrElse(n,
-            throw new DflParseException(s"unbound $$$n")) match {
-            case xs: Seq[_] => xs
-            case other      => Seq(other)
-          }
-          case SetLit(xs)   => xs.collect { case Lit(v) => v }
-          case ArrayLit(xs) => xs.collect { case Lit(v) => v }
-          case other => throw new DflParseException(
-            s"dataset '-' needs a set/var on the right, got ${Node.render(other)}")
-        }
-        df = df.filter(!col(df.columns.head).isin(dropVals: _*))
+        df = df.filter(!col(df.columns.head).isin(minusDropVals(rhs): _*))
         val _ = fc
 
       case d: DictLit if referencesDataset(d) =>
@@ -284,7 +320,14 @@ object DflFrame {
         dsVars += name -> df
 
       case Var(name) if dsVars.contains(name) =>
-        // dataset var as a pipeline stage: substitute the bound dataset
+        // dataset var as a pipeline stage: substitute the bound dataset.
+        // If the SAME name is also bound by a pending row-level ':=',
+        // the two bindings disagree on what $name means — fail loudly
+        // instead of silently serving the stale dataset
+        if (row.exists(_.lets.contains(name)))
+          throw new DflParseException(
+            s"$$$name is bound both as a dataset var and by a pending " +
+              "row-level ':=' — rename one binding")
         flush()
         df = dsVars(name)
 
@@ -346,7 +389,20 @@ object DflFrame {
       case _                                  => false
     }
 
+  /** Dispatch front door: converts a raw args-index overrun in any
+    * stage body into the DflParseException contract every stage owes
+    * the HTTP exec surface (a bare IndexOutOfBoundsException read as a
+    * 500 with a JVM stack, not a usage error). */
   private def datasetOp(df: DataFrame, name: String, args: List[Node],
+                        vars: Map[String, Any],
+                        dsVars: Map[String, DataFrame] = Map.empty): DataFrame =
+    try datasetOpImpl(df, name, args, vars, dsVars)
+    catch {
+      case _: IndexOutOfBoundsException => throw new DflParseException(
+        s"$name: wrong number of arguments (${args.size - 1} given)")
+    }
+
+  private def datasetOpImpl(df: DataFrame, name: String, args: List[Node],
                         vars: Map[String, Any],
                         dsVars: Map[String, DataFrame] = Map.empty): DataFrame = {
     def sub(i: Int): Node = args(i) match {
@@ -489,7 +545,11 @@ object DflFrame {
         val desc = args.size > 2 && (args(2) match {
           case Lit(b: Boolean) => b
           case Lit("true")     => true
-          case _               => false
+          case Lit("false")    => false
+          // 'desc'/'asc'/typos must not silently sort ascending — the
+          // reject-silently-ignored-config rule
+          case other => throw new DflParseException(
+            s"sort direction must be true|false, got ${Node.render(other)}")
         })
         val key = if (args.size > 1) subCol(1)
                   else if (df.columns.length == 1) col(df.columns.head)
@@ -684,7 +744,7 @@ object DflFrame {
         // statistics either way → stream-fenced.
         if (args.size < 5 || args.size > 7) throw new DflParseException(
           "bm25 takes (@, idExpr, textExpr, 'terms', k[, k1, b])")
-        val bmTerms = strArg(3).split(" ").toSeq.filter(_.nonEmpty)
+        val bmTerms = strArg(3).split("\\s+").toSeq.filter(_.nonEmpty)
         if (bmTerms.isEmpty)
           throw new DflParseException("bm25: empty query terms")
         val bmK = intArg(4)
@@ -983,8 +1043,15 @@ object DflFrame {
         // colliding with a left name gets the r_ prefix
         val rightK = rightK0.columns.filter(_ != "__gjk")
           .foldLeft(rightK0) { (acc, c) =>
-            if (leftK.columns.contains(c)) acc.withColumnRenamed(c, s"r_$c")
-            else acc
+            if (leftK.columns.contains(c)) {
+              // the prefixed name can itself collide (a left column
+              // already named r_<c>) — keep prefixing until free, so
+              // the promise "never silently duplicates a column" holds
+              var nn = s"r_$c"
+              while (leftK.columns.contains(nn) || acc.columns.contains(nn))
+                nn = s"r_$nn"
+              acc.withColumnRenamed(c, nn)
+            } else acc
           }
         leftK.join(if (joinHint) broadcast(rightK) else rightK,
           Seq("__gjk"), joinType).drop("__gjk")
@@ -1180,7 +1247,7 @@ object DflFrame {
         // streaming serving surfaces).
         if (args.size < 7 || args.size > 8) throw new DflParseException(
           "hybrid takes (@, idExpr, textExpr, vecExpr, 'terms', $qvec, k[, lambda])")
-        val hyTerms = strArg(4).split(" ").toSeq.filter(_.nonEmpty)
+        val hyTerms = strArg(4).split("\\s+").toSeq.filter(_.nonEmpty)
         if (hyTerms.isEmpty)
           throw new DflParseException("hybrid: empty query terms")
         val hyQ = vecArg(5)
@@ -1238,7 +1305,7 @@ object DflFrame {
         // serving surface).
         if (args.size < 8 || args.size > 9) throw new DflParseException(
           "hybridFiltered takes (@, idExpr, textExpr, vecExpr, 'terms', $qvec, k, 'pred'[, lambda])")
-        val hfTerms = strArg(4).split(" ").toSeq.filter(_.nonEmpty)
+        val hfTerms = strArg(4).split("\\s+").toSeq.filter(_.nonEmpty)
         if (hfTerms.isEmpty)
           throw new DflParseException("hybridFiltered: empty query terms")
         val hfQ = vecArg(5)
@@ -1336,7 +1403,7 @@ object DflFrame {
         if (args.size < 4 || args.size > 6) throw new DflParseException(
           "bm25Probe takes (@, $indexDir, 'terms', k[, k1, b])")
         val bpDir = strArg(1)
-        val bpTerms = strArg(2).split(" ").toSeq.filter(_.nonEmpty)
+        val bpTerms = strArg(2).split("\\s+").toSeq.filter(_.nonEmpty)
         if (bpTerms.isEmpty)
           throw new DflParseException("bm25Probe: empty query terms")
         val bpK = intArg(3)
@@ -1423,7 +1490,7 @@ object DflFrame {
           "hybridProbe takes (@, $bm25IndexDir, $annIndexDir, 'terms', $qvec, k[, lambda])")
         val hpBmDir = strArg(1)
         val hpAnnDir = strArg(2)
-        val hpTerms = strArg(3).split(" ").toSeq.filter(_.nonEmpty)
+        val hpTerms = strArg(3).split("\\s+").toSeq.filter(_.nonEmpty)
         if (hpTerms.isEmpty)
           throw new DflParseException("hybridProbe: empty query terms")
         val hpQ = vecArg(4)

@@ -168,6 +168,61 @@ class CompilerSpec extends AnyFunSuite {
     assert(out2 == Set("cafe"))
   }
 
+  test("dataset minus: negative and $var elements count; := / ternary forms evaluate") {
+    val df = Seq(-1L, 2L, 3L, -1L).toDF("delta")
+    // -1 parses as Unary("-", 1): it must JOIN the drop set, not be
+    // silently discarded (rows with key -1 survived before)
+    val out = DflFrame.pipeline(df, "hist(@, '@delta') - {-1, 2}")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L))
+    // a $var element inside the literal set resolves
+    val out2 = DflFrame.pipeline(df, "hist(@, '@delta') - {$x, 2}",
+      Map("x" -> 3L)).collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(-1L))
+    // the dataset-minus form works UNDER := (it classified as a dataset
+    // expression but evalDatasetExpr had no case for it)
+    val words = Seq("the", "cafe", "the", "bar", "of").toDF("w")
+    val bound = DflFrame.pipeline(words,
+      "$top := (hist(@, '@w') - $stop) | $top",
+      Map("stop" -> Seq("the", "of")))
+      .collect().map(r => r.getString(0)).toSet
+    assert(bound == Set("cafe", "bar"))
+    // an unresolvable set element fails loudly, never silently no-ops
+    intercept[DflParseException] {
+      DflFrame.pipeline(df, "hist(@, '@delta') - {len(@)}").collect()
+    }
+  }
+
+  test("sort rejects an unknown direction; wrong stage arity is a parse error, not an index error") {
+    val df = Seq(3L, 1L, 2L).toDF("v")
+    // 'desc' is NOT the spelling (true|false) — silently sorting
+    // ascending inverted the user's intent with no error
+    intercept[DflParseException] {
+      DflFrame.pipeline(df, "sort(@, '@v', 'desc')").collect()
+    }
+    assert(DflFrame.pipeline(df, "sort(@, '@v', true)")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // missing args surface as the DflParseException contract the HTTP
+    // exec surface relies on, not a raw IndexOutOfBoundsException
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[DflParseException] {
+      DflFrame.pipeline(docs, "dedup(@, '@doc_id')").collect()
+    }
+    assert(e.getMessage.contains("dedup"))
+  }
+
+  test("join: r_ collision rename never duplicates a column name") {
+    val left = Seq((1L, "x", "lx")).toDF("k", "v", "r_v")
+    val right = Seq((1L, "rv")).toDF("rk", "v")
+    val out = DflFrame.pipeline(left, "join(@, $r, '@k', '@rk')",
+      Map[String, Any]("r" -> right))
+    // right's v collides with left's v; r_v ALSO collides with left's
+    // r_v — the rename must keep prefixing until free
+    assert(out.columns.toSeq.distinct.size == out.columns.length,
+      s"duplicate column names in ${out.columns.mkString(",")}")
+    assert(out.columns.contains("r_r_v"))
+  }
+
   test("extension registry: custom function lowers into a DFL pipeline") {
     Functions.registerExtension("plusOne", "(x)") { as => as.head + 1 }
     val df = Seq(41L).toDF("v")
