@@ -44,12 +44,20 @@ object Pq {
     * sample at any parallelism). */
   private def sampleVecs(df: DataFrame, idCol: String, vecCol: String,
                          trainSample: Int): Array[Array[Double]] =
+    // EXCLUDE malformed rows (null vectors / null elements) exactly as
+    // trainCentroids and the probe paths do — one bad row in the sample
+    // otherwise kills the whole build AFTER the centroid-training pass
     df.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(trainSample)
-      .collect().map(_.getSeq[Any](1).map {
-        case f: Float => f.toDouble; case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray)
+      .collect().flatMap { r =>
+        val xs = r.getSeq[Any](1)
+        if (xs == null || xs.contains(null)) None
+        else Some(xs.map {
+          case f: Float => f.toDouble; case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray)
+      }
 
   /** Train an (m × k) codebook on a deterministic bounded sample. */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
@@ -67,6 +75,9 @@ object Pq {
     require(m > 0 && k > 1 && k <= 256, s"$who: need m > 0, 1 < k <= 256")
     val sample = sampleVecs(df, idCol, vecCol, trainSample)
     require(sample.nonEmpty, s"$who: empty training sample")
+    val dims = sample.map(_.length).distinct
+    require(dims.length == 1,
+      s"$who: ragged vector dims ${dims.toSeq.sorted} in the training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"$who: dim $dim not divisible by m=$m")
     sample
@@ -205,13 +216,20 @@ object Pq {
     * (slice + dot + array_min over (dist, k) structs) allocated m·k
     * struct rows per vector and was the dominant cost of every PQ
     * query. Ties still break to the smaller codeword id. */
-  def codesCol(vecCol: String, model: PqModel): Column = {
+  def codesCol(vecCol: String, model: PqModel): Column =
+    graft.functions.PqF.pqEncode(col(vecCol), flatCodebook(model),
+      model.m, model.k, model.subDim)
+
+  /** The (mi·k + ki)·subDim flattened codebook layout both encoders
+    * ship to [[graft.functions.PqEncode]] — ONE copy of the indexing
+    * so the raw and residual paths can never drift. */
+  private def flatCodebook(model: PqModel): Array[Double] = {
     val flat = new Array[Double](model.m * model.k * model.subDim)
     for (mi <- 0 until model.m; ki <- 0 until model.k) {
       System.arraycopy(model.codebooks(mi)(ki), 0, flat,
         (mi * model.k + ki) * model.subDim, model.subDim)
     }
-    graft.functions.PqF.pqEncode(col(vecCol), flat, model.m, model.k, model.subDim)
+    flat
   }
 
   /** (id, codes array<tinyint>): per-subspace nearest codeword. */
@@ -233,12 +251,8 @@ object Pq {
       col(vecCol).cast("array<double>"),
       element_at(centsLit, col(listCol) + 1),
       (x, c) => x - c)
-    val flat = new Array[Double](model.m * model.k * model.subDim)
-    for (mi <- 0 until model.m; ki <- 0 until model.k) {
-      System.arraycopy(model.codebooks(mi)(ki), 0, flat,
-        (mi * model.k + ki) * model.subDim, model.subDim)
-    }
-    graft.functions.PqF.pqEncode(residual, flat, model.m, model.k, model.subDim)
+    graft.functions.PqF.pqEncode(residual, flatCodebook(model),
+      model.m, model.k, model.subDim)
   }
 
   /** IVF+PQ index build — the compressed, pruned ANN shape (the FAISS
@@ -265,8 +279,8 @@ object Pq {
                  k: Int = 64, trainSample: Int = 4096,
                  metaCols: Seq[String] = Nil,
                  residual: Boolean = true): Unit = {
-    metaCols.foreach(c => require(!Set("id", "list", "codes")(c),
-      s"ivfPqBuild: metadata column '$c' collides with a structural index column"))
+    Similarity.requireValidMetaCols(metaCols,
+      Set("id", "v", "list", "codes"), "ivfPqBuild")
     val spark = df.sparkSession
     val centroids = Similarity.trainCentroids(df, idCol, vecCol, kLists, trainSample)
     // residual (default): codebooks trained on v − centroid[list] — the
@@ -340,12 +354,14 @@ object Pq {
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
       .select(col("id") +: col("list") +:
         codes.as("codes") +: metaCols.map(col): _*)
-    // schema fence, as ivfAppend: a drifted id type would strand the
-    // index with unmergeable parquet footers (codes are always
-    // array<tinyint> by construction)
-    require(assigned.schema("id").dataType.sql == vectors.schema("id").dataType.sql,
-      s"ivfPqAppend: column 'id' type ${assigned.schema("id").dataType.sql} != " +
-        s"index type ${vectors.schema("id").dataType.sql}")
+    // schema fence, as ivfAppend: a drifted type in ANY carried column
+    // (id or metadata) would strand the index with unmergeable parquet
+    // footers (codes are always array<tinyint> by construction)
+    ("id" +: metaCols).foreach { c =>
+      require(assigned.schema(c).dataType.sql == vectors.schema(c).dataType.sql,
+        s"ivfPqAppend: column '$c' type ${assigned.schema(c).dataType.sql} != " +
+          s"index type ${vectors.schema(c).dataType.sql}")
+    }
     Similarity.healStrandedAppends(sess, indexDir)
     Similarity.stagedAppend(sess, indexDir,
         appendId.getOrElse(Similarity.appendBatchId(df))) { staging =>
@@ -362,10 +378,40 @@ object Pq {
     * rebuild, append (`_append-<id>` marker changes the path set), or
     * compaction. */
   /** A resolved IVFPQ index snapshot: coarse centroids, PQ codebooks,
-    * the vectors frame, and whether the codes quantize residuals. */
+    * the vectors frame, and whether the codes quantize residuals. The
+    * query-INDEPENDENT ADC tables (codeword norms, per-list residual
+    * cross terms, centroid norms) are lazy members: ivfPqMeta memoizes
+    * the snapshot, so they compute ONCE per resolved index instead of
+    * rebuilding kLists·m·k doubles driver-side on EVERY probe call —
+    * at kLists=1024/m=8/k=64 that was ~4M multiply-adds and a fresh
+    * 4 MB literal per query. */
   final case class IvfPqIndex(centroids: Array[Array[Double]],
                               model: PqModel, vectors: DataFrame,
-                              residual: Boolean)
+                              residual: Boolean) {
+    lazy val cwNorm2: Array[Double] = {
+      val a = new Array[Double](model.m * model.k)
+      for (mi <- 0 until model.m; ki <- 0 until model.k) {
+        val cw = model.codebooks(mi)(ki)
+        var sm = 0.0; var j = 0
+        while (j < model.subDim) { sm += cw(j) * cw(j); j += 1 }
+        a(mi * model.k + ki) = sm
+      }
+      a
+    }
+    lazy val crossTable: Array[Double] = {
+      val kLists = centroids.length
+      val a = new Array[Double](kLists * model.m * model.k)
+      for (li <- 0 until kLists; mi <- 0 until model.m; ki <- 0 until model.k) {
+        val c = centroids(li); val cw = model.codebooks(mi)(ki)
+        var sm = 0.0; var j = 0
+        while (j < model.subDim) { sm += c(mi * model.subDim + j) * cw(j); j += 1 }
+        a((li * model.m + mi) * model.k + ki) = 2.0 * sm
+      }
+      a
+    }
+    lazy val centNorm2: Seq[Double] =
+      centroids.toSeq.map(c => c.map(x => x * x).sum)
+  }
 
   private val ivfPqMetaCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, IvfPqIndex)]()
@@ -591,6 +637,10 @@ object Pq {
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"ivfPqQueryBatchFiltered: ragged query dims $dims")
     require(chunkSize > 0, "ivfPqQueryBatchFiltered: chunkSize must be positive")
+    // qid-keyed widening loop — duplicates would conflate two queries'
+    // pools and double-emit rows (the float twin's guard)
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfPqQueryBatchFiltered: duplicate qids in one batch")
     val idx = ivfPqMeta(spark, indexDir)
     require(dims.head == idx.model.m * idx.model.subDim,
       s"ivfPqQueryBatchFiltered: query dim ${dims.head} != index dim ${idx.model.m * idx.model.subDim}")
@@ -603,10 +653,13 @@ object Pq {
       val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
         val probeLists = chunk.map(q =>
           Similarity.nearestLists(idx.centroids, q._2.toArray, width))
+        // full-width bypass, as the float twin: once the union covers
+        // every list the isin buys nothing on the most expensive rounds
         val allLists = probeLists.flatten.distinct
-        scoreAdcGroup(
-          eligible.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
-          idx, chunk, probeLists, k).collect()
+        val pruned =
+          if (allLists.size >= kLists) eligible
+          else eligible.filter(col("list").isin(allLists.map(Integer.valueOf): _*))
+        scoreAdcGroup(pruned, idx, chunk, probeLists, k).collect()
       }
       val byQ = rows.groupBy(_.getLong(0))
       val (done, todo) = pending.partition(q =>
@@ -631,28 +684,16 @@ object Pq {
   private def reconNormCol(idx: IvfPqIndex): Column = {
     import graft.functions.PqF
     val model = idx.model
-    val cwNorm2 = new Array[Double](model.m * model.k)
-    for (mi <- 0 until model.m; ki <- 0 until model.k) {
-      val cw = model.codebooks(mi)(ki)
-      var s = 0.0; var j = 0
-      while (j < model.subDim) { s += cw(j) * cw(j); j += 1 }
-      cwNorm2(mi * model.k + ki) = s
-    }
+    // all three tables are memoized on the snapshot (IvfPqIndex lazy
+    // members) — this builds COLUMNS only, no per-call table math
     val rNorm2 = element_at(
-      PqF.adcDots(col("codes"), cwNorm2, 1, model.m, model.k), 1)
+      PqF.adcDots(col("codes"), idx.cwNorm2, 1, model.m, model.k), 1)
     if (!idx.residual) sqrt(rNorm2)
     else {
       val kLists = idx.centroids.length
-      val cross = new Array[Double](kLists * model.m * model.k)
-      for (li <- 0 until kLists; mi <- 0 until model.m; ki <- 0 until model.k) {
-        val c = idx.centroids(li); val cw = model.codebooks(mi)(ki)
-        var s = 0.0; var j = 0
-        while (j < model.subDim) { s += c(mi * model.subDim + j) * cw(j); j += 1 }
-        cross((li * model.m + mi) * model.k + ki) = 2.0 * s
-      }
-      val cNorm2 = idx.centroids.toSeq.map(c => c.map(x => x * x).sum)
-      sqrt(element_at(typedLit(cNorm2), col("list") + 1) +
-        element_at(PqF.adcDots(col("codes"), cross, kLists, model.m, model.k),
+      sqrt(element_at(typedLit(idx.centNorm2), col("list") + 1) +
+        element_at(
+          PqF.adcDots(col("codes"), idx.crossTable, kLists, model.m, model.k),
           col("list") + 1) +
         rNorm2)
     }
@@ -750,10 +791,13 @@ object Pq {
     val score = (0 until model.m).map { mi =>
       // codes are stored as signed bytes, so codeword ids >= 128 (legal at
       // k in 129..256) wrap negative on read — decode unsigned, else the
-      // negative index would silently resolve from the END of the table
-      element_at(table,
-        pmod(element_at(col("codes"), mi + 1).cast("int"), lit(256))
-          + mi * model.k + 1)
+      // negative index would silently resolve from the END of the table.
+      // A decoded id >= k is CORRUPTION: null the row out (the PqAdcDots
+      // contract) instead of silently reading a NEIGHBORING subspace's
+      // table region as a competing score
+      val code = pmod(element_at(col("codes"), mi + 1).cast("int"), lit(256))
+      when(code < lit(model.k),
+        element_at(table, code + mi * model.k + 1))
     }.reduce(_ + _)
     codesDf
       .select(graft.functions.TopKF.topKByScore(
