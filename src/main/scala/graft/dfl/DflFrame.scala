@@ -146,12 +146,20 @@ object DflFrame {
       * `collect {{ case Lit(v) => v }}` used to silently DROP negative
       * and var elements from the set, leaving their rows in the result. */
     def minusDropVals(rhs: Node): Seq[Any] = {
-      def elem(e: Node): Any = e match {
-        case Lit(v)                     => v
-        case Unary("-", Lit(v: Long))   => -v
-        case Unary("-", Lit(v: Double)) => -v
+      // Each element contributes one OR MORE drop values: a $var bound to
+      // a Seq inside a set literal (`hist(@,'@w') - {1, $xs}`) flattens
+      // into the drop set — returning the raw Seq would put a collection
+      // into isin, which never matches a scalar column and silently
+      // leaves the rows in (the exact class this refactor eliminates).
+      def elem(e: Node): Seq[Any] = e match {
+        case Lit(v)                     => Seq(v)
+        case Unary("-", Lit(v: Long))   => Seq(-v)
+        case Unary("-", Lit(v: Double)) => Seq(-v)
         case Var(n2) => scalarVars.getOrElse(n2,
-          throw new DflParseException(s"unbound $$$n2"))
+          throw new DflParseException(s"unbound $$$n2")) match {
+          case xs: Seq[_] => xs
+          case scalar     => Seq(scalar)
+        }
         case other => throw new DflParseException(
           s"dataset '-' set element must be a literal or $$var: ${Node.render(other)}")
       }
@@ -161,8 +169,8 @@ object DflFrame {
           case xs: Seq[_] => xs
           case other      => Seq(other)
         }
-        case SetLit(xs)   => xs.map(elem)
-        case ArrayLit(xs) => xs.map(elem)
+        case SetLit(xs)   => xs.flatMap(elem)
+        case ArrayLit(xs) => xs.flatMap(elem)
         case other => throw new DflParseException(
           s"dataset '-' needs a set/var on the right, got ${Node.render(other)}")
       }
@@ -389,29 +397,25 @@ object DflFrame {
       case _                                  => false
     }
 
-  /** Dispatch front door: converts a raw args-index overrun in any
-    * stage body into the DflParseException contract every stage owes
-    * the HTTP exec surface (a bare IndexOutOfBoundsException read as a
-    * 500 with a JVM stack, not a usage error). */
   private def datasetOp(df: DataFrame, name: String, args: List[Node],
                         vars: Map[String, Any],
-                        dsVars: Map[String, DataFrame] = Map.empty): DataFrame =
-    try datasetOpImpl(df, name, args, vars, dsVars)
-    catch {
-      case _: IndexOutOfBoundsException => throw new DflParseException(
-        s"$name: wrong number of arguments (${args.size - 1} given)")
-    }
-
-  private def datasetOpImpl(df: DataFrame, name: String, args: List[Node],
-                        vars: Map[String, Any],
                         dsVars: Map[String, DataFrame] = Map.empty): DataFrame = {
-    def sub(i: Int): Node = args(i) match {
+    // Bounds check lives HERE, at the single args-access choke point the
+    // typed helpers below share — a blanket IOOBE catch around the whole
+    // stage body would also swallow genuine defects from the eager
+    // driver-side work (index meta reads, query-batch parsing) and
+    // mislabel them as usage errors for the HTTP exec surface.
+    def argAt(i: Int): Node =
+      if (i < args.size) args(i)
+      else throw new DflParseException(
+        s"$name: wrong number of arguments (${args.size - 1} given)")
+    def sub(i: Int): Node = argAt(i) match {
       case Lit(s: String) => Parser.parse(s) // quoted sub-expression
       case other          => other
     }
     def subCol(i: Int): Column =
       ColumnCompiler.compile(sub(i), ColumnCompiler.Ctx.forDataFrame(df, vars))
-    def intArg(i: Int): Int = args(i) match {
+    def intArg(i: Int): Int = argAt(i) match {
       case Lit(v: Long) => v.toInt
       case Var(n2)      => vars(n2) match {
         case l: Long => l.toInt; case x: Int => x
@@ -419,7 +423,7 @@ object DflFrame {
       }
       case other => throw new DflParseException(s"expected int arg: ${Node.render(other)}")
     }
-    def numArg(i: Int): Double = args(i) match {
+    def numArg(i: Int): Double = argAt(i) match {
       case Lit(v: Double) => v
       case Lit(v: Long)   => v.toDouble
       // the lexer has no negative literals: '-0.5' parses as Unary("-", 0.5)
@@ -431,7 +435,7 @@ object DflFrame {
       }
       case other => throw new DflParseException(s"expected numeric arg: ${Node.render(other)}")
     }
-    def strArg(i: Int): String = args(i) match {
+    def strArg(i: Int): String = argAt(i) match {
       case Lit(s: String) => s
       case Var(n2)        => vars(n2).toString
       case other => throw new DflParseException(s"expected string arg: ${Node.render(other)}")
@@ -442,7 +446,7 @@ object DflFrame {
     }
     // a dataset-valued $var arg (seeded by the caller or bound earlier in
     // the pipeline with `$v := (…)`), e.g. decontam's benchmark corpus
-    def dsArg(i: Int): DataFrame = args(i) match {
+    def dsArg(i: Int): DataFrame = argAt(i) match {
       case Var(n2) => dsVars.getOrElse(n2,
         throw new DflParseException(s"unbound dataset $$$n2"))
       case other => throw new DflParseException(
@@ -451,7 +455,7 @@ object DflFrame {
     // a query BATCH: a $var bound to a Seq of [id, [v…]] pairs — exactly
     // the shape a JSON request variable parses to, so an HTTP service
     // exec can POST `{"variables":{"qs":[[7,[0.1,-0.2]],…]}}`
-    def queryBatchArg(i: Int): Seq[(Long, Seq[Double])] = args(i) match {
+    def queryBatchArg(i: Int): Seq[(Long, Seq[Double])] = argAt(i) match {
       case Var(n2) => vars.getOrElse(n2,
         throw new DflParseException(s"unbound $$$n2")) match {
         case xs: Seq[_] => xs.map {
@@ -476,7 +480,7 @@ object DflFrame {
     // a LEXICAL query batch: a $var bound to a Seq of [qid, 'terms str']
     // pairs — the HTTP request shape for batched bm25 probes, the
     // queryBatchArg convention with a terms string in the vector slot
-    def termsBatchArg(i: Int): Seq[(Long, Seq[String])] = args(i) match {
+    def termsBatchArg(i: Int): Seq[(Long, Seq[String])] = argAt(i) match {
       case Var(n2) => vars.getOrElse(n2,
         throw new DflParseException(s"unbound $$$n2")) match {
         case xs: Seq[_] => xs.map {
@@ -504,7 +508,7 @@ object DflFrame {
         s"expected query-batch var arg: ${Node.render(other)}")
     }
     // a query vector: a $var bound to a numeric Seq, or an inline array
-    def vecArg(i: Int): Seq[Double] = args(i) match {
+    def vecArg(i: Int): Seq[Double] = argAt(i) match {
       case Var(n2) => vars.getOrElse(n2,
         throw new DflParseException(s"unbound $$$n2")) match {
         case xs: Seq[_] => xs.map(toDoubleAny)

@@ -662,16 +662,31 @@ object StreamRunner {
 
   private def writeSlotCount(spark: SparkSession, checkpoint: String,
                              n: Int): Unit = {
+    // temp + rename (the stagedCommit posture): a crash mid-`create`
+    // would leave a truncated marker that readSlotCount's toIntOption
+    // silently resets to 0, stalling the maintenance cadence well past
+    // compactEvery. A rename is atomic on HDFS/posix, so readers see
+    // either the old count or the new one, never a torn write.
     val p = new org.apache.hadoop.fs.Path(checkpoint, "graft-appends-since-slot")
+    val tmp = new org.apache.hadoop.fs.Path(checkpoint,
+      "graft-appends-since-slot.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"writeSlotCount: rename $tmp -> $p failed")
   }
 
   /** Bump the counter after one committed append; true when the cadence
     * reached `compactEvery` (the counter resets — the caller runs its
-    * maintenance slot). */
+    * maintenance slot). The read-modify-write is NOT concurrency-safe
+    * across jobs: the marker assumes the same single-writer contract the
+    * checkpoint dir itself carries (one streaming job per checkpoint) —
+    * two jobs sharing one checkpoint already race Spark's own offset
+    * log, so the cadence counter inherits that rule rather than adding
+    * locking. */
   private def appendOpensSlot(spark: SparkSession, checkpoint: String,
                               compactEvery: Int): Boolean = {
     if (compactEvery <= 0) false
@@ -1205,6 +1220,19 @@ object StreamRunner {
         "(lsh | ivf); an ivfpq index stores codes only")
     require(maxQueriesPerBatch > 0,
       s"hybridServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
+    // the user-supplied annMethod must MATCH the dir's self-described
+    // layout: a mismatch would otherwise fail every micro-batch with an
+    // opaque meta/parquet read error deep in the probe, instead of
+    // failing job construction with a sentence (the DFL hybridProbe
+    // stage self-dispatches via indexKind; a serving job pins the method
+    // in its launch config, so it verifies instead)
+    graft.llm.Similarity.indexKind(queries.sparkSession, annIndexDir)
+      .foreach(kind => require(kind == annMethod,
+        s"hybridServe: --ann-method $annMethod but $annIndexDir is a " +
+          s"built '$kind' index"))
+    graft.llm.Similarity.indexKind(queries.sparkSession, bm25IndexDir)
+      .foreach(kind => require(kind == "bm25",
+        s"hybridServe: $bm25IndexDir is a built '$kind' index, not bm25"))
     val pred = filterDfl.map(graft.dfl.DflFrame.indexPredicate)
     // eager resolution against BOTH index layouts — a predicate column
     // either index never carried fails here, not hours into the stream
@@ -1241,7 +1269,7 @@ object StreamRunner {
         }
         if (qs.nonEmpty) {
           val spark = batch.sparkSession
-          def serveBatch(): Unit = {
+          def computeAnswer(): Option[DataFrame] = {
             val expectDim =
               graft.llm.Similarity.indexDim(spark, annIndexDir, annMethod)
             val (good, badDim) = qs.partition(_._3.size == expectDim)
@@ -1249,7 +1277,7 @@ object StreamRunner {
               log.warn(s"hybridServe: skipping ${badDim.size} queries with " +
                 s"dim != index dim $expectDim (qids " +
                 s"${badDim.take(5).map(_._1).mkString(", ")}${if (badDim.size > 5) ", …" else ""})")
-            if (good.isEmpty) return
+            if (good.isEmpty) return None
             val lex = (pred match {
               case Some(p) => graft.llm.Retrieval.bm25TopKIndexedBatchFiltered(
                 spark, bm25IndexDir, good.map(q => q._1 -> q._2), pool, p,
@@ -1324,18 +1352,30 @@ object StreamRunner {
                     candsDf.schema),
                   "qid", "id", "score", "v", k, l)
             }
-            sink(answer, batchId)
+            // MATERIALIZE inside the retry scope: the probe frames are
+            // lazy over index files, so a mid-rewrite FileNotFound would
+            // otherwise surface during the SINK's execution — after a
+            // partial write, where a whole-serveBatch retry would invoke
+            // the caller's sink twice for one batchId (a contract the
+            // sink never signed). Answers are serving-sized (≤ k×queries
+            // rows) by construction, so the collect is driver-safe.
+            val rows = answer.collect()
+            Some(spark.createDataFrame(
+              java.util.Arrays.asList(rows.toIndexedSeq: _*), answer.schema))
           }
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
               staleRead(e.getCause))
-          try serveBatch()
+          val answer = try computeAnswer()
           catch {
             case scala.util.control.NonFatal(e) if staleRead(e) =>
               log.warn(s"hybridServe: batch $batchId read a mid-rewrite " +
                 s"index ($bm25IndexDir | $annIndexDir); retrying once", e)
-              serveBatch()
+              computeAnswer()
           }
+          // exactly ONE sink call per batch, over a LOCAL frame — no
+          // index read can fail under the caller's write
+          answer.foreach(a => sink(a, batchId))
         }
     }.start()
   }

@@ -191,6 +191,14 @@ class CompilerSpec extends AnyFunSuite {
     intercept[DflParseException] {
       DflFrame.pipeline(df, "hist(@, '@delta') - {len(@)}").collect()
     }
+    // a Seq-valued $var INSIDE the set literal flattens into the drop
+    // set — the raw Seq in isin never matches a scalar column, so its
+    // rows silently stayed (the silent-drop class this form eliminates)
+    val words2 = Seq("the", "cafe", "the", "bar", "of").toDF("w")
+    val out3 = DflFrame.pipeline(words2, "hist(@, '@w') - {bar, $stop}",
+      Map("stop" -> Seq("the", "of")))
+      .collect().map(r => r.getString(0)).toSet
+    assert(out3 == Set("cafe"))
   }
 
   test("sort rejects an unknown direction; wrong stage arity is a parse error, not an index error") {
