@@ -20,6 +20,7 @@ import graft.streaming.StreamRunner
   *     --index-dir DIR [--method lsh|ivf|ivfpq|bm25]
   *     [--id-col vec_id] [--vec-col embedding | --text-col text]
   *     --checkpoint DIR [--once] [--compact-every N] [--retrain-skew F]
+  *     [--keep-vectors]  (ivfpq: persist the float sidecar retrain needs)
   *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
   *      [--build-klists N] [--build-pbits N] [--build-pbands N]
   *      [--build-pq-m N] [--build-pq-k N]]  (pq knobs: ivfpq only)
@@ -44,7 +45,12 @@ import graft.streaming.StreamRunner
   * what bounds probe read amplification over a long-running ingest. For
   * an IVF index, `--retrain-skew F` upgrades that slot to a full retrain
   * from the index's own rows whenever max/mean list occupancy exceeds F
-  * — the self-healing answer to centroid drift under appended data. */
+  * — the self-healing answer to centroid drift under appended data. An
+  * IVFPQ index gets the same verb when built with `--keep-vectors` (the
+  * opt-in float sidecar): the retrain re-trains centroids AND codebooks
+  * from the sidecar and re-encodes every row — without the sidecar the
+  * codes cannot re-encode themselves and `--retrain-skew` is rejected at
+  * job construction with the rebuild advice. */
 object IngestCli {
 
   final case class Config(
@@ -53,7 +59,7 @@ object IngestCli {
       textCol: String = "text",
       indexDir: String = "", method: String = "lsh",
       checkpoint: String = "", once: Boolean = false, compactEvery: Int = 0,
-      retrainSkew: Double = 0.0,
+      retrainSkew: Double = 0.0, keepVectors: Boolean = false,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
       buildKLists: Int = 16, buildPBits: Int = 8, buildPBands: Int = 64,
       buildPqM: Int = 8, buildPqK: Int = 64,
@@ -76,6 +82,7 @@ object IngestCli {
         case "--once"          => c = c.copy(once = true)
         case "--compact-every" => c = c.copy(compactEvery = a.value().toInt)
         case "--retrain-skew"  => c = c.copy(retrainSkew = a.value().toDouble)
+        case "--keep-vectors"  => c = c.copy(keepVectors = true)
         case "--build-from"    => c = c.copy(buildFrom = a.value())
         case "--build-nbits"   => c = c.copy(buildNBits = a.value().toInt)
         case "--build-dim"     => c = c.copy(buildDim = a.value().toInt)
@@ -96,10 +103,12 @@ object IngestCli {
     require(c.indexDir.nonEmpty, "--index-dir is required")
     require(c.checkpoint.nonEmpty,
       "--checkpoint is required (it is what makes replayed batches no-ops)")
-    require(c.method == "ivf" || c.retrainSkew <= 0,
-      "--retrain-skew applies only to ivf (lsh/bm25 appends are exact; " +
-        "an ivfpq retrain needs the original float vectors the codes no " +
-        "longer carry)")
+    require(c.method == "ivf" || c.method == "ivfpq" || c.retrainSkew <= 0,
+      "--retrain-skew applies only to ivf/ivfpq (lsh/bm25 appends are " +
+        "exact and never drift)")
+    require(c.method == "ivfpq" || !c.keepVectors,
+      "--keep-vectors applies only to ivfpq (every other method's index " +
+        "already stores its vectors)")
     c
   }
 
@@ -130,7 +139,7 @@ object IngestCli {
           c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
           dim = c.buildDim, partitionBits = c.buildPBits,
           kLists = c.buildKLists, metaCols = c.buildMeta,
-          pqM = c.buildPqM, pqK = c.buildPqK)
+          pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors)
       StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
         c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
         compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)

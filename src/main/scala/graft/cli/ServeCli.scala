@@ -63,7 +63,7 @@ object ServeCli {
       buildVecCol: String = "embedding", buildMeta: Seq[String] = Nil,
       buildNBits: Int = 16,
       buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8,
-      buildPqM: Int = 8, buildPqK: Int = 64,
+      buildPqM: Int = 8, buildPqK: Int = 64, keepVectors: Boolean = false,
       maxBatchQueries: Int = graft.streaming.StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
@@ -104,6 +104,7 @@ object ServeCli {
         case "--build-pbits"       => c = c.copy(buildPBits = a.value().toInt)
         case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
         case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
+        case "--keep-vectors"      => c = c.copy(keepVectors = true)
         // per-micro-batch query budget: queries collect to the driver,
         // so an unbounded file fails loudly instead of OOMing it
         case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
@@ -163,7 +164,7 @@ object ServeCli {
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
         kLists = c.buildKLists, metaCols = c.buildMeta,
-        pqM = c.buildPqM, pqK = c.buildPqK)
+        pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors)
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
       c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos,

@@ -19,8 +19,9 @@ import graft.streaming.StreamRunner
   * Usage:
   *   runMain graft.cli.ServeHybridCli
   *     --bm25-index-dir DIR --ann-index-dir DIR
-  *     [--ann-method lsh|ivf|ivfpq (ivfpq serves the RRF form only —
-  *                                  --lambda needs float vectors)]
+  *     [--ann-method lsh|ivf|ivfpq (ivfpq serves --lambda only when the
+  *                                  index carries the --keep-vectors
+  *                                  float sidecar; RRF form otherwise)]
   *     [--k N] [--pool N (per-leg run size; default 2k)]
   *     [--lambda X (MMR re-rank the fused pool)] [--k1 X] [--b X]
   *     [--tuning N (lsh → minCandidates, ivf → nprobe)]
@@ -68,6 +69,7 @@ object ServeHybridCli {
       buildMeta: Seq[String] = Nil, buildPBands: Int = 64,
       buildNBits: Int = 16, buildDim: Int = 64, buildKLists: Int = 16,
       buildPBits: Int = 8, buildPqM: Int = 8, buildPqK: Int = 64,
+      keepVectors: Boolean = false,
       maxBatchQueries: Int = StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
@@ -113,6 +115,7 @@ object ServeHybridCli {
         case "--build-pbits"       => c = c.copy(buildPBits = a.value().toInt)
         case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
         case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
+        case "--keep-vectors"      => c = c.copy(keepVectors = true)
         case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -150,7 +153,7 @@ object ServeHybridCli {
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
         kLists = c.buildKLists, metaCols = c.buildMeta,
-        pqM = c.buildPqM, pqK = c.buildPqK)
+        pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors)
     }
     StreamRunner.hybridServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.termsCol, c.vecCol, c.bm25IndexDir, c.annIndexDir,

@@ -272,13 +272,26 @@ object Pq {
     * salt-clustered ([[Similarity.clusteredWrite]]) so [[Similarity
     * .compactIndex]] / [[Similarity.compactionDue]] (method "ivfpq")
     * bound the append-path read amplification. Grow it with
-    * [[ivfPqAppend]]; retrain via a fresh build on drift cadence
-    * (monitor [[Similarity.ivfListStats]]). */
+    * [[ivfPqAppend]]; retrain in place via [[ivfPqRetrain]] when built
+    * with `keepVectors = true`, else via a fresh build on drift cadence
+    * (monitor [[Similarity.ivfListStats]]).
+    *
+    * `keepVectors` (opt-in) additionally persists a `vectors_f32` FLOAT
+    * sidecar — (id, list, v, meta…) partitioned by the same list
+    * assignment as the codes. It is never read on the probe path (ADC
+    * stays code-only), but it is what makes two lifecycle verbs possible
+    * on a compressed index: a skew-triggered [[ivfPqRetrain]] (codes
+    * cannot re-encode themselves) and exact MMR diversification over
+    * served candidates (answer-sized id-joins against the sidecar). The
+    * cost is storing the floats the compression otherwise discards —
+    * the operator chooses compressed-only (cheapest, rebuild from source
+    * on drift) or sidecar-carrying (self-contained lifecycle). */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String,
                  indexDir: String, kLists: Int = 64, m: Int = 8,
                  k: Int = 64, trainSample: Int = 4096,
                  metaCols: Seq[String] = Nil,
-                 residual: Boolean = true): Unit = {
+                 residual: Boolean = true,
+                 keepVectors: Boolean = false): Unit = {
     Similarity.requireValidMetaCols(metaCols,
       Set("id", "v", "list", "codes"), "ivfPqBuild")
     val spark = df.sparkSession
@@ -294,16 +307,36 @@ object Pq {
       val codes =
         if (residual) codesColRes("v", "list", model, centroids)
         else codesCol("v", model)
+      val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
       Similarity.clusteredWrite(
-          Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
-            .select(col("id") +: col("list") +:
+          assigned.select(col("id") +: col("list") +:
               codes.as("codes") +: metaCols.map(col): _*),
           "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
+      if (keepVectors)
+        Similarity.clusteredWrite(
+            assigned.select(col("id") +: col("list") +:
+              col("v").cast("array<double>").as("v") +: metaCols.map(col): _*),
+            "list", kLists)
+          .write.mode("overwrite").partitionBy("list")
+          .parquet(s"$staging/$vectorSidecarDir")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
       writeCodebooks(spark, s"$staging/codebooks", model,
         if (residual) "res" else "raw")
     }
+  }
+
+  /** The float-sidecar subdir name an opt-in `keepVectors` build/append
+    * maintains next to the code partitions. */
+  val vectorSidecarDir = "vectors_f32"
+
+  /** Whether `indexDir` carries the opt-in float sidecar — the gate for
+    * [[ivfPqRetrain]] and for exact MMR over a compressed serving leg.
+    * Pure FS existence check, no Spark job. */
+  def hasVectorSidecar(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$vectorSidecarDir")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** The codebook sidecar, self-describing: `enc` records whether codes
@@ -333,14 +366,21 @@ object Pq {
     * DRIFT BOUND, compounded: beyond the frozen-centroid recall drift of
     * [[Similarity.ivfAppend]], the frozen CODEBOOKS quantize drifted
     * appends with growing reconstruction error — ADC scores degrade
-    * before list assignment does. Rebuild on retrain cadence; the skew
+    * before list assignment does. Rebuild (or [[ivfPqRetrain]], when the
+    * index carries the float sidecar) on retrain cadence; the skew
     * monitor ([[Similarity.ivfListStats]] / [[Similarity.ivfSkew]])
-    * reads this index's list column the same way. */
+    * reads this index's list column the same way.
+    *
+    * A sidecar-carrying index ([[ivfPqBuild]] `keepVectors`) appends the
+    * batch's FLOATS alongside its codes in the SAME staged commit
+    * (`dataDirs = vectors, vectors_f32`) — the two layouts can never
+    * diverge on a crash, and the replay fence covers both. */
   def ivfPqAppend(df: DataFrame, idCol: String, vecCol: String,
                   indexDir: String, appendId: Option[String] = None): Unit = {
     val sess = df.sparkSession
     val idx = ivfPqMeta(sess, indexDir)
     val (centroids, model, vectors) = (idx.centroids, idx.model, idx.vectors)
+    val sidecar = hasVectorSidecar(sess, indexDir)
     // carry the index's metadata columns (filtered-ANN layouts), as the
     // float appends do — re-derived from the live index schema
     val metaCols = vectors.schema.map(_.name)
@@ -351,7 +391,8 @@ object Pq {
     val codes =
       if (idx.residual) codesColRes("v", "list", model, centroids)
       else codesCol("v", model)
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
+    val assignedAll = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
+    val assigned = assignedAll
       .select(col("id") +: col("list") +:
         codes.as("codes") +: metaCols.map(col): _*)
     // schema fence, as ivfAppend: a drifted type in ANY carried column
@@ -362,13 +403,92 @@ object Pq {
         s"ivfPqAppend: column '$c' type ${assigned.schema(c).dataType.sql} != " +
           s"index type ${vectors.schema(c).dataType.sql}")
     }
-    Similarity.healStrandedAppends(sess, indexDir)
+    val dataDirs =
+      if (sidecar) Seq("vectors", vectorSidecarDir) else Seq("vectors")
+    Similarity.healStrandedAppends(sess, indexDir, dataDirs)
     Similarity.stagedAppend(sess, indexDir,
-        appendId.getOrElse(Similarity.appendBatchId(df))) { staging =>
+        appendId.getOrElse(Similarity.appendBatchId(df)),
+        dataDirs) { staging =>
       Similarity.clusteredWrite(assigned, "list", centroids.length)
         .write.mode("overwrite").partitionBy("list")
         .parquet(s"$staging/vectors")
+      if (sidecar)
+        Similarity.clusteredWrite(
+            assignedAll.select(col("id") +: col("list") +:
+              col("v").cast("array<double>").as("v") +: metaCols.map(col): _*),
+            "list", centroids.length)
+          .write.mode("overwrite").partitionBy("list")
+          .parquet(s"$staging/$vectorSidecarDir")
     }
+  }
+
+  /** RETRAIN a drifted IVFPQ index from its own FLOAT sidecar — the
+    * compressed counterpart of [[Similarity.ivfRetrain]], and the verb
+    * that closes the compressed lifecycle: codes cannot re-encode
+    * themselves, so it exists only for indexes built/grown with
+    * `keepVectors = true` (anything else fails loudly with the rebuild
+    * advice). New coarse centroids train on the same deterministic
+    * hash-spread sample discipline as the float retrain (the build's
+    * lowest-id sample would systematically exclude appended rows — the
+    * drifted data a retrain exists to absorb), NEW codebooks train on
+    * the new residuals (re-clustering changes every residual, so frozen
+    * codebooks would mis-model the re-assigned lists), and every row
+    * re-assigns + re-encodes from the sidecar floats. The whole layout —
+    * codes, sidecar, centroids, codebooks — rewrites through one
+    * [[Similarity.stagedCommit]] with the `_append` replay fences
+    * carried over. Cost: two bounded training passes plus one
+    * assignment/encode rewrite of the index — never a source-corpus
+    * rescan, which a long-running ingest job no longer has. */
+  def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, kLists: Int = 0,
+                   trainSample: Int = 4096): Array[Array[Double]] = {
+    require(hasVectorSidecar(spark, indexDir),
+      s"ivfPqRetrain: $indexDir carries no $vectorSidecarDir float " +
+        "sidecar (built without keepVectors) — codes cannot re-encode " +
+        "themselves; rebuild from the source corpus instead")
+    val dataDirs = Seq("vectors", vectorSidecarDir)
+    Similarity.healStrandedAppends(spark, indexDir, dataDirs)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val restoreFences = Similarity.carryAppendFences(fs, liveVec)
+    val idx = ivfPqMeta(spark, indexDir)
+    val k = if (kLists > 0) kLists else idx.centroids.length
+    val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
+    val metaCols = floats.schema.map(_.name)
+      .filterNot(Set("id", "list", "v"))
+    val rows = floats.select("id" +: "v" +: metaCols map col: _*)
+    val centroids = Similarity.retrainCentroids(rows, k, trainSample)
+    // the codebooks retrain under the SAME encoding the index declares
+    // (enc sidecar) — a residual index gets residual books against the
+    // NEW centroids, a raw index keeps the raw formulation
+    val model =
+      if (idx.residual)
+        pqTrainResidual(rows, "id", "v", centroids,
+          idx.model.m, idx.model.k, trainSample)
+      else pqTrain(rows, "id", "v", idx.model.m, idx.model.k, trainSample)
+    Similarity.stagedCommit(spark, indexDir) { staging =>
+      val codes =
+        if (idx.residual) codesColRes("v", "list", model, centroids)
+        else codesCol("v", model)
+      val assigned = Similarity.ivfAssign(rows, "id", "v", centroids, metaCols)
+      Similarity.clusteredWrite(
+          assigned.select(col("id") +: col("list") +:
+            codes.as("codes") +: metaCols.map(col): _*),
+          "list", k)
+        .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
+      Similarity.clusteredWrite(
+          assigned.select(col("id") +: col("list") +:
+            col("v") +: metaCols.map(col): _*),
+          "list", k)
+        .write.mode("overwrite").partitionBy("list")
+        .parquet(s"$staging/$vectorSidecarDir")
+      Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
+      writeCodebooks(spark, s"$staging/codebooks", model,
+        if (idx.residual) "res" else "raw")
+      restoreFences(s"$staging/vectors")
+    }
+    centroids
   }
 
   /** Driver-memoized IVFPQ index state (centroids + codebooks + resolved

@@ -869,14 +869,7 @@ object Similarity {
     val all = spark.read.parquet(liveVec.toString)
     val metaCols = indexMetaCols(all, Set("id", "v", "list"))
     val rows = all.select("id" +: "v" +: metaCols map col: _*)
-    // deterministic spread sample: ties under the hash broken by id, so a
-    // recomputed partition mid-training feeds identical rows (the same
-    // property trainCentroids gets from its id ordering)
-    val sampleRdd = rows
-      .orderBy(pmod(hash(col("id")), lit(1 << 30)), col("id"))
-      .limit(trainSample).select(col("v")).rdd
-      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
-    val centroids = kmeansDistributed(sampleRdd, k)
+    val centroids = retrainCentroids(rows, k, trainSample)
     stagedCommit(spark, indexDir) { staging =>
       clusteredWrite(ivfAssign(rows, "id", "v", centroids, metaCols), "list", k)
         .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
@@ -884,6 +877,24 @@ object Similarity {
       restoreFences(s"$staging/vectors")
     }
     centroids
+  }
+
+  /** The retrain-time coarse-centroid trainer shared by [[ivfRetrain]]
+    * and [[graft.llm.Pq.ivfPqRetrain]]: a deterministic HASH-SPREAD
+    * sample (ties under the hash broken by id, so a recomputed partition
+    * mid-training feeds identical rows — the same property
+    * [[trainCentroids]] gets from its id ordering) fed to the
+    * distributed k-means. The spread matters at retrain time: the
+    * build's lowest-id sample would systematically exclude appended rows
+    * (appends usually carry the highest ids) — exactly the drifted data
+    * a retrain exists to absorb. */
+  private[llm] def retrainCentroids(rows: DataFrame, k: Int,
+                                    trainSample: Int): Array[Array[Double]] = {
+    val sampleRdd = rows
+      .orderBy(pmod(hash(col("id")), lit(1 << 30)), col("id"))
+      .limit(trainSample).select(col("v")).rdd
+      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    kmeansDistributed(sampleRdd, k)
   }
 
   /** Centroid sidecar read-back: kLists × dim doubles — always tiny. */
@@ -968,11 +979,19 @@ object Similarity {
                    indexDir: String, method: String): CompactStats = {
     require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"compactIndex: unknown method $method")
+    // an ivfpq index may carry the opt-in float sidecar — it appends,
+    // heals, and compacts in lockstep with the codes (losing it here
+    // would silently strip the index of its retrain/MMR capability)
+    val f32 = method == "ivfpq" &&
+      graft.llm.Pq.hasVectorSidecar(spark, indexDir)
+    val dataDirs =
+      if (f32) Seq("vectors", graft.llm.Pq.vectorSidecarDir)
+      else Seq("vectors")
     // finish any crashed-but-committed append first: its rows must be
     // live (and its fence marker durable) before the rewrite snapshots
     // the vectors dir; un-committed stagings wrote nothing live and are
     // re-staged from scratch by their owner's retry
-    healStrandedAppends(spark, indexDir)
+    healStrandedAppends(spark, indexDir, dataDirs)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
@@ -1000,6 +1019,12 @@ object Similarity {
       clusteredWrite(vectors, partCol, numValues)
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$staging/vectors")
+      if (f32)
+        clusteredWrite(
+            spark.read.parquet(s"$indexDir/${graft.llm.Pq.vectorSidecarDir}"),
+            partCol, numValues)
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"$staging/${graft.llm.Pq.vectorSidecarDir}")
       if (method == "ivf" || method == "ivfpq") {
         writeCentroids(spark, s"$staging/centroids", centroids)
         codebooks.foreach { case (rows, schema) =>
@@ -2839,7 +2864,8 @@ object Similarity {
                   vecCol: String, nBits: Int = 16, dim: Int = 64,
                   partitionBits: Int = 8, kLists: Int = 16,
                   metaCols: Seq[String] = Nil,
-                  pqM: Int = 8, pqK: Int = 64): Unit = {
+                  pqM: Int = 8, pqK: Int = 64,
+                  keepVectors: Boolean = false): Unit = {
     require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"ensureIndex: unknown method $method")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -2853,7 +2879,7 @@ object Similarity {
         ()
       case "ivfpq" =>
         Pq.ivfPqBuild(corpus, idCol, vecCol, indexDir, kLists, pqM, pqK,
-          metaCols = metaCols)
+          metaCols = metaCols, keepVectors = keepVectors)
       case _ =>
         lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits,
           metaCols)

@@ -1212,12 +1212,22 @@ object StreamRunner {
     lambda.foreach(l => require(l >= 0.0 && l <= 1.0,
       s"hybridServe: lambda must be in [0,1], got $l"))
     // the MMR penalty cosines need FLOAT vectors — an ivfpq layout
-    // stores m-byte codes only, so the compressed index serves the
-    // RRF-fused form (the 10⁹-vector deployment shape) but rejects the
-    // diversified form loudly instead of silently reconstructing
-    require(lambda.isEmpty || annMethod != "ivfpq",
-      "hybridServe: --lambda (MMR) needs a float-carrying ANN layout " +
-        "(lsh | ivf); an ivfpq index stores codes only")
+    // stores m-byte codes, so the diversified form needs the opt-in
+    // float sidecar (keepVectors): candidate vectors then come from
+    // answer-sized id-joins against vectors_f32, exact MMR at probe-
+    // priced reads. Without the sidecar the compressed index serves the
+    // RRF-fused form only and rejects --lambda loudly instead of
+    // silently reconstructing approximate vectors from codes.
+    require(lambda.isEmpty || annMethod != "ivfpq" ||
+        graft.llm.Pq.hasVectorSidecar(queries.sparkSession, annIndexDir),
+      "hybridServe: --lambda (MMR) needs float vectors; this ivfpq " +
+        "index carries no vectors_f32 sidecar — build it with " +
+        "keepVectors (--keep-vectors), or use a float layout (lsh | ivf)")
+    // where the MMR vector fetch reads from: the index's own vectors for
+    // float layouts, the sidecar for a keepVectors ivfpq index
+    val mmrVectorsDir =
+      if (annMethod == "ivfpq") s"$annIndexDir/${graft.llm.Pq.vectorSidecarDir}"
+      else s"$annIndexDir/vectors"
     require(maxQueriesPerBatch > 0,
       s"hybridServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
     // the user-supplied annMethod must MATCH the dir's self-described
@@ -1328,7 +1338,7 @@ object StreamRunner {
                   .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
                   .toSeq
                 val poolDf = poolRows.toDF("qid", "id", "score")
-                val vecs = spark.read.parquet(s"$annIndexDir/vectors")
+                val vecs = spark.read.parquet(mmrVectorsDir)
                   .select(col("id"), col("v"))
                 val candsDf = vecs.join(broadcast(poolDf), Seq("id"))
                 // serving-sized (pool rows that HAVE vectors): collect
@@ -1539,11 +1549,18 @@ object StreamRunner {
     require(retrainSkewFactor <= 0 || compactEvery > 0,
       "annIngestJob: retrainSkewFactor requires compactEvery > 0 (the " +
         "maintenance cadence the skew check runs on)")
-    require(retrainSkewFactor <= 0 || method == "ivf",
-      "annIngestJob: retrainSkewFactor applies only to ivf (lsh appends " +
-        "are exact and never drift; an ivfpq retrain needs the original " +
-        "float vectors the codes no longer carry — rebuild from the " +
-        "corpus on drift cadence instead)")
+    require(retrainSkewFactor <= 0 || method == "ivf" || method == "ivfpq",
+      "annIngestJob: retrainSkewFactor applies only to ivf/ivfpq (lsh " +
+        "appends are exact and never drift)")
+    // an ivfpq retrain re-encodes from the float sidecar — codes cannot
+    // re-encode themselves. The index exists at job construction (the
+    // CLI bootstraps via --build-from first), so a missing sidecar fails
+    // HERE with the build advice, not hours in at the first skew firing.
+    if (method == "ivfpq" && retrainSkewFactor > 0)
+      require(graft.llm.Pq.hasVectorSidecar(spark, indexDir),
+        s"annIngestJob: --retrain-skew on an ivfpq index needs the float " +
+          s"sidecar ($indexDir/${graft.llm.Pq.vectorSidecarDir} is " +
+          "missing) — build with keepVectors (--keep-vectors)")
     // the stream's schema comes from the INDEX, not file inference: the
     // watched dir is legitimately EMPTY on first launch (the backfill was
     // --build-from; increments arrive later), and inference over an empty
@@ -1582,12 +1599,19 @@ object StreamRunner {
             // checkpoint — see appendOpensSlot): empty batches never
             // advance it and the n-th append fires it, batch ids aside
             if (appendOpensSlot(spark, checkpoint, compactEvery)) {
-              val retrained = method == "ivf" && retrainSkewFactor > 0 && {
+              // the skew monitor reads the shared `list` column, so one
+              // check serves both quantized families; the retrain verb
+              // dispatches — ivf re-trains from its own (id, v) rows,
+              // ivfpq re-trains + re-encodes from its float sidecar
+              // (presence verified at job construction)
+              val retrained = (method == "ivf" || method == "ivfpq") &&
+                retrainSkewFactor > 0 && {
                 val skew = graft.llm.Similarity.ivfSkew(spark, indexDir)
                 skew > retrainSkewFactor && {
-                  log.warn(s"ivf skew $skew > $retrainSkewFactor at " +
+                  log.warn(s"$method skew $skew > $retrainSkewFactor at " +
                     s"$indexDir; retraining from index rows")
-                  graft.llm.Similarity.ivfRetrain(spark, indexDir)
+                  if (method == "ivfpq") graft.llm.Pq.ivfPqRetrain(spark, indexDir)
+                  else graft.llm.Similarity.ivfRetrain(spark, indexDir)
                   true
                 }
               }

@@ -358,6 +358,19 @@ object ScaleCheck {
         graft.llm.Pq.ivfPqAppend(inc, "vec_id", "embedding", pqDir,
           appendId = Some(s"scale-$mult")); 200L
       })
+      // the RETRAIN posture (keepVectors lifecycle): the rewrite is one
+      // bounded training pass + one assign/encode pass over the index
+      // (the RARE op, ~linear in mult like compaction), and the probe
+      // AFTER it must return to the built-index flat cost
+      val kvDir = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-ivfpqkv-$mult").toString
+      graft.llm.Pq.ivfPqBuild(big, "vec_id", "embedding", kvDir,
+        kLists = 16, m = 8, k = 16, keepVectors = true)
+      time("ivfpq_retrain")({
+        graft.llm.Pq.ivfPqRetrain(spark, kvDir); big.count()
+      })
+      time("ivfpq_probe_retrained")(
+        graft.llm.Pq.ivfPqQuery(spark, kvDir, q, 10).count())
       // the COMPACTION posture: rewrite cost is one clustered pass over
       // the index (so it may grow ~linearly in mult — it is the RARE
       // maintenance op), but the probe after it must return to the

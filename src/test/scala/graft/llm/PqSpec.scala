@@ -385,6 +385,82 @@ class PqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Pq.ivfPqRange(spark, dir, q, -1.5))
   }
 
+  test("keepVectors sidecar: build/append stay aligned, compaction carries it, retrain re-encodes from it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pqkv").toString
+    val dir = s"$root/idx"
+    val base = emb.filter($"vec_id" < 300).select($"vec_id", $"embedding")
+    Pq.ivfPqBuild(base, "vec_id", "embedding", dir,
+      kLists = 16, m = 8, k = 16, keepVectors = true)
+    assert(Pq.hasVectorSidecar(spark, dir))
+    // the sidecar mirrors the codes partition-for-partition: same ids,
+    // same list assignment, floats preserved (double-cast of the source)
+    def codes() = spark.read.parquet(s"$dir/vectors")
+    def f32() = spark.read.parquet(s"$dir/${Pq.vectorSidecarDir}")
+    assert(codes().count() == 300L && f32().count() == 300L)
+    val codePairs = codes().select("id", "list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val f32Pairs = f32().select("id", "list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(codePairs == f32Pairs, "sidecar list assignment must equal codes")
+    val srcV = base.filter($"vec_id" === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val sideV = f32().filter($"id" === 7L).select("v")
+      .head().getSeq[Double](0)
+    assert(sideV == srcV.toSeq, "sidecar floats must be the source vectors")
+    // APPEND a drifted cluster: floats land in the sidecar in the SAME
+    // staged commit (replay-fenced together with the codes)
+    val drifted = spark.createDataFrame(
+      (0 until 100).map { i =>
+        (1000L + i, Array.tabulate(64)(d =>
+          if (d == 0) 10.0f else (((i * 31 + d) % 7) - 3) * 0.1f).toSeq)
+      }).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    Pq.ivfPqAppend(drifted, "vec_id", "embedding", dir,
+      appendId = Some("drift1"))
+    assert(codes().count() == 400L && f32().count() == 400L)
+    // replayed append = no-op for BOTH layouts
+    Pq.ivfPqAppend(drifted, "vec_id", "embedding", dir,
+      appendId = Some("drift1"))
+    assert(codes().count() == 400L && f32().count() == 400L)
+    // COMPACTION carries the sidecar (losing it would silently strip the
+    // index of its retrain/MMR capability)
+    val st = Similarity.compactIndex(spark, dir, "ivfpq")
+    assert(st.filesAfter <= st.filesBefore)
+    assert(Pq.hasVectorSidecar(spark, dir))
+    assert(codes().count() == 400L && f32().count() == 400L)
+    // RETRAIN from the sidecar: skew from the drifted appends drops, the
+    // residual encoding survives (enc marker), rows re-encode exactly
+    val skewBefore = Similarity.ivfSkew(spark, dir)
+    assert(skewBefore > 2.0,
+      s"drifted appends should concentrate in few lists, skew $skewBefore")
+    Pq.ivfPqRetrain(spark, dir)
+    val skewAfter = Similarity.ivfSkew(spark, dir)
+    assert(skewAfter < skewBefore,
+      s"retrain did not reduce skew: $skewBefore -> $skewAfter")
+    assert(codes().count() == 400L && f32().count() == 400L)
+    assert(spark.read.parquet(s"$dir/codebooks")
+      .select("enc").head().getString(0) == "res",
+      "retrain must keep the index's declared encoding")
+    // drifted rows serve exactly through the retrained quantizer: rows
+    // 1007/1000/1014 are bit-identical to the query (period-7 pattern),
+    // so the cos-1.0 tie set tops the ADC ranking
+    val q = Array.tabulate(64)(d =>
+      if (d == 0) 10.0 else (((7 * 31 + d) % 7) - 3) * 0.1).toSeq
+    val top = Pq.ivfPqQuery(spark, dir, q, 3, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1000L, 1007L, 1014L),
+      s"retrained index must serve the drifted clique, got $top")
+    // replay fence survives the retrain rewrite
+    Pq.ivfPqAppend(drifted, "vec_id", "embedding", dir,
+      appendId = Some("drift1"))
+    assert(codes().count() == 400L && f32().count() == 400L)
+    // a sidecar-less index refuses the retrain with the rebuild advice
+    val bare = s"$root/bare"
+    Pq.ivfPqBuild(base, "vec_id", "embedding", bare, kLists = 8, m = 8, k = 16)
+    val e = intercept[IllegalArgumentException](Pq.ivfPqRetrain(spark, bare))
+    assert(e.getMessage.contains("keepVectors"))
+  }
+
   test("ADC score equals the hand-computed query·reconstruction dot") {
     val model = Pq.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8)
     val codes = Pq.pqEncode(emb, "vec_id", "embedding", model)

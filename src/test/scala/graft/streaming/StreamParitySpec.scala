@@ -1520,8 +1520,9 @@ class StreamParitySpec extends AnyFunSuite {
       .toSet
     assert(got == want && got.nonEmpty,
       "compressed-index hybrid serving must equal the direct composition")
-    // --lambda over ivfpq: codes carry no float vectors for the MMR
-    // penalty — rejected at job construction, never silently served
+    // --lambda over a SIDECAR-LESS ivfpq index: codes carry no float
+    // vectors for the MMR penalty — rejected at job construction with
+    // the keepVectors advice, never silently served
     val err = intercept[IllegalArgumentException] {
       graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
         Array("--bm25-index-dir", s"$root/bidx",
@@ -1530,7 +1531,73 @@ class StreamParitySpec extends AnyFunSuite {
           "--queries-uri", qdir, "--output-uri", s"$root/answers2",
           "--checkpoint", s"$root/ckpt2", "--once")))
     }
-    assert(err.getMessage.contains("float-carrying"), err.getMessage)
+    assert(err.getMessage.contains("vectors_f32"), err.getMessage)
+    // --ann-method disagreeing with the dir's actual layout fails job
+    // construction with a sentence, not every micro-batch with an opaque
+    // read error ('aidx' is a built ivfpq index, claimed as ivf)
+    val mism = intercept[IllegalArgumentException] {
+      graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
+        Array("--bm25-index-dir", s"$root/bidx",
+          "--ann-index-dir", s"$root/aidx", "--ann-method", "ivf",
+          "--k", "5",
+          "--queries-uri", qdir, "--output-uri", s"$root/answers3",
+          "--checkpoint", s"$root/ckpt3", "--once")))
+    }
+    assert(mism.getMessage.contains("built 'ivfpq' index"), mism.getMessage)
+  }
+
+  test("serve-hybrid --lambda over a keepVectors IVFPQ index: exact MMR parity from the float sidecar") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hEmb = graft.llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+      dim = 16, seed = 7L)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .join(hEmb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+    val root = Files.createTempDirectory("graft-hybridpqkv").toString
+    corpus.write.parquet(s"$root/corpus")
+    val q1 = graft.llm.TextAnalysis.hashEmbed(
+      Seq((0L, "spark stream window")).toDF("doc_id", "text"),
+      "doc_id", "text", dim = 16, seed = 7L)
+      .select("vec").as[Seq[Double]].head()
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      s"""{"qid":1,"terms":"spark stream window","vec":${q1.mkString("[", ",", "]")}}""")
+    val cfg = graft.cli.ServeHybridCli.parseArgs(Array(
+      "--bm25-index-dir", s"$root/bidx", "--ann-index-dir", s"$root/aidx",
+      "--ann-method", "ivfpq", "--k", "5", "--lambda", "0.7",
+      "--keep-vectors",
+      "--queries-uri", qdir, "--output-uri", s"$root/answers",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--build-from", s"$root/corpus", "--build-id-col", "doc_id",
+      "--build-text-col", "text", "--build-vec-col", "vec"))
+    graft.cli.ServeHybridCli.run(spark, cfg)
+    assert(graft.llm.Pq.hasVectorSidecar(spark, s"$root/aidx"))
+    val got = spark.read.json(s"$root/answers/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).toSet
+    // direct composition: compressed probes for the pool, RRF fuse at
+    // pool width, exact MMR over the fused pool with TRUE floats from
+    // the sidecar — serve-hybrid must equal it term for term
+    val lex = graft.llm.Retrieval.bm25TopKIndexedBatch(spark, s"$root/bidx",
+        Seq(1L -> Seq("spark", "stream", "window")), 10)
+      .select("qid", "id", "rnk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    val sem = graft.llm.Pq.ivfPqQueryBatch(spark, s"$root/aidx",
+        Seq(1L -> q1), 10)
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .select("qid", "id", "rnk")
+    val fused = graft.llm.Retrieval.rrfFuseBatch(Seq(lex, sem), 10)
+    val cands = spark.read
+      .parquet(s"$root/aidx/${graft.llm.Pq.vectorSidecarDir}")
+      .select(col("id"), col("v"))
+      .join(org.apache.spark.sql.functions.broadcast(fused), Seq("id"))
+    val want = graft.llm.Retrieval.mmrRerankBatch(
+        cands, "qid", "id", "score", "v", 5, 0.7)
+      .select("qid", "id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty,
+      "sidecar MMR serving must equal the direct float composition")
   }
 
   test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
@@ -1810,11 +1877,15 @@ class StreamParitySpec extends AnyFunSuite {
     // ...and the codebook sidecar still says residual after compaction
     assert(spark.read.parquet(s"$root/idx/codebooks")
       .select("enc").head().getString(0) == "res")
-    // --retrain-skew stays ivf-only: codes can't retrain themselves
-    intercept[IllegalArgumentException](graft.cli.IngestCli.parseArgs(Array(
-      "--corpus-uri", streamDir, "--index-dir", s"$root/idx",
-      "--method", "ivfpq", "--checkpoint", s"$root/ckpt",
-      "--compact-every", "1", "--retrain-skew", "2.0")))
+    // --retrain-skew against a SIDECAR-LESS ivfpq index: codes can't
+    // re-encode themselves — rejected at JOB CONSTRUCTION with the
+    // keepVectors advice, not hours in at the first skew firing
+    val e = intercept[IllegalArgumentException](graft.cli.IngestCli.run(spark,
+      graft.cli.IngestCli.parseArgs(Array(
+        "--corpus-uri", streamDir, "--index-dir", s"$root/idx",
+        "--method", "ivfpq", "--checkpoint", s"$root/ckpt-r",
+        "--compact-every", "1", "--retrain-skew", "2.0"))))
+    assert(e.getMessage.contains("keep-vectors"), e.getMessage)
   }
 
   test("ingest-ann --retrain-skew: the maintenance slot retrains a drifted ivf index in-stream") {
@@ -1859,6 +1930,71 @@ class StreamParitySpec extends AnyFunSuite {
     // exactly-once across the retrain: idle relaunch re-appends nothing
     graft.cli.IngestCli.run(spark, cfg)
     assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+  }
+
+  test("ingest-ann --retrain-skew over a keepVectors ivfpq index: the slot retrains codebooks from the sidecar") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-ingestpqretrain").toString
+    emb.filter($"vec_id" < 300L).coalesce(1).write.parquet(s"$root/backfill")
+    val streamDir = s"$root/stream"; new java.io.File(streamDir).mkdirs()
+    def addDrifted(name: String, base: Long): Unit = {
+      val tmp = s"$root/.inc-$name"
+      spark.createDataFrame((0 until 50).map { i =>
+        (base + i, Array.tabulate(64)(d =>
+          if (d == 0) 10.0f else ((i * 13 + d) % 5 - 2) * 0.1f).toSeq)
+      }).toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    val cfg = graft.cli.IngestCli.parseArgs(Array(
+      "--corpus-uri", streamDir, "--corpus-format", "parquet",
+      "--index-dir", s"$root/idx", "--method", "ivfpq",
+      "--checkpoint", s"$root/ckpt", "--once",
+      "--compact-every", "1", "--retrain-skew", "2.0", "--keep-vectors",
+      "--build-from", s"$root/backfill"))
+    addDrifted("f1", 1000L)
+    graft.cli.IngestCli.run(spark, cfg) // batch 0: append only (no slot)
+    assert(graft.llm.Pq.hasVectorSidecar(spark, s"$root/idx"))
+    val centroidsFrozen =
+      graft.llm.Similarity.readCentroids(spark, s"$root/idx").map(_.toSeq).toSeq
+    val booksFrozen = spark.read.parquet(s"$root/idx/codebooks")
+      .collect().map(_.toSeq).toSet
+    val skewDrifted = graft.llm.Similarity.ivfSkew(spark, s"$root/idx")
+    assert(skewDrifted > 2.0, s"drifted increment should raise skew, got $skewDrifted")
+    addDrifted("f2", 2000L)
+    graft.cli.IngestCli.run(spark, cfg) // batch 1: append, slot -> retrain
+    assert(graft.llm.Similarity.readCentroids(spark, s"$root/idx")
+      .map(_.toSeq).toSeq != centroidsFrozen,
+      "maintenance slot should have retrained the coarse quantizer")
+    assert(spark.read.parquet(s"$root/idx/codebooks")
+      .collect().map(_.toSeq).toSet != booksFrozen,
+      "an ivfpq retrain must retrain the CODEBOOKS too (re-clustering " +
+        "changes every residual)")
+    assert(spark.read.parquet(s"$root/idx/codebooks")
+      .select("enc").head().getString(0) == "res",
+      "the declared encoding survives the retrain")
+    assert(graft.llm.Similarity.ivfSkew(spark, s"$root/idx") < skewDrifted)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+    assert(spark.read
+      .parquet(s"$root/idx/${graft.llm.Pq.vectorSidecarDir}").count() == 400L)
+    // the retrained quantizer serves the drifted region exactly: probe
+    // with a drifted-cluster query and expect drifted ids at the top
+    val q = Array.tabulate(64)(d =>
+      if (d == 0) 10.0 else ((13 + d) % 5 - 2) * 0.1).toSeq // i = 1
+    val top = graft.llm.Pq.ivfPqQuery(spark, s"$root/idx", q, 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.forall(id => id >= 1000L),
+      s"drifted-region query should serve drifted ids, got $top")
+    // exactly-once across the retrain: idle relaunch re-appends nothing
+    graft.cli.IngestCli.run(spark, cfg)
+    assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
+    assert(spark.read
+      .parquet(s"$root/idx/${graft.llm.Pq.vectorSidecarDir}").count() == 400L)
   }
 
   test("ingest-ann binds its corpus as a catalog datastore") {
