@@ -734,7 +734,15 @@ object Pq {
           .filter(pred),
         idx, Seq((0L, query)), Seq(lists), topK)
         .select("id", "cos")
-      if (probe >= kLists || res.count() >= topK) return res
+      // ONE job per widening round: the ≤topK answer rows ARE the
+      // satisfied-count, so collect them and decide — a separate
+      // res.count() pass doubled probe latency exactly when the filter
+      // was most selective, and the satisfied case re-ran the scoring
+      // at consumption. The local return is the batch variant's posture.
+      val rows = res.collect()
+      if (probe >= kLists || rows.length >= topK)
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows.toIndexedSeq: _*), res.schema)
       probe = math.min(probe * 2, kLists)
     }
     throw new IllegalStateException("unreachable")

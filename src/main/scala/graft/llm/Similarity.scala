@@ -1134,10 +1134,15 @@ object Similarity {
       val res = rerank(
         idx.vectors.filter(col("list").isin(lists: _*)).filter(pred),
         query, k)
-      // the survivor check executes the (≤ k-row) probe plan once; the
-      // returned frame re-runs it at consumption — serving cost is two
-      // pruned reads in the satisfied case, bounded by the k rows
-      if (probe >= kLists || res.count() >= k) return res
+      // ONE job per widening round: the ≤k answer rows ARE the
+      // satisfied-count — collect them and decide, returning a local
+      // frame (the batch variant's posture). The old count-then-return
+      // ran the pruned scoring twice in the satisfied case and once
+      // more per widening round.
+      val rows = res.collect()
+      if (probe >= kLists || rows.length >= k)
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows.toIndexedSeq: _*), res.schema)
       probe = math.min(probe * 2, kLists)
     }
     throw new IllegalStateException("unreachable")
@@ -2177,7 +2182,12 @@ object Similarity {
       candsAt(r).limit(minCandidates).count())
     while (true) {
       val res = rerank(candsAt(radius), query, k)
-      if (radius >= idx.nBits || res.count() >= k) return res
+      // one job per widening round — collect the ≤k answer rows and
+      // decide on their count (the ivfQueryFiltered posture)
+      val rows = res.collect()
+      if (radius >= idx.nBits || rows.length >= k)
+        return spark.createDataFrame(
+          java.util.Arrays.asList(rows.toIndexedSeq: _*), res.schema)
       radius = math.min(radius * 2, idx.nBits)
     }
     throw new IllegalStateException("unreachable")

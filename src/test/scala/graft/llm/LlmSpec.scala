@@ -1913,18 +1913,73 @@ class LlmSpec extends AnyFunSuite {
     val ivfDir = s"$root/ivf"
     Similarity.ivfBuild(corpus, "vec_id", "embedding", ivfDir,
       kLists = 8, trainSample = 256, metaCols = Seq("flag"))
-    val probe = Similarity.ivfQueryFiltered(spark, ivfDir, q, 5,
-      col("flag") === 0, nprobe = 3)
-    // the metadata predicate lands in the parquet scan's PushedFilters
-    // AND the probe stays partition-pruned on list
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.matches(
-      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*"), plan.take(3000))
-    assert(plan.contains("PartitionFilters") &&
-      (plan.contains("list#") || plan.contains("list =")), plan.take(2000))
+    // the probe collects per widening round and returns a LOCAL frame
+    // (one scoring pass per round — the batch variants' posture), so
+    // the pruned plan is observed via a QueryExecutionListener capture
+    // and the job bill via a SparkListener: a SATISFIED first round
+    // costs exactly the jobs of ONE unfiltered single-pass probe (AQE
+    // splits a pass into plan-dependent job counts, so the bill is
+    // asserted relatively), and consuming the result adds ZERO jobs.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener posts are async — poll to a deadline before judging
+    def awaitStable[A](read: => A): A = {
+      var last = read; var stableMs = 0L
+      val deadline = System.currentTimeMillis() + 10000
+      while (stableMs < 500 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        val cur = read
+        if (cur == last) stableMs += 100 else { last = cur; stableMs = 0 }
+      }
+      last
+    }
+    // warm the memoized index meta so neither measured call pays it
+    Similarity.ivfQuery(spark, ivfDir, q, 5, nprobe = 3).collect()
+    spark.listenerManager.register(ql)
+    spark.sparkContext.addSparkListener(jl)
+    val (got, jobsFiltered, jobsConsume, jobsBaseline) =
+      try {
+        val j0 = awaitStable(jobs.get())
+        val probe = Similarity.ivfQueryFiltered(spark, ivfDir, q, 5,
+          col("flag") === 0, nprobe = 3)
+        val j1 = awaitStable(jobs.get())
+        val rows = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val j2 = awaitStable(jobs.get())
+        Similarity.ivfQuery(spark, ivfDir, q, 5, nprobe = 3).collect()
+        val j3 = awaitStable(jobs.get())
+        (rows, j1 - j0, j2 - j1, j3 - j2)
+      } finally {
+        spark.listenerManager.unregister(ql)
+        spark.sparkContext.removeSparkListener(jl)
+      }
+    assert(jobsConsume == 0,
+      s"consuming the local answer frame must launch no job, ran $jobsConsume")
+    assert(jobsFiltered == jobsBaseline,
+      s"a satisfied filtered probe must cost exactly one scoring pass " +
+        s"($jobsBaseline jobs), ran $jobsFiltered")
+    import scala.jdk.CollectionConverters._
+    val planOk = plans.asScala.exists(p =>
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*") &&
+        p.contains("PartitionFilters") &&
+        (p.contains("list#") || p.contains("list =")))
+    assert(planOk, "no captured probe plan showed the pushed predicate " +
+      "and list pruning")
     // expected set is the closed-form filtered brute force: six even-id
     // clique members at cos 1.0, top-5 by (cos desc, id asc)
-    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq(0L, 100002L, 100004L, 100006L, 100008L)
       .map(id => (id, 1.0)), s"got $got")
 
@@ -1965,12 +2020,18 @@ class LlmSpec extends AnyFunSuite {
     val lshDir = s"$root/lsh"
     Similarity.lshBuild(corpus, "vec_id", "embedding", lshDir,
       nBits = 8, dim = 64, partitionBits = 4, metaCols = Seq("flag"))
-    val lprobe = Similarity.lshQueryFiltered(spark, lshDir, q, 5,
-      col("flag") === 0, minCandidates = 5)
-    val lplan = lprobe.queryExecution.executedPlan.toString
-    assert(lplan.matches(
-      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*"), lplan.take(3000))
-    val lgot = lprobe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // LSH probes collect per round too — capture the executed plan via
+    // the listener (the returned frame is a local relation)
+    plans.clear()
+    spark.listenerManager.register(ql)
+    val lgot =
+      try Similarity.lshQueryFiltered(spark, lshDir, q, 5,
+          col("flag") === 0, minCandidates = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      finally spark.listenerManager.unregister(ql)
+    val lplanOk = awaitStable(plans.asScala.exists(_.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*")))
+    assert(lplanOk, "no captured LSH probe plan showed the pushed predicate")
     assert(lgot == Seq(0L, 100002L, 100004L, 100006L, 100008L)
       .map(id => (id, 1.0)), s"lsh got $lgot")
     // selective predicate widens the Hamming ball up to the full scan —

@@ -109,13 +109,31 @@ class PqSpec extends AnyFunSuite {
     // live index) — it must serve through the filtered probe
     Pq.ivfPqAppend(corpus.filter($"vec_id" === 100010L),
       "vec_id", "embedding", dir)
-    val probe = Pq.ivfPqQueryFiltered(spark, dir, q, 6,
-      col("flag") === 0, nprobe = 1)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*"),
-      plan.take(3000))
-    assert(plan.contains("PartitionFilters") && plan.contains("list"),
-      s"filtered probe must stay list-pruned:\n$plan")
+    // the probe collects per widening round (one scoring pass per round)
+    // and returns a local frame — observe the executed pruned plan via a
+    // QueryExecutionListener capture instead of the returned frame
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    val probe =
+      try Pq.ivfPqQueryFiltered(spark, dir, q, 6, col("flag") === 0, nprobe = 1)
+      finally spark.listenerManager.unregister(ql)
+    val deadline = System.currentTimeMillis() + 10000
+    import scala.jdk.CollectionConverters._
+    def planOk = plans.asScala.exists(p =>
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(flag,0\\).*") &&
+        p.contains("PartitionFilters") && p.contains("list"))
+    while (!planOk && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(planOk,
+      "no captured probe plan showed the pushed predicate and list pruning")
     val top = probe.collect().map(r => r.getLong(0) -> r.getDouble(1))
     assert(top.map(_._1).toSet ==
       (Set(0L) ++ (1 to 5).map(r => 100000L + 2L * r)), top.mkString(","))
