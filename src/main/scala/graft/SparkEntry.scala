@@ -387,6 +387,24 @@ object SparkEntry {
     idxDir
   }
 
+  /** Pin `graft.dfl.index.minBytes = 0` around `body` — the bench/oracle
+    * twins' lever for exercising the CACHED-index DFL lifecycle
+    * (fingerprint memo, stamp dirs) at testdata scale, where every
+    * corpus sits under the 32 MiB default and the DFL llm stages
+    * otherwise take the direct index-less paths. The conf is consulted
+    * eagerly at pipeline construction (the build side effect runs
+    * there), so restoring it after `body` cannot leak into other rows. */
+  private def withIndexAlways[A](s: SparkSession)(body: => A): A = {
+    val key = "graft.dfl.index.minBytes"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "0")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Per-query planted-clique ANN corpus for the BATCHED oracle rows
     * ([[annBatchPlantedSql]] is their oracle): 10 copies of EACH of
     * queries 0-2's embeddings at ids 100000 + qid·100 + r, same
@@ -929,6 +947,33 @@ object SparkEntry {
       val (corpus, q) = plantedCliqueCorpus(s, dir)
       DflFrame.pipeline(corpus,
         "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q))
+    }),
+    // the CACHED-index DFL lifecycle twins: identical pipelines to their
+    // direct-path siblings, but pinned to minBytes=0 so the fingerprint
+    // memo + stamp-dir path stays bench- and oracle-visible at testdata
+    // scale (the 32 MiB gate routes the plain rows to the direct paths
+    // there — value-identical by contract, which these rows re-prove)
+    "dfl_ann_ivf_indexed" -> ((s, dir) => withIndexAlways(s) {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      DflFrame.pipeline(corpus,
+        "annTopK(@, '@vec_id', '@embedding', $q, 10, 'ivf')", Map("q" -> q))
+    }),
+    "dfl_ann_filtered_indexed" -> ((s, dir) => withIndexAlways(s) {
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      DflFrame.pipeline(
+        corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+        "annTopKFiltered(@, '@vec_id', '@embedding', $q, 5, '@flag == 0', 'ivf')",
+        Map("q" -> q))
+    }),
+    "dfl_ann_batch_indexed" -> ((s, dir) => withIndexAlways(s) {
+      val (corpus, queries) = plantedBatchCorpus(s, dir)
+      val qs: Seq[Seq[Any]] = queries.map { case (id, v) => Seq[Any](id, v) }
+      DflFrame.pipeline(corpus,
+        "annTopKBatch(@, '@vec_id', '@embedding', $qs, 10, 'ivf')", Map("qs" -> qs))
+    }),
+    "dfl_bm25_indexed" -> ((s, dir) => withIndexAlways(s) {
+      DflFrame.pipeline(t(s, dir, "documents"),
+        "bm25(@, '@doc_id', '@text', 'spark stream window', 10)")
     }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       llm.Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.8)),
@@ -4415,6 +4460,13 @@ object SparkEntry {
     // the DFL annTopKBatch 'ivf' stage runs the same indexed batch probe
     // over the same per-query planted construction — same oracle
     "dfl_ann_batch" -> annBatchPlantedSql,
+    // the cached-index (minBytes=0) DFL twins answer value-identically
+    // to their direct-path siblings by the index contract — same oracles
+    "dfl_ann_ivf_indexed" -> annPlantedTopkSql,
+    "dfl_ann_filtered_indexed" -> annPlantedFilteredTopkSql,
+    "dfl_ann_batch_indexed" -> annBatchPlantedSql,
+    "dfl_bm25_indexed" -> llm.Retrieval.bm25Sql("documents", "doc_id", "text",
+      Seq("spark", "stream", "window"), 10),
     // batched indexed range probes: brute-force range over the same
     // per-query planted construction (guaranteed recall + exact verify)
     "ann_ivf_range_batch" -> annBatchPlantedRangeSql,
