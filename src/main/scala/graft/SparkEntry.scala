@@ -1308,6 +1308,26 @@ object SparkEntry {
       val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
       Seq(Tuple1(top == clique)).toDF("clique_exact")
     }),
+    "ann_opq_topk" -> ((s, dir) => {
+      // the OPQ encoding state (Ge et al. CVPR'13): residual codes under
+      // a learned orthogonal rotation, probed through the same pruned
+      // ADC matrix. Contract registration like the other ivfpq rows:
+      // identical planted vectors share ROTATED codes, so nprobe=1
+      // serves the clique exactly — plus the in-row fidelity check that
+      // the rotation did not loosen the reconstruction the independent
+      // decode sees (PqSpec pins the full recall/orthogonality law).
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "opq")(
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
+          kLists = 8, m = 8, k = 16, opq = true))
+      val top = llm.Pq.ivfPqQuery(s, idxDir, q, 11, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
+      val enc = s.read.parquet(s"$idxDir/codebooks")
+        .select("enc").head().getString(0)
+      Seq(Tuple1(top == clique && enc == "opq")).toDF("clique_exact")
+    }),
     "ann_ivfpq_filtered" -> ((s, dir) => {
       // the compressed FILTERED serving shape: flag metadata rides into
       // the code lists, the predicate pushes into the pruned ADC read,
@@ -4235,6 +4255,7 @@ object SparkEntry {
          |  FROM documents""".stripMargin,
     "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
+    "ann_opq_topk" -> "SELECT true AS clique_exact",
     "ann_ivfpq_append" -> "SELECT true AS clique_exact",
     "ann_ivfpq_filtered" -> "SELECT true AS filtered_clique_exact",
     "ann_ivfpq_batch" -> "SELECT true AS batch_clique_exact",

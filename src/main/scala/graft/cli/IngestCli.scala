@@ -60,6 +60,7 @@ object IngestCli {
       indexDir: String = "", method: String = "lsh",
       checkpoint: String = "", once: Boolean = false, compactEvery: Int = 0,
       retrainSkew: Double = 0.0, keepVectors: Boolean = false,
+      buildOpq: Boolean = false,
       buildFrom: String = "", buildNBits: Int = 16, buildDim: Int = 64,
       buildKLists: Int = 16, buildPBits: Int = 8, buildPBands: Int = 64,
       buildPqM: Int = 8, buildPqK: Int = 64,
@@ -83,6 +84,7 @@ object IngestCli {
         case "--compact-every" => c = c.copy(compactEvery = a.value().toInt)
         case "--retrain-skew"  => c = c.copy(retrainSkew = a.value().toDouble)
         case "--keep-vectors"  => c = c.copy(keepVectors = true)
+        case "--build-opq"   => c = c.copy(buildOpq = true)
         case "--build-from"    => c = c.copy(buildFrom = a.value())
         case "--build-nbits"   => c = c.copy(buildNBits = a.value().toInt)
         case "--build-dim"     => c = c.copy(buildDim = a.value().toInt)
@@ -139,7 +141,8 @@ object IngestCli {
           c.buildFrom, c.idCol, c.vecCol, nBits = c.buildNBits,
           dim = c.buildDim, partitionBits = c.buildPBits,
           kLists = c.buildKLists, metaCols = c.buildMeta,
-          pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors)
+          pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors,
+          opq = c.buildOpq)
       StreamRunner.annIngestJob(spark, c.corpusUri, c.corpusFormat,
         c.idCol, c.vecCol, c.indexDir, c.method, c.checkpoint, c.once,
         compactEvery = c.compactEvery, retrainSkewFactor = c.retrainSkew)

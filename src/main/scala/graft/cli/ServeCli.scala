@@ -64,6 +64,7 @@ object ServeCli {
       buildNBits: Int = 16,
       buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8,
       buildPqM: Int = 8, buildPqK: Int = 64, keepVectors: Boolean = false,
+      buildOpq: Boolean = false,
       maxBatchQueries: Int = graft.streaming.StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
@@ -105,6 +106,7 @@ object ServeCli {
         case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
         case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
         case "--keep-vectors"      => c = c.copy(keepVectors = true)
+        case "--build-opq"   => c = c.copy(buildOpq = true)
         // per-micro-batch query budget: queries collect to the driver,
         // so an unbounded file fails loudly instead of OOMing it
         case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
@@ -164,7 +166,8 @@ object ServeCli {
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
         kLists = c.buildKLists, metaCols = c.buildMeta,
-        pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors)
+        pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors,
+        opq = c.buildOpq)
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
       c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos,

@@ -69,7 +69,7 @@ object ServeHybridCli {
       buildMeta: Seq[String] = Nil, buildPBands: Int = 64,
       buildNBits: Int = 16, buildDim: Int = 64, buildKLists: Int = 16,
       buildPBits: Int = 8, buildPqM: Int = 8, buildPqK: Int = 64,
-      keepVectors: Boolean = false,
+      keepVectors: Boolean = false, buildOpq: Boolean = false,
       maxBatchQueries: Int = StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
@@ -116,6 +116,7 @@ object ServeHybridCli {
         case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
         case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
         case "--keep-vectors"      => c = c.copy(keepVectors = true)
+        case "--build-opq"   => c = c.copy(buildOpq = true)
         case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -153,7 +154,8 @@ object ServeHybridCli {
         c.buildFrom, c.buildIdCol, c.buildVecCol, nBits = c.buildNBits,
         dim = c.buildDim, partitionBits = c.buildPBits,
         kLists = c.buildKLists, metaCols = c.buildMeta,
-        pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors)
+        pqM = c.buildPqM, pqK = c.buildPqK, keepVectors = c.keepVectors,
+        opq = c.buildOpq)
     }
     StreamRunner.hybridServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.termsCol, c.vecCol, c.bm25IndexDir, c.annIndexDir,

@@ -127,6 +127,83 @@ object Pq {
     trainBooks("pqTrainResidual", residuals, m, k)
   }
 
+  /** Train an OPTIMIZED-PQ model on residuals — codebooks PLUS a learned
+    * orthogonal rotation R (Ge et al., CVPR'13 "Optimized Product
+    * Quantization", the non-parametric alternation): codes quantize
+    * z = R·(v − c_list), so the rotation re-mixes correlated dimensions
+    * across subspaces before the per-subspace k-means, recovering the
+    * accuracy a fixed axis-aligned split leaves on the table. Each round
+    * (a) trains codebooks on the rotated residuals and (b) updates R by
+    * the orthogonal-Procrustes closed form — SVD(Ẑ·Xᵀ) = U·S·Vᵀ,
+    * R ← U·Vᵀ — which is the exact minimizer of ‖R·X − Ẑ‖_F over
+    * orthogonal R; a final codebook pass trains against the settled
+    * rotation. Deterministic end to end (seeded k-means, closed-form
+    * SVD, fixed iteration count); all driver-side over the bounded
+    * sample, like every trainer here. Returns (model, R). */
+  def pqTrainOpq(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]], m: Int, k: Int,
+                 trainSample: Int = 4096, iters: Int = 6)
+      : (PqModel, Array[Array[Double]]) = {
+    require(iters > 0, s"pqTrainOpq: iters must be positive, got $iters")
+    val sample = sampleAndValidate("pqTrainOpq", df, idCol, vecCol,
+      m, k, trainSample)
+    val dim = sample.head.length
+    require(centroids.nonEmpty && centroids.head.length == dim,
+      s"pqTrainOpq: centroid dim ${centroids.headOption.map(_.length)} != $dim")
+    val subDim = dim / m
+    val residuals = sample.map { v =>
+      val c = centroids(nearestIdx(centroids, v))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val z = residuals.map(x => matVec(r, x))
+      val model = trainBooks("pqTrainOpq", z, m, k)
+      val zhat = z.map(encodeDecode(model, _, subDim))
+      // Procrustes update: M = Ẑ·Xᵀ (dim×dim, accumulated over the
+      // sample), R = U·Vᵀ of its SVD
+      val mm = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      residuals.indices.foreach { i =>
+        val x = residuals(i); val zh = zhat(i)
+        var a = 0
+        while (a < dim) {
+          val za = zh(a); var b = 0
+          while (b < dim) { mm(a, b) += za * x(b); b += 1 }
+          a += 1
+        }
+      }
+      val s = breeze.linalg.svd(mm)
+      val ru = s.U * s.Vt
+      r = Array.tabulate(dim, dim)((i, j) => ru(i, j))
+    }
+    val model = trainBooks("pqTrainOpq",
+      residuals.map(x => matVec(r, x)), m, k)
+    (model, r)
+  }
+
+  /** Driver-side PQ round trip z → codes → ẑ (per-subspace argmin then
+    * codeword concat) — the trainer's reconstruction step. */
+  private def encodeDecode(model: PqModel, z: Array[Double],
+                           subDim: Int): Array[Double] = {
+    val out = new Array[Double](z.length)
+    var mi = 0
+    while (mi < model.m) {
+      var best = 0; var bestD = Double.MaxValue; var ki = 0
+      while (ki < model.k) {
+        val cw = model.codebooks(mi)(ki)
+        var d = 0.0; var j = 0
+        while (j < subDim) {
+          val t = z(mi * subDim + j) - cw(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = ki }
+        ki += 1
+      }
+      System.arraycopy(model.codebooks(mi)(best), 0, out, mi * subDim, subDim)
+      mi += 1
+    }
+    out
+  }
+
   /** argmin ‖x − c‖² over centroids, ties to the smaller index — the
     * driver-side replay of [[graft.functions.NearestCentroid]]'s
     * assignment (same tie-break), used to residualize the training
@@ -245,13 +322,21 @@ object Pq {
     * [[graft.functions.PqEncode]] loop. Runs only at build/append time —
     * probes never decode. */
   def codesColRes(vecCol: String, listCol: String, model: PqModel,
-                  centroids: Array[Array[Double]]): Column = {
+                  centroids: Array[Array[Double]],
+                  rot: Option[Array[Array[Double]]] = None): Column = {
     val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
     val residual = zip_with(
       col(vecCol).cast("array<double>"),
       element_at(centsLit, col(listCol) + 1),
       (x, c) => x - c)
-    graft.functions.PqF.pqEncode(residual, flatCodebook(model),
+    // OPQ: rotate the residual into codeword space before the argmin —
+    // R·r via the native MatVecDots loop (R's rows as the query matrix)
+    val encoded = rot match {
+      case Some(r) =>
+        graft.functions.MatVecF.dots(residual, r.map(_.toSeq).toSeq)
+      case None => residual
+    }
+    graft.functions.PqF.pqEncode(encoded, flatCodebook(model),
       model.m, model.k, model.subDim)
   }
 
@@ -291,21 +376,32 @@ object Pq {
                  k: Int = 64, trainSample: Int = 4096,
                  metaCols: Seq[String] = Nil,
                  residual: Boolean = true,
-                 keepVectors: Boolean = false): Unit = {
+                 keepVectors: Boolean = false,
+                 opq: Boolean = false): Unit = {
     Similarity.requireValidMetaCols(metaCols,
       Set("id", "v", "list", "codes"), "ivfPqBuild")
+    require(!opq || residual,
+      "ivfPqBuild: opq is a refinement of the residual formulation " +
+        "(codes quantize R·(v − centroid)); residual=false excludes it")
     val spark = df.sparkSession
     val centroids = Similarity.trainCentroids(df, idCol, vecCol, kLists, trainSample)
     // residual (default): codebooks trained on v − centroid[list] — the
     // Jégou §III-C / FAISS-default formulation (see pqTrainResidual);
-    // `residual = false` keeps the plain global-codebook encoding for
-    // A/B comparison and as the documented shape of pre-residual indexes
-    val model =
-      if (residual) pqTrainResidual(df, idCol, vecCol, centroids, m, k, trainSample)
-      else pqTrain(df, idCol, vecCol, m, k, trainSample)
+    // `opq = true` additionally learns the Ge et al. orthogonal rotation
+    // ([[pqTrainOpq]]); `residual = false` keeps the plain
+    // global-codebook encoding for A/B comparison and as the documented
+    // shape of pre-residual indexes
+    val (model, rot) =
+      if (opq) {
+        val (mdl, r) = pqTrainOpq(df, idCol, vecCol, centroids, m, k, trainSample)
+        (mdl, Some(r))
+      }
+      else if (residual)
+        (pqTrainResidual(df, idCol, vecCol, centroids, m, k, trainSample), None)
+      else (pqTrain(df, idCol, vecCol, m, k, trainSample), None)
     Similarity.stagedCommit(spark, indexDir) { staging =>
       val codes =
-        if (residual) codesColRes("v", "list", model, centroids)
+        if (residual) codesColRes("v", "list", model, centroids, rot)
         else codesCol("v", model)
       val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
       Similarity.clusteredWrite(
@@ -322,7 +418,7 @@ object Pq {
           .parquet(s"$staging/$vectorSidecarDir")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
       writeCodebooks(spark, s"$staging/codebooks", model,
-        if (residual) "res" else "raw")
+        if (opq) "opq" else if (residual) "res" else "raw", rot)
     }
   }
 
@@ -340,15 +436,24 @@ object Pq {
   }
 
   /** The codebook sidecar, self-describing: `enc` records whether codes
-    * quantize residuals ("res") or raw vectors ("raw") — a reader never
-    * guesses, and an index built before the residual formulation landed
-    * (no `enc` column) reads as "raw". */
+    * quantize residuals ("res"), rotated residuals ("opq"), or raw
+    * vectors ("raw") — a reader never guesses, and an index built before
+    * the residual formulation landed (no `enc` column) reads as "raw".
+    * An OPQ rotation rides in the SAME sidecar as rows at m = -1 (k =
+    * row index, vec = R's k-th row): one atomic artifact, so codes and
+    * their rotation can never commit separately. */
   private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, model: PqModel,
-                             enc: String): Unit = {
+                             dir: String, model: PqModel, enc: String,
+                             rot: Option[Array[Array[Double]]] = None): Unit = {
     import spark.implicits._
-    (for { mi <- 0 until model.m; ki <- 0 until model.k }
-      yield (mi, ki, model.codebooks(mi)(ki).toSeq, enc))
+    require((enc == "opq") == rot.isDefined,
+      s"writeCodebooks: enc=$enc with rotation=${rot.isDefined}")
+    val bookRows = for { mi <- 0 until model.m; ki <- 0 until model.k }
+      yield (mi, ki, model.codebooks(mi)(ki).toSeq, enc)
+    val rotRows = rot.toSeq.flatMap(_.zipWithIndex.map { case (row, i) =>
+      (-1, i, row.toSeq, enc)
+    })
+    (bookRows ++ rotRows)
       .toDF("m", "k", "vec", "enc")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
@@ -387,9 +492,10 @@ object Pq {
       .filterNot(Set("id", "list", "codes"))
     // encode to MATCH the index's own formulation (the enc sidecar
     // column): appending raw codes into a residual index would score
-    // garbage under the residual ADC tables
+    // garbage under the residual ADC tables, and an OPQ index's stored
+    // rotation rides into the encode the same way
     val codes =
-      if (idx.residual) codesColRes("v", "list", model, centroids)
+      if (idx.residual) codesColRes("v", "list", model, centroids, idx.rot)
       else codesCol("v", model)
     val assignedAll = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
     val assigned = assignedAll
@@ -461,15 +567,22 @@ object Pq {
     val centroids = Similarity.retrainCentroids(rows, k, trainSample)
     // the codebooks retrain under the SAME encoding the index declares
     // (enc sidecar) — a residual index gets residual books against the
-    // NEW centroids, a raw index keeps the raw formulation
-    val model =
-      if (idx.residual)
-        pqTrainResidual(rows, "id", "v", centroids,
+    // NEW centroids, an OPQ index re-learns its rotation too, a raw
+    // index keeps the raw formulation
+    val (model, rot) =
+      if (idx.rot.isDefined) {
+        val (mdl, r) = pqTrainOpq(rows, "id", "v", centroids,
           idx.model.m, idx.model.k, trainSample)
-      else pqTrain(rows, "id", "v", idx.model.m, idx.model.k, trainSample)
+        (mdl, Some(r))
+      }
+      else if (idx.residual)
+        (pqTrainResidual(rows, "id", "v", centroids,
+          idx.model.m, idx.model.k, trainSample), None)
+      else (pqTrain(rows, "id", "v", idx.model.m, idx.model.k, trainSample),
+        None)
     Similarity.stagedCommit(spark, indexDir) { staging =>
       val codes =
-        if (idx.residual) codesColRes("v", "list", model, centroids)
+        if (idx.residual) codesColRes("v", "list", model, centroids, rot)
         else codesCol("v", model)
       val assigned = Similarity.ivfAssign(rows, "id", "v", centroids, metaCols)
       Similarity.clusteredWrite(
@@ -485,7 +598,7 @@ object Pq {
         .parquet(s"$staging/$vectorSidecarDir")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
       writeCodebooks(spark, s"$staging/codebooks", model,
-        if (idx.residual) "res" else "raw")
+        if (rot.isDefined) "opq" else if (idx.residual) "res" else "raw", rot)
       restoreFences(s"$staging/vectors")
     }
     centroids
@@ -507,7 +620,16 @@ object Pq {
     * 4 MB literal per query. */
   final case class IvfPqIndex(centroids: Array[Array[Double]],
                               model: PqModel, vectors: DataFrame,
-                              residual: Boolean) {
+                              residual: Boolean,
+                              rot: Option[Array[Array[Double]]] = None) {
+    /** Centroids as the CODEWORDS see them: under an OPQ rotation the
+      * codes quantize z = R·(v − c_L), so every table pairing a
+      * centroid with a codeword must pair the ROTATED centroid (R is
+      * orthogonal, so norms and q·c dots are rotation-free). */
+    private def cwSpaceCentroid(li: Int): Array[Double] = rot match {
+      case Some(r) => matVec(r, centroids(li))
+      case None    => centroids(li)
+    }
     lazy val cwNorm2: Array[Double] = {
       val a = new Array[Double](model.m * model.k)
       for (mi <- 0 until model.m; ki <- 0 until model.k) {
@@ -522,7 +644,7 @@ object Pq {
       val kLists = centroids.length
       val a = new Array[Double](kLists * model.m * model.k)
       for (li <- 0 until kLists; mi <- 0 until model.m; ki <- 0 until model.k) {
-        val c = centroids(li); val cw = model.codebooks(mi)(ki)
+        val c = cwSpaceCentroid(li); val cw = model.codebooks(mi)(ki)
         var sm = 0.0; var j = 0
         while (j < model.subDim) { sm += c(mi * model.subDim + j) * cw(j); j += 1 }
         a((li * model.m + mi) * model.k + ki) = 2.0 * sm
@@ -532,6 +654,16 @@ object Pq {
     lazy val centNorm2: Seq[Double] =
       centroids.toSeq.map(c => c.map(x => x * x).sum)
   }
+
+  /** Dense driver-side R·x (dim² multiply-adds — training/meta-time
+    * only; the in-plan rotation is [[graft.functions.MatVecF.dots]]). */
+  private def matVec(r: Array[Array[Double]],
+                     x: Array[Double]): Array[Double] =
+    Array.tabulate(r.length) { i =>
+      val row = r(i); var s = 0.0; var j = 0
+      while (j < x.length) { s += row(j) * x(j); j += 1 }
+      s
+    }
 
   private val ivfPqMetaCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, IvfPqIndex)]()
@@ -547,17 +679,28 @@ object Pq {
       val cents = Similarity.readCentroids(spark, indexDir)
       val cbDf = spark.read.parquet(s"$indexDir/codebooks")
       // indexes written before the residual formulation carry no `enc`
-      // column — their codes quantize raw vectors
-      val residual = cbDf.schema.fieldNames.contains("enc") &&
-        cbDf.select("enc").head().getString(0) == "res"
-      val cb = cbDf.select("m", "k", "vec")
+      // column — their codes quantize raw vectors. "opq" is the third
+      // state: residual codes under a learned orthogonal rotation whose
+      // rows ride in the same sidecar at m = -1 (see writeCodebooks).
+      val enc =
+        if (cbDf.schema.fieldNames.contains("enc"))
+          cbDf.select("enc").head().getString(0)
+        else "raw"
+      val all = cbDf.select("m", "k", "vec")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val (rotRows, cb) = all.partition(_._1 < 0)
+      val rot =
+        if (enc == "opq") Some(rotRows.sortBy(_._2).map(_._3))
+        else None
+      require(enc != "opq" || rot.exists(_.nonEmpty),
+        s"ivfPqMeta: $indexDir declares enc=opq but carries no rotation rows")
       val m = cb.map(_._1).max + 1
       val k = cb.map(_._2).max + 1
       val books = Array.ofDim[Array[Double]](m, k)
       cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
       val meta = IvfPqIndex(cents, PqModel(m, k, books(0)(0).length, books),
-        spark.read.parquet(s"$indexDir/vectors"), residual)
+        spark.read.parquet(s"$indexDir/vectors"),
+        residual = enc == "res" || enc == "opq", rot = rot)
       Similarity.capCache(ivfPqMetaCache)
       ivfPqMetaCache.put(key, (stamp, meta))
       meta
@@ -622,7 +765,14 @@ object Pq {
                            probeLists: Seq[Seq[Int]]): DataFrame = {
     import graft.functions.PqF
     val model = idx.model
-    val tables = adcTables(model, queries.map(_._2))
+    // OPQ: codes live in rotated space, so the query-side tables pair
+    // R·q with the codewords (dot(q, Rᵀẑ) = dot(Rq, ẑ)); ‖q‖ and the
+    // q·c_list constant are rotation-free (R orthogonal)
+    val tableQs = idx.rot match {
+      case Some(r) => queries.map { case (_, q) => matVec(r, q.toArray).toSeq }
+      case None    => queries.map(_._2)
+    }
+    val tables = adcTables(model, tableQs)
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
     val probeLit = array(probeLists.map(ls => array(ls.map(lit): _*)): _*)
     val qcTerm =

@@ -2875,7 +2875,8 @@ object Similarity {
                   partitionBits: Int = 8, kLists: Int = 16,
                   metaCols: Seq[String] = Nil,
                   pqM: Int = 8, pqK: Int = 64,
-                  keepVectors: Boolean = false): Unit = {
+                  keepVectors: Boolean = false,
+                  opq: Boolean = false): Unit = {
     require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"ensureIndex: unknown method $method")
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -2889,7 +2890,7 @@ object Similarity {
         ()
       case "ivfpq" =>
         Pq.ivfPqBuild(corpus, idCol, vecCol, indexDir, kLists, pqM, pqK,
-          metaCols = metaCols, keepVectors = keepVectors)
+          metaCols = metaCols, keepVectors = keepVectors, opq = opq)
       case _ =>
         lshBuild(corpus, idCol, vecCol, indexDir, nBits, dim, partitionBits,
           metaCols)

@@ -186,21 +186,33 @@ class PqSpec extends AnyFunSuite {
   private def decodeAll(dir: String): (Map[Long, (Array[Double], Int)], Boolean) = {
     val cents = Similarity.readCentroids(spark, dir)
     val cbDf = spark.read.parquet(s"$dir/codebooks")
-    val res = cbDf.schema.fieldNames.contains("enc") &&
-      cbDf.select("enc").head().getString(0) == "res"
-    val cb = cbDf.select("m", "k", "vec").collect()
+    val enc =
+      if (cbDf.schema.fieldNames.contains("enc"))
+        cbDf.select("enc").head().getString(0)
+      else "raw"
+    val all = cbDf.select("m", "k", "vec").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val (rotRows, cb) = all.partition(_._1 < 0)
+    // OPQ: v̂ = c_list + Rᵀ·ẑ — the rotation rows ride at m = -1
+    val rot = if (enc == "opq") Some(rotRows.sortBy(_._2).map(_._3)) else None
     val m = cb.map(_._1).max + 1; val k = cb.map(_._2).max + 1
     val books = Array.ofDim[Array[Double]](m, k)
     cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
+    val res = enc == "res" || enc == "opq"
     val rows = spark.read.parquet(s"$dir/vectors")
       .select("id", "list", "codes").collect()
       .map { r =>
         val list = r.getInt(1)
         val codes = r.getSeq[Byte](2)
-        val recon = codes.zipWithIndex.flatMap { case (c, mi) =>
+        val zhat = codes.zipWithIndex.flatMap { case (c, mi) =>
           books(mi)(c & 0xFF)
         }.toArray
+        val recon = rot match {
+          case Some(rm) => // Rᵀ·ẑ: column i of R dotted with ẑ
+            Array.tabulate(zhat.length)(i =>
+              rm.indices.map(a => rm(a)(i) * zhat(a)).sum)
+          case None => zhat
+        }
         if (res) (0 until recon.length).foreach(j => recon(j) += cents(list)(j))
         r.getLong(0) -> (recon, list)
       }.toMap
@@ -262,6 +274,91 @@ class PqSpec extends AnyFunSuite {
     assert(recRes >= recRaw,
       s"residual recall@10 must not regress on clustered data: " +
         s"res=$recRes raw=$recRaw")
+  }
+
+  test("OPQ: learned rotation is orthogonal, tightens reconstruction, and recall@10 does not regress") {
+    val dirRes = java.nio.file.Files.createTempDirectory("graft-opqres").toString
+    val dirOpq = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", dirRes, kLists = 8, m = 8, k = 16)
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", dirOpq, kLists = 8, m = 8, k = 16,
+      opq = true)
+    // the rotation is ORTHOGONAL by construction (Procrustes closed
+    // form): RᵀR = I to numerical precision
+    val cents = Similarity.readCentroids(spark, dirOpq)
+    val (mdl, r) = Pq.pqTrainOpq(emb, "vec_id", "embedding", cents, 8, 16)
+    val dim = r.length
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(a => r(a)(i) * r(a)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RᵀR[$i][$j] = $dot is not ${if (i == j) 1 else 0}")
+    }
+    // the sidecar self-describes: enc=opq, rotation rows at m = -1
+    assert(spark.read.parquet(s"$dirOpq/codebooks")
+      .select("enc").head().getString(0) == "opq")
+    // INDEPENDENT decode (c_list + Rᵀ·ẑ, no ADC algebra): the learned
+    // rotation must reconstruct at least as tight as the axis-aligned
+    // residual split it starts from (R = I is in the feasible set and
+    // the alternation never increases the objective; the sf0.001 sample
+    // covers the whole corpus, so train MSE IS corpus MSE here)
+    val orig = emb.collect()
+      .map(r2 => r2.getLong(0) -> r2.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def mse(dir: String): Double = {
+      val (recon, _) = decodeAll(dir)
+      val errs = orig.toSeq.map { case (id, v) =>
+        val rv = recon(id)._1
+        v.zip(rv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.size
+    }
+    val (mseRes, mseOpq) = (mse(dirRes), mse(dirOpq))
+    assert(mseOpq <= mseRes,
+      s"OPQ reconstruction must not be looser: opq=$mseOpq res=$mseRes")
+    // recall@10 vs exact top-k on NATURAL queries must not regress
+    def recall(dir: String): Double = {
+      val rs = (1 to 10).map { qid =>
+        val q = emb.filter($"vec_id" === qid).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Pq.ivfPqQuery(spark, dir, q, 10, nprobe = 8)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val (recRes, recOpq) = (recall(dirRes), recall(dirOpq))
+    assert(recOpq >= recRes,
+      s"OPQ recall@10 must not regress on natural vectors: " +
+        s"opq=$recOpq res=$recRes")
+    // planted-clique exactness through the full probe matrix: identical
+    // vectors share rotated codes, so the clique ties at the ADC top
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")
+      .select(($"r" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+    val dirP = java.nio.file.Files.createTempDirectory("graft-opqp").toString
+    Pq.ivfPqBuild(corpus.filter($"vec_id" =!= 100005L), "vec_id", "embedding",
+      dirP, kLists = 8, m = 8, k = 16, opq = true)
+    // the APPEND path is enc-fenced: the appended clone encodes through
+    // the STORED rotation, so it lands on the same codes as its original
+    Pq.ivfPqAppend(corpus.filter($"vec_id" === 100005L),
+      "vec_id", "embedding", dirP)
+    val codesOf = spark.read.parquet(s"$dirP/vectors")
+      .filter(col("id") === 0L || col("id") === 100005L)
+      .select("codes").collect().map(_.getSeq[Byte](0))
+    assert(codesOf.length == 2 && codesOf.distinct.length == 1,
+      "an appended identical vector must share the original's OPQ codes")
+    val q0 = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Pq.ivfPqQuery(spark, dirP, q0, 6, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (Set(0L) ++ (1 to 5).map(_ + 100000L)), s"clique: $top")
+    // batch ≡ single over the opq index (tables rotate identically)
+    val batch = Pq.ivfPqQueryBatch(spark, dirP, Seq(7L -> q0), 6, nprobe = 1)
+      .collect().map(r2 => (r2.getLong(1), r2.getDouble(2))).toSet
+    val single = Pq.ivfPqQuery(spark, dirP, q0, 6, nprobe = 1)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSet
+    assert(batch == single)
   }
 
   test("a raw-encoded index (no enc marker) still probes correctly — backward compat") {
