@@ -855,6 +855,7 @@ object Pq {
       Similarity.nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
+    ProbeStats.record("ivfpq", queries.size, nprobe, nprobe, 0)
     scoreAdcGroup(
       idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
       idx, queries, probeLists, k)
@@ -927,7 +928,12 @@ object Pq {
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var pending = queries
     var width = math.min(math.max(1, nprobe), kLists)
+    val widthStart = width
+    var widthUsed = width
+    var rounds = 0
     while (pending.nonEmpty) {
+      widthUsed = width
+      rounds += 1
       val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
         val probeLists = chunk.map(q =>
           Similarity.nearestLists(idx.centroids, q._2.toArray, width))
@@ -947,6 +953,8 @@ object Pq {
       pending = todo
       width = math.min(width * 2, kLists)
     }
+    ProbeStats.record("ivfpq_filtered", queries.size, widthStart, widthUsed,
+      rounds - 1)
     import spark.implicits._
     acc.toSeq.sortBy { case (qid, id, c) => (qid, -c, id) }
       .toDF("qid", "id", "cos")
@@ -1043,6 +1051,7 @@ object Pq {
       Similarity.nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
+    ProbeStats.record("ivfpq_range", queries.size, nprobe, nprobe, 0)
     scoreAdcRangeGroup(
       idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
       idx, queries, probeLists, minCos)

@@ -661,6 +661,10 @@ object Retrieval {
     require(queries.map(_._1).distinct.size == queries.size,
       "bm25TopKIndexedBatch: duplicate qid in batch")
     val union = queries.flatMap(_._2).distinct
+    // width for a lexical probe = distinct terms (they drive the pband
+    // pruning); lexical serving never widens
+    ProbeStats.record(if (pred.isDefined) "bm25_filtered" else "bm25",
+      queries.size, union.size, union.size, 0)
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("qid", "w")

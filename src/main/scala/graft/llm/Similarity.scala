@@ -1256,6 +1256,7 @@ object Similarity {
       nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
+    ProbeStats.record("ivf", queries.size, nprobe, nprobe, 0)
     scoreIvfGroup(
       idx.vectors.filter(col("list").isin(allLists: _*)), // pruned union read
       queries, probeLists, k)
@@ -1291,6 +1292,7 @@ object Similarity {
       nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
+    ProbeStats.record("ivf_range", queries.size, nprobe, nprobe, 0)
     scoreIvfRangeGroup(
       idx.vectors.filter(col("list").isin(allLists: _*)),
       queries, probeLists, minCos)
@@ -1744,7 +1746,12 @@ object Similarity {
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var pending = queries
     var width = math.min(math.max(1, nprobe), kLists)
+    val widthStart = width
+    var widthUsed = width
+    var rounds = 0
     while (pending.nonEmpty) {
+      widthUsed = width
+      rounds += 1
       val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
         val probeLists = chunk.map(q =>
           nearestLists(idx.centroids, q._2.toArray, width))
@@ -1767,6 +1774,8 @@ object Similarity {
       pending = todo
       width = math.min(width * 2, kLists)
     }
+    ProbeStats.record("ivf_filtered", queries.size, widthStart, widthUsed,
+      rounds - 1)
     import spark.implicits._
     acc.toSeq.sortBy { case (qid, id, cos) => (qid, -cos, id) }
       .toDF("qid", "id", "cos")
@@ -2488,7 +2497,13 @@ object Similarity {
           .limit(minCandidates).count())
       (qid, q, sig, r0)
     }
+    val radiusStart =
+      if (pending.isEmpty) 0 else pending.map(_._4).min
+    var radiusUsed = radiusStart
+    var lshRounds = 0
     while (pending.nonEmpty) {
+      radiusUsed = math.max(radiusUsed, pending.map(_._4).max)
+      lshRounds += 1
       val rows = pending.grouped(chunkSize).toSeq.flatMap { chunk =>
         // union prefix-ball pruning, lossless under the per-query
         // full-signature Hamming filter inside scoreLshGroup. PER-GROUP
@@ -2522,6 +2537,8 @@ object Similarity {
       pending = todo.map { case (qid, q, sig, r) =>
         (qid, q, sig, math.min(r * 2, idx.nBits)) }
     }
+    ProbeStats.record("lsh_filtered", queries.size, radiusStart, radiusUsed,
+      lshRounds - 1)
     import spark.implicits._
     acc.toSeq.sortBy { case (qid, id, cos) => (qid, -cos, id) }
       .toDF("qid", "id", "cos")
@@ -2580,6 +2597,7 @@ object Similarity {
       case (qSig, radius) =>
         prefixBall(qSig, nBits, idx.pBits, radius, maxEnumBuckets)
     }
+    ProbeStats.record("lsh", queries.size, radii.min, radii.max, 0)
     // PER-GROUP pruning: one adversarial wide-ball query must not cost
     // every other query its pruned read. Queries split into the
     // ball-enumerable group (ONE union-pruned read over their balls) and
@@ -2639,6 +2657,7 @@ object Similarity {
     val radius = rangeRadius(nBits, minCos, slackBits)
     val balls: Seq[Option[Seq[Long]]] = qSigs.map(qSig =>
       prefixBall(qSig, nBits, idx.pBits, radius, maxEnumBuckets))
+    ProbeStats.record("lsh_range", queries.size, radius, radius, 0)
     val (enumIdx, scanIdx) = queries.indices.partition(i => balls(i).isDefined)
     def slice[T](xs: Seq[T], ix: Seq[Int]): Seq[T] = ix.map(xs)
     val parts = Seq(

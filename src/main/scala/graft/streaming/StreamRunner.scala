@@ -766,6 +766,43 @@ object StreamRunner {
         "to the driver, so an unbounded file must be rejected, not " +
         "collected; split the input files or raise the limit if intended")
 
+  /** One serving micro-batch's observability record: how many query
+    * rows arrived, how many were actually probed (the rest skipped —
+    * malformed, duplicate qid, wrong dim), the wall time of the whole
+    * batch (probe + sink), and one [[graft.llm.ProbeStats.Leg]] per
+    * probe call (family, width start/reached, widening rounds) — the
+    * numbers an operator tunes `nprobe`/`minCandidates`/`minCos` from
+    * in production. Row-scan counts are deliberately absent: Spark's
+    * task metrics already report them per stage with executor-grade
+    * accuracy. */
+  final case class ServeBatchMetrics(batchId: Long, queriesSeen: Int,
+                                     queriesServed: Int, queriesSkipped: Int,
+                                     wallMs: Long,
+                                     legs: Seq[graft.llm.ProbeStats.Leg])
+
+  /** Render a [[ServeBatchMetrics]] as the `_metrics.json` sidecar next
+    * to an answer batch dir — underscore-prefixed, so parquet/json
+    * readers of the answer dir skip it; written AFTER the answer files
+    * (an observability sidecar must never gate the answers). */
+  private[graft] def writeBatchMetrics(spark: SparkSession, outUri: String,
+                                       m: ServeBatchMetrics): Unit = {
+    val legsJson = m.legs.map(l =>
+      s"""{"op":"${l.op}","queries":${l.queries},""" +
+        s""""width_start":${l.widthStart},"width_reached":${l.widthReached},""" +
+        s""""widened_rounds":${l.widenedRounds}}""").mkString("[", ",", "]")
+    val json =
+      s"""{"batch_id":${m.batchId},"queries_seen":${m.queriesSeen},""" +
+        s""""queries_served":${m.queriesServed},""" +
+        s""""queries_skipped":${m.queriesSkipped},""" +
+        s""""wall_ms":${m.wallMs},"legs":$legsJson}"""
+    val p = new org.apache.hadoop.fs.Path(
+      s"$outUri/batch-${m.batchId}/_metrics.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Streaming ANN serving: answer a STREAM of query vectors against a
     * built, static index (LSH, IVF, or IVFPQ) — the streaming member of the
     * serving matrix (single / batch / stream × brute / ivf / lsh). Each
@@ -807,7 +844,8 @@ object StreamRunner {
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                minCos: Option[Double] = None,
                filterDfl: Option[String] = None,
-               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
+               metricsSink: Option[ServeBatchMetrics => Unit] = None)
               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"annServe: unknown method $method")
@@ -851,10 +889,13 @@ object StreamRunner {
         // query file must fail LOUDLY before the collect, not OOM the
         // driver: the guard is one LIMIT-BOUNDED count (≤ max+1 rows read)
         guardBatchSize(batch, batchId, maxQueriesPerBatch, "annServe")
+        val batchT0 = System.nanoTime()
+        if (metricsSink.isDefined) graft.llm.ProbeStats.begin()
         // A SERVING stream must not die on one bad record (every other
         // streaming operator here tolerates malformed rows too): null or
         // non-integral qids and null / null-element vectors are SKIPPED.
-        val qs = batch.select(col(qidCol), col(vecCol)).collect().iterator
+        val queryRows = batch.select(col(qidCol), col(vecCol)).collect()
+        val qs = queryRows.iterator
           .flatMap { r =>
             // the shared malformed-row tolerance (coerceQidValue/
             // coerceVecValue — fractional qids and non-numeric vector
@@ -887,8 +928,10 @@ object StreamRunner {
         // a probe would actually run: a batch with zero valid queries
         // must not fail the stream while the index is still being built
         // or a sidecar swap is momentarily in flight.
+        var served = 0
         if (qs.nonEmpty) {
           def serveBatch(): Unit = {
+            served = 0 // reset on retry — the counter reports ONE attempt
             val expectDim =
               graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
             qs.groupBy(_._2.size).foreach { case (dim, group) =>
@@ -929,6 +972,7 @@ object StreamRunner {
                   case _ => graft.llm.Similarity.ivfQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
                 }
+                served += group.size
                 sink(answer, batchId) // sink failures still surface — deliberately
               }
             }
@@ -953,6 +997,12 @@ object StreamRunner {
                 s"at $indexDir; re-resolving and retrying once", e)
               serveBatch()
           }
+        }
+        metricsSink.foreach { ms =>
+          ms(ServeBatchMetrics(batchId, queryRows.length, served,
+            queryRows.length - served,
+            (System.nanoTime() - batchT0) / 1000000,
+            graft.llm.ProbeStats.end()))
         }
     }.start()
   }
@@ -1015,7 +1065,8 @@ object StreamRunner {
     val q = annServeBatches(queries, qidCol, vecCol, indexDir, k, method,
       tuning, options = Map("checkpointLocation" -> checkpoint),
       minCos = minCos, filterDfl = filterDfl,
-      maxQueriesPerBatch = maxQueriesPerBatch) {
+      maxQueriesPerBatch = maxQueriesPerBatch,
+      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m))) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
@@ -1047,7 +1098,8 @@ object StreamRunner {
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                filterDfl: Option[String] = None,
-               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
+               metricsSink: Option[ServeBatchMetrics => Unit] = None)
               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(k > 0, s"bm25Serve: k must be positive, got $k")
@@ -1068,7 +1120,10 @@ object StreamRunner {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // bounded-collect guard — see annServeBatches
         guardBatchSize(batch, batchId, maxQueriesPerBatch, "bm25Serve")
-        val qsAll = batch.select(col(qidCol), col(termsCol)).collect().iterator
+        val batchT0 = System.nanoTime()
+        if (metricsSink.isDefined) graft.llm.ProbeStats.begin()
+        val queryRows = batch.select(col(qidCol), col(termsCol)).collect()
+        val qsAll = queryRows.iterator
           .flatMap { r =>
             // the shared malformed-row tolerance: fractional qids skip
             // (never merge two queries), string-or-array terms both
@@ -1114,6 +1169,12 @@ object StreamRunner {
               serveBatch()
           }
         }
+        metricsSink.foreach { ms =>
+          ms(ServeBatchMetrics(batchId, queryRows.length, qs.size,
+            queryRows.length - qs.size,
+            (System.nanoTime() - batchT0) / 1000000,
+            graft.llm.ProbeStats.end()))
+        }
     }.start()
   }
 
@@ -1153,7 +1214,8 @@ object StreamRunner {
     val queries = readStream(spark, queriesUri, format, schema)
     val q = bm25ServeBatches(queries, qidCol, termsCol, indexDir, k, k1, b,
       options = Map("checkpointLocation" -> checkpoint),
-      filterDfl = filterDfl) {
+      filterDfl = filterDfl,
+      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m))) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")
@@ -1202,7 +1264,8 @@ object StreamRunner {
                options: Map[String, String] = Map.empty,
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                filterDfl: Option[String] = None,
-               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
+               metricsSink: Option[ServeBatchMetrics => Unit] = None)
               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(annMethod == "lsh" || annMethod == "ivf" || annMethod == "ivfpq",
@@ -1257,8 +1320,11 @@ object StreamRunner {
     writer.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         guardBatchSize(batch, batchId, maxQueriesPerBatch, "hybridServe")
-        val qsAll = batch.select(col(qidCol), col(termsCol), col(vecCol))
-          .collect().iterator
+        val batchT0 = System.nanoTime()
+        if (metricsSink.isDefined) graft.llm.ProbeStats.begin()
+        val queryRows = batch.select(col(qidCol), col(termsCol), col(vecCol))
+          .collect()
+        val qsAll = queryRows.iterator
           .flatMap { r =>
             val qid = if (r.isNullAt(0)) None else coerceQidValue(r.get(0))
             val terms = if (r.isNullAt(1)) None else coerceTermsValue(r.get(1))
@@ -1277,12 +1343,15 @@ object StreamRunner {
             fresh
           }
         }
+        var served = 0
         if (qs.nonEmpty) {
           val spark = batch.sparkSession
           def computeAnswer(): Option[DataFrame] = {
+            served = 0 // reset on retry — the counter reports ONE attempt
             val expectDim =
               graft.llm.Similarity.indexDim(spark, annIndexDir, annMethod)
             val (good, badDim) = qs.partition(_._3.size == expectDim)
+            served = good.size
             if (badDim.nonEmpty)
               log.warn(s"hybridServe: skipping ${badDim.size} queries with " +
                 s"dim != index dim $expectDim (qids " +
@@ -1387,6 +1456,12 @@ object StreamRunner {
           // index read can fail under the caller's write
           answer.foreach(a => sink(a, batchId))
         }
+        metricsSink.foreach { ms =>
+          ms(ServeBatchMetrics(batchId, queryRows.length, served,
+            queryRows.length - served,
+            (System.nanoTime() - batchT0) / 1000000,
+            graft.llm.ProbeStats.end()))
+        }
     }.start()
   }
 
@@ -1434,7 +1509,8 @@ object StreamRunner {
       bm25IndexDir, annIndexDir, annMethod, k, pool, lambda, k1, b, tuning,
       options = Map("checkpointLocation" -> checkpoint),
       filterDfl = filterDfl,
-      maxQueriesPerBatch = maxQueriesPerBatch) {
+      maxQueriesPerBatch = maxQueriesPerBatch,
+      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m))) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

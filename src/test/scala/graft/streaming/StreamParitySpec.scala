@@ -1029,6 +1029,68 @@ class StreamParitySpec extends AnyFunSuite {
       cfg.buildMeta == Seq("flag", "lang"))
   }
 
+  test("serving jobs write a _metrics.json sidecar; a widening filtered batch is visible in it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // `flag == 1` keeps ~1% of rows: a selective filter that forces the
+    // widening loop past its starting nprobe=1
+    val corpus = emb.withColumn("flag",
+      (col("vec_id") % 97 === 0).cast("int"))
+    val root = Files.createTempDirectory("graft-metrics").toString
+    val idxDir = s"$root/idx"
+    graft.llm.Similarity.ivfBuild(corpus, "vec_id", "embedding", idxDir,
+      kLists = 16, metaCols = Seq("flag"))
+    val qrows = emb.filter($"vec_id" < 2).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    // two valid queries + one malformed (null vec) + one duplicate qid
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n") +
+        "\n" + s"""{"qid":99,"vec":null}""" +
+        "\n" + s"""{"qid":0,"vec":[${qrows.head._2.mkString(",")}]}""")
+    val q = StreamRunner.annServeJob(spark, qdir, "jsonl", "qid", "vec",
+      idxDir, "ivf", 5, tuning = Some(1), s"$root/answers", "jsonl",
+      s"$root/ckpt", once = true, filterDfl = Some("@flag == 1"))
+    q.awaitTermination(1000); ()
+    val batchDirs = new java.io.File(s"$root/answers").listFiles()
+      .filter(_.getName.startsWith("batch-"))
+    assert(batchDirs.nonEmpty, "no answer batch dir written")
+    val metricsFiles = batchDirs.flatMap(_.listFiles())
+      .filter(_.getName == "_metrics.json")
+    assert(metricsFiles.nonEmpty, "no _metrics.json sidecar written")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(metricsFiles.head.toPath))
+    assert(m.get("queries_seen").asInt == 4, m.toString)
+    assert(m.get("queries_served").asInt == 2, m.toString)
+    assert(m.get("queries_skipped").asInt == 2, m.toString)
+    assert(m.get("wall_ms").asLong >= 0, m.toString)
+    val legs = m.get("legs")
+    assert(legs.size() >= 1, m.toString)
+    val leg = legs.get(0)
+    assert(leg.get("op").asText == "ivf_filtered", m.toString)
+    assert(leg.get("queries").asInt == 2, m.toString)
+    assert(leg.get("width_start").asInt == 1, m.toString)
+    // the selective filter forced the loop past its starting width
+    assert(leg.get("widened_rounds").asInt >= 1, m.toString)
+    assert(leg.get("width_reached").asInt > leg.get("width_start").asInt,
+      m.toString)
+    // the underscore prefix keeps the sidecar INVISIBLE to answer
+    // readers: the batch dir still parses as pure answers
+    val answers = spark.read.json(batchDirs.head.getPath)
+    assert(answers.columns.sorted.toSeq == Seq("cos", "id", "qid"))
+    assert(answers.count() > 0)
+    // answers equal the direct filtered batch probe (metrics must not
+    // perturb serving)
+    val direct = graft.llm.Similarity.ivfQueryBatchFiltered(spark, idxDir,
+      qrows, 5, col("flag") === 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = spark.read.json(s"$root/answers/batch-*")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("cos"))).toSet
+    assert(got == direct, s"$got vs $direct")
+  }
+
   test("serve-ann RANGE mode: jsonl queries in, threshold answers out") {
     // planted clique makes the expected range answer closed-form: 5
     // copies of vec 0 at +100000 sit at Hamming 0 / the rank-0 list, so
