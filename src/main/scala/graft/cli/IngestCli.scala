@@ -21,6 +21,7 @@ import graft.streaming.StreamRunner
   *     [--id-col vec_id] [--vec-col embedding | --text-col text]
   *     --checkpoint DIR [--once] [--compact-every N] [--retrain-skew F]
   *     [--keep-vectors]  (ivfpq: persist the float sidecar retrain needs)
+  *     [--build-opq]     (ivfpq: learn the OPQ rotation at build time)
   *     [--build-from PARQUET_URI [--build-nbits N] [--build-dim N]
   *      [--build-klists N] [--build-pbits N] [--build-pbands N]
   *      [--build-pq-m N] [--build-pq-k N]]  (pq knobs: ivfpq only)
@@ -111,6 +112,9 @@ object IngestCli {
     require(c.method == "ivfpq" || !c.keepVectors,
       "--keep-vectors applies only to ivfpq (every other method's index " +
         "already stores its vectors)")
+    require(c.method == "ivfpq" || !c.buildOpq,
+      "--build-opq applies only to ivfpq (the OPQ rotation refines the " +
+        "PQ codes; other methods store no codes)")
     c
   }
 

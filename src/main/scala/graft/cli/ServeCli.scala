@@ -114,6 +114,9 @@ object ServeCli {
       }
     }
     require(c.indexDir.nonEmpty, "--index-dir is required")
+    require(c.method == "ivfpq" || (!c.keepVectors && !c.buildOpq),
+      "--keep-vectors / --build-opq apply only to --method ivfpq — an " +
+        "ignored build knob is a config mistake, not a default")
     require(c.checkpoint.nonEmpty,
       "--checkpoint is required (it is what makes the job restartable)")
     c

@@ -123,6 +123,9 @@ object ServeHybridCli {
     }
     require(c.bm25IndexDir.nonEmpty, "--bm25-index-dir is required")
     require(c.annIndexDir.nonEmpty, "--ann-index-dir is required")
+    require(c.annMethod == "ivfpq" || (!c.keepVectors && !c.buildOpq),
+      "--keep-vectors / --build-opq apply only to --ann-method ivfpq — " +
+        "an ignored build knob is a config mistake, not a default")
     require(c.checkpoint.nonEmpty,
       "--checkpoint is required (it is what makes the job restartable)")
     c

@@ -404,22 +404,44 @@ object Pq {
         if (residual) codesColRes("v", "list", model, centroids, rot)
         else codesCol("v", model)
       val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids, metaCols)
-      Similarity.clusteredWrite(
-          assigned.select(col("id") +: col("list") +:
-              codes.as("codes") +: metaCols.map(col): _*),
-          "list", kLists)
-        .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
-      if (keepVectors)
+      if (!keepVectors)
         Similarity.clusteredWrite(
             assigned.select(col("id") +: col("list") +:
-              col("v").cast("array<double>").as("v") +: metaCols.map(col): _*),
+                codes.as("codes") +: metaCols.map(col): _*),
             "list", kLists)
-          .write.mode("overwrite").partitionBy("list")
-          .parquet(s"$staging/$vectorSidecarDir")
+          .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
+      else
+        writeCodesAndFloats(assigned, codes, metaCols, kLists,
+          s"$staging/vectors", s"$staging/$vectorSidecarDir")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
       writeCodebooks(spark, s"$staging/codebooks", model,
         if (opq) "opq" else if (residual) "res" else "raw", rot)
     }
+  }
+
+  /** The two-layout write of a sidecar-carrying index: materialize the
+    * assigned+encoded frame ONCE (persist, spill-tolerant) and land the
+    * codes and float layouts from the cached pass — without it, each
+    * layout's write re-executed the full corpus scan, nearest-centroid
+    * assignment, and PQ encode, doubling the dominant cost of every
+    * keepVectors build/append/retrain. */
+  private def writeCodesAndFloats(assigned: DataFrame, codes: Column,
+                                  metaCols: Seq[String], kLists: Int,
+                                  codesDir: String, floatsDir: String): Unit = {
+    val combined = assigned.select(col("id") +: col("list") +:
+        codes.as("codes") +:
+        col("v").cast("array<double>").as("v") +: metaCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Similarity.clusteredWrite(
+          combined.select("id" +: "list" +: "codes" +: metaCols map col: _*),
+          "list", kLists)
+        .write.mode("overwrite").partitionBy("list").parquet(codesDir)
+      Similarity.clusteredWrite(
+          combined.select("id" +: "list" +: "v" +: metaCols map col: _*),
+          "list", kLists)
+        .write.mode("overwrite").partitionBy("list").parquet(floatsDir)
+    } finally { combined.unpersist(); () }
   }
 
   /** The float-sidecar subdir name an opt-in `keepVectors` build/append
@@ -515,16 +537,13 @@ object Pq {
     Similarity.stagedAppend(sess, indexDir,
         appendId.getOrElse(Similarity.appendBatchId(df)),
         dataDirs) { staging =>
-      Similarity.clusteredWrite(assigned, "list", centroids.length)
-        .write.mode("overwrite").partitionBy("list")
-        .parquet(s"$staging/vectors")
-      if (sidecar)
-        Similarity.clusteredWrite(
-            assignedAll.select(col("id") +: col("list") +:
-              col("v").cast("array<double>").as("v") +: metaCols.map(col): _*),
-            "list", centroids.length)
+      if (!sidecar)
+        Similarity.clusteredWrite(assigned, "list", centroids.length)
           .write.mode("overwrite").partitionBy("list")
-          .parquet(s"$staging/$vectorSidecarDir")
+          .parquet(s"$staging/vectors")
+      else
+        writeCodesAndFloats(assignedAll, codes, metaCols, centroids.length,
+          s"$staging/vectors", s"$staging/$vectorSidecarDir")
     }
   }
 
@@ -585,17 +604,8 @@ object Pq {
         if (idx.residual) codesColRes("v", "list", model, centroids, rot)
         else codesCol("v", model)
       val assigned = Similarity.ivfAssign(rows, "id", "v", centroids, metaCols)
-      Similarity.clusteredWrite(
-          assigned.select(col("id") +: col("list") +:
-            codes.as("codes") +: metaCols.map(col): _*),
-          "list", k)
-        .write.mode("overwrite").partitionBy("list").parquet(s"$staging/vectors")
-      Similarity.clusteredWrite(
-          assigned.select(col("id") +: col("list") +:
-            col("v") +: metaCols.map(col): _*),
-          "list", k)
-        .write.mode("overwrite").partitionBy("list")
-        .parquet(s"$staging/$vectorSidecarDir")
+      writeCodesAndFloats(assigned, codes, metaCols, k,
+        s"$staging/vectors", s"$staging/$vectorSidecarDir")
       Similarity.writeCentroids(spark, s"$staging/centroids", centroids)
       writeCodebooks(spark, s"$staging/codebooks", model,
         if (rot.isDefined) "opq" else if (idx.residual) "res" else "raw", rot)
@@ -892,8 +902,7 @@ object Pq {
       // at consumption. The local return is the batch variant's posture.
       val rows = res.collect()
       if (probe >= kLists || rows.length >= topK)
-        return spark.createDataFrame(
-          java.util.Arrays.asList(rows.toIndexedSeq: _*), res.schema)
+        return Similarity.localFrame(spark, rows, res.schema)
       probe = math.min(probe * 2, kLists)
     }
     throw new IllegalStateException("unreachable")

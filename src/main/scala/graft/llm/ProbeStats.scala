@@ -5,7 +5,10 @@ package graft.llm
   *
   * The batch probes ([[Similarity.ivfQueryBatch]] family,
   * [[Pq.ivfPqQueryBatch]] family, [[Retrieval.bm25TopKIndexedBatch]])
-  * RECORD one [[ProbeStats.Leg]] per probe call — the width they
+  * RECORD one [[ProbeStats.Leg]] per probe PASS — a batch larger than
+  * the probe's `chunkSize` (256) chunk-recurses and records one leg
+  * per chunk, so sum `queries` across legs (never count legs) to
+  * recover the query volume. Each leg carries the width the pass
   * started at, the width they actually reached, and how many widening
   * rounds the filtered probes burned getting there (a persistently
   * high `widenedRounds` under a selective filter is the signal to

@@ -897,6 +897,16 @@ object Similarity {
     kmeansDistributed(sampleRdd, k)
   }
 
+  /** Materialize already-collected rows as a LOCAL frame (one
+    * LocalTableScan, zero jobs at consumption) — the shared idiom of
+    * every collect-per-round probe and serving answer localization. */
+  private[graft] def localFrame(spark: org.apache.spark.sql.SparkSession,
+                                rows: Array[org.apache.spark.sql.Row],
+                                schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
+
   /** Centroid sidecar read-back: kLists × dim doubles — always tiny. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     indexDir: String): Array[Array[Double]] =
@@ -1141,8 +1151,7 @@ object Similarity {
       // more per widening round.
       val rows = res.collect()
       if (probe >= kLists || rows.length >= k)
-        return spark.createDataFrame(
-          java.util.Arrays.asList(rows.toIndexedSeq: _*), res.schema)
+        return localFrame(spark, rows, res.schema)
       probe = math.min(probe * 2, kLists)
     }
     throw new IllegalStateException("unreachable")
@@ -2195,8 +2204,7 @@ object Similarity {
       // decide on their count (the ivfQueryFiltered posture)
       val rows = res.collect()
       if (radius >= idx.nBits || rows.length >= k)
-        return spark.createDataFrame(
-          java.util.Arrays.asList(rows.toIndexedSeq: _*), res.schema)
+        return localFrame(spark, rows, res.schema)
       radius = math.min(radius * 2, idx.nBits)
     }
     throw new IllegalStateException("unreachable")

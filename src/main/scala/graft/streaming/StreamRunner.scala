@@ -650,23 +650,33 @@ object StreamRunner {
     * cadence whose slot is itself idempotent. */
   private def readSlotCount(spark: SparkSession, checkpoint: String): Int = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "graft-appends-since-slot")
+    val tmp = new org.apache.hadoop.fs.Path(checkpoint,
+      "graft-appends-since-slot.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption.getOrElse(0)
-      finally in.close()
-    }
+    def readInt(path: org.apache.hadoop.fs.Path): Option[Int] =
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+        finally in.close()
+      }
+    // the writer's delete→rename swap has a window where only the tmp
+    // file exists (fully written — its close() preceded the delete); a
+    // crash there must not reset the cadence, so the reader falls back
+    // to the tmp. A torn TMP (crash mid-create) parses to None on
+    // whichever path and degrades to 0 — the pre-existing floor.
+    readInt(p).orElse(readInt(tmp)).getOrElse(0)
   }
 
   private def writeSlotCount(spark: SparkSession, checkpoint: String,
                              n: Int): Unit = {
-    // temp + rename (the stagedCommit posture): a crash mid-`create`
-    // would leave a truncated marker that readSlotCount's toIntOption
-    // silently resets to 0, stalling the maintenance cadence well past
-    // compactEvery. A rename is atomic on HDFS/posix, so readers see
-    // either the old count or the new one, never a torn write.
+    // temp + rename: a crash mid-`create` would leave a truncated
+    // marker that readSlotCount's toIntOption silently resets to 0,
+    // stalling the maintenance cadence well past compactEvery. The
+    // delete→rename swap itself has a crash window with NO live marker
+    // — readSlotCount closes it by falling back to the (fully-written)
+    // tmp file, so every crash point resumes at the old or new count.
     val p = new org.apache.hadoop.fs.Path(checkpoint, "graft-appends-since-slot")
     val tmp = new org.apache.hadoop.fs.Path(checkpoint,
       "graft-appends-since-slot.tmp")
@@ -932,6 +942,9 @@ object StreamRunner {
         if (qs.nonEmpty) {
           def serveBatch(): Unit = {
             served = 0 // reset on retry — the counter reports ONE attempt
+            // ...and so does the telemetry: without the re-begin, a
+            // stale-read retry would double-record every probe leg
+            if (metricsSink.isDefined) graft.llm.ProbeStats.begin()
             val expectDim =
               graft.llm.Similarity.indexDim(batch.sparkSession, indexDir, method)
             qs.groupBy(_._2.size).foreach { case (dim, group) =>
@@ -998,12 +1011,17 @@ object StreamRunner {
               serveBatch()
           }
         }
-        metricsSink.foreach { ms =>
+        // metrics only when answers were actually sunk: the sidecar
+        // lands INSIDE the batch dir, so an all-malformed batch must not
+        // conjure an answer-less batch-N/ that dir-listing consumers
+        // would read as a committed (empty) answer batch
+        if (served > 0) metricsSink.foreach { ms =>
           ms(ServeBatchMetrics(batchId, queryRows.length, served,
             queryRows.length - served,
             (System.nanoTime() - batchT0) / 1000000,
             graft.llm.ProbeStats.end()))
         }
+        else if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
     }.start()
   }
 
@@ -1150,13 +1168,16 @@ object StreamRunner {
           }
         }
         if (qs.nonEmpty) {
-          def serveBatch(): Unit =
+          def serveBatch(): Unit = {
+            // reset telemetry on retry — one attempt's legs only
+            if (metricsSink.isDefined) graft.llm.ProbeStats.begin()
             sink(pred match {
               case Some(p) => graft.llm.Retrieval.bm25TopKIndexedBatchFiltered(
                 batch.sparkSession, indexDir, qs, k, p, k1, b)
               case None => graft.llm.Retrieval.bm25TopKIndexedBatch(
                 batch.sparkSession, indexDir, qs, k, k1, b)
             }, batchId)
+          }
           // one retry on a mid-rewrite FileNotFound — see annServeBatches
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
@@ -1169,12 +1190,14 @@ object StreamRunner {
               serveBatch()
           }
         }
-        metricsSink.foreach { ms =>
+        // sidecar only when the batch dir exists (answers were sunk)
+        if (qs.nonEmpty) metricsSink.foreach { ms =>
           ms(ServeBatchMetrics(batchId, queryRows.length, qs.size,
             queryRows.length - qs.size,
             (System.nanoTime() - batchT0) / 1000000,
             graft.llm.ProbeStats.end()))
         }
+        else if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
     }.start()
   }
 
@@ -1348,6 +1371,8 @@ object StreamRunner {
           val spark = batch.sparkSession
           def computeAnswer(): Option[DataFrame] = {
             served = 0 // reset on retry — the counter reports ONE attempt
+            // ...and the telemetry with it (no double-recorded legs)
+            if (metricsSink.isDefined) graft.llm.ProbeStats.begin()
             val expectDim =
               graft.llm.Similarity.indexDim(spark, annIndexDir, annMethod)
             val (good, badDim) = qs.partition(_._3.size == expectDim)
@@ -1426,8 +1451,7 @@ object StreamRunner {
                     s"$annIndexDir (BM25/ANN index contents diverge — " +
                     "run the ANN ingest to catch up)")
                 graft.llm.Retrieval.mmrRerankBatch(
-                  spark.createDataFrame(
-                    java.util.Arrays.asList(candRows.toIndexedSeq: _*),
+                  graft.llm.Similarity.localFrame(spark, candRows,
                     candsDf.schema),
                   "qid", "id", "score", "v", k, l)
             }
@@ -1439,8 +1463,7 @@ object StreamRunner {
             // sink never signed). Answers are serving-sized (≤ k×queries
             // rows) by construction, so the collect is driver-safe.
             val rows = answer.collect()
-            Some(spark.createDataFrame(
-              java.util.Arrays.asList(rows.toIndexedSeq: _*), answer.schema))
+            Some(graft.llm.Similarity.localFrame(spark, rows, answer.schema))
           }
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
@@ -1456,12 +1479,14 @@ object StreamRunner {
           // index read can fail under the caller's write
           answer.foreach(a => sink(a, batchId))
         }
-        metricsSink.foreach { ms =>
+        // sidecar only when the batch dir exists (answers were sunk)
+        if (served > 0) metricsSink.foreach { ms =>
           ms(ServeBatchMetrics(batchId, queryRows.length, served,
             queryRows.length - served,
             (System.nanoTime() - batchT0) / 1000000,
             graft.llm.ProbeStats.end()))
         }
+        else if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
     }.start()
   }
 

@@ -1052,7 +1052,9 @@ class StreamParitySpec extends AnyFunSuite {
     val q = StreamRunner.annServeJob(spark, qdir, "jsonl", "qid", "vec",
       idxDir, "ivf", 5, tuning = Some(1), s"$root/answers", "jsonl",
       s"$root/ckpt", once = true, filterDfl = Some("@flag == 1"))
-    q.awaitTermination(1000); ()
+    // once=true already processAllAvailable()+stop()ed inside the job —
+    // this await returns immediately and never races the batch
+    q.awaitTermination()
     val batchDirs = new java.io.File(s"$root/answers").listFiles()
       .filter(_.getName.startsWith("batch-"))
     assert(batchDirs.nonEmpty, "no answer batch dir written")
