@@ -1485,8 +1485,9 @@ object DflFrame {
         // BM25 lexical run ⊕ an indexed ANN semantic run (method from
         // the ANN dir's own layout — lsh | ivf | ivfpq), 2k pools,
         // RRF-fused; `lambda` MMR-re-ranks using vectors fetched from
-        // the ANN index itself (float layouts only — ivfpq codes carry
-        // no vectors for the penalty cosines and reject loudly). The
+        // the ANN index itself (float layouts, or a keepVectors ivfpq
+        // index's vectors_f32 sidecar; a codes-only ivfpq index carries
+        // no vectors for the penalty cosines and rejects loudly). The
         // piped dataset is never scanned: a catalog service serves
         // hybrid retrieval at pure probe cost. One frozen query →
         // stream-fenced (serve-hybrid answers query streams).
@@ -1519,13 +1520,25 @@ object DflFrame {
           case Some("ivf") => graft.llm.Similarity.ivfQuery(hpSpark,
             hpAnnDir, hpQ, hpPool)
           case Some("ivfpq") =>
-            if (hpLambda.isDefined) throw new DflParseException(
-              "hybridProbe: lambda (MMR) needs a float-carrying ANN " +
-                "layout (lsh | ivf); an ivfpq index stores codes only")
+            // the MMR penalty cosines need floats: a keepVectors index
+            // serves them from its vectors_f32 sidecar (the serve-hybrid
+            // posture); a codes-only index rejects lambda loudly
+            if (hpLambda.isDefined &&
+                !graft.llm.Pq.hasVectorSidecar(hpSpark, hpAnnDir))
+              throw new DflParseException(
+                "hybridProbe: lambda (MMR) needs float vectors; this " +
+                  "ivfpq index carries no vectors_f32 sidecar — build " +
+                  "it with keepVectors, or use a float layout (lsh | ivf)")
             graft.llm.Pq.ivfPqQuery(hpSpark, hpAnnDir, hpQ, hpPool)
           case other => throw new DflParseException(
             s"hybridProbe: '$hpAnnDir' is not an ANN index (got $other)")
         }
+        // where an MMR vector fetch reads from: the index's own rows for
+        // float layouts, the float sidecar for a keepVectors ivfpq index
+        val hpVecDir =
+          if (hpAnnKind.contains("ivfpq"))
+            s"$hpAnnDir/${graft.llm.Pq.vectorSidecarDir}"
+          else s"$hpAnnDir/vectors"
         val hpLex = graft.llm.Retrieval.bm25TopKIndexed(hpSpark, hpBmDir,
           hpTerms, hpPool).select("id", "rnk")
         // bounded-pool global window — see the hybrid stage's note
@@ -1539,7 +1552,7 @@ object DflFrame {
           case Some(l) =>
             val fused = graft.llm.Retrieval.rrfFuse(Seq(hpLex, hpSem), hpPool)
               .select("id", "score")
-            val cands = hpSpark.read.parquet(s"$hpAnnDir/vectors")
+            val cands = hpSpark.read.parquet(hpVecDir)
               .select(col("id"), col("v"))
               .join(broadcast(fused), Seq("id"))
             graft.llm.Retrieval.mmrRerank(cands, "id", "score", "v", hpK, l)

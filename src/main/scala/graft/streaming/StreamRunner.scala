@@ -1256,8 +1256,9 @@ object StreamRunner {
     * stream: each micro-batch of `(qid, terms, qvec)` queries probes a
     * BUILT BM25 inverted index AND a BUILT ANN index (lsh | ivf |
     * ivfpq — the compressed layout serves the RRF-fused form, the
-    * 10⁹-vector deployment shape, but `lambda` needs the float-carrying
-    * lsh|ivf layouts for the MMR penalty cosines and rejects ivfpq
+    * 10⁹-vector deployment shape; `lambda` needs float vectors for the
+    * MMR penalty cosines, so ivfpq serves it only from a keepVectors
+    * build's vectors_f32 sidecar and rejects a codes-only index
     * loudly), derives `(qid, id, rnk)` runs of `pool`
     * candidates per leg, fuses per qid by reciprocal-rank fusion
     * ([[graft.llm.Retrieval.rrfFuseBatch]] — every qid's slice ≡ the

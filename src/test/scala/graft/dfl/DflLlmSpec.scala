@@ -438,7 +438,9 @@ class DflLlmSpec extends AnyFunSuite {
         s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5, 0.7)", vars)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(gotM.nonEmpty && gotM.map(_._2) == (1L to gotM.size.toLong))
-    // ivfpq leg: RRF form serves, MMR rejected (codes carry no floats)
+    // ivfpq leg: RRF form serves; MMR is rejected for a CODES-ONLY
+    // index (no floats for the penalty cosines) but serves from the
+    // float sidecar of a keepVectors build
     val pqDir = s"$root/pq"
     graft.llm.Pq.ivfPqBuild(vecs, "doc_id", "vec", pqDir, kLists = 4,
       m = 8, k = 16)
@@ -448,7 +450,15 @@ class DflLlmSpec extends AnyFunSuite {
       .count() == 5)
     val pqErr = intercept[DflParseException](DflFrame.pipeline(docs,
       s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5, 0.7)", pqVars))
-    assert(pqErr.getMessage.contains("float-carrying"))
+    assert(pqErr.getMessage.contains("vectors_f32"))
+    val pqKvDir = s"$root/pqkv"
+    graft.llm.Pq.ivfPqBuild(vecs, "doc_id", "vec", pqKvDir, kLists = 4,
+      m = 8, k = 16, keepVectors = true)
+    val gotKvM = DflFrame.pipeline(docs,
+        s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5, 0.7)",
+        vars + ("ann" -> pqKvDir))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(gotKvM.nonEmpty && gotKvM.map(_._2) == (1L to gotKvM.size.toLong))
     // wrong-family dirs fail with self-describing errors
     assert(intercept[DflParseException](DflFrame.pipeline(docs,
       s"hybridProbe(@, $$ann, $$ann, '$qtext', $$q, 5)",
