@@ -1328,6 +1328,24 @@ object SparkEntry {
         .select("enc").head().getString(0)
       Seq(Tuple1(top == clique && enc == "opq")).toDF("clique_exact")
     }),
+    "ann_ivfpq_refined" -> ((s, dir) => {
+      // the FAISS refine pattern over a keepVectors index: compressed
+      // ADC nominates k×factor candidates, TRUE cosines from the float
+      // sidecar rerank. Contract registration: refined top-11 over the
+      // planted corpus is the exact brute-force clique (true cosine 1.0
+      // ties), and the self-probe returns cos exactly 1.0 — something
+      // reconstruction cosines cannot do.
+      import s.implicits._
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ivfpq-refined")(
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
+          kLists = 8, m = 8, k = 16, keepVectors = true))
+      val top = llm.Pq.ivfPqQueryRefined(s, idxDir, q, 11, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
+      Seq(Tuple1(top.map(_._1).toSet == clique &&
+        top.forall(_._2 == 1.0))).toDF("clique_exact")
+    }),
     "ann_ivfpq_filtered" -> ((s, dir) => {
       // the compressed FILTERED serving shape: flag metadata rides into
       // the code lists, the predicate pushes into the pruned ADC read,
@@ -4256,6 +4274,7 @@ object SparkEntry {
     "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
     "ann_opq_topk" -> "SELECT true AS clique_exact",
+    "ann_ivfpq_refined" -> "SELECT true AS clique_exact",
     "ann_ivfpq_append" -> "SELECT true AS clique_exact",
     "ann_ivfpq_filtered" -> "SELECT true AS filtered_clique_exact",
     "ann_ivfpq_batch" -> "SELECT true AS batch_clique_exact",

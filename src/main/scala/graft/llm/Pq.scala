@@ -969,6 +969,81 @@ object Pq {
       .toDF("qid", "id", "cos")
   }
 
+  /** REFINED probe — the FAISS refine/rerank pattern over a keepVectors
+    * index: the compressed ADC pass nominates `k × rerankFactor`
+    * candidates (list-pruned, 32× smaller reads — the cheap wide net),
+    * then the EXACT cosine reranks just those candidates from the
+    * `vectors_f32` sidecar (an answer-sized id-join, never a corpus
+    * scan) and keeps the true top-k. Recall approaches exact search as
+    * `rerankFactor` grows while the scan cost stays the compressed
+    * probe's; precision within the candidate set is EXACT (true
+    * cosines, not reconstructions). Requires the float sidecar — a
+    * codes-only index cannot refine and fails with the build advice. */
+  def ivfPqQueryRefined(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, query: Seq[Double], k: Int,
+                        nprobe: Int = 8, rerankFactor: Int = 4): DataFrame = {
+    val batch = ivfPqQueryBatchRefined(spark, indexDir, Seq((0L, query)), k,
+      nprobe, rerankFactor)
+    batch.select("id", "cos")
+  }
+
+  /** Batch twin of [[ivfPqQueryRefined]]: ONE pruned ADC pass nominates
+    * every query's widened candidate set, ONE sidecar join fetches the
+    * union's floats, exact cosines rerank per query. Returns
+    * (qid, id, cos), qid-then-rank ordered. */
+  def ivfPqQueryBatchRefined(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String,
+                             queries: Seq[(Long, Seq[Double])], k: Int,
+                             nprobe: Int = 8,
+                             rerankFactor: Int = 4): DataFrame = {
+    require(k > 0, s"ivfPqQueryBatchRefined: k must be positive, got $k")
+    require(rerankFactor >= 1,
+      s"ivfPqQueryBatchRefined: rerankFactor must be >= 1, got $rerankFactor")
+    require(hasVectorSidecar(spark, indexDir),
+      s"ivfPqQueryBatchRefined: $indexDir carries no $vectorSidecarDir " +
+        "float sidecar (built without keepVectors) — exact reranking " +
+        "needs the true vectors; probe unrefined or rebuild with " +
+        "keepVectors")
+    // candidate nomination: the compressed batch probe at widened k.
+    // Its answers are driver-sized ((k·factor)×queries rows max), so
+    // collecting the nominee ids is the serving-sized read the refine
+    // contract allows.
+    val nominees = ivfPqQueryBatch(spark, indexDir, queries, k * rerankFactor,
+        nprobe)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (nominees.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cos")
+    }
+    import spark.implicits._
+    val nomDf = nominees.toSeq.toDF("qid", "id")
+    // ONE sidecar read for the union of all nominees (broadcast the
+    // tiny nominee set into the scan), exact cosine per (query, id),
+    // bounded-heap top-k per query
+    val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
+      .select(col("id"), col("v"))
+      .join(broadcast(nomDf), Seq("id"))
+    val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
+    val qIds = queries.map(_._1)
+    import graft.functions.{MatVecF, TopKF, VectorF}
+    val scored = floats
+      .withColumn("pos",
+        element_at(typedLit(qIds.zipWithIndex.map { case (q, i) => q -> i }
+          .toMap), col("qid")))
+      .withColumn("dots", MatVecF.dots(col("v"), queries.map(_._2)))
+      .select(col("qid"), col("id"),
+        round(element_at(col("dots"), col("pos") + 1) /
+          (VectorF.norm(col("v")) *
+            element_at(array(qNorms.map(lit): _*), col("pos") + 1)),
+          6).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+    scored.groupBy("qid")
+      .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
+      .select(col("qid"), explode(col("topk")).as("hit"))
+      .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
   /** Per-row reconstructed-norm column ‖v̂‖ from codes alone — the range
     * probes' denominator. For residual codes, ‖ĉ+r̂‖² = ‖c_L‖² +
     * 2·Σ_m c_{L,m}·cw_{m,code} + Σ_m ‖cw_{m,code}‖²: the middle term is

@@ -813,6 +813,39 @@ object StreamRunner {
     finally out.close()
   }
 
+  /** One ingest micro-batch's maintenance record — the serving jobs'
+    * [[ServeBatchMetrics]] counterpart for the APPEND side: how long the
+    * append took, whether this batch opened the maintenance slot, the
+    * skew the slot measured (ivf/ivfpq with a retrain factor; absent
+    * otherwise), which maintenance action ran (`retrain` | `compact` |
+    * `none`) and its cost — the numbers an operator tunes
+    * `--compact-every` / `--retrain-skew` from in production. */
+  final case class IngestBatchMetrics(batchId: Long, appendMs: Long,
+                                      slotOpened: Boolean,
+                                      skew: Option[Double],
+                                      action: String, actionMs: Long)
+
+  /** Land an [[IngestBatchMetrics]] as
+    * `checkpoint/maintenance/batch-<id>.json` — create-overwrite, so a
+    * replayed batch rewrites its own record (idempotent); under the
+    * checkpoint (not the index dir) because it describes THIS job's
+    * cadence, and an index outlives any one ingest job. Observability
+    * only: written after the batch's real work, never gating it. */
+  private def writeIngestMetrics(spark: SparkSession, checkpoint: String,
+                                 m: IngestBatchMetrics): Unit = {
+    val json =
+      s"""{"batch_id":${m.batchId},"append_ms":${m.appendMs},""" +
+        s""""slot_opened":${m.slotOpened},""" +
+        s""""skew":${m.skew.map(_.toString).getOrElse("null")},""" +
+        s""""action":"${m.action}","action_ms":${m.actionMs}}"""
+    val p = new org.apache.hadoop.fs.Path(
+      s"$checkpoint/maintenance/batch-${m.batchId}.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Streaming ANN serving: answer a STREAM of query vectors against a
     * built, static index (LSH, IVF, or IVFPQ) — the streaming member of the
     * serving matrix (single / batch / stream × brute / ivf / lsh). Each
@@ -1685,6 +1718,7 @@ object StreamRunner {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!batch.isEmpty) {
+            val t0 = System.nanoTime()
             val id = Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
             method match {
               case "ivf" => graft.llm.Similarity.ivfAppend(batch.toDF(),
@@ -1697,10 +1731,16 @@ object StreamRunner {
               case _ => graft.llm.Similarity.lshAppend(batch.toDF(),
                 idCol, vecCol, indexDir, appendId = id)
             }
+            val appendMs = (System.nanoTime() - t0) / 1000000
+            var skewSeen: Option[Double] = None
+            var action = "none"
+            var actionMs = 0L
             // appends-since-last-slot cadence (durable under the
             // checkpoint — see appendOpensSlot): empty batches never
             // advance it and the n-th append fires it, batch ids aside
-            if (appendOpensSlot(spark, checkpoint, compactEvery)) {
+            val slotOpened = appendOpensSlot(spark, checkpoint, compactEvery)
+            if (slotOpened) {
+              val mt0 = System.nanoTime()
               // the skew monitor reads the shared `list` column, so one
               // check serves both quantized families; the retrain verb
               // dispatches — ivf re-trains from its own (id, v) rows,
@@ -1709,11 +1749,13 @@ object StreamRunner {
               val retrained = (method == "ivf" || method == "ivfpq") &&
                 retrainSkewFactor > 0 && {
                 val skew = graft.llm.Similarity.ivfSkew(spark, indexDir)
+                skewSeen = Some(skew)
                 skew > retrainSkewFactor && {
                   log.warn(s"$method skew $skew > $retrainSkewFactor at " +
                     s"$indexDir; retraining from index rows")
                   if (method == "ivfpq") graft.llm.Pq.ivfPqRetrain(spark, indexDir)
                   else graft.llm.Similarity.ivfRetrain(spark, indexDir)
+                  action = "retrain"
                   true
                 }
               }
@@ -1725,11 +1767,15 @@ object StreamRunner {
                 // over small/empty increments stays listing-only
                 if (graft.llm.Similarity.compactionDue(spark, indexDir, method)) {
                   val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
+                  action = "compact"
                   log.info(s"compacted $indexDir after batch $batchId: " +
                     s"${st.filesBefore} -> ${st.filesAfter} data files")
                 }
               }
+              actionMs = (System.nanoTime() - mt0) / 1000000
             }
+            writeIngestMetrics(spark, checkpoint, IngestBatchMetrics(
+              batchId, appendMs, slotOpened, skewSeen, action, actionMs))
           }
       }.start()
     if (once) {
@@ -1808,20 +1854,30 @@ object StreamRunner {
                 s"whose '$idCol' could not cast to long")
             val rows = batch.filter(col(idCol).isNotNull)
             if (!rows.isEmpty) {
+              val t0 = System.nanoTime()
               val id =
                 Some(graft.util.Md5.hex(s"$checkpoint#$batchId").take(16))
               graft.llm.Retrieval.bm25Append(rows, idCol, textCol,
                 indexDir, appendId = id)
+              val appendMs = (System.nanoTime() - t0) / 1000000
+              var action = "none"
+              var actionMs = 0L
               // appends-since-last-slot cadence, durable under the
               // checkpoint (appendOpensSlot): empty/all-dropped batches
               // never advance it, the n-th append always fires it
-              if (appendOpensSlot(spark, checkpoint, compactEvery)) {
+              val slotOpened = appendOpensSlot(spark, checkpoint, compactEvery)
+              if (slotOpened) {
+                val mt0 = System.nanoTime()
                 if (graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
                   val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
+                  action = "compact"
                   log.info(s"compacted $indexDir after batch $batchId: " +
                     s"${st.filesBefore} -> ${st.filesAfter} data files")
                 }
+                actionMs = (System.nanoTime() - mt0) / 1000000
               }
+              writeIngestMetrics(spark, checkpoint, IngestBatchMetrics(
+                batchId, appendMs, slotOpened, None, action, actionMs))
             }
           } finally batch.unpersist()
       }.start()

@@ -361,6 +361,63 @@ class PqSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("refined probes: exact rerank from the sidecar never lowers recall; codes-only refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft-refine").toString
+    val dir = s"$root/idx"
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16,
+      keepVectors = true)
+    // recall@10 vs the exact brute force: the refined probe (ADC
+    // nominates k×factor, TRUE cosines rerank) must dominate the plain
+    // ADC probe at the same nprobe — that is the whole point of paying
+    // the answer-sized sidecar join
+    def recall(probe: Seq[Double] => Set[Long]): Double = {
+      val rs = (1 to 10).map { qid =>
+        val q = emb.filter($"vec_id" === qid).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        (exact & probe(q)).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val recAdc = recall(q => Pq.ivfPqQuery(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet)
+    val recRef = recall(q => Pq.ivfPqQueryRefined(spark, dir, q, 10,
+        nprobe = 8, rerankFactor = 4)
+      .collect().map(_.getLong(0)).toSet)
+    assert(recRef >= recAdc,
+      s"refined recall must not regress: refined=$recRef adc=$recAdc")
+    // the reranked scores are TRUE cosines: a query's own vector must
+    // come back at exactly 1.0 (ADC would return its reconstruction's
+    // cosine instead)
+    val q3 = emb.filter($"vec_id" === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val self = Pq.ivfPqQueryRefined(spark, dir, q3, 1, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(self.toSeq == Seq((3L, 1.0)), s"self-probe: ${self.toSeq}")
+    // batch ≡ per-query
+    val queries = (1L to 3L).map(qid => qid ->
+      emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq)
+    val batch = Pq.ivfPqQueryBatchRefined(spark, dir, queries, 5, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Pq.ivfPqQueryRefined(spark, dir, q, 5, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.getOrElse(qid, Set.empty) == single, s"refined batch $qid")
+    }
+    // a codes-only index cannot refine — loud, with the build advice
+    val bare = s"$root/bare"
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", bare, kLists = 8, m = 8, k = 16)
+    val e = intercept[IllegalArgumentException](
+      Pq.ivfPqQueryRefined(spark, bare, q3, 5))
+    assert(e.getMessage.contains("keepVectors"))
+    // param guards
+    intercept[IllegalArgumentException](
+      Pq.ivfPqQueryRefined(spark, dir, q3, 5, rerankFactor = 0))
+  }
+
   test("a raw-encoded index (no enc marker) still probes correctly — backward compat") {
     val planted = emb.filter($"vec_id" === 0)
       .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")

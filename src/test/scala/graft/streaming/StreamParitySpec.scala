@@ -2059,6 +2059,23 @@ class StreamParitySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/idx/vectors").count() == 400L)
     assert(spark.read
       .parquet(s"$root/idx/${graft.llm.Pq.vectorSidecarDir}").count() == 400L)
+    // the maintenance telemetry recorded the cadence: with
+    // compact-every=1 EVERY append opens the slot (the n-th append
+    // fires at n=1), so both batches carry a full record — measured
+    // skew, the action taken, and its cost: the numbers an operator
+    // tunes the knobs from
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rec(b: Int) = mapper.readTree(Files.readString(
+      java.nio.file.Paths.get(s"$root/ckpt/maintenance/batch-$b.json")))
+    val m0 = rec(0)
+    assert(m0.get("slot_opened").asBoolean, m0.toString)
+    assert(!m0.get("skew").isNull, m0.toString)
+    assert(m0.get("append_ms").asLong >= 0, m0.toString)
+    val m1 = rec(1)
+    assert(m1.get("slot_opened").asBoolean, m1.toString)
+    assert(m1.get("action").asText == "retrain", m1.toString)
+    assert(!m1.get("skew").isNull && m1.get("skew").asDouble > 2.0, m1.toString)
+    assert(m1.get("action_ms").asLong >= 0, m1.toString)
   }
 
   test("ingest-ann binds its corpus as a catalog datastore") {
