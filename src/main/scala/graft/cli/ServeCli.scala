@@ -64,6 +64,7 @@ object ServeCli {
       buildNBits: Int = 16,
       buildDim: Int = 64, buildKLists: Int = 16, buildPBits: Int = 8,
       buildPqM: Int = 8, buildPqK: Int = 64, keepVectors: Boolean = false,
+      refine: Option[Int] = None,
       buildOpq: Boolean = false,
       maxBatchQueries: Int = graft.streaming.StreamRunner.defaultMaxQueriesPerBatch)
 
@@ -106,6 +107,7 @@ object ServeCli {
         case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
         case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
         case "--keep-vectors"      => c = c.copy(keepVectors = true)
+        case "--refine"            => c = c.copy(refine = Some(a.value().toInt))
         case "--build-opq"   => c = c.copy(buildOpq = true)
         // per-micro-batch query budget: queries collect to the driver,
         // so an unbounded file fails loudly instead of OOMing it
@@ -174,7 +176,8 @@ object ServeCli {
     StreamRunner.annServeJob(spark, c.queriesUri, c.queriesFormat,
       c.qidCol, c.vecCol, c.indexDir, c.method, c.k, c.tuning,
       c.outputUri, c.outputFormat, c.checkpoint, c.once, c.minCos,
-      c.filterDfl, maxQueriesPerBatch = c.maxBatchQueries)
+      c.filterDfl, maxQueriesPerBatch = c.maxBatchQueries,
+      refine = c.refine)
   }
 
   def main(args: Array[String]): Unit = {

@@ -995,10 +995,20 @@ object Pq {
                              indexDir: String,
                              queries: Seq[(Long, Seq[Double])], k: Int,
                              nprobe: Int = 8,
-                             rerankFactor: Int = 4): DataFrame = {
+                             rerankFactor: Int = 4,
+                             chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfPqQueryBatchRefined: empty query batch")
     require(k > 0, s"ivfPqQueryBatchRefined: k must be positive, got $k")
     require(rerankFactor >= 1,
       s"ivfPqQueryBatchRefined: rerankFactor must be >= 1, got $rerankFactor")
+    require(chunkSize > 0, "ivfPqQueryBatchRefined: chunkSize must be positive")
+    // same plan-literal bound as every batch entry point: the rerank's
+    // query matrix (MatVecDots) and qid→pos map are chunk-sized literals
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => ivfPqQueryBatchRefined(spark, indexDir, c, k, nprobe,
+          rerankFactor, chunkSize))
+        .reduce(_ unionByName _)
     require(hasVectorSidecar(spark, indexDir),
       s"ivfPqQueryBatchRefined: $indexDir carries no $vectorSidecarDir " +
         "float sidecar (built without keepVectors) — exact reranking " +
@@ -1038,6 +1048,7 @@ object Pq {
             element_at(array(qNorms.map(lit): _*), col("pos") + 1)),
           6).as("cos"))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
+    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
     scored.groupBy("qid")
       .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
       .select(col("qid"), explode(col("topk")).as("hit"))

@@ -868,11 +868,12 @@ object StreamRunner {
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                minCos: Option[Double] = None,
                filterDfl: Option[String] = None,
-               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+               maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
+               refine: Option[Int] = None)
               (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     annServeBatches(queries, qidCol, vecCol, indexDir, k, method, tuning,
       options, trigger, minCos, filterDfl,
-      maxQueriesPerBatch)((answer, _) => sink(answer))
+      maxQueriesPerBatch, refine = refine)((answer, _) => sink(answer))
 
   /** [[annServe]] with the micro-batch id handed to the sink — the hook an
     * idempotent sink needs: a stream restarted from its checkpoint may
@@ -888,12 +889,31 @@ object StreamRunner {
                minCos: Option[Double] = None,
                filterDfl: Option[String] = None,
                maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
-               metricsSink: Option[ServeBatchMetrics => Unit] = None)
+               metricsSink: Option[ServeBatchMetrics => Unit] = None,
+               refine: Option[Int] = None)
               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(method == "lsh" || method == "ivf" || method == "ivfpq",
       s"annServe: unknown method $method")
     require(maxQueriesPerBatch > 0,
       s"annServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
+    // REFINED serving (the FAISS refine pattern): compressed ADC
+    // nominates k×refine candidates, true cosines from the keepVectors
+    // float sidecar rerank. ivfpq-only (float layouts already score true
+    // cosines), top-k-only (range thresholds reconstruction cosines by
+    // contract; the filtered probes' widening loop has no refined twin)
+    // — every unsupported combination rejects at job construction.
+    refine.foreach { f =>
+      require(f >= 1, s"annServe: refine factor must be >= 1, got $f")
+      require(method == "ivfpq",
+        "annServe: --refine applies only to ivfpq (float layouts " +
+          "already rank by true cosines)")
+      require(minCos.isEmpty && filterDfl.isEmpty,
+        "annServe: --refine composes with top-k serving only")
+      require(graft.llm.Pq.hasVectorSidecar(queries.sparkSession, indexDir),
+        s"annServe: --refine needs the float sidecar " +
+          s"($indexDir/${graft.llm.Pq.vectorSidecarDir} is missing) — " +
+          "build with keepVectors (--keep-vectors)")
+    }
     // FILTERED serving: `filterDfl` is a DFL boolean over the index's
     // columns (id + whatever metadata the build carried) — each
     // micro-batch routes to the batch FILTERED probes, whose per-query
@@ -1013,8 +1033,13 @@ object StreamRunner {
                       tuning.getOrElse(8))
                   case ("lsh", None, None) => graft.llm.Similarity.lshQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(100))
-                  case ("ivfpq", None, None) => graft.llm.Pq.ivfPqQueryBatch(
-                    batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+                  case ("ivfpq", None, None) => refine match {
+                    case Some(f) => graft.llm.Pq.ivfPqQueryBatchRefined(
+                      batch.sparkSession, indexDir, group, k,
+                      tuning.getOrElse(8), f)
+                    case None => graft.llm.Pq.ivfPqQueryBatch(
+                      batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
+                  }
                   case _ => graft.llm.Similarity.ivfQueryBatch(
                     batch.sparkSession, indexDir, group, k, tuning.getOrElse(8))
                 }
@@ -1087,7 +1112,8 @@ object StreamRunner {
                   outUri: String, outFormat: String, checkpoint: String,
                   once: Boolean, minCos: Option[Double] = None,
                   filterDfl: Option[String] = None,
-                  maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+                  maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
+                  refine: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"annServeJob: output format must be jsonl or parquet, got $outFormat")
@@ -1117,7 +1143,8 @@ object StreamRunner {
       tuning, options = Map("checkpointLocation" -> checkpoint),
       minCos = minCos, filterDfl = filterDfl,
       maxQueriesPerBatch = maxQueriesPerBatch,
-      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m))) {
+      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m)),
+      refine = refine) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

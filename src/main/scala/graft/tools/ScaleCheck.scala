@@ -371,6 +371,11 @@ object ScaleCheck {
       })
       time("ivfpq_probe_retrained")(
         graft.llm.Pq.ivfPqQuery(spark, kvDir, q, 10).count())
+      // the REFINED probe must stay probe-flat too: the rerank touches
+      // k×factor sidecar rows regardless of corpus size
+      time("ivfpq_probe_refined")(
+        graft.llm.Pq.ivfPqQueryRefined(spark, kvDir, q, 10,
+          rerankFactor = 4).count())
       // the COMPACTION posture: rewrite cost is one clustered pass over
       // the index (so it may grow ~linearly in mult — it is the RARE
       // maintenance op), but the probe after it must return to the

@@ -886,6 +886,65 @@ class StreamParitySpec extends AnyFunSuite {
     }
   }
 
+  test("serve-ann --refine: sidecar-reranked answers equal the direct refined batch probe; misuse rejects") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = Files.createTempDirectory("graft-refserve").toString
+    emb.write.parquet(s"$root/corpus")
+    val qrows = emb.filter($"vec_id" < 3).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val qdir = s"$root/queries"; new java.io.File(qdir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$qdir/q.jsonl"),
+      qrows.map { case (id, v) =>
+        s"""{"qid":$id,"vec":[${v.mkString(",")}]}""" }.mkString("\n"))
+    val cfg = graft.cli.ServeCli.parseArgs(Array(
+      "--index-dir", s"$root/idx", "--method", "ivfpq", "--k", "5",
+      "--refine", "4", "--keep-vectors",
+      "--build-from", s"$root/corpus",
+      "--queries-uri", qdir, "--output-uri", s"$root/answers",
+      "--checkpoint", s"$root/ckpt", "--once"))
+    graft.cli.ServeCli.run(spark, cfg)
+    val got = spark.read.json(s"$root/answers/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("cos"))).toSet
+    val want = graft.llm.Pq.ivfPqQueryBatchRefined(spark, s"$root/idx",
+        qrows, 5, nprobe = 8, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty,
+      "refined serving must equal the direct refined batch probe")
+    // refined scores are TRUE cosines: each query's own vector tops its
+    // slice at exactly 1.0
+    qrows.foreach { case (qid, _) =>
+      assert(got.contains((qid, qid, 1.0)), s"self-hit missing for $qid")
+    }
+    // the telemetry saw the refined leg
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(new java.io.File(s"$root/answers").listFiles()
+        .filter(_.getName.startsWith("batch-")).head.listFiles()
+        .find(_.getName == "_metrics.json").get.toPath))
+    import scala.jdk.CollectionConverters._
+    assert(m.get("legs").elements().asScala.exists(
+      _.get("op").asText == "ivfpq_refined"), m.toString)
+    // misuse rejects at job construction: codes-only index, non-ivfpq
+    // method, range composition
+    val bare = s"$root/bare"
+    graft.llm.Pq.ivfPqBuild(emb, "vec_id", "embedding", bare,
+      kLists = 8, m = 8, k = 16)
+    val e1 = intercept[IllegalArgumentException](graft.cli.ServeCli.run(spark,
+      graft.cli.ServeCli.parseArgs(Array(
+        "--index-dir", bare, "--method", "ivfpq", "--k", "5", "--refine", "4",
+        "--queries-uri", qdir, "--output-uri", s"$root/a2",
+        "--checkpoint", s"$root/c2", "--once"))))
+    assert(e1.getMessage.contains("keep-vectors"), e1.getMessage)
+    intercept[IllegalArgumentException](StreamRunner.annServe(
+      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec",
+      s"$root/idx", 5, method = "lsh", refine = Some(4))(_ => ()))
+    intercept[IllegalArgumentException](StreamRunner.annServe(
+      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec",
+      s"$root/idx", 5, method = "ivfpq", minCos = Some(0.9),
+      refine = Some(4))(_ => ()))
+  }
+
   test("serve-ann rejects an oversized query micro-batch loudly instead of collecting it") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
