@@ -1331,20 +1331,15 @@ object SparkEntry {
     "ann_ivfpq_refined" -> ((s, dir) => {
       // the FAISS refine pattern over a keepVectors index: compressed
       // ADC nominates k×factor candidates, TRUE cosines from the float
-      // sidecar rerank. Contract registration: refined top-11 over the
-      // planted corpus is the exact brute-force clique (true cosine 1.0
-      // ties), and the self-probe returns cos exactly 1.0 — something
-      // reconstruction cosines cannot do.
-      import s.implicits._
+      // sidecar rerank. Because the reranked scores are exact, this row
+      // gets the REAL brute-force oracle (value-for-value), not the
+      // planted SELECT-true contract the reconstruction-cosine rows
+      // need — the clique fills the top-10 at cos 1.0 in both engines.
       val (corpus, q) = plantedCliqueCorpus(s, dir)
       val idxDir = memoIndexDir(dir, "ivfpq-refined")(
         llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
           kLists = 8, m = 8, k = 16, keepVectors = true))
-      val top = llm.Pq.ivfPqQueryRefined(s, idxDir, q, 11, nprobe = 1)
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      val clique = Set(0L) ++ (1L to 10L).map(_ + 100000L)
-      Seq(Tuple1(top.map(_._1).toSet == clique &&
-        top.forall(_._2 == 1.0))).toDF("clique_exact")
+      llm.Pq.ivfPqQueryRefined(s, idxDir, q, 10, nprobe = 1)
     }),
     "ann_ivfpq_filtered" -> ((s, dir) => {
       // the compressed FILTERED serving shape: flag metadata rides into
@@ -2661,6 +2656,20 @@ object SparkEntry {
         llm.Similarity.ivfBuild(corpus, "vec_id", "embedding", d); ()
       }
       DflFrame.pipeline(corpus, "annProbe(@, $idx, $q, 10)",
+        Map("idx" -> idxDir, "q" -> q))
+    }),
+    "dfl_ann_probe_refined" -> ((s, dir) => {
+      // the refined probe stage over a persistent keepVectors ivfpq
+      // index: compressed nomination + TRUE-cosine sidecar rerank means
+      // the BRUTE-FORCE top-k is its real value-for-value oracle — the
+      // reconstruction-cosine barrier that forces the plain ivfpq rows
+      // onto planted contracts does not apply here.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "dflannproberef") { d =>
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", d,
+          kLists = 8, m = 8, k = 16, keepVectors = true)
+      }
+      DflFrame.pipeline(corpus, "annProbe(@, $idx, $q, 10, 1, 4)",
         Map("idx" -> idxDir, "q" -> q))
     }),
     "dfl_bm25_probe" -> ((s, dir) => {
@@ -4196,6 +4205,10 @@ object SparkEntry {
     // the probe stages answer exactly as the indexed families they wrap
     "dfl_hybrid_probe" -> servingStackSql,
     "dfl_ann_probe" -> annPlantedTopkSql,
+    // refined ivfpq probes rank by TRUE cosines, so the same brute
+    // force is exact for them too (the clique tops both at cos 1.0 and
+    // natural rows cannot displace it)
+    "dfl_ann_probe_refined" -> annPlantedTopkSql,
     "dfl_bm25_probe" -> llm.Retrieval.bm25Sql("documents", "doc_id",
       "text", Seq("spark", "stream", "window"), k = 10),
     "dfl_ann_probe_batch" -> annBatchPlantedSql,
@@ -4274,7 +4287,7 @@ object SparkEntry {
     "ann_pq_topk" -> "SELECT true AS clique_exact, true AS recall_floor",
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
     "ann_opq_topk" -> "SELECT true AS clique_exact",
-    "ann_ivfpq_refined" -> "SELECT true AS clique_exact",
+    "ann_ivfpq_refined" -> annPlantedTopkSql,
     "ann_ivfpq_append" -> "SELECT true AS clique_exact",
     "ann_ivfpq_filtered" -> "SELECT true AS filtered_clique_exact",
     "ann_ivfpq_batch" -> "SELECT true AS batch_clique_exact",

@@ -1378,20 +1378,41 @@ object DflFrame {
         // directly. `tuning`: lsh → minCandidates, ivf/ivfpq → nprobe.
         // One frozen query → stream-fenced (serve-ann answers query
         // STREAMS).
-        if (args.size < 4 || args.size > 5) throw new DflParseException(
-          "annProbe takes (@, $indexDir, $query, k[, tuning])")
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "annProbe takes (@, $indexDir, $query, k[, tuning[, refine]])")
         val apDir = strArg(1)
         val apQ = vecArg(2)
         val apK = intArg(3)
         if (apK <= 0) throw new DflParseException("annProbe: k must be positive")
+        // `refine` (6th arg, ivfpq + keepVectors only): compressed ADC
+        // nominates k×refine candidates, TRUE cosines from the float
+        // sidecar rerank — the FAISS refine pattern at probe cost
+        val apRefine = if (args.size > 5) Some(intArg(5)) else None
+        apRefine.foreach(f => if (f < 1) throw new DflParseException(
+          s"annProbe: refine factor must be >= 1, got $f"))
         val apSpark = df.sparkSession
-        graft.llm.Similarity.indexKind(apSpark, apDir) match {
+        val apKind = graft.llm.Similarity.indexKind(apSpark, apDir)
+        if (apRefine.isDefined && !apKind.contains("ivfpq"))
+          throw new DflParseException(
+            "annProbe: refine applies only to an ivfpq index (float " +
+              "layouts already rank by true cosines)")
+        apKind match {
           case Some("lsh") => graft.llm.Similarity.lshQuery(apSpark, apDir,
             apQ, apK, minCandidates = if (args.size > 4) intArg(4) else 100)
           case Some("ivf") => graft.llm.Similarity.ivfQuery(apSpark, apDir,
             apQ, apK, nprobe = if (args.size > 4) intArg(4) else 8)
-          case Some("ivfpq") => graft.llm.Pq.ivfPqQuery(apSpark, apDir,
-            apQ, apK, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("ivfpq") => apRefine match {
+            case Some(f) =>
+              if (!graft.llm.Pq.hasVectorSidecar(apSpark, apDir))
+                throw new DflParseException(
+                  "annProbe: refine needs the float sidecar (index " +
+                    "built without keepVectors)")
+              graft.llm.Pq.ivfPqQueryRefined(apSpark, apDir, apQ, apK,
+                nprobe = if (args.size > 4) intArg(4) else 8,
+                rerankFactor = f)
+            case None => graft.llm.Pq.ivfPqQuery(apSpark, apDir,
+              apQ, apK, nprobe = if (args.size > 4) intArg(4) else 8)
+          }
           case Some("bm25") => throw new DflParseException(
             s"annProbe: '$apDir' is a bm25 index — use bm25Probe")
           case _ => throw new DflParseException(

@@ -525,6 +525,28 @@ class DflLlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.streaming.StreamRunner.validateStreamable("jsonl",
         "annProbeBatch(@, $idx, $qs, 5)"))
+    // the refine arg: ivfpq+keepVectors serves TRUE cosines (the probe's
+    // own vector tops at exactly 1.0); a float layout or a codes-only
+    // ivfpq index rejects with the respective advice
+    val pqKv = s"$root/pqkv"
+    graft.llm.Pq.ivfPqBuild(vecs, "vec_id", "embedding", pqKv,
+      kLists = 4, m = 8, k = 16, keepVectors = true)
+    val q0 = queries.head._2
+    val refined = DflFrame.pipeline(emb, "annProbe(@, $idx, $q, 1, 4, 4)",
+        Map[String, Any]("idx" -> pqKv, "q" -> q0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == Seq((queries.head._1, 1.0)), s"refined self: $refined")
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbe(@, $idx, $q, 5, 8, 4)",
+      Map[String, Any]("idx" -> ivfDir, "q" -> q0)))
+      .getMessage.contains("only to an ivfpq index"))
+    val pqBare = s"$root/pqbare"
+    graft.llm.Pq.ivfPqBuild(vecs, "vec_id", "embedding", pqBare,
+      kLists = 4, m = 8, k = 16)
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbe(@, $idx, $q, 5, 8, 4)",
+      Map[String, Any]("idx" -> pqBare, "q" -> q0)))
+      .getMessage.contains("keepVectors"))
   }
 
   test("DFL llm stages pay the index-build side effect only past graft.dfl.index.minBytes") {
