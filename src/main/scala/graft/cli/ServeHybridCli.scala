@@ -70,6 +70,7 @@ object ServeHybridCli {
       buildNBits: Int = 16, buildDim: Int = 64, buildKLists: Int = 16,
       buildPBits: Int = 8, buildPqM: Int = 8, buildPqK: Int = 64,
       keepVectors: Boolean = false, buildOpq: Boolean = false,
+      refine: Option[Int] = None,
       maxBatchQueries: Int = StreamRunner.defaultMaxQueriesPerBatch)
 
   def parseArgs(args: Array[String]): Config = {
@@ -116,6 +117,7 @@ object ServeHybridCli {
         case "--build-pq-m"        => c = c.copy(buildPqM = a.value().toInt)
         case "--build-pq-k"        => c = c.copy(buildPqK = a.value().toInt)
         case "--keep-vectors"      => c = c.copy(keepVectors = true)
+        case "--refine"            => c = c.copy(refine = Some(a.value().toInt))
         case "--build-opq"   => c = c.copy(buildOpq = true)
         case "--max-batch-queries" => c = c.copy(maxBatchQueries = a.value().toInt)
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
@@ -164,7 +166,8 @@ object ServeHybridCli {
       c.qidCol, c.termsCol, c.vecCol, c.bm25IndexDir, c.annIndexDir,
       c.annMethod, c.k, if (c.pool > 0) c.pool else 2 * c.k,
       c.outputUri, c.outputFormat, c.checkpoint, c.once,
-      c.lambda, c.k1, c.b, c.tuning, c.filterDfl, c.maxBatchQueries)
+      c.lambda, c.k1, c.b, c.tuning, c.filterDfl, c.maxBatchQueries,
+      refine = c.refine)
   }
 
   def main(args: Array[String]): Unit = {

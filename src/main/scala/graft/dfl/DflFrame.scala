@@ -1453,22 +1453,41 @@ object DflFrame {
         // ivfpq), batch ≡ per-query by the family contract. The piped
         // dataset is never scanned. Stream-fenced (serve-ann answers
         // query STREAMS).
-        if (args.size < 4 || args.size > 5) throw new DflParseException(
-          "annProbeBatch takes (@, $indexDir, $queries, k[, tuning])")
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "annProbeBatch takes (@, $indexDir, $queries, k[, tuning[, refine]])")
         val abDir = strArg(1)
         val abQs = queryBatchArg(2)
         val abK = intArg(3)
         if (abK <= 0)
           throw new DflParseException("annProbeBatch: k must be positive")
+        // refine (6th arg): the annProbe contract — ivfpq + keepVectors
+        val abRefine = if (args.size > 5) Some(intArg(5)) else None
+        abRefine.foreach(f => if (f < 1) throw new DflParseException(
+          s"annProbeBatch: refine factor must be >= 1, got $f"))
         val abSpark = df.sparkSession
-        graft.llm.Similarity.indexKind(abSpark, abDir) match {
+        val abKind = graft.llm.Similarity.indexKind(abSpark, abDir)
+        if (abRefine.isDefined && !abKind.contains("ivfpq"))
+          throw new DflParseException(
+            "annProbeBatch: refine applies only to an ivfpq index (float " +
+              "layouts already rank by true cosines)")
+        abKind match {
           case Some("lsh") => graft.llm.Similarity.lshQueryBatch(abSpark,
             abDir, abQs, abK,
             minCandidates = if (args.size > 4) intArg(4) else 100)
           case Some("ivf") => graft.llm.Similarity.ivfQueryBatch(abSpark,
             abDir, abQs, abK, nprobe = if (args.size > 4) intArg(4) else 8)
-          case Some("ivfpq") => graft.llm.Pq.ivfPqQueryBatch(abSpark,
-            abDir, abQs, abK, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("ivfpq") => abRefine match {
+            case Some(f) =>
+              if (!graft.llm.Pq.hasVectorSidecar(abSpark, abDir))
+                throw new DflParseException(
+                  "annProbeBatch: refine needs the float sidecar (index " +
+                    "built without keepVectors)")
+              graft.llm.Pq.ivfPqQueryBatchRefined(abSpark, abDir, abQs, abK,
+                nprobe = if (args.size > 4) intArg(4) else 8,
+                rerankFactor = f)
+            case None => graft.llm.Pq.ivfPqQueryBatch(abSpark,
+              abDir, abQs, abK, nprobe = if (args.size > 4) intArg(4) else 8)
+          }
           case Some("bm25") => throw new DflParseException(
             s"annProbeBatch: '$abDir' is a bm25 index — use bm25ProbeBatch")
           case _ => throw new DflParseException(

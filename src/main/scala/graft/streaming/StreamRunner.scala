@@ -1349,7 +1349,8 @@ object StreamRunner {
                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                filterDfl: Option[String] = None,
                maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
-               metricsSink: Option[ServeBatchMetrics => Unit] = None)
+               metricsSink: Option[ServeBatchMetrics => Unit] = None,
+               refine: Option[Int] = None)
               (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(annMethod == "lsh" || annMethod == "ivf" || annMethod == "ivfpq",
@@ -1377,6 +1378,22 @@ object StreamRunner {
       else s"$annIndexDir/vectors"
     require(maxQueriesPerBatch > 0,
       s"hybridServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
+    // REFINED semantic leg (the annServe --refine contract): compressed
+    // nomination at pool×refine, true-cosine rerank from the keepVectors
+    // sidecar — the fused pool then ranks on exact cosines. ivfpq-only,
+    // top-k-only (no refined twin exists for the filtered widening loop).
+    refine.foreach { f =>
+      require(f >= 1, s"hybridServe: refine factor must be >= 1, got $f")
+      require(annMethod == "ivfpq",
+        "hybridServe: --refine applies only to ivfpq (float layouts " +
+          "already rank by true cosines)")
+      require(filterDfl.isEmpty,
+        "hybridServe: --refine composes with the unfiltered legs only")
+      require(graft.llm.Pq.hasVectorSidecar(queries.sparkSession, annIndexDir),
+        s"hybridServe: --refine needs the float sidecar " +
+          s"($annIndexDir/${graft.llm.Pq.vectorSidecarDir} is missing) — " +
+          "build with keepVectors (--keep-vectors)")
+    }
     // the user-supplied annMethod must MATCH the dir's self-described
     // layout: a mismatch would otherwise fail every micro-batch with an
     // opaque meta/parquet read error deep in the probe, instead of
@@ -1461,9 +1478,14 @@ object StreamRunner {
               case ("ivfpq", Some(p)) => graft.llm.Pq.ivfPqQueryBatchFiltered(
                 spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
                 tuning.getOrElse(8))
-              case ("ivfpq", None) => graft.llm.Pq.ivfPqQueryBatch(
-                spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
-                tuning.getOrElse(8))
+              case ("ivfpq", None) => refine match {
+                case Some(f) => graft.llm.Pq.ivfPqQueryBatchRefined(
+                  spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
+                  tuning.getOrElse(8), f)
+                case None => graft.llm.Pq.ivfPqQueryBatch(
+                  spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
+                  tuning.getOrElse(8))
+              }
               case (_, Some(p)) => graft.llm.Similarity.ivfQueryBatchFiltered(
                 spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
                 tuning.getOrElse(8))
@@ -1574,7 +1596,8 @@ object StreamRunner {
                      k1: Double = 1.2, b: Double = 0.75,
                      tuning: Option[Int] = None,
                      filterDfl: Option[String] = None,
-                     maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch)
+                     maxQueriesPerBatch: Int = defaultMaxQueriesPerBatch,
+                     refine: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(outFormat == "jsonl" || outFormat == "parquet",
       s"hybridServeJob: output format must be jsonl or parquet, got $outFormat")
@@ -1596,7 +1619,8 @@ object StreamRunner {
       options = Map("checkpointLocation" -> checkpoint),
       filterDfl = filterDfl,
       maxQueriesPerBatch = maxQueriesPerBatch,
-      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m))) {
+      metricsSink = Some(m => writeBatchMetrics(spark, outUri, m)),
+      refine = refine) {
       (answer, batchId) =>
         val w = answer.write.mode("overwrite")
         if (outFormat == "parquet") w.parquet(s"$outUri/batch-$batchId")

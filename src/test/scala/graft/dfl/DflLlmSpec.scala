@@ -547,6 +547,22 @@ class DflLlmSpec extends AnyFunSuite {
       "annProbe(@, $idx, $q, 5, 8, 4)",
       Map[String, Any]("idx" -> pqBare, "q" -> q0)))
       .getMessage.contains("keepVectors"))
+    // refined batch ≡ per-query refined probes, same contract as the
+    // unrefined pair
+    val refBatch = DflFrame.pipeline(emb, "annProbeBatch(@, $idx, $qs, 5, 4, 4)",
+        Map[String, Any]("idx" -> pqKv, "qs" -> qsVar))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = DflFrame.pipeline(emb, "annProbe(@, $idx, $q, 5, 4, 4)",
+          Map[String, Any]("idx" -> pqKv, "q" -> q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(refBatch(qid) == single, s"refined ann qid $qid")
+    }
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeBatch(@, $idx, $qs, 5, 8, 4)",
+      Map[String, Any]("idx" -> ivfDir, "qs" -> qsVar)))
+      .getMessage.contains("only to an ivfpq index"))
   }
 
   test("DFL llm stages pay the index-build side effect only past graft.dfl.index.minBytes") {

@@ -1721,6 +1721,38 @@ class StreamParitySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want && got.nonEmpty,
       "sidecar MMR serving must equal the direct float composition")
+    // --refine over the same keepVectors indexes: the semantic leg
+    // nominates with compressed ADC and reranks with TRUE cosines, so
+    // the fused answers equal the refined direct composition
+    graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
+      Array("--bm25-index-dir", s"$root/bidx",
+        "--ann-index-dir", s"$root/aidx", "--ann-method", "ivfpq",
+        "--k", "5", "--refine", "4",
+        "--queries-uri", qdir, "--output-uri", s"$root/answersR",
+        "--checkpoint", s"$root/ckptR", "--once")))
+    val gotR = spark.read.json(s"$root/answersR/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).toSet
+    val semR = graft.llm.Pq.ivfPqQueryBatchRefined(spark, s"$root/aidx",
+        Seq(1L -> q1), 10, rerankFactor = 4)
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .select("qid", "id", "rnk")
+    val wantR = graft.llm.Retrieval.rrfFuseBatch(Seq(lex, semR), 5)
+      .select("qid", "id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotR == wantR && gotR.nonEmpty,
+      "refined hybrid serving must equal the refined direct composition")
+    // refine over a codes-only index rejects at job construction
+    val bareErr = intercept[IllegalArgumentException] {
+      graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
+        Array("--bm25-index-dir", s"$root/bidx",
+          "--ann-index-dir", s"$root/aidx", "--ann-method", "lsh",
+          "--k", "5", "--refine", "4",
+          "--queries-uri", qdir, "--output-uri", s"$root/answersX",
+          "--checkpoint", s"$root/ckptX", "--once")))
+    }
+    assert(bareErr.getMessage.contains("only to ivfpq"), bareErr.getMessage)
   }
 
   test("ingest-bm25 job: bulk build + streaming appends serve the full corpus; relaunch is a no-op") {
