@@ -1392,7 +1392,10 @@ object DflFrame {
           s"annProbe: refine factor must be >= 1, got $f"))
         val apSpark = df.sparkSession
         val apKind = graft.llm.Similarity.indexKind(apSpark, apDir)
-        if (apRefine.isDefined && !apKind.contains("ivfpq"))
+        // gate refine only for the FLOAT ANN layouts — a bm25 dir or a
+        // non-index path must keep its own self-describing error below
+        if (apRefine.isDefined &&
+            (apKind.contains("lsh") || apKind.contains("ivf")))
           throw new DflParseException(
             "annProbe: refine applies only to an ivfpq index (float " +
               "layouts already rank by true cosines)")
@@ -1466,7 +1469,10 @@ object DflFrame {
           s"annProbeBatch: refine factor must be >= 1, got $f"))
         val abSpark = df.sparkSession
         val abKind = graft.llm.Similarity.indexKind(abSpark, abDir)
-        if (abRefine.isDefined && !abKind.contains("ivfpq"))
+        // same gate scoping as annProbe: wrong-family/non-index dirs
+        // keep their self-describing errors
+        if (abRefine.isDefined &&
+            (abKind.contains("lsh") || abKind.contains("ivf")))
           throw new DflParseException(
             "annProbeBatch: refine applies only to an ivfpq index (float " +
               "layouts already rank by true cosines)")

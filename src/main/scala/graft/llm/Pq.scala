@@ -850,13 +850,23 @@ object Pq {
                       indexDir: String, queries: Seq[(Long, Seq[Double])],
                       k: Int, nprobe: Int = 8,
                       chunkSize: Int = 256): DataFrame = {
+    // ONE telemetry leg per logical probe call (the chunk recursion and
+    // the refined wrapper both go through the un-recording core)
+    ProbeStats.record("ivfpq", queries.size, nprobe, nprobe, 0)
+    ivfPqQueryBatchCore(spark, indexDir, queries, k, nprobe, chunkSize)
+  }
+
+  private def ivfPqQueryBatchCore(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, queries: Seq[(Long, Seq[Double])],
+                      k: Int, nprobe: Int,
+                      chunkSize: Int): DataFrame = {
     require(queries.nonEmpty, "ivfPqQueryBatch: empty query batch")
     val dims = queries.map(_._2.size).distinct
     require(dims.size == 1, s"ivfPqQueryBatch: ragged query dims $dims")
     require(chunkSize > 0, "ivfPqQueryBatch: chunkSize must be positive")
     if (queries.size > chunkSize)
       return queries.grouped(chunkSize)
-        .map(c => ivfPqQueryBatch(spark, indexDir, c, k, nprobe, chunkSize))
+        .map(c => ivfPqQueryBatchCore(spark, indexDir, c, k, nprobe, chunkSize))
         .reduce(_ unionByName _)
     val idx = ivfPqMeta(spark, indexDir)
     require(dims.head == idx.model.m * idx.model.subDim,
@@ -865,7 +875,6 @@ object Pq {
       Similarity.nearestLists(idx.centroids, q.toArray, nprobe)
     }
     val allLists = probeLists.flatten.distinct
-    ProbeStats.record("ivfpq", queries.size, nprobe, nprobe, 0)
     scoreAdcGroup(
       idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
       idx, queries, probeLists, k)
@@ -990,7 +999,8 @@ object Pq {
   /** Batch twin of [[ivfPqQueryRefined]]: ONE pruned ADC pass nominates
     * every query's widened candidate set, ONE sidecar join fetches the
     * union's floats, exact cosines rerank per query. Returns
-    * (qid, id, cos), qid-then-rank ordered. */
+    * (qid, id, cos); within each qid the exploded top-k is rank-ordered,
+    * global qid order is unspecified (group by qid to slice). */
   def ivfPqQueryBatchRefined(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String,
                              queries: Seq[(Long, Seq[Double])], k: Int,
@@ -1002,6 +1012,12 @@ object Pq {
     require(rerankFactor >= 1,
       s"ivfPqQueryBatchRefined: rerankFactor must be >= 1, got $rerankFactor")
     require(chunkSize > 0, "ivfPqQueryBatchRefined: chunkSize must be positive")
+    // the rerank is keyed by QID (the qid→pos map literal) — a
+    // duplicated qid would score one query's nominees against the
+    // other's vector and merge their pools; reject loudly (the filtered
+    // twin's guard; the pos-keyed unrefined path tolerates duplicates)
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfPqQueryBatchRefined: duplicate qids in one batch")
     // same plan-literal bound as every batch entry point: the rerank's
     // query matrix (MatVecDots) and qid→pos map are chunk-sized literals
     if (queries.size > chunkSize)
@@ -1014,12 +1030,14 @@ object Pq {
         "float sidecar (built without keepVectors) — exact reranking " +
         "needs the true vectors; probe unrefined or rebuild with " +
         "keepVectors")
-    // candidate nomination: the compressed batch probe at widened k.
+    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
+    // candidate nomination: the compressed batch probe at widened k
+    // (the un-recording core — one telemetry leg per refined call).
     // Its answers are driver-sized ((k·factor)×queries rows max), so
     // collecting the nominee ids is the serving-sized read the refine
     // contract allows.
-    val nominees = ivfPqQueryBatch(spark, indexDir, queries, k * rerankFactor,
-        nprobe)
+    val nominees = ivfPqQueryBatchCore(spark, indexDir, queries,
+        k * rerankFactor, nprobe, chunkSize)
       .select("qid", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     if (nominees.isEmpty) {
@@ -1028,10 +1046,18 @@ object Pq {
     }
     import spark.implicits._
     val nomDf = nominees.toSeq.toDF("qid", "id")
-    // ONE sidecar read for the union of all nominees (broadcast the
-    // tiny nominee set into the scan), exact cosine per (query, id),
-    // bounded-heap top-k per query
+    // ONE sidecar read for the union of all nominees, LIST-PRUNED to the
+    // union of the queries' probed lists (every nominee came from one of
+    // them, so the pruning is lossless) — without it the broadcast
+    // id-join filtered AFTER a full sidecar scan, and the refined probe
+    // grew linearly in corpus size at exactly the 10⁹-vector scale it
+    // targets. Exact cosine per (query, id), bounded-heap top-k.
+    val idx = ivfPqMeta(spark, indexDir)
+    val allLists = queries
+      .flatMap(q => Similarity.nearestLists(idx.centroids, q._2.toArray, nprobe))
+      .distinct
     val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
+      .filter(col("list").isin(allLists.map(Integer.valueOf): _*))
       .select(col("id"), col("v"))
       .join(broadcast(nomDf), Seq("id"))
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
@@ -1048,7 +1074,6 @@ object Pq {
             element_at(array(qNorms.map(lit): _*), col("pos") + 1)),
           6).as("cos"))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
-    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
     scored.groupBy("qid")
       .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
       .select(col("qid"), explode(col("topk")).as("hit"))
