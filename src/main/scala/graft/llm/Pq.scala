@@ -428,9 +428,15 @@ object Pq {
   private def writeCodesAndFloats(assigned: DataFrame, codes: Column,
                                   metaCols: Seq[String], kLists: Int,
                                   codesDir: String, floatsDir: String): Unit = {
+    // the sidecar stores FLOAT32 — what the name promises, and half the
+    // bytes of double at sidecar scale. Lossless for float32 sources
+    // (every embedding table here); a double-valued corpus quantizes to
+    // float32 once at build, and every sidecar consumer (retrain
+    // training, MMR cosines, refined rerank) reads that same
+    // representation, so they stay mutually consistent.
     val combined = assigned.select(col("id") +: col("list") +:
         codes.as("codes") +:
-        col("v").cast("array<double>").as("v") +: metaCols.map(col): _*)
+        col("v").cast("array<float>").as("v") +: metaCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Similarity.clusteredWrite(

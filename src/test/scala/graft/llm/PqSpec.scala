@@ -575,10 +575,12 @@ class PqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(codePairs == f32Pairs, "sidecar list assignment must equal codes")
     val srcV = base.filter($"vec_id" === 7L).select("embedding")
-      .head().getSeq[Float](0).map(_.toDouble)
+      .head().getSeq[Float](0)
     val sideV = f32().filter($"id" === 7L).select("v")
-      .head().getSeq[Double](0)
+      .head().getSeq[Float](0)
     assert(sideV == srcV.toSeq, "sidecar floats must be the source vectors")
+    assert(f32().schema("v").dataType.sql == "ARRAY<FLOAT>",
+      "the sidecar stores FLOAT32 — what its name promises")
     // APPEND a drifted cluster: floats land in the sidecar in the SAME
     // staged commit (replay-fenced together with the codes)
     val drifted = spark.createDataFrame(
