@@ -633,6 +633,30 @@ class PqSpec extends AnyFunSuite {
     Pq.ivfPqBuild(base, "vec_id", "embedding", bare, kLists = 8, m = 8, k = 16)
     val e = intercept[IllegalArgumentException](Pq.ivfPqRetrain(spark, bare))
     assert(e.getMessage.contains("keepVectors"))
+    // an OPQ index retrains under its OWN encoding: enc stays "opq",
+    // the rotation RE-LEARNS against the new centroids (re-clustering
+    // changes every residual, so a frozen R would mis-model them), and
+    // the re-encoded index still serves the drifted clique exactly
+    val opqDir = s"$root/opq"
+    Pq.ivfPqBuild(base, "vec_id", "embedding", opqDir,
+      kLists = 16, m = 8, k = 16, keepVectors = true, opq = true)
+    Pq.ivfPqAppend(drifted, "vec_id", "embedding", opqDir,
+      appendId = Some("drift-opq"))
+    def rotRows(dir: String) = spark.read.parquet(s"$dir/codebooks")
+      .filter(col("m") === -1).orderBy("k")
+      .collect().map(_.getSeq[Double](2)).toSeq
+    val rotBefore = rotRows(opqDir)
+    assert(rotBefore.nonEmpty, "opq index must carry rotation rows")
+    Pq.ivfPqRetrain(spark, opqDir)
+    assert(spark.read.parquet(s"$opqDir/codebooks")
+      .select("enc").head().getString(0) == "opq",
+      "retrain must keep the opq encoding")
+    assert(rotRows(opqDir) != rotBefore,
+      "an opq retrain must re-learn the rotation, not freeze it")
+    val topOpq = Pq.ivfPqQuery(spark, opqDir, q, 3, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(topOpq == Set(1000L, 1007L, 1014L),
+      s"retrained opq index must serve the drifted clique, got $topOpq")
   }
 
   test("ADC score equals the hand-computed query·reconstruction dot") {
