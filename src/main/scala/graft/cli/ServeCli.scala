@@ -27,6 +27,11 @@ import graft.streaming.StreamRunner
   *                     columns — id plus --build-meta metadata — routed
   *                     to the widening filtered batch probes; excludes
   *                     --min-cos)
+  *     [--refine N]   (REFINED top-k, ivfpq + --keep-vectors only:
+  *                     compressed ADC nominates k×N candidates, TRUE
+  *                     cosines from the float sidecar rerank — exact
+  *                     scores at pruned-read cost; excludes --min-cos
+  *                     and --filter)
   *     [--qid-col qid] [--vec-col vec]
   *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]
@@ -35,7 +40,10 @@ import graft.streaming.StreamRunner
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-vec-col C]
   *      [--build-meta c1,c2] [--build-nbits N] [--build-dim N]
   *      [--build-klists N] [--build-pbits N]
-  *      [--build-pq-m N] [--build-pq-k N]]  (pq knobs: ivfpq only)
+  *      [--build-pq-m N] [--build-pq-k N]  (pq knobs: ivfpq only)
+  *      [--keep-vectors]  (ivfpq: persist the vectors_f32 float sidecar
+  *                         that --refine / retrain / compressed MMR need)
+  *      [--build-opq]]    (ivfpq: learn the OPQ rotation at build time)
   *
   * `--build-from` bootstraps the index from a parquet corpus when none
   * exists at `--index-dir` yet (an existing index is served as-is) — one

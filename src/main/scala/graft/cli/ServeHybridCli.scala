@@ -25,6 +25,9 @@ import graft.streaming.StreamRunner
   *     [--k N] [--pool N (per-leg run size; default 2k)]
   *     [--lambda X (MMR re-rank the fused pool)] [--k1 X] [--b X]
   *     [--tuning N (lsh → minCandidates, ivf → nprobe)]
+  *     [--refine N (ivfpq + --keep-vectors: the semantic leg nominates
+  *                  with compressed ADC and reranks with TRUE cosines
+  *                  from the float sidecar before fusion)]
   *     [--filter 'DFL'] (FILTERED serving: a DFL boolean over metadata
   *                      columns BOTH indexes carry — routed to the two
   *                      filtered batch probes, corpus-global statistics)
@@ -37,7 +40,8 @@ import graft.streaming.StreamRunner
   *     [--build-from PARQUET_URI [--build-id-col C] [--build-text-col C]
   *      [--build-vec-col C] [--build-meta c1,c2] [--build-pbands N]
   *      [--build-nbits N] [--build-dim N] [--build-klists N]
-  *      [--build-pbits N] [--build-pq-m N] [--build-pq-k N]]
+  *      [--build-pbits N] [--build-pq-m N] [--build-pq-k N]
+  *      [--keep-vectors] [--build-opq]]  (ivfpq sidecar / OPQ rotation)
   *
   * jsonl query rows carry terms as a whitespace-separated string OR a
   * JSON array, and the query vector as a JSON array
