@@ -359,6 +359,26 @@ class PqSpec extends AnyFunSuite {
     val single = Pq.ivfPqQuery(spark, dirP, q0, 6, nprobe = 1)
       .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSet
     assert(batch == single)
+    // the ADC ALGEBRA IDENTITY under rotation: every probe-reported
+    // cosine equals cos(q, v̂) computed by the INDEPENDENT decode
+    // (v̂ = c_list + Rᵀ·ẑ, no ADC tables anywhere) — this pins the
+    // rotated crossTable/query-table bookkeeping, not just recall
+    val (reconP, _) = decodeAll(dirOpq)
+    val probed = Pq.ivfPqQuery(spark, dirOpq,
+        emb.filter($"vec_id" === 5).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble), 20, nprobe = 8)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1)))
+    val q5 = emb.filter($"vec_id" === 5).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val q5n = math.sqrt(q5.map(x => x * x).sum)
+    probed.foreach { case (id, cosGot) =>
+      val vhat = reconP(id)._1
+      val dot = q5.zip(vhat).map { case (a, b) => a * b }.sum
+      val vn = math.sqrt(vhat.map(x => x * x).sum)
+      val want = math.rint(dot / (vn * q5n) * 1e6) / 1e6
+      assert(math.abs(cosGot - want) <= 1e-6,
+        s"OPQ ADC cosine for $id: probe $cosGot != decode $want")
+    }
   }
 
   test("refined probes: exact rerank from the sidecar never lowers recall; codes-only refuses") {
