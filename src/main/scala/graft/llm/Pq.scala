@@ -443,9 +443,18 @@ object Pq {
           combined.select("id" +: "list" +: "codes" +: metaCols map col: _*),
           "list", kLists)
         .write.mode("overwrite").partitionBy("list").parquet(codesDir)
+      // the sidecar lands SORTED BY id within each file: its consumers
+      // (MMR candidate fetch, refined rerank) read it through an
+      // `id IN (…)` pushdown, and sorted files give every parquet
+      // row-group a tight id min/max — the pruning that keeps a
+      // candidate fetch answer-sized instead of corpus-sized. `list`
+      // leads the sort so the dynamic-partition writer's required
+      // ordering (partition cols) is already satisfied and no second,
+      // id-order-destroying sort is planned.
       Similarity.clusteredWrite(
           combined.select("id" +: "list" +: "v" +: metaCols map col: _*),
           "list", kLists)
+        .sortWithinPartitions("list", "id")
         .write.mode("overwrite").partitionBy("list").parquet(floatsDir)
     } finally { combined.unpersist(); () }
   }

@@ -1515,8 +1515,17 @@ object StreamRunner {
                   .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
                   .toSeq
                 val poolDf = poolRows.toDF("qid", "id", "score")
+                // the collected pool's ids push into the vectors read
+                // as an `id IN (…)` filter BEFORE the join: a broadcast
+                // hash join does not prune the probe-side scan, so
+                // without this every MMR micro-batch re-read the ENTIRE
+                // vectors/sidecar parquet to fetch ≤ pool×queries rows
+                // (the sidecar lands sorted by id — row-group min/max
+                // stats skip everything outside the candidate set)
+                val candIds = poolRows.map(_._2).distinct
                 val vecs = spark.read.parquet(mmrVectorsDir)
                   .select(col("id"), col("v"))
+                  .filter(col("id").isin(candIds: _*))
                 val candsDf = vecs.join(broadcast(poolDf), Seq("id"))
                 // serving-sized (pool rows that HAVE vectors): collect
                 // ONCE so the missing-count and the MMR input share one

@@ -454,9 +454,16 @@ class DflLlmSpec extends AnyFunSuite {
     val pqKvDir = s"$root/pqkv"
     graft.llm.Pq.ivfPqBuild(vecs, "doc_id", "vec", pqKvDir, kLists = 4,
       m = 8, k = 16, keepVectors = true)
-    val gotKvM = DflFrame.pipeline(docs,
+    val kvFrame = DflFrame.pipeline(docs,
         s"hybridProbe(@, $$bm, $$ann, '$qtext', $$q, 5, 0.7)",
         vars + ("ann" -> pqKvDir))
+    // the MMR candidate fetch must PRUNE the sidecar scan: the fused
+    // pool's ids push into the parquet read (In(id, …) in PushedFilters)
+    // — a broadcast join alone reads the whole corpus-sized sidecar
+    val kvPlan = kvFrame.queryExecution.executedPlan.toString
+    assert(kvPlan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(id.*"),
+      s"MMR candidate fetch plan lacks the pushed id In filter:\n$kvPlan")
+    val gotKvM = kvFrame
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(gotKvM.nonEmpty && gotKvM.map(_._2) == (1L to gotKvM.size.toLong))
     // wrong-family dirs fail with self-describing errors

@@ -1692,7 +1692,38 @@ class StreamParitySpec extends AnyFunSuite {
       "--checkpoint", s"$root/ckpt", "--once",
       "--build-from", s"$root/corpus", "--build-id-col", "doc_id",
       "--build-text-col", "text", "--build-vec-col", "vec"))
-    graft.cli.ServeHybridCli.run(spark, cfg)
+    // capture executed plans across the serve run: the MMR candidate
+    // fetch must push the fused pool's ids into the sidecar read
+    // (In(id, …) in PushedFilters) — a broadcast join alone would scan
+    // the whole corpus-sized sidecar per micro-batch
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try graft.cli.ServeHybridCli.run(spark, cfg)
+    finally spark.listenerManager.unregister(ql)
+    // listener posts are async — poll to a deadline before judging
+    def awaitPlan(): Boolean = {
+      val deadline = System.currentTimeMillis() + 10000
+      import scala.jdk.CollectionConverters._
+      while (System.currentTimeMillis() < deadline) {
+        if (plans.asScala.exists(
+            _.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(id.*")))
+          return true
+        Thread.sleep(100)
+      }
+      false
+    }
+    assert(awaitPlan(),
+      "no captured serving plan showed the pushed id In filter on the " +
+        "MMR candidate fetch")
     assert(graft.llm.Pq.hasVectorSidecar(spark, s"$root/aidx"))
     val got = spark.read.json(s"$root/answers/batch-*").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
