@@ -1341,6 +1341,51 @@ object SparkEntry {
           kLists = 8, m = 8, k = 16, keepVectors = true))
       llm.Pq.ivfPqQueryRefined(s, idxDir, q, 10, nprobe = 1)
     }),
+    "ann_opq_refined" -> ((s, dir) => {
+      // OPQ hash-anchored END-TO-END: the rotated-codes index nominates
+      // through the rotated ADC tables, the float sidecar reranks with
+      // TRUE cosines — so unlike ann_opq_topk (whose reconstruction
+      // cosines no other engine can re-derive), this row takes the REAL
+      // brute-force oracle value-for-value. A broken rotation (encode/
+      // probe-side mismatch, mis-fenced retrain) would mis-nominate and
+      // break the hash; the DuckDB compare sees it.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "opq-refined")(
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
+          kLists = 8, m = 8, k = 16, opq = true, keepVectors = true))
+      llm.Pq.ivfPqQueryRefined(s, idxDir, q, 10, nprobe = 1)
+    }),
+    "ann_ivfpq_filtered_refined" -> ((s, dir) => {
+      // the FILTERED + REFINED serving shape (closes the refine matrix):
+      // the pred-filtered widening loop NOMINATES with compressed ADC at
+      // k×factor, true cosines from the sidecar rerank — answers are
+      // exact cosines over eligible rows, so the REAL filtered
+      // brute-force oracle applies (the unfiltered refined rows'
+      // contract upgrade, now under a predicate).
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ivfpq-frefined")(
+        llm.Pq.ivfPqBuild(
+          corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+          "vec_id", "embedding", _, kLists = 8, m = 8, k = 16,
+          keepVectors = true, metaCols = Seq("flag")))
+      llm.Pq.ivfPqQueryFilteredRefined(s, idxDir, q, 5,
+        col("flag") === 0, nprobe = 1, rerankFactor = 4)
+    }),
+    "ann_ivfpq_range_refined" -> ((s, dir) => {
+      // the REFINED range contract: ADC nominates at a LOOSENED
+      // reconstruction threshold, the sidecar verifies the true cosine
+      // against the real threshold (PPJoin filter-verify). Answers are
+      // exact, so the REAL brute-force range oracle applies — the
+      // unrefined range rows keep their planted reconstruction
+      // contracts. At 0.99 only the clique qualifies (clique true
+      // cosines are exactly 1.0; no natural vector reaches 0.99), and
+      // the generous slack keeps quantization error out of nomination.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ivfpq-refined")(
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", _,
+          kLists = 8, m = 8, k = 16, keepVectors = true))
+      llm.Pq.ivfPqRangeRefined(s, idxDir, q, 0.99, nprobe = 1, slack = 0.5)
+    }),
     "ann_ivfpq_filtered" -> ((s, dir) => {
       // the compressed FILTERED serving shape: flag metadata rides into
       // the code lists, the predicate pushes into the pruned ADC read,
@@ -4288,6 +4333,9 @@ object SparkEntry {
     "ann_ivfpq_topk" -> "SELECT true AS clique_exact",
     "ann_opq_topk" -> "SELECT true AS clique_exact",
     "ann_ivfpq_refined" -> annPlantedTopkSql,
+    "ann_opq_refined" -> annPlantedTopkSql,
+    "ann_ivfpq_filtered_refined" -> annPlantedFilteredTopkSql,
+    "ann_ivfpq_range_refined" -> annPlantedRangeSql,
     "ann_ivfpq_append" -> "SELECT true AS clique_exact",
     "ann_ivfpq_filtered" -> "SELECT true AS filtered_clique_exact",
     "ann_ivfpq_batch" -> "SELECT true AS batch_clique_exact",

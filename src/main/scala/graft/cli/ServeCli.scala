@@ -27,11 +27,13 @@ import graft.streaming.StreamRunner
   *                     columns — id plus --build-meta metadata — routed
   *                     to the widening filtered batch probes; excludes
   *                     --min-cos)
-  *     [--refine N]   (REFINED top-k, ivfpq + --keep-vectors only:
-  *                     compressed ADC nominates k×N candidates, TRUE
-  *                     cosines from the float sidecar rerank — exact
-  *                     scores at pruned-read cost; excludes --min-cos
-  *                     and --filter)
+  *     [--refine N]   (REFINED serving, ivfpq + --keep-vectors only:
+  *                     compressed ADC nominates, TRUE cosines from the
+  *                     float sidecar finalize — exact scores at
+  *                     pruned-read cost. Composes with --filter (the
+  *                     widening loop nominates k×N eligible per round)
+  *                     and with --min-cos (loosened nomination, exact
+  *                     threshold verify))
   *     [--qid-col qid] [--vec-col vec]
   *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]

@@ -27,7 +27,9 @@ import graft.streaming.StreamRunner
   *     [--tuning N (lsh → minCandidates, ivf → nprobe)]
   *     [--refine N (ivfpq + --keep-vectors: the semantic leg nominates
   *                  with compressed ADC and reranks with TRUE cosines
-  *                  from the float sidecar before fusion)]
+  *                  from the float sidecar before fusion; composes
+  *                  with --filter — the filtered widening loop
+  *                  nominates at pool×N per round)]
   *     [--filter 'DFL'] (FILTERED serving: a DFL boolean over metadata
   *                      columns BOTH indexes carry — routed to the two
   *                      filtered batch probes, corpus-global statistics)

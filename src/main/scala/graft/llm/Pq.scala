@@ -1022,6 +1022,17 @@ object Pq {
                              nprobe: Int = 8,
                              rerankFactor: Int = 4,
                              chunkSize: Int = 256): DataFrame = {
+    // ONE telemetry leg per refined call — the chunk recursion goes
+    // through the un-recording core (the ivfPqQueryBatch posture)
+    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
+    ivfPqQueryBatchRefinedCore(spark, indexDir, queries, k, nprobe,
+      rerankFactor, chunkSize)
+  }
+
+  private def ivfPqQueryBatchRefinedCore(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+      rerankFactor: Int, chunkSize: Int): DataFrame = {
     require(queries.nonEmpty, "ivfPqQueryBatchRefined: empty query batch")
     require(k > 0, s"ivfPqQueryBatchRefined: k must be positive, got $k")
     require(rerankFactor >= 1,
@@ -1037,7 +1048,7 @@ object Pq {
     // query matrix (MatVecDots) and qid→pos map are chunk-sized literals
     if (queries.size > chunkSize)
       return queries.grouped(chunkSize)
-        .map(c => ivfPqQueryBatchRefined(spark, indexDir, c, k, nprobe,
+        .map(c => ivfPqQueryBatchRefinedCore(spark, indexDir, c, k, nprobe,
           rerankFactor, chunkSize))
         .reduce(_ unionByName _)
     require(hasVectorSidecar(spark, indexDir),
@@ -1045,9 +1056,7 @@ object Pq {
         "float sidecar (built without keepVectors) — exact reranking " +
         "needs the true vectors; probe unrefined or rebuild with " +
         "keepVectors")
-    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
-    // candidate nomination: the compressed batch probe at widened k
-    // (the un-recording core — one telemetry leg per refined call).
+    // candidate nomination: the compressed batch probe at widened k.
     // Its answers are driver-sized ((k·factor)×queries rows max), so
     // collecting the nominee ids is the serving-sized read the refine
     // contract allows.
@@ -1059,26 +1068,51 @@ object Pq {
       import spark.implicits._
       return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cos")
     }
-    import spark.implicits._
-    val nomDf = nominees.toSeq.toDF("qid", "id")
-    // ONE sidecar read for the union of all nominees, LIST-PRUNED to the
-    // union of the queries' probed lists (every nominee came from one of
-    // them, so the pruning is lossless) — without it the broadcast
-    // id-join filtered AFTER a full sidecar scan, and the refined probe
-    // grew linearly in corpus size at exactly the 10⁹-vector scale it
-    // targets. Exact cosine per (query, id), bounded-heap top-k.
     val idx = ivfPqMeta(spark, indexDir)
     val allLists = queries
       .flatMap(q => Similarity.nearestLists(idx.centroids, q._2.toArray, nprobe))
       .distinct
+    topKPerQid(
+      nomineeTrueCosines(spark, indexDir, queries, nominees.toSeq, allLists),
+      k)
+  }
+
+  /** TRUE-cosine scores for a driver-collected nominee set against the
+    * float sidecar — the shared rerank read of every refined probe: ONE
+    * sidecar pass LIST-PRUNED to the union of the nominees' probed lists
+    * (lossless — every nominee came from one of them) AND id-In-pruned
+    * to the nominee ids (the sidecar lands sorted by (list, id), so
+    * parquet row-group stats skip everything else — without both prunes
+    * the broadcast id-join filtered AFTER a full sidecar scan, growing
+    * linearly in corpus size at exactly the 10⁹-vector scale refinement
+    * targets), broadcast nominee join, ONE native dot per (query,
+    * candidate). Returns (qid, id, cos) with cos EXACT (rounded 6). */
+  private def nomineeTrueCosines(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String,
+                                 queries: Seq[(Long, Seq[Double])],
+                                 nominees: Seq[(Long, Long)],
+                                 lists: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val nomDf = nominees.toDF("qid", "id")
+    val nomIds = nominees.map(_._2).distinct
     val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
-      .filter(col("list").isin(allLists.map(Integer.valueOf): _*))
+      .filter(col("list").isin(lists.map(Integer.valueOf): _*))
+      .filter(col("id").isin(nomIds: _*))
       .select(col("id"), col("v"))
       .join(broadcast(nomDf), Seq("id"))
+    exactCosAgainst(queries, floats)
+  }
+
+  /** Exact-cosine scoring of (qid, id, v) candidate rows against a
+    * chunk-bounded query batch: qid→pos map + query matrix as plan
+    * literals, one native [[graft.functions.MatVecF]] loop per row.
+    * Returns (qid, id, cos) rounded to 6 (the engine-wide contract). */
+  private def exactCosAgainst(queries: Seq[(Long, Seq[Double])],
+                              withVec: DataFrame): DataFrame = {
     val qNorms = queries.map { case (_, q) => math.sqrt(q.map(x => x * x).sum) }
     val qIds = queries.map(_._1)
-    import graft.functions.{MatVecF, TopKF, VectorF}
-    val scored = floats
+    import graft.functions.{MatVecF, VectorF}
+    withVec
       .withColumn("pos",
         element_at(typedLit(qIds.zipWithIndex.map { case (q, i) => q -> i }
           .toMap), col("qid")))
@@ -1089,10 +1123,126 @@ object Pq {
             element_at(array(qNorms.map(lit): _*), col("pos") + 1)),
           6).as("cos"))
       .filter(col("cos").isNotNull && !isnan(col("cos")))
+  }
+
+  /** Bounded-heap top-k per qid over (qid, id, cos) rows — the shared
+    * finalize of the refined probes. */
+  private def topKPerQid(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKF
     scored.groupBy("qid")
       .agg(TopKF.topKByScore(col("cos"), col("id"), k).as("topk"))
       .select(col("qid"), explode(col("topk")).as("hit"))
       .select(col("qid"), col("hit.id").as("id"), col("hit.score").as("cos"))
+  }
+
+  /** FILTERED + REFINED probe — closes the refine matrix's last empty
+    * cell: the widening loop of [[ivfPqQueryFiltered]] NOMINATES with
+    * compressed ADC, the float sidecar reranks with TRUE cosines (the
+    * [[ivfPqQueryRefined]] contract under a predicate). Each round's
+    * pred-filtered pruned ADC pass targets `k × rerankFactor` eligible
+    * nominees per query — the widening target is the full nomination
+    * budget, not k: a round that satisfied k but not k×factor would
+    * hand the exact rerank a truncated candidate set and silently cap
+    * refined recall exactly when the filter is most selective. Queries
+    * that hit the budget (or the full-width probe) finalize; ONE sidecar
+    * read then reranks every finalized nominee. Answers are EXACT
+    * cosines over eligible rows, so brute-force oracles apply (the
+    * unfiltered refined rows' contract). Requires the float sidecar. */
+  def ivfPqQueryFilteredRefined(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String, query: Seq[Double],
+                                topK: Int, pred: Column, nprobe: Int = 8,
+                                rerankFactor: Int = 4): DataFrame =
+    ivfPqQueryBatchFilteredRefined(spark, indexDir, Seq((0L, query)), topK,
+      pred, nprobe, rerankFactor).select("id", "cos")
+
+  /** BATCH twin of [[ivfPqQueryFilteredRefined]] — the serving shape
+    * behind serve-ann/serve-hybrid `--filter-dfl --refine`: each
+    * widening round scores ALL still-unsatisfied queries in ONE
+    * pred-filtered pruned ADC pass at the nomination budget, finalized
+    * queries bank their nominees, and ONE sidecar read reranks every
+    * nominee with true cosines. Returns (qid, id, cos), cos EXACT.
+    * Chunked at entry like the unfiltered refined batch (the rerank's
+    * query matrix and qid→pos map are chunk-sized plan literals) — one
+    * telemetry leg per chunk, each chunk running its own widening loop
+    * with its own observed widths. */
+  def ivfPqQueryBatchFilteredRefined(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: Seq[(Long, Seq[Double])], k: Int, pred: Column,
+      nprobe: Int = 8, rerankFactor: Int = 4,
+      chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfPqQueryBatchFilteredRefined: empty query batch")
+    require(k > 0, s"ivfPqQueryBatchFilteredRefined: k must be positive, got $k")
+    require(rerankFactor >= 1,
+      s"ivfPqQueryBatchFilteredRefined: rerankFactor must be >= 1, got $rerankFactor")
+    require(chunkSize > 0,
+      "ivfPqQueryBatchFilteredRefined: chunkSize must be positive")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1,
+      s"ivfPqQueryBatchFilteredRefined: ragged query dims $dims")
+    // qid-keyed widening AND qid-keyed rerank — duplicates would merge
+    // two queries' pools (both parents' guard)
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfPqQueryBatchFilteredRefined: duplicate qids in one batch")
+    require(hasVectorSidecar(spark, indexDir),
+      s"ivfPqQueryBatchFilteredRefined: $indexDir carries no " +
+        s"$vectorSidecarDir float sidecar (built without keepVectors) — " +
+        "exact reranking needs the true vectors; probe unrefined or " +
+        "rebuild with keepVectors")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => ivfPqQueryBatchFilteredRefined(spark, indexDir, c, k,
+          pred, nprobe, rerankFactor, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = ivfPqMeta(spark, indexDir)
+    require(dims.head == idx.model.m * idx.model.subDim,
+      s"ivfPqQueryBatchFilteredRefined: query dim ${dims.head} != index dim ${idx.model.m * idx.model.subDim}")
+    val kLists = idx.centroids.length
+    val eligible = idx.vectors.filter(pred)
+    val budget = k * rerankFactor
+    val nomAcc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // the union of the lists each query had probed when it finalized —
+    // every banked nominee came from one of them, so pruning the
+    // sidecar rerank read to this union is lossless
+    val listAcc = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var pending = queries
+    var width = math.min(math.max(1, nprobe), kLists)
+    val widthStart = width
+    var widthUsed = width
+    var rounds = 0
+    while (pending.nonEmpty) {
+      widthUsed = width
+      rounds += 1
+      val listsByQ = pending.map(q => q._1 ->
+        Similarity.nearestLists(idx.centroids, q._2.toArray, width)).toMap
+      val allLists = listsByQ.valuesIterator.flatten.toSeq.distinct
+      // full-width bypass, as the filtered parents: once the union
+      // covers every list the isin buys nothing on the widest rounds
+      val pruned =
+        if (allLists.size >= kLists) eligible
+        else eligible.filter(col("list").isin(allLists.map(Integer.valueOf): _*))
+      val rows = scoreAdcGroup(pruned, idx, pending,
+        pending.map(q => listsByQ(q._1).toSeq), budget).collect().toSeq
+      val byQ = rows.groupBy(_.getLong(0))
+      val (done, todo) = pending.partition(q =>
+        width >= kLists || byQ.getOrElse(q._1, Seq.empty).size >= budget)
+      done.foreach { q =>
+        nomAcc ++= byQ.getOrElse(q._1, Seq.empty)
+          .map(r => (r.getLong(0), r.getLong(1)))
+        listAcc ++= listsByQ(q._1)
+      }
+      pending = todo
+      width = math.min(width * 2, kLists)
+    }
+    ProbeStats.record("ivfpq_filtered_refined", queries.size, widthStart,
+      widthUsed, rounds - 1)
+    if (nomAcc.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cos")
+    }
+    topKPerQid(
+      nomineeTrueCosines(spark, indexDir, queries, nomAcc.toSeq,
+        listAcc.toSeq),
+      k)
   }
 
   /** Per-row reconstructed-norm column ‖v̂‖ from codes alone — the range
@@ -1190,6 +1340,78 @@ object Pq {
     scoreAdcRangeGroup(
       idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
       idx, queries, probeLists, minCos)
+  }
+
+  /** REFINED range probe — [[ivfPqRange]] with an EXACT threshold (the
+    * contract upgrade the top-k path got from [[ivfPqQueryRefined]]):
+    * compressed ADC NOMINATES every probed id whose reconstructed
+    * cosine clears `minCos - slack` (the loosened net — quantization
+    * error can push a true ≥ minCos row just below the reconstruction
+    * threshold), then TRUE cosines from the float sidecar VERIFY
+    * `≥ minCos` exactly (the PPJoin filter-verify posture). Precision
+    * is exact; recall approaches exact search as `slack` grows while
+    * the nomination scan stays the compressed pruned read. Returns
+    * (id, cos) with cos EXACT — brute-force range oracles apply. */
+  def ivfPqRangeRefined(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, query: Seq[Double],
+                        minCos: Double, nprobe: Int = 8,
+                        slack: Double = 0.05): DataFrame =
+    ivfPqRangeBatchRefined(spark, indexDir, Seq((0L, query)), minCos,
+      nprobe, slack).select("id", "cos")
+
+  /** BATCH twin of [[ivfPqRangeRefined]]: ONE loosened pruned ADC pass
+    * nominates, ONE list-pruned sidecar join verifies with true cosines.
+    * Range answers are output-bound, not k-bound, so the nominee set is
+    * NEVER collected to the driver — the verify is a distributed id-join
+    * of the nominee frame against the list-pruned sidecar (answer-
+    * proportional shuffle, the posture range semantics impose; the id-In
+    * pushdown of the top-k rerank needs driver-side ids and does not
+    * apply). Returns (qid, id, cos) with cos EXACT (≥ minCos). */
+  def ivfPqRangeBatchRefined(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String,
+                             queries: Seq[(Long, Seq[Double])],
+                             minCos: Double, nprobe: Int = 8,
+                             slack: Double = 0.05,
+                             chunkSize: Int = 256): DataFrame = {
+    require(queries.nonEmpty, "ivfPqRangeBatchRefined: empty query batch")
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"ivfPqRangeBatchRefined: minCos must be in (-1, 1], got $minCos")
+    require(slack >= 0.0,
+      s"ivfPqRangeBatchRefined: slack must be >= 0 (it only widens the " +
+        s"nomination net), got $slack")
+    require(chunkSize > 0, "ivfPqRangeBatchRefined: chunkSize must be positive")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1, s"ivfPqRangeBatchRefined: ragged query dims $dims")
+    // the verify is qid-keyed (qid→pos map literal) — the refined guard
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfPqRangeBatchRefined: duplicate qids in one batch")
+    require(hasVectorSidecar(spark, indexDir),
+      s"ivfPqRangeBatchRefined: $indexDir carries no $vectorSidecarDir " +
+        "float sidecar (built without keepVectors) — exact thresholds " +
+        "need the true vectors; probe unrefined (reconstruction-cosine " +
+        "contract) or rebuild with keepVectors")
+    if (queries.size > chunkSize)
+      return queries.grouped(chunkSize)
+        .map(c => ivfPqRangeBatchRefined(spark, indexDir, c, minCos,
+          nprobe, slack, chunkSize))
+        .reduce(_ unionByName _)
+    val idx = ivfPqMeta(spark, indexDir)
+    require(dims.head == idx.model.m * idx.model.subDim,
+      s"ivfPqRangeBatchRefined: query dim ${dims.head} != index dim ${idx.model.m * idx.model.subDim}")
+    val probeLists = queries.map { case (_, q) =>
+      Similarity.nearestLists(idx.centroids, q.toArray, nprobe)
+    }
+    val allLists = probeLists.flatten.distinct
+    ProbeStats.record("ivfpq_range_refined", queries.size, nprobe, nprobe, 0)
+    val nominated = scoreAdcRangeGroup(
+        idx.vectors.filter(col("list").isin(allLists.map(Integer.valueOf): _*)),
+        idx, queries, probeLists.map(_.toSeq), minCos - slack)
+      .select("qid", "id")
+    val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
+      .filter(col("list").isin(allLists.map(Integer.valueOf): _*))
+      .select(col("id"), col("v"))
+      .join(nominated, Seq("id"))
+    exactCosAgainst(queries, floats).filter(col("cos") >= minCos)
   }
 
   /** ADC top-k: score = Σ_m table[m][codes[m]] where table[m][k] =

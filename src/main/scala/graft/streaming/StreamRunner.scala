@@ -897,18 +897,17 @@ object StreamRunner {
     require(maxQueriesPerBatch > 0,
       s"annServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
     // REFINED serving (the FAISS refine pattern): compressed ADC
-    // nominates k×refine candidates, true cosines from the keepVectors
-    // float sidecar rerank. ivfpq-only (float layouts already score true
-    // cosines), top-k-only (range thresholds reconstruction cosines by
-    // contract; the filtered probes' widening loop has no refined twin)
-    // — every unsupported combination rejects at job construction.
+    // nominates, true cosines from the keepVectors float sidecar rerank
+    // (top-k / filtered) or verify the threshold exactly (range).
+    // ivfpq-only (float layouts already score true cosines); composes
+    // with --filter-dfl (the filtered widening loop nominates at
+    // k×refine per round) and with --min-cos (loosened nomination +
+    // exact verify) — a sidecar-less index still rejects loudly.
     refine.foreach { f =>
       require(f >= 1, s"annServe: refine factor must be >= 1, got $f")
       require(method == "ivfpq",
         "annServe: --refine applies only to ivfpq (float layouts " +
           "already rank by true cosines)")
-      require(minCos.isEmpty && filterDfl.isEmpty,
-        "annServe: --refine composes with top-k serving only")
       require(graft.llm.Pq.hasVectorSidecar(queries.sparkSession, indexDir),
         s"annServe: --refine needs the float sidecar " +
           s"($indexDir/${graft.llm.Pq.vectorSidecarDir} is missing) — " +
@@ -1012,10 +1011,17 @@ object StreamRunner {
                     slackBits = tuning.getOrElse(4))
                   // the compressed index's range contract thresholds the
                   // RECONSTRUCTED cosine (Pq.ivfPqRange's documented
-                  // approximation) — the only cosine codes can produce
-                  case ("ivfpq", Some(t), _) => graft.llm.Pq.ivfPqRangeBatch(
-                    batch.sparkSession, indexDir, group, t,
-                    nprobe = tuning.getOrElse(8))
+                  // approximation) — the only cosine codes can produce;
+                  // --refine upgrades it to an EXACT threshold (loosened
+                  // ADC nomination, true-cosine verify from the sidecar)
+                  case ("ivfpq", Some(t), _) => refine match {
+                    case Some(_) => graft.llm.Pq.ivfPqRangeBatchRefined(
+                      batch.sparkSession, indexDir, group, t,
+                      nprobe = tuning.getOrElse(8))
+                    case None => graft.llm.Pq.ivfPqRangeBatch(
+                      batch.sparkSession, indexDir, group, t,
+                      nprobe = tuning.getOrElse(8))
+                  }
                   case (_, Some(t), _) => graft.llm.Similarity.ivfRangeBatch(
                     batch.sparkSession, indexDir, group, t,
                     nprobe = tuning.getOrElse(8))
@@ -1023,10 +1029,14 @@ object StreamRunner {
                     graft.llm.Similarity.lshQueryBatchFiltered(
                       batch.sparkSession, indexDir, group, k, p,
                       tuning.getOrElse(100))
-                  case ("ivfpq", None, Some(p)) =>
-                    graft.llm.Pq.ivfPqQueryBatchFiltered(
+                  case ("ivfpq", None, Some(p)) => refine match {
+                    case Some(f) => graft.llm.Pq.ivfPqQueryBatchFilteredRefined(
+                      batch.sparkSession, indexDir, group, k, p,
+                      tuning.getOrElse(8), f)
+                    case None => graft.llm.Pq.ivfPqQueryBatchFiltered(
                       batch.sparkSession, indexDir, group, k, p,
                       tuning.getOrElse(8))
+                  }
                   case (_, None, Some(p)) =>
                     graft.llm.Similarity.ivfQueryBatchFiltered(
                       batch.sparkSession, indexDir, group, k, p,
@@ -1380,15 +1390,14 @@ object StreamRunner {
       s"hybridServe: maxQueriesPerBatch must be positive, got $maxQueriesPerBatch")
     // REFINED semantic leg (the annServe --refine contract): compressed
     // nomination at pool×refine, true-cosine rerank from the keepVectors
-    // sidecar — the fused pool then ranks on exact cosines. ivfpq-only,
-    // top-k-only (no refined twin exists for the filtered widening loop).
+    // sidecar — the fused pool then ranks on exact cosines. ivfpq-only;
+    // composes with --filter-dfl (the filtered widening loop nominates
+    // at pool×refine per round, same exact-rerank finalize).
     refine.foreach { f =>
       require(f >= 1, s"hybridServe: refine factor must be >= 1, got $f")
       require(annMethod == "ivfpq",
         "hybridServe: --refine applies only to ivfpq (float layouts " +
           "already rank by true cosines)")
-      require(filterDfl.isEmpty,
-        "hybridServe: --refine composes with the unfiltered legs only")
       require(graft.llm.Pq.hasVectorSidecar(queries.sparkSession, annIndexDir),
         s"hybridServe: --refine needs the float sidecar " +
           s"($annIndexDir/${graft.llm.Pq.vectorSidecarDir} is missing) — " +
@@ -1475,9 +1484,14 @@ object StreamRunner {
               case ("lsh", None) => graft.llm.Similarity.lshQueryBatch(
                 spark, annIndexDir, good.map(q => q._1 -> q._3), pool,
                 tuning.getOrElse(100))
-              case ("ivfpq", Some(p)) => graft.llm.Pq.ivfPqQueryBatchFiltered(
-                spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
-                tuning.getOrElse(8))
+              case ("ivfpq", Some(p)) => refine match {
+                case Some(f) => graft.llm.Pq.ivfPqQueryBatchFilteredRefined(
+                  spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
+                  tuning.getOrElse(8), f)
+                case None => graft.llm.Pq.ivfPqQueryBatchFiltered(
+                  spark, annIndexDir, good.map(q => q._1 -> q._3), pool, p,
+                  tuning.getOrElse(8))
+              }
               case ("ivfpq", None) => refine match {
                 case Some(f) => graft.llm.Pq.ivfPqQueryBatchRefined(
                   spark, annIndexDir, good.map(q => q._1 -> q._3), pool,

@@ -438,6 +438,139 @@ class PqSpec extends AnyFunSuite {
       Pq.ivfPqQueryRefined(spark, dir, q3, 5, rerankFactor = 0))
   }
 
+  test("filtered refined probes: exact cosines over eligible rows; widening; batch parity") {
+    val root = java.nio.file.Files.createTempDirectory("graft-frefine").toString
+    val dir = s"$root/idx"
+    val flagged = emb.withColumn("flag", ($"vec_id" % 2).cast("int"))
+    Pq.ivfPqBuild(flagged, "vec_id", "embedding", dir, kLists = 8, m = 8,
+      k = 16, keepVectors = true, metaCols = Seq("flag"))
+    val pred = col("flag") === 0
+    val eligible = emb.filter($"vec_id" % 2 === 0)
+    // full-width nomination (nprobe = kLists) at a generous factor ≡
+    // the exact FILTERED brute force — scores are TRUE cosines, so the
+    // comparison is value-for-value, not id-set-only
+    val q0 = emb.filter($"vec_id" === 4).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val want = Similarity.bruteForceTopK(eligible, "vec_id", "embedding",
+        q0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Pq.ivfPqQueryFilteredRefined(spark, dir, q0, 5, pred,
+        nprobe = 8, rerankFactor = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, c) => (-c, id) }
+    assert(got == want, s"filtered refined $got != filtered brute $want")
+    // an eligible self-query comes back at exactly 1.0 (true cosines,
+    // not reconstructions — the refined contract under a predicate)
+    val self = Pq.ivfPqQueryFilteredRefined(spark, dir, q0, 1, pred,
+        nprobe = 8).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(self.toSeq == Seq((4L, 1.0)), s"self-probe: ${self.toSeq}")
+    // refined recall (vs the eligible brute force) must not regress the
+    // plain filtered probe's at the same nprobe
+    def recall(probe: Seq[Double] => Set[Long]): Double = {
+      val rs = (1 to 8).map { qid =>
+        val q = emb.filter($"vec_id" === qid).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val exact = Similarity.bruteForceTopK(eligible, "vec_id",
+            "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        (exact & probe(q)).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val recPlain = recall(q =>
+      Pq.ivfPqQueryFiltered(spark, dir, q, 10, pred, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet)
+    val recRef = recall(q =>
+      Pq.ivfPqQueryFilteredRefined(spark, dir, q, 10, pred, nprobe = 4,
+          rerankFactor = 4)
+        .collect().map(_.getLong(0)).toSet)
+    assert(recRef >= recPlain,
+      s"filtered refined recall must not regress: $recRef < $recPlain")
+    // WIDENING: a selective predicate (one id) at nprobe=1 must widen to
+    // the full probe and still find its single eligible row at 1.0
+    val gotSel = Pq.ivfPqQueryFilteredRefined(spark, dir, q0, 5,
+        col("id") === 4L, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotSel == Seq((4L, 1.0)), s"widened: $gotSel")
+    // batch ≡ per-query
+    val queries = (1L to 3L).map(qid => qid ->
+      emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq)
+    val batch = Pq.ivfPqQueryBatchFilteredRefined(spark, dir, queries, 5,
+        pred, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Pq.ivfPqQueryFilteredRefined(spark, dir, q, 5, pred,
+          nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.getOrElse(qid, Set.empty) == single,
+        s"filtered refined batch $qid")
+    }
+    // codes-only refuses with the build advice; duplicate qids refuse
+    val bare = s"$root/bare"
+    Pq.ivfPqBuild(flagged, "vec_id", "embedding", bare, kLists = 8, m = 8,
+      k = 16, metaCols = Seq("flag"))
+    assert(intercept[IllegalArgumentException](
+      Pq.ivfPqQueryFilteredRefined(spark, bare, q0, 5, pred))
+      .getMessage.contains("keepVectors"))
+    intercept[IllegalArgumentException](
+      Pq.ivfPqQueryBatchFilteredRefined(spark, dir,
+        Seq(1L -> q0.toSeq, 1L -> q0.toSeq), 5, pred))
+  }
+
+  test("refined range probes: exact threshold from the sidecar; batch parity; codes-only refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rrefine").toString
+    val dir = s"$root/idx"
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", dir, kLists = 8, m = 8,
+      k = 16, keepVectors = true)
+    val kLists = 8
+    val q = emb.filter($"vec_id" === 7).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // full-width nomination with a net wider than any reconstruction
+    // error (slack = 2 keeps every probed row) ≡ the exact brute-force
+    // range, value-for-value — this pins the verify threshold exactly
+    val t = 0.55
+    val want = Similarity.bruteForceRange(emb, "vec_id", "embedding", q, t)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val got = Pq.ivfPqRangeRefined(spark, dir, q, t, nprobe = kLists,
+        slack = 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == want && want.nonEmpty,
+      s"refined range (full net) $got != brute $want")
+    // PRECISION at the default slack: every answer is a TRUE cosine
+    // clearing the threshold (⊆ exact range; the unrefined probe's
+    // reconstruction cosines can violate both directions)
+    val gotDef = Pq.ivfPqRangeRefined(spark, dir, q, t, nprobe = kLists)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(gotDef.subsetOf(want), s"precision: ${gotDef -- want} not in exact")
+    assert(gotDef.contains((7L, 1.0)), "self id at exactly 1.0")
+    // batch ≡ per-query
+    val queries = (5L to 7L).map(qid => qid ->
+      emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq)
+    val batch = Pq.ivfPqRangeBatchRefined(spark, dir, queries, t,
+        nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = Pq.ivfPqRangeRefined(spark, dir, qv, t, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch.getOrElse(qid, Set.empty) == single,
+        s"refined range batch $qid")
+    }
+    // codes-only refuses; param guards
+    val bare = s"$root/bare"
+    Pq.ivfPqBuild(emb, "vec_id", "embedding", bare, kLists = 8, m = 8, k = 16)
+    assert(intercept[IllegalArgumentException](
+      Pq.ivfPqRangeRefined(spark, bare, q, t)).getMessage
+      .contains("keepVectors"))
+    intercept[IllegalArgumentException](
+      Pq.ivfPqRangeRefined(spark, dir, q, t, slack = -0.1))
+    intercept[IllegalArgumentException](
+      Pq.ivfPqRangeRefined(spark, dir, q, 1.5))
+  }
+
   test("a raw-encoded index (no enc marker) still probes correctly — backward compat") {
     val planted = emb.filter($"vec_id" === 0)
       .select(explode(sequence(lit(1L), lit(5L))).as("r"), $"embedding")

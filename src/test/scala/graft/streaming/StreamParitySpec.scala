@@ -939,10 +939,51 @@ class StreamParitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StreamRunner.annServe(
       StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec",
       s"$root/idx", 5, method = "lsh", refine = Some(4))(_ => ()))
-    intercept[IllegalArgumentException](StreamRunner.annServe(
-      StreamRunner.readStream(spark, qdir, "jsonl"), "qid", "vec",
-      s"$root/idx", 5, method = "ivfpq", minCos = Some(0.9),
-      refine = Some(4))(_ => ()))
+
+    // --refine COMPOSES with --filter and --min-cos (r19): a flagged
+    // keepVectors index serves both refined twins, answers ≡ the direct
+    // batch probes, scores TRUE cosines
+    val kvFlag = s"$root/kvflag"
+    graft.llm.Pq.ivfPqBuild(
+      emb.withColumn("flag", (col("vec_id") % 2).cast("int")),
+      "vec_id", "embedding", kvFlag, kLists = 8, m = 8, k = 16,
+      keepVectors = true, metaCols = Seq("flag"))
+    def serveKv(minCos: Option[Double], filterDfl: Option[String])
+        : Set[(Long, Long, Double)] = {
+      val stream = StreamRunner.readStream(spark, qdir, "jsonl")
+      val answers = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      val q = StreamRunner.annServe(stream, "qid", "vec", kvFlag, 5,
+        method = "ivfpq", tuning = Some(2), minCos = minCos,
+        filterDfl = filterDfl, refine = Some(4)) { out =>
+        answers.synchronized {
+          answers ++= out.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+      answers.toSet
+    }
+    val gotFR = serveKv(None, Some("@flag == 0"))
+    val wantFR = graft.llm.Pq.ivfPqQueryBatchFilteredRefined(spark, kvFlag,
+        qrows, 5, col("flag") === 0, nprobe = 2, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotFR == wantFR && gotFR.nonEmpty,
+      "filtered refined serving must equal the direct filtered refined probe")
+    assert(gotFR.forall(_._2 % 2 == 0))
+    // even self-queries rank at exactly 1.0 (true cosines through the
+    // filtered widening loop)
+    qrows.filter(_._1 % 2 == 0).foreach { case (qid, _) =>
+      assert(gotFR.contains((qid, qid, 1.0)), s"self-hit missing for $qid")
+    }
+    val gotRR = serveKv(Some(0.6), None)
+    val wantRR = graft.llm.Pq.ivfPqRangeBatchRefined(spark, kvFlag,
+        qrows, 0.6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotRR == wantRR && gotRR.nonEmpty,
+      "refined range serving must equal the direct refined range probe")
+    // exact threshold: every served cosine is a true cosine >= t
+    assert(gotRR.forall(_._3 >= 0.6))
   }
 
   test("serve-ann rejects an oversized query micro-batch loudly instead of collecting it") {
