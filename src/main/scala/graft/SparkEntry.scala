@@ -2935,12 +2935,26 @@ object SparkEntry {
       val designFpp = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(allBytes)).expectedFpp()
       val fppOk = fps.toDouble / 20000 <= math.max(designFpp * 3, 0.003)
-      // incompatible sizes must throw, not silently OR
+      // incompatible sizes must throw, not silently OR. The probe
+      // INTENTIONALLY fails a task, and Spark's executor/scheduler log
+      // that at ERROR — an alarming stack in otherwise-clean gate logs
+      // (Verify/Bench/PlanLint all construct this query) — so those two
+      // loggers are silenced for exactly this block and restored after
       val bad = util.Sketches.bloomBuild(ev, "event_type", "h",
         estItems = 100L, numBits = 1L << 10)
-      val clash = scala.util.Try(
-        util.Sketches.bloomRollup(per.unionByName(bad), lit("x")).collect()
-      ).isFailure
+      val clash = {
+        import org.apache.logging.log4j.{Level, LogManager}
+        import org.apache.logging.log4j.core.config.Configurator
+        val names = Seq("org.apache.spark.executor.Executor",
+          "org.apache.spark.scheduler.TaskSetManager",
+          "org.apache.spark.scheduler.DAGScheduler")
+        val prior = names.map(n => n -> LogManager.getLogger(n).getLevel)
+        names.foreach(Configurator.setLevel(_, Level.OFF))
+        try scala.util.Try(
+          util.Sketches.bloomRollup(per.unionByName(bad), lit("x")).collect()
+        ).isFailure
+        finally prior.foreach { case (n, l) => Configurator.setLevel(n, l) }
+      }
       Seq((misses == 0 && perMisses == 0, fppOk, clash))
         .toDF("no_false_negatives", "fpp_in_band", "incompatible_rejected")
     }),

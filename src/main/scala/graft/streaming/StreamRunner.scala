@@ -833,10 +833,15 @@ object StreamRunner {
     * only: written after the batch's real work, never gating it. */
   private def writeIngestMetrics(spark: SparkSession, checkpoint: String,
                                  m: IngestBatchMetrics): Unit = {
+    // a non-finite skew (NaN/Infinity from a degenerate index) would
+    // interpolate as bare NaN — invalid JSON that breaks every
+    // downstream parser of the record; emit null for it instead
+    val skewJson = m.skew.filter(java.lang.Double.isFinite)
+      .map(_.toString).getOrElse("null")
     val json =
       s"""{"batch_id":${m.batchId},"append_ms":${m.appendMs},""" +
         s""""slot_opened":${m.slotOpened},""" +
-        s""""skew":${m.skew.map(_.toString).getOrElse("null")},""" +
+        s""""skew":$skewJson,""" +
         s""""action":"${m.action}","action_ms":${m.actionMs}}"""
     val p = new org.apache.hadoop.fs.Path(
       s"$checkpoint/maintenance/batch-${m.batchId}.json")
@@ -1071,12 +1076,22 @@ object StreamRunner {
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
               staleRead(e.getCause))
-          try serveBatch()
-          catch {
-            case scala.util.control.NonFatal(e) if staleRead(e) =>
-              log.warn(s"annServe: batch $batchId read a mid-rewrite index " +
-                s"at $indexDir; re-resolving and retrying once", e)
-              serveBatch()
+          try {
+            try serveBatch()
+            catch {
+              case scala.util.control.NonFatal(e) if staleRead(e) =>
+                log.warn(s"annServe: batch $batchId read a mid-rewrite index " +
+                  s"at $indexDir; re-resolving and retrying once", e)
+                serveBatch()
+            }
+          } catch {
+            // the begin()'d recording buffer must not outlive a FAILED
+            // batch on this foreachBatch thread — a later batch would
+            // otherwise record into the stale buffer (the documented
+            // begin/end contract); discard the legs and rethrow
+            case t: Throwable =>
+              if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
+              throw t
           }
         }
         // metrics only when answers were actually sunk: the sidecar
@@ -1252,12 +1267,20 @@ object StreamRunner {
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
               staleRead(e.getCause))
-          try serveBatch()
-          catch {
-            case scala.util.control.NonFatal(e) if staleRead(e) =>
-              log.warn(s"bm25Serve: batch $batchId read a mid-rewrite index " +
-                s"at $indexDir; retrying once", e)
-              serveBatch()
+          try {
+            try serveBatch()
+            catch {
+              case scala.util.control.NonFatal(e) if staleRead(e) =>
+                log.warn(s"bm25Serve: batch $batchId read a mid-rewrite index " +
+                  s"at $indexDir; retrying once", e)
+                serveBatch()
+            }
+          } catch {
+            // discard the begin()'d buffer on a failed batch — see
+            // annServeBatches (stale-buffer leak on the foreachBatch thread)
+            case t: Throwable =>
+              if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
+              throw t
           }
         }
         // sidecar only when the batch dir exists (answers were sunk)
@@ -1574,16 +1597,30 @@ object StreamRunner {
           def staleRead(e: Throwable): Boolean =
             e != null && (e.isInstanceOf[java.io.FileNotFoundException] ||
               staleRead(e.getCause))
-          val answer = try computeAnswer()
-          catch {
-            case scala.util.control.NonFatal(e) if staleRead(e) =>
-              log.warn(s"hybridServe: batch $batchId read a mid-rewrite " +
-                s"index ($bm25IndexDir | $annIndexDir); retrying once", e)
-              computeAnswer()
+          val answer = try {
+            try computeAnswer()
+            catch {
+              case scala.util.control.NonFatal(e) if staleRead(e) =>
+                log.warn(s"hybridServe: batch $batchId read a mid-rewrite " +
+                  s"index ($bm25IndexDir | $annIndexDir); retrying once", e)
+                computeAnswer()
+            }
+          } catch {
+            // discard the begin()'d buffer on a failed batch — see
+            // annServeBatches (stale-buffer leak on the foreachBatch thread)
+            case t: Throwable =>
+              if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
+              throw t
           }
           // exactly ONE sink call per batch, over a LOCAL frame — no
-          // index read can fail under the caller's write
-          answer.foreach(a => sink(a, batchId))
+          // index read can fail under the caller's write (a sink failure
+          // still discards the begin()'d buffer before propagating)
+          try answer.foreach(a => sink(a, batchId))
+          catch {
+            case t: Throwable =>
+              if (metricsSink.isDefined) { graft.llm.ProbeStats.end(); () }
+              throw t
+          }
         }
         // sidecar only when the batch dir exists (answers were sunk)
         if (served > 0) metricsSink.foreach { ms =>
