@@ -1030,9 +1030,13 @@ object Similarity {
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$staging/vectors")
       if (f32)
+        // sorted by (partCol, id), as the build/append/retrain writes:
+        // the sidecar's consumers read it through id-In pushdowns, and
+        // a compaction must not trade their tight row-group stats away
         clusteredWrite(
             spark.read.parquet(s"$indexDir/${graft.llm.Pq.vectorSidecarDir}"),
             partCol, numValues)
+          .sortWithinPartitions(partCol, "id")
           .write.mode("overwrite").partitionBy(partCol)
           .parquet(s"$staging/${graft.llm.Pq.vectorSidecarDir}")
       if (method == "ivf" || method == "ivfpq") {

@@ -3309,6 +3309,82 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("IndexGc sweeps a stranded sidecar-carrying staging; keepVectors compaction keeps codes/sidecar aligned (refined probe detects)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gcside").toString
+    val dir = s"$root/idx"
+    graft.llm.Pq.ivfPqBuild(
+      emb.filter($"vec_id" < 300).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, kLists = 8, m = 8, k = 16,
+      keepVectors = true)
+    // fragment both layouts with an append so the compaction has work
+    graft.llm.Pq.ivfPqAppend(
+      emb.filter($"vec_id" >= 300).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", dir, appendId = Some("gcside-1"))
+    val queries = (1L to 3L).map(qid => qid ->
+      emb.filter($"vec_id" === qid).select($"embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq)
+    def refined() = graft.llm.Pq.ivfPqQueryBatchRefined(spark, dir,
+        queries, 10, nprobe = 8, rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def f32Rows() = spark.read
+      .parquet(s"$dir/${graft.llm.Pq.vectorSidecarDir}")
+      .select($"id", $"list", $"v")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toSeq)).toSet
+    val refinedBefore = refined()
+    val f32Before = f32Rows()
+    assert(refinedBefore.nonEmpty && f32Before.size == emb.count())
+    // a crashed keepVectors staged BUILD strands a .staging dir that
+    // CONTAINS a sidecar — the sweep must remove the whole thing (a
+    // sidecar-bearing staging is no more alive than a bare one), while
+    // the LIVE sidecar-carrying index is untouched
+    val staging = new java.io.File(
+      s"$root/.idx-${"a" * 16}-${"b" * 16}.staging")
+    new java.io.File(staging,
+      s"${graft.llm.Pq.vectorSidecarDir}/list=0").mkdirs()
+    new java.io.File(staging, "vectors/list=0").mkdirs()
+    java.nio.file.Files.writeString(
+      staging.toPath.resolve(s"${graft.llm.Pq.vectorSidecarDir}/list=0/part-0.parquet"),
+      "stranded")
+    graft.tools.IndexGc.sweep(spark, root, keepPerKey = 2, minAgeMs = 0L)
+    assert(!staging.exists(),
+      "a stranded sidecar-carrying .staging must be swept whole")
+    assert(graft.llm.Pq.hasVectorSidecar(spark, dir) &&
+      f32Rows() == f32Before, "the live index must be untouched")
+    // COMPACTION of the keepVectors index: the sidecar rewrites in the
+    // same staged commit, (id, list, v) content byte-identical, and the
+    // codes/sidecar partition alignment survives — the REFINED probe is
+    // the detector (its rerank joins nominee ids against the sidecar's
+    // list partitions; a misaligned rewrite would drop nominees and
+    // change the true-cosine answers)
+    val st = Similarity.compactIndex(spark, dir, "ivfpq")
+    assert(st.filesAfter <= st.filesBefore)
+    assert(f32Rows() == f32Before,
+      "compaction must carry the sidecar content byte-for-byte")
+    val codePairs = spark.read.parquet(s"$dir/vectors")
+      .select($"id", $"list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(codePairs == f32Before.map(t => (t._1, t._2)),
+      "codes and sidecar must stay partition-aligned through compaction")
+    assert(refined() == refinedBefore,
+      "refined answers must be identical across compaction")
+    // the compacted sidecar files stay SORTED by id (tight row-group
+    // stats for the id-In pushdown its consumers rely on)
+    val listDirs = new java.io.File(
+      s"$dir/${graft.llm.Pq.vectorSidecarDir}").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(listDirs.nonEmpty)
+    listDirs.take(3).foreach { ld =>
+      ld.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+        val ids = spark.read.parquet(pf.getAbsolutePath)
+          .select($"id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted,
+          s"compacted sidecar file ${pf.getName} must be id-sorted")
+      }
+    }
+  }
+
   // ---------- batched probes: per-group pruning + ad-hoc variants ----------
 
   test("batched range probes equal per-query range probes, overflow split included") {
