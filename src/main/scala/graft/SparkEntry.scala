@@ -2950,9 +2950,18 @@ object SparkEntry {
           "org.apache.spark.scheduler.DAGScheduler")
         val prior = names.map(n => n -> LogManager.getLogger(n).getLevel)
         names.foreach(Configurator.setLevel(_, Level.OFF))
+        // the contract is the SPECIFIC incompatible-merge rejection, not
+        // "anything failed": with the loggers muted, a blanket isFailure
+        // would pass this oracle green on an unrelated fault (OOM, lost
+        // shuffle file) while suppressing its only stack trace — so the
+        // cause chain must name the bloom-merge incompatibility
+        def incompatible(t: Throwable): Boolean =
+          t != null && (t.getClass.getSimpleName == "IncompatibleMergeException" ||
+            Option(t.getMessage).exists(_.contains("Cannot merge bloom filters")) ||
+            incompatible(t.getCause))
         try scala.util.Try(
           util.Sketches.bloomRollup(per.unionByName(bad), lit("x")).collect()
-        ).isFailure
+        ).failed.toOption.exists(incompatible)
         finally prior.foreach { case (n, l) => Configurator.setLevel(n, l) }
       }
       Seq((misses == 0 && perMisses == 0, fppOk, clash))

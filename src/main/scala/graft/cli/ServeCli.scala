@@ -32,8 +32,8 @@ import graft.streaming.StreamRunner
   *                     float sidecar finalize — exact scores at
   *                     pruned-read cost. Composes with --filter (the
   *                     widening loop nominates k×N eligible per round)
-  *                     and with --min-cos (loosened nomination, exact
-  *                     threshold verify))
+  *                     and with --min-cos (nomination threshold loosens
+  *                     by 0.05·N, exact true-cosine threshold verify))
   *     [--qid-col qid] [--vec-col vec]
   *     (--queries-uri DIR [--queries-format jsonl|parquet]
   *        --output-uri DIR [--output-format jsonl|parquet]

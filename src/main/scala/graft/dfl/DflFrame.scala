@@ -1598,22 +1598,17 @@ object DflFrame {
           case Some(l) =>
             // the fused pool is serving-sized BY CONSTRUCTION (≤ pool
             // rows), so it collects ONCE and its ids push into the
-            // vectors read as an `id IN (…)` filter BEFORE the join — a
-            // broadcast hash join alone does not prune the probe-side
-            // scan, so without the pushdown every MMR query re-read the
-            // ENTIRE vectors/sidecar parquet to fetch ≤ pool rows (the
-            // sidecar lands sorted by id, so row-group min/max stats
-            // make the In filter skip everything else)
+            // vectors read via Similarity.candidateVectors — the id-In
+            // pruned fetch (a broadcast join alone would scan the whole
+            // corpus-sized vectors/sidecar dir for ≤ pool rows)
             import hpSpark.implicits._
             val fusedRows = graft.llm.Retrieval
               .rrfFuse(Seq(hpLex, hpSem), hpPool)
               .select("id", "score").collect()
               .map(r => (r.getLong(0), r.getDouble(1))).toSeq
             val fusedDf = fusedRows.toDF("id", "score")
-            val candIds = fusedRows.map(_._1)
-            val cands = hpSpark.read.parquet(hpVecDir)
-              .select(col("id"), col("v"))
-              .filter(col("id").isin(candIds: _*))
+            val cands = graft.llm.Similarity
+              .candidateVectors(hpSpark, hpVecDir, fusedRows.map(_._1))
               .join(broadcast(fusedDf), Seq("id"))
             graft.llm.Retrieval.mmrRerank(cands, "id", "score", "v", hpK, l)
         }

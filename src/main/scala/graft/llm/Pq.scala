@@ -1023,10 +1023,14 @@ object Pq {
                              rerankFactor: Int = 4,
                              chunkSize: Int = 256): DataFrame = {
     // ONE telemetry leg per refined call — the chunk recursion goes
-    // through the un-recording core (the ivfPqQueryBatch posture)
+    // through the un-recording core (the ivfPqQueryBatch posture), and
+    // the leg is recorded AFTER the core returns so a rejected call
+    // (bad params, missing sidecar, ragged dims) or a failed nomination
+    // books no phantom leg in an active serving buffer
+    val out = ivfPqQueryBatchRefinedCore(spark, indexDir, queries, k,
+      nprobe, rerankFactor, chunkSize)
     ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
-    ivfPqQueryBatchRefinedCore(spark, indexDir, queries, k, nprobe,
-      rerankFactor, chunkSize)
+    out
   }
 
   private def ivfPqQueryBatchRefinedCore(

@@ -40,6 +40,23 @@ object Similarity {
     * bypasses the zero check), and NaN ranks ABOVE every real value in
     * Spark's ordering, so without the explicit isnan guard a NaN-element
     * embedding would top every query. */
+  /** Column-pruned, id-In-pruned read of a `(id, v, …)` vectors/sidecar
+    * parquet dir for a DRIVER-COLLECTED candidate id set — the shared
+    * fetch of every serving path that re-joins a pooled answer with its
+    * float vectors (MMR diversification in DFL hybridProbe and
+    * serve-hybrid). The In filter BEFORE any join is the load-bearing
+    * part: a broadcast hash join does not prune the probe-side scan, so
+    * without it the fetch reads the whole corpus-sized dir for ≤pool
+    * rows; with it, parquet row-group min/max stats skip everything else
+    * (the ivfpq `vectors_f32` sidecar lands sorted by (list, id) to keep
+    * those stats tight). Callers join the result against their pool
+    * frame (broadcast — the pool is serving-sized by construction). */
+  def candidateVectors(spark: org.apache.spark.sql.SparkSession,
+                       vecDir: String, ids: Seq[Long]): DataFrame =
+    spark.read.parquet(vecDir)
+      .select(col("id"), col("v"))
+      .filter(col("id").isin(ids: _*))
+
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)

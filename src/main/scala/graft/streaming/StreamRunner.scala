@@ -1017,12 +1017,14 @@ object StreamRunner {
                   // the compressed index's range contract thresholds the
                   // RECONSTRUCTED cosine (Pq.ivfPqRange's documented
                   // approximation) — the only cosine codes can produce;
-                  // --refine upgrades it to an EXACT threshold (loosened
-                  // ADC nomination, true-cosine verify from the sidecar)
+                  // --refine N upgrades it to an EXACT threshold
+                  // (loosened ADC nomination at slack 0.05·N, true-cosine
+                  // verify from the sidecar) — N widens the nomination
+                  // net, the range counterpart of the top-k k×N budget
                   case ("ivfpq", Some(t), _) => refine match {
-                    case Some(_) => graft.llm.Pq.ivfPqRangeBatchRefined(
+                    case Some(f) => graft.llm.Pq.ivfPqRangeBatchRefined(
                       batch.sparkSession, indexDir, group, t,
-                      nprobe = tuning.getOrElse(8))
+                      nprobe = tuning.getOrElse(8), slack = 0.05 * f)
                     case None => graft.llm.Pq.ivfPqRangeBatch(
                       batch.sparkSession, indexDir, group, t,
                       nprobe = tuning.getOrElse(8))
@@ -1553,16 +1555,11 @@ object StreamRunner {
                   .toSeq
                 val poolDf = poolRows.toDF("qid", "id", "score")
                 // the collected pool's ids push into the vectors read
-                // as an `id IN (…)` filter BEFORE the join: a broadcast
-                // hash join does not prune the probe-side scan, so
-                // without this every MMR micro-batch re-read the ENTIRE
-                // vectors/sidecar parquet to fetch ≤ pool×queries rows
-                // (the sidecar lands sorted by id — row-group min/max
-                // stats skip everything outside the candidate set)
-                val candIds = poolRows.map(_._2).distinct
-                val vecs = spark.read.parquet(mmrVectorsDir)
-                  .select(col("id"), col("v"))
-                  .filter(col("id").isin(candIds: _*))
+                // via Similarity.candidateVectors (id-In pruned — a
+                // broadcast join alone would re-read the ENTIRE
+                // corpus-sized vectors/sidecar parquet per micro-batch)
+                val vecs = graft.llm.Similarity.candidateVectors(spark,
+                  mmrVectorsDir, poolRows.map(_._2).distinct)
                 val candsDf = vecs.join(broadcast(poolDf), Seq("id"))
                 // serving-sized (pool rows that HAVE vectors): collect
                 // ONCE so the missing-count and the MMR input share one

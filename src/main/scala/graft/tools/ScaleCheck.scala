@@ -388,10 +388,8 @@ object ScaleCheck {
       time("mmr_fetch")({
         import spark.implicits._
         val poolDf = mmrPoolIds.toDF("id")
-        spark.read.parquet(
-            s"$kvDir/${graft.llm.Pq.vectorSidecarDir}")
-          .select(col("id"), col("v"))
-          .filter(col("id").isin(mmrPoolIds: _*))
+        graft.llm.Similarity.candidateVectors(spark,
+            s"$kvDir/${graft.llm.Pq.vectorSidecarDir}", mmrPoolIds)
           .join(broadcast(poolDf), Seq("id"))
           .count()
       })
@@ -471,10 +469,8 @@ object ScaleCheck {
             .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           val poolDf = fusedRows.toDF("qid", "id", "score")
-          val candIds = fusedRows.map(_._2).distinct
-          val vecs = spark.read.parquet(s"$annDir/vectors")
-            .select(col("id"), col("v"))
-            .filter(col("id").isin(candIds: _*))
+          val vecs = graft.llm.Similarity.candidateVectors(spark,
+            s"$annDir/vectors", fusedRows.map(_._2).distinct)
           graft.llm.Retrieval.mmrRerankBatch(
             vecs.join(broadcast(poolDf), Seq("id")),
             "qid", "id", "score", "v", 10, 0.7).count()

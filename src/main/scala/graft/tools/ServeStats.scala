@@ -53,6 +53,19 @@ object ServeStats {
         None
     }
 
+  /** Parse one sidecar node into a row, skipping (with a warning) nodes
+    * that parse as JSON but lack the expected fields — schema drift from
+    * an older/newer job, or a valid-JSON prefix of a concurrent write.
+    * The 'safe against a live job' contract covers BOTH failure shapes,
+    * not just unparseable bytes. */
+  private def safeRow[A](p: Path)(parse: => A): Option[A] =
+    try Some(parse)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[servestats] skipping malformed $p: $e")
+        None
+    }
+
   /** Every `batch-N/_metrics.json` under an answers dir, batch-ordered. */
   def readServe(answersDir: String): Seq[ServeRow] = {
     val f = fs(answersDir)
@@ -64,7 +77,7 @@ object ServeStats {
       .flatMap { s =>
         val mp = new Path(s.getPath, "_metrics.json")
         if (!f.exists(mp)) Nil
-        else readJson(f, mp).map { n =>
+        else readJson(f, mp).flatMap(n => safeRow(mp) {
           val legs = Option(n.get("legs")).toSeq
             .flatMap(_.elements().asScala.toSeq)
             .map(l => LegRow(l.get("op").asText,
@@ -74,7 +87,7 @@ object ServeStats {
           ServeRow(n.get("batch_id").asLong, n.get("queries_seen").asLong,
             n.get("queries_served").asLong, n.get("queries_skipped").asLong,
             n.get("wall_ms").asLong, legs)
-        }.toSeq
+        }).toSeq
       }
       .sortBy(_.batchId)
   }
@@ -88,12 +101,12 @@ object ServeStats {
     f.listStatus(base).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("batch-") &&
         s.getPath.getName.endsWith(".json"))
-      .flatMap(s => readJson(f, s.getPath).map { n =>
+      .flatMap(s => readJson(f, s.getPath).flatMap(n => safeRow(s.getPath) {
         MaintRow(n.get("batch_id").asLong, n.get("append_ms").asLong,
           n.get("slot_opened").asBoolean,
           Option(n.get("skew")).filter(!_.isNull).map(_.asDouble),
           n.get("action").asText, n.get("action_ms").asLong)
-      }.toSeq)
+      }).toSeq)
       .sortBy(_.batchId)
   }
 
@@ -111,9 +124,13 @@ object ServeStats {
         legs.map(_.widenedRounds.toLong).sum)
     }.toSeq.sortBy(_.op)
 
+  /** Nearest-rank percentile: the ceil(q·n)-th order statistic —
+    * `(q*n).toInt` would overshoot by one (p50 of [10, 5000] must be
+    * 10, not the max). */
   private def pct(sorted: Seq[Long], q: Double): Long =
     if (sorted.isEmpty) 0L
-    else sorted(math.min(sorted.size - 1, (q * sorted.size).toInt))
+    else sorted(math.min(sorted.size - 1,
+      math.max(0, math.ceil(q * sorted.size).toInt - 1)))
 
   def main(args: Array[String]): Unit = {
     var answers: Option[String] = None

@@ -55,6 +55,12 @@ class ServeStatsSpec extends AnyFunSuite {
     junkDir.mkdirs()
     Files.writeString(java.nio.file.Paths.get(
       s"$root/answers/batch-7/_metrics.json"), """{"batch_id":7,"quer""")
+    // ...and so is VALID json that lacks the expected fields (schema
+    // drift / a valid-JSON prefix of a concurrent write)
+    val driftDir = new java.io.File(s"$root/answers/batch-8")
+    driftDir.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(
+      s"$root/answers/batch-8/_metrics.json"), """{"batch_id":8}""")
     assert(ServeStats.readServe(s"$root/answers").map(_.batchId) ==
       Seq(0L, 1L))
     // ingest maintenance rows: a null skew parses to None (the non-ivf
@@ -84,5 +90,11 @@ class ServeStatsSpec extends AnyFunSuite {
     val rollup = lines.asScala.map(mapper.readTree)
       .find(_.get("kind").asText == "serve_rollup").get
     assert(rollup.get("queries_served").asLong == 3L, rollup.toString)
+    // nearest-rank percentiles: with two batches the p50 is the LOWER
+    // wall time (the ceil(q·n)-th order statistic, not an overshoot to
+    // the max) and p95 the higher
+    val walls = rows.map(_.wallMs).sorted
+    assert(rollup.get("wall_ms_p50").asLong == walls.head, rollup.toString)
+    assert(rollup.get("wall_ms_p95").asLong == walls.last, rollup.toString)
   }
 }
