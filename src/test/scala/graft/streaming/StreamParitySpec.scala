@@ -1817,6 +1817,34 @@ class StreamParitySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotR == wantR && gotR.nonEmpty,
       "refined hybrid serving must equal the refined direct composition")
+    // --filter + --refine (r19): BOTH legs route to their filtered
+    // probes, the semantic leg through the filtered-REFINED widening
+    // loop — answers equal the filtered refined direct composition
+    // (the predicate addresses `id`, which both index layouts carry)
+    graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
+      Array("--bm25-index-dir", s"$root/bidx",
+        "--ann-index-dir", s"$root/aidx", "--ann-method", "ivfpq",
+        "--k", "5", "--refine", "4", "--filter", "@id < 300",
+        "--queries-uri", qdir, "--output-uri", s"$root/answersFR",
+        "--checkpoint", s"$root/ckptFR", "--once")))
+    val gotFR = spark.read.json(s"$root/answersFR/batch-*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("rnk"))).toSet
+    val pred = graft.dfl.DflFrame.indexPredicate("@id < 300")
+    val lexF = graft.llm.Retrieval.bm25TopKIndexedBatchFiltered(spark,
+        s"$root/bidx", Seq(1L -> Seq("spark", "stream", "window")), 10, pred)
+      .select("qid", "id", "rnk")
+    val semFR = graft.llm.Pq.ivfPqQueryBatchFilteredRefined(spark,
+        s"$root/aidx", Seq(1L -> q1), 10, pred, rerankFactor = 4)
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .select("qid", "id", "rnk")
+    val wantFR = graft.llm.Retrieval.rrfFuseBatch(Seq(lexF, semFR), 5)
+      .select("qid", "id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotFR == wantFR && gotFR.nonEmpty,
+      "filtered refined hybrid serving must equal the direct composition")
+    assert(gotFR.forall(_._2 < 300L), s"filter must hold: $gotFR")
     // refine over a codes-only index rejects at job construction
     val bareErr = intercept[IllegalArgumentException] {
       graft.cli.ServeHybridCli.run(spark, graft.cli.ServeHybridCli.parseArgs(
