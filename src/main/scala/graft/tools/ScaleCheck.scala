@@ -393,6 +393,14 @@ object ScaleCheck {
           .join(broadcast(poolDf), Seq("id"))
           .count()
       })
+      // the REFINED range posture: loosened pruned ADC nomination + a
+      // distributed true-cosine verify join against the list-pruned
+      // sidecar. The verify is ANSWER-proportional (range answers are
+      // output-bound), so at a tight threshold the curve stays ~flat
+      // while the corpus grows
+      time("ivfpq_range_refined")(
+        graft.llm.Pq.ivfPqRangeRefined(spark, kvDir, q, 0.99,
+          nprobe = 4, slack = 0.2).count())
       // the COMPACTION posture: rewrite cost is one clustered pass over
       // the index (so it may grow ~linearly in mult — it is the RARE
       // maintenance op), but the probe after it must return to the
