@@ -2717,6 +2717,34 @@ object SparkEntry {
       DflFrame.pipeline(corpus, "annProbe(@, $idx, $q, 10, 1, 4)",
         Map("idx" -> idxDir, "q" -> q))
     }),
+    "dfl_ann_range_probe" -> ((s, dir) => {
+      // RANGE probe of a persistent FLOAT index through the DFL stage
+      // (annRangeProbe — the threshold-bound sibling completing the DFL
+      // probe family): float layouts threshold TRUE cosines, so the
+      // REAL brute-force range oracle applies. Only the clique clears
+      // 0.99 (its cosines are exactly 1.0), and every member sits in
+      // the query's own rank-0 list. Shares dfl_ann_probe's build.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "dflannprobe") { d =>
+        llm.Similarity.ivfBuild(corpus, "vec_id", "embedding", d); ()
+      }
+      DflFrame.pipeline(corpus, "annRangeProbe(@, $idx, $q, 0.99)",
+        Map("idx" -> idxDir, "q" -> q))
+    }),
+    "dfl_ann_range_probe_refined" -> ((s, dir) => {
+      // the REFINED range stage over a persistent keepVectors ivfpq
+      // index: loosened ADC nomination (refine 10 → slack 0.5, the
+      // ann_ivfpq_range_refined net), TRUE-cosine threshold verify —
+      // exact answers, REAL range oracle. Shares
+      // dfl_ann_probe_refined's build.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "dflannproberef") { d =>
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", d,
+          kLists = 8, m = 8, k = 16, keepVectors = true)
+      }
+      DflFrame.pipeline(corpus, "annRangeProbe(@, $idx, $q, 0.99, 1, 10)",
+        Map("idx" -> idxDir, "q" -> q))
+    }),
     "dfl_bm25_probe" -> ((s, dir) => {
       val idxDir = memoIndexDir(dir, "dflbmprobe", table = "documents") { d =>
         llm.Retrieval.bm25Build(t(s, dir, "documents"), "doc_id", "text",
@@ -4273,6 +4301,8 @@ object SparkEntry {
     // the probe stages answer exactly as the indexed families they wrap
     "dfl_hybrid_probe" -> servingStackSql,
     "dfl_ann_probe" -> annPlantedTopkSql,
+    "dfl_ann_range_probe" -> annPlantedRangeSql,
+    "dfl_ann_range_probe_refined" -> annPlantedRangeSql,
     // refined ivfpq probes rank by TRUE cosines, so the same brute
     // force is exact for them too (the clique tops both at cos 1.0 and
     // natural rows cannot displace it)

@@ -124,7 +124,7 @@ object DflFrame {
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "hybrid", "hybridFiltered", "rankEval",
       "lineDedup", "mmr", "quantiles", "annProbe", "bm25Probe", "hybridProbe",
-      "annProbeBatch", "bm25ProbeBatch",
+      "annProbeBatch", "bm25ProbeBatch", "annRangeProbe",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1420,6 +1420,59 @@ object DflFrame {
             s"annProbe: '$apDir' is a bm25 index — use bm25Probe")
           case _ => throw new DflParseException(
             s"annProbe: '$apDir' is not a built index dir")
+        }
+
+      case "annRangeProbe" =>
+        // `annRangeProbe(@, $idx, $q, minCos[, tuning[, refine]])` —
+        // RANGE probe of a PREBUILT, PERSISTENT index (`index:REF` var
+        // or literal dir): every id whose cosine clears `minCos` — the
+        // threshold-bound sibling of annProbe, completing the DFL probe
+        // family (top-k / batch / hybrid / range). Layout dispatch from
+        // the dir: lsh | ivf score TRUE cosines; ivfpq thresholds its
+        // reconstruction-cosine contract, or with `refine` N (requires
+        // the keepVectors sidecar) nominates at a loosened threshold
+        // (0.05·N slack, the serve-ann contract) and verifies TRUE
+        // cosines exactly. `tuning`: lsh → slackBits, ivf/ivfpq →
+        // nprobe. One frozen query → stream-fenced (serve-ann
+        // --min-cos answers range-query STREAMS).
+        if (args.size < 4 || args.size > 6) throw new DflParseException(
+          "annRangeProbe takes (@, $indexDir, $query, minCos[, tuning[, refine]])")
+        val arDir = strArg(1)
+        val arQ = vecArg(2)
+        val arT = numArg(3)
+        val arRefine = if (args.size > 5) Some(intArg(5)) else None
+        arRefine.foreach(f => if (f < 1) throw new DflParseException(
+          s"annRangeProbe: refine factor must be >= 1, got $f"))
+        val arSpark = df.sparkSession
+        val arKind = graft.llm.Similarity.indexKind(arSpark, arDir)
+        // same gate scoping as annProbe: wrong-family/non-index dirs
+        // keep their self-describing errors below
+        if (arRefine.isDefined &&
+            (arKind.contains("lsh") || arKind.contains("ivf")))
+          throw new DflParseException(
+            "annRangeProbe: refine applies only to an ivfpq index " +
+              "(float layouts already threshold true cosines)")
+        arKind match {
+          case Some("lsh") => graft.llm.Similarity.lshRange(arSpark, arDir,
+            arQ, arT, slackBits = if (args.size > 4) intArg(4) else 4)
+          case Some("ivf") => graft.llm.Similarity.ivfRange(arSpark, arDir,
+            arQ, arT, nprobe = if (args.size > 4) intArg(4) else 8)
+          case Some("ivfpq") => arRefine match {
+            case Some(f) =>
+              if (!graft.llm.Pq.hasVectorSidecar(arSpark, arDir))
+                throw new DflParseException(
+                  "annRangeProbe: refine needs the float sidecar (index " +
+                    "built without keepVectors)")
+              graft.llm.Pq.ivfPqRangeRefined(arSpark, arDir, arQ, arT,
+                nprobe = if (args.size > 4) intArg(4) else 8,
+                slack = 0.05 * f)
+            case None => graft.llm.Pq.ivfPqRange(arSpark, arDir, arQ, arT,
+              nprobe = if (args.size > 4) intArg(4) else 8)
+          }
+          case Some("bm25") => throw new DflParseException(
+            s"annRangeProbe: '$arDir' is a bm25 index — use bm25Probe")
+          case _ => throw new DflParseException(
+            s"annRangeProbe: '$arDir' is not a built index dir")
         }
 
       case "bm25Probe" =>

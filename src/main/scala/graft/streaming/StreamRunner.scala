@@ -59,7 +59,7 @@ object StreamRunner {
     // persistent index — the streaming analogue is the serve-ann /
     // serve-bm25 / serve-hybrid query-stream jobs
     "annProbe", "bm25Probe", "hybridProbe", "annProbeBatch",
-    "bm25ProbeBatch",
+    "bm25ProbeBatch", "annRangeProbe",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)

@@ -479,6 +479,71 @@ class DflLlmSpec extends AnyFunSuite {
         s"hybridProbe(@, $$bm, $$ann, 'spark', $$q, 5)"))
   }
 
+  test("annRangeProbe(@): range probe of persistent indexes equals the library probes; refined form; fences") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rprobe").toString
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // float layouts: stage ≡ library, true cosines (self id at 1.0)
+    val ivfDir = s"$root/ivf"
+    graft.llm.Similarity.ivfBuild(vecs, "vec_id", "embedding", ivfDir,
+      kLists = 4, trainSample = 64)
+    val gotIvf = rows(DflFrame.pipeline(emb,
+      "annRangeProbe(@, $idx, $q, 0.8, 2)",
+      Map[String, Any]("idx" -> ivfDir, "q" -> q)))
+    assert(gotIvf == rows(graft.llm.Similarity.ivfRange(spark, ivfDir, q,
+      0.8, nprobe = 2)) && gotIvf.contains((3L, 1.0)), gotIvf.toString)
+    val lshDir = s"$root/lsh"
+    graft.llm.Similarity.lshBuild(vecs, "vec_id", "embedding", lshDir,
+      nBits = 8, dim = 64)
+    assert(rows(DflFrame.pipeline(emb, "annRangeProbe(@, $idx, $q, 0.8)",
+      Map[String, Any]("idx" -> lshDir, "q" -> q)))
+      == rows(graft.llm.Similarity.lshRange(spark, lshDir, q, 0.8)))
+    // ivfpq: unrefined thresholds the reconstruction contract; refined
+    // (keepVectors) verifies TRUE cosines at the 0.05·N loosened net
+    val pqDir = s"$root/pq"
+    graft.llm.Pq.ivfPqBuild(vecs, "vec_id", "embedding", pqDir,
+      kLists = 4, m = 8, k = 16, keepVectors = true)
+    assert(rows(DflFrame.pipeline(emb, "annRangeProbe(@, $idx, $q, 0.8, 2)",
+      Map[String, Any]("idx" -> pqDir, "q" -> q)))
+      == rows(graft.llm.Pq.ivfPqRange(spark, pqDir, q, 0.8, nprobe = 2)))
+    val gotRef = rows(DflFrame.pipeline(emb,
+      "annRangeProbe(@, $idx, $q, 0.8, 2, 4)",
+      Map[String, Any]("idx" -> pqDir, "q" -> q)))
+    assert(gotRef == rows(graft.llm.Pq.ivfPqRangeRefined(spark, pqDir, q,
+      0.8, nprobe = 2, slack = 0.2)), gotRef.toString)
+    assert(gotRef.contains((3L, 1.0)),
+      "refined range scores are TRUE cosines — the self id verifies at 1.0")
+    // fences: refine on a float layout, refine without the sidecar,
+    // wrong-family and non-index dirs, the stream fence
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRangeProbe(@, $idx, $q, 0.8, 2, 4)",
+      Map[String, Any]("idx" -> ivfDir, "q" -> q)))
+      .getMessage.contains("only to an ivfpq"))
+    val bare = s"$root/bare"
+    graft.llm.Pq.ivfPqBuild(vecs, "vec_id", "embedding", bare,
+      kLists = 4, m = 8, k = 16)
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRangeProbe(@, $idx, $q, 0.8, 2, 4)",
+      Map[String, Any]("idx" -> bare, "q" -> q)))
+      .getMessage.contains("sidecar"))
+    val bmDir2 = s"$root/bm2"
+    graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", bmDir2, pbands = 16)
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRangeProbe(@, $idx, $q, 0.8)",
+      Map[String, Any]("idx" -> bmDir2, "q" -> q)))
+      .getMessage.contains("bm25"))
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annRangeProbe(@, $idx, $q, 0.8)",
+      Map[String, Any]("idx" -> s"$root/nothere", "q" -> q)))
+      .getMessage.contains("not a built index"))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        "annRangeProbe(@, $idx, $q, 0.8)"))
+  }
+
   test("annProbeBatch/bm25ProbeBatch: every slice equals the single probe; pair shapes and families enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft-probeb").toString
     val vecs = emb.select(col("vec_id"), col("embedding"))
