@@ -2967,7 +2967,13 @@ object SparkEntry {
       // INTENTIONALLY fails a task, and Spark's executor/scheduler log
       // that at ERROR — an alarming stack in otherwise-clean gate logs
       // (Verify/Bench/PlanLint all construct this query) — so those two
-      // loggers are silenced for exactly this block and restored after
+      // loggers are silenced for exactly this block and restored after.
+      // The silencing is JVM-wide: it assumes the gate runners' one-
+      // query-at-a-time execution (a concurrent query failing inside
+      // this window would lose its ERROR trace), and the restore pins
+      // the previously-inherited levels as explicit logger configs —
+      // both acceptable for sequential gate runs, which is the only
+      // place this oracle executes
       val bad = util.Sketches.bloomBuild(ev, "event_type", "h",
         estItems = 100L, numBits = 1L << 10)
       val clash = {

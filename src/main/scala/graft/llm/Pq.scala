@@ -1022,15 +1022,15 @@ object Pq {
                              nprobe: Int = 8,
                              rerankFactor: Int = 4,
                              chunkSize: Int = 256): DataFrame = {
-    // ONE telemetry leg per refined call — the chunk recursion goes
-    // through the un-recording core (the ivfPqQueryBatch posture), and
-    // the leg is recorded AFTER the core returns so a rejected call
-    // (bad params, missing sidecar, ragged dims) or a failed nomination
-    // books no phantom leg in an active serving buffer
-    val out = ivfPqQueryBatchRefinedCore(spark, indexDir, queries, k,
+    // ONE telemetry leg PER CHUNK — the engine-wide refined convention
+    // (ivfpq_filtered_refined and ivfpq_range_refined both book per
+    // chunk), so ServeStats 'calls' rollups are comparable across the
+    // refined ops. The leaf core records AFTER its nomination collect
+    // succeeds, so a rejected call (bad params, missing sidecar, ragged
+    // dims) or a failed nomination books no phantom leg in an active
+    // serving buffer.
+    ivfPqQueryBatchRefinedCore(spark, indexDir, queries, k,
       nprobe, rerankFactor, chunkSize)
-    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
-    out
   }
 
   private def ivfPqQueryBatchRefinedCore(
@@ -1068,6 +1068,7 @@ object Pq {
         k * rerankFactor, nprobe, chunkSize)
       .select("qid", "id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    ProbeStats.record("ivfpq_refined", queries.size, nprobe, nprobe, 0)
     if (nominees.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cos")
@@ -1085,18 +1086,27 @@ object Pq {
     * float sidecar — the shared rerank read of every refined probe: ONE
     * sidecar pass LIST-PRUNED to the union of the nominees' probed lists
     * (lossless — every nominee came from one of them) AND id-In-pruned
-    * to the nominee ids (the sidecar lands sorted by (list, id), so
-    * parquet row-group stats skip everything else — without both prunes
-    * the broadcast id-join filtered AFTER a full sidecar scan, growing
-    * linearly in corpus size at exactly the 10⁹-vector scale refinement
-    * targets), broadcast nominee join, ONE native dot per (query,
-    * candidate). Returns (qid, id, cos) with cos EXACT (rounded 6). */
+    * to the nominee ids, broadcast nominee join, ONE native dot per
+    * (query, candidate). Returns (qid, id, cos) with cos EXACT
+    * (rounded 6).
+    *
+    * Pushdown caveat: the nominee id set can reach
+    * chunkSize(256)×k×rerankFactor — far above parquet's default
+    * in-filter pushdown threshold (10), past which Spark pushes only the
+    * id min/max RANGE, degrading exact row-group skips toward a probed-
+    * list scan when nominee ids scatter. [[ensureInPushdown]] raises the
+    * session threshold once (default-valued sessions only) so the id set
+    * is pushed verbatim; the (list, id) sort order of the sidecar files
+    * keeps the min/max fallback useful in sessions that pin their own
+    * threshold. The In literal itself is plan-sized — bounded by the
+    * nomination budget, the price of a driver-nominated rerank. */
   private def nomineeTrueCosines(spark: org.apache.spark.sql.SparkSession,
                                  indexDir: String,
                                  queries: Seq[(Long, Seq[Double])],
                                  nominees: Seq[(Long, Long)],
                                  lists: Seq[Int]): DataFrame = {
     import spark.implicits._
+    ensureInPushdown(spark)
     val nomDf = nominees.toDF("qid", "id")
     val nomIds = nominees.map(_._2).distinct
     val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
@@ -1105,6 +1115,18 @@ object Pq {
       .select(col("id"), col("v"))
       .join(broadcast(nomDf), Seq("id"))
     exactCosAgainst(queries, floats)
+  }
+
+  /** Raise `spark.sql.parquet.pushdown.inFilterThreshold` to cover the
+    * refined rerank's nominee-id In set (see [[nomineeTrueCosines]]) —
+    * ONCE per session, and ONLY when the conf still holds Spark's
+    * default (10): an operator who pinned a value keeps it. Idempotent;
+    * the raised value covers the largest nomination budget a chunked
+    * refined probe emits (256-query chunks × k × rerankFactor). */
+  private def ensureInPushdown(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(key, "10") == "10") spark.conf.set(key, "262144")
   }
 
   /** Exact-cosine scoring of (qid, id, v) candidate rows against a
@@ -1367,10 +1389,18 @@ object Pq {
     * nominates, ONE list-pruned sidecar join verifies with true cosines.
     * Range answers are output-bound, not k-bound, so the nominee set is
     * NEVER collected to the driver — the verify is a distributed id-join
-    * of the nominee frame against the list-pruned sidecar (answer-
-    * proportional shuffle, the posture range semantics impose; the id-In
+    * of the nominee frame against the list-pruned sidecar (the id-In
     * pushdown of the top-k rerank needs driver-side ids and does not
-    * apply). Returns (qid, id, cos) with cos EXACT (≥ minCos). */
+    * apply). Shuffle honesty: the SCAN is probe-proportional (the
+    * probed-lists slice, the prune range semantics allow) and only the
+    * JOIN is nominee-proportional — a static plan sort-merges that
+    * slice, and AQE (on by default in Spark 4) demotes it to a broadcast
+    * of the nominee side at runtime when the loosened nomination lands
+    * small, which a tight minCos makes the common case. Forcing
+    * broadcast(nominated) statically is deliberately NOT done: range
+    * output is unbounded, and a loose threshold would OOM the driver
+    * exactly when the distributed verify matters most. Returns
+    * (qid, id, cos) with cos EXACT (≥ minCos). */
   def ivfPqRangeBatchRefined(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String,
                              queries: Seq[(Long, Seq[Double])],

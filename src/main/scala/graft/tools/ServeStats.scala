@@ -217,13 +217,16 @@ object ServeStats {
       }
       if (rows.nonEmpty) {
         val byAction = rows.groupBy(_.action).view.mapValues(_.size).toMap
+        // floating-point mean — Long division truncated sub-ms detail in
+        // both the table and the jsonl rollup
+        val appendMsMean = rows.map(_.appendMs).sum.toDouble / rows.size
         println(s"rollup: appends=${rows.size} " +
-          f"append_ms_mean=${rows.map(_.appendMs).sum / rows.size}%d " +
+          f"append_ms_mean=$appendMsMean%.1f " +
           f"max_skew=${rows.flatMap(_.skew).maxOption.map(s => f"$s%.2f").getOrElse("-")} " +
           s"actions=${byAction.toSeq.sortBy(_._1).map { case (a, n) => s"$a:$n" }.mkString(",")}")
         val node = mapper.createObjectNode()
           .put("kind", "ingest_rollup").put("batches", rows.size)
-          .put("append_ms_mean", rows.map(_.appendMs).sum / rows.size)
+          .put("append_ms_mean", appendMsMean)
         rows.flatMap(_.skew).maxOption
           .fold[Unit](node.putNull("max_skew"))(s => { node.put("max_skew", s); () })
         byAction.toSeq.sortBy(_._1).foreach { case (a, n) =>
