@@ -343,6 +343,15 @@ object SparkEntry {
     (emb.unionByName(planted), q)
   }
 
+  /** The ids the `ann_*_delete` oracle rows tombstone: the five ODD
+    * planted-clique members plus one natural vector — leaving exactly
+    * six survivors at cosine 1.0 (query-self + the even clique ids), so
+    * a post-delete top-6 probe is closed-form at any probe width
+    * ([[annPlantedDeleteTopkSql]] is the brute-force-over-survivors
+    * oracle). */
+  private val annDeletedIds =
+    Seq(100001L, 100003L, 100005L, 100007L, 100009L, 7L)
+
   /** Build-on-prefix + append-the-rest index lifecycle shared by the
     * `ann_*_append` oracle rows: `build` runs over `vec_id < 250`,
     * `append` over the rest (planted clique included), on a durable
@@ -2103,6 +2112,49 @@ object SparkEntry {
       llm.Dedup.cosinePairsBucketed(base.unionByName(planted),
         "vec_id", "embedding", 0.99)
     }),
+    "ann_ivf_delete" -> ((s, dir) => {
+      // the id-DELETE lifecycle verb under the hard oracle: build the
+      // planted-clique IVF index, tombstone the five ODD clique ids plus
+      // one natural id, probe top-6. The six SURVIVORS (query-self +
+      // five even clique ids) sit at cosine exactly 1.0 in the query's
+      // rank-0 list, so the post-delete top-6 provably equals brute
+      // force over the surviving corpus — any leak of a tombstoned id
+      // (or a lost survivor) breaks the hash. Build+delete memoize as
+      // ONE lifecycle (the append rows' posture); warm passes are pure
+      // anti-join-filtered pruned probes.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ann-ivf-delete") { d =>
+        llm.Similarity.ivfBuild(corpus, "vec_id", "embedding", d)
+        llm.Similarity.annDelete(s, d, annDeletedIds); ()
+      }
+      llm.Similarity.ivfQuery(s, idxDir, q, 6, nprobe = 8)
+    }),
+    "ann_lsh_delete" -> ((s, dir) => {
+      // the LSH twin — additionally exercises the occupancy-histogram
+      // SUBTRACTION path (the one sidecar deletes must keep additive):
+      // survivors share the query's Hamming-0 bucket, so the reranked
+      // top-6 equals brute force over the survivors
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ann-lsh-delete") { d =>
+        llm.Similarity.lshBuild(corpus, "vec_id", "embedding", d)
+        llm.Similarity.annDelete(s, d, annDeletedIds); ()
+      }
+      llm.Similarity.lshQuery(s, idxDir, q, 6)
+    }),
+    "ann_ivfpq_delete" -> ((s, dir) => {
+      // the compressed-family delete under the REAL brute-force oracle:
+      // tombstones filter the CODES at the meta chokepoint (deleted ids
+      // can never be nominated), the float-sidecar rerank returns exact
+      // cosines over the six survivors — value-for-value against brute
+      // force over the surviving corpus, the refined rows' contract
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ann-ivfpq-delete") { d =>
+        llm.Pq.ivfPqBuild(corpus, "vec_id", "embedding", d,
+          kLists = 8, m = 8, k = 16, keepVectors = true)
+        llm.Similarity.annDelete(s, d, annDeletedIds); ()
+      }
+      llm.Pq.ivfPqQueryRefined(s, idxDir, q, 6, nprobe = 1)
+    }),
     "ann_ivf_topk" -> ((s, dir) => {
       // shared planted clique (plantedCliqueCorpus): the copies share the
       // query's embedding, hence its IVF list; that list is the coarse
@@ -2542,6 +2594,25 @@ object SparkEntry {
       llm.Retrieval.bm25TopKIndexed(s, idxDir,
         Seq("merge", "sort", "stream"), k = 10)
     }),
+    // the id-DELETE lifecycle verb: every doc_id ≡ 3 (mod 10) is
+    // tombstoned, its postings anti-joined away, its per-term df
+    // contributions subtracted via NEGATIVE delta rows, and (n, Σdl)
+    // folded back through the additive stats sidecar — so the probe's
+    // scores are BIT-identical to a fresh build over the survivors,
+    // which is exactly what the oracle recomputes from scratch. A
+    // delete that forgot any one of the three legs (tombstones / df /
+    // stats) shifts every score and breaks the hash.
+    "bm25_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = memoIndexDir(dir, "bm25del", table = "documents") { d =>
+        llm.Retrieval.bm25Build(docs, "doc_id", "text", d)
+        llm.Retrieval.bm25Delete(
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
+          "doc_id", d); ()
+      }
+      llm.Retrieval.bm25TopKIndexed(s, idxDir,
+        Seq("spark", "stream", "window"), k = 10)
+    }),
     // TREC-style rank-quality evaluation: the batch BM25 run measured
     // against a deterministic graded judgment set (qid q judges docs
     // with doc_id % (10+q) == 0 at rel 1 + doc_id % 3) — recall@10,
@@ -2715,6 +2786,24 @@ object SparkEntry {
           kLists = 8, m = 8, k = 16, keepVectors = true)
       }
       DflFrame.pipeline(corpus, "annProbe(@, $idx, $q, 10, 1, 4)",
+        Map("idx" -> idxDir, "q" -> q))
+    }),
+    "dfl_ann_filtered_refined" -> ((s, dir) => {
+      // the FILTERED + REFINED serving shape exposed as a DFL stage
+      // (annProbeFiltered + refine): the pred-filtered widening loop
+      // nominates at k×factor ELIGIBLE, the float sidecar reranks with
+      // true cosines — catalog/process users get the round-19 serving
+      // composition without the CLI. Shares ann_ivfpq_filtered_refined's
+      // flag-metaCol keepVectors build; answers are exact cosines over
+      // eligible rows, so the REAL filtered brute-force oracle applies.
+      val (corpus, q) = plantedCliqueCorpus(s, dir)
+      val idxDir = memoIndexDir(dir, "ivfpq-frefined")(
+        llm.Pq.ivfPqBuild(
+          corpus.withColumn("flag", (col("vec_id") % 2).cast("int")),
+          "vec_id", "embedding", _, kLists = 8, m = 8, k = 16,
+          keepVectors = true, metaCols = Seq("flag")))
+      DflFrame.pipeline(corpus,
+        "annProbeFiltered(@, $idx, $q, 5, '@flag == 0', 1, 4)",
         Map("idx" -> idxDir, "q" -> q))
     }),
     "dfl_ann_range_probe" -> ((s, dir) => {
@@ -4256,6 +4345,14 @@ object SparkEntry {
     // prefix-build + append must serve the full corpus exactly
     "bm25_append" -> llm.Retrieval.bm25Sql("documents", "doc_id", "text",
       Seq("merge", "sort", "stream"), k = 10),
+    // full-build + delete must serve EXACTLY a fresh build over the
+    // survivors: the oracle recomputes BM25 from scratch on the
+    // filtered corpus — n, avgdl, and every df shift with the deletion,
+    // so a delete that missed any leg (tombstones / df deltas / stats)
+    // cannot match
+    "bm25_delete" -> llm.Retrieval.bm25Sql(
+      "(SELECT * FROM documents WHERE doc_id % 10 <> 3)", "doc_id", "text",
+      Seq("spark", "stream", "window"), k = 10),
     // filtered = full-corpus scores, predicate before ranking
     "bm25_filtered_topk" -> llm.Retrieval.bm25Sql("documents", "doc_id",
       "text", Seq("spark", "stream", "window"), k = 10,
@@ -4313,6 +4410,10 @@ object SparkEntry {
     // force is exact for them too (the clique tops both at cos 1.0 and
     // natural rows cannot displace it)
     "dfl_ann_probe_refined" -> annPlantedTopkSql,
+    // filtered brute force over the planted construction — the DFL
+    // filtered+refined probe's scores are exact cosines over eligible
+    // rows (the serving `--filter --refine` contract as a stage)
+    "dfl_ann_filtered_refined" -> annPlantedFilteredTopkSql,
     "dfl_bm25_probe" -> llm.Retrieval.bm25Sql("documents", "doc_id",
       "text", Seq("spark", "stream", "window"), k = 10),
     "dfl_ann_probe_batch" -> annBatchPlantedSql,
@@ -4612,6 +4713,13 @@ object SparkEntry {
     // exact for it too
     "ann_ivf_append" -> annPlantedTopkSql,
     "ann_ivf_topk" -> annPlantedTopkSql,
+    // brute force over the SURVIVORS of the takedown — the id-DELETE
+    // verb's contract across all three ANN families (the ivfpq row's
+    // refined scores are exact cosines, so it shares the oracle
+    // value-for-value)
+    "ann_ivf_delete" -> annPlantedDeleteTopkSql,
+    "ann_lsh_delete" -> annPlantedDeleteTopkSql,
+    "ann_ivfpq_delete" -> annPlantedDeleteTopkSql,
     // brute-force per-query top-10 over the per-query planted-clique
     // construction — the provable expected output of the batched IVF
     // probe (each query's 11-vector clique at cosine 1.0 fills its
@@ -4739,6 +4847,23 @@ object SparkEntry {
       |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
       |  FROM all_v a, q
       | ORDER BY cos DESC, id ASC LIMIT 10""".stripMargin
+
+  /** Brute force over the SURVIVING corpus after the `ann_*_delete`
+    * rows' takedown ([[annDeletedIds]]): the six remaining cosine-1.0
+    * rows (query-self + even clique ids) are the exact top-6 — a
+    * tombstoned id leaking back into any probe path breaks the hash. */
+  private val annPlantedDeleteTopkSql: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |planted AS (SELECT 100000 + r AS vec_id, q.embedding
+      |              FROM q, (SELECT unnest(generate_series(1, 10)) AS r)),
+      |all_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000
+      |          UNION ALL SELECT vec_id, embedding FROM planted)
+      |SELECT a.vec_id AS id,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM all_v a, q
+      | WHERE a.vec_id NOT IN (100001, 100003, 100005, 100007, 100009, 7)
+      | ORDER BY cos DESC, id ASC LIMIT 6""".stripMargin
 
   /** Brute-force FILTERED range (threshold 0.99, vec_id % 2 = 0) over
     * the planted construction — exactly the six even-id clique members

@@ -124,7 +124,7 @@ object DflFrame {
       "cdcChunks", "cdcPairs", "cdcScrub", "sourceFilter", "imageDedup",
       "imageDedupAgainst", "bm25", "hybrid", "hybridFiltered", "rankEval",
       "lineDedup", "mmr", "quantiles", "annProbe", "bm25Probe", "hybridProbe",
-      "annProbeBatch", "bm25ProbeBatch", "annRangeProbe",
+      "annProbeBatch", "bm25ProbeBatch", "annRangeProbe", "annProbeFiltered",
       // temporal extension stages (graft.temporal.Temporal)
       "sessionize", "cap", "asof", "topk", "rolling", "tokenize", "profile")
 
@@ -1420,6 +1420,64 @@ object DflFrame {
             s"annProbe: '$apDir' is a bm25 index — use bm25Probe")
           case _ => throw new DflParseException(
             s"annProbe: '$apDir' is not a built index dir")
+        }
+
+      case "annProbeFiltered" =>
+        // `annProbeFiltered(@, $idx, $q, k, 'pred'[, tuning[, refine]])`
+        // — FILTERED top-k probe of a PREBUILT index: `pred` is a DFL
+        // boolean over the index's stored columns (id + the build's
+        // metaCols), compiled by [[indexPredicate]] so it pushes into
+        // the pruned parquet read; every family widens its probe until
+        // k ELIGIBLE candidates survive (the serving `--filter` shape,
+        // exposed to catalog/process users). With `refine` N (ivfpq +
+        // keepVectors) the widening loop NOMINATES at k×N eligible per
+        // round and the float sidecar reranks with TRUE cosines — the
+        // round-19 filtered+refined serving shape as a DFL stage. One
+        // frozen query → stream-fenced (serve-ann --filter [--refine]
+        // answers query STREAMS).
+        if (args.size < 5 || args.size > 7) throw new DflParseException(
+          "annProbeFiltered takes (@, $indexDir, $query, k, 'pred'" +
+            "[, tuning[, refine]])")
+        val afDir = strArg(1)
+        val afQ = vecArg(2)
+        val afK = intArg(3)
+        if (afK <= 0)
+          throw new DflParseException("annProbeFiltered: k must be positive")
+        val afPred = indexPredicate(strArg(4))
+        val afRefine = if (args.size > 6) Some(intArg(6)) else None
+        afRefine.foreach(f => if (f < 1) throw new DflParseException(
+          s"annProbeFiltered: refine factor must be >= 1, got $f"))
+        val afSpark = df.sparkSession
+        val afKind = graft.llm.Similarity.indexKind(afSpark, afDir)
+        if (afRefine.isDefined &&
+            (afKind.contains("lsh") || afKind.contains("ivf")))
+          throw new DflParseException(
+            "annProbeFiltered: refine applies only to an ivfpq index " +
+              "(float layouts already rank by true cosines)")
+        afKind match {
+          case Some("lsh") => graft.llm.Similarity.lshQueryFiltered(afSpark,
+            afDir, afQ, afK, afPred,
+            minCandidates = if (args.size > 5) intArg(5) else 100)
+          case Some("ivf") => graft.llm.Similarity.ivfQueryFiltered(afSpark,
+            afDir, afQ, afK, afPred,
+            nprobe = if (args.size > 5) intArg(5) else 8)
+          case Some("ivfpq") => afRefine match {
+            case Some(f) =>
+              if (!graft.llm.Pq.hasVectorSidecar(afSpark, afDir))
+                throw new DflParseException(
+                  "annProbeFiltered: refine needs the float sidecar " +
+                    "(index built without keepVectors)")
+              graft.llm.Pq.ivfPqQueryFilteredRefined(afSpark, afDir, afQ,
+                afK, afPred, nprobe = if (args.size > 5) intArg(5) else 8,
+                rerankFactor = f)
+            case None => graft.llm.Pq.ivfPqQueryFiltered(afSpark, afDir,
+              afQ, afK, afPred,
+              nprobe = if (args.size > 5) intArg(5) else 8)
+          }
+          case Some("bm25") => throw new DflParseException(
+            s"annProbeFiltered: '$afDir' is a bm25 index — use bm25Probe")
+          case _ => throw new DflParseException(
+            s"annProbeFiltered: '$afDir' is not a built index dir")
         }
 
       case "annRangeProbe" =>

@@ -472,6 +472,105 @@ object Pq {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** BACKFILL the float sidecar onto a CODES-ONLY index — the upgrade
+    * path that turns "rebuild with keepVectors" (a multi-day job at
+    * 100 TB: retrain + re-encode + rewrite) into ONE aligned write:
+    * re-read the source corpus, join it against the index's EXISTING
+    * (id, list) assignment — NEVER re-assign: centroids may have
+    * drifted since build (appends, or simply a different training
+    * sample on rebuild), and a re-assigned sidecar would put floats in
+    * lists their codes don't live in, silently corrupting every
+    * list-pruned rerank — and land the (list, id)-sorted float32
+    * layout the `keepVectors` builds write ([[writeCodesAndFloats]]'
+    * sort contract, byte-compatible consumers). The index's metadata
+    * columns ride along from the CODES side (a later [[ivfPqRetrain]]
+    * reconstructs the whole index from this sidecar — backfilling
+    * without them would strip the filtered probes).
+    *
+    * Alignment is VALIDATED before the sidecar goes live: the staged
+    * write must cover exactly the index's (non-tombstoned) rows — a
+    * source missing index ids (or carrying duplicate ids) fails loudly
+    * with id samples, and the staging is discarded. The swap is a
+    * single dir rename; a crash before it leaves the index codes-only
+    * and fully servable, a retry re-stages from scratch. After the
+    * backfill, refined/MMR/retrain all serve as if the index had been
+    * built with `keepVectors`, and [[ivfPqAppend]] maintains the
+    * sidecar from the next batch on.
+    *
+    * Cost honesty at scale: one co-shuffle of (source ⋈ assignment) on
+    * id plus one clustered write — the source and the codes are both
+    * corpus-sized, so this is a full-shuffle job, but it replaces a
+    * rebuild that pays the same join-scale I/O PLUS k-means PLUS PQ
+    * encode, and it never touches the live layout until the rename.
+    * Returns the number of sidecar rows written. */
+  def ivfPqAddSidecar(src: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String): Long = {
+    val spark = src.sparkSession
+    require(!hasVectorSidecar(spark, indexDir),
+      s"ivfPqAddSidecar: $indexDir already carries a $vectorSidecarDir " +
+        "sidecar — appends maintain it; a corrupted one should be " +
+        "deleted first, explicitly")
+    Similarity.healStrandedAppends(spark, indexDir)
+    val idx = ivfPqMeta(spark, indexDir)
+    val kLists = idx.centroids.length
+    val dim = idx.model.m * idx.model.subDim
+    val metaCols = idx.vectors.schema.fieldNames
+      .filterNot(Set("id", "list", "codes")).toSeq
+    val vecs = src.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    // dim fence before any distributed work (one row's worth of source)
+    val sampleDim = vecs.select(size(col("v"))).head().getInt(0)
+    require(sampleDim == dim,
+      s"ivfPqAddSidecar: source vector dim $sampleDim != index dim $dim")
+    val assignment =
+      idx.vectors.select("id" +: "list" +: metaCols map col: _*)
+    val joined = assignment.join(vecs, Seq("id"))
+      .select("id" +: "list" +: "v" +: metaCols map col: _*)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexDir/$vectorSidecarDir"))
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".$vectorSidecarDir.staging")
+    fs.delete(staging, true)
+    Similarity.clusteredWrite(joined, "list", kLists)
+      .sortWithinPartitions("list", "id")
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(staging.toString)
+    // alignment check against the STAGED rows (parquet-footer counts):
+    // every index row must have exactly one float — fewer means the
+    // source lost ids since build, more means duplicate source ids;
+    // both corrupt reranks silently if let through
+    val written = spark.read.parquet(staging.toString).count()
+    val nCodes = idx.vectors.count()
+    // the distinct count catches the pathological shape a bare row-count
+    // compare misses: k duplicated source ids cancelling k missing ones
+    val writtenDistinct =
+      spark.read.parquet(staging.toString).select("id").distinct().count()
+    if (written != nCodes || writtenDistinct != nCodes) {
+      val stagedIds = spark.read.parquet(staging.toString).select("id")
+      val missing = assignment.select("id")
+        .join(stagedIds.distinct(), Seq("id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0))
+      val dups = stagedIds.groupBy("id").count().filter(col("count") > 1)
+        .limit(5).collect().map(_.getLong(0))
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"ivfPqAddSidecar: staged sidecar has $written rows for $nCodes " +
+          s"index rows — source/index id mismatch" +
+          (if (missing.nonEmpty)
+             s"; index ids missing from source (sample): ${missing.mkString(",")}"
+           else "") +
+          (if (dups.nonEmpty)
+             s"; duplicated source ids (sample): ${dups.mkString(",")}"
+           else ""))
+    }
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"ivfPqAddSidecar: rename $staging -> $target failed")
+    written
+  }
+
   /** The codebook sidecar, self-describing: `enc` records whether codes
     * quantize residuals ("res"), rotated residuals ("opq"), or raw
     * vectors ("raw") — a reader never guesses, and an index built before
@@ -594,7 +693,11 @@ object Pq {
     val restoreFences = Similarity.carryAppendFences(fs, liveVec)
     val idx = ivfPqMeta(spark, indexDir)
     val k = if (kLists > 0) kLists else idx.centroids.length
-    val floats = spark.read.parquet(s"$indexDir/$vectorSidecarDir")
+    // tombstoned rows are excluded from training AND the re-encode — a
+    // retrain is a physical-drop point (the staged index never carries
+    // the tombstones dir, so the probes' anti-join plans away after)
+    val floats = Similarity.antiTombstoned(spark, indexDir,
+      spark.read.parquet(s"$indexDir/$vectorSidecarDir"))
     val metaCols = floats.schema.map(_.name)
       .filterNot(Set("id", "list", "v"))
     val rows = floats.select("id" +: "v" +: metaCols map col: _*)
@@ -697,7 +800,7 @@ object Pq {
                                indexDir: String): IvfPqIndex = {
     val key = s"${Similarity.sessionTag(spark)}|$indexDir"
     val stamp = Similarity.sidecarStamp(spark, indexDir,
-      Seq("centroids", "codebooks", "vectors"))
+      Seq("centroids", "codebooks", "vectors", Similarity.tombstonesName))
     val cached = ivfPqMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
@@ -723,8 +826,14 @@ object Pq {
       val k = cb.map(_._2).max + 1
       val books = Array.ofDim[Array[Double]](m, k)
       cb.foreach { case (mi, ki, v) => books(mi)(ki) = v }
+      // tombstone-filtered at the chokepoint, like ivfMeta: every ADC
+      // probe reads codes through this frame, so deleted ids can never
+      // be NOMINATED — which is also why the refined paths' direct
+      // float-sidecar reads need no filter of their own (their id sets
+      // come from nominees/pools that this frame already excludes)
       val meta = IvfPqIndex(cents, PqModel(m, k, books(0)(0).length, books),
-        spark.read.parquet(s"$indexDir/vectors"),
+        Similarity.antiTombstoned(spark, indexDir,
+          spark.read.parquet(s"$indexDir/vectors")),
         residual = enc == "res" || enc == "opq", rot = rot)
       Similarity.capCache(ivfPqMetaCache)
       ivfPqMetaCache.put(key, (stamp, meta))

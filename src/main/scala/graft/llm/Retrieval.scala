@@ -302,6 +302,9 @@ object Retrieval {
     * the replaced sidecar (the occupancy-merge pattern). */
   private val bm25StatsApply: Similarity.SidecarApply =
     (spark, indexDir, staging, id) => {
+      // deletes stage a tombstone batch alongside their stats delta —
+      // move it first so a stranded delete heals through the same walk
+      Similarity.applyStagedTombstones(spark, indexDir, staging, id)
       val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
       val delta = new org.apache.hadoop.fs.Path(staging, "stats_delta")
       if (fs.exists(delta)) {
@@ -387,6 +390,81 @@ object Retrieval {
     }
   }
 
+  /** DELETE documents from a [[bm25Build]] index WITHOUT a rebuild —
+    * the lexical twin of [[Similarity.annDelete]], and the verb a
+    * takedown (copyright / PII / GDPR removal) needs at 100-TB scale.
+    * Everything a BM25 score reads is either additive or set-filtered,
+    * so a delete is the exact INVERSE of an append:
+    *
+    *  - postings: a tombstone batch lands in the append-only
+    *    `tombstones/` sidecar; probes anti-join it away ([[bm25Meta]])
+    *    until [[bm25Compact]] physically drops the rows and clears it
+    *  - df: NEGATIVE per-(term, band) delta rows land in the df dir —
+    *    [[indexProbe]]'s per-term sum nets them out, so post-delete idf
+    *    equals a fresh build's over the survivors
+    *  - stats: (−n_del, −Σdl_del) folds through the same additive
+    *    (n, sum_dl) sidecar merge an append uses
+    *
+    * which is what makes post-delete scores BIT-IDENTICAL to a fresh
+    * [[bm25Build]] over the surviving corpus (integer-exact stats, the
+    * `bm25_delete` oracle row's contract). The deltas are computed from
+    * the deleted docs' OWN postings rows (one postings scan — a doc's
+    * terms scatter across all bands, so no band pruning applies; deletes
+    * are rare, appends stay scan-free), restricted to ids not already
+    * tombstoned — a repeated or overlapping delete can never subtract
+    * twice. Crash/retry-safe through [[Similarity.stagedAppend]]
+    * (`postings/_append-del-<id>` fence; a stranded delete heals through
+    * the same [[Similarity.healStrandedAppends]] walk as a stranded
+    * append). Returns the number of newly tombstoned ids; ids absent
+    * from the index tombstone harmlessly (their deltas are empty —
+    * presence is measured, not assumed). Single-writer, like appends;
+    * re-appending a tombstoned id is unsupported until a compaction
+    * clears the tombstones. */
+  def bm25Delete(ids: DataFrame, idCol: String, indexDir: String): Long = {
+    val spark = ids.sparkSession
+    Similarity.healStrandedAppends(spark, indexDir, bm25DataDirs,
+      bm25StatsApply)
+    val statsDf = readStatsDf(spark, indexDir)
+    require(statsDf.schema.fieldNames.contains("sum_dl"),
+      s"bm25Delete: $indexDir predates the additive stats format " +
+        "(no sum_dl column) — rebuild with bm25Build to enable deletes")
+    val wanted = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val fresh = Similarity.tombstoneDf(spark, indexDir)
+      .fold(wanted)(t => wanted.join(t.distinct(), Seq("id"), "left_anti"))
+    val nFresh = fresh.count()
+    if (nFresh == 0) return 0L
+    Similarity.stagedAppend(spark, indexDir,
+        s"del-${Similarity.deleteBatchId(fresh)}", bm25DataDirs,
+        bm25StatsApply) { staging =>
+      fresh.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/${Similarity.tombstonesName}")
+      // deltas from the staged tombstones (the lshAppend read-back
+      // idiom) joined against the RAW postings — prior tombstones are
+      // already excluded from `fresh`, so nothing double-subtracts
+      val tomb = spark.read.schema("id LONG")
+        .parquet(s"$staging/${Similarity.tombstonesName}")
+      val deleted = spark.read.parquet(s"$indexDir/postings")
+        .join(tomb, Seq("id"))
+      deleted.groupBy(col("w"), col("pband"))
+        .agg((-count(lit(1))).cast("double").as("df"))
+        .repartition(col("pband"))
+        .write.mode("overwrite").partitionBy("pband")
+        .parquet(s"$staging/df")
+      deleted.select(col("id"), col("dl")).distinct()
+        .agg((-count(lit(1))).as("n_delta"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl_delta"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats_delta")
+    }
+    nFresh
+  }
+
+  /** Convenience [[bm25Delete]] for a driver-side takedown list. */
+  def bm25Delete(spark: org.apache.spark.sql.SparkSession,
+                 indexDir: String, ids: Seq[Long]): Long = {
+    import spark.implicits._
+    bm25Delete(ids.toDF("id"), "id", indexDir)
+  }
+
   /** COMPACT an appended BM25 index back to build-shape file counts —
     * the read-amplification bound that keeps an always-appending
     * postings index servable between full rebuilds: each append lands
@@ -409,7 +487,15 @@ object Retrieval {
     val restoreFences = Similarity.carryAppendFences(fs, livePostings)
     val (filesBefore, _) =
       Similarity.indexFileStats(spark, indexDir, "postings")
-    val postings = spark.read.parquet(livePostings.toString)
+    // the physical-drop point for deletes, as in the ANN compaction:
+    // tombstoned postings rows are dropped here, netted-to-zero df rows
+    // (terms whose every doc was deleted) are swept, and the tombstones
+    // dir itself is discarded by the stagedCommit swap — after which a
+    // previously deleted id may be legitimately re-appended
+    val tombstonesCleared = Similarity.tombstoneDf(spark, indexDir)
+      .map(_.distinct().count()).getOrElse(0L)
+    val postings = Similarity.antiTombstoned(spark, indexDir,
+      spark.read.parquet(livePostings.toString))
     val dfT = spark.read.parquet(s"$indexDir/df")
     // snapshot the frozen sidecar BEFORE the swap so the staged write
     // doesn't read through the dir rename
@@ -422,6 +508,7 @@ object Retrieval {
         .write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/postings")
       dfT.groupBy(col("w"), col("pband")).agg(sum(col("df")).as("df"))
+        .filter(col("df") =!= 0.0)
         .repartition(col("pband"))
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
       spark.createDataFrame(
@@ -430,7 +517,8 @@ object Retrieval {
       restoreFences(s"$staging/postings")
     }
     Similarity.CompactStats(filesBefore,
-      Similarity.indexFileStats(spark, indexDir, "postings")._1)
+      Similarity.indexFileStats(spark, indexDir, "postings")._1,
+      tombstonesCleared)
   }
 
   /** Whether a BM25 index has grown past its build-shape postings layout
@@ -520,16 +608,21 @@ object Retrieval {
                        indexDir: String): Bm25Meta = {
     val key = s"${Similarity.sessionTag(spark)}|$indexDir"
     val stamp = Similarity.sidecarStamp(spark, indexDir,
-      Seq("stats", "postings"))
+      Seq("stats", "postings", Similarity.tombstonesName))
     val cached = bm25MetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
       val statsDf = readStatsDf(spark, indexDir)
       val st = statsDf.head()
       val fi = statsDf.schema.fieldIndex _
+      // postings tombstone-filtered at the chokepoint (the ivfMeta
+      // posture); the df table needs no filter — deletes append
+      // NEGATIVE df delta rows and indexProbe's per-term sum nets them
+      // out, the same additive path appends ride
       val meta = Bm25Meta(st.getDouble(fi("n")), st.getDouble(fi("avgdl")),
         st.getInt(fi("pbands")),
-        spark.read.parquet(s"$indexDir/postings"),
+        Similarity.antiTombstoned(spark, indexDir,
+          spark.read.parquet(s"$indexDir/postings")),
         spark.read.parquet(s"$indexDir/df"))
       Similarity.capCache(bm25MetaCache)
       bm25MetaCache.put(key, (stamp, meta))

@@ -686,13 +686,154 @@ object Similarity {
     * rollbacks of up to 512 committed batches. */
   private val appendMarkerKeep = 512
 
+  // ── id-DELETE: the tombstone sidecar ─────────────────────────────
+  //
+  // The lifecycle verb a training-data operator needs most often after
+  // build: a takedown (copyright / PII / GDPR removal) without a full
+  // index rebuild. Deletes land as an APPEND-ONLY parquet dir of (id)
+  // rows under `<indexDir>/tombstones/`; probes honor it through one
+  // broadcast LEFT-ANTI join applied at the memoized meta chokepoints
+  // (ivfMeta / lshMeta / ivfPqMeta / bm25Meta — every probe of every
+  // family reads its vectors/postings through one of them), and the
+  // next compaction or retrain physically drops the rows and clears
+  // the tombstones (stagedCommit swaps in a staging dir that never
+  // carried them). An index with NO tombstones pays exactly nothing —
+  // the anti-join is only planned when the dir exists.
+
+  /** The tombstone sidecar's dir name under an index root. */
+  private[llm] val tombstonesName = "tombstones"
+
+  /** The live tombstoned-id frame of an index, or None when the index
+    * carries no tombstones (the overwhelmingly common case — the read
+    * is one FS existence probe). */
+  private[llm] def tombstoneDf(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$tombstonesName")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id"))
+    else None
+  }
+
+  /** Restrict an index data frame (carrying an `id` column) to rows NOT
+    * tombstoned: a broadcast LEFT-ANTI join — map-side, no shuffle of
+    * the index scan, and partition/row-group pruning of the scan stays
+    * intact underneath (Catalyst pushes list/pband/predicate filters
+    * below the join). Identity when the index has no tombstones. */
+  private[llm] def antiTombstoned(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String,
+                                  df: DataFrame): DataFrame =
+    tombstoneDf(spark, indexDir).fold(df)(t =>
+      df.join(broadcast(t.distinct()), Seq("id"), "left_anti"))
+
+  /** Deterministic content identity of a delete batch — its replay-fence
+    * id: (count, order-insensitive hash sum) over the distinct ids,
+    * computed distributedly (no driver collect, so a takedown list the
+    * size of a shard is fine). A RETRIED delete of the same id set
+    * fences to the same identity and is a no-op. */
+  private[llm] def deleteBatchId(ids: DataFrame): String =
+    graft.util.Md5.hex {
+      val r = ids.agg(count(lit(1)), sum(xxhash64(col("id")))).head()
+      s"del:${r.getLong(0)}:${r.get(1)}"
+    }.take(16)
+
+  /** DELETE ids from a built ANN index (lsh | ivf | ivfpq — the layout
+    * is self-describing, no method argument needed): stage a tombstone
+    * batch through the [[stagedAppend]] crash/retry discipline
+    * (`vectors/_append-del-<id>` fence: a replayed delete is a no-op),
+    * move it into the append-only `tombstones/` sidecar, and — for
+    * occupancy-carrying indexes (LSH) — fold the deleted rows' negative
+    * per-bucket counts into the histogram the same way an append folds
+    * positive ones. Probes honor the tombstones immediately (the meta
+    * stamps include the tombstones listing); the rows are physically
+    * dropped, and the tombstones cleared, by the next [[compactIndex]],
+    * [[ivfRetrain]], or [[graft.llm.Pq.ivfPqRetrain]].
+    *
+    * Returns the number of NEWLY tombstoned ids (ids already tombstoned
+    * are excluded up front — which is also what makes the LSH occupancy
+    * subtraction immune to double-deletes). Ids absent from the index
+    * tombstone harmlessly (the anti-join is a set filter). IVF list
+    * stats ([[ivfListStats]]/[[ivfSkew]]) intentionally keep counting
+    * tombstoned rows until a compaction/retrain drops them — the skew
+    * trigger stays conservative. Same single-writer contract as appends.
+    * Re-APPENDING a tombstoned id is unsupported while its tombstone
+    * lives (the anti-join would hide the new row): compact first. */
+  def annDelete(ids: DataFrame, idCol: String, indexDir: String): Long = {
+    val spark = ids.sparkSession
+    healStrandedAppends(spark, indexDir)
+    val wanted = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val fresh = tombstoneDf(spark, indexDir)
+      .fold(wanted)(t => wanted.join(t.distinct(), Seq("id"), "left_anti"))
+    val nFresh = fresh.count()
+    if (nFresh == 0) return 0L
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasOccupancy =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/occupancy"))
+    stagedAppend(spark, indexDir, s"del-${deleteBatchId(fresh)}") { staging =>
+      fresh.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/$tombstonesName")
+      if (hasOccupancy) {
+        // negative per-bucket delta, read back from the staged write
+        // (the lshAppend idiom — survives a crash after the move)
+        val tomb = spark.read.schema("id LONG")
+          .parquet(s"$staging/$tombstonesName")
+        spark.read.parquet(s"$indexDir/vectors")
+          .join(tomb, Seq("id"))
+          .filter(col("bucket").isNotNull)
+          .groupBy("bucket").agg((-count(lit(1))).as("count"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/delta")
+      }
+    }
+    nFresh
+  }
+
+  /** Convenience [[annDelete]] for a driver-side takedown list. */
+  def annDelete(spark: org.apache.spark.sql.SparkSession,
+                indexDir: String, ids: Seq[Long]): Long = {
+    import spark.implicits._
+    annDelete(ids.toDF("id"), "id", indexDir)
+  }
+
+  /** Move a staged tombstone batch (`staging/tombstones`, written by the
+    * delete verbs) into the live append-only tombstones dir — the
+    * sidecar-phase counterpart of the dataDirs part-file walk, for the
+    * one sidecar that accumulates by FILE ADDITION rather than merge.
+    * Idempotent across crash/retry: files land under batch-id-derived
+    * names and a name already present is skipped (a duplicate tombstone
+    * id would be harmless anyway — the anti-join is a set filter).
+    * Folded into BOTH families' default [[SidecarApply]] so a stranded
+    * delete staging heals through the same [[healStrandedAppends]] walk
+    * as a stranded append. */
+  private[llm] def applyStagedTombstones(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      staging: org.apache.hadoop.fs.Path, id: String): Unit = {
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(staging, tombstonesName)
+    if (fs.exists(staged)) {
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$tombstonesName")
+      fs.mkdirs(live)
+      fs.listStatus(staged).foreach { f =>
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          val dst = new org.apache.hadoop.fs.Path(live, s"$id-$n")
+          if (!fs.exists(dst) && !fs.rename(f.getPath, dst))
+            throw new java.io.IOException(
+              s"tombstone move ${f.getPath} -> $dst failed")
+        }
+      }
+    }
+  }
+
   /** The ANN families' sidecar phase: merge a staged occupancy delta
-    * (`staging/delta`, written by [[lshAppend]]) into the live occupancy
-    * histogram, guarded against double-apply by an `_applied-<id>` marker
-    * written atomically with the merged sidecar. The default
-    * [[SidecarApply]] of [[stagedAppend]]/[[healStrandedAppends]]. */
+    * (`staging/delta`, written by [[lshAppend]] — positive — and
+    * [[annDelete]] — negative) into the live occupancy histogram,
+    * guarded against double-apply by an `_applied-<id>` marker written
+    * atomically with the merged sidecar; move any staged tombstone
+    * batch first. The default [[SidecarApply]] of
+    * [[stagedAppend]]/[[healStrandedAppends]]. */
   private val occupancyDeltaApply: SidecarApply =
     (spark, indexDir, staging, id) => {
+      applyStagedTombstones(spark, indexDir, staging, id)
       val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
       val delta = new org.apache.hadoop.fs.Path(staging, "delta")
       if (fs.exists(delta)) {
@@ -882,8 +1023,12 @@ object Similarity {
     val restoreFences = carryAppendFences(fs, liveVec)
     val k = if (kLists > 0) kLists else readCentroids(spark, indexDir).length
     // keep any metadata columns the build carried (filtered-ANN layouts)
-    // — a retrain must not silently strip the columns predicates serve on
-    val all = spark.read.parquet(liveVec.toString)
+    // — a retrain must not silently strip the columns predicates serve
+    // on. Tombstoned rows are excluded from BOTH the training sample and
+    // the rewrite (the retrain is a physical-drop point, like compaction
+    // — the staged index never carries the tombstones dir)
+    val all = antiTombstoned(spark, indexDir,
+      spark.read.parquet(liveVec.toString))
     val metaCols = indexMetaCols(all, Set("id", "v", "list"))
     val rows = all.select("id" +: "v" +: metaCols map col: _*)
     val centroids = retrainCentroids(rows, k, trainSample)
@@ -949,7 +1094,8 @@ object Similarity {
   }
 
   /** File counts before and after a [[compactIndex]] run. */
-  final case class CompactStats(filesBefore: Long, filesAfter: Long)
+  final case class CompactStats(filesBefore: Long, filesAfter: Long,
+                                tombstonesCleared: Long = 0L)
 
   /** Whether an index has grown past its BUILD-SHAPE layout and a
     * [[compactIndex]] would actually merge something. Build shape is NOT
@@ -1024,7 +1170,15 @@ object Similarity {
     val liveVec = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
     val restoreFences = carryAppendFences(fs, liveVec)
     val (filesBefore, _) = indexFileStats(spark, indexDir)
-    val vectors = spark.read.parquet(liveVec.toString)
+    // the rewrite is where tombstoned rows are PHYSICALLY dropped — the
+    // staged index never carries them (nor the tombstones dir itself,
+    // which the stagedCommit swap discards), so after compaction the
+    // probes' anti-join plans away and a previously deleted id may be
+    // legitimately re-appended
+    val tombstonesCleared =
+      tombstoneDf(spark, indexDir).map(_.distinct().count()).getOrElse(0L)
+    val vectors = antiTombstoned(spark, indexDir,
+      spark.read.parquet(liveVec.toString))
     val lsh = if (method == "lsh") Some(lshMeta(spark, indexDir)) else None
     val centroids =
       if (method == "ivf" || method == "ivfpq") readCentroids(spark, indexDir)
@@ -1051,7 +1205,8 @@ object Similarity {
         // the sidecar's consumers read it through id-In pushdowns, and
         // a compaction must not trade their tight row-group stats away
         clusteredWrite(
-            spark.read.parquet(s"$indexDir/${graft.llm.Pq.vectorSidecarDir}"),
+            antiTombstoned(spark, indexDir, spark.read.parquet(
+              s"$indexDir/${graft.llm.Pq.vectorSidecarDir}")),
             partCol, numValues)
           .sortWithinPartitions(partCol, "id")
           .write.mode("overwrite").partitionBy(partCol)
@@ -1075,7 +1230,8 @@ object Similarity {
       }
       restoreFences(s"$staging/vectors")
     }
-    CompactStats(filesBefore, indexFileStats(spark, indexDir)._1)
+    CompactStats(filesBefore, indexFileStats(spark, indexDir)._1,
+      tombstonesCleared)
   }
 
   /** Driver-memoized IVF index state — the exact counterpart of
@@ -1101,13 +1257,16 @@ object Similarity {
     // (commitStagedAppend), so the stamp changes on the path SET — two
     // appends inside one mtime tick are still told apart. Rebuilds
     // already changed the centroids listing. The dirs' listStatus is one
-    // RPC over ≤ kLists entries.
-    val stamp = sidecarStamp(spark, indexDir, Seq("centroids", "vectors"))
+    // RPC over ≤ kLists entries. "tombstones" joins the stamp so a
+    // delete invalidates the memoized (tombstone-filtered) frame.
+    val stamp = sidecarStamp(spark, indexDir,
+      Seq("centroids", "vectors", tombstonesName))
     val cached = ivfMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
       val m = IvfMeta(readCentroids(spark, indexDir),
-        spark.read.parquet(s"$indexDir/vectors"))
+        antiTombstoned(spark, indexDir,
+          spark.read.parquet(s"$indexDir/vectors")))
       capCache(ivfMetaCache)
       ivfMetaCache.put(key, (stamp, m))
       m
@@ -2135,7 +2294,8 @@ object Similarity {
     // appends advance the stamp doubly — the rewritten occupancy part
     // file AND the `vectors/_append-<id>` marker, a path-SET change that
     // doesn't depend on mtime granularity
-    val stamp = sidecarStamp(spark, indexDir, Seq("meta", "occupancy", "vectors"))
+    val stamp = sidecarStamp(spark, indexDir,
+      Seq("meta", "occupancy", "vectors", tombstonesName))
     val cached = lshMetaCache.get(key)
     if (cached != null && cached._1 == stamp) cached._2
     else {
@@ -2151,7 +2311,8 @@ object Similarity {
                      rows.map(_.getAs[Long]("count"))))
         } catch { case scala.util.control.NonFatal(_) => None }
       val m = LshMeta(nBits, dim, pBits, histogram,
-        spark.read.parquet(s"$indexDir/vectors"))
+        antiTombstoned(spark, indexDir,
+          spark.read.parquet(s"$indexDir/vectors")))
       capCache(lshMetaCache)
       lshMetaCache.put(key, (stamp, m))
       m

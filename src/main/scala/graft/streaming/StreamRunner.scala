@@ -59,7 +59,7 @@ object StreamRunner {
     // persistent index — the streaming analogue is the serve-ann /
     // serve-bm25 / serve-hybrid query-stream jobs
     "annProbe", "bm25Probe", "hybridProbe", "annProbeBatch",
-    "bm25ProbeBatch", "annRangeProbe",
+    "bm25ProbeBatch", "annRangeProbe", "annProbeFiltered",
     // temporal stages need whole-dataset windows (sessionize's explicit
     // streaming analogue is streamingSessions; asof's interval-set
     // analogue is streamingIntervalJoin)
@@ -823,7 +823,8 @@ object StreamRunner {
   final case class IngestBatchMetrics(batchId: Long, appendMs: Long,
                                       slotOpened: Boolean,
                                       skew: Option[Double],
-                                      action: String, actionMs: Long)
+                                      action: String, actionMs: Long,
+                                      tombstonesCleared: Long = 0L)
 
   /** Land an [[IngestBatchMetrics]] as
     * `checkpoint/maintenance/batch-<id>.json` — create-overwrite, so a
@@ -842,7 +843,8 @@ object StreamRunner {
       s"""{"batch_id":${m.batchId},"append_ms":${m.appendMs},""" +
         s""""slot_opened":${m.slotOpened},""" +
         s""""skew":$skewJson,""" +
-        s""""action":"${m.action}","action_ms":${m.actionMs}}"""
+        s""""action":"${m.action}","action_ms":${m.actionMs},""" +
+        s""""tombstones_cleared":${m.tombstonesCleared}}"""
     val p = new org.apache.hadoop.fs.Path(
       s"$checkpoint/maintenance/batch-${m.batchId}.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1843,6 +1845,7 @@ object StreamRunner {
             var skewSeen: Option[Double] = None
             var action = "none"
             var actionMs = 0L
+            var tombsCleared = 0L
             // appends-since-last-slot cadence (durable under the
             // checkpoint — see appendOpensSlot): empty batches never
             // advance it and the n-th append fires it, batch ids aside
@@ -1876,14 +1879,19 @@ object StreamRunner {
                 if (graft.llm.Similarity.compactionDue(spark, indexDir, method)) {
                   val st = graft.llm.Similarity.compactIndex(spark, indexDir, method)
                   action = "compact"
+                  tombsCleared = st.tombstonesCleared
                   log.info(s"compacted $indexDir after batch $batchId: " +
-                    s"${st.filesBefore} -> ${st.filesAfter} data files")
+                    s"${st.filesBefore} -> ${st.filesAfter} data files" +
+                    (if (st.tombstonesCleared > 0)
+                       s", ${st.tombstonesCleared} tombstones cleared"
+                     else ""))
                 }
               }
               actionMs = (System.nanoTime() - mt0) / 1000000
             }
             writeIngestMetrics(spark, checkpoint, IngestBatchMetrics(
-              batchId, appendMs, slotOpened, skewSeen, action, actionMs))
+              batchId, appendMs, slotOpened, skewSeen, action, actionMs,
+              tombsCleared))
           }
       }.start()
     if (once) {
@@ -1970,6 +1978,7 @@ object StreamRunner {
               val appendMs = (System.nanoTime() - t0) / 1000000
               var action = "none"
               var actionMs = 0L
+              var tombsCleared = 0L
               // appends-since-last-slot cadence, durable under the
               // checkpoint (appendOpensSlot): empty/all-dropped batches
               // never advance it, the n-th append always fires it
@@ -1979,13 +1988,18 @@ object StreamRunner {
                 if (graft.llm.Retrieval.bm25CompactionDue(spark, indexDir)) {
                   val st = graft.llm.Retrieval.bm25Compact(spark, indexDir)
                   action = "compact"
+                  tombsCleared = st.tombstonesCleared
                   log.info(s"compacted $indexDir after batch $batchId: " +
-                    s"${st.filesBefore} -> ${st.filesAfter} data files")
+                    s"${st.filesBefore} -> ${st.filesAfter} data files" +
+                    (if (st.tombstonesCleared > 0)
+                       s", ${st.tombstonesCleared} tombstones cleared"
+                     else ""))
                 }
                 actionMs = (System.nanoTime() - mt0) / 1000000
               }
               writeIngestMetrics(spark, checkpoint, IngestBatchMetrics(
-                batchId, appendMs, slotOpened, None, action, actionMs))
+                batchId, appendMs, slotOpened, None, action, actionMs,
+                tombsCleared))
             }
           } finally batch.unpersist()
       }.start()

@@ -34,7 +34,8 @@ object ServeStats {
                             skipped: Long, wallMs: Long, legs: Seq[LegRow])
   final case class MaintRow(batchId: Long, appendMs: Long,
                             slotOpened: Boolean, skew: Option[Double],
-                            action: String, actionMs: Long)
+                            action: String, actionMs: Long,
+                            tombstonesCleared: Long = 0L)
 
   private val mapper = new ObjectMapper()
 
@@ -105,7 +106,9 @@ object ServeStats {
         MaintRow(n.get("batch_id").asLong, n.get("append_ms").asLong,
           n.get("slot_opened").asBoolean,
           Option(n.get("skew")).filter(!_.isNull).map(_.asDouble),
-          n.get("action").asText, n.get("action_ms").asLong)
+          n.get("action").asText, n.get("action_ms").asLong,
+          // absent in pre-delete-era sidecars — schema-drift-safe zero
+          Option(n.get("tombstones_cleared")).map(_.asLong).getOrElse(0L))
       }).toSeq)
       .sortBy(_.batchId)
   }
@@ -132,17 +135,69 @@ object ServeStats {
     else sorted(math.min(sorted.size - 1,
       math.max(0, math.ceil(q * sorted.size).toInt - 1)))
 
+  /** Turn the rollup into KNOB ADVICE (`--suggest`): the table already
+    * showed chronic widening and skew trend but left the arithmetic to
+    * the operator — this does it. Pure over parsed rows so the spec
+    * drives it with planted sidecars. Emits:
+    *
+    *  - per op, when more than [[widenShareThreshold]] of its calls
+    *    widened: raise the start width to the P95 of the widths those
+    *    calls actually REACHED — the smallest start that would have
+    *    satisfied 95% of observed probes in one round
+    *  - when the maintenance skew is both high (max ≥ 1.5, i.e. the
+    *    hottest list holds 1.5× its fair share) and RISING across the
+    *    observed batches: surface the trend against the retrain trigger
+    *    (the threshold itself is a job arg the sidecars don't carry, so
+    *    the advice names the observed trajectory, not a breach)
+    *  - when the skipped share of served queries exceeds 5%: point at
+    *    the malformed-query stream (a knob change can't fix that one)
+    */
+  private val widenShareThreshold = 0.25
+  def suggest(serve: Seq[ServeRow], maint: Seq[MaintRow]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    rollupOps(serve).foreach { o =>
+      if (o.calls > 0 && o.widenedCalls.toDouble / o.calls > widenShareThreshold) {
+        val reached = serve.flatMap(_.legs).filter(_.op == o.op)
+          .map(_.widthReached.toLong).sorted
+        val p95 = pct(reached, 0.95)
+        if (p95 > o.widthStart)
+          out += s"${o.op}: ${o.widenedCalls}/${o.calls} calls widened from " +
+            s"start width ${o.widthStart} — raise the start width " +
+            s"(nprobe/minCandidates) to $p95 (p95 of reached widths) to " +
+            "serve ~95% of probes in one round"
+      }
+    }
+    val seen = rows2(serve)
+    if (seen._1 > 0 && seen._2.toDouble / seen._1 > 0.05)
+      out += f"${seen._2} of ${seen._1} queries (${100.0 * seen._2 / seen._1}%.1f%%) " +
+        "were skipped as malformed — fix the query stream; no probe knob " +
+        "recovers skipped queries"
+    val skews = maint.flatMap(_.skew)
+    if (skews.size >= 2 && skews.max >= 1.5 && skews.last > skews.head)
+      out += f"append skew is high and rising (${skews.head}%.2f -> " +
+        f"${skews.last}%.2f, max ${skews.max}%.2f) — the hottest list " +
+        "holds that multiple of its fair share; if no retrain fired yet, " +
+        "lower --retrain-skew toward the observed max or schedule a retrain"
+    out.result()
+  }
+
+  /** (queries seen, queries skipped) totals — tiny helper for suggest. */
+  private def rows2(serve: Seq[ServeRow]): (Long, Long) =
+    (serve.map(_.seen).sum, serve.map(_.skipped).sum)
+
   def main(args: Array[String]): Unit = {
     var answers: Option[String] = None
     var checkpoint: Option[String] = None
     var out: Option[String] = None
+    var doSuggest = false
     val it = args.iterator
     while (it.hasNext) it.next() match {
       case "--answers"    => answers = Some(it.next())
       case "--checkpoint" => checkpoint = Some(it.next())
       case "--out"        => out = Some(it.next())
+      case "--suggest"    => doSuggest = true
       case other => sys.error(s"servestats: unknown arg $other — usage: " +
-        "--answers DIR [--checkpoint DIR] [--out FILE.jsonl]")
+        "--answers DIR [--checkpoint DIR] [--out FILE.jsonl] [--suggest]")
     }
     require(answers.isDefined || checkpoint.isDefined,
       "servestats: pass --answers (serving sidecars) and/or " +
@@ -202,16 +257,17 @@ object ServeStats {
       val rows = readMaintenance(dir)
       println(s"== ingest maintenance ($dir): ${rows.size} batches ==")
       println(f"${"batch"}%8s ${"append_ms"}%10s ${"slot"}%5s ${"skew"}%8s " +
-        f"${"action"}%-8s ${"action_ms"}%10s")
+        f"${"action"}%-8s ${"action_ms"}%10s ${"tombs"}%6s")
       rows.foreach { r =>
         println(f"${r.batchId}%8d ${r.appendMs}%10d " +
           f"${if (r.slotOpened) "open" else "-"}%5s " +
           f"${r.skew.map(s => f"$s%.2f").getOrElse("-")}%8s " +
-          f"${r.action}%-8s ${r.actionMs}%10d")
+          f"${r.action}%-8s ${r.actionMs}%10d ${r.tombstonesCleared}%6d")
         val node = mapper.createObjectNode()
           .put("kind", "ingest_batch").put("batch_id", r.batchId)
           .put("append_ms", r.appendMs).put("slot_opened", r.slotOpened)
           .put("action", r.action).put("action_ms", r.actionMs)
+          .put("tombstones_cleared", r.tombstonesCleared)
         r.skew.fold[Unit](node.putNull("skew"))(s => { node.put("skew", s); () })
         jsonl += mapper.writeValueAsString(node)
       }
@@ -227,6 +283,7 @@ object ServeStats {
         val node = mapper.createObjectNode()
           .put("kind", "ingest_rollup").put("batches", rows.size)
           .put("append_ms_mean", appendMsMean)
+          .put("tombstones_cleared", rows.map(_.tombstonesCleared).sum)
         rows.flatMap(_.skew).maxOption
           .fold[Unit](node.putNull("max_skew"))(s => { node.put("max_skew", s); () })
         byAction.toSeq.sortBy(_._1).foreach { case (a, n) =>
@@ -234,6 +291,19 @@ object ServeStats {
         }
         jsonl += mapper.writeValueAsString(node)
       }
+    }
+    if (doSuggest) {
+      val tips = suggest(answers.map(readServe).getOrElse(Nil),
+        checkpoint.map(readMaintenance).getOrElse(Nil))
+      println(s"== suggestions: ${tips.size} ==")
+      tips.foreach { t =>
+        println(s"  * $t")
+        jsonl += mapper.writeValueAsString(mapper.createObjectNode()
+          .put("kind", "suggestion").put("text", t))
+      }
+      if (tips.isEmpty)
+        println("  (none — no chronic widening, high skipped share, " +
+          "or rising skew in the observed batches)")
     }
     out.foreach { path =>
       val p = new Path(path)

@@ -544,6 +544,83 @@ class DflLlmSpec extends AnyFunSuite {
         "annRangeProbe(@, $idx, $q, 0.8)"))
   }
 
+  test("annProbeFiltered(@): filtered probe of persistent indexes equals the library probes; refined form; fences") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fprobe").toString
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 2).cast("int").as("flag"))
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val ivfDir = s"$root/ivf"
+    graft.llm.Similarity.ivfBuild(vecs, "vec_id", "embedding", ivfDir,
+      kLists = 4, trainSample = 64, metaCols = Seq("flag"))
+    val gotIvf = rows(DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1', 2)",
+      Map[String, Any]("idx" -> ivfDir, "q" -> q)))
+    assert(gotIvf == rows(graft.llm.Similarity.ivfQueryFiltered(spark,
+      ivfDir, q, 5, col("flag") === 1, nprobe = 2)), gotIvf.toString)
+    assert(gotIvf.contains((3L, 1.0)) && gotIvf.forall(_._1 % 2 == 1),
+      s"every hit must satisfy the predicate: $gotIvf")
+    val lshDir = s"$root/lsh"
+    graft.llm.Similarity.lshBuild(vecs, "vec_id", "embedding", lshDir,
+      nBits = 8, dim = 64, metaCols = Seq("flag"))
+    assert(rows(DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1')",
+      Map[String, Any]("idx" -> lshDir, "q" -> q)))
+      == rows(graft.llm.Similarity.lshQueryFiltered(spark, lshDir, q, 5,
+        col("flag") === 1)))
+    // ivfpq: plain thresholds the reconstruction contract; refined
+    // (keepVectors) reranks TRUE cosines over eligible rows — the
+    // round-19 --filter --refine serving shape as a stage
+    val pqDir = s"$root/pq"
+    graft.llm.Pq.ivfPqBuild(vecs, "vec_id", "embedding", pqDir,
+      kLists = 4, m = 8, k = 16, keepVectors = true, metaCols = Seq("flag"))
+    assert(rows(DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1', 2)",
+      Map[String, Any]("idx" -> pqDir, "q" -> q)))
+      == rows(graft.llm.Pq.ivfPqQueryFiltered(spark, pqDir, q, 5,
+        col("flag") === 1, nprobe = 2)))
+    val gotRef = rows(DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1', 2, 4)",
+      Map[String, Any]("idx" -> pqDir, "q" -> q)))
+    assert(gotRef == rows(graft.llm.Pq.ivfPqQueryFilteredRefined(spark,
+      pqDir, q, 5, col("flag") === 1, nprobe = 2, rerankFactor = 4)),
+      gotRef.toString)
+    assert(gotRef.contains((3L, 1.0)),
+      "refined scores are TRUE cosines — the eligible self id reranks at 1.0")
+    // fences: refine on a float layout, refine without the sidecar,
+    // wrong family, non-index, arity, the stream fence
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1', 2, 4)",
+      Map[String, Any]("idx" -> ivfDir, "q" -> q)))
+      .getMessage.contains("only to an ivfpq"))
+    val bare = s"$root/bare"
+    graft.llm.Pq.ivfPqBuild(vecs, "vec_id", "embedding", bare,
+      kLists = 4, m = 8, k = 16, metaCols = Seq("flag"))
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1', 2, 4)",
+      Map[String, Any]("idx" -> bare, "q" -> q)))
+      .getMessage.contains("sidecar"))
+    val bmDir = s"$root/bm"
+    graft.llm.Retrieval.bm25Build(docs, "doc_id", "text", bmDir, pbands = 16)
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1')",
+      Map[String, Any]("idx" -> bmDir, "q" -> q)))
+      .getMessage.contains("bm25"))
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5, '@flag == 1')",
+      Map[String, Any]("idx" -> s"$root/nothere", "q" -> q)))
+      .getMessage.contains("not a built index"))
+    assert(intercept[DflParseException](DflFrame.pipeline(emb,
+      "annProbeFiltered(@, $idx, $q, 5)",
+      Map[String, Any]("idx" -> ivfDir, "q" -> q)))
+      .getMessage.contains("annProbeFiltered takes"))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamRunner.validateStreamable("jsonl",
+        "annProbeFiltered(@, $idx, $q, 5, '@flag == 1')"))
+  }
+
   test("annProbeBatch/bm25ProbeBatch: every slice equals the single probe; pair shapes and families enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft-probeb").toString
     val vecs = emb.select(col("vec_id"), col("embedding"))

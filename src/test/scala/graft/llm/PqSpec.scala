@@ -827,4 +827,92 @@ class PqSpec extends AnyFunSuite {
       .filter($"id" === 5L).select("adc").head().getDouble(0)
     assert(math.abs(got - expect) < 1e-9)
   }
+
+  // ---------- sidecar backfill: codes-only -> refined-capable ----------
+
+  test("ivfPqAddSidecar: backfilled index answers refined probes byte-equal to a keepVectors build") {
+    val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val codesOnly = s"$root/codes"
+    val kept = s"$root/kept"
+    val planted = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1L), lit(10L))).as("r"), $"embedding")
+      .select(($"r" + 1000L).as("vec_id"), $"embedding")
+    val corpus = emb.filter($"vec_id" < 300).unionByName(planted)
+    // deterministic training (lowest-id sample + deterministic k-means)
+    // makes the two builds identical except for the sidecar
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", codesOnly,
+      kLists = 4, m = 8, k = 16, keepVectors = false)
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", kept,
+      kLists = 4, m = 8, k = 16, keepVectors = true)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // codes-only refuses refined probes with the build advice
+    val e = intercept[IllegalArgumentException](
+      Pq.ivfPqQueryRefined(spark, codesOnly, q, 5, nprobe = 4).collect())
+    assert(e.getMessage.contains("keepVectors"))
+    val n = Pq.ivfPqAddSidecar(corpus, "vec_id", "embedding", codesOnly)
+    assert(n == corpus.count())
+    assert(Pq.hasVectorSidecar(spark, codesOnly))
+    def refined(d: String) = Pq.ivfPqQueryRefined(spark, d, q, 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined(codesOnly) == refined(kept),
+      "backfilled sidecar must serve refined probes exactly as a keepVectors build")
+    // the sort contract: every sidecar file id-sorted (the id-In
+    // pushdown's row-group stats depend on it)
+    val listDirs = new java.io.File(s"$codesOnly/${Pq.vectorSidecarDir}")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(listDirs.nonEmpty)
+    listDirs.foreach { ld =>
+      ld.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+        val ids = spark.read.parquet(pf.getAbsolutePath)
+          .select($"id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted,
+          s"backfilled sidecar file ${pf.getName} must be id-sorted")
+      }
+    }
+    // the upgrade is COMPLETE: append maintains the sidecar, retrain is
+    // unlocked (both were keepVectors-only before the backfill)
+    Pq.ivfPqAppend(emb.filter($"vec_id" >= 300 && $"vec_id" < 320),
+      "vec_id", "embedding", codesOnly, appendId = Some("post-backfill"))
+    val f32Ids = spark.read.parquet(s"$codesOnly/${Pq.vectorSidecarDir}")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((300L until 320L).forall(f32Ids.contains),
+      "append after backfill must land floats in the sidecar")
+    Pq.ivfPqRetrain(spark, codesOnly)
+    assert(refined(codesOnly).map(_._1).toSet.contains(0L))
+    // a second backfill refuses (the sidecar is live)
+    val e2 = intercept[IllegalArgumentException](
+      Pq.ivfPqAddSidecar(corpus, "vec_id", "embedding", codesOnly))
+    assert(e2.getMessage.contains("already carries"))
+  }
+
+  test("ivfPqAddSidecar fails loudly on id mismatch and leaves the index codes-only servable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-backfillbad").toString
+    val dir = s"$root/idx"
+    val corpus = emb.filter($"vec_id" < 200)
+    Pq.ivfPqBuild(corpus, "vec_id", "embedding", dir,
+      kLists = 4, m = 8, k = 16, keepVectors = false)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    // source lost ids since build -> loud failure naming samples
+    val eMissing = intercept[IllegalArgumentException](
+      Pq.ivfPqAddSidecar(corpus.filter($"vec_id" =!= 7L),
+        "vec_id", "embedding", dir))
+    assert(eMissing.getMessage.contains("missing from source"), eMissing.getMessage)
+    assert(eMissing.getMessage.contains("7"))
+    // duplicated source ids -> loud failure too
+    val eDup = intercept[IllegalArgumentException](
+      Pq.ivfPqAddSidecar(corpus.unionByName(corpus.filter($"vec_id" === 3L)),
+        "vec_id", "embedding", dir))
+    assert(eDup.getMessage.contains("duplicated source ids"), eDup.getMessage)
+    // wrong dim fails before any distributed work
+    val eDim = intercept[IllegalArgumentException](
+      Pq.ivfPqAddSidecar(corpus.select($"vec_id", slice($"embedding", 1, 8).as("embedding")),
+        "vec_id", "embedding", dir))
+    assert(eDim.getMessage.contains("dim"))
+    // no staging residue, no sidecar, plain probes still serve
+    assert(!Pq.hasVectorSidecar(spark, dir))
+    assert(!new java.io.File(s"$dir/.${Pq.vectorSidecarDir}.staging").exists())
+    assert(Pq.ivfPqQuery(spark, dir, q, 5, nprobe = 4).count() == 5)
+  }
 }

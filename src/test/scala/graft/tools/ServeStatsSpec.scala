@@ -97,4 +97,60 @@ class ServeStatsSpec extends AnyFunSuite {
     assert(rollup.get("wall_ms_p50").asLong == walls.head, rollup.toString)
     assert(rollup.get("wall_ms_p95").asLong == walls.last, rollup.toString)
   }
+
+  test("suggest: chronic widening recommends the p95 reached width as the new start") {
+    // 4 calls from start width 8: three widened (reached 16, 32, 64),
+    // one served in-round — 75% widened, p95(reached)=64
+    def leg(reached: Int, rounds: Int) =
+      ServeStats.LegRow("ivfpq_filtered", 10L, 8, reached, rounds)
+    val serve = Seq(
+      ServeStats.ServeRow(0, 10, 10, 0, 100,
+        Seq(leg(16, 1), leg(32, 2))),
+      ServeStats.ServeRow(1, 10, 10, 0, 100,
+        Seq(leg(64, 3), leg(8, 0))))
+    val tips = ServeStats.suggest(serve, Nil)
+    assert(tips.size == 1, tips.toString)
+    assert(tips.head.contains("ivfpq_filtered") &&
+      tips.head.contains("raise the start width") &&
+      tips.head.contains("to 64"), tips.head)
+    // a healthy op (no widening) gets no advice
+    val healthy = Seq(ServeStats.ServeRow(0, 10, 10, 0, 50,
+      Seq(ServeStats.LegRow("ivf", 10L, 8, 8, 0))))
+    assert(ServeStats.suggest(healthy, Nil).isEmpty)
+  }
+
+  test("suggest: high-and-rising skew and a skipped-share breach each surface once") {
+    def m(b: Long, skew: Option[Double]) =
+      ServeStats.MaintRow(b, 10L, slotOpened = true, skew, "none", 0L)
+    val rising = Seq(m(0, Some(1.2)), m(1, Some(1.6)), m(2, Some(1.9)))
+    val skewTips = ServeStats.suggest(Nil, rising)
+    assert(skewTips.size == 1 && skewTips.head.contains("skew") &&
+      skewTips.head.contains("1.90"), skewTips.toString)
+    // falling skew, even if high once, stays quiet
+    assert(ServeStats.suggest(Nil,
+      Seq(m(0, Some(1.9)), m(1, Some(1.2)))).isEmpty)
+    // low skew stays quiet however it trends
+    assert(ServeStats.suggest(Nil,
+      Seq(m(0, Some(1.01)), m(1, Some(1.05)))).isEmpty)
+    // skipped share > 5% points at the query stream
+    val skippy = Seq(ServeStats.ServeRow(0, 100, 90, 10, 50, Nil))
+    val st = ServeStats.suggest(skippy, Nil)
+    assert(st.size == 1 && st.head.contains("skipped as malformed"), st.toString)
+  }
+
+  test("ingest sidecars carry tombstones_cleared; pre-delete-era sidecars read as zero") {
+    val root = Files.createTempDirectory("graft-ssuggest").toString
+    val md = new java.io.File(s"$root/maintenance"); md.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$root/maintenance/batch-0.json"),
+      """{"batch_id":0,"append_ms":5,"slot_opened":true,"skew":null,""" +
+        """"action":"compact","action_ms":9,"tombstones_cleared":7}""")
+    // an old-format sidecar without the field must still parse
+    Files.writeString(java.nio.file.Paths.get(s"$root/maintenance/batch-1.json"),
+      """{"batch_id":1,"append_ms":4,"slot_opened":false,"skew":null,""" +
+        """"action":"none","action_ms":0}""")
+    val rows = ServeStats.readMaintenance(root)
+    assert(rows.size == 2)
+    assert(rows.head.tombstonesCleared == 7L)
+    assert(rows(1).tombstonesCleared == 0L)
+  }
 }
