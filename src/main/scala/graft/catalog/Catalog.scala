@@ -47,6 +47,24 @@ final case class Workflow(
     title: String = "", description: String = "",
     variables: Map[String, Any] = Map.empty)
 
+/** A STREAMING serving job as a catalog entity — the reference's whole
+  * thesis is catalog-driven exec (router/RailgunRouter.go:50-135: every
+  * surface is an entity with routes); the serving streams were the one
+  * product surface still CLI-only. `kind` picks the job family
+  * (`ann` | `bm25` | `hybrid` — [[graft.streaming.StreamRunner]]'s
+  * annServeJob / bm25ServeJob / hybridServeJob), `variables` carry its
+  * knobs: `index` (`index:REF` catalog var or a built dir; hybrid takes
+  * `bmIndex` + `annIndex`), `queries` / `output` / `checkpoint` URIs,
+  * and the probe knobs (k, tuning, filter, refine, minCos, lambda, k1,
+  * b, pool, format, outFormat). Exec.servingStart launches it,
+  * servingStatus reads the live StreamingQuery, servingStop ends it;
+  * the entity itself is just the declarative definition and persists
+  * with the catalog. */
+final case class ServingJob(
+    name: String, kind: String,
+    title: String = "", description: String = "",
+    variables: Map[String, Any] = Map.empty)
+
 /** In-memory registry with JSON/YAML persistence — the analogue of
   * RailgunCatalog (reference: catalog/RailgunCatalog.go:49-295 parsing,
   * 531-729 LoadFromUri, 967-1025 SaveToUri). Mutations are synchronized
@@ -60,6 +78,7 @@ final class Catalog {
   val services: mutable.LinkedHashMap[String, Service] = mutable.LinkedHashMap()
   val jobs: mutable.LinkedHashMap[String, Job] = mutable.LinkedHashMap()
   val workflows: mutable.LinkedHashMap[String, Workflow] = mutable.LinkedHashMap()
+  val servingjobs: mutable.LinkedHashMap[String, ServingJob] = mutable.LinkedHashMap()
 
   def add(e: Any): Unit = lock.synchronized {
     e match {
@@ -81,6 +100,10 @@ final class Catalog {
       case x: Workflow =>
         x.jobs.foreach(j => require(jobs.contains(j), s"unknown job: $j"))
         workflows(x.name) = x
+      case x: ServingJob =>
+        require(Set("ann", "bm25", "hybrid")(x.kind),
+          s"servingjob kind must be ann | bm25 | hybrid, got '${x.kind}'")
+        servingjobs(x.name) = x
       case other => throw new IllegalArgumentException(s"not a catalog entity: $other")
     }
   }
@@ -101,6 +124,7 @@ final class Catalog {
       case x: Service   => ("services", x.name)
       case x: Job       => ("jobs", x.name)
       case x: Workflow  => ("workflows", x.name)
+      case x: ServingJob => ("servingjobs", x.name)
       case other => throw new IllegalArgumentException(s"not a catalog entity: $other")
     }
     if (!tableFor(kind).contains(name))
@@ -125,6 +149,7 @@ final class Catalog {
     case "services"   => services
     case "jobs"       => jobs
     case "workflows"  => workflows
+    case "servingjobs" => servingjobs
     case other        => throw new IllegalArgumentException(s"unknown entity kind: $other")
   }
 
@@ -158,6 +183,10 @@ final class Catalog {
         "name" -> w.name, "jobs" -> w.jobs.toList,
         "title" -> w.title, "description" -> w.description,
         "variables" -> w.variables)).toList,
+      "servingjobs" -> servingjobs.values.map(j => Map(
+        "name" -> j.name, "kind" -> j.kind,
+        "title" -> j.title, "description" -> j.description,
+        "variables" -> j.variables)).toList,
     )
   }
 
@@ -235,6 +264,9 @@ object Catalog {
       vars(m, "variables"), Option(s(m, "output")).filter(_.nonEmpty))))
     seqOf("workflows").foreach(m => c.add(Workflow(
       s(m, "name"), strings(m, "jobs"), s(m, "title"), s(m, "description"),
+      vars(m, "variables"))))
+    seqOf("servingjobs").foreach(m => c.add(ServingJob(
+      s(m, "name"), s(m, "kind"), s(m, "title"), s(m, "description"),
       vars(m, "variables"))))
     c
   }

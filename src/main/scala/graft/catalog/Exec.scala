@@ -288,4 +288,165 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
       }
     }
   }
+
+  // ---------- streaming serving jobs ----------
+
+  // servingjob name -> live StreamingQuery. Concurrent: start/status/stop
+  // arrive from the HTTP thread pool; a name maps to at most ONE live
+  // query (start on a running name fails loudly — the single-writer
+  // contract of the checkpoint).
+  private val servingQueries = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+
+  private def servingVarStr(j: ServingJob, k: String): Option[String] =
+    j.variables.get(k).map(_.toString).filter(_.nonEmpty)
+  private def servingVarInt(j: ServingJob, k: String): Option[Int] =
+    servingVarStr(j, k).map(v => v.toDouble.toInt)
+  private def servingVarNum(j: ServingJob, k: String): Option[Double] =
+    servingVarStr(j, k).map(_.toDouble)
+  private def requiredVar(j: ServingJob, k: String): String =
+    servingVarStr(j, k).getOrElse(throw new IllegalArgumentException(
+      s"servingjob ${j.name}: missing required variable '$k'"))
+
+  /** Resolve a serving job's index variable: `index:[KIND:]REF` catalog
+    * refs go through the SAME resolution + kind validation the batch
+    * probes use ([[indexRefVars]]); a bare dir is validated in place.
+    * Returns (resolved dir, self-detected index kind). */
+  private def servingIndexDir(j: ServingJob, varName: String)
+      : (String, String) = {
+    val raw = requiredVar(j, varName)
+    val resolved =
+      if (raw.startsWith("index:"))
+        indexRefVars(Map(varName -> raw))(varName).toString
+      else raw
+    val kind = graft.llm.Similarity.indexKind(spark, resolved).getOrElse(
+      throw new IllegalArgumentException(
+        s"servingjob ${j.name}: '$resolved' ($$" + varName +
+          ") is not a built index dir"))
+    (resolved, kind)
+  }
+
+  /** A serving job's queries/output/checkpoint URI var — `datastore:NAME`
+    * resolves to that catalog store's uri (so a serving job reads the
+    * same entity a batch service would), anything else is the URI. */
+  private def servingUri(j: ServingJob, k: String): String = {
+    val raw = requiredVar(j, k)
+    if (raw.startsWith("datastore:")) {
+      val name = raw.stripPrefix("datastore:")
+      val ds = catalog.datastores.getOrElse(name,
+        throw new NoSuchElementException(
+          s"servingjob ${j.name}: unknown datastore in $$$k: $name"))
+      resolveUri(ds.uri, j.variables)
+    } else raw
+  }
+
+  /** START a catalog serving job: resolve its variables, launch the
+    * matching [[graft.streaming.StreamRunner]] stream (continuous — the
+    * CLI's `--once` is a cron shape; a catalog-run job serves until
+    * [[servingStop]]), register the live query under the entity name.
+    * The entity stays declarative; this is its exec verb (the service/
+    * job exec posture, for streams). Fails loudly when already running,
+    * when the index family contradicts the job kind, or when a required
+    * variable is missing. */
+  def servingStart(name: String): Map[String, Any] = {
+    val j = catalog.servingjobs.getOrElse(name,
+      throw new NoSuchElementException(s"unknown servingjob: $name"))
+    servingQueries.get(name).filter(_.isActive).foreach { _ =>
+      throw new IllegalStateException(
+        s"servingjob $name is already running — stop it first " +
+          "(one live stream per checkpoint, the single-writer contract)")
+    }
+    val queries = servingUri(j, "queries")
+    val output = servingUri(j, "output")
+    val checkpoint = servingUri(j, "checkpoint")
+    val format = servingVarStr(j, "format").getOrElse("jsonl")
+    val outFormat = servingVarStr(j, "outFormat").getOrElse("jsonl")
+    val k = servingVarInt(j, "k").getOrElse(10)
+    val filter = servingVarStr(j, "filter")
+    val q = j.kind match {
+      case "ann" =>
+        val (dir, idxKind) = servingIndexDir(j, "index")
+        require(idxKind != "bm25",
+          s"servingjob $name: kind=ann over a bm25 index — use kind=bm25")
+        graft.streaming.StreamRunner.annServeJob(spark, queries, format,
+          servingVarStr(j, "qidCol").getOrElse("qid"),
+          servingVarStr(j, "vecCol").getOrElse("vec"),
+          dir, idxKind, k, servingVarInt(j, "tuning"),
+          output, outFormat, checkpoint, once = false,
+          minCos = servingVarNum(j, "minCos"), filterDfl = filter,
+          refine = servingVarInt(j, "refine"))
+      case "bm25" =>
+        val (dir, idxKind) = servingIndexDir(j, "index")
+        require(idxKind == "bm25",
+          s"servingjob $name: kind=bm25 over a '$idxKind' index — use kind=ann")
+        graft.streaming.StreamRunner.bm25ServeJob(spark, queries, format,
+          servingVarStr(j, "qidCol").getOrElse("qid"),
+          servingVarStr(j, "termsCol").getOrElse("terms"),
+          dir, k, output, outFormat, checkpoint, once = false,
+          k1 = servingVarNum(j, "k1").getOrElse(1.2),
+          b = servingVarNum(j, "b").getOrElse(0.75),
+          filterDfl = filter)
+      case "hybrid" =>
+        val (bmDir, bmKind) = servingIndexDir(j, "bmIndex")
+        require(bmKind == "bm25",
+          s"servingjob $name: $$bmIndex holds a '$bmKind' index")
+        val (annDir, annKind) = servingIndexDir(j, "annIndex")
+        require(annKind != "bm25",
+          s"servingjob $name: $$annIndex holds a bm25 index")
+        graft.streaming.StreamRunner.hybridServeJob(spark, queries, format,
+          servingVarStr(j, "qidCol").getOrElse("qid"),
+          servingVarStr(j, "termsCol").getOrElse("terms"),
+          servingVarStr(j, "vecCol").getOrElse("vec"),
+          bmDir, annDir, annKind, k,
+          pool = servingVarInt(j, "pool").getOrElse(k * 4),
+          outUri = output, outFormat = outFormat,
+          checkpoint = checkpoint, once = false,
+          lambda = servingVarNum(j, "lambda"),
+          k1 = servingVarNum(j, "k1").getOrElse(1.2),
+          b = servingVarNum(j, "b").getOrElse(0.75),
+          tuning = servingVarInt(j, "tuning"),
+          filterDfl = filter, refine = servingVarInt(j, "refine"))
+      case other => throw new IllegalArgumentException(
+        s"servingjob $name: unknown kind '$other'")
+    }
+    servingQueries(name) = q
+    Map("servingjob" -> name, "kind" -> j.kind, "running" -> true,
+      "query_id" -> q.id.toString, "output" -> output)
+  }
+
+  /** Live status of a catalog serving job: whether its stream is active,
+    * the last progress snapshot (batch id, rows), and where the answers
+    * land (ServeStats reads the telemetry sidecars from there). A job
+    * never started — or started by a previous process — reports
+    * running=false with no progress: the registry is process-local, like
+    * every StreamingQuery handle. */
+  def servingStatus(name: String): Map[String, Any] = {
+    val j = catalog.servingjobs.getOrElse(name,
+      throw new NoSuchElementException(s"unknown servingjob: $name"))
+    servingQueries.get(name) match {
+      case Some(q) =>
+        val lp = Option(q.lastProgress)
+        Map("servingjob" -> name, "kind" -> j.kind,
+          "running" -> q.isActive,
+          "query_id" -> q.id.toString,
+          "batches" -> q.recentProgress.length,
+          "last_batch_id" -> lp.map(_.batchId).getOrElse(-1L),
+          "last_input_rows" -> lp.map(_.numInputRows).getOrElse(0L))
+      case None =>
+        Map("servingjob" -> name, "kind" -> j.kind, "running" -> false)
+    }
+  }
+
+  /** STOP a catalog serving job's live stream (the checkpoint keeps the
+    * served-batch fence, so a later start resumes exactly-once). No-op
+    * error if the job isn't running in this process. */
+  def servingStop(name: String): Map[String, Any] = {
+    catalog.servingjobs.getOrElse(name,
+      throw new NoSuchElementException(s"unknown servingjob: $name"))
+    val q = servingQueries.remove(name).getOrElse(
+      throw new IllegalStateException(
+        s"servingjob $name is not running in this process"))
+    if (q.isActive) q.stop()
+    Map("servingjob" -> name, "running" -> false, "stopped" -> true)
+  }
 }

@@ -51,6 +51,16 @@ object ClientCli {
     def exec(kind: String, name: String, body: String = ""): (Int, String) =
       send(req(s"/$kind/$name/exec.json")
         .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+    // the streaming serving-job lifecycle verbs (the CLI serve-* jobs'
+    // catalog-driven form): start/stop are auth'd mutations, status a read
+    def servingStart(name: String): (Int, String) =
+      send(req(s"/servingjobs/$name/start.json")
+        .POST(HttpRequest.BodyPublishers.noBody()).build())
+    def servingStatus(name: String): (Int, String) =
+      send(req(s"/servingjobs/$name/status.json").GET().build())
+    def servingStop(name: String): (Int, String) =
+      send(req(s"/servingjobs/$name/stop.json")
+        .POST(HttpRequest.BodyPublishers.noBody()).build())
     def tile(layer: String, z: Int, x: Long, y: Long, qs: String = ""): (Int, String) =
       send(req(s"/layers/$layer/tiles/data/$z/$x/$y.json$qs").GET().build())
     def maskBytes(layer: String, z: Int, x: Long, y: Long): (Int, Array[Byte]) = {
@@ -81,6 +91,9 @@ object ClientCli {
       case "add" :: kind :: json :: Nil    => c.add(kind, json)
       case "update" :: kind :: name :: json :: Nil => c.update(kind, name, json)
       case "exec" :: kind :: name :: tail  => c.exec(kind, name, tail.mkString(" "))
+      case "serving" :: "start" :: name :: Nil  => c.servingStart(name)
+      case "serving" :: "status" :: name :: Nil => c.servingStatus(name)
+      case "serving" :: "stop" :: name :: Nil   => c.servingStop(name)
       case "tile" :: layer :: z :: tx :: ty :: Nil =>
         c.tile(layer, z.toInt, tx.toLong, ty.toLong)
       case "mask" :: layer :: z :: tx :: ty :: out :: Nil =>

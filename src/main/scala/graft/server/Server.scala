@@ -57,7 +57,7 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
 
   // ---------- dispatch ----------
 
-  private val kinds = Set("workspaces", "datastores", "layers", "processes",
+  private val kinds = Set("servingjobs", "workspaces", "datastores", "layers", "processes",
     "services", "jobs", "workflows")
 
   private def handle(x: HttpExchange): Unit = {
@@ -65,6 +65,9 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
     catch {
       case e: NoSuchElementException => respondErr(x, 404, e.getMessage)
       case e: IllegalArgumentException => respondErr(x, 400, e.getMessage)
+      // serving-job lifecycle conflicts (start while running / stop
+      // while stopped) are state conflicts, not server faults
+      case e: IllegalStateException => respondErr(x, 409, e.getMessage)
       case e: Exception => respondErr(x, 500, String.valueOf(e.getMessage))
     } finally x.close()
   }
@@ -256,6 +259,15 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
             op("execute a job", List(nameP, extP), okRows)),
           "/workflows/{name}/exec.{ext}" -> Map("post" ->
             op("execute a workflow's jobs in order", List(nameP, extP), okJson)),
+          "/servingjobs/{name}/start.{ext}" -> Map("post" ->
+            op("launch a streaming serving job (JWT required)",
+              List(nameP, extP), okJson)),
+          "/servingjobs/{name}/status.{ext}" -> Map("get" ->
+            op("live status of a streaming serving job",
+              List(nameP, extP), okJson)),
+          "/servingjobs/{name}/stop.{ext}" -> Map("post" ->
+            op("stop a streaming serving job (JWT required)",
+              List(nameP, extP), okJson)),
           "/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}" -> Map("get" ->
             op("vector tile as GeoJSON FeatureCollection",
               List(nameP, zP, xP, yP, extP) ++ tileQuery, okJson)),
@@ -331,6 +343,23 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
       case ("POST", "jobs" :: name :: "exec" :: Nil) =>
         respondJsonRows(x, ext, exec.jobExec(name).toJSON.collect())
 
+      // streaming serving-job lifecycle — the reference routes every
+      // entity's verbs through the catalog (router/RailgunRouter.go:
+      // 50-135); the serving streams get the same treatment: the entity
+      // is declarative, these are its exec verbs. start/stop mutate the
+      // process's stream registry (auth'd like every mutation); status
+      // is a read.
+      case ("POST", "servingjobs" :: name :: "start" :: Nil) =>
+        requireAuth(x)
+        respondDoc(x, 200, ext, exec.servingStart(name))
+
+      case ("GET", "servingjobs" :: name :: "status" :: Nil) =>
+        respondDoc(x, 200, ext, exec.servingStatus(name))
+
+      case ("POST", "servingjobs" :: name :: "stop" :: Nil) =>
+        requireAuth(x)
+        respondDoc(x, 200, ext, exec.servingStop(name))
+
       case ("POST", "workflows" :: name :: "exec" :: Nil) =>
         // response mirrors the reference's workflow-exec document
         // (WorkflowExecHandler.go:200-206): top-level success, per-job
@@ -405,7 +434,8 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
     case w: Workspace => w.name; case d: DataStore => d.name
     case l: Layer => l.name; case p: Process => p.name
     case s: Service => s.name; case j: Job => j.name
-    case w: Workflow => w.name; case _ => ""
+    case w: Workflow => w.name; case sj: ServingJob => sj.name
+    case _ => ""
   }
 
   // ---------- content negotiation ----------

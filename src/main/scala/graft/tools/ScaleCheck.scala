@@ -401,6 +401,17 @@ object ScaleCheck {
       time("ivfpq_range_refined")(
         graft.llm.Pq.ivfPqRangeRefined(spark, kvDir, q, 0.99,
           nprobe = 4, slack = 0.2).count())
+      // the DELETE posture (takedown without rebuild): annDelete costs
+      // the takedown list — fence-id agg + one staged tombstone write —
+      // never a corpus pass, and the probe AFTER it pays only a
+      // broadcast anti-join on top of the flat pruned read. Both curves
+      // must stay ~flat in mult; a probe that rescanned the corpus to
+      // honor deletes would show here immediately.
+      time("ivfpq_delete")(
+        graft.llm.Similarity.annDelete(spark, kvDir, (1L to 64L).toSeq))
+      time("ivfpq_probe_deleted")(
+        graft.llm.Pq.ivfPqQueryRefined(spark, kvDir, q, 10,
+          rerankFactor = 4).count())
       // the COMPACTION posture: rewrite cost is one clustered pass over
       // the index (so it may grow ~linearly in mult — it is the RARE
       // maintenance op), but the probe after it must return to the
@@ -496,6 +507,16 @@ object ScaleCheck {
           graft.llm.Retrieval.evalRun(run, qrels, 10).count()
           qrels.count() // rows= the judgment-set size the time must track
         })
+        // the LEXICAL delete posture: bm25Delete pays ONE postings scan
+        // (a doc's terms scatter across all bands — no pruning applies,
+        // so ~linear in mult like compaction, the honest cost of a rare
+        // op), while the probe AFTER it must stay flat: band-pruned
+        // reads + one broadcast anti-join, never a corpus pass
+        time("bm25_delete")(
+          graft.llm.Retrieval.bm25Delete(spark, bmDir, (1L to 32L).toSeq))
+        time("bm25_probe_deleted")(
+          graft.llm.Retrieval.bm25TopKIndexed(spark, bmDir,
+            Seq("spark", "stream", "window"), 10).count())
         qrels.unpersist(); run.unpersist(); corpus.unpersist()
       }
     }

@@ -536,6 +536,90 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("serving jobs: catalog CRUD + HTTP start/status/stop lifecycle, answers land, conflicts 409") {
+    val dir = Files.createTempDirectory("graft-srvjob").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    graft.llm.Similarity.lshBuild(emb, "vec_id", "embedding", s"$dir/idx",
+      nBits = 8, dim = 64)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    Files.createDirectories(Paths.get(s"$dir/queries"))
+    Files.writeString(Paths.get(s"$dir/queries/q0.jsonl"),
+      s"""{"qid":7,"vec":[${q.mkString(",")}]}""")
+    val (srv, client, _) = startServer()
+    try {
+      val token = {
+        val (_, b) = client.authenticate("root", "pw")
+        val m = """"token"\s*:\s*"([^"]+)"""".r
+        m.findFirstMatchIn(b).get.group(1)
+      }
+      val auth = new Client(s"http://localhost:${srv.boundPort}", Some(token))
+      // CRUD: the entity is declarative and lists like any other kind
+      val (ac, _) = auth.add("servingjobs",
+        s"""{"name":"sj","kind":"ann","variables":{
+           |"index":"$dir/idx","queries":"$dir/queries",
+           |"output":"$dir/answers","checkpoint":"$dir/ckpt","k":"5"}}"""
+          .stripMargin.replace("\n", ""))
+      assert(ac == 200)
+      assert(client.list("servingjobs")._2.contains("\"sj\""))
+      // a bad kind is rejected at add time
+      assert(auth.add("servingjobs",
+        """{"name":"bad","kind":"nope","variables":{}}""")._1 == 400)
+      // never-started job reports running=false
+      val (sc0, sb0) = client.servingStatus("sj")
+      assert(sc0 == 200 && sb0.contains("\"running\":false"), sb0)
+      // start requires auth (missing JWT = 400, the server's convention);
+      // then answers land in batch dirs
+      assert(client.servingStart("sj")._1 == 400)
+      val (stc, stb) = auth.servingStart("sj")
+      assert(stc == 200 && stb.contains("\"running\":true"), stb)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      def served(): Boolean = {
+        val d = new java.io.File(s"$dir/answers")
+        d.exists && d.listFiles != null &&
+          d.listFiles.exists(f => f.getName.startsWith("batch-") &&
+            new java.io.File(f, "_metrics.json").exists)
+      }
+      while (!served() && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(served(), "no answer batch landed within the deadline")
+      val (ssc, ssb) = client.servingStatus("sj")
+      assert(ssc == 200 && ssb.contains("\"running\":true"), ssb)
+      // ServeStats reads the answers the catalog-run job produced
+      val rows = graft.tools.ServeStats.readServe(s"$dir/answers")
+      assert(rows.nonEmpty && rows.head.served == 1, rows.toString)
+      // answers are the real probe: qid 7, 5 hits, self id at cos 1.0
+      val ans = spark.read.json(
+        new java.io.File(s"$dir/answers").listFiles
+          .filter(_.getName.startsWith("batch-")).head.getAbsolutePath)
+      assert(ans.count() == 5)
+      // a second start while running is a 409 conflict, not a crash
+      assert(auth.servingStart("sj")._1 == 409)
+      // stop ends the stream; a second stop conflicts; status flips
+      assert(auth.servingStop("sj")._1 == 200)
+      assert(client.servingStatus("sj")._2.contains("\"running\":false"))
+      assert(auth.servingStop("sj")._1 == 409)
+      // unknown job 404s on every verb
+      assert(client.servingStatus("nope")._1 == 404)
+      assert(auth.servingStart("nope")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("serving jobs round-trip catalog persistence") {
+    val c = new Catalog
+    c.add(ServingJob("sj2", "hybrid", title = "t",
+      variables = Map("bmIndex" -> "/b", "annIndex" -> "/a",
+        "queries" -> "/q", "output" -> "/o", "checkpoint" -> "/c")))
+    val path = Files.createTempDirectory("graft-sjcat").toString + "/cat.json"
+    c.save(path)
+    val back = Catalog.load(path)
+    val sj = back.servingjobs("sj2")
+    assert(sj.kind == "hybrid" && sj.variables("bmIndex") == "/b")
+    // bad kind rejected on load/add too
+    intercept[IllegalArgumentException](c.add(ServingJob("x", "wrong")))
+  }
+
   test("unknown routes and entities 404") {
     val (srv, client, _) = startServer()
     try {
