@@ -443,10 +443,21 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   def servingStop(name: String): Map[String, Any] = {
     catalog.servingjobs.getOrElse(name,
       throw new NoSuchElementException(s"unknown servingjob: $name"))
-    val q = servingQueries.remove(name).getOrElse(
+    val q = servingQueries.getOrElse(name,
       throw new IllegalStateException(
         s"servingjob $name is not running in this process"))
+    // stop BEFORE deregistering: a stop() failure (e.g. Spark's
+    // stop-timeout) must leave the handle in the registry so the
+    // operator can retry — remove-first would orphan a still-active
+    // stream behind a 409-on-retry wall until process restart
     if (q.isActive) q.stop()
+    servingQueries.remove(name)
     Map("servingjob" -> name, "running" -> false, "stopped" -> true)
   }
+
+  /** Whether a serving job's stream is live in THIS process — the guard
+    * the server's entity-DELETE route uses so a running job's only
+    * handle can't be deleted out from under its stream. */
+  def servingRunning(name: String): Boolean =
+    servingQueries.get(name).exists(_.isActive)
 }

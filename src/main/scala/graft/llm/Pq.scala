@@ -541,12 +541,15 @@ object Pq {
     // every index row must have exactly one float — fewer means the
     // source lost ids since build, more means duplicate source ids;
     // both corrupt reranks silently if let through
-    val written = spark.read.parquet(staging.toString).count()
+    // ONE aggregate pass over the staged write covers both invariants
+    // (the distinct count catches the pathological shape a bare
+    // row-count compare misses: k duplicated source ids cancelling k
+    // missing ones) — at backfill scale a second corpus-sized
+    // validation scan would roughly double the check's cost
+    val vRow = spark.read.parquet(staging.toString)
+      .agg(count(lit(1)), count_distinct(col("id"))).head()
+    val (written, writtenDistinct) = (vRow.getLong(0), vRow.getLong(1))
     val nCodes = idx.vectors.count()
-    // the distinct count catches the pathological shape a bare row-count
-    // compare misses: k duplicated source ids cancelling k missing ones
-    val writtenDistinct =
-      spark.read.parquet(staging.toString).select("id").distinct().count()
     if (written != nCodes || writtenDistinct != nCodes) {
       val stagedIds = spark.read.parquet(staging.toString).select("id")
       val missing = assignment.select("id")

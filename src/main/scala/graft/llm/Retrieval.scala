@@ -41,7 +41,12 @@ object Retrieval {
     df.select((col(idCol).cast("long").as("id") +: nt.as("__nt") +:
         metaCols.map(col)): _*)
       .select((col("id") +:
-        when(col("__nt") === "", lit(0L))
+        // NULL text folds to dl = 0, like empty text: the legacy
+        // size(null) = -1 (ansi off) would poison sum_dl with -1 per
+        // null doc — diverging from the DuckDB oracle (whose NULL dl
+        // sums as 0) and from the delete verb's subtraction — while 0
+        // matches both and the zero-postings reality of such a doc
+        when(col("__nt").isNull || col("__nt") === "", lit(0L))
           .otherwise(size(split(col("__nt"), " ")).cast("long")).as("dl") +:
         split(col("__nt"), " ").as("__toks") +: metaCols.map(col)): _*)
   }
@@ -239,6 +244,14 @@ object Retrieval {
         .repartition(col("pband"))
         .write.mode("overwrite").partitionBy("pband").parquet(s"$staging/df")
       stats.write.mode("overwrite").parquet(s"$staging/stats")
+      // the empty-docs sidecar: ids the stats COUNT but the postings
+      // cannot see (empty/null text emits zero postings rows) — without
+      // it a delete of such a doc could not subtract it from n, and
+      // post-delete scores would silently diverge from a fresh build
+      // over the survivors (every idf and avgdl reads n). Usually
+      // empty or tiny.
+      emptyDocIds(base).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/$emptyDocsName")
     }
   }
 
@@ -261,6 +274,29 @@ object Retrieval {
     * carry the replay-fence markers ([[Similarity.stagedAppend]] fences
     * on the FIRST entry). */
   private val bm25DataDirs = Seq("postings", "df")
+
+  /** The postings-invisible-docs sidecar dir: ids whose normalized text
+    * emits ZERO postings rows (empty or null text) yet count in the
+    * additive stats `n`. [[bm25Delete]] reads it to subtract such docs;
+    * nothing on the probe path touches it. */
+  private val emptyDocsName = "empty_docs"
+
+  /** Ids of [[prepared]] rows that emit no postings: dl = 0 (text
+    * normalizes to "") or dl null (null text — split/size propagate
+    * null, and bandedTf's explode drops the row). */
+  private def emptyDocIds(base: DataFrame): DataFrame =
+    base.filter(col("dl").isNull || col("dl") === 0L).select("id")
+
+  /** The live empty-docs sidecar frame, or None for an index built
+    * before the sidecar existed (such an index keeps the old
+    * behavior: deleting a postings-less doc cannot subtract it). */
+  private def emptyDocsDf(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$emptyDocsName")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("id"))
+    else None
+  }
 
   /** Column names metadata may not use: the stored layout (id, dl, w,
     * tf, pband) plus every name the PROBES introduce — the df and
@@ -303,8 +339,11 @@ object Retrieval {
   private val bm25StatsApply: Similarity.SidecarApply =
     (spark, indexDir, staging, id) => {
       // deletes stage a tombstone batch alongside their stats delta —
-      // move it first so a stranded delete heals through the same walk
+      // move it first so a stranded delete heals through the same walk;
+      // appends stage an empty-docs delta the same way
       Similarity.applyStagedTombstones(spark, indexDir, staging, id)
+      Similarity.applyStagedAddition(spark, indexDir, staging, id,
+        "empty_delta", emptyDocsName)
       val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
       val delta = new org.apache.hadoop.fs.Path(staging, "stats_delta")
       if (fs.exists(delta)) {
@@ -387,6 +426,11 @@ object Retrieval {
       base.agg(count(lit(1)).as("n_delta"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl_delta"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats_delta")
+      // appended postings-less docs join the empty-docs sidecar by
+      // FILE ADDITION (the tombstone-move discipline, applied in
+      // bm25StatsApply) so a delete can subtract them later
+      emptyDocIds(base).coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/empty_delta")
     }
   }
 
@@ -431,10 +475,10 @@ object Retrieval {
     val wanted = ids.select(col(idCol).cast("long").as("id")).distinct()
     val fresh = Similarity.tombstoneDf(spark, indexDir)
       .fold(wanted)(t => wanted.join(t.distinct(), Seq("id"), "left_anti"))
-    val nFresh = fresh.count()
+    val (nFresh, fenceId) = Similarity.deleteBatchInfo(fresh)
     if (nFresh == 0) return 0L
     Similarity.stagedAppend(spark, indexDir,
-        s"del-${Similarity.deleteBatchId(fresh)}", bm25DataDirs,
+        s"del-$fenceId", bm25DataDirs,
         bm25StatsApply) { staging =>
       fresh.coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/${Similarity.tombstonesName}")
@@ -450,8 +494,17 @@ object Retrieval {
         .repartition(col("pband"))
         .write.mode("overwrite").partitionBy("pband")
         .parquet(s"$staging/df")
+      // n subtracts BOTH presence shapes: docs seen in the postings AND
+      // postings-less docs (empty/null text) recorded in the empty-docs
+      // sidecar — the stats counted the latter at build/append, and a
+      // delete that missed them would leave every idf/avgdl reading a
+      // stale n (sum_dl is unaffected: their dl is 0). Presence is
+      // measured against `fresh`, so repeated deletes stay exact.
+      val emptyPresent = emptyDocsDf(spark, indexDir)
+        .map(e => tomb.join(e.distinct(), Seq("id")).count())
+        .getOrElse(0L)
       deleted.select(col("id"), col("dl")).distinct()
-        .agg((-count(lit(1))).as("n_delta"),
+        .agg((-count(lit(1)) - lit(emptyPresent)).as("n_delta"),
           (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl_delta"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats_delta")
     }
@@ -514,6 +567,14 @@ object Retrieval {
       spark.createDataFrame(
           java.util.Arrays.asList(statsRows: _*), statsSchema)
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+      // carry the empty-docs sidecar MINUS the cleared tombstones (the
+      // physical-drop treatment postings get), merged to one file; a
+      // pre-sidecar index stays without one
+      emptyDocsDf(spark, indexDir).foreach { e =>
+        Similarity.antiTombstoned(spark, indexDir, e.distinct())
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/$emptyDocsName")
+      }
       restoreFences(s"$staging/postings")
     }
     Similarity.CompactStats(filesBefore,

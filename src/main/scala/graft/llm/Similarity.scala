@@ -725,16 +725,19 @@ object Similarity {
     tombstoneDf(spark, indexDir).fold(df)(t =>
       df.join(broadcast(t.distinct()), Seq("id"), "left_anti"))
 
-  /** Deterministic content identity of a delete batch — its replay-fence
-    * id: (count, order-insensitive hash sum) over the distinct ids,
-    * computed distributedly (no driver collect, so a takedown list the
-    * size of a shard is fine). A RETRIED delete of the same id set
-    * fences to the same identity and is a no-op. */
-  private[llm] def deleteBatchId(ids: DataFrame): String =
-    graft.util.Md5.hex {
-      val r = ids.agg(count(lit(1)), sum(xxhash64(col("id")))).head()
-      s"del:${r.getLong(0)}:${r.get(1)}"
-    }.take(16)
+  /** (size, replay-fence id) of a delete batch in ONE aggregation pass:
+    * the fence id hashes (count, order-insensitive hash sum) over the
+    * distinct ids, computed distributedly (no driver collect, so a
+    * takedown list the size of a shard is fine) — and since the count is
+    * already in that aggregate, the callers' empty-batch check and
+    * returned tally ride along instead of re-executing the
+    * wanted-minus-tombstones join a second time. A RETRIED delete of
+    * the same id set fences to the same identity and is a no-op. */
+  private[llm] def deleteBatchInfo(ids: DataFrame): (Long, String) = {
+    val r = ids.agg(count(lit(1)), sum(xxhash64(col("id")))).head()
+    (r.getLong(0),
+      graft.util.Md5.hex(s"del:${r.getLong(0)}:${r.get(1)}").take(16))
+  }
 
   /** DELETE ids from a built ANN index (lsh | ivf | ivfpq — the layout
     * is self-describing, no method argument needed): stage a tombstone
@@ -763,13 +766,13 @@ object Similarity {
     val wanted = ids.select(col(idCol).cast("long").as("id")).distinct()
     val fresh = tombstoneDf(spark, indexDir)
       .fold(wanted)(t => wanted.join(t.distinct(), Seq("id"), "left_anti"))
-    val nFresh = fresh.count()
+    val (nFresh, fenceId) = deleteBatchInfo(fresh)
     if (nFresh == 0) return 0L
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val hasOccupancy =
       fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/occupancy"))
-    stagedAppend(spark, indexDir, s"del-${deleteBatchId(fresh)}") { staging =>
+    stagedAppend(spark, indexDir, s"del-$fenceId") { staging =>
       fresh.coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/$tombstonesName")
       if (hasOccupancy) {
@@ -806,11 +809,24 @@ object Similarity {
     * as a stranded append. */
   private[llm] def applyStagedTombstones(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      staging: org.apache.hadoop.fs.Path, id: String): Unit = {
+      staging: org.apache.hadoop.fs.Path, id: String): Unit =
+    applyStagedAddition(spark, indexDir, staging, id,
+      tombstonesName, tombstonesName)
+
+  /** The generic FILE-ADDITION sidecar apply behind
+    * [[applyStagedTombstones]] (and BM25's empty-docs delta): move a
+    * staged dir's part files into a live append-only sidecar under
+    * batch-id-derived names. Idempotent across crash/retry — a name
+    * already present is skipped (these sidecars are SET-valued, so a
+    * duplicate row would be harmless anyway). */
+  private[llm] def applyStagedAddition(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      staging: org.apache.hadoop.fs.Path, id: String,
+      stagedName: String, liveName: String): Unit = {
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-    val staged = new org.apache.hadoop.fs.Path(staging, tombstonesName)
+    val staged = new org.apache.hadoop.fs.Path(staging, stagedName)
     if (fs.exists(staged)) {
-      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$tombstonesName")
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$liveName")
       fs.mkdirs(live)
       fs.listStatus(staged).foreach { f =>
         val n = f.getPath.getName
@@ -818,7 +834,7 @@ object Similarity {
           val dst = new org.apache.hadoop.fs.Path(live, s"$id-$n")
           if (!fs.exists(dst) && !fs.rename(f.getPath, dst))
             throw new java.io.IOException(
-              s"tombstone move ${f.getPath} -> $dst failed")
+              s"sidecar-addition move ${f.getPath} -> $dst failed")
         }
       }
     }

@@ -65,9 +65,6 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
     catch {
       case e: NoSuchElementException => respondErr(x, 404, e.getMessage)
       case e: IllegalArgumentException => respondErr(x, 400, e.getMessage)
-      // serving-job lifecycle conflicts (start while running / stop
-      // while stopped) are state conflicts, not server faults
-      case e: IllegalStateException => respondErr(x, 409, e.getMessage)
       case e: Exception => respondErr(x, 500, String.valueOf(e.getMessage))
     } finally x.close()
   }
@@ -325,6 +322,14 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
 
       case ("DELETE", kind :: name :: Nil) if kinds(kind) =>
         requireAuth(x)
+        // a running serving job's entity is its only addressable handle
+        // (stop looks the entity up first) — deleting it would orphan
+        // the live stream behind 404s until a process restart
+        if (kind == "servingjobs" && exec.servingRunning(name)) {
+          respondErr(x, 409,
+            s"servingjob $name is running — stop it before deleting")
+          return
+        }
         if (exec.catalog.delete(kind, name)) {
           exec.invalidateServiceVars()
           exec.invalidateDataFrames()
@@ -349,16 +354,25 @@ final class Server(spark: SparkSession, val exec: Exec, port: Int,
       // is declarative, these are its exec verbs. start/stop mutate the
       // process's stream registry (auth'd like every mutation); status
       // is a read.
+      // lifecycle conflicts (start while running / stop while stopped)
+      // map to 409 HERE, scoped to these routes only — a global
+      // IllegalStateException -> 409 would dress unrelated server
+      // faults (Spark internals throw ISE freely, e.g. on a stopped
+      // SparkContext) as caller-caused, retryable-looking conflicts
       case ("POST", "servingjobs" :: name :: "start" :: Nil) =>
         requireAuth(x)
-        respondDoc(x, 200, ext, exec.servingStart(name))
+        try respondDoc(x, 200, ext, exec.servingStart(name))
+        catch { case e: IllegalStateException =>
+          respondErr(x, 409, e.getMessage) }
 
       case ("GET", "servingjobs" :: name :: "status" :: Nil) =>
         respondDoc(x, 200, ext, exec.servingStatus(name))
 
       case ("POST", "servingjobs" :: name :: "stop" :: Nil) =>
         requireAuth(x)
-        respondDoc(x, 200, ext, exec.servingStop(name))
+        try respondDoc(x, 200, ext, exec.servingStop(name))
+        catch { case e: IllegalStateException =>
+          respondErr(x, 409, e.getMessage) }
 
       case ("POST", "workflows" :: name :: "exec" :: Nil) =>
         // response mirrors the reference's workflow-exec document

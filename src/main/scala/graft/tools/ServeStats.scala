@@ -204,8 +204,13 @@ object ServeStats {
         "--checkpoint (ingest maintenance sidecars)")
 
     val jsonl = Seq.newBuilder[String]
+    // parse each sidecar family ONCE — the tables and --suggest share
+    // the rows (a second directory walk would double remote-FS I/O and
+    // duplicate every half-written-sidecar warning)
+    val serveRows = answers.map(readServe).getOrElse(Nil)
+    val maintRows = checkpoint.map(readMaintenance).getOrElse(Nil)
     answers.foreach { dir =>
-      val rows = readServe(dir)
+      val rows = serveRows
       println(s"== serving batches ($dir): ${rows.size} ==")
       println(f"${"batch"}%8s ${"seen"}%6s ${"served"}%6s ${"skip"}%5s " +
         f"${"wall_ms"}%8s  legs")
@@ -254,7 +259,7 @@ object ServeStats {
       }
     }
     checkpoint.foreach { dir =>
-      val rows = readMaintenance(dir)
+      val rows = maintRows
       println(s"== ingest maintenance ($dir): ${rows.size} batches ==")
       println(f"${"batch"}%8s ${"append_ms"}%10s ${"slot"}%5s ${"skew"}%8s " +
         f"${"action"}%-8s ${"action_ms"}%10s ${"tombs"}%6s")
@@ -293,8 +298,7 @@ object ServeStats {
       }
     }
     if (doSuggest) {
-      val tips = suggest(answers.map(readServe).getOrElse(Nil),
-        checkpoint.map(readMaintenance).getOrElse(Nil))
+      val tips = suggest(serveRows, maintRows)
       println(s"== suggestions: ${tips.size} ==")
       tips.foreach { t =>
         println(s"  * $t")

@@ -178,13 +178,26 @@ class DeleteSpec extends AnyFunSuite {
   test("bm25 delete: scores bit-identical to a fresh build over the survivors") {
     val dir = tmp("bmdel")
     val freshDir = tmp("bmfresh")
+    // plant postings-INVISIBLE docs (empty and null text): they count
+    // in the stats n at build but emit zero postings rows, so only the
+    // empty-docs sidecar lets a delete subtract them — without it every
+    // post-delete idf/avgdl would read a stale n (the corner a
+    // postings-derived subtraction alone cannot see)
+    val planted = Seq((9001L, ""), (9002L, null.asInstanceOf[String]),
+      (9003L, "   ")).toDF("doc_id", "text")
     val corpus = docs.select($"doc_id", $"text").filter($"doc_id" < 400)
-    val victims = corpus.filter($"doc_id" % 7 === 2).select("doc_id")
+      .unionByName(planted)
+    // victims include one empty doc and one null doc alongside real ones
+    val victims = corpus
+      .filter($"doc_id" % 7 === 2 || $"doc_id" === 9001L || $"doc_id" === 9002L)
+      .select("doc_id")
     Retrieval.bm25Build(corpus, "doc_id", "text", dir)
     val nVictims = victims.count()
     assert(nVictims > 0)
     assert(Retrieval.bm25Delete(victims, "doc_id", dir) == nVictims)
-    Retrieval.bm25Build(corpus.filter($"doc_id" % 7 =!= 2),
+    Retrieval.bm25Build(
+      corpus.filter($"doc_id" % 7 =!= 2 &&
+        $"doc_id" =!= 9001L && $"doc_id" =!= 9002L),
       "doc_id", "text", freshDir)
     val terms = Seq("spark", "stream", "window")
     def run(d: String) = Retrieval.bm25TopKIndexed(spark, d, terms, 10)

@@ -596,6 +596,9 @@ class ServerSpec extends AnyFunSuite {
       assert(ans.count() == 5)
       // a second start while running is a 409 conflict, not a crash
       assert(auth.servingStart("sj")._1 == 409)
+      // deleting a RUNNING job's entity is refused — it is the only
+      // addressable handle to the live stream
+      assert(auth.delete("servingjobs", "sj")._1 == 409)
       // stop ends the stream; a second stop conflicts; status flips
       assert(auth.servingStop("sj")._1 == 200)
       assert(client.servingStatus("sj")._2.contains("\"running\":false"))
