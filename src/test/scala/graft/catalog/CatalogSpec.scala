@@ -335,6 +335,55 @@ class CatalogSpec extends AnyFunSuite {
     assert(results(1).rows == 2L)
   }
 
+  test("serving jobs resolve index: refs and kind fences at start; stop ends the stream") {
+    val dir = Files.createTempDirectory("graft-cat-sj").toString
+    val c = fixtureCatalog(dir)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val annDir = s"$dir/sj-idx"
+    graft.llm.Similarity.lshBuild(emb, "vec_id", "embedding", annDir,
+      nBits = 8, dim = 64)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    Files.createDirectories(Paths.get(s"$dir/sjq"))
+    Files.writeString(Paths.get(s"$dir/sjq/q.jsonl"),
+      s"""{"qid":1,"vec":[${q.mkString(",")}]}""")
+    // the index binds through a CATALOG ref (datastore-name indirection
+    // with a kind pin), like every batch probe var
+    c.add(DataStore("ws", "sjidx", s"'$annDir'"))
+    c.add(ServingJob("sj", "ann", variables = Map(
+      "index" -> "index:lsh:sjidx", "queries" -> s"$dir/sjq",
+      "output" -> s"$dir/sjo", "checkpoint" -> s"$dir/sjc", "k" -> "5")))
+    val exec = new Exec(spark, c)
+    // a WRONG kind pin fails at start, before any stream launches
+    c.add(ServingJob("sjbad", "ann", variables = Map(
+      "index" -> "index:ivf:sjidx", "queries" -> s"$dir/sjq",
+      "output" -> s"$dir/sjo2", "checkpoint" -> s"$dir/sjc2")))
+    val e = intercept[IllegalArgumentException](exec.servingStart("sjbad"))
+    assert(e.getMessage.contains("'lsh'"), e.getMessage)
+    // kind=bm25 over an ANN index is fenced too
+    c.add(ServingJob("sjwrong", "bm25", variables = Map(
+      "index" -> s"$annDir", "queries" -> s"$dir/sjq",
+      "output" -> s"$dir/sjo3", "checkpoint" -> s"$dir/sjc3")))
+    assert(intercept[IllegalArgumentException](
+      exec.servingStart("sjwrong")).getMessage.contains("kind=bm25"))
+    // the good job starts, serves the query, and stops
+    val st = exec.servingStart("sj")
+    assert(st("running") == true)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      def served() = {
+        val d = new java.io.File(s"$dir/sjo")
+        d.exists && d.listFiles != null &&
+          d.listFiles.exists(_.getName.startsWith("batch-"))
+      }
+      while (!served() && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(served(), "no answers landed")
+      assert(exec.servingStatus("sj")("running") == true)
+    } finally { exec.servingStop("sj"); () }
+    assert(exec.servingStatus("sj")("running") == false)
+  }
+
   test("uri templates resolve with variables") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val exec = new Exec(spark, fixtureCatalog(dir))

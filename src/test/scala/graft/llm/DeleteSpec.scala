@@ -219,6 +219,57 @@ class DeleteSpec extends AnyFunSuite {
     assert(run(dir) == run(freshDir))
   }
 
+  test("bm25 delete on a pre-sidecar (legacy) index degrades gracefully") {
+    val dir = tmp("bmlegacy")
+    val corpus = docs.select($"doc_id", $"text").filter($"doc_id" < 200)
+    Retrieval.bm25Build(corpus, "doc_id", "text", dir)
+    // simulate an index built before the empty_docs sidecar existed
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/empty_docs"))
+    assert(!new java.io.File(s"$dir/empty_docs").exists)
+    // deleting docs WITH postings stays exact (this corpus has no
+    // postings-invisible docs, so nothing is lost by the missing sidecar)
+    val victims = corpus.filter($"doc_id" % 11 === 4).select("doc_id")
+    val n = victims.count()
+    assert(Retrieval.bm25Delete(victims, "doc_id", dir) == n)
+    val freshDir = tmp("bmlegacyfresh")
+    Retrieval.bm25Build(corpus.filter($"doc_id" % 11 =!= 4),
+      "doc_id", "text", freshDir)
+    val terms = Seq("spark", "stream", "window")
+    def run(d: String) = Retrieval.bm25TopKIndexed(spark, d, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(run(dir) == run(freshDir))
+  }
+
+  test("delete composes with a metadata-carrying (filtered) index") {
+    val dir = tmp("ivfmetadel")
+    val corpus = emb.filter($"vec_id" < 300)
+      .withColumn("flag", ($"vec_id" % 2).cast("int"))
+    Similarity.ivfBuild(corpus, "vec_id", "embedding", dir,
+      kLists = 4, metaCols = Seq("flag"))
+    val q = qVec(0)
+    assert(Similarity.annDelete(spark, dir, Seq(2L, 4L, 6L)) == 3L)
+    // the filtered probe's predicate AND the tombstone anti-join both
+    // apply — equals filtered brute force over the surviving corpus
+    val got = Similarity.ivfQueryFiltered(spark, dir, q, 8,
+        col("flag") === 0, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val surv = corpus.filter(!$"vec_id".isin(2L, 4L, 6L) && $"flag" === 0)
+    val brute = Similarity.bruteForceTopK(surv, "vec_id", "embedding", q, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"$got != $brute")
+    // compaction keeps the metadata columns AND drops the tombstones
+    Similarity.compactIndex(spark, dir, "ivf")
+    val cols = spark.read.parquet(s"$dir/vectors").columns.toSet
+    assert(cols.contains("flag"))
+    assert(Similarity.ivfQueryFiltered(spark, dir, q, 8,
+        col("flag") === 0, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet == brute)
+  }
+
   test("bm25 compaction after delete: physical drop, netted df, cleared tombstones, same answers") {
     val dir = tmp("bmcompdel")
     val corpus = docs.select($"doc_id", $"text").filter($"doc_id" < 400)
