@@ -273,6 +273,19 @@ object SparkEntry {
         llm.Unigram.train(docs, "text", vocabSize = 96, maxPieceLen = 8,
           seedSize = 192, iters = 2)._1)
 
+  /** Memoized corpus-trained BPE merge tables per (sfDir, mode) — the
+    * memoWpVocab/memoUnigramVocab convention: the segment/decode/
+    * roundtrip SERVING rows (bpe_segment, bpe_decode,
+    * bpe_byte_roundtrip) stop re-training per bench pass; training
+    * stays measured in bpe_learn (which learns BOTH the planted
+    * contract and the full corpus table, unmemoized). */
+  private val bpeMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[llm.Bpe.Merge]]()
+  private def memoBpeMerges(docs: DataFrame, key: String, numMerges: Int,
+                            byteLevel: Boolean = false): Seq[llm.Bpe.Merge] =
+    bpeMergeMemo.computeIfAbsent(key, _ =>
+      llm.Bpe.learnMerges(docs, "text", numMerges, byteLevel = byteLevel))
+
   /** documents re-shaped into LINE-structured text (normalized tokens in
     * 8-token lines) with a shared boilerplate footer planted on every
     * doc_id % 5 == 0 — the corpus-wide duplicated line the C4-style
@@ -1037,7 +1050,7 @@ object SparkEntry {
       val ex = llm.Bpe.segment(Seq((1L, "lowest")).toDF("doc_id", "text"),
         "doc_id", "text", tm).head().getString(2) == "lo w est</w>"
       val docs = t(s, dir, "documents")
-      val cm = llm.Bpe.learnMerges(docs, "text", 8)
+      val cm = memoBpeMerges(docs, s"$dir#bpe8", numMerges = 8)
       val seg = llm.Bpe.segment(docs, "doc_id", "text", cm)
       val nDocs = docs.filter(length(trim(col("text"))) > 0).count()
       val covered = seg.filter(col("n_pieces") > 0).count() == nDocs
@@ -1647,7 +1660,7 @@ object SparkEntry {
     // only concatenate) — a hard value oracle with no contract rows
     "bpe_decode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = llm.Bpe.learnMerges(docs, "text", 8)
+      val merges = memoBpeMerges(docs, s"$dir#bpe8", numMerges = 8)
       llm.Bpe.decode(
         llm.Bpe.segment(docs, "doc_id", "text", merges), "id", "pieces")
     }),
@@ -1658,7 +1671,8 @@ object SparkEntry {
     // losslessness law as a hard corpus-wide value oracle.
     "bpe_byte_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = llm.Bpe.learnMerges(docs, "text", 8, byteLevel = true)
+      val merges = memoBpeMerges(docs, s"$dir#bpeB8", numMerges = 8,
+        byteLevel = true)
       llm.Bpe.decodeByte(
         llm.Bpe.segmentByte(docs, "doc_id", "text", merges), "id", "pieces")
     }),

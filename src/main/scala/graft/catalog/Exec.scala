@@ -298,6 +298,16 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   private val servingQueries = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
 
+  // names with a servingStart IN FLIGHT: the atomic reservation that
+  // closes the check-then-register window between the isActive guard and
+  // `servingQueries(name) = q` — two concurrent starts on a fresh
+  // checkpoint (no metadata yet, so Spark's same-query-id backstop does
+  // not apply) could otherwise both pass the guard and double-launch one
+  // checkpoint, orphaning a StreamingQuery handle. putIfAbsent wins or
+  // 409s; the reservation is released on every exit path.
+  private val servingStarting =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   private def servingVarStr(j: ServingJob, k: String): Option[String] =
     j.variables.get(k).map(_.toString).filter(_.nonEmpty)
   private def servingVarInt(j: ServingJob, k: String): Option[Int] =
@@ -351,6 +361,11 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
   def servingStart(name: String): Map[String, Any] = {
     val j = catalog.servingjobs.getOrElse(name,
       throw new NoSuchElementException(s"unknown servingjob: $name"))
+    if (servingStarting.putIfAbsent(name, ()).isDefined)
+      throw new IllegalStateException(
+        s"servingjob $name is already starting — one live stream per " +
+          "checkpoint, the single-writer contract")
+    try {
     servingQueries.get(name).filter(_.isActive).foreach { _ =>
       throw new IllegalStateException(
         s"servingjob $name is already running — stop it first " +
@@ -412,6 +427,7 @@ final class Exec(spark: SparkSession, val catalog: Catalog) {
     servingQueries(name) = q
     Map("servingjob" -> name, "kind" -> j.kind, "running" -> true,
       "query_id" -> q.id.toString, "output" -> output)
+    } finally { servingStarting.remove(name); () }
   }
 
   /** Live status of a catalog serving job: whether its stream is active,

@@ -64,20 +64,46 @@ object Classifier {
         s"lrTrain: ${dims.head.getLong(1) - dims.head.getLong(2)} rows have null labels")
       val dim = dims.head.getInt(0) - 1
       val n = dims.head.getLong(1).toDouble
-      var w = new Array[Double](dim + 1)
-      var it = 0
-      while (it < iters) {
-        val err = sigmoid(graft.functions.VectorF.dot(col("x"),
-          typedLit(w.toSeq))) - col("y")
-        // the whole gradient as ONE array-buffered aggregation
-        // (VecSumAgg: Σ err·x with map-side partials) — the r12 shape
-        // exploded dim+1 rows per record and shuffled per-dimension keys
-        val grad = data.agg(graft.functions.VecAggF.vecSum(col("x"), err))
-          .head().getSeq[Double](0)
-        w = w.zipWithIndex.map { case (wi, d) => wi - lr / n * grad(d) }
-        it += 1
-      }
-      LrModel(w.init, w.last)
+      // the GD loop runs treeAggregate over a cached primitive RDD —
+      // the MLlib training shape. The former per-iteration DataFrame
+      // aggregate embedded the weights as plan literals, so every one
+      // of the `iters` passes re-ran Catalyst optimize + whole-stage
+      // codegen compile on a fresh plan (~2 scheduler jobs each; the
+      // profile read 69 jobs for 0.18 s of task work). A closure over
+      // cached double arrays is the documented training-boundary
+      // exception to the no-closures rule (the mapPartitions-at-codec/
+      // training-boundaries convention) — per-partition partials, one
+      // job per iteration, no per-iteration planning. Weights remain
+      // deterministic up to float summation order, as before.
+      val rdd = data.select(col("x"), col("y"))
+        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var w = new Array[Double](dim + 1)
+        var it = 0
+        while (it < iters) {
+          val wB = w
+          val grad = rdd.treeAggregate(new Array[Double](dim + 1))(
+            seqOp = { (acc, xy) =>
+              val (x, y) = xy
+              var z = 0.0
+              var i = 0
+              while (i < x.length) { z += wB(i) * x(i); i += 1 }
+              val err = 1.0 / (1.0 + math.exp(-z)) - y
+              i = 0
+              while (i < x.length) { acc(i) += err * x(i); i += 1 }
+              acc
+            },
+            combOp = { (a, b) =>
+              var i = 0
+              while (i < a.length) { a(i) += b(i); i += 1 }
+              a
+            })
+          w = w.zipWithIndex.map { case (wi, d) => wi - lr / n * grad(d) }
+          it += 1
+        }
+        LrModel(w.init, w.last)
+      } finally { rdd.unpersist(); () }
     } finally { data.unpersist(); () }
   }
 
@@ -94,13 +120,19 @@ object Classifier {
     lrScore(df, idCol, vecCol, model)
       .select(col("id"), (col("score") >= 0.5).as("label"))
 
-  /** Fraction of rows whose prediction matches the 0/1 label. */
+  /** Fraction of rows whose prediction matches the 0/1 label. One
+    * map-only projection + scalar aggregate: prediction and truth come
+    * off the SAME row, so the former self-join (a full id-keyed
+    * shuffle of the corpus to re-attach a column the row already had)
+    * is dropped — same value, zero exchanges (guide §2.4). The
+    * prediction replicates [[lrScore]] exactly: round to 6 THEN
+    * threshold. */
   def accuracy(df: DataFrame, idCol: String, vecCol: String,
                labelCol: String, model: LrModel): Double = {
-    val joined = lrPredict(df, idCol, vecCol, model)
-      .join(df.select(col(idCol).as("id"),
-        (col(labelCol).cast("double") >= 0.5).as("truth")), "id")
-    joined.agg(avg(when(col("label") === col("truth"), 1.0).otherwise(0.0)))
+    val pred = round(sigmoid(graft.functions.VectorF.dot(col(vecCol),
+      typedLit(model.weights.toSeq)) + lit(model.bias)), 6) >= 0.5
+    val truth = col(labelCol).cast("double") >= 0.5
+    df.agg(avg(when(pred === truth, 1.0).otherwise(0.0)))
       .head().getDouble(0)
   }
 }

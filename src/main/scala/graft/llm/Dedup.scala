@@ -66,6 +66,23 @@ object Dedup {
   private def hashedShingles(sh: DataFrame): DataFrame =
     sh.select(col("id"), explode(col("hs")).as("h"))
 
+  /** Lazily materialize a multi-consumer intermediate exactly once:
+    * `localCheckpoint(eager = false)` persists the partitions on first
+    * materialization (MEMORY_AND_DISK) and truncates lineage, so the
+    * other plan branches read blocks instead of re-running the
+    * computation — AQE's stage reuse declines to dedupe these branches
+    * (measured: the simhash signature projection, the shingle
+    * hash+sort, and the postings window chain each executed once PER
+    * CONSUMER; guide §2.4 — remove recomputed passes). Lazy (not
+    * eager) so no extra job is scheduled and single-action queries keep
+    * their parallel-branch overlap; blocks are dropped by the
+    * ContextCleaner when the query's DataFrames go out of scope. At
+    * 100 TB this trades one executor-local spill of the intermediate
+    * (which the next operator was about to shuffle anyway) for N-1 full
+    * recomputes of the corpus-wide projection feeding it. */
+  private def shared(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** Exact near-duplicate pairs by word-n-gram Jaccard, via an inverted
     * shingle join (each shared shingle is a join key). Joins on hashed
     * shingles, so the shuffle carries longs, not strings.
@@ -122,7 +139,9 @@ object Dedup {
                                    threshold: Double, n: Int = 3,
                                    maxDocFreq: Long = 1000L): JaccardStages = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleDf(df, idCol, textCol, n)
+    // sh feeds the inverted index AND both verify joins — three
+    // consumers of one heavy shingle-hash projection; see [[shared]]
+    val sh = shared(shingleDf(df, idCol, textCol, n))
     val ex = hashedShingles(sh)
     val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
     // the df-cap applies HERE, before any per-key array materializes: a
@@ -240,7 +259,8 @@ object Dedup {
                    threshold: Double, n: Int = 3,
                    numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sh = shingleDf(df, idCol, textCol, n)
+    // sh feeds the signatures AND both verify joins; see [[shared]]
+    val sh = shared(shingleDf(df, idCol, textCol, n))
     val sigs = minhashSigs(sh, numHashes)
     // band hash = xxhash64 over the band's signature slice + band index
     // (element values identical to the former per-column form, so band
@@ -302,14 +322,16 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairs: threshold must be in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleDf(df, idCol, textCol, n)
+    // sh feeds the postings AND both verify joins; withPos feeds the
+    // probe AND index sides of the candidate join; see [[shared]]
+    val sh = shared(shingleDf(df, idCol, textCol, n))
     val ex = hashedShingles(sh)
     val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
     val capped = ex.join(dfh, "h").filter(col("dfh") <= maxDocFreq)
     val w = Window.partitionBy("id").orderBy("dfh", "h")
-    val withPos = capped
+    val withPos = shared(capped
       .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id"))))
     // contained-side probe: the prefix lemma on A (overlap ≥ ⌈t·|A|⌉ must
     // touch A's first |A|−⌈t·|A|⌉+1 shingles under the global order);
     // same ceil-epsilon guard as jaccardStages
@@ -392,8 +414,9 @@ object Dedup {
                           textCol: String, threshold: Double, n: Int = 3,
                           maxDocFreq: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shL = shingleDf(df, idCol, textCol, n)
-    val shR = shingleDf(ref, idCol, textCol, n)
+    // each side feeds its postings branch AND a verify join; see [[shared]]
+    val shL = shared(shingleDf(df, idCol, textCol, n))
+    val shR = shared(shingleDf(ref, idCol, textCol, n))
     val ex = hashedShingles(shL).withColumn("side", lit(0))
       .unionByName(hashedShingles(shR).withColumn("side", lit(1)))
     val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
@@ -460,16 +483,18 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairsAgainst: threshold must be in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    val shL = shingleDf(df, idCol, textCol, n)
-    val shR = shingleDf(ref, idCol, textCol, n)
+    // each side feeds its postings branch AND a verify join; withPos
+    // feeds the probe AND index sides; see [[shared]]
+    val shL = shared(shingleDf(df, idCol, textCol, n))
+    val shR = shared(shingleDf(ref, idCol, textCol, n))
     val ex = hashedShingles(shL).withColumn("side", lit(0))
       .unionByName(hashedShingles(shR).withColumn("side", lit(1)))
     val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
     val capped = ex.join(dfh, "h").filter(col("dfh") <= maxDocFreq)
     val w = Window.partitionBy("side", "id").orderBy("dfh", "h")
-    val withPos = capped
+    val withPos = shared(capped
       .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("side", "id")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("side", "id"))))
     val probe = withPos.filter(col("side") === 0)
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
       .select(col("id").as("id_a"), col("h"),
@@ -514,8 +539,9 @@ object Dedup {
                           textCol: String, threshold: Double, n: Int = 3,
                           numHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val shL = shingleDf(df, idCol, textCol, n)
-    val shR = shingleDf(ref, idCol, textCol, n)
+    // each side feeds its band buckets AND a verify join; see [[shared]]
+    val shL = shared(shingleDf(df, idCol, textCol, n))
+    val shR = shared(shingleDf(ref, idCol, textCol, n))
     def bandBuckets(sh: DataFrame): DataFrame = {
       val sigs = minhashSigs(sh, numHashes)
       val bandCols = (0 until numBands).map { b =>
@@ -590,11 +616,14 @@ object Dedup {
   private def hamming64Pairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"hamming64Pairs: the 4-band pigeonhole covers maxHamming 0..3, got $maxHamming")
-    val chunks = sigs.select(col("id"), col("sig"),
+    // the self-join consumes chunks twice — and the signature
+    // projection feeding it (simhash token-vote / image decode+hash) is
+    // the expensive part; see [[shared]]
+    val chunks = shared(sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("c"))
-      .select(col("id"), col("sig"), col("c.band"), col("c.chunk"))
+      .select(col("id"), col("sig"), col("c.band"), col("c.chunk")))
     chunks.as("a").join(chunks.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
@@ -733,18 +762,21 @@ object Dedup {
     if (dimRow.isEmpty) return emptyResult
     val dim = dimRow.head.getInt(0)
     val planes = Similarity.hyperplanes(numBands * bitsPerBand, dim)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("norm", VectorF.norm(col("v")))
+    // v feeds the banding AND both verify joins; see [[shared]]
+    val v = shared(df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", VectorF.norm(col("v"))))
     // bucket join on ids ONLY — the band explode and shuffle never carry
     // the embedding vector (same discipline as minhashPairs' shingles);
     // features come back via candidate joins for the exact-cosine verify.
     // All 128 sign bits come from ONE native expression — the composed
     // per-plane form was ~10k expression nodes whose optimize+codegen time
     // dwarfed the row work (see [[graft.functions.HyperplaneBands]]).
-    val buckets = v
+    // the self-join consumes buckets twice — and the 128-bit
+    // hyperplane signature projection is the expensive part; see [[shared]]
+    val buckets = shared(v
       .select(col("id"), posexplode(
         graft.functions.HyperplaneF.bands(col("v"), numBands, bitsPerBand, planes)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh")))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -800,8 +832,15 @@ object Dedup {
         .as("e"))
       .select(col("e.id"), col("e.nbr"))
       .persist()
-    var labels = edges.select(col("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
+    // init = the FIRST propagation round fused into the label build:
+    // rep₀ = min(id, min neighbor) — exactly what the old identity init
+    // (rep = id) produced after its first join round, for the same
+    // groupBy cost as the distinct() it replaces. Saves one full
+    // join+checkpoint+convergence round per call (near-dup components
+    // are shallow, so that was ~a third of the loop; guide §2.4).
+    // `least` is min, so string ids keep the lexicographic convention.
+    var labels = edges.groupBy(col("id"))
+      .agg(least(col("id"), min(col("nbr"))).as("rep")).localCheckpoint()
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -862,9 +901,10 @@ object Dedup {
                     threshold: Double, kClusters: Int = 64,
                     trainSample: Int = 4096): DataFrame = {
     import graft.functions.VectorF
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol,
+    // the self-join consumes the k-argmin assignment twice; see [[shared]]
+    val assigned = shared(Similarity.ivfAssign(df, idCol, vecCol,
         Similarity.trainCentroids(df, idCol, vecCol, kClusters, trainSample))
-      .withColumn("norm", VectorF.norm(col("v")))
+      .withColumn("norm", VectorF.norm(col("v"))))
     assigned.as("a").join(assigned.as("b"),
         col("a.list") === col("b.list") && col("a.id") < col("b.id"))
       .withColumn("cos",

@@ -27,17 +27,27 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** One (id, gram) row per unigram AND adjacent bigram of the
-    * normalized text — the DSIR feature space. Bigrams come from two
-    * codegen'd slices + arrays_zip (never a higher-order transform). */
+    * normalized text — the DSIR feature space, in ONE corpus scan.
+    * The former shape unioned a unigram branch with a bigram branch,
+    * which planned (and at 100 TB paid) TWO full scans per corpus
+    * side (guide §2.4: remove passes outright). Here each token
+    * position zips with its successor (null-padded, codegen'd slices —
+    * no higher-order transform) and emits its unigram plus, when a
+    * successor exists, the "p w" bigram, via a second row-local
+    * Generate — same gram multiset, half the scans. */
   private def gramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))
-    val uni = df.select(col(idCol).as("id"), explode(toks).as("gram"))
-    val bi = df.filter(size(toks) >= 2)
-      .select(col(idCol).as("id"), explode(arrays_zip(
-        slice(toks, lit(1), size(toks) - 1).as("p"),
-        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
-      .select(col("id"), concat(col("bg.p"), lit(" "), col("bg.w")).as("gram"))
-    uni.unionByName(bi)
+    // successor array = toks shifted left, null-padded to EXACTLY
+    // size(toks) (slice of the appended sentinel — an empty toks array
+    // yields an empty zip, not a padded null row)
+    val z = df.select(col(idCol).as("id"), explode(arrays_zip(
+        toks.as("t"),
+        slice(concat(toks, array(lit(null).cast("string"))),
+          lit(2), size(toks)).as("nx"))).as("z"))
+    z.select(col("id"), explode(
+        when(col("z.nx").isNull, array(col("z.t")))
+          .otherwise(array(col("z.t"),
+            concat(col("z.t"), lit(" "), col("z.nx"))))).as("gram"))
   }
 
   private def bucketed(df: DataFrame, idCol: String, textCol: String,
@@ -46,17 +56,19 @@ object Dsir {
       .select(col("id"), Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
 
   /** Target-side buckets: the target LM needs gram counts only — no id
-    * column is required of the target corpus. */
+    * column is required of the target corpus. Same single-scan gram
+    * generation as [[gramRows]]. */
   private def bucketedAnon(df: DataFrame, textCol: String,
                            buckets: Int, seed: Long): DataFrame = {
     val toks = TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))
-    val uni = df.select(explode(toks).as("gram"))
-    val bi = df.filter(size(toks) >= 2)
-      .select(explode(arrays_zip(
-        slice(toks, lit(1), size(toks) - 1).as("p"),
-        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
-      .select(concat(col("bg.p"), lit(" "), col("bg.w")).as("gram"))
-    uni.unionByName(bi)
+    val z = df.select(explode(arrays_zip(
+        toks.as("t"),
+        slice(concat(toks, array(lit(null).cast("string"))),
+          lit(2), size(toks)).as("nx"))).as("z"))
+    z.select(explode(
+        when(col("z.nx").isNull, array(col("z.t")))
+          .otherwise(array(col("z.t"),
+            concat(col("z.t"), lit(" "), col("z.nx"))))).as("gram"))
       .select(Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
   }
 
@@ -69,20 +81,27 @@ object Dsir {
   def fit(source: DataFrame, target: DataFrame, textCol: String,
           buckets: Int = 1024, seed: Long = 7L): DataFrame = {
     require(buckets > 0, s"Dsir.fit: buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
     val spark = source.sparkSession
     val cs = bucketedAnon(source, textCol, buckets, seed)
       .groupBy("b").agg(count(lit(1)).as("cs"))
     val ct = bucketedAnon(target, textCol, buckets, seed)
       .groupBy("b").agg(count(lit(1)).as("ct"))
-    // both totals coalesce to 0 — an EMPTY corpus on either side leaves
-    // the add-one smoothing fully defined (lr = uniform-vs-uniform)
-    // instead of a NULL ns silently nulling every bucket's lr
-    val tot = cs.agg(coalesce(sum(col("cs")), lit(0L)).as("ns"))
-      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+    // totals as ONE window over the complete ≤`buckets`-row table (the
+    // shardAssign constant-key idiom — non-foldable, driver-scale input
+    // by design) instead of the former crossJoin of two scalar
+    // aggregates: that shape re-planned — and, with AQE declining to
+    // reuse the union'd gram stages, re-EXECUTED — the full gram
+    // explode+aggregate of each corpus side a second time (8 corpus
+    // scans / 32 exchanges for one dsir_scores; guide §2.4). Missing
+    // buckets join as 0 and add nothing, so the window sums equal the
+    // old per-side totals exactly (empty corpora included: ns = 0).
+    val w = Window.partitionBy(pmod(col("b"), lit(1)))
     spark.range(buckets).select(col("id").as("b"))
       .join(cs, Seq("b"), "left").na.fill(0L, Seq("cs"))
       .join(ct, Seq("b"), "left").na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(tot))
+      .select(col("b"), col("cs"), col("ct"),
+        sum(col("cs")).over(w).as("ns"), sum(col("ct")).over(w).as("nt"))
       .select(col("b"),
         (log((col("ct") + 1.0) / (col("nt") + buckets.toLong)) -
          log((col("cs") + 1.0) / (col("ns") + buckets.toLong))).as("lr"))

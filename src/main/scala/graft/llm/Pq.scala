@@ -518,8 +518,12 @@ object Pq {
       .filterNot(Set("id", "list", "codes")).toSeq
     val vecs = src.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("v"))
-    // dim fence before any distributed work (one row's worth of source)
-    val sampleDim = vecs.select(size(col("v"))).head().getInt(0)
+    // dim fence before any distributed work (one row's worth of source);
+    // an EMPTY source fails here with its own message, not head()'s bare
+    // NoSuchElementException. Rows 2..n are fenced distributedly below.
+    val sampleRow = vecs.select(size(col("v"))).limit(1).collect()
+    require(sampleRow.nonEmpty, "ivfPqAddSidecar: empty source frame")
+    val sampleDim = sampleRow.head.getInt(0)
     require(sampleDim == dim,
       s"ivfPqAddSidecar: source vector dim $sampleDim != index dim $dim")
     val assignment =
@@ -541,14 +545,29 @@ object Pq {
     // every index row must have exactly one float — fewer means the
     // source lost ids since build, more means duplicate source ids;
     // both corrupt reranks silently if let through
-    // ONE aggregate pass over the staged write covers both invariants
-    // (the distinct count catches the pathological shape a bare
-    // row-count compare misses: k duplicated source ids cancelling k
-    // missing ones) — at backfill scale a second corpus-sized
+    // ONE aggregate pass over the staged write covers all three
+    // invariants (the distinct count catches the pathological shape a
+    // bare row-count compare misses: k duplicated source ids cancelling
+    // k missing ones; the misdim count fences ragged vectors beyond the
+    // sampled first row, which would otherwise corrupt every refined
+    // rerank dot product) — at backfill scale a second corpus-sized
     // validation scan would roughly double the check's cost
     val vRow = spark.read.parquet(staging.toString)
-      .agg(count(lit(1)), count_distinct(col("id"))).head()
-    val (written, writtenDistinct) = (vRow.getLong(0), vRow.getLong(1))
+      .agg(count(lit(1)), count_distinct(col("id")),
+        count(when(size(col("v")) =!= dim || col("v").isNull, 1)))
+      .head()
+    val (written, writtenDistinct, misdim) =
+      (vRow.getLong(0), vRow.getLong(1), vRow.getLong(2))
+    if (misdim > 0) {
+      val bad = spark.read.parquet(staging.toString)
+        .filter(size(col("v")) =!= dim || col("v").isNull)
+        .select("id").limit(5).collect().map(_.getLong(0))
+      fs.delete(staging, true)
+      throw new IllegalArgumentException(
+        s"ivfPqAddSidecar: $misdim source vectors are null or not dim " +
+          s"$dim (sample ids: ${bad.mkString(",")}) — a ragged sidecar " +
+          "would corrupt every refined rerank")
+    }
     val nCodes = idx.vectors.count()
     if (written != nCodes || writtenDistinct != nCodes) {
       val stagedIds = spark.read.parquet(staging.toString).select("id")
@@ -1234,11 +1253,25 @@ object Pq {
     * ONCE per session, and ONLY when the conf still holds Spark's
     * default (10): an operator who pinned a value keeps it. Idempotent;
     * the raised value covers the largest nomination budget a chunked
-    * refined probe emits (256-query chunks × k × rerankFactor). */
+    * refined probe emits (256-query chunks × k × rerankFactor).
+    *
+    * Scoping the override to the rerank scan alone is not possible from
+    * here — the conf is consulted when the returned (lazy) DataFrame is
+    * planned at action time, after this method has returned — so the
+    * session-wide change is logged ONCE at WARN: an operator seeing
+    * unrelated scans evaluate a large In per row group gets the
+    * breadcrumb instead of an invisible side effect. */
+  private val inPushdownLogged = new java.util.concurrent.atomic.AtomicBoolean
   private def ensureInPushdown(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (spark.conf.get(key, "10") == "10") spark.conf.set(key, "262144")
+    if (spark.conf.get(key, "10") == "10") {
+      spark.conf.set(key, "262144")
+      if (inPushdownLogged.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"refined probe raised session conf $key 10 -> 262144 (covers " +
+            "the nominee-id In pushdown; set the conf explicitly to pin)")
+    }
   }
 
   /** Exact-cosine scoring of (qid, id, v) candidate rows against a

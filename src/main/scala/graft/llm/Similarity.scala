@@ -880,12 +880,25 @@ object Similarity {
     * whose rewritten index must keep fencing replays of batches it
     * already contains. Original mtimes are restored ([[commitStagedAppend]]
     * prunes oldest-first by mtime; recreating every fence at "now" would
-    * make future pruning order arbitrary). */
+    * make future pruning order arbitrary).
+    *
+    * DELETE fences (`_append-del-*`) are deliberately NOT carried: every
+    * caller of this helper is a tombstone-CLEARING rewrite (compaction /
+    * retrain — the point after which a deleted id may legitimately
+    * re-appear), and a surviving del fence would silently no-op a
+    * RE-ISSUED delete of the same id set (same order-insensitive fence
+    * id) while annDelete/bm25Delete still report its ids as newly
+    * tombstoned — a re-appended victim keeps serving. Post-commit
+    * idempotence of a delete never needed the marker (the
+    * wanted-minus-tombstones anti-join is a set filter); it only fences
+    * one crash/retry window, which cannot span a compaction (both are
+    * single-writer maintenance verbs). */
   private[llm] def carryAppendFences(fs: org.apache.hadoop.fs.FileSystem,
                                 liveVec: org.apache.hadoop.fs.Path)
       : String => Unit = {
     val fences = fs.listStatus(liveVec)
       .filter(_.getPath.getName.startsWith("_append-"))
+      .filterNot(_.getPath.getName.startsWith("_append-del-"))
       .map(st => (st.getPath.getName, st.getModificationTime))
     stagedVec => fences.foreach { case (n, mtime) =>
       val p = new org.apache.hadoop.fs.Path(s"$stagedVec/$n")

@@ -83,7 +83,10 @@ object Unigram {
   def rankVocab(df: DataFrame, textCol: String, maxPieceLen: Int = 8,
                 topMulti: Int = 64): Seq[Piece] = {
     require(topMulti > 0, s"rankVocab: topMulti must be positive, got $topMulti")
+    // two collects off one substring-explode aggregate — materialize it
+    // once (see trainWords)
     val seeds = seedCounts(df, textCol, maxPieceLen)
+      .localCheckpoint(eager = false)
     val multi = seeds.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece").asc).limit(topMulti)
       .collect().zipWithIndex.map { case (r, i) =>
@@ -158,7 +161,12 @@ object Unigram {
     require(iters >= 1, s"train: iters must be >= 1, got $iters")
     val words = wordsIn.persist()
     try {
+      // the seed-candidate table feeds TWO collects (multi + chars);
+      // without the lazy localCheckpoint the substring explode+aggregate
+      // (len² rows per word — the expensive pass here) runs once per
+      // collect (guide §2.4)
       val seeds = seedCountsFromWords(words, maxPieceLen)
+        .localCheckpoint(eager = false)
       val multi = seeds.filter(length(col("piece")) >= 2)
         .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -86,20 +86,32 @@ object WordPiece {
       var rank = 0
       var done = false
       while (rank < numMerges && !done) {
-        // pair counts and unary symbol counts: two vocabulary-sized
-        // aggregations off the cached state, joined vocab-to-vocab —
-        // corpus scale never enters the loop
-        val pairs = state.filter(size(col("syms")) >= 2)
-          .select(explode(arrays_zip(
-            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
-            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"),
+        // pair counts AND unary symbol counts from ONE aggregation over
+        // ONE pass of the cached state (unary keys ride as r = null):
+        // the former two-aggregation form consumed the state THREE
+        // times per round (pairs + the two symCnt join branches), and
+        // AQE declines to reuse those stages — ~10 stage-jobs per merge
+        // where 3 suffice (guide §2.4). The aggregate is vocabulary-
+        // sized; the lazy localCheckpoint shares its one materialization
+        // across the pair filter and both unary join branches below.
+        // Frequencies are identical integer sums — the learned table is
+        // bit-for-bit the two-aggregation one's.
+        val stats = state
+          .select(explode(concat(
+            arrays_zip(
+              slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+              slice(col("syms"), lit(2), size(col("syms")) - 1).as("r")),
+            arrays_zip(col("syms").as("l"),
+              array_repeat(lit(null).cast("string"), size(col("syms")))
+                .as("r")))).as("p"),
             col("n"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("n")).as("freq"))
+          .localCheckpoint(eager = false)
+        val pairs = stats.filter(col("r").isNotNull)
           .filter(col("freq") >= minCount)
-        val symCnt = state
-          .select(explode(col("syms")).as("sym"), col("n"))
-          .groupBy("sym").agg(sum(col("n")).as("cnt"))
+        val symCnt = stats.filter(col("r").isNull)
+          .select(col("l").as("sym"), col("freq").as("cnt"))
         val top = pairs
           .join(symCnt.withColumnRenamed("sym", "l")
             .withColumnRenamed("cnt", "lcnt"), Seq("l"))

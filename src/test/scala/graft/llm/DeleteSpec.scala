@@ -108,6 +108,34 @@ class DeleteSpec extends AnyFunSuite {
     assert(Similarity.compactIndex(spark, dir, "lsh").tombstonesCleared == 0L)
   }
 
+  test("re-issued delete after compact+re-append takes effect (del fences do not outlive their tombstones)") {
+    // the round-20 ADVICE-high repro: delete → compact (clears
+    // tombstones) → legitimately re-append the ids → re-issue the SAME
+    // id set. The identical order-insensitive fence id used to hit the
+    // carried _append-del-* marker, turning the second delete into a
+    // silent no-op that still reported its ids newly tombstoned — the
+    // re-appended victims kept serving. carryAppendFences now drops del
+    // fences at every tombstone-clearing rewrite.
+    val dir = tmp("redel")
+    val corpus = emb.filter($"vec_id" < 300)
+    Similarity.lshBuild(corpus, "vec_id", "embedding", dir,
+      nBits = 8, dim = 64, partitionBits = 4)
+    val victims = Seq(5L, 6L, 7L)
+    assert(Similarity.annDelete(spark, dir, victims) == 3L)
+    Similarity.compactIndex(spark, dir, "lsh")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // the documented supported sequence: re-append after the clear
+    Similarity.lshAppend(corpus.filter($"vec_id".isin(victims: _*)),
+      "vec_id", "embedding", dir)
+    assert(ids(Similarity.lshQuery(spark, dir, qVec(5), 10)).contains(5L),
+      "re-appended row must serve again")
+    // the same takedown re-issued (idempotent GDPR pipeline shape)
+    assert(Similarity.annDelete(spark, dir, victims) == 3L)
+    val got = ids(Similarity.lshQuery(spark, dir, qVec(5), 10))
+    assert(victims.forall(v => !got.contains(v)),
+      s"re-issued delete must tombstone the re-appended ids, got $got")
+  }
+
   test("ivf retrain drops tombstoned rows and clears the sidecar") {
     val dir = tmp("retraindel")
     Similarity.ivfBuild(emb.filter($"vec_id" < 300), "vec_id", "embedding",
