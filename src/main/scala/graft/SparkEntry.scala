@@ -1588,10 +1588,14 @@ object SparkEntry {
       // trivially-edited doc is not new data), (3) the survivors get
       // balanced output shards for the incremental write.
       val (oldSnap, newSnap) = snapshots(s, dir)
+      // lazy localCheckpoint: `fresh` feeds the cross-corpus pair scan
+      // AND the survivors anti-join — without truncation the snapshot
+      // diff join ran once per consumer
       val fresh = newSnap.join(
         util.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text", "lang"))
           .filter(col("change") =!= "removed").select("doc_id"),
         Seq("doc_id"))
+        .localCheckpoint(eager = false)
       val surv = llm.Dedup.survivorsAgainst(fresh, "doc_id",
         llm.Dedup.minhashPairsAgainst(fresh, oldSnap, "doc_id", "text", 0.8))
       llm.Sampling.shardAssign(surv, "doc_id", "n_chars", 50000L)
@@ -1639,8 +1643,12 @@ object SparkEntry {
       val clean = docs
         .filter(round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6) >= 0.5)
         .filter(col("doc_id") % 23 =!= 0)
+      // lazy localCheckpoint: decontaminate consumes its corpus twice
+      // (the hits scan + the anti-join left side) — without truncation
+      // the quality→minhash-survivors chain ran once per consumer
       val surv = llm.Dedup.survivors(clean, "doc_id",
         llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
+        .localCheckpoint(eager = false)
       // localCheckpoint: temperatureMix scans its input twice (domain
       // counts + the keep filter) — without truncation each scan re-runs
       // the dedup + decontamination chain
@@ -1816,9 +1824,18 @@ object SparkEntry {
       val clean = docs
         .filter(round(llm.TextAnalysis.qualityScore(col("text"), col("n_chars")), 6) >= 0.5)
         .filter(col("doc_id") % 23 =!= 0)
+      // lazy localCheckpoint: decontaminate consumes its corpus twice —
+      // see pipeline_train_corpus
       val surv = llm.Dedup.survivors(clean, "doc_id",
         llm.Dedup.minhashPairs(clean, "doc_id", "text", 0.8))
+        .localCheckpoint(eager = false)
+      // localCheckpoint, as in pipeline_train_corpus: temperatureMix
+      // scans its input twice (domain counts + the keep filter) —
+      // without truncation the quality→dedup→decontamination chain ran
+      // ONCE PER SCAN in this row (train_corpus had the checkpoint,
+      // this composition predates it and never got one)
       val dec = llm.TextAnalysis.decontaminate(surv, "doc_id", "text", bench, "text", 8)
+        .localCheckpoint()
       val mixed = llm.Sampling.temperatureMix(dec, "doc_id", "lang",
         alpha = 0.5, seed = 13)
       val sampled = llm.Sampling.sampleByHash(mixed, "doc_id", 0.5, seed = 11)

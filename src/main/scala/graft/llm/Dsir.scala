@@ -27,27 +27,22 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** One (id, gram) row per unigram AND adjacent bigram of the
-    * normalized text — the DSIR feature space, in ONE corpus scan.
-    * The former shape unioned a unigram branch with a bigram branch,
-    * which planned (and at 100 TB paid) TWO full scans per corpus
-    * side (guide §2.4: remove passes outright). Here each token
-    * position zips with its successor (null-padded, codegen'd slices —
-    * no higher-order transform) and emits its unigram plus, when a
-    * successor exists, the "p w" bigram, via a second row-local
-    * Generate — same gram multiset, half the scans. */
+    * normalized text — the DSIR feature space. Bigrams come from two
+    * codegen'd slices + arrays_zip (never a higher-order transform).
+    * NOTE (round-21 measurement): a single-scan form (zip each token
+    * with its null-padded successor, emit 1-2 grams per position
+    * through a second Generate) was tried and REVERTED — the per-row
+    * struct+array allocation cost more than the second map-only scan
+    * it saved; the two branches here are simple explodes that overlap. */
   private def gramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))
-    // successor array = toks shifted left, null-padded to EXACTLY
-    // size(toks) (slice of the appended sentinel — an empty toks array
-    // yields an empty zip, not a padded null row)
-    val z = df.select(col(idCol).as("id"), explode(arrays_zip(
-        toks.as("t"),
-        slice(concat(toks, array(lit(null).cast("string"))),
-          lit(2), size(toks)).as("nx"))).as("z"))
-    z.select(col("id"), explode(
-        when(col("z.nx").isNull, array(col("z.t")))
-          .otherwise(array(col("z.t"),
-            concat(col("z.t"), lit(" "), col("z.nx"))))).as("gram"))
+    val uni = df.select(col(idCol).as("id"), explode(toks).as("gram"))
+    val bi = df.filter(size(toks) >= 2)
+      .select(col(idCol).as("id"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
+      .select(col("id"), concat(col("bg.p"), lit(" "), col("bg.w")).as("gram"))
+    uni.unionByName(bi)
   }
 
   private def bucketed(df: DataFrame, idCol: String, textCol: String,
@@ -56,19 +51,17 @@ object Dsir {
       .select(col("id"), Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
 
   /** Target-side buckets: the target LM needs gram counts only — no id
-    * column is required of the target corpus. Same single-scan gram
-    * generation as [[gramRows]]. */
+    * column is required of the target corpus. */
   private def bucketedAnon(df: DataFrame, textCol: String,
                            buckets: Int, seed: Long): DataFrame = {
     val toks = TextAnalysis.wsTokens(TextAnalysis.normText(col(textCol)))
-    val z = df.select(explode(arrays_zip(
-        toks.as("t"),
-        slice(concat(toks, array(lit(null).cast("string"))),
-          lit(2), size(toks)).as("nx"))).as("z"))
-    z.select(explode(
-        when(col("z.nx").isNull, array(col("z.t")))
-          .otherwise(array(col("z.t"),
-            concat(col("z.t"), lit(" "), col("z.nx"))))).as("gram"))
+    val uni = df.select(explode(toks).as("gram"))
+    val bi = df.filter(size(toks) >= 2)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("p"),
+        slice(toks, lit(2), size(toks) - 1).as("w"))).as("bg"))
+      .select(concat(col("bg.p"), lit(" "), col("bg.w")).as("gram"))
+    uni.unionByName(bi)
       .select(Sampling.hashBucketStr(col("gram"), seed, buckets).as("b"))
   }
 

@@ -374,21 +374,18 @@ object TextAnalysis {
     * with at least one token. */
   def lmUnigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
-    // the vocab MODEL table materializes once (localCheckpoint — the
-    // pipeline_train_corpus idiom): the former tf→vocab→tot derivation
-    // chain consumed tf three times and vocab twice, and with AQE
-    // declining to reuse those stages each consumer re-ran the full
-    // corpus explode+aggregate (guide §2.4: one corpus pass per
-    // statistic). The totals stay a parallel scalar aggregate — now
-    // over the materialized vocab blocks, not a corpus re-scan.
-    // Values are unchanged: same integer counts, same formula.
-    val vocab = df.select(explode(wsTokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
-    val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    // NOTE on shape (round-21 measurement): materializing the vocab
+    // model table once (localCheckpoint) was tried and REVERTED — the
+    // checkpoint boundary plans its subtree eagerly, opts it out of AQE,
+    // and serializes the plan's branches, costing more wall than the
+    // duplicated corpus explode it saved. The branches below recompute
+    // tf/vocab lineage per consumer by design; they overlap across
+    // idle cores.
     val tf = df
       .select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     tf.join(vocab, "w")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
@@ -441,13 +438,11 @@ object TextAnalysis {
       // high-cardinality bigram key — fully parallel at any scale.
       .withColumn("cb",
         sum(col("tf2")).over(Window.partitionBy(col("p"), col("w"))))
-    // unigram MODEL table materializes once (localCheckpoint): it feeds
-    // TWO join branches (context cp, word cw) plus the totals, and AQE
-    // declines to reuse those stages — each formerly re-ran the corpus
-    // explode. Totals stay a parallel aggregate over the blocks.
+    // the unigram table recomputes per consumer (cp, cw, totals) by
+    // design — a localCheckpoint here was tried and reverted (see
+    // lmUnigramScore); the branches overlap across idle cores
     val uni = df.select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
     val tot = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     tf2
       .join(uni.select(col("t").as("p"), col("c").as("cp")), Seq("p"))
@@ -621,14 +616,7 @@ object TextAnalysis {
       .select(col(idCol), col("bg.p").as("p"), col("bg.w").as("w"))
     val tf2 = bi.groupBy(col(idCol), col("p"), col("w"))
       .agg(count(lit(1)).as("tf2"))
-    // the bigram MODEL table (token count per type) materializes once
-    // (localCheckpoint): it feeds FOUR consumers — the cb join and the
-    // three type statistics below — and AQE declines to reuse those
-    // stages, so each formerly re-ran the corpus explode+aggregate
-    // chain (guide §2.4: one corpus pass per statistic). The type
-    // tables now derive from the materialized blocks.
     val cb = tf2.groupBy(col("p"), col("w")).agg(sum(col("tf2")).as("cb"))
-      .localCheckpoint(eager = false)
     // bigram TYPE counts: distinct continuations per context / distinct
     // contexts per word / total bigram types — all off the cb table
     val n1p = cb.groupBy(col("p")).agg(count(lit(1)).cast("double").as("n1p"))
@@ -687,24 +675,19 @@ object TextAnalysis {
         col("tg.w").as("w"))
     val tf3 = tri.groupBy(col(idCol), col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("tf3"))
-    // the trigram- and bigram-TYPE model tables materialize once
-    // (localCheckpoint): c3 feeds FOUR consumers (the c3 join + three
-    // type statistics) and cb another four (cuv + three), and AQE
-    // declines to reuse those stages — each formerly re-ran its full
-    // corpus explode+aggregate chain, putting ~10 corpus scans / 66
-    // exchanges in one lm_kn3_xent plan (guide §2.4: one corpus pass
-    // per statistic; the type derivations below now read materialized
-    // blocks).
+    // NOTE (round-21): lazily checkpointing c3/cb (each feeds four
+    // consumers) was tried and REVERTED — the checkpoint boundary
+    // plans its subtree eagerly, opts it out of AQE, and serializes
+    // the branches; the recomputed branches overlap across idle cores
+    // and win on wall at the benched core counts.
     val c3 = tf3.groupBy(col("u"), col("v"), col("w"))
       .agg(sum(col("tf3")).as("c3"))
-      .localCheckpoint(eager = false)
     val bi = df.filter(size(toks) >= 2)
       .select(explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1).as("p"),
         slice(toks, lit(2), size(toks) - 1).as("q"))).as("bg"))
       .select(col("bg.p").as("p"), col("bg.q").as("q"))
     val cb = bi.groupBy(col("p"), col("q")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint(eager = false)
     // type tables: all off the c3 / cb aggregates, never the raw corpus
     val n1pUv = c3.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).cast("double").as("n1p_uv"))
