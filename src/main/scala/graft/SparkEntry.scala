@@ -2726,8 +2726,11 @@ object SparkEntry {
       }
       val lex = llm.Retrieval.bm25TopKIndexed(s, idxDir,
         qtext.split(" ").toSeq, k = 20).select("id", "rnk")
+      // lazy localCheckpoint: emb feeds the cosine leg AND the MMR
+      // candidate join — hashEmbed (explode+agg+reassembly) ran twice
       val emb = llm.TextAnalysis.hashEmbed(docs, "doc_id", "text",
         dim = 16, seed = 7L)
+        .localCheckpoint(eager = false)
       val qvec = llm.TextAnalysis.hashEmbed(
         Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
         dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
@@ -2791,8 +2794,12 @@ object SparkEntry {
       val qvec = llm.TextAnalysis.hashEmbed(
         Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
         dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      // lazy localCheckpoint: the hybrid stage consumes its input for
+      // the BM25 leg, the cosine leg, AND the MMR candidate fetch —
+      // without truncation the docs⋈hashEmbed join ran once per leg
       val corpus = docs.select(col("doc_id"), col("text"))
         .join(emb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+        .localCheckpoint(eager = false)
       DflFrame.pipeline(corpus,
         s"hybrid(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 10, 0.7)",
         Map("q" -> qvec))
@@ -2940,8 +2947,11 @@ object SparkEntry {
       val qvec = llm.TextAnalysis.hashEmbed(
         Seq((0L, qtext)).toDF("doc_id", "text"), "doc_id", "text",
         dim = 16, seed = 7L).select("vec").as[Seq[Double]].head()
+      // lazy localCheckpoint — see dfl_hybrid: three stage legs consume
+      // the joined corpus
       val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
         .join(emb.select(col("doc_id"), col("vec")), Seq("doc_id"))
+        .localCheckpoint(eager = false)
       DflFrame.pipeline(corpus,
         s"""hybridFiltered(@, '@doc_id', '@text', '@vec', '$qtext', $$q, 10, "@lang == 'en'", 0.7)""",
         Map("q" -> qvec))
