@@ -75,10 +75,14 @@ object Bench {
       System.err.println(s"[bench] /tmp/bench.json write failed: ${e.getMessage}") }
     // the driver's artifact capture keeps only the output TAIL, which has
     // truncated away cold totals in past rounds — persist the UNTRUNCATED
-    // record into the repo as BENCH_SUMMARY_r{N}.json (N = current round,
-    // inferred from the driver's committed per-round artifacts) so every
+    // record into the repo as BENCH_SUMMARY_r{N}_c{cpus}.json (N = current
+    // round, inferred from the driver's committed per-round artifacts; the
+    // core count qualifies the name so a low-core scaling run can never
+    // clobber the round's full-core board — in round 21 the driver's
+    // 8-core run overwrote the 32-core board under one name) so every
     // round's full board is recoverable. Full-board runs only: a filtered
     // local iteration must not overwrite the round's artifact.
+    var detail = "/tmp/bench.json"
     if (only.isEmpty) {
       try {
         val repo = new java.io.File(
@@ -89,12 +93,22 @@ object Bench {
               .findFirstMatchIn(f).map(_.group(1).toInt)
           }
         val round = if (rounds.isEmpty) 0 else rounds.max + 1
+        val name = s"BENCH_SUMMARY_r${round}_c$cpus.json"
         java.nio.file.Files.write(
-          repo.toPath.resolve(s"BENCH_SUMMARY_r$round.json"),
+          repo.toPath.resolve(name),
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        detail = name
       } catch { case e: Throwable =>
         System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
     }
     println(line)
+    // the driver's tail capture keeps only the LAST ~2000 characters of
+    // stdout, so the full record above (≈15 KB at 279 queries) has parsed
+    // as null since round 20 — its FRONT (metric/value) is what gets cut.
+    // Emit a compact totals-only record as the FINAL line so the captured
+    // tail always holds one complete, parseable JSON line; the per-query
+    // detail lives untruncated in `detail`. Same values, same methodology
+    // — this is a measurement-REPORTING fix only (round-21 verdict #2).
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","sf":"$sfDir","cpus":$cpus,"warm_total":$warmTotal,"warm_min_total":$warmMinTotal,"n":${cold.size},"detail":"$detail"}""")
   }
 }

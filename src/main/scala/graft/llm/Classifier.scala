@@ -41,10 +41,14 @@ object Classifier {
     require(lr > 0, s"lrTrain: lr must be positive, got $lr")
     // bias folds in as a constant 1.0 feature, so each iteration is ONE
     // exploded aggregation (dim+1 gradient components, bias included)
+    // data is deliberately NOT cached: only the primitive RDD below is
+    // (one full training-set copy in executor storage, not two — the
+    // DataFrame is consumed exactly twice, once by the dims audit and
+    // once by the RDD build, and each is a single cheap source pass)
     val data = df.select(
       concat(col(vecCol).cast("array<double>"), array(lit(1.0))).as("x"),
-      col(labelCol).cast("double").as("y")).cache()
-    try {
+      col(labelCol).cast("double").as("y"))
+    locally {
       // One dimension-audit pass BEFORE anything reads a row: an empty
       // frame fails with the intended message (not head()'s bare
       // NoSuchElementException), and a corpus mixing vector lengths (or
@@ -104,7 +108,7 @@ object Classifier {
         }
         LrModel(w.init, w.last)
       } finally { rdd.unpersist(); () }
-    } finally { data.unpersist(); () }
+    }
   }
 
   /** `(id, score)` — σ(w·x + b) rounded to 6, one map-only projection. */

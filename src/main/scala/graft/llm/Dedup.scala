@@ -79,9 +79,27 @@ object Dedup {
     * ContextCleaner when the query's DataFrames go out of scope. At
     * 100 TB this trades one executor-local spill of the intermediate
     * (which the next operator was about to shuffle anyway) for N-1 full
-    * recomputes of the corpus-wide projection feeding it. */
-  private def shared(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = false)
+    * recomputes of the corpus-wide projection feeding it.
+    *
+    * FAULT-TOLERANCE TRADE (round-21 ADVICE): localCheckpoint blocks
+    * are executor-local and lineage is cut, so an executor loss fails
+    * the query instead of recomputing. On deployments where executor
+    * churn is routine (spot fleets, decommissioning), set
+    * `graft.dedup.shared.strategy=persist`: persist(MEMORY_AND_DISK)
+    * gives the same single materialization WITH lineage retained for
+    * recompute. It is not the default because CacheManager entries
+    * outlive the query's DataFrames (no ContextCleaner hook) — a
+    * many-query session accumulates cached subtrees until storage
+    * eviction, the wrong default for a long-lived serving session. */
+  private def shared(df: DataFrame): DataFrame = {
+    val strategy =
+      try df.sparkSession.conf.get("graft.dedup.shared.strategy",
+        "localCheckpoint")
+      catch { case _: Throwable => "localCheckpoint" }
+    if (strategy == "persist")
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df.localCheckpoint(eager = false)
+  }
 
   /** Exact near-duplicate pairs by word-n-gram Jaccard, via an inverted
     * shingle join (each shared shingle is a join key). Joins on hashed
@@ -839,8 +857,12 @@ object Dedup {
     // join+checkpoint+convergence round per call (near-dup components
     // are shallow, so that was ~a third of the loop; guide §2.4).
     // `least` is min, so string ids keep the lexicographic convention.
+    // LAZY checkpoint: the first loop round's one action below is what
+    // materializes the init blocks — an eager one here scheduled a
+    // dedicated extra job per call for the same materialization
     var labels = edges.groupBy(col("id"))
-      .agg(least(col("id"), min(col("nbr"))).as("rep")).localCheckpoint()
+      .agg(least(col("id"), min(col("nbr"))).as("rep"))
+      .localCheckpoint(eager = false)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
@@ -850,16 +872,23 @@ object Dedup {
       // branch carries its current rep as `prev` (every id occurs in
       // labels, so max(prev) recovers it through the same groupBy that
       // computes the new min-label), and "any label changed" becomes a
-      // scan-count over the just-checkpointed result — one join per
-      // round instead of two, same shuffle count, still type-agnostic
-      // (string ids compare by value, not by a numeric sum)
+      // scan-count over the checkpointed result — one join per round,
+      // still type-agnostic (string ids compare by value, not by a
+      // numeric sum)
       val repType = labels.schema("rep").dataType
       val next = labels.select(col("id"), col("rep"), col("rep").as("prev"))
         .unionByName(viaNbr.select(col("id"), col("rep"),
           lit(null).cast(repType).as("prev")))
         .groupBy("id").agg(min("rep").as("rep"), max("prev").as("prev"))
-        .localCheckpoint()
-      converged = next.filter(!(col("rep") <=> col("prev"))).isEmpty
+        .localCheckpoint(eager = false)
+      // ONE action per round (was two: an eager-checkpoint job + an
+      // isEmpty job): count() visits EVERY partition of the changed-
+      // filter, so it both decides convergence and fully materializes
+      // the lazy checkpoint blocks the next round's join reads —
+      // isEmpty's take(1) would leave unvisited partitions
+      // unmaterialized and push their compute into the next round
+      converged =
+        next.filter(!(col("rep") <=> col("prev"))).count() == 0L
       labels = next.select(col("id"), col("rep"))
       iter += 1
     }

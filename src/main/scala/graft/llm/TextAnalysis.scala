@@ -616,20 +616,45 @@ object TextAnalysis {
       .select(col(idCol), col("bg.p").as("p"), col("bg.w").as("w"))
     val tf2 = bi.groupBy(col(idCol), col("p"), col("w"))
       .agg(count(lit(1)).as("tf2"))
-    val cb = tf2.groupBy(col("p"), col("w")).agg(sum(col("tf2")).as("cb"))
-    // bigram TYPE counts: distinct continuations per context / distinct
-    // contexts per word / total bigram types — all off the cb table
-    val n1p = cb.groupBy(col("p")).agg(count(lit(1)).cast("double").as("n1p"))
-    val n1w = cb.groupBy(col("w")).agg(count(lit(1)).cast("double").as("n1w"))
-    val nbt = cb.agg(count(lit(1)).cast("double").as("nbt"))
+    // Every bigram statistic derives from tf2's OWN exchange chain as a
+    // window instead of a re-aggregated table joined back (round 22;
+    // guide §2.4 — operations keyed the same way share one exchange).
+    // The former shape built cb/n1p/n1w/nbt as four groupBys OFF the cb
+    // subtree and joined them back: AQE declines to reuse those stages,
+    // so the corpus bigram explode re-executed once per statistic (~6
+    // corpus scans, 5 joins). Here: `cb` is a sum over tf2's (p,w)
+    // window; `one` marks exactly one row per (p,w) TYPE (row_number
+    // ties broken by id — any single marker row gives the same sum), so
+    // type counts are marker sums over the p-keyed window (n1p) and the
+    // w-keyed table below (n1w). One corpus bigram pass, one linear
+    // pipeline, no checkpoint boundary (the round-21 revert shape is
+    // not involved). All counts stay exact integers cast to double at
+    // the same points, and the probability expression is untouched —
+    // scores are bit-identical.
+    import org.apache.spark.sql.expressions.Window
+    val wpw = Window.partitionBy(col("p"), col("w"))
+    val wp = Window.partitionBy(col("p"))
+    val scored = tf2
+      .withColumn("cb", sum(col("tf2")).over(wpw))
+      .withColumn("one",
+        when(row_number().over(wpw.orderBy(col(idCol))) === 1, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("n1p", sum(col("one")).over(wp).cast("double"))
+    // distinct contexts per word + the global type total: one
+    // vocabulary-sized table off ONE more bigram pass; nbt rides it as
+    // a constant-key window sum (the Dsir.fit idiom — non-foldable key,
+    // driver-scale input by design), so the total needs no extra pass
+    // and no crossJoin of a scalar aggregate
+    val n1wNbt = bi.groupBy(col("w")).agg(count_distinct(col("p")).as("n1c"))
+      .select(col("w"), col("n1c").cast("double").as("n1w"),
+        sum(col("n1c")).over(Window.partitionBy(pmod(col("n1c"), lit(1))))
+          .cast("double").as("nbt"))
     val uni = df.select(explode(toks).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val d = discount
-    tf2.join(cb, Seq("p", "w"))
+    scored
       .join(uni.select(col("t").as("p"), col("c").as("cp")), Seq("p"))
-      .join(n1p, Seq("p"))
-      .join(n1w, Seq("w"))
-      .crossJoin(broadcast(nbt))
+      .join(n1wNbt, Seq("w"))
       .groupBy(col(idCol))
       .agg(round(-sum(col("tf2") * log(
           greatest(col("cb") - lit(d), lit(0.0)) / col("cp") +
@@ -678,43 +703,65 @@ object TextAnalysis {
     // NOTE (round-21): lazily checkpointing c3/cb (each feeds four
     // consumers) was tried and REVERTED — the checkpoint boundary
     // plans its subtree eagerly, opts it out of AQE, and serializes
-    // the branches; the recomputed branches overlap across idle cores
-    // and win on wall at the benched core counts.
-    val c3 = tf3.groupBy(col("u"), col("v"), col("w"))
-      .agg(sum(col("tf3")).as("c3"))
+    // the branches. Round 22 removes the multi-consumption itself
+    // instead (guide §2.4, the lmBigramScore/lmKneserNeyScore window
+    // posture): every TRIGRAM statistic now derives from tf3's own
+    // exchange chain — `c3` as a (u,v,w)-window sum, the type counts
+    // as sums of a one-row-per-type marker over the (v,w)/(v)/(u,v)
+    // windows — so the trigram explode and its aggregations execute
+    // exactly ONCE in one linear pipeline (formerly: the c3 subtree
+    // re-executed for each of its four consumers — 66 Exchanges / ~10
+    // corpus passes in the executed plan, the board's worst shape).
+    // No checkpoint boundary, no broadcast branches. Counts stay exact
+    // integers cast to double at the same points; the probability
+    // expression is untouched — scores are bit-identical.
+    import org.apache.spark.sql.expressions.Window
+    val wuvw = Window.partitionBy(col("u"), col("v"), col("w"))
+    val trig = tf3
+      .withColumn("c3", sum(col("tf3")).over(wuvw))
+      .withColumn("one",
+        when(row_number().over(wuvw.orderBy(col(idCol))) === 1, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("nmid_vw", sum(col("one"))
+        .over(Window.partitionBy(col("v"), col("w"))).cast("double"))
+      .withColumn("nmid_v", sum(col("one"))
+        .over(Window.partitionBy(col("v"))).cast("double"))
+      // last window keyed (u,v): the cuv join below requires exactly
+      // that partitioning, so it adds no exchange on the big side
+      .withColumn("n1p_uv", sum(col("one"))
+        .over(Window.partitionBy(col("u"), col("v"))).cast("double"))
     val bi = df.filter(size(toks) >= 2)
       .select(explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1).as("p"),
         slice(toks, lit(2), size(toks) - 1).as("q"))).as("bg"))
       .select(col("bg.p").as("p"), col("bg.q").as("q"))
-    val cb = bi.groupBy(col("p"), col("q")).agg(count(lit(1)).as("cb"))
-    // type tables: all off the c3 / cb aggregates, never the raw corpus
-    val n1pUv = c3.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).cast("double").as("n1p_uv"))
-    val nmidVw = c3.groupBy(col("v"), col("w"))
-      .agg(count(lit(1)).cast("double").as("nmid_vw"))
-    val nmidV = c3.groupBy(col("v"))
-      .agg(count(lit(1)).cast("double").as("nmid_v"))
-    val n1After = cb.groupBy(col("p"))
-      .agg(count(lit(1)).cast("double").as("n1after"))
-    val n1w = cb.groupBy(col("q"))
-      .agg(count(lit(1)).cast("double").as("n1w"))
-    val nbt = cb.agg(count(lit(1)).cast("double").as("nbt"))
+    // BIGRAM statistics are not derivable from the trigram rows (a
+    // document's final bigram heads no trigram), so the bigram explode
+    // feeds three one-aggregation tables — count, distinct-continuation,
+    // distinct-context — each a single map+aggregate corpus pass (the
+    // former shape aggregated all of them off one cb table whose
+    // subtree re-executed per consumer, plus a fourth pass for the
+    // scalar total; nbt now rides the vocabulary-sized n1w table as a
+    // constant-key window sum, the Dsir.fit idiom)
+    val cuv = bi.groupBy(col("p"), col("q")).agg(count(lit(1)).as("cuv"))
+      .select(col("p").as("u"), col("q").as("v"), col("cuv"))
+    val n1After = bi.groupBy(col("p"))
+      .agg(count_distinct(col("q")).cast("double").as("n1after"))
+      .select(col("p").as("v"), col("n1after"))
+    val n1wNbt = bi.groupBy(col("q")).agg(count_distinct(col("p")).as("n1c"))
+      .select(col("q").as("w"), col("n1c").cast("double").as("n1w"),
+        sum(col("n1c")).over(Window.partitionBy(pmod(col("n1c"), lit(1))))
+          .cast("double").as("nbt"))
     val d = discount
     val prob =
       greatest(col("c3") - lit(d), lit(0.0)) / col("cuv") +
         lit(d) * col("n1p_uv") / col("cuv") * (
           greatest(col("nmid_vw") - lit(d), lit(0.0)) / col("nmid_v") +
             lit(d) * col("n1after") / col("nmid_v") * (col("n1w") / col("nbt")))
-    tf3.join(c3, Seq("u", "v", "w"))
-      .join(cb.select(col("p").as("u"), col("q").as("v"), col("cb").as("cuv")),
-        Seq("u", "v"))
-      .join(n1pUv, Seq("u", "v"))
-      .join(nmidVw, Seq("v", "w"))
-      .join(nmidV, Seq("v"))
-      .join(n1After.select(col("p").as("v"), col("n1after")), Seq("v"))
-      .join(n1w.select(col("q").as("w"), col("n1w")), Seq("w"))
-      .crossJoin(broadcast(nbt))
+    trig
+      .join(cuv, Seq("u", "v"))
+      .join(n1After, Seq("v"))
+      .join(n1wNbt, Seq("w"))
       .groupBy(col(idCol))
       .agg(round(-sum(col("tf3") * log(prob)) / sum(col("tf3")), 6)
         .as("xent_kn3"))

@@ -91,12 +91,29 @@ object WordPiece {
         // the former two-aggregation form consumed the state THREE
         // times per round (pairs + the two symCnt join branches), and
         // AQE declines to reuse those stages — ~10 stage-jobs per merge
-        // where 3 suffice (guide §2.4). The aggregate is vocabulary-
-        // sized; the lazy localCheckpoint shares its one materialization
-        // across the pair filter and both unary join branches below.
-        // Frequencies are identical integer sums — the learned table is
-        // bit-for-bit the two-aggregation one's.
-        val stats = state
+        // where 3 suffice (guide §2.4). Frequencies are identical
+        // integer sums — the learned table is bit-for-bit the
+        // two-aggregation one's.
+        //
+        // The unary counts then ATTACH AS WINDOWS over the stats table
+        // itself instead of two joins against a filtered copy (round-21
+        // shape: lazy checkpoint + 2 broadcast joins — a checkpoint
+        // boundary plus two broadcast-build jobs per merge round, pure
+        // scheduler latency for a vocabulary-sized table). The l-keyed
+        // window sees symbol l's unary row (l, null) in its partition;
+        // keying the second window by coalesce(r, l) puts symbol s's
+        // unary row (r IS null, so the key falls back to l = s) in the
+        // same partition as every pair with r = s. One linear plan per
+        // round — agg → window → window → TakeOrdered — no boundary, no
+        // broadcasts (guide §2.4: two operations keyed the same way
+        // share the exchange chain). Same integer freqs, same double
+        // division, same total tie order.
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy(coalesce(col("r"), col("l")))
+        val unary = when(col("r").isNull, col("freq"))
+        val top = state
           .select(explode(concat(
             arrays_zip(
               slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
@@ -107,16 +124,9 @@ object WordPiece {
             col("n"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("n")).as("freq"))
-          .localCheckpoint(eager = false)
-        val pairs = stats.filter(col("r").isNotNull)
-          .filter(col("freq") >= minCount)
-        val symCnt = stats.filter(col("r").isNull)
-          .select(col("l").as("sym"), col("freq").as("cnt"))
-        val top = pairs
-          .join(symCnt.withColumnRenamed("sym", "l")
-            .withColumnRenamed("cnt", "lcnt"), Seq("l"))
-          .join(symCnt.withColumnRenamed("sym", "r")
-            .withColumnRenamed("cnt", "rcnt"), Seq("r"))
+          .withColumn("lcnt", sum(unary).over(wl))
+          .withColumn("rcnt", sum(unary).over(wr))
+          .filter(col("r").isNotNull && col("freq") >= minCount)
           .select(col("l"), col("r"), col("freq"),
             (col("freq").cast("double") /
               (col("lcnt").cast("double") * col("rcnt").cast("double")))

@@ -56,23 +56,32 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
     println(f"${"query"}%-30s ${"wall_s"}%7s ${"jobs"}%5s ${"stages"}%6s " +
       f"${"tasks"}%6s ${"tasktime_s"}%10s ${"shufW_MB"}%8s")
+    // a query that throws must not pollute the attribution data: its row
+    // is marked FAILED (partial counters suppressed) and the process
+    // exits nonzero so a broken query can't be mistaken for a measurement
+    var anyFailed = false
     names.foreach { n =>
       (1 to 2).foreach { round =>
         jobs.set(0); stages.set(0); tasks.set(0)
         taskTimeMs.set(0); shufWrite.set(0); shufRead.set(0)
+        var failed = false
         val t0 = System.nanoTime()
         try graft.SparkEntry.queries(n)(spark, dir).count()
         catch { case e: Throwable =>
+          failed = true; anyFailed = true
           System.err.println(s"[profile] $n failed: ${e.getMessage}") }
         val wall = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously — settle before reading
         Thread.sleep(300)
-        if (round == 2)
-          println(f"$n%-30s $wall%7.2f ${jobs.get}%5d ${stages.get}%6d " +
+        if (round == 2) {
+          if (failed) println(f"$n%-30s  FAILED (counters suppressed)")
+          else println(f"$n%-30s $wall%7.2f ${jobs.get}%5d ${stages.get}%6d " +
             f"${tasks.get}%6d ${taskTimeMs.get / 1e3}%10.2f " +
             f"${shufWrite.get / 1e6}%8.1f")
+        }
       }
     }
     spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 }
