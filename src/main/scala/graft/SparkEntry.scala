@@ -246,6 +246,22 @@ object SparkEntry {
       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       |QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= 20""".stripMargin
 
+  /** Run two INDEPENDENT sub-computations of one query on separate
+    * driver threads (guide §2.6: Spark happily runs several jobs at
+    * once — actions are only sequential because the driver calls them
+    * sequentially, and concurrent jobs back-fill idle cores). Used by
+    * trainer rows whose planted-contract training is independent of
+    * the corpus training: both are job-launch-bound iterative loops
+    * (≈5 scheduler jobs per merge round for ≤0.1 task-seconds), so
+    * overlapping them hides one loop's scheduler floor behind the
+    * other's. Results are unchanged — the two computations share no
+    * state, and job submission is thread-safe. */
+  private def par2[A, B](a: => A, b: => B): (A, B) = {
+    val fb = java.util.concurrent.CompletableFuture.supplyAsync(() => b)
+    val ra = a
+    (ra, fb.join())
+  }
+
   /** Persisted tokenizer artifacts for the SERVING rows — the
     * "train once at ingest, serve from the artifact" lifecycle the ANN
     * index rows already use ([[memoIndexDir]]: first call per corpus
@@ -1038,10 +1054,14 @@ object SparkEntry {
       val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
         Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
         .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
-      val m = llm.Bpe.learnMerges(planted, "text", numMerges = 4)
+      // planted-contract and corpus trainings are independent — overlap
+      // them on two driver threads (par2, guide §2.6), as in wp_learn
+      val docs = t(s, dir, "documents")
+      val (m, corpus) = par2(
+        llm.Bpe.learnMerges(planted, "text", numMerges = 4),
+        llm.Bpe.learnMerges(docs, "text", 8))
       val exact = m.map(x => (x.left, x.right, x.freq)) == Seq(
         ("e", "s", 9L), ("es", "t</w>", 9L), ("l", "o", 7L), ("e", "w", 6L))
-      val corpus = llm.Bpe.learnMerges(t(s, dir, "documents"), "text", 8)
       val corpusOk = corpus.size == 8 &&
         corpus.map(x => (x.left, x.right)).distinct.size == 8
       Seq((exact, corpusOk)).toDF("merges_exact", "corpus_ok")
@@ -1736,14 +1756,20 @@ object SparkEntry {
       val planted = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
         Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
         .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
-      val (m, v) = llm.WordPiece.learnVocab(planted, "text", 4)
+      // the planted-contract training and the corpus training share no
+      // state — overlap them on two driver threads (par2, guide §2.6):
+      // both are job-launch-bound merge loops, so the wall is ~max of
+      // the two instead of their sum
+      val docs = t(s, dir, "documents")
+      val ((m, v), (cm, _)) = par2(
+        llm.WordPiece.learnVocab(planted, "text", 4),
+        llm.WordPiece.learnVocab(docs, "text", 8))
       val exact = m.map(x => (x.left, x.right, x.merged, x.freq)) == Seq(
         ("##i", "##d", "##id", 3L), ("w", "##id", "wid", 3L),
         ("l", "##o", "lo", 7L), ("##s", "##t", "##st", 9L))
       val heldOut = llm.WordPiece.segment(
         Seq((1L, "lowest")).toDF("doc_id", "text"), "doc_id", "text", v)
         .head().getString(2) == "lo ##w ##e ##st"
-      val (cm, _) = llm.WordPiece.learnVocab(t(s, dir, "documents"), "text", 8)
       val corpusOk = cm.size == 8 && cm.map(_.merged).distinct.size == 8
       Seq((exact, heldOut, corpusOk))
         .toDF("merges_exact", "heldout_greedy", "corpus_ok")

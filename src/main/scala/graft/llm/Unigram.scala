@@ -83,10 +83,15 @@ object Unigram {
   def rankVocab(df: DataFrame, textCol: String, maxPieceLen: Int = 8,
                 topMulti: Int = 64): Seq[Piece] = {
     require(topMulti > 0, s"rankVocab: topMulti must be positive, got $topMulti")
-    // two collects off one substring-explode aggregate — materialize it
-    // once (see trainWords)
+    // two collects off one substring-explode aggregate. NOTE (round 22):
+    // lazily localCheckpointing this was tried in round 21 and REVERTED
+    // after a same-window A/B — the two consumers are small driver
+    // collects whose jobs overlap on idle cores, the losing shape of
+    // the checkpoint-placement rule (the driver's round-21 board showed
+    // unigram_seed/unigram_train regressing 0.78/0.82 load-adjusted;
+    // the revert measured unigram_train 1.89 -> 1.47 s warm-min in a
+    // both-orders same-window A/B here).
     val seeds = seedCounts(df, textCol, maxPieceLen)
-      .localCheckpoint(eager = false)
     val multi = seeds.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece").asc).limit(topMulti)
       .collect().zipWithIndex.map { case (r, i) =>
@@ -162,11 +167,11 @@ object Unigram {
     val words = wordsIn.persist()
     try {
       // the seed-candidate table feeds TWO collects (multi + chars);
-      // without the lazy localCheckpoint the substring explode+aggregate
-      // (len² rows per word — the expensive pass here) runs once per
-      // collect (guide §2.4)
+      // the substring explode+aggregate runs once per collect, BUT the
+      // round-21 lazy localCheckpoint here was REVERTED in round 22: the
+      // consumers are small driver collects whose jobs overlap on idle
+      // cores — the losing checkpoint-placement shape (see rankVocab).
       val seeds = seedCountsFromWords(words, maxPieceLen)
-        .localCheckpoint(eager = false)
       val multi = seeds.filter(length(col("piece")) >= 2)
         .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
